@@ -1,0 +1,60 @@
+"""RawValues scan + insert validation filter.
+
+Reference semantics:
+- RawValues(uuid, start, end, version): all points start <= t < end in time
+  order (grpcinterface/serve.go:122-180, qtree/qtree.go:968-1031).
+- Insert validation rejects NaN/Inf values and out-of-domain times
+  (quasar.go:92-101, qtree/qtree.go:608-618).
+
+Spark-first: the whole query is a declarative filter + sort, so Catalyst
+pushes uuid and time predicates into the parquet scan (PushedFilters +
+row-group min/max skipping) and prunes to the two projected columns. With the
+lake partitioned by uuid_bucket/time_bucket (see store.py) the scan at 100 TB
+touches only the overlapping partitions — the same pruning the reference's
+tree descent performs (qtree.go:1000-1029).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.constants import MAX_INSERT_TIME, MIN_TIME
+
+
+def time_range_pred(start: int, end: int) -> Column:
+    """start <= time < end — the universal range predicate (qtree.go:978-994)."""
+    return (F.col("time") >= F.lit(start)) & (F.col("time") < F.lit(end))
+
+
+def raw_values(points: DataFrame, uuid: str, start: int, end: int) -> DataFrame:
+    """All points of `uuid` with start <= time < end, ascending by time."""
+    return (
+        points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end))
+        .select("time", "value")
+        .orderBy("time")
+    )
+
+
+def validate_points(points: DataFrame) -> DataFrame:
+    """Keep only rows the reference would accept on insert (quasar.go:92-101):
+    MIN_TIME <= time < MAX_TIME-1, finite value."""
+    return points.where(
+        (F.col("time") >= F.lit(MIN_TIME))
+        & (F.col("time") <= F.lit(MAX_INSERT_TIME))
+        & ~F.isnan("value")
+        & (F.col("value") != F.lit(float("inf")))
+        & (F.col("value") != F.lit(float("-inf")))
+    )
+
+
+def invalid_points(points: DataFrame) -> DataFrame:
+    """The complement of validate_points — rows that raise BadValue(425) /
+    InvalidTimeRange(413) in the reference (bte/errors.go:182-218)."""
+    return points.where(
+        (F.col("time") < F.lit(MIN_TIME))
+        | (F.col("time") > F.lit(MAX_INSERT_TIME))
+        | F.isnan("value")
+        | (F.col("value") == F.lit(float("inf")))
+        | (F.col("value") == F.lit(float("-inf")))
+    )

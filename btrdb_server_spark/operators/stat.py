@@ -1,0 +1,147 @@
+"""Statistical queries: AlignedWindows (power-of-two buckets) and Windows
+(arbitrary-width tumbling windows with hole emission and depth-bounded
+approximation).
+
+Reference semantics:
+- AlignedWindows(uuid, start, end, pw): one StatPoint {bucket_start, min,
+  mean, max, count} per 2**pw-ns bucket (aligned to multiples of 2**pw)
+  intersecting the floored range; start and end are masked down to bucket
+  boundaries and end is decremented (quasar.go:285-289); EMPTY BUCKETS ARE
+  OMITTED (qtree/qtree.go:930-947).
+- Windows(uuid, start, end, width, depth): tumbling windows of arbitrary ns
+  width from start; end rounded down so only whole windows are emitted
+  (quasar.go:328-330); HOLES ARE EMITTED as count=0 records
+  (qtree/qtree.go:1149-1179); depth>0 stops tree descent at 2**depth-ns
+  buckets, trading boundary accuracy for speed (qtree.go:1112-1148).
+
+Spark-first: both are single groupBy aggregations over an integer-arithmetic
+bucket key — shiftright for aligned (arithmetic shift = floor division, valid
+for the negative half of the time domain), floor-div for arbitrary width.
+Spark's partial->final aggregation is exactly the reference's per-subtree
+partial StatRecord merge (merger.go:132-214), so the plan map-side combines
+before the shuffle: at 100 TB the shuffle carries one row per (uuid, bucket),
+not per point. Hole emission joins a generated window spine (sequence+explode)
+against the aggregate — the spine side is tiny and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.constants import MAX_PW
+from btrdb_server_spark.operators.raw import time_range_pred
+
+
+def _stat_agg():
+    """The closed aggregate set {min, mean, max, count} (qtree.go:802-808)."""
+    return [
+        F.min("value").alias("min"),
+        F.avg("value").alias("mean"),
+        F.max("value").alias("max"),
+        F.count("value").alias("count"),
+    ]
+
+
+def align_floor(t: int, pw: int) -> int:
+    """t &^ ((1<<pw)-1) — floor to a 2**pw boundary (works for negatives,
+    matching Go's bit-clear on two's complement; qtree_utils.go:404-411)."""
+    return t & ~((1 << pw) - 1)
+
+
+def aligned_windows(
+    points: DataFrame, uuid: str, start: int, end: int, pw: int
+) -> DataFrame:
+    """One StatPoint per aligned 2**pw bucket in [floor(start), floor(end));
+    empty buckets omitted. Columns: time (bucket start), min, mean, max, count."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")  # quasar.go:277
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)  # buckets with start in [fstart, fend) are returned
+    return (
+        points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend))
+        .groupBy(F.shiftleft(F.shiftright("time", pw), pw).alias("time"))
+        .agg(*_stat_agg())
+        .orderBy("time")
+    )
+
+
+def windows(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    depth: int = 0,
+) -> DataFrame:
+    """Tumbling windows [start + k*width, start + (k+1)*width) for whole
+    windows only; count=0 holes emitted. depth>0 pre-buckets points to
+    2**depth-aligned buckets first (the reference's bounded-descent
+    approximation: a boundary bucket lands wholly in the window containing its
+    start). Columns: time (window start), min, mean, max, count."""
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    if not 0 <= depth <= 63:
+        raise ValueError("window depth invalid")  # quasar.go:318
+    end = end - (end - start) % width  # quasar.go:328-330
+    if start >= end:
+        raise ValueError("start >= end after rounding")
+    n_windows = (end - start) // width
+
+    src = points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end))
+    if depth > 0:
+        # Bounded descent: collapse to 2**depth buckets, then assign each
+        # bucket to the window containing its start (approximation contract).
+        src = (
+            src.groupBy(F.shiftleft(F.shiftright("time", depth), depth).alias("btime"))
+            .agg(
+                F.min("value").alias("bmin"),
+                F.sum("value").alias("bsum"),
+                F.max("value").alias("bmax"),
+                F.count("value").alias("bcnt"),
+            )
+            .withColumn("widx", F.floor((F.col("btime") - F.lit(start)) / F.lit(width)))
+        )
+        agg = src.groupBy("widx").agg(
+            F.min("bmin").alias("min"),
+            (F.sum("bsum") / F.sum("bcnt")).alias("mean"),
+            F.max("bmax").alias("max"),
+            F.sum("bcnt").alias("count"),
+        )
+    else:
+        agg = (
+            src.withColumn("widx", F.floor((F.col("time") - F.lit(start)) / F.lit(width)))
+            .groupBy("widx")
+            .agg(*_stat_agg())
+        )
+
+    # Window spine: every k in [0, n_windows) — holes become count=0 rows
+    # (qtree.go:1149-1179). The spine is one generated row per window and is
+    # broadcast; at scale the agg side stays shuffled by widx only.
+    spark = points.sparkSession
+    spine = spark.range(0, n_windows).select(F.col("id").alias("widx"))
+    return (
+        spine.join(agg, "widx", "left")
+        .select(
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            F.col("min"),
+            F.col("mean"),
+            F.col("max"),
+            F.coalesce(F.col("count"), F.lit(0)).alias("count"),
+        )
+        .orderBy("time")
+    )
+
+
+def aligned_windows_all_streams(
+    points: DataFrame, start: int, end: int, pw: int
+) -> DataFrame:
+    """Fleet variant: stats per (uuid, bucket) for every stream in one pass —
+    the scan pattern a 100 TB rollup build uses (see plans/rollup.py)."""
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    return (
+        points.where(time_range_pred(fstart, fend))
+        .groupBy("uuid", F.shiftleft(F.shiftright("time", pw), pw).alias("time"))
+        .agg(*_stat_agg())
+    )

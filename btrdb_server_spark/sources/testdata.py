@@ -1,0 +1,89 @@
+"""Readers for the driver-generated testdata (TESTDATA.md).
+
+The `events` table is the time-series source: each event_type is one stream
+(uuid), `ts` becomes int64 nanoseconds, `value` is the payload — the mapping
+FIXTURES.md prescribes for benching the points plane. All conversions are
+pure built-in column expressions so Catalyst keeps pushdown and codegen.
+
+At 100 TB the same reader shape holds: parquet scan with column pruning
+(only ts/value/event_type read), partition pruning on any uuid/time
+partitioning of the lake, and no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_to_points(events: DataFrame) -> DataFrame:
+    """Map the events table to the (uuid, time, value) points plane.
+
+    uuid = event_type (one stream per source type), time = epoch nanoseconds
+    truncated to whole microseconds. The parquet stores TIMESTAMP(NANOS); we
+    read it as raw int64 ns (session config nanosAsLong) and truncate the
+    sub-µs digits so the values match DuckDB's epoch_ns(ts), which reads the
+    same column at µs precision — keeping the oracle comparison exact.
+    """
+    ts_type = dict(events.dtypes)["ts"]
+    if ts_type == "bigint":
+        time_col = (F.col("ts") - F.col("ts") % F.lit(1000)).alias("time")
+    else:  # TimestampType (µs) fallback
+        time_col = (F.unix_micros("ts") * F.lit(1000)).alias("time")
+    return events.select(
+        F.col("event_type").alias("uuid"),
+        time_col,
+        F.col("value").alias("value"),
+    )
+
+
+def load_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_to_points(load_table(spark, sf_dir, "events"))
+
+
+def streams_from_events(events: DataFrame) -> DataFrame:
+    """Derive a stream registry from the events table.
+
+    One stream per (event_type, user_id): collection = 'events/<type>',
+    tags = {source: 'u<user_id>'}. Gives a realistic registry (dozens of
+    streams, hierarchical collections) for metadata-plane queries.
+    """
+    return (
+        events.select("event_type", "user_id")
+        .distinct()
+        .select(
+            F.concat(F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")).alias(
+                "uuid"
+            ),
+            F.concat(F.lit("events/"), F.col("event_type")).alias("collection"),
+            F.create_map(
+                F.lit("source"),
+                F.concat(F.lit("u"), F.col("user_id").cast("string")),
+                F.lit("kind"),
+                F.col("event_type"),
+            ).alias("tags"),
+            F.create_map(F.lit("note"), F.concat(F.lit("n"), F.col("user_id").cast("string"))).alias(
+                "annotations"
+            ),
+            F.lit(0).cast("long").alias("annotation_version"),
+            F.lit(1).cast("long").alias("created_version"),
+            F.lit(False).alias("tombstoned"),
+        )
+    )

@@ -1,0 +1,188 @@
+"""Core read-path tests mirroring the reference's qtree test strategy
+(SURVEY.md §5): exact round-trip, rollup-halving invariant, superdense
+duplicates, hole semantics, nearest boundary table."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.operators.changes import coalesce_intervals, times_to_changed_ranges
+from btrdb_server_spark.operators.nearest import nearest, nearest_asof
+from btrdb_server_spark.operators.raw import invalid_points, raw_values, validate_points
+from btrdb_server_spark.operators.stat import aligned_windows, windows
+from btrdb_server_spark.schemas import POINTS_SCHEMA
+from btrdb_server_spark.sources.testdata import load_points
+
+
+def make_points(spark, rows):
+    return spark.createDataFrame([("s", int(t), float(v)) for t, v in rows], POINTS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def dense(spark):
+    """F1 fx_dense_aligned: 4096 points at time 0..4095 (qtree2_test.go:41)."""
+    rng = random.Random(42)
+    df = make_points(spark, [(t, rng.random()) for t in range(4096)]).cache()
+    df.count()
+    return df
+
+
+def test_raw_roundtrip_exact(spark, dense):
+    got = raw_values(dense, "s", -1, 8).collect()
+    assert [r.time for r in got] == list(range(8))
+    full = raw_values(dense, "s", 0, 1 << 20).collect()
+    assert len(full) == 4096
+    assert [r.time for r in full] == sorted(r.time for r in full)
+
+
+def test_raw_roundtrip_testdata(spark, sf_dir):
+    pts = load_points(spark, sf_dir)
+    lo, hi = pts.agg(F.min("time"), F.max("time")).first()
+    got = raw_values(pts, "click", lo, hi + 1)
+    n = pts.where(F.col("uuid") == "click").count()
+    rows = got.collect()
+    assert len(rows) == n
+    assert [r.time for r in rows] == sorted(r.time for r in rows)
+
+
+def test_rollup_halving_invariant(spark, dense):
+    """qtree2_test.go:41-83: 4096 1ns-spaced points -> bucket count halves at
+    each pw level, and stats at level k+1 equal the pairwise merge of level k."""
+    prev = None
+    for pw in range(0, 13):
+        rows = aligned_windows(dense, "s", 0, 4096, pw).collect()
+        assert len(rows) == 4096 >> pw
+        total = sum(r["count"] for r in rows)
+        assert total == 4096
+        if prev is not None:
+            merged = {}
+            for r in prev:
+                b = r.time >> pw << pw
+                m = merged.setdefault(b, dict(mn=math.inf, mx=-math.inf, s=0.0, c=0))
+                m["mn"] = min(m["mn"], r["min"])
+                m["mx"] = max(m["mx"], r["max"])
+                m["s"] += r["mean"] * r["count"]
+                m["c"] += r["count"]
+            for r in rows:
+                m = merged[r.time]
+                assert r["count"] == m["c"]
+                assert r["min"] == pytest.approx(m["mn"])
+                assert r["max"] == pytest.approx(m["mx"])
+                assert r["mean"] == pytest.approx(m["s"] / m["c"])
+        prev = rows
+
+
+def test_aligned_windows_boundary_flooring(spark, dense):
+    # start/end are floored to the 2^pw boundary (quasar.go:285-289): querying
+    # [3, 13) at pw=3 covers buckets [0,8) and [8,16) minus the end-floor ->
+    # only bucket 0 (end 13 floors to 8, so buckets in [0, 8)).
+    rows = aligned_windows(dense, "s", 3, 13, 3).collect()
+    assert [r.time for r in rows] == [0]
+    assert rows[0]["count"] == 8
+
+
+def test_superdense_duplicates(spark):
+    """F3 fx_superdense (qtree2_test.go:196): 10k points at time=5. We keep
+    all duplicates (documented superset of the reference's 1024/ns cap)."""
+    df = make_points(spark, [(5, float(i)) for i in range(10_000)])
+    assert raw_values(df, "s", 5, 6).count() == 10_000
+    st = aligned_windows(df, "s", 0, 64, 6).collect()
+    assert len(st) == 1 and st[0]["count"] == 10_000
+    assert st[0]["min"] == 0.0 and st[0]["max"] == 9999.0
+
+
+def test_windows_holes(spark):
+    """F8-style: gap in the middle -> Windows emits count=0 holes; end is
+    rounded down to whole windows (quasar.go:328-330)."""
+    rows = [(t, 1.0) for t in range(0, 100)] + [(t, 2.0) for t in range(300, 400)]
+    df = make_points(spark, rows)
+    got = windows(df, "s", 0, 450, 100).collect()
+    # end 450 -> 400; windows at 0,100,200,300
+    assert [r.time for r in got] == [0, 100, 200, 300]
+    assert [r["count"] for r in got] == [100, 0, 0, 100]
+    assert got[1]["min"] is None and got[1]["mean"] is None
+    assert got[3]["mean"] == pytest.approx(2.0)
+
+
+def test_windows_depth_approximation(spark):
+    df = make_points(spark, [(t, float(t)) for t in range(0, 1024)])
+    exact = windows(df, "s", 0, 1024, 256, depth=0).collect()
+    approx = windows(df, "s", 0, 1024, 256, depth=4).collect()
+    # depth=4 buckets (16 ns) align exactly with 256-wide windows here, so
+    # the approximation is exact — counts and means match.
+    assert [r["count"] for r in exact] == [r["count"] for r in approx]
+    for e, a in zip(exact, approx):
+        assert a["mean"] == pytest.approx(e["mean"])
+
+
+def test_nearest_boundary_table(spark):
+    """F4 fx_nearest_sparse golden cases (qtree2_test.go:237-280)."""
+    df = make_points(spark, [(1 << 56, 1.0), (2 << 56, 2.0), (3 << 56, 3.0)])
+    cases = [
+        ((2 << 56) + 1, True, 2.0),
+        (2 << 56, True, 1.0),
+        (2 << 56, False, 2.0),
+        ((2 << 56) + 1, False, 3.0),
+        (0, False, 1.0),
+        (4 << 56, True, 3.0),
+        (0, True, None),
+        (4 << 56, False, None),
+    ]
+    for t, backward, expect in cases:
+        rows = nearest(df, "s", t, backward).collect()
+        if expect is None:
+            assert rows == [], (t, backward)
+        else:
+            assert len(rows) == 1 and rows[0].value == expect, (t, backward)
+
+
+def test_nearest_asof_vectorized(spark):
+    df = make_points(spark, [(1 << 56, 1.0), (2 << 56, 2.0), (3 << 56, 3.0)])
+    probes = spark.createDataFrame(
+        [("s", (2 << 56) + 1), ("s", 2 << 56), ("s", 0), ("s", 4 << 56)],
+        "uuid string, probe_time long",
+    )
+    back = {r.probe_time: r.value for r in nearest_asof(df, probes, True).collect()}
+    assert back[(2 << 56) + 1] == 2.0
+    assert back[2 << 56] == 1.0
+    assert back[0] is None
+    assert back[4 << 56] == 3.0
+    fwd = {r.probe_time: r.value for r in nearest_asof(df, probes, False).collect()}
+    assert fwd[2 << 56] == 2.0
+    assert fwd[(2 << 56) + 1] == 3.0
+    assert fwd[0] == 1.0
+    assert fwd[4 << 56] is None
+
+
+def test_validation_filter(spark):
+    inf = float("inf")
+    rows = [
+        ("s", 10, 1.0),
+        ("s", 11, float("nan")),
+        ("s", 12, inf),
+        ("s", 13, -inf),
+        ("s", -(16 << 56) - 1, 1.0),
+        ("s", (48 << 56) - 1, 1.0),
+    ]
+    df = spark.createDataFrame(rows, POINTS_SCHEMA)
+    assert validate_points(df).count() == 1
+    assert invalid_points(df).count() == 5
+
+
+def test_coalesce_intervals(spark):
+    iv = spark.createDataFrame(
+        [(0, 10), (10, 20), (25, 30), (27, 40), (50, 60)], "start long, end long"
+    )
+    got = [(r.start, r.end) for r in coalesce_intervals(iv).collect()]
+    assert got == [(0, 20), (25, 40), (50, 60)]
+
+
+def test_times_to_changed_ranges(spark):
+    times = spark.createDataFrame([(5,), (9,), (17,), (64,)], "time long")
+    got = [(r.start, r.end) for r in times_to_changed_ranges(times, 3).collect()]
+    # buckets: 0 ([0,8)), 1 ([8,16)), 2 ([16,24)), 8 ([64,72)) -> [0,24), [64,72)
+    assert got == [(0, 24), (64, 72)]
