@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from btrdb_server_spark.metadata import collections_of, filter_streams, usage_of
 from btrdb_server_spark.operators.align import align_streams
 from btrdb_server_spark.operators.changes import times_to_changed_ranges
 from btrdb_server_spark.operators.nearest import nearest
@@ -25,13 +26,19 @@ from btrdb_server_spark.operators.stat import (
     aligned_windows_all_streams,
     windows,
 )
-from btrdb_server_spark.sources.testdata import load_points
+from btrdb_server_spark.sources.testdata import (
+    load_points,
+    load_table,
+    streams_from_events,
+)
 
 # Time constants (UTC epoch ns). Testdata events span Jan 2024.
 T_2024 = 1_704_067_200_000_000_000  # 2024-01-01
 T_FEB = 1_706_745_600_000_000_000  # 2024-02-01
 T_2025 = 1_735_689_600_000_000_000  # 2025-01-01
+T_JAN10 = 1_704_844_800_000_000_000  # 2024-01-10
 T_JAN15 = 1_705_276_800_000_000_000  # 2024-01-15
+T_JAN20 = 1_705_708_800_000_000_000  # 2024-01-20
 DAY_NS = 86_400_000_000_000
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -101,6 +108,34 @@ def q_multistream_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_streams(pts, EVENT_TYPES, T_2024, T_2025, agg="max")
 
 
+def q_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeleteRange readback semantics (T1): points outside [Jan10, Jan20)."""
+    pts = load_points(spark, sf_dir)
+    deleted = pts.where(
+        ~((F.col("time") >= T_JAN10) & (F.col("time") < T_JAN20))
+    )
+    return raw_values(deleted, "signup", T_2024, T_2025)
+
+
+def q_list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    streams = streams_from_events(load_table(spark, sf_dir, "events"))
+    return collections_of(streams, prefix="events/", start_with="events/e", limit=100)
+
+
+def q_lookup_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    streams = streams_from_events(load_table(spark, sf_dir, "events"))
+    found = filter_streams(
+        streams, collection="events/", tags={"kind": "click", "source": None}
+    )
+    return found.select("uuid", "collection").orderBy("uuid")
+
+
+def q_metadata_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    streams = streams_from_events(load_table(spark, sf_dir, "events"))
+    tag_usage, _ = usage_of(streams, prefix="events/")
+    return tag_usage
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raw_values": q_raw_values,
@@ -110,6 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_after": q_nearest_after,
         "changed_ranges": q_changed_ranges,
         "multistream_align": q_multistream_align,
+        "delete_range": q_delete_range,
+        "list_collections": q_list_collections,
+        "lookup_streams": q_lookup_streams,
+        "metadata_usage": q_metadata_usage,
     }
 
 
@@ -192,5 +231,29 @@ def oracle_sql() -> dict[str, str]:
                    max(value) FILTER (WHERE uuid = 'view') AS view
             FROM pts WHERE time >= {T_2024} AND time < {T_2025}
             GROUP BY time ORDER BY time
+        """,
+        "delete_range": f"""
+            {PTS_CTE}
+            SELECT time, value FROM pts
+            WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2025}
+              AND NOT (time >= {T_JAN10} AND time < {T_JAN20})
+            ORDER BY time
+        """,
+        "list_collections": """
+            SELECT DISTINCT 'events/' || event_type AS collection FROM events
+            WHERE 'events/' || event_type >= 'events/e'
+            ORDER BY collection LIMIT 100
+        """,
+        "lookup_streams": """
+            SELECT DISTINCT event_type || '/' || user_id AS uuid,
+                   'events/' || event_type AS collection
+            FROM events WHERE event_type = 'click'
+            ORDER BY uuid
+        """,
+        "metadata_usage": """
+            WITH s AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT key, count(*) AS cnt
+            FROM s, (SELECT unnest(['kind', 'source']) AS key)
+            GROUP BY key ORDER BY key
         """,
     }

@@ -1,0 +1,127 @@
+"""BTrDB-equivalent API facade: the 18 gRPC methods of
+grpcinterface/btrdb.proto:5-24 as one Python class over the MVCC point store
+and the stream registry.
+
+Method -> reference handler map (grpcinterface/serve.go):
+RawValues :122, AlignedWindows :181, Windows :243, StreamInfo :302,
+SetStreamAnnotations :389, GetMetadataUsage :422, Create :462,
+ListCollections :493, LookupStreams :516, Nearest :602, Changes :626,
+Insert :688, Delete :719, Flush :743, Obliterate :767, FaultInject :797
+(test-only, not mirrored), Info :824 (cluster state, trivial here),
+GenerateCSV :880.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from btrdb_server_spark.metadata import StreamRegistry
+from btrdb_server_spark.operators.align import align_streams, align_streams_windowed
+from btrdb_server_spark.operators.nearest import nearest as nearest_op
+from btrdb_server_spark.operators.raw import raw_values as raw_values_op
+from btrdb_server_spark.operators.stat import aligned_windows as aw_op
+from btrdb_server_spark.operators.stat import windows as windows_op
+from btrdb_server_spark.store import PointStore
+
+
+class BTrDB:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.store = PointStore(spark, os.path.join(path, "data"))
+        self.registry = StreamRegistry(spark, os.path.join(path, "meta"))
+
+    # ------------------------------------------------------------- streams --
+
+    def create(self, uuid: str, collection: str, tags=None, annotations=None) -> None:
+        self.registry.create(uuid, collection, tags, annotations)
+
+    def stream_info(self, uuid: str) -> dict:
+        info = self.registry.stream_info(uuid)
+        info["version"] = self.store.stream_version(uuid)
+        return info
+
+    def set_stream_annotations(self, uuid: str, expected_version: int, changes) -> int:
+        return self.registry.set_annotations(uuid, expected_version, changes)
+
+    def list_collections(self, prefix="", start_with="", limit=1000) -> DataFrame:
+        return self.registry.list_collections(prefix, start_with, limit)
+
+    def lookup_streams(self, collection="", is_prefix=True, tags=None, annotations=None):
+        return self.registry.lookup_streams(collection, is_prefix, tags, annotations)
+
+    def get_metadata_usage(self, prefix=""):
+        return self.registry.metadata_usage(prefix)
+
+    def obliterate(self, uuid: str) -> int:
+        self.registry.obliterate(uuid)
+        return self.store.obliterate(uuid)
+
+    # -------------------------------------------------------------- writes --
+
+    def insert(self, uuid: str, points, enforce_batch_cap: bool = True) -> int:
+        return self.store.insert(uuid, points, enforce_batch_cap=enforce_batch_cap)
+
+    def delete(self, uuid: str, start: int, end: int) -> int:
+        return self.store.delete_range(uuid, start, end)
+
+    def flush(self, uuid: str) -> int:
+        """Batch writes commit synchronously, so Flush is a no-op returning
+        the current version (serve.go:743-765; ST1 buffering lives in
+        streaming/ingest.py where flush = processAllAvailable)."""
+        return self.store.stream_version(uuid)
+
+    # --------------------------------------------------------------- reads --
+
+    def raw_values(
+        self, uuid: str, start: int, end: int, version: Optional[int] = None
+    ) -> DataFrame:
+        return raw_values_op(self.store.points_at(version), uuid, start, end)
+
+    def aligned_windows(
+        self, uuid: str, start: int, end: int, pw: int, version: Optional[int] = None
+    ) -> DataFrame:
+        return aw_op(self.store.points_at(version), uuid, start, end, pw)
+
+    def windows(
+        self,
+        uuid: str,
+        start: int,
+        end: int,
+        width: int,
+        depth: int = 0,
+        version: Optional[int] = None,
+    ) -> DataFrame:
+        return windows_op(self.store.points_at(version), uuid, start, end, width, depth)
+
+    def nearest(
+        self, uuid: str, time: int, backward: bool, version: Optional[int] = None
+    ) -> DataFrame:
+        return nearest_op(self.store.points_at(version), uuid, time, backward)
+
+    def changes(self, uuid: str, from_ver: int, to_ver: int, resolution: int) -> DataFrame:
+        return self.store.changes(uuid, from_ver, to_ver, resolution)
+
+    def generate_csv(
+        self,
+        uuids: Sequence[str],
+        start: int,
+        end: int,
+        pw: Optional[int] = None,
+        version: Optional[int] = None,
+    ) -> DataFrame:
+        pts = self.store.points_at(version)
+        if pw is None:
+            return align_streams(pts, uuids, start, end)
+        return align_streams_windowed(pts, uuids, start, end, pw)
+
+    def info(self) -> dict:
+        """Cluster info (serve.go:824-878) — single logical endpoint here."""
+        return {
+            "majorVersion": 4,
+            "minorVersion": 15,
+            "build": "btrdb_server_spark",
+            "proxy": {"proxyEndpoints": []},
+        }

@@ -1,0 +1,265 @@
+"""Stream registry — the metadata plane (Create / StreamInfo /
+SetStreamAnnotations / ListCollections / LookupStreams / GetMetadataUsage /
+Obliterate).
+
+Reference: internal/mprovider/metaprovider.go (etcd-backed). Semantics kept:
+- Tags are immutable identity: (collection, tags) must be unique among live
+  streams (metaprovider.go:86-99,294-300); annotations are mutable with CAS
+  on annotation_version (metaprovider.go:148-199).
+- Key/value validation regexes and size caps (metaprovider.go:24-53).
+- Obliterate tombstones the uuid forever — never reusable
+  (metaprovider.go:296-326,339-427).
+- LookupStreams filters: collection exact or prefix; tag/annotation k=v
+  equality, or presence when value is None (the leapfrog intersection,
+  lookup.go:215-298) — here a conjunctive map-lookup filter, which Spark
+  evaluates without any join.
+- ListCollections: prefix + keyset pagination, limit <= 10,000
+  (metaprovider.go:429-457).
+
+The registry itself is etcd-scale (small); the authoritative state is a
+parquet snapshot rewritten per mutation. All read ops are DataFrame plans so
+they hold at millions of streams (the DataFrame is broadcastable for joins
+against the 100 TB points plane).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.constants import (
+    ERR_ANN_VERSION_MISMATCH,
+    ERR_BAD_TAG_KEY,
+    ERR_BAD_TAG_VALUE,
+    ERR_BAD_LIMIT,
+    ERR_NO_SUCH_STREAM,
+    ERR_STREAM_EXISTS,
+    KEY_REGEX,
+    MAX_ANNOTATIONS,
+    MAX_COLLECTION_LEN,
+    MAX_KEY_LEN,
+    MAX_LIST_COLLECTIONS_LIMIT,
+    MAX_TAGS,
+    MAX_VAL_LEN,
+)
+from btrdb_server_spark.schemas import STREAMS_SCHEMA
+from btrdb_server_spark.store import BTrDBError
+
+_KEY_RE = re.compile(KEY_REGEX)
+
+
+def _validate_kv(kv: dict, max_entries: int, what: str) -> None:
+    if len(kv) > max_entries:
+        raise BTrDBError(ERR_BAD_TAG_KEY, f"too many {what} ({len(kv)} > {max_entries})")
+    for k, v in kv.items():
+        if not _KEY_RE.match(k) or len(k) > MAX_KEY_LEN:
+            raise BTrDBError(ERR_BAD_TAG_KEY, f"invalid {what} key {k!r}")
+        if v is not None and len(v) > MAX_VAL_LEN:
+            raise BTrDBError(ERR_BAD_TAG_VALUE, f"invalid {what} value for {k!r}")
+
+
+def filter_streams(
+    df: DataFrame,
+    collection: str = "",
+    is_collection_prefix: bool = True,
+    tags: Optional[dict] = None,
+    annotations: Optional[dict] = None,
+) -> DataFrame:
+    """LookupStreams predicate as a pure DataFrame transform — AND of
+    collection (exact/prefix) and tag/annotation equality or presence
+    (None value). The leapfrog-merge intersection (lookup.go:215-298)
+    collapses to conjunctive map lookups: no join, fully pushdown-able."""
+    if collection:
+        if is_collection_prefix:
+            df = df.where(F.col("collection").startswith(collection))
+        else:
+            df = df.where(F.col("collection") == collection)
+    for colname, kv in (("tags", tags), ("annotations", annotations)):
+        for k, v in (kv or {}).items():
+            if v is None:
+                df = df.where(F.map_contains_key(F.col(colname), F.lit(k)))
+            else:
+                df = df.where(F.element_at(F.col(colname), F.lit(k)) == F.lit(v))
+    return df
+
+
+def collections_of(
+    df: DataFrame, prefix: str = "", start_with: str = "", limit: int = 1000
+) -> DataFrame:
+    """ListCollections: distinct collections with prefix, keyset pagination
+    (metaprovider.go:429-457)."""
+    out = df.select("collection").distinct()
+    if prefix:
+        out = out.where(F.col("collection").startswith(prefix))
+    if start_with:
+        out = out.where(F.col("collection") >= start_with)
+    return out.orderBy("collection").limit(limit)
+
+
+def usage_of(df: DataFrame, prefix: str = "") -> tuple[DataFrame, DataFrame]:
+    """GetMetadataUsage: tag-key and annotation-key stream counts under a
+    collection prefix (keyusage.go:20-78)."""
+    if prefix:
+        df = df.where(F.col("collection").startswith(prefix))
+    tag_usage = (
+        df.select(F.explode(F.map_keys("tags")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("key")
+    )
+    ann_usage = (
+        df.select(F.explode(F.map_keys("annotations")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("key")
+    )
+    return tag_usage, ann_usage
+
+
+class StreamRegistry:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.parquet_path = os.path.join(path, "streams")
+        os.makedirs(path, exist_ok=True)
+        self._rows: dict[str, dict] = {}
+        self._df: Optional[DataFrame] = None
+        if os.path.exists(self.parquet_path):
+            for r in spark.read.parquet(self.parquet_path).collect():
+                self._rows[r["uuid"]] = r.asDict(recursive=True)
+
+    # ----------------------------------------------------------- mutations --
+
+    def _persist(self) -> None:
+        df = self.df()
+        df.write.mode("overwrite").parquet(self.parquet_path + ".tmp")
+        tmp = self.spark.read.parquet(self.parquet_path + ".tmp")
+        tmp.write.mode("overwrite").parquet(self.parquet_path)
+        self._df = None
+
+    def create(
+        self,
+        uuid: str,
+        collection: str,
+        tags: Optional[dict] = None,
+        annotations: Optional[dict] = None,
+    ) -> None:
+        tags = dict(tags or {})
+        annotations = dict(annotations or {})
+        if not collection or len(collection) > MAX_COLLECTION_LEN or "\x00" in collection:
+            raise BTrDBError(ERR_BAD_TAG_VALUE, "invalid collection")
+        _validate_kv(tags, MAX_TAGS, "tag")
+        _validate_kv(annotations, MAX_ANNOTATIONS, "annotation")
+        existing = self._rows.get(uuid)
+        if existing is not None:
+            # uuid exists or was obliterated — never reusable
+            # (metaprovider.go:296-326).
+            raise BTrDBError(ERR_STREAM_EXISTS, "uuid exists (or is tombstoned)")
+        for r in self._rows.values():
+            if (
+                not r["tombstoned"]
+                and r["collection"] == collection
+                and r["tags"] == tags
+            ):
+                raise BTrDBError(
+                    ERR_STREAM_EXISTS, "a stream with this collection+tags exists"
+                )  # metaprovider.go:294-300
+        self._rows[uuid] = dict(
+            uuid=uuid,
+            collection=collection,
+            tags=tags,
+            annotations=annotations,
+            annotation_version=1,
+            created_version=1,
+            tombstoned=False,
+        )
+        self._df = None
+
+    def set_annotations(
+        self, uuid: str, expected_version: int, changes: dict[str, Optional[str]]
+    ) -> int:
+        """CAS update (serve.go:389-420): None value removes the key; returns
+        the new annotation_version."""
+        r = self._live(uuid)
+        if expected_version != 0 and r["annotation_version"] != expected_version:
+            raise BTrDBError(ERR_ANN_VERSION_MISMATCH, "annotation version mismatch")
+        _validate_kv({k: v for k, v in changes.items()}, MAX_ANNOTATIONS, "annotation")
+        ann = dict(r["annotations"])
+        for k, v in changes.items():
+            if v is None:
+                ann.pop(k, None)
+            else:
+                ann[k] = v
+        if len(ann) > MAX_ANNOTATIONS:
+            raise BTrDBError(ERR_BAD_TAG_KEY, "too many annotations")
+        r["annotations"] = ann
+        r["annotation_version"] += 1
+        self._df = None
+        return r["annotation_version"]
+
+    def obliterate(self, uuid: str) -> None:
+        r = self._live(uuid)
+        r["tombstoned"] = True
+        self._df = None
+
+    # --------------------------------------------------------------- reads --
+
+    def _live(self, uuid: str) -> dict:
+        r = self._rows.get(uuid)
+        if r is None or r["tombstoned"]:
+            raise BTrDBError(ERR_NO_SUCH_STREAM, f"no such stream {uuid}")
+        return r
+
+    def df(self) -> DataFrame:
+        """The registry as a DataFrame (live + tombstoned rows)."""
+        if self._df is None:
+            rows = [
+                (
+                    r["uuid"],
+                    r["collection"],
+                    r["tags"],
+                    r["annotations"],
+                    r["annotation_version"],
+                    r["created_version"],
+                    r["tombstoned"],
+                )
+                for r in self._rows.values()
+            ]
+            self._df = self.spark.createDataFrame(rows, STREAMS_SCHEMA)
+        return self._df
+
+    def live_df(self) -> DataFrame:
+        return self.df().where(~F.col("tombstoned"))
+
+    def stream_info(self, uuid: str) -> dict:
+        return dict(self._live(uuid))
+
+    def list_collections(
+        self, prefix: str = "", start_with: str = "", limit: int = 1000
+    ) -> DataFrame:
+        """Distinct collections with `prefix`, keyset-paginated from
+        `start_with` (metaprovider.go:429-457, quasar.go:605-607)."""
+        if not 0 < limit <= MAX_LIST_COLLECTIONS_LIMIT:
+            raise BTrDBError(ERR_BAD_LIMIT, "invalid limit")
+        return collections_of(self.live_df(), prefix, start_with, limit)
+
+    def lookup_streams(
+        self,
+        collection: str = "",
+        is_collection_prefix: bool = True,
+        tags: Optional[dict[str, Optional[str]]] = None,
+        annotations: Optional[dict[str, Optional[str]]] = None,
+    ) -> DataFrame:
+        """Streams matching ALL predicates (serve.go:516-601)."""
+        return filter_streams(
+            self.live_df(), collection, is_collection_prefix, tags, annotations
+        )
+
+    def metadata_usage(self, prefix: str = "") -> tuple[DataFrame, DataFrame]:
+        """(tag_usage, annotation_usage): key -> stream count under a
+        collection prefix (keyusage.go:20-78)."""
+        return usage_of(self.live_df(), prefix)

@@ -1,0 +1,164 @@
+"""MVCC store + metadata plane tests mirroring the reference's pqm_test,
+qtree2 delete/changes tests, and mp_test (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from btrdb_server_spark.api import BTrDB
+from btrdb_server_spark.constants import (
+    ERR_ANN_VERSION_MISMATCH,
+    ERR_NO_SUCH_STREAM,
+    ERR_STREAM_EXISTS,
+)
+from btrdb_server_spark.store import BTrDBError
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return BTrDB(spark, str(tmp_path / "db"))
+
+
+def test_insert_version_bumps(db):
+    """pqm_test/main_test.go:53 TestInsertWithFlush: versions advance per
+    committed write."""
+    v1 = db.insert("s1", [(100, 100.0)])
+    assert v1 == 1
+    v2 = db.insert("s1", [(105, 105.0)])
+    assert v2 == 2
+    assert db.store.stream_version("s1") == 2
+    rows = db.raw_values("s1", 0, 200).collect()
+    assert [(r.time, r.value) for r in rows] == [(100, 100.0), (105, 105.0)]
+
+
+def test_snapshot_isolation(db):
+    v1 = db.insert("s1", [(100, 1.0)])
+    db.insert("s1", [(200, 2.0)])
+    old = db.raw_values("s1", 0, 1000, version=v1).collect()
+    assert [r.time for r in old] == [100]
+    new = db.raw_values("s1", 0, 1000).collect()
+    assert [r.time for r in new] == [100, 200]
+
+
+def test_delete_range_and_changes(db):
+    """qtree2_test.go:282 TestQT2_DEL / :362 TestQT2_CRNG: delete an interval,
+    verify readback and that Changes covers the deleted interval."""
+    n = 100
+    db.insert("s1", [(i * 10, float(i)) for i in range(n)])
+    v1 = db.store.version
+    db.delete("s1", 100, 900)  # deletes times 100..890 -> 80 points
+    remaining = db.raw_values("s1", 0, 10_000).collect()
+    assert len(remaining) == n - 80
+    assert all(r.time < 100 or r.time >= 900 for r in remaining)
+    # reinsert into the deleted range -> new points visible
+    db.insert("s1", [(500, 42.0)])
+    rows = db.raw_values("s1", 0, 10_000).collect()
+    assert len(rows) == n - 80 + 1
+    assert any(r.time == 500 and r.value == 42.0 for r in rows)
+    # changes since v1 must cover the deleted interval and the new point
+    ch = [(r.start, r.end) for r in db.changes("s1", v1, db.store.version, 4).collect()]
+    assert len(ch) >= 1
+    lo = min(s for s, _ in ch)
+    hi = max(e for _, e in ch)
+    assert lo <= 100 and hi >= 900  # completeness (over-approximation allowed)
+
+
+def test_changes_insert_only(db):
+    db.insert("s1", [(0, 1.0)])
+    v1 = db.store.version
+    db.insert("s1", [(1000, 2.0), (1010, 3.0)])
+    ch = [(r.start, r.end) for r in db.changes("s1", v1, db.store.version, 4).collect()]
+    # only the second insert's buckets appear
+    assert all(s >= 992 for s, _ in ch)
+    assert any(s <= 1000 < e for s, e in ch)
+
+
+def test_old_version_ignores_delete(db):
+    db.insert("s1", [(i, float(i)) for i in range(10)])
+    v1 = db.store.version
+    db.delete("s1", 0, 5)
+    assert db.raw_values("s1", 0, 100, version=v1).count() == 10
+    assert db.raw_values("s1", 0, 100).count() == 5
+
+
+def test_obliterate_data_and_registry(db):
+    db.create("u1", "a/b", {"name": "s1"})
+    db.insert("u1", [(1, 1.0)])
+    db.obliterate("u1")
+    assert db.raw_values("u1", 0, 100).count() == 0
+    with pytest.raises(BTrDBError) as ei:
+        db.stream_info("u1")
+    assert ei.value.code == ERR_NO_SUCH_STREAM
+    # uuid never reusable (metaprovider.go:296-326)
+    with pytest.raises(BTrDBError) as ei:
+        db.create("u1", "a/c")
+    assert ei.value.code == ERR_STREAM_EXISTS
+
+
+def test_metadata_crud_and_lookup(db):
+    """mp_test.go:71-938 condensed: CRUD + lookup + usage + pagination."""
+    for i in range(10):
+        db.create(f"u{i}", f"a/b/{i % 3}", {"name": f"s{i}", "unit": "volts" if i % 2 else "amps"},
+                  {"note": f"n{i}"} if i % 2 else None)
+    db.create("z1", "z/only", {"name": "zz"})
+
+    # duplicate (collection, tags) rejected
+    with pytest.raises(BTrDBError):
+        db.create("u99", "a/b/0", {"name": "s0", "unit": "amps"})
+
+    cols = [r.collection for r in db.list_collections(prefix="a/").collect()]
+    assert cols == ["a/b/0", "a/b/1", "a/b/2"]
+    # keyset pagination
+    page = [r.collection for r in db.list_collections(prefix="a/", start_with="a/b/1", limit=2).collect()]
+    assert page == ["a/b/1", "a/b/2"]
+
+    # tag equality
+    got = db.lookup_streams(collection="a/", tags={"unit": "volts"})
+    assert got.count() == 5
+    # presence-only (value=None)
+    got = db.lookup_streams(annotations={"note": None})
+    assert got.count() == 5
+    # conjunction
+    got = db.lookup_streams(collection="a/b/1", is_prefix=False, tags={"unit": "volts"})
+    assert all(r.collection == "a/b/1" for r in got.collect())
+
+    tag_usage, ann_usage = db.get_metadata_usage(prefix="a/")
+    tu = {r.key: r.cnt for r in tag_usage.collect()}
+    assert tu == {"name": 10, "unit": 10}
+    au = {r.key: r.cnt for r in ann_usage.collect()}
+    assert au == {"note": 5}
+
+
+def test_annotation_cas(db):
+    db.create("u1", "c", {"name": "x"})
+    v = db.set_stream_annotations("u1", 1, {"k": "v1"})
+    assert v == 2
+    with pytest.raises(BTrDBError) as ei:
+        db.set_stream_annotations("u1", 1, {"k": "v2"})
+    assert ei.value.code == ERR_ANN_VERSION_MISMATCH
+    v = db.set_stream_annotations("u1", 2, {"k": None, "j": "w"})
+    assert v == 3
+    assert db.stream_info("u1")["annotations"] == {"j": "w"}
+
+
+def test_generate_csv_alignment(db):
+    db.insert("s1", [(0, 1.0), (2, 1.2)])
+    db.insert("s2", [(1, 2.0), (2, 2.2)])
+    rows = db.generate_csv(["s1", "s2"], 0, 10).collect()
+    assert len(rows) == 3  # times 0,1,2
+    by_time = {r.time: r for r in rows}
+    assert by_time[0].s1 == 1.0 and by_time[0].s2 is None
+    assert by_time[1].s1 is None and by_time[1].s2 == 2.0
+    assert by_time[2].s1 == 1.2 and by_time[2].s2 == 2.2
+
+
+def test_insert_too_big_and_invalid(db):
+    from btrdb_server_spark.constants import ERR_INSERT_TOO_BIG
+
+    with pytest.raises(BTrDBError) as ei:
+        db.insert("s1", [(i, 1.0) for i in range(25_001)])
+    assert ei.value.code == ERR_INSERT_TOO_BIG
+    with pytest.raises(BTrDBError):
+        db.insert("s1", [(1, float("nan"))])
+    with pytest.raises(BTrDBError):
+        db.insert("s1", [((48 << 56) - 1, 1.0)])
