@@ -24,14 +24,26 @@ from btrdb_server_spark.operators.nearest import nearest as nearest_op
 from btrdb_server_spark.operators.raw import raw_values as raw_values_op
 from btrdb_server_spark.operators.stat import aligned_windows as aw_op
 from btrdb_server_spark.operators.stat import windows as windows_op
-from btrdb_server_spark.store import PointStore
+from btrdb_server_spark.constants import ERR_INSERT_TOO_BIG, MAX_INSERT_BATCH
+from btrdb_server_spark.plans.rollup import RollupLadder
+from btrdb_server_spark.schemas import POINTS_SCHEMA
+from btrdb_server_spark.store import BTrDBError, PointStore
 
 
 class BTrDB:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, rollup_levels=None):
+        """`rollup_levels`: optional pointwidth ladder (e.g. [12, 18, 24, 30])
+        maintained on every write; AlignedWindows at latest version then
+        answers from the best materialized level instead of raw points —
+        the reference's ms-scale stat path (qtree.go:925-947)."""
         self.spark = spark
         self.store = PointStore(spark, os.path.join(path, "data"))
         self.registry = StreamRegistry(spark, os.path.join(path, "meta"))
+        self.ladder = (
+            RollupLadder(spark, os.path.join(path, "rollups"), rollup_levels)
+            if rollup_levels
+            else None
+        )
 
     # ------------------------------------------------------------- streams --
 
@@ -57,15 +69,36 @@ class BTrDB:
 
     def obliterate(self, uuid: str) -> int:
         self.registry.obliterate(uuid)
-        return self.store.obliterate(uuid)
+        v = self.store.obliterate(uuid)
+        if self.ladder is not None:
+            from btrdb_server_spark.constants import MAX_TIME, MIN_TIME
+
+            self.ladder.recompute_range(self.store.points_at(), uuid, MIN_TIME, MAX_TIME)
+        return v
 
     # -------------------------------------------------------------- writes --
 
     def insert(self, uuid: str, points, enforce_batch_cap: bool = True) -> int:
-        return self.store.insert(uuid, points, enforce_batch_cap=enforce_batch_cap)
+        if isinstance(points, list):
+            if enforce_batch_cap and len(points) > MAX_INSERT_BATCH:
+                raise BTrDBError(ERR_INSERT_TOO_BIG, "insert too big")  # serve.go:702
+            batch = self.spark.createDataFrame(
+                [(uuid, int(t), float(v)) for t, v in points], POINTS_SCHEMA
+            )
+        else:
+            from pyspark.sql import functions as F
+
+            batch = points.select(F.lit(uuid).alias("uuid"), "time", "value")
+        v = self.store.insert(uuid, batch, enforce_batch_cap=enforce_batch_cap)
+        if self.ladder is not None:
+            self.ladder.update_with_batch(batch)
+        return v
 
     def delete(self, uuid: str, start: int, end: int) -> int:
-        return self.store.delete_range(uuid, start, end)
+        v = self.store.delete_range(uuid, start, end)
+        if self.ladder is not None:
+            self.ladder.recompute_range(self.store.points_at(), uuid, start, end)
+        return v
 
     def flush(self, uuid: str) -> int:
         """Batch writes commit synchronously, so Flush is a no-op returning
@@ -83,6 +116,15 @@ class BTrDB:
     def aligned_windows(
         self, uuid: str, start: int, end: int, pw: int, version: Optional[int] = None
     ) -> DataFrame:
+        from btrdb_server_spark.constants import MAX_PW
+
+        if not 0 <= pw <= MAX_PW:
+            from btrdb_server_spark.constants import ERR_INVALID_POINT_WIDTH
+            from btrdb_server_spark.store import BTrDBError
+
+            raise BTrDBError(ERR_INVALID_POINT_WIDTH, "pointwidth invalid")
+        if version is None and self.ladder is not None:
+            return self.ladder.serve_aligned(self.store.points_at(), uuid, start, end, pw)
         return aw_op(self.store.points_at(version), uuid, start, end, pw)
 
     def windows(

@@ -1,0 +1,210 @@
+"""Materialized rollup ladder — the Spark equivalent of the qtree's internal
+node aggregates.
+
+The reference stores {Count, Min, Mean, Max} per child in every core node
+(internal/bstore/blocktypes.go:112-117) and answers statistical queries
+directly from the deepest node whose pointwidth <= the query's, never
+touching raw points (qtree/qtree.go:925-947). That is aggregate pushdown via
+materialized hierarchical rollups, maintained incrementally on every write
+(qtree.go:442-474 SetChild).
+
+Spark-first equivalent: a ladder of rollup tables at pointwidths stepping by
+PWFACTOR=6 (64x reduction per level, mirroring the tree fan-out). Each level
+stores (uuid, bucket_time, min, sum, max, count) — sum instead of mean so
+merges are exact and associative (the reference's weighted-mean merge,
+merger.go:203, is sum-preserving). Maintenance:
+
+- level K (finest) aggregates the incoming batch;
+- level K+6 aggregates level K, etc. — each step is a 64:1 groupBy, so the
+  whole ladder costs ~1.016x the finest level's aggregation;
+- merging into the existing table is a full-outer combine on (uuid, bucket):
+  min=min, max=max, sum+=, count+= — associative, so arbitrarily late data
+  (ST2: no watermarks, nothing dropped) folds in exactly. Range deletes
+  recompute only the buckets intersecting the deleted interval.
+
+At 100 TB the ladder is the hot <1% of data (the reference's hot-pool tier,
+cephprovider.go:31-38): an AlignedWindows over a year at pw=38 reads ~120k
+rollup rows instead of ~10^11 points. Rewrites here target whole level files
+(local scale); on a cluster each level is partitioned by uuid_bucket and
+coarse bucket range so a MERGE touches only affected partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.constants import PWFACTOR
+from btrdb_server_spark.operators.stat import align_floor
+
+# Default ladder: pw 12 (~4.1 µs) up to pw 48 (~3.26 d), step 6.
+DEFAULT_LEVELS = tuple(range(12, 49, PWFACTOR))
+
+_ROLLUP_SCHEMA = (
+    "uuid string, bucket long, vmin double, vsum double, vmax double, cnt long"
+)
+
+
+def rollup_from_points(points: DataFrame, pw: int) -> DataFrame:
+    """Aggregate raw (uuid, time, value) points to one rollup row per
+    (uuid, 2**pw bucket)."""
+    return points.groupBy(
+        "uuid", F.shiftleft(F.shiftright("time", pw), pw).alias("bucket")
+    ).agg(
+        F.min("value").alias("vmin"),
+        F.sum("value").alias("vsum"),
+        F.max("value").alias("vmax"),
+        F.count("value").alias("cnt"),
+    )
+
+
+def rollup_from_rollup(finer: DataFrame, pw: int) -> DataFrame:
+    """Coarsen a finer rollup to level pw — the 64:1 ladder step."""
+    return finer.groupBy(
+        "uuid", F.shiftleft(F.shiftright("bucket", pw), pw).alias("bucket")
+    ).agg(
+        F.min("vmin").alias("vmin"),
+        F.sum("vsum").alias("vsum"),
+        F.max("vmax").alias("vmax"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def merge_rollups(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Associative combine of two rollups on (uuid, bucket) — the weighted
+    stat merge of merger.go:132-214 expressed as a full-outer aggregate."""
+    return (
+        old.unionByName(delta)
+        .groupBy("uuid", "bucket")
+        .agg(
+            F.min("vmin").alias("vmin"),
+            F.sum("vsum").alias("vsum"),
+            F.max("vmax").alias("vmax"),
+            F.sum("cnt").alias("cnt"),
+        )
+    )
+
+
+def stat_from_rollup(
+    level: DataFrame, level_pw: int, uuid: str, start: int, end: int, pw: int
+) -> DataFrame:
+    """Serve AlignedWindows(pw) from a rollup at level_pw <= pw: group the
+    level's buckets up to the target width (qtree.go:925-947 — answer from
+    stored aggregates, fan-in <= 64**ceil((pw-level_pw)/6))."""
+    assert level_pw <= pw
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    return (
+        level.where(
+            (F.col("uuid") == F.lit(uuid))
+            & (F.col("bucket") >= F.lit(fstart))
+            & (F.col("bucket") < F.lit(fend))
+        )
+        .groupBy(F.shiftleft(F.shiftright("bucket", pw), pw).alias("time"))
+        .agg(
+            F.min("vmin").alias("min"),
+            (F.sum("vsum") / F.sum("cnt")).alias("mean"),
+            F.max("vmax").alias("max"),
+            F.sum("cnt").alias("count"),
+        )
+        .orderBy("time")
+    )
+
+
+class RollupLadder:
+    """Parquet-materialized rollup ladder with incremental maintenance."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        levels: Sequence[int] = DEFAULT_LEVELS,
+    ):
+        self.spark = spark
+        self.path = path
+        self.levels = sorted(levels)
+        os.makedirs(path, exist_ok=True)
+
+    def _level_path(self, pw: int) -> str:
+        return os.path.join(self.path, f"pw={pw}")
+
+    def level(self, pw: int) -> Optional[DataFrame]:
+        p = self._level_path(pw)
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _write_level(self, pw: int, df: DataFrame) -> None:
+        tmp = self._level_path(pw) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        out = self.spark.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(self._level_path(pw))
+
+    def rebuild(self, points: DataFrame) -> None:
+        """Full build: finest level from points, each coarser level from the
+        previous (one 64:1 groupBy per step)."""
+        finer = None
+        for pw in self.levels:
+            cur = (
+                rollup_from_points(points, pw)
+                if finer is None
+                else rollup_from_rollup(finer, pw)
+            )
+            self._write_level(pw, cur)
+            finer = self.level(pw)
+
+    def update_with_batch(self, batch: DataFrame) -> None:
+        """Incremental maintenance on ingest (the SetChild path,
+        qtree.go:442-474): aggregate the batch per level and fold it in.
+        Correct for arbitrarily late data — the combine is associative."""
+        delta = None
+        for pw in self.levels:
+            # Coarsen the BATCH's rollup (not the merged level — that would
+            # re-count existing data at every coarser level).
+            delta = (
+                rollup_from_points(batch, pw)
+                if delta is None
+                else rollup_from_rollup(delta, pw)
+            ).localCheckpoint(eager=True)
+            old = self.level(pw)
+            merged = delta if old is None else merge_rollups(old, delta)
+            self._write_level(pw, merged)
+
+    def recompute_range(self, points: DataFrame, uuid: str, start: int, end: int) -> None:
+        """After a range delete: recompute only buckets intersecting
+        [start, end) for `uuid` from the (post-delete) base points."""
+        for pw in self.levels:
+            old = self.level(pw)
+            if old is None:
+                continue
+            lo = align_floor(start, pw)
+            hi = align_floor(end - 1, pw) + (1 << pw)
+            affected = (F.col("uuid") == F.lit(uuid)) & (
+                (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") < F.lit(hi))
+            )
+            fresh = rollup_from_points(
+                points.where(
+                    (F.col("uuid") == F.lit(uuid))
+                    & (F.col("time") >= F.lit(lo))
+                    & (F.col("time") < F.lit(hi))
+                ),
+                pw,
+            )
+            self._write_level(pw, old.where(~affected).unionByName(fresh))
+
+    def serve_aligned(
+        self, points: DataFrame, uuid: str, start: int, end: int, pw: int
+    ) -> DataFrame:
+        """AlignedWindows routed to the best materialized level <= pw; falls
+        back to raw points when the query is finer than the finest level
+        (qtree.go:874-895 leaf read)."""
+        candidates = [l for l in self.levels if l <= pw and self.level(l) is not None]
+        if candidates:
+            best = max(candidates)
+            return stat_from_rollup(self.level(best), best, uuid, start, end, pw)
+        from btrdb_server_spark.operators.stat import aligned_windows
+
+        return aligned_windows(points, uuid, start, end, pw)

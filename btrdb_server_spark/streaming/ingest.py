@@ -1,0 +1,92 @@
+"""Structured Streaming ingest — the write path (S1/S4/ST1-ST5).
+
+Reference write path (pqm.go:516-631): inserts buffer per stream, journal
+for durability, full commit at 32,768 points or 8 h age; Flush forces a
+commit; queries at LatestGeneration merge the uncommitted buffer.
+
+Spark-first mapping:
+- micro-batching       = Structured Streaming triggers (ST1); the commit
+  threshold becomes the trigger interval / maxFilesPerTrigger;
+- journal + replay     = checkpointLocation WAL (S4, ST4 exactly-once);
+- Flush                = processAllAvailable (serve.go:743-765);
+- read-your-writes     = committed micro-batches are immediately visible
+  (minor version ≙ batches since last manifest bump); the in-flight batch is
+  not, a documented relaxation of ST5;
+- arbitrarily late data (ST2) needs NO watermark: the sink is an append of
+  immutable versioned files + an associative rollup merge, so a point from
+  years ago lands in exactly the right buckets.
+
+foreachBatch { validate -> append points version -> fold rollup ladder } is
+the idiomatic Spark form of the reference's journal->tree->stats commit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from btrdb_server_spark.operators.raw import validate_points
+from btrdb_server_spark.plans.rollup import RollupLadder
+from btrdb_server_spark.store import PointStore
+
+
+class IngestPipeline:
+    """Streaming (uuid, time, value) ingest into a PointStore (+ optional
+    rollup ladder maintenance), with Flush semantics."""
+
+    def __init__(
+        self,
+        store: PointStore,
+        ladder: Optional[RollupLadder] = None,
+        drop_invalid: bool = True,
+    ):
+        self.store = store
+        self.ladder = ladder
+        self.drop_invalid = drop_invalid
+        self.query: Optional[StreamingQuery] = None
+        self.batches_seen = 0
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.drop_invalid:
+            batch = validate_points(batch)
+        if batch.isEmpty():
+            return
+        # Idempotence (ST4): foreachBatch can replay a batch id on recovery;
+        # versions are assigned at commit so a replayed batch folds in as a
+        # fresh version — readers at an explicit version are unaffected.
+        self.store.insert_many(batch)
+        if self.ladder is not None:
+            self.ladder.update_with_batch(batch)
+        self.batches_seen += 1
+
+    def start(
+        self,
+        source: DataFrame,
+        checkpoint: str,
+        trigger_seconds: Optional[float] = None,
+    ) -> StreamingQuery:
+        """`source` must be a streaming DataFrame with columns
+        (uuid, time, value)."""
+        writer = (
+            source.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(self._process_batch)
+        )
+        if trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        self.query = writer.start()
+        return self.query
+
+    def flush(self) -> int:
+        """Process everything available (≙ Flush, serve.go:743-765); returns
+        the store version after the flush."""
+        assert self.query is not None, "pipeline not started"
+        self.query.processAllAvailable()
+        return self.store.version
+
+    def stop(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None

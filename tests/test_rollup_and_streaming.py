@@ -1,0 +1,176 @@
+"""Rollup ladder golden-equivalence tests (rollup answers == on-the-fly
+answers, mirroring qtree2_test.go's recomputation oracle) and streaming
+ingest tests (buffered visibility, flush, late data)."""
+
+from __future__ import annotations
+
+import random
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.operators.stat import aligned_windows
+from btrdb_server_spark.plans.rollup import RollupLadder, rollup_from_points
+from btrdb_server_spark.schemas import POINTS_SCHEMA
+from btrdb_server_spark.store import PointStore
+from btrdb_server_spark.streaming.ingest import IngestPipeline
+
+
+def make_points(spark, rows, uuid="s"):
+    return spark.createDataFrame(
+        [(uuid, int(t), float(v)) for t, v in rows], POINTS_SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def jittered(spark):
+    """F2-style randomized fixture: jittered timestamps, random values."""
+    rng = random.Random(42)
+    t, rows = 0, []
+    for _ in range(5000):
+        t += rng.randint(1, 10_000)
+        rows.append((t, rng.random()))
+    df = make_points(spark, rows).cache()
+    df.count()
+    return df
+
+
+def stats_equal(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.time == y.time
+        assert x["count"] == y["count"]
+        assert x["min"] == pytest.approx(y["min"])
+        assert x["max"] == pytest.approx(y["max"])
+        assert x["mean"] == pytest.approx(y["mean"])
+
+
+def test_rollup_serves_same_answers(spark, tmp_path, jittered):
+    ladder = RollupLadder(spark, str(tmp_path / "ladder"), levels=[8, 14, 20])
+    ladder.rebuild(jittered)
+    hi = jittered.agg(F.max("time")).first()[0]
+    for pw in (8, 10, 14, 16, 20, 24):
+        direct = aligned_windows(jittered, "s", 0, hi + 1, pw).collect()
+        routed = ladder.serve_aligned(jittered, "s", 0, hi + 1, pw).collect()
+        stats_equal(routed, direct)
+
+
+def test_rollup_fallback_below_finest(spark, tmp_path, jittered):
+    ladder = RollupLadder(spark, str(tmp_path / "ladder"), levels=[14])
+    ladder.rebuild(jittered)
+    hi = jittered.agg(F.max("time")).first()[0]
+    direct = aligned_windows(jittered, "s", 0, hi + 1, 6).collect()
+    routed = ladder.serve_aligned(jittered, "s", 0, hi + 1, 6).collect()
+    stats_equal(routed, direct)
+
+
+def test_rollup_incremental_matches_rebuild(spark, tmp_path, jittered):
+    """Incremental batch folding == full rebuild, regardless of batch
+    boundaries (GenBrk pattern, qtree2_test.go:27-38) — including an
+    arbitrarily-late batch (ST2)."""
+    rows = jittered.collect()
+    rng = random.Random(7)
+    idx = list(range(len(rows)))
+    rng.shuffle(idx)  # deliver out of time order: late data
+    inc = RollupLadder(spark, str(tmp_path / "inc"), levels=[10, 16])
+    pos = 0
+    while pos < len(idx):
+        k = rng.randint(200, 1500)
+        chunk = [rows[i] for i in idx[pos : pos + k]]
+        inc.update_with_batch(
+            spark.createDataFrame([(r.uuid, r.time, r.value) for r in chunk], POINTS_SCHEMA)
+        )
+        pos += k
+    full = RollupLadder(spark, str(tmp_path / "full"), levels=[10, 16])
+    full.rebuild(jittered)
+    for pw in (10, 16):
+        a = inc.level(pw).orderBy("uuid", "bucket").collect()
+        b = full.level(pw).orderBy("uuid", "bucket").collect()
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert (x.uuid, x.bucket, x.cnt) == (y.uuid, y.bucket, y.cnt)
+            assert x.vmin == pytest.approx(y.vmin)
+            assert x.vmax == pytest.approx(y.vmax)
+            assert x.vsum == pytest.approx(y.vsum)
+
+
+def test_rollup_recompute_after_delete(spark, tmp_path):
+    pts = make_points(spark, [(i, float(i)) for i in range(1000)])
+    ladder = RollupLadder(spark, str(tmp_path / "l"), levels=[4])
+    ladder.rebuild(pts)
+    kept = pts.where(~F.col("time").between(100, 499))
+    ladder.recompute_range(kept, "s", 100, 500)
+    direct = aligned_windows(kept, "s", 0, 1000, 6).collect()
+    routed = ladder.serve_aligned(kept, "s", 0, 1000, 6).collect()
+    stats_equal(routed, direct)
+
+
+def test_streaming_ingest_flush_and_visibility(spark, tmp_path):
+    """F6-style buffered visibility: points written by the stream become
+    visible after flush; version advances per micro-batch (pqm_test)."""
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    store = PointStore(spark, str(tmp_path / "store"))
+    ladder = RollupLadder(spark, str(tmp_path / "ladder"), levels=[4])
+    pipe = IngestPipeline(store, ladder)
+
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    pipe.start(stream, str(tmp_path / "ckpt"))
+    try:
+        make_points(spark, [(100, 100.0)]).write.mode("append").parquet(str(src_dir))
+        v = pipe.flush()
+        assert v >= 1
+        got = store.points_at().where(F.col("uuid") == "s").collect()
+        assert [(r.time, r.value) for r in got] == [(100, 100.0)]
+
+        # second batch: committed + new both visible (TestQueryReturnsBothResults)
+        make_points(spark, [(105, 105.0)]).write.mode("append").parquet(str(src_dir))
+        v2 = pipe.flush()
+        assert v2 > v
+        got = sorted(
+            (r.time, r.value)
+            for r in store.points_at().where(F.col("uuid") == "s").collect()
+        )
+        assert got == [(100, 100.0), (105, 105.0)]
+
+        # invalid rows dropped by the validation filter (F10)
+        make_points(spark, [(110, float("nan")), (111, 1.5)]).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        pipe.flush()
+        times = sorted(
+            r.time for r in store.points_at().where(F.col("uuid") == "s").collect()
+        )
+        assert times == [100, 105, 111]
+
+        # ladder followed the stream
+        lvl = ladder.level(4)
+        assert lvl is not None and lvl.agg(F.sum("cnt")).first()[0] == 3
+    finally:
+        pipe.stop()
+
+
+def test_api_with_rollups_end_to_end(spark, tmp_path):
+    """Facade with a ladder: stat queries route through rollups and stay
+    correct across inserts and deletes."""
+    from btrdb_server_spark.api import BTrDB
+
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[6, 12])
+    db.insert("s1", [(i * 37, float(i % 100)) for i in range(3000)])
+    direct = aligned_windows(db.store.points_at(), "s1", 0, 3000 * 37, 14).collect()
+    routed = db.aligned_windows("s1", 0, 3000 * 37, 14).collect()
+    stats_equal(routed, direct)
+    db.delete("s1", 10_000, 60_000)
+    direct = aligned_windows(db.store.points_at(), "s1", 0, 3000 * 37, 14).collect()
+    routed = db.aligned_windows("s1", 0, 3000 * 37, 14).collect()
+    stats_equal(routed, direct)
+    # late out-of-order insert folds into the same buckets
+    db.insert("s1", [(15, 1.0), (20_000, 2.0)])
+    direct = aligned_windows(db.store.points_at(), "s1", 0, 3000 * 37, 14).collect()
+    routed = db.aligned_windows("s1", 0, 3000 * 37, 14).collect()
+    stats_equal(routed, direct)
