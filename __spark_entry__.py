@@ -136,6 +136,85 @@ def q_metadata_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_usage
 
 
+# ------------------------------------------------- pipeline ops (docs) ---
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.dedup import minhash_signatures
+
+    return minhash_signatures(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs, bands=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, [float(x) for x in probe], k=10)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.similarity import hyperplanes, lsh_bucket_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(64, planes=8, seed=42)
+    out = lsh_bucket_assignments(emb, planes)
+    return out.select("vec_id", F.col("bucket").cast("long").alias("bucket"))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, threshold=0.35, block_col="label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raw_values": q_raw_values,
@@ -149,10 +228,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
         "metadata_usage": q_metadata_usage,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
 # ----------------------------------------------------------------- oracle ---
+
+# Shared tokenization fragment (mirrors functions/text.py tokens_col).
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_STOP_SQL = "['the','a','of','and','to','in','is','on','for','with']"
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),"
+    " i -> array_to_string(list_slice(toks, i, i+2), ' '))"
+    " ELSE CAST([] AS VARCHAR[]) END"
+)
+_HEX4 = (
+    "((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*4096"
+    " + (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*256"
+    " + (strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(md5(tok),4,1))-1))"
+)
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{j}|' || s), 1, 16))) AS mh{j}"
+        for j in range(16)
+    )
+
+
+def _sig_cte() -> str:
+    return f"""
+        toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks WHERE len(toks) >= 3),
+        sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM shingled)
+    """
+
+
+def _lit_vec_sql(vec) -> str:
+    return "[" + ",".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+
+def _lang_id_sql() -> str:
+    from btrdb_server_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains({m}, x))) AS s_{l}".format(
+            m="[" + ",".join(f"'{w}'" for w in LANG_MARKERS[l]) + "]", l=l
+        )
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    whens = " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in langs)
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sc AS (SELECT doc_id, {score_cols} FROM t)
+        SELECT doc_id,
+               CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END AS pred_lang
+        FROM sc ORDER BY doc_id
+    """
+
+
+def _ann_lsh_sql() -> str:
+    from btrdb_server_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(64, planes=8, seed=42)
+    terms = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_lit_vec_sql(h)}) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j, h in enumerate(planes)
+    )
+    return f"SELECT vec_id, CAST({terms} AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -255,5 +411,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, count(*) AS cnt
             FROM s, (SELECT unnest(['kind', 'source']) AS key)
             GROUP BY key ORDER BY key
+        """,
+        "text_stats": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                round(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                      / greatest(len(toks), 1), 6) AS mean_token_len,
+                round(len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                      / greatest(len(text), 1), 6) AS punct_ratio,
+                round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                      / greatest(len(toks), 1), 6) AS stopword_ratio,
+                round(0.4 * least(len(toks) / 50.0, 1.0)
+                    + 0.3 * (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                             / greatest(len(toks), 1))
+                    + 0.3 * (1.0 - len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                             / greatest(len(text), 1)), 6) AS quality
+            FROM t ORDER BY doc_id
+        """,
+        "lang_id": _lang_id_sql(),
+        "exact_dedup": r"""
+            WITH hh AS (
+                SELECT doc_id,
+                       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+                FROM documents
+            ), k AS (SELECT h, min(doc_id) AS keeper FROM hh GROUP BY h)
+            SELECT hh.doc_id, k.keeper, hh.doc_id <> k.keeper AS is_dup
+            FROM hh JOIN k USING (h) ORDER BY hh.doc_id
+        """,
+        "minhash_signatures": f"""
+            WITH {_sig_cte()}
+            SELECT * FROM sig ORDER BY doc_id
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, "
+                    + " || '|' || ".join(f"mh{b*4+i}" for i in range(4))
+                    + " AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+            ORDER BY a, b
+        """,
+        "simhash": f"""
+            WITH tk AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), th AS (
+                SELECT doc_id, {_HEX4} AS th FROM tk
+            ), votes AS (
+                SELECT doc_id, b.bit,
+                       CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+                FROM th, (SELECT unnest(generate_series(0, 15)) AS bit) b
+            ), s AS (
+                SELECT doc_id, bit, sum(vote) AS s FROM votes GROUP BY doc_id, bit
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM s GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM t
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+                GROUP BY l.doc_id, r.doc_id
+            )
+            SELECT a, b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+            ORDER BY a, b
+        """,
+        "cosine_topk": """
+            WITH probe AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe.q),
+                         6) AS cosine
+            FROM embeddings, probe
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ann_lsh_buckets": _ann_lsh_sql(),
+        "embedding_near_dups": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_cosine_similarity(l.v, r.v), 6) AS cosine
+            FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
+            ORDER BY a, b
         """,
     }

@@ -136,6 +136,10 @@ class BTrDB:
         depth: int = 0,
         version: Optional[int] = None,
     ) -> DataFrame:
+        if version is None and depth > 0 and self.ladder is not None:
+            return self.ladder.serve_windows(
+                self.store.points_at(), uuid, start, end, width, depth
+            )
         return windows_op(self.store.points_at(version), uuid, start, end, width, depth)
 
     def nearest(

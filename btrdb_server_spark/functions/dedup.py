@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Scale design (the point of each variant):
+- exact_dedup        — one hash groupBy; shuffles one row per document, the
+                       cheapest possible full-corpus dedup at 100 TB.
+- minhash + LSH      — signature is a per-doc map-side computation (no
+                       shuffle); the band join shuffles only (band_key, id)
+                       pairs, turning O(n^2) similarity search into
+                       O(candidate pairs). This is the scale path.
+- simhash            — single 64->16-bit fingerprint per doc via explode +
+                       groupBy; near-dup = fingerprint equality (or small
+                       hamming ball). Cheapest near-dup at scale.
+- ngram_jaccard      — exact Jaccard via shingle inverted-index self-join;
+                       quadratic in the worst case, correct baseline used to
+                       validate the LSH recall. Not the 100 TB path.
+
+Everything is built-in expressions (md5, array lambdas) — no Python UDFs —
+and every hash is engine-agnostic (md5 over explicit strings) so DuckDB
+oracles reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.functions.text import tokens_col
+from btrdb_server_spark.utils import ensure_parallelism
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+HEX = "0123456789abcdef"
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Map every doc to the smallest doc id sharing its normalized-content
+    md5 (keeper). Rows with keeper != id are exact duplicates."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    h = docs.select(F.col(id_col), F.md5(normalized).alias("h"))
+    keepers = h.groupBy("h").agg(F.min(id_col).alias("keeper"))
+    return (
+        h.join(keepers, "h")
+        .select(F.col(id_col), "keeper", (F.col(id_col) != F.col("keeper")).alias("is_dup"))
+        .orderBy(id_col)
+    )
+
+
+def shingles_col(text, k: int = 3):
+    """Word k-gram shingles: slice windows over the token array (empty when
+    fewer than k tokens)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: hash function j is min over shingles of
+    md5('{j}|' + shingle) (first 16 hex chars — string min is well-defined
+    and engine-portable). Docs with < k tokens get null signatures and are
+    excluded."""
+    # Explode shingles ONCE, hash per row, then groupBy-min: the shingle
+    # pipeline runs a single time (a 16-column array_min formulation
+    # re-derives the token/shingle arrays per hash function — 16x the work,
+    # measured 60x slower at sf0.1), and the mins combine map-side so the
+    # shuffle carries one row per doc.
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s")
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 16).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of r rows; docs
+    sharing any full band become a candidate pair (a < b). The self-join is
+    per (band_idx, band_key) — only colliding docs meet, never the full
+    cross product."""
+    r = num_hashes // bands
+    # One explode instead of a `bands`-way union (a union re-runs the whole
+    # signature computation once per band); localCheckpoint materializes the
+    # band table once so the self-join's two sides share it.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    all_bands = (
+        signatures.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .localCheckpoint(eager=False)
+    )
+    left = all_bands.select("band", "band_key", F.col(id_col).alias("a"))
+    right = all_bands.select("band", "band_key", F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Convenience: shingle -> minhash -> band -> candidate pairs."""
+    sigs = minhash_signatures(docs, **kw)
+    return lsh_candidate_pairs(sigs)
+
+
+def _hex4_to_int(col):
+    """First-4-hex-chars -> int in [0, 65536) using only instr/substring
+    arithmetic (portable to engines without conv())."""
+    val = F.lit(0)
+    for i in range(1, 5):
+        digit = F.instr(F.lit(HEX), F.substring(col, i, 1)) - 1
+        val = val * 16 + digit
+    return val
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """16-bit SimHash: each token votes ±1 on every bit of its md5-derived
+    16-bit hash; fingerprint bit b is 1 iff the sum of votes is positive.
+    Term frequency is preserved (tokens not deduplicated)."""
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    toks = toks.select(
+        id_col, _hex4_to_int(F.substring(F.md5("tok"), 1, 4)).alias("th")
+    )
+    bitted = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "th",
+    ).select(
+        id_col,
+        "bit",
+        F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    return (
+        bitted.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.expr("1 << bit")).otherwise(0)).alias(
+                "simhash"
+            )
+        )
+        .orderBy(id_col)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via a shingle inverted index:
+    |A∩B| from the self-join on distinct shingles, |A∪B| = |A|+|B|-|A∩B|.
+    Returns pairs (a < b) with jaccard >= threshold."""
+    sh = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.col("l.s") == F.col("r.s"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk           — brute-force exact top-k for one probe vector:
+                          a single vectorized scan + TakeOrderedAndProject.
+                          The correctness baseline.
+- lsh_bucket_assignments — random-hyperplane LSH signatures (deterministic
+                          seed), the scale path: bucketing turns 100 TB of
+                          vectors into candidate sets ~1/2^planes the size.
+- near_dup_pairs        — blocked pairwise cosine (block on a coarse key,
+                          e.g. label or LSH bucket) for near-duplicate
+                          detection without the full cross product.
+
+Dot products use zip_with + aggregate (JVM codegen, no Python). Hyperplanes
+are generated driver-side from a fixed numpy seed and embedded as literals,
+so results are reproducible and SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.utils import ensure_parallelism
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _lit_vec(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to `query_vec`. One scan; Catalyst
+    plans orderBy+limit as TakeOrderedAndProject (per-partition heap, no full
+    sort) — the right brute-force shape at any scale."""
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine_col(emb, _lit_vec(query_vec)), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit normals not required for sign
+    tests). Same literals feed the Spark plan and the SQL oracle."""
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.randn(planes, dim)]
+
+
+def lsh_bucket_assignments(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-dot-product LSH signature: bucket = sum_j (dot(v, h_j) > 0)
+    << j. Vectors in the same bucket are ANN candidates."""
+    emb = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for j, h in enumerate(planes):
+        bucket = bucket + F.when(_dot(emb, _lit_vec(h)) > 0, F.lit(1 << j)).otherwise(0)
+    return embeddings.select(F.col(id_col), bucket.alias("bucket")).orderBy(id_col)
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the probe's LSH bucket.
+    At scale the bucket column is a partition/cluster key, so this prunes
+    ~(1 - 1/2^planes) of the data before any arithmetic."""
+    q = np.asarray(query_vec, dtype=float)
+    qbucket = 0
+    for j, h in enumerate(planes):
+        if float(np.dot(q, np.asarray(h))) > 0:
+            qbucket |= 1 << j
+    buckets = lsh_bucket_assignments(embeddings, planes, id_col, vec_col)
+    candidates = embeddings.join(
+        buckets.where(F.col("bucket") == qbucket).select(id_col), id_col
+    )
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    block_col: Optional[str] = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicates: pairwise cosine >= threshold, blocked on
+    `block_col` (same-block pairs only) to avoid the full cross join; pass
+    block_col=None for the exact (quadratic) variant."""
+    # Precompute each row's norm once (O(n·d)) so the pair loop is a single
+    # dot product (O(pairs·d)), and spread the tiny single-file input across
+    # cores before the join.
+    emb = ensure_parallelism(embeddings).select(
+        F.col(id_col), *([F.col(block_col)] if block_col else []),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    emb = emb.withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
+    join_keys = [block_col] if block_col else []
+    l = emb.alias("l")
+    r = emb.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for kcol in join_keys:
+        cond = cond & (F.col(f"l.{kcol}") == F.col(f"r.{kcol}"))
+    return (
+        l.join(r, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.round(
+                _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("a", "b")
+    )

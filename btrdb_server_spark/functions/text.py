@@ -1,0 +1,90 @@
+"""Text analysis for large-scale training-data pipelines: tokenization,
+quality scoring, language ID, document fingerprinting.
+
+All hot-path logic is built-in column expressions (JVM-side, codegen'd) —
+no Python UDFs — so a 100 TB documents table processes at full vectorized
+parquet-scan speed with column pruning (only `text` + id columns read).
+Formulas are deliberately expressible in ANSI SQL so every operator has a
+DuckDB oracle twin in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared with the SQL oracles — keep in sync with __spark_entry__.py.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+PUNCT_CLASS = r"[^.,;:!?]"
+
+# Tiny marker-word vote tables for the language-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "de", "que"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "les", "et", "est"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization, lowercased, empty tokens dropped — identical
+    to list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: token count, mean token length, punctuation ratio,
+    stopword ratio, and a composite quality score in [0,1]."""
+    toks = tokens_col(F.col(text_col))
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_toks, F.lit(1))
+    quality = (
+        F.lit(0.4) * F.least(n_toks / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        F.round(tok_chars / F.greatest(n_toks, F.lit(1)), 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word-vote language ID: count marker hits per language, argmax
+    with deterministic tie-break on language code order, 'und' when no
+    marker hits at all."""
+    toks = tokens_col(F.col(text_col))
+
+    # NB: single-arg lambdas only — a second parameter (even defaulted) makes
+    # F.filter pass the element index into it.
+    def _hits(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties (applied last)
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def doc_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint — the canonical key for
+    exact dedup and change detection."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))

@@ -195,6 +195,51 @@ class RollupLadder:
             )
             self._write_level(pw, old.where(~affected).unionByName(fresh))
 
+    def serve_windows(
+        self, points: DataFrame, uuid: str, start: int, end: int, width: int, depth: int
+    ) -> DataFrame:
+        """Windows with depth-bounded descent served from the ladder: the
+        best level <= depth already IS the 2**level pre-aggregation the
+        operator would compute from raw points (qtree.go:1112-1148), so the
+        window assignment runs over rollup rows only."""
+        from btrdb_server_spark.operators.stat import windows
+
+        candidates = [l for l in self.levels if l <= depth and self.level(l) is not None]
+        if depth <= 0 or not candidates:
+            return windows(points, uuid, start, end, width, depth)
+        best = max(candidates)
+        end = end - (end - start) % width
+        n_windows = (end - start) // width
+        lvl = self.level(best).where(
+            (F.col("uuid") == F.lit(uuid))
+            & (F.col("bucket") >= F.lit(start))
+            & (F.col("bucket") < F.lit(end))
+        )
+        agg = (
+            lvl.withColumn(
+                "widx", F.floor((F.col("bucket") - F.lit(start)) / F.lit(width))
+            )
+            .groupBy("widx")
+            .agg(
+                F.min("vmin").alias("min"),
+                (F.sum("vsum") / F.sum("cnt")).alias("mean"),
+                F.max("vmax").alias("max"),
+                F.sum("cnt").alias("count"),
+            )
+        )
+        spine = self.spark.range(0, n_windows).select(F.col("id").alias("widx"))
+        return (
+            spine.join(agg, "widx", "left")
+            .select(
+                (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+                "min",
+                "mean",
+                "max",
+                F.coalesce(F.col("count"), F.lit(0)).alias("count"),
+            )
+            .orderBy("time")
+        )
+
     def serve_aligned(
         self, points: DataFrame, uuid: str, start: int, end: int, pw: int
     ) -> DataFrame:

@@ -1,0 +1,186 @@
+"""Tests for the training-data pipeline operators: text analysis, dedup,
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.functions.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from btrdb_server_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    frame_sample,
+    resize_plan,
+)
+from btrdb_server_spark.functions.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    hyperplanes,
+    lsh_bucket_assignments,
+    near_dup_pairs,
+)
+from btrdb_server_spark.functions.text import doc_fingerprint, lang_id, text_stats
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_text_stats_basic(spark):
+    df = docs_df(spark, ["The quick brown fox, the lazy dog.", "a b", ""])
+    rows = {r.doc_id: r for r in text_stats(df).collect()}
+    assert rows[0].n_tokens == 7
+    assert rows[0].punct_ratio > 0
+    assert rows[0].stopword_ratio == pytest.approx(2 / 7, abs=1e-6)
+    assert 0.0 <= rows[0].quality <= 1.0
+    assert rows[1].n_tokens == 2 and rows[1].punct_ratio == 0.0
+    assert rows[2].n_tokens == 0
+
+
+def test_text_stats_on_testdata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text_stats(docs)
+    assert out.count() == docs.count()
+    bad = out.where((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_lang_id_markers(spark):
+    df = docs_df(
+        spark,
+        [
+            "the cat and the dog is here",
+            "el perro de la casa que ladra",
+            "der hund und die katze ist da",
+            "xyzzy plugh",
+        ],
+    )
+    got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark, ["hello  world", "hello world", "other text", "Hello World"])
+    got = {r.doc_id: (r.keeper, r.is_dup) for r in exact_dedup(df).collect()}
+    # whitespace-normalized + lowercased: 0,1,3 identical
+    assert got[0] == (0, False)
+    assert got[1] == (0, True)
+    assert got[3] == (0, True)
+    assert got[2] == (2, False)
+
+
+def test_fingerprint_matches_dedup_key(spark):
+    df = docs_df(spark, ["a  b c", "a b c"])
+    fps = [r.fingerprint for r in doc_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again every day"
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    near = BASE.replace("lazy", "sleepy")
+    far = "completely different words about spark dataframes and parquet files here"
+    df = docs_df(spark, [BASE, near, far])
+    sigs = minhash_signatures(df)
+    assert sigs.count() == 3
+    # bands of 2 rows: ~0.6-Jaccard docs collide on at least one band
+    # (deterministic — md5 minhashes are fixed)
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(sigs, bands=8).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_identical_and_near(spark):
+    df = docs_df(spark, [BASE, BASE, BASE.replace("lazy", "sleepy"), "unrelated thing"])
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert got[0] == got[1]
+    ham = bin(got[0] ^ got[2]).count("1")
+    assert ham <= 6  # near-dup -> small hamming distance
+    assert 0 <= got[3] < (1 << 16)
+
+
+def test_ngram_jaccard_exact(spark):
+    a = "w1 w2 w3 w4 w5"  # shingles: {w1w2w3, w2w3w4, w3w4w5}
+    b = "w1 w2 w3 w4 x"  # shingles: {w1w2w3, w2w3w4, w3w4x}
+    df = docs_df(spark, [a, b])
+    rows = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == pytest.approx(2 / 4, abs=1e-6)
+
+
+def test_cosine_topk_ordering(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    assert got[0].cosine == pytest.approx(1.0)
+
+
+def test_lsh_ann(spark):
+    import random
+
+    rng = random.Random(42)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    vecs.append((200, list(vecs[0][1])))  # exact dup of vec 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    planes = hyperplanes(16, planes=6)
+    buckets = {r.vec_id: r.bucket for r in lsh_bucket_assignments(df, planes).collect()}
+    assert buckets[0] == buckets[200]  # identical vectors share a bucket
+    topk = ann_topk_lsh(df, vecs[0][1], planes, k=2).collect()
+    assert {r.vec_id for r in topk} == {0, 200}
+
+
+def test_near_dup_pairs_blocked(spark):
+    vecs = [
+        (0, 1, [1.0, 2.0, 3.0]),
+        (1, 1, [1.0, 2.0, 3.0]),  # dup of 0, same block
+        (2, 2, [1.0, 2.0, 3.0]),  # dup but different block -> not compared
+        (3, 1, [3.0, -1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, label int, embedding array<float>")
+    got = [(r.a, r.b) for r in near_dup_pairs(df, threshold=0.999).collect()]
+    assert got == [(0, 1)]
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNGfake"), {"src": "cam1"}),
+        (2, "video", bytearray(b"RIFFfake"), None),
+        (3, "audio", bytearray(b"ID3fake"), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dec = decode_media(media, fake=True)
+    got = {r.media_id: r for r in dec.collect()}
+    assert got[1].width is not None and got[1].n_frames == 1
+    assert got[2].n_frames > 0
+    assert got[3].sample_rate in range(8000, 49000)
+    assert got[1].n_bytes == 8 and len(got[1].sha256) == 64
+    # deterministic: same payload -> same pseudo-metadata
+    again = {r.media_id: r for r in decode_media(media, fake=True).collect()}
+    assert again[1].width == got[1].width
+
+    frames = frame_sample(dec, every_n=500).collect()
+    assert all(r.frame_idx % 500 == 0 for r in frames)
+    rs = {r.media_id: r for r in resize_plan(dec, max_side=224).collect()}
+    assert max(rs[1].out_w, rs[1].out_h) <= 224
+
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_media(media, fake=False).collect()

@@ -174,3 +174,14 @@ def test_api_with_rollups_end_to_end(spark, tmp_path):
     direct = aligned_windows(db.store.points_at(), "s1", 0, 3000 * 37, 14).collect()
     routed = db.aligned_windows("s1", 0, 3000 * 37, 14).collect()
     stats_equal(routed, direct)
+
+
+def test_windows_served_from_rollup(spark, tmp_path):
+    from btrdb_server_spark.api import BTrDB
+    from btrdb_server_spark.operators.stat import windows as windows_op
+
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("s1", [(i, float(i % 10)) for i in range(4096)])
+    direct = windows_op(db.store.points_at(), "s1", 0, 4096, 256, depth=4).collect()
+    routed = db.windows("s1", 0, 4096, 256, depth=4).collect()
+    stats_equal(routed, direct)
