@@ -59,12 +59,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_raw_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = load_points(spark, sf_dir)
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
     return raw_values(pts, "click", T_2024, T_2025)
 
 
 def q_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = load_points(spark, sf_dir)
+    pts = load_points(spark, sf_dir, T_2024 - (1 << 38), T_2025)
     df = aligned_windows(pts, "click", T_2024, T_2025, 38)
     return df.select(
         "time",
@@ -76,7 +76,7 @@ def q_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_windows_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = load_points(spark, sf_dir)
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
     df = windows(pts, "view", T_2024, T_FEB, DAY_NS)
     return df.select(
         "time",
@@ -88,12 +88,12 @@ def q_windows_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = load_points(spark, sf_dir)
+    pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
 
 
 def q_nearest_after(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = load_points(spark, sf_dir)
+    pts = load_points(spark, sf_dir, start=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=False)
 
 
@@ -134,6 +134,54 @@ def q_metadata_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams = streams_from_events(load_table(spark, sf_dir, "events"))
     tag_usage, _ = usage_of(streams, prefix="events/")
     return tag_usage
+
+
+def q_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized as-of join (J6 fleet variant): for every click time, the
+    last error point strictly before it."""
+    from btrdb_server_spark.operators.nearest import nearest_asof
+
+    pts = load_points(spark, sf_dir)
+    probes = (
+        pts.where(F.col("uuid") == "click")
+        .select(F.lit("error").alias("uuid"), F.col("time").alias("probe_time"))
+    )
+    out = nearest_asof(pts.where(F.col("uuid") == "error"), probes, backward=True)
+    return out.select("probe_time", "time", "value").orderBy("probe_time")
+
+
+def q_align_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GenerateCSV statistical mode: per 2**42 ns bucket, 4 stat columns per
+    stream (csv.go:75-89)."""
+    from btrdb_server_spark.operators.align import align_streams_windowed
+
+    pts = load_points(spark, sf_dir)
+    df = align_streams_windowed(pts, ["click", "error"], T_2024, T_2025, 42)
+    cols = [F.col("time")]
+    for u in ("click", "error"):
+        cols += [
+            F.col(f"{u}_min").alias(f"{u}_min"),
+            F.round(f"{u}_mean", 6).alias(f"{u}_mean"),
+            F.col(f"{u}_max").alias(f"{u}_max"),
+            # pivot yields NULL count for absent streams; the CSV stat-mode
+            # cell is 0 (count FILTER semantics in the oracle)
+            F.coalesce(F.col(f"{u}_count"), F.lit(0)).cast("long").alias(f"{u}_count"),
+        ]
+    return df.select(*cols)
+
+
+def q_windows_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows with depth-bounded (approximate) descent: 1-day windows over
+    2**40-ns pre-buckets (the documented approximation contract)."""
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    df = windows(pts, "purchase", T_2024, T_FEB, DAY_NS, depth=40)
+    return df.select(
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    )
 
 
 # ------------------------------------------------- pipeline ops (docs) ---
@@ -228,6 +276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
         "metadata_usage": q_metadata_usage,
+        "nearest_asof": q_nearest_asof,
+        "align_windowed": q_align_windowed,
+        "windows_depth": q_windows_depth,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -411,6 +462,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, count(*) AS cnt
             FROM s, (SELECT unnest(['kind', 'source']) AS key)
             GROUP BY key ORDER BY key
+        """,
+        "nearest_asof": f"""
+            {PTS_CTE}, u AS (
+                SELECT time AS t, 1 AS tie, time AS pt_time, value AS pt_value,
+                       CAST(NULL AS BIGINT) AS probe_time
+                FROM pts WHERE uuid = 'error'
+                UNION ALL
+                SELECT time, 0, NULL, NULL, time FROM pts WHERE uuid = 'click'
+            ), w AS (
+                SELECT probe_time,
+                       last_value(pt_time IGNORE NULLS) OVER
+                         (ORDER BY t, tie ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS time,
+                       last_value(pt_value IGNORE NULLS) OVER
+                         (ORDER BY t, tie ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS value
+                FROM u
+            )
+            SELECT probe_time, time, value FROM w
+            WHERE probe_time IS NOT NULL ORDER BY probe_time
+        """,
+        "align_windowed": f"""
+            {PTS_CTE}
+            SELECT ((time >> 42) << 42) AS time,
+                   min(value)  FILTER (WHERE uuid = 'click') AS click_min,
+                   round(avg(value) FILTER (WHERE uuid = 'click'), 6) AS click_mean,
+                   max(value)  FILTER (WHERE uuid = 'click') AS click_max,
+                   count(*)    FILTER (WHERE uuid = 'click') AS click_count,
+                   min(value)  FILTER (WHERE uuid = 'error') AS error_min,
+                   round(avg(value) FILTER (WHERE uuid = 'error'), 6) AS error_mean,
+                   max(value)  FILTER (WHERE uuid = 'error') AS error_max,
+                   count(*)    FILTER (WHERE uuid = 'error') AS error_count
+            FROM pts
+            WHERE uuid IN ('click', 'error')
+              AND time >= {T_2024} AND time < {T_2025}
+            GROUP BY 1 ORDER BY 1
+        """,
+        "windows_depth": f"""
+            {PTS_CTE}, spine AS (
+                SELECT range AS widx FROM range(0, {(T_FEB - T_2024) // DAY_NS})
+            ), pre AS (
+                SELECT (((time - {T_2024}) >> 40) << 40) AS btime,
+                       min(value) AS bmin, sum(value) AS bsum,
+                       max(value) AS bmax, count(*) AS bcnt
+                FROM pts
+                WHERE uuid = 'purchase' AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), agg AS (
+                SELECT btime // {DAY_NS} AS widx,
+                       min(bmin) AS vmin, round(sum(bsum) / sum(bcnt), 6) AS vmean,
+                       max(bmax) AS vmax, sum(bcnt) AS cnt
+                FROM pre GROUP BY 1
+            )
+            SELECT {T_2024} + spine.widx * {DAY_NS} AS time,
+                   agg.vmin, agg.vmean, agg.vmax, coalesce(agg.cnt, 0) AS cnt
+            FROM spine LEFT JOIN agg ON spine.widx = agg.widx
+            ORDER BY time
         """,
         "text_stats": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)

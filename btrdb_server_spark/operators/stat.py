@@ -90,10 +90,17 @@ def windows(
 
     src = points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end))
     if depth > 0:
-        # Bounded descent: collapse to 2**depth buckets, then assign each
-        # bucket to the window containing its start (approximation contract).
+        # Bounded descent: collapse to 2**depth buckets aligned to the query
+        # start, then assign each bucket to the window containing its start
+        # (approximation contract; start-relative alignment keeps every
+        # bucket inside [0, n_windows) so no points are dropped).
         src = (
-            src.groupBy(F.shiftleft(F.shiftright("time", depth), depth).alias("btime"))
+            src.groupBy(
+                (
+                    F.lit(start)
+                    + F.shiftleft(F.shiftright(F.col("time") - F.lit(start), depth), depth)
+                ).alias("btime")
+            )
             .agg(
                 F.min("value").alias("bmin"),
                 F.sum("value").alias("bsum"),

@@ -54,8 +54,25 @@ def events_to_points(events: DataFrame) -> DataFrame:
     )
 
 
-def load_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events_to_points(load_table(spark, sf_dir, "events"))
+def load_points(
+    spark: SparkSession,
+    sf_dir: str,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Points view of events. When a time range is known, pass it: the range
+    is applied to the RAW ts column before the truncating projection, so it
+    reaches the parquet scan as a pushable predicate (row-group min/max
+    skipping). The projected `time` is truncated down, so the raw bounds are
+    widened by 1 µs on the upper end — a superset; operators re-apply the
+    exact predicate on `time`."""
+    events = load_table(spark, sf_dir, "events")
+    if dict(events.dtypes)["ts"] == "bigint":
+        if start is not None:
+            events = events.where(F.col("ts") >= F.lit(start))
+        if end is not None:
+            events = events.where(F.col("ts") < F.lit(end + 1000))
+    return events_to_points(events)
 
 
 def streams_from_events(events: DataFrame) -> DataFrame:
