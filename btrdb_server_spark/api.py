@@ -111,7 +111,7 @@ class BTrDB:
     def raw_values(
         self, uuid: str, start: int, end: int, version: Optional[int] = None
     ) -> DataFrame:
-        return raw_values_op(self.store.points_at(version), uuid, start, end)
+        return raw_values_op(self.store.stream_points(uuid, version), uuid, start, end)
 
     def aligned_windows(
         self, uuid: str, start: int, end: int, pw: int, version: Optional[int] = None
@@ -124,8 +124,10 @@ class BTrDB:
 
             raise BTrDBError(ERR_INVALID_POINT_WIDTH, "pointwidth invalid")
         if version is None and self.ladder is not None:
-            return self.ladder.serve_aligned(self.store.points_at(), uuid, start, end, pw)
-        return aw_op(self.store.points_at(version), uuid, start, end, pw)
+            return self.ladder.serve_aligned(
+                self.store.stream_points(uuid), uuid, start, end, pw
+            )
+        return aw_op(self.store.stream_points(uuid, version), uuid, start, end, pw)
 
     def windows(
         self,
@@ -138,14 +140,16 @@ class BTrDB:
     ) -> DataFrame:
         if version is None and depth > 0 and self.ladder is not None:
             return self.ladder.serve_windows(
-                self.store.points_at(), uuid, start, end, width, depth
+                self.store.stream_points(uuid), uuid, start, end, width, depth
             )
-        return windows_op(self.store.points_at(version), uuid, start, end, width, depth)
+        return windows_op(
+            self.store.stream_points(uuid, version), uuid, start, end, width, depth
+        )
 
     def nearest(
         self, uuid: str, time: int, backward: bool, version: Optional[int] = None
     ) -> DataFrame:
-        return nearest_op(self.store.points_at(version), uuid, time, backward)
+        return nearest_op(self.store.stream_points(uuid, version), uuid, time, backward)
 
     def changes(self, uuid: str, from_ver: int, to_ver: int, resolution: int) -> DataFrame:
         return self.store.changes(uuid, from_ver, to_ver, resolution)

@@ -57,7 +57,10 @@ class PointStore:
     """Versioned (uuid, time, value) store with snapshot reads, range deletes
     and version diffs."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, num_buckets: int = 16):
+        """`num_buckets`: uuid hash shards within every version directory —
+        the murmur3-range analog (cluster_leader.go:21-43). Single-stream
+        reads prune to one bucket; tune to executor count at cluster scale."""
         self.spark = spark
         self.path = path
         self.points_path = os.path.join(path, "points")
@@ -67,8 +70,18 @@ class PointStore:
         os.makedirs(self.deletes_path, exist_ok=True)
         if not os.path.exists(self.manifest_path):
             self._write_manifest(
-                {"version": 0, "streams": {}, "has_deletes": False, "has_points": False}
+                {
+                    "version": 0,
+                    "streams": {},
+                    "has_deletes": False,
+                    "has_points": False,
+                    "num_buckets": num_buckets,
+                }
             )
+        self.num_buckets = self._read_manifest().get("num_buckets", num_buckets)
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64("uuid"), F.lit(self.num_buckets))
 
     # ------------------------------------------------------------ manifest --
 
@@ -114,8 +127,10 @@ class PointStore:
         # Sorted-by-time files give parquet min/max row-group stats their
         # pruning power (the reference sorts on insert too, qtree.go:629).
         (
-            points.sortWithinPartitions("time")
+            points.withColumn("uuid_bucket", self._bucket_col())
+            .sortWithinPartitions("time")
             .write.mode("overwrite")
+            .partitionBy("uuid_bucket")
             .parquet(os.path.join(self.points_path, f"ins_ver={v}"))
         )
         m["version"] = v
@@ -134,8 +149,10 @@ class PointStore:
         v = m["version"] + 1
         (
             points.select("uuid", "time", "value")
+            .withColumn("uuid_bucket", self._bucket_col())
             .sortWithinPartitions("uuid", "time")
             .write.mode("overwrite")
+            .partitionBy("uuid_bucket")
             .parquet(os.path.join(self.points_path, f"ins_ver={v}"))
         )
         uuids = [r.uuid for r in points.select("uuid").distinct().collect()]
@@ -176,7 +193,7 @@ class PointStore:
     def _raw_points(self) -> DataFrame:
         if not self._read_manifest().get("has_points"):
             return self.spark.createDataFrame(
-                [], "uuid string, time long, value double, ins_ver long"
+                [], "uuid string, time long, value double, ins_ver long, uuid_bucket long"
             )
         return self.spark.read.option("basePath", self.points_path).parquet(
             self.points_path
@@ -187,12 +204,24 @@ class PointStore:
             return None
         return self.spark.read.parquet(self.deletes_path)
 
-    def points_at(self, version: Optional[int] = None) -> DataFrame:
+    def points_at(
+        self, version: Optional[int] = None, prefilter=None
+    ) -> DataFrame:
         """MVCC-visible (uuid, time, value) snapshot as of `version`
         (None = latest). The ins_ver filter is partition pruning; the
-        tombstone check is a broadcast anti-join."""
-        v = self.version if version is None else version
+        tombstone check is a broadcast anti-join. `prefilter` is an optional
+        partition-level predicate (e.g. uuid_bucket) applied at the scan."""
+        m = self._read_manifest()
+        v = m["version"] if version is None else version
+        compacted = m.get("compacted_through", 0)
+        if v < compacted:
+            raise BTrDBError(
+                ERR_INVALID_TIME_RANGE,
+                f"version {v} predates compaction point {compacted}",
+            )
         pts = self._raw_points().where(F.col("ins_ver") <= F.lit(v))
+        if prefilter is not None:
+            pts = pts.where(prefilter)
         dels = self._deletes()
         if dels is not None:
             dels = dels.where(F.col("ver") <= F.lit(v)).select(
@@ -210,6 +239,62 @@ class PointStore:
                 "left_anti",
             )
         return pts.select("uuid", "time", "value")
+
+    def stream_points(self, uuid: str, version: Optional[int] = None) -> DataFrame:
+        """Single-stream snapshot: the uuid_bucket partition predicate (a
+        foldable hash of the literal uuid) prunes the scan to one bucket
+        directory per version — the murmur3-routing analog
+        (cluster_leader.go:21-43) — plus the exact uuid filter."""
+        bucket_pred = F.col("uuid_bucket") == F.pmod(
+            F.xxhash64(F.lit(uuid)), F.lit(self.num_buckets)
+        )
+        return self.points_at(version, prefilter=bucket_pred).where(
+            F.col("uuid") == F.lit(uuid)
+        )
+
+    # ---------------------------------------------------------- compaction --
+
+    def compact(self, num_buckets: Optional[int] = None) -> int:
+        """Fold every committed version and tombstone into a single base
+        snapshot partitioned by uuid_bucket (hash-sharded like the
+        reference's murmur3 ranges), clustered by (uuid, time) within files.
+
+        The analog of Delta OPTIMIZE + VACUUM: read amplification from many
+        small version dirs goes away; version history BELOW the compaction
+        point is no longer addressable (reads at older versions raise), while
+        new versions continue appending on top. Returns the compaction
+        version."""
+        num_buckets = num_buckets or self.num_buckets
+        m = self._read_manifest()
+        v = m["version"]
+        base = self.points_at(None).withColumn(
+            "uuid_bucket", F.pmod(F.xxhash64("uuid"), F.lit(num_buckets))
+        )
+        tmp = os.path.join(self.path, "compact.tmp")
+        (
+            base.repartition(num_buckets, "uuid_bucket")
+            .sortWithinPartitions("uuid", "time")
+            .write.mode("overwrite")
+            .partitionBy("uuid_bucket")
+            .parquet(tmp)
+        )
+        import shutil
+
+        new_points = os.path.join(self.path, "points")
+        old = os.path.join(self.path, f"points.old.{v}")
+        os.replace(new_points, old)
+        os.makedirs(new_points)
+        os.replace(tmp, os.path.join(new_points, f"ins_ver={v}"))
+        shutil.rmtree(old)
+        if os.path.exists(self.deletes_path):
+            shutil.rmtree(self.deletes_path)
+            os.makedirs(self.deletes_path)
+        m["has_deletes"] = False
+        m["compacted_through"] = v
+        m["num_buckets"] = num_buckets
+        self._write_manifest(m)
+        self.num_buckets = num_buckets
+        return v
 
     # ------------------------------------------------------------- changes --
 

@@ -162,3 +162,35 @@ def test_insert_too_big_and_invalid(db):
         db.insert("s1", [(1, float("nan"))])
     with pytest.raises(BTrDBError):
         db.insert("s1", [((48 << 56) - 1, 1.0)])
+
+
+def test_compaction_preserves_state_and_buckets(db, spark):
+    """Compaction folds versions + tombstones into a bucketed base; queries
+    return identical results; pre-compaction versions become unaddressable."""
+    import pyspark.sql.functions as F
+
+    for u in ("s1", "s2", "s3"):
+        db.insert(u, [(i * 7, float(i)) for i in range(500)])
+    db.delete("s2", 70, 700)
+    before = {
+        u: [(r.time, r.value) for r in db.raw_values(u, 0, 10**6).collect()]
+        for u in ("s1", "s2", "s3")
+    }
+    v = db.store.compact()
+    after = {
+        u: [(r.time, r.value) for r in db.raw_values(u, 0, 10**6).collect()]
+        for u in ("s1", "s2", "s3")
+    }
+    assert before == after
+    # bucketed layout exists and single-stream scan carries the bucket pred
+    plan = db.raw_values("s1", 0, 10**6)._jdf.queryExecution().executedPlan().toString()
+    assert "uuid_bucket" in plan
+    # old versions now unaddressable
+    import pytest as _pytest
+    from btrdb_server_spark.store import BTrDBError
+
+    with _pytest.raises(BTrDBError):
+        db.raw_values("s1", 0, 10**6, version=1).collect()
+    # new writes continue on top
+    db.insert("s1", [(10**6 + 5, 1.0)])
+    assert db.raw_values("s1", 0, 10**7).count() == 501
