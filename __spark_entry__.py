@@ -239,6 +239,41 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.text import bpe_token_stats
+
+    return bpe_token_stats(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.text import rolling_fingerprint
+
+    return rolling_fingerprint(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents as opaque payloads -> mapInPandas
+    decode (deterministic fake; real decoder plugs into the same schema)."""
+    from btrdb_server_spark.functions.multimodal import decode_media, media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True).orderBy("media_id")
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.similarity import centroids_from_rows, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, centroids_from_rows(emb, k=8)).orderBy("vec_id")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.similarity import ann_topk_ivf, centroids_from_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, centroids_from_rows(emb, k=8), probe_id=0, k=10)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import cosine_topk
 
@@ -289,6 +324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
+        "bpe_token_stats": q_bpe_token_stats,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+        "ivf_assign": q_ivf_assign,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -327,6 +367,35 @@ def _sig_cte() -> str:
 
 def _lit_vec_sql(vec) -> str:
     return "[" + ",".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+
+def _hexn_sql(expr: str, n: int) -> str:
+    """First n hex chars of `expr` -> BIGINT (Horner chain kept BIGINT from
+    the seed so no INT32 overflow)."""
+    out = "CAST(0 AS BIGINT)"
+    for i in range(1, n + 1):
+        out = (
+            f"(({out}) * 16 + "
+            f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1))"
+        )
+    return out
+
+
+# Keep in sync with functions/text.py BPE_PATTERN.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+"
+
+_IVF_CTES = """
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT e.vec_id, c.cid,
+                 round(list_cosine_similarity(e.v, c.cv), 6) AS score
+          FROM e CROSS JOIN c),
+    r AS (SELECT vec_id, cid, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+          FROM s),
+    assign AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1)
+"""
 
 
 def _lang_id_sql() -> str:
@@ -611,6 +680,70 @@ def oracle_sql() -> dict[str, str]:
                          6) AS cosine
             FROM embeddings, probe
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "bpe_token_stats": f"""
+            WITH t AS (SELECT doc_id, text,
+                              regexp_extract_all(text, '{_BPE_PAT}') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_bpe,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_bpe,
+                   round(len(text) / greatest(len(toks), 1), 6) AS chars_per_token
+            FROM t ORDER BY doc_id
+        """,
+        "rolling_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            h AS (SELECT doc_id,
+                         list_transform(toks, tok -> {_hexn_sql('md5(tok)', 4)}) AS hs
+                  FROM t)
+            SELECT doc_id,
+                   CAST(CASE WHEN len(hs) = 0 THEN 0
+                        ELSE list_reduce(hs, (a, x) -> (a * 131 + x) % 1000000007)
+                        END AS BIGINT) AS fp
+            FROM h ORDER BY doc_id
+        """,
+        "multimodal_decode": f"""
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       text
+                FROM documents
+            ), d AS (
+                SELECT media_id, kind,
+                       CAST(strlen(text) AS BIGINT) AS n_bytes,
+                       sha256(text) AS digest
+                FROM m
+            ), h AS (
+                SELECT *, {_hexn_sql('digest', 8)} AS hv FROM d
+            )
+            SELECT media_id, kind, n_bytes, digest AS "sha256",
+                   CASE WHEN kind IN ('image', 'video')
+                        THEN CAST(64 + hv % 1920 AS INT) END AS width,
+                   CASE WHEN kind IN ('image', 'video')
+                        THEN CAST(64 + (hv // 256) % 1080 AS INT) END AS height,
+                   CASE WHEN kind = 'image' THEN CAST(1 AS INT)
+                        WHEN kind = 'video' THEN CAST(1 + hv % 3600 AS INT)
+                        WHEN kind = 'audio' THEN CAST(1 + hv % 10000000 AS INT)
+                        END AS n_frames,
+                   CASE WHEN kind = 'audio'
+                        THEN CAST(8000 + (hv % 6) * 8000 AS INT) END AS sample_rate
+            FROM h ORDER BY media_id
+        """,
+        "ivf_assign": f"""
+            WITH {_IVF_CTES}
+            SELECT vec_id, cluster FROM assign ORDER BY vec_id
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_IVF_CTES},
+            pc AS (SELECT cluster FROM assign WHERE vec_id = 0),
+            probe AS (SELECT v AS q FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
+            FROM e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN pc ON a.cluster = pc.cluster, probe
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
         "ann_lsh_buckets": _ann_lsh_sql(),
         "embedding_near_dups": """

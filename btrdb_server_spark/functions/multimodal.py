@@ -70,6 +70,23 @@ def _fake_decode_row(media_id: int, kind: str, payload: bytes) -> dict:
     return out
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents corpus: the
+    text's UTF-8 bytes stand in for an opaque payload, kind cycles
+    image/audio/video by id. Exercises the full binary-column path (schema,
+    Arrow transfer, mapInPandas decode) on real testdata without shipping
+    media files."""
+    from pyspark.sql import functions as F
+
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("origin"), F.lit("documents")).alias("meta"),
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """Partition-parallel decode via mapInPandas (Arrow-batched; the bytes
     never pass through Python row-by-row)."""

@@ -110,6 +110,69 @@ def ann_topk_lsh(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    by cosine (ties -> smallest centroid id). `centroids` is a small
+    (cid, cv array<double>) dim table — the join is an explicit broadcast,
+    so the 100 TB side never shuffles; the argmax is a per-vector
+    row_number over ~K centroid rows."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    scored = e.join(F.broadcast(centroids)).select(
+        id_col,
+        "cid",
+        F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("cid").alias("cluster"))
+    )
+
+
+def centroids_from_rows(
+    embeddings: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic seed centroids: the first k vectors by id (a k-means
+    iteration refines these in a real pipeline; assignment mechanics are
+    identical either way)."""
+    return embeddings.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: search only the probe vector's cluster (nprobe=1).
+    At scale `cluster` is the partition key, so the exact scan touches
+    1/K of the corpus."""
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probe_cluster = assign.where(F.col(id_col) == probe_id).select("cluster")
+    candidates = embeddings.join(
+        assign.join(F.broadcast(probe_cluster), "cluster").select(id_col), id_col
+    )
+    probe_vec = [
+        float(x)
+        for x in embeddings.where(F.col(id_col) == probe_id).select(vec_col).first()[0]
+    ]
+    return cosine_topk(candidates, probe_vec, k, id_col, vec_col)
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,

@@ -88,3 +88,64 @@ def doc_fingerprint(
     exact dedup and change detection."""
     normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+# BPE-style pre-tokenizer: letter runs | digit runs | punctuation runs.
+# Explicit whitespace class (not \s) so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the standard
+    letters/digits/punct split that BPE vocabularies train over): total
+    pre-tokens, unique pre-tokens, and bytes-per-token — the compression
+    proxy used for training-data sizing. Pure regexp_extract_all + array
+    ops: JVM codegen, no shuffle, one scan."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe"),
+        F.round(
+            F.length(F.col(text_col)) / F.greatest(n, F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# Rolling-hash fold constants (Rabin-Karp): base 131, modulus 1e9+7. Token
+# values stay < 2^17 and the accumulator < 2^30, so base*acc+tok < 2^38 —
+# safely inside int64 even under ANSI overflow checking.
+RH_BASE = 131
+RH_MOD = 1_000_000_007
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hex4(col: Column) -> Column:
+    """First-4-hex-chars of a digest -> int in [0, 65536) via instr
+    arithmetic (portable: no conv() needed on the oracle side)."""
+    val = F.lit(0)
+    for i in range(1, 5):
+        val = val * 16 + (F.instr(F.lit(_HEXDIGITS), F.substring(col, i, 1)) - 1)
+    return val
+
+
+def rolling_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint: fold
+    h = (h*131 + hash16(token)) mod 1e9+7 over the whitespace token stream.
+    Order-sensitive (unlike a bag-of-words hash) yet incremental — the
+    streaming-ingest-friendly fingerprint. Single map-side pass, no
+    shuffle."""
+    toks = tokens_col(F.col(text_col))
+    tok_hashes = F.transform(toks, lambda t: _hex4(F.md5(t)).cast("long"))
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * RH_BASE + x) % RH_MOD,
+    )
+    return docs.select(F.col(id_col), fp.alias("fp"))

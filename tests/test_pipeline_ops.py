@@ -184,3 +184,57 @@ def test_multimodal_decode_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         decode_media(media, fake=False).collect()
+
+
+def test_bpe_token_stats(spark):
+    from btrdb_server_spark.functions.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! 42 foo"), (2, "aaa aaa aaa")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    # "Hello , world ! 42 foo" -> 6 pre-tokens, all unique
+    assert rows[1].n_bpe == 6 and rows[1].n_unique_bpe == 6
+    assert rows[2].n_bpe == 3 and rows[2].n_unique_bpe == 1
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from btrdb_server_spark.functions.text import rolling_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c"), (4, "")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in rolling_fingerprint(docs).collect()}
+    assert fps[1] == fps[3]          # deterministic
+    assert fps[1] != fps[2]          # order matters (unlike bag-of-words)
+    assert fps[4] == 0               # empty doc -> 0
+
+
+def test_ivf_assign_and_topk(spark):
+    from btrdb_server_spark.functions.similarity import (
+        ann_topk_ivf,
+        centroids_from_rows,
+        ivf_assign,
+    )
+
+    # 2-D vectors: ids 0,1 are the centroids (x-axis / y-axis).
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.1, 0.9], 0),
+            (4, [-1.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = centroids_from_rows(emb, k=2)
+    assign = {r.vec_id: r.cluster for r in ivf_assign(emb, cents).collect()}
+    assert assign[0] == 0 and assign[2] == 0
+    assert assign[1] == 1 and assign[3] == 1
+    assert assign[4] == 1  # cos with x-axis = -1 < cos with y-axis = 0
+    top = ann_topk_ivf(emb, cents, probe_id=0, k=10).collect()
+    ids = [r.vec_id for r in top]
+    assert ids[0] == 0 and 2 in ids  # same-cluster only
+    assert 1 not in ids and 3 not in ids and 4 not in ids
