@@ -191,10 +191,13 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity via a shingle inverted index:
     |A∩B| from the self-join on distinct shingles, |A∪B| = |A|+|B|-|A∩B|.
     Returns pairs (a < b) with jaccard >= threshold."""
+    # Materialize the shingle index once: the self-join's two sides and the
+    # size table would otherwise each re-run the tokenize/shingle pipeline.
     sh = (
         ensure_parallelism(docs)
         .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (

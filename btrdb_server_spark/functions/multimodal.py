@@ -92,17 +92,53 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     never pass through Python row-by-row)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "real media decoding requires PIL/soundfile/av; "
                     "run with fake=True in this environment"
                 )
-            rows = [
-                _fake_decode_row(r.media_id, r.kind, r.payload)
-                for r in pdf.itertuples(index=False)
-            ]
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+            # Column-at-a-time: the only per-row Python work is the digest
+            # itself (inherently per-payload); everything downstream is numpy.
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            digests = [hashlib.sha256(p).hexdigest() for p in payloads]
+            h = np.array([int(d[:8], 16) for d in digests], dtype=np.int64)
+            kind = pdf["kind"].to_numpy()
+            visual = (kind == "image") | (kind == "video")
+            audio = kind == "audio"
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": kind,
+                    "n_bytes": np.fromiter(
+                        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                    ),
+                    "sha256": digests,
+                    "width": pd.array(
+                        np.where(visual, 64 + h % 1920, 0), dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        np.where(visual, 64 + (h >> 8) % 1080, 0), dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        np.select(
+                            [kind == "image", kind == "video", audio],
+                            [np.ones_like(h), 1 + h % 3600, 1 + h % 10_000_000],
+                            0,
+                        ),
+                        dtype="Int32",
+                    ),
+                    "sample_rate": pd.array(
+                        np.where(audio, 8000 + (h % 6) * 8000, 0), dtype="Int32"
+                    ),
+                }
+            )
+            out.loc[~visual, ["width", "height"]] = pd.NA
+            out.loc[~(visual | audio), "n_frames"] = pd.NA
+            out.loc[~audio, "sample_rate"] = pd.NA
+            yield out
 
     return media.mapInPandas(decode, DECODED_SCHEMA)
 

@@ -119,10 +119,9 @@ def ivf_assign(
     """IVF coarse quantization: assign every vector to its nearest centroid
     by cosine (ties -> smallest centroid id). `centroids` is a small
     (cid, cv array<double>) dim table — the join is an explicit broadcast,
-    so the 100 TB side never shuffles; the argmax is a per-vector
-    row_number over ~K centroid rows."""
-    from pyspark.sql import Window
-
+    so the 100 TB side never shuffles; the argmax is a struct-max groupBy
+    (map-side combined partial aggregate — no window sort, the shuffle
+    carries one pre-reduced row per vector per map task)."""
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -131,12 +130,11 @@ def ivf_assign(
         "cid",
         F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("score"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, F.col("cid").alias("cluster"))
+    # Lexicographic struct max = argmax on score with ties to smallest cid.
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))).alias("m")
     )
+    return best.select(id_col, (-F.col("m.ncid")).alias("cluster"))
 
 
 def centroids_from_rows(
@@ -161,7 +159,11 @@ def ann_topk_ivf(
     """IVF-style ANN: search only the probe vector's cluster (nprobe=1).
     At scale `cluster` is the partition key, so the exact scan touches
     1/K of the corpus."""
-    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # Materialize the assignment once: the probe-cluster lookup, candidate
+    # join, and final scan would otherwise each recompute it.
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     probe_cluster = assign.where(F.col(id_col) == probe_id).select("cluster")
     candidates = embeddings.join(
         assign.join(F.broadcast(probe_cluster), "cluster").select(id_col), id_col
