@@ -1,0 +1,105 @@
+"""Physical-plan invariants — the scale contract.
+
+Correctness tests prove the operators right at sf0.001; these tests prove
+the *plans* stay right: predicates reach the parquet scan, projections
+prune columns, small sides broadcast, top-k never globally sorts, and
+aggregations combine map-side. A regression here is invisible on 60k rows
+and catastrophic at 100 TB, so each property is pinned explicitly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    # formatted mode prints PushedFilters/ReadSchema untruncated
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_raw_values_pushdown(spark):
+    """Time-range + stream predicates must reach the parquet scan (F1/F3:
+    the Spark analog of qtree bucket pruning), and only the needed columns
+    may be read."""
+    plan = plan_of(entry_mod.q_raw_values(spark, SF))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "ReadSchema: struct<ts:bigint,event_type:string,value:double>" in plan
+
+
+def test_aligned_windows_partial_agg(spark):
+    """Stat aggregation must be a two-phase hash aggregate (map-side
+    combine before the shuffle) — the Spark equivalent of the tree's
+    hierarchical partial aggregates (A3)."""
+    plan = plan_of(entry_mod.q_aligned_windows(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan or "partial" in plan
+    assert "EqualTo(event_type,click)" in plan  # filter still pushed
+
+
+def test_cosine_topk_no_global_sort(spark):
+    """Exact top-k must plan as TakeOrderedAndProject (per-partition heap),
+    never a full Sort + Limit."""
+    plan = plan_of(entry_mod.q_cosine_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_nearest_is_limit_one(spark):
+    """Nearest (J6) = orderBy+limit(1) -> TakeOrderedAndProject with
+    pushed time predicate, not a global sort."""
+    plan = plan_of(entry_mod.q_nearest_before(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    """The centroid dim table must broadcast — a shuffle join here would
+    move the full 100 TB fact side."""
+    plan = plan_of(entry_mod.q_ivf_assign(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_stats_single_scan_no_shuffle(spark):
+    """Per-document text stats are map-only: no exchange other than the
+    final presentation sort."""
+    import re
+
+    df = entry_mod.q_text_stats(spark, SF)
+    plan = plan_of(df)
+    # exactly one exchange: the orderBy range partitioning ("(n) Exchange"
+    # detail headers count physical nodes once each)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_streams_metadata_filter_is_map_lookup(spark):
+    """LookupStreams (J5) must stay a filter over the streams table — no
+    join materializes for tag predicates."""
+    from btrdb_server_spark.metadata import filter_streams
+    from btrdb_server_spark.sources.testdata import load_table, streams_from_events
+
+    streams = streams_from_events(load_table(spark, SF, "events"))
+    found = filter_streams(streams, collection="events/", tags={"kind": "click"})
+    assert "Join" not in optimized_of(found)
+
+
+def test_window_spine_join_broadcasts(spark):
+    """Windows hole emission joins the aggregate against a generated spine;
+    neither side may shuffle the points table a second time."""
+    plan = plan_of(entry_mod.q_windows_holes(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
