@@ -3,8 +3,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized with a full action (collect) so the measured time
-includes the complete plan — scan, shuffle, sort, and Arrow transfer.
+Each query is materialized with a full action (toPandas over Arrow batches —
+the vectorized client transfer, the same path the oracle comparison uses) so
+the measured time includes the complete plan: scan, shuffle, sort, transfer.
 """
 
 from __future__ import annotations
@@ -31,12 +32,16 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    # Warm the JVM (codegen, parquet footers) so timings reflect steady state.
+    # Warm the JVM (codegen, parquet footers) and the Python worker pool
+    # (used by mapInPandas queries) so timings reflect steady state.
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     for name in sorted(qs):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        n = len(df.collect())
+        n = len(df.toPandas())
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
