@@ -350,18 +350,24 @@ _HEX4 = (
 )
 
 
-def _minhash_sql_cols() -> str:
-    return ",\n".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{j}|' || s), 1, 16))) AS mh{j}"
-        for j in range(16)
-    )
+MINHASH_PRIME = 4_294_967_291  # keep in sync with functions/dedup.py
 
 
 def _sig_cte() -> str:
+    # Carter-Wegman family: two md5-derived 32-bit values per shingle,
+    # h_j = (a + j*b) mod P — mirrors functions/dedup.py minhash_signatures.
+    mh_cols = ",\n".join(
+        f"min((a + {j} * b) % {MINHASH_PRIME}) AS mh{j}" for j in range(16)
+    )
     return f"""
         toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks WHERE len(toks) >= 3),
-        sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM shingled)
+        shrows AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        digests AS (SELECT doc_id, md5('a|' || s) AS da, md5('b|' || s) AS db
+                    FROM shrows),
+        ab AS (SELECT doc_id, {_hexn_sql('da', 8)} AS a, {_hexn_sql('db', 8)} AS b
+               FROM digests),
+        sig AS (SELECT doc_id, {mh_cols} FROM ab GROUP BY doc_id)
     """
 
 
@@ -624,9 +630,9 @@ def oracle_sql() -> dict[str, str]:
             WITH {_sig_cte()},
             bands AS (
                 {" UNION ALL ".join(
-                    "SELECT doc_id, " + str(b) + " AS band, "
-                    + " || '|' || ".join(f"mh{b*4+i}" for i in range(4))
-                    + " AS band_key FROM sig"
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
                     for b in range(4)
                 )}
             )

@@ -121,16 +121,12 @@ def bpe_token_stats(
 # safely inside int64 even under ANSI overflow checking.
 RH_BASE = 131
 RH_MOD = 1_000_000_007
-_HEXDIGITS = "0123456789abcdef"
 
 
 def _hex4(col: Column) -> Column:
-    """First-4-hex-chars of a digest -> int in [0, 65536) via instr
-    arithmetic (portable: no conv() needed on the oracle side)."""
-    val = F.lit(0)
-    for i in range(1, 5):
-        val = val * 16 + (F.instr(F.lit(_HEXDIGITS), F.substring(col, i, 1)) - 1)
-    return val
+    """First-4-hex-chars of a digest -> int in [0, 65536). Spark-side conv()
+    is one JVM call; the DuckDB oracle mirrors it with instr arithmetic."""
+    return F.conv(F.substring(col, 1, 4), 16, 10).cast("long")
 
 
 def rolling_fingerprint(
