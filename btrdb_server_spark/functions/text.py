@@ -71,14 +71,28 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     def _hits(markers):
         return F.size(F.filter(toks, lambda t: t.isin(markers)))
 
-    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
     langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
-    best = F.greatest(*[scores[l] for l in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):  # earlier langs win ties (applied last)
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+    # argmax via lexicographic array_max over (score, -index) structs: each
+    # score expression appears ONCE in the plan (a greatest + when-chain
+    # formulation re-expands every score per comparison — measured ~3x the
+    # expression tree), ties go to the smallest index = alphabetical order.
+    scored = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _hits(LANG_MARKERS[lang]).alias("s"), F.lit(-i).alias("ni")
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    lang_names = F.array(*[F.lit(l) for l in langs])
+    pred = F.when(F.col("m.s") == 0, F.lit("und")).otherwise(
+        F.element_at(lang_names, (-F.col("m.ni") + 1).cast("int"))
+    )
+    return docs.select(F.col(id_col), scored.alias("m")).select(
+        F.col(id_col), pred.alias("pred_lang")
+    )
 
 
 def doc_fingerprint(

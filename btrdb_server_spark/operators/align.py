@@ -6,10 +6,12 @@ streams are queried (raw / aligned / windowed); rows are aligned on timestamp
 point at that time. That is an N-way full-outer merge join on time
 (serve.go:953-1008 advances N sorted cursors in lockstep).
 
-Spark-first: groupBy(time).pivot(uuid) — one shuffle on time, no N-way join
-chain. The pivot value list is passed explicitly so the plan is a single
-aggregation (no extra distinct pass to discover labels); at 100 TB the
-aggregate is map-side combined per (time, uuid) before the shuffle.
+Spark-first: groupBy(time) with one conditional aggregate per stream
+(min(value) FILTER (uuid = u) style) — one shuffle on time, no N-way join
+chain, no pivot machinery. The stream list is known up front, so the plan is
+a single two-phase hash aggregate: partials combine map-side per (time,
+stream) before the shuffle — exactly the reference's lockstep cursor merge,
+but parallel.
 """
 
 from __future__ import annotations
@@ -31,12 +33,16 @@ def align_streams(
     a stream collapse via `agg` — 'first' matches the reference cursor
     semantics (csv.go:30-43, one point per timestamp per stream); 'max'/'min'
     give a deterministic choice for oracle comparison."""
-    agg_col = {"first": F.first, "max": F.max, "min": F.min}[agg]("value")
+    def agg_for(u: str):
+        masked = F.when(F.col("uuid") == u, F.col("value"))
+        if agg == "first":
+            return F.first(masked, ignorenulls=True)
+        return {"max": F.max, "min": F.min}[agg](masked)
+
     return (
         points.where(F.col("uuid").isin(list(uuids)) & time_range_pred(start, end))
         .groupBy("time")
-        .pivot("uuid", list(uuids))
-        .agg(agg_col)
+        .agg(*[agg_for(u).alias(u) for u in uuids])
         .orderBy("time")
     )
 
@@ -48,16 +54,19 @@ def align_streams_windowed(
     bucket, four columns per stream: <uuid>_min/_mean/_max/_count."""
     fstart = align_floor(start, pw)
     fend = align_floor(end, pw)
+    aggs = []
+    for u in uuids:
+        masked = F.when(F.col("uuid") == u, F.col("value"))
+        aggs += [
+            F.min(masked).alias(f"{u}_min"),
+            F.avg(masked).alias(f"{u}_mean"),
+            F.max(masked).alias(f"{u}_max"),
+            F.count(masked).alias(f"{u}_count"),
+        ]
     return (
         points.where(F.col("uuid").isin(list(uuids)) & time_range_pred(fstart, fend))
         .groupBy(F.shiftleft(F.shiftright("time", pw), pw).alias("time"))
-        .pivot("uuid", list(uuids))
-        .agg(
-            F.min("value").alias("min"),
-            F.avg("value").alias("mean"),
-            F.max("value").alias("max"),
-            F.count("value").alias("count"),
-        )
+        .agg(*aggs)
         .orderBy("time")
     )
 
