@@ -660,8 +660,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM t),
+            dig AS (SELECT doc_id, md5(s0) AS d FROM raw_sh),
             sh AS (
-                SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM t
+                SELECT DISTINCT doc_id, {_hexn_sql('d', 15)} AS s FROM dig
             ),
             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (

@@ -37,12 +37,20 @@ def exact_dedup(
 ) -> DataFrame:
     """Map every doc to the smallest doc id sharing its normalized-content
     md5 (keeper). Rows with keeper != id are exact duplicates."""
+    from pyspark.sql import Window
+
     normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     h = docs.select(F.col(id_col), F.md5(normalized).alias("h"))
-    keepers = h.groupBy("h").agg(F.min(id_col).alias("keeper"))
+    # min-over-hash-partition: one shuffle on h, no join back (a
+    # groupBy+join formulation shuffles the table twice). No orderBy in the
+    # frame -> unbounded min, computed in a single pass per partition.
+    keeper = F.min(id_col).over(Window.partitionBy("h"))
     return (
-        h.join(keepers, "h")
-        .select(F.col(id_col), "keeper", (F.col(id_col) != F.col("keeper")).alias("is_dup"))
+        h.select(
+            F.col(id_col),
+            keeper.alias("keeper"),
+            (F.col(id_col) != keeper).alias("is_dup"),
+        )
         .orderBy(id_col)
     )
 
@@ -200,11 +208,17 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity via a shingle inverted index:
     |A∩B| from the self-join on distinct shingles, |A∪B| = |A|+|B|-|A∩B|.
     Returns pairs (a < b) with jaccard >= threshold."""
-    # Materialize the shingle index once: the self-join's two sides and the
-    # size table would otherwise each re-run the tokenize/shingle pipeline.
+    # Shingles are hashed to 60-bit ints (first 15 hex chars of md5) before
+    # the distinct: the shuffle and self-join then move 8-byte keys instead
+    # of ~30-byte strings. Collision odds at 2^60 are negligible and the
+    # DuckDB oracle applies the identical hash. The index is materialized
+    # once — the self-join's two sides and the size table share it.
     sh = (
         ensure_parallelism(docs)
         .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+        .select(
+            id_col, F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s")
+        )
         .distinct()
         .localCheckpoint(eager=False)
     )
