@@ -75,6 +75,25 @@ def q_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aligned_windows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AlignedWindows served from the materialized rollup ladder (A3/§4
+    aggregate pushdown): pw=40 answered from the pw=38 level — 4:1 fan-in
+    over rollup rows, raw points never touched. The oracle aggregates raw
+    data, proving the materialized path bit-exact."""
+    from btrdb_server_spark.sources.testdata import ensure_events_ladder
+
+    ladder = ensure_events_ladder(spark, sf_dir)
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    df = ladder.serve_aligned(pts, "click", T_2024, T_2025, 40)
+    return df.select(
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    )
+
+
 def q_windows_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     df = windows(pts, "view", T_2024, T_FEB, DAY_NS)
@@ -302,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raw_values": q_raw_values,
         "aligned_windows": q_aligned_windows,
+        "aligned_windows_rollup": q_aligned_windows_rollup,
         "windows_holes": q_windows_holes,
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
@@ -452,6 +472,13 @@ def oracle_sql() -> dict[str, str]:
         "aligned_windows": f"""
             {PTS_CTE}
             SELECT ((time >> 38) << 38) AS time, {stat_cols}
+            FROM pts
+            WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
+            GROUP BY 1 ORDER BY 1
+        """,
+        "aligned_windows_rollup": f"""
+            {PTS_CTE}
+            SELECT ((time >> 40) << 40) AS time, {stat_cols}
             FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             GROUP BY 1 ORDER BY 1

@@ -75,6 +75,26 @@ def load_points(
     return events_to_points(events)
 
 
+def ensure_events_ladder(spark: SparkSession, sf_dir: str, levels=(32, 38)):
+    """Idempotent per-sf rollup-ladder build over the events points plane
+    (cached under /tmp): the materialized-view path for stat queries —
+    build once offline, serve online from the hot <1% tier."""
+    import os
+    import re
+
+    from btrdb_server_spark.plans.rollup import RollupLadder
+
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    path = f"/tmp/btrdb_spark_ladder/{tag}"
+    ladder = RollupLadder(spark, path, levels)
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        ladder.rebuild(load_points(spark, sf_dir))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return ladder
+
+
 def streams_from_events(events: DataFrame) -> DataFrame:
     """Derive a stream registry from the events table.
 
