@@ -136,6 +136,34 @@ def q_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_values(deleted, "signup", T_2024, T_2025)
 
 
+def q_store_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC store end-to-end (S1+T1+S2): bulk insert -> range delete ->
+    snapshot read at latest; tombstones applied as a broadcast anti-join,
+    scan pruned to the stream's uuid_bucket partition."""
+    from btrdb_server_spark.sources.testdata import ensure_events_store
+
+    store = ensure_events_store(spark, sf_dir)
+    return raw_values(store.stream_points("signup"), "signup", T_2024, T_2025)
+
+
+def q_store_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation (F2): the same read at version 1 — before the
+    delete — still sees every point."""
+    from btrdb_server_spark.sources.testdata import ensure_events_store
+
+    store = ensure_events_store(spark, sf_dir)
+    return raw_values(store.stream_points("signup", version=1), "signup", T_2024, T_2025)
+
+
+def q_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changes (T4): version diff (0, 2] = every inserted bucket plus the
+    tombstoned interval, coarsened to 2**40 ns and coalesced."""
+    from btrdb_server_spark.sources.testdata import ensure_events_store
+
+    store = ensure_events_store(spark, sf_dir)
+    return store.changes("signup", 0, 2, 40)
+
+
 def q_list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams = streams_from_events(load_table(spark, sf_dir, "events"))
     return collections_of(streams, prefix="events/", start_with="events/e", limit=100)
@@ -328,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changed_ranges": q_changed_ranges,
         "multistream_align": q_multistream_align,
         "delete_range": q_delete_range,
+        "store_delete_range": q_store_delete_range,
+        "store_version_travel": q_store_version_travel,
+        "store_changes": q_store_changes,
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
         "metadata_usage": q_metadata_usage,
@@ -547,6 +578,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2025}
               AND NOT (time >= {T_JAN10} AND time < {T_JAN20})
             ORDER BY time
+        """,
+        "store_delete_range": f"""
+            {PTS_CTE}
+            SELECT time, value FROM pts
+            WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2025}
+              AND NOT (time >= {T_JAN10} AND time < {T_JAN20})
+            ORDER BY time
+        """,
+        "store_version_travel": f"""
+            {PTS_CTE}
+            SELECT time, value FROM pts
+            WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2025}
+            ORDER BY time
+        """,
+        "store_changes": f"""
+            {PTS_CTE}, b AS (
+                SELECT DISTINCT ((time >> 40) << 40) AS s FROM pts
+                WHERE uuid = 'signup'
+            ), iv0 AS (
+                SELECT s, s + {1 << 40} AS e FROM b
+                UNION ALL
+                SELECT {(T_JAN10 >> 40) << 40},
+                       {((T_JAN20 + (1 << 40) - 1) >> 40) << 40}
+            ), iv AS (SELECT DISTINCT s, e FROM iv0), m AS (
+                SELECT s, e,
+                       CASE WHEN s > max(e) OVER (ORDER BY s ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS is_gap
+                FROM iv
+            ), g AS (
+                SELECT s, e, sum(is_gap) OVER (ORDER BY s ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM m
+            )
+            SELECT min(s) AS start, max(e) AS "end" FROM g GROUP BY grp ORDER BY 1
         """,
         "list_collections": """
             SELECT DISTINCT 'events/' || event_type AS collection FROM events

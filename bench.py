@@ -40,9 +40,13 @@ def main() -> None:
     ).count()
     # Materialized-view build is offline work: pre-build the rollup ladder
     # so the ladder-served query measures serving, not construction.
-    from btrdb_server_spark.sources.testdata import ensure_events_ladder
+    from btrdb_server_spark.sources.testdata import (
+        ensure_events_ladder,
+        ensure_events_store,
+    )
 
     ensure_events_ladder(spark, sf_dir)
+    ensure_events_store(spark, sf_dir)
     for name in sorted(qs):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)

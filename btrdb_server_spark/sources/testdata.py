@@ -95,6 +95,33 @@ def ensure_events_ladder(spark: SparkSession, sf_dir: str, levels=(32, 38)):
     return ladder
 
 
+T_JAN10 = 1_704_844_800_000_000_000
+T_JAN20 = 1_705_708_800_000_000_000
+
+
+def ensure_events_store(spark: SparkSession, sf_dir: str):
+    """Idempotent per-sf MVCC PointStore built from the events points plane
+    (cached under /tmp): version 1 = bulk insert of every point, version 2 =
+    range-delete of the signup stream over [Jan10, Jan20). Lets the driver
+    validate the store's snapshot reads, tombstones, version travel, and
+    version-diff against SQL oracles over the raw parquet."""
+    import os
+    import re
+
+    from btrdb_server_spark.store import PointStore
+
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    path = f"/tmp/btrdb_spark_store/{tag}"
+    marker = os.path.join(path, "_BUILT")
+    store = PointStore(spark, path)
+    if not os.path.exists(marker):
+        store.insert_many(load_points(spark, sf_dir))          # -> version 1
+        store.delete_range("signup", T_JAN10, T_JAN20)          # -> version 2
+        with open(marker, "w") as f:
+            f.write("ok")
+    return store
+
+
 def streams_from_events(events: DataFrame) -> DataFrame:
     """Derive a stream registry from the events table.
 
