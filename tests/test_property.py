@@ -1,0 +1,178 @@
+"""Property-based tests — the Spark analog of the reference's randomized
+suites (qtree/qtree2_test.go:152 TestQT2_A: jittered timestamps, random
+batch/commit boundaries, full readback compare against an independent
+recomputation; quasar_test.go:73-120 GenData/CompareData).
+
+Hypothesis generates the point sets and batch splits; the oracle is a pure
+pandas recomputation — fully independent of the Spark plans under test.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.operators.nearest import nearest
+from btrdb_server_spark.operators.raw import raw_values
+from btrdb_server_spark.operators.stat import aligned_windows, windows
+
+# Small bounded domain so buckets/windows have interesting collisions.
+T0 = 1_000_000
+T1 = 2_000_000
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=T0, max_value=T1 - 1),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, pts):
+    return spark.createDataFrame(
+        [("s", t, v) for t, v in pts], "uuid string, time long, value double"
+    )
+
+
+@given(pts=points_strategy, lo=st.integers(T0, T1), hi=st.integers(T0, T1))
+@SET
+def test_raw_readback_matches_input(spark, pts, lo, hi):
+    """RawValues = exactly the inserted points in [lo, hi), time-ordered
+    (duplicate timestamps preserved, unlike the reference's 1024/ns cap —
+    documented superset)."""
+    lo, hi = min(lo, hi), max(lo, hi)
+    got = [
+        (r.time, r.value)
+        for r in raw_values(_df(spark, pts), "s", lo, hi).collect()
+    ]
+    want = sorted(((t, v) for t, v in pts if lo <= t < hi), key=lambda x: x[0])
+    assert sorted(got) == sorted(want)
+    assert [t for t, _ in got] == [t for t, _ in want]
+
+
+@given(pts=points_strategy, pw=st.integers(4, 16))
+@SET
+def test_aligned_windows_matches_pandas(spark, pts, pw):
+    """AlignedWindows at any pw == per-bucket min/mean/max/count recomputed
+    independently; empty buckets omitted (A1)."""
+    got = {
+        r.time: (r["min"], r["mean"], r["max"], r["count"])
+        for r in aligned_windows(_df(spark, pts), "s", T0, T1, pw).collect()
+    }
+    pdf = pd.DataFrame(pts, columns=["t", "v"])
+    fstart = (T0 >> pw) << pw
+    fend = (T1 >> pw) << pw
+    pdf = pdf[(pdf.t >= fstart) & (pdf.t < fend)]
+    pdf["bucket"] = (pdf.t // (1 << pw)) * (1 << pw)
+    want = pdf.groupby("bucket")["v"].agg(["min", "mean", "max", "count"])
+    assert set(got) == set(want.index)
+    for b, row in want.iterrows():
+        g = got[b]
+        assert g[0] == row["min"] and g[2] == row["max"] and g[3] == row["count"]
+        assert math.isclose(g[1], row["mean"], rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(pts=points_strategy, width=st.integers(1_000, 200_000))
+@SET
+def test_windows_hole_emission(spark, pts, width):
+    """Windows: exactly (T1-T0)//width rows (end rounded down to whole
+    windows, quasar.go:328-330), count=0 holes included, stats match an
+    independent recomputation (A2/ST3)."""
+    rows = windows(_df(spark, pts), "s", T0, T1, width).collect()
+    n_windows = (T1 - T0) // width
+    assert len(rows) == n_windows
+    pdf = pd.DataFrame(pts, columns=["t", "v"])
+    end = T0 + n_windows * width
+    pdf = pdf[(pdf.t >= T0) & (pdf.t < end)]
+    pdf["w"] = (pdf.t - T0) // width
+    want = pdf.groupby("w")["v"].agg(["min", "mean", "max", "count"])
+    for r in rows:
+        w = (r.time - T0) // width
+        if w in want.index:
+            assert r["count"] == want.loc[w, "count"]
+            assert r["min"] == want.loc[w, "min"]
+            assert math.isclose(r["mean"], want.loc[w, "mean"], rel_tol=1e-9)
+        else:
+            assert r["count"] == 0 and r["min"] is None
+
+
+@given(pts=points_strategy, probe=st.integers(T0, T1))
+@SET
+def test_nearest_boundary_semantics(spark, pts, probe):
+    """Nearest: backward = max time strictly < probe; forward = min time
+    >= probe (inclusive) — the boundary table of qtree2_test.go:253-267,
+    randomized."""
+    df = _df(spark, pts)
+    back = nearest(df, "s", probe, backward=True).collect()
+    fwd = nearest(df, "s", probe, backward=False).collect()
+    times = sorted(t for t, _ in pts)
+    wb = [t for t in times if t < probe]
+    wf = [t for t in times if t >= probe]
+    if wb:
+        assert back and back[0].time == wb[-1]
+    else:
+        assert not back
+    if wf:
+        assert fwd and fwd[0].time == wf[0]
+    else:
+        assert not fwd
+
+
+@given(
+    pts=points_strategy,
+    splits=st.lists(st.integers(0, 299), max_size=4),
+    dlo=st.integers(T0, T1),
+    dhi=st.integers(T0, T1),
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_store_random_batches_delete_roundtrip(spark, tmp_path_factory, pts, splits, dlo, dhi):
+    """Store-level randomized round-trip (TestQT2_A + TestQT2_DEL): insert
+    in random batch splits, range-delete a random interval, verify readback
+    at latest (delete applied) and at the pre-delete version (MVCC)."""
+    from btrdb_server_spark.store import PointStore
+
+    dlo, dhi = min(dlo, dhi), max(dlo, dhi)
+    if dlo == dhi:
+        dhi += 1
+    store = PointStore(spark, str(tmp_path_factory.mktemp("pstore")))
+    bounds = sorted({s for s in splits if s < len(pts)})
+    chunks, prev = [], 0
+    for b in bounds + [len(pts)]:
+        if b > prev:
+            chunks.append(pts[prev:b])
+            prev = b
+    for chunk in chunks:
+        store.insert(
+            "s", [(t, v) for t, v in chunk], enforce_batch_cap=False
+        )
+    pre_delete_ver = store.version
+    store.delete_range("s", dlo, dhi)
+    latest = [
+        (r.time, r.value)
+        for r in store.stream_points("s").orderBy("time", "value").collect()
+    ]
+    want_latest = sorted((t, v) for t, v in pts if not (dlo <= t < dhi))
+    assert latest == want_latest
+    at_v1 = [
+        (r.time, r.value)
+        for r in store.stream_points("s", version=pre_delete_ver)
+        .orderBy("time", "value")
+        .collect()
+    ]
+    assert at_v1 == sorted(pts)
