@@ -307,6 +307,32 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True).orderBy("media_id")
 
 
+def _decoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrdb_server_spark.functions.multimodal import decode_media, media_from_documents
+
+    return decode_media(
+        media_from_documents(load_table(spark, sf_dir, "documents")), fake=True
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per every-300th frame of each video — a pure
+    relational explode over the decoded metadata (the real decoder attaches
+    pixels to the same rows)."""
+    from btrdb_server_spark.functions.multimodal import frame_sample
+
+    out = frame_sample(_decoded_media(spark, sf_dir), every_n=300)
+    return out.orderBy("media_id", "frame_idx")
+
+
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry (fit into 224^2) computed
+    relationally over decoded dimensions."""
+    from btrdb_server_spark.functions.multimodal import resize_plan
+
+    return resize_plan(_decoded_media(spark, sf_dir), max_side=224).orderBy("media_id")
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import centroids_from_rows, ivf_assign
 
@@ -378,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "media_resize_plan": q_media_resize_plan,
         "ivf_assign": q_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -436,6 +464,39 @@ def _hexn_sql(expr: str, n: int) -> str:
             f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1))"
         )
     return out
+
+
+def _media_decoded_cte() -> str:
+    """CTE `dec` = the fake-decode output of functions/multimodal.py
+    decode_media over media_from_documents — shared by the multimodal
+    oracles."""
+    return f"""m AS (
+                SELECT doc_id AS media_id,
+                       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       text
+                FROM documents
+            ), d AS (
+                SELECT media_id, kind,
+                       CAST(strlen(text) AS BIGINT) AS n_bytes,
+                       sha256(text) AS digest
+                FROM m
+            ), h AS (
+                SELECT *, {_hexn_sql('digest', 8)} AS hv FROM d
+            ), dec AS (
+                SELECT media_id, kind, n_bytes, digest AS "sha256",
+                       CASE WHEN kind IN ('image', 'video')
+                            THEN CAST(64 + hv % 1920 AS INT) END AS width,
+                       CASE WHEN kind IN ('image', 'video')
+                            THEN CAST(64 + (hv // 256) % 1080 AS INT) END AS height,
+                       CASE WHEN kind = 'image' THEN CAST(1 AS INT)
+                            WHEN kind = 'video' THEN CAST(1 + hv % 3600 AS INT)
+                            WHEN kind = 'audio' THEN CAST(1 + hv % 10000000 AS INT)
+                            END AS n_frames,
+                       CASE WHEN kind = 'audio'
+                            THEN CAST(8000 + (hv % 6) * 8000 AS INT) END AS sample_rate
+                FROM h
+            )"""
 
 
 # Keep in sync with functions/text.py BPE_PATTERN.
@@ -804,32 +865,27 @@ def oracle_sql() -> dict[str, str]:
             FROM h ORDER BY doc_id
         """,
         "multimodal_decode": f"""
-            WITH m AS (
-                SELECT doc_id AS media_id,
-                       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                       text
-                FROM documents
-            ), d AS (
-                SELECT media_id, kind,
-                       CAST(strlen(text) AS BIGINT) AS n_bytes,
-                       sha256(text) AS digest
-                FROM m
-            ), h AS (
-                SELECT *, {_hexn_sql('digest', 8)} AS hv FROM d
+            WITH {_media_decoded_cte()}
+            SELECT * FROM dec ORDER BY media_id
+        """,
+        "media_frame_sample": f"""
+            WITH {_media_decoded_cte()}
+            SELECT media_id,
+                   CAST(unnest(generate_series(0, n_frames - 1, 300)) AS INT)
+                       AS frame_idx
+            FROM dec WHERE kind = 'video'
+            ORDER BY media_id, frame_idx
+        """,
+        "media_resize_plan": f"""
+            WITH {_media_decoded_cte()}, s AS (
+                SELECT media_id, width, height,
+                       least(1.0, 224.0 / greatest(width, height)) AS scale
+                FROM dec WHERE width IS NOT NULL
             )
-            SELECT media_id, kind, n_bytes, digest AS "sha256",
-                   CASE WHEN kind IN ('image', 'video')
-                        THEN CAST(64 + hv % 1920 AS INT) END AS width,
-                   CASE WHEN kind IN ('image', 'video')
-                        THEN CAST(64 + (hv // 256) % 1080 AS INT) END AS height,
-                   CASE WHEN kind = 'image' THEN CAST(1 AS INT)
-                        WHEN kind = 'video' THEN CAST(1 + hv % 3600 AS INT)
-                        WHEN kind = 'audio' THEN CAST(1 + hv % 10000000 AS INT)
-                        END AS n_frames,
-                   CASE WHEN kind = 'audio'
-                        THEN CAST(8000 + (hv % 6) * 8000 AS INT) END AS sample_rate
-            FROM h ORDER BY media_id
+            SELECT media_id, width, height,
+                   CAST(greatest(round(width * scale), 1) AS INT) AS out_w,
+                   CAST(greatest(round(height * scale), 1) AS INT) AS out_h
+            FROM s ORDER BY media_id
         """,
         "ivf_assign": f"""
             WITH {_IVF_CTES}
