@@ -31,11 +31,26 @@ from btrdb_server_spark.store import BTrDBError, PointStore
 
 
 class BTrDB:
-    def __init__(self, spark: SparkSession, path: str, rollup_levels=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        rollup_levels=None,
+        buffer_commit_threshold: Optional[int] = None,
+    ):
         """`rollup_levels`: optional pointwidth ladder (e.g. [12, 18, 24, 30])
         maintained on every write; AlignedWindows at latest version then
         answers from the best materialized level instead of raw points —
-        the reference's ms-scale stat path (qtree.go:925-947)."""
+        the reference's ms-scale stat path (qtree.go:925-947).
+
+        `buffer_commit_threshold`: opt-in write buffering (the PQM,
+        pqm.go:516-631): inserts below the threshold accumulate in a
+        per-stream buffer (minor version = buffered point count,
+        pqm.go:343-361); the buffer commits as one store version when the
+        threshold is crossed or on flush() (MaxPQMBufferSize=32768,
+        pqm.go:35-37). Reads at the latest version merge the buffer
+        (read-your-writes, ST5/J1); reads at explicit versions see committed
+        data only (quasar.go:241-270,389-396)."""
         self.spark = spark
         self.store = PointStore(spark, os.path.join(path, "data"))
         self.registry = StreamRegistry(spark, os.path.join(path, "meta"))
@@ -44,6 +59,42 @@ class BTrDB:
             if rollup_levels
             else None
         )
+        self.buffer_commit_threshold = buffer_commit_threshold
+        self._buffers: dict[str, list] = {}
+
+    # -------------------------------------------------------------- buffer --
+
+    def _buffer_df(self, uuid: str) -> Optional[DataFrame]:
+        buf = self._buffers.get(uuid)
+        if not buf:
+            return None
+        return self.spark.createDataFrame(
+            [(uuid, int(t), float(v)) for t, v in buf], POINTS_SCHEMA
+        )
+
+    def _with_buffer(self, committed: DataFrame, uuid: str) -> DataFrame:
+        """J1: union-merge of the committed snapshot with the uncommitted
+        buffer (pqm.go:434-476 MergeQueryValuesStream — time order is
+        restored by each operator's own sort)."""
+        bdf = self._buffer_df(uuid)
+        return committed if bdf is None else committed.unionByName(bdf)
+
+    def _commit_buffer(self, uuid: str, extra: Optional[list] = None) -> int:
+        pts = self._buffers.pop(uuid, []) + (extra or [])
+        if not pts:
+            return self.store.stream_version(uuid)
+        batch = self.spark.createDataFrame(
+            [(uuid, int(t), float(v)) for t, v in pts], POINTS_SCHEMA
+        )
+        v = self.store.insert(uuid, batch, enforce_batch_cap=False)
+        if self.ladder is not None:
+            self.ladder.update_with_batch(batch)
+        return v
+
+    def query_version(self, uuid: str) -> tuple[int, int]:
+        """(major, minor) = (committed store version, buffered point count)
+        — pqm.go:343-361 QueryVersion."""
+        return self.store.stream_version(uuid), len(self._buffers.get(uuid, []))
 
     # ------------------------------------------------------------- streams --
 
@@ -68,6 +119,7 @@ class BTrDB:
         return self.registry.metadata_usage(prefix)
 
     def obliterate(self, uuid: str) -> int:
+        self._buffers.pop(uuid, None)
         self.registry.obliterate(uuid)
         v = self.store.obliterate(uuid)
         if self.ladder is not None:
@@ -82,6 +134,15 @@ class BTrDB:
         if isinstance(points, list):
             if enforce_batch_cap and len(points) > MAX_INSERT_BATCH:
                 raise BTrDBError(ERR_INSERT_TOO_BIG, "insert too big")  # serve.go:702
+            if self.buffer_commit_threshold is not None:
+                # PQM path (pqm.go:572): buffer below threshold, else commit
+                # buffer + batch as one generation (pqm.go:608-630).
+                self._validate_list(points)
+                buf = self._buffers.setdefault(uuid, [])
+                if len(buf) + len(points) < self.buffer_commit_threshold:
+                    buf.extend(points)
+                    return self.store.stream_version(uuid)
+                return self._commit_buffer(uuid, list(points))
             batch = self.spark.createDataFrame(
                 [(uuid, int(t), float(v)) for t, v in points], POINTS_SCHEMA
             )
@@ -94,16 +155,43 @@ class BTrDB:
             self.ladder.update_with_batch(batch)
         return v
 
+    def _validate_list(self, points: list) -> None:
+        """Buffered inserts validate eagerly (quasar.go:92-101,207-219):
+        NaN/Inf values and out-of-range times are rejected before they reach
+        the buffer."""
+        import math
+
+        from btrdb_server_spark.constants import (
+            ERR_BAD_VALUE,
+            ERR_INVALID_TIME_RANGE,
+            MAX_INSERT_TIME,
+            MIN_TIME,
+        )
+
+        for t, v in points:
+            if not (MIN_TIME <= t <= MAX_INSERT_TIME):
+                raise BTrDBError(ERR_INVALID_TIME_RANGE, f"time {t} out of range")
+            if math.isnan(v) or math.isinf(v):
+                raise BTrDBError(ERR_BAD_VALUE, "NaN/Inf value")
+
     def delete(self, uuid: str, start: int, end: int) -> int:
+        # Buffered points must be committed first so the tombstone covers
+        # them too (the reference's delete path operates on the tree after
+        # the PQM merge).
+        if self._buffers.get(uuid):
+            self._commit_buffer(uuid)
         v = self.store.delete_range(uuid, start, end)
         if self.ladder is not None:
             self.ladder.recompute_range(self.store.points_at(), uuid, start, end)
         return v
 
     def flush(self, uuid: str) -> int:
-        """Batch writes commit synchronously, so Flush is a no-op returning
-        the current version (serve.go:743-765; ST1 buffering lives in
-        streaming/ingest.py where flush = processAllAvailable)."""
+        """Commit the stream's write buffer as one generation
+        (serve.go:743-765, pqm.go:289-303). Without buffering, batch writes
+        commit synchronously and Flush returns the current version; the
+        streaming path's flush is processAllAvailable (streaming/ingest.py)."""
+        if self.buffer_commit_threshold is not None:
+            return self._commit_buffer(uuid)
         return self.store.stream_version(uuid)
 
     # --------------------------------------------------------------- reads --
@@ -111,7 +199,10 @@ class BTrDB:
     def raw_values(
         self, uuid: str, start: int, end: int, version: Optional[int] = None
     ) -> DataFrame:
-        return raw_values_op(self.store.stream_points(uuid, version), uuid, start, end)
+        pts = self.store.stream_points(uuid, version)
+        if version is None:
+            pts = self._with_buffer(pts, uuid)
+        return raw_values_op(pts, uuid, start, end)
 
     def aligned_windows(
         self, uuid: str, start: int, end: int, pw: int, version: Optional[int] = None
@@ -123,11 +214,19 @@ class BTrDB:
             from btrdb_server_spark.store import BTrDBError
 
             raise BTrDBError(ERR_INVALID_POINT_WIDTH, "pointwidth invalid")
-        if version is None and self.ladder is not None:
+        buffered = bool(self._buffers.get(uuid))
+        # The ladder holds committed data only; with an uncommitted buffer
+        # the exact answer needs the J2 stat merge — served here by
+        # aggregating the unioned raw+buffer points (merger.go:132-214's
+        # weighted combine is exactly Spark's partial->final aggregation).
+        if version is None and self.ladder is not None and not buffered:
             return self.ladder.serve_aligned(
                 self.store.stream_points(uuid), uuid, start, end, pw
             )
-        return aw_op(self.store.stream_points(uuid, version), uuid, start, end, pw)
+        pts = self.store.stream_points(uuid, version)
+        if version is None:
+            pts = self._with_buffer(pts, uuid)
+        return aw_op(pts, uuid, start, end, pw)
 
     def windows(
         self,
@@ -138,18 +237,25 @@ class BTrDB:
         depth: int = 0,
         version: Optional[int] = None,
     ) -> DataFrame:
-        if version is None and depth > 0 and self.ladder is not None:
+        buffered = bool(self._buffers.get(uuid))
+        if version is None and depth > 0 and self.ladder is not None and not buffered:
             return self.ladder.serve_windows(
                 self.store.stream_points(uuid), uuid, start, end, width, depth
             )
-        return windows_op(
-            self.store.stream_points(uuid, version), uuid, start, end, width, depth
-        )
+        pts = self.store.stream_points(uuid, version)
+        if version is None:
+            pts = self._with_buffer(pts, uuid)
+        return windows_op(pts, uuid, start, end, width, depth)
 
     def nearest(
         self, uuid: str, time: int, backward: bool, version: Optional[int] = None
     ) -> DataFrame:
-        return nearest_op(self.store.stream_points(uuid, version), uuid, time, backward)
+        """J6 + the buffer merge of pqm.go:310-341: the nearest point may be
+        uncommitted."""
+        pts = self.store.stream_points(uuid, version)
+        if version is None:
+            pts = self._with_buffer(pts, uuid)
+        return nearest_op(pts, uuid, time, backward)
 
     def changes(self, uuid: str, from_ver: int, to_ver: int, resolution: int) -> DataFrame:
         return self.store.changes(uuid, from_ver, to_ver, resolution)

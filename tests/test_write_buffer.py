@@ -1,0 +1,80 @@
+"""Write-buffer (PQM) semantics — mirrors pqm_test/main_test.go:
+TestInsertWithFlush (:53), TestInsertWithNoFlush (:84),
+TestQueryReturnsBothResults (:112), plus threshold auto-commit and
+explicit-version isolation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from btrdb_server_spark.api import BTrDB
+from btrdb_server_spark.store import BTrDBError
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return BTrDB(spark, str(tmp_path / "b"), buffer_commit_threshold=10)
+
+
+def times(df):
+    return [r.time for r in df.collect()]
+
+
+def test_insert_with_flush(db):
+    """Insert below threshold -> buffered (major unchanged, minor grows);
+    flush -> one committed generation; query sees the data."""
+    assert db.insert("s", [(1, 1.0), (2, 2.0)]) == 0  # still version 0
+    assert db.query_version("s") == (0, 2)
+    v = db.flush("s")
+    assert v == 1
+    assert db.query_version("s") == (1, 0)
+    assert times(db.raw_values("s", 0, 10)) == [1, 2]
+
+
+def test_insert_with_no_flush_read_your_writes(db):
+    """Uncommitted buffer is visible at the latest version (ST5): raw,
+    nearest, and stat reads all merge it."""
+    db.insert("s", [(5, 50.0)])
+    assert db.query_version("s") == (0, 1)
+    assert times(db.raw_values("s", 0, 10)) == [5]
+    near = db.nearest("s", 10, backward=True).collect()
+    assert near[0].time == 5
+    aw = db.aligned_windows("s", 0, 16, 4).collect()
+    assert len(aw) == 1 and aw[0]["count"] == 1 and aw[0]["min"] == 50.0
+
+
+def test_query_returns_both_results(db):
+    """Committed + buffered points merge in time order (pqm_test :112)."""
+    db.insert("s", [(1, 1.0)])
+    db.flush("s")
+    db.insert("s", [(3, 3.0)])  # buffered only
+    assert db.query_version("s") == (1, 1)
+    assert times(db.raw_values("s", 0, 10)) == [1, 3]
+    # explicit version: committed data only
+    assert times(db.raw_values("s", 0, 10, version=1)) == [1]
+
+
+def test_threshold_auto_commit(db):
+    """Crossing the threshold commits buffer + batch as ONE generation
+    (pqm.go:608-630)."""
+    db.insert("s", [(i, float(i)) for i in range(6)])       # buffered (6 < 10)
+    v = db.insert("s", [(i, float(i)) for i in range(6, 12)])  # 12 >= 10 -> commit
+    assert v == 1
+    assert db.query_version("s") == (1, 0)
+    assert times(db.raw_values("s", 0, 100)) == list(range(12))
+
+
+def test_buffered_validation_and_delete_flush(db):
+    """Buffered inserts reject NaN/Inf and out-of-range eagerly; delete
+    commits the buffer first so the tombstone covers buffered points."""
+    with pytest.raises(BTrDBError):
+        db.insert("s", [(1, math.nan)])
+    with pytest.raises(BTrDBError):
+        db.insert("s", [((48 << 56) - 1, 1.0)])
+    db.insert("s", [(1, 1.0), (7, 7.0)])
+    db.delete("s", 5, 10)
+    assert times(db.raw_values("s", 0, 100)) == [1]
+    assert db.query_version("s")[1] == 0
