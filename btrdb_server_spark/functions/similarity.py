@@ -168,11 +168,21 @@ def ann_topk_ivf(
     candidates = embeddings.join(
         assign.join(F.broadcast(probe_cluster), "cluster").select(id_col), id_col
     )
-    probe_vec = [
-        float(x)
-        for x in embeddings.where(F.col(id_col) == probe_id).select(vec_col).first()[0]
-    ]
-    return cosine_topk(candidates, probe_vec, k, id_col, vec_col)
+    # The probe vector rides in as a broadcast 1-row join rather than a
+    # driver-side collect — the whole top-k stays one Spark job.
+    probe_row = embeddings.where(F.col(id_col) == probe_id).select(
+        F.col(vec_col).cast("array<double>").alias("q")
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        candidates.join(F.broadcast(probe_row))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(emb, F.col("q")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def near_dup_pairs(
