@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from btrdb_server_spark.utils import ensure_parallelism
+
 # Shared with the SQL oracles — keep in sync with __spark_entry__.py.
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 PUNCT_CLASS = r"[^.,;:!?]"
@@ -35,6 +37,7 @@ def tokens_col(text: Column) -> Column:
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats: token count, mean token length, punctuation ratio,
     stopword ratio, and a composite quality score in [0,1]."""
+    docs = ensure_parallelism(docs)
     toks = tokens_col(F.col(text_col))
     n_toks = F.size(toks)
     tok_chars = F.aggregate(
@@ -64,6 +67,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """Marker-word-vote language ID: count marker hits per language, argmax
     with deterministic tie-break on language code order, 'und' when no
     marker hits at all."""
+    docs = ensure_parallelism(docs)
     toks = tokens_col(F.col(text_col))
 
     # NB: single-arg lambdas only — a second parameter (even defaulted) makes
@@ -100,6 +104,7 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint — the canonical key for
     exact dedup and change detection."""
+    docs = ensure_parallelism(docs)
     normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
 
@@ -117,7 +122,9 @@ def bpe_token_stats(
     letters/digits/punct split that BPE vocabularies train over): total
     pre-tokens, unique pre-tokens, and bytes-per-token — the compression
     proxy used for training-data sizing. Pure regexp_extract_all + array
-    ops: JVM codegen, no shuffle, one scan."""
+    ops: JVM codegen, one scan (the repartition spreads the single-file
+    local input; a real lake's file count already exceeds the core count)."""
+    docs = ensure_parallelism(docs)
     toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
     n = F.size(toks)
     return docs.select(
@@ -151,6 +158,7 @@ def rolling_fingerprint(
     Order-sensitive (unlike a bag-of-words hash) yet incremental — the
     streaming-ingest-friendly fingerprint. Single map-side pass, no
     shuffle."""
+    docs = ensure_parallelism(docs)
     toks = tokens_col(F.col(text_col))
     tok_hashes = F.transform(toks, lambda t: _hex4(F.md5(t)).cast("long"))
     fp = F.aggregate(
