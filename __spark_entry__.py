@@ -183,6 +183,14 @@ def q_metadata_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_usage
 
 
+def q_metadata_ann_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6, annotation half: stream counts per annotation key under a
+    collection prefix (keyusage.go:20-78)."""
+    streams = streams_from_events(load_table(spark, sf_dir, "events"))
+    _, ann_usage = usage_of(streams, prefix="events/")
+    return ann_usage
+
+
 def q_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized as-of join (J6 fleet variant): for every click time, the
     last error point strictly before it."""
@@ -388,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
         "metadata_usage": q_metadata_usage,
+        "metadata_ann_usage": q_metadata_ann_usage,
         "nearest_asof": q_nearest_asof,
         "align_windowed": q_align_windowed,
         "windows_depth": q_windows_depth,
@@ -690,6 +699,12 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (SELECT DISTINCT event_type, user_id FROM events)
             SELECT key, count(*) AS cnt
             FROM s, (SELECT unnest(['kind', 'source']) AS key)
+            GROUP BY key ORDER BY key
+        """,
+        "metadata_ann_usage": """
+            WITH s AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT key, count(*) AS cnt
+            FROM s, (SELECT unnest(['note']) AS key)
             GROUP BY key ORDER BY key
         """,
         "nearest_asof": f"""

@@ -223,9 +223,18 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # Shingles in exactly one document cannot contribute to any
+    # intersection; pruning them first shrinks the self-join input to the
+    # shared-vocabulary subset — on a near-dup-sparse 100 TB corpus that is
+    # the difference between joining ~n*|doc| rows and joining only the
+    # colliding tail. Union sizes |A|,|B| still come from the full table.
+    shared = (
+        sh.groupBy("s").agg(F.count("*").alias("nd")).where(F.col("nd") >= 2).select("s")
+    )
+    shx = sh.join(shared, "s")
     inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), F.col("l.s") == F.col("r.s"))
+        shx.alias("l")
+        .join(shx.alias("r"), F.col("l.s") == F.col("r.s"))
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .agg(F.count("*").alias("inter"))
