@@ -155,6 +155,31 @@ def q_store_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_values(store.stream_points("signup", version=1), "signup", T_2024, T_2025)
 
 
+def q_store_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-before over the tombstoned store (J6 + T1): the probe sits
+    inside the deleted interval, so the answer must skip back past it."""
+    from btrdb_server_spark.sources.testdata import ensure_events_store
+
+    store = ensure_events_store(spark, sf_dir)
+    return nearest(store.stream_points("signup"), "signup", T_JAN15, backward=True)
+
+
+def q_store_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AlignedWindows over the store at latest version: bucket stats reflect
+    the range delete (A1 + T1)."""
+    from btrdb_server_spark.sources.testdata import ensure_events_store
+
+    store = ensure_events_store(spark, sf_dir)
+    df = aligned_windows(store.stream_points("signup"), "signup", T_2024, T_2025, 41)
+    return df.select(
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    )
+
+
 def q_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changes (T4): version diff (0, 2] = every inserted bucket plus the
     tombstoned interval, coarsened to 2**40 ns and coalesced."""
@@ -393,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_delete_range": q_store_delete_range,
         "store_version_travel": q_store_version_travel,
         "store_changes": q_store_changes,
+        "store_nearest": q_store_nearest,
+        "store_aligned_windows": q_store_aligned_windows,
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
         "metadata_usage": q_metadata_usage,
@@ -661,6 +688,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "store_nearest": f"""
+            {PTS_CTE}
+            SELECT time, value FROM pts
+            WHERE uuid = 'signup' AND time < {T_JAN15}
+              AND NOT (time >= {T_JAN10} AND time < {T_JAN20})
+            ORDER BY time DESC LIMIT 1
+        """,
+        "store_aligned_windows": f"""
+            {PTS_CTE}
+            SELECT ((time >> 41) << 41) AS time,
+                   min(value) AS vmin, round(avg(value), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2025}
+              AND NOT (time >= {T_JAN10} AND time < {T_JAN20})
+            GROUP BY 1 ORDER BY 1
         """,
         "store_changes": f"""
             {PTS_CTE}, b AS (

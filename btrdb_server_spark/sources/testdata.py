@@ -85,7 +85,7 @@ def ensure_events_ladder(spark: SparkSession, sf_dir: str, levels=(32, 38)):
     from btrdb_server_spark.plans.rollup import RollupLadder
 
     tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    path = f"/tmp/btrdb_spark_ladder/{tag}"
+    path = f"/tmp/btrdb_spark_ladder/{CACHE_TAG}/{tag}"
     ladder = RollupLadder(spark, path, levels)
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
@@ -97,6 +97,10 @@ def ensure_events_ladder(spark: SparkSession, sf_dir: str, levels=(32, 38)):
 
 T_JAN10 = 1_704_844_800_000_000_000
 T_JAN20 = 1_705_708_800_000_000_000
+
+# Bump when the ladder/store build semantics change: the tag is part of the
+# /tmp cache path, so stale artifacts from older code can never be served.
+CACHE_TAG = "v1"
 
 
 def ensure_events_store(spark: SparkSession, sf_dir: str):
@@ -111,7 +115,7 @@ def ensure_events_store(spark: SparkSession, sf_dir: str):
     from btrdb_server_spark.store import PointStore
 
     tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    path = f"/tmp/btrdb_spark_store/{tag}"
+    path = f"/tmp/btrdb_spark_store/{CACHE_TAG}/{tag}"
     marker = os.path.join(path, "_BUILT")
     store = PointStore(spark, path)
     if not os.path.exists(marker):
