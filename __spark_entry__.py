@@ -180,6 +180,52 @@ def q_store_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-(uuid, 2**42 ns bucket) StatPoints over a file-streamed copy of the
+    events points. The per-batch emission stream is not SQL-expressible,
+    but the FINAL accumulated state per bucket must equal the batch
+    groupBy over the same points — which is exactly the oracle."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_stat_windows
+
+    work = tempfile.mkdtemp(prefix="btrdb_stream_q_")
+    src, ckpt = f"{work}/src", f"{work}/ckpt"
+    load_points(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    name = "stat_state_out"
+    q = (
+        streaming_stat_windows(stream, 42)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Multiple emissions per bucket across micro-batches: keep the final one
+    # (max cnt — the accumulator only grows).
+    out = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("uuid", "bucket").orderBy(F.col("cnt").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("uuid", "bucket", "vmin", F.round("vmean", 6).alias("vmean"),
+                "vmax", "cnt")
+        .orderBy("uuid", "bucket")
+    )
+
+
 def q_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changes (T4): version diff (0, 2] = every inserted bucket plus the
     tombstoned interval, coarsened to 2**40 ns and coalesced."""
@@ -418,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_delete_range": q_store_delete_range,
         "store_version_travel": q_store_version_travel,
         "store_changes": q_store_changes,
+        "streaming_stat_state": q_streaming_stat_state,
         "store_nearest": q_store_nearest,
         "store_aligned_windows": q_store_aligned_windows,
         "list_collections": q_list_collections,
@@ -688,6 +735,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "streaming_stat_state": f"""
+            {PTS_CTE}
+            SELECT uuid, ((time >> 42) << 42) AS bucket,
+                   min(value) AS vmin, round(sum(value) / count(*), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            GROUP BY uuid, 2 ORDER BY uuid, bucket
         """,
         "store_nearest": f"""
             {PTS_CTE}

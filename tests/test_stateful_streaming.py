@@ -1,0 +1,63 @@
+"""Stateful streaming stat accumulator (streaming/stateful.py): per-bucket
+running stats across micro-batches, with late data folding into old buckets
+(ST2 — no watermark, nothing dropped).
+"""
+
+from __future__ import annotations
+
+from btrdb_server_spark.schemas import POINTS_SCHEMA
+from btrdb_server_spark.streaming.stateful import streaming_stat_windows
+
+PW = 4  # 16-ns buckets
+
+
+def write_batch(spark, path, rows, n=0):
+    spark.createDataFrame(rows, POINTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_streaming_stat_accumulator_with_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # Batch 1: bucket 0 (times 1, 2) and bucket 16 (time 17).
+    write_batch(spark, src, [("s", 1, 10.0), ("s", 2, 20.0), ("s", 17, 7.0)], 1)
+
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_stat_windows(stream, PW)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stat_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.uuid, r.bucket): (r.vmin, r.vmean, r.vmax, r.cnt)
+            for r in spark.sql("SELECT * FROM stat_updates").collect()
+        }
+        assert first[("s", 0)] == (10.0, 15.0, 20.0, 2)
+        assert first[("s", 16)] == (7.0, 7.0, 7.0, 1)
+
+        # Batch 2: a LATE point lands in bucket 0 (time 3) + a new bucket 32.
+        write_batch(spark, src, [("s", 3, 30.0), ("s", 33, 1.0)], 2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stat_updates").collect()
+        # update mode appends the re-emission; take the LAST emission per key
+        latest = {}
+        for r in rows:
+            latest[(r.uuid, r.bucket)] = (r.vmin, r.vmean, r.vmax, r.cnt)
+        assert latest[("s", 0)] == (10.0, 20.0, 30.0, 3)  # late point folded
+        assert latest[("s", 16)] == (7.0, 7.0, 7.0, 1)     # untouched
+        assert latest[("s", 32)] == (1.0, 1.0, 1.0, 1)
+        # bucket 16 was NOT re-emitted in batch 2 (only touched groups emit)
+        emissions_16 = [r for r in rows if r.bucket == 16]
+        assert len(emissions_16) == 1
+    finally:
+        q.stop()
