@@ -94,6 +94,22 @@ def q_aligned_windows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aligned_windows_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship entry() shape, oracle-checked: per-stream aligned stats
+    for ALL streams in one two-phase aggregate (shuffle carries one row per
+    (uuid, bucket))."""
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    df = aligned_windows_all_streams(pts, T_2024, T_2025, 40)
+    return df.select(
+        "uuid",
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    ).orderBy("uuid", "time")
+
+
 def q_windows_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     df = windows(pts, "view", T_2024, T_FEB, DAY_NS)
@@ -455,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_values": q_raw_values,
         "aligned_windows": q_aligned_windows,
         "aligned_windows_rollup": q_aligned_windows_rollup,
+        "aligned_windows_all": q_aligned_windows_all,
         "windows_holes": q_windows_holes,
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
@@ -650,6 +667,13 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             GROUP BY 1 ORDER BY 1
+        """,
+        "aligned_windows_all": f"""
+            {PTS_CTE}
+            SELECT uuid, ((time >> 40) << 40) AS time, {stat_cols}
+            FROM pts
+            WHERE time >= {T_2024} AND time < {T_2025}
+            GROUP BY uuid, 2 ORDER BY uuid, time
         """,
         "aligned_windows_rollup": f"""
             {PTS_CTE}
