@@ -60,7 +60,11 @@ class BTrDB:
             else None
         )
         self.buffer_commit_threshold = buffer_commit_threshold
+        from btrdb_server_spark.constants import MAX_BUFFER_AGE_SECONDS
+
+        self.max_buffer_age_seconds: float = MAX_BUFFER_AGE_SECONDS
         self._buffers: dict[str, list] = {}
+        self._buffer_birth: dict[str, float] = {}
 
     # -------------------------------------------------------------- buffer --
 
@@ -80,6 +84,7 @@ class BTrDB:
         return committed if bdf is None else committed.unionByName(bdf)
 
     def _commit_buffer(self, uuid: str, extra: Optional[list] = None) -> int:
+        self._buffer_birth.pop(uuid, None)
         pts = self._buffers.pop(uuid, []) + (extra or [])
         if not pts:
             return self.store.stream_version(uuid)
@@ -90,6 +95,19 @@ class BTrDB:
         if self.ladder is not None:
             self.ladder.update_with_batch(batch)
         return v
+
+    def flush_aged(self) -> dict[str, int]:
+        """Commit every buffer older than max_buffer_age_seconds — the
+        2-minute background scan of pqm.go:213-241, callable from any
+        external ticker. Returns {uuid: new_version} for flushed streams."""
+        import time as _time
+
+        now = _time.monotonic()
+        out = {}
+        for uuid, birth in list(self._buffer_birth.items()):
+            if now - birth > self.max_buffer_age_seconds:
+                out[uuid] = self._commit_buffer(uuid)
+        return out
 
     def query_version(self, uuid: str) -> tuple[int, int]:
         """(major, minor) = (committed store version, buffered point count)
@@ -120,6 +138,7 @@ class BTrDB:
 
     def obliterate(self, uuid: str) -> int:
         self._buffers.pop(uuid, None)
+        self._buffer_birth.pop(uuid, None)
         self.registry.obliterate(uuid)
         v = self.store.obliterate(uuid)
         if self.ladder is not None:
@@ -138,8 +157,21 @@ class BTrDB:
                 # PQM path (pqm.go:572): buffer below threshold, else commit
                 # buffer + batch as one generation (pqm.go:608-630).
                 self._validate_list(points)
+                import time as _time
+
+                # Age-based forced flush (MaxPQMBufferAge, pqm.go:39-41,
+                # background scan pqm.go:213-241 — checked inline here, or
+                # via an external flush_aged() ticker).
+                birth = self._buffer_birth.get(uuid)
+                if (
+                    birth is not None
+                    and _time.monotonic() - birth > self.max_buffer_age_seconds
+                ):
+                    self._commit_buffer(uuid)
                 buf = self._buffers.setdefault(uuid, [])
                 if len(buf) + len(points) < self.buffer_commit_threshold:
+                    if not buf:
+                        self._buffer_birth[uuid] = _time.monotonic()
                     buf.extend(points)
                     return self.store.stream_version(uuid)
                 return self._commit_buffer(uuid, list(points))

@@ -78,3 +78,22 @@ def test_buffered_validation_and_delete_flush(db):
     db.delete("s", 5, 10)
     assert times(db.raw_values("s", 0, 100)) == [1]
     assert db.query_version("s")[1] == 0
+
+
+def test_age_based_flush(db):
+    """A buffer older than max_buffer_age_seconds commits on the next
+    insert (inline check) or via flush_aged() (the background-scan analog,
+    pqm.go:39-41, 213-241)."""
+    import time
+
+    db.max_buffer_age_seconds = 0.05
+    db.insert("s", [(1, 1.0)])
+    assert db.query_version("s") == (0, 1)
+    time.sleep(0.1)
+    db.insert("s", [(2, 2.0)])          # aged buffer commits first
+    assert db.query_version("s") == (1, 1)  # old committed, new buffered
+    time.sleep(0.1)
+    flushed = db.flush_aged()
+    assert flushed == {"s": 2}
+    assert db.query_version("s") == (2, 0)
+    assert times(db.raw_values("s", 0, 10)) == [1, 2]
