@@ -122,26 +122,57 @@ class RollupLadder:
         spark: SparkSession,
         path: str,
         levels: Sequence[int] = DEFAULT_LEVELS,
+        num_buckets: int = 16,
     ):
+        """`num_buckets`: uuid hash shards per level, matching the point
+        store's layout — single-stream stat serves prune to one shard
+        directory before any row is read."""
         self.spark = spark
         self.path = path
         self.levels = sorted(levels)
+        self.num_buckets = num_buckets
         os.makedirs(path, exist_ok=True)
 
     def _level_path(self, pw: int) -> str:
         return os.path.join(self.path, f"pw={pw}")
 
     def level(self, pw: int) -> Optional[DataFrame]:
+        """Canonical rollup columns (shard column dropped) — the
+        maintenance-path view."""
+        df = self._level_raw(pw)
+        return None if df is None else df.select(
+            "uuid", "bucket", "vmin", "vsum", "vmax", "cnt"
+        )
+
+    def _level_raw(self, pw: int) -> Optional[DataFrame]:
         p = self._level_path(pw)
         if not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p)
+        return self.spark.read.option("basePath", p).parquet(p)
+
+    def _level_for_stream(self, pw: int, uuid: str) -> Optional[DataFrame]:
+        """Serving-path view: uuid_bucket partition predicate (foldable hash
+        of the literal uuid) prunes the scan to one shard directory."""
+        df = self._level_raw(pw)
+        if df is None:
+            return None
+        pred = F.col("uuid_bucket") == F.pmod(
+            F.xxhash64(F.lit(uuid)), F.lit(self.num_buckets)
+        )
+        return df.where(pred).select(
+            "uuid", "bucket", "vmin", "vsum", "vmax", "cnt"
+        )
 
     def _write_level(self, pw: int, df: DataFrame) -> None:
         tmp = self._level_path(pw) + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        out = self.spark.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(self._level_path(pw))
+        sharded = df.withColumn(
+            "uuid_bucket", F.pmod(F.xxhash64("uuid"), F.lit(self.num_buckets))
+        )
+        sharded.write.mode("overwrite").partitionBy("uuid_bucket").parquet(tmp)
+        out = self.spark.read.option("basePath", tmp).parquet(tmp)
+        out.write.mode("overwrite").partitionBy("uuid_bucket").parquet(
+            self._level_path(pw)
+        )
 
     def rebuild(self, points: DataFrame) -> None:
         """Full build: finest level from points, each coarser level from the
@@ -210,7 +241,7 @@ class RollupLadder:
         best = max(candidates)
         end = end - (end - start) % width
         n_windows = (end - start) // width
-        lvl = self.level(best).where(
+        lvl = self._level_for_stream(best, uuid).where(
             (F.col("uuid") == F.lit(uuid))
             & (F.col("bucket") >= F.lit(start))
             & (F.col("bucket") < F.lit(end))
@@ -249,7 +280,9 @@ class RollupLadder:
         candidates = [l for l in self.levels if l <= pw and self.level(l) is not None]
         if candidates:
             best = max(candidates)
-            return stat_from_rollup(self.level(best), best, uuid, start, end, pw)
+            return stat_from_rollup(
+                self._level_for_stream(best, uuid), best, uuid, start, end, pw
+            )
         from btrdb_server_spark.operators.stat import aligned_windows
 
         return aligned_windows(points, uuid, start, end, pw)

@@ -97,6 +97,15 @@ def test_streams_metadata_filter_is_map_lookup(spark):
     assert "Join" not in optimized_of(found)
 
 
+def test_rollup_serve_prunes_to_one_shard(spark):
+    """Ladder-served stat queries must hit one uuid_bucket partition
+    directory (the foldable-hash pruning that keeps single-stream serves
+    O(1 shard) at 100 TB)."""
+    plan = plan_of(entry_mod.q_aligned_windows_rollup(spark, SF))
+    assert "PartitionFilters" in plan
+    assert "uuid_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_window_spine_join_broadcasts(spark):
     """Windows hole emission joins the aggregate against a generated spine;
     neither side may shuffle the points table a second time."""
