@@ -110,6 +110,26 @@ def q_aligned_windows_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("uuid", "time")
 
 
+def q_windows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded Windows served from the ladder (serve_windows): 1-day
+    windows over the pw=38 materialized level. The approximation contract —
+    a 2**38 bucket belongs to the window containing its START, and only
+    buckets with start in [qstart, qend) participate — is mirrored exactly
+    by the oracle over raw points."""
+    from btrdb_server_spark.sources.testdata import ensure_events_ladder
+
+    ladder = ensure_events_ladder(spark, sf_dir)
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    df = ladder.serve_windows(pts, "purchase", T_2024, T_FEB, DAY_NS, depth=40)
+    return df.select(
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    )
+
+
 def q_windows_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     df = windows(pts, "view", T_2024, T_FEB, DAY_NS)
@@ -491,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_asof": q_nearest_asof,
         "align_windowed": q_align_windowed,
         "windows_depth": q_windows_depth,
+        "windows_rollup": q_windows_rollup,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -881,6 +902,30 @@ def oracle_sql() -> dict[str, str]:
                        min(bmin) AS vmin, round(sum(bsum) / sum(bcnt), 6) AS vmean,
                        max(bmax) AS vmax, sum(bcnt) AS cnt
                 FROM pre GROUP BY 1
+            )
+            SELECT {T_2024} + spine.widx * {DAY_NS} AS time,
+                   agg.vmin, agg.vmean, agg.vmax, coalesce(agg.cnt, 0) AS cnt
+            FROM spine LEFT JOIN agg ON spine.widx = agg.widx
+            ORDER BY time
+        """,
+        "windows_rollup": f"""
+            {PTS_CTE}, pre AS (
+                SELECT ((time >> 38) << 38) AS btime,
+                       min(value) AS bmin, sum(value) AS bsum,
+                       max(value) AS bmax, count(*) AS bcnt
+                FROM pts WHERE uuid = 'purchase'
+                GROUP BY 1
+            ), sel AS (
+                SELECT * FROM pre
+                WHERE btime >= {T_2024} AND btime < {T_FEB}
+            ), agg AS (
+                SELECT (btime - {T_2024}) // {DAY_NS} AS widx,
+                       min(bmin) AS vmin,
+                       round(sum(bsum) / sum(bcnt), 6) AS vmean,
+                       max(bmax) AS vmax, sum(bcnt) AS cnt
+                FROM sel GROUP BY 1
+            ), spine AS (
+                SELECT range AS widx FROM range(0, {(T_FEB - T_2024) // DAY_NS})
             )
             SELECT {T_2024} + spine.widx * {DAY_NS} AS time,
                    agg.vmin, agg.vmean, agg.vmax, coalesce(agg.cnt, 0) AS cnt
