@@ -194,3 +194,26 @@ def test_compaction_preserves_state_and_buckets(db, spark):
     # new writes continue on top
     db.insert("s1", [(10**6 + 5, 1.0)])
     assert db.raw_values("s1", 0, 10**7).count() == 501
+
+
+def test_write_csv_sink(db, tmp_path, spark):
+    """GenerateCSV's output stage (S3): header row, one line per timestamp,
+    empty cells for absent streams (serve.go:969-999, csv.go:75-81)."""
+    import csv as csvmod
+    import glob
+
+    from btrdb_server_spark.operators.align import write_csv
+
+    db.insert("s1", [(1, 1.0), (3, 3.0)])
+    db.insert("s2", [(3, 30.0), (5, 50.0)])
+    out = str(tmp_path / "csv_out")
+    write_csv(db.generate_csv(["s1", "s2"], 0, 10), out)
+    files = glob.glob(out + "/part-*.csv")
+    assert len(files) == 1  # coalesce(1): single response stream
+    with open(files[0]) as f:
+        rows = list(csvmod.reader(f))
+    assert rows[0] == ["time", "s1", "s2"]
+    data = {r[0]: (r[1], r[2]) for r in rows[1:]}
+    assert data["1"] == ("1.0", "")      # empty cell for absent stream
+    assert data["3"] == ("3.0", "30.0")
+    assert data["5"] == ("", "50.0")
