@@ -25,6 +25,15 @@ def get_spark(app_name: str = "btrdb_server_spark", cpus: int | None = None) -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Codec trade-off measured on the points plane (10M pts, 16B/pt raw):
+        # snappy 1.4x compression at full write speed; zstd 2.5x but ~2x
+        # slower writes (the reference's delta-delta+varint reaches ~2.9x,
+        # blocktypes.go:159-261). Default snappy for throughput; set
+        # SPARK_GRAFT_PARQUET_CODEC=zstd for storage-bound deployments.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         # Testdata parquet carries TIMESTAMP(NANOS); read as raw int64 ns —
         # the engine's native time type (never TimestampType: µs would lose ns).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
