@@ -158,6 +158,15 @@ def q_changed_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return times_to_changed_ranges(times, 40)
 
 
+def q_changed_ranges_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream changed-range coalescing for EVERY stream in one pass:
+    the gap-and-islands window partitions by uuid, so each stream's
+    intervals merge independently inside one shuffle."""
+    pts = load_points(spark, sf_dir)
+    times = pts.select("uuid", "time")
+    return times_to_changed_ranges(times, 40, by_uuid=True)
+
+
 def q_multistream_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir)
     return align_streams(pts, EVENT_TYPES, T_2024, T_2025, agg="max")
@@ -496,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
         "changed_ranges": q_changed_ranges,
+        "changed_ranges_all": q_changed_ranges_all,
         "multistream_align": q_multistream_align,
         "delete_range": q_delete_range,
         "store_delete_range": q_store_delete_range,
@@ -749,6 +759,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM m
             )
             SELECT min(s) AS start, max(e) AS "end" FROM g GROUP BY grp ORDER BY 1
+        """,
+        "changed_ranges_all": f"""
+            {PTS_CTE}, b AS (
+                SELECT DISTINCT uuid, (time >> 40) AS bucket FROM pts
+            ), iv AS (
+                SELECT uuid, (bucket << 40) AS s, ((bucket + 1) << 40) AS e FROM b
+            ), m AS (
+                SELECT uuid, s, e,
+                       CASE WHEN s > max(e) OVER (PARTITION BY uuid ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS is_gap
+                FROM iv
+            ), g AS (
+                SELECT uuid, s, e, sum(is_gap) OVER (PARTITION BY uuid ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM m
+            )
+            SELECT uuid, min(s) AS start, max(e) AS "end"
+            FROM g GROUP BY uuid, grp ORDER BY uuid, start
         """,
         "multistream_align": f"""
             {PTS_CTE}
