@@ -48,13 +48,18 @@ def validate_points(points: DataFrame) -> DataFrame:
     )
 
 
-def invalid_points(points: DataFrame) -> DataFrame:
-    """The complement of validate_points — rows that raise BadValue(425) /
-    InvalidTimeRange(413) in the reference (bte/errors.go:182-218)."""
-    return points.where(
+def invalid_cond() -> Column:
+    """Predicate matching rows that raise BadValue(425) / InvalidTimeRange(413)
+    in the reference (bte/errors.go:182-218)."""
+    return (
         (F.col("time") < F.lit(MIN_TIME))
         | (F.col("time") > F.lit(MAX_INSERT_TIME))
         | F.isnan("value")
         | (F.col("value") == F.lit(float("inf")))
         | (F.col("value") == F.lit(float("-inf")))
     )
+
+
+def invalid_points(points: DataFrame) -> DataFrame:
+    """The complement of validate_points."""
+    return points.where(invalid_cond())

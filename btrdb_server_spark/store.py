@@ -15,7 +15,7 @@ Spark-first equivalent (no Delta in this environment, same semantics):
   A point is visible at version v iff ins_ver <= v and no tombstone with
   ins_ver < ver <= v covers its time. Tombstones are metadata-sized, so the
   visibility filter is a broadcast anti-join — no shuffle of the big side.
-- `manifest.json`: the commit log — current version + per-stream last-写
+- `manifest.json`: the commit log — current version + per-stream last-write
   version (what QueryVersion returns, pqm.go:343-361).
 
 At 100 TB: appends stay per-batch immutable files (object-store friendly,
@@ -107,6 +107,46 @@ class PointStore:
 
     # -------------------------------------------------------------- writes --
 
+    def _write_version(self, points: DataFrame, v: int, collect_uuids: bool) -> list:
+        """Write one ins_ver partition in a SINGLE pass, piggybacking
+        validation (and optionally the touched-uuid set) on the write job via
+        the Observation API — no separate validation/distinct scans. The
+        manifest commit happens only after this returns, so on a validation
+        failure the half-written directory is rolled back and stays invisible
+        (points_at filters ins_ver <= committed version). Returns the observed
+        uuid list (empty when collect_uuids=False)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        metrics = [
+            F.sum(raw_ops.invalid_cond().cast("long")).alias("n_bad"),
+        ]
+        if collect_uuids:
+            # Stream cardinality per batch is bounded (one gRPC insert is one
+            # stream; a micro-batch carries at most the active-stream set), so
+            # the set fits driver memory — same assumption as the manifest.
+            metrics.append(F.collect_set("uuid").alias("uuids"))
+        dest = os.path.join(self.points_path, f"ins_ver={v}")
+        # Sorted-by-time files give parquet min/max row-group stats their
+        # pruning power (the reference sorts on insert too, qtree.go:629).
+        (
+            points.observe(obs, *metrics)
+            .withColumn("uuid_bucket", self._bucket_col())
+            .sortWithinPartitions("uuid", "time")
+            .write.mode("overwrite")
+            .partitionBy("uuid_bucket")
+            .parquet(dest)
+        )
+        got = obs.get
+        if got["n_bad"]:
+            import shutil
+
+            shutil.rmtree(dest, ignore_errors=True)
+            raise BTrDBError(
+                ERR_INVALID_TIME_RANGE, f"{got['n_bad']} invalid rows in insert"
+            )
+        return got["uuids"] if collect_uuids else []
+
     def insert(self, uuid: str, points: DataFrame | list, enforce_batch_cap: bool = False) -> int:
         """Append validated points as a new version; returns the new major
         version. `points` is a DataFrame or list of (time, value) tuples.
@@ -119,20 +159,9 @@ class PointStore:
             )
         else:
             points = points.select(F.lit(uuid).alias("uuid"), "time", "value")
-        n_bad = raw_ops.invalid_points(points).count()
-        if n_bad:
-            raise BTrDBError(ERR_INVALID_TIME_RANGE, f"{n_bad} invalid rows in insert")
         m = self._read_manifest()
         v = m["version"] + 1
-        # Sorted-by-time files give parquet min/max row-group stats their
-        # pruning power (the reference sorts on insert too, qtree.go:629).
-        (
-            points.withColumn("uuid_bucket", self._bucket_col())
-            .sortWithinPartitions("time")
-            .write.mode("overwrite")
-            .partitionBy("uuid_bucket")
-            .parquet(os.path.join(self.points_path, f"ins_ver={v}"))
-        )
+        self._write_version(points, v, collect_uuids=False)
         m["version"] = v
         m["streams"][uuid] = v
         m["has_points"] = True
@@ -142,20 +171,11 @@ class PointStore:
     def insert_many(self, points: DataFrame) -> int:
         """Append a multi-stream batch (uuid, time, value) as one version —
         the foreachBatch ingest path (streaming/ingest.py)."""
-        n_bad = raw_ops.invalid_points(points).count()
-        if n_bad:
-            raise BTrDBError(ERR_INVALID_TIME_RANGE, f"{n_bad} invalid rows in insert")
         m = self._read_manifest()
         v = m["version"] + 1
-        (
-            points.select("uuid", "time", "value")
-            .withColumn("uuid_bucket", self._bucket_col())
-            .sortWithinPartitions("uuid", "time")
-            .write.mode("overwrite")
-            .partitionBy("uuid_bucket")
-            .parquet(os.path.join(self.points_path, f"ins_ver={v}"))
+        uuids = self._write_version(
+            points.select("uuid", "time", "value"), v, collect_uuids=True
         )
-        uuids = [r.uuid for r in points.select("uuid").distinct().collect()]
         m["version"] = v
         for u in uuids:
             m["streams"][u] = v
