@@ -162,6 +162,13 @@ def test_insert_too_big_and_invalid(db):
         db.insert("s1", [(1, float("nan"))])
     with pytest.raises(BTrDBError):
         db.insert("s1", [((48 << 56) - 1, 1.0)])
+    # A rejected batch must leave no trace: validation piggybacks on the
+    # write job (Observation) and rolls back before the manifest commit.
+    assert db.store.version == 0
+    assert db.store.points_at().count() == 0
+    # The rolled-back version number is reused by the next commit.
+    assert db.insert("s1", [(1, 1.0)]) == 1
+    assert db.store.points_at().count() == 1
 
 
 def test_compaction_preserves_state_and_buckets(db, spark):
