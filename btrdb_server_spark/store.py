@@ -129,10 +129,14 @@ class PointStore:
         dest = os.path.join(self.points_path, f"ins_ver={v}")
         # Sorted-by-time files give parquet min/max row-group stats their
         # pruning power (the reference sorts on insert too, qtree.go:629).
+        # The sort leads with uuid_bucket so it satisfies the dynamic-
+        # partition writer's required ordering — otherwise the writer inserts
+        # a second, not-necessarily-stable sort on uuid_bucket alone, paying
+        # twice and voiding the (uuid, time) clustering inside files.
         (
             points.observe(obs, *metrics)
             .withColumn("uuid_bucket", self._bucket_col())
-            .sortWithinPartitions("uuid", "time")
+            .sortWithinPartitions("uuid_bucket", "uuid", "time")
             .write.mode("overwrite")
             .partitionBy("uuid_bucket")
             .parquet(dest)
@@ -293,7 +297,7 @@ class PointStore:
         tmp = os.path.join(self.path, "compact.tmp")
         (
             base.repartition(num_buckets, "uuid_bucket")
-            .sortWithinPartitions("uuid", "time")
+            .sortWithinPartitions("uuid_bucket", "uuid", "time")
             .write.mode("overwrite")
             .partitionBy("uuid_bucket")
             .parquet(tmp)

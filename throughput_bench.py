@@ -43,10 +43,28 @@ def main() -> None:
     out: dict[str, float] = {}
     d = tempfile.mkdtemp(prefix="btrdb_tp_")
     try:
+        # Materialize the synthetic input first so the insert numbers time
+        # the write path, not the row generation (sin() etc.) — the
+        # reference's insert benchmark is handed its points too.
+        pts = pts.persist()
+        pts.count()
+
         p = os.path.join(d, "pts")
         t0 = time.perf_counter()
         pts.sortWithinPartitions("time").write.mode("overwrite").parquet(p)
         out["insert_mpts_per_sec"] = round(N / (time.perf_counter() - t0) / 1e6, 1)
+
+        # The full engine path: PointStore.insert_many = single write job
+        # with validation + touched-uuid collection piggybacked (Observation),
+        # partitioned by uuid_bucket, manifest commit.
+        from btrdb_server_spark.store import PointStore
+
+        store = PointStore(spark, os.path.join(d, "store"))
+        t0 = time.perf_counter()
+        store.insert_many(pts)
+        out["store_insert_mpts_per_sec"] = round(
+            N / (time.perf_counter() - t0) / 1e6, 1
+        )
 
         stored = spark.read.parquet(p)
         stored.count()  # warm footers
