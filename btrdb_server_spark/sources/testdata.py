@@ -30,6 +30,14 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS),
+    # which Spark rejects unless nanosAsLong is set. The flag is runtime-
+    # settable, so set it here rather than relying on session-build config —
+    # externally built SparkSessions (the correctness harness) must work too.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # older Spark without the flag: fall through to TimestampType
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
