@@ -16,10 +16,15 @@ Reference: internal/mprovider/metaprovider.go (etcd-backed). Semantics kept:
 - ListCollections: prefix + keyset pagination, limit <= 10,000
   (metaprovider.go:429-457).
 
-The registry itself is etcd-scale (small); the authoritative state is a
-parquet snapshot rewritten per mutation. All read ops are DataFrame plans so
-they hold at millions of streams (the DataFrame is broadcastable for joins
-against the 100 TB points plane).
+The registry itself is etcd-scale (the reference stores it in etcd); the
+authoritative state is an atomic parquet snapshot rewritten on EVERY
+mutation (pyarrow write + os.replace — no Spark job on the mutation path),
+so a restarted process sees exactly the committed registry, including
+permanent obliterate tombstones. Uniqueness of (collection, tags) is an
+O(1) hash-index lookup, not a scan. Bulk registration goes through
+create_many(), whose conflict checks are DataFrame joins — the path that
+holds at millions of streams. All read ops are DataFrame plans
+(broadcastable for joins against the 100 TB points plane).
 """
 
 from __future__ import annotations
@@ -120,25 +125,74 @@ def usage_of(df: DataFrame, prefix: str = "") -> tuple[DataFrame, DataFrame]:
     return tag_usage, ann_usage
 
 
+def _identity_key(collection: str, tags: dict) -> tuple:
+    return (collection, tuple(sorted(tags.items())))
+
+
 class StreamRegistry:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self.parquet_path = os.path.join(path, "streams")
+        # Snapshot is a single parquet FILE (pyarrow-written, atomically
+        # replaced); `streams` (a Spark-written dir) is the legacy layout.
+        self.parquet_path = os.path.join(path, "streams.parquet")
+        self._legacy_path = os.path.join(path, "streams")
         os.makedirs(path, exist_ok=True)
         self._rows: dict[str, dict] = {}
+        # (collection, sorted tags) -> uuid of the LIVE stream holding that
+        # identity (metaprovider.go:294-300 uniqueness among live streams).
+        self._identity: dict[tuple, str] = {}
         self._df: Optional[DataFrame] = None
+        load_from = None
         if os.path.exists(self.parquet_path):
-            for r in spark.read.parquet(self.parquet_path).collect():
-                self._rows[r["uuid"]] = r.asDict(recursive=True)
+            load_from = self.parquet_path
+        elif os.path.exists(self._legacy_path):
+            load_from = self._legacy_path
+        if load_from is not None:
+            import pyarrow.parquet as pq
+
+            for r in pq.read_table(load_from).to_pylist():
+                r["tags"] = dict(r["tags"] or [])
+                r["annotations"] = dict(r["annotations"] or [])
+                self._rows[r["uuid"]] = r
+                if not r["tombstoned"]:
+                    self._identity[_identity_key(r["collection"], r["tags"])] = r["uuid"]
 
     # ----------------------------------------------------------- mutations --
 
     def _persist(self) -> None:
-        df = self.df()
-        df.write.mode("overwrite").parquet(self.parquet_path + ".tmp")
-        tmp = self.spark.read.parquet(self.parquet_path + ".tmp")
-        tmp.write.mode("overwrite").parquet(self.parquet_path)
+        """Atomically rewrite the snapshot: pyarrow write to a tmp file +
+        os.replace. Milliseconds at etcd scale, and crash-safe — readers see
+        either the old or the new complete snapshot, never a partial one."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(self._rows.values())
+        table = pa.table(
+            {
+                "uuid": [r["uuid"] for r in rows],
+                "collection": [r["collection"] for r in rows],
+                "tags": [sorted(r["tags"].items()) for r in rows],
+                "annotations": [sorted(r["annotations"].items()) for r in rows],
+                "annotation_version": [r["annotation_version"] for r in rows],
+                "created_version": [r["created_version"] for r in rows],
+                "tombstoned": [r["tombstoned"] for r in rows],
+            },
+            schema=pa.schema(
+                [
+                    ("uuid", pa.string()),
+                    ("collection", pa.string()),
+                    ("tags", pa.map_(pa.string(), pa.string())),
+                    ("annotations", pa.map_(pa.string(), pa.string())),
+                    ("annotation_version", pa.int64()),
+                    ("created_version", pa.int64()),
+                    ("tombstoned", pa.bool_()),
+                ]
+            ),
+        )
+        tmp = self.parquet_path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, self.parquet_path)
         self._df = None
 
     def create(
@@ -159,15 +213,10 @@ class StreamRegistry:
             # uuid exists or was obliterated — never reusable
             # (metaprovider.go:296-326).
             raise BTrDBError(ERR_STREAM_EXISTS, "uuid exists (or is tombstoned)")
-        for r in self._rows.values():
-            if (
-                not r["tombstoned"]
-                and r["collection"] == collection
-                and r["tags"] == tags
-            ):
-                raise BTrDBError(
-                    ERR_STREAM_EXISTS, "a stream with this collection+tags exists"
-                )  # metaprovider.go:294-300
+        if _identity_key(collection, tags) in self._identity:
+            raise BTrDBError(
+                ERR_STREAM_EXISTS, "a stream with this collection+tags exists"
+            )  # metaprovider.go:294-300
         self._rows[uuid] = dict(
             uuid=uuid,
             collection=collection,
@@ -177,7 +226,94 @@ class StreamRegistry:
             created_version=1,
             tombstoned=False,
         )
-        self._df = None
+        self._identity[_identity_key(collection, tags)] = uuid
+        self._persist()
+
+    def create_many(self, streams: DataFrame) -> int:
+        """Bulk registration — the path that holds at millions of streams.
+
+        `streams` needs columns (uuid, collection, tags); optional
+        annotations. All conflict checks run as DataFrame plans against the
+        current snapshot (joins, not a driver loop): duplicate uuids within
+        the batch, uuids already registered or tombstoned, and live
+        (collection, tags)-identity collisions — the same invariants
+        create() enforces one at a time (metaprovider.go:86-99,294-326).
+        Returns the number of streams registered."""
+        cols = set(streams.columns)
+        if not {"uuid", "collection", "tags"} <= cols:
+            raise BTrDBError(ERR_BAD_TAG_KEY, "need uuid, collection, tags columns")
+        new = streams.select(
+            "uuid",
+            "collection",
+            F.col("tags"),
+            (
+                F.col("annotations")
+                if "annotations" in cols
+                else F.create_map().cast("map<string,string>").alias("annotations")
+            ),
+        )
+        ident = F.to_json(F.array_sort(F.map_entries("tags"))).alias("_ident")
+
+        bad = new.where(
+            F.col("collection").isNull()
+            | (F.length("collection") == 0)
+            | (F.length("collection") > MAX_COLLECTION_LEN)
+            | F.col("collection").contains("\x00")
+            | (F.size("tags") > MAX_TAGS)
+            | ~F.forall(
+                F.map_keys("tags"),
+                lambda k: k.rlike(KEY_REGEX) & (F.length(k) <= MAX_KEY_LEN),
+            )
+            | ~F.forall(F.map_values("tags"), lambda v: F.length(v) <= MAX_VAL_LEN)
+        )
+        if bad.limit(1).count():
+            raise BTrDBError(ERR_BAD_TAG_VALUE, "invalid collection or tags in batch")
+
+        with_ident = new.select("*", ident)
+        intra = (
+            with_ident.groupBy("uuid")
+            .count()
+            .where(F.col("count") > 1)
+            .unionByName(
+                with_ident.groupBy(F.col("collection").alias("uuid"), "_ident")
+                .count()
+                .where(F.col("count") > 1)
+                .drop("_ident")
+            )
+        )
+        if intra.limit(1).count():
+            raise BTrDBError(ERR_STREAM_EXISTS, "duplicate uuid or identity in batch")
+
+        cur = self.df()
+        if cur.limit(1).count():
+            uuid_clash = new.join(cur.select("uuid"), "uuid", "left_semi")
+            ident_clash = with_ident.join(
+                cur.where(~F.col("tombstoned")).select("collection", ident),
+                ["collection", "_ident"],
+                "left_semi",
+            )
+            if uuid_clash.limit(1).count() or ident_clash.limit(1).count():
+                raise BTrDBError(
+                    ERR_STREAM_EXISTS, "uuid or collection+tags already registered"
+                )
+
+        added = 0
+        for r in new.toArrow().to_pylist():
+            tags = dict(r["tags"] or [])
+            anns = dict(r["annotations"] or [])
+            self._rows[r["uuid"]] = dict(
+                uuid=r["uuid"],
+                collection=r["collection"],
+                tags=tags,
+                annotations=anns,
+                annotation_version=1,
+                created_version=1,
+                tombstoned=False,
+            )
+            self._identity[_identity_key(r["collection"], tags)] = r["uuid"]
+            added += 1
+        self._persist()
+        return added
 
     def set_annotations(
         self, uuid: str, expected_version: int, changes: dict[str, Optional[str]]
@@ -198,13 +334,16 @@ class StreamRegistry:
             raise BTrDBError(ERR_BAD_TAG_KEY, "too many annotations")
         r["annotations"] = ann
         r["annotation_version"] += 1
-        self._df = None
+        self._persist()
         return r["annotation_version"]
 
     def obliterate(self, uuid: str) -> None:
         r = self._live(uuid)
         r["tombstoned"] = True
-        self._df = None
+        # the identity becomes reusable (uniqueness is among live streams);
+        # the uuid never does (the tombstoned row stays forever).
+        self._identity.pop(_identity_key(r["collection"], r["tags"]), None)
+        self._persist()
 
     # --------------------------------------------------------------- reads --
 
@@ -215,21 +354,20 @@ class StreamRegistry:
         return r
 
     def df(self) -> DataFrame:
-        """The registry as a DataFrame (live + tombstoned rows)."""
+        """The registry as a DataFrame (live + tombstoned rows), scanned from
+        the parquet snapshot — not materialized from driver memory — so the
+        read plan holds however large the registry grows."""
         if self._df is None:
-            rows = [
-                (
-                    r["uuid"],
-                    r["collection"],
-                    r["tags"],
-                    r["annotations"],
-                    r["annotation_version"],
-                    r["created_version"],
-                    r["tombstoned"],
+            if os.path.exists(self.parquet_path):
+                self._df = self.spark.read.schema(STREAMS_SCHEMA).parquet(
+                    self.parquet_path
                 )
-                for r in self._rows.values()
-            ]
-            self._df = self.spark.createDataFrame(rows, STREAMS_SCHEMA)
+            elif os.path.exists(self._legacy_path):
+                self._df = self.spark.read.schema(STREAMS_SCHEMA).parquet(
+                    self._legacy_path
+                )
+            else:
+                self._df = self.spark.createDataFrame([], STREAMS_SCHEMA)
         return self._df
 
     def live_df(self) -> DataFrame:

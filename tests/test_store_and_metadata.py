@@ -129,6 +129,71 @@ def test_metadata_crud_and_lookup(db):
     assert au == {"note": 5}
 
 
+def test_registry_restart_roundtrip(spark, tmp_path):
+    """Every mutation lands in the parquet snapshot: a fresh process on the
+    same path sees creates, annotation CAS state, and permanent obliterate
+    tombstones (metaprovider.go:296-326 — uuid never reusable)."""
+    path = str(tmp_path / "db")
+    db1 = BTrDB(spark, path)
+    db1.create("u1", "a/b", {"name": "s1"}, {"note": "n"})
+    db1.create("u2", "a/c", {"name": "s2"})
+    db1.set_stream_annotations("u1", 1, {"note": "n2", "extra": "x"})
+    db1.obliterate("u2")
+
+    db2 = BTrDB(spark, path)  # simulated restart
+    info = db2.stream_info("u1")
+    assert info["annotations"] == {"note": "n2", "extra": "x"}
+    assert info["annotation_version"] == 2
+    with pytest.raises(BTrDBError) as ei:
+        db2.stream_info("u2")
+    assert ei.value.code == ERR_NO_SUCH_STREAM
+    with pytest.raises(BTrDBError) as ei:
+        db2.create("u2", "elsewhere")  # tombstone survives restart
+    assert ei.value.code == ERR_STREAM_EXISTS
+    # the freed identity (collection, tags) is reusable; the uuid is not
+    db2.create("u3", "a/c", {"name": "s2"})
+    # CAS version also restored, not reset
+    assert db2.set_stream_annotations("u1", 2, {"k": "v"}) == 3
+
+
+def test_registry_bulk_create_100k(spark, tmp_path):
+    """mp_test.go:71-938 stress at 10× scale: bulk registration runs its
+    uniqueness checks as DataFrame joins (no driver loop), and lookups stay
+    DataFrame plans over the snapshot."""
+    import pyspark.sql.functions as F
+
+    db = BTrDB(spark, str(tmp_path / "db"))
+    db.create("pre", "bulk/c1", {"name": "preexisting"})
+    streams = spark.range(100_000).select(
+        F.concat(F.lit("bulk-"), F.col("id")).alias("uuid"),
+        F.concat(F.lit("bulk/c"), F.col("id") % 100).alias("collection"),
+        F.create_map(
+            F.lit("name"), F.concat(F.lit("s"), F.col("id")),
+            F.lit("unit"), F.when(F.col("id") % 2 == 0, "amps").otherwise("volts"),
+        ).alias("tags"),
+    )
+    assert db.registry.create_many(streams) == 100_000
+    assert db.registry.live_df().count() == 100_001
+    assert db.lookup_streams(collection="bulk/c7", is_prefix=False).count() == 1000
+    assert db.list_collections(prefix="bulk/").count() == 100
+    # identity collision with a pre-registered stream is caught by the join
+    clash = spark.createDataFrame(
+        [("x1", "bulk/c1", {"name": "preexisting"})], "uuid string, collection string, tags map<string,string>"
+    )
+    with pytest.raises(BTrDBError) as ei:
+        db.registry.create_many(clash)
+    assert ei.value.code == ERR_STREAM_EXISTS
+    # uuid collision with the bulk batch too
+    clash2 = spark.createDataFrame(
+        [("bulk-5", "other/c", {"name": "zz"})], "uuid string, collection string, tags map<string,string>"
+    )
+    with pytest.raises(BTrDBError):
+        db.registry.create_many(clash2)
+    # single-stream path still works on top of bulk state
+    with pytest.raises(BTrDBError):
+        db.create("bulk-5", "any/c")
+
+
 def test_annotation_cas(db):
     db.create("u1", "c", {"name": "x"})
     v = db.set_stream_annotations("u1", 1, {"k": "v1"})
