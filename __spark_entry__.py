@@ -113,9 +113,10 @@ def q_aligned_windows_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_windows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-bounded Windows served from the ladder (serve_windows): 1-day
     windows over the pw=38 materialized level. The approximation contract —
-    a 2**38 bucket belongs to the window containing its START, and only
-    buckets with start in [qstart, qend) participate — is mirrored exactly
-    by the oracle over raw points."""
+    a 2**38 bucket belongs to the window containing its START, and buckets
+    straddling the query start participate whole, clamped into the first
+    window (qtree.go:1126-1148 non-descendable buckets) — is mirrored
+    exactly by the oracle over raw points."""
     from btrdb_server_spark.sources.testdata import ensure_events_ladder
 
     ladder = ensure_events_ladder(spark, sf_dir)
@@ -946,9 +947,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             ), sel AS (
                 SELECT * FROM pre
-                WHERE btime >= {T_2024} AND btime < {T_FEB}
+                WHERE btime + {1 << 38} > {T_2024} AND btime < {T_FEB}
             ), agg AS (
-                SELECT (btime - {T_2024}) // {DAY_NS} AS widx,
+                SELECT greatest((btime - {T_2024}) // {DAY_NS}, 0) AS widx,
                        min(bmin) AS vmin,
                        round(sum(bsum) / sum(bcnt), 6) AS vmean,
                        max(bmax) AS vmax, sum(bcnt) AS cnt

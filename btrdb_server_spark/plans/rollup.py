@@ -232,9 +232,19 @@ class RollupLadder:
         """Windows with depth-bounded descent served from the ladder: the
         best level <= depth already IS the 2**level pre-aggregation the
         operator would compute from raw points (qtree.go:1112-1148), so the
-        window assignment runs over rollup rows only."""
+        window assignment runs over rollup rows only.
+
+        Edge semantics follow the reference's non-descendable-bucket rule
+        (qtree.go:1126-1148): a 2**best bucket straddling the query start or
+        end participates WHOLE — the start-straddler is clamped into the
+        first window, the end-straddler into the last — rather than being
+        dropped, so no in-range point is ever missing from the stats."""
         from btrdb_server_spark.operators.stat import windows
 
+        if width <= 0:
+            raise ValueError("window width must be positive")
+        if not 0 <= depth <= 63:
+            raise ValueError("window depth invalid")  # quasar.go:318
         candidates = [l for l in self.levels if l <= depth and self.level(l) is not None]
         if depth <= 0 or not candidates:
             return windows(points, uuid, start, end, width, depth)
@@ -243,12 +253,18 @@ class RollupLadder:
         n_windows = (end - start) // width
         lvl = self._level_for_stream(best, uuid).where(
             (F.col("uuid") == F.lit(uuid))
-            & (F.col("bucket") >= F.lit(start))
+            # bucket + 2**best > start: include the bucket straddling the
+            # query start (it holds in-range points the raw operator counts).
+            & (F.col("bucket") > F.lit(start - (1 << best)))
             & (F.col("bucket") < F.lit(end))
         )
         agg = (
             lvl.withColumn(
-                "widx", F.floor((F.col("bucket") - F.lit(start)) / F.lit(width))
+                "widx",
+                F.greatest(
+                    F.floor((F.col("bucket") - F.lit(start)) / F.lit(width)),
+                    F.lit(0),
+                ),
             )
             .groupBy("widx")
             .agg(

@@ -185,3 +185,29 @@ def test_windows_served_from_rollup(spark, tmp_path):
     direct = windows_op(db.store.points_at(), "s1", 0, 4096, 256, depth=4).collect()
     routed = db.windows("s1", 0, 4096, 256, depth=4).collect()
     stats_equal(routed, direct)
+
+
+def test_windows_rollup_start_straddle_included(spark, tmp_path):
+    """A 2**level bucket straddling the query start participates WHOLE,
+    clamped into the first window (qtree.go:1126-1148 non-descendable
+    buckets) — no in-range point silently vanishes from the stats."""
+    pts = make_points(spark, [(i, 1.0) for i in range(100)])
+    ladder = RollupLadder(spark, str(tmp_path / "l"), levels=[4])
+    ladder.rebuild(pts)
+    # start=5 falls inside bucket [0,16); end=101 -> 3 whole windows of 32.
+    out = ladder.serve_windows(pts, "s", 5, 101, 32, depth=4).collect()
+    assert [r.time for r in out] == [5, 37, 69]
+    # whole-bucket attribution: w0 = buckets 0,16,32; w1 = 48,64; w2 = 80,96
+    assert [r["count"] for r in out] == [48, 32, 20]
+    # every point counted exactly once — nothing dropped at the edges
+    assert sum(r["count"] for r in out) == 100
+
+
+def test_windows_rollup_validates_args(spark, tmp_path):
+    pts = make_points(spark, [(i, 1.0) for i in range(32)])
+    ladder = RollupLadder(spark, str(tmp_path / "l"), levels=[4])
+    ladder.rebuild(pts)
+    with pytest.raises(ValueError):
+        ladder.serve_windows(pts, "s", 0, 32, 8, depth=64)  # quasar.go:318
+    with pytest.raises(ValueError):
+        ladder.serve_windows(pts, "s", 0, 32, 0, depth=4)
