@@ -24,9 +24,12 @@ merger.go:203, is sum-preserving). Maintenance:
 
 At 100 TB the ladder is the hot <1% of data (the reference's hot-pool tier,
 cephprovider.go:31-38): an AlignedWindows over a year at pw=38 reads ~120k
-rollup rows instead of ~10^11 points. Rewrites here target whole level files
-(local scale); on a cluster each level is partitioned by uuid_bucket and
-coarse bucket range so a MERGE touches only affected partitions.
+rollup rows instead of ~10^11 points. Each level is partitioned by
+(uuid_bucket, chunk) — uuid hash shard x coarse time range — and incremental
+maintenance rewrites ONLY the partitions the batch delta touches (dynamic
+partition overwrite), the SetChild path of qtree.go:442-474: a micro-batch
+of recent data rewrites a handful of recent chunks, never the whole level.
+Serving prunes on both partition columns before any row is read.
 """
 
 from __future__ import annotations
@@ -123,21 +126,35 @@ class RollupLadder:
         path: str,
         levels: Sequence[int] = DEFAULT_LEVELS,
         num_buckets: int = 16,
+        chunk_pw: int = 12,
+        min_chunk_shift: int = 46,
     ):
         """`num_buckets`: uuid hash shards per level, matching the point
         store's layout — single-stream stat serves prune to one shard
-        directory before any row is read."""
+        directory before any row is read.
+
+        `chunk_pw` / `min_chunk_shift`: each level is also partitioned by
+        `chunk = bucket >> max(pw + chunk_pw, min_chunk_shift)` — at most
+        2**chunk_pw rollup rows per chunk per stream, but never a chunk
+        narrower than 2**min_chunk_shift ns (default ~19.5 h), so fine
+        levels over years of data don't explode into millions of tiny
+        partitions. Incremental updates rewrite only touched chunks."""
         self.spark = spark
         self.path = path
         self.levels = sorted(levels)
         self.num_buckets = num_buckets
+        self.chunk_pw = chunk_pw
+        self.min_chunk_shift = min_chunk_shift
         os.makedirs(path, exist_ok=True)
 
     def _level_path(self, pw: int) -> str:
         return os.path.join(self.path, f"pw={pw}")
 
+    def _chunk_shift(self, pw: int) -> int:
+        return max(pw + self.chunk_pw, self.min_chunk_shift)
+
     def level(self, pw: int) -> Optional[DataFrame]:
-        """Canonical rollup columns (shard column dropped) — the
+        """Canonical rollup columns (partition columns dropped) — the
         maintenance-path view."""
         df = self._level_raw(pw)
         return None if df is None else df.select(
@@ -150,29 +167,90 @@ class RollupLadder:
             return None
         return self.spark.read.option("basePath", p).parquet(p)
 
-    def _level_for_stream(self, pw: int, uuid: str) -> Optional[DataFrame]:
+    def _level_for_stream(
+        self,
+        pw: int,
+        uuid: str,
+        start: Optional[int] = None,
+        end: Optional[int] = None,
+    ) -> Optional[DataFrame]:
         """Serving-path view: uuid_bucket partition predicate (foldable hash
-        of the literal uuid) prunes the scan to one shard directory."""
+        of the literal uuid) prunes the scan to one shard directory, and the
+        bucket range — shiftright is monotone — prunes to the chunk range."""
         df = self._level_raw(pw)
         if df is None:
             return None
         pred = F.col("uuid_bucket") == F.pmod(
             F.xxhash64(F.lit(uuid)), F.lit(self.num_buckets)
         )
+        shift = self._chunk_shift(pw)
+        if start is not None:
+            pred &= F.col("chunk") >= F.lit(start >> shift)
+        if end is not None:
+            pred &= F.col("chunk") <= F.lit((end - 1) >> shift)
         return df.where(pred).select(
             "uuid", "bucket", "vmin", "vsum", "vmax", "cnt"
         )
 
-    def _write_level(self, pw: int, df: DataFrame) -> None:
-        tmp = self._level_path(pw) + ".tmp"
-        sharded = df.withColumn(
-            "uuid_bucket", F.pmod(F.xxhash64("uuid"), F.lit(self.num_buckets))
+    def _partitioned(self, df: DataFrame, pw: int) -> DataFrame:
+        return df.select(
+            "uuid",
+            "bucket",
+            "vmin",
+            "vsum",
+            "vmax",
+            "cnt",
+            F.pmod(F.xxhash64("uuid"), F.lit(self.num_buckets)).alias("uuid_bucket"),
+            F.shiftright("bucket", self._chunk_shift(pw)).alias("chunk"),
         )
-        sharded.write.mode("overwrite").partitionBy("uuid_bucket").parquet(tmp)
-        out = self.spark.read.option("basePath", tmp).parquet(tmp)
-        out.write.mode("overwrite").partitionBy("uuid_bucket").parquet(
-            self._level_path(pw)
+
+    def _write_level(self, pw: int, df: DataFrame, dynamic: bool = False) -> None:
+        """`dynamic=False` replaces the whole level (rebuild); `dynamic=True`
+        overwrites ONLY the (uuid_bucket, chunk) partitions present in `df`.
+        The sort leads with the partition columns so the dynamic-partition
+        writer doesn't inject a second sort, and keeps (uuid, bucket)
+        clustering inside files for row-group min/max pruning."""
+        writer = (
+            self._partitioned(df, pw)
+            .sortWithinPartitions("uuid_bucket", "chunk", "uuid", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("uuid_bucket", "chunk")
         )
+        if dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(self._level_path(pw))
+
+    def _touched_pred(self, delta: DataFrame, pw: int):
+        """Partition predicate covering exactly the (uuid_bucket, chunk)
+        pairs present in `delta`. The pair set is partition-count-sized (a
+        micro-batch touches a handful of chunks), so collecting it to build
+        a literal pruning predicate is a metadata-scale operation."""
+        shift = self._chunk_shift(pw)
+        pairs = (
+            delta.select(
+                F.pmod(F.xxhash64("uuid"), F.lit(self.num_buckets)).alias("b"),
+                F.shiftright("bucket", shift).alias("c"),
+            )
+            .distinct()
+            .collect()
+        )
+        if not pairs:
+            return None
+        if len(pairs) > 512:
+            # Degenerate giant backfill: fall back to coarse rectangular
+            # pruning rather than a huge disjunction.
+            bs = sorted({r.b for r in pairs})
+            clo, chi = min(r.c for r in pairs), max(r.c for r in pairs)
+            return (
+                F.col("uuid_bucket").isin(bs)
+                & (F.col("chunk") >= clo)
+                & (F.col("chunk") <= chi)
+            )
+        pred = None
+        for r in pairs:
+            p = (F.col("uuid_bucket") == r.b) & (F.col("chunk") == r.c)
+            pred = p if pred is None else (pred | p)
+        return pred
 
     def rebuild(self, points: DataFrame) -> None:
         """Full build: finest level from points, each coarser level from the
@@ -189,8 +267,11 @@ class RollupLadder:
 
     def update_with_batch(self, batch: DataFrame) -> None:
         """Incremental maintenance on ingest (the SetChild path,
-        qtree.go:442-474): aggregate the batch per level and fold it in.
-        Correct for arbitrarily late data — the combine is associative."""
+        qtree.go:442-474): aggregate the batch per level, merge it with the
+        existing rows of ONLY the touched partitions, and dynamically
+        overwrite just those partitions. Correct for arbitrarily late data —
+        the combine is associative — and a batch of recent points rewrites a
+        handful of recent chunks, never the level."""
         delta = None
         for pw in self.levels:
             # Coarsen the BATCH's rollup (not the merged level — that would
@@ -201,20 +282,53 @@ class RollupLadder:
                 else rollup_from_rollup(delta, pw)
             ).localCheckpoint(eager=True)
             old = self.level(pw)
-            merged = delta if old is None else merge_rollups(old, delta)
-            self._write_level(pw, merged)
+            if old is None:
+                self._write_level(pw, delta)
+                continue
+            pred = self._touched_pred(delta, pw)
+            if pred is None:  # empty batch
+                continue
+            old_touched = (
+                self._level_raw(pw)
+                .where(pred)
+                .select("uuid", "bucket", "vmin", "vsum", "vmax", "cnt")
+            )
+            # Materialize before the write: the merge reads the very files
+            # the dynamic overwrite replaces.
+            merged = merge_rollups(old_touched, delta).localCheckpoint(eager=True)
+            self._write_level(pw, merged, dynamic=True)
 
     def recompute_range(self, points: DataFrame, uuid: str, start: int, end: int) -> None:
         """After a range delete: recompute only buckets intersecting
-        [start, end) for `uuid` from the (post-delete) base points."""
+        [start, end) for `uuid` from the (post-delete) base points, touching
+        only the partitions of that stream's shard in the chunk range."""
+        import shutil
+
+        ub = (
+            self.spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(uuid)), F.lit(self.num_buckets)))
+            .first()[0]
+        )
         for pw in self.levels:
-            old = self.level(pw)
-            if old is None:
+            if self._level_raw(pw) is None:
                 continue
             lo = align_floor(start, pw)
             hi = align_floor(end - 1, pw) + (1 << pw)
+            shift = self._chunk_shift(pw)
+            clo, chi = lo >> shift, (hi - 1) >> shift
+            part_pred = (
+                (F.col("uuid_bucket") == F.lit(ub))
+                & (F.col("chunk") >= F.lit(clo))
+                & (F.col("chunk") <= F.lit(chi))
+            )
             affected = (F.col("uuid") == F.lit(uuid)) & (
                 (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") < F.lit(hi))
+            )
+            keep = (
+                self._level_raw(pw)
+                .where(part_pred)
+                .select("uuid", "bucket", "vmin", "vsum", "vmax", "cnt")
+                .where(~affected)
             )
             fresh = rollup_from_points(
                 points.where(
@@ -224,7 +338,25 @@ class RollupLadder:
                 ),
                 pw,
             )
-            self._write_level(pw, old.where(~affected).unionByName(fresh))
+            merged = keep.unionByName(fresh).localCheckpoint(eager=True)
+            # Dynamic overwrite only replaces partitions that receive rows; a
+            # chunk whose every row was deleted would survive stale — remove
+            # such directories explicitly (a driver-side metadata op).
+            present = {
+                r.c
+                for r in merged.select(
+                    F.shiftright("bucket", shift).alias("c")
+                ).distinct().collect()
+            }
+            for c in range(clo, chi + 1):
+                if c not in present:
+                    d = os.path.join(
+                        self._level_path(pw), f"uuid_bucket={ub}", f"chunk={c}"
+                    )
+                    if os.path.exists(d):
+                        shutil.rmtree(d)
+            if present:
+                self._write_level(pw, merged, dynamic=True)
 
     def serve_windows(
         self, points: DataFrame, uuid: str, start: int, end: int, width: int, depth: int
@@ -251,7 +383,9 @@ class RollupLadder:
         best = max(candidates)
         end = end - (end - start) % width
         n_windows = (end - start) // width
-        lvl = self._level_for_stream(best, uuid).where(
+        lvl = self._level_for_stream(
+            best, uuid, start - (1 << best) + 1, end
+        ).where(
             (F.col("uuid") == F.lit(uuid))
             # bucket + 2**best > start: include the bucket straddling the
             # query start (it holds in-range points the raw operator counts).
@@ -297,7 +431,12 @@ class RollupLadder:
         if candidates:
             best = max(candidates)
             return stat_from_rollup(
-                self._level_for_stream(best, uuid), best, uuid, start, end, pw
+                self._level_for_stream(best, uuid, align_floor(start, pw), align_floor(end, pw)),
+                best,
+                uuid,
+                start,
+                end,
+                pw,
             )
         from btrdb_server_spark.operators.stat import aligned_windows
 

@@ -108,7 +108,7 @@ T_JAN20 = 1_705_708_800_000_000_000
 
 # Bump when the ladder/store build semantics change: the tag is part of the
 # /tmp cache path, so stale artifacts from older code can never be served.
-CACHE_TAG = "v2"  # v2: rollup ladder levels sharded by uuid_bucket
+CACHE_TAG = "v3"  # v3: ladder levels partitioned by (uuid_bucket, chunk)
 
 
 def ensure_events_store(spark: SparkSession, sf_dir: str):

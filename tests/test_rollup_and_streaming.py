@@ -187,6 +187,79 @@ def test_windows_served_from_rollup(spark, tmp_path):
     stats_equal(routed, direct)
 
 
+def _level_files(level_dir):
+    """{relative parquet path: (size, mtime_ns)} for every data file."""
+    import os
+
+    out = {}
+    for root, _, files in os.walk(level_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, level_dir)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_update_rewrites_only_touched_partitions(spark, tmp_path):
+    """Incremental maintenance is partition-targeted (qtree.go:442-474
+    SetChild): a batch confined to one chunk's time range leaves every other
+    (uuid_bucket, chunk) partition's files byte-for-byte untouched."""
+    chunk_w = 1 << 20  # min_chunk_shift=20 -> 2**20 ns chunks
+    ladder = RollupLadder(
+        spark, str(tmp_path / "l"), levels=[4], min_chunk_shift=20
+    )
+    base = make_points(
+        spark, [(i * (chunk_w // 64), float(i)) for i in range(64 * 40)]
+    )  # ~40 chunks
+    ladder.rebuild(base)
+    level_dir = str(tmp_path / "l" / "pw=4")
+    before = _level_files(level_dir)
+    assert len({f.split("/")[1] for f in before}) > 10  # many chunk dirs
+
+    # batch confined to chunk 5
+    batch = make_points(spark, [(5 * chunk_w + j * 100, 1.0) for j in range(50)])
+    ladder.update_with_batch(batch)
+    after = _level_files(level_dir)
+
+    changed = {
+        f for f in set(before) | set(after) if before.get(f) != after.get(f)
+    }
+    assert changed, "the touched chunk must be rewritten"
+    assert all("chunk=5" in f for f in changed), changed
+
+    # and the merged level equals a from-scratch rebuild
+    full = RollupLadder(
+        spark, str(tmp_path / "full"), levels=[4], min_chunk_shift=20
+    )
+    full.rebuild(base.unionByName(batch))
+    a = ladder.level(4).orderBy("uuid", "bucket").collect()
+    b = full.level(4).orderBy("uuid", "bucket").collect()
+    assert [(r.uuid, r.bucket, r.cnt, r.vmin, r.vmax, r.vsum) for r in a] == [
+        (r.uuid, r.bucket, r.cnt, r.vmin, r.vmax, r.vsum) for r in b
+    ]
+
+
+def test_recompute_range_drops_emptied_chunks(spark, tmp_path):
+    """A range delete that empties a whole chunk removes its directory —
+    stale rollup rows must not survive the dynamic overwrite."""
+    chunk_w = 1 << 20
+    ladder = RollupLadder(spark, str(tmp_path / "l"), levels=[4], min_chunk_shift=20)
+    pts = make_points(spark, [(i * (chunk_w // 16), float(i)) for i in range(16 * 6)])
+    ladder.rebuild(pts)
+    # delete chunk 2 entirely plus half of chunk 3
+    dstart, dend = 2 * chunk_w, 3 * chunk_w + chunk_w // 2
+    kept = pts.where(~F.col("time").between(dstart, dend - 1))
+    ladder.recompute_range(kept, "s", dstart, dend)
+    got = ladder.level(4).where(
+        (F.col("bucket") >= dstart) & (F.col("bucket") < dend)
+    )
+    assert got.count() == 0
+    direct = aligned_windows(kept, "s", 0, 16 * 6 * (chunk_w // 16), 8).collect()
+    routed = ladder.serve_aligned(kept, "s", 0, 16 * 6 * (chunk_w // 16), 8).collect()
+    stats_equal(routed, direct)
+
+
 def test_windows_rollup_start_straddle_included(spark, tmp_path):
     """A 2**level bucket straddling the query start participates WHOLE,
     clamped into the first window (qtree.go:1126-1148 non-descendable
