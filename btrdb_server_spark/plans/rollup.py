@@ -265,13 +265,27 @@ class RollupLadder:
             self._write_level(pw, cur)
             finer = self.level(pw)
 
-    def update_with_batch(self, batch: DataFrame) -> None:
+    def _level_batch_marker(self, pw: int) -> str:
+        return os.path.join(self._level_path(pw), "_last_batch_id")
+
+    def level_last_batch(self, pw: int) -> int:
+        try:
+            with open(self._level_batch_marker(pw)) as f:
+                return int(f.read())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def update_with_batch(self, batch: DataFrame, batch_id: Optional[int] = None) -> None:
         """Incremental maintenance on ingest (the SetChild path,
         qtree.go:442-474): aggregate the batch per level, merge it with the
         existing rows of ONLY the touched partitions, and dynamically
         overwrite just those partitions. Correct for arbitrarily late data —
         the combine is associative — and a batch of recent points rewrites a
-        handful of recent chunks, never the level."""
+        handful of recent chunks, never the level.
+
+        `batch_id` (streaming replays, ST4): each level records the last
+        batch id folded into it, so a foreachBatch replay after a crash
+        re-folds only levels the crash left behind — never double-counts."""
         delta = None
         for pw in self.levels:
             # Coarsen the BATCH's rollup (not the merged level — that would
@@ -281,22 +295,27 @@ class RollupLadder:
                 if delta is None
                 else rollup_from_rollup(delta, pw)
             ).localCheckpoint(eager=True)
+            if batch_id is not None and self.level_last_batch(pw) >= batch_id:
+                continue  # replay: this level already folded this batch
             old = self.level(pw)
             if old is None:
                 self._write_level(pw, delta)
-                continue
-            pred = self._touched_pred(delta, pw)
-            if pred is None:  # empty batch
-                continue
-            old_touched = (
-                self._level_raw(pw)
-                .where(pred)
-                .select("uuid", "bucket", "vmin", "vsum", "vmax", "cnt")
-            )
-            # Materialize before the write: the merge reads the very files
-            # the dynamic overwrite replaces.
-            merged = merge_rollups(old_touched, delta).localCheckpoint(eager=True)
-            self._write_level(pw, merged, dynamic=True)
+            else:
+                pred = self._touched_pred(delta, pw)
+                if pred is None:  # empty batch
+                    continue
+                old_touched = (
+                    self._level_raw(pw)
+                    .where(pred)
+                    .select("uuid", "bucket", "vmin", "vsum", "vmax", "cnt")
+                )
+                # Materialize before the write: the merge reads the very
+                # files the dynamic overwrite replaces.
+                merged = merge_rollups(old_touched, delta).localCheckpoint(eager=True)
+                self._write_level(pw, merged, dynamic=True)
+            if batch_id is not None:
+                with open(self._level_batch_marker(pw), "w") as f:
+                    f.write(str(batch_id))
 
     def recompute_range(self, points: DataFrame, uuid: str, start: int, end: int) -> None:
         """After a range delete: recompute only buckets intersecting

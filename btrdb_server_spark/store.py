@@ -172,10 +172,23 @@ class PointStore:
         self._write_manifest(m)
         return v
 
-    def insert_many(self, points: DataFrame) -> int:
+    def batch_committed(self, batch_id: int) -> bool:
+        """True if a streaming micro-batch with this id already committed —
+        the replay guard for foreachBatch recovery (ST4)."""
+        return batch_id <= self._read_manifest().get("last_batch_id", -1)
+
+    def insert_many(self, points: DataFrame, batch_id: Optional[int] = None) -> int:
         """Append a multi-stream batch (uuid, time, value) as one version —
-        the foreachBatch ingest path (streaming/ingest.py)."""
+        the foreachBatch ingest path (streaming/ingest.py).
+
+        `batch_id` makes the call idempotent: foreachBatch can replay a
+        micro-batch after a crash, and replaying an already-committed id
+        must not mint a fresh version (the standard idempotent-foreachBatch
+        pattern — the id is recorded in the SAME manifest write that commits
+        the version, so the check-and-commit is atomic on the driver)."""
         m = self._read_manifest()
+        if batch_id is not None and batch_id <= m.get("last_batch_id", -1):
+            return m["version"]
         v = m["version"] + 1
         uuids = self._write_version(
             points.select("uuid", "time", "value"), v, collect_uuids=True
@@ -184,6 +197,8 @@ class PointStore:
         for u in uuids:
             m["streams"][u] = v
         m["has_points"] = True
+        if batch_id is not None:
+            m["last_batch_id"] = batch_id
         self._write_manifest(m)
         return v
 

@@ -53,12 +53,15 @@ class IngestPipeline:
             batch = validate_points(batch)
         if batch.isEmpty():
             return
-        # Idempotence (ST4): foreachBatch can replay a batch id on recovery;
-        # versions are assigned at commit so a replayed batch folds in as a
-        # fresh version — readers at an explicit version are unaffected.
-        self.store.insert_many(batch)
+        # Idempotence (ST4): after a crash, foreachBatch replays the last
+        # uncommitted batch id with identical data (checkpoint WAL). The
+        # store records the id atomically with its version commit and skips
+        # replays; each ladder level records the last id folded into it, so
+        # a crash between the two (or mid-ladder) re-folds exactly the
+        # levels that missed the batch — no double counts, no gaps.
+        self.store.insert_many(batch, batch_id=batch_id)
         if self.ladder is not None:
-            self.ladder.update_with_batch(batch)
+            self.ladder.update_with_batch(batch, batch_id=batch_id)
         self.batches_seen += 1
 
     def start(

@@ -155,6 +155,41 @@ def test_streaming_ingest_flush_and_visibility(spark, tmp_path):
         pipe.stop()
 
 
+def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
+    """ST4: a crashed foreachBatch replays its batch id with identical data;
+    the replay must not mint a new store version or double-fold the ladder
+    (the idempotent-foreachBatch pattern)."""
+    store = PointStore(spark, str(tmp_path / "store"))
+    ladder = RollupLadder(spark, str(tmp_path / "ladder"), levels=[4, 10])
+    pipe = IngestPipeline(store, ladder)
+
+    b0 = make_points(spark, [(i, float(i)) for i in range(100)])
+    pipe._process_batch(b0, 0)
+    v_after = store.version
+    counts = {pw: ladder.level(pw).agg(F.sum("cnt")).first()[0] for pw in (4, 10)}
+    assert v_after == 1 and counts == {4: 100, 10: 100}
+
+    pipe._process_batch(b0, 0)  # full replay
+    assert store.version == v_after
+    for pw in (4, 10):
+        assert ladder.level(pw).agg(F.sum("cnt")).first()[0] == 100
+
+    # partial crash: the store committed batch 1 but the process died before
+    # the ladder folded it. The replay must skip the store insert (no new
+    # version) yet still fold every ladder level exactly once.
+    b1 = make_points(spark, [(1000 + i, 1.0) for i in range(50)])
+    store.insert_many(b1, batch_id=1)
+    assert store.version == 2
+    pipe._process_batch(b1, 1)  # replay
+    assert store.version == 2  # no third version
+    for pw in (4, 10):
+        assert ladder.level(pw).agg(F.sum("cnt")).first()[0] == 150
+    pipe._process_batch(b1, 1)  # replay again: fully committed, full no-op
+    assert store.version == 2
+    for pw in (4, 10):
+        assert ladder.level(pw).agg(F.sum("cnt")).first()[0] == 150
+
+
 def test_api_with_rollups_end_to_end(spark, tmp_path):
     """Facade with a ladder: stat queries route through rollups and stay
     correct across inserts and deletes."""
