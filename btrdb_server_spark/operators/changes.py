@@ -10,24 +10,33 @@ merger.go:16-130 mergeChangedRanges):
 Spark-first: the change log is rows (from the MVCC store or an explicit
 per-batch log); coarsening is a shiftright groupBy-distinct; coalescing is the
 classic gap-and-islands rewrite — running max(end) via a window, gap flags,
-running sum as group id, then groupBy. Per-uuid windows shuffle once by uuid;
-no driver-side loops.
+running sum as group id, then groupBy.
+
+Scale shape: a single global `Window.orderBy` serializes the whole interval
+set through one task, so coalescing is CHUNKED — phase 1 merges within
+(uuid, chunk) groups in parallel (chunk = start >> chunk_shift), phase 2
+re-merges only the islands that can interact across chunk boundaries. An
+island is provably final ("safe") when no earlier chunk's reach (running max
+of interval ends) touches its start and it does not itself touch its chunk's
+right edge; the risky remainder is bounded by the chunk count, so the one
+remaining global window runs over a metadata-sized set. A fine-resolution
+diff of a dense stream — the case that serialized before — collapses inside
+the parallel phase.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def coalesce_intervals(intervals: DataFrame, by_uuid: bool = False) -> DataFrame:
-    """Merge overlapping/adjacent [start, end) intervals (merger.go:16-130).
-
-    Input columns: start, end (+ uuid when by_uuid). Adjacent means
-    next.start <= prev.end — touching intervals merge, as the reference's
-    merger treats [a,b) [b,c) as one [a,c).
-    """
-    keys = ["uuid"] if by_uuid else []
+def _gap_islands(intervals: DataFrame, keys: list[str]) -> DataFrame:
+    """Gap-and-islands merge of [start, end) intervals within each `keys`
+    group (merger.go:16-130). Adjacent means next.start <= prev.end —
+    touching intervals merge, as the reference's merger treats [a,b) [b,c)
+    as one [a,c)."""
     w = Window.partitionBy(*keys).orderBy("start") if keys else Window.orderBy("start")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     flagged = intervals.select(
@@ -45,11 +54,64 @@ def coalesce_intervals(intervals: DataFrame, by_uuid: bool = False) -> DataFrame
         flagged.groupBy(*keys, "grp")
         .agg(F.min("start").alias("start"), F.max("end").alias("end"))
         .select(*keys, "start", "end")
-        .orderBy(*keys, "start")
     )
 
 
-def buckets_to_ranges(buckets: DataFrame, resolution: int, by_uuid: bool = False) -> DataFrame:
+def coalesce_intervals(
+    intervals: DataFrame,
+    by_uuid: bool = False,
+    chunk_shift: Optional[int] = None,
+) -> DataFrame:
+    """Merge overlapping/adjacent [start, end) intervals.
+
+    Input columns: start, end (+ uuid when by_uuid). With `chunk_shift`
+    (the scale path — always set it on big inputs), the heavy merge runs
+    partitioned by (uuid, start >> chunk_shift) and only boundary-spanning
+    islands see a global window.
+    """
+    keys = ["uuid"] if by_uuid else []
+    if chunk_shift is None:
+        return _gap_islands(intervals, keys).orderBy(*keys, "start")
+
+    chunked = intervals.withColumn("chunk", F.shiftright("start", chunk_shift))
+    p1 = _gap_islands(chunked, keys + ["chunk"])
+
+    # reach(chunk) = max interval end over all STRICTLY EARLIER chunks: the
+    # farthest any earlier island can extend toward this chunk. One row per
+    # non-empty chunk — the global window here is over a metadata-sized set.
+    wk = (
+        Window.partitionBy(*keys).orderBy("chunk")
+        if keys
+        else Window.orderBy("chunk")
+    )
+    reach = (
+        p1.groupBy(*keys, "chunk")
+        .agg(F.max("end").alias("cend"))
+        .withColumn(
+            "reach",
+            F.max("cend").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .select(*keys, "chunk", "reach")
+    )
+    joined = p1.join(F.broadcast(reach), keys + ["chunk"], "left")
+    # Touch semantics are >=: an island is risky if an earlier chunk reaches
+    # its start (reach >= start) or it reaches its chunk's right edge
+    # (end >= (chunk+1) << chunk_shift).
+    risky_cond = (
+        F.col("reach").isNotNull() & (F.col("reach") >= F.col("start"))
+    ) | (F.col("end") >= F.shiftleft(F.col("chunk") + F.lit(1), chunk_shift))
+    safe = joined.where(~risky_cond).select(*keys, "start", "end")
+    risky = joined.where(risky_cond).select(*keys, "start", "end")
+    p2 = _gap_islands(risky, keys)
+    return safe.unionByName(p2).orderBy(*keys, "start")
+
+
+def buckets_to_ranges(
+    buckets: DataFrame,
+    resolution: int,
+    by_uuid: bool = False,
+    chunk_shift: Optional[int] = None,
+) -> DataFrame:
     """Turn a set of changed 2**resolution buckets (column `bucket` = time >>
     resolution) into coalesced [start, end) ranges (quasar.go:442-476)."""
     keys = ["uuid"] if by_uuid else []
@@ -58,7 +120,12 @@ def buckets_to_ranges(buckets: DataFrame, resolution: int, by_uuid: bool = False
         F.shiftleft(F.col("bucket"), resolution).alias("start"),
         F.shiftleft(F.col("bucket") + F.lit(1), resolution).alias("end"),
     ).distinct()
-    return coalesce_intervals(iv, by_uuid=by_uuid)
+    if chunk_shift is None and not by_uuid:
+        # Single-key coalescing would otherwise serialize through one
+        # window task; per-uuid windows already parallelize across streams
+        # (chunking stays available via chunk_shift for one dense stream).
+        chunk_shift = min(resolution + 12, 62)  # ~4096 buckets per chunk
+    return coalesce_intervals(iv, by_uuid=by_uuid, chunk_shift=chunk_shift)
 
 
 def times_to_changed_ranges(

@@ -372,4 +372,4 @@ class PointStore:
                 ).alias("end"),
             )
             ins = ins.unionByName(dranges)
-        return coalesce_intervals(ins)
+        return coalesce_intervals(ins, chunk_shift=min(resolution + 12, 62))

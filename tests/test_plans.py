@@ -111,3 +111,18 @@ def test_window_spine_join_broadcasts(spark):
     neither side may shuffle the points table a second time."""
     plan = plan_of(entry_mod.q_windows_holes(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_changed_ranges_heavy_window_is_partitioned(spark):
+    """Interval coalescing must not funnel the full interval set through one
+    single-partition global window: the first (heavy) gap-and-islands pass
+    runs partitioned by the chunk key; only chunk-scale remainders may see
+    an unpartitioned window."""
+    import re
+
+    df = entry_mod.q_changed_ranges(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert windows, "expected window operators in the plan"
+    chunked = [w for w in windows if "chunk" in w]
+    assert chunked, f"no chunk-partitioned window in plan: {windows}"

@@ -186,3 +186,49 @@ def test_times_to_changed_ranges(spark):
     got = [(r.start, r.end) for r in times_to_changed_ranges(times, 3).collect()]
     # buckets: 0 ([0,8)), 1 ([8,16)), 2 ([16,24)), 8 ([64,72)) -> [0,24), [64,72)
     assert got == [(0, 24), (64, 72)]
+
+
+def test_chunked_coalescing_matches_global(spark):
+    """The parallel chunk-and-merge path (phase-1 per-chunk islands + global
+    pass over boundary-risky islands only) must produce exactly the global
+    single-window answer, including islands spanning many chunks and
+    boundary-touching [a,b) [b,c) merges."""
+    import random
+
+    rng = random.Random(11)
+    cases = []
+    for _ in range(6):
+        ivs = []
+        for _ in range(rng.randint(5, 120)):
+            s = rng.randint(0, 4000)
+            e = s + rng.randint(1, 300)  # many cross the 2**6=64 chunk width
+            ivs.append((s, e))
+        cases.append(ivs)
+    cases.append([(0, 64), (64, 128), (128, 129)])  # exact-boundary touches
+    cases.append([(0, 4000)])  # one island over all chunks
+    for ivs in cases:
+        df = spark.createDataFrame(ivs, "start long, end long")
+        base = [
+            (r.start, r.end)
+            for r in coalesce_intervals(df).orderBy("start").collect()
+        ]
+        chunked = [
+            (r.start, r.end)
+            for r in coalesce_intervals(df, chunk_shift=6).orderBy("start").collect()
+        ]
+        assert chunked == base
+
+    # per-uuid variant
+    rows = [("u%d" % (i % 3), s, e) for i, (s, e) in enumerate(cases[0])]
+    df = spark.createDataFrame(rows, "uuid string, start long, end long")
+    base = [
+        (r.uuid, r.start, r.end)
+        for r in coalesce_intervals(df, by_uuid=True).orderBy("uuid", "start").collect()
+    ]
+    chunked = [
+        (r.uuid, r.start, r.end)
+        for r in coalesce_intervals(df, by_uuid=True, chunk_shift=6)
+        .orderBy("uuid", "start")
+        .collect()
+    ]
+    assert chunked == base
