@@ -473,11 +473,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from btrdb_server_spark.functions.similarity import cosine_topk
+    from btrdb_server_spark.functions.similarity import cosine_topk_by_id
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk(emb, [float(x) for x in probe], k=10)
+    return cosine_topk_by_id(emb, probe_id=0, k=10)
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

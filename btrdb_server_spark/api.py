@@ -301,6 +301,14 @@ class BTrDB:
         version: Optional[int] = None,
     ) -> DataFrame:
         pts = self.store.points_at(version)
+        if version is None:
+            # Latest-generation reads merge uncommitted buffers like every
+            # other read path (the PQM merge) — buffered points must not
+            # silently vanish from CSV output.
+            for u in uuids:
+                bdf = self._buffer_df(u)
+                if bdf is not None:
+                    pts = pts.unionByName(bdf)
         if pw is None:
             return align_streams(pts, uuids, start, end)
         return align_streams_windowed(pts, uuids, start, end, pw)

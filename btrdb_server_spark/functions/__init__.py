@@ -19,6 +19,7 @@ from btrdb_server_spark.functions.similarity import (
     ann_topk_lsh,
     centroids_from_rows,
     cosine_topk,
+    cosine_topk_by_id,
     ivf_assign,
     lsh_bucket_assignments,
     near_dup_pairs,
@@ -47,6 +48,7 @@ __all__ = [
     "ann_topk_lsh",
     "centroids_from_rows",
     "cosine_topk",
+    "cosine_topk_by_id",
     "ivf_assign",
     "lsh_bucket_assignments",
     "near_dup_pairs",

@@ -65,6 +65,31 @@ def cosine_topk(
     )
 
 
+def cosine_topk_by_id(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """cosine_topk with the probe vector taken from the corpus by id: the
+    probe rides in as a broadcast 1-row join instead of a driver-side
+    collect, so the whole top-k is one Spark job with no driver round-trip."""
+    probe_row = embeddings.where(F.col(id_col) == probe_id).select(
+        F.col(vec_col).cast("array<double>").alias("q")
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.join(F.broadcast(probe_row))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(emb, F.col("q")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hyperplanes(dim: int, planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (unit normals not required for sign
     tests). Same literals feed the Spark plan and the SQL oracle."""

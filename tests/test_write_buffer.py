@@ -80,6 +80,23 @@ def test_buffered_validation_and_delete_flush(db):
     assert db.query_version("s")[1] == 0
 
 
+def test_generate_csv_merges_buffers(db):
+    """Latest-generation CSV output includes uncommitted buffered points
+    (the PQM merge applies to ALL latest reads, GenerateCSV included)."""
+    db.insert("a", [(1, 1.0), (3, 3.0)])
+    db.flush("a")
+    db.insert("a", [(5, 5.0)])  # buffered, uncommitted
+    db.insert("b", [(3, 30.0)])  # buffered, uncommitted
+    out = db.generate_csv(["a", "b"], 0, 10)
+    rows = {r.time: (r["a"], r["b"]) for r in out.collect()}
+    assert set(rows) == {1, 3, 5}
+    assert rows[5] == (5.0, None)
+    assert rows[3] == (3.0, 30.0)
+    # explicit-version read stays committed-only
+    committed = db.generate_csv(["a", "b"], 0, 10, version=1)
+    assert {r.time for r in committed.collect()} == {1, 3}
+
+
 def test_age_based_flush(db):
     """A buffer older than max_buffer_age_seconds commits on the next
     insert (inline check) or via flush_aged() (the background-scan analog,
