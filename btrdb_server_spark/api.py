@@ -37,6 +37,7 @@ class BTrDB:
         path: str,
         rollup_levels=None,
         buffer_commit_threshold: Optional[int] = None,
+        dup_timestamp_cap: Optional[int] = None,
     ):
         """`rollup_levels`: optional pointwidth ladder (e.g. [12, 18, 24, 30])
         maintained on every write; AlignedWindows at latest version then
@@ -52,7 +53,9 @@ class BTrDB:
         (read-your-writes, ST5/J1); reads at explicit versions see committed
         data only (quasar.go:241-270,389-396)."""
         self.spark = spark
-        self.store = PointStore(spark, os.path.join(path, "data"))
+        self.store = PointStore(
+            spark, os.path.join(path, "data"), dup_timestamp_cap=dup_timestamp_cap
+        )
         self.registry = StreamRegistry(spark, os.path.join(path, "meta"))
         self.ladder = (
             RollupLadder(spark, os.path.join(path, "rollups"), rollup_levels)
@@ -67,6 +70,13 @@ class BTrDB:
         self._buffer_birth: dict[str, float] = {}
 
     # -------------------------------------------------------------- buffer --
+
+    def _maybe_truncate(self, batch: DataFrame) -> DataFrame:
+        if self.store.dup_timestamp_cap is None:
+            return batch
+        from btrdb_server_spark.operators.raw import truncate_dense_timestamps
+
+        return truncate_dense_timestamps(batch, self.store.dup_timestamp_cap)
 
     def _buffer_df(self, uuid: str) -> Optional[DataFrame]:
         buf = self._buffers.get(uuid)
@@ -88,8 +98,10 @@ class BTrDB:
         pts = self._buffers.pop(uuid, []) + (extra or [])
         if not pts:
             return self.store.stream_version(uuid)
-        batch = self.spark.createDataFrame(
-            [(uuid, int(t), float(v)) for t, v in pts], POINTS_SCHEMA
+        batch = self._maybe_truncate(
+            self.spark.createDataFrame(
+                [(uuid, int(t), float(v)) for t, v in pts], POINTS_SCHEMA
+            )
         )
         v = self.store.insert(uuid, batch, enforce_batch_cap=False)
         if self.ladder is not None:
@@ -182,6 +194,9 @@ class BTrDB:
             from pyspark.sql import functions as F
 
             batch = points.select(F.lit(uuid).alias("uuid"), "time", "value")
+        # Truncate once here so the ladder folds exactly what the store
+        # persists (the store's own truncation is then a no-op).
+        batch = self._maybe_truncate(batch)
         v = self.store.insert(uuid, batch, enforce_batch_cap=enforce_batch_cap)
         if self.ladder is not None:
             self.ladder.update_with_batch(batch)

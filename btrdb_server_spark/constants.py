@@ -31,6 +31,11 @@ STAT_BATCH_SIZE: int = 5_000
 CHANGED_RANGE_BATCH_SIZE: int = 1_000
 LOOKUP_STREAMS_BATCH_SIZE: int = 200
 
+# Max points sharing one 1-ns timestamp when reference-compat truncation is
+# enabled: a pw=0 vector block holds VSIZE=1024 points and the reference
+# truncates the overflow on insert (qtree.go:692-699, bstore VSIZE).
+DUP_TIMESTAMP_CAP: int = 1024
+
 # Write buffering (pqm.go:35-41).
 MAX_BUFFER_POINTS: int = 32_768
 MAX_BUFFER_AGE_SECONDS: int = 8 * 3600

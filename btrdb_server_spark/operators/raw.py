@@ -63,3 +63,23 @@ def invalid_cond() -> Column:
 def invalid_points(points: DataFrame) -> DataFrame:
     """The complement of validate_points."""
     return points.where(invalid_cond())
+
+
+def truncate_dense_timestamps(points: DataFrame, cap: int) -> DataFrame:
+    """Reference-compat truncation: keep at most `cap` points per
+    (uuid, 1-ns timestamp). A pw=0 vector block holds VSIZE=1024 points and
+    the reference drops the overflow on insert with a 'FIX YOUR DATA'
+    warning (qtree.go:692-699); by default this engine stores unbounded
+    duplicates (a documented superset) and this transform is the opt-in
+    compat mode. Kept rows are the `cap` smallest values per timestamp —
+    deterministic where the reference keeps arrival order. The window
+    partitions by (uuid, time), so superdense timestamps shuffle but never
+    serialize a whole stream through one task."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("uuid", "time").orderBy("value")
+    return (
+        points.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(cap))
+        .drop("_rn")
+    )

@@ -57,12 +57,24 @@ class PointStore:
     """Versioned (uuid, time, value) store with snapshot reads, range deletes
     and version diffs."""
 
-    def __init__(self, spark: SparkSession, path: str, num_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_buckets: int = 16,
+        dup_timestamp_cap: Optional[int] = None,
+    ):
         """`num_buckets`: uuid hash shards within every version directory —
         the murmur3-range analog (cluster_leader.go:21-43). Single-stream
-        reads prune to one bucket; tune to executor count at cluster scale."""
+        reads prune to one bucket; tune to executor count at cluster scale.
+
+        `dup_timestamp_cap`: reference-compat truncation of points sharing
+        one 1-ns timestamp (qtree.go:692-699 caps at VSIZE=1024, see
+        constants.DUP_TIMESTAMP_CAP). Default None stores unbounded
+        duplicates — a documented superset of the reference."""
         self.spark = spark
         self.path = path
+        self.dup_timestamp_cap = dup_timestamp_cap
         self.points_path = os.path.join(path, "points")
         self.deletes_path = os.path.join(path, "deletes")
         self.manifest_path = os.path.join(path, "manifest.json")
@@ -117,6 +129,8 @@ class PointStore:
         uuid list (empty when collect_uuids=False)."""
         from pyspark.sql import Observation
 
+        if self.dup_timestamp_cap is not None:
+            points = raw_ops.truncate_dense_timestamps(points, self.dup_timestamp_cap)
         obs = Observation()
         metrics = [
             F.sum(raw_ops.invalid_cond().cast("long")).alias("n_bad"),

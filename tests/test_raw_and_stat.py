@@ -95,6 +95,35 @@ def test_superdense_duplicates(spark):
     assert st[0]["min"] == 0.0 and st[0]["max"] == 9999.0
 
 
+def test_superdense_truncation_compat(spark, tmp_path):
+    """Opt-in reference compat (qtree.go:692-699): at most 1024 points per
+    identical 1-ns timestamp survive the insert; default mode keeps all."""
+    from btrdb_server_spark.api import BTrDB
+    from btrdb_server_spark.constants import DUP_TIMESTAMP_CAP
+    from btrdb_server_spark.operators.raw import truncate_dense_timestamps
+
+    rows = [(5, float(i)) for i in range(10_000)] + [(6, 1.0), (7, 2.0)]
+
+    # transform-level: cap applies per (uuid, time); kept rows are the
+    # smallest values (deterministic stand-in for arrival order)
+    df = make_points(spark, rows)
+    out = truncate_dense_timestamps(df, DUP_TIMESTAMP_CAP)
+    got = out.where(F.col("time") == 5)
+    assert got.count() == 1024
+    assert got.agg(F.max("value")).first()[0] == 1023.0
+    assert out.count() == 1024 + 2
+
+    # store-level, both modes (the superdense commit of qtree2_test.go:196)
+    compat = BTrDB(spark, str(tmp_path / "compat"), dup_timestamp_cap=DUP_TIMESTAMP_CAP)
+    compat.insert("s", rows, enforce_batch_cap=False)
+    assert compat.raw_values("s", 5, 6).count() == 1024
+    assert compat.raw_values("s", 0, 10).count() == 1026
+
+    superset = BTrDB(spark, str(tmp_path / "superset"))
+    superset.insert("s", rows, enforce_batch_cap=False)
+    assert superset.raw_values("s", 5, 6).count() == 10_000
+
+
 def test_windows_holes(spark):
     """F8-style: gap in the middle -> Windows emits count=0 holes; end is
     rounded down to whole windows (quasar.go:328-330)."""
