@@ -356,6 +356,110 @@ def q_windows_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_buffer_read_your_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write buffer merged read (J1/ST1/ST5, pqm_test/main_test.go:84-136):
+    day-1 signup points committed via flush, day-2 points left in the
+    uncommitted buffer — a latest-generation read must return BOTH, while
+    the committed-only version-1 read would not. The oracle is every raw
+    point in the two-day range."""
+    import tempfile
+
+    from btrdb_server_spark.api import BTrDB
+
+    t_mid, t_end = T_2024 + DAY_NS, T_2024 + 2 * DAY_NS
+    rows = (
+        load_points(spark, sf_dir, T_2024, t_end)
+        .where(F.col("uuid") == "signup")
+        .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
+        .orderBy("time")
+        .collect()
+    )
+    db = BTrDB(
+        spark, tempfile.mkdtemp(prefix="btrdb_buf_q_"), buffer_commit_threshold=1 << 30
+    )
+    day1 = [(r.time, r.value) for r in rows if r.time < t_mid]
+    day2 = [(r.time, r.value) for r in rows if r.time >= t_mid]
+    db.insert("signup", day1, enforce_batch_cap=False)
+    db.flush("signup")  # committed generation (major=1)
+    db.insert("signup", day2, enforce_batch_cap=False)  # stays buffered
+    assert db.query_version("signup") == (1, len(day2))
+    return db.raw_values("signup", T_2024, t_end)
+
+
+def q_buffer_query_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryVersion under buffering (ST5, pqm.go:343-361): major = committed
+    generations, minor = uncommitted buffered point count."""
+    import tempfile
+
+    from btrdb_server_spark.api import BTrDB
+
+    t_mid, t_end = T_2024 + DAY_NS, T_2024 + 2 * DAY_NS
+    rows = (
+        load_points(spark, sf_dir, T_2024, t_end)
+        .where(F.col("uuid") == "signup")
+        .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
+        .collect()
+    )
+    db = BTrDB(
+        spark, tempfile.mkdtemp(prefix="btrdb_qv_q_"), buffer_commit_threshold=1 << 30
+    )
+    db.insert("signup", [(r.time, r.value) for r in rows if r.time < t_mid],
+              enforce_batch_cap=False)
+    db.flush("signup")
+    db.insert("signup", [(r.time, r.value) for r in rows if r.time >= t_mid],
+              enforce_batch_cap=False)
+    major, minor = db.query_version("signup")
+    return spark.createDataFrame([(major, minor)], "major long, minor long")
+
+
+def q_registry_obliterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry lifecycle (T2 + bulk create_many): register every derived
+    stream in one DataFrame-native bulk call, obliterate the smallest click
+    stream, verify the uuid is never reusable (metaprovider.go:296-326)
+    while its (collection, tags) identity IS (uniqueness is among live
+    streams), and return the live registry."""
+    import tempfile
+
+    from btrdb_server_spark.metadata import StreamRegistry
+    from btrdb_server_spark.store import BTrDBError
+
+    reg = StreamRegistry(spark, tempfile.mkdtemp(prefix="btrdb_reg_q_"))
+    streams = streams_from_events(load_table(spark, sf_dir, "events"))
+    n = reg.create_many(streams)
+    assert n == streams.count()
+    victim = reg.lookup_streams(collection="events/click").orderBy("uuid").first()
+    reg.obliterate(victim.uuid)
+    try:
+        reg.create(victim.uuid, "anything")  # tombstoned uuid: forever dead
+        raise AssertionError("tombstoned uuid must not be reusable")
+    except BTrDBError:
+        pass
+    # the freed identity may be re-registered under a fresh uuid
+    reg.create("reborn-1", victim.collection, dict(victim.tags))
+    return reg.lookup_streams().select("uuid", "collection").orderBy("uuid")
+
+
+def q_insert_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 batch limit (serve.go:63-68,702): a >25k-point insert is rejected
+    with InsertTooBig(414) and leaves nothing behind."""
+    import tempfile
+
+    from btrdb_server_spark.constants import MAX_INSERT_BATCH
+    from btrdb_server_spark.store import BTrDBError, PointStore
+
+    store = PointStore(spark, tempfile.mkdtemp(prefix="btrdb_cap_q_"))
+    too_big = [(i, 1.0) for i in range(MAX_INSERT_BATCH + 1)]
+    try:
+        store.insert("s", too_big, enforce_batch_cap=True)
+        code = 0
+    except BTrDBError as e:
+        code = e.code
+    visible = store.points_at().count()
+    return spark.createDataFrame(
+        [(code, visible)], "code long, visible_after long"
+    )
+
+
 # ------------------------------------------------- pipeline ops (docs) ---
 
 
@@ -522,6 +626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_windowed": q_align_windowed,
         "windows_depth": q_windows_depth,
         "windows_rollup": q_windows_rollup,
+        "buffer_read_your_writes": q_buffer_read_your_writes,
+        "buffer_query_version": q_buffer_query_version,
+        "registry_obliterate": q_registry_obliterate,
+        "insert_cap": q_insert_cap,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -960,6 +1068,35 @@ def oracle_sql() -> dict[str, str]:
                    agg.vmin, agg.vmean, agg.vmax, coalesce(agg.cnt, 0) AS cnt
             FROM spine LEFT JOIN agg ON spine.widx = agg.widx
             ORDER BY time
+        """,
+        "buffer_read_your_writes": f"""
+            {PTS_CTE}
+            SELECT time, value FROM pts
+            WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2024 + 2 * DAY_NS}
+            ORDER BY time
+        """,
+        "buffer_query_version": f"""
+            {PTS_CTE}
+            SELECT CAST(1 AS BIGINT) AS major, count(*) AS minor FROM pts
+            WHERE uuid = 'signup'
+              AND time >= {T_2024 + DAY_NS} AND time < {T_2024 + 2 * DAY_NS}
+        """,
+        "registry_obliterate": """
+            WITH s AS (
+                SELECT DISTINCT event_type || '/' || user_id AS uuid,
+                       'events/' || event_type AS collection
+                FROM events
+            ), v AS (
+                SELECT min(uuid) AS vu FROM s WHERE collection = 'events/click'
+            )
+            SELECT uuid, collection FROM (
+                SELECT s.uuid, s.collection FROM s, v WHERE s.uuid <> v.vu
+                UNION ALL
+                SELECT 'reborn-1', 'events/click'
+            ) ORDER BY uuid
+        """,
+        "insert_cap": """
+            SELECT CAST(414 AS BIGINT) AS code, CAST(0 AS BIGINT) AS visible_after
         """,
         "text_stats": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
