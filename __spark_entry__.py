@@ -318,7 +318,11 @@ def q_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.where(F.col("uuid") == "click")
         .select(F.lit("error").alias("uuid"), F.col("time").alias("probe_time"))
     )
-    out = nearest_asof(pts.where(F.col("uuid") == "error"), probes, backward=True)
+    # bucket_pw engages the scale path: (uuid, 2**44 ns bucket)-partitioned
+    # windows + carry chain instead of one window task per stream.
+    out = nearest_asof(
+        pts.where(F.col("uuid") == "error"), probes, backward=True, bucket_pw=44
+    )
     return out.select("probe_time", "time", "value").orderBy("probe_time")
 
 

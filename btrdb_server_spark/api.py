@@ -304,6 +304,40 @@ class BTrDB:
             pts = self._with_buffer(pts, uuid)
         return nearest_op(pts, uuid, time, backward)
 
+    def serve(
+        self,
+        kind: str,
+        uuid: str,
+        start: int,
+        end: int,
+        pw: int = 0,
+        width: Optional[int] = None,
+        depth: int = 0,
+        version: Optional[int] = None,
+    ) -> DataFrame:
+        """Unified stat dispatcher (SURVEY §4 aggregate-pushdown routing):
+        one entry point that picks the physical strategy — materialized
+        rollup level vs raw-point aggregation vs plain scan — from the
+        logical request, the way the reference's query engine descends to
+        the deepest stored aggregate (qtree.go:925-947). Callers never name
+        a ladder level:
+
+        - kind='raw'      -> pushed-down range scan;
+        - kind='aligned'  -> best materialized level <= pw, else raw agg;
+        - kind='windows'  -> depth-bounded ladder serve, else raw agg.
+
+        Explicit `version` or an uncommitted buffer always routes to raw
+        (the ladder holds latest committed data only)."""
+        if kind == "raw":
+            return self.raw_values(uuid, start, end, version)
+        if kind == "aligned":
+            return self.aligned_windows(uuid, start, end, pw, version)
+        if kind == "windows":
+            if width is None:
+                raise ValueError("kind='windows' requires width")
+            return self.windows(uuid, start, end, width, depth, version)
+        raise ValueError(f"unknown serve kind {kind!r}")
+
     def changes(self, uuid: str, from_ver: int, to_ver: int, resolution: int) -> DataFrame:
         return self.store.changes(uuid, from_ver, to_ver, resolution)
 

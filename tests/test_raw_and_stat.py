@@ -187,6 +187,37 @@ def test_nearest_asof_vectorized(spark):
     assert fwd[4 << 56] is None
 
 
+def test_nearest_asof_bucketed_matches_flat(spark):
+    """The (uuid, bucket)-partitioned as-of join with carry chain must equal
+    the single-window-per-uuid answer — including probes in point-free
+    buckets, probes before any point, and exact boundary ties."""
+    import random
+
+    rng = random.Random(3)
+    pts = []
+    for u in ("a", "b"):
+        t = 0
+        for _ in range(400):
+            t += rng.randint(1, 2000)  # spans many 2**8 buckets, some empty
+            pts.append((u, t, float(rng.randint(0, 1_000_000))))
+    probe_rows = [
+        (u, rng.randint(0, 900_000)) for u in ("a", "b") for _ in range(300)
+    ]
+    probe_rows += [(u, t) for (u, t, _) in pts[:20]]  # exact-tie probes
+    df = spark.createDataFrame(pts, "uuid string, time long, value double")
+    probes = spark.createDataFrame(probe_rows, "uuid string, probe_time long")
+    for backward in (True, False):
+        flat = {
+            (r.uuid, r.probe_time): (r.time, r.value)
+            for r in nearest_asof(df, probes, backward).collect()
+        }
+        bucketed = {
+            (r.uuid, r.probe_time): (r.time, r.value)
+            for r in nearest_asof(df, probes, backward, bucket_pw=8).collect()
+        }
+        assert bucketed == flat
+
+
 def test_validation_filter(spark):
     inf = float("inf")
     rows = [

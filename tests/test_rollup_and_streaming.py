@@ -295,6 +295,37 @@ def test_recompute_range_drops_emptied_chunks(spark, tmp_path):
     stats_equal(routed, direct)
 
 
+def test_serve_dispatcher_routes_by_request(spark, tmp_path):
+    """serve() picks the physical strategy from the logical request: a
+    coarse aligned query at latest version scans the materialized ladder
+    (the plan reads the rollups path); an explicit-version query must not
+    touch the ladder; answers agree with the raw aggregation either way."""
+    from btrdb_server_spark.api import BTrDB
+
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[6])
+    db.insert("s1", [(i * 11, float(i % 50)) for i in range(4000)])
+
+    # The ladder-served plan scans rollup rows (vsum/cnt in the read
+    # schema); the explicit-version plan aggregates raw points (value).
+    routed = db.serve("aligned", "s1", 0, 4000 * 11, pw=12)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "vsum:double" in plan and "value:double" not in plan
+
+    pinned = db.serve("aligned", "s1", 0, 4000 * 11, pw=12, version=1)
+    plan_v = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "vsum:double" not in plan_v and "value:double" in plan_v
+
+    stats_equal(routed.collect(), pinned.collect())
+
+    # windows routing + argument contract
+    w = db.serve("windows", "s1", 0, 4000 * 11, width=4400, depth=6)
+    assert w.count() == 10
+    with pytest.raises(ValueError):
+        db.serve("windows", "s1", 0, 100, depth=6)
+    with pytest.raises(ValueError):
+        db.serve("nope", "s1", 0, 100)
+
+
 def test_windows_rollup_start_straddle_included(spark, tmp_path):
     """A 2**level bucket straddling the query start participates WHOLE,
     clamped into the first window (qtree.go:1126-1148 non-descendable
