@@ -519,6 +519,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash pipeline: LSH candidates verified by exact shingle
+    Jaccard — exact work proportional to candidates, not corpus²."""
+    from btrdb_server_spark.functions.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.text import bpe_token_stats
 
@@ -596,6 +604,18 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("bucket").cast("long").alias("bucket"))
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN end-to-end: probe bucket via broadcast 1-row join,
+    exact cosine only inside the probe's bucket (~1/2^planes of the corpus
+    at scale, where bucket is the partition key)."""
+    from btrdb_server_spark.functions.similarity import ann_topk_lsh_by_id, hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 4 planes -> 16 buckets: selective enough to prune, populous enough
+    # that the top-k actually ranks within-bucket candidates.
+    return ann_topk_lsh_by_id(emb, probe_id=0, planes=hyperplanes(64, planes=4, seed=42), k=10)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import near_dup_pairs
 
@@ -639,10 +659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "bpe_token_stats": q_bpe_token_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -780,16 +802,38 @@ def _lang_id_sql() -> str:
     """
 
 
-def _ann_lsh_sql() -> str:
+def _lsh_bucket_terms(planes_n: int = 8) -> str:
     from btrdb_server_spark.functions.similarity import hyperplanes
 
-    planes = hyperplanes(64, planes=8, seed=42)
-    terms = " + ".join(
+    planes = hyperplanes(64, planes=planes_n, seed=42)
+    return " + ".join(
         f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_lit_vec_sql(h)}) > 0"
         f" THEN {1 << j} ELSE 0 END"
         for j, h in enumerate(planes)
     )
-    return f"SELECT vec_id, CAST({terms} AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
+
+
+def _ann_lsh_sql() -> str:
+    return (
+        f"SELECT vec_id, CAST({_lsh_bucket_terms()} AS BIGINT) AS bucket "
+        "FROM embeddings ORDER BY vec_id"
+    )
+
+
+def _ann_lsh_topk_sql() -> str:
+    return f"""
+        WITH b AS (
+            SELECT vec_id, CAST({_lsh_bucket_terms(4)} AS BIGINT) AS bucket
+            FROM embeddings
+        ),
+        pb AS (SELECT bucket FROM b WHERE vec_id = 0),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        probe AS (SELECT v AS q FROM e WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
+        FROM e JOIN b ON e.vec_id = b.vec_id JOIN pb ON b.bucket = pb.bucket, probe
+        ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1148,6 +1192,42 @@ def oracle_sql() -> dict[str, str]:
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
         """,
+        "minhash_verified_pairs": f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id
+            ),
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM t),
+            dig AS (SELECT doc_id, md5(s0) AS d FROM raw_sh),
+            sh AS (SELECT DISTINCT doc_id, {_hexn_sql('d', 15)} AS s FROM dig),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.a, c.b, count(*) AS inter
+                FROM cand c
+                JOIN sh l ON l.doc_id = c.a
+                JOIN sh r ON r.doc_id = c.b AND r.s = l.s
+                GROUP BY c.a, c.b
+            )
+            SELECT a, b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+            ORDER BY a, b
+        """,
         "simhash": f"""
             WITH tk AS (
                 SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
@@ -1256,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
         "ann_lsh_buckets": _ann_lsh_sql(),
+        "ann_lsh_topk": _ann_lsh_topk_sql(),
         "embedding_near_dups": """
             WITH e AS (
                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

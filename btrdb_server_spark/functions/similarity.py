@@ -135,6 +135,27 @@ def ann_topk_lsh(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def ann_topk_lsh_by_id(
+    embeddings: DataFrame,
+    probe_id: int,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ann_topk_lsh with the probe taken from the corpus by id, fully
+    plan-side: the probe's bucket is a 1-row broadcast join (no driver
+    numpy round-trip), candidates are the probe's LSH bucket, and the
+    exact cosine runs only inside it. At scale `bucket` is a partition/
+    cluster key, so the scan prunes ~(1 - 1/2^planes) of the corpus."""
+    buckets = lsh_bucket_assignments(embeddings, planes, id_col, vec_col)
+    probe_bucket = buckets.where(F.col(id_col) == probe_id).select("bucket")
+    candidates = embeddings.join(
+        buckets.join(F.broadcast(probe_bucket), "bucket").select(id_col), id_col
+    )
+    return cosine_topk_by_id(candidates, probe_id, k, id_col, vec_col)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,
