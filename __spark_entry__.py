@@ -464,6 +464,96 @@ def q_insert_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_buffer_stat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffer⋈committed stat merge (J2/A5, merger.go:132-214): aligned
+    windows at latest generation over one committed day plus one buffered
+    day — the weighted combine is Spark's partial->final aggregation over
+    the unioned snapshot; the oracle aggregates all raw points."""
+    import tempfile
+
+    from btrdb_server_spark.api import BTrDB
+
+    t_mid, t_end = T_2024 + DAY_NS, T_2024 + 2 * DAY_NS
+    rows = (
+        load_points(spark, sf_dir, T_2024, t_end)
+        .where(F.col("uuid") == "signup")
+        .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
+        .collect()
+    )
+    db = BTrDB(
+        spark, tempfile.mkdtemp(prefix="btrdb_bsm_q_"), buffer_commit_threshold=1 << 30
+    )
+    db.insert("signup", [(r.time, r.value) for r in rows if r.time < t_mid],
+              enforce_batch_cap=False)
+    db.flush("signup")
+    db.insert("signup", [(r.time, r.value) for r in rows if r.time >= t_mid],
+              enforce_batch_cap=False)
+    df = db.aligned_windows("signup", T_2024, t_end, 42)
+    return df.select(
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    )
+
+
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest end-to-end (S1/S4/ST1/ST4): two days of signup
+    points file-streamed through the foreachBatch pipeline (validate ->
+    versioned append, checkpoint WAL), flushed, then read back from the
+    committed store at latest version."""
+    import tempfile
+
+    from btrdb_server_spark.schemas import POINTS_SCHEMA
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.ingest import IngestPipeline
+
+    t_end = T_2024 + 2 * DAY_NS
+    work = tempfile.mkdtemp(prefix="btrdb_ing_q_")
+    src = f"{work}/src"
+    pts = (
+        load_points(spark, sf_dir, T_2024, t_end)
+        .where(F.col("uuid") == "signup")
+        .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
+    )
+    pts.coalesce(2).write.mode("overwrite").parquet(src)
+    store = PointStore(spark, f"{work}/store")
+    pipe = IngestPipeline(store)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pipe.start(stream, f"{work}/ckpt")
+    try:
+        pipe.flush()
+    finally:
+        pipe.stop()
+    return raw_values(store.stream_points("signup"), "signup", T_2024, t_end)
+
+
+def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (the OPTIMIZE/VACUUM analog): versions + tombstones fold
+    into one base snapshot; reads at latest return exactly the pre-compaction
+    answer with the version-dir read amplification gone."""
+    import tempfile
+
+    from btrdb_server_spark.store import PointStore
+
+    t_mid, t_end = T_2024 + DAY_NS, T_2024 + 2 * DAY_NS
+    store = PointStore(spark, tempfile.mkdtemp(prefix="btrdb_cmp_q_"))
+    pts = (
+        load_points(spark, sf_dir, T_2024, t_end)
+        .where(F.col("uuid") == "signup")
+        .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
+    )
+    store.insert_many(pts)
+    store.delete_range("signup", t_mid, t_end)  # delete day 2
+    store.compact()
+    return raw_values(store.stream_points("signup"), "signup", T_2024, t_end)
+
+
 # ------------------------------------------------- pipeline ops (docs) ---
 
 
@@ -654,6 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_query_version": q_buffer_query_version,
         "registry_obliterate": q_registry_obliterate,
         "insert_cap": q_insert_cap,
+        "buffer_stat_merge": q_buffer_stat_merge,
+        "streaming_ingest": q_streaming_ingest,
+        "store_compact": q_store_compact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -1145,6 +1238,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "insert_cap": """
             SELECT CAST(414 AS BIGINT) AS code, CAST(0 AS BIGINT) AS visible_after
+        """,
+        "buffer_stat_merge": f"""
+            {PTS_CTE}
+            SELECT ((time >> 42) << 42) AS time,
+                   min(value) AS vmin, round(avg(value), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'signup' AND time >= {(T_2024 >> 42) << 42}
+              AND time < {((T_2024 + 2 * DAY_NS) >> 42) << 42}
+            GROUP BY 1 ORDER BY 1
+        """,
+        "streaming_ingest": f"""
+            {PTS_CTE}
+            SELECT time, value FROM pts
+            WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2024 + 2 * DAY_NS}
+            ORDER BY time
+        """,
+        "store_compact": f"""
+            {PTS_CTE}
+            SELECT time, value FROM pts
+            WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2024 + DAY_NS}
+            ORDER BY time
         """,
         "text_stats": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
