@@ -617,6 +617,15 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (min-label propagation) over
+    the verified pair graph; oracle recomputes components with a recursive
+    CTE — full value-hash check of an iterative algorithm."""
+    from btrdb_server_spark.functions.dedup import dedup_clusters
+
+    return dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.text import bpe_token_stats
 
@@ -753,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -806,6 +816,46 @@ def _sig_cte() -> str:
                FROM digests),
         sig AS (SELECT doc_id, {mh_cols} FROM ab GROUP BY doc_id)
     """
+
+
+def _verified_pairs_ctes() -> str:
+    """CTE chain ending in `vp(a, b, jaccard)` — LSH candidates verified by
+    exact shingle Jaccard at threshold 0.5 (mirrors functions/dedup.py
+    lsh_verified_pairs). Shared by the verified-pairs and cluster oracles."""
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+        + ", ".join(f"mh{b*4+i}" for i in range(4))
+        + ") AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""{_sig_cte()},
+            bands AS ({bands}),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id
+            ),
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM t),
+            dig AS (SELECT doc_id, md5(s0) AS d FROM raw_sh),
+            sh AS (SELECT DISTINCT doc_id, {_hexn_sql('d', 15)} AS s FROM dig),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.a, c.b, count(*) AS inter
+                FROM cand c
+                JOIN sh l ON l.doc_id = c.a
+                JOIN sh r ON r.doc_id = c.b AND r.s = l.s
+                GROUP BY c.a, c.b
+            ),
+            vp AS (
+                SELECT a, b,
+                       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+                FROM inter
+                JOIN sz sa ON sa.doc_id = a
+                JOIN sz sb ON sb.doc_id = b
+                WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+            )"""
 
 
 def _lit_vec_sql(vec) -> str:
@@ -1308,40 +1358,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "minhash_verified_pairs": f"""
-            WITH {_sig_cte()},
-            bands AS (
-                {" UNION ALL ".join(
-                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
-                    + ", ".join(f"mh{b*4+i}" for i in range(4))
-                    + ") AS band_key FROM sig"
-                    for b in range(4)
-                )}
+            WITH {_verified_pairs_ctes()}
+            SELECT a, b, jaccard FROM vp ORDER BY a, b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_verified_pairs_ctes()},
+            e AS (
+                SELECT a AS src, b AS dst FROM vp
+                UNION ALL
+                SELECT b, a FROM vp
             ),
-            cand AS (
-                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                FROM bands l JOIN bands r
-                  ON l.band = r.band AND l.band_key = r.band_key
-                 AND l.doc_id < r.doc_id
-            ),
-            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM t),
-            dig AS (SELECT doc_id, md5(s0) AS d FROM raw_sh),
-            sh AS (SELECT DISTINCT doc_id, {_hexn_sql('d', 15)} AS s FROM dig),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT c.a, c.b, count(*) AS inter
-                FROM cand c
-                JOIN sh l ON l.doc_id = c.a
-                JOIN sh r ON r.doc_id = c.b AND r.s = l.s
-                GROUP BY c.a, c.b
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
             )
-            SELECT a, b,
-                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-            FROM inter
-            JOIN sz sa ON sa.doc_id = a
-            JOIN sz sb ON sb.doc_id = b
-            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
-            ORDER BY a, b
+            SELECT node AS doc_id, min(lbl) AS cluster, min(lbl) <> node AS is_dup
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "simhash": f"""
             WITH tk AS (

@@ -47,11 +47,20 @@ def main() -> None:
 
     ensure_events_ladder(spark, sf_dir)
     ensure_events_store(spark, sf_dir)
+    # Two reps per query, keep the warm minimum: single-run numbers on a
+    # shared box swing up to 2x on scheduler noise; the minimum is the
+    # steady-state cost of the plan, which is what the baseline comparison
+    # is about.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = len(df.toPandas())
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = None, 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = len(df.toPandas())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

@@ -212,6 +212,75 @@ def lsh_verified_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph, labeling every document with the smallest doc id
+    of its component (the keeper). The final stage of the dedup pipeline —
+    keep one representative per cluster, drop the rest.
+
+    Implementation is min-label propagation (the GraphX connected-components
+    algorithm re-expressed on DataFrames): labels start as own ids and each
+    round take the min over neighbors, materialized per round, until a
+    fixpoint. Rounds are bounded by the component diameter — near-dup
+    clusters are shallow, so a handful of joins over the PAIR graph (tiny
+    next to the corpus; only documents with at least one near-dup
+    participate). Iterative by nature, so this is a driver loop — but each
+    iteration is one distributed join over edge-scale data, and the
+    convergence probe reads one row."""
+    pairs = lsh_verified_pairs(
+        docs, text_col, id_col, k, bands, threshold, num_hashes
+    ).select("a", "b")
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(lab, edges.src == lab.v).select(
+            F.col("dst").alias("v"), "lbl"
+        )
+        new = (
+            lab.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lab.withColumnRenamed("lbl", "old"), "v")
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if not changed:
+            break
+    return (
+        docs.select(id_col)
+        .join(lab, F.col(id_col) == F.col("v"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("lbl"), F.col(id_col)).alias("cluster"),
+            (F.coalesce(F.col("lbl"), F.col(id_col)) != F.col(id_col)).alias("is_dup"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def _hex4_to_int(col):
     """First-4-hex-chars -> int in [0, 65536). Spark-side conv() is one JVM
     call; the DuckDB oracle mirrors it with instr arithmetic."""

@@ -103,6 +103,29 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_lsh_verified_and_clusters(spark):
+    """The verified pipeline keeps only true near-dups from the LSH
+    candidates, and clustering labels each component with its min doc id —
+    transitively: A~B and B~C cluster together even if A,C never paired."""
+    from btrdb_server_spark.functions.dedup import dedup_clusters, lsh_verified_pairs
+
+    near1 = BASE.replace("lazy", "sleepy")
+    near2 = BASE.replace("lazy", "sleepy").replace("quick", "rapid")
+    far = "completely different words about spark dataframes and parquet files here"
+    df = docs_df(spark, [BASE, near1, near2, far])
+    pairs = {(r.a, r.b): r.jaccard for r in
+             lsh_verified_pairs(df, threshold=0.3, bands=8).collect()}
+    assert (0, 1) in pairs and all(j >= 0.3 for j in pairs.values())
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+    out = {r.doc_id: (r.cluster, r.is_dup) for r in
+           dedup_clusters(df, threshold=0.3, bands=8).collect()}
+    assert out[0] == (0, False)
+    assert out[1] == (0, True)
+    assert out[2] == (0, True)  # transitive via doc 1
+    assert out[3] == (3, False)  # singleton keeps itself
+
+
 def test_simhash_identical_and_near(spark):
     df = docs_df(spark, [BASE, BASE, BASE.replace("lazy", "sleepy"), "unrelated thing"])
     got = {r.doc_id: r.simhash for r in simhash(df).collect()}
