@@ -617,6 +617,20 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency with doc frequency."""
+    from btrdb_server_spark.functions.text import token_freq
+
+    return token_freq(load_table(spark, sf_dir, "documents"), top=100)
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email/digit-run scrubbing with per-doc redaction counts."""
+    from btrdb_server_spark.functions.text import text_scrub
+
+    return text_scrub(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components (min-label propagation) over
     the verified pair graph; oracle recomputes components with a recursive
@@ -763,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "token_freq": q_token_freq,
+        "text_scrub": q_text_scrub,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1329,6 +1345,38 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "token_freq": f"""
+            WITH tk AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            )
+            SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+            FROM tk GROUP BY tok
+            ORDER BY cnt DESC, tok LIMIT 100
+        """,
+        "text_scrub": r"""
+            WITH s1 AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+                       regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+                FROM documents
+            ), s2 AS (
+                SELECT doc_id, n_urls,
+                       len(regexp_extract_all(t1,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                       regexp_replace(t1,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '[0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')
+                       AS scrubbed,
+                   CAST(n_urls AS BIGINT) AS n_urls,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t2, '[0-9][0-9][0-9][0-9][0-9]+'))
+                        AS BIGINT) AS n_numbers
+            FROM s2 ORDER BY doc_id
+        """,
         "exact_dedup": r"""
             WITH hh AS (
                 SELECT doc_id,

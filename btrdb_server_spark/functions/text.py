@@ -167,3 +167,56 @@ def rolling_fingerprint(
         lambda acc, x: (acc * RH_BASE + x) % RH_MOD,
     )
     return docs.select(F.col(id_col), fp.alias("fp"))
+
+
+def token_freq(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", top: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: the `top` most frequent whitespace tokens with
+    total count and document frequency. One explode + one groupBy — the
+    count combines map-side, the shuffle carries one row per distinct
+    token per map task, and the top-k is TakeOrderedAndProject (no global
+    sort). Ties break lexicographically for determinism."""
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct(id_col).alias("doc_freq"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(top)
+    )
+
+
+# Scrub patterns shared verbatim with the DuckDB oracle: plain character
+# classes only, identical semantics in Java regex and RE2.
+SCRUB_URL = r"https?://[^\s]+"
+SCRUB_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SCRUB_DIGITS = r"[0-9][0-9][0-9][0-9][0-9]+"
+
+
+def text_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-data scrubbing: URLs, emails, and long digit runs (ids,
+    phone numbers) replaced with typed placeholder tokens, plus counts of
+    each redaction. Pure column expressions — three regexp passes fused in
+    one codegen stage, no Python in the row path."""
+    docs = ensure_parallelism(docs)
+    t = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(SCRUB_URL), F.lit(0)))
+    t1 = F.regexp_replace(t, SCRUB_URL, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(t1, F.lit(SCRUB_EMAIL), F.lit(0)))
+    t2 = F.regexp_replace(t1, SCRUB_EMAIL, "<EMAIL>")
+    n_digits = F.size(F.regexp_extract_all(t2, F.lit(SCRUB_DIGITS), F.lit(0)))
+    t3 = F.regexp_replace(t2, SCRUB_DIGITS, "<NUM>")
+    return docs.select(
+        F.col(id_col),
+        t3.alias("scrubbed"),
+        n_urls.cast("long").alias("n_urls"),
+        n_emails.cast("long").alias("n_emails"),
+        n_digits.cast("long").alias("n_numbers"),
+    )
