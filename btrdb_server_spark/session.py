@@ -25,11 +25,13 @@ def get_spark(app_name: str = "btrdb_server_spark", cpus: int | None = None) -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Codec trade-off measured on the points plane (10M pts, 16B/pt raw):
-        # snappy 1.4x compression at full write speed; zstd 2.5x but ~2x
-        # slower writes (the reference's delta-delta+varint reaches ~2.9x,
-        # blocktypes.go:159-261). Default snappy for throughput; set
-        # SPARK_GRAFT_PARQUET_CODEC=zstd for storage-bound deployments.
+        # Codec measured on the sorted points plane at 50M points, 2 reps
+        # each: insert is a wash (snappy 11.1-13.5 Mpts/s, zstd 11.5-11.9)
+        # but scans favor snappy decisively (309-325 Mpts/s vs 181-254 —
+        # zstd decompression sits in the scan hot loop). Storage-bound
+        # deployments can trade scan speed for zstd's ~1.9x size win via
+        # SPARK_GRAFT_PARQUET_CODEC=zstd (the reference's delta-delta+
+        # varint reaches ~2.9x, blocktypes.go:159-261).
         .config(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
