@@ -110,6 +110,25 @@ def q_aligned_windows_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("uuid", "time")
 
 
+def q_aligned_windows_all_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet stats served from the ladder: per-stream aligned windows for
+    ALL streams at pw=40 answered from the pw=38 level — the dashboard
+    query over the hot tier. Oracle aggregates raw points."""
+    from btrdb_server_spark.sources.testdata import ensure_events_ladder
+
+    ladder = ensure_events_ladder(spark, sf_dir)
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    df = ladder.serve_aligned_all(pts, T_2024, T_2025, 40)
+    return df.select(
+        "uuid",
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    ).orderBy("uuid", "time")
+
+
 def q_windows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-bounded Windows served from the ladder (serve_windows): 1-day
     windows over the pw=38 materialized level. The approximation contract —
@@ -742,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_windows": q_aligned_windows,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "aligned_windows_all": q_aligned_windows_all,
+        "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
         "windows_holes": q_windows_holes,
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
@@ -1015,6 +1035,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "aligned_windows_all": f"""
+            {PTS_CTE}
+            SELECT uuid, ((time >> 40) << 40) AS time, {stat_cols}
+            FROM pts
+            WHERE time >= {T_2024} AND time < {T_2025}
+            GROUP BY uuid, 2 ORDER BY uuid, time
+        """,
+        "aligned_windows_all_rollup": f"""
             {PTS_CTE}
             SELECT uuid, ((time >> 40) << 40) AS time, {stat_cols}
             FROM pts

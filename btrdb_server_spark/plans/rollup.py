@@ -377,6 +377,39 @@ class RollupLadder:
             if present:
                 self._write_level(pw, merged, dynamic=True)
 
+    def serve_aligned_all(
+        self, points: DataFrame, start: int, end: int, pw: int
+    ) -> DataFrame:
+        """Fleet AlignedWindows for EVERY stream from the best materialized
+        level <= pw: the 100 TB dashboard query — per-stream stats over a
+        year — reads the hot rollup tier (chunk-range pruned), never raw
+        points. Falls back to the raw fleet aggregation below the finest
+        level."""
+        candidates = [l for l in self.levels if l <= pw and self.level(l) is not None]
+        if not candidates:
+            from btrdb_server_spark.operators.stat import (
+                aligned_windows_all_streams,
+            )
+
+            return aligned_windows_all_streams(points, start, end, pw)
+        best = max(candidates)
+        fstart, fend = align_floor(start, pw), align_floor(end, pw)
+        shift = self._chunk_shift(best)
+        lvl = self._level_raw(best).where(
+            (F.col("chunk") >= F.lit(fstart >> shift))
+            & (F.col("chunk") <= F.lit((fend - 1) >> shift))
+            & (F.col("bucket") >= F.lit(fstart))
+            & (F.col("bucket") < F.lit(fend))
+        )
+        return lvl.groupBy(
+            "uuid", F.shiftleft(F.shiftright("bucket", pw), pw).alias("time")
+        ).agg(
+            F.min("vmin").alias("min"),
+            (F.sum("vsum") / F.sum("cnt")).alias("mean"),
+            F.max("vmax").alias("max"),
+            F.sum("cnt").alias("count"),
+        )
+
     def serve_windows(
         self, points: DataFrame, uuid: str, start: int, end: int, width: int, depth: int
     ) -> DataFrame:

@@ -56,6 +56,40 @@ def test_rollup_serves_same_answers(spark, tmp_path, jittered):
         stats_equal(routed, direct)
 
 
+def test_rollup_serves_fleet_answers(spark, tmp_path):
+    """serve_aligned_all == the raw fleet aggregation for every stream."""
+    from btrdb_server_spark.operators.stat import aligned_windows_all_streams
+
+    rows = []
+    rng = random.Random(9)
+    for u in ("a", "b", "c"):
+        t = 0
+        for _ in range(2000):
+            t += rng.randint(1, 5000)
+            rows.append((u, t, rng.random()))
+    pts = spark.createDataFrame(rows, POINTS_SCHEMA)
+    ladder = RollupLadder(spark, str(tmp_path / "l"), levels=[8, 14])
+    ladder.rebuild(pts)
+    hi = max(r[1] for r in rows) + 1
+    for pw in (14, 20):
+        direct = (
+            aligned_windows_all_streams(pts, 0, hi, pw)
+            .orderBy("uuid", "time")
+            .collect()
+        )
+        routed = ladder.serve_aligned_all(pts, 0, hi, pw).orderBy("uuid", "time").collect()
+        assert len(direct) == len(routed)
+        for x, y in zip(routed, direct):
+            assert (x.uuid, x.time, x["count"]) == (y.uuid, y.time, y["count"])
+            assert x["min"] == pytest.approx(y["min"])
+            assert x["max"] == pytest.approx(y["max"])
+            assert x["mean"] == pytest.approx(y["mean"])
+    # below the finest level: falls back to raw aggregation
+    routed = ladder.serve_aligned_all(pts, 0, hi, 4).orderBy("uuid", "time").collect()
+    direct = aligned_windows_all_streams(pts, 0, hi, 4).orderBy("uuid", "time").collect()
+    assert len(routed) == len(direct)
+
+
 def test_rollup_fallback_below_finest(spark, tmp_path, jittered):
     ladder = RollupLadder(spark, str(tmp_path / "ladder"), levels=[14])
     ladder.rebuild(jittered)
