@@ -367,13 +367,19 @@ class RollupLadder:
                     F.shiftright("bucket", shift).alias("c")
                 ).distinct().collect()
             }
-            for c in range(clo, chi + 1):
-                if c not in present:
-                    d = os.path.join(
-                        self._level_path(pw), f"uuid_bucket={ub}", f"chunk={c}"
-                    )
-                    if os.path.exists(d):
-                        shutil.rmtree(d)
+            # Enumerate chunk dirs actually on disk (disk-proportional; a
+            # full-domain delete like obliterate spans ~2**16 chunk ids).
+            shard_dir = os.path.join(self._level_path(pw), f"uuid_bucket={ub}")
+            if os.path.isdir(shard_dir):
+                for name in os.listdir(shard_dir):
+                    if not name.startswith("chunk="):
+                        continue
+                    try:
+                        c = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if clo <= c <= chi and c not in present:
+                        shutil.rmtree(os.path.join(shard_dir, name))
             if present:
                 self._write_level(pw, merged, dynamic=True)
 

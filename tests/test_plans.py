@@ -103,7 +103,10 @@ def test_rollup_serve_prunes_to_one_shard(spark):
     O(1 shard) at 100 TB)."""
     plan = plan_of(entry_mod.q_aligned_windows_rollup(spark, SF))
     assert "PartitionFilters" in plan
-    assert "uuid_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    filters = plan.split("PartitionFilters", 1)[1][:300]
+    assert "uuid_bucket" in filters
+    # the time range must also prune chunk partitions, not just shards
+    assert "chunk" in filters
 
 
 def test_window_spine_join_broadcasts(spark):
