@@ -713,6 +713,18 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, centroids_from_rows(emb, k=8)).orderBy("vec_id")
 
 
+def q_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means refinement of the IVF centroids, flattened to
+    (cid, dim, val) rows for the value-hash compare."""
+    from btrdb_server_spark.functions.similarity import centroids_from_rows, ivf_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    refined = ivf_refine(emb, centroids_from_rows(emb, k=8))
+    return refined.select(
+        "cid", F.posexplode("cv").alias("dim", "val")
+    ).orderBy("cid", "dim")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import ann_topk_ivf, centroids_from_rows
 
@@ -811,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_resize_plan": q_media_resize_plan,
         "ivf_assign": q_ivf_assign,
+        "ivf_refine": q_ivf_refine,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
 
@@ -1546,6 +1559,15 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": f"""
             WITH {_IVF_CTES}
             SELECT vec_id, cluster FROM assign ORDER BY vec_id
+        """,
+        "ivf_refine": f"""
+            WITH {_IVF_CTES},
+            j AS (SELECT a.cluster, e.v FROM e JOIN assign a ON e.vec_id = a.vec_id),
+            dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+            d AS (SELECT cluster, i, v[i] AS x FROM j CROSS JOIN dims)
+            SELECT cluster AS cid, CAST(i - 1 AS INT) AS dim,
+                   round(avg(x), 6) AS val
+            FROM d GROUP BY cluster, i ORDER BY cid, dim
         """,
         "ann_ivf_topk": f"""
             WITH {_IVF_CTES},

@@ -194,6 +194,46 @@ def centroids_from_rows(
     )
 
 
+def ivf_refine(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One k-means (Lloyd) refinement of the IVF centroids: assign every
+    vector to its nearest centroid, then recompute each centroid as the
+    element-wise mean of its members. The index-build iteration — run it a
+    few times offline, then ivf_assign/ann_topk_ivf serve from the result.
+
+    Shape at 100 TB: assignment is the broadcast join + struct-max argmax
+    of ivf_assign (no shuffle of the corpus); the mean is posexplode to
+    (cluster, dim) rows — the shuffle carries k * dim aggregate rows, the
+    per-dimension avg combines map-side, and the rebuilt centroid is an
+    array_agg sorted by dimension. No Python in the loop."""
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    dims = (
+        e.join(assign, id_col)
+        .select("cluster", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    return (
+        dims.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("cluster").alias("cid"),
+            F.transform(F.col("pairs"), lambda p: F.round(p["m"], 6)).alias("cv"),
+        )
+    )
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     centroids: DataFrame,
