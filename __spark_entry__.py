@@ -459,6 +459,14 @@ def q_registry_obliterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     # the freed identity may be re-registered under a fresh uuid
     reg.create("reborn-1", victim.collection, dict(victim.tags))
+    # annotations CAS (serve.go:389-420): version advances 1 -> 2; a stale
+    # expected_version must be rejected
+    assert reg.set_annotations("reborn-1", 1, {"note": "x"}) == 2
+    try:
+        reg.set_annotations("reborn-1", 1, {"note": "y"})
+        raise AssertionError("stale CAS version must be rejected")
+    except BTrDBError:
+        pass
     return reg.lookup_streams().select("uuid", "collection").orderBy("uuid")
 
 

@@ -176,3 +176,37 @@ def test_store_random_batches_delete_roundtrip(spark, tmp_path_factory, pts, spl
         .collect()
     ]
     assert at_v1 == sorted(pts)
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),
+        st.integers(min_value=1, max_value=400),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(ivs=intervals_strategy, shift=st.integers(3, 9))
+@SET
+def test_chunked_coalescing_property(spark, ivs, shift):
+    """Chunk-parallel interval coalescing == an independent pure-Python
+    sweep merge, for any interval set and chunk width (islands spanning
+    many chunks, exact [a,b)[b,c) touches, singleton chunks)."""
+    from btrdb_server_spark.operators.changes import coalesce_intervals
+
+    rows = [(s, s + w) for s, w in ivs]
+    # independent oracle: sort + sweep
+    want = []
+    for s, e in sorted(rows):
+        if want and s <= want[-1][1]:
+            want[-1] = (want[-1][0], max(want[-1][1], e))
+        else:
+            want.append((s, e))
+    df = spark.createDataFrame(rows, "start long, end long")
+    got = [
+        (r.start, r.end)
+        for r in coalesce_intervals(df, chunk_shift=shift).orderBy("start").collect()
+    ]
+    assert got == want
