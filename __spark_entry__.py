@@ -560,6 +560,52 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_values(store.stream_points("signup"), "signup", T_2024, t_end)
 
 
+def q_streaming_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full loop: file-streamed ingest maintains the rollup ladder per
+    micro-batch (partition-targeted folds), then AlignedWindows is served
+    from the materialized level — write path to hot-tier read path end to
+    end. Oracle aggregates the same raw points."""
+    import tempfile
+
+    from btrdb_server_spark.plans.rollup import RollupLadder
+    from btrdb_server_spark.schemas import POINTS_SCHEMA
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.ingest import IngestPipeline
+
+    t_end = T_2024 + 2 * DAY_NS
+    work = tempfile.mkdtemp(prefix="btrdb_srs_q_")
+    src = f"{work}/src"
+    pts = (
+        load_points(spark, sf_dir, T_2024, t_end)
+        .where(F.col("uuid") == "signup")
+        .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
+    )
+    pts.coalesce(2).write.mode("overwrite").parquet(src)
+    store = PointStore(spark, f"{work}/store")
+    ladder = RollupLadder(spark, f"{work}/ladder", levels=[40])
+    pipe = IngestPipeline(store, ladder)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pipe.start(stream, f"{work}/ckpt")
+    try:
+        pipe.flush()
+    finally:
+        pipe.stop()
+    df = ladder.serve_aligned(
+        store.stream_points("signup"), "signup", T_2024, t_end, 42
+    )
+    return df.select(
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    )
+
+
 def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction (the OPTIMIZE/VACUUM analog): versions + tombstones fold
     into one base snapshot; reads at latest return exactly the pre-compaction
@@ -809,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_cap": q_insert_cap,
         "buffer_stat_merge": q_buffer_stat_merge,
         "streaming_ingest": q_streaming_ingest,
+        "streaming_rollup_serve": q_streaming_rollup_serve,
         "store_compact": q_store_compact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1368,6 +1415,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2024 + 2 * DAY_NS}
             ORDER BY time
+        """,
+        "streaming_rollup_serve": f"""
+            {PTS_CTE}
+            SELECT ((time >> 42) << 42) AS time,
+                   min(value) AS vmin, round(avg(value), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'signup' AND time >= {(T_2024 >> 42) << 42}
+              AND time < {((T_2024 + 2 * DAY_NS) >> 42) << 42}
+            GROUP BY 1 ORDER BY 1
         """,
         "store_compact": f"""
             {PTS_CTE}
