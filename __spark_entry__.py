@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from btrdb_server_spark.functions.curation import sample_threshold
 from btrdb_server_spark.metadata import collections_of, filter_streams, usage_of
 from btrdb_server_spark.operators.align import align_streams
 from btrdb_server_spark.operators.changes import times_to_changed_ranges
@@ -704,6 +705,53 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_scrub(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: per-doc flags + keep, every
+    rule an integer comparison (engine-exact, no float thresholds)."""
+    from btrdb_server_spark.functions.curation import quality_filter
+
+    return quality_filter(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 17 == 0 stand in for
+    the eval set; every other doc is scored by distinct-shingle overlap
+    against the whole bench set (broadcast semi-join — the corpus side
+    never shuffles for the match)."""
+    from btrdb_server_spark.functions.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(train, bench)
+
+
+# Stratified-sampling mixture: rates per language; 'fr' is deliberately
+# absent so the default-rate fallback path is exercised too.
+SAMPLE_RATES = {"en": 0.5, "zh": 0.3, "es": 0.25, "de": 0.1}
+SAMPLE_DEFAULT_RATE = 0.75
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold downsampling to a per-language target
+    mixture — reproducible (no RNG), nested across rates, zero shuffle."""
+    from btrdb_server_spark.functions.curation import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents"), SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-shard running token offset
+    (window cumsum) maps every document to its training-sequence index."""
+    from btrdb_server_spark.functions.curation import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), ctx_len=256, n_shards=8
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components (min-label propagation) over
     the verified pair graph; oracle recomputes components with a recursive
@@ -866,6 +914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "token_freq": q_token_freq,
         "text_scrub": q_text_scrub,
+        "quality_filter": q_quality_filter,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1481,6 +1533,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t2, '[0-9][0-9][0-9][0-9][0-9]+'))
                         AS BIGINT) AS n_numbers
             FROM s2 ORDER BY doc_id
+        """,
+        # Thresholds mirror functions/curation.py module constants.
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            s AS (
+                SELECT doc_id,
+                       len(toks) AS n,
+                       coalesce(list_sum(list_transform(toks, x -> strlen(x))), 0)
+                           AS tok_chars,
+                       strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                       strlen(text) AS n_chars,
+                       len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                           AS n_stop
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   (n >= 10 AND n <= 100000) AS ok_n_tokens,
+                   (tok_chars >= 2 * n AND tok_chars <= 12 * n) AS ok_token_len,
+                   (n_punct * 5 <= n_chars) AS ok_punct,
+                   (n_stop >= 2) AS ok_stopwords,
+                   (n >= 10 AND n <= 100000
+                    AND tok_chars >= 2 * n AND tok_chars <= 12 * n
+                    AND n_punct * 5 <= n_chars AND n_stop >= 2) AS keep
+            FROM s ORDER BY doc_id
+        """,
+        "decontaminate": f"""
+            WITH tr AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                        WHERE doc_id % 17 <> 0),
+            raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM tr),
+            dig AS (SELECT doc_id, md5(s0) AS d FROM raw_sh),
+            sh AS (SELECT DISTINCT doc_id, {_hexn_sql('d', 15)} AS s FROM dig),
+            bt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                   WHERE doc_id % 17 = 0),
+            braw AS (SELECT unnest({_SHINGLES}) AS s0 FROM bt),
+            bdig AS (SELECT md5(s0) AS d FROM braw),
+            bsh AS (SELECT DISTINCT {_hexn_sql('d', 15)} AS s FROM bdig),
+            sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+            mt AS (SELECT sh.doc_id, count(*) AS n_matched
+                   FROM sh JOIN bsh USING (s) GROUP BY sh.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(sz.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(mt.n_matched, 0) AS BIGINT) AS n_matched,
+                   round(coalesce(mt.n_matched, 0)
+                         / greatest(coalesce(sz.n_shingles, 0), 1), 6) AS overlap,
+                   (coalesce(mt.n_matched, 0) * 2 >= coalesce(sz.n_shingles, 0)
+                    AND coalesce(sz.n_shingles, 0) > 0) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+            LEFT JOIN sz ON sz.doc_id = d.doc_id
+            LEFT JOIN mt ON mt.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "stratified_sample": f"""
+            WITH h AS (
+                SELECT doc_id, lang,
+                       md5('smp|' || CAST(doc_id AS VARCHAR)) AS d
+                FROM documents
+            ), u AS (SELECT doc_id, lang, {_hexn_sql('d', 4)} AS u FROM h)
+            SELECT doc_id, lang FROM u
+            WHERE u < CASE lang {" ".join(
+                f"WHEN '{k}' THEN {sample_threshold(v)}"
+                for k, v in sorted(SAMPLE_RATES.items())
+            )} ELSE {sample_threshold(SAMPLE_DEFAULT_RATE)} END
+            ORDER BY doc_id
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), o AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS tok_offset
+                FROM t
+            )
+            SELECT doc_id, shard, n_tokens, tok_offset,
+                   CAST(tok_offset // 256 AS BIGINT) AS seq_idx
+            FROM o ORDER BY doc_id
         """,
         "exact_dedup": r"""
             WITH hh AS (

@@ -1,0 +1,242 @@
+"""Corpus curation for training-data pipelines: rule-based quality
+filtering, benchmark decontamination, stratified sampling, and sequence
+packing.
+
+These are the steps between "raw crawl" and "training mixture": drop
+low-quality documents (Gopher/C4-style rules), remove documents that leak
+evaluation data (n-gram overlap with a benchmark set), downsample
+over-represented strata to a target mixture, and pack documents into
+fixed-length training sequences.
+
+Scale design:
+- quality_filter    — pure column expressions, map-side only, zero shuffle;
+                      all rules are INTEGER comparisons (n_punct*5 <= n_chars
+                      rather than ratio <= 0.2) so engines agree bit-for-bit.
+- decontaminate     — the benchmark side is eval-set-sized (tiny next to the
+                      corpus), so its distinct shingle set broadcasts; the
+                      100 TB side is one shingle explode + semi-join-shaped
+                      broadcast hash join + groupBy(doc) — one shuffle of
+                      (doc, counts), never a corpus self-join.
+- stratified_sample — deterministic hash-threshold sampling: keep iff
+                      hash16(id) < floor(rate*2^16). Map-side filter, zero
+                      shuffle, reproducible across runs/engines (no RNG
+                      state), and composable (re-sampling with a lower rate
+                      selects a subset of the higher rate's sample).
+- pack_sequences    — concat-and-chunk packing as a per-shard running token
+                      offset (window cumsum). Shards are independent, so
+                      parallelism = n_shards: size n_shards to the cluster
+                      (each shard's cumsum is a single sequential pass, the
+                      same boundary any packing implementation has).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.functions.dedup import shingles_col
+from btrdb_server_spark.functions.text import PUNCT_CLASS, STOPWORDS, tokens_col
+from btrdb_server_spark.utils import ensure_parallelism
+
+# Gopher-style rule thresholds (Rae et al. 2021, table A1 shape — bounds
+# adapted to this corpus' scale). Kept as module constants so the SQL
+# oracles and tests share them.
+MIN_TOKENS = 10
+MAX_TOKENS = 100_000
+MIN_MEAN_TOKEN_LEN = 2  # mean token length in [2, 12]
+MAX_MEAN_TOKEN_LEN = 12
+MAX_PUNCT_RATIO_NUM = 1  # punct ratio <= 1/5
+MAX_PUNCT_RATIO_DEN = 5
+MIN_STOPWORDS = 2
+
+
+def quality_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based quality flags + keep decision per document.
+
+    Rules (each an integer comparison — no float thresholds, so the DuckDB
+    oracle reproduces decisions exactly):
+    - ok_n_tokens:  MIN_TOKENS <= token count <= MAX_TOKENS
+    - ok_token_len: mean token length in [MIN_MEAN_TOKEN_LEN,
+                    MAX_MEAN_TOKEN_LEN]  (as tok_chars vs n_toks bounds)
+    - ok_punct:     punctuation chars <= 1/5 of all chars
+    - ok_stopwords: at least MIN_STOPWORDS stopword occurrences (the Gopher
+                    "natural language" signal)
+    keep = all of the above.
+    """
+    docs = ensure_parallelism(docs)
+    toks = tokens_col(F.col(text_col))
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    ok_n_tokens = (n_toks >= MIN_TOKENS) & (n_toks <= MAX_TOKENS)
+    ok_token_len = (tok_chars >= MIN_MEAN_TOKEN_LEN * n_toks) & (
+        tok_chars <= MAX_MEAN_TOKEN_LEN * n_toks
+    )
+    ok_punct = n_punct * MAX_PUNCT_RATIO_DEN <= n_chars * MAX_PUNCT_RATIO_NUM
+    ok_stopwords = n_stop >= MIN_STOPWORDS
+    keep = ok_n_tokens & ok_token_len & ok_punct & ok_stopwords
+    return docs.select(
+        F.col(id_col),
+        n_toks.cast("long").alias("n_tokens"),
+        ok_n_tokens.alias("ok_n_tokens"),
+        ok_token_len.alias("ok_token_len"),
+        ok_punct.alias("ok_punct"),
+        ok_stopwords.alias("ok_stopwords"),
+        keep.alias("keep"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """Flag training documents whose k-gram shingles overlap a benchmark
+    (evaluation) set — the decontamination pass every serious pretraining
+    pipeline runs so eval numbers aren't memorization.
+
+    A document is contaminated when
+        n_matched / n_shingles >= num/den   (default 1/2),
+    where n_matched counts its distinct shingles that appear ANYWHERE in the
+    benchmark set. The comparison is kept integral
+    (n_matched * den >= n_shingles * num) for engine-exact decisions.
+
+    Shingles are hashed to 60-bit ints (first 15 md5 hex chars — the same
+    key ngram_jaccard_pairs uses) so the join moves 8-byte keys. The bench
+    shingle set is broadcast: the corpus side never shuffles for the match,
+    only the per-doc count aggregation does (one row per doc, map-side
+    combined). Documents with fewer than k tokens have no shingles and are
+    reported with n_shingles = 0, contaminated = false.
+    """
+    sh = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bench_sh = (
+        bench.select(F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+        .select(F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    matched = (
+        sh.join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
+    n_mt = F.coalesce(F.col("n_matched"), F.lit(0)).cast("long")
+    return (
+        docs.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_sh.alias("n_shingles"),
+            n_mt.alias("n_matched"),
+            F.round(n_mt / F.greatest(n_sh, F.lit(1)), 6).alias("overlap"),
+            ((n_mt * den >= n_sh * num) & (n_sh > 0)).alias("contaminated"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def sample_threshold(rate: float, bits: int = 16) -> int:
+    """Integer keep-threshold for a sampling rate: floor(rate * 2^bits)."""
+    return int(rate * (1 << bits))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "smp|",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling to a target data mixture:
+    keep a document iff hash16(salt || id) < floor(rate[stratum] * 2^16).
+
+    Hash-threshold sampling (not rand()) makes the sample reproducible
+    across runs, engines, and partitionings, and NESTED: the rate-0.1
+    sample is a strict subset of the rate-0.5 sample, which is what lets a
+    pipeline dial a mixture down without re-shuffling data. Pure map-side
+    filter — zero shuffle at any scale. Distinct salts give independent
+    samples.
+    """
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(sample_threshold(default_rate))
+    for key in sorted(rates):
+        thr = F.when(F.col(key_col) == key, sample_threshold(rates[key])).otherwise(thr)
+    return (
+        ensure_parallelism(docs)
+        .where(u < thr)
+        .select(F.col(id_col), F.col(key_col))
+        .orderBy(id_col)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end to end in id
+    order within a shard and chunk the token stream every `ctx_len` tokens —
+    each document gets its shard, its starting token offset, and the index
+    of the training sequence its first token lands in.
+
+    This is the standard pretraining packing (documents concatenated, then
+    split into fixed-length sequences), expressed as a per-shard window
+    cumsum. Shards are independent: parallelism equals n_shards, so at
+    cluster scale set n_shards ~ total cores — the per-shard sequential
+    cumsum is the inherent boundary of any packing algorithm (each offset
+    depends on every predecessor).
+    """
+    n_toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
+    t = ensure_parallelism(docs).select(
+        F.col(id_col), shard.alias("shard"), n_toks.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.select(
+            id_col,
+            "shard",
+            "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_offset"),
+        )
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            "tok_offset",
+            F.expr(f"tok_offset div {ctx_len}").alias("seq_idx"),
+        )
+        .orderBy(id_col)
+    )

@@ -261,3 +261,87 @@ def test_ivf_assign_and_topk(spark):
     ids = [r.vec_id for r in top]
     assert ids[0] == 0 and 2 in ids  # same-cluster only
     assert 1 not in ids and 3 not in ids and 4 not in ids
+
+
+# --------------------------------------------------------------- curation --
+
+
+def test_quality_filter_rules(spark):
+    from btrdb_server_spark.functions.curation import quality_filter
+
+    df = docs_df(
+        spark,
+        [
+            # 0: good — long enough, normal tokens, stopwords, no punct flood
+            "the quick brown fox jumps over the lazy dog and runs on for a while",
+            # 1: too short
+            "tiny doc",
+            # 2: punctuation flood
+            "!!! ... ;;; !!! ... ;;; !!! ... ;;; !!! ... ;;; !!! ... ;;;",
+            # 3: no stopwords at all
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+        ],
+    )
+    rows = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert rows[0].keep
+    assert not rows[1].keep and not rows[1].ok_n_tokens
+    assert not rows[2].keep and not rows[2].ok_punct
+    assert not rows[3].keep and not rows[3].ok_stopwords
+    for r in rows.values():  # keep == AND of all flags
+        assert r.keep == (
+            r.ok_n_tokens and r.ok_token_len and r.ok_punct and r.ok_stopwords
+        )
+
+
+def test_decontaminate_flags_overlap(spark):
+    from btrdb_server_spark.functions.curation import decontaminate
+
+    bench = docs_df(spark, ["the secret benchmark question about turtles"])
+    train = spark.createDataFrame(
+        [
+            # 10: verbatim leak of the bench doc -> fully contaminated
+            (10, "the secret benchmark question about turtles"),
+            # 11: disjoint content -> clean
+            (11, "completely unrelated words nothing shared here at all today"),
+            # 12: too short for any shingle -> n_shingles 0, clean
+            (12, "just two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(train, bench).collect()}
+    assert rows[10].contaminated and rows[10].overlap == 1.0
+    assert not rows[11].contaminated and rows[11].n_matched == 0
+    assert rows[12].n_shingles == 0 and not rows[12].contaminated
+
+
+def test_stratified_sample_nested_and_deterministic(spark, sf_dir):
+    from btrdb_server_spark.functions.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = stratified_sample(docs, {"en": 0.1}, 0.1)
+    hi = stratified_sample(docs, {"en": 0.5}, 0.5)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids  # hash-threshold sampling nests across rates
+    assert lo_ids == {r.doc_id for r in stratified_sample(docs, {"en": 0.1}, 0.1).collect()}
+    n = docs.count()
+    assert 0 < len(hi_ids) < n
+    # rate is roughly honored (binomial-ish tolerance)
+    assert abs(len(hi_ids) / n - 0.5) < 0.15
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    from btrdb_server_spark.functions.curation import pack_sequences
+
+    df = docs_df(spark, [f"tok {'w ' * (i % 7)}end" for i in range(40)])
+    out = pack_sequences(df, ctx_len=8, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        expect = 0
+        for r in rows:  # offsets are the exact running token count
+            assert r.tok_offset == expect
+            assert r.seq_idx == expect // 8
+            expect += r.n_tokens
