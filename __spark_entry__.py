@@ -607,6 +607,39 @@ def q_streaming_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: arbitrarily late data, no watermark (SURVEY §2.9). Day 2 of the
+    signup stream is ingested FIRST; day 1 arrives a whole batch late. The
+    ladder's bucket-exact merge folds the late batch into already-built
+    levels (no watermark ever drops it — qtree accepts any in-domain time,
+    qtree.go:629), and the served stats equal the oracle's full aggregate
+    over both days."""
+    import tempfile
+
+    from btrdb_server_spark.plans.rollup import RollupLadder
+
+    t_mid, t_end = T_2024 + DAY_NS, T_2024 + 2 * DAY_NS
+    pts = (
+        load_points(spark, sf_dir, T_2024, t_end)
+        .where(F.col("uuid") == "click")
+        .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
+    )
+    ladder = RollupLadder(
+        spark, tempfile.mkdtemp(prefix="btrdb_late_q_"), levels=[40]
+    )
+    ladder.update_with_batch(pts.where(F.col("time") >= t_mid), batch_id=0)
+    # day 1 arrives AFTER day 2 was already rolled up
+    ladder.update_with_batch(pts.where(F.col("time") < t_mid), batch_id=1)
+    df = ladder.serve_aligned(pts, "click", T_2024, t_end, 42)
+    return df.select(
+        "time",
+        F.col("min").alias("vmin"),
+        F.round("mean", 6).alias("vmean"),
+        F.col("max").alias("vmax"),
+        F.col("count").alias("cnt"),
+    )
+
+
 def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction (the OPTIMIZE/VACUUM analog): versions + tombstones fold
     into one base snapshot; reads at latest return exactly the pre-compaction
@@ -904,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_stat_merge": q_buffer_stat_merge,
         "streaming_ingest": q_streaming_ingest,
         "streaming_rollup_serve": q_streaming_rollup_serve,
+        "late_data_rollup": q_late_data_rollup,
         "store_compact": q_store_compact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1475,6 +1509,16 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS vmax, count(*) AS cnt
             FROM pts
             WHERE uuid = 'signup' AND time >= {(T_2024 >> 42) << 42}
+              AND time < {((T_2024 + 2 * DAY_NS) >> 42) << 42}
+            GROUP BY 1 ORDER BY 1
+        """,
+        "late_data_rollup": f"""
+            {PTS_CTE}
+            SELECT ((time >> 42) << 42) AS time,
+                   min(value) AS vmin, round(avg(value), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'click' AND time >= {(T_2024 >> 42) << 42}
               AND time < {((T_2024 + 2 * DAY_NS) >> 42) << 42}
             GROUP BY 1 ORDER BY 1
         """,

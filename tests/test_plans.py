@@ -129,3 +129,27 @@ def test_changed_ranges_heavy_window_is_partitioned(spark):
     assert windows, "expected window operators in the plan"
     chunked = [w for w in windows if "chunk" in w]
     assert chunked, f"no chunk-partitioned window in plan: {windows}"
+
+
+def test_quality_filter_map_only_pruned_scan(spark):
+    """Quality rules are pure column expressions: no aggregation/join
+    shuffle, and the scan must read only (doc_id, text)."""
+    plan = plan_of(entry_mod.q_quality_filter(spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_stratified_sample_is_map_side_filter(spark):
+    """Hash-threshold sampling must stay a scan+filter — zero shuffle
+    besides the presentation sort (a groupBy/join here would be wrong at
+    any scale)."""
+    plan = plan_of(entry_mod.q_stratified_sample(spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    """The benchmark shingle set is eval-set-sized and must broadcast; the
+    corpus side may never shuffle for the match itself."""
+    plan = plan_of(entry_mod.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
