@@ -794,6 +794,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate bigram/trigram fractions
+    and the top-bigram count per document — one tagged explode + one
+    groupBy pair for both n-gram sizes."""
+    from btrdb_server_spark.functions.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# Chunking geometry shared with the oracle: 16-token windows advancing by
+# 12 (4-token overlap) — small enough that sf0.01 docs emit several chunks.
+CHUNK_LEN, CHUNK_OVERLAP = 16, 4
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (retrieval/embedding prep): pure
+    map-side sequence() explode, chunk index derived arithmetically."""
+    from btrdb_server_spark.functions.curation import doc_chunks
+
+    return doc_chunks(
+        load_table(spark, sf_dir, "documents"), CHUNK_LEN, CHUNK_OVERLAP
+    )
+
+
+# Target mixture parts per domain; only 4 of the 20 sources participate
+# (the rest drop out), src0 is the binding domain (kept whole).
+MIX_WEIGHTS = {"src0": 6, "src1": 3, "src2": 1, "src3": 2}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-only rebalancing to a target domain mixture; thresholds
+    in exact int64 arithmetic, row picks by nested hash-threshold."""
+    from btrdb_server_spark.functions.curation import domain_mix
+
+    return domain_mix(load_table(spark, sf_dir, "documents"), MIX_WEIGHTS)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-clustered embedding space, within-cluster cosine >=
+    0.35 against a smaller id marks a semantic duplicate."""
+    from btrdb_server_spark.functions.similarity import (
+        centroids_from_rows,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, centroids_from_rows(emb, k=8), threshold=0.35)
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.text import bpe_token_stats
 
@@ -952,6 +1001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
+        "domain_mix": q_domain_mix,
+        "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -977,6 +1030,11 @@ _STOP_SQL = "['the','a','of','and','to','in','is','on','for','with']"
 _SHINGLES = (
     "CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),"
     " i -> array_to_string(list_slice(toks, i, i+2), ' '))"
+    " ELSE CAST([] AS VARCHAR[]) END"
+)
+_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),"
+    " i -> array_to_string(list_slice(toks, i, i+1), ' '))"
     " ELSE CAST([] AS VARCHAR[]) END"
 )
 _HEX4 = (
@@ -1641,6 +1699,71 @@ def oracle_sql() -> dict[str, str]:
                 for k, v in sorted(SAMPLE_RATES.items())
             )} ELSE {sample_threshold(SAMPLE_DEFAULT_RATE)} END
             ORDER BY doc_id
+        """,
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g2 AS (SELECT doc_id, unnest({_BIGRAMS}) AS g FROM t),
+            g3 AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM t),
+            c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+            c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+            a2 AS (SELECT doc_id, sum(cnt) AS tot2, count(*) AS dist2,
+                          max(cnt) AS top2
+                   FROM c2 GROUP BY 1),
+            a3 AS (SELECT doc_id, sum(cnt) AS tot3, count(*) AS dist3
+                   FROM c3 GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(tot2, 0) AS n_bigrams,
+                   COALESCE(round((tot2 - dist2) / tot2, 6), 0.0)
+                       AS dup_bigram_frac,
+                   COALESCE(round((tot3 - dist3) / tot3, 6), 0.0)
+                       AS dup_trigram_frac,
+                   COALESCE(top2, 0) AS top_bigram_cnt
+            FROM documents d
+            LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "doc_chunks": f"""
+            WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+            s AS (SELECT doc_id, n,
+                         unnest(generate_series(0, CAST(n - 1 AS BIGINT),
+                                {CHUNK_LEN - CHUNK_OVERLAP})) AS tok_start
+                  FROM t WHERE n > 0)
+            SELECT doc_id,
+                   tok_start // {CHUNK_LEN - CHUNK_OVERLAP} AS chunk_idx,
+                   tok_start,
+                   least({CHUNK_LEN}, n - tok_start) AS tok_len
+            FROM s ORDER BY doc_id, chunk_idx
+        """,
+        "domain_mix": f"""
+            WITH w(source, wt) AS (VALUES {", ".join(
+                f"('{k}', {v})" for k, v in sorted(MIX_WEIGHTS.items())
+            )}),
+            c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+            cw AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+            thr AS (SELECT s.source,
+                           min((65536 * s.wt * m.n) // (s.n * m.wt)) AS thr
+                    FROM cw s CROSS JOIN cw m GROUP BY 1),
+            h AS (SELECT doc_id, source,
+                         md5('mix|' || CAST(doc_id AS VARCHAR)) AS d
+                  FROM documents),
+            u AS (SELECT doc_id, source, {_hexn_sql('d', 4)} AS u FROM h)
+            SELECT doc_id, source
+            FROM u JOIN thr USING (source)
+            WHERE u < least(thr, 65536)
+            ORDER BY doc_id
+        """,
+        "semantic_dedup": f"""
+            WITH {_IVF_CTES},
+            ea AS (SELECT e.vec_id, e.v, a.cluster
+                   FROM e JOIN assign a USING (vec_id)),
+            dup AS (SELECT DISTINCT l.vec_id
+                    FROM ea l JOIN ea r
+                      ON l.cluster = r.cluster AND l.vec_id > r.vec_id
+                    WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35)
+            SELECT ea.vec_id, ea.cluster,
+                   (dup.vec_id IS NOT NULL) AS is_dup
+            FROM ea LEFT JOIN dup ON ea.vec_id = dup.vec_id
+            ORDER BY ea.vec_id
         """,
         "pack_sequences": f"""
             WITH t AS (

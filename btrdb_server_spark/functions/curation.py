@@ -240,3 +240,100 @@ def pack_sequences(
         )
         .orderBy(id_col)
     )
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_len: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking: split each document's token stream
+    into windows of `chunk_len` tokens advancing by `chunk_len - overlap` —
+    the retrieval/embedding-prep sibling of pack_sequences (which packs
+    whole documents; this splits long ones).
+
+    One row per (document, chunk): chunk_idx, tok_start, tok_len (the last
+    chunk is truncated, never padded). Documents with zero tokens emit no
+    chunks. Pure map-side explode over a sequence() — zero shuffle, and
+    chunk_idx is derived arithmetically from tok_start (tok_start / step)
+    so no positional explode state is needed.
+    """
+    if overlap >= chunk_len:
+        raise ValueError("overlap must be < chunk_len")
+    step = chunk_len - overlap
+    n = F.size(tokens_col(F.col(text_col)))
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), n.alias("n_tokens"), F.explode(starts).alias("tok_start"))
+        .select(
+            id_col,
+            (F.col("tok_start") / step).cast("long").alias("chunk_idx"),
+            F.col("tok_start").cast("long"),
+            F.least(F.lit(chunk_len), F.col("n_tokens") - F.col("tok_start"))
+            .cast("long")
+            .alias("tok_len"),
+        )
+        .orderBy(id_col, "chunk_idx")
+    )
+
+
+def domain_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix|",
+) -> DataFrame:
+    """Rebalance the corpus to a target domain mixture by downsampling only:
+    given integer weight parts per domain (e.g. {web: 5, code: 3, books: 2}
+    = 50/30/20), keep the largest sample achieving those proportions
+    exactly, without upsampling any domain.
+
+    The budget is set by the binding (scarcest-relative-to-weight) domain:
+    keep_s/n_s = min_m(n_m/w_m) * w_s/n_s. Thresholds stay in pure int64
+    arithmetic — thr_s = min_m floor(2^16 * w_s * n_m / (n_s * w_m)), using
+    floor's monotonicity to fold the rational min into the integer min — so
+    the DuckDB oracle reproduces every keep decision bit-for-bit, and row
+    selection is the same nested hash-threshold filter stratified_sample
+    uses (reproducible, no RNG).
+
+    Scale shape: one tiny groupBy(domain) count, a #domains^2 literal cross
+    join on the driver-free small side, then a broadcast join back — the
+    corpus itself is scanned once and never shuffled. Domains absent from
+    `weights` are dropped (weight 0).
+    """
+    docs = ensure_parallelism(docs)
+    wdf = docs.sparkSession.createDataFrame(
+        sorted(weights.items()), f"{key_col} string, w long"
+    )
+    counts = (
+        docs.groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(wdf), key_col)
+    )
+    s, m = counts.alias("s"), counts.alias("m")
+    thr = (
+        s.crossJoin(F.broadcast(m))
+        .groupBy(F.col(f"s.{key_col}").alias(key_col))
+        .agg(
+            F.min(
+                F.expr("CAST(65536 * s.w * m.n AS LONG) div CAST(s.n * m.w AS LONG)")
+            ).alias("thr")
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(thr), key_col)
+        .where(u < F.least(F.col("thr"), F.lit(65536)))
+        .select(F.col(id_col), F.col(key_col))
+        .orderBy(id_col)
+    )

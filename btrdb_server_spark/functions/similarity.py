@@ -307,3 +307,62 @@ def near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("a", "b")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
+    then inside each cluster mark every vector that has a same-cluster
+    neighbor with cosine >= threshold and a smaller id as a duplicate —
+    the keeper of each near-dup group is its smallest id. Where MinHash
+    dedup catches lexical near-copies, this catches *semantic* duplicates
+    (paraphrases, translations, re-renderings).
+
+    Scale shape: the clustering is ivf_assign's broadcast-centroid argmax
+    (the corpus never shuffles to cluster), and the quadratic pairwise step
+    runs only WITHIN clusters — cluster is the join key, so the self-join
+    shuffles each partition once and compares ~n_c^2 per cluster instead of
+    n^2 overall; K is sized so clusters fit an executor. Norms are
+    precomputed once so each candidate pair costs a single dot product.
+    """
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    emb = (
+        ensure_parallelism(embeddings)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .join(assign, id_col)
+        .withColumn("nrm", _norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+    l, r = emb.alias("l"), emb.alias("r")
+    dup_ids = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+        )
+        .where(
+            F.round(
+                _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+            )
+            >= threshold
+        )
+        .select(F.col(f"l.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        emb.select(id_col, "cluster")
+        .join(dup_ids.select(F.col(id_col), F.lit(True).alias("is_dup")), id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster"),
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+        .orderBy(id_col)
+    )

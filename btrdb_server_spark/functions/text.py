@@ -220,3 +220,80 @@ def text_scrub(
         n_emails.cast("long").alias("n_emails"),
         n_digits.cast("long").alias("n_numbers"),
     )
+
+
+def ngrams_col(text: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (empty array when fewer than n
+    tokens) — the generalization of dedup.shingles_col shared with the
+    repetition metrics."""
+    toks = tokens_col(text)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the fraction
+    of duplicate word bigrams / trigrams and the count of the most frequent
+    bigram, per document. High duplicate-n-gram fractions flag boilerplate
+    and template spam that per-token quality rules miss.
+
+    dup_frac_n = (total n-grams - distinct n-grams) / total n-grams
+    (0.0 for documents with no n-grams).
+
+    Scale shape: both n-gram sizes ride ONE explode + ONE groupBy pair —
+    grams are tagged with n and counted per (doc, n, gram) with map-side
+    combine, then reduced per doc with conditional aggregates. The shuffle
+    carries one row per distinct (doc, n, gram) per map task; nothing is
+    quadratic in document length (an array_distinct/mode formulation would
+    be). Joined back to the full doc list so gram-less documents still
+    report zeros.
+    """
+    docs = ensure_parallelism(docs)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    ngrams_col(F.col(text_col), 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                ),
+                F.transform(
+                    ngrams_col(F.col(text_col), 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+                ),
+            )
+        ).alias("ng"),
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    per_gram = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("cnt"))
+    is2 = F.col("n") == 2
+    is3 = F.col("n") == 3
+    agg = per_gram.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(is2, F.col("cnt"))), F.lit(0)).alias("tot2"),
+        F.coalesce(F.count(F.when(is2, F.lit(1))), F.lit(0)).alias("dist2"),
+        F.coalesce(F.max(F.when(is2, F.col("cnt"))), F.lit(0)).alias("top2"),
+        F.coalesce(F.sum(F.when(is3, F.col("cnt"))), F.lit(0)).alias("tot3"),
+        F.coalesce(F.count(F.when(is3, F.lit(1))), F.lit(0)).alias("dist3"),
+    )
+    frac = lambda tot, dist: F.round(  # noqa: E731
+        F.when(F.col(tot) > 0, (F.col(tot) - F.col(dist)) / F.col(tot)).otherwise(0.0), 6
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("tot2"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(frac("tot2", "dist2"), F.lit(0.0)).alias("dup_bigram_frac"),
+            F.coalesce(frac("tot3", "dist3"), F.lit(0.0)).alias("dup_trigram_frac"),
+            F.coalesce(F.col("top2"), F.lit(0)).cast("long").alias("top_bigram_cnt"),
+        )
+        .orderBy(id_col)
+    )
