@@ -843,6 +843,46 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, centroids_from_rows(emb, k=8), threshold=0.35)
 
 
+# Bag-of-words query shared with the BM25 oracle: common corpus words so
+# posting lists are non-trivial at every scale factor.
+BM25_QUERY = ["spark", "hash", "merge", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10: inverted-index retrieval as explode-filtered-to-
+    query-terms -> groupBy; corpus stats and per-term document frequencies
+    broadcast."""
+    from btrdb_server_spark.functions.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_QUERY, k=10)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (perplexity-filter stand-in): corpus token
+    counts re-joined to the token stream, mean log-probability per doc."""
+    from btrdb_server_spark.functions.retrieval import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: 64-dim vectors -> 4 subspaces, nearest of
+    8 codebook entries each; broadcast codebook, struct-min argmin."""
+    from btrdb_server_spark.functions.similarity import pq_encode
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"), m=4, k=8, dim=64)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC serving over PQ codes: probe distance table (m*k rows) broadcast
+    to the code table; raw vectors untouched at query time."""
+    from btrdb_server_spark.functions.similarity import ann_pq_topk
+
+    return ann_pq_topk(
+        load_table(spark, sf_dir, "embeddings"), probe_id=0, m=4, k_codes=8, k=10, dim=64
+    )
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.text import bpe_token_stats
 
@@ -1005,6 +1045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "domain_mix": q_domain_mix,
         "semantic_dedup": q_semantic_dedup,
+        "bm25_topk": q_bm25_topk,
+        "unigram_logprob": q_unigram_logprob,
+        "pq_encode": q_pq_encode,
+        "ann_pq_topk": q_ann_pq_topk,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1227,7 +1271,33 @@ def _ann_lsh_topk_sql() -> str:
     """
 
 
+def _bm25_terms_sql() -> str:
+    return "[" + ",".join(f"'{t}'" for t in BM25_QUERY) + "]"
+
+
+# Product-quantization CTEs shared by the pq_encode and ann_pq_topk oracles:
+# 64-dim vectors, m=4 subspaces of 16, codebook = first 8 vectors' subvectors
+# (mirrors functions/similarity.py pq_encode with dim=64, m=4, k=8).
+_PQ_CTES = """
+    j AS (SELECT unnest(generate_series(0, 3)) AS j),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (SELECT vec_id, j, list_slice(v, j*16 + 1, j*16 + 16) AS sv
+            FROM e CROSS JOIN j),
+    cb AS (SELECT e.vec_id AS code, j, list_slice(v, j*16 + 1, j*16 + 16) AS cv
+           FROM e CROSS JOIN j WHERE e.vec_id < 8),
+    pqd AS (SELECT s.vec_id, s.j, cb.code,
+                   round(list_distance(s.sv, cb.cv), 6) AS dist
+            FROM sub s JOIN cb USING (j)),
+    pqr AS (SELECT vec_id, j, code, row_number() OVER
+                   (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+            FROM pqd),
+    codes AS (SELECT vec_id, j, code FROM pqr WHERE rn = 1)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from btrdb_server_spark.functions.retrieval import BM25_B, BM25_K1  # noqa: F401
+
     stat_cols = (
         "min(value) AS vmin, round(avg(value), 6) AS vmean, "
         "max(value) AS vmax, count(*) AS cnt"
@@ -1764,6 +1834,58 @@ def oracle_sql() -> dict[str, str]:
                    (dup.vec_id IS NOT NULL) AS is_dup
             FROM ea LEFT JOIN dup ON ea.vec_id = dup.vec_id
             ORDER BY ea.vec_id
+        """,
+        "bm25_topk": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, dl,
+                          unnest(list_filter(toks,
+                              x -> list_contains({_bm25_terms_sql()}, x))) AS term
+                   FROM dl),
+            tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+                    FROM tf GROUP BY 1, 2, 3),
+            dfc AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tfc GROUP BY 1),
+            sc AS (SELECT doc_id,
+                          round(sum(
+                              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                              * tf * ({BM25_K1} + 1.0)
+                              / (tf + {BM25_K1}
+                                 * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+                          ), 6) AS score
+                   FROM tfc JOIN dfc USING (term) CROSS JOIN st
+                   GROUP BY doc_id)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "unigram_logprob": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+            t AS (SELECT sum(cnt) AS total FROM c),
+            sc AS (SELECT doc_id, count(*) AS n_tokens,
+                          round(avg(ln(cnt / total)), 6) AS mean_logprob
+                   FROM tok JOIN c USING (tok) CROSS JOIN t
+                   GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, mean_logprob
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "pq_encode": f"""
+            WITH {_PQ_CTES}
+            SELECT vec_id, j AS subspace, code FROM codes
+            ORDER BY vec_id, subspace
+        """,
+        "ann_pq_topk": f"""
+            WITH {_PQ_CTES},
+            qsub AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+            dt AS (SELECT cb.j, cb.code,
+                          round(power(list_distance(cb.cv, qsub.qv), 2), 6) AS d
+                   FROM cb JOIN qsub USING (j)),
+            sc AS (SELECT c.vec_id, round(sum(d), 6) AS adc_dist
+                   FROM codes c JOIN dt ON c.j = dt.j AND c.code = dt.code
+                   GROUP BY 1)
+            SELECT vec_id, adc_dist FROM sc ORDER BY adc_dist, vec_id LIMIT 10
         """,
         "pack_sequences": f"""
             WITH t AS (

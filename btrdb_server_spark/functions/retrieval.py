@@ -1,0 +1,133 @@
+"""Keyword retrieval and language-model scoring over the documents table.
+
+BM25 is the classic inverted-index ranking function; the Spark expression of
+an inverted index is explode → filter-to-query-terms → groupBy — the
+posting lists are never materialized, only the postings matching the query
+survive the map side. The unigram log-probability score is the cheapest
+member of the perplexity-filter family (CCNet-style quality scoring with a
+model trained on the corpus itself).
+
+All hot-path logic is built-in column expressions (JVM-side, codegen'd) —
+no Python UDFs — and every operator has a DuckDB oracle twin in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.functions.text import tokens_col
+from btrdb_server_spark.utils import ensure_parallelism
+
+# Standard Okapi BM25 constants — shared with the SQL oracle.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a bag-of-words query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (Robertson/Lucene form).
+
+    Scale shape: the token explode is filtered to the query terms BEFORE the
+    explode (map-side array filter), so the shuffle carries one row per
+    (matching doc, query term) — the size of the query's posting lists, not
+    the corpus. Corpus stats (N, avgdl) are a 1-row aggregate and the
+    per-term document frequencies are |query| rows; both broadcast. The
+    final top-k is TakeOrderedAndProject — no global sort. Scores are
+    rounded to 6 digits before ranking so the oracle orders identically.
+    """
+    docs = ensure_parallelism(docs)
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    ).select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.filter("toks", lambda t: t.isin(query_terms))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    w = (
+        idf
+        * F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(w), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), id_col).limit(k)
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality score: train token counts on the
+    corpus itself, then score each document by its mean token
+    log-probability ln(count(t)/total). Low scores flag rare-token noise
+    (mojibake, hashes, boilerplate markup); the cheap stand-in for the
+    perplexity filter of CCNet/Wenzek et al. 2020.
+
+    Scale shape: one explode + one groupBy(token) builds the LM (map-side
+    combinable, shuffle is vocab-sized per map task); scoring re-joins
+    tokens to counts on the token key — broadcast when the vocabulary fits
+    (it does by Heaps' law for all but extreme corpora; ~O(√N) distinct
+    tokens), else a shuffle-hash join whose skew on hot stopwords is
+    harmless because the build side has one row per token. Documents with
+    zero tokens report n_tokens = 0 and NULL score.
+    """
+    docs = ensure_parallelism(docs)
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.col("mean_logprob"),
+        )
+        .orderBy(id_col)
+    )

@@ -366,3 +366,155 @@ def semantic_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): split each vector
+    into `m` contiguous subvectors and replace each with the id of its
+    nearest codebook entry — the memory-compression step that lets an ANN
+    index hold 100 TB of embeddings in RAM (dim·4 bytes → m bytes/vector).
+
+    Codebooks here are the first `k` vectors' subvectors (deterministic, as
+    centroids_from_rows; ivf_refine-style Lloyd iterations would train them
+    offline in a real pipeline — assignment mechanics are identical).
+
+    Output: one row per (vector, subspace) with the chosen `code` —
+    exploded rather than an array column so the oracle hash is
+    representation-independent.
+
+    Scale shape: the codebook is m·k rows and broadcasts; the corpus
+    explodes to m rows per vector (map-side), joins the broadcast on the
+    subspace id, and the argmin is a groupBy min(struct(dist, code)) —
+    map-side combinable, no window sort, corpus never shuffles except for
+    that tiny-key aggregate. L2 distances are rounded to 6 digits before
+    the argmin so oracle tie-breaks (then by code) are identical.
+    """
+    if dim is None:  # schema metadata, not a data read, when caller knows it
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    def subspaces(v):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice(v, j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col), F.explode(subspaces(v)).alias("s")
+    ).select(id_col, F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    cb = (
+        embeddings.where(F.col(id_col) < k)
+        .select(F.col(id_col).alias("code"), F.explode(subspaces(v)).alias("s"))
+        .select("code", F.col("s.j").alias("j"), F.col("s.sv").alias("cv"))
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    return (
+        e.join(F.broadcast(cb), "j")
+        .select(id_col, "j", dist.alias("dist"), "code")
+        .groupBy(id_col, "j")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select(
+            F.col(id_col),
+            F.col("j").alias("subspace"),
+            F.col("best.code").alias("code"),
+        )
+        .orderBy(id_col, "subspace")
+    )
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    m: int = 4,
+    k_codes: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation (ADC) over PQ codes:
+    approx ||q - x||^2 ~= sum_j ||q_j - c[j, code_j(x)]||^2. The serving
+    half of pq_encode — the corpus is touched only through its m-byte
+    codes, never its raw vectors.
+
+    Scale shape: the probe's distance table (m*k_codes rows — one L2 per
+    codebook entry, computed against the 1-row broadcast probe) broadcasts
+    to the code table; the scan is then a broadcast-hash join on (j, code)
+    + a groupBy(id) sum — map-side combinable, the raw 100 TB embedding
+    column is never read at query time (codes are precomputed offline).
+    Per-subspace distances round to 6 before summing so the oracle's
+    ranking ties identically; ties then break by id.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sub = dim // m
+    codes = pq_encode(embeddings, m, k_codes, id_col, vec_col, dim)
+    probe = embeddings.where(F.col(id_col) == probe_id).select(
+        F.col(vec_col).cast("array<double>").alias("q")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    cb = (
+        embeddings.where(F.col(id_col) < k_codes)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("subspace"),
+                            F.slice(v, j * sub + 1, sub).alias("cv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("code", F.col("s.subspace").alias("subspace"), F.col("s.cv").alias("cv"))
+    )
+    dtab = cb.join(F.broadcast(probe)).select(
+        "subspace",
+        "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("cv"),
+                    F.slice(F.col("q"), F.col("subspace") * sub + 1, sub),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d"),
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -345,3 +345,66 @@ def test_pack_sequences_offsets_contiguous(spark):
             assert r.tok_offset == expect
             assert r.seq_idx == expect // 8
             expect += r.n_tokens
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from btrdb_server_spark.functions.retrieval import bm25_topk
+
+    df = docs_df(
+        spark,
+        [
+            "spark spark spark streaming engine",   # high tf for 'spark'
+            "spark appears once in this longer document about other things",
+            "nothing relevant whatsoever here today",
+            "hash join and hash shuffle with spark",
+        ],
+    )
+    rows = bm25_topk(df, ["spark", "hash"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 2 not in ids  # no query term -> no score at all
+    assert ids[0] == 3  # matches both terms, beats any single-term doc
+    assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from btrdb_server_spark.functions.retrieval import unigram_logprob
+
+    df = docs_df(
+        spark,
+        ["common common common common", "common zzqx", ""],
+    )
+    rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    # doc 0 is all high-frequency tokens; doc 1 mixes in a hapax
+    assert rows[0].mean_logprob > rows[1].mean_logprob
+    assert rows[2].n_tokens == 0 and rows[2].mean_logprob is None
+
+
+def test_pq_encode_shape_and_self_coding(spark, sf_dir):
+    from btrdb_server_spark.functions.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = pq_encode(emb, m=4, k=8, dim=64)
+    rows = out.collect()
+    assert len(rows) == 4 * n  # one row per (vector, subspace)
+    assert {r.subspace for r in rows} == {0, 1, 2, 3}
+    assert all(0 <= r.code < 8 for r in rows)
+    # codebook vectors quantize to themselves in every subspace
+    for r in rows:
+        if r.vec_id < 8:
+            assert r.code == r.vec_id
+
+
+def test_ann_pq_topk_probe_first_and_plausible(spark, sf_dir):
+    from btrdb_server_spark.functions.similarity import ann_pq_topk, cosine_topk_by_id
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    adc = ann_pq_topk(emb, probe_id=0, m=4, k_codes=8, k=10, dim=64).collect()
+    assert len(adc) == 10
+    # the probe is its own codebook entry -> ADC distance exactly 0, rank 1
+    assert adc[0].vec_id == 0 and adc[0].adc_dist == 0.0
+    assert all(adc[i].adc_dist <= adc[i + 1].adc_dist for i in range(9))
+    # the exact scan agrees the probe is its own nearest neighbor (an
+    # 8-entry codebook is too coarse to promise more overlap than that)
+    exact = cosine_topk_by_id(emb, probe_id=0, k=10).collect()
+    assert exact[0].vec_id == 0 and 0 in {r.vec_id for r in adc}

@@ -153,3 +153,21 @@ def test_decontaminate_bench_side_broadcasts(spark):
     corpus side may never shuffle for the match itself."""
     plan = plan_of(entry_mod.q_decontaminate(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_posting_sides_broadcast(spark):
+    """BM25's corpus stats (1 row) and document frequencies (|query| rows)
+    must broadcast — a sort-merge join on either would shuffle the posting
+    lists twice for dim tables of a handful of rows."""
+    plan = plan_of(entry_mod.q_bm25_topk(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_pq_codebook_broadcasts(spark):
+    """The PQ codebook (m*k rows) joins the exploded corpus broadcast-side;
+    the argmin is an aggregate (map-side combinable), not a window sort."""
+    plan = plan_of(entry_mod.q_pq_encode(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
