@@ -1783,9 +1783,9 @@ def oracle_sql() -> dict[str, str]:
                    FROM c3 GROUP BY 1)
             SELECT d.doc_id,
                    COALESCE(tot2, 0) AS n_bigrams,
-                   COALESCE(round((tot2 - dist2) / tot2, 6), 0.0)
+                   COALESCE((tot2 - dist2) / tot2, 0.0)
                        AS dup_bigram_frac,
-                   COALESCE(round((tot3 - dist3) / tot3, 6), 0.0)
+                   COALESCE((tot3 - dist3) / tot3, 0.0)
                        AS dup_trigram_frac,
                    COALESCE(top2, 0) AS top_bigram_cnt
             FROM documents d

@@ -282,9 +282,12 @@ def repetition_stats(
         F.coalesce(F.sum(F.when(is3, F.col("cnt"))), F.lit(0)).alias("tot3"),
         F.coalesce(F.count(F.when(is3, F.lit(1))), F.lit(0)).alias("dist3"),
     )
-    frac = lambda tot, dist: F.round(  # noqa: E731
-        F.when(F.col(tot) > 0, (F.col(tot) - F.col(dist)) / F.col(tot)).otherwise(0.0), 6
-    )
+    # No rounding: the raw IEEE division is bit-identical to the oracle's
+    # (round(x, 6) is NOT — Spark HALF_UP vs DuckDB's banker's rounding can
+    # disagree on ties, which is exactly the hash mismatch the driver saw).
+    frac = lambda tot, dist: F.when(  # noqa: E731
+        F.col(tot) > 0, (F.col(tot) - F.col(dist)) / F.col(tot)
+    ).otherwise(0.0)
     return (
         docs.select(id_col)
         .join(agg, id_col, "left")

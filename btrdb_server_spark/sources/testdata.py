@@ -1,7 +1,8 @@
 """Readers for the driver-generated testdata (TESTDATA.md).
 
 The `events` table is the time-series source: each event_type is one stream
-(uuid), `ts` becomes int64 nanoseconds, `value` is the payload — the mapping
+(uuid), `ts` (wall-clock µs) becomes int64 epoch nanoseconds, `value` is the
+payload — the mapping
 FIXTURES.md prescribes for benching the points plane. All conversions are
 pure built-in column expressions so Catalyst keeps pushdown and codegen.
 
@@ -30,30 +31,49 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS),
-    # which Spark rejects unless nanosAsLong is set. The flag is runtime-
-    # settable, so set it here rather than relying on session-build config —
-    # externally built SparkSessions (the correctness harness) must work too.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # older Spark without the flag: fall through to TimestampType
+    # Historical note: earlier driver testdata stored `events.ts` as parquet
+    # TIMESTAMP(NANOS), readable only with nanosAsLong (→ ts as int64 ns).
+    # Current testdata stores TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    # Spark 4 reads as TIMESTAMP_NTZ regardless of that flag. events_to_points
+    # handles every ts dtype it may encounter, so no session config is needed
+    # here — externally built SparkSessions (the correctness harness) work
+    # unmodified.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Epoch as a wall-clock NTZ literal: timestampdiff against it turns a
+# TIMESTAMP_NTZ into epoch µs with NO session-timezone dependence (the same
+# wall-clock arithmetic DuckDB's epoch_ns(ts) applies to the µs column).
+_NTZ_EPOCH = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def _ntz_lit(ns: int):
+    """Epoch-ns bound → TIMESTAMP_NTZ literal (µs floor), parsed from a
+    string so the conversion never consults the session timezone."""
+    from datetime import datetime, timedelta
+
+    dt = datetime(1970, 1, 1) + timedelta(microseconds=ns // 1000)
+    return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
 
 
 def events_to_points(events: DataFrame) -> DataFrame:
     """Map the events table to the (uuid, time, value) points plane.
 
     uuid = event_type (one stream per source type), time = epoch nanoseconds
-    truncated to whole microseconds. The parquet stores TIMESTAMP(NANOS); we
-    read it as raw int64 ns (session config nanosAsLong) and truncate the
-    sub-µs digits so the values match DuckDB's epoch_ns(ts), which reads the
-    same column at µs precision — keeping the oracle comparison exact.
+    of the wall-clock ts. The parquet stores TIMESTAMP(MICROS, not adjusted
+    to UTC): Spark 4 reads it as TIMESTAMP_NTZ; time = wall-clock µs × 1000,
+    exactly DuckDB's epoch_ns(ts) — keeping the oracle comparison exact and
+    timezone-independent. Legacy dtypes (int64 ns via nanosAsLong, tz-aware
+    TimestampType) are still accepted for older lakes.
     """
     ts_type = dict(events.dtypes)["ts"]
-    if ts_type == "bigint":
+    if ts_type == "bigint":  # legacy nanosAsLong read: raw int64 ns
         time_col = (F.col("ts") - F.col("ts") % F.lit(1000)).alias("time")
-    else:  # TimestampType (µs) fallback
+    elif ts_type == "timestamp_ntz":
+        time_col = (
+            F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts)") * F.lit(1000)
+        ).alias("time")
+    else:  # tz-aware TimestampType (µs instant) fallback
         time_col = (F.unix_micros("ts") * F.lit(1000)).alias("time")
     return events.select(
         F.col("event_type").alias("uuid"),
@@ -69,17 +89,22 @@ def load_points(
     end: int | None = None,
 ) -> DataFrame:
     """Points view of events. When a time range is known, pass it: the range
-    is applied to the RAW ts column before the truncating projection, so it
-    reaches the parquet scan as a pushable predicate (row-group min/max
-    skipping). The projected `time` is truncated down, so the raw bounds are
-    widened by 1 µs on the upper end — a superset; operators re-apply the
-    exact predicate on `time`."""
+    is applied to the RAW ts column before the projection, so it reaches the
+    parquet scan as a pushable predicate (row-group min/max skipping). The
+    raw bounds are widened to whole µs (floor start, ceil end) — a superset;
+    operators re-apply the exact predicate on `time`."""
     events = load_table(spark, sf_dir, "events")
-    if dict(events.dtypes)["ts"] == "bigint":
+    ts_type = dict(events.dtypes)["ts"]
+    if ts_type == "bigint":
         if start is not None:
             events = events.where(F.col("ts") >= F.lit(start))
         if end is not None:
             events = events.where(F.col("ts") < F.lit(end + 1000))
+    elif ts_type == "timestamp_ntz":
+        if start is not None:
+            events = events.where(F.col("ts") >= _ntz_lit(start))
+        if end is not None:
+            events = events.where(F.col("ts") < _ntz_lit(end + 999))
     return events_to_points(events)
 
 
@@ -108,7 +133,7 @@ T_JAN20 = 1_705_708_800_000_000_000
 
 # Bump when the ladder/store build semantics change: the tag is part of the
 # /tmp cache path, so stale artifacts from older code can never be served.
-CACHE_TAG = "v3"  # v3: ladder levels partitioned by (uuid_bucket, chunk)
+CACHE_TAG = "v4"  # v4: testdata regenerated as TIMESTAMP(MICROS) NTZ
 
 
 def ensure_events_store(spark: SparkSession, sf_dir: str):

@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every `queries()` entry on a PLAIN SparkSession (deliberately built
+without any of this repo's session config — exactly like the driver's own
+harness) and compares against `oracle_sql()` run in DuckDB at the same sf.
+
+Usage: python scripts/check_driver.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(rows, cols):
+    """Canonicalize a result set: columns sorted by name, rows sorted,
+    floats rounded to 9 significant digits (driver hashes value-wise; we
+    compare value-wise with float tolerance)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            if v == 0:
+                return 0.0
+            return round(v, 9 - 1 - int(math.floor(math.log10(abs(v)))) if abs(v) > 1e-300 else 9)
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, norm(x)) for k, x in v.items()))
+        if isinstance(v, bytes):
+            return v.hex()
+        return v
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    # Plain session: mimic the driver (no repo-side config allowed to matter).
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-driver")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    n_pass = n_fail = n_err = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {str(e).splitlines()[0][:160]}")
+            n_err += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows={len(rows)} (no oracle — rows-only check)")
+            n_pass += 1
+            continue
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name} (oracle): {str(e).splitlines()[0][:160]}")
+            n_err += 1
+            continue
+        scols, srows = canon(rows, cols)
+        ocols2, orows2 = canon(orows, ocols)
+        if scols != ocols2:
+            print(f"FAIL {name}: schema {scols} != {ocols2}")
+            n_fail += 1
+        elif len(srows) != len(orows2):
+            print(f"FAIL {name}: rows {len(srows)} != {len(orows2)}")
+            n_fail += 1
+        elif srows != orows2:
+            bad = next(i for i, (a, b) in enumerate(zip(srows, orows2)) if a != b)
+            print(f"FAIL {name}: values differ at sorted row {bad}:")
+            print(f"     spark:  {srows[bad]}")
+            print(f"     oracle: {orows2[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(srows)}")
+            n_pass += 1
+    print(f"\n== pass={n_pass} fail={n_fail} err={n_err}")
+    return 1 if (n_fail or n_err) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -38,7 +38,7 @@ def test_raw_values_pushdown(spark):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(ts" in plan
     assert "EqualTo(event_type,click)" in plan
-    assert "ReadSchema: struct<ts:bigint,event_type:string,value:double>" in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>" in plan
 
 
 def test_aligned_windows_partial_agg(spark):
