@@ -991,6 +991,30 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(emb, threshold=0.35, block_col="label")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English slice of the corpus
+    (hashed-unigram log-likelihood ratio, broadcast B-row feature table)."""
+    from btrdb_server_spark.functions.curation import dsir_weights
+
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 8-token windows (ExactSubstr on a grid):
+    the spans a pipeline cuts instead of dropping whole documents."""
+    from btrdb_server_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-10 cosine neighbors of probe 0
+    with a different label, probe broadcast as a 1-row join."""
+    from btrdb_server_spark.functions.similarity import hard_negative_topk
+
+    return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raw_values": q_raw_values,
@@ -1045,6 +1069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "domain_mix": q_domain_mix,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dup_spans": q_dup_spans,
+        "hard_negatives": q_hard_negatives,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "pq_encode": q_pq_encode,
@@ -1142,11 +1169,11 @@ def _verified_pairs_ctes() -> str:
             ),
             vp AS (
                 SELECT a, b,
-                       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+                       inter / (sa.sz + sb.sz - inter) AS jaccard
                 FROM inter
                 JOIN sz sa ON sa.doc_id = a
                 JOIN sz sb ON sb.doc_id = b
-                WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+                WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
             )"""
 
 
@@ -1660,17 +1687,17 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
             SELECT doc_id,
                 CAST(len(toks) AS BIGINT) AS n_tokens,
-                round(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
-                      / greatest(len(toks), 1), 6) AS mean_token_len,
-                round(len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                      / greatest(len(text), 1), 6) AS punct_ratio,
-                round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
-                      / greatest(len(toks), 1), 6) AS stopword_ratio,
-                round(0.4 * least(len(toks) / 50.0, 1.0)
+                coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                      / greatest(len(toks), 1) AS mean_token_len,
+                len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                      / greatest(len(text), 1) AS punct_ratio,
+                len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                      / greatest(len(toks), 1) AS stopword_ratio,
+                0.4 * least(len(toks) / 50.0, 1.0)
                     + 0.3 * (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
                              / greatest(len(toks), 1))
                     + 0.3 * (1.0 - len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                             / greatest(len(text), 1)), 6) AS quality
+                             / greatest(len(text), 1)) AS quality
             FROM t ORDER BY doc_id
         """,
         "lang_id": _lang_id_sql(),
@@ -1748,8 +1775,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(coalesce(sz.n_shingles, 0) AS BIGINT) AS n_shingles,
                    CAST(coalesce(mt.n_matched, 0) AS BIGINT) AS n_matched,
-                   round(coalesce(mt.n_matched, 0)
-                         / greatest(coalesce(sz.n_shingles, 0), 1), 6) AS overlap,
+                   coalesce(mt.n_matched, 0)
+                         / greatest(coalesce(sz.n_shingles, 0), 1) AS overlap,
                    (coalesce(mt.n_matched, 0) * 2 >= coalesce(sz.n_shingles, 0)
                     AND coalesce(sz.n_shingles, 0) > 0) AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
@@ -1982,12 +2009,61 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l.doc_id, r.doc_id
             )
             SELECT a, b,
-                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+                   inter / (sa.sz + sb.sz - inter) AS jaccard
             FROM inter
             JOIN sz sa ON sa.doc_id = a
             JOIN sz sb ON sb.doc_id = b
-            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
             ORDER BY a, b
+        """,
+        "dsir_weights": f"""
+            WITH t AS (SELECT doc_id, (lang = 'en') AS is_t, {_TOKS} AS toks
+                       FROM documents),
+            tk AS (SELECT doc_id, is_t, unnest(toks) AS tok FROM t),
+            tb AS (SELECT doc_id, is_t,
+                          ({_hexn_sql("md5(tok)", 8)}) % 1024 AS b FROM tk),
+            bc AS (SELECT b, count(*) AS cr,
+                          count(*) FILTER (WHERE is_t) AS ct
+                   FROM tb GROUP BY b),
+            tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+            w AS (SELECT b, ln((ct + 1.0) / (nt + 1024.0))
+                           - ln((cr + 1.0) / (nr + 1024.0)) AS w
+                  FROM bc CROSS JOIN tot),
+            sc AS (SELECT tb.doc_id, count(*) AS n_tokens,
+                          round(sum(w.w), 6) AS log_weight
+                   FROM tb JOIN w USING (b) GROUP BY tb.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   sc.log_weight
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "dup_spans": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            w1 AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i,
+                          toks
+                   FROM t WHERE len(toks) >= 8),
+            w2 AS (SELECT doc_id, CAST(i AS BIGINT) AS tok_start,
+                          md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS d
+                   FROM w1),
+            w3 AS (SELECT doc_id, tok_start, {_hexn_sql("d", 15)} AS h FROM w2),
+            c AS (SELECT h, count(DISTINCT doc_id) AS n_docs,
+                         count(*) AS n_occurrences
+                  FROM w3 GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+            SELECT w3.doc_id, w3.tok_start, c.n_docs, c.n_occurrences
+            FROM w3 JOIN c USING (h) ORDER BY doc_id, tok_start
+        """,
+        "hard_negatives": """
+            WITH probe AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS q, label AS qlabel
+                FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                probe.q), 6) AS cosine
+            FROM embeddings, probe
+            WHERE label <> probe.qlabel
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "cosine_topk": """
             WITH probe AS (
@@ -2006,7 +2082,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(toks) AS BIGINT) AS n_bpe,
                    CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_bpe,
-                   round(len(text) / greatest(len(toks), 1), 6) AS chars_per_token
+                   len(text) / greatest(len(toks), 1) AS chars_per_token
             FROM t ORDER BY doc_id
         """,
         "rolling_fingerprint": f"""

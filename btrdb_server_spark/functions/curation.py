@@ -149,7 +149,8 @@ def decontaminate(
             F.col(id_col),
             n_sh.alias("n_shingles"),
             n_mt.alias("n_matched"),
-            F.round(n_mt / F.greatest(n_sh, F.lit(1)), 6).alias("overlap"),
+            # Unrounded integer ratio (rounding ties diverge across engines).
+            (n_mt / F.greatest(n_sh, F.lit(1))).alias("overlap"),
             ((n_mt * den >= n_sh * num) & (n_sh > 0)).alias("contaminated"),
         )
         .orderBy(id_col)
@@ -335,5 +336,79 @@ def domain_mix(
         docs.join(F.broadcast(thr), key_col)
         .where(u < F.least(F.col("thr"), F.lit(65536)))
         .select(F.col(id_col), F.col(key_col))
+        .orderBy(id_col)
+    )
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_val: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document by
+    how much its hashed-unigram distribution looks like the target domain's,
+    log w(x) = sum_tokens [ ln p_target(h(t)) - ln p_raw(h(t)) ],
+    with Laplace-smoothed bucket probabilities (count+1)/(total+B). Sampling
+    proportionally to w(x) shifts a generic crawl toward the target domain;
+    here target = documents whose `target_col` equals `target_val`, raw =
+    the whole corpus.
+
+    Scale shape: tokens are hashed into B buckets (md5-derived, the oracle
+    mirrors the hash), so the feature table is B rows regardless of corpus
+    size — ONE explode + ONE groupBy(bucket) builds both distributions in a
+    single pass (conditional aggregation, map-side combined), and scoring
+    re-joins tokens to the B-row weight table as a broadcast. The corpus is
+    scanned twice and shuffled only for the per-doc sum (one row per doc
+    per map task). Zero-token documents report n_tokens = 0, NULL weight.
+    """
+    docs = ensure_parallelism(docs)
+    toks = docs.select(
+        F.col(id_col),
+        (F.col(target_col) == F.lit(target_val)).alias("is_t"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).select(
+        id_col,
+        "is_t",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % buckets).alias(
+            "b"
+        ),
+    )
+    bucket_counts = toks.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("is_t"), F.lit(1))).alias("ct"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    w = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.lit(float(buckets))))
+            - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.lit(float(buckets))))
+        ).alias("w"),
+    )
+    scored = (
+        toks.join(F.broadcast(w), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("w"), 6).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.col("log_weight"),
+        )
         .orderBy(id_col)
     )

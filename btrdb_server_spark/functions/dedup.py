@@ -203,8 +203,9 @@ def lsh_verified_pairs(
         .select(
             "a",
             "b",
-            F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            # Unrounded integer ratio (rounding ties diverge across engines).
+            (
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -370,10 +371,75 @@ def ngram_jaccard_pairs(
         .select(
             "a",
             "b",
-            F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            # Unrounded integer ratio (rounding ties diverge across engines).
+            (
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
         .orderBy("a", "b")
+    )
+
+
+DUP_SPAN_WINDOW = 8
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    w: int = DUP_SPAN_WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate span detection at token-window granularity
+    (the ExactSubstr pass of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", on a w-token grid): every w-token window
+    that occurs verbatim in >= 2 distinct documents is reported as
+    (doc_id, tok_start, n_docs, n_occurrences) — the spans a pipeline cuts
+    or down-weights instead of dropping whole documents.
+
+    Scale shape: windows hash to 60-bit ints (first 15 md5 hex chars, the
+    repo's standard engine-mirrorable key), so the duplicate-detection
+    groupBy ships 8-byte keys with map-side combine; the join back to spans
+    is on the same key, and only windows whose hash repeats across documents
+    survive to the output. Nothing is pairwise: a span duplicated across D
+    documents costs D rows, not D^2. A suffix-array pass finds arbitrary-
+    offset duplicates; the w-token grid is the relational approximation
+    (byte-exact duplicates longer than 2w-1 tokens always cover a grid
+    window, so long duplicated runs cannot escape)."""
+    docs = ensure_parallelism(docs)
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    wins = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= w,
+                F.transform(
+                    F.sequence(F.lit(1), n - (w - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(toks, i, w)).alias("s"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,s:string>>"))
+        ).alias("win"),
+    ).select(
+        id_col,
+        F.col("win.pos").cast("long").alias("tok_start"),
+        F.conv(F.substring(F.md5(F.col("win.s")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return (
+        wins.join(dup, "h")
+        .select(id_col, "tok_start", "n_docs", "n_occurrences")
+        .orderBy(id_col, "tok_start")
     )

@@ -518,3 +518,40 @@ def ann_pq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: the top-k vectors most
+    cosine-similar to the probe whose label DIFFERS from the probe's — the
+    near-miss negatives that make a contrastive batch informative (easy
+    random negatives contribute ~zero gradient).
+
+    Scale shape: identical to cosine_topk_by_id — the probe row (vector +
+    label) rides in as a broadcast 1-row join, the label inequality is a
+    map-side filter, and orderBy+limit plans as TakeOrderedAndProject
+    (per-partition heap, no full sort). One scan, no driver round-trip;
+    mine negatives for a whole probe batch by swapping the 1-row broadcast
+    for the batch and grouping the heap per probe."""
+    probe_row = embeddings.where(F.col(id_col) == probe_id).select(
+        F.col(vec_col).cast("array<double>").alias("q"),
+        F.col(label_col).alias("qlabel"),
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.join(F.broadcast(probe_row))
+        .where(F.col(label_col) != F.col("qlabel"))
+        .select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("label"),
+            F.round(cosine_col(emb, F.col("q")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -56,10 +56,13 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return docs.select(
         F.col(id_col),
         n_toks.alias("n_tokens"),
-        F.round(tok_chars / F.greatest(n_toks, F.lit(1)), 6).alias("mean_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality"),
+        # No round(): integer-ratio values hit exact decimal .5 ties (e.g.
+        # 1/128) where Spark HALF_UP and DuckDB HALF_EVEN disagree; the raw
+        # IEEE expressions are bit-identical across engines.
+        (tok_chars / F.greatest(n_toks, F.lit(1))).alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
     )
 
 
@@ -131,9 +134,8 @@ def bpe_token_stats(
         F.col(id_col),
         n.cast("long").alias("n_bpe"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe"),
-        F.round(
-            F.length(F.col(text_col)) / F.greatest(n, F.lit(1)), 6
-        ).alias("chars_per_token"),
+        # Unrounded: integer ratio, see text_stats note on rounding ties.
+        (F.length(F.col(text_col)) / F.greatest(n, F.lit(1))).alias("chars_per_token"),
     )
 
 

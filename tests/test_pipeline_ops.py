@@ -408,3 +408,71 @@ def test_ann_pq_topk_probe_first_and_plausible(spark, sf_dir):
     # 8-entry codebook is too coarse to promise more overlap than that)
     exact = cosine_topk_by_id(emb, probe_id=0, k=10).collect()
     assert exact[0].vec_id == 0 and 0 in {r.vec_id for r in adc}
+
+
+def test_duplicate_spans_cross_doc_only(spark):
+    """Spans repeated across >=2 docs are reported with occurrence counts;
+    a window repeated only WITHIN one doc is not (n_docs >= 2 filter)."""
+    from btrdb_server_spark.functions.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight"
+    df = docs_df(
+        spark,
+        [
+            f"{shared} tail-a",
+            f"head-b {shared}",
+            "w x y z " * 4,  # 16 tokens, repeats only within itself
+            "unique words only here nothing repeated at all",
+        ],
+    )
+    out = duplicate_spans(df, w=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0's shared window starts at token 1; doc 1's at token 2
+    assert [r.tok_start for r in by_doc[0]] == [1]
+    assert [r.tok_start for r in by_doc[1]] == [2]
+    assert all(r.n_docs == 2 and r.n_occurrences == 2 for r in by_doc[0])
+    # the within-doc repeater and the unique doc contribute nothing
+    assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs made of target-domain tokens score higher than off-domain docs,
+    and zero-token docs report NULL weight."""
+    from btrdb_server_spark.functions.curation import dsir_weights
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "en"),
+        (1, "alpha beta gamma beta alpha", "en"),
+        (2, "zebra quux xylo zebra quux", "de"),
+        (3, "alpha beta gamma alpha beta", "de"),  # target-like text, raw label
+        (4, "", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in dsir_weights(df).collect()}
+    assert out[4].n_tokens == 0 and out[4].log_weight is None
+    # target-vocabulary docs outscore the off-domain doc regardless of label
+    assert out[3].log_weight > out[2].log_weight
+    assert out[0].log_weight > out[2].log_weight
+
+
+def test_hard_negatives_excludes_probe_label(spark):
+    from btrdb_server_spark.functions.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (1, [0.99, 0.1, 0.0, 0.0], 7),   # same label: excluded however close
+        (2, [0.9, 0.2, 0.0, 0.0], 3),    # closest different-label
+        (3, [0.0, 1.0, 0.0, 0.0], 3),
+        (4, [-1.0, 0.0, 0.0, 0.0], 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_topk(df, probe_id=0, k=2).collect()
+    assert [r.vec_id for r in out] == [2, 3]
+    assert all(r.label != 7 for r in out)
+    # broadcast probe: no driver-side collect -> plan has BroadcastNestedLoop
+    plan = hard_negative_topk(df, probe_id=0, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
