@@ -193,6 +193,24 @@ def q_multistream_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_streams(pts, EVENT_TYPES, T_2024, T_2025, agg="max")
 
 
+def q_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GenerateCSV end-to-end (S3, serve.go:880-1011): N-way time alignment
+    written through an actual CSV sink (header row, empty cells for absent
+    streams — csv.go:75-81) and read back with an explicit schema. Doubles
+    survive the text round-trip exactly (shortest-repr formatting), so the
+    read-back rows hash-match the alignment oracle."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="btrdb_csv_q_") + "/aligned"
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    aligned = align_streams(pts, EVENT_TYPES, T_2024, T_FEB, agg="max")
+    aligned.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    schema = "time long, " + ", ".join(f"{u} double" for u in EVENT_TYPES)
+    return (
+        spark.read.schema(schema).option("header", True).csv(out).orderBy("time")
+    )
+
+
 def q_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeleteRange readback semantics (T1): points outside [Jan10, Jan20)."""
     pts = load_points(spark, sf_dir)
@@ -1028,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changed_ranges": q_changed_ranges,
         "changed_ranges_all": q_changed_ranges_all,
         "multistream_align": q_multistream_align,
+        "csv_export": q_csv_export,
         "delete_range": q_delete_range,
         "store_delete_range": q_store_delete_range,
         "store_version_travel": q_store_version_travel,
@@ -1439,6 +1458,17 @@ def oracle_sql() -> dict[str, str]:
                    max(value) FILTER (WHERE uuid = 'signup') AS signup,
                    max(value) FILTER (WHERE uuid = 'view') AS view
             FROM pts WHERE time >= {T_2024} AND time < {T_2025}
+            GROUP BY time ORDER BY time
+        """,
+        "csv_export": f"""
+            {PTS_CTE}
+            SELECT time,
+                   max(value) FILTER (WHERE uuid = 'click') AS click,
+                   max(value) FILTER (WHERE uuid = 'error') AS error,
+                   max(value) FILTER (WHERE uuid = 'purchase') AS purchase,
+                   max(value) FILTER (WHERE uuid = 'signup') AS signup,
+                   max(value) FILTER (WHERE uuid = 'view') AS view
+            FROM pts WHERE time >= {T_2024} AND time < {T_FEB}
             GROUP BY time ORDER BY time
         """,
         "delete_range": f"""

@@ -171,3 +171,36 @@ def test_pq_codebook_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """DSIR scoring joins tokens to the B-row bucket-weight table: that side
+    must broadcast (the corpus never shuffles to be scored), and the doc
+    scan must be pruned to (doc_id, lang, text)."""
+    plan = plan_of(entry_mod.q_dsir_weights(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # every scan branch prunes to its needed columns — the scoring branch
+    # reads (doc_id, text), the distribution branch (text, lang); nothing
+    # reads source/n_chars
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "n_chars" not in plan
+
+
+def test_dup_spans_no_pairwise_join(spark):
+    """Duplicate-span detection must be groupBy-count + key join back —
+    never a corpus self-join on the span text. The only equi-join key is
+    the 60-bit hash; span strings must not survive into the join."""
+    import re
+
+    plan = plan_of(entry_mod.q_dup_spans(spark, SF))
+    assert "Join" in plan
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[[^\]]*\]", plan)
+    assert keys and all("h#" in k for k in keys), keys
+
+
+def test_hard_negatives_takeordered(spark):
+    """Probe rides as a broadcast; top-k must plan as TakeOrderedAndProject
+    (per-partition heap), not a global sort."""
+    plan = plan_of(entry_mod.q_hard_negatives(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan

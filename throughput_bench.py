@@ -49,9 +49,16 @@ def main() -> None:
         pts = pts.persist()
         pts.count()
 
+        from btrdb_server_spark.store import _WRITE_TUNING
+
         p = os.path.join(d, "pts")
         t0 = time.perf_counter()
-        pts.sortWithinPartitions("time").write.mode("overwrite").parquet(p)
+        (
+            pts.sortWithinPartitions("time")
+            .write.mode("overwrite")
+            .options(**_WRITE_TUNING)
+            .parquet(p)
+        )
         out["insert_mpts_per_sec"] = round(N / (time.perf_counter() - t0) / 1e6, 1)
 
         # The full engine path: PointStore.insert_many = single write job
