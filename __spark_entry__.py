@@ -981,6 +981,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_by_id(emb, probe_id=0, k=10)
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k: one corpus scan serves probes 0-4 (broadcast
+    probe batch, salted two-phase per-probe heap)."""
+    from btrdb_server_spark.functions.similarity import cosine_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_batch(emb, probe_ids=[0, 1, 2, 3, 4], k=10)
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import hyperplanes, lsh_bucket_assignments
 
@@ -1091,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dup_spans": q_dup_spans,
         "hard_negatives": q_hard_negatives,
+        "ann_batch_topk": q_ann_batch_topk,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "pq_encode": q_pq_encode,
@@ -2082,6 +2092,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM w3 GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
             SELECT w3.doc_id, w3.tok_start, c.n_docs, c.n_occurrences
             FROM w3 JOIN c USING (h) ORDER BY doc_id, tok_start
+        """,
+        "ann_batch_topk": """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            s AS (SELECT p.probe_id, e.vec_id,
+                         round(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), p.q), 6) AS cosine
+                  FROM embeddings e CROSS JOIN probes p),
+            r AS (SELECT probe_id, vec_id, cosine,
+                         row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cosine DESC, vec_id) AS rank
+                  FROM s)
+            SELECT probe_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine
+            FROM r WHERE rank <= 10 ORDER BY probe_id, rank
         """,
         "hard_negatives": """
             WITH probe AS (

@@ -251,24 +251,30 @@ def dedup_clusters(
         .select("v", F.col("v").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         msgs = edges.join(lab, edges.src == lab.v).select(
             F.col("dst").alias("v"), "lbl"
         )
+        # Convergence check rides the SAME job as the round's
+        # materialization (Observation over the checkpoint write) — one
+        # distributed job per round instead of materialize + probe.
+        obs = Observation()
         new = (
             lab.unionByName(msgs)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
+            .join(lab.select("v", F.col("lbl").alias("old")), "v")
+            .observe(
+                obs,
+                F.sum((F.col("lbl") != F.col("old")).cast("long")).alias("n_changed"),
+            )
+            .select("v", "lbl")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(lab.withColumnRenamed("lbl", "old"), "v")
-            .where(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
         lab = new
-        if not changed:
+        if not obs.get["n_changed"]:
             break
     return (
         docs.select(id_col)

@@ -555,3 +555,56 @@ def hard_negative_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    probe_ids: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched exact top-k: ONE corpus scan serves a whole batch of probes
+    (the online-serving shape — queries arrive in batches, not singly).
+
+    Scale shape: the B probe rows broadcast and pair with the corpus
+    map-side (no corpus shuffle to form pairs). Per-probe top-k is the
+    salted two-phase pattern: a first window over (probe,
+    spark_partition_id) cuts each scan partition to its local top-k, so the
+    only full-width shuffle carries <= B*k rows per partition, then a tiny
+    second window picks the global top-k per probe. A single window over
+    probe alone would shuffle corpus x B rows — the difference between
+    serving a batch and re-scanning per query."""
+    from pyspark.sql import Window
+
+    probes = embeddings.where(F.col(id_col).isin(list(probe_ids))).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("q"),
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    scored = (
+        embeddings.join(F.broadcast(probes))
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.round(cosine_col(emb, F.col("q")), 6).alias("cosine"),
+            F.spark_partition_id().alias("part"),
+        )
+    )
+    local = Window.partitionBy("probe_id", "part").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    pruned = (
+        scored.withColumn("lrn", F.row_number().over(local))
+        .where(F.col("lrn") <= k)
+        .drop("lrn", "part")
+    )
+    final = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+        .select("probe_id", id_col, F.col("rank").cast("long").alias("rank"), "cosine")
+        .orderBy("probe_id", "rank")
+    )

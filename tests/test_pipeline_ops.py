@@ -476,3 +476,21 @@ def test_hard_negatives_excludes_probe_label(spark):
     # broadcast probe: no driver-side collect -> plan has BroadcastNestedLoop
     plan = hard_negative_topk(df, probe_id=0, k=2)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_cosine_topk_batch_matches_single(spark, sf_dir):
+    """The batched serve must agree with per-probe cosine_topk_by_id for
+    every probe in the batch (salted two-phase pruning loses nothing)."""
+    from btrdb_server_spark.functions.similarity import (
+        cosine_topk_batch,
+        cosine_topk_by_id,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = cosine_topk_batch(emb, probe_ids=[0, 3], k=5).collect()
+    for pid in (0, 3):
+        got = [(r.vec_id, r.cosine) for r in batch if r.probe_id == pid]
+        want = [
+            (r.vec_id, r.cosine) for r in cosine_topk_by_id(emb, pid, k=5).collect()
+        ]
+        assert got == want
