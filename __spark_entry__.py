@@ -76,6 +76,20 @@ def q_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aligned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stat-plane extension: exact per-bucket quantiles (p50/p90/p99) over
+    aligned 2**38 ns buckets — same pushed-down single-groupBy shape as
+    AlignedWindows; percentile interpolation is bit-identical to DuckDB's
+    quantile_cont."""
+    from btrdb_server_spark.operators.stat import aligned_quantiles
+
+    pts = load_points(spark, sf_dir, T_2024 - (1 << 38), T_2025)
+    df = aligned_quantiles(pts, "click", T_2024, T_2025, 38)
+    return df.select(
+        "time", "p50", "p90", "p99", F.col("count").alias("cnt")
+    )
+
+
 def q_aligned_windows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AlignedWindows served from the materialized rollup ladder (A3/§4
     aggregate pushdown): pw=40 answered from the pw=38 level — 4:1 fan-in
@@ -307,6 +321,60 @@ def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("uuid", "bucket", "vmin", F.round("vmean", 6).alias("vmean"),
                 "vmax", "cnt")
         .orderBy("uuid", "bucket")
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: documents arrive as a file stream and a
+    stateful groupBy(content-hash) keeps (keeper = min doc_id, copies) with
+    NO watermark — a duplicate arriving in any later micro-batch still
+    updates its group (ST2 late-data semantics applied to the corpus
+    plane). Update-mode emissions are folded to the final state per group,
+    which must equal the batch aggregate — the oracle."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="btrdb_sdedup_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.coalesce(4).write.mode("overwrite").parquet(src_d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_d)
+    )
+    agg = (
+        stream.select(F.col("doc_id"), F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    name = "stream_dedup_out"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql import Window
+
+    # Update mode re-emits a group whenever it changes: the final state is
+    # the emission with the highest copy count (ties: lowest keeper).
+    w = Window.partitionBy("h").orderBy(
+        F.col("n_copies").desc(), F.col("keeper_id")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("h", "keeper_id", "n_copies")
+        .orderBy("h")
     )
 
 
@@ -697,6 +765,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (repetition
+    quality signal): one (doc, token) groupBy + one per-doc sum."""
+    from btrdb_server_spark.functions.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.text import lang_id
 
@@ -974,6 +1050,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, centroids_from_rows(emb, k=8), probe_id=0, k=10)
 
 
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=2: the recall knob — search the two closest
+    clusters, exact cosine only within them."""
+    from btrdb_server_spark.functions.similarity import (
+        ann_topk_ivf_multiprobe,
+        centroids_from_rows,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf_multiprobe(
+        emb, centroids_from_rows(emb, k=8), probe_id=0, k=10, nprobe=2
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import cosine_topk_by_id
 
@@ -1046,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raw_values": q_raw_values,
         "aligned_windows": q_aligned_windows,
+        "aligned_quantiles": q_aligned_quantiles,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "aligned_windows_all": q_aligned_windows_all,
         "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
@@ -1061,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_version_travel": q_store_version_travel,
         "store_changes": q_store_changes,
         "streaming_stat_state": q_streaming_stat_state,
+        "streaming_dedup": q_streaming_dedup,
         "store_nearest": q_store_nearest,
         "store_aligned_windows": q_store_aligned_windows,
         "list_collections": q_list_collections,
@@ -1082,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_compact": q_store_compact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "token_entropy": q_token_entropy,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1101,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "hard_negatives": q_hard_negatives,
         "ann_batch_topk": q_ann_batch_topk,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "pq_encode": q_pq_encode,
@@ -1372,6 +1466,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             GROUP BY 1 ORDER BY 1
         """,
+        "aligned_quantiles": f"""
+            {PTS_CTE}
+            SELECT ((time >> 38) << 38) AS time,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   quantile_cont(value, 0.99) AS p99,
+                   count(value) AS cnt
+            FROM pts
+            WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
+            GROUP BY 1 ORDER BY 1
+        """,
         "aligned_windows_all": f"""
             {PTS_CTE}
             SELECT uuid, ((time >> 40) << 40) AS time, {stat_cols}
@@ -1469,6 +1574,11 @@ def oracle_sql() -> dict[str, str]:
                    max(value) FILTER (WHERE uuid = 'view') AS view
             FROM pts WHERE time >= {T_2024} AND time < {T_2025}
             GROUP BY time ORDER BY time
+        """,
+        "streaming_dedup": """
+            SELECT md5(text) AS h, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY h
         """,
         "csv_export": f"""
             {PTS_CTE}
@@ -1739,6 +1849,18 @@ def oracle_sql() -> dict[str, str]:
                     + 0.3 * (1.0 - len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                              / greatest(len(text), 1)) AS quality
             FROM t ORDER BY doc_id
+        """,
+        "token_entropy": f"""
+            WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+            a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                         sum(cnt * ln(cnt)) AS clogc
+                  FROM c GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+                   round(ln(a.n) - a.clogc / a.n, 6) AS entropy
+            FROM documents d LEFT JOIN a USING (doc_id)
+            ORDER BY doc_id
         """,
         "lang_id": _lang_id_sql(),
         "token_freq": f"""
@@ -2192,6 +2314,20 @@ def oracle_sql() -> dict[str, str]:
             WITH {_IVF_CTES},
             pc AS (SELECT cluster FROM assign WHERE vec_id = 0),
             probe AS (SELECT v AS q FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
+            FROM e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN pc ON a.cluster = pc.cluster, probe
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "ann_ivf_multiprobe": f"""
+            WITH {_IVF_CTES},
+            probe AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            cr AS (SELECT c.cid,
+                          round(list_cosine_similarity(c.cv, probe.q), 6) AS cs
+                   FROM c, probe),
+            pc AS (SELECT cid AS cluster FROM cr ORDER BY cs DESC, cid LIMIT 2)
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
             FROM e

@@ -608,3 +608,41 @@ def cosine_topk_batch(
         .select("probe_id", id_col, F.col("rank").cast("long").alias("rank"), "cosine")
         .orderBy("probe_id", "rank")
     )
+
+
+def ann_topk_ivf_multiprobe(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe > 1): search the `nprobe` clusters
+    whose centroids are closest to the probe, not just the nearest one —
+    the standard recall knob for IVF indexes (a probe near a cluster
+    boundary has true neighbors on both sides).
+
+    Scale shape: the cluster ranking runs entirely on the k-row centroid
+    dim table against a broadcast 1-row probe (driver never sees a vector);
+    candidate selection joins the assignment table to the nprobe-row
+    cluster list broadcast-side, so the corpus scan prunes to
+    ~nprobe/k_clusters of the data before any exact arithmetic — at scale
+    `cluster` is the partition key and the pruning is directory-level."""
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probe_row = embeddings.where(F.col(id_col) == probe_id).select(
+        F.col(vec_col).cast("array<double>").alias("q")
+    )
+    ranked = centroids.join(F.broadcast(probe_row)).select(
+        "cid", F.round(cosine_col(F.col("cv"), F.col("q")), 6).alias("cs")
+    )
+    top_clusters = (
+        ranked.orderBy(F.col("cs").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("cluster"))
+    )
+    candidates = embeddings.join(
+        assign.join(F.broadcast(top_clusters), "cluster").select(id_col), id_col
+    )
+    return cosine_topk_by_id(candidates, probe_id, k, id_col, vec_col)

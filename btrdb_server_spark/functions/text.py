@@ -302,3 +302,44 @@ def repetition_stats(
         )
         .orderBy(id_col)
     )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats):
+    H = ln(n) - (1/n) * sum_tok cnt*ln(cnt). Low entropy flags repetitive
+    boilerplate that duplicate-ngram fractions can miss (e.g. one token
+    repeated with rotating separators); high entropy approaches ln(n) for
+    all-distinct tokens. Computed via the cnt*ln(cnt) identity so a single
+    groupBy over (doc, token) with map-side combine feeds one per-doc sum —
+    no per-doc vocabulary arrays, nothing quadratic. Zero-token documents
+    report n_tokens = 0 and NULL entropy.
+    """
+    docs = ensure_parallelism(docs)
+    per_tok = (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.log("cnt")).alias("clogc"),
+    )
+    scored = agg.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.log(F.col("n_tokens")) - F.col("clogc") / F.col("n_tokens"), 6
+        ).alias("entropy"),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.col("entropy"),
+        )
+        .orderBy(id_col)
+    )

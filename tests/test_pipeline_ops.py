@@ -494,3 +494,25 @@ def test_cosine_topk_batch_matches_single(spark, sf_dir):
             (r.vec_id, r.cosine) for r in cosine_topk_by_id(emb, pid, k=5).collect()
         ]
         assert got == want
+
+
+def test_ivf_multiprobe_recall_dominates_single(spark, sf_dir):
+    """nprobe=2 searches a superset of nprobe=1's candidates, so its top-k
+    cosine scores dominate elementwise (the recall knob can only help)."""
+    from btrdb_server_spark.functions.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_multiprobe,
+        centroids_from_rows,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = centroids_from_rows(emb, k=8)
+    single = [r.cosine for r in ann_topk_ivf(emb, cents, probe_id=0, k=5).collect()]
+    multi = [
+        r.cosine
+        for r in ann_topk_ivf_multiprobe(
+            emb, cents, probe_id=0, k=5, nprobe=2
+        ).collect()
+    ]
+    assert len(multi) == len(single) == 5
+    assert all(m >= s for m, s in zip(multi, single))

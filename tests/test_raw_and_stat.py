@@ -292,3 +292,19 @@ def test_chunked_coalescing_matches_global(spark):
         .collect()
     ]
     assert chunked == base
+
+
+def test_aligned_quantiles_known_values(spark):
+    """Exact interpolated quantiles over one bucket: 5 values 1..5 give
+    p50=3, p90=4.6 ((n-1)*q interpolation), count=5."""
+    from btrdb_server_spark.operators.stat import aligned_quantiles
+
+    pts = spark.createDataFrame(
+        [("s", t, float(v)) for t, v in zip(range(100, 105), [1, 2, 3, 4, 5])],
+        "uuid string, time long, value double",
+    )
+    rows = aligned_quantiles(pts, "s", 0, 1 << 20, 10, qs=(0.5, 0.9)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.time == 0 and r["count"] == 5
+    assert r.p50 == 3.0 and abs(r.p90 - 4.6) < 1e-12
