@@ -218,7 +218,10 @@ def q_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="btrdb_csv_q_") + "/aligned"
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     aligned = align_streams(pts, EVENT_TYPES, T_2024, T_FEB, agg="max")
-    aligned.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    # Multi-file export: each task writes its own part (the scalable sink
+    # shape); the read-back globs all parts. The reference's single-cursor
+    # CSV stream is a gRPC presentation detail, not a storage contract.
+    aligned.write.mode("overwrite").option("header", True).csv(out)
     schema = "time long, " + ", ".join(f"{u} double" for u in EVENT_TYPES)
     return (
         spark.read.schema(schema).option("header", True).csv(out).orderBy("time")
@@ -330,7 +333,13 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO watermark — a duplicate arriving in any later micro-batch still
     updates its group (ST2 late-data semantics applied to the corpus
     plane). Update-mode emissions are folded to the final state per group,
-    which must equal the batch aggregate — the oracle."""
+    which must equal the batch aggregate — the oracle.
+
+    100 TB note: state is one row per distinct content hash. At corpus
+    scale back the state store with RocksDB
+    (spark.sql.streaming.stateStore.providerClass) + changelog
+    checkpointing so state lives off-heap/on-disk; the no-watermark choice
+    is semantic (a duplicate is a duplicate forever), matching ST2."""
     import tempfile
 
     work = tempfile.mkdtemp(prefix="btrdb_sdedup_q_")
