@@ -5,8 +5,9 @@ queries()     — one entry per implemented operator from SURVEY.md §2.
 oracle_sql()  — DuckDB-equivalent SQL for each query (same column names).
 
 The time-series plane maps the `events` table to points:
-uuid = event_type, time = epoch ns truncated to µs (matches DuckDB
-epoch_ns(ts) on the TIMESTAMP(NANOS) parquet), value = value.
+uuid = event_type, time = epoch ns of the wall-clock ts (the parquet stores
+TIMESTAMP(MICROS, not adjusted to UTC) — Spark reads TIMESTAMP_NTZ, DuckDB
+epoch_ns(ts) gives the identical value), value = value.
 """
 
 from __future__ import annotations

@@ -68,6 +68,11 @@ def main() -> int:
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    if not only:
+        # t1 smoke: entry() must run on sf0.001 with a stable schema.
+        smoke = entry.entry(spark)
+        print(f"entry(): rows={smoke.count()} cols={smoke.columns}")
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_err = 0
