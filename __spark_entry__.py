@@ -178,6 +178,23 @@ def q_windows_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data ranges (derived-stream analysis the reference ecosystem's
+    distiller layer runs): spans >= 1 h between consecutive error points."""
+    from btrdb_server_spark.operators.derive import gaps
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return gaps(pts, "error", T_2024, T_FEB, min_gap=3_600_000_000_000)
+
+
+def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete d/dt derived stream over the click signal (Jan 1-10)."""
+    from btrdb_server_spark.operators.derive import rate
+
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10)
+    return rate(pts, "click", T_2024, T_JAN10)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1152,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
         "windows_holes": q_windows_holes,
         "nearest_before": q_nearest_before,
+        "gaps": q_gaps,
+        "rate": q_rate,
         "nearest_after": q_nearest_after,
         "changed_ranges": q_changed_ranges,
         "changed_ranges_all": q_changed_ranges_all,
@@ -1524,6 +1543,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.cnt, 0) AS cnt
             FROM spine LEFT JOIN agg ON spine.widx = agg.widx
             ORDER BY time
+        """,
+        "gaps": f"""
+            {PTS_CTE}
+            , l AS (SELECT time, lag(time) OVER (ORDER BY time, value) AS prev_time
+                    FROM pts
+                    WHERE uuid = 'error' AND time >= {T_2024} AND time < {T_FEB})
+            SELECT prev_time AS gap_start, time AS gap_end,
+                   time - prev_time AS gap_ns
+            FROM l
+            WHERE prev_time IS NOT NULL AND time - prev_time >= 3600000000000
+            ORDER BY gap_start
+        """,
+        "rate": f"""
+            {PTS_CTE}
+            , l AS (SELECT time, value,
+                           lag(time) OVER (ORDER BY time, value) AS pt,
+                           lag(value) OVER (ORDER BY time, value) AS pv
+                    FROM pts
+                    WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_JAN10})
+            SELECT time, value,
+                   CASE WHEN time - pt > 0
+                        THEN (value - pv) / ((time - pt) / 1000000000.0)
+                   END AS rate_per_sec
+            FROM l WHERE pt IS NOT NULL ORDER BY time
         """,
         "nearest_before": f"""
             {PTS_CTE}

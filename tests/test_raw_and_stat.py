@@ -308,3 +308,25 @@ def test_aligned_quantiles_known_values(spark):
     r = rows[0]
     assert r.time == 0 and r["count"] == 5
     assert r.p50 == 3.0 and abs(r.p90 - 4.6) < 1e-12
+
+
+def test_gaps_and_rate_derived_streams(spark):
+    from btrdb_server_spark.operators.derive import gaps, rate
+
+    pts = spark.createDataFrame(
+        [
+            ("s", 0, 10.0),
+            ("s", 1_000_000_000, 13.0),        # +3 over 1s  -> rate 3
+            ("s", 11_000_000_000, 13.0),       # 10s gap     -> rate 0
+            ("s", 12_000_000_000, 10.0),       # -3 over 1s  -> rate -3
+            ("other", 2_000_000_000, 99.0),    # different stream: ignored
+        ],
+        "uuid string, time long, value double",
+    )
+    g = gaps(pts, "s", 0, 1 << 40, min_gap=5_000_000_000).collect()
+    assert [(r.gap_start, r.gap_end, r.gap_ns) for r in g] == [
+        (1_000_000_000, 11_000_000_000, 10_000_000_000)
+    ]
+    r = rate(pts, "s", 0, 1 << 40).collect()
+    assert [x.rate_per_sec for x in r] == [3.0, 0.0, -3.0]
+    assert [x.time for x in r] == [1_000_000_000, 11_000_000_000, 12_000_000_000]
