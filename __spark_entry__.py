@@ -178,6 +178,15 @@ def q_windows_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decimate_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plot decimation: per-2**40-bucket min/max envelope of the click
+    stream with exact point times (the zoomed-out plotting path)."""
+    from btrdb_server_spark.operators.stat import decimate_envelope
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return decimate_envelope(pts, "click", T_2024, T_FEB, 40)
+
+
 def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-data ranges (derived-stream analysis the reference ecosystem's
     distiller layer runs): spans >= 1 h between consecutive error points."""
@@ -1170,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_holes": q_windows_holes,
         "nearest_before": q_nearest_before,
         "gaps": q_gaps,
+        "decimate_envelope": q_decimate_envelope,
         "rate": q_rate,
         "nearest_after": q_nearest_after,
         "changed_ranges": q_changed_ranges,
@@ -1543,6 +1553,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.cnt, 0) AS cnt
             FROM spine LEFT JOIN agg ON spine.widx = agg.widx
             ORDER BY time
+        """,
+        "decimate_envelope": f"""
+            {PTS_CTE}
+            , b AS (SELECT ((time >> 40) << 40) AS bucket, time, value
+                    FROM pts
+                    WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_FEB}),
+            lo AS (SELECT bucket, 'min' AS kind, time, value, row_number()
+                          OVER (PARTITION BY bucket ORDER BY value ASC, time ASC) AS rn
+                   FROM b),
+            hi AS (SELECT bucket, 'max' AS kind, time, value, row_number()
+                          OVER (PARTITION BY bucket ORDER BY value DESC, time ASC) AS rn
+                   FROM b)
+            SELECT bucket, kind, time, value FROM lo WHERE rn = 1
+            UNION ALL
+            SELECT bucket, kind, time, value FROM hi WHERE rn = 1
+            ORDER BY bucket, kind
         """,
         "gaps": f"""
             {PTS_CTE}

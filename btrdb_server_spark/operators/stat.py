@@ -183,3 +183,52 @@ def aligned_quantiles(
         .agg(*aggs)
         .orderBy("time")
     )
+
+
+def decimate_envelope(
+    points: DataFrame, uuid: str, start: int, end: int, pw: int
+) -> DataFrame:
+    """Plot-resolution decimation: per aligned 2**pw bucket emit the
+    min-value and max-value points (exact times preserved) — the envelope a
+    plotter draws so spikes can't vanish between pixels, the raw-point
+    complement of the min/max the reference pre-stores in every tree node
+    (blocktypes.go:112-117) and serves for zoomed-out plots. Ties break to
+    the earliest time, so the result is engine-deterministic.
+
+    Scale shape: both extremes ride ONE groupBy as lexicographic struct
+    min/max — a map-side-combinable partial aggregate (no window sort, no
+    second shuffle); the shuffle carries one pre-reduced row per bucket per
+    map task and the output is <= 2 rows per bucket at any input density."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    base = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend)
+    ).select(F.shiftleft(F.shiftright("time", pw), pw).alias("bucket"), "time", "value")
+    # min struct(value, time): smallest value, tie -> earliest time.
+    # max struct(value, -time): largest value, tie -> earliest time.
+    agg = base.groupBy("bucket").agg(
+        F.min(F.struct(F.col("value"), F.col("time"))).alias("lo"),
+        F.max(F.struct(F.col("value"), (-F.col("time")).alias("nt"))).alias("hi"),
+    )
+    # explode (not a self-union) so the aggregate subplan appears ONCE in
+    # the plan — a union of two selects over `agg` would scan and aggregate
+    # the input twice (verified: no exchange reuse even under AQE).
+    return agg.select(
+        "bucket",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("min").alias("kind"),
+                    F.col("lo.time").alias("time"),
+                    F.col("lo.value").alias("value"),
+                ),
+                F.struct(
+                    F.lit("max").alias("kind"),
+                    (-F.col("hi.nt")).alias("time"),
+                    F.col("hi.value").alias("value"),
+                ),
+            )
+        ).alias("e"),
+    ).select("bucket", "e.kind", "e.time", "e.value").orderBy("bucket", "kind")

@@ -330,3 +330,32 @@ def test_gaps_and_rate_derived_streams(spark):
     r = rate(pts, "s", 0, 1 << 40).collect()
     assert [x.rate_per_sec for x in r] == [3.0, 0.0, -3.0]
     assert [x.time for x in r] == [1_000_000_000, 11_000_000_000, 12_000_000_000]
+
+
+def test_decimate_envelope_extremes_with_exact_times(spark):
+    from btrdb_server_spark.operators.stat import decimate_envelope
+
+    pts = spark.createDataFrame(
+        [("s", t, v) for t, v in [(0, 5.0), (10, 1.0), (20, 9.0), (30, 9.0)]],
+        "uuid string, time long, value double",
+    )
+    rows = decimate_envelope(pts, "s", 0, 1 << 10, 10).collect()
+    got = {(r.kind): (r.time, r.value) for r in rows}
+    assert got["min"] == (10, 1.0)
+    assert got["max"] == (20, 9.0)  # tie on value 9.0 -> earliest time
+
+
+def test_decimate_envelope_partial_agg_no_window(spark):
+    """Both extremes must ride one map-side-combinable aggregation: a
+    two-phase HashAggregate, no window sort, <= 2 rows out per bucket —
+    the O(pixels) plotting path at any input density."""
+    from btrdb_server_spark.operators.stat import decimate_envelope
+    from btrdb_server_spark.sources.testdata import load_points
+
+    df = decimate_envelope(
+        load_points(spark, "/root/testdata/sf0.001"), "click", 0, 1 << 62, 40
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
