@@ -189,19 +189,22 @@ def q_decimate_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-data ranges (derived-stream analysis the reference ecosystem's
-    distiller layer runs): spans >= 1 h between consecutive error points."""
+    distiller layer runs): spans >= 1 h between consecutive error points.
+    bucket_pw=40 exercises the scale path: (uuid, bucket)-partitioned lag
+    with a per-bucket carry chain instead of one window task per stream."""
     from btrdb_server_spark.operators.derive import gaps
 
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
-    return gaps(pts, "error", T_2024, T_FEB, min_gap=3_600_000_000_000)
+    return gaps(pts, "error", T_2024, T_FEB, min_gap=3_600_000_000_000, bucket_pw=40)
 
 
 def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete d/dt derived stream over the click signal (Jan 1-10)."""
+    """Discrete d/dt derived stream over the click signal (Jan 1-10),
+    bucketed-lag scale path (bucket_pw=40)."""
     from btrdb_server_spark.operators.derive import rate
 
     pts = load_points(spark, sf_dir, T_2024, T_JAN10)
-    return rate(pts, "click", T_2024, T_JAN10)
+    return rate(pts, "click", T_2024, T_JAN10, bucket_pw=40)
 
 
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,9 +493,12 @@ def q_align_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_windows_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windows with depth-bounded (approximate) descent: 1-day windows over
-    2**40-ns pre-buckets (the documented approximation contract)."""
+    2**40-ns pre-buckets (the documented approximation contract). The mean
+    rides the integer-quantum path (values are exact 2-decimal), so the
+    result is bit-identical under any partitioning/engine — no float
+    accumulation-order surface."""
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
-    df = windows(pts, "purchase", T_2024, T_FEB, DAY_NS, depth=40)
+    df = windows(pts, "purchase", T_2024, T_FEB, DAY_NS, depth=40, value_quantum=0.01)
     return df.select(
         "time",
         F.col("min").alias("vmin"),
@@ -1800,15 +1806,20 @@ def oracle_sql() -> dict[str, str]:
             {PTS_CTE}, spine AS (
                 SELECT range AS widx FROM range(0, {(T_FEB - T_2024) // DAY_NS})
             ), pre AS (
+                -- integer-quantum sum (values are exact 2-decimal): int64
+                -- sums are order-independent, so the mean below is
+                -- bit-identical in any engine under any aggregation order
                 SELECT (((time - {T_2024}) >> 40) << 40) AS btime,
-                       min(value) AS bmin, sum(value) AS bsum,
+                       min(value) AS bmin,
+                       sum(CAST(round(value / 0.01) AS BIGINT)) AS bq,
                        max(value) AS bmax, count(*) AS bcnt
                 FROM pts
                 WHERE uuid = 'purchase' AND time >= {T_2024} AND time < {T_FEB}
                 GROUP BY 1
             ), agg AS (
                 SELECT btime // {DAY_NS} AS widx,
-                       min(bmin) AS vmin, round(sum(bsum) / sum(bcnt), 6) AS vmean,
+                       min(bmin) AS vmin,
+                       round((sum(bq) * 0.01) / sum(bcnt), 6) AS vmean,
                        max(bmax) AS vmax, sum(bcnt) AS cnt
                 FROM pre GROUP BY 1
             )
@@ -1819,8 +1830,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "windows_rollup": f"""
             {PTS_CTE}, pre AS (
+                -- integer-quantum sum mirrors the ladder's vq column: the
+                -- served mean is computed from exactly-associative int64
+                -- sums on both sides, no float accumulation-order surface
                 SELECT ((time >> 38) << 38) AS btime,
-                       min(value) AS bmin, sum(value) AS bsum,
+                       min(value) AS bmin,
+                       sum(CAST(round(value / 0.01) AS BIGINT)) AS bq,
                        max(value) AS bmax, count(*) AS bcnt
                 FROM pts WHERE uuid = 'purchase'
                 GROUP BY 1
@@ -1830,7 +1845,7 @@ def oracle_sql() -> dict[str, str]:
             ), agg AS (
                 SELECT greatest((btime - {T_2024}) // {DAY_NS}, 0) AS widx,
                        min(bmin) AS vmin,
-                       round(sum(bsum) / sum(bcnt), 6) AS vmean,
+                       round((sum(bq) * 0.01) / sum(bcnt), 6) AS vmean,
                        max(bmax) AS vmax, sum(bcnt) AS cnt
                 FROM sel GROUP BY 1
             ), spine AS (

@@ -3,10 +3,12 @@
 The BTrDB ecosystem's distiller layer computes exactly these as derived
 streams over the raw points plane (missing-data ranges and d/dt signals
 feeding grid analytics); the reference engine itself serves the raw scans
-they consume. Both are one `lag` window per stream — at scale the window
-partitions by (uuid, coarse time bucket) with a one-row-per-bucket carry,
-the same chunked-window pattern operators/nearest.py uses, so a
-billion-point stream never serializes through one task.
+they consume. Both need each point's predecessor: with `bucket_pw` set the
+lag runs per (uuid, 2**bucket_pw time bucket) with a one-row-per-bucket
+carry chain — the chunked-window pattern of operators/nearest.py — so a
+billion-point stream fans out across buckets instead of serializing through
+one task. Without it (small/interactive ranges) a flat per-stream window is
+used.
 """
 
 from __future__ import annotations
@@ -15,33 +17,85 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _lagged(points: DataFrame, uuid: str, start: int, end: int) -> DataFrame:
+def _lagged(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    bucket_pw: int | None = None,
+) -> DataFrame:
     """(time, value, prev_time, prev_value) per consecutive point pair of
     one stream in [start, end). The range predicate is applied BEFORE the
     window (pushed to the scan); the first in-range point pairs with
     nothing — callers drop or keep the null-prev row as their semantics
-    require."""
-    # value tiebreak: deterministic pairing under duplicate timestamps
-    # (no-op on clean data, engine-stable when dups exist)
-    w = Window.partitionBy("uuid").orderBy("time", "value")
-    return (
-        points.where(
-            (F.col("uuid") == F.lit(uuid))
-            & (F.col("time") >= F.lit(start))
-            & (F.col("time") < F.lit(end))
-        )
-        .select(
+    require.
+
+    bucket_pw=None: one window partition per stream (fine for bounded
+    interactive ranges, serializes a dense stream). bucket_pw=k: windows
+    partition by (uuid, time >> k); the first point of each bucket takes its
+    predecessor from a carry chain of per-bucket last points — the carry
+    side is one row per non-empty bucket, so its per-uuid window is
+    metadata-sized while the point-scale work is fully parallel."""
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid))
+        & (F.col("time") >= F.lit(start))
+        & (F.col("time") < F.lit(end))
+    )
+    if bucket_pw is None:
+        # value tiebreak: deterministic pairing under duplicate timestamps
+        # (no-op on clean data, engine-stable when dups exist)
+        w = Window.partitionBy("uuid").orderBy("time", "value")
+        return src.select(
             "uuid",
             "time",
             "value",
             F.lag("time").over(w).alias("prev_time"),
             F.lag("value").over(w).alias("prev_value"),
         )
+
+    b = src.withColumn("bucket", F.shiftright("time", bucket_pw))
+    wb = Window.partitionBy("uuid", "bucket").orderBy("time", "value")
+    within = b.select(
+        "uuid",
+        "bucket",
+        "time",
+        "value",
+        F.lag("time").over(wb).alias("prev_time"),
+        F.lag("value").over(wb).alias("prev_value"),
+    )
+    # Carry chain: last point of each non-empty bucket (max struct orders by
+    # (time, value) — the same ordering as the within-bucket lag, so ties
+    # pair identically). edges is one row per non-empty bucket; lag over it
+    # yields, for every bucket, the nearest PRECEDING non-empty bucket's
+    # last point — exactly the predecessor of the bucket's first row.
+    edges = b.groupBy("uuid", "bucket").agg(
+        F.max(F.struct(F.col("time"), F.col("value"))).alias("edge")
+    )
+    wc = Window.partitionBy("uuid").orderBy("bucket")
+    carry = edges.select(
+        "uuid", "bucket", F.lag("edge").over(wc).alias("carry")
+    )
+    return (
+        within.join(carry, ["uuid", "bucket"], "left")
+        .select(
+            "uuid",
+            "time",
+            "value",
+            F.coalesce(F.col("prev_time"), F.col("carry.time")).alias("prev_time"),
+            F.when(F.col("prev_time").isNotNull(), F.col("prev_value"))
+            .otherwise(F.col("carry.value"))
+            .alias("prev_value"),
+        )
     )
 
 
 def gaps(
-    points: DataFrame, uuid: str, start: int, end: int, min_gap: int
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    min_gap: int,
+    bucket_pw: int | None = None,
 ) -> DataFrame:
     """Missing-data ranges: every [prev_time, time) span between consecutive
     points of the stream that is at least `min_gap` ns wide. The outage
@@ -49,7 +103,7 @@ def gaps(
     count=0 holes (A2) answer the same question at fixed bucket widths;
     this is the exact point-level variant. Columns: gap_start, gap_end,
     gap_ns; ordered by gap_start."""
-    lagged = _lagged(points, uuid, start, end)
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
     return (
         lagged.where(
             F.col("prev_time").isNotNull()
@@ -64,13 +118,19 @@ def gaps(
     )
 
 
-def rate(points: DataFrame, uuid: str, start: int, end: int) -> DataFrame:
+def rate(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    bucket_pw: int | None = None,
+) -> DataFrame:
     """Discrete derivative: (value - prev_value) / (dt seconds) per
     consecutive point pair — the d/dt derived stream (frequency from phase
     angle, power from energy). Duplicate timestamps (dt = 0) yield NULL
     rather than Inf. Columns: time, value, rate_per_sec; the first point
     of the range has no predecessor and is omitted."""
-    lagged = _lagged(points, uuid, start, end)
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
     dt = F.col("time") - F.col("prev_time")
     return (
         lagged.where(F.col("prev_time").isNotNull())

@@ -73,12 +73,21 @@ def windows(
     end: int,
     width: int,
     depth: int = 0,
+    value_quantum: float | None = None,
 ) -> DataFrame:
     """Tumbling windows [start + k*width, start + (k+1)*width) for whole
     windows only; count=0 holes emitted. depth>0 pre-buckets points to
     2**depth-aligned buckets first (the reference's bounded-descent
     approximation: a boundary bucket lands wholly in the window containing its
-    start). Columns: time (window start), min, mean, max, count."""
+    start). Columns: time (window start), min, mean, max, count.
+
+    `value_quantum`: when the data is known to be quantized (e.g. 0.01 for
+    2-decimal values), the depth-path mean is computed from integer multiples
+    of the quantum — int64 sums are exactly associative, so the result is
+    bit-identical under ANY partitioning / aggregation order / engine. At
+    1000 executors a float double-sum (sum of per-bucket sums) is
+    accumulation-order-dependent; the quantized path removes that whole
+    nondeterminism surface for sensor-style fixed-point data."""
     if width <= 0:
         raise ValueError("window width must be positive")
     if not 0 <= depth <= 63:
@@ -94,6 +103,11 @@ def windows(
         # start, then assign each bucket to the window containing its start
         # (approximation contract; start-relative alignment keeps every
         # bucket inside [0, n_windows) so no points are dropped).
+        sum_agg = (
+            F.sum(F.round(F.col("value") / F.lit(value_quantum), 0).cast("long"))
+            if value_quantum is not None
+            else F.sum("value")
+        ).alias("bsum")
         src = (
             src.groupBy(
                 (
@@ -103,15 +117,20 @@ def windows(
             )
             .agg(
                 F.min("value").alias("bmin"),
-                F.sum("value").alias("bsum"),
+                sum_agg,
                 F.max("value").alias("bmax"),
                 F.count("value").alias("bcnt"),
             )
             .withColumn("widx", F.floor((F.col("btime") - F.lit(start)) / F.lit(width)))
         )
+        mean_expr = (
+            (F.sum("bsum") * F.lit(value_quantum)) / F.sum("bcnt")
+            if value_quantum is not None
+            else F.sum("bsum") / F.sum("bcnt")
+        )
         agg = src.groupBy("widx").agg(
             F.min("bmin").alias("min"),
-            (F.sum("bsum") / F.sum("bcnt")).alias("mean"),
+            mean_expr.alias("mean"),
             F.max("bmax").alias("max"),
             F.sum("bcnt").alias("count"),
         )

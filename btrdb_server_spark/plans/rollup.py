@@ -47,11 +47,30 @@ from btrdb_server_spark.operators.stat import align_floor
 DEFAULT_LEVELS = tuple(range(12, 49, PWFACTOR))
 
 _ROLLUP_SCHEMA = (
-    "uuid string, bucket long, vmin double, vsum double, vmax double, cnt long"
+    "uuid string, bucket long, vmin double, vsum double, vq long,"
+    " vmax double, cnt long"
 )
 
+# Canonical rollup columns, used by every select so the schema stays stable
+# across build / merge / serve paths. `vq` is the quantized integer value sum
+# (see RollupLadder.value_quantum): int64 sums are exactly associative, so
+# any aggregation order — any partitioning, any engine — yields identical
+# bits, where a double `vsum` of sums is accumulation-order-dependent. NULL
+# when the ladder has no quantum configured.
+ROLLUP_COLS = ("uuid", "bucket", "vmin", "vsum", "vq", "vmax", "cnt")
 
-def rollup_from_points(points: DataFrame, pw: int) -> DataFrame:
+
+def _vq_from_points(value_quantum: Optional[float]):
+    if value_quantum is None:
+        return F.lit(None).cast("long").alias("vq")
+    return F.sum(
+        F.round(F.col("value") / F.lit(value_quantum), 0).cast("long")
+    ).alias("vq")
+
+
+def rollup_from_points(
+    points: DataFrame, pw: int, value_quantum: Optional[float] = None
+) -> DataFrame:
     """Aggregate raw (uuid, time, value) points to one rollup row per
     (uuid, 2**pw bucket)."""
     return points.groupBy(
@@ -59,6 +78,7 @@ def rollup_from_points(points: DataFrame, pw: int) -> DataFrame:
     ).agg(
         F.min("value").alias("vmin"),
         F.sum("value").alias("vsum"),
+        _vq_from_points(value_quantum),
         F.max("value").alias("vmax"),
         F.count("value").alias("cnt"),
     )
@@ -71,6 +91,7 @@ def rollup_from_rollup(finer: DataFrame, pw: int) -> DataFrame:
     ).agg(
         F.min("vmin").alias("vmin"),
         F.sum("vsum").alias("vsum"),
+        F.sum("vq").alias("vq"),
         F.max("vmax").alias("vmax"),
         F.sum("cnt").alias("cnt"),
     )
@@ -85,6 +106,7 @@ def merge_rollups(old: DataFrame, delta: DataFrame) -> DataFrame:
         .agg(
             F.min("vmin").alias("vmin"),
             F.sum("vsum").alias("vsum"),
+            F.sum("vq").alias("vq"),
             F.max("vmax").alias("vmax"),
             F.sum("cnt").alias("cnt"),
         )
@@ -128,6 +150,7 @@ class RollupLadder:
         num_buckets: int = 16,
         chunk_pw: int = 12,
         min_chunk_shift: int = 46,
+        value_quantum: Optional[float] = None,
     ):
         """`num_buckets`: uuid hash shards per level, matching the point
         store's layout — single-stream stat serves prune to one shard
@@ -138,13 +161,22 @@ class RollupLadder:
         2**chunk_pw rollup rows per chunk per stream, but never a chunk
         narrower than 2**min_chunk_shift ns (default ~19.5 h), so fine
         levels over years of data don't explode into millions of tiny
-        partitions. Incremental updates rewrite only touched chunks."""
+        partitions. Incremental updates rewrite only touched chunks.
+
+        `value_quantum`: when the stream's values are quantized (e.g. 0.01
+        for 2-decimal sensor data), each rollup row also carries `vq` =
+        sum(round(value/quantum)) as int64. Integer sums are exactly
+        associative, so every maintenance path (build, 64:1 coarsen, late
+        merge) and every serve path that uses vq is bit-deterministic
+        regardless of partitioning or engine — the property a 1000-executor
+        rollup build needs for reproducible answers."""
         self.spark = spark
         self.path = path
         self.levels = sorted(levels)
         self.num_buckets = num_buckets
         self.chunk_pw = chunk_pw
         self.min_chunk_shift = min_chunk_shift
+        self.value_quantum = value_quantum
         os.makedirs(path, exist_ok=True)
 
     def _level_path(self, pw: int) -> str:
@@ -158,7 +190,7 @@ class RollupLadder:
         maintenance-path view."""
         df = self._level_raw(pw)
         return None if df is None else df.select(
-            "uuid", "bucket", "vmin", "vsum", "vmax", "cnt"
+            *ROLLUP_COLS
         )
 
     def _level_raw(self, pw: int) -> Optional[DataFrame]:
@@ -189,17 +221,12 @@ class RollupLadder:
         if end is not None:
             pred &= F.col("chunk") <= F.lit((end - 1) >> shift)
         return df.where(pred).select(
-            "uuid", "bucket", "vmin", "vsum", "vmax", "cnt"
+            *ROLLUP_COLS
         )
 
     def _partitioned(self, df: DataFrame, pw: int) -> DataFrame:
         return df.select(
-            "uuid",
-            "bucket",
-            "vmin",
-            "vsum",
-            "vmax",
-            "cnt",
+            *ROLLUP_COLS,
             F.pmod(F.xxhash64("uuid"), F.lit(self.num_buckets)).alias("uuid_bucket"),
             F.shiftright("bucket", self._chunk_shift(pw)).alias("chunk"),
         )
@@ -258,7 +285,7 @@ class RollupLadder:
         finer = None
         for pw in self.levels:
             cur = (
-                rollup_from_points(points, pw)
+                rollup_from_points(points, pw, self.value_quantum)
                 if finer is None
                 else rollup_from_rollup(finer, pw)
             )
@@ -291,7 +318,7 @@ class RollupLadder:
             # Coarsen the BATCH's rollup (not the merged level — that would
             # re-count existing data at every coarser level).
             delta = (
-                rollup_from_points(batch, pw)
+                rollup_from_points(batch, pw, self.value_quantum)
                 if delta is None
                 else rollup_from_rollup(delta, pw)
             ).localCheckpoint(eager=True)
@@ -307,7 +334,7 @@ class RollupLadder:
                 old_touched = (
                     self._level_raw(pw)
                     .where(pred)
-                    .select("uuid", "bucket", "vmin", "vsum", "vmax", "cnt")
+                    .select(*ROLLUP_COLS)
                 )
                 # Materialize before the write: the merge reads the very
                 # files the dynamic overwrite replaces.
@@ -346,7 +373,7 @@ class RollupLadder:
             keep = (
                 self._level_raw(pw)
                 .where(part_pred)
-                .select("uuid", "bucket", "vmin", "vsum", "vmax", "cnt")
+                .select(*ROLLUP_COLS)
                 .where(~affected)
             )
             fresh = rollup_from_points(
@@ -356,6 +383,7 @@ class RollupLadder:
                     & (F.col("time") < F.lit(hi))
                 ),
                 pw,
+                self.value_quantum,
             )
             merged = keep.unionByName(fresh).localCheckpoint(eager=True)
             # Dynamic overwrite only replaces partitions that receive rows; a
@@ -450,6 +478,14 @@ class RollupLadder:
             & (F.col("bucket") > F.lit(start - (1 << best)))
             & (F.col("bucket") < F.lit(end))
         )
+        # Quantized ladders serve the mean from the int64 vq sum: exactly
+        # associative, so the answer is bit-identical under any aggregation
+        # order or engine (the float vsum double-sum is not).
+        mean_expr = (
+            (F.sum("vq") * F.lit(self.value_quantum)) / F.sum("cnt")
+            if self.value_quantum is not None
+            else F.sum("vsum") / F.sum("cnt")
+        )
         agg = (
             lvl.withColumn(
                 "widx",
@@ -461,7 +497,7 @@ class RollupLadder:
             .groupBy("widx")
             .agg(
                 F.min("vmin").alias("min"),
-                (F.sum("vsum") / F.sum("cnt")).alias("mean"),
+                mean_expr.alias("mean"),
                 F.max("vmax").alias("max"),
                 F.sum("cnt").alias("count"),
             )

@@ -119,7 +119,10 @@ def ensure_events_ladder(spark: SparkSession, sf_dir: str, levels=(32, 38)):
 
     tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
     path = f"/tmp/btrdb_spark_ladder/{CACHE_TAG}/{tag}"
-    ladder = RollupLadder(spark, path, levels)
+    # Testdata values are exact 2-decimal -> quantized ladder: rollup rows
+    # carry the int64 vq sum, making depth-bounded means bit-deterministic
+    # under any aggregation order (see RollupLadder.value_quantum).
+    ladder = RollupLadder(spark, path, levels, value_quantum=0.01)
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
         ladder.rebuild(load_points(spark, sf_dir))
@@ -133,7 +136,7 @@ T_JAN20 = 1_705_708_800_000_000_000
 
 # Bump when the ladder/store build semantics change: the tag is part of the
 # /tmp cache path, so stale artifacts from older code can never be served.
-CACHE_TAG = "v4"  # v4: testdata regenerated as TIMESTAMP(MICROS) NTZ
+CACHE_TAG = "v5"  # v5: quantized vq column added to the rollup ladder
 
 
 def ensure_events_store(spark: SparkSession, sf_dir: str):

@@ -4,21 +4,27 @@ Runs every `queries()` entry on a PLAIN SparkSession (deliberately built
 without any of this repo's session config — exactly like the driver's own
 harness) and compares against `oracle_sql()` run in DuckDB at the same sf.
 
-Usage: python scripts/check_driver.py [sf_dir] [query ...]
+Usage: python scripts/check_driver.py [--approx] [sf_dir] [query ...]
+
+Floats are compared BIT-EXACT by default (struct.pack of the double — the
+same class of comparison as the driver's value hash, so a sub-1e-9
+association-order difference that would fail at the driver fails here too).
+Pass --approx for the older 9-significant-digit tolerant compare.
 """
 
 from __future__ import annotations
 
 import math
+import struct
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 
-def canon(rows, cols):
-    """Canonicalize a result set: columns sorted by name, rows sorted,
-    floats rounded to 9 significant digits (driver hashes value-wise; we
-    compare value-wise with float tolerance)."""
+def canon(rows, cols, strict=True):
+    """Canonicalize a result set: columns sorted by name, rows sorted.
+    strict=True (default): floats compared by bit pattern, like the
+    driver's value hash. strict=False: rounded to 9 significant digits."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm(v):
@@ -29,6 +35,8 @@ def canon(rows, cols):
                 return "nan"
             if v == 0:
                 return 0.0
+            if strict:
+                return struct.pack("<d", v).hex()
             return round(v, 9 - 1 - int(math.floor(math.log10(abs(v)))) if abs(v) > 1e-300 else 9)
         if isinstance(v, (list, tuple)):
             return tuple(norm(x) for x in v)
@@ -49,8 +57,10 @@ def main() -> int:
 
     import __spark_entry__ as entry
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--approx"]
+    strict = "--approx" not in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # Plain session: mimic the driver (no repo-side config allowed to matter).
     spark = (
@@ -100,8 +110,8 @@ def main() -> int:
             print(f"ERR  {name} (oracle): {str(e).splitlines()[0][:160]}")
             n_err += 1
             continue
-        scols, srows = canon(rows, cols)
-        ocols2, orows2 = canon(orows, ocols)
+        scols, srows = canon(rows, cols, strict)
+        ocols2, orows2 = canon(orows, ocols, strict)
         if scols != ocols2:
             print(f"FAIL {name}: schema {scols} != {ocols2}")
             n_fail += 1

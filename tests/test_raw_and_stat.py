@@ -359,3 +359,49 @@ def test_decimate_envelope_partial_agg_no_window(spark):
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+
+
+def test_gaps_and_rate_bucketed_matches_flat(spark):
+    """Scale path: (uuid, bucket)-partitioned lag + carry chain must be
+    point-for-point identical to the flat per-stream window, including
+    pairs that straddle bucket boundaries and empty intermediate buckets."""
+    import random
+
+    from btrdb_server_spark.operators.derive import gaps, rate
+
+    rng = random.Random(7)
+    # Cluster points so many 2**20-ns buckets are empty and several pairs
+    # cross bucket boundaries.
+    rows = [
+        ("s", t, round(rng.uniform(-5, 5), 2))
+        for t in sorted(rng.sample(range(0, 200 * (1 << 20)), 400))
+    ] + [("other", 5, 1.0)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+
+    flat_g = gaps(pts, "s", 0, 1 << 40, min_gap=1 << 19).collect()
+    buck_g = gaps(pts, "s", 0, 1 << 40, min_gap=1 << 19, bucket_pw=20).collect()
+    assert [tuple(r) for r in buck_g] == [tuple(r) for r in flat_g]
+    assert len(flat_g) > 5  # the fixture actually exercises gaps
+
+    flat_r = rate(pts, "s", 0, 1 << 40).collect()
+    buck_r = rate(pts, "s", 0, 1 << 40, bucket_pw=20).collect()
+    assert [tuple(r) for r in buck_r] == [tuple(r) for r in flat_r]
+    assert len(flat_r) == 399
+
+
+def test_bucketed_lag_plan_partitions_by_bucket(spark):
+    """With bucket_pw set, no point-scale window may partition by uuid
+    alone: every WindowExec over the points either includes the bucket key
+    or runs on the metadata-sized carry side (one row per non-empty
+    bucket). Guards the 100 TB property that a dense stream fans out."""
+    from btrdb_server_spark.operators.derive import _lagged
+    from btrdb_server_spark.sources.testdata import load_points
+
+    df = _lagged(load_points(spark, "/root/testdata/sf0.001"), "click", 0, 1 << 62, bucket_pw=40)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the bucketed-lag plan"
+    # The point-scale lag spec must carry both uuid and bucket keys.
+    assert any("uuid" in s and "bucket" in s for s in specs)
