@@ -1175,63 +1175,42 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is deliberate: the external driver checks the FIRST 50
+    entries, so coverage rotates between rounds. Round-4 window =
+    (a) every query whose implementation changed this round (quantized
+    depth means, bucketed lag, registry mutation log), then (b) one green
+    anchor per SURVEY §2 family, then (c) the 32 extension operators that
+    had no driver row through r03 (13 never checked in any round). The
+    entries after position 50 all hold green rows from r03 and are
+    re-validated locally by scripts/check_driver.py (bit-exact mode)."""
     return {
+        # -- (a) changed this round: must re-earn a driver row -----------
+        "windows_depth": q_windows_depth,
+        "windows_rollup": q_windows_rollup,
+        "gaps": q_gaps,
+        "rate": q_rate,
+        "registry_obliterate": q_registry_obliterate,
+        "list_collections": q_list_collections,
+        # -- (b) one green anchor per SURVEY §2 family -------------------
         "raw_values": q_raw_values,
         "aligned_windows": q_aligned_windows,
         "aligned_quantiles": q_aligned_quantiles,
         "aligned_windows_rollup": q_aligned_windows_rollup,
-        "aligned_windows_all": q_aligned_windows_all,
-        "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
         "windows_holes": q_windows_holes,
-        "nearest_before": q_nearest_before,
-        "gaps": q_gaps,
-        "decimate_envelope": q_decimate_envelope,
-        "rate": q_rate,
-        "nearest_after": q_nearest_after,
-        "changed_ranges": q_changed_ranges,
-        "changed_ranges_all": q_changed_ranges_all,
-        "multistream_align": q_multistream_align,
-        "csv_export": q_csv_export,
-        "delete_range": q_delete_range,
-        "store_delete_range": q_store_delete_range,
-        "store_version_travel": q_store_version_travel,
-        "store_changes": q_store_changes,
-        "streaming_stat_state": q_streaming_stat_state,
-        "streaming_dedup": q_streaming_dedup,
-        "store_nearest": q_store_nearest,
-        "store_aligned_windows": q_store_aligned_windows,
-        "list_collections": q_list_collections,
-        "lookup_streams": q_lookup_streams,
-        "metadata_usage": q_metadata_usage,
-        "metadata_ann_usage": q_metadata_ann_usage,
         "nearest_asof": q_nearest_asof,
-        "align_windowed": q_align_windowed,
-        "windows_depth": q_windows_depth,
-        "windows_rollup": q_windows_rollup,
+        "changed_ranges": q_changed_ranges,
+        "multistream_align": q_multistream_align,
+        "store_version_travel": q_store_version_travel,
         "buffer_read_your_writes": q_buffer_read_your_writes,
-        "buffer_query_version": q_buffer_query_version,
-        "registry_obliterate": q_registry_obliterate,
-        "insert_cap": q_insert_cap,
         "buffer_stat_merge": q_buffer_stat_merge,
         "streaming_ingest": q_streaming_ingest,
-        "streaming_rollup_serve": q_streaming_rollup_serve,
-        "late_data_rollup": q_late_data_rollup,
-        "store_compact": q_store_compact,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "token_entropy": q_token_entropy,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "token_freq": q_token_freq,
+        # -- (c) extension operators without a prior driver row ----------
+        "repetition_stats": q_repetition_stats,
         "text_scrub": q_text_scrub,
         "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
-        "repetition_stats": q_repetition_stats,
         "doc_chunks": q_doc_chunks,
         "domain_mix": q_domain_mix,
         "semantic_dedup": q_semantic_dedup,
@@ -1258,6 +1237,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_refine": q_ivf_refine,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # ---- position 51+: multi-round green, checked locally ----------
+        "aligned_windows_all": q_aligned_windows_all,
+        "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
+        "nearest_before": q_nearest_before,
+        "nearest_after": q_nearest_after,
+        "decimate_envelope": q_decimate_envelope,
+        "changed_ranges_all": q_changed_ranges_all,
+        "csv_export": q_csv_export,
+        "delete_range": q_delete_range,
+        "store_delete_range": q_store_delete_range,
+        "store_changes": q_store_changes,
+        "streaming_stat_state": q_streaming_stat_state,
+        "streaming_dedup": q_streaming_dedup,
+        "store_nearest": q_store_nearest,
+        "store_aligned_windows": q_store_aligned_windows,
+        "lookup_streams": q_lookup_streams,
+        "metadata_usage": q_metadata_usage,
+        "metadata_ann_usage": q_metadata_ann_usage,
+        "align_windowed": q_align_windowed,
+        "buffer_query_version": q_buffer_query_version,
+        "insert_cap": q_insert_cap,
+        "streaming_rollup_serve": q_streaming_rollup_serve,
+        "late_data_rollup": q_late_data_rollup,
+        "store_compact": q_store_compact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_entropy": q_token_entropy,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "token_freq": q_token_freq,
     }
 
 
