@@ -17,14 +17,20 @@ Reference: internal/mprovider/metaprovider.go (etcd-backed). Semantics kept:
   (metaprovider.go:429-457).
 
 The registry itself is etcd-scale (the reference stores it in etcd); the
-authoritative state is an atomic parquet snapshot rewritten on EVERY
-mutation (pyarrow write + os.replace — no Spark job on the mutation path),
-so a restarted process sees exactly the committed registry, including
-permanent obliterate tombstones. Uniqueness of (collection, tags) is an
-O(1) hash-index lookup, not a scan. Bulk registration goes through
-create_many(), whose conflict checks are DataFrame joins — the path that
-holds at millions of streams. All read ops are DataFrame plans
-(broadcastable for joins against the 100 TB points plane).
+durable state mirrors etcd's log+snapshot design (the raft WAL behind
+metaprovider.go's CAS semantics): every single mutation is an O(1) fsync'd
+append to a JSONL mutation log, and the log is compacted into an atomic
+parquet snapshot (pyarrow write + os.replace) every COMPACT_EVERY records,
+on bulk loads, and on close(). A restarted process replays the log over the
+snapshot, so it sees exactly the committed registry — including permanent
+obliterate tombstones — even after a crash mid-burst. At millions of
+streams a mutation costs one appended line, never an O(N) rewrite.
+Uniqueness of (collection, tags) is an O(1) hash-index lookup, not a scan.
+Bulk registration goes through create_many(), whose conflict checks are
+DataFrame joins — the path that holds at millions of streams. All read ops
+are DataFrame plans: the snapshot scan plus a broadcast anti-join overlay
+of the (bounded, log-sized) uncompacted mutations — broadcastable for
+joins against the 100 TB points plane.
 """
 
 from __future__ import annotations
@@ -130,18 +136,30 @@ def _identity_key(collection: str, tags: dict) -> tuple:
 
 
 class StreamRegistry:
+    # Compact the mutation log into the snapshot after this many appended
+    # records. Bounds both replay time on open and the driver-side overlay
+    # the read path unions in.
+    COMPACT_EVERY = 1024
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         # Snapshot is a single parquet FILE (pyarrow-written, atomically
         # replaced); `streams` (a Spark-written dir) is the legacy layout.
+        # `mutations.jsonl` is the append-only log of post-snapshot
+        # mutations (etcd's log+snapshot shape).
         self.parquet_path = os.path.join(path, "streams.parquet")
         self._legacy_path = os.path.join(path, "streams")
+        self._log_path = os.path.join(path, "mutations.jsonl")
         os.makedirs(path, exist_ok=True)
         self._rows: dict[str, dict] = {}
         # (collection, sorted tags) -> uuid of the LIVE stream holding that
         # identity (metaprovider.go:294-300 uniqueness among live streams).
         self._identity: dict[tuple, str] = {}
+        # uuid -> latest post-snapshot row state (the read-path overlay);
+        # bounded by COMPACT_EVERY distinct uuids between compactions.
+        self._overlay: dict[str, dict] = {}
+        self._log_count = 0
         self._df: Optional[DataFrame] = None
         load_from = None
         if os.path.exists(self.parquet_path):
@@ -155,15 +173,72 @@ class StreamRegistry:
                 r["tags"] = dict(r["tags"] or [])
                 r["annotations"] = dict(r["annotations"] or [])
                 self._rows[r["uuid"]] = r
-                if not r["tombstoned"]:
-                    self._identity[_identity_key(r["collection"], r["tags"])] = r["uuid"]
+        self._replay_log()
+        for r in self._rows.values():
+            if not r["tombstoned"]:
+                self._identity[_identity_key(r["collection"], r["tags"])] = r["uuid"]
 
     # ----------------------------------------------------------- mutations --
+
+    def _replay_log(self) -> None:
+        """Fold the mutation log (if any) over the snapshot state. A torn
+        final line from a crash mid-append is skipped — it was never
+        acknowledged."""
+        import json
+
+        if not os.path.exists(self._log_path):
+            return
+        with open(self._log_path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue  # torn tail write: unacknowledged, drop
+                self._rows[r["uuid"]] = r
+                self._overlay[r["uuid"]] = r
+                self._log_count += 1
+
+    def _append_mutation(self, row: dict) -> None:
+        """O(1) durable mutation: one fsync'd JSONL append holding the full
+        post-mutation row (latest record per uuid wins on replay). This is
+        the etcd-WAL equivalent of metaprovider.go's per-key puts — at
+        millions of streams an annotation CAS writes one line, not the
+        registry."""
+        import json
+
+        with open(self._log_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(row, separators=(",", ":")) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._overlay[row["uuid"]] = row
+        self._log_count += 1
+        self._df = None
+        if self._log_count >= self.COMPACT_EVERY:
+            self.compact()
+
+    def compact(self) -> None:
+        """Fold the log into a fresh atomic snapshot and truncate it —
+        etcd's periodic snapshot. Runs automatically every COMPACT_EVERY
+        mutations, after bulk loads, and from close()."""
+        self._persist()
+        if os.path.exists(self._log_path):
+            os.remove(self._log_path)
+        self._overlay = {}
+        self._log_count = 0
+
+    def close(self) -> None:
+        if self._log_count:
+            self.compact()
 
     def _persist(self) -> None:
         """Atomically rewrite the snapshot: pyarrow write to a tmp file +
         os.replace. Milliseconds at etcd scale, and crash-safe — readers see
-        either the old or the new complete snapshot, never a partial one."""
+        either the old or the new complete snapshot, never a partial one.
+        Mutation-path callers go through _append_mutation instead; this runs
+        on compaction and bulk loads only."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -217,7 +292,7 @@ class StreamRegistry:
             raise BTrDBError(
                 ERR_STREAM_EXISTS, "a stream with this collection+tags exists"
             )  # metaprovider.go:294-300
-        self._rows[uuid] = dict(
+        row = dict(
             uuid=uuid,
             collection=collection,
             tags=tags,
@@ -226,8 +301,9 @@ class StreamRegistry:
             created_version=1,
             tombstoned=False,
         )
+        self._rows[uuid] = row
         self._identity[_identity_key(collection, tags)] = uuid
-        self._persist()
+        self._append_mutation(row)
 
     def create_many(self, streams: DataFrame) -> int:
         """Bulk registration — the path that holds at millions of streams.
@@ -312,7 +388,9 @@ class StreamRegistry:
             )
             self._identity[_identity_key(r["collection"], tags)] = r["uuid"]
             added += 1
-        self._persist()
+        # Bulk loads fold everything into one fresh snapshot (one O(N) write
+        # for N registrations) and clear any outstanding log.
+        self.compact()
         return added
 
     def set_annotations(
@@ -334,7 +412,7 @@ class StreamRegistry:
             raise BTrDBError(ERR_BAD_TAG_KEY, "too many annotations")
         r["annotations"] = ann
         r["annotation_version"] += 1
-        self._persist()
+        self._append_mutation(r)
         return r["annotation_version"]
 
     def obliterate(self, uuid: str) -> None:
@@ -343,7 +421,7 @@ class StreamRegistry:
         # the identity becomes reusable (uniqueness is among live streams);
         # the uuid never does (the tombstoned row stays forever).
         self._identity.pop(_identity_key(r["collection"], r["tags"]), None)
-        self._persist()
+        self._append_mutation(r)
 
     # --------------------------------------------------------------- reads --
 
@@ -354,20 +432,43 @@ class StreamRegistry:
         return r
 
     def df(self) -> DataFrame:
-        """The registry as a DataFrame (live + tombstoned rows), scanned from
-        the parquet snapshot — not materialized from driver memory — so the
-        read plan holds however large the registry grows."""
+        """The registry as a DataFrame (live + tombstoned rows): the parquet
+        snapshot scan — not materialized from driver memory, so the plan
+        holds however large the registry grows — plus, when uncompacted
+        mutations exist, a broadcast anti-join overlay of the (bounded,
+        <= COMPACT_EVERY rows) log state: snapshot rows whose uuid was
+        mutated since the snapshot are replaced by their log row."""
         if self._df is None:
             if os.path.exists(self.parquet_path):
-                self._df = self.spark.read.schema(STREAMS_SCHEMA).parquet(
+                snap = self.spark.read.schema(STREAMS_SCHEMA).parquet(
                     self.parquet_path
                 )
             elif os.path.exists(self._legacy_path):
-                self._df = self.spark.read.schema(STREAMS_SCHEMA).parquet(
+                snap = self.spark.read.schema(STREAMS_SCHEMA).parquet(
                     self._legacy_path
                 )
             else:
-                self._df = self.spark.createDataFrame([], STREAMS_SCHEMA)
+                snap = self.spark.createDataFrame([], STREAMS_SCHEMA)
+            if self._overlay:
+                over = self.spark.createDataFrame(
+                    [
+                        (
+                            r["uuid"],
+                            r["collection"],
+                            dict(r["tags"]),
+                            dict(r["annotations"]),
+                            r["annotation_version"],
+                            r["created_version"],
+                            r["tombstoned"],
+                        )
+                        for r in self._overlay.values()
+                    ],
+                    STREAMS_SCHEMA,
+                )
+                snap = snap.join(
+                    F.broadcast(over.select("uuid")), "uuid", "left_anti"
+                ).unionByName(over)
+            self._df = snap
         return self._df
 
     def live_df(self) -> DataFrame:

@@ -289,3 +289,69 @@ def test_write_csv_sink(db, tmp_path, spark):
     assert data["1"] == ("1.0", "")      # empty cell for absent stream
     assert data["3"] == ("3.0", "30.0")
     assert data["5"] == ("", "50.0")
+
+
+def test_registry_mutation_log_is_o1_and_replays(spark, tmp_path):
+    """etcd log+snapshot shape: single mutations append one fsync'd line —
+    the parquet snapshot must NOT be rewritten per mutation — and a fresh
+    process replays the log (crash before compaction) to identical state."""
+    import os
+
+    from btrdb_server_spark.metadata import StreamRegistry
+
+    path = str(tmp_path / "reg")
+    reg = StreamRegistry(spark, path)
+    reg.create("u0", "c/a", {"name": "s0"})
+    reg.compact()  # establish a snapshot
+    snap_stat = os.stat(reg.parquet_path)
+
+    for i in range(1, 30):
+        reg.create(f"u{i}", "c/a", {"name": f"s{i}"})
+    reg.set_annotations("u3", 1, {"k": "v"})
+    reg.obliterate("u7")
+
+    # O(1) mutations: the snapshot file was not touched, the log grew.
+    st = os.stat(reg.parquet_path)
+    assert (st.st_mtime_ns, st.st_size) == (
+        snap_stat.st_mtime_ns,
+        snap_stat.st_size,
+    )
+    assert os.path.exists(reg._log_path)
+    assert reg._log_count == 31
+
+    # Read path sees log state (overlay union), not just the snapshot.
+    live = {r.uuid for r in reg.live_df().collect()}
+    assert "u7" not in live and {"u0", "u3", "u29"} <= live
+    assert len(live) == 29
+
+    # Simulated crash before compaction: replay restores identical state.
+    reg2 = StreamRegistry(spark, path)
+    assert reg2.stream_info("u3")["annotations"] == {"k": "v"}
+    assert reg2.stream_info("u3")["annotation_version"] == 2
+    import pytest as _pt
+
+    from btrdb_server_spark.store import BTrDBError
+
+    with _pt.raises(BTrDBError):
+        reg2.create("u7", "elsewhere")  # tombstone survives via log replay
+    assert {r.uuid for r in reg2.live_df().collect()} == live
+
+    # Compaction folds the log into the snapshot and removes it.
+    reg2.compact()
+    assert not os.path.exists(reg2._log_path)
+    reg3 = StreamRegistry(spark, path)
+    assert {r.uuid for r in reg3.live_df().collect()} == live
+
+
+def test_registry_log_autocompacts_at_threshold(spark, tmp_path, monkeypatch):
+    import os
+
+    from btrdb_server_spark.metadata import StreamRegistry
+
+    monkeypatch.setattr(StreamRegistry, "COMPACT_EVERY", 10)
+    reg = StreamRegistry(spark, str(tmp_path / "reg"))
+    for i in range(25):
+        reg.create(f"u{i}", "c", {"name": f"s{i}"})
+    # 25 mutations with threshold 10 -> compacted twice, 5 in the log.
+    assert reg._log_count == 5
+    assert {r.uuid for r in reg.live_df().collect()} == {f"u{i}" for i in range(25)}
