@@ -254,12 +254,19 @@ def dedup_clusters(
     from pyspark.sql import Observation
 
     for _ in range(max_iter):
+        # Invariant the inner joins below rely on: `lab` holds EVERY edge
+        # endpoint (it is built from the symmetrized edges' src column,
+        # which covers both endpoints), so each msgs.v (an edges.dst) and
+        # each aggregated vertex has a matching lab row — the inner join
+        # never drops a vertex from the frontier.
         msgs = edges.join(lab, edges.src == lab.v).select(
             F.col("dst").alias("v"), "lbl"
         )
         # Convergence check rides the SAME job as the round's
-        # materialization (Observation over the checkpoint write) — one
-        # distributed job per round instead of materialize + probe.
+        # materialization: the checkpoint is lazy and the explicit count()
+        # below is the one action that materializes it — the Observation
+        # fires on that action by API contract (no reliance on eager
+        # localCheckpoint internally running an action).
         obs = Observation()
         new = (
             lab.unionByName(msgs)
@@ -271,8 +278,9 @@ def dedup_clusters(
                 F.sum((F.col("lbl") != F.col("old")).cast("long")).alias("n_changed"),
             )
             .select("v", "lbl")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        new.count()  # materializes the checkpoint; fires the observation
         lab = new
         if not obs.get["n_changed"]:
             break

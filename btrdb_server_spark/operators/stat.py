@@ -193,8 +193,13 @@ def aligned_quantiles(
         raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
     fstart = align_floor(start, pw)
     fend = align_floor(end, pw)
+    # Label from the full decimal so e.g. 0.99 -> p99, 0.999 -> p99_9,
+    # 0.125 -> p12_5 (int truncation would collide 0.99/0.999 at 'p99').
+    labels = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels from qs={qs}")
     aggs = [
-        F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}") for q in qs
+        F.expr(f"percentile(value, {q})").alias(lbl) for q, lbl in zip(qs, labels)
     ] + [F.count("value").alias("count")]
     return (
         points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend))

@@ -2,16 +2,60 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 
 
+def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
+    """Estimate how many scan partitions the file source will produce:
+    sum over files of ceil(size / maxPartitionBytes). Driver-side metadata
+    stats only — never forces physical planning (df.rdd would)."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        mpb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:  # noqa: BLE001 — private API drift: assume the default
+        mpb = 128 * 1024 * 1024
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:  # noqa: BLE001 — unstat-able file: count it as one
+            size = 0
+        total += max(1, math.ceil(size / mpb))
+    return total
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition iff the input has fewer partitions than the cluster has
-    cores. Small single-file parquet inputs otherwise serialize expensive
-    per-row work (explode/hash/pair-join) onto one task; a well-partitioned
-    100 TB input already exceeds the core count, so this is a no-op there
-    and costs nothing in the scale path."""
+    """Repartition iff the input would scan with fewer partitions than the
+    cluster has cores. Small single-file parquet inputs otherwise serialize
+    expensive per-row work (explode/hash/pair-join) onto one task; a
+    well-partitioned 100 TB input already exceeds the core count, so this
+    is a no-op there and costs nothing in the scale path.
+
+    The partition estimate comes from input-file metadata (count, then
+    sizes vs maxPartitionBytes only when the count alone can't decide) —
+    cheap driver-side stats, avoiding the full physical-planning pass that
+    probing df.rdd.getNumPartitions() would force on every call. Non-file
+    sources (in-memory frames) fall back to the rdd probe, which is cheap
+    exactly there."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming sources
+        files = []
+    if files:
+        if len(files) >= target:
+            return df  # at least one partition per file
+        if _estimated_scan_partitions(df, list(files)) < target:
+            return df.repartition(target)
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

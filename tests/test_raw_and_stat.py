@@ -405,3 +405,15 @@ def test_bucketed_lag_plan_partitions_by_bucket(spark):
     assert specs, "expected window specs in the bucketed-lag plan"
     # The point-scale lag spec must carry both uuid and bucket keys.
     assert any("uuid" in s and "bucket" in s for s in specs)
+
+
+def test_aligned_quantiles_labels_unique(spark):
+    from btrdb_server_spark.operators.stat import aligned_quantiles
+
+    pts = spark.createDataFrame(
+        [("s", t, float(t)) for t in range(100, 200)],
+        "uuid string, time long, value double",
+    )
+    df = aligned_quantiles(pts, "s", 0, 1 << 20, 10, qs=(0.99, 0.999, 0.125))
+    assert df.columns[:3] == ["time", "p99", "p99_9"]
+    assert "p12_5" in df.columns
