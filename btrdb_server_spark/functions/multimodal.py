@@ -1,11 +1,21 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-mapInPandas partition-parallel decode, deterministic partitioning — while the
-actual media decoding is STUBBED (image/audio libraries are not available in
-this environment): `decode_media(..., fake=True)` derives deterministic
-pseudo-metadata from the bytes; `fake=False` raises NotImplementedError at
-the exact point a real decoder (PIL/libav) would plug in.
+mapInPandas partition-parallel decode, deterministic partitioning. Two
+decode modes:
+
+- `decode_media(..., fake=True)`: deterministic pseudo-metadata derived
+  from the content hash — lets the full pipeline (including oracles over
+  the documents-derived media table, whose payloads are text bytes, not
+  media containers) run anywhere.
+- `fake=False`: REAL container-metadata decoding. The schema's fields
+  (width/height/n_frames/sample_rate) are header metadata, so the decoder
+  parses PNG / GIF / BMP / JPEG image headers and RIFF/WAV audio with the
+  stdlib — no external codec needed; if PIL is importable it is used as a
+  fallback for image formats the header parser doesn't know. Payloads in
+  no known container format yield NULL dimensions (not an error).
+  Pixel-level transforms (actual resampling, frame extraction) would need
+  PIL/libav and plug into the same mapInPandas seam.
 
 At 100 TB: binary payloads ride in their own parquet column (column pruning
 means metadata-only queries never touch the bytes); decode fans out via
@@ -87,19 +97,123 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_image_header(p: bytes) -> tuple | None:
+    """(width, height) from PNG/GIF/BMP/JPEG container headers — the real
+    metadata a training pipeline filters on, parsed with the stdlib."""
+    import struct
+
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return w, h
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", p[6:10])
+        return w, h
+    if len(p) >= 26 and p[:2] == b"BM":
+        w, h = struct.unpack("<ii", p[18:26])
+        return abs(w), abs(h)
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                i += 1
+                continue
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", p[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                return w, h
+            i += 2 + seglen
+    return None
+
+
+def _parse_wav_header(p: bytes) -> tuple | None:
+    """(sample_rate, n_frames) from a RIFF/WAVE container."""
+    import struct
+
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i, rate, frame_bytes, data_len = 12, None, None, None
+    while i + 8 <= len(p):
+        cid, clen = p[i : i + 4], struct.unpack("<I", p[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= len(p):
+            _, n_ch, rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", p[i + 8 : i + 24]
+            )
+            frame_bytes = block_align or None
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)
+    if rate is None:
+        return None
+    n_frames = (data_len // frame_bytes) if (data_len and frame_bytes) else None
+    return rate, n_frames
+
+
+def _real_decode_row(media_id, kind: str, payload: bytes, digest: str) -> dict:
+    out = dict(
+        media_id=media_id,
+        kind=kind,
+        n_bytes=len(payload),
+        sha256=digest,
+        width=None,
+        height=None,
+        n_frames=None,
+        sample_rate=None,
+    )
+    if kind in ("image", "video"):
+        dims = _parse_image_header(payload)
+        if dims is None:
+            try:  # optional richer fallback when PIL is installed
+                import io
+
+                from PIL import Image  # type: ignore[import-not-found]
+
+                with Image.open(io.BytesIO(payload)) as im:
+                    dims = im.size
+                    out["n_frames"] = getattr(im, "n_frames", 1)
+            except Exception:  # noqa: BLE001 — no PIL / not an image
+                dims = None
+        if dims is not None:
+            out["width"], out["height"] = int(dims[0]), int(dims[1])
+            if out["n_frames"] is None:
+                out["n_frames"] = 1
+    elif kind == "audio":
+        wav = _parse_wav_header(payload)
+        if wav is not None:
+            out["sample_rate"] = int(wav[0])
+            out["n_frames"] = None if wav[1] is None else int(wav[1])
+    return out
+
+
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """Partition-parallel decode via mapInPandas (Arrow-batched; the bytes
-    never pass through Python row-by-row)."""
+    never pass through Python row-by-row). fake=False parses real container
+    headers (see module docstring); unknown formats yield NULL dims."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/soundfile/av; "
-                    "run with fake=True in this environment"
-                )
+                rows = [
+                    _real_decode_row(
+                        mid,
+                        kind,
+                        p := (payload if payload is not None else b""),
+                        hashlib.sha256(p).hexdigest(),
+                    )
+                    for mid, kind, payload in zip(
+                        pdf["media_id"], pdf["kind"], pdf["payload"]
+                    )
+                ]
+                out = pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA])
+                for c in ("width", "height", "n_frames", "sample_rate"):
+                    out[c] = pd.array(out[c], dtype="Int32")
+                yield out
+                continue
             # Column-at-a-time: the only per-row Python work is the digest
             # itself (inherently per-payload); everything downstream is numpy.
             payloads = [p if p is not None else b"" for p in pdf["payload"]]

@@ -205,8 +205,67 @@ def test_multimodal_decode_plumbing(spark):
     rs = {r.media_id: r for r in resize_plan(dec, max_side=224).collect()}
     assert max(rs[1].out_w, rs[1].out_h) <= 224
 
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
-        decode_media(media, fake=False).collect()
+    # fake=False on non-container bytes: NULL dims, hashes still real.
+    real = {r.media_id: r for r in decode_media(media, fake=False).collect()}
+    assert real[1].width is None and real[1].sha256 == got[1].sha256
+
+
+def test_multimodal_real_container_decode(spark):
+    """fake=False parses REAL container headers: a valid 1x1 PNG, a GIF
+    logical screen, a BMP info header, a JPEG SOF0, and a stdlib-written
+    WAV file — no external codec library involved."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 320, 240, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\xff\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 99, 77) + b"\x00" * 6
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 12, -34) + b"\x00" * 8
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 2
+        + b"\xff\xd9"
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x00" * 2 * 100)  # 100 stereo frames
+    wav = buf.getvalue()
+
+    rows = [
+        (1, "image", bytearray(png), None),
+        (2, "image", bytearray(gif), None),
+        (3, "image", bytearray(bmp), None),
+        (4, "image", bytearray(jpeg), None),
+        (5, "audio", bytearray(wav), None),
+        (6, "image", bytearray(b"not media"), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media, fake=False).collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames) == (320, 240, 1)
+    assert (got[2].width, got[2].height) == (99, 77)
+    assert (got[3].width, got[3].height) == (12, 34)
+    assert (got[4].width, got[4].height) == (640, 480)
+    assert (got[5].sample_rate, got[5].n_frames) == (44100, 100)
+    assert got[6].width is None and got[6].n_bytes == 9
 
 
 def test_bpe_token_stats(spark):
