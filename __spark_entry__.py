@@ -110,6 +110,39 @@ def q_aligned_windows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent aggregate pushdown (qtree.go:925-947, SURVEY §4): a
+    hand-written canonical aligned-stat DataFrame aggregation — the user
+    never names a ladder level — is recognized from its ANALYZED plan and
+    served from the materialized rollup ladder. The assert makes this row
+    fail loudly if the rewrite ever stops engaging; the oracle aggregates
+    raw points with the integer-quantum mean the quantized ladder serves."""
+    from btrdb_server_spark.plans.rewrite import rewrite_aligned_stat
+    from btrdb_server_spark.sources.testdata import ensure_events_ladder
+
+    pw = 40
+    s, e = (T_2024 >> pw) << pw, (T_2025 >> pw) << pw
+    ladder = ensure_events_ladder(spark, sf_dir)
+    pts = load_points(spark, sf_dir, s, e)
+    df = (
+        pts.where(
+            (F.col("uuid") == "click") & (F.col("time") >= s) & (F.col("time") < e)
+        )
+        .groupBy(F.shiftleft(F.shiftright("time", pw), pw).alias("time"))
+        .agg(
+            F.min("value").alias("vmin"),
+            F.avg("value").alias("mean"),
+            F.max("value").alias("vmax"),
+            F.count("value").alias("cnt"),
+        )
+    )
+    routed = rewrite_aligned_stat(df, ladder)
+    assert routed is not df, "rollup rewrite did not engage"
+    return routed.select(
+        "time", "vmin", F.round("mean", 6).alias("vmean"), "vmax", "cnt"
+    )
+
+
 def q_aligned_windows_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship entry() shape, oracle-checked: per-stream aligned stats
     for ALL streams in one two-phase aggregate (shuffle carries one row per
@@ -1191,10 +1224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate": q_rate,
         "registry_obliterate": q_registry_obliterate,
         "list_collections": q_list_collections,
+        "rollup_rewrite": q_rollup_rewrite,
         # -- (b) one green anchor per SURVEY §2 family -------------------
         "raw_values": q_raw_values,
         "aligned_windows": q_aligned_windows,
-        "aligned_quantiles": q_aligned_quantiles,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "windows_holes": q_windows_holes,
         "nearest_asof": q_nearest_asof,
@@ -1238,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_refine": q_ivf_refine,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "aligned_quantiles": q_aligned_quantiles,
         "aligned_windows_all": q_aligned_windows_all,
         "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
         "nearest_before": q_nearest_before,
@@ -1553,6 +1587,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT ((time >> 40) << 40) AS time, {stat_cols}
             FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
+            GROUP BY 1 ORDER BY 1
+        """,
+        "rollup_rewrite": f"""
+            {PTS_CTE}
+            SELECT ((time >> 40) << 40) AS time,
+                   min(value) AS vmin,
+                   round((sum(CAST(round(value / 0.01) AS BIGINT)) * 0.01)
+                         / count(*), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'click'
+              AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
             GROUP BY 1 ORDER BY 1
         """,
         "windows_holes": f"""

@@ -1,0 +1,154 @@
+"""Transparent aggregate-pushdown rewrite onto the rollup ladder.
+
+The reference answers statistical queries from stored internal-node
+aggregates without the CALLER choosing a tree depth (qtree/qtree.go:925-947
+— the engine descends to the deepest node whose pointwidth fits). The
+explicit Spark equivalent is RollupLadder.serve_aligned; this module adds
+the implicit one: a user who hand-writes the canonical aligned-stat
+DataFrame aggregation
+
+    points.where((uuid == u) & (time >= s) & (time < e))
+          .groupBy(shiftleft(shiftright("time", pw), pw))
+          .agg(min/avg/max/count of value)
+
+gets the same logical answer served from the ladder's best materialized
+level. `rewrite_aligned_stat` inspects the ANALYZED logical plan (the
+stable, resolved form Catalyst itself pattern-matches on) and rewrites only
+when the plan provably has that exact shape AND the rewrite is exact:
+
+- the grouping key is shiftleft(shiftright(time, pw), pw) for a single pw;
+- every aggregate is min/avg/max/count over the value column;
+- the filter is uuid-equality plus a [start, end) time range whose bounds
+  are 2**pw-aligned (an unaligned bound would make boundary buckets differ
+  between raw and rollup aggregation — those queries stay on raw points);
+- the ladder has a materialized level <= pw (power-of-two buckets nest).
+
+Anything else returns the input DataFrame untouched — the rewrite is an
+optimization, never a semantics change. avg(value) is served as
+sum(vsum)/sum(cnt), the reference's weighted-mean merge (merger.go:203).
+
+A production deployment would register this as a Catalyst extension rule
+(SparkSessionExtensions.injectOptimizerRule) so spark.sql() text hits it
+too; the plan-shape matching below is exactly what that Scala rule would
+do, expressed over the same analyzed tree.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from btrdb_server_spark.plans.rollup import RollupLadder
+
+# shiftleft(shiftright(time#7L, 38), 38)
+_GROUP_RE = re.compile(
+    r"^shiftleft\(shiftright\(time#\d+L?, (\d+)\), (\d+)\)(?: AS (\w+)#\d+L?)?$"
+)
+# min(value#8) AS min#11
+_AGG_RE = re.compile(r"^(min|avg|max|count)\(value#\d+\) AS (\w+)#\d+L?$")
+# (((uuid#6 = click) AND (time#7L >= 123)) AND (time#7L < 456))
+_FILTER_RE = re.compile(
+    r"^\(\(\(uuid#\d+ = ([^)]+)\) AND \(time#\d+L? >= (-?\d+)\)\) "
+    r"AND \(time#\d+L? < (-?\d+)\)\)$"
+)
+
+_AGG_SOURCE = {"min": "vmin", "max": "vmax", "count": "cnt"}
+
+
+def _match_shape(df: DataFrame) -> Optional[dict]:
+    """Parse the analyzed plan; return the query parameters when it is the
+    canonical aligned-stat aggregate, else None."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        # tolerate a trailing orderBy (Sort node) above the aggregate
+        if plan.getClass().getSimpleName() == "Sort":
+            plan = plan.child()
+        if plan.getClass().getSimpleName() != "Aggregate":
+            return None
+        ge = plan.groupingExpressions()
+        if ge.size() != 1:
+            return None
+        gm = _GROUP_RE.match(ge.apply(0).toString())
+        if gm is None or gm.group(1) != gm.group(2):
+            return None
+        pw = int(gm.group(1))
+        aggs = []  # (source fn, output name) in projection order
+        group_alias = None
+        ae = plan.aggregateExpressions()
+        for i in range(ae.size()):
+            s = ae.apply(i).toString()
+            g2 = _GROUP_RE.match(s)
+            if g2 is not None and g2.group(3) is not None:
+                if group_alias is not None:
+                    return None
+                group_alias = g2.group(3)
+                continue
+            am = _AGG_RE.match(s)
+            if am is None:
+                return None
+            aggs.append((am.group(1), am.group(2)))
+        if group_alias is None or not aggs:
+            return None
+        child = plan.child()
+        if child.getClass().getSimpleName() != "Filter":
+            return None
+        fm = _FILTER_RE.match(child.condition().toString())
+        if fm is None:
+            return None
+        return dict(
+            pw=pw,
+            group_alias=group_alias,
+            aggs=aggs,
+            uuid=fm.group(1),
+            start=int(fm.group(2)),
+            end=int(fm.group(3)),
+        )
+    except Exception:  # noqa: BLE001 — any plan-introspection drift: no rewrite
+        return None
+
+
+def rewrite_aligned_stat(df: DataFrame, ladder: "RollupLadder") -> DataFrame:
+    """Return `df` served from the ladder's best materialized level when its
+    plan is the canonical aligned-stat aggregate and the rewrite is exact
+    (see module docstring); otherwise return `df` unchanged. Output column
+    names and order match the input plan's projection."""
+    from pyspark.sql import functions as F
+
+    m = _match_shape(df)
+    if m is None:
+        return df
+    pw, start, end = m["pw"], m["start"], m["end"]
+    mask = (1 << pw) - 1
+    if (start & mask) or (end & mask):
+        return df  # unaligned bounds: boundary buckets would differ
+    candidates = [l for l in ladder.levels if l <= pw and ladder.level(l) is not None]
+    if not candidates:
+        return df
+    best = max(candidates)
+    lvl = ladder._level_for_stream(best, m["uuid"], start, end).where(
+        (F.col("uuid") == F.lit(m["uuid"]))
+        & (F.col("bucket") >= F.lit(start))
+        & (F.col("bucket") < F.lit(end))
+    )
+    out_aggs = []
+    for fn, name in m["aggs"]:
+        if fn == "avg":
+            # Quantized ladders serve the mean from the int64 vq sum —
+            # exactly associative, bit-identical under any aggregation
+            # order (see RollupLadder.value_quantum).
+            if ladder.value_quantum is not None:
+                mean = (F.sum("vq") * F.lit(ladder.value_quantum)) / F.sum("cnt")
+            else:
+                mean = F.sum("vsum") / F.sum("cnt")
+            out_aggs.append(mean.alias(name))
+        else:
+            src = _AGG_SOURCE[fn]
+            agg = {"vmin": F.min, "vmax": F.max, "cnt": F.sum}[src]
+            out_aggs.append(agg(src).alias(name))
+    served = lvl.groupBy(
+        F.shiftleft(F.shiftright("bucket", pw), pw).alias(m["group_alias"])
+    ).agg(*out_aggs)
+    return served.select(*df.columns).orderBy(m["group_alias"])

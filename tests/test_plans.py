@@ -204,3 +204,89 @@ def test_hard_negatives_takeordered(spark):
     plan = plan_of(entry_mod.q_hard_negatives(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Broadcast" in plan
+
+
+def test_rewrite_aligned_stat_routes_to_ladder(spark, tmp_path):
+    """Implicit aggregate pushdown: a hand-written canonical aligned-stat
+    aggregation is transparently served from the ladder (plan reads rollup
+    rows, not raw points), with identical results; non-canonical or
+    unaligned queries pass through untouched."""
+    import pyspark.sql.functions as F
+
+    from btrdb_server_spark.plans.rewrite import rewrite_aligned_stat
+    from btrdb_server_spark.plans.rollup import RollupLadder
+    from btrdb_server_spark.sources.testdata import load_points
+
+    pts = load_points(spark, "/root/testdata/sf0.001")
+    ladder = RollupLadder(spark, str(tmp_path / "ladder"), levels=(32, 38))
+    ladder.rebuild(pts)
+
+    pw = 40
+    start, end = 1704067200000000000 >> pw << pw, 1735689600000000000 >> pw << pw
+
+    def canonical(p):
+        return (
+            p.where(
+                (F.col("uuid") == "click")
+                & (F.col("time") >= start)
+                & (F.col("time") < end)
+            )
+            .groupBy(F.shiftleft(F.shiftright("time", pw), pw).alias("time"))
+            .agg(
+                F.min("value").alias("min"),
+                F.avg("value").alias("mean"),
+                F.max("value").alias("max"),
+                F.count("value").alias("count"),
+            )
+        )
+
+    df = canonical(pts)
+    routed = rewrite_aligned_stat(df, ladder)
+    assert routed is not df
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "vsum" in plan and "value" not in plan  # ladder scan, not raw points
+
+    raw = {r.time: r for r in df.collect()}
+    srv = {r.time: r for r in routed.collect()}
+    assert set(raw) == set(srv) and len(raw) > 100
+    for t, r in raw.items():
+        s = srv[t]
+        assert (r["min"], r["max"], r["count"]) == (s["min"], s["max"], s["count"])
+        assert abs(r["mean"] - s["mean"]) < 1e-9
+
+    # Unaligned bounds: exactness would break -> untouched.
+    df_unaligned = (
+        pts.where(
+            (F.col("uuid") == "click")
+            & (F.col("time") >= start + 5)
+            & (F.col("time") < end)
+        )
+        .groupBy(F.shiftleft(F.shiftright("time", pw), pw).alias("time"))
+        .agg(F.min("value").alias("min"))
+    )
+    assert rewrite_aligned_stat(df_unaligned, ladder) is df_unaligned
+
+    # Non-canonical aggregate (sum) -> untouched.
+    df_sum = (
+        pts.where(
+            (F.col("uuid") == "click")
+            & (F.col("time") >= start)
+            & (F.col("time") < end)
+        )
+        .groupBy(F.shiftleft(F.shiftright("time", pw), pw).alias("time"))
+        .agg(F.sum("value").alias("s"))
+    )
+    assert rewrite_aligned_stat(df_sum, ladder) is df_sum
+
+    # Query finer than the finest level -> untouched.
+    fine = canonical(pts)  # pw 40 ok; now build a pw-20 query
+    df_fine = (
+        pts.where(
+            (F.col("uuid") == "click")
+            & (F.col("time") >= start)
+            & (F.col("time") < end)
+        )
+        .groupBy(F.shiftleft(F.shiftright("time", 20), 20).alias("time"))
+        .agg(F.min("value").alias("min"))
+    )
+    assert rewrite_aligned_stat(df_fine, ladder) is df_fine
