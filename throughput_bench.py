@@ -51,15 +51,25 @@ def main() -> None:
 
         from btrdb_server_spark.store import _WRITE_TUNING
 
+        # Write paths are best-of-2 like the read paths: a single shot on a
+        # shared box measures that moment's co-tenant I/O phase (observed
+        # 2.5 vs 16 Mpts/s on the SAME plan minutes apart), not the plan.
+        def write_best_of(fn, reps: int = 2) -> float:
+            b = float("inf")
+            for _ in range(reps):
+                t = time.perf_counter()
+                fn()
+                b = min(b, time.perf_counter() - t)
+            return b
+
         p = os.path.join(d, "pts")
-        t0 = time.perf_counter()
-        (
-            pts.sortWithinPartitions("time")
+        b = write_best_of(
+            lambda: pts.sortWithinPartitions("time")
             .write.mode("overwrite")
             .options(**_WRITE_TUNING)
             .parquet(p)
         )
-        out["insert_mpts_per_sec"] = round(N / (time.perf_counter() - t0) / 1e6, 1)
+        out["insert_mpts_per_sec"] = round(N / b / 1e6, 1)
 
         # The full engine path: PointStore.insert_many = single write job
         # with validation + touched-uuid collection piggybacked (Observation),
@@ -67,11 +77,8 @@ def main() -> None:
         from btrdb_server_spark.store import PointStore
 
         store = PointStore(spark, os.path.join(d, "store"))
-        t0 = time.perf_counter()
-        store.insert_many(pts)
-        out["store_insert_mpts_per_sec"] = round(
-            N / (time.perf_counter() - t0) / 1e6, 1
-        )
+        b = write_best_of(lambda: store.insert_many(pts))
+        out["store_insert_mpts_per_sec"] = round(N / b / 1e6, 1)
 
         stored = spark.read.parquet(p)
         stored.count()  # warm footers
