@@ -900,6 +900,38 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_freq(load_table(spark, sf_dir, "documents"), top=100)
 
 
+def q_sql_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface (sql.py): canonical aligned-stat SQL TEXT over the
+    registered points view is transparently served from the quantized
+    rollup ladder — qtree.go:925-947's stored-aggregate descent for SQL
+    users, analyzer-inserted literal casts and all. The assert fails this
+    row loudly if the rewrite ever stops engaging on SQL-analyzed plans.
+    The mean rides the int64 vq path, so it is bit-identical to the
+    oracle's integer-quantum formulation under any aggregation order."""
+    from btrdb_server_spark.plans.rewrite import rewrite_aligned_stat
+    from btrdb_server_spark.sources.testdata import ensure_events_ladder
+
+    pw = 40
+    s, e = (T_2024 >> pw) << pw, (T_2025 >> pw) << pw
+    ladder = ensure_events_ladder(spark, sf_dir)
+    load_points(spark, sf_dir, s, e).createOrReplaceTempView("btrdb_points")
+    df = spark.sql(
+        f"""
+        SELECT shiftleft(shiftright(time, {pw}), {pw}) AS time,
+               min(value) AS vmin, avg(value) AS mean,
+               max(value) AS vmax, count(value) AS cnt
+        FROM btrdb_points
+        WHERE uuid = 'click' AND time >= {s} AND time < {e}
+        GROUP BY shiftleft(shiftright(time, {pw}), {pw})
+        """
+    )
+    routed = rewrite_aligned_stat(df, ladder)
+    assert routed is not df, "SQL rollup rewrite did not engage"
+    return routed.select(
+        "time", "vmin", F.round("mean", 6).alias("vmean"), "vmax", "cnt"
+    )
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/email/digit-run scrubbing with per-doc redaction counts."""
     from btrdb_server_spark.functions.text import text_scrub
@@ -1304,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "token_freq": q_token_freq,
+        "sql_rollup_serve": q_sql_rollup_serve,
     }
 
 
@@ -1590,6 +1623,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "rollup_rewrite": f"""
+            {PTS_CTE}
+            SELECT ((time >> 40) << 40) AS time,
+                   min(value) AS vmin,
+                   round((sum(CAST(round(value / 0.01) AS BIGINT)) * 0.01)
+                         / count(*), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'click'
+              AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Same canonical aggregate, reached through SQL text + the registered
+        # view instead of the DataFrame API; the served result is identical.
+        "sql_rollup_serve": f"""
             {PTS_CTE}
             SELECT ((time >> 40) << 40) AS time,
                    min(value) AS vmin,

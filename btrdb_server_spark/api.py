@@ -362,6 +362,22 @@ class BTrDB:
             return align_streams(pts, uuids, start, end)
         return align_streams_windowed(pts, uuids, start, end, pw)
 
+    def register_sql(self, prefix: str = "btrdb", include_buffers: bool = True):
+        """Register the engine's planes as SQL temp views (sql.py): the
+        points MVCC snapshot, the live stream registry, and each rollup
+        level. Returns the view names."""
+        from btrdb_server_spark.sql import register_views
+
+        return register_views(self, prefix, include_buffers)
+
+    def sql(self, text: str) -> DataFrame:
+        """spark.sql over the registered views, with canonical aligned-stat
+        aggregations transparently served from the rollup ladder when exact
+        (sql.py / plans/rewrite.py — qtree.go:925-947 for SQL text)."""
+        from btrdb_server_spark.sql import sql as sql_op
+
+        return sql_op(self, text)
+
     def info(self) -> dict:
         """Cluster info (serve.go:824-878) — single logical endpoint here."""
         return {

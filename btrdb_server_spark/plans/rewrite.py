@@ -50,9 +50,11 @@ _GROUP_RE = re.compile(
 # min(value#8) AS min#11
 _AGG_RE = re.compile(r"^(min|avg|max|count)\(value#\d+\) AS (\w+)#\d+L?$")
 # (((uuid#6 = click) AND (time#7L >= 123)) AND (time#7L < 456))
+# SQL-text int literals carry an analyzer-inserted widening cast:
+# (time#7L >= cast(123 as bigint)) — tolerated, it is the same constant.
 _FILTER_RE = re.compile(
-    r"^\(\(\(uuid#\d+ = ([^)]+)\) AND \(time#\d+L? >= (-?\d+)\)\) "
-    r"AND \(time#\d+L? < (-?\d+)\)\)$"
+    r"^\(\(\(uuid#\d+ = ([^)]+)\) AND \(time#\d+L? >= (?:cast\()?(-?\d+)(?: as bigint\))?\)\) "
+    r"AND \(time#\d+L? < (?:cast\()?(-?\d+)(?: as bigint\))?\)\)$"
 )
 
 _AGG_SOURCE = {"min": "vmin", "max": "vmax", "count": "cnt"}

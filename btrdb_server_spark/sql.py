@@ -1,0 +1,103 @@
+"""SQL surface: the engine's planes as temp views + rewrite-aware spark.sql.
+
+The reference exposes its query surface as gRPC RPCs (grpcinterface/
+serve.go); the idiomatic Spark equivalent of "a surface every client can
+hit" is SQL text over registered views. This module provides both halves:
+
+- ``register_views(db)`` registers
+
+  * ``{prefix}_points``       — the MVCC (uuid, time, value) snapshot at the
+    registration-time store version. Repeatable read: the view is pinned to
+    that version even as new inserts commit (quasar.go:241-270's
+    read-at-version semantics); call ``register_views`` again to advance.
+    With ``include_buffers=True`` (default) each uncommitted write buffer is
+    union-merged in, so SQL reads are read-your-writes like every facade
+    read path (pqm.go:434-476).
+  * ``{prefix}_streams``      — live metadata registry rows (uuid,
+    collection, tags, annotations, annotation_version).
+  * ``{prefix}_rollup_pw{L}`` — each materialized rollup-ladder level
+    (uuid, bucket, vmin, vsum[, vq], vmax, cnt), for users who want to
+    aggregate pre-reduced rows by hand.
+
+- ``sql(db, text)`` (also ``BTrDB.sql``) runs ``spark.sql(text)`` and, when
+  the analyzed plan is the canonical aligned-stat aggregate over the points
+  view, serves it from the best materialized ladder level via
+  plans.rewrite.rewrite_aligned_stat — the reference's transparent
+  stored-aggregate descent (qtree/qtree.go:925-947) for SQL text. The
+  rewrite is skipped whenever it could be inexact:
+
+  * the queried stream has an uncommitted buffer (ladder holds committed
+    data only — same guard as BTrDB.aligned_windows);
+  * the store has committed past the registered view's version (the ladder
+    tracks latest-committed; the view is pinned older);
+  * the plan is not provably canonical (any other SQL passes through
+    untouched).
+
+Canonical aligned-stat SQL shape (2**pw-aligned start/end, aggregates
+aliased — see plans/rewrite.py for why each constraint exists)::
+
+    SELECT shiftleft(shiftright(time, 38), 38) AS t,
+           min(value) AS vmin, avg(value) AS vmean,
+           max(value) AS vmax, count(value) AS cnt
+    FROM btrdb_points
+    WHERE uuid = 'click' AND time >= {s} AND time < {e}
+    GROUP BY shiftleft(shiftright(time, 38), 38)
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, List
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from btrdb_server_spark.api import BTrDB
+
+
+def register_views(
+    db: "BTrDB", prefix: str = "btrdb", include_buffers: bool = True
+) -> List[str]:
+    """Register the engine's planes as temp views (see module docstring).
+    Returns the registered view names. Safe to call repeatedly — each call
+    re-pins ``{prefix}_points`` to the current store version."""
+    names: List[str] = []
+    pts = db.store.points_at(None)
+    if include_buffers:
+        for u in list(db._buffers):
+            bdf = db._buffer_df(u)
+            if bdf is not None:
+                pts = pts.unionByName(bdf)
+    pts.createOrReplaceTempView(f"{prefix}_points")
+    names.append(f"{prefix}_points")
+
+    db.registry.live_df().createOrReplaceTempView(f"{prefix}_streams")
+    names.append(f"{prefix}_streams")
+
+    if db.ladder is not None:
+        for pw in db.ladder.levels:
+            lvl = db.ladder.level(pw)
+            if lvl is not None:
+                lvl.createOrReplaceTempView(f"{prefix}_rollup_pw{pw}")
+                names.append(f"{prefix}_rollup_pw{pw}")
+
+    # The rewrite in sql() is exact only while the ladder (latest committed)
+    # and the pinned view describe the same version.
+    db._sql_view_version = db.store.version
+    return names
+
+
+def sql(db: "BTrDB", text: str) -> DataFrame:
+    """``spark.sql(text)`` with transparent ladder serving for canonical
+    aligned-stat aggregations (module docstring); every other statement is
+    returned exactly as Spark analyzed it."""
+    df = db.spark.sql(text)
+    if db.ladder is None:
+        return df
+    if getattr(db, "_sql_view_version", None) != db.store.version:
+        return df  # view pinned to an older version than the ladder serves
+    from btrdb_server_spark.plans.rewrite import _match_shape, rewrite_aligned_stat
+
+    m = _match_shape(df)
+    if m is None or db._buffers.get(m["uuid"]):
+        return df  # non-canonical, or buffered stream: raw path is the truth
+    return rewrite_aligned_stat(df, db.ladder)

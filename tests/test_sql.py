@@ -1,0 +1,135 @@
+"""SQL surface (sql.py): registered views + rewrite-aware BTrDB.sql.
+
+The reference's query surface is gRPC (grpcinterface/serve.go); ours adds
+SQL text over temp views with the same transparent stored-aggregate serving
+(qtree/qtree.go:925-947) and the same exactness guards as the facade's
+DataFrame paths."""
+
+from __future__ import annotations
+
+from btrdb_server_spark.api import BTrDB
+
+CANON = """
+SELECT shiftleft(shiftright(time, {pw}), {pw}) AS t,
+       min(value) AS vmin, avg(value) AS vmean,
+       max(value) AS vmax, count(value) AS cnt
+FROM btrdb_points
+WHERE uuid = '{u}' AND time >= {s} AND time < {e}
+GROUP BY shiftleft(shiftright(time, {pw}), {pw})
+ORDER BY t
+"""
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_sql_raw_range_scan_matches_facade(spark, tmp_path):
+    db = BTrDB(spark, str(tmp_path / "db"))
+    db.insert("s1", [(i * 3, float(i % 7)) for i in range(500)])
+    db.insert("s2", [(i * 5, 1.0) for i in range(100)])
+    db.register_sql()
+    got = _rows(
+        db.sql(
+            "SELECT time, value FROM btrdb_points "
+            "WHERE uuid = 's1' AND time >= 30 AND time < 900 ORDER BY time"
+        )
+    )
+    want = [(r.time, r.value) for r in db.raw_values("s1", 30, 900).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_sql_canonical_served_from_ladder(spark, tmp_path):
+    """Canonical aligned-stat SQL is answered from the rollup level (plan
+    reads vsum, not raw value rows) with identical results."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("s1", [(i, float(i % 10)) for i in range(4096)])
+    db.register_sql()
+    text = CANON.format(pw=6, u="s1", s=0, e=4096)
+    routed = db.sql(text)
+    plan = _executed(routed)
+    assert "vsum" in plan and "value" not in plan
+    plain = spark.sql(text)
+    assert "vsum" not in _executed(plain)
+    r, p = _rows(routed), _rows(plain)
+    assert len(r) == 64 and [x[0] for x in r] == [x[0] for x in p]
+    for a, b in zip(r, p):
+        assert a[1] == b[1] and a[3] == b[3] and a[4] == b[4]
+        assert abs(a[2] - b[2]) < 1e-9
+
+
+def test_sql_rewrite_skipped_for_buffered_stream(spark, tmp_path):
+    """Uncommitted buffer -> the ladder would under-count; SQL answers from
+    the raw view (which merges the buffer) exactly like BTrDB.aligned_windows
+    routes to the J2 merge."""
+    db = BTrDB(
+        spark, str(tmp_path / "db"), rollup_levels=[4], buffer_commit_threshold=10
+    )
+    db.insert("s1", [(i, 1.0) for i in range(64)])  # >= threshold: commits
+    db.insert("s1", [(100, 5.0)])  # buffered
+    db.register_sql()
+    routed = db.sql(CANON.format(pw=6, u="s1", s=0, e=128))
+    assert "vsum" not in _executed(routed)  # stayed on the raw view
+    rows = {r[0]: r for r in _rows(routed)}
+    assert rows[64][4] == 1 and rows[64][3] == 5.0  # buffered point visible
+
+
+def test_sql_rewrite_skipped_when_view_is_stale(spark, tmp_path):
+    """A commit after register_sql advances the ladder past the pinned view;
+    rewriting would change answers, so SQL stays on the (pinned) view until
+    views are re-registered."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("s1", [(i, 1.0) for i in range(64)])
+    db.register_sql()
+    text = CANON.format(pw=6, u="s1", s=0, e=128)
+    assert "vsum" in _executed(db.sql(text))
+    db.insert("s1", [(70, 2.0)])  # new committed version; view still pinned
+    assert "vsum" not in _executed(db.sql(text))
+    db.register_sql()  # re-pin -> rewrite active again, new point served
+    routed = db.sql(text)
+    assert "vsum" in _executed(routed)
+    rows = {r[0]: r for r in _rows(routed)}
+    assert rows[64][4] == 1 and rows[64][3] == 2.0
+
+
+def test_sql_non_canonical_untouched(spark, tmp_path):
+    """Anything not provably canonical (unaligned bounds, extra aggregate
+    kinds) passes through Spark untouched."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("s1", [(i, float(i)) for i in range(256)])
+    db.register_sql()
+    unaligned = db.sql(CANON.format(pw=6, u="s1", s=1, e=129))
+    assert "vsum" not in _executed(unaligned)
+    other_agg = db.sql(
+        "SELECT shiftleft(shiftright(time, 6), 6) AS t, sum(value) AS s "
+        "FROM btrdb_points WHERE uuid = 's1' AND time >= 0 AND time < 256 "
+        "GROUP BY shiftleft(shiftright(time, 6), 6)"
+    )
+    assert "vsum" not in _executed(other_agg)
+    assert len(_rows(other_agg)) == 4
+
+
+def test_sql_streams_and_rollup_views(spark, tmp_path):
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.create("u1", "plant/a", tags={"unit": "V"})
+    db.create("u2", "plant/b", tags={"unit": "A"})
+    db.insert("u1", [(i, 1.0) for i in range(32)])
+    names = db.register_sql()
+    assert "btrdb_streams" in names and "btrdb_rollup_pw4" in names
+    cols = _rows(
+        db.sql(
+            "SELECT collection FROM btrdb_streams "
+            "WHERE tags['unit'] = 'V' ORDER BY collection"
+        )
+    )
+    assert cols == [("plant/a",)]
+    agg = _rows(
+        db.sql(
+            "SELECT sum(cnt) AS n FROM btrdb_rollup_pw4 WHERE uuid = 'u1'"
+        )
+    )
+    assert agg == [(32,)]
