@@ -744,7 +744,9 @@ def q_streaming_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts.coalesce(2).write.mode("overwrite").parquet(src)
     store = PointStore(spark, f"{work}/store")
-    ladder = RollupLadder(spark, f"{work}/ladder", levels=[40])
+    ladder = RollupLadder(
+        spark, f"{work}/ladder", levels=[40], value_quantum=0.01
+    )
     pipe = IngestPipeline(store, ladder)
     stream = (
         spark.readStream.schema(POINTS_SCHEMA)
@@ -786,7 +788,8 @@ def q_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
     )
     ladder = RollupLadder(
-        spark, tempfile.mkdtemp(prefix="btrdb_late_q_"), levels=[40]
+        spark, tempfile.mkdtemp(prefix="btrdb_late_q_"), levels=[40],
+        value_quantum=0.01,  # 2-decimal testdata: bit-deterministic means
     )
     ladder.update_with_batch(pts.where(F.col("time") >= t_mid), batch_id=0)
     # day 1 arrives AFTER day 2 was already rolled up
@@ -1576,6 +1579,16 @@ def oracle_sql() -> dict[str, str]:
         "min(value) AS vmin, round(avg(value), 6) AS vmean, "
         "max(value) AS vmax, count(*) AS cnt"
     )
+    # Ladder-served entries: the engine's mean rides the int64 vq quantum
+    # path (exactly associative — see RollupLadder.value_quantum), so the
+    # oracle computes the identical integer-sum formulation; no float
+    # accumulation-order surface on either side.
+    stat_cols_q = (
+        "min(value) AS vmin, "
+        "round((sum(CAST(round(value / 0.01) AS BIGINT)) * 0.01)"
+        " / count(*), 6) AS vmean, "
+        "max(value) AS vmax, count(*) AS cnt"
+    )
     return {
         "raw_values": f"""
             {PTS_CTE}
@@ -1610,14 +1623,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "aligned_windows_all_rollup": f"""
             {PTS_CTE}
-            SELECT uuid, ((time >> 40) << 40) AS time, {stat_cols}
+            SELECT uuid, ((time >> 40) << 40) AS time, {stat_cols_q}
             FROM pts
             WHERE time >= {T_2024} AND time < {T_2025}
             GROUP BY uuid, 2 ORDER BY uuid, time
         """,
         "aligned_windows_rollup": f"""
             {PTS_CTE}
-            SELECT ((time >> 40) << 40) AS time, {stat_cols}
+            SELECT ((time >> 40) << 40) AS time, {stat_cols_q}
             FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             GROUP BY 1 ORDER BY 1
@@ -2008,9 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_rollup_serve": f"""
             {PTS_CTE}
-            SELECT ((time >> 42) << 42) AS time,
-                   min(value) AS vmin, round(avg(value), 6) AS vmean,
-                   max(value) AS vmax, count(*) AS cnt
+            SELECT ((time >> 42) << 42) AS time, {stat_cols_q}
             FROM pts
             WHERE uuid = 'signup' AND time >= {(T_2024 >> 42) << 42}
               AND time < {((T_2024 + 2 * DAY_NS) >> 42) << 42}
@@ -2018,9 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "late_data_rollup": f"""
             {PTS_CTE}
-            SELECT ((time >> 42) << 42) AS time,
-                   min(value) AS vmin, round(avg(value), 6) AS vmean,
-                   max(value) AS vmax, count(*) AS cnt
+            SELECT ((time >> 42) << 42) AS time, {stat_cols_q}
             FROM pts
             WHERE uuid = 'click' AND time >= {(T_2024 >> 42) << 42}
               AND time < {((T_2024 + 2 * DAY_NS) >> 42) << 42}

@@ -140,12 +140,10 @@ def rewrite_aligned_stat(df: DataFrame, ladder: "RollupLadder") -> DataFrame:
         if fn == "avg":
             # Quantized ladders serve the mean from the int64 vq sum —
             # exactly associative, bit-identical under any aggregation
-            # order (see RollupLadder.value_quantum).
-            if ladder.value_quantum is not None:
-                mean = (F.sum("vq") * F.lit(ladder.value_quantum)) / F.sum("cnt")
-            else:
-                mean = F.sum("vsum") / F.sum("cnt")
-            out_aggs.append(mean.alias(name))
+            # order (see RollupLadder.value_quantum / plans.rollup._rollup_mean).
+            from btrdb_server_spark.plans.rollup import _rollup_mean
+
+            out_aggs.append(_rollup_mean(ladder.value_quantum).alias(name))
         else:
             src = _AGG_SOURCE[fn]
             agg = {"vmin": F.min, "vmax": F.max, "cnt": F.sum}[src]

@@ -113,8 +113,24 @@ def merge_rollups(old: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def _rollup_mean(value_quantum: Optional[float]):
+    """Serving-side mean over rollup rows. Quantized ladders serve it from
+    the int64 vq sum — exactly associative, so the bits are identical under
+    any build partitioning, fold order, or serving fan-in; unquantized
+    ladders keep the float vsum ratio (merger.go:203's weighted mean)."""
+    if value_quantum is not None:
+        return (F.sum("vq") * F.lit(value_quantum)) / F.sum("cnt")
+    return F.sum("vsum") / F.sum("cnt")
+
+
 def stat_from_rollup(
-    level: DataFrame, level_pw: int, uuid: str, start: int, end: int, pw: int
+    level: DataFrame,
+    level_pw: int,
+    uuid: str,
+    start: int,
+    end: int,
+    pw: int,
+    value_quantum: Optional[float] = None,
 ) -> DataFrame:
     """Serve AlignedWindows(pw) from a rollup at level_pw <= pw: group the
     level's buckets up to the target width (qtree.go:925-947 — answer from
@@ -131,7 +147,7 @@ def stat_from_rollup(
         .groupBy(F.shiftleft(F.shiftright("bucket", pw), pw).alias("time"))
         .agg(
             F.min("vmin").alias("min"),
-            (F.sum("vsum") / F.sum("cnt")).alias("mean"),
+            _rollup_mean(value_quantum).alias("mean"),
             F.max("vmax").alias("max"),
             F.sum("cnt").alias("count"),
         )
@@ -439,7 +455,7 @@ class RollupLadder:
             "uuid", F.shiftleft(F.shiftright("bucket", pw), pw).alias("time")
         ).agg(
             F.min("vmin").alias("min"),
-            (F.sum("vsum") / F.sum("cnt")).alias("mean"),
+            _rollup_mean(self.value_quantum).alias("mean"),
             F.max("vmax").alias("max"),
             F.sum("cnt").alias("count"),
         )
@@ -478,14 +494,7 @@ class RollupLadder:
             & (F.col("bucket") > F.lit(start - (1 << best)))
             & (F.col("bucket") < F.lit(end))
         )
-        # Quantized ladders serve the mean from the int64 vq sum: exactly
-        # associative, so the answer is bit-identical under any aggregation
-        # order or engine (the float vsum double-sum is not).
-        mean_expr = (
-            (F.sum("vq") * F.lit(self.value_quantum)) / F.sum("cnt")
-            if self.value_quantum is not None
-            else F.sum("vsum") / F.sum("cnt")
-        )
+        mean_expr = _rollup_mean(self.value_quantum)
         agg = (
             lvl.withColumn(
                 "widx",
@@ -531,6 +540,7 @@ class RollupLadder:
                 start,
                 end,
                 pw,
+                self.value_quantum,
             )
         from btrdb_server_spark.operators.stat import aligned_windows
 
