@@ -16,11 +16,15 @@ level. `rewrite_aligned_stat` inspects the ANALYZED logical plan (the
 stable, resolved form Catalyst itself pattern-matches on) and rewrites only
 when the plan provably has that exact shape AND the rewrite is exact:
 
-- the grouping key is shiftleft(shiftright(time, pw), pw) for a single pw;
+- the grouping key is shiftleft(shiftright(time, pw), pw) for a single pw
+  (single-stream shape), or (uuid, that key) for the fleet shape —
+  per-stream stats for every stream or a uuid IN-list, the serve_aligned_all
+  dashboard query;
 - every aggregate is min/avg/max/count over the value column;
-- the filter is uuid-equality plus a [start, end) time range whose bounds
-  are 2**pw-aligned (an unaligned bound would make boundary buckets differ
-  between raw and rollup aggregation — those queries stay on raw points);
+- the filter is uuid-equality (or IN-list / absent for fleet) plus a
+  [start, end) time range whose bounds are 2**pw-aligned (an unaligned
+  bound would make boundary buckets differ between raw and rollup
+  aggregation — those queries stay on raw points);
 - the ladder has a materialized level <= pw (power-of-two buckets nest).
 
 Anything else returns the input DataFrame untouched — the rewrite is an
@@ -47,22 +51,38 @@ if TYPE_CHECKING:  # pragma: no cover
 _GROUP_RE = re.compile(
     r"^shiftleft\(shiftright\(time#\d+L?, (\d+)\), (\d+)\)(?: AS (\w+)#\d+L?)?$"
 )
+# the uuid grouping attribute (fleet shape), bare or pass-through in the output
+_UUID_ATTR_RE = re.compile(r"^uuid#\d+$")
 # min(value#8) AS min#11
 _AGG_RE = re.compile(r"^(min|avg|max|count)\(value#\d+\) AS (\w+)#\d+L?$")
-# (((uuid#6 = click) AND (time#7L >= 123)) AND (time#7L < 456))
-# SQL-text int literals carry an analyzer-inserted widening cast:
-# (time#7L >= cast(123 as bigint)) — tolerated, it is the same constant.
+# Time range; SQL-text int literals carry an analyzer-inserted widening
+# cast — (time#7L >= cast(123 as bigint)) — tolerated, same constant.
+_T = r"\(time#\d+L? (OP) (?:cast\()?(-?\d+)(?: as bigint\))?\)"
+_TGE = _T.replace("(OP)", ">=")
+_TLT = _T.replace("(OP)", "<")
+# (((uuid#6 = click) AND (time >= s)) AND (time < e))
 _FILTER_RE = re.compile(
-    r"^\(\(\(uuid#\d+ = ([^)]+)\) AND \(time#\d+L? >= (?:cast\()?(-?\d+)(?: as bigint\))?\)\) "
-    r"AND \(time#\d+L? < (?:cast\()?(-?\d+)(?: as bigint\))?\)\)$"
+    r"^\(\(\(uuid#\d+ = ([^)]+)\) AND " + _TGE + r"\) AND " + _TLT + r"\)$"
 )
+# ((uuid#6 IN (click,view) AND (time >= s)) AND (time < e))
+_FILTER_IN_RE = re.compile(
+    r"^\(\(uuid#\d+ IN \(([^)]+)\) AND " + _TGE + r"\) AND " + _TLT + r"\)$"
+)
+# ((time >= s) AND (time < e)) — every stream
+_FILTER_ALL_RE = re.compile(r"^\(" + _TGE + r" AND " + _TLT + r"\)$")
 
 _AGG_SOURCE = {"min": "vmin", "max": "vmax", "count": "cnt"}
 
 
 def _match_shape(df: DataFrame) -> Optional[dict]:
     """Parse the analyzed plan; return the query parameters when it is the
-    canonical aligned-stat aggregate, else None."""
+    canonical aligned-stat aggregate, else None. Two shapes match:
+
+    - single-stream: groupBy(bucket) with a uuid-equality filter
+      (``uuids`` is a one-element list, ``fleet`` False);
+    - fleet: groupBy(uuid, bucket) with a uuid IN-list filter or no uuid
+      predicate at all (``uuids`` None = every stream, ``fleet`` True) —
+      the 100 TB dashboard shape served by serve_aligned_all."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         # tolerate a trailing orderBy (Sort node) above the aggregate
@@ -71,17 +91,33 @@ def _match_shape(df: DataFrame) -> Optional[dict]:
         if plan.getClass().getSimpleName() != "Aggregate":
             return None
         ge = plan.groupingExpressions()
-        if ge.size() != 1:
+        fleet = ge.size() == 2
+        if ge.size() not in (1, 2):
             return None
-        gm = _GROUP_RE.match(ge.apply(0).toString())
+        gstrs = [ge.apply(i).toString() for i in range(ge.size())]
+        if fleet:
+            uuid_keys = [s for s in gstrs if _UUID_ATTR_RE.match(s)]
+            bucket_keys = [s for s in gstrs if not _UUID_ATTR_RE.match(s)]
+            if len(uuid_keys) != 1 or len(bucket_keys) != 1:
+                return None
+            gstr = bucket_keys[0]
+        else:
+            gstr = gstrs[0]
+        gm = _GROUP_RE.match(gstr)
         if gm is None or gm.group(1) != gm.group(2):
             return None
         pw = int(gm.group(1))
         aggs = []  # (source fn, output name) in projection order
         group_alias = None
+        saw_uuid_out = False
         ae = plan.aggregateExpressions()
         for i in range(ae.size()):
             s = ae.apply(i).toString()
+            if fleet and _UUID_ATTR_RE.match(s):
+                if saw_uuid_out:
+                    return None
+                saw_uuid_out = True
+                continue
             g2 = _GROUP_RE.match(s)
             if g2 is not None and g2.group(3) is not None:
                 if group_alias is not None:
@@ -92,21 +128,37 @@ def _match_shape(df: DataFrame) -> Optional[dict]:
             if am is None:
                 return None
             aggs.append((am.group(1), am.group(2)))
-        if group_alias is None or not aggs:
+        if group_alias is None or not aggs or (fleet and not saw_uuid_out):
             return None
         child = plan.child()
         if child.getClass().getSimpleName() != "Filter":
             return None
-        fm = _FILTER_RE.match(child.condition().toString())
-        if fm is None:
-            return None
+        cond = child.condition().toString()
+        uuids: Optional[list] = None
+        if fleet:
+            fm = _FILTER_IN_RE.match(cond)
+            if fm is not None:
+                uuids = [u.strip() for u in fm.group(1).split(",")]
+                start, end = int(fm.group(2)), int(fm.group(3))
+            else:
+                fm = _FILTER_ALL_RE.match(cond)
+                if fm is None:
+                    return None
+                start, end = int(fm.group(1)), int(fm.group(2))
+        else:
+            fm = _FILTER_RE.match(cond)
+            if fm is None:
+                return None
+            uuids = [fm.group(1)]
+            start, end = int(fm.group(2)), int(fm.group(3))
         return dict(
             pw=pw,
             group_alias=group_alias,
             aggs=aggs,
-            uuid=fm.group(1),
-            start=int(fm.group(2)),
-            end=int(fm.group(3)),
+            fleet=fleet,
+            uuids=uuids,
+            start=start,
+            end=end,
         )
     except Exception:  # noqa: BLE001 — any plan-introspection drift: no rewrite
         return None
@@ -130,11 +182,25 @@ def rewrite_aligned_stat(df: DataFrame, ladder: "RollupLadder") -> DataFrame:
     if not candidates:
         return df
     best = max(candidates)
-    lvl = ladder._level_for_stream(best, m["uuid"], start, end).where(
-        (F.col("uuid") == F.lit(m["uuid"]))
-        & (F.col("bucket") >= F.lit(start))
-        & (F.col("bucket") < F.lit(end))
-    )
+    if m["fleet"]:
+        # Fleet shape: chunk-range-pruned scan of the whole level (the
+        # serve_aligned_all path), optionally narrowed to the IN-list.
+        shift = ladder._chunk_shift(best)
+        lvl = ladder._level_raw(best).where(
+            (F.col("chunk") >= F.lit(start >> shift))
+            & (F.col("chunk") <= F.lit((end - 1) >> shift))
+            & (F.col("bucket") >= F.lit(start))
+            & (F.col("bucket") < F.lit(end))
+        )
+        if m["uuids"] is not None:
+            lvl = lvl.where(F.col("uuid").isin(m["uuids"]))
+    else:
+        u = m["uuids"][0]
+        lvl = ladder._level_for_stream(best, u, start, end).where(
+            (F.col("uuid") == F.lit(u))
+            & (F.col("bucket") >= F.lit(start))
+            & (F.col("bucket") < F.lit(end))
+        )
     out_aggs = []
     for fn, name in m["aggs"]:
         if fn == "avg":
@@ -148,7 +214,11 @@ def rewrite_aligned_stat(df: DataFrame, ladder: "RollupLadder") -> DataFrame:
             src = _AGG_SOURCE[fn]
             agg = {"vmin": F.min, "vmax": F.max, "cnt": F.sum}[src]
             out_aggs.append(agg(src).alias(name))
-    served = lvl.groupBy(
-        F.shiftleft(F.shiftright("bucket", pw), pw).alias(m["group_alias"])
-    ).agg(*out_aggs)
-    return served.select(*df.columns).orderBy(m["group_alias"])
+    bucket_key = F.shiftleft(F.shiftright("bucket", pw), pw).alias(m["group_alias"])
+    if m["fleet"]:
+        served = lvl.groupBy("uuid", bucket_key).agg(*out_aggs)
+        order = ["uuid", m["group_alias"]]
+    else:
+        served = lvl.groupBy(bucket_key).agg(*out_aggs)
+        order = [m["group_alias"]]
+    return served.select(*df.columns).orderBy(*order)

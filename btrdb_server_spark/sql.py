@@ -98,6 +98,13 @@ def sql(db: "BTrDB", text: str) -> DataFrame:
     from btrdb_server_spark.plans.rewrite import _match_shape, rewrite_aligned_stat
 
     m = _match_shape(df)
-    if m is None or db._buffers.get(m["uuid"]):
-        return df  # non-canonical, or buffered stream: raw path is the truth
+    if m is None:
+        return df  # non-canonical: pass through untouched
+    buffered = (
+        any(db._buffers.values())  # fleet over every stream
+        if m["uuids"] is None
+        else any(db._buffers.get(u) for u in m["uuids"])
+    )
+    if buffered:
+        return df  # buffered stream(s): the raw view (buffer merged) is the truth
     return rewrite_aligned_stat(df, db.ladder)

@@ -113,6 +113,57 @@ def test_sql_non_canonical_untouched(spark, tmp_path):
     assert len(_rows(other_agg)) == 4
 
 
+FLEET = """
+SELECT uuid, shiftleft(shiftright(time, {pw}), {pw}) AS t,
+       min(value) AS vmin, avg(value) AS vmean,
+       max(value) AS vmax, count(value) AS cnt
+FROM btrdb_points
+WHERE {where}time >= {s} AND time < {e}
+GROUP BY uuid, shiftleft(shiftright(time, {pw}), {pw})
+ORDER BY uuid, t
+"""
+
+
+def test_sql_fleet_shape_served_from_ladder(spark, tmp_path):
+    """The dashboard shape — per-stream stats for every stream, or a uuid
+    IN-list — is recognized and served from the level scan (the
+    serve_aligned_all path), results identical to the raw aggregation."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("a", [(i, float(i % 5)) for i in range(1024)])
+    db.insert("b", [(i * 2, float(i % 3)) for i in range(512)])
+    db.insert("c", [(i, 1.0) for i in range(256)])
+    db.register_sql()
+    for where in ["", "uuid IN ('a', 'b') AND "]:
+        text = FLEET.format(pw=6, u="a", s=0, e=1024, where=where)
+        routed, plain = db.sql(text), spark.sql(text)
+        assert "vsum" in _executed(routed)
+        assert "vsum" not in _executed(plain)
+        r, p = _rows(routed), _rows(plain)
+        assert len(r) == len(p) > 16
+        for x, y in zip(r, p):
+            assert x[0] == y[0] and x[1] == y[1]
+            assert (x[2], x[4], x[5]) == (y[2], y[4], y[5])
+            assert abs(x[3] - y[3]) < 1e-9
+
+
+def test_sql_fleet_rewrite_skipped_when_any_stream_buffered(spark, tmp_path):
+    """A fleet query over every stream cannot be served from the ladder
+    while ANY stream holds an uncommitted buffer."""
+    db = BTrDB(
+        spark, str(tmp_path / "db"), rollup_levels=[4], buffer_commit_threshold=10
+    )
+    db.insert("a", [(i, 1.0) for i in range(64)])
+    db.insert("b", [(5, 9.0)])  # buffered
+    db.register_sql()
+    routed = db.sql(FLEET.format(pw=6, u="a", s=0, e=64, where=""))
+    assert "vsum" not in _executed(routed)
+    rows = {(r[0], r[1]): r for r in _rows(routed)}
+    assert rows[("b", 0)][4] == 9.0  # buffered point served from the view
+    # ...but an IN-list that avoids the buffered stream still rewrites
+    routed2 = db.sql(FLEET.format(pw=6, u="a", s=0, e=64, where="uuid IN ('a') AND "))
+    assert "vsum" in _executed(routed2)
+
+
 def test_sql_streams_and_rollup_views(spark, tmp_path):
     db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
     db.create("u1", "plant/a", tags={"unit": "V"})
