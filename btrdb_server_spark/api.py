@@ -275,6 +275,29 @@ class BTrDB:
             pts = self._with_buffer(pts, uuid)
         return aw_op(pts, uuid, start, end, pw)
 
+    def aligned_windows_all(
+        self, start: int, end: int, pw: int, version: Optional[int] = None
+    ) -> DataFrame:
+        """Fleet AlignedWindows: per-stream stats for EVERY stream in one
+        query (the dashboard shape). Latest-version reads with no pending
+        buffers serve from the ladder's chunk-pruned level scan
+        (serve_aligned_all); an explicit version or any uncommitted buffer
+        routes to the raw fleet aggregation over the buffer-merged
+        snapshot, like every other read path."""
+        pts = self.store.points_at(version)
+        buffered = False
+        if version is None:
+            for u in list(self._buffers):
+                bdf = self._buffer_df(u)
+                if bdf is not None:
+                    pts = pts.unionByName(bdf)
+                    buffered = True
+        if version is None and self.ladder is not None and not buffered:
+            return self.ladder.serve_aligned_all(pts, start, end, pw)
+        from btrdb_server_spark.operators.stat import aligned_windows_all_streams
+
+        return aligned_windows_all_streams(pts, start, end, pw)
+
     def windows(
         self,
         uuid: str,
@@ -322,9 +345,10 @@ class BTrDB:
         the deepest stored aggregate (qtree.go:925-947). Callers never name
         a ladder level:
 
-        - kind='raw'      -> pushed-down range scan;
-        - kind='aligned'  -> best materialized level <= pw, else raw agg;
-        - kind='windows'  -> depth-bounded ladder serve, else raw agg.
+        - kind='raw'         -> pushed-down range scan;
+        - kind='aligned'     -> best materialized level <= pw, else raw agg;
+        - kind='aligned_all' -> fleet stats for every stream (uuid ignored);
+        - kind='windows'     -> depth-bounded ladder serve, else raw agg.
 
         Explicit `version` or an uncommitted buffer always routes to raw
         (the ladder holds latest committed data only)."""
@@ -332,6 +356,8 @@ class BTrDB:
             return self.raw_values(uuid, start, end, version)
         if kind == "aligned":
             return self.aligned_windows(uuid, start, end, pw, version)
+        if kind == "aligned_all":
+            return self.aligned_windows_all(start, end, pw, version)
         if kind == "windows":
             if width is None:
                 raise ValueError("kind='windows' requires width")

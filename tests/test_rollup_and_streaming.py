@@ -384,3 +384,33 @@ def test_windows_rollup_validates_args(spark, tmp_path):
         ladder.serve_windows(pts, "s", 0, 32, 8, depth=64)  # quasar.go:318
     with pytest.raises(ValueError):
         ladder.serve_windows(pts, "s", 0, 32, 0, depth=4)
+
+
+def test_facade_aligned_windows_all(spark, tmp_path):
+    """Fleet AlignedWindows on the facade: ladder-served when clean (plan
+    reads rollup rows), raw + buffer-merged as soon as any stream buffers."""
+    from btrdb_server_spark.api import BTrDB
+    from btrdb_server_spark.operators.stat import aligned_windows_all_streams
+
+    db = BTrDB(
+        spark, str(tmp_path / "db"), rollup_levels=[6], buffer_commit_threshold=10
+    )
+    db.insert("a", [(i, float(i % 5)) for i in range(512)])
+    db.insert("b", [(i * 2, 2.0) for i in range(256)])
+    fleet = db.aligned_windows_all(0, 512, 8)
+    assert "vsum" in fleet._jdf.queryExecution().executedPlan().toString()
+    direct = {
+        (r.uuid, r.time): r
+        for r in aligned_windows_all_streams(db.store.points_at(), 0, 512, 8).collect()
+    }
+    served = {(r.uuid, r.time): r for r in fleet.collect()}
+    assert set(direct) == set(served) and len(direct) > 2
+    for k, d in direct.items():
+        s = served[k]
+        assert (d["min"], d["max"], d["count"]) == (s["min"], s["max"], s["count"])
+        assert abs(d["mean"] - s["mean"]) < 1e-9
+    db.insert("c", [(3, 9.0)])  # buffered: fleet reads must include it
+    fleet2 = db.serve("aligned_all", "", 0, 512, pw=8)
+    assert "vsum" not in fleet2._jdf.queryExecution().executedPlan().toString()
+    rows = {(r.uuid, r.time): r for r in fleet2.collect()}
+    assert rows[("c", 0)]["max"] == 9.0
