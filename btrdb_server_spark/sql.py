@@ -42,6 +42,11 @@ aliased — see plans/rewrite.py for why each constraint exists)::
     FROM btrdb_points
     WHERE uuid = 'click' AND time >= {s} AND time < {e}
     GROUP BY shiftleft(shiftright(time, 38), 38)
+
+The fleet (dashboard) shape is served too: ``GROUP BY uuid, <bucket>`` with
+``uuid IN (...)`` or no uuid predicate at all routes to the chunk-pruned
+whole-level scan (serve_aligned_all), guarded by ANY relevant stream's
+uncommitted buffer.
 """
 
 from __future__ import annotations
