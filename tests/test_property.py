@@ -210,3 +210,63 @@ def test_chunked_coalescing_property(spark, ivs, shift):
         for r in coalesce_intervals(df, chunk_shift=shift).orderBy("start").collect()
     ]
     assert got == want
+
+
+@given(pts=points_strategy, pw=st.integers(6, 10))
+@SET
+def test_rollup_rewrite_bit_identical_on_quantized_data(
+    spark, tmp_path_factory, pts, pw
+):
+    """The transparent rewrite (plans/rewrite.py) over a quantized ladder is
+    BIT-identical to an independent integer-quantum recomputation in pandas:
+    min/max/count exact, and the mean reproduced as (sum(vq)*q)/cnt — the
+    same associative int64 formulation the ladder serves, so no float
+    accumulation-order surface survives the route."""
+    import struct
+
+    from btrdb_server_spark.plans.rewrite import rewrite_aligned_stat
+    from btrdb_server_spark.plans.rollup import RollupLadder
+
+    qpts = [(t, round(v, 2)) for t, v in pts]
+    df = _df(spark, qpts)
+    ladder = RollupLadder(
+        spark,
+        str(tmp_path_factory.mktemp("rw_ladder")),
+        levels=(4,),
+        value_quantum=0.01,
+    )
+    ladder.rebuild(df)
+    s, e = (T0 >> pw) << pw, ((T1 >> pw) << pw) + (1 << pw)
+    canonical = (
+        df.where((F.col("uuid") == "s") & (F.col("time") >= s) & (F.col("time") < e))
+        .groupBy(F.shiftleft(F.shiftright("time", pw), pw).alias("t"))
+        .agg(
+            F.min("value").alias("vmin"),
+            F.avg("value").alias("vmean"),
+            F.max("value").alias("vmax"),
+            F.count("value").alias("cnt"),
+        )
+    )
+    routed = rewrite_aligned_stat(canonical, ladder)
+    assert routed is not canonical, "rewrite must engage on the canonical shape"
+
+    pdf = pd.DataFrame(qpts, columns=["time", "value"])
+    pdf = pdf[(pdf.time >= s) & (pdf.time < e)]
+    pdf["t"] = (pdf.time.values >> pw) << pw
+    pdf["vq"] = (pdf.value / 0.01).round().astype("int64")
+    g = pdf.groupby("t")
+    expect = {
+        int(t): (
+            grp.value.min(),
+            (grp.vq.sum() * 0.01) / len(grp),
+            grp.value.max(),
+            len(grp),
+        )
+        for t, grp in g
+    }
+    got = {r["t"]: (r.vmin, r.vmean, r.vmax, r.cnt) for r in routed.collect()}
+    assert set(got) == set(expect)
+    for t, (emin, emean, emax, ecnt) in expect.items():
+        gmin, gmean, gmax, gcnt = got[t]
+        assert (gmin, gmax, gcnt) == (emin, emax, ecnt)
+        assert struct.pack("<d", gmean) == struct.pack("<d", emean)
