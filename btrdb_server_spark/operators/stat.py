@@ -99,40 +99,38 @@ def windows(
 
     src = points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end))
     if depth > 0:
-        # Bounded descent: collapse to 2**depth buckets aligned to the query
-        # start, then assign each bucket to the window containing its start
-        # (approximation contract; start-relative alignment keeps every
-        # bucket inside [0, n_windows) so no points are dropped).
+        # Bounded descent: a point belongs to the 2**depth bucket aligned to
+        # the query start, and that bucket belongs WHOLLY to the window
+        # containing its start (approximation contract; start-relative
+        # alignment keeps every bucket inside [0, n_windows) so no points
+        # are dropped). The window index is therefore a pure FUNCTION of the
+        # point's time — one aggregation, not a bucket pre-agg feeding a
+        # window agg: min/max/count/sum are associative, so collapsing the
+        # two stages is exact, and with value_quantum the int64 sum makes
+        # the mean bit-identical to the two-stage form under any order.
+        widx = F.floor(
+            F.shiftleft(F.shiftright(F.col("time") - F.lit(start), depth), depth)
+            / F.lit(width)
+        )
         sum_agg = (
             F.sum(F.round(F.col("value") / F.lit(value_quantum), 0).cast("long"))
             if value_quantum is not None
             else F.sum("value")
-        ).alias("bsum")
-        src = (
-            src.groupBy(
-                (
-                    F.lit(start)
-                    + F.shiftleft(F.shiftright(F.col("time") - F.lit(start), depth), depth)
-                ).alias("btime")
-            )
-            .agg(
-                F.min("value").alias("bmin"),
-                sum_agg,
-                F.max("value").alias("bmax"),
-                F.count("value").alias("bcnt"),
-            )
-            .withColumn("widx", F.floor((F.col("btime") - F.lit(start)) / F.lit(width)))
-        )
+        ).alias("vsum")
         mean_expr = (
-            (F.sum("bsum") * F.lit(value_quantum)) / F.sum("bcnt")
+            (F.col("vsum") * F.lit(value_quantum)) / F.col("count")
             if value_quantum is not None
-            else F.sum("bsum") / F.sum("bcnt")
+            else F.col("vsum") / F.col("count")
         )
-        agg = src.groupBy("widx").agg(
-            F.min("bmin").alias("min"),
-            mean_expr.alias("mean"),
-            F.max("bmax").alias("max"),
-            F.sum("bcnt").alias("count"),
+        agg = (
+            src.groupBy(widx.alias("widx"))
+            .agg(
+                F.min("value").alias("min"),
+                sum_agg,
+                F.max("value").alias("max"),
+                F.count("value").alias("count"),
+            )
+            .select("widx", "min", mean_expr.alias("mean"), "max", "count")
         )
     else:
         agg = (
