@@ -55,21 +55,43 @@ _GROUP_RE = re.compile(
 _UUID_ATTR_RE = re.compile(r"^uuid#\d+$")
 # min(value#8) AS min#11
 _AGG_RE = re.compile(r"^(min|avg|max|count)\(value#\d+\) AS (\w+)#\d+L?$")
-# Time range; SQL-text int literals carry an analyzer-inserted widening
-# cast — (time#7L >= cast(123 as bigint)) — tolerated, same constant.
-_T = r"\(time#\d+L? (OP) (?:cast\()?(-?\d+)(?: as bigint\))?\)"
-_TGE = _T.replace("(OP)", ">=")
-_TLT = _T.replace("(OP)", "<")
-# (((uuid#6 = click) AND (time >= s)) AND (time < e))
-_FILTER_RE = re.compile(
-    r"^\(\(\(uuid#\d+ = ([^)]+)\) AND " + _TGE + r"\) AND " + _TLT + r"\)$"
-)
-# ((uuid#6 IN (click,view) AND (time >= s)) AND (time < e))
-_FILTER_IN_RE = re.compile(
-    r"^\(\(uuid#\d+ IN \(([^)]+)\) AND " + _TGE + r"\) AND " + _TLT + r"\)$"
-)
-# ((time >= s) AND (time < e)) — every stream
-_FILTER_ALL_RE = re.compile(r"^\(" + _TGE + r" AND " + _TLT + r"\)$")
+# Filter conjuncts, matched individually in ANY order (the condition tree
+# is flattened through its And nodes first). SQL-text int literals carry an
+# analyzer-inserted widening cast — (time#7L >= cast(123 as bigint)) —
+# tolerated, same constant.
+_C_TGE = re.compile(r"^\(time#\d+L? >= (?:cast\()?(-?\d+)(?: as bigint\))?\)$")
+_C_TLT = re.compile(r"^\(time#\d+L? < (?:cast\()?(-?\d+)(?: as bigint\))?\)$")
+_C_UUID_EQ = re.compile(r"^\(uuid#\d+ = ([^)]+)\)$")
+_C_UUID_IN = re.compile(r"^uuid#\d+ IN \(([^)]+)\)$")
+
+
+def _conjuncts(cond) -> list:
+    """Flatten a JVM Catalyst condition through its And nodes."""
+    if cond.getClass().getSimpleName() == "And":
+        return _conjuncts(cond.left()) + _conjuncts(cond.right())
+    return [cond.toString()]
+
+
+def _match_filter(cond) -> Optional[dict]:
+    """Match the filter as an unordered set of conjuncts: exactly one
+    [start, end) time range, plus at most one uuid predicate (equality or
+    IN-list; absent = every stream). Returns None on any extra conjunct."""
+    start = end = uuids = None
+    has_uuid = False
+    for s in _conjuncts(cond):
+        if (m := _C_TGE.match(s)) is not None and start is None:
+            start = int(m.group(1))
+        elif (m := _C_TLT.match(s)) is not None and end is None:
+            end = int(m.group(1))
+        elif (m := _C_UUID_EQ.match(s)) is not None and not has_uuid:
+            uuids, has_uuid = [m.group(1)], True
+        elif (m := _C_UUID_IN.match(s)) is not None and not has_uuid:
+            uuids, has_uuid = [u.strip() for u in m.group(1).split(",")], True
+        else:
+            return None  # unknown or duplicate conjunct: not canonical
+    if start is None or end is None:
+        return None
+    return dict(start=start, end=end, uuids=uuids)
 
 _AGG_SOURCE = {"min": "vmin", "max": "vmax", "count": "cnt"}
 
@@ -133,32 +155,19 @@ def _match_shape(df: DataFrame) -> Optional[dict]:
         child = plan.child()
         if child.getClass().getSimpleName() != "Filter":
             return None
-        cond = child.condition().toString()
-        uuids: Optional[list] = None
-        if fleet:
-            fm = _FILTER_IN_RE.match(cond)
-            if fm is not None:
-                uuids = [u.strip() for u in fm.group(1).split(",")]
-                start, end = int(fm.group(2)), int(fm.group(3))
-            else:
-                fm = _FILTER_ALL_RE.match(cond)
-                if fm is None:
-                    return None
-                start, end = int(fm.group(1)), int(fm.group(2))
-        else:
-            fm = _FILTER_RE.match(cond)
-            if fm is None:
-                return None
-            uuids = [fm.group(1)]
-            start, end = int(fm.group(2)), int(fm.group(3))
+        fm = _match_filter(child.condition())
+        if fm is None:
+            return None
+        if not fleet and (fm["uuids"] is None or len(fm["uuids"]) != 1):
+            return None  # single-stream shape needs exactly one uuid
         return dict(
             pw=pw,
             group_alias=group_alias,
             aggs=aggs,
             fleet=fleet,
-            uuids=uuids,
-            start=start,
-            end=end,
+            uuids=fm["uuids"],
+            start=fm["start"],
+            end=fm["end"],
         )
     except Exception:  # noqa: BLE001 — any plan-introspection drift: no rewrite
         return None

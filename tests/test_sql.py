@@ -96,6 +96,37 @@ def test_sql_rewrite_skipped_when_view_is_stale(spark, tmp_path):
     assert rows[64][4] == 1 and rows[64][3] == 2.0
 
 
+def test_sql_rewrite_matches_any_conjunct_order(spark, tmp_path):
+    """Users write WHERE clauses in any order; the matcher flattens the
+    condition tree and matches conjuncts as a set."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("s1", [(i, float(i % 10)) for i in range(4096)])
+    db.register_sql()
+    base = (
+        "SELECT shiftleft(shiftright(time, 6), 6) AS t, min(value) AS vmin, "
+        "avg(value) AS vmean, max(value) AS vmax, count(value) AS cnt "
+        "FROM btrdb_points WHERE {w} "
+        "GROUP BY shiftleft(shiftright(time, 6), 6)"
+    )
+    wheres = [
+        "time >= 0 AND time < 4096 AND uuid = 's1'",
+        "time < 4096 AND uuid = 's1' AND time >= 0",
+        "uuid IN ('s1') AND time >= 0 AND time < 4096",
+    ]
+    ref = None
+    for w in wheres:
+        routed = db.sql(base.format(w=w))
+        assert "vsum" in _executed(routed), w
+        rows = sorted(_rows(routed))
+        if ref is None:
+            ref = rows
+        else:
+            assert rows == ref
+    # a stray extra conjunct must NOT match (semantics would change)
+    strict = db.sql(base.format(w="uuid = 's1' AND time >= 0 AND time < 4096 AND value > 1"))
+    assert "vsum" not in _executed(strict)
+
+
 def test_sql_non_canonical_untouched(spark, tmp_path):
     """Anything not provably canonical (unaligned bounds, extra aggregate
     kinds) passes through Spark untouched."""
