@@ -53,8 +53,13 @@ _GROUP_RE = re.compile(
 )
 # the uuid grouping attribute (fleet shape), bare or pass-through in the output
 _UUID_ATTR_RE = re.compile(r"^uuid#\d+$")
-# min(value#8) AS min#11
-_AGG_RE = re.compile(r"^(min|avg|max|count)\(value#\d+\) AS (\w+)#\d+L?$")
+# min(value#8) AS min#11. count(*) analyzes to count(1) — accepted as
+# count: equal to count(value) on the points plane, whose value column is
+# validated non-null on insert (store.py invalid_cond). min/avg/max over
+# anything but the value column do NOT match.
+_AGG_RE = re.compile(
+    r"^(?:(min|avg|max|count)\(value#\d+\)|(count)\(1\)) AS (\w+)#\d+L?$"
+)
 # Filter conjuncts, matched individually in ANY order (the condition tree
 # is flattened through its And nodes first). SQL-text int literals carry an
 # analyzer-inserted widening cast — (time#7L >= cast(123 as bigint)) —
@@ -149,7 +154,7 @@ def _match_shape(df: DataFrame) -> Optional[dict]:
             am = _AGG_RE.match(s)
             if am is None:
                 return None
-            aggs.append((am.group(1), am.group(2)))
+            aggs.append((am.group(1) or am.group(2), am.group(3)))
         if group_alias is None or not aggs or (fleet and not saw_uuid_out):
             return None
         child = plan.child()

@@ -215,3 +215,26 @@ def test_sql_streams_and_rollup_views(spark, tmp_path):
         )
     )
     assert agg == [(32,)]
+
+
+def test_sql_count_star_matches(spark, tmp_path):
+    """count(*) (analyzed as count(1)) rewrites like count(value): the
+    points plane's value column is validated non-null, so they are equal;
+    min/avg/max of anything but value must not match."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("s1", [(i, float(i % 10)) for i in range(4096)])
+    db.register_sql()
+    routed = db.sql(
+        "SELECT shiftleft(shiftright(time, 6), 6) AS t, count(*) AS cnt, "
+        "avg(value) AS vmean FROM btrdb_points "
+        "WHERE uuid = 's1' AND time >= 0 AND time < 4096 "
+        "GROUP BY shiftleft(shiftright(time, 6), 6) ORDER BY t"
+    )
+    assert "vsum" in _executed(routed)
+    assert all(r[1] == 64 for r in _rows(routed))
+    bogus = db.sql(
+        "SELECT shiftleft(shiftright(time, 6), 6) AS t, min(time) AS m "
+        "FROM btrdb_points WHERE uuid = 's1' AND time >= 0 AND time < 4096 "
+        "GROUP BY shiftleft(shiftright(time, 6), 6)"
+    )
+    assert "vsum" not in _executed(bogus)
