@@ -1245,12 +1245,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate: the external driver checks the FIRST 50
     entries, so coverage rotates between rounds. Round-4 window =
-    (a) every query whose implementation changed this round (quantized
-    depth means, bucketed lag, registry mutation log), then (b) one green
-    anchor per SURVEY §2 family, then (c) the 32 extension operators that
-    had no driver row through r03 (13 never checked in any round). The
-    entries after position 50 all hold green rows from r03 and are
-    re-validated locally by scripts/check_driver.py (bit-exact mode)."""
+    (a) every query whose implementation changed or was added this round
+    (quantized depth means, bucketed lag, registry mutation log, the
+    rollup rewrite + SQL surface), then (b) one green anchor per SURVEY
+    §2 family, then (c) the 32 extension operators that had no driver
+    row through r03 (13 never checked in any round). The entries after
+    position 50 all hold green rows from r03 and are re-validated
+    locally by scripts/check_driver.py (bit-exact mode)."""
     return {
         # -- (a) changed this round: must re-earn a driver row -----------
         "windows_depth": q_windows_depth,
@@ -1260,13 +1261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_obliterate": q_registry_obliterate,
         "list_collections": q_list_collections,
         "rollup_rewrite": q_rollup_rewrite,
+        "sql_rollup_serve": q_sql_rollup_serve,
         # -- (b) one green anchor per SURVEY §2 family -------------------
         "raw_values": q_raw_values,
         "aligned_windows": q_aligned_windows,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "windows_holes": q_windows_holes,
         "nearest_asof": q_nearest_asof,
-        "changed_ranges": q_changed_ranges,
         "multistream_align": q_multistream_align,
         "store_version_travel": q_store_version_travel,
         "buffer_read_your_writes": q_buffer_read_your_writes,
@@ -1312,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
         "decimate_envelope": q_decimate_envelope,
+        "changed_ranges": q_changed_ranges,
         "changed_ranges_all": q_changed_ranges_all,
         "csv_export": q_csv_export,
         "delete_range": q_delete_range,
@@ -1339,7 +1341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "token_freq": q_token_freq,
-        "sql_rollup_serve": q_sql_rollup_serve,
     }
 
 
