@@ -143,6 +143,41 @@ def q_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windows_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent pushdown for the SECOND canonical stat shape: an
+    arbitrary-width tumbling-window aggregation — GROUP BY
+    (time - s) DIV w, the reference's Windows query at depth=0
+    (quasar.go:312-352) — served from the rollup ladder whenever the
+    window width and origin are aligned to a materialized level (every
+    2**38 bucket lies wholly inside one 32-bucket window here). The user
+    never names a ladder level; the assert fails this row loudly if the
+    rewrite ever stops engaging. Mean rides the int64 vq path — see
+    q_rollup_rewrite."""
+    from btrdb_server_spark.plans.rewrite import rewrite_aligned_stat
+    from btrdb_server_spark.sources.testdata import ensure_events_ladder
+
+    lvl = 38
+    s, e = (T_2024 >> lvl) << lvl, (T_2025 >> lvl) << lvl
+    w = (1 << lvl) * 32  # ~2.4 h windows, 32 rollup buckets each
+    ladder = ensure_events_ladder(spark, sf_dir)
+    load_points(spark, sf_dir, s, e).createOrReplaceTempView("btrdb_points_wr")
+    df = spark.sql(
+        f"""
+        SELECT (time - {s}) DIV {w} AS widx,
+               min(value) AS vmin, avg(value) AS vmean,
+               max(value) AS vmax, count(value) AS cnt
+        FROM btrdb_points_wr
+        WHERE uuid = 'click' AND time >= {s} AND time < {e}
+        GROUP BY (time - {s}) DIV {w}
+        """
+    )
+    routed = rewrite_aligned_stat(df, ladder)
+    assert routed is not df, "windows rewrite did not engage"
+    return routed.select(
+        "widx", "vmin", F.round("vmean", 6).alias("vmean"), "vmax", "cnt"
+    )
+
+
 def q_aligned_windows_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship entry() shape, oracle-checked: per-stream aligned stats
     for ALL streams in one two-phase aggregate (shuffle carries one row per
@@ -1262,12 +1297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_collections": q_list_collections,
         "rollup_rewrite": q_rollup_rewrite,
         "sql_rollup_serve": q_sql_rollup_serve,
+        "windows_rewrite": q_windows_rewrite,
         # -- (b) one green anchor per SURVEY §2 family -------------------
         "raw_values": q_raw_values,
         "aligned_windows": q_aligned_windows,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "windows_holes": q_windows_holes,
-        "nearest_asof": q_nearest_asof,
         "multistream_align": q_multistream_align,
         "store_version_travel": q_store_version_travel,
         "buffer_read_your_writes": q_buffer_read_your_writes,
@@ -1308,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
         "aligned_quantiles": q_aligned_quantiles,
+        "nearest_asof": q_nearest_asof,
         "aligned_windows_all": q_aligned_windows_all,
         "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
         "nearest_before": q_nearest_before,
@@ -1646,6 +1682,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE uuid = 'click'
               AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Tumbling-window rewrite: DuckDB `//` on non-negative offsets ==
+        # Spark `DIV`; mean via the same integer-quantum formulation the
+        # quantized ladder serves.
+        "windows_rewrite": f"""
+            {PTS_CTE}
+            SELECT (time - {(T_2024 >> 38) << 38}) // {(1 << 38) * 32} AS widx,
+                   min(value) AS vmin,
+                   round((sum(CAST(round(value / 0.01) AS BIGINT)) * 0.01)
+                         / count(*), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'click'
+              AND time >= {(T_2024 >> 38) << 38} AND time < {(T_2025 >> 38) << 38}
             GROUP BY 1 ORDER BY 1
         """,
         # Same canonical aggregate, reached through SQL text + the registered

@@ -108,9 +108,14 @@ def windows(
         # window agg: min/max/count/sum are associative, so collapsing the
         # two stages is exact, and with value_quantum the int64 sum makes
         # the mean bit-identical to the two-stage form under any order.
-        widx = F.floor(
-            F.shiftleft(F.shiftright(F.col("time") - F.lit(start), depth), depth)
-            / F.lit(width)
+        # Integer `div`, never float division: at offsets beyond 2**52 ns
+        # (~52 days — well inside the 146-year domain) casting the offset
+        # to double rounds by whole nanoseconds, misassigning points that
+        # land within that error of a window boundary. The whole index
+        # computation stays in int64.
+        widx = F.expr(
+            f"(shiftleft(shiftright(time - ({start}), {depth}), {depth}))"
+            f" div {width}"
         )
         sum_agg = (
             F.sum(F.round(F.col("value") / F.lit(value_quantum), 0).cast("long"))
@@ -134,7 +139,9 @@ def windows(
         )
     else:
         agg = (
-            src.withColumn("widx", F.floor((F.col("time") - F.lit(start)) / F.lit(width)))
+            # int64 div (offset is non-negative in-range): exact over the
+            # full time domain, unlike floor(double division) — see above.
+            src.withColumn("widx", F.expr(f"(time - ({start})) div {width}"))
             .groupBy("widx")
             .agg(*_stat_agg())
         )

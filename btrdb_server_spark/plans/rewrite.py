@@ -11,6 +11,13 @@ DataFrame aggregation
           .groupBy(shiftleft(shiftright("time", pw), pw))
           .agg(min/avg/max/count of value)
 
+— or the arbitrary-width tumbling-window variant (the reference's Windows
+query, depth=0 exact semantics)
+
+    points.where(...).groupBy(((col('time') - s) / w integer 'div',
+                               or floor((time - s) / w)))
+          .agg(min/avg/max/count of value)
+
 gets the same logical answer served from the ladder's best materialized
 level. `rewrite_aligned_stat` inspects the ANALYZED logical plan (the
 stable, resolved form Catalyst itself pattern-matches on) and rewrites only
@@ -19,7 +26,11 @@ when the plan provably has that exact shape AND the rewrite is exact:
 - the grouping key is shiftleft(shiftright(time, pw), pw) for a single pw
   (single-stream shape), or (uuid, that key) for the fleet shape —
   per-stream stats for every stream or a uuid IN-list, the serve_aligned_all
-  dashboard query;
+  dashboard query; tumbling-window keys ((time - s) div w, or
+  FLOOR((time - s) / w) under a 2**52 ns range guard — see the inline
+  comment) are accepted in both shapes too, provided window width and
+  origin are aligned to a materialized level so every rollup bucket lies
+  wholly inside one window;
 - every aggregate is min/avg/max/count over the value column;
 - the filter is uuid-equality (or IN-list / absent for fleet) plus a
   [start, end) time range whose bounds are 2**pw-aligned (an unaligned
@@ -50,6 +61,19 @@ if TYPE_CHECKING:  # pragma: no cover
 # shiftleft(shiftright(time#7L, 38), 38)
 _GROUP_RE = re.compile(
     r"^shiftleft\(shiftright\(time#\d+L?, (\d+)\), (\d+)\)(?: AS (\w+)#\d+L?)?$"
+)
+# Arbitrary-width tumbling-window group keys (the reference's Windows shape,
+# depth=0): integer-division form ((time#7L - 0) div 86400000000000) — SQL
+# `DIV` — and float-floor form FLOOR((cast((time#7L - 0) as double) /
+# cast(86400000000000 as double))) — DataFrame F.floor((time - s) / w).
+# Analyzer-inserted literal widening casts tolerated on both operands.
+_GROUP_WDIV_RE = re.compile(
+    r"^\(\(time#\d+L? - (?:cast\()?(-?\d+)(?: as bigint\))?\)"
+    r" div (?:cast\()?(\d+)(?: as bigint\))?\)(?: AS (\w+)#\d+L?)?$"
+)
+_GROUP_WFLOOR_RE = re.compile(
+    r"^FLOOR\(\(cast\(\(time#\d+L? - (?:cast\()?(-?\d+)(?: as bigint\))?\) as double\)"
+    r" / (?:cast\((\d+) as double\)|(\d+)\.0)\)\)(?: AS (\w+)#\d+L?)?$"
 )
 # the uuid grouping attribute (fleet shape), bare or pass-through in the output
 _UUID_ATTR_RE = re.compile(r"^uuid#\d+$")
@@ -101,6 +125,38 @@ def _match_filter(cond) -> Optional[dict]:
 _AGG_SOURCE = {"min": "vmin", "max": "vmax", "count": "cnt"}
 
 
+def _match_group(s: str) -> Optional[tuple]:
+    """Match a grouping expression string. Returns (kind, params, alias):
+    kind 'aligned' with params {'pw'} for the power-of-two bucket key, or
+    kind 'windows' with params {'wstart', 'width'} for either tumbling-
+    window key form. Both window forms reduce to the same integer window
+    index under the exactness guards in rewrite_aligned_stat."""
+    m = _GROUP_RE.match(s)
+    if m is not None:
+        if m.group(1) != m.group(2):
+            return None
+        return "aligned", {"pw": int(m.group(1))}, m.group(3)
+    m = _GROUP_WDIV_RE.match(s)
+    if m is not None:
+        return (
+            "windows",
+            {"wstart": int(m.group(1)), "width": int(m.group(2)), "wshape": "div"},
+            m.group(3),
+        )
+    m = _GROUP_WFLOOR_RE.match(s)
+    if m is not None:
+        return (
+            "windows",
+            {
+                "wstart": int(m.group(1)),
+                "width": int(m.group(2) or m.group(3)),
+                "wshape": "floor",
+            },
+            m.group(4),
+        )
+    return None
+
+
 def _match_shape(df: DataFrame) -> Optional[dict]:
     """Parse the analyzed plan; return the query parameters when it is the
     canonical aligned-stat aggregate, else None. Two shapes match:
@@ -130,10 +186,10 @@ def _match_shape(df: DataFrame) -> Optional[dict]:
             gstr = bucket_keys[0]
         else:
             gstr = gstrs[0]
-        gm = _GROUP_RE.match(gstr)
-        if gm is None or gm.group(1) != gm.group(2):
+        gk = _match_group(gstr)
+        if gk is None:
             return None
-        pw = int(gm.group(1))
+        kind, params, _ = gk
         aggs = []  # (source fn, output name) in projection order
         group_alias = None
         saw_uuid_out = False
@@ -145,11 +201,11 @@ def _match_shape(df: DataFrame) -> Optional[dict]:
                     return None
                 saw_uuid_out = True
                 continue
-            g2 = _GROUP_RE.match(s)
-            if g2 is not None and g2.group(3) is not None:
-                if group_alias is not None:
+            g2 = _match_group(s)
+            if g2 is not None and g2[2] is not None:
+                if group_alias is not None or g2[0] != kind or g2[1] != params:
                     return None
-                group_alias = g2.group(3)
+                group_alias = g2[2]
                 continue
             am = _AGG_RE.match(s)
             if am is None:
@@ -166,13 +222,14 @@ def _match_shape(df: DataFrame) -> Optional[dict]:
         if not fleet and (fm["uuids"] is None or len(fm["uuids"]) != 1):
             return None  # single-stream shape needs exactly one uuid
         return dict(
-            pw=pw,
+            kind=kind,
             group_alias=group_alias,
             aggs=aggs,
             fleet=fleet,
             uuids=fm["uuids"],
             start=fm["start"],
             end=fm["end"],
+            **params,
         )
     except Exception:  # noqa: BLE001 — any plan-introspection drift: no rewrite
         return None
@@ -188,11 +245,39 @@ def rewrite_aligned_stat(df: DataFrame, ladder: "RollupLadder") -> DataFrame:
     m = _match_shape(df)
     if m is None:
         return df
-    pw, start, end = m["pw"], m["start"], m["end"]
-    mask = (1 << pw) - 1
-    if (start & mask) or (end & mask):
-        return df  # unaligned bounds: boundary buckets would differ
-    candidates = [l for l in ladder.levels if l <= pw and ladder.level(l) is not None]
+    start, end = m["start"], m["end"]
+    if m["kind"] == "aligned":
+        pw = m["pw"]
+        mask = (1 << pw) - 1
+        if (start & mask) or (end & mask):
+            return df  # unaligned bounds: boundary buckets would differ
+        candidates = [
+            l for l in ladder.levels if l <= pw and ladder.level(l) is not None
+        ]
+    else:  # arbitrary-width tumbling windows
+        wstart, width = m["wstart"], m["width"]
+        if m["wshape"] == "floor" and max(end - wstart, wstart - start) > (1 << 52):
+            # Beyond 2**52 ns of offset the float-floor form's own
+            # arithmetic stops being provably exact: cast-to-double of
+            # (time - wstart) rounds by up to a few ns, misassigning points
+            # that close to a window boundary. The served plan (same FLOOR
+            # over the bucket column) could then disagree with the input
+            # plan — serve nothing rather than "fix" the user's query.
+            # The div form is integer arithmetic: exact at any range.
+            return df
+        # Exactness: every 2**l rollup bucket must lie wholly inside one
+        # window (width and window origin both 2**l-aligned) and the scan
+        # bounds must be bucket boundaries (start/end 2**l-aligned), so the
+        # level's rows tile the filtered points with no straddlers.
+        candidates = [
+            l
+            for l in ladder.levels
+            if ladder.level(l) is not None
+            and width % (1 << l) == 0
+            and start % (1 << l) == 0
+            and end % (1 << l) == 0
+            and wstart % (1 << l) == 0
+        ]
     if not candidates:
         return df
     best = max(candidates)
@@ -228,7 +313,19 @@ def rewrite_aligned_stat(df: DataFrame, ladder: "RollupLadder") -> DataFrame:
             src = _AGG_SOURCE[fn]
             agg = {"vmin": F.min, "vmax": F.max, "cnt": F.sum}[src]
             out_aggs.append(agg(src).alias(name))
-    bucket_key = F.shiftleft(F.shiftright("bucket", pw), pw).alias(m["group_alias"])
+    if m["kind"] == "aligned":
+        bucket_key = F.shiftleft(F.shiftright("bucket", m["pw"]), m["pw"])
+    elif m["wshape"] == "div":
+        # The user's own operator applied to the bucket start: every point
+        # of a 2**best bucket shares its window index (alignment guard), so
+        # semantics — including div's truncation toward zero on negative
+        # offsets — carry over exactly.
+        bucket_key = F.expr(
+            f"(bucket - CAST({wstart} AS BIGINT)) div CAST({width} AS BIGINT)"
+        )
+    else:
+        bucket_key = F.floor((F.col("bucket") - F.lit(wstart)) / F.lit(width))
+    bucket_key = bucket_key.alias(m["group_alias"])
     if m["fleet"]:
         served = lvl.groupBy("uuid", bucket_key).agg(*out_aggs)
         order = ["uuid", m["group_alias"]]

@@ -498,8 +498,14 @@ class RollupLadder:
         agg = (
             lvl.withColumn(
                 "widx",
+                # int64 div, not floor(double division): exact at any
+                # offset (a double offset rounds past 2**52 ns). For the
+                # one possibly-negative offset — the start-straddling
+                # bucket, offset in (-2**best, 0) — div's truncation
+                # toward zero and floor's round-down both land in window
+                # 0 after the clamp.
                 F.greatest(
-                    F.floor((F.col("bucket") - F.lit(start)) / F.lit(width)),
+                    F.expr(f"(bucket - ({start})) div {width}"),
                     F.lit(0),
                 ),
             )

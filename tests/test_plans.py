@@ -290,3 +290,103 @@ def test_rewrite_aligned_stat_routes_to_ladder(spark, tmp_path):
         .agg(F.min("value").alias("min"))
     )
     assert rewrite_aligned_stat(df_fine, ladder) is df_fine
+
+
+def test_rewrite_windows_shape_routes_to_ladder(spark, tmp_path):
+    """The second canonical stat shape — arbitrary-width tumbling windows,
+    GROUP BY (time - s) DIV w or floor((time - s) / w) — is served from the
+    ladder when width and origin are aligned to a materialized level;
+    unaligned width or an overlong float-floor range passes through."""
+    import pyspark.sql.functions as F
+
+    from btrdb_server_spark.plans.rewrite import rewrite_aligned_stat
+    from btrdb_server_spark.plans.rollup import RollupLadder
+    from btrdb_server_spark.sources.testdata import load_points
+
+    pts = load_points(spark, "/root/testdata/sf0.001")
+    ladder = RollupLadder(spark, str(tmp_path / "ladder"), levels=(32, 38))
+    ladder.rebuild(pts)
+
+    lvl = 38
+    start = 1704067200000000000 >> lvl << lvl
+    end = 1735689600000000000 >> lvl << lvl
+    w = (1 << lvl) * 8
+    pts.createOrReplaceTempView("pts_wr")
+
+    q_div = spark.sql(
+        f"""SELECT (time - {start}) DIV {w} AS widx, min(value) AS vmin,
+                   avg(value) AS vmean, max(value) AS vmax, count(value) AS cnt
+            FROM pts_wr WHERE uuid = 'click' AND time >= {start} AND time < {end}
+            GROUP BY (time - {start}) DIV {w}"""
+    )
+    routed = rewrite_aligned_stat(q_div, ladder)
+    assert routed is not q_div
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "vsum" in plan and "value" not in plan  # ladder scan, not raw points
+
+    raw = {r.widx: r for r in q_div.collect()}
+    srv = {r.widx: r for r in routed.collect()}
+    assert set(raw) == set(srv) and len(raw) > 50
+    for k, r in raw.items():
+        s = srv[k]
+        assert (r.vmin, r.vmax, r.cnt) == (s.vmin, s.vmax, s.cnt)
+        assert abs(r.vmean - s.vmean) < 1e-9
+
+    # Float-floor form (DataFrame F.floor) engages on a range inside the
+    # 2**52 ns representability guard (~30 days here; the year-long range
+    # above would be refused — the user's own double arithmetic rounds
+    # offsets by whole ns past 2**52) and matches the div form.
+    end30 = start + w * 300  # whole windows only, ~7.6 days
+    q_floor = (
+        pts.where(
+            (F.col("uuid") == "click")
+            & (F.col("time") >= start)
+            & (F.col("time") < end30)
+        )
+        .groupBy(F.floor((F.col("time") - F.lit(start)) / F.lit(w)).alias("widx"))
+        .agg(F.count("value").alias("cnt"))
+    )
+    routed_f = rewrite_aligned_stat(q_floor, ladder)
+    assert routed_f is not q_floor
+    assert {r.widx: r.cnt for r in routed_f.collect()} == {
+        k: r.cnt for k, r in raw.items() if k < 300
+    }
+
+    # Width not a multiple of any level -> untouched.
+    q_bad = spark.sql(
+        f"""SELECT (time - {start}) DIV {w + 1} AS widx, count(value) AS cnt
+            FROM pts_wr WHERE uuid = 'click' AND time >= {start} AND time < {end}
+            GROUP BY (time - {start}) DIV {w + 1}"""
+    )
+    assert rewrite_aligned_stat(q_bad, ladder) is q_bad
+
+    # Float-floor beyond 2**52 ns of offset: the user's own double
+    # arithmetic is no longer provably exact -> untouched (div form at the
+    # same range still rewrites: integer arithmetic).
+    s0, e0 = 0, 1 << 53
+    q_long_floor = (
+        pts.where(
+            (F.col("uuid") == "click") & (F.col("time") >= s0) & (F.col("time") < e0)
+        )
+        .groupBy(F.floor((F.col("time") - F.lit(s0)) / F.lit(w)).alias("widx"))
+        .agg(F.count("value").alias("cnt"))
+    )
+    assert rewrite_aligned_stat(q_long_floor, ladder) is q_long_floor
+    q_long_div = spark.sql(
+        f"""SELECT (time - {s0}) DIV {w} AS widx, count(value) AS cnt
+            FROM pts_wr WHERE uuid = 'click' AND time >= {s0} AND time < {e0}
+            GROUP BY (time - {s0}) DIV {w}"""
+    )
+    assert rewrite_aligned_stat(q_long_div, ladder) is not q_long_div
+
+    # Fleet windows: GROUP BY uuid, widx with no uuid predicate.
+    q_fleet = spark.sql(
+        f"""SELECT uuid, (time - {start}) DIV {w} AS widx, count(value) AS cnt
+            FROM pts_wr WHERE time >= {start} AND time < {end}
+            GROUP BY uuid, (time - {start}) DIV {w}"""
+    )
+    routed_fl = rewrite_aligned_stat(q_fleet, ladder)
+    assert routed_fl is not q_fleet
+    assert {(r.uuid, r.widx): r.cnt for r in routed_fl.collect()} == {
+        (r.uuid, r.widx): r.cnt for r in q_fleet.collect()
+    }

@@ -62,6 +62,33 @@ def test_sql_canonical_served_from_ladder(spark, tmp_path):
         assert abs(a[2] - b[2]) < 1e-9
 
 
+def test_sql_windows_shape_served_from_ladder(spark, tmp_path):
+    """Tumbling-window SQL — GROUP BY (time - s) DIV w — is served from the
+    ladder when the width and origin are level-aligned, with identical
+    results; an unaligned width passes through to the raw view."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("s1", [(i, float(i % 10)) for i in range(4096)])
+    db.register_sql()
+    text = (
+        "SELECT (time - 0) DIV 64 AS widx, min(value) AS vmin,"
+        " avg(value) AS vmean, max(value) AS vmax, count(value) AS cnt"
+        " FROM btrdb_points WHERE uuid = 's1' AND time >= 0 AND time < 4096"
+        " GROUP BY (time - 0) DIV 64 ORDER BY widx"
+    )
+    routed = db.sql(text)
+    plan = _executed(routed)
+    assert "vsum" in plan and "value" not in plan
+    plain = spark.sql(text)
+    r, p = _rows(routed), _rows(plain)
+    assert len(r) == 64 and [x[0] for x in r] == [x[0] for x in p]
+    for a, b in zip(r, p):
+        assert a[1] == b[1] and a[3] == b[3] and a[4] == b[4]
+        assert abs(a[2] - b[2]) < 1e-9
+    # width 60 is not a multiple of 2**4 -> raw view answers
+    bad = db.sql(text.replace("64", "60"))
+    assert "vsum" not in _executed(bad)
+
+
 def test_sql_rewrite_skipped_for_buffered_stream(spark, tmp_path):
     """Uncommitted buffer -> the ladder would under-count; SQL answers from
     the raw view (which merges the buffer) exactly like BTrDB.aligned_windows
