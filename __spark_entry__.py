@@ -1188,6 +1188,21 @@ def q_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cid", "dim")
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine IVF index training: 2 full Lloyd iterations from the
+    deterministic seeds (broadcast-assign + (k x dim)-row mean shuffle per
+    iteration, centroids checkpointed between rounds), flattened to
+    (cid, dim, val) rows for the value-hash compare. The oracle replays
+    the identical trajectory as chained CTEs."""
+    from btrdb_server_spark.functions.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=2)
+    return cents.select(
+        "cid", F.posexplode("cv").alias("dim", "val")
+    ).orderBy("cid", "dim")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import ann_topk_ivf, centroids_from_rows
 
@@ -1303,7 +1318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_windows": q_aligned_windows,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "windows_holes": q_windows_holes,
-        "multistream_align": q_multistream_align,
         "store_version_travel": q_store_version_travel,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "buffer_stat_merge": q_buffer_stat_merge,
@@ -1341,7 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_refine": q_ivf_refine,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kmeans_train": q_kmeans_train,
         # ---- position 51+: multi-round green, checked locally ----------
+        "multistream_align": q_multistream_align,
         "aligned_quantiles": q_aligned_quantiles,
         "nearest_asof": q_nearest_asof,
         "aligned_windows_all": q_aligned_windows_all,
@@ -2569,6 +2585,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster AS cid, CAST(i - 1 AS INT) AS dim,
                    round(avg(x), 6) AS val
             FROM d GROUP BY cluster, i ORDER BY cid, dim
+        """,
+        # Two full Lloyd iterations replayed as chained CTEs: refine the
+        # seed assignment to c1 (per-dim means rounded to 6, like the
+        # engine), re-assign against c1, refine again. Emitted flattened.
+        "kmeans_train": f"""
+            WITH {_IVF_CTES},
+            dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+            j1 AS (SELECT a.cluster, e.v FROM e JOIN assign a ON e.vec_id = a.vec_id),
+            d1 AS (SELECT cluster, i, v[i] AS x FROM j1 CROSS JOIN dims),
+            m1 AS (SELECT cluster, i, round(avg(x), 6) AS val
+                   FROM d1 GROUP BY cluster, i),
+            c1 AS (SELECT cluster AS cid, list(val ORDER BY i) AS cv
+                   FROM m1 GROUP BY cluster),
+            s2 AS (SELECT e.vec_id, c1.cid,
+                          round(list_cosine_similarity(e.v, c1.cv), 6) AS score
+                   FROM e CROSS JOIN c1),
+            r2 AS (SELECT vec_id, cid, row_number() OVER
+                          (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+                   FROM s2),
+            a2 AS (SELECT vec_id, cid AS cluster FROM r2 WHERE rn = 1),
+            j2 AS (SELECT a.cluster, e.v FROM e JOIN a2 a ON e.vec_id = a.vec_id),
+            d2 AS (SELECT cluster, i, v[i] AS x FROM j2 CROSS JOIN dims),
+            m2 AS (SELECT cluster, i, round(avg(x), 6) AS val
+                   FROM d2 GROUP BY cluster, i)
+            SELECT cluster AS cid, CAST(i - 1 AS INT) AS dim, val
+            FROM m2 ORDER BY cid, dim
         """,
         "ann_ivf_topk": f"""
             WITH {_IVF_CTES},

@@ -234,6 +234,40 @@ def ivf_refine(
     )
 
 
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Offline IVF index build: k deterministic seed centroids
+    (centroids_from_rows) refined by `iters` full Lloyd iterations
+    (ivf_refine). Returns the final (cid, cv array<double>) centroid table
+    — feed it to ivf_assign / ann_topk_ivf / ann_topk_ivf_multiprobe.
+
+    Each iteration's centroid table is at most k rows and is eagerly
+    localCheckpoint'ed, so the logical plan stays one-iteration deep: the
+    corpus-scale assignment replans from the checkpointed k rows, not from
+    the whole training lineage. Means are rounded to 6 decimals every
+    iteration (the engine-portable quantization all similarity oracles
+    use), making the training trajectory reproducible across engines and
+    partitionings.
+
+    Scale shape per iteration: one broadcast-join assignment over the
+    corpus (the 100 TB side never shuffles; map-side-combined struct-max
+    argmax) plus a (k x dim)-row mean aggregation. The driver never holds
+    more than the k centroid rows."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    cents = centroids_from_rows(embeddings, k, id_col, vec_col)
+    for _ in range(iters):
+        cents = ivf_refine(embeddings, cents, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+    return cents
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     centroids: DataFrame,

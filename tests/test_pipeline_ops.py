@@ -322,6 +322,35 @@ def test_ivf_assign_and_topk(spark):
     assert 1 not in ids and 3 not in ids and 4 not in ids
 
 
+def test_kmeans_train_converges_and_is_deterministic(spark):
+    from btrdb_server_spark.functions.similarity import ivf_assign, kmeans_train
+
+    # Two tight angular clusters around the x- and y-axes; the first two
+    # rows (the deterministic seeds) are one member of each.
+    rows = [(0, [1.0, 0.02], 0), (1, [0.02, 1.0], 0)]
+    rows += [(i, [1.0, 0.02 * (i % 5)], 0) for i in range(2, 20)]
+    rows += [(i, [0.02 * (i % 5), 1.0], 0) for i in range(20, 40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = kmeans_train(emb, k=2, iters=3)
+    got = {r.cid: r.cv for r in cents.collect()}
+    assert set(got) == {0, 1} and all(len(v) == 2 for v in got.values())
+    # Trained centroid 0 points along x (first component dominates), 1
+    # along y — the Lloyd means of the two angular groups.
+    assert got[0][0] > got[0][1] and got[1][1] > got[1][0]
+    # Assignment under the trained centroids separates the groups.
+    assign = {r.vec_id: r.cluster for r in ivf_assign(emb, cents).collect()}
+    assert all(assign[i] == 0 for i in range(2, 20))
+    assert all(assign[i] == 1 for i in range(20, 40))
+    # Deterministic: a second training run yields identical centroids.
+    again = {r.cid: r.cv for r in kmeans_train(emb, k=2, iters=3).collect()}
+    assert again == got
+    # iters=0 returns the raw seeds.
+    seeds = {r.cid: r.cv for r in kmeans_train(emb, k=2, iters=0).collect()}
+    assert seeds[0] == [1.0, pytest.approx(0.02)]
+
+
 # --------------------------------------------------------------- curation --
 
 
