@@ -296,6 +296,56 @@ def dedup_clusters(
     )
 
 
+def dedup_select(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **cluster_kw,
+) -> DataFrame:
+    """Survivor selection — the last stage of the dedup pipeline: one
+    representative per near-duplicate cluster, chosen by QUALITY (longest
+    text, ties -> smallest id) rather than dedup_clusters' arbitrary min-id
+    keeper; unique documents survive as their own representative. Output:
+    (doc_id, cluster, score, kept) for every document — filter kept=true
+    to materialize the deduplicated corpus.
+
+    The score is an integer (character length), so selection is
+    engine-exact — no float threshold to disagree across engines; swap in
+    any integer quality signal (quality_filter's rule count, token count).
+
+    Scale shape: clustering touches only the near-dup pair graph
+    (dedup_clusters); scoring is a projection of the corpus (ids + one
+    length — document text never shuffles); the per-cluster winner is a
+    map-side-combined struct-max; the join back is on the integer cluster
+    key."""
+    clusters = dedup_clusters(docs, text_col, id_col, **cluster_kw).select(
+        id_col, "cluster"
+    )
+    scored = clusters.join(
+        docs.select(id_col, F.length(F.col(text_col)).cast("long").alias("score")),
+        id_col,
+    )
+    winners = (
+        scored.groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col(id_col)).alias("nid"))
+            ).alias("m")
+        )
+        .select("cluster", (-F.col("m.nid")).alias("keep_id"))
+    )
+    return (
+        scored.join(winners, "cluster")
+        .select(
+            id_col,
+            "cluster",
+            "score",
+            (F.col(id_col) == F.col("keep_id")).alias("kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def _hex4_to_int(col):
     """First-4-hex-chars -> int in [0, 65536). Spark-side conv() is one JVM
     call; the DuckDB oracle mirrors it with instr arithmetic."""

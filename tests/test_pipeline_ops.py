@@ -126,6 +126,24 @@ def test_lsh_verified_and_clusters(spark):
     assert out[3] == (3, False)  # singleton keeps itself
 
 
+def test_dedup_select_keeps_best_quality_member(spark):
+    """Survivor selection keeps the LONGEST member of each near-dup
+    cluster (not the min id), ties to the smallest id; singletons keep
+    themselves."""
+    from btrdb_server_spark.functions.dedup import dedup_select
+
+    near_longer = BASE.replace("lazy", "sleepy") + " and then some extra tail"
+    far = "completely different words about spark dataframes and parquet files here"
+    df = docs_df(spark, [BASE, near_longer, far])
+    out = {r.doc_id: (r.cluster, r.score, r.kept) for r in
+           dedup_select(df, threshold=0.3, bands=8).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0][0] == out[1][0] == 0        # one cluster, min-id label
+    assert out[1][2] and not out[0][2]        # longer member survives
+    assert out[2][2]                          # singleton survives
+    assert out[1][1] > out[0][1]              # score = char length
+
+
 def test_simhash_identical_and_near(spark):
     df = docs_df(spark, [BASE, BASE, BASE.replace("lazy", "sleepy"), "unrelated thing"])
     got = {r.doc_id: r.simhash for r in simhash(df).collect()}
