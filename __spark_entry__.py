@@ -485,6 +485,58 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: documents arrive as a
+    file stream, tokens hash-shard into space-saving sketches of fixed
+    capacity (applyInPandasWithState, no watermark — state is
+    shards x capacity regardless of vocabulary). Capacity is sized so no
+    shard evicts at this scale, making every running count exact
+    (overcount 0) — the final top-50 must equal the exact batch token
+    counts, which is the oracle. The eviction path (upper/lower-bound
+    semantics) is pytest-covered with a tiny capacity."""
+    import tempfile
+
+    from btrdb_server_spark.functions.text import tokens_col
+    from btrdb_server_spark.streaming.stateful import streaming_heavy_hitters
+
+    work = tempfile.mkdtemp(prefix="btrdb_stopk_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.coalesce(4).write.mode("overwrite").parquet(src_d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_d)
+    )
+    toks = stream.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    hh = streaming_heavy_hitters(toks, num_shards=8, capacity=65536)
+    name = "stream_topk_out"
+    q = (
+        hh.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql import Window
+
+    # Counts are monotone per surviving token: final state = max-cnt
+    # emission per (shard, token), same fold as q_streaming_dedup.
+    w = Window.partitionBy("shard", "token").orderBy(F.col("cnt").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("token", "cnt", "overcount")
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(50)
+    )
+
+
 def q_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changes (T4): version diff (0, 2] = every inserted bucket plus the
     tombstoned interval, coarsened to 2**40 ns and coalesced."""
@@ -1325,7 +1377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_rewrite": q_windows_rewrite,
         # -- (b) one green anchor per SURVEY §2 family -------------------
         "raw_values": q_raw_values,
-        "aligned_windows": q_aligned_windows,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "windows_holes": q_windows_holes,
         "store_version_travel": q_store_version_travel,
@@ -1366,7 +1417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_train": q_kmeans_train,
         "dedup_select": q_dedup_select,
+        "streaming_topk": q_streaming_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "aligned_windows": q_aligned_windows,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "multistream_align": q_multistream_align,
         "aligned_quantiles": q_aligned_quantiles,
@@ -2157,6 +2210,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
             FROM tk GROUP BY tok
             ORDER BY cnt DESC, tok LIMIT 100
+        """,
+        # Exact batch counts: the streaming sketch never evicts at this
+        # capacity, so its running counts (and overcount=0) must agree.
+        "streaming_topk": f"""
+            WITH tk AS (SELECT unnest({_TOKS}) AS token FROM documents)
+            SELECT token, count(*) AS cnt, CAST(0 AS BIGINT) AS overcount
+            FROM tk GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 50
         """,
         "text_scrub": r"""
             WITH s1 AS (

@@ -68,6 +68,80 @@ def _update_bucket_stats(
     )
 
 
+HH_OUTPUT_SCHEMA = "shard int, token string, cnt long, overcount long"
+HH_STATE_SCHEMA = "js string"
+
+
+def _update_heavy_hitters(capacity: int):
+    """Space-saving (Metwally et al.) heavy-hitters update for one shard:
+    bounded state of at most `capacity` counters. A new token beyond
+    capacity evicts the minimum counter and inherits its count as
+    `overcount` (cnt is then an upper bound, cnt - overcount a lower
+    bound — the standard sketch guarantees). Emits only the counters
+    touched by this micro-batch (update-mode semantics)."""
+    import json
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = key[0]
+        d: dict = json.loads(state.get[0]) if state.exists else {}
+        touched = set()
+        for pdf in pdfs:
+            for tok, c in pdf["token"].value_counts().items():
+                c = int(c)
+                if tok in d:
+                    d[tok][0] += c
+                elif len(d) < capacity:
+                    d[tok] = [c, 0]
+                else:
+                    evict = min(d, key=lambda t: (d[t][0], t))
+                    m = d.pop(evict)[0]
+                    d[tok] = [m + c, m]
+                touched.add(tok)
+        if not touched:
+            return
+        state.update((json.dumps(d),))
+        rows = sorted((t, d[t][0], d[t][1]) for t in touched if t in d)
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(rows),
+                "token": [r[0] for r in rows],
+                "cnt": [r[1] for r in rows],
+                "overcount": [r[2] for r in rows],
+            }
+        )
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    token_stream: DataFrame, num_shards: int = 8, capacity: int = 4096
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: tokens are hash-sharded
+    and each shard keeps a space-saving sketch of at most `capacity`
+    counters in keyed state — total state is num_shards * capacity rows
+    regardless of vocabulary size, unlike an exact update-mode
+    groupBy(token).count() whose state grows with distinct tokens forever.
+    While no shard overflows, every count is exact and overcount is 0 —
+    the corpus-monitoring query (running vocabulary / top-k tokens over an
+    ingest stream) a training pipeline runs continuously.
+
+    `token_stream` needs one `token string` column. At 100 TB: shard count
+    spreads the sketches across executors; capacity bounds each executor's
+    state; back the store with RocksDB for large capacity."""
+    keyed = token_stream.withColumn(
+        "shard", F.pmod(F.xxhash64("token"), F.lit(num_shards)).cast("int")
+    ).groupBy("shard")
+    return keyed.applyInPandasWithState(
+        _update_heavy_hitters(capacity),
+        HH_OUTPUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_stat_windows(points_stream: DataFrame, pw: int) -> DataFrame:
     """Running AlignedWindows over a stream: one updated StatPoint per
     (uuid, 2**pw bucket) per micro-batch that touches it. Late points

@@ -61,3 +61,57 @@ def test_streaming_stat_accumulator_with_late_data(spark, tmp_path):
         assert len(emissions_16) == 1
     finally:
         q.stop()
+
+
+def test_streaming_heavy_hitters_exact_and_eviction(spark, tmp_path):
+    """Space-saving sketch: exact while under capacity; at capacity a new
+    token evicts the minimum counter and inherits its count as overcount
+    (upper-bound semantics). One shard so the eviction is forced
+    deterministically."""
+    from btrdb_server_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_tokens(tokens, name):
+        spark.createDataFrame(
+            [(t,) for t in tokens], "token string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # Batch 1 fills capacity=2: a x3, b x1.
+    write_tokens(["a", "a", "a", "b"], 1)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_heavy_hitters(stream, num_shards=1, capacity=2)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.token: (r.cnt, r.overcount)
+            for r in spark.sql("SELECT * FROM hh_updates").collect()
+        }
+        assert first == {"a": (3, 0), "b": (1, 0)}  # exact under capacity
+
+        # Batch 2: c arrives at full capacity -> evicts min (b, cnt 1);
+        # c's cnt is an upper bound 1+1 with overcount 1.
+        write_tokens(["c", "a"], 2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hh_updates").collect()
+        latest = {}
+        for r in rows:  # memory sink appends; last emission per token wins
+            latest[r.token] = (r.cnt, r.overcount)
+        assert latest["a"] == (4, 0)          # still exact
+        assert latest["c"] == (2, 1)          # upper bound, error bound 1
+        # lower bound cnt - overcount = 1 >= true count 1
+        assert latest["c"][0] - latest["c"][1] == 1
+    finally:
+        q.stop()
