@@ -266,6 +266,19 @@ def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps(pts, "error", T_2024, T_FEB, min_gap=3_600_000_000_000, bucket_pw=40)
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the error stream (sessions split at
+    >= 1 h of silence — the dual of `gaps`): one all-integer summary row
+    per session. bucket_pw=40 exercises the carry-chain scale path for
+    BOTH the lag flags and the running session index."""
+    from btrdb_server_spark.operators.derive import sessions
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return sessions(
+        pts, "error", T_2024, T_FEB, gap=3_600_000_000_000, bucket_pw=40
+    )
+
+
 def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete d/dt derived stream over the click signal (Jan 1-10),
     bucketed-lag scale path (bucket_pw=40)."""
@@ -1429,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
         "decimate_envelope": q_decimate_envelope,
+        "sessions": q_sessions,
         "changed_ranges": q_changed_ranges,
         "changed_ranges_all": q_changed_ranges_all,
         "csv_export": q_csv_export,
@@ -1836,6 +1850,23 @@ def oracle_sql() -> dict[str, str]:
             FROM l
             WHERE prev_time IS NOT NULL AND time - prev_time >= 3600000000000
             ORDER BY gap_start
+        """,
+        "sessions": f"""
+            {PTS_CTE}
+            , l AS (SELECT time, value,
+                           lag(time) OVER (ORDER BY time, value) AS pt
+                    FROM pts
+                    WHERE uuid = 'error' AND time >= {T_2024} AND time < {T_FEB}),
+            f AS (SELECT time, value,
+                         CASE WHEN pt IS NULL OR time - pt >= 3600000000000
+                              THEN 1 ELSE 0 END AS ns
+                  FROM l),
+            s AS (SELECT time, sum(ns) OVER (ORDER BY time, value
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                  FROM f)
+            SELECT session_id, min(time) AS session_start,
+                   max(time) AS session_end, count(*) AS n_points
+            FROM s GROUP BY session_id ORDER BY session_id
         """,
         "rate": f"""
             {PTS_CTE}

@@ -1,4 +1,4 @@
-"""Derived-stream operators: gap detection and rate-of-change.
+"""Derived-stream operators: gap detection, rate-of-change, sessionization.
 
 The BTrDB ecosystem's distiller layer computes exactly these as derived
 streams over the raw points plane (missing-data ranges and d/dt signals
@@ -115,6 +115,88 @@ def gaps(
             (F.col("time") - F.col("prev_time")).alias("gap_ns"),
         )
         .orderBy("gap_start")
+    )
+
+
+def sessions(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    gap: int,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive points of one stream closer
+    than `gap` ns belong to the same session (burst/outage segmentation —
+    the dual of `gaps`, which reports the spaces between these sessions).
+    One row per session: (session_id, session_start, session_end,
+    n_points), session_id 0-based in time order. All-integer output, so
+    the result is engine-exact.
+
+    Scale shape mirrors `_lagged`: with `bucket_pw` set, the new-session
+    flags AND the running session index are computed per (uuid, bucket)
+    with a carry chain — the per-bucket flag totals (one row per non-empty
+    bucket) are cumulated on the metadata-sized side and added as a bucket
+    offset, so no point-scale window ever partitions by uuid alone and a
+    dense stream fans out across buckets."""
+    if gap <= 0:
+        raise ValueError("session gap must be positive")
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
+    new_s = (
+        F.col("prev_time").isNull()
+        | ((F.col("time") - F.col("prev_time")) >= F.lit(gap))
+    ).cast("long")
+    if bucket_pw is None:
+        w = (
+            Window.partitionBy("uuid")
+            .orderBy("time", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sid = (F.sum("new_s").over(w) - F.lit(1)).alias("session_id")
+        flagged = lagged.select("uuid", "time", "value", new_s.alias("new_s"))
+        assigned = flagged.select("time", sid)
+    else:
+        b = lagged.select(
+            "uuid",
+            "time",
+            "value",
+            new_s.alias("new_s"),
+            F.shiftright("time", bucket_pw).alias("bucket"),
+        )
+        wb = (
+            Window.partitionBy("uuid", "bucket")
+            .orderBy("time", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = b.select(
+            "uuid", "bucket", "time", F.sum("new_s").over(wb).alias("cum")
+        )
+        # Carry side: one row per non-empty bucket; the offset is the sum
+        # of flags in all PRECEDING buckets of the stream.
+        totals = b.groupBy("uuid", "bucket").agg(F.sum("new_s").alias("tot"))
+        wc = (
+            Window.partitionBy("uuid")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            "uuid", "bucket", F.coalesce(F.sum("tot").over(wc), F.lit(0)).alias("off")
+        )
+        assigned = (
+            within.join(offsets, ["uuid", "bucket"])
+            .select(
+                "time",
+                (F.col("cum") + F.col("off") - F.lit(1)).alias("session_id"),
+            )
+        )
+    return (
+        assigned.groupBy("session_id")
+        .agg(
+            F.min("time").alias("session_start"),
+            F.max("time").alias("session_end"),
+            F.count("time").alias("n_points"),
+        )
+        .orderBy("session_id")
     )
 
 

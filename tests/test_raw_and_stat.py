@@ -388,6 +388,21 @@ def test_gaps_and_rate_bucketed_matches_flat(spark):
     assert [tuple(r) for r in buck_r] == [tuple(r) for r in flat_r]
     assert len(flat_r) == 399
 
+    from btrdb_server_spark.operators.derive import sessions
+
+    flat_s = sessions(pts, "s", 0, 1 << 40, gap=1 << 19).collect()
+    buck_s = sessions(pts, "s", 0, 1 << 40, gap=1 << 19, bucket_pw=20).collect()
+    assert [tuple(r) for r in buck_s] == [tuple(r) for r in flat_s]
+    # Sessions and gaps are duals: n_sessions == n_gaps + 1, ids contiguous,
+    # sessions partition the points.
+    n_gaps = len(flat_g)
+    assert len(flat_s) == n_gaps + 1
+    assert [r.session_id for r in flat_s] == list(range(len(flat_s)))
+    assert sum(r.n_points for r in flat_s) == 400
+    for a, b in zip(flat_s, flat_s[1:]):
+        assert b.session_start - a.session_end >= 1 << 19  # split at gaps
+        assert a.session_end < b.session_start
+
 
 def test_bucketed_lag_plan_partitions_by_bucket(spark):
     """With bucket_pw set, no point-scale window may partition by uuid
