@@ -270,3 +270,63 @@ def test_rollup_rewrite_bit_identical_on_quantized_data(
         gmin, gmean, gmax, gcnt = got[t]
         assert (gmin, gmax, gcnt) == (emin, emax, ecnt)
         assert struct.pack("<d", gmean) == struct.pack("<d", emean)
+
+
+@given(pts=points_strategy, m=st.integers(1, 20), off=st.integers(0, 50))
+@SET
+def test_windows_rewrite_bit_identical_on_quantized_data(
+    spark, tmp_path_factory, pts, m, off
+):
+    """The tumbling-window rewrite shape — GROUP BY (time - s) DIV w with
+    a level-aligned width and origin — served from a quantized ladder is
+    BIT-identical to an independent integer-quantum pandas recomputation,
+    for any width multiple of the level and any aligned origin at or
+    before the range start."""
+    import struct
+
+    from btrdb_server_spark.plans.rewrite import rewrite_aligned_stat
+    from btrdb_server_spark.plans.rollup import RollupLadder
+
+    qpts = [(t, round(v, 2)) for t, v in pts]
+    df = _df(spark, qpts)
+    ladder = RollupLadder(
+        spark,
+        str(tmp_path_factory.mktemp("wr_ladder")),
+        levels=(4,),
+        value_quantum=0.01,
+    )
+    ladder.rebuild(df)
+    width = m * 16
+    s = T0 >> 4 << 4
+    e = (T1 >> 4 << 4) + 16
+    wstart = s - off * 16  # aligned origin at or before the range start
+    df.createOrReplaceTempView("prop_pts_wr")
+    q = spark.sql(
+        f"""SELECT (time - {wstart}) DIV {width} AS widx,
+                   min(value) AS vmin, avg(value) AS vmean,
+                   max(value) AS vmax, count(value) AS cnt
+            FROM prop_pts_wr WHERE uuid = 's' AND time >= {s} AND time < {e}
+            GROUP BY (time - {wstart}) DIV {width}"""
+    )
+    routed = rewrite_aligned_stat(q, ladder)
+    assert routed is not q, "windows rewrite must engage on the canonical shape"
+
+    pdf = pd.DataFrame(qpts, columns=["time", "value"])
+    pdf = pdf[(pdf.time >= s) & (pdf.time < e)]
+    pdf["widx"] = (pdf.time - wstart) // width
+    pdf["vq"] = (pdf.value / 0.01).round().astype("int64")
+    expect = {
+        int(k): (
+            grp.value.min(),
+            (grp.vq.sum() * 0.01) / len(grp),
+            grp.value.max(),
+            len(grp),
+        )
+        for k, grp in pdf.groupby("widx")
+    }
+    got = {r["widx"]: (r.vmin, r.vmean, r.vmax, r.cnt) for r in routed.collect()}
+    assert set(got) == set(expect)
+    for k, (emin, emean, emax, ecnt) in expect.items():
+        gmin, gmean, gmax, gcnt = got[k]
+        assert (gmin, gmax, gcnt) == (emin, emax, ecnt)
+        assert struct.pack("<d", gmean) == struct.pack("<d", emean)
