@@ -422,6 +422,30 @@ def test_bucketed_lag_plan_partitions_by_bucket(spark):
     assert any("uuid" in s and "bucket" in s for s in specs)
 
 
+def test_bucketed_sessions_plan_partitions_by_bucket(spark):
+    """sessions(bucket_pw=...) must keep BOTH window passes off the
+    uuid-only partitioning: the point-scale cumulative sum carries the
+    bucket key; only the carry/offset windows (one row per non-empty
+    bucket) may partition by uuid alone."""
+    import re
+
+    from btrdb_server_spark.operators.derive import sessions
+    from btrdb_server_spark.sources.testdata import load_points
+
+    df = sessions(
+        load_points(spark, "/root/testdata/sf0.001"),
+        "click",
+        0,
+        1 << 62,
+        gap=1 << 40,
+        bucket_pw=40,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the bucketed sessions plan"
+    assert any("uuid" in s and "bucket" in s for s in specs)
+
+
 def test_aligned_quantiles_labels_unique(spark):
     from btrdb_server_spark.operators.stat import aligned_quantiles
 
