@@ -1187,6 +1187,19 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(load_table(spark, sf_dir, "embeddings"), m=4, k=8, dim=64)
 
 
+def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine PQ codebook training: one joint Lloyd iteration across
+    all 4 subspaces (single broadcast-assign job + one (m x k x sub)-row
+    mean aggregation), flattened to (subspace, code, dim, val) rows. The
+    oracle replays the iteration from pq_encode's seed assignment."""
+    from btrdb_server_spark.functions.similarity import pq_train
+
+    cb = pq_train(load_table(spark, sf_dir, "embeddings"), m=4, k=8, iters=1, dim=64)
+    return cb.select(
+        F.col("j").alias("subspace"), "code", F.posexplode("cv").alias("dim", "val")
+    ).orderBy("subspace", "code", "dim")
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC serving over PQ codes: probe distance table (m*k rows) broadcast
     to the code table; raw vectors untouched at query time."""
@@ -1443,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_after": q_nearest_after,
         "decimate_envelope": q_decimate_envelope,
         "sessions": q_sessions,
+        "pq_train": q_pq_train,
         "changed_ranges": q_changed_ranges,
         "changed_ranges_all": q_changed_ranges_all,
         "csv_export": q_csv_export,
@@ -2443,6 +2457,18 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PQ_CTES}
             SELECT vec_id, j AS subspace, code FROM codes
             ORDER BY vec_id, subspace
+        """,
+        # One Lloyd iteration from the seed assignment: each (subspace,
+        # code) cell is the per-dimension mean of its assigned subvectors.
+        "pq_train": f"""
+            WITH {_PQ_CTES},
+            jm AS (SELECT c.j, c.code, s.sv
+                   FROM codes c JOIN sub s ON c.vec_id = s.vec_id AND c.j = s.j),
+            i AS (SELECT unnest(generate_series(1, 16)) AS i),
+            dmm AS (SELECT j, code, i, sv[i] AS x FROM jm CROSS JOIN i)
+            SELECT j AS subspace, code, CAST(i - 1 AS INT) AS dim,
+                   round(avg(x), 6) AS val
+            FROM dmm GROUP BY j, code, i ORDER BY subspace, code, dim
         """,
         "ann_pq_topk": f"""
             WITH {_PQ_CTES},

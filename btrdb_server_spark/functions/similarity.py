@@ -402,34 +402,17 @@ def semantic_dedup(
     )
 
 
-def pq_encode(
+def _pq_parts(
     embeddings: DataFrame,
-    m: int = 4,
-    k: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: Optional[int] = None,
-) -> DataFrame:
-    """Product-quantization codes (Jégou et al. 2011): split each vector
-    into `m` contiguous subvectors and replace each with the id of its
-    nearest codebook entry — the memory-compression step that lets an ANN
-    index hold 100 TB of embeddings in RAM (dim·4 bytes → m bytes/vector).
-
-    Codebooks here are the first `k` vectors' subvectors (deterministic, as
-    centroids_from_rows; ivf_refine-style Lloyd iterations would train them
-    offline in a real pipeline — assignment mechanics are identical).
-
-    Output: one row per (vector, subspace) with the chosen `code` —
-    exploded rather than an array column so the oracle hash is
-    representation-independent.
-
-    Scale shape: the codebook is m·k rows and broadcasts; the corpus
-    explodes to m rows per vector (map-side), joins the broadcast on the
-    subspace id, and the argmin is a groupBy min(struct(dist, code)) —
-    map-side combinable, no window sort, corpus never shuffles except for
-    that tiny-key aggregate. L2 distances are rounded to 6 digits before
-    the argmin so oracle tie-breaks (then by code) are identical.
-    """
+    m: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    dim: Optional[int],
+):
+    """Shared PQ plumbing: the corpus exploded to (id, j, sv) subvector
+    rows and the deterministic seed codebook (j, code, cv) — the first k
+    vectors' subvectors, exactly pq_encode's seeds."""
     if dim is None:  # schema metadata, not a data read, when caller knows it
         dim = len(embeddings.select(vec_col).first()[0])
     if dim % m != 0:
@@ -456,7 +439,13 @@ def pq_encode(
         .select(F.col(id_col).alias("code"), F.explode(subspaces(v)).alias("s"))
         .select("code", F.col("s.j").alias("j"), F.col("s.sv").alias("cv"))
     )
-    dist = F.round(
+    return e, cb, sub
+
+
+def _pq_l2():
+    """Rounded L2 between the sv and cv columns — 6 digits before any
+    argmin so oracle tie-breaks (then by code) are identical."""
+    return F.round(
         F.sqrt(
             F.aggregate(
                 F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
@@ -466,9 +455,106 @@ def pq_encode(
         ),
         6,
     )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Train the PQ codebooks: per-subspace k-means under L2, with all m
+    subspaces trained JOINTLY — each Lloyd iteration is ONE broadcast-join
+    assignment over the exploded (vector, subspace) rows plus one
+    (m x k x sub)-row mean aggregation, not m separate training loops.
+    Seeds, distance, and tie rules match pq_encode exactly, so iters=0
+    returns pq_encode's own seed codebooks. Returns (j, code,
+    cv array<double>) — pass to pq_encode(codebook=...) to encode with
+    the trained codebooks. Means round to 6 decimals each iteration (the
+    engine-portable trajectory, as kmeans_train); the codebook is
+    m*k rows, checkpointed between iterations so the plan stays
+    one-iteration deep."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e, cb, _sub = _pq_parts(embeddings, m, k, id_col, vec_col, dim)
+    if iters:
+        cb = cb.localCheckpoint(eager=True)
+    for _ in range(iters):
+        # The subvector rides through the argmin struct ((dist, code) is
+        # unique per group, so sv never acts as a comparator) — no second
+        # join to recover member vectors for the mean.
+        best = (
+            e.join(F.broadcast(cb), "j")
+            .select(id_col, "j", _pq_l2().alias("dist"), "code", "sv")
+            .groupBy(id_col, "j")
+            .agg(F.min(F.struct("dist", "code", "sv")).alias("b"))
+        )
+        dims = (
+            best.select(
+                "j",
+                F.col("b.code").alias("code"),
+                F.posexplode("b.sv").alias("dim", "x"),
+            )
+            .groupBy("j", "code", "dim")
+            .agg(F.avg("x").alias("mv"))
+        )
+        cb = (
+            dims.groupBy("j", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mv")))
+                ).alias("pairs")
+            )
+            .select(
+                "j",
+                "code",
+                F.transform(F.col("pairs"), lambda p: F.round(p["mv"], 6)).alias(
+                    "cv"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    codebook: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): split each vector
+    into `m` contiguous subvectors and replace each with the id of its
+    nearest codebook entry — the memory-compression step that lets an ANN
+    index hold 100 TB of embeddings in RAM (dim·4 bytes → m bytes/vector).
+
+    Default codebooks are the first `k` vectors' subvectors (deterministic,
+    as centroids_from_rows); pass `codebook=pq_train(...)` to encode with
+    offline-trained per-subspace k-means codebooks instead.
+
+    Output: one row per (vector, subspace) with the chosen `code` —
+    exploded rather than an array column so the oracle hash is
+    representation-independent.
+
+    Scale shape: the codebook is m·k rows and broadcasts; the corpus
+    explodes to m rows per vector (map-side), joins the broadcast on the
+    subspace id, and the argmin is a groupBy min(struct(dist, code)) —
+    map-side combinable, no window sort, corpus never shuffles except for
+    that tiny-key aggregate. L2 distances are rounded to 6 digits before
+    the argmin so oracle tie-breaks (then by code) are identical.
+    """
+    e, cb, _sub = _pq_parts(embeddings, m, k, id_col, vec_col, dim)
+    if codebook is not None:  # trained codebooks (pq_train) replace seeds
+        cb = codebook
     return (
         e.join(F.broadcast(cb), "j")
-        .select(id_col, "j", dist.alias("dist"), "code")
+        .select(id_col, "j", _pq_l2().alias("dist"), "code")
         .groupBy(id_col, "j")
         .agg(F.min(F.struct("dist", "code")).alias("best"))
         .select(

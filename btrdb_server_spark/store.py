@@ -63,6 +63,15 @@ _WRITE_TUNING = {
     "parquet.page.write-checksum.enabled": "false",
 }
 
+# Measured insert-path cost split (20M pts, local[32], min-of-2): flat
+# time-sorted write 18.7 Mpts/s; + the (bucket, uuid, time) sort 13.0;
+# + the dynamic-partition writer 9.2 (observation metrics are free;
+# sorting by xxhash64(uuid) instead of the string is SLOWER, 8.2, extra
+# column outweighs cheaper compares). The ~40% overhead buys uuid_bucket
+# directory pruning and in-file (uuid, time) clustering — what makes
+# single-stream reads prune to one bucket dir and row-group-skip inside
+# files (reads measure ~2x the reference baseline). Deliberate trade.
+
 
 class BTrDBError(Exception):
     """Engine error with a code mirroring bte/errors.go:146-270."""

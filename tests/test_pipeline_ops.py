@@ -501,6 +501,57 @@ def test_pq_encode_shape_and_self_coding(spark, sf_dir):
             assert r.code == r.vec_id
 
 
+def test_pq_train_refines_codebooks(spark, sf_dir):
+    """iters=0 returns pq_encode's seed codebooks verbatim; one joint
+    Lloyd iteration produces a valid trained codebook (every subspace,
+    every surviving code) whose total quantization distortion does not
+    exceed the seeds'; pq_encode accepts it via codebook=."""
+    import math
+
+    from btrdb_server_spark.functions.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = {(r.j, r.code): r.cv for r in pq_train(emb, iters=0, dim=64).collect()}
+    assert len(seeds) == 4 * 8 and all(len(v) == 16 for v in seeds.values())
+    raw = {
+        r.vec_id: r.embedding
+        for r in emb.where("vec_id < 8").select("vec_id", "embedding").collect()
+    }
+    for (j, code), cv in seeds.items():
+        want = [float(x) for x in raw[code][j * 16 : (j + 1) * 16]]
+        assert all(abs(a - b) < 1e-6 for a, b in zip(cv, want))
+
+    trained = {(r.j, r.code): r.cv for r in pq_train(emb, iters=1, dim=64).collect()}
+    assert set(r[0] for r in trained) == {0, 1, 2, 3}
+    assert all(len(v) == 16 for v in trained.values())
+
+    def distortion(cb):
+        sub = {r.vec_id: r.embedding for r in emb.collect()}
+        tot = 0.0
+        for vid, v in sub.items():
+            for j in range(4):
+                sv = [float(x) for x in v[j * 16 : (j + 1) * 16]]
+                best = min(
+                    math.dist(sv, cb[(jj, c)])
+                    for (jj, c) in cb
+                    if jj == j
+                )
+                tot += best
+        return tot
+
+    assert distortion(trained) <= distortion(seeds) + 1e-6  # Lloyd improves
+
+    codes = pq_encode(
+        emb,
+        dim=64,
+        codebook=spark.createDataFrame(
+            [(j, c, list(cv)) for (j, c), cv in trained.items()],
+            "j int, code long, cv array<double>",
+        ),
+    )
+    assert codes.count() == emb.count() * 4
+
+
 def test_ann_pq_topk_probe_first_and_plausible(spark, sf_dir):
     from btrdb_server_spark.functions.similarity import ann_pq_topk, cosine_topk_by_id
 
