@@ -1171,6 +1171,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_QUERY, k=10)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms: sparse keyword featurization
+    (smoothed idf, score rounded to 6 before ranking, ties by token)."""
+    from btrdb_server_spark.functions.retrieval import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score (perplexity-filter stand-in): corpus token
     counts re-joined to the token stream, mean log-probability per doc."""
@@ -1457,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimate_envelope": q_decimate_envelope,
         "sessions": q_sessions,
         "pq_train": q_pq_train,
+        "tfidf_topk": q_tfidf_topk,
         "changed_ranges": q_changed_ranges,
         "changed_ranges_all": q_changed_ranges_all,
         "csv_export": q_csv_export,
@@ -2452,6 +2461,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, mean_logprob
             FROM documents d LEFT JOIN sc USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "tfidf_topk": f"""
+            WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+            dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+            nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.tok,
+                         round(tf.tf * (ln((nn.n + 1.0) / (dfc.df + 1.0)) + 1.0),
+                               6) AS score
+                  FROM tf JOIN dfc USING (tok) CROSS JOIN nn),
+            r AS (SELECT doc_id, tok, score, row_number() OVER
+                         (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+                  FROM s)
+            SELECT doc_id, rank, tok AS token, score
+            FROM r WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         "pq_encode": f"""
             WITH {_PQ_CTES}

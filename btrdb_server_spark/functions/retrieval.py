@@ -131,3 +131,52 @@ def unigram_logprob(
         )
         .orderBy(id_col)
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    sparse-featurization pass (what each document is "about", the sparse
+    dual of the embedding column). Smoothed sklearn-style idf:
+    score = tf * (ln((N + 1)/(df + 1)) + 1), rounded to 6 before ranking
+    so ties (then lexicographic token) break identically across engines.
+    Output: (doc_id, rank, token, score), rank 1-based.
+
+    Scale shape: tf is a map-side-combined (doc, token) count; df and the
+    corpus size are token-scale / 1-row broadcasts; the top-k is a
+    row_number window partitioned by doc_id — groups are single documents,
+    so the window never concentrates a stream of corpus scale into one
+    task."""
+    docs = ensure_parallelism(docs)
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    n = docs.agg(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "tok",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", F.col("tok").alias("token"), "score")
+        .orderBy(id_col, "rank")
+    )

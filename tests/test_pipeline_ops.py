@@ -472,6 +472,33 @@ def test_bm25_ranks_matching_docs(spark):
     assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
 
 
+def test_tfidf_topk_prefers_distinctive_terms(spark):
+    """A term unique to one document outranks a corpus-wide term with the
+    same in-doc frequency; ranks are 1-based, dense per doc, at most k."""
+    from btrdb_server_spark.functions.retrieval import tfidf_topk
+
+    df = docs_df(
+        spark,
+        [
+            "common zebra",            # zebra: unique; common: everywhere
+            "common common common yak",
+            "common filler words",
+        ],
+    )
+    rows = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.score))
+    assert set(by_doc) == {0, 1, 2}
+    assert all([x[0] for x in v] == list(range(1, len(v) + 1)) for v in by_doc.values())
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 0: 'zebra' (tf=1, df=1: idf ln2+1) beats 'common' (tf=1, df=3: idf 1)
+    assert by_doc[0][0][1] == "zebra"
+    # top scores within a doc are non-increasing
+    for v in by_doc.values():
+        assert all(a[2] >= b[2] for a, b in zip(v, v[1:]))
+
+
 def test_unigram_logprob_rare_tokens_score_lower(spark):
     from btrdb_server_spark.functions.retrieval import unigram_logprob
 
