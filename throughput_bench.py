@@ -80,6 +80,32 @@ def main() -> None:
         b = write_best_of(lambda: store.insert_many(pts))
         out["store_insert_mpts_per_sec"] = round(N / b / 1e6, 1)
 
+        # Compression vs the raw 16 B/point (time+value) wire size — the
+        # BASELINE.md row is the paper's ~2.9x on real telemetry. Two
+        # figures: the full-entropy sin() values above are the worst case
+        # (every mantissa distinct — nothing for any codec); quantized
+        # 2-decimal values are the sensor-like case the paper measures.
+        def dir_bytes(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        out["compression_fullentropy_vs_16B"] = round(
+            16 * N / dir_bytes(os.path.join(d, "store", "points")), 2
+        )
+        pq = os.path.join(d, "q")
+        (
+            pts.withColumn("value", F.round("value", 2))
+            .sortWithinPartitions("uuid", "time")
+            .write.mode("overwrite")
+            .options(**_WRITE_TUNING)
+            .parquet(pq)
+        )
+        out["compression_quantized_vs_16B"] = round(16 * N / dir_bytes(pq), 2)
+
         stored = spark.read.parquet(p)
         stored.count()  # warm footers
 
