@@ -550,6 +550,53 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with EXACT late-data semantics: points
+    arrive as an unordered file stream (each micro-batch carries arbitrary
+    slices of every stream's history), and per-stream session-interval
+    state merges each point in — including the bridge case where one late
+    point FUSES two sessions. The final snapshot (max-seq rows per stream)
+    must equal the batch gap-and-islands computation, which is the
+    oracle."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_sessionize
+
+    work = tempfile.mkdtemp(prefix="btrdb_ssess_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    # Unsorted coalesce: files slice the history arbitrarily, so most
+    # points of later batches are "late" relative to state already built.
+    pts.coalesce(4).write.mode("overwrite").parquet(src_d)
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_d)
+    )
+    sess = streaming_sessionize(stream, gap=3_600_000_000_000)
+    name = "stream_sessions_out"
+    q = (
+        sess.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql import Window
+
+    snap = out.withColumn(
+        "mx", F.max("seq").over(Window.partitionBy("uuid"))
+    ).where(F.col("seq") == F.col("mx"))
+    return snap.select(
+        "uuid", "session_start", "session_end", "n_points"
+    ).orderBy("uuid", "session_start")
+
+
 def q_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changes (T4): version diff (0, 2] = every inserted bucket plus the
     tombstoned interval, coarsened to 2**40 ns and coalesced."""
@@ -1474,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_changes": q_store_changes,
         "streaming_stat_state": q_streaming_stat_state,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sessions": q_streaming_sessions,
         "store_nearest": q_store_nearest,
         "store_aligned_windows": q_store_aligned_windows,
         "lookup_streams": q_lookup_streams,
@@ -1890,6 +1938,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT session_id, min(time) AS session_start,
                    max(time) AS session_end, count(*) AS n_points
             FROM s GROUP BY session_id ORDER BY session_id
+        """,
+        # Batch gap-and-islands per stream — the exact result the
+        # streaming interval state must converge to under ANY arrival
+        # order (late points merge or fuse sessions, nothing dropped).
+        "streaming_sessions": f"""
+            {PTS_CTE}
+            , l AS (SELECT uuid, time, value,
+                           lag(time) OVER (PARTITION BY uuid
+                               ORDER BY time, value) AS pt
+                    FROM pts
+                    WHERE time >= {T_2024} AND time < {T_FEB}),
+            f AS (SELECT uuid, time, value,
+                         CASE WHEN pt IS NULL OR time - pt >= 3600000000000
+                              THEN 1 ELSE 0 END AS ns
+                  FROM l),
+            s AS (SELECT uuid, time, sum(ns) OVER (PARTITION BY uuid
+                              ORDER BY time, value
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM f)
+            SELECT uuid, min(time) AS session_start,
+                   max(time) AS session_end, count(*) AS n_points
+            FROM s GROUP BY uuid, sid ORDER BY uuid, session_start
         """,
         "rate": f"""
             {PTS_CTE}

@@ -142,6 +142,103 @@ def streaming_heavy_hitters(
     )
 
 
+SESS_OUTPUT_SCHEMA = (
+    "uuid string, seq long, session_start long, session_end long, n_points long"
+)
+SESS_STATE_SCHEMA = "js string, seq long"
+
+
+def _update_sessions(gap: int):
+    """Incremental gap-based sessionization for one stream: state is the
+    list of session intervals [start, end, n_points], which by invariant
+    contains no interior point-to-point spacing >= gap. Each micro-batch
+    is itself sessionized (vectorized numpy diff), then the two interval
+    systems are fused by a sorted sweep — a batch interval lands in an
+    existing session, bridges two, or swallows any number of them when a
+    late slice of history arrives (the reference's ST2 semantics:
+    arbitrarily late data, nothing dropped, no watermark). The result is
+    arrival-order independent: sessions are a function of the point SET.
+    Each batch emits the stream's full updated session list under a new
+    `seq`; consumers take the max-seq snapshot per stream (a merged-away
+    session cannot be expressed by per-session emissions alone)."""
+    import json
+
+    import numpy as np
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uuid,) = key
+        if state.exists:
+            js, seq = state.get
+            ivs = json.loads(js)
+        else:
+            ivs, seq = [], 0
+        # Vectorized batch pre-sessionization: the Python-side work is
+        # O(sessions), never O(points) — point-scale ops stay in numpy.
+        parts = [pdf["time"].to_numpy(dtype="int64") for pdf in pdfs]
+        if not parts:
+            return
+        ts = np.sort(np.concatenate(parts))
+        if len(ts) == 0:
+            return
+        brk = (np.flatnonzero(np.diff(ts) >= gap) + 1).tolist()
+        bounds = [0] + brk + [len(ts)]
+        batch_ivs = [
+            [int(ts[s]), int(ts[e - 1]), e - s]
+            for s, e in zip(bounds, bounds[1:])
+        ]
+        # Merge the two interval systems (both hold the no-interior-gap
+        # invariant; every boundary is an actual point, so boundary
+        # distance IS an adjacent-point spacing): sorted sweep, fusing
+        # while the next start is within gap of the running end. One late
+        # batch interval can bridge/swallow any number of state sessions.
+        merged = []
+        for iv in sorted(ivs + batch_ivs):
+            if merged and iv[0] - merged[-1][1] < gap:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
+            else:
+                merged.append(list(iv))
+        ivs = merged
+        seq += 1
+        state.update((json.dumps(ivs), seq))
+        yield pd.DataFrame(
+            {
+                "uuid": [uuid] * len(ivs),
+                "seq": [seq] * len(ivs),
+                "session_start": [iv[0] for iv in ivs],
+                "session_end": [iv[1] for iv in ivs],
+                "n_points": [iv[2] for iv in ivs],
+            }
+        )
+
+    return fn
+
+
+def streaming_sessionize(points_stream: DataFrame, gap: int) -> DataFrame:
+    """Streaming gap-based sessionization with EXACT late-data semantics:
+    a point arriving micro-batches later still lands in — or fuses —
+    its sessions, because session state is the interval list itself, not
+    a watermark-evicted window. The streaming dual of
+    operators/derive.sessions; with in-order arrival it degenerates to the
+    classic last-time + counter sessionizer, with out-of-order arrival it
+    performs interval insertion with bridge merges.
+
+    State and per-batch emission are one row per session of the touched
+    stream — fine for telemetry (sessions per stream bounded by
+    span/gap); back the store with RocksDB for long histories. Output
+    carries `seq`; take each stream's max-seq rows as the current
+    snapshot."""
+    return points_stream.groupBy("uuid").applyInPandasWithState(
+        _update_sessions(gap),
+        SESS_OUTPUT_SCHEMA,
+        SESS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_stat_windows(points_stream: DataFrame, pw: int) -> DataFrame:
     """Running AlignedWindows over a stream: one updated StatPoint per
     (uuid, 2**pw bucket) per micro-batch that touches it. Late points

@@ -115,3 +115,54 @@ def test_streaming_heavy_hitters_exact_and_eviction(spark, tmp_path):
         assert latest["c"][0] - latest["c"][1] == 1
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_late_point_fuses_sessions(spark, tmp_path):
+    """The ST2 hard case: a point arriving a micro-batch later bridges two
+    existing sessions into one (interval state merges, counts add)."""
+    from btrdb_server_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # Batch 1: two sessions at gap=50 — [0..10] and [100..110].
+    write_batch(spark, src, [("s", 0, 1.0), ("s", 10, 1.0),
+                             ("s", 100, 1.0), ("s", 110, 1.0)], 1)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_sessionize(stream, gap=50)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def snapshot():
+        rows = spark.sql("SELECT * FROM sess_updates").collect()
+        mx = max(r.seq for r in rows)
+        return sorted(
+            (r.session_start, r.session_end, r.n_points)
+            for r in rows
+            if r.seq == mx
+        )
+
+    try:
+        q.processAllAvailable()
+        assert snapshot() == [(0, 10, 2), (100, 110, 2)]
+
+        # Batch 2: late bridge point 55 — within gap of BOTH sessions
+        # (spacings 45 < 50; exactly-gap spacing would NOT merge).
+        write_batch(spark, src, [("s", 55, 1.0)], 2)
+        q.processAllAvailable()
+        assert snapshot() == [(0, 110, 5)]
+
+        # Batch 3: a duplicate timestamp and a fresh far session.
+        write_batch(spark, src, [("s", 55, 2.0), ("s", 500, 1.0)], 3)
+        q.processAllAvailable()
+        assert snapshot() == [(0, 110, 6), (500, 500, 1)]
+    finally:
+        q.stop()
