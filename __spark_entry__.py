@@ -1110,6 +1110,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench)
 
 
+def q_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path decontamination: bipartite MinHash LSH between corpus
+    and bench (no bench broadcast — sides meet only on colliding band
+    buckets), candidates verified by exact shingle Jaccard >= 1/2."""
+    from btrdb_server_spark.functions.curation import decontaminate_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate_lsh(train, bench)
+
+
 # Stratified-sampling mixture: rates per language; 'fr' is deliberately
 # absent so the default-rate fallback path is exercised too.
 SAMPLE_RATES = {"en": 0.5, "zh": 0.3, "es": 0.25, "de": 0.1}
@@ -1522,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stat_state": q_streaming_stat_state,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessions": q_streaming_sessions,
+        "decontaminate_lsh": q_decontaminate_lsh,
         "store_nearest": q_store_nearest,
         "store_aligned_windows": q_store_aligned_windows,
         "lookup_streams": q_lookup_streams,
@@ -2623,6 +2636,48 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": f"""
             WITH {_verified_pairs_ctes()}
             SELECT a, b, jaccard FROM vp ORDER BY a, b
+        """,
+        # Bipartite LSH decontamination: signatures over ALL documents,
+        # corpus and bench band rows meet on (band, key), candidates
+        # verified by exact shingle Jaccard >= 1/2 (integral compare).
+        "decontaminate_lsh": f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            ),
+            cand AS (SELECT DISTINCT l.doc_id AS did, r.doc_id AS bid
+                     FROM bands l JOIN bands r
+                       ON l.band = r.band AND l.band_key = r.band_key
+                     WHERE l.doc_id % 17 <> 0 AND r.doc_id % 17 = 0),
+            dig2 AS (SELECT doc_id, md5(s) AS d FROM shrows),
+            hsh AS (SELECT DISTINCT doc_id, {_hexn_sql('d', 15)} AS s FROM dig2),
+            szs AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
+            iv AS (SELECT c.did, c.bid, count(*) AS inter
+                   FROM cand c
+                   JOIN hsh a ON a.doc_id = c.did
+                   JOIN hsh b ON b.doc_id = c.bid AND b.s = a.s
+                   GROUP BY c.did, c.bid),
+            fl AS (SELECT iv.did,
+                          sum(CASE WHEN iv.inter * 2 >= (sa.sz + sb.sz - iv.inter)
+                                   THEN 1 ELSE 0 END) AS n_contaminating
+                   FROM iv JOIN szs sa ON sa.doc_id = iv.did
+                           JOIN szs sb ON sb.doc_id = iv.bid
+                   GROUP BY iv.did),
+            nc AS (SELECT did, count(*) AS n_candidates FROM cand GROUP BY did)
+            SELECT d.doc_id,
+                   CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+                   CAST(coalesce(fl.n_contaminating, 0) AS BIGINT)
+                       AS n_contaminating,
+                   coalesce(fl.n_contaminating, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+            LEFT JOIN nc ON nc.did = d.doc_id
+            LEFT JOIN fl ON fl.did = d.doc_id
+            ORDER BY d.doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_verified_pairs_ctes()},

@@ -412,3 +412,120 @@ def dsir_weights(
         )
         .orderBy(id_col)
     )
+
+
+def decontaminate_lsh(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num: int = 1,
+    den: int = 2,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
+    """Scale-path decontamination: `decontaminate` broadcasts the WHOLE
+    benchmark shingle set — right while the eval suite fits a broadcast,
+    wrong shape once it is itself corpus-sized (held-out shards, giant
+    eval suites). This variant runs BIPARTITE MinHash LSH: corpus and
+    bench documents are banded independently and meet only on colliding
+    (band, key) buckets; candidates are verified by exact shingle Jaccard
+    (candidate-scoped joins, work ∝ candidates, never corpus x bench);
+    a document is contaminated when ANY bench doc verifies at
+    Jaccard >= num/den (integral compare — no float threshold).
+
+    Output per corpus doc: (doc_id, n_candidates, n_contaminating,
+    contaminated). Detection differs from `decontaminate` by design:
+    aggregate-shingle overlap flags piecewise contamination from MANY
+    bench docs; this flags whole-document near-copies of SOME bench doc,
+    at LSH recall."""
+    from btrdb_server_spark.functions.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_HASHES,
+        minhash_signatures,
+    )
+
+    num_hashes = num_hashes or DEFAULT_NUM_HASHES
+    bands = bands or DEFAULT_BANDS
+    r = num_hashes // bands
+
+    def band_table(frame, out):
+        sig = minhash_signatures(frame, text_col, id_col, num_hashes, k)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * r + i}") for i in range(r)]
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(out), F.explode(band_structs).alias("bk")
+        ).select(out, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    cand = (
+        band_table(docs, "did")
+        .join(band_table(bench, "bid"), ["band", "band_key"])
+        .select("did", "bid")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def hashed_shingles(frame, out):
+        return (
+            ensure_parallelism(frame)
+            .select(
+                F.col(id_col).alias(out),
+                F.explode(shingles_col(F.col(text_col), k)).alias("s"),
+            )
+            .select(
+                out,
+                F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("s"),
+            )
+            .distinct()
+        )
+
+    sh_c = hashed_shingles(docs, "did").localCheckpoint(eager=False)
+    sh_b = hashed_shingles(bench, "bid").localCheckpoint(eager=False)
+    inter = (
+        cand.join(sh_c, "did")
+        .join(sh_b, ["bid", "s"])
+        .groupBy("did", "bid")
+        .agg(F.count("*").alias("inter"))
+    )
+    sza = sh_c.groupBy("did").agg(F.count("*").alias("sza"))
+    szb = sh_b.groupBy("bid").agg(F.count("*").alias("szb"))
+    flags = (
+        inter.join(F.broadcast(sza), "did")
+        .join(F.broadcast(szb), "bid")
+        .select(
+            "did",
+            (
+                F.col("inter") * F.lit(den)
+                >= (F.col("sza") + F.col("szb") - F.col("inter")) * F.lit(num)
+            ).cast("long").alias("hit"),
+        )
+        .groupBy("did")
+        .agg(F.sum("hit").alias("n_contaminating"))
+    )
+    ncand = cand.groupBy("did").agg(F.count("*").alias("n_candidates"))
+    return (
+        docs.select(F.col(id_col))
+        .join(ncand.withColumnRenamed("did", id_col), id_col, "left")
+        .join(flags.withColumnRenamed("did", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_contaminating", F.lit(0))
+            .cast("long")
+            .alias("n_contaminating"),
+            (F.coalesce("n_contaminating", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy(id_col)
+    )

@@ -420,6 +420,30 @@ def test_decontaminate_flags_overlap(spark):
     assert rows[12].n_shingles == 0 and not rows[12].contaminated
 
 
+def test_decontaminate_lsh_flags_near_copies(spark):
+    """Bipartite LSH decontamination: a verbatim leak and a one-word-off
+    near-copy are flagged; disjoint and sub-shingle docs pass; every
+    corpus doc gets a row."""
+    from btrdb_server_spark.functions.curation import decontaminate_lsh
+
+    bench = docs_df(spark, ["the secret benchmark question about turtles and ponds"])
+    train = spark.createDataFrame(
+        [
+            (10, "the secret benchmark question about turtles and ponds"),
+            (11, "the secret benchmark question about turtles and rivers"),
+            (12, "completely unrelated words nothing shared here at all today"),
+            (13, "just two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate_lsh(train, bench).collect()}
+    assert set(rows) == {10, 11, 12, 13}
+    assert rows[10].contaminated and rows[10].n_contaminating == 1
+    assert rows[11].contaminated          # near-copy: high Jaccard, LSH hit
+    assert not rows[12].contaminated and rows[12].n_candidates == 0
+    assert not rows[13].contaminated and rows[13].n_candidates == 0
+
+
 def test_stratified_sample_nested_and_deterministic(spark, sf_dir):
     from btrdb_server_spark.functions.curation import stratified_sample
 
