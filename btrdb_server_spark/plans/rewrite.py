@@ -90,6 +90,13 @@ _AGG_RE = re.compile(
 # tolerated, same constant.
 _C_TGE = re.compile(r"^\(time#\d+L? >= (?:cast\()?(-?\d+)(?: as bigint\))?\)$")
 _C_TLT = re.compile(r"^\(time#\d+L? < (?:cast\()?(-?\d+)(?: as bigint\))?\)$")
+# Inclusive upper bounds: `time <= C` means end C+1. SQL BETWEEN survives
+# analysis as a single between(col, lo, hi) node (both bounds inclusive).
+_C_TLE = re.compile(r"^\(time#\d+L? <= (?:cast\()?(-?\d+)(?: as bigint\))?\)$")
+_C_BETWEEN = re.compile(
+    r"^between\(time#\d+L?, (?:cast\()?(-?\d+)(?: as bigint\))?,"
+    r" (?:cast\()?(-?\d+)(?: as bigint\))?\)$"
+)
 _C_UUID_EQ = re.compile(r"^\(uuid#\d+ = ([^)]+)\)$")
 _C_UUID_IN = re.compile(r"^uuid#\d+ IN \(([^)]+)\)$")
 
@@ -112,6 +119,10 @@ def _match_filter(cond) -> Optional[dict]:
             start = int(m.group(1))
         elif (m := _C_TLT.match(s)) is not None and end is None:
             end = int(m.group(1))
+        elif (m := _C_TLE.match(s)) is not None and end is None:
+            end = int(m.group(1)) + 1
+        elif (m := _C_BETWEEN.match(s)) is not None and start is None and end is None:
+            start, end = int(m.group(1)), int(m.group(2)) + 1
         elif (m := _C_UUID_EQ.match(s)) is not None and not has_uuid:
             uuids, has_uuid = [m.group(1)], True
         elif (m := _C_UUID_IN.match(s)) is not None and not has_uuid:

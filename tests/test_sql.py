@@ -89,6 +89,25 @@ def test_sql_windows_shape_served_from_ladder(spark, tmp_path):
     assert "vsum" not in _executed(bad)
 
 
+def test_sql_between_bounds_served(spark, tmp_path):
+    """`time BETWEEN s AND e-1` (inclusive upper bound, the natural SQL
+    phrasing) rewrites exactly like `time >= s AND time < e`."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("s1", [(i, float(i % 10)) for i in range(4096)])
+    db.register_sql()
+    text = (
+        "SELECT shiftleft(shiftright(time, 6), 6) AS t, count(value) AS cnt"
+        " FROM btrdb_points WHERE uuid = 's1' AND time BETWEEN 0 AND 4095"
+        " GROUP BY shiftleft(shiftright(time, 6), 6) ORDER BY t"
+    )
+    routed = db.sql(text)
+    plan = _executed(routed)
+    # Ladder scan (bucket/cnt columns; vsum pruned — no avg requested),
+    # never the raw value rows.
+    assert "bucket" in plan and "value" not in plan
+    assert [r.cnt for r in routed.collect()] == [64] * 64
+
+
 def test_sql_rewrite_skipped_for_buffered_stream(spark, tmp_path):
     """Uncommitted buffer -> the ladder would under-count; SQL answers from
     the raw view (which merges the buffer) exactly like BTrDB.aligned_windows
