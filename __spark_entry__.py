@@ -1298,6 +1298,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True).orderBy("media_id")
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-plane exact dedup: SHA-256 content digest per opaque payload
+    (JVM-side, pre-decode), keeper = min id per digest."""
+    from btrdb_server_spark.functions.multimodal import (
+        media_exact_dedup,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return media_exact_dedup(media)
+
+
 def _decoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.multimodal import decode_media, media_from_documents
 
@@ -1535,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessions": q_streaming_sessions,
         "decontaminate_lsh": q_decontaminate_lsh,
+        "media_dedup": q_media_dedup,
         "store_nearest": q_store_nearest,
         "store_aligned_windows": q_store_aligned_windows,
         "lookup_streams": q_lookup_streams,
@@ -2867,6 +2880,17 @@ def oracle_sql() -> dict[str, str]:
                        AS frame_idx
             FROM dec WHERE kind = 'video'
             ORDER BY media_id, frame_idx
+        """,
+        "media_dedup": """
+            WITH m AS (SELECT doc_id AS media_id, sha256(text) AS digest
+                       FROM documents),
+            g AS (SELECT digest, min(media_id) AS keeper_id,
+                         count(*) AS n_copies
+                  FROM m GROUP BY digest)
+            SELECT m.media_id, m.digest, g.keeper_id,
+                   CAST(g.n_copies AS BIGINT) AS n_copies,
+                   m.media_id <> g.keeper_id AS is_dup
+            FROM m JOIN g USING (digest) ORDER BY m.media_id
         """,
         "media_resize_plan": f"""
             WITH {_media_decoded_cte()}, s AS (

@@ -97,6 +97,39 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_exact_dedup(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact dedup of opaque binary payloads by SHA-256 digest — the
+    content-addressable identity pass a multimodal pipeline runs BEFORE
+    any decode (one JVM-side digest per object, no Python, no codec).
+    keeper = smallest id per digest. Output per media object:
+    (media_id, digest, keeper_id, n_copies, is_dup).
+
+    Scale shape: one map-side digest projection, one groupBy(digest)
+    min/count aggregate (map-side combined), joined back on the digest —
+    the payload bytes themselves are read once and never shuffled."""
+    from pyspark.sql import functions as F
+
+    h = media.select(
+        F.col(id_col), F.sha2(F.col(payload_col), 256).alias("digest")
+    )
+    g = h.groupBy("digest").agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        h.join(g, "digest")
+        .select(
+            id_col,
+            "digest",
+            "keeper_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def _parse_image_header(p: bytes) -> tuple | None:
     """(width, height) from PNG/GIF/BMP/JPEG container headers — the real
     metadata a training pipeline filters on, parsed with the stdlib."""

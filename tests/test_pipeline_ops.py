@@ -724,3 +724,23 @@ def test_ivf_multiprobe_recall_dominates_single(spark, sf_dir):
     ]
     assert len(multi) == len(single) == 5
     assert all(m >= s for m, s in zip(multi, single))
+
+
+def test_media_exact_dedup_binary_identity(spark):
+    """Byte-identical payloads share a digest group (keeper = min id);
+    differing bytes — even same-length — do not."""
+    from btrdb_server_spark.functions.multimodal import media_exact_dedup
+
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(b"\x89PNG-payload-A")),
+            (1, bytearray(b"\x89PNG-payload-A")),   # exact copy
+            (2, bytearray(b"\x89PNG-payload-B")),   # same length, one byte off
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in media_exact_dedup(media).collect()}
+    assert rows[0].digest == rows[1].digest != rows[2].digest
+    assert not rows[0].is_dup and rows[1].is_dup and not rows[2].is_dup
+    assert rows[1].keeper_id == 0 and rows[1].n_copies == 2
+    assert rows[2].n_copies == 1
