@@ -1462,13 +1462,20 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate: the external driver checks the FIRST 50
     entries, so coverage rotates between rounds. Round-4 window =
-    (a) every query whose implementation changed or was added this round
-    (quantized depth means, bucketed lag, registry mutation log, the
-    rollup rewrite + SQL surface), then (b) one green anchor per SURVEY
-    §2 family, then (c) the 32 extension operators that had no driver
-    row through r03 (13 never checked in any round). The entries after
-    position 50 all hold green rows from r03 and are re-validated
-    locally by scripts/check_driver.py (bit-exact mode)."""
+    (a) every query whose implementation changed or was added early this
+    round (quantized depth means, bucketed lag, registry mutation log,
+    the rollup/windows rewrites + SQL surface), then (b) green anchors
+    for the SURVEY §2 families this round's changes touch, then (c) the
+    32 extension operators that had no driver row through r03 (13 never
+    checked in any round), closing with three of this round's new ops
+    (kmeans_train, dedup_select, streaming_topk). Anchors evicted to
+    position 51+ to make room (changed_ranges, nearest_asof,
+    multistream_align, aligned_windows, buffer_read_your_writes) all
+    hold green rows from r01-r03 over unchanged code. Entries past 50 —
+    including the rest of this round's new ops (sessions, pq_train,
+    tfidf_topk, streaming_sessions, decontaminate_lsh, media_dedup) —
+    are validated by scripts/check_driver.py (bit-exact, the driver's
+    own compare) and rotate into the window next round."""
     return {
         # -- (a) changed this round: must re-earn a driver row -----------
         "windows_depth": q_windows_depth,
