@@ -390,3 +390,22 @@ def test_rewrite_windows_shape_routes_to_ladder(spark, tmp_path):
     assert {(r.uuid, r.widx): r.cnt for r in routed_fl.collect()} == {
         (r.uuid, r.widx): r.cnt for r in q_fleet.collect()
     }
+
+
+def test_new_pipeline_ops_plan_shapes(spark):
+    """Shape guards for the round-4 pipeline ops: survivor selection,
+    bipartite-LSH decontamination and binary dedup plan with NO window
+    sort and NO nested-loop join anywhere (argmaxes are struct-min/max
+    aggregates; all joins are equi-joins); tfidf's only windows partition
+    by doc_id (single-document groups) and its only nested-loop is the
+    one-row corpus-size broadcast."""
+    for name in ["dedup_select", "decontaminate_lsh", "media_dedup"]:
+        plan = plan_of(entry_mod.queries()[name](spark, SF))
+        assert "Window" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+    plan = plan_of(entry_mod.queries()["tfidf_topk"](spark, SF))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("doc_id" in s for s in specs)
