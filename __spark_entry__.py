@@ -1023,6 +1023,45 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=4)
 
 
+def q_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest: the MinHash LSH index maintained INCREMENTALLY as
+    documents stream in (per-row signatures — bit-identical to the batch
+    family — feed stateful band buckets that emit new-vs-resident
+    candidate pairs). The distinct pair union must equal batch
+    lsh_candidate_pairs over the same corpus, which is the oracle."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_lsh_candidates
+
+    work = tempfile.mkdtemp(prefix="btrdb_slsh_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.coalesce(4).write.mode("overwrite").parquet(src_d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_d)
+    )
+    cand = streaming_lsh_candidates(stream)
+    name = "stream_lsh_out"
+    q = (
+        cand.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .distinct()  # a pair colliding in several bands/batches emits once
+        .orderBy("a", "b")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.dedup import simhash
 
@@ -1555,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "decontaminate_lsh": q_decontaminate_lsh,
         "media_dedup": q_media_dedup,
+        "streaming_lsh": q_streaming_lsh,
         "store_nearest": q_store_nearest,
         "store_aligned_windows": q_store_aligned_windows,
         "lookup_streams": q_lookup_streams,
@@ -2656,6 +2696,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": f"""
             WITH {_verified_pairs_ctes()}
             SELECT a, b, jaccard FROM vp ORDER BY a, b
+        """,
+        # The incremental index must converge to EXACTLY the batch LSH
+        # candidate set — same oracle as minhash_lsh_pairs.
+        "streaming_lsh": f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+            ORDER BY a, b
         """,
         # Bipartite LSH decontamination: signatures over ALL documents,
         # corpus and bench band rows meet on (band, key), candidates

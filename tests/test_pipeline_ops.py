@@ -744,3 +744,17 @@ def test_media_exact_dedup_binary_identity(spark):
     assert not rows[0].is_dup and rows[1].is_dup and not rows[2].is_dup
     assert rows[1].keeper_id == 0 and rows[1].n_copies == 2
     assert rows[2].n_copies == 1
+
+
+def test_rowwise_signatures_match_batch(spark, sf_dir):
+    """The per-row (streaming-safe) MinHash formulation must be
+    bit-identical to the batch groupBy-min path on real testdata."""
+    from btrdb_server_spark.functions.dedup import (
+        minhash_signatures,
+        with_rowwise_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = [tuple(r) for r in minhash_signatures(docs).orderBy("doc_id").collect()]
+    b = [tuple(r) for r in with_rowwise_signatures(docs).orderBy("doc_id").collect()]
+    assert a == b and len(a) > 0

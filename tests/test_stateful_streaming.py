@@ -166,3 +166,57 @@ def test_streaming_sessionize_late_point_fuses_sessions(spark, tmp_path):
         assert snapshot() == [(0, 110, 6), (500, 500, 1)]
     finally:
         q.stop()
+
+
+def test_streaming_lsh_incremental_index(spark, tmp_path):
+    """A doc arriving micro-batches later pairs against residents already
+    in the bucket state (the incremental index property), and the final
+    pair set equals the batch LSH pipeline on the same corpus."""
+    from btrdb_server_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from btrdb_server_spark.streaming.stateful import streaming_lsh_candidates
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    batch1 = [(0, base), (2, "completely different words about spark engines")]
+    batch2 = [(1, base.replace("lazy", "sleepy"))]  # near-dup of doc 0
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write(batch1)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_lsh_candidates(stream, bands=8)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lsh_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {(r.a, r.b) for r in spark.sql("SELECT * FROM lsh_updates").collect()}
+        write(batch2)
+        q.processAllAvailable()
+        got = {(r.a, r.b) for r in spark.sql("SELECT * FROM lsh_updates").collect()}
+    finally:
+        q.stop()
+    all_docs = spark.createDataFrame(
+        batch1 + batch2, "doc_id long, text string"
+    )
+    want = {
+        (r.a, r.b)
+        for r in lsh_candidate_pairs(minhash_signatures(all_docs), bands=8).collect()
+    }
+    assert got == want and (0, 1) in got   # the late doc paired up
+    assert (0, 1) not in first             # ...only after it arrived
