@@ -78,7 +78,13 @@ def _update_heavy_hitters(capacity: int):
     capacity evicts the minimum counter and inherits its count as
     `overcount` (cnt is then an upper bound, cnt - overcount a lower
     bound — the standard sketch guarantees). Emits only the counters
-    touched by this micro-batch (update-mode semantics)."""
+    touched by this micro-batch (update-mode semantics).
+
+    Determinism note: UNDER capacity the sketch is exact and
+    arrival-order independent. AT capacity, which counter gets evicted
+    depends on arrival order within the batch (inherent to every
+    space-saving implementation); the upper/lower-bound guarantees hold
+    under any order."""
     import json
 
     def fn(
