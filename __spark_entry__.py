@@ -143,6 +143,16 @@ def q_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution histogram (stat-plane extension): non-empty
+    0.25-wide bins of the click signal over 2024 — power-of-two bin width
+    keeps the binning bit-exact in any engine."""
+    from btrdb_server_spark.operators.stat import value_histogram
+
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    return value_histogram(pts, "click", T_2024, T_2025, bin_width=0.25)
+
+
 def q_windows_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent pushdown for the SECOND canonical stat shape: an
     arbitrary-width tumbling-window aggregation — GROUP BY
@@ -1595,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_lsh": q_decontaminate_lsh,
         "media_dedup": q_media_dedup,
         "streaming_lsh": q_streaming_lsh,
+        "value_histogram": q_value_histogram,
         "store_nearest": q_store_nearest,
         "store_aligned_windows": q_store_aligned_windows,
         "lookup_streams": q_lookup_streams,
@@ -1949,6 +1960,16 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE uuid = 'click'
               AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+            GROUP BY 1 ORDER BY 1
+        """,
+        "value_histogram": f"""
+            {PTS_CTE}
+            SELECT CAST(floor(value / 0.25) AS BIGINT) AS bin,
+                   CAST(floor(value / 0.25) AS BIGINT)
+                       * CAST(0.25 AS DOUBLE) AS bin_lo,
+                   count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             GROUP BY 1 ORDER BY 1
         """,
         "windows_holes": f"""

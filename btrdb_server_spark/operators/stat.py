@@ -261,3 +261,35 @@ def decimate_envelope(
             )
         ).alias("e"),
     ).select("bucket", "e.kind", "e.time", "e.value").orderBy("bucket", "kind")
+
+
+def value_histogram(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    bin_width: float = 0.25,
+) -> DataFrame:
+    """Value-distribution histogram for one stream over [start, end): one
+    row per non-empty bin of width `bin_width`, the stat-plane complement
+    to the time-bucketed Min/Mean/Max/Count set (what an ops dashboard
+    plots to spot sensor saturation / bimodality). Columns: bin (index,
+    floor(value / bin_width)), bin_lo (inclusive lower edge), cnt.
+
+    Exactness contract: use a power-of-two bin_width (0.25, 0.5, 1, 2...)
+    so value / bin_width is an exact double operation — bin indexes are
+    then bit-identical in any engine. One map-side-combined groupBy; the
+    shuffle carries one row per non-empty bin.
+    """
+    from math import frexp
+
+    mant, _ = frexp(bin_width)
+    if mant != 0.5:
+        raise ValueError("bin_width must be a power of two for exact binning")
+    src = points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end))
+    return (
+        src.groupBy(F.floor(F.col("value") / F.lit(bin_width)).alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .select("bin", (F.col("bin") * F.lit(bin_width)).alias("bin_lo"), "cnt")
+        .orderBy("bin")
+    )

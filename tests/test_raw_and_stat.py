@@ -456,3 +456,28 @@ def test_aligned_quantiles_labels_unique(spark):
     df = aligned_quantiles(pts, "s", 0, 1 << 20, 10, qs=(0.99, 0.999, 0.125))
     assert df.columns[:3] == ["time", "p99", "p99_9"]
     assert "p12_5" in df.columns
+
+
+def test_value_histogram_bins_and_contract(spark):
+    import pytest
+
+    from btrdb_server_spark.operators.stat import value_histogram
+
+    pts = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate([-0.3, -0.25, -0.01, 0.0, 0.1, 0.25, 0.26, 5.0])]
+        + [("other", 1, 99.0)],
+        "uuid string, time long, value double",
+    )
+    rows = {r.bin: (r.bin_lo, r.cnt) for r in
+            value_histogram(pts, "s", 0, 100, bin_width=0.25).collect()}
+    # floor semantics: [-0.3) -> bin -2; [-0.25, -0.01) -> bin -1;
+    # [0, 0.25) -> bin 0 (x3); [0.25, 0.5) -> bin 1 (x2); 5.0 -> bin 20
+    assert rows == {
+        -2: (-0.5, 1),
+        -1: (-0.25, 2),
+        0: (0.0, 2),
+        1: (0.25, 2),
+        20: (5.0, 1),
+    }
+    with pytest.raises(ValueError):
+        value_histogram(pts, "s", 0, 100, bin_width=0.3)
