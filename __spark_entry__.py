@@ -2026,8 +2026,9 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN pt IS NULL OR time - pt >= 3600000000000
                               THEN 1 ELSE 0 END AS ns
                   FROM l),
-            s AS (SELECT time, sum(ns) OVER (ORDER BY time, value
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            s AS (SELECT time, CAST(sum(ns) OVER (ORDER BY time, value
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                              AS session_id
                   FROM f)
             SELECT session_id, min(time) AS session_start,
                    max(time) AS session_end, count(*) AS n_points
@@ -2288,7 +2289,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT btime // {DAY_NS} AS widx,
                        min(bmin) AS vmin,
                        round((sum(bq) * 0.01) / sum(bcnt), 6) AS vmean,
-                       max(bmax) AS vmax, sum(bcnt) AS cnt
+                       max(bmax) AS vmax, CAST(sum(bcnt) AS BIGINT) AS cnt
                 FROM pre GROUP BY 1
             )
             SELECT {T_2024} + spine.widx * {DAY_NS} AS time,
@@ -2314,7 +2315,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT greatest((btime - {T_2024}) // {DAY_NS}, 0) AS widx,
                        min(bmin) AS vmin,
                        round((sum(bq) * 0.01) / sum(bcnt), 6) AS vmean,
-                       max(bmax) AS vmax, sum(bcnt) AS cnt
+                       max(bmax) AS vmax, CAST(sum(bcnt) AS BIGINT) AS cnt
                 FROM sel GROUP BY 1
             ), spine AS (
                 SELECT range AS widx FROM range(0, {(T_FEB - T_2024) // DAY_NS})
@@ -2537,7 +2538,7 @@ def oracle_sql() -> dict[str, str]:
             a3 AS (SELECT doc_id, sum(cnt) AS tot3, count(*) AS dist3
                    FROM c3 GROUP BY 1)
             SELECT d.doc_id,
-                   COALESCE(tot2, 0) AS n_bigrams,
+                   CAST(COALESCE(tot2, 0) AS BIGINT) AS n_bigrams,
                    COALESCE((tot2 - dist2) / tot2, 0.0)
                        AS dup_bigram_frac,
                    COALESCE((tot3 - dist3) / tot3, 0.0)

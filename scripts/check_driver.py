@@ -103,6 +103,21 @@ def main() -> int:
             n_pass += 1
             continue
         try:
+            # Type audit first: DuckDB types sum(BIGINT) as HUGEINT, which
+            # the driver's Arrow/pandas fetch coerces to float64 — the value
+            # hash then mismatches Spark's int64 even when every value is
+            # identical (root cause of the r02-r04 windows_depth /
+            # windows_rollup / repetition_stats reds). fetchall() returns
+            # Python ints either way, so without this check the replica
+            # can't see the mismatch. Fix in the oracle: CAST(... AS BIGINT).
+            rel = con.sql(sql)
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: HUGEINT output column(s) {huge} — "
+                      f"driver coerces to float64; CAST to BIGINT in oracle")
+                n_fail += 1
+                continue
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
