@@ -414,7 +414,10 @@ def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="btrdb_stream_q_")
     src, ckpt = f"{work}/src", f"{work}/ckpt"
-    load_points(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(src)
+    # repartition, not coalesce: the loader hands back ONE partition and
+    # coalesce cannot increase it — four real files + maxFilesPerTrigger=2
+    # gives two genuine micro-batches.
+    load_points(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 2)
@@ -466,7 +469,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="btrdb_sdedup_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.coalesce(4).write.mode("overwrite").parquet(src_d)
+    # repartition, not coalesce: the loader may hand back ONE partition and
+    # coalesce cannot increase the count — that silently collapses the
+    # stream into a single micro-batch (no incrementality exercised).
+    docs.repartition(4).write.mode("overwrite").parquet(src_d)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 2)
@@ -525,7 +531,10 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="btrdb_stopk_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.coalesce(4).write.mode("overwrite").parquet(src_d)
+    # repartition, not coalesce: the loader may hand back ONE partition and
+    # coalesce cannot increase the count — that silently collapses the
+    # stream into a single micro-batch (no incrementality exercised).
+    docs.repartition(4).write.mode("overwrite").parquet(src_d)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 2)
@@ -575,9 +584,11 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="btrdb_ssess_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
-    # Unsorted coalesce: files slice the history arbitrarily, so most
-    # points of later batches are "late" relative to state already built.
-    pts.coalesce(4).write.mode("overwrite").parquet(src_d)
+    # Unsorted repartition (round-robin — the loader hands back ONE
+    # partition, which coalesce cannot increase): files slice the history
+    # arbitrarily, so most points of later batches are "late" relative to
+    # state already built — exercising the ST2 merge paths for real.
+    pts.repartition(4).write.mode("overwrite").parquet(src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 2)
@@ -1046,7 +1057,10 @@ def q_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="btrdb_slsh_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.coalesce(4).write.mode("overwrite").parquet(src_d)
+    # repartition, not coalesce: the loader may hand back ONE partition and
+    # coalesce cannot increase the count — that silently collapses the
+    # stream into a single micro-batch (no incrementality exercised).
+    docs.repartition(4).write.mode("overwrite").parquet(src_d)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 2)

@@ -115,8 +115,9 @@ def with_rowwise_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 3,
+    *,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
 ) -> DataFrame:
     """minhash_signatures' values as PER-ROW array expressions (no
     aggregation): same md5 digests, same int64 arithmetic, bit-identical

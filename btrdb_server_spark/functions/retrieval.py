@@ -146,11 +146,14 @@ def tfidf_topk(
     so ties (then lexicographic token) break identically across engines.
     Output: (doc_id, rank, token, score), rank 1-based.
 
-    Scale shape: tf is a map-side-combined (doc, token) count; df and the
-    corpus size are token-scale / 1-row broadcasts; the top-k is a
-    row_number window partitioned by doc_id — groups are single documents,
-    so the window never concentrates a stream of corpus scale into one
-    task."""
+    Scale shape: tf is a map-side-combined (doc, token) count; the corpus
+    size is a 1-row broadcast. The df side is VOCABULARY-sized — at web
+    scale that can exceed broadcast capacity, so the tf-df join carries no
+    broadcast hint: AQE broadcasts it when the runtime size fits and falls
+    back to a shuffle join keyed on the token when it doesn't. The top-k
+    is a row_number window partitioned by doc_id — groups are single
+    documents, so the window never concentrates a stream of corpus scale
+    into one task."""
     docs = ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
@@ -159,7 +162,7 @@ def tfidf_topk(
     df_ = toks.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
     n = docs.agg(F.countDistinct(id_col).alias("n"))
     scored = (
-        tf.join(F.broadcast(df_), "tok")
+        tf.join(df_, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             id_col,

@@ -216,7 +216,15 @@ def streaming_lsh_candidates(
     pair stream feeds the verify/cluster stages downstream."""
     from btrdb_server_spark.functions.dedup import with_rowwise_signatures
 
-    sigs = with_rowwise_signatures(docs_stream, text_col, id_col, k, num_hashes)
+    # Repartition BEFORE the signature stage: a micro-batch's parallelism
+    # is otherwise its file count, and the md5 signature family is the CPU
+    # hog (5M digests per 5k docs) — shuffling the raw text first is cheap
+    # and lets every core work. The state shuffle after banding re-keys by
+    # shard anyway, so this adds no extra exchange to the stateful stage.
+    sigs = with_rowwise_signatures(
+        docs_stream.repartition(num_shards), text_col, id_col,
+        num_hashes=num_hashes, k=k,
+    )
     r = num_hashes // bands
     band_structs = F.array(
         *[
