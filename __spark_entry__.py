@@ -298,6 +298,133 @@ def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate(pts, "click", T_2024, T_JAN10, bucket_pw=40)
 
 
+HOUR_NS = 3_600_000_000_000
+T_JAN8 = T_2024 + 7 * DAY_NS
+
+
+def q_resample_hold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-order-hold grid resample: the click stream snapped to an hourly
+    grid over Jan 1-7 (LOCF — the standard way to join streams of
+    different cadences before a feature matrix). bucket_pw=42 exercises
+    the bucketed as-of carry-chain scale path."""
+    from btrdb_server_spark.operators.resample import resample
+
+    pts = load_points(spark, sf_dir, T_2024, T_JAN8)
+    return resample(pts, "click", T_2024, T_JAN8, HOUR_NS, mode="hold", bucket_pw=42)
+
+
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation grid resample of the view stream (hourly,
+    Jan 1-7): bracketing points via two bucketed as-of passes; a point
+    exactly on a tick reproduces its value bit-exactly (weight 0)."""
+    from btrdb_server_spark.operators.resample import resample
+
+    pts = load_points(spark, sf_dir, T_2024, T_JAN8)
+    return resample(pts, "view", T_2024, T_JAN8, HOUR_NS, mode="linear", bucket_pw=42)
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase per day (Prometheus increase()
+    semantics) over the signup stream: integer-quantum deltas, exact
+    int64 window sums, one final quantum multiply."""
+    from btrdb_server_spark.operators.derive import counter_increase
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return counter_increase(pts, "signup", T_2024, T_FEB, DAY_NS, bucket_pw=40)
+
+
+def q_trapz_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal integral per day over the click stream (energy-from-
+    power): exact decimal(38,0) accumulation of integer pair terms, one
+    final cast+divide."""
+    from btrdb_server_spark.operators.derive import trapz_integral
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return trapz_integral(pts, "click", T_2024, T_FEB, DAY_NS, bucket_pw=40)
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-local z-score outliers over the error stream (|z| > 2 vs the
+    2**44-ns bucket's population moments): z computed from exact int64
+    moments only — no float mean/variance ever forms."""
+    from btrdb_server_spark.operators.stat import anomaly_zscore
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return anomaly_zscore(pts, "error", T_2024, T_FEB, pw=44, threshold=2.0)
+
+
+def q_stream_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of per-bucket activity (2**42-ns buckets,
+    zero-filled spine) for every stream pair — which signals move
+    together, from exact int64 sufficient statistics."""
+    from btrdb_server_spark.operators.corr import stream_corr
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return stream_corr(pts, T_2024, T_FEB, pw=42)
+
+
+def q_lttb_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB plot decimation (parallel mean-anchor variant) of the view
+    stream at 2**43-ns buckets: per bucket the point forming the largest
+    triangle with the neighbor buckets' mean points."""
+    from btrdb_server_spark.operators.stat import lttb_decimate
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return lttb_decimate(pts, "view", T_2024, T_FEB, pw=43)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer training: 6 merge rules learned from the
+    corpus word histogram (one corpus pass; per-iteration work is
+    vocabulary-scale). Deterministic tie-break: count desc, pair asc."""
+    from btrdb_server_spark.functions.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), num_merges=6)
+
+
+def _bpe_oracle_sql(n: int) -> str:
+    """Chained-CTE replay of n BPE merge iterations (the pq_train/kmeans
+    oracle style): each iteration counts adjacent pairs from the current
+    word histogram, argmaxes with the same tie-break, and rewrites the
+    symbol lists with the same greedy non-overlapping fold."""
+    toks = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+    ctes = [
+        f"""wh AS (SELECT w, count(*) AS freq FROM
+              (SELECT unnest({toks}) AS w FROM documents) GROUP BY 1),
+        w0 AS (SELECT string_split(w, '') AS syms, freq FROM wh)"""
+    ]
+    for i in range(n):
+        ctes.append(
+            f"""p{i} AS (
+            SELECT t.p.l AS l, t.p.r AS r, freq FROM w{i},
+            unnest(list_transform(generate_series(1, len(syms) - 1),
+                   i -> {{'l': syms[i], 'r': syms[i+1]}})) AS t(p))"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+            SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM p{i}
+            GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        if i < n - 1:
+            ctes.append(
+                f"""w{i + 1} AS (
+            SELECT CASE WHEN len(syms) <= 1 THEN syms
+                   ELSE list_reduce(list_transform(syms, s -> [s]),
+                        (acc, x) -> CASE
+                            WHEN acc[len(acc)] = b{i}.l AND x[1] = b{i}.r
+                            THEN list_append(acc[1:len(acc)-1], b{i}.l || b{i}.r)
+                            ELSE list_concat(acc, x) END)
+                   END AS syms, freq
+            FROM w{i} CROSS JOIN b{i})"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f'SELECT {i + 1} AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(n)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY step"
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1543,6 +1670,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) changed this round: must re-earn a driver row -----------
         "windows_depth": q_windows_depth,
         "windows_rollup": q_windows_rollup,
+        "resample_hold": q_resample_hold,
+        "resample_linear": q_resample_linear,
+        "counter_rate": q_counter_rate,
+        "trapz_integral": q_trapz_integral,
+        "anomaly_zscore": q_anomaly_zscore,
+        "stream_corr": q_stream_corr,
+        "lttb_decimate": q_lttb_decimate,
+        "bpe_train": q_bpe_train,
         "gaps": q_gaps,
         "rate": q_rate,
         "registry_obliterate": q_registry_obliterate,
@@ -2083,6 +2218,182 @@ def oracle_sql() -> dict[str, str]:
                    END AS rate_per_sec
             FROM l WHERE pt IS NOT NULL ORDER BY time
         """,
+        "resample_hold": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value FROM pts
+                WHERE uuid = 'click' AND time >= 1704067200000000000 AND time < 1704672000000000000
+            ), g AS (SELECT 1704067200000000000 + range * 3600000000000 AS tick FROM range(0, 168))
+            SELECT g.tick AS time, s.value AS value
+            FROM g ASOF LEFT JOIN src s ON g.tick >= s.time
+            ORDER BY time
+        """,
+        "resample_linear": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value FROM pts
+                WHERE uuid = 'view' AND time >= 1704067200000000000 AND time < 1704672000000000000
+            ), g AS (SELECT 1704067200000000000 + range * 3600000000000 AS tick FROM range(0, 168)),
+            p AS (SELECT g.tick, s.time AS t0, s.value AS v0
+                  FROM g ASOF LEFT JOIN src s ON g.tick >= s.time),
+            n AS (SELECT g.tick, s.time AS t1, s.value AS v1
+                  FROM g ASOF LEFT JOIN src s ON g.tick < s.time)
+            SELECT p.tick AS time,
+                   CASE WHEN t0 = p.tick THEN v0
+                        WHEN t0 IS NOT NULL AND t1 IS NOT NULL THEN
+                        v0 + (v1 - v0) * (CAST(p.tick - t0 AS DOUBLE)
+                                          / CAST(t1 - t0 AS DOUBLE))
+                   END AS value
+            FROM p JOIN n USING (tick) ORDER BY time
+        """,
+        "counter_rate": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value FROM pts
+                WHERE uuid = 'signup' AND time >= 1704067200000000000 AND time < 1706745600000000000
+            ), l AS (
+                SELECT time, value,
+                       lag(time) OVER (ORDER BY time, value) AS pt,
+                       lag(value) OVER (ORDER BY time, value) AS pv
+                FROM src
+            ), d AS (
+                SELECT (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CASE WHEN CAST(round(value / 0.01) AS BIGINT)
+                                 >= CAST(round(pv / 0.01) AS BIGINT)
+                            THEN CAST(round(value / 0.01) AS BIGINT)
+                                 - CAST(round(pv / 0.01) AS BIGINT)
+                            ELSE CAST(round(value / 0.01) AS BIGINT) END AS dq
+                FROM l WHERE pt IS NOT NULL
+            ), agg AS (
+                SELECT widx, CAST(sum(dq) AS BIGINT) AS sq, count(*) AS nd
+                FROM d GROUP BY 1
+            ), spine AS (SELECT range AS widx FROM range(0, 31))
+            SELECT 1704067200000000000 + spine.widx * 86400000000000 AS time,
+                   COALESCE(agg.sq, 0) * CAST(0.01 AS DOUBLE) AS increase,
+                   COALESCE(agg.nd, 0) AS n_deltas
+            FROM spine LEFT JOIN agg USING (widx) ORDER BY time
+        """,
+        "trapz_integral": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value FROM pts
+                WHERE uuid = 'click' AND time >= 1704067200000000000 AND time < 1706745600000000000
+            ), l AS (
+                SELECT time, value,
+                       lag(time) OVER (ORDER BY time, value) AS pt,
+                       lag(value) OVER (ORDER BY time, value) AS pv
+                FROM src
+            ), d AS (
+                SELECT (pt - 1704067200000000000) // 86400000000000 AS widx,
+                       (CAST(round(value / 0.01) AS BIGINT)
+                        + CAST(round(pv / 0.01) AS BIGINT)) * (time - pt) AS t2q
+                FROM l WHERE pt IS NOT NULL
+            ), agg AS (SELECT widx, sum(t2q) AS s2q FROM d GROUP BY 1),
+            spine AS (SELECT range AS widx FROM range(0, 31))
+            SELECT 1704067200000000000 + spine.widx * 86400000000000 AS time,
+                   CAST(COALESCE(agg.s2q, 0) AS DOUBLE) / 200000000000.0
+                       AS integral_vs
+            FROM spine LEFT JOIN agg USING (widx) ORDER BY time
+        """,
+        "anomaly_zscore": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value, ((time >> 44) << 44) AS bucket,
+                       CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts
+                WHERE uuid = 'error' AND time >= 1704067101192355840 AND time < 1706741113471107072
+            ), m AS (
+                SELECT bucket, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+                       CAST(sum(q * q) AS BIGINT) AS sqq
+                FROM src GROUP BY 1
+            ), z AS (
+                SELECT s.time, s.value,
+                       CAST(s.q * m.n - m.sq AS DOUBLE)
+                           / sqrt(CAST(m.n * m.sqq - m.sq * m.sq AS DOUBLE))
+                           AS zscore,
+                       s.bucket AS bucket_time,
+                       m.n * m.sqq - m.sq * m.sq AS rad
+                FROM src s JOIN m USING (bucket)
+            )
+            SELECT time, value, zscore, bucket_time FROM z
+            WHERE rad > 0 AND abs(zscore) > 2.0 ORDER BY time
+        """,
+        "stream_corr": f"""
+            {PTS_CTE}, sums AS (
+                SELECT uuid, time >> 42 AS bucket,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS s
+                FROM pts WHERE time >= 1704067101192355840 AND time < 1706745511517618176
+                GROUP BY 1, 2
+            ), marg AS (
+                SELECT uuid, CAST(sum(s) AS BIGINT) AS sa,
+                       CAST(sum(s * s) AS BIGINT) AS saa
+                FROM sums GROUP BY 1
+            ), dots AS (
+                SELECT a.uuid AS uuid_a, b.uuid AS uuid_b,
+                       CAST(sum(a.s * b.s) AS BIGINT) AS sab
+                FROM sums a JOIN sums b USING (bucket)
+                WHERE a.uuid < b.uuid GROUP BY 1, 2
+            ), pairs AS (
+                SELECT a.uuid AS uuid_a, b.uuid AS uuid_b
+                FROM marg a CROSS JOIN marg b WHERE a.uuid < b.uuid
+            ), x AS (
+                SELECT pairs.uuid_a, pairs.uuid_b,
+                       609.0 * CAST(COALESCE(dots.sab, 0) AS DOUBLE)
+                           - CAST(ma.sa AS DOUBLE) * CAST(mb.sa AS DOUBLE) AS cov,
+                       609.0 * CAST(ma.saa AS DOUBLE)
+                           - CAST(ma.sa AS DOUBLE) * CAST(ma.sa AS DOUBLE) AS var_a,
+                       609.0 * CAST(mb.saa AS DOUBLE)
+                           - CAST(mb.sa AS DOUBLE) * CAST(mb.sa AS DOUBLE) AS var_b
+                FROM pairs
+                JOIN marg ma ON ma.uuid = pairs.uuid_a
+                JOIN marg mb ON mb.uuid = pairs.uuid_b
+                LEFT JOIN dots ON dots.uuid_a = pairs.uuid_a
+                             AND dots.uuid_b = pairs.uuid_b
+            )
+            SELECT uuid_a, uuid_b, 609 AS n_buckets,
+                   CASE WHEN var_a > 0 AND var_b > 0
+                        THEN cov / (sqrt(var_a) * sqrt(var_b)) END AS corr
+            FROM x ORDER BY uuid_a, uuid_b
+        """,
+        "lttb_decimate": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value, time >> 43 AS bkt, time - 1704067101192355840 AS toff,
+                       CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts
+                WHERE uuid = 'view' AND time >= 1704067101192355840 AND time < 1706741113471107072
+            ), m AS (
+                SELECT bkt, CAST(sum(toff) AS BIGINT) AS st,
+                       CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+                FROM src GROUP BY 1
+            ), j AS (
+                SELECT s.bkt, s.time, s.value, s.toff, s.q,
+                       p.st AS pst, p.sq AS psq, p.cnt AS pcnt,
+                       nx.st AS nst, nx.sq AS nsq, nx.cnt AS ncnt
+                FROM src s
+                LEFT JOIN m p ON p.bkt = s.bkt - 1
+                LEFT JOIN m nx ON nx.bkt = s.bkt + 1
+            ), k AS (
+                SELECT bkt, time, value, toff,
+                       CASE WHEN pcnt IS NOT NULL AND ncnt IS NOT NULL THEN
+                         abs((CAST(pst AS DOUBLE) / CAST(pcnt AS DOUBLE)
+                              - CAST(nst AS DOUBLE) / CAST(ncnt AS DOUBLE))
+                             * (CAST(q AS DOUBLE) * CAST(0.01 AS DOUBLE)
+                                - (CAST(psq AS DOUBLE) / CAST(pcnt AS DOUBLE))
+                                  * CAST(0.01 AS DOUBLE))
+                             - (CAST(pst AS DOUBLE) / CAST(pcnt AS DOUBLE)
+                                - CAST(toff AS DOUBLE))
+                               * ((CAST(nsq AS DOUBLE) / CAST(ncnt AS DOUBLE))
+                                  * CAST(0.01 AS DOUBLE)
+                                  - (CAST(psq AS DOUBLE) / CAST(pcnt AS DOUBLE))
+                                    * CAST(0.01 AS DOUBLE)))
+                       WHEN pcnt IS NULL THEN -CAST(toff AS DOUBLE)
+                       ELSE CAST(toff AS DOUBLE) END AS key
+                FROM j
+            ), r AS (
+                SELECT bkt, time, value,
+                       row_number() OVER (PARTITION BY bkt
+                           ORDER BY key DESC, toff ASC, value DESC) AS rn
+                FROM k
+            )
+            SELECT (bkt << 43) AS bucket_time, time, value
+            FROM r WHERE rn = 1 ORDER BY time
+        """,
+        "bpe_train": _bpe_oracle_sql(6),
         "nearest_before": f"""
             {PTS_CTE}
             SELECT time, value FROM pts

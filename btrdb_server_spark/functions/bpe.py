@@ -1,0 +1,120 @@
+"""In-engine BPE tokenizer training: learn merge rules from the corpus.
+
+Every LLM data pipeline ends at a tokenizer; training one IS a corpus-scale
+aggregation problem (Sennrich et al. 2016): count adjacent symbol pairs
+weighted by word frequency, merge the most frequent pair everywhere, repeat.
+This runs the whole loop inside the engine — the corpus is touched ONCE to
+build the distinct-word frequency table, and every merge iteration then
+works on that vocabulary-scale table (the classic trick: BPE statistics are
+a function of the word histogram, not the raw corpus).
+
+Determinism contract: ties on pair count break to the lexicographically
+smallest (left, right) pair; merging is greedy left-to-right and
+non-overlapping ("aaa" + rule (a,a) -> [aa, a]); symbols are single
+characters initially (no end-of-word marker — in-word merges only, the
+minimal textbook variant). All outputs are strings + int64 counts, so the
+result is bit-exact in any engine.
+
+Scale shape: one corpus pass (explode + groupBy word, map-side combined) to
+the word histogram; per merge iteration one vocabulary-scale explode +
+groupBy pair + a 1-row argmax collect, then a vocabulary-scale column
+rewrite (fold over <=word-length symbol arrays). The driver holds one
+(pair, count) row per iteration; the histogram is localCheckpoint'ed so the
+lineage stays one-iteration deep — the same loop discipline as
+kmeans_train/pq_train.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.functions.text import tokens_col
+from btrdb_server_spark.utils import ensure_parallelism
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent symbol pairs weighted by word freq.
+    Overlapping occurrences all count ('aaa' -> (a,a) twice), matching the
+    textbook statistic."""
+    # Guard single-symbol words: Spark's sequence(1, 0) DESCENDS (default
+    # step -1) rather than yielding an empty array.
+    idx = F.when(
+        F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("l"),
+                    F.element_at("syms", i + 1).alias("r"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right")).agg(
+        F.sum("freq").alias("cnt")
+    )
+
+
+def _merge_words(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one merge rule greedily left-to-right, non-overlapping: fold
+    the symbol array, fusing the last accumulated symbol with the current
+    one when they equal (left, right)."""
+    lft, rgt = F.lit(left), F.lit(right)
+    merged = F.when(
+        F.size("syms") <= 1, F.col("syms")
+    ).otherwise(
+        F.aggregate(
+            F.slice("syms", 2, F.size("syms") - 1),
+            F.slice("syms", 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == lft) & (s == rgt),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(lft, rgt)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+    )
+    return words.select(merged.alias("syms"), "freq")
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn `num_merges` BPE merge rules. Returns one row per rule:
+    (step 1-based, left, right, merged, pair_count) in learning order —
+    the merge table a tokenizer ships. Deterministic: count desc, then
+    (left, right) asc."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    docs = ensure_parallelism(docs)
+    words = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    rules = []
+    for step in range(1, num_merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0].left, top[0].right, top[0].cnt
+        rules.append((step, left, right, left + right, cnt))
+        words = _merge_words(words, left, right).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules, "step long, left string, right string, merged string, pair_count long"
+    )

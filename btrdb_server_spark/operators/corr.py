@@ -1,0 +1,117 @@
+"""Cross-stream correlation over aligned time buckets.
+
+Fleet analytics ask "which sensors move together" — the grid operator the
+BTrDB ecosystem's distillers feed (voltage-angle pairs across PMUs). This
+computes the Pearson correlation of per-bucket activity between every pair
+of streams in one pass over the points.
+
+Alignment semantics: streams are aligned on 2**pw-ns buckets by their
+bucket SUM in quantum units, with empty buckets counting as 0 over the full
+[start, end) spine — so the statistic is a total function of the point set
+(no pairwise-complete-case ambiguity), and for fixed-cadence streams it
+equals the correlation of mean rates.
+
+Exactness: every aggregate is an int64 in quantum units (bucket sums, pair
+dot products, per-stream sums of squares — a month of cent-quantized hourly
+sums is far inside the int64 ceiling; the zero-filled spine adds nothing to
+any sum, so missing buckets need no rows at all). The Pearson formula then
+runs in double on those exact integers with each factor cast first:
+
+    corr = (n*Sab - Sa*Sb) / (sqrt(n*Saa - Sa^2) * sqrt(n*Sbb - Sb^2))
+
+— a fixed IEEE op sequence on exact inputs, bit-identical in any engine.
+n is the CONSTANT bucket count of the range, so cross-products of absent
+buckets (0 * x) vanish and the inner bucket-join computes Sab completely.
+
+Scale shape: groupBy (uuid, bucket) -> one row per non-empty bucket (the
+only point-scale pass, map-side combined); the pair join runs on that
+reduced set keyed by bucket, and the final per-pair reduce is
+streams^2-sized. Zero windows, zero sorts; with S streams the shuffle
+carries O(S * buckets) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.constants import MAX_PW
+from btrdb_server_spark.operators.raw import time_range_pred
+from btrdb_server_spark.operators.stat import align_floor
+
+
+def stream_corr(
+    points: DataFrame,
+    start: int,
+    end: int,
+    pw: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Pearson correlation of per-bucket sums for every unordered stream
+    pair (uuid_a < uuid_b). Columns: uuid_a, uuid_b, n_buckets, corr
+    (null when either side has zero variance). Ordered by (uuid_a, uuid_b)."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    n_buckets = (fend - fstart) >> pw
+    if n_buckets <= 0:
+        raise ValueError("empty bucket range")
+    sums = (
+        points.where(time_range_pred(fstart, fend))
+        .groupBy("uuid", F.shiftright("time", pw).alias("bucket"))
+        .agg(
+            F.sum(F.round(F.col("value") / F.lit(value_quantum)).cast("long")).alias("s")
+        )
+    )
+    # Per-stream marginals: one row per stream (missing buckets add 0).
+    marg = sums.groupBy("uuid").agg(
+        F.sum("s").alias("S"), F.sum(F.col("s") * F.col("s")).alias("SS")
+    )
+    # Pair dot products on the bucket key: absent-bucket terms are 0*s = 0,
+    # so the inner join over non-empty buckets computes the full spine sum.
+    a = sums.select(
+        F.col("uuid").alias("uuid_a"), "bucket", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("uuid").alias("uuid_b"), "bucket", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "bucket")
+        .where(F.col("uuid_a") < F.col("uuid_b"))
+        .groupBy("uuid_a", "uuid_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("Sab"))
+    )
+    # All stream pairs, even never-cobucketed ones (Sab = 0 then).
+    pairs = (
+        marg.select(F.col("uuid").alias("uuid_a"))
+        .crossJoin(marg.select(F.col("uuid").alias("uuid_b")))
+        .where(F.col("uuid_a") < F.col("uuid_b"))
+    )
+    ma = marg.select(
+        F.col("uuid").alias("uuid_a"), F.col("S").alias("Sa"), F.col("SS").alias("Saa")
+    )
+    mb = marg.select(
+        F.col("uuid").alias("uuid_b"), F.col("S").alias("Sb"), F.col("SS").alias("Sbb")
+    )
+    n = F.lit(float(n_buckets))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sab = F.coalesce(F.col("Sab"), F.lit(0)).cast("double")
+    cov = n * sab - d("Sa") * d("Sb")
+    var_a = n * d("Saa") - d("Sa") * d("Sa")
+    var_b = n * d("Sbb") - d("Sb") * d("Sb")
+    return (
+        pairs.join(ma, "uuid_a")
+        .join(mb, "uuid_b")
+        .join(dots, ["uuid_a", "uuid_b"], "left")
+        .select(
+            "uuid_a",
+            "uuid_b",
+            F.lit(n_buckets).alias("n_buckets"),
+            F.when(
+                (var_a > 0) & (var_b > 0),
+                cov / (F.sqrt(var_a) * F.sqrt(var_b)),
+            ).alias("corr"),
+        )
+        .orderBy("uuid_a", "uuid_b")
+    )

@@ -200,6 +200,125 @@ def sessions(
     )
 
 
+def counter_increase(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Reset-aware counter increase per tumbling window (the Prometheus
+    ``increase()`` semantics over a monotonic counter that may restart):
+    per consecutive point pair, the contribution is ``v - prev`` when the
+    counter advanced and ``v`` when it reset (v < prev — the counter
+    restarted from zero, so the post-reset reading is the visible
+    increase). Sums per window of the RIGHT endpoint; the first point of
+    the range has no predecessor and contributes nothing.
+
+    Exactness: deltas are computed in integer quantum units (int64 —
+    per-window sums are exactly associative under any partitioning), and
+    the output converts once: ``increase = sum_quanta * quantum`` (a
+    single IEEE multiply, engine-deterministic). Whole windows only, no
+    hole suppression — count=0 windows report increase 0.0 like the
+    reference's Windows holes (qtree.go:1149-1179).
+
+    Scale shape: one bucketed lag (`_lagged`, carry-chain when bucket_pw
+    is set) + one groupBy — the shuffle carries a row per window after
+    map-side combine."""
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    end = end - (end - start) % width
+    if start >= end:
+        raise ValueError("start >= end after rounding")
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
+    # round(value / quantum), matching the oracle textually: 2-decimal data
+    # is never within an ulp of a .5 tie, so HALF_UP-vs-banker's is moot.
+    c = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    cp = F.round(F.col("prev_value") / F.lit(value_quantum)).cast("long")
+    delta = F.when(c >= cp, c - cp).otherwise(c)
+    # int64 div, never float division: beyond 2**52-ns offsets a double
+    # ratio rounds by whole ns and misassigns boundary points (stat.py).
+    contrib = lagged.where(F.col("prev_time").isNotNull()).select(
+        F.expr(f"(time - ({start})) div {width}").alias("widx"),
+        delta.alias("dq"),
+    )
+    agg = contrib.groupBy("widx").agg(
+        F.sum("dq").alias("sq"), F.count("*").alias("n_deltas")
+    )
+    spark = points.sparkSession
+    spine = spark.range(0, (end - start) // width).select(F.col("id").alias("widx"))
+    return (
+        spine.join(agg, "widx", "left")
+        .select(
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            (F.coalesce(F.col("sq"), F.lit(0)) * F.lit(value_quantum)).alias(
+                "increase"
+            ),
+            F.coalesce(F.col("n_deltas"), F.lit(0)).alias("n_deltas"),
+        )
+        .orderBy("time")
+    )
+
+
+def trapz_integral(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Trapezoidal integral per tumbling window — energy from power, volume
+    from flow (the classic derived stream the d/dt `rate` operator is the
+    inverse of). Each consecutive pair contributes
+    ``(v0 + v1)/2 * dt_seconds``, assigned to the window of its LEFT
+    endpoint; pairs are formed inside [start, end) only.
+
+    Exactness: the pair term ``(q0 + q1) * dt_ns`` is exact integer
+    arithmetic in quantum units; per-window sums accumulate in
+    decimal(38,0) (exact at any magnitude the int64 term set can reach —
+    a month of ns-spaced pairs overflows int64, so the accumulator must be
+    wider). The single lossy step is the final cast of the exact integer
+    to double, then one divide by 2e11 (the /2 trapezoid, /100 quantum,
+    /1e9 ns->s fold into one exactly-representable constant when
+    quantum=0.01) — both round-to-nearest once, so any engine summing
+    exactly produces bit-identical doubles.
+
+    Scale shape: one bucketed lag + one groupBy, map-side combined."""
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    end = end - (end - start) % width
+    if start >= end:
+        raise ValueError("start >= end after rounding")
+    q = round(1.0 / value_quantum)  # exact int (100 for cents)
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
+    c = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    cp = F.round(F.col("prev_value") / F.lit(value_quantum)).cast("long")
+    term = ((c + cp) * (F.col("time") - F.col("prev_time"))).cast("decimal(38,0)")
+    contrib = lagged.where(F.col("prev_time").isNotNull()).select(
+        F.expr(f"(prev_time - ({start})) div {width}").alias("widx"),
+        term.alias("t2q"),
+    )
+    agg = contrib.groupBy("widx").agg(F.sum("t2q").alias("s2q"))
+    divisor = 2.0e9 * q  # 2e11 for quantum 0.01 — exactly representable
+    spark = points.sparkSession
+    spine = spark.range(0, (end - start) // width).select(F.col("id").alias("widx"))
+    return (
+        spine.join(agg, "widx", "left")
+        .select(
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            (
+                F.coalesce(F.col("s2q"), F.lit(0).cast("decimal(38,0)")).cast("double")
+                / F.lit(divisor)
+            ).alias("integral_vs"),
+        )
+        .orderBy("time")
+    )
+
+
 def rate(
     points: DataFrame,
     uuid: str,

@@ -293,3 +293,157 @@ def value_histogram(
         .select("bin", (F.col("bin") * F.lit(bin_width)).alias("bin_lo"), "cnt")
         .orderBy("bin")
     )
+
+
+def anomaly_zscore(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    pw: int,
+    threshold: float = 3.0,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Bucket-local z-score outliers: points whose value deviates from
+    their aligned 2**pw bucket's mean by more than `threshold` population
+    standard deviations — the first-line anomaly screen over telemetry
+    (spike/dropout detection with a locally adaptive baseline, served from
+    the same single-scan shape as AlignedWindows).
+
+    Exactness: per-bucket moments accumulate in integer quantum units
+    (n, sum q, sum q^2 — int64-exact, order-independent), and the z-score
+    is computed from them without ever forming a float mean or variance:
+
+        z = (q*n - sq) / sqrt(n*sqq - sq^2)
+
+    — numerator and radicand are exact int64 (bounded by bucket size *
+    quantum-range^2; a 2**40-ns bucket of cent-quantized values is far
+    inside the 9.2e18 ceiling), so the double division / sqrt / compare
+    sequence is bit-identical in any engine. Zero-variance buckets emit
+    nothing (every point equals the mean).
+
+    Scale shape: ONE groupBy for the moments (map-side combined, one row
+    per bucket) joined back to the scan — the join key is the bucket, so
+    with AQE the moment side broadcasts; no window function, no sort."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend)
+    ).select(
+        "time",
+        "value",
+        F.shiftleft(F.shiftright("time", pw), pw).alias("bucket"),
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
+    )
+    moments = src.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    radicand = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    z = (F.col("q") * F.col("n") - F.col("sq")).cast("double") / F.sqrt(
+        radicand.cast("double")
+    )
+    return (
+        src.join(moments, "bucket")
+        .where(radicand > 0)
+        .select("time", "value", z.alias("zscore"), F.col("bucket").alias("bucket_time"))
+        .where(F.abs(F.col("zscore")) > F.lit(threshold))
+        .orderBy("time")
+    )
+
+
+def lttb_decimate(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    pw: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets plot decimation, mean-anchor variant:
+    per aligned 2**pw bucket keep the ONE point forming the largest
+    triangle with the NEIGHBOR BUCKETS' mean points — the shape-preserving
+    downsample plotting stacks use where min/max envelopes over-plot
+    (Steinarsson 2013). Classic LTTB anchors on the previously SELECTED
+    point (a sequential chain); anchoring on the neighbor bucket means is
+    the standard parallel approximation — every bucket's choice is
+    independent, so the whole pass is one aggregation, no cross-bucket
+    order. Buckets missing a left (right) neighbor keep their earliest
+    (latest) point, like LTTB pins the series endpoints.
+
+    Exactness: times enter as int64 offsets from the range floor (< 2**52
+    for any real range, so their doubles are exact); anchor means divide
+    int64 sums once; the area determinant is a fixed IEEE sequence on
+    those doubles — bit-identical in any engine. Ties (equal area, then
+    equal time) break to earliest time, then largest value.
+
+    Scale shape: one groupBy for bucket moments (map-side combined, one
+    row per bucket), joined back shifted by ±1 (bucket-scale side —
+    broadcast under AQE), one groupBy argmax via lexicographic struct max.
+    No window functions, no sort until the final bucket-count-sized
+    orderBy."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend)
+    ).select(
+        "time",
+        "value",
+        F.shiftright("time", pw).alias("bkt"),
+        (F.col("time") - F.lit(fstart)).alias("toff"),
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
+    )
+    moms = src.groupBy("bkt").agg(
+        F.sum("toff").alias("st"),
+        F.sum("q").alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    prev = moms.select(
+        (F.col("bkt") + 1).alias("bkt"),
+        F.col("st").alias("pst"),
+        F.col("sq").alias("psq"),
+        F.col("cnt").alias("pcnt"),
+    )
+    nxt = moms.select(
+        (F.col("bkt") - 1).alias("bkt"),
+        F.col("st").alias("nst"),
+        F.col("sq").alias("nsq"),
+        F.col("cnt").alias("ncnt"),
+    )
+    j = src.join(prev, "bkt", "left").join(nxt, "bkt", "left")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    qv = F.lit(value_quantum)
+    ta = d("pst") / d("pcnt")
+    va = (d("psq") / d("pcnt")) * qv
+    tb = d("nst") / d("ncnt")
+    vb = (d("nsq") / d("ncnt")) * qv
+    tp = d("toff")
+    vp = d("q") * qv
+    area = F.abs((ta - tb) * (vp - va) - (ta - tp) * (vb - va))
+    key = (
+        F.when(F.col("pcnt").isNotNull() & F.col("ncnt").isNotNull(), area)
+        .when(F.col("pcnt").isNull(), -tp)  # no left neighbor: earliest
+        .otherwise(tp)  # no right neighbor: latest
+    )
+    picked = (
+        j.select(
+            "bkt",
+            F.struct(
+                key.alias("k"),
+                (-F.col("toff")).alias("negtoff"),
+                F.col("value").alias("v"),
+            ).alias("cand"),
+        )
+        .groupBy("bkt")
+        .agg(F.max("cand").alias("best"))
+    )
+    return picked.select(
+        F.shiftleft(F.col("bkt"), pw).alias("bucket_time"),
+        (F.lit(fstart) - F.col("best.negtoff")).alias("time"),
+        F.col("best.v").alias("value"),
+    ).orderBy("time")

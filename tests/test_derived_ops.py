@@ -1,0 +1,235 @@
+"""Round-5 derived/stat-plane operators: grid resampling, reset-aware
+counter increase, trapezoidal integral, bucket-local z-score anomalies,
+cross-stream correlation, LTTB plot decimation.
+
+Known-value tests on tiny hand-built streams plus bucketed-vs-flat
+equivalence for the carry-chain scale paths (the same strategy the
+reference's qtree tests use for its descent paths: fixed inputs, exact
+expected outputs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.operators.corr import stream_corr
+from btrdb_server_spark.operators.derive import counter_increase, trapz_integral
+from btrdb_server_spark.operators.resample import resample
+from btrdb_server_spark.operators.stat import anomaly_zscore, lttb_decimate
+
+S = 1_000_000_000  # 1 s in ns
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, "uuid string, time long, value double")
+
+
+# ------------------------------------------------------------- resample ---
+
+
+def test_resample_hold_known_values(spark):
+    pts = mk(
+        spark,
+        [("a", 10 * S, 1.0), ("a", 25 * S, 2.0), ("a", 40 * S, 3.0)],
+    )
+    out = resample(pts, "a", 0, 60 * S, 10 * S, mode="hold").collect()
+    assert [(r.time // S, r.value) for r in out] == [
+        (0, None),  # before first point
+        (10, 1.0),  # exactly on a point: inclusive
+        (20, 1.0),
+        (30, 2.0),
+        (40, 3.0),  # exactly on a point
+        (50, 3.0),  # held past the last point
+    ]
+
+
+def test_resample_linear_known_values(spark):
+    pts = mk(spark, [("a", 10 * S, 1.0), ("a", 30 * S, 3.0)])
+    out = resample(pts, "a", 0, 50 * S, 10 * S, mode="linear").collect()
+    got = [(r.time // S, r.value) for r in out]
+    assert got[0] == (0, None)  # no left bracket
+    assert got[1] == (10, 1.0)  # on-point: weight 0, bit-exact value
+    assert got[2] == (20, 2.0)  # midpoint
+    assert got[3] == (30, 3.0)  # on-point (last)
+    assert got[4] == (40, None)  # no right bracket
+
+
+def test_resample_bucketed_matches_flat(spark, sf_dir):
+    from btrdb_server_spark.sources.testdata import load_points
+
+    T0 = 1_704_067_200_000_000_000
+    pts = load_points(spark, sf_dir, T0, T0 + 86_400_000_000_000)
+    for mode in ("hold", "linear"):
+        flat = resample(
+            pts, "click", T0, T0 + 86_400_000_000_000, 3_600_000_000_000, mode=mode
+        ).collect()
+        buck = resample(
+            pts,
+            "click",
+            T0,
+            T0 + 86_400_000_000_000,
+            3_600_000_000_000,
+            mode=mode,
+            bucket_pw=40,
+        ).collect()
+        assert [tuple(r) for r in flat] == [tuple(r) for r in buck]
+
+
+# ------------------------------------------------- counter / integral ----
+
+
+def test_counter_increase_reset_semantics(spark):
+    # counter: 1.00 -> 3.00 (+2.00) -> 0.50 (reset: +0.50) -> 2.50 (+2.00)
+    pts = mk(
+        spark,
+        [
+            ("c", 1 * S, 1.0),
+            ("c", 2 * S, 3.0),
+            ("c", 11 * S, 0.5),
+            ("c", 12 * S, 2.5),
+        ],
+    )
+    out = counter_increase(pts, "c", 0, 20 * S, 10 * S).collect()
+    assert [(r.time // S, round(r.increase, 2), r.n_deltas) for r in out] == [
+        (0, 2.0, 1),  # first point contributes nothing
+        (10, 2.5, 2),  # reset (+0.5) then +2.0
+    ]
+
+
+def test_trapz_integral_known_value(spark):
+    # two points 10 s apart at 1.00 and 3.00: integral = (1+3)/2 * 10 = 20
+    pts = mk(spark, [("c", 0, 1.0), ("c", 10 * S, 3.0)])
+    out = trapz_integral(pts, "c", 0, 20 * S, 20 * S).collect()
+    assert len(out) == 1
+    assert out[0].integral_vs == pytest.approx(20.0, abs=1e-9)
+
+
+def test_counter_and_integral_bucketed_match_flat(spark, sf_dir):
+    from btrdb_server_spark.sources.testdata import load_points
+
+    T0 = 1_704_067_200_000_000_000
+    T1 = T0 + 7 * 86_400_000_000_000
+    pts = load_points(spark, sf_dir, T0, T1)
+    for fn in (counter_increase, trapz_integral):
+        flat = fn(pts, "signup", T0, T1, 86_400_000_000_000).collect()
+        buck = fn(pts, "signup", T0, T1, 86_400_000_000_000, bucket_pw=40).collect()
+        assert [tuple(r) for r in flat] == [tuple(r) for r in buck]
+
+
+# ------------------------------------------------------------- zscore ----
+
+
+def test_anomaly_zscore_flags_outlier(spark):
+    # bucket of 9 points at 1.00 and one at 100.00 -> the spike has
+    # z = (q*n - sq)/sqrt(n*sqq - sq^2) with q in cents
+    rows = [("a", i * S, 1.0) for i in range(9)] + [("a", 9 * S, 100.0)]
+    pts = mk(spark, rows)
+    out = anomaly_zscore(pts, "a", 0, 1 << 44, pw=44, threshold=2.0).collect()
+    assert len(out) == 1
+    assert out[0].time == 9 * S and out[0].value == 100.0
+    n, sq, sqq = 10, 9 * 100 + 10000, 9 * 100**2 + 10000**2
+    expect = (10000 * n - sq) / math.sqrt(n * sqq - sq * sq)
+    assert out[0].zscore == pytest.approx(expect, rel=1e-12)
+
+
+def test_anomaly_zscore_zero_variance_bucket_silent(spark):
+    pts = mk(spark, [("a", i * S, 2.0) for i in range(5)])
+    assert anomaly_zscore(pts, "a", 0, 1 << 44, pw=44).count() == 0
+
+
+# --------------------------------------------------------------- corr ----
+
+
+def test_stream_corr_perfect_and_anti(spark):
+    # x buckets (1 s apart, pw=30 ~= 1.07 s buckets): a == b scaled -> +1;
+    # c anti-moves -> corr(a, c) == -1 on two buckets.
+    pw = 30
+    w = 1 << pw
+    rows = []
+    for i, (va, vc) in enumerate([(1.0, 3.0), (3.0, 1.0)]):
+        rows += [("a", i * w + 5, va), ("b", i * w + 7, 2 * va), ("c", i * w + 9, vc)]
+    pts = mk(spark, rows)
+    out = {(r.uuid_a, r.uuid_b): r.corr for r in stream_corr(pts, 0, 2 * w, pw).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0, abs=1e-12)
+    assert out[("a", "c")] == pytest.approx(-1.0, abs=1e-12)
+    assert out[("b", "c")] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_stream_corr_zero_variance_is_null(spark):
+    pw = 30
+    w = 1 << pw
+    rows = [("a", 5, 1.0), ("a", w + 5, 1.0), ("b", 6, 1.0), ("b", w + 6, 2.0)]
+    pts = mk(spark, rows)
+    out = stream_corr(pts, 0, 2 * w, pw).collect()
+    assert len(out) == 1 and out[0].corr is None  # 'a' has constant bucket sums
+
+
+# --------------------------------------------------------------- lttb ----
+
+
+def test_lttb_picks_spike_and_pins_endpoints(spark):
+    pw = 33  # ~8.6 s buckets
+    w = 1 << pw
+    rows = (
+        # bucket 0: two points — no left neighbor, keep EARLIEST
+        [("a", 1 * S, 5.0), ("a", 2 * S, 9.0)]
+        # bucket 1: flat line plus one spike — spike wins the triangle
+        + [("a", w + i * S, 1.0) for i in range(5)]
+        + [("a", w + 5 * S, 50.0)]
+        # bucket 2: two points — no right neighbor, keep LATEST
+        + [("a", 2 * w + 1 * S, 2.0), ("a", 2 * w + 2 * S, 7.0)]
+    )
+    pts = mk(spark, rows)
+    out = lttb_decimate(pts, "a", 0, 3 * w, pw).collect()
+    assert len(out) == 3
+    assert (out[0].time, out[0].value) == (1 * S, 5.0)  # earliest in first
+    assert (out[1].time, out[1].value) == (w + 5 * S, 50.0)  # the spike
+    assert (out[2].time, out[2].value) == (2 * w + 2 * S, 7.0)  # latest in last
+
+
+def test_lttb_one_point_per_bucket(spark):
+    from btrdb_server_spark.sources.testdata import load_points
+
+    T0 = 1_704_067_200_000_000_000
+    pts = load_points(spark, sf_dir="/root/testdata/sf0.001", start=T0)
+    out = lttb_decimate(pts, "view", T0, T0 + (1 << 45), pw=43)
+    rows = out.collect()
+    assert len(rows) == len({r.bucket_time for r in rows})  # one per bucket
+    assert rows == sorted(rows, key=lambda r: r.time)
+
+
+# ---------------------------------------------------------------- bpe -----
+
+
+def test_bpe_train_known_merges(spark):
+    # corpus: "aa ab aa" x freq — pair (a,a) appears twice (from two "aa"),
+    # (a,b) once. First merge: (a,a). After it "aa" -> ["aa"], so step 2
+    # merges (a,b).
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (2, "aa")], "doc_id long, text string"
+    )
+    from btrdb_server_spark.functions.bpe import bpe_train
+
+    rules = [tuple(r) for r in bpe_train(docs, num_merges=2).collect()]
+    assert rules == [(1, "a", "a", "aa", 2), (2, "a", "b", "ab", 1)]
+
+
+def test_bpe_merge_greedy_non_overlapping(spark):
+    # "aaaa": pairs (a,a) x3 -> merge yields [aa, aa], not [aa, aaa...]
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    from btrdb_server_spark.functions.bpe import bpe_train
+
+    rules = [tuple(r) for r in bpe_train(docs, num_merges=2).collect()]
+    assert rules[0] == (1, "a", "a", "aa", 3)
+    # step 2: the only remaining adjacent pair is (aa, aa)
+    assert rules[1] == (2, "aa", "aa", "aaaa", 1)
+
+
+def test_bpe_tie_breaks_lexicographic(spark):
+    docs = spark.createDataFrame([(1, "xy za")], "doc_id long, text string")
+    from btrdb_server_spark.functions.bpe import bpe_train
+
+    rules = [tuple(r) for r in bpe_train(docs, num_merges=1).collect()]
+    assert rules == [(1, "x", "y", "xy", 1)]  # (x,y) < (z,a) at equal count
