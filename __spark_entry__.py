@@ -425,6 +425,39 @@ def _bpe_oracle_sql(n: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY step"
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the purchase stream (alpha=0.25, Jan 1-10): the
+    flat path runs the EXACT left-to-right recurrence via a sorted array
+    fold, which the DuckDB oracle replays op-for-op (bit-identical). The
+    bucketed affine-composition scale path is covered by tests
+    (reassociates float ops — agrees to ~1e-12, documented)."""
+    from btrdb_server_spark.operators.derive import ewma
+
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10)
+    return ewma(pts, "purchase", T_2024, T_JAN10, alpha=0.25)
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint of the purchase stream over January: argmax of
+    the all-integer score |n*prefix_i - i*total| (quantum units) — the
+    selected split point is engine-exact. Bucketed prefix-sum scale path
+    (bucket_pw=40)."""
+    from btrdb_server_spark.operators.derive import cusum_changepoint
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return cusum_changepoint(pts, "purchase", T_2024, T_FEB, bucket_pw=40)
+
+
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day OLS trend (slope value/s + intercept) of the view stream:
+    five exact integer sufficient statistics (decimal(38,0) for the t^2
+    products), closed form evaluated in double on exact inputs."""
+    from btrdb_server_spark.operators.stat import trend_ols
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return trend_ols(pts, "view", T_2024, T_FEB, DAY_NS)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1678,6 +1711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_corr": q_stream_corr,
         "lttb_decimate": q_lttb_decimate,
         "bpe_train": q_bpe_train,
+        "ewma": q_ewma,
+        "cusum_changepoint": q_cusum_changepoint,
+        "trend_ols": q_trend_ols,
         "gaps": q_gaps,
         "rate": q_rate,
         "registry_obliterate": q_registry_obliterate,
@@ -2394,6 +2430,85 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "ewma": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value FROM pts
+                WHERE uuid = 'purchase' AND time >= 1704067200000000000 AND time < 1704844800000000000
+            ), arr AS (
+                SELECT list(struct_pack(t := time, v := value)
+                            ORDER BY time, value) AS a
+                FROM src
+            ), f AS (
+                SELECT list_reduce(
+                    list_transform(a, p -> [struct_pack(t := p.t, v := p.v,
+                                                        e := p.v)]),
+                    (acc, x) -> list_append(acc, struct_pack(
+                        t := x[1].t, v := x[1].v,
+                        e := CAST(0.25 AS DOUBLE) * x[1].v
+                             + CAST(0.75 AS DOUBLE) * acc[len(acc)].e))
+                ) AS r FROM arr
+            )
+            SELECT u.r.t AS time, u.r.v AS value, u.r.e AS ewma
+            FROM f, unnest(f.r) AS u(r) ORDER BY time
+        """,
+        "cusum_changepoint": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value, CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts
+                WHERE uuid = 'purchase' AND time >= 1704067200000000000 AND time < 1706745600000000000
+            ), r AS (
+                SELECT time,
+                       CAST(sum(q) OVER (ORDER BY time, value
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+                       CAST(row_number() OVER (ORDER BY time, value) AS BIGINT)
+                           AS i
+                FROM src
+            ), t AS (
+                SELECT CAST(sum(q) AS BIGINT) AS total, count(*) AS n FROM src
+            ), s AS (
+                SELECT r.time,
+                       abs(t.n * r.prefix - r.i * t.total) AS score, t.n
+                FROM r CROSS JOIN t
+            )
+            SELECT time, score, n FROM s ORDER BY score DESC, time ASC LIMIT 1
+        """,
+        "trend_ols": f"""
+            {PTS_CTE}, src AS (
+                SELECT (time - 1704067200000000000) // 86400000000000 AS widx,
+                       (time - 1704067200000000000) % 86400000000000 AS t,
+                       CAST(round(value / 0.01) AS BIGINT) AS vq
+                FROM pts
+                WHERE uuid = 'view' AND time >= 1704067200000000000 AND time < 1706745600000000000
+            ), agg AS (
+                SELECT widx, count(*) AS n,
+                       CAST(sum(t) AS BIGINT) AS st,
+                       CAST(sum(vq) AS BIGINT) AS sy,
+                       sum(CAST(t AS HUGEINT) * t) AS stt,
+                       sum(CAST(t AS HUGEINT) * vq) AS sty
+                FROM src GROUP BY 1
+            ), x AS (
+                SELECT widx, n,
+                       CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS denom,
+                       (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) AS snum,
+                       CAST(st AS DOUBLE) AS std, CAST(sy AS DOUBLE) AS syd
+                FROM agg
+            ), y AS (
+                SELECT widx, n, denom,
+                       (snum / denom) AS slope_nsq,
+                       ((syd - (snum / denom) * std) / CAST(n AS DOUBLE))
+                           / 100.0 AS intercept
+                FROM x
+            ), spine AS (SELECT range AS widx FROM range(0, 31))
+            SELECT 1704067200000000000 + spine.widx * 86400000000000 AS time,
+                   CASE WHEN y.denom > 0
+                        THEN y.slope_nsq * 1000000000.0 / 100.0 END
+                       AS slope_per_sec,
+                   CASE WHEN y.denom > 0 THEN y.intercept END AS intercept,
+                   COALESCE(y.n, 0) AS n
+            FROM spine LEFT JOIN y USING (widx) ORDER BY time
+        """,
         "nearest_before": f"""
             {PTS_CTE}
             SELECT time, value FROM pts

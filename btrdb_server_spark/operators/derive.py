@@ -345,3 +345,254 @@ def rate(
         )
         .orderBy("time")
     )
+
+
+def ewma(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    alpha: float = 0.25,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average: s_i = alpha*x_i +
+    (1-alpha)*s_{i-1}, s_0 = x_0 — the classic smoothing pass every
+    dashboard and alerting rule runs over raw telemetry. Columns:
+    time, value, ewma; ordered by time.
+
+    The recurrence is inherently sequential; two physical strategies:
+
+    - bucket_pw=None (interactive): per-stream sorted fold
+      (sort_array(collect_list) + aggregate) — the EXACT left-to-right
+      recurrence, bit-reproducible in any engine that folds the same
+      order (the DuckDB oracle replays the identical op sequence). One
+      row per stream holds the whole range: bounded ranges only.
+    - bucket_pw=k (scale): EWMA is an affine recurrence, so a bucket
+      composes to s_out = A*s_in + B with A = (1-alpha)^n_b and B the
+      bucket's zero-state response — both computed by the same in-bucket
+      fold. The carry chain folds the bucket-level affine maps (one row
+      per non-empty bucket, metadata-sized), then each bucket replays its
+      in-bucket fold seeded with the carried s_in. Work per task is one
+      bucket; a billion-point stream fans out across buckets. The affine
+      composition reassociates float ops, so results agree with the flat
+      path to rounding (~1e-12 relative), not bit-exactly — documented,
+      and why the oracle pairs with the flat path.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid))
+        & (F.col("time") >= F.lit(start))
+        & (F.col("time") < F.lit(end))
+    )
+    a, b = F.lit(alpha), F.lit(1.0 - alpha)
+
+    def fold_bucket(arr, seed_expr, seeded):
+        """Fold sorted (time, value) structs into (time, value, ewma)
+        structs; seeded=True starts from seed_expr (carry-in), else the
+        first element seeds with its own value."""
+        init = F.array(
+            F.struct(
+                F.element_at(arr, 1)["time"].alias("time"),
+                F.element_at(arr, 1)["value"].alias("value"),
+                (
+                    (a * F.element_at(arr, 1)["value"] + b * seed_expr)
+                    if seeded
+                    else F.element_at(arr, 1)["value"]
+                ).alias("ewma"),
+            )
+        )
+        rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+        return F.aggregate(
+            rest,
+            init,
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["time"].alias("time"),
+                        x["value"].alias("value"),
+                        (a * x["value"] + b * F.element_at(acc, -1)["ewma"]).alias(
+                            "ewma"
+                        ),
+                    )
+                ),
+            ),
+        )
+
+    if bucket_pw is None:
+        folded = (
+            src.groupBy("uuid")
+            .agg(F.sort_array(F.collect_list(F.struct("time", "value"))).alias("arr"))
+            .select(F.explode(fold_bucket(F.col("arr"), None, False)).alias("r"))
+        )
+        return folded.select("r.time", "r.value", "r.ewma").orderBy("time")
+
+    # Scale path: per-bucket folds + affine carry chain.
+    by_bucket = (
+        src.withColumn("bucket", F.shiftright("time", bucket_pw))
+        .groupBy("uuid", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("time", "value"))).alias("arr"))
+    )
+    # In-bucket affine map (A, B): zero-state fold gives B; A = (1-a)^n.
+    # U is the self-seeded output (first element's ewma = its own value) —
+    # the correct s_out when the bucket is the stream's FIRST.
+    zero_fold = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: a * x["value"] + b * acc,
+    )
+    self_fold = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.element_at(F.col("arr"), 1)["value"],
+        lambda acc, x: a * x["value"] + b * acc,
+    )
+    summaries = by_bucket.select(
+        "uuid",
+        "bucket",
+        F.pow(b, F.size("arr")).alias("A"),
+        zero_fold.alias("B"),
+        self_fold.alias("U"),
+    )
+    # Carry: fold bucket affine maps in bucket order — metadata-sized.
+    carry_arr = summaries.groupBy("uuid").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "A", "B", "U"))).alias("bs")
+    )
+    seeds = carry_arr.select(
+        "uuid",
+        F.explode(
+            F.aggregate(
+                F.col("bs"),
+                F.array().cast(
+                    "array<struct<bucket:bigint,s_in:double,seeded:boolean,s_out:double>>"
+                ),
+                lambda acc, x: F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            x["bucket"].alias("bucket"),
+                            F.when(
+                                F.size(acc) > 0, F.element_at(acc, -1)["s_out"]
+                            ).alias("s_in"),
+                            (F.size(acc) > 0).alias("seeded"),
+                            F.when(
+                                F.size(acc) > 0,
+                                x["A"] * F.element_at(acc, -1)["s_out"] + x["B"],
+                            )
+                            .otherwise(x["U"])
+                            .alias("s_out"),
+                        )
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select("uuid", "c.bucket", "c.s_in", "c.seeded")
+    joined = by_bucket.join(seeds, ["uuid", "bucket"])
+    folded = joined.select(
+        F.explode(
+            F.when(
+                F.col("seeded"), fold_bucket(F.col("arr"), F.col("s_in"), True)
+            ).otherwise(fold_bucket(F.col("arr"), None, False))
+        ).alias("r")
+    )
+    return folded.select("r.time", "r.value", "r.ewma").orderBy("time")
+
+
+def cusum_changepoint(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Level-shift detection: the point where the centered cumulative sum
+    deviates most from the straight line — the classic CUSUM changepoint
+    statistic max_i |prefix_i - (i/n)*total|, here scaled by n to stay in
+    integers: score_i = |n*prefix_i - i*total| (same argmax). One row:
+    (time, score, n) — the split point after which the mean differs most,
+    with score in n*quantum units.
+
+    Exactness: prefix sums, ranks and the score are all int64 in quantum
+    units (bound: n^2 * max|value|/quantum <= 9.2e18 — ~4e6 points of
+    cent-quantized data per analyzed range; chunk longer ranges), and the
+    argmax is an integer struct-max with ties to the earliest time — so
+    the selected changepoint is engine-exact, no float anywhere.
+
+    Scale shape: the prefix sum and rank ride the same (uuid, bucket)
+    carry-chain pattern as `sessions` when bucket_pw is set; the argmax
+    is one map-side-combined struct max."""
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid))
+        & (F.col("time") >= F.lit(start))
+        & (F.col("time") < F.lit(end))
+    ).select(
+        "uuid",
+        "time",
+        "value",
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
+    )
+    if bucket_pw is None:
+        w = (
+            Window.partitionBy("uuid")
+            .orderBy("time", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = src.select(
+            "time",
+            F.sum("q").over(w).alias("prefix"),
+            F.count("*").over(w).alias("i"),
+        )
+    else:
+        b = src.withColumn("bucket", F.shiftright("time", bucket_pw))
+        wb = (
+            Window.partitionBy("uuid", "bucket")
+            .orderBy("time", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = b.select(
+            "uuid",
+            "bucket",
+            "time",
+            F.sum("q").over(wb).alias("cum_q"),
+            F.count("*").over(wb).alias("cum_i"),
+        )
+        totals = b.groupBy("uuid", "bucket").agg(
+            F.sum("q").alias("tq"), F.count("*").alias("ti")
+        )
+        wc = (
+            Window.partitionBy("uuid")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            "uuid",
+            "bucket",
+            F.coalesce(F.sum("tq").over(wc), F.lit(0)).alias("oq"),
+            F.coalesce(F.sum("ti").over(wc), F.lit(0)).alias("oi"),
+        )
+        ranked = within.join(offsets, ["uuid", "bucket"]).select(
+            "time",
+            (F.col("cum_q") + F.col("oq")).alias("prefix"),
+            (F.col("cum_i") + F.col("oi")).alias("i"),
+        )
+    tot = src.groupBy().agg(
+        F.sum("q").alias("total"), F.count("*").alias("n")
+    )
+    score = F.abs(F.col("n") * F.col("prefix") - F.col("i") * F.col("total"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.struct(
+                score.alias("score"), (-F.col("time")).alias("negt")
+            ).alias("cand"),
+            "n",
+        )
+        .groupBy("n")
+        .agg(F.max("cand").alias("best"))
+        .select(
+            (-F.col("best.negt")).alias("time"),
+            F.col("best.score").alias("score"),
+            F.col("n"),
+        )
+    )

@@ -447,3 +447,74 @@ def lttb_decimate(
         (F.lit(fstart) - F.col("best.negtoff")).alias("time"),
         F.col("best.v").alias("value"),
     ).orderBy("time")
+
+
+def trend_ols(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Per-window least-squares trend: slope (value units per second) and
+    intercept (value at the window start) of the OLS line through the
+    window's points — the drift detector behind every "rate of change of
+    the daily average" panel, and the regression aggregate the reference's
+    closed min/mean/max/count set cannot express.
+
+    Exactness: all five sufficient statistics are exact integers —
+    t offsets from the window start in int64, values in quantum units;
+    sum(t), sum(q), n in int64 and the big products sum(t*t), sum(t*q) in
+    decimal(38,0) (a day of ns offsets squared overflows int64; 38 digits
+    hold t^2 sums for windows up to ~3 years). The closed-form
+
+        slope = (n*Sty - St*Sy) / (n*Stt - St*St)
+
+    then runs in double on the exact integers (each factor cast first) —
+    a fixed IEEE sequence, bit-identical in any engine. Windows with
+    fewer than 2 distinct times emit null slope/intercept.
+
+    Scale shape: one map-side-combined groupBy, one row per window on the
+    shuffle; the spine join is window-count-sized and broadcast."""
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    end = end - (end - start) % width
+    if start >= end:
+        raise ValueError("start >= end after rounding")
+    q = round(1.0 / value_quantum)
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
+    ).select(
+        F.expr(f"(time - ({start})) div {width}").alias("widx"),
+        (
+            (F.col("time") - F.lit(start))
+            - F.expr(f"((time - ({start})) div {width}) * {width}")
+        ).alias("t"),
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"),
+    )
+    agg = src.groupBy("widx").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("vq").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("stt"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("vq")).alias("sty"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    denom = d("n") * d("stt") - d("st") * d("st")
+    slope_nsq = (d("n") * d("sty") - d("st") * d("sy")) / denom
+    # cents/ns -> value/s: * 1e9 / q (both exactly representable)
+    slope = slope_nsq * F.lit(1.0e9) / F.lit(float(q))
+    intercept = ((d("sy") - slope_nsq * d("st")) / d("n")) / F.lit(float(q))
+    spark = points.sparkSession
+    spine = spark.range(0, (end - start) // width).select(F.col("id").alias("widx"))
+    return (
+        spine.join(agg, "widx", "left")
+        .select(
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            F.when(denom > 0, slope).alias("slope_per_sec"),
+            F.when(denom > 0, intercept).alias("intercept"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("time")
+    )

@@ -233,3 +233,154 @@ def test_bpe_tie_breaks_lexicographic(spark):
 
     rules = [tuple(r) for r in bpe_train(docs, num_merges=1).collect()]
     assert rules == [(1, "x", "y", "xy", 1)]  # (x,y) < (z,a) at equal count
+
+
+# --------------------------------------------------------- plan shapes ----
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stream_corr_no_window_no_cartesian_points(spark):
+    """stream_corr: the point-scale side is ONE partial-aggregated groupBy;
+    no window functions anywhere, and the only cross join is on the
+    stream-count-sized marginal table."""
+    from btrdb_server_spark.sources.testdata import load_points
+
+    df = stream_corr(
+        load_points(spark, "/root/testdata/sf0.001"), 0, 1 << 62, pw=42
+    )
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_lttb_no_window_functions(spark):
+    """lttb_decimate argmaxes via struct max — the plan must carry no
+    WindowExec (a per-bucket row_number would sort point-scale data)."""
+    from btrdb_server_spark.sources.testdata import load_points
+
+    df = lttb_decimate(
+        load_points(spark, "/root/testdata/sf0.001"), "view", 0, 1 << 62, pw=43
+    )
+    assert "Window" not in _plan(df)
+
+
+def test_resample_bucketed_windows_carry_bucket_key(spark):
+    """resample(bucket_pw=...): every point-scale window spec must include
+    the bucket key next to uuid (the carry chain is the only uuid-alone
+    window and it is bucket-count sized)."""
+    import re
+
+    from btrdb_server_spark.sources.testdata import load_points
+
+    df = resample(
+        load_points(spark, "/root/testdata/sf0.001"),
+        "click",
+        0,
+        1 << 50,
+        1 << 42,
+        mode="hold",
+        bucket_pw=44,
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", _plan(df))
+    assert specs
+    assert any("bucket" in s for s in specs)
+
+
+def test_resample_pushes_time_predicate(spark):
+    """The stream + range predicate must reach the parquet scan."""
+    from btrdb_server_spark.sources.testdata import load_points
+
+    T0 = 1_704_067_200_000_000_000
+    df = resample(
+        load_points(spark, "/root/testdata/sf0.001"),
+        "click",
+        T0,
+        T0 + (1 << 44),
+        1 << 40,
+        mode="hold",
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+# ------------------------------------------- ewma / cusum / trend_ols ----
+
+
+def test_ewma_exact_recurrence_flat(spark):
+    vals = [4.0, 8.0, 2.0, 6.0, 10.0, 0.0, 4.0, 8.0]
+    pts = mk(spark, [("a", i * S, v) for i, v in enumerate(vals)])
+    from btrdb_server_spark.operators.derive import ewma
+
+    out = ewma(pts, "a", 0, 100 * S, alpha=0.25).collect()
+    s, exp = None, []
+    for v in vals:
+        s = v if s is None else 0.25 * v + 0.75 * s
+        exp.append(s)
+    assert [r.ewma for r in out] == exp  # bit-exact: same fold order
+
+
+def test_ewma_bucketed_matches_flat_to_rounding(spark):
+    vals = [4.0, 8.0, 2.0, 6.0, 10.0, 0.0, 4.0, 8.0, 1.0, 9.0]
+    pts = mk(spark, [("a", i * S, v) for i, v in enumerate(vals)])
+    from btrdb_server_spark.operators.derive import ewma
+
+    flat = ewma(pts, "a", 0, 100 * S, alpha=0.25).collect()
+    buck = ewma(pts, "a", 0, 100 * S, alpha=0.25, bucket_pw=31).collect()
+    assert len(flat) == len(buck)
+    for f, b in zip(flat, buck):
+        assert (f.time, f.value) == (b.time, b.value)
+        assert b.ewma == pytest.approx(f.ewma, rel=1e-12)
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    # 10 points at 1.00 then 10 at 5.00: the max centered deviation is at
+    # the last low point (the prefix of the low regime).
+    rows = [("a", i * S, 1.0) for i in range(10)] + [
+        ("a", (10 + i) * S, 5.0) for i in range(10)
+    ]
+    pts = mk(spark, rows)
+    from btrdb_server_spark.operators.derive import cusum_changepoint
+
+    out = cusum_changepoint(pts, "a", 0, 100 * S).collect()
+    assert len(out) == 1
+    assert out[0].time == 9 * S  # last point of the first regime
+    # score = |n*prefix_i - i*total| = |20*10*100 - 10*(10*100+10*500)|
+    assert out[0].score == abs(20 * 1000 - 10 * 6000)
+    assert out[0].n == 20
+
+
+def test_cusum_bucketed_matches_flat(spark, sf_dir):
+    from btrdb_server_spark.operators.derive import cusum_changepoint
+    from btrdb_server_spark.sources.testdata import load_points
+
+    T0 = 1_704_067_200_000_000_000
+    pts = load_points(spark, sf_dir, T0, T0 + 30 * 86_400_000_000_000)
+    flat = cusum_changepoint(pts, "click", T0, T0 + 30 * 86_400_000_000_000)
+    buck = cusum_changepoint(
+        pts, "click", T0, T0 + 30 * 86_400_000_000_000, bucket_pw=40
+    )
+    assert [tuple(r) for r in flat.collect()] == [tuple(r) for r in buck.collect()]
+
+
+def test_trend_ols_exact_line(spark):
+    # y = 2 + 3t (t in seconds): slope 3/s, intercept 2 — exact recovery.
+    pts = mk(spark, [("a", i * S, 2.0 + 3.0 * i) for i in range(5)])
+    from btrdb_server_spark.operators.stat import trend_ols
+
+    out = trend_ols(pts, "a", 0, 10 * S, 10 * S).collect()
+    assert len(out) == 1
+    assert out[0].slope_per_sec == pytest.approx(3.0, rel=1e-12)
+    assert out[0].intercept == pytest.approx(2.0, rel=1e-12)
+    assert out[0].n == 5
+
+
+def test_trend_ols_degenerate_window_null(spark):
+    pts = mk(spark, [("a", 5, 1.0)])  # one point: no slope
+    from btrdb_server_spark.operators.stat import trend_ols
+
+    out = trend_ols(pts, "a", 0, 10 * S, 10 * S).collect()
+    assert out[0].slope_per_sec is None and out[0].intercept is None
+    assert out[0].n == 1
