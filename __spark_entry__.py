@@ -458,6 +458,55 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_ols(pts, "view", T_2024, T_FEB, DAY_NS)
 
 
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA as a continuous query: per-stream keyed state carries
+    (frontier, running ewma) so the recurrence continues across
+    micro-batches — the source is four time-ordered slices written
+    sequentially (mod-time ordering), and the emitted union is
+    bit-identical to the batch fold, which is the oracle."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_ewma
+
+    work = tempfile.mkdtemp(prefix="btrdb_sewma_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
+        F.col("uuid").isin("purchase", "error")
+    )
+    # Time-ordered slices, written SEQUENTIALLY so the file source's
+    # mod-time ordering replays them in time order (EWMA is order-defined;
+    # the operator enforces the contract rather than assuming it).
+    span = (T_JAN10 - T_2024) // 4
+    for k in range(4):
+        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
+        (
+            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_ewma_out"
+    q = (
+        streaming_ewma(stream, alpha=0.25)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1684,25 +1733,23 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate: the external driver checks the FIRST 50
-    entries, so coverage rotates between rounds. Round-4 window =
-    (a) every query whose implementation changed or was added early this
-    round (quantized depth means, bucketed lag, registry mutation log,
-    the rollup/windows rewrites + SQL surface), then (b) green anchors
-    for the SURVEY §2 families this round's changes touch, then (c) the
-    32 extension operators that had no driver row through r03 (13 never
-    checked in any round), closing with three of this round's new ops
-    (kmeans_train, dedup_select, streaming_topk). Anchors evicted to
-    position 51+ to make room (changed_ranges, nearest_asof,
-    multistream_align, aligned_windows, buffer_read_your_writes) all
-    hold green rows from r01-r03 over unchanged code. Entries past 50 —
-    including the rest of this round's new ops (sessions, pq_train,
-    tfidf_topk, streaming_sessions, decontaminate_lsh, media_dedup) —
-    are validated by scripts/check_driver.py (bit-exact, the driver's
-    own compare) and rotate into the window next round."""
+    entries, so coverage rotates between rounds. Round-5 window =
+    (a) the three r04 hash-reds, now root-caused (DuckDB HUGEINT output
+    columns coerced to float64 by the driver's Arrow fetch) and fixed
+    with BIGINT casts; (b) the eleven operators new this round
+    (resample/counter/integral/zscore/corr/LTTB/BPE/EWMA/CUSUM/OLS);
+    (c) the eight r04 operators that sat outside the window; (d) the two
+    stateful streaming queries whose source writes changed to genuine
+    multi-batch; then (e) green anchors covering every SURVEY family
+    over unchanged code. Everything at position 51+ holds a green row
+    from r03 or r04 and is validated by scripts/check_driver.py
+    (bit-exact, the driver's own compare) before round end."""
     return {
-        # -- (a) changed this round: must re-earn a driver row -----------
+        # -- (a) r04 reds, root-caused + fixed -------------------------
         "windows_depth": q_windows_depth,
         "windows_rollup": q_windows_rollup,
+        "repetition_stats": q_repetition_stats,
+        # -- (b) new in round 5 ----------------------------------------
         "resample_hold": q_resample_hold,
         "resample_linear": q_resample_linear,
         "counter_rate": q_counter_rate,
@@ -1714,22 +1761,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "cusum_changepoint": q_cusum_changepoint,
         "trend_ols": q_trend_ols,
+        # -- (c) new in round 4, first time inside the window ----------
+        "sessions": q_sessions,
+        "pq_train": q_pq_train,
+        "tfidf_topk": q_tfidf_topk,
+        "streaming_sessions": q_streaming_sessions,
+        "decontaminate_lsh": q_decontaminate_lsh,
+        "media_dedup": q_media_dedup,
+        "streaming_lsh": q_streaming_lsh,
+        "value_histogram": q_value_histogram,
+        # -- (d) changed this round: multi-batch streaming sources -----
+        "streaming_ewma": q_streaming_ewma,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_stat_state": q_streaming_stat_state,
+        # -- (e) green anchors, one per SURVEY family ------------------
+        "raw_values": q_raw_values,
+        "streaming_ingest": q_streaming_ingest,
+        "store_version_travel": q_store_version_travel,
+        "nearest_asof": q_nearest_asof,
+        "multistream_align": q_multistream_align,
+        "changed_ranges": q_changed_ranges,
+        "lookup_streams": q_lookup_streams,
+        "aligned_windows": q_aligned_windows,
+        "windows_holes": q_windows_holes,
+        "aligned_windows_rollup": q_aligned_windows_rollup,
+        "rollup_rewrite": q_rollup_rewrite,
+        "windows_rewrite": q_windows_rewrite,
+        "sql_rollup_serve": q_sql_rollup_serve,
+        "list_collections": q_list_collections,
+        "delete_range": q_delete_range,
+        "registry_obliterate": q_registry_obliterate,
+        "buffer_read_your_writes": q_buffer_read_your_writes,
+        "buffer_stat_merge": q_buffer_stat_merge,
+        "late_data_rollup": q_late_data_rollup,
         "gaps": q_gaps,
         "rate": q_rate,
-        "registry_obliterate": q_registry_obliterate,
-        "list_collections": q_list_collections,
-        "rollup_rewrite": q_rollup_rewrite,
-        "sql_rollup_serve": q_sql_rollup_serve,
-        "windows_rewrite": q_windows_rewrite,
-        # -- (b) one green anchor per SURVEY §2 family -------------------
-        "raw_values": q_raw_values,
-        "aligned_windows_rollup": q_aligned_windows_rollup,
-        "windows_holes": q_windows_holes,
-        "store_version_travel": q_store_version_travel,
-        "buffer_stat_merge": q_buffer_stat_merge,
-        "streaming_ingest": q_streaming_ingest,
-        # -- (c) extension operators without a prior driver row ----------
-        "repetition_stats": q_repetition_stats,
+        "exact_dedup": q_exact_dedup,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_stats": q_text_stats,
+        # ---- position 51+: multi-round green, checked locally ----------
         "text_scrub": q_text_scrub,
         "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
@@ -1760,56 +1832,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": q_media_resize_plan,
         "ivf_assign": q_ivf_assign,
         "ivf_refine": q_ivf_refine,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_train": q_kmeans_train,
         "dedup_select": q_dedup_select,
         "streaming_topk": q_streaming_topk,
-        # ---- position 51+: multi-round green, checked locally ----------
-        "aligned_windows": q_aligned_windows,
-        "buffer_read_your_writes": q_buffer_read_your_writes,
-        "multistream_align": q_multistream_align,
         "aligned_quantiles": q_aligned_quantiles,
-        "nearest_asof": q_nearest_asof,
         "aligned_windows_all": q_aligned_windows_all,
         "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
         "decimate_envelope": q_decimate_envelope,
-        "sessions": q_sessions,
-        "pq_train": q_pq_train,
-        "tfidf_topk": q_tfidf_topk,
-        "changed_ranges": q_changed_ranges,
         "changed_ranges_all": q_changed_ranges_all,
         "csv_export": q_csv_export,
-        "delete_range": q_delete_range,
         "store_delete_range": q_store_delete_range,
         "store_changes": q_store_changes,
-        "streaming_stat_state": q_streaming_stat_state,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_sessions": q_streaming_sessions,
-        "decontaminate_lsh": q_decontaminate_lsh,
-        "media_dedup": q_media_dedup,
-        "streaming_lsh": q_streaming_lsh,
-        "value_histogram": q_value_histogram,
         "store_nearest": q_store_nearest,
         "store_aligned_windows": q_store_aligned_windows,
-        "lookup_streams": q_lookup_streams,
         "metadata_usage": q_metadata_usage,
         "metadata_ann_usage": q_metadata_ann_usage,
         "align_windowed": q_align_windowed,
         "buffer_query_version": q_buffer_query_version,
         "insert_cap": q_insert_cap,
         "streaming_rollup_serve": q_streaming_rollup_serve,
-        "late_data_rollup": q_late_data_rollup,
         "store_compact": q_store_compact,
-        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_entropy": q_token_entropy,
-        "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "dedup_clusters": q_dedup_clusters,
         "token_freq": q_token_freq,
     }
 
@@ -2430,6 +2478,28 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "streaming_ewma": f"""
+            {PTS_CTE}, src AS (
+                SELECT uuid, time, value FROM pts
+                WHERE uuid IN ('purchase', 'error')
+                  AND time >= 1704067200000000000 AND time < 1704844800000000000
+            ), arr AS (
+                SELECT uuid, list(struct_pack(t := time, v := value)
+                                  ORDER BY time, value) AS a
+                FROM src GROUP BY uuid
+            ), f AS (
+                SELECT uuid, list_reduce(
+                    list_transform(a, p -> [struct_pack(t := p.t, v := p.v,
+                                                        e := p.v)]),
+                    (acc, x) -> list_append(acc, struct_pack(
+                        t := x[1].t, v := x[1].v,
+                        e := CAST(0.25 AS DOUBLE) * x[1].v
+                             + CAST(0.75 AS DOUBLE) * acc[len(acc)].e))
+                ) AS r FROM arr
+            )
+            SELECT uuid, u.r.t AS time, u.r.v AS value, u.r.e AS ewma
+            FROM f, unnest(f.r) AS u(r) ORDER BY uuid, time
+        """,
         "ewma": f"""
             {PTS_CTE}, src AS (
                 SELECT time, value FROM pts

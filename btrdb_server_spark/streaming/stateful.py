@@ -369,3 +369,74 @@ def streaming_stat_windows(points_stream: DataFrame, pw: int) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = "uuid string, time long, value double, ewma double"
+EWMA_STATE_SCHEMA = "last_time long, last_ewma double"
+
+
+def _make_update_ewma(alpha: float):
+    a, b = float(alpha), 1.0 - float(alpha)
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Continue one stream's EWMA recurrence across micro-batches:
+        state is (last_time, last_ewma); each batch's points are folded in
+        time order with the IDENTICAL op sequence as the batch operator
+        (s = a*x + b*s), so on an in-order source the emitted values are
+        bit-equal to derive.ewma's flat path. Out-of-order points within a
+        batch are sorted; points older than the state's frontier would
+        reorder an already-emitted recurrence and are REJECTED by contract
+        (ewma is order-defined — unlike the associative stat/session
+        state, late data cannot be folded in exactly; resample first if
+        the source is not in order)."""
+        (uuid,) = key
+        if state.exists:
+            last_t, s = state.get
+        else:
+            last_t, s = None, None
+        out_t, out_v, out_e = [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["time", "value"])
+            for t, v in zip(pdf["time"].astype("int64"), pdf["value"]):
+                t, v = int(t), float(v)
+                if last_t is not None and t < last_t:
+                    raise ValueError(
+                        f"stream {uuid}: point at {t} arrived after the "
+                        f"EWMA frontier {last_t} — order-defined operator"
+                    )
+                s = v if s is None else a * v + b * s
+                last_t = t
+                out_t.append(t)
+                out_v.append(v)
+                out_e.append(s)
+        if not out_t:
+            return
+        state.update((last_t, s))
+        yield pd.DataFrame(
+            {"uuid": uuid, "time": out_t, "value": out_v, "ewma": out_e}
+        )
+
+    return fn
+
+
+def streaming_ewma(points_stream: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """EWMA as a continuous query: keyed state per stream carries
+    (frontier, running ewma), so the recurrence continues seamlessly
+    across micro-batches — on an in-order source the emission equals the
+    batch operator bit-for-bit (asserted by the driver pair). State is two
+    scalars per stream: O(streams), the smallest state of any operator
+    here. The order contract is enforced, not assumed: a point behind the
+    frontier raises rather than silently corrupting the recurrence."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    return points_stream.groupBy("uuid").applyInPandasWithState(
+        _make_update_ewma(alpha),
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -220,3 +220,43 @@ def test_streaming_lsh_incremental_index(spark, tmp_path):
     }
     assert got == want and (0, 1) in got   # the late doc paired up
     assert (0, 1) not in first             # ...only after it arrived
+
+
+def test_streaming_ewma_continues_recurrence_across_batches(spark, tmp_path):
+    """Three in-order micro-batches: the keyed state carries the frontier
+    and running ewma, so the emitted union equals the batch fold exactly
+    (same op order -> bit-equal)."""
+    from btrdb_server_spark.streaming.stateful import streaming_ewma
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    vals = [4.0, 8.0, 2.0, 6.0, 10.0, 0.0]
+    write_batch(spark, src, [("s", i, vals[i]) for i in (0, 1)], 1)
+    write_batch(spark, src, [("s", i, vals[i]) for i in (2, 3)], 2)
+    write_batch(spark, src, [("s", i, vals[i]) for i in (4, 5)], 3)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.25)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.time: r.ewma
+        for r in spark.sql("SELECT * FROM ewma_updates").collect()
+    }
+    s, exp = None, {}
+    for i, v in enumerate(vals):
+        s = v if s is None else 0.25 * v + 0.75 * s
+        exp[i] = s
+    assert got == exp  # bit-equal, not approx
