@@ -507,6 +507,16 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-IVF-cell k-NN graph over the embeddings: every vector's top-3
+    cosine neighbors among its cluster — the similarity-graph build
+    behind SemDeDup/label-propagation, quadratic only per cell."""
+    from btrdb_server_spark.functions.similarity import centroids_from_rows, knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, centroids_from_rows(emb, k=8), k=3)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1800,8 +1810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "text_stats": q_text_stats,
+        "knn_graph": q_knn_graph,
         # ---- position 51+: multi-round green, checked locally ----------
+        "text_stats": q_text_stats,
         "text_scrub": q_text_scrub,
         "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
@@ -2478,6 +2489,31 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "knn_graph": f"""
+            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings WHERE vec_id < 8),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            s AS (SELECT e.vec_id, c.cid,
+                         round(list_cosine_similarity(e.v, c.cv), 6) AS score
+                  FROM e CROSS JOIN c),
+            r AS (SELECT vec_id, cid, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+                  FROM s),
+            assign AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1),
+            ea AS (SELECT e.vec_id, e.v, assign.cluster
+                   FROM e JOIN assign USING (vec_id)),
+            p AS (SELECT a.vec_id, b.vec_id AS neighbor,
+                         round(list_cosine_similarity(a.v, b.v), 6) AS score
+                  FROM ea a JOIN ea b
+                    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+            rk AS (SELECT vec_id, neighbor, score, row_number() OVER
+                          (PARTITION BY vec_id
+                           ORDER BY score DESC, neighbor) AS "rank"
+                   FROM p)
+            SELECT vec_id, "rank", neighbor, score FROM rk
+            WHERE "rank" <= 3 ORDER BY vec_id, "rank"
+        """,
         "streaming_ewma": f"""
             {PTS_CTE}, src AS (
                 SELECT uuid, time, value FROM pts

@@ -766,3 +766,75 @@ def ann_topk_ivf_multiprobe(
         assign.join(F.broadcast(top_clusters), "cluster").select(id_col), id_col
     )
     return cosine_topk_by_id(candidates, probe_id, k, id_col, vec_col)
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN graph restricted to IVF cells: every vector's top-k cosine
+    neighbors AMONG ITS OWN CLUSTER — the similarity-graph build behind
+    SemDeDup-style clustering, link prediction features, and graph-based
+    label propagation over a corpus. Restricting candidates to the IVF
+    cell is what makes the graph buildable at all at corpus scale: the
+    quadratic runs per cluster, never globally (the same bound
+    semantic_dedup exploits), and the semantics are DEFINED as
+    within-cell top-k, so the result is exact for its contract — not a
+    recall-approximate shortcut — and oracle-checkable.
+
+    Columns: vec_id, rank (1-based), neighbor, score (cosine rounded to 6
+    — the engine-portable quantization all similarity oracles use; ties
+    break to the smaller neighbor id).
+
+    Scale shape: one broadcast-join assignment pass (the corpus never
+    shuffles for it), then a self-join keyed on the cluster id and a
+    row_number window whose partitions are single vectors — cluster size
+    bounds both the join fan-out and every window group."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # Precompute each vector's norm ONCE (its own projection stage — see
+    # the HOF-lambda CSE note in with_rowwise_signatures): cosine per pair
+    # is then one dot product and a scalar divide, not three array passes.
+    e = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .join(assign, id_col)
+        .select(id_col, "v", "cluster")
+        .withColumn("n", _norm(F.col("v")))
+    )
+    a = e.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        "cluster",
+    )
+    b = e.select(
+        F.col(id_col).alias("neighbor"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        "cluster",
+    )
+    pairs = a.join(b, "cluster").where(F.col("vec_id") != F.col("neighbor"))
+    scored = pairs.select(
+        "vec_id",
+        "neighbor",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("neighbor"))
+    return (
+        scored.select(
+            "vec_id", "neighbor", "score", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor", "score")
+        .orderBy("vec_id", "rank")
+    )

@@ -57,12 +57,18 @@ def stream_corr(
     n_buckets = (fend - fstart) >> pw
     if n_buckets <= 0:
         raise ValueError("empty bucket range")
+    # localCheckpoint: `sums` feeds the marginals AND both sides of the
+    # pair join — without materialization Spark re-runs the point-scale
+    # scan+shuffle three times (no exchange reuse across the self-join).
+    # The table is bucket-scale (streams x non-empty buckets), so pinning
+    # it costs KBs and collapses the plan to ONE pass over the points.
     sums = (
         points.where(time_range_pred(fstart, fend))
         .groupBy("uuid", F.shiftright("time", pw).alias("bucket"))
         .agg(
             F.sum(F.round(F.col("value") / F.lit(value_quantum)).cast("long")).alias("s")
         )
+        .localCheckpoint(eager=True)
     )
     # Per-stream marginals: one row per stream (missing buckets add 0).
     marg = sums.groupBy("uuid").agg(

@@ -398,10 +398,18 @@ def lttb_decimate(
         (F.col("time") - F.lit(fstart)).alias("toff"),
         F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
     )
-    moms = src.groupBy("bkt").agg(
-        F.sum("toff").alias("st"),
-        F.sum("q").alias("sq"),
-        F.count("*").alias("cnt"),
+    # localCheckpoint: the moments table joins back twice (prev and next
+    # neighbor) — unmaterialized, each side re-runs the point-scale
+    # scan+groupBy. It is bucket-count-sized, so pinning costs KBs and
+    # leaves exactly two passes over the points (moments + selection).
+    moms = (
+        src.groupBy("bkt")
+        .agg(
+            F.sum("toff").alias("st"),
+            F.sum("q").alias("sq"),
+            F.count("*").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
     )
     prev = moms.select(
         (F.col("bkt") + 1).alias("bkt"),

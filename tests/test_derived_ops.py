@@ -384,3 +384,37 @@ def test_trend_ols_degenerate_window_null(spark):
     out = trend_ols(pts, "a", 0, 10 * S, 10 * S).collect()
     assert out[0].slope_per_sec is None and out[0].intercept is None
     assert out[0].n == 1
+
+
+# ---------------------------------------------------------- knn graph ----
+
+
+def test_knn_graph_within_cluster_topk(spark):
+    # Two obvious clusters on the axes: centroids = first 2 vectors.
+    # Neighbors never cross clusters; ranks order by cosine.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.8, 0.2, 0.0]),
+        (4, [0.1, 0.9, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from btrdb_server_spark.functions.similarity import (
+        centroids_from_rows,
+        knn_graph,
+    )
+
+    g = knn_graph(emb, centroids_from_rows(emb, k=2), k=2).collect()
+    by_vec = {}
+    for r in g:
+        by_vec.setdefault(r.vec_id, []).append(r.neighbor)
+    assert by_vec[0] == [2, 3]  # closest first
+    assert by_vec[1] == [4]  # only one co-cluster member
+    assert set(by_vec[2]) <= {0, 3}
+    assert all(n in (1,) or n in (0, 2, 3, 4) for ns in by_vec.values() for n in ns)
+    # no self-edges, ranks contiguous from 1
+    assert all(r.neighbor != r.vec_id for r in g)
+    for vid, ns in by_vec.items():
+        ranks = sorted(r.rank for r in g if r.vec_id == vid)
+        assert ranks == list(range(1, len(ns) + 1))
