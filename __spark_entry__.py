@@ -517,6 +517,16 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, centroids_from_rows(emb, k=8), k=3)
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the purchase stream's 2**42-ns bucket sums at lags 1-5 and
+    ~daily (20 buckets): the seasonality probe, every component an exact
+    int64 over the zero-filled spine."""
+    from btrdb_server_spark.operators.corr import autocorr
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return autocorr(pts, "purchase", T_2024, T_FEB, pw=42, lags=(1, 2, 3, 4, 5, 20))
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1771,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "cusum_changepoint": q_cusum_changepoint,
         "trend_ols": q_trend_ols,
+        "knn_graph": q_knn_graph,
+        "autocorr": q_autocorr,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1806,12 +1818,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_data_rollup": q_late_data_rollup,
         "gaps": q_gaps,
         "rate": q_rate,
-        "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "knn_graph": q_knn_graph,
         # ---- position 51+: multi-round green, checked locally ----------
+        "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
         "text_scrub": q_text_scrub,
         "quality_filter": q_quality_filter,
@@ -2489,6 +2500,51 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "autocorr": f"""
+            {PTS_CTE}, sums AS (
+                SELECT (time >> 42) - 387460 AS bucket,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS s
+                FROM pts
+                WHERE uuid = 'purchase' AND time >= 1704067101192355840 AND time < 1706745511517618176
+                GROUP BY 1
+            ), marg AS (
+                SELECT CAST(sum(s) AS BIGINT) AS sm,
+                       CAST(sum(s * s) AS BIGINT) AS ssm
+                FROM sums
+            ), lags(lag) AS (VALUES (1), (2), (3), (4), (5), (20)),
+            sxy AS (
+                SELECT lag, CAST(sum(a.s * b.s) AS BIGINT) AS sxy
+                FROM lags CROSS JOIN sums a
+                JOIN sums b ON b.bucket = a.bucket + lags.lag
+                GROUP BY 1
+            ), parts AS (
+                SELECT lag,
+                       CAST(sum(CASE WHEN bucket < 609 - lag THEN s END)
+                            AS BIGINT) AS sh,
+                       CAST(sum(CASE WHEN bucket >= lag THEN s END)
+                            AS BIGINT) AS st
+                FROM lags CROSS JOIN sums GROUP BY 1
+            ), x AS (
+                SELECT lags.lag,
+                       609.0 * 609.0 * CAST(COALESCE(sxy.sxy, 0) AS DOUBLE)
+                         - 609.0 * CAST(COALESCE(marg.sm, 0) AS DOUBLE)
+                           * (CAST(COALESCE(parts.sh, 0) AS DOUBLE)
+                              + CAST(COALESCE(parts.st, 0) AS DOUBLE))
+                         + (609.0 - CAST(lags.lag AS DOUBLE))
+                           * CAST(COALESCE(marg.sm, 0) AS DOUBLE)
+                           * CAST(COALESCE(marg.sm, 0) AS DOUBLE) AS num,
+                       609.0 * 609.0 * CAST(COALESCE(marg.ssm, 0) AS DOUBLE)
+                         - 609.0 * CAST(COALESCE(marg.sm, 0) AS DOUBLE)
+                           * CAST(COALESCE(marg.sm, 0) AS DOUBLE) AS den
+                FROM lags
+                LEFT JOIN sxy ON sxy.lag = lags.lag
+                LEFT JOIN parts ON parts.lag = lags.lag
+                CROSS JOIN marg
+            )
+            SELECT CAST(lag AS BIGINT) AS lag, 609 AS n_buckets,
+                   CASE WHEN den > 0 THEN num / den END AS acf
+            FROM x ORDER BY lag
+        """,
         "knn_graph": f"""
             WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                        FROM embeddings WHERE vec_id < 8),

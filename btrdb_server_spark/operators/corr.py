@@ -121,3 +121,98 @@ def stream_corr(
         )
         .orderBy("uuid_a", "uuid_b")
     )
+
+
+def autocorr(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    pw: int,
+    lags: tuple[int, ...] = (1, 2, 3, 4, 5),
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Autocorrelation function over per-bucket sums (zero-filled spine) —
+    the seasonality probe: a daily-periodic stream shows a peak at the
+    ~24 h lag. For each lag L the statistic is the standard ACF with the
+    GLOBAL mean (Box-Jenkins form):
+
+        r(L) = sum_{t<n-L} (x_t - mu)(x_{t+L} - mu) / sum_t (x_t - mu)^2
+
+    multiplied through by n^2 so every aggregate is an exact integer:
+    numerator*n^2 = n^2*Sxy - n*S*(Sh + St) + (n-L)*S^2, denominator*n^2 =
+    n^2*SS - n*S^2 — with Sxy the lag-L dot product, Sh/St the head/tail
+    partial sums (head = buckets [0, n-L), tail = [L, n)) and S/SS the
+    full-spine sum and sum of squares. Every component is an int64 in
+    quantum units (zero-filled buckets contribute nothing); the final
+    ratio evaluates in double on the exact integers with each factor cast
+    first — bit-identical in any engine.
+
+    Scale shape: ONE point-scale groupBy to bucket sums (map-side
+    combined, localCheckpoint'ed — the table feeds the marginal and every
+    lag), then per-lag work on the bucket-scale table: a shifted
+    self-join for Sxy and conditional aggregates for Sh/St. With |lags|=L
+    the total cost beyond the one scan is O(L * non-empty buckets)."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    if not lags or any(lag < 1 for lag in lags):
+        raise ValueError("lags must be positive")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    n = (fend - fstart) >> pw
+    if n <= max(lags):
+        raise ValueError("range shorter than the largest lag")
+    b0 = fstart >> pw
+    sums = (
+        points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend))
+        .groupBy((F.shiftright("time", pw) - F.lit(b0)).alias("bucket"))
+        .agg(
+            F.sum(F.round(F.col("value") / F.lit(value_quantum)).cast("long")).alias("s")
+        )
+        .localCheckpoint(eager=True)
+    )
+    marg = sums.agg(
+        F.sum("s").alias("S"), F.sum(F.col("s") * F.col("s")).alias("SS")
+    )
+    spark = points.sparkSession
+    lag_df = spark.createDataFrame([(int(lag),) for lag in lags], "lag long")
+    # Shifted self-join on the bucket-scale table: pairs (t, t+L) present
+    # on both sides; zero-filled terms vanish from every sum.
+    a = sums.select(F.col("bucket").alias("t"), F.col("s").alias("sa"))
+    b = sums.select(F.col("bucket").alias("tb"), F.col("s").alias("sb"))
+    sxy = (
+        lag_df.join(a)
+        .join(b, F.col("tb") == F.col("t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("Sxy"))
+    )
+    # Head/tail partial sums per lag: conditional aggregates on ranges.
+    parts = (
+        lag_df.join(sums)
+        .groupBy("lag")
+        .agg(
+            F.sum(F.when(F.col("bucket") < F.lit(n) - F.col("lag"), F.col("s"))).alias(
+                "Sh"
+            ),
+            F.sum(F.when(F.col("bucket") >= F.col("lag"), F.col("s"))).alias("St"),
+        )
+    )
+    d = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")  # noqa: E731
+    nn = F.lit(float(n))
+    num = (
+        nn * nn * d("Sxy")
+        - nn * d("S") * (d("Sh") + d("St"))
+        + (nn - F.col("lag").cast("double")) * d("S") * d("S")
+    )
+    den = nn * nn * d("SS") - nn * d("S") * d("S")
+    return (
+        lag_df.join(sxy, "lag", "left")
+        .join(parts, "lag", "left")
+        .crossJoin(F.broadcast(marg))
+        .select(
+            "lag",
+            F.lit(n).alias("n_buckets"),
+            F.when(den > 0, num / den).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -418,3 +418,48 @@ def test_knn_graph_within_cluster_topk(spark):
     for vid, ns in by_vec.items():
         ranks = sorted(r.rank for r in g if r.vec_id == vid)
         assert ranks == list(range(1, len(ns) + 1))
+
+
+def test_autocorr_detects_period(spark):
+    """Alternating bucket sums (period 2): acf(2) = +1-ish, acf(1)
+    strongly negative; exact ints make the expectation computable."""
+    pw = 30
+    w = 1 << pw
+    # buckets 0..7 with sums alternating 1.00 / 3.00 (one point each)
+    rows = [("a", i * w + 5, 1.0 if i % 2 == 0 else 3.0) for i in range(8)]
+    pts = mk(spark, rows)
+    from btrdb_server_spark.operators.corr import autocorr
+
+    out = {r.lag: r.acf for r in autocorr(pts, "a", 0, 8 * w, pw, lags=(1, 2)).collect()}
+    # x = [100,300]*4 cents, mu=200: num(1) = sum of 7 terms (+-100*100)
+    # alternating -> all -10000: acf(1) = 7*(-1e4)/ (8*1e4) = -0.875
+    assert out[1] == pytest.approx(-0.875, abs=1e-12)
+    assert out[2] == pytest.approx(0.75, abs=1e-12)  # 6 terms of +1e4 / 8e4
+
+
+def test_autocorr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from btrdb_server_spark.operators.corr import autocorr
+    from btrdb_server_spark.sources.testdata import load_points
+
+    T0 = 1_704_067_200_000_000_000
+    T1 = T0 + 7 * 86_400_000_000_000
+    pw = 42
+    pts = load_points(spark, sf_dir, T0, T1)
+    got = {
+        r.lag: r.acf
+        for r in autocorr(pts, "click", T0, T1, pw, lags=(1, 3)).collect()
+    }
+    fs = T0 & ~((1 << pw) - 1)
+    fe = T1 & ~((1 << pw) - 1)
+    n = (fe - fs) >> pw
+    x = np.zeros(n)
+    for r in pts.where(pts.uuid == "click").collect():
+        if fs <= r.time < fe:
+            x[(r.time - fs) >> pw] += round(r.value / 0.01)
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    for lag in (1, 3):
+        num = ((x[:-lag] - mu) * (x[lag:] - mu)).sum()
+        assert got[lag] == pytest.approx(num / den, rel=1e-9)
