@@ -463,3 +463,27 @@ def test_autocorr_matches_numpy(spark, sf_dir):
     for lag in (1, 3):
         num = ((x[:-lag] - mu) * (x[lag:] - mu)).sum()
         assert got[lag] == pytest.approx(num / den, rel=1e-9)
+
+
+# -------------------------------------------------------- event plane ----
+
+
+def test_props_histogram_and_user_activity(spark):
+    rows = [
+        (1, "click", 1.0, 10, '{"k": 5}'),
+        (2, "click", 2.0, 10, '{"k": 5}'),
+        (3, "view", 3.0, 11, '{"k": 7}'),
+        (4, "view", 0.5, 10, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, user_id long, props string"
+    )
+    from btrdb_server_spark.operators.events import props_histogram, user_activity
+
+    h = {(r.event_type, r.k): r.cnt for r in props_histogram(ev).collect()}
+    assert h == {("click", 5): 2, ("view", 7): 1}  # null props dropped
+    ua = {r.user_id: r for r in user_activity(ev).collect()}
+    assert (ua[10].n_click, ua[10].n_view, ua[10].total_q, ua[10].n_events) == (
+        2, 1, 350, 3
+    )
+    assert (ua[11].n_view, ua[11].total_q) == (1, 300)
