@@ -544,6 +544,16 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_activity(load_table(spark, sf_dir, "events"))
 
 
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the click stream (daily PAA, 4-letter
+    Gaussian alphabet): window sums and global moments are exact int64;
+    z is scale-invariant so the quantum never converts out."""
+    from btrdb_server_spark.operators.stat import sax_symbols
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return sax_symbols(pts, "click", T_2024, T_FEB, DAY_NS)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1802,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr": q_autocorr,
         "props_histogram": q_props_histogram,
         "user_activity": q_user_activity,
+        "sax_symbols": q_sax_symbols,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1822,7 +1833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_asof": q_nearest_asof,
         "multistream_align": q_multistream_align,
         "changed_ranges": q_changed_ranges,
-        "lookup_streams": q_lookup_streams,
         "aligned_windows": q_aligned_windows,
         "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
@@ -1839,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "lookup_streams": q_lookup_streams,
         "gaps": q_gaps,
         "rate": q_rate,
         "exact_dedup": q_exact_dedup,
@@ -2519,6 +2530,41 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "sax_symbols": f"""
+            {PTS_CTE}, src AS (
+                SELECT (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts
+                WHERE uuid = 'click' AND time >= 1704067200000000000 AND time < 1706745600000000000
+            ), wagg AS (
+                SELECT widx, CAST(sum(q) AS BIGINT) AS sw, count(*) AS nw
+                FROM src GROUP BY 1
+            ), gl AS (
+                SELECT count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+                       CAST(sum(q * q) AS BIGINT) AS sqq
+                FROM src
+            ), spine AS (SELECT range AS widx FROM range(0, 31)),
+            z AS (
+                SELECT spine.widx, wagg.nw,
+                       (CAST(wagg.sw AS DOUBLE) / CAST(wagg.nw AS DOUBLE)
+                        - CAST(gl.sq AS DOUBLE) / CAST(gl.n AS DOUBLE))
+                       / (sqrt(CAST(gl.n AS DOUBLE) * CAST(gl.sqq AS DOUBLE)
+                               - CAST(gl.sq AS DOUBLE) * CAST(gl.sq AS DOUBLE))
+                          / CAST(gl.n AS DOUBLE)) AS zscore
+                FROM spine LEFT JOIN wagg USING (widx) CROSS JOIN gl
+            )
+            SELECT 1704067200000000000 + widx * 86400000000000 AS time,
+                   COALESCE(nw, 0) AS cnt,
+                   CASE WHEN nw IS NOT NULL THEN zscore END AS zscore,
+                   CASE WHEN nw IS NULL THEN NULL
+                        WHEN zscore < CAST(-0.6744897501960817 AS DOUBLE)
+                             THEN 'a'
+                        WHEN zscore < CAST(0.0 AS DOUBLE) THEN 'b'
+                        WHEN zscore < CAST(0.6744897501960817 AS DOUBLE)
+                             THEN 'c'
+                        ELSE 'd' END AS symbol
+            FROM z ORDER BY time
+        """,
         "props_histogram": f"""
             SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
                    count(*) AS cnt

@@ -526,3 +526,75 @@ def trend_ols(
         )
         .orderBy("time")
     )
+
+
+# N(0,1) quartile breakpoints for a 4-letter SAX alphabet (Lin et al. 2003).
+_SAX_BREAKPOINTS = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def sax_symbols(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): PAA-reduce the stream to one
+    mean per tumbling window, z-normalize against the RANGE's global
+    moments, and discretize into the 4-letter Gaussian-equiprobable
+    alphabet a<b<c<d — the front end of motif discovery, novelty
+    detection, and symbolic indexing over telemetry.
+
+    Exactness: window sums and the global moments are exact int64 in
+    quantum units; z is scale-invariant, so the quantum never converts
+    out — z = (Sw/nw - S/n) / (sqrt(n*SQQ - S^2)/n) evaluates in double
+    on exact integers (fixed IEEE sequence, engine-identical), and the
+    breakpoint comparisons are against exact double literals, so the
+    symbol assignment is bit-deterministic. Empty windows emit a null
+    symbol (the hole contract of A2).
+
+    Scale shape: one map-side-combined groupBy for the window sums; the
+    global-moment side is one row, broadcast. No windows, no sorts until
+    the window-count-sized orderBy."""
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    end = end - (end - start) % width
+    if start >= end:
+        raise ValueError("start >= end after rounding")
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
+    ).select(
+        F.expr(f"(time - ({start})) div {width}").alias("widx"),
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
+    )
+    wagg = src.groupBy("widx").agg(
+        F.sum("q").alias("sw"), F.count("*").alias("nw")
+    )
+    gl = src.agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sigma_q = F.sqrt(
+        (d("n") * d("sqq") - d("sq") * d("sq")).cast("double")
+    ) / d("n")
+    z = (d("sw") / d("nw") - d("sq") / d("n")) / sigma_q
+    b1, b2, b3 = (F.lit(b) for b in _SAX_BREAKPOINTS)
+    sym = (
+        F.when(z < b1, "a").when(z < b2, "b").when(z < b3, "c").otherwise("d")
+    )
+    spark = points.sparkSession
+    spine = spark.range(0, (end - start) // width).select(F.col("id").alias("widx"))
+    return (
+        spine.join(wagg, "widx", "left")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            F.coalesce(F.col("nw"), F.lit(0)).alias("cnt"),
+            F.when(F.col("nw").isNotNull(), z).alias("zscore"),
+            F.when(F.col("nw").isNotNull(), sym).alias("symbol"),
+        )
+        .orderBy("time")
+    )

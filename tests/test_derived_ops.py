@@ -487,3 +487,25 @@ def test_props_histogram_and_user_activity(spark):
         2, 1, 350, 3
     )
     assert (ua[11].n_view, ua[11].total_q) == (1, 300)
+
+
+def test_sax_symbols_known_alphabet(spark):
+    # Four 1-point windows with values producing z = -1.34, -0.45, +0.45,
+    # +1.34 (symmetric) -> symbols a, b, c, d.
+    pts = mk(
+        spark,
+        [("a", 0, 1.0), ("a", 10 * S, 2.0), ("a", 20 * S, 3.0), ("a", 30 * S, 4.0)],
+    )
+    from btrdb_server_spark.operators.stat import sax_symbols
+
+    out = sax_symbols(pts, "a", 0, 40 * S, 10 * S).collect()
+    assert [r.symbol for r in out] == ["a", "b", "c", "d"]
+    assert [r.cnt for r in out] == [1, 1, 1, 1]
+
+
+def test_sax_symbols_hole_is_null(spark):
+    pts = mk(spark, [("a", 0, 1.0), ("a", 25 * S, 3.0)])
+    from btrdb_server_spark.operators.stat import sax_symbols
+
+    out = sax_symbols(pts, "a", 0, 30 * S, 10 * S).collect()
+    assert out[1].symbol is None and out[1].cnt == 0
