@@ -554,6 +554,15 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_symbols(pts, "click", T_2024, T_FEB, DAY_NS)
 
 
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard estimates for every LSH candidate pair:
+    matches/16 — ranking candidates without re-reading the documents
+    (exact dyadic rational, engine-exact)."""
+    from btrdb_server_spark.functions.dedup import minhash_jaccard_est
+
+    return minhash_jaccard_est(load_table(spark, sf_dir, "documents"))
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1813,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_histogram": q_props_histogram,
         "user_activity": q_user_activity,
         "sax_symbols": q_sax_symbols,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1845,10 +1855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "buffer_stat_merge": q_buffer_stat_merge,
         "late_data_rollup": q_late_data_rollup,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "lookup_streams": q_lookup_streams,
         "gaps": q_gaps,
         "rate": q_rate,
@@ -2530,6 +2540,33 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "minhash_jaccard_est": f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            ),
+            pairs AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id
+            ),
+            m AS (
+                SELECT p.a, p.b,
+                       CAST(CASE WHEN l.mh0 = r.mh0 THEN 1 ELSE 0 END + CASE WHEN l.mh1 = r.mh1 THEN 1 ELSE 0 END + CASE WHEN l.mh2 = r.mh2 THEN 1 ELSE 0 END + CASE WHEN l.mh3 = r.mh3 THEN 1 ELSE 0 END + CASE WHEN l.mh4 = r.mh4 THEN 1 ELSE 0 END + CASE WHEN l.mh5 = r.mh5 THEN 1 ELSE 0 END + CASE WHEN l.mh6 = r.mh6 THEN 1 ELSE 0 END + CASE WHEN l.mh7 = r.mh7 THEN 1 ELSE 0 END + CASE WHEN l.mh8 = r.mh8 THEN 1 ELSE 0 END + CASE WHEN l.mh9 = r.mh9 THEN 1 ELSE 0 END + CASE WHEN l.mh10 = r.mh10 THEN 1 ELSE 0 END + CASE WHEN l.mh11 = r.mh11 THEN 1 ELSE 0 END + CASE WHEN l.mh12 = r.mh12 THEN 1 ELSE 0 END + CASE WHEN l.mh13 = r.mh13 THEN 1 ELSE 0 END + CASE WHEN l.mh14 = r.mh14 THEN 1 ELSE 0 END + CASE WHEN l.mh15 = r.mh15 THEN 1 ELSE 0 END AS BIGINT) AS matches
+                FROM pairs p
+                JOIN sig l ON l.doc_id = p.a
+                JOIN sig r ON r.doc_id = p.b
+            )
+            SELECT a, b, matches,
+                   CAST(matches AS DOUBLE) / 16.0 AS est_jaccard
+            FROM m ORDER BY a, b
+        """,
         "sax_symbols": f"""
             {PTS_CTE}, src AS (
                 SELECT (time - 1704067200000000000) // 86400000000000 AS widx,

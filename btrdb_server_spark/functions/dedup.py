@@ -193,6 +193,51 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_est(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Signature-based Jaccard ESTIMATION for every LSH candidate pair:
+    est = (matching signature components) / num_hashes — the MinHash
+    estimator (E[est] = true Jaccard). This is the cheap middle road
+    between raw banding (binary candidate/not) and exact shingle-set
+    verification (lsh_verified_pairs): ranking/thresholding candidates
+    WITHOUT touching the documents again — at corpus scale the verify
+    join re-reads and re-shingles both texts per pair, while this joins
+    two 16-int rows. matches is an exact integer and num_hashes a power
+    of two, so est is a dyadic rational — bit-exact in any engine.
+
+    Columns: a, b, matches, est_jaccard; ordered by (a, b)."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes).localCheckpoint(
+        eager=True
+    )
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    l = sigs.select(
+        F.col(id_col).alias("a"), *[F.col(f"mh{j}").alias(f"la{j}") for j in range(num_hashes)]
+    )
+    r = sigs.select(
+        F.col(id_col).alias("b"), *[F.col(f"mh{j}").alias(f"rb{j}") for j in range(num_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"la{j}") == F.col(f"rb{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        pairs.join(l, "a")
+        .join(r, "b")
+        .select(
+            "a",
+            "b",
+            matches.cast("long").alias("matches"),
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 def minhash_dedup_pairs(docs: DataFrame, **kw) -> DataFrame:
     """Convenience: shingle -> minhash -> band -> candidate pairs."""
     sigs = minhash_signatures(docs, **kw)

@@ -509,3 +509,23 @@ def test_sax_symbols_hole_is_null(spark):
 
     out = sax_symbols(pts, "a", 0, 30 * S, 10 * S).collect()
     assert out[1].symbol is None and out[1].cnt == 0
+
+
+def test_minhash_jaccard_est_bounds_and_exactness(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    from btrdb_server_spark.functions.dedup import minhash_jaccard_est
+
+    rows = minhash_jaccard_est(docs).collect()
+    for r in rows:
+        assert 0 <= r.matches <= 16
+        assert r.est_jaccard == r.matches / 16.0  # dyadic exact
+    est = {(r.a, r.b): r.est_jaccard for r in rows}
+    if (1, 2) in est:  # near-dup pair collides in some band
+        assert est[(1, 2)] > 0.4
