@@ -330,3 +330,97 @@ def test_windows_rewrite_bit_identical_on_quantized_data(
         gmin, gmean, gmax, gcnt = got[k]
         assert (gmin, gmax, gcnt) == (emin, emax, ecnt)
         assert struct.pack("<d", gmean) == struct.pack("<d", emean)
+
+
+# Quantized values (2-decimal) for the integer-quantum round-5 operators.
+qpoints_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=T0, max_value=T1 - 1),
+        st.integers(min_value=-100_000, max_value=100_000),
+    ),
+    min_size=2,
+    max_size=200,
+    unique_by=lambda p: p[0],
+)
+
+
+@given(pts=qpoints_strategy)
+@SET
+def test_resample_hold_matches_pandas_ffill(spark, pts):
+    """ZOH resample == pandas reindex(method='ffill') on the tick grid."""
+    from btrdb_server_spark.operators.resample import resample
+
+    rows = [(t, c / 100.0) for t, c in pts]
+    df = _df(spark, rows)
+    step = 100_000
+    got = resample(df, "s", T0, T1, step, mode="hold").collect()
+    s = (
+        pd.Series({t: v for t, v in rows})
+        .sort_index()
+        .reindex(range(T0, T1, step), method="ffill")
+    )
+    assert len(got) == len(s)
+    for r, (t, v) in zip(got, s.items()):
+        assert r.time == t
+        assert (r.value is None and math.isnan(v)) or r.value == v
+
+
+@given(pts=qpoints_strategy)
+@SET
+def test_trapz_integral_total_matches_numpy(spark, pts):
+    """Whole-range single window == numpy.trapz (to float tolerance —
+    numpy sums in arbitrary order; the engine is exact-integer)."""
+    import numpy as np
+
+    from btrdb_server_spark.operators.derive import trapz_integral
+
+    rows = sorted((t, c / 100.0) for t, c in pts)
+    df = _df(spark, rows)
+    width = T1 - T0
+    got = trapz_integral(df, "s", T0, T1, width).collect()[0].integral_vs
+    ts = np.array([t for t, _ in rows], dtype=float)
+    vs = np.array([v for _, v in rows], dtype=float)
+    expect = float(np.trapz(vs, ts / 1e9))
+    assert got == pytest.approx(expect, rel=1e-9, abs=1e-9)
+
+
+@given(pts=qpoints_strategy)
+@SET
+def test_counter_increase_monotonic_equals_span(spark, pts):
+    """On a monotonic counter the total increase over one whole-range
+    window is exactly last - first (no resets fire)."""
+    from btrdb_server_spark.operators.derive import counter_increase
+
+    rows = sorted((t, c) for t, c in pts)
+    run = []
+    acc = 0
+    for t, c in rows:
+        acc += abs(c) % 500
+        run.append((t, acc / 100.0))
+    df = _df(spark, run)
+    width = T1 - T0
+    got = counter_increase(df, "s", T0, T1, width).collect()[0].increase
+    expect = run[-1][1] - run[0][1]
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+@given(pts=qpoints_strategy)
+@SET
+def test_cusum_score_matches_pandas(spark, pts):
+    """The selected changepoint maximizes |n*prefix - i*total| computed
+    independently in pandas over the sorted points."""
+    from btrdb_server_spark.operators.derive import cusum_changepoint
+
+    rows = sorted((t, c / 100.0) for t, c in pts)
+    df = _df(spark, rows)
+    got = cusum_changepoint(df, "s", T0, T1).collect()[0]
+    cents = [round(v * 100) for _, v in rows]
+    n, total = len(cents), sum(cents)
+    best = None
+    prefix = 0
+    for i, (t, _) in enumerate(rows, start=1):
+        prefix += cents[i - 1]
+        score = abs(n * prefix - i * total)
+        if best is None or score > best[0] or (score == best[0] and t < best[1]):
+            best = (score, t)
+    assert (got.score, got.time) == best
