@@ -797,17 +797,33 @@ def knn_graph(
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # Single-pass assignment CARRYING the vector: scoring against the
+    # broadcast centroids and the struct-max argmax happen in one groupBy
+    # (F.first(v) rides along — v is constant per vector), instead of
+    # ivf_assign + a corpus×corpus join back on the id (which plans as a
+    # SortMergeJoin with two extra full shuffles). The assigned table then
+    # localCheckpoints: it feeds BOTH sides of the pair self-join, and
+    # unmaterialized Spark would re-run the whole scoring pass per side.
+    ev = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    scored = ev.join(F.broadcast(centroids)).select(
+        id_col,
+        "v",
+        F.struct(
+            F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("score"),
+            (-F.col("cid")).alias("ncid"),
+        ).alias("cand"),
+    )
     # Precompute each vector's norm ONCE (its own projection stage — see
     # the HOF-lambda CSE note in with_rowwise_signatures): cosine per pair
     # is then one dot product and a scalar divide, not three array passes.
     e = (
-        embeddings.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .join(assign, id_col)
-        .select(id_col, "v", "cluster")
+        scored.groupBy(id_col)
+        .agg(F.max("cand").alias("m"), F.first("v").alias("v"))
+        .select(id_col, "v", (-F.col("m.ncid")).alias("cluster"))
         .withColumn("n", _norm(F.col("v")))
+        .localCheckpoint(eager=False)
     )
     a = e.select(
         F.col(id_col).alias("vec_id"),

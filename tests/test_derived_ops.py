@@ -529,3 +529,24 @@ def test_minhash_jaccard_est_bounds_and_exactness(spark):
     est = {(r.a, r.b): r.est_jaccard for r in rows}
     if (1, 2) in est:  # near-dup pair collides in some band
         assert est[(1, 2)] > 0.4
+
+
+def test_knn_graph_assignment_broadcasts_centroids(spark):
+    """The corpus side must never shuffle for the assignment: the centroid
+    join is a BroadcastHashJoin."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    from btrdb_server_spark.functions.similarity import (
+        centroids_from_rows,
+        knn_graph,
+    )
+
+    plan = _plan(knn_graph(emb, centroids_from_rows(emb, k=2), k=2))
+    # The assigned table localCheckpoints, so the broadcast-scoring
+    # subtree sits behind the checkpoint boundary (invisible here); what
+    # the outer plan must show is that the ONLY shuffle join left is the
+    # pair self-join on the cluster key — the ivf_assign+join-back shape
+    # this replaced carried two more SortMergeJoins on the id.
+    assert plan.count("SortMergeJoin") <= 1
