@@ -563,6 +563,27 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_jaccard_est(load_table(spark, sf_dir, "documents"))
 
 
+def q_value_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-sensor scan: runs of consecutive identical values on the
+    error stream (min_run=1 reports every run — random test values
+    rarely repeat, so the run table is the point set's RLE)."""
+    from btrdb_server_spark.operators.derive import value_run_lengths
+
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10)
+    return value_run_lengths(pts, "error", T_2024, T_JAN10, min_run=1, bucket_pw=40)
+
+
+def q_deadband_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historian deadband compression of the view stream (Jan 1-10,
+    deadband 50.00): keep a point only when it moved > 50 from the last
+    KEPT value — sequential fold in integer quantum units, oracle
+    replays the identical op sequence."""
+    from btrdb_server_spark.operators.derive import deadband_compress
+
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10)
+    return deadband_compress(pts, "view", T_2024, T_JAN10, deadband=50.0)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1828,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": q_user_activity,
         "sax_symbols": q_sax_symbols,
         "minhash_jaccard_est": q_minhash_jaccard_est,
+        "value_run_lengths": q_value_run_lengths,
+        "deadband_compress": q_deadband_compress,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1846,8 +1869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "store_version_travel": q_store_version_travel,
         "nearest_asof": q_nearest_asof,
-        "multistream_align": q_multistream_align,
-        "changed_ranges": q_changed_ranges,
         "aligned_windows": q_aligned_windows,
         "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
@@ -1863,6 +1884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "multistream_align": q_multistream_align,
+        "changed_ranges": q_changed_ranges,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "lookup_streams": q_lookup_streams,
         "gaps": q_gaps,
@@ -2545,6 +2568,57 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "value_run_lengths": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value FROM pts
+                WHERE uuid = 'error' AND time >= 1704067200000000000 AND time < 1704844800000000000
+            ), l AS (
+                SELECT time, value,
+                       lag(value) OVER (ORDER BY time, value) AS pv,
+                       lag(time) OVER (ORDER BY time, value) AS pt
+                FROM src
+            ), f AS (
+                SELECT time, value,
+                       CASE WHEN pt IS NULL OR value <> pv THEN 1 ELSE 0 END
+                           AS nr
+                FROM l
+            ), s AS (
+                SELECT time, value,
+                       CAST(sum(nr) OVER (ORDER BY time, value
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS rid
+                FROM f
+            )
+            SELECT min(time) AS run_start, max(time) AS run_end,
+                   count(*) AS n_points, min(value) AS value
+            FROM s GROUP BY rid HAVING count(*) >= 1 ORDER BY run_start
+        """,
+        "deadband_compress": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value,
+                       CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts
+                WHERE uuid = 'view' AND time >= 1704067200000000000 AND time < 1704844800000000000
+            ), arr AS (
+                SELECT list(struct_pack(t := time, v := value, q := q)
+                            ORDER BY time, value) AS a
+                FROM src
+            ), f AS (
+                -- list_concat with a conditional 0/1-element tail: the
+                -- obvious CASE WHEN cond THEN list_append(acc,x) ELSE acc
+                -- END mis-folds in DuckDB 1.0 when the condition reads acc
+                SELECT list_reduce(
+                    list_transform(a, p -> [struct_pack(t := p.t, v := p.v,
+                                                        kq := p.q)]),
+                    (acc, x) -> list_concat(acc,
+                        CASE WHEN abs(x[1].kq - acc[len(acc)].kq) > 5000
+                             THEN [x[1]]
+                             ELSE CAST([] AS STRUCT(t BIGINT, v DOUBLE,
+                                                    kq BIGINT)[]) END)
+                ) AS r FROM arr
+            )
+            SELECT u.r.t AS time, u.r.v AS value
+            FROM f, unnest(f.r) AS u(r) ORDER BY time
+        """,
         "minhash_jaccard_est": f"""
             WITH {_sig_cte()},
             bands AS (

@@ -596,3 +596,146 @@ def cusum_changepoint(
             F.col("n"),
         )
     )
+
+
+def value_run_lengths(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    min_run: int = 2,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Runs of consecutive points with the SAME value — the stuck-sensor /
+    flatline detector (a transducer reporting a frozen reading is the
+    classic silent failure a fleet health scan looks for; the dual of
+    `gaps`, which finds silence rather than repetition). One row per run
+    of length >= min_run: (run_start, run_end, n_points, value).
+    All-integer + verbatim-value output: engine-exact.
+
+    Scale shape: exactly the `sessions` machinery with the new-run flag
+    keyed on value INEQUALITY instead of time distance — with bucket_pw
+    the flags and the running run index ride the (uuid, bucket)
+    carry-chain, so a dense stream fans out across buckets."""
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
+    new_run = (
+        F.col("prev_time").isNull() | (F.col("value") != F.col("prev_value"))
+    ).cast("long")
+    if bucket_pw is None:
+        w = (
+            Window.partitionBy("uuid")
+            .orderBy("time", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        assigned = lagged.select(
+            "time", "value", (F.sum(new_run).over(w) - F.lit(1)).alias("run_id")
+        )
+    else:
+        b = lagged.select(
+            "uuid",
+            "time",
+            "value",
+            new_run.alias("nr"),
+            F.shiftright("time", bucket_pw).alias("bucket"),
+        )
+        wb = (
+            Window.partitionBy("uuid", "bucket")
+            .orderBy("time", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = b.select(
+            "uuid", "bucket", "time", "value", F.sum("nr").over(wb).alias("cum")
+        )
+        totals = b.groupBy("uuid", "bucket").agg(F.sum("nr").alias("tot"))
+        wc = (
+            Window.partitionBy("uuid")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            "uuid", "bucket", F.coalesce(F.sum("tot").over(wc), F.lit(0)).alias("off")
+        )
+        assigned = within.join(offsets, ["uuid", "bucket"]).select(
+            "time", "value", (F.col("cum") + F.col("off") - F.lit(1)).alias("run_id")
+        )
+    return (
+        assigned.groupBy("run_id")
+        .agg(
+            F.min("time").alias("run_start"),
+            F.max("time").alias("run_end"),
+            F.count("*").alias("n_points"),
+            # value is constant within a run; min() mirrors cleanly in SQL
+            F.min("value").alias("value"),
+        )
+        .where(F.col("n_points") >= min_run)
+        .select("run_start", "run_end", "n_points", "value")
+        .orderBy("run_start")
+    )
+
+
+def deadband_compress(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    deadband: float,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Deadband compression (the industrial-historian staple): keep a
+    point only when its value moved more than `deadband` away from the
+    LAST KEPT point's value; the first point is always kept. The output
+    is the minimal exception set a PI-style historian stores, and what a
+    plotter requests before rendering a slow-moving signal.
+
+    The keep decision depends on the last KEPT point — an inherently
+    sequential fold, like `ewma`. Values and the deadband compare in
+    integer quantum units (|q - q_kept| > deadband_q), so the kept set is
+    engine-exact; the fold runs per-stream over the sorted point array
+    (interactive ranges; chunk by time or run the ladder's decimation
+    for plot-scale serving at 100 TB — documented, the same contract as
+    ewma's flat path). Columns: time, value; ordered by time."""
+    if deadband <= 0:
+        raise ValueError("deadband must be positive")
+    dq = round(deadband / value_quantum)
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid))
+        & (F.col("time") >= F.lit(start))
+        & (F.col("time") < F.lit(end))
+    ).select(
+        "uuid",
+        "time",
+        "value",
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
+    )
+    arr = src.groupBy("uuid").agg(
+        F.sort_array(F.collect_list(F.struct("time", "value", "q"))).alias("a")
+    )
+    init = F.array(
+        F.struct(
+            F.element_at("a", 1)["time"].alias("time"),
+            F.element_at("a", 1)["value"].alias("value"),
+            F.element_at("a", 1)["q"].alias("kq"),
+        )
+    )
+    folded = F.aggregate(
+        F.slice("a", 2, F.greatest(F.size("a") - 1, F.lit(0))),
+        init,
+        lambda acc, x: F.when(
+            F.abs(x["q"] - F.element_at(acc, -1)["kq"]) > F.lit(dq),
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["time"].alias("time"),
+                        x["value"].alias("value"),
+                        x["q"].alias("kq"),
+                    )
+                ),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        arr.select(F.explode(folded).alias("r"))
+        .select("r.time", "r.value")
+        .orderBy("time")
+    )

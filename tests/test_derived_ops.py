@@ -550,3 +550,38 @@ def test_knn_graph_assignment_broadcasts_centroids(spark):
     # pair self-join on the cluster key — the ivf_assign+join-back shape
     # this replaced carried two more SortMergeJoins on the id.
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_value_run_lengths_flatline(spark):
+    rows = [("a", 1 * S, 5.0), ("a", 2 * S, 5.0), ("a", 3 * S, 5.0),
+            ("a", 4 * S, 7.0), ("a", 5 * S, 5.0)]
+    pts = mk(spark, rows)
+    from btrdb_server_spark.operators.derive import value_run_lengths
+
+    out = value_run_lengths(pts, "a", 0, 10 * S, min_run=2).collect()
+    assert len(out) == 1  # only the 3-point flatline
+    r = out[0]
+    assert (r.run_start, r.run_end, r.n_points, r.value) == (1 * S, 3 * S, 3, 5.0)
+
+
+def test_value_run_lengths_bucketed_matches_flat(spark):
+    rows = [("a", i * S, float(v)) for i, v in
+            enumerate([1, 1, 2, 2, 2, 3, 1, 1])]
+    pts = mk(spark, rows)
+    from btrdb_server_spark.operators.derive import value_run_lengths
+
+    flat = value_run_lengths(pts, "a", 0, 10 * S, min_run=1).collect()
+    buck = value_run_lengths(pts, "a", 0, 10 * S, min_run=1, bucket_pw=31).collect()
+    assert [tuple(r) for r in flat] == [tuple(r) for r in buck]
+
+
+def test_deadband_compress_keeps_exceptions_only(spark):
+    rows = [("a", 1 * S, 0.0), ("a", 2 * S, 0.1), ("a", 3 * S, 0.6),
+            ("a", 4 * S, 0.55), ("a", 5 * S, 1.2)]
+    pts = mk(spark, rows)
+    from btrdb_server_spark.operators.derive import deadband_compress
+
+    out = deadband_compress(pts, "a", 0, 10 * S, deadband=0.3).collect()
+    # keep first (0.0); 0.1 inside band; 0.6 kept; 0.55 inside band of
+    # 0.6; 1.2 kept (vs 0.6)
+    assert [(r.time // S, r.value) for r in out] == [(1, 0.0), (3, 0.6), (5, 1.2)]
