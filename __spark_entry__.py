@@ -584,6 +584,61 @@ def q_deadband_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deadband_compress(pts, "view", T_2024, T_JAN10, deadband=50.0)
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stream preview sample via md5 rank — stable
+    across runs/engines/partitionings, WindowGroupLimit keeps the
+    exchange at O(streams * k)."""
+    from btrdb_server_spark.operators.raw import hash_sample
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return hash_sample(pts, T_2024, T_FEB, k=20)
+
+
+def q_streaming_deadband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadband compression AT INGEST: the continuous query emits only
+    exception points; on the in-order 4-slice source the kept set is
+    bit-equal to the batch fold, which is the oracle."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_deadband
+
+    work = tempfile.mkdtemp(prefix="btrdb_sdb_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
+        F.col("uuid") == "view"
+    )
+    span = (T_JAN10 - T_2024) // 4
+    for kk in range(4):
+        lo = T_2024 + kk * span
+        hi = T_JAN10 if kk == 3 else T_2024 + (kk + 1) * span
+        (
+            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_deadband_out"
+    q = (
+        streaming_deadband(stream, deadband=50.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT time, value FROM {name}").orderBy("time")
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1851,6 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "value_run_lengths": q_value_run_lengths,
         "deadband_compress": q_deadband_compress,
+        "hash_sample": q_hash_sample,
+        "streaming_deadband": q_streaming_deadband,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1867,8 +1924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (e) green anchors, one per SURVEY family ------------------
         "raw_values": q_raw_values,
         "streaming_ingest": q_streaming_ingest,
-        "store_version_travel": q_store_version_travel,
-        "nearest_asof": q_nearest_asof,
         "aligned_windows": q_aligned_windows,
         "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
@@ -1884,6 +1939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "store_version_travel": q_store_version_travel,
+        "nearest_asof": q_nearest_asof,
         "multistream_align": q_multistream_align,
         "changed_ranges": q_changed_ranges,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -2568,6 +2625,44 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "hash_sample": f"""
+            {PTS_CTE}, src AS (
+                SELECT uuid, time, value,
+                       md5(uuid || '|' || CAST(time AS VARCHAR)) AS h
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), r AS (
+                SELECT uuid, time, value,
+                       row_number() OVER (PARTITION BY uuid
+                           ORDER BY h, time, value) AS "rank"
+                FROM src
+            )
+            SELECT uuid, time, value, "rank" FROM r
+            WHERE "rank" <= 20 ORDER BY uuid, "rank"
+        """,
+        "streaming_deadband": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, value,
+                       CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts
+                WHERE uuid = 'view' AND time >= 1704067200000000000 AND time < 1704844800000000000
+            ), arr AS (
+                SELECT list(struct_pack(t := time, v := value, q := q)
+                            ORDER BY time, value) AS a
+                FROM src
+            ), f AS (
+                SELECT list_reduce(
+                    list_transform(a, p -> [struct_pack(t := p.t, v := p.v,
+                                                        kq := p.q)]),
+                    (acc, x) -> list_concat(acc,
+                        CASE WHEN abs(x[1].kq - acc[len(acc)].kq) > 5000
+                             THEN [x[1]]
+                             ELSE CAST([] AS STRUCT(t BIGINT, v DOUBLE,
+                                                    kq BIGINT)[]) END)
+                ) AS r FROM arr
+            )
+            SELECT u.r.t AS time, u.r.v AS value
+            FROM f, unnest(f.r) AS u(r) ORDER BY time
+        """,
         "value_run_lengths": f"""
             {PTS_CTE}, src AS (
                 SELECT time, value FROM pts

@@ -83,3 +83,45 @@ def truncate_dense_timestamps(points: DataFrame, cap: int) -> DataFrame:
         .where(F.col("_rn") <= F.lit(cap))
         .drop("_rn")
     )
+
+
+def hash_sample(
+    points: DataFrame,
+    start: int,
+    end: int,
+    k: int,
+) -> DataFrame:
+    """Deterministic k-per-stream sample: the k points of each stream with
+    the smallest md5(uuid|time|value) rank — the "show me a representative
+    slice of every stream" preview a dashboard or debugging session runs
+    against a 100 TB table. Hash-ranking makes the sample a pure function
+    of the DATA (stable across runs, engines and partitionings — unlike
+    rand()-based sampling), uniformly distributed over each stream's
+    points, and incrementally consistent: adding points only displaces
+    the highest ranks. Columns: uuid, time, value, rank (1-based by hash
+    order). md5 keeps the rank reproducible in any engine.
+
+    Scale shape: one projection computes the rank hash; the per-stream
+    top-k is a row_number window with WindowGroupLimit pushdown — Spark
+    keeps only k rows per stream per partition before the shuffle, so the
+    exchange carries O(streams * k), not the corpus."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # Hash over uuid|time ONLY: integer-to-string is identical in every
+    # engine, while double formatting is not (shortest-repr vs scientific
+    # thresholds differ). Ties (duplicate timestamps) break on (time,
+    # value) so the rank order stays total and engine-exact.
+    src = points.where(time_range_pred(start, end)).select(
+        "uuid",
+        "time",
+        "value",
+        F.md5(F.concat_ws("|", F.col("uuid"), F.col("time"))).alias("h"),
+    )
+    w = Window.partitionBy("uuid").orderBy("h", "time", "value")
+    return (
+        src.select("uuid", "time", "value", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .orderBy("uuid", "rank")
+    )

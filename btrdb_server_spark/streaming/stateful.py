@@ -440,3 +440,78 @@ def streaming_ewma(points_stream: DataFrame, alpha: float = 0.25) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DEADBAND_OUTPUT_SCHEMA = "uuid string, time long, value double"
+DEADBAND_STATE_SCHEMA = "last_time long, kept_q long"
+
+
+def _make_update_deadband(deadband_q: int):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Deadband compression at ingest for one stream: state is two
+        scalars (frontier time, last KEPT value in quantum units). Each
+        batch folds its points in time order with the identical decision
+        sequence as the batch operator, so on an in-order source the kept
+        set is bit-equal to derive.deadband_compress — which is the
+        oracle. Like streaming_ewma, the operator is order-DEFINED: a
+        point behind the frontier raises rather than silently changing
+        which points were kept."""
+        (uuid,) = key
+        if state.exists:
+            last_t, kq = state.get
+        else:
+            last_t, kq = None, None
+        out_t, out_v = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["time", "value"])
+            for t, v, q in zip(
+                pdf["time"].astype("int64"), pdf["value"], pdf["q"].astype("int64")
+            ):
+                t, v, q = int(t), float(v), int(q)
+                if last_t is not None and t < last_t:
+                    raise ValueError(
+                        f"stream {uuid}: point at {t} behind the deadband "
+                        f"frontier {last_t} — order-defined operator"
+                    )
+                last_t = t
+                if kq is None or abs(q - kq) > deadband_q:
+                    kq = q
+                    out_t.append(t)
+                    out_v.append(v)
+        if last_t is None:
+            return
+        state.update((last_t, kq))
+        if out_t:
+            yield pd.DataFrame({"uuid": uuid, "time": out_t, "value": out_v})
+
+    return fn
+
+
+def streaming_deadband(
+    points_stream: DataFrame,
+    deadband: float,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Historian deadband compression as a continuous query: the ingest
+    path emits ONLY exception points (value moved more than `deadband`
+    from the last kept reading), cutting the stored volume at the
+    source — the write-side dual of the batch deadband_compress scan.
+    State is two scalars per stream; on an in-order source the kept set
+    is bit-equal to the batch fold (the driver oracle)."""
+    if deadband <= 0:
+        raise ValueError("deadband must be positive")
+    dq = round(deadband / value_quantum)
+    with_q = points_stream.withColumn(
+        "q", F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    )
+    return with_q.groupBy("uuid").applyInPandasWithState(
+        _make_update_deadband(dq),
+        DEADBAND_OUTPUT_SCHEMA,
+        DEADBAND_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -585,3 +585,20 @@ def test_deadband_compress_keeps_exceptions_only(spark):
     # keep first (0.0); 0.1 inside band; 0.6 kept; 0.55 inside band of
     # 0.6; 1.2 kept (vs 0.6)
     assert [(r.time // S, r.value) for r in out] == [(1, 0.0), (3, 0.6), (5, 1.2)]
+
+
+def test_hash_sample_deterministic_and_bounded(spark):
+    rows = [("a", i, float(i % 7)) for i in range(100)] + [
+        ("b", i, 1.0) for i in range(5)
+    ]
+    pts = mk(spark, rows)
+    from btrdb_server_spark.operators.raw import hash_sample
+
+    s1 = [tuple(r) for r in hash_sample(pts, 0, 1000, k=10).collect()]
+    s2 = [tuple(r) for r in hash_sample(pts.repartition(7), 0, 1000, k=10).collect()]
+    assert s1 == s2  # partitioning-independent
+    by_uuid = {}
+    for u, t, v, rk in s1:
+        by_uuid.setdefault(u, []).append(rk)
+    assert len(by_uuid["a"]) == 10 and by_uuid["a"] == list(range(1, 11))
+    assert len(by_uuid["b"]) == 5  # short stream: every point, ranks 1..5

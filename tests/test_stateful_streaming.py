@@ -260,3 +260,41 @@ def test_streaming_ewma_continues_recurrence_across_batches(spark, tmp_path):
         s = v if s is None else 0.25 * v + 0.75 * s
         exp[i] = s
     assert got == exp  # bit-equal, not approx
+
+
+def test_streaming_deadband_matches_batch_fold(spark, tmp_path):
+    from btrdb_server_spark.operators.derive import deadband_compress
+    from btrdb_server_spark.streaming.stateful import streaming_deadband
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    vals = [0.0, 0.1, 0.6, 0.55, 1.2, 1.1, 0.2]
+    write_batch(spark, src, [("s", i, vals[i]) for i in (0, 1, 2)], 1)
+    write_batch(spark, src, [("s", i, vals[i]) for i in (3, 4)], 2)
+    write_batch(spark, src, [("s", i, vals[i]) for i in (5, 6)], 3)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_deadband(stream, deadband=0.3)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("deadband_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.time, r.value)
+        for r in spark.sql("SELECT * FROM deadband_updates").collect()
+    )
+    batch = deadband_compress(
+        spark.createDataFrame([("s", i, v) for i, v in enumerate(vals)], POINTS_SCHEMA),
+        "s", 0, 100, deadband=0.3,
+    ).collect()
+    assert got == [(r.time, r.value) for r in batch]  # bit-equal kept set
