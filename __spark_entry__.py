@@ -639,6 +639,16 @@ def q_streaming_deadband(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT time, value FROM {name}").orderBy("time")
 
 
+def q_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day profile of the click stream over January — the diurnal
+    fingerprint that `autocorr` detects, described per hour. Integer-quantum
+    means, bit-exact."""
+    from btrdb_server_spark.operators.stat import diurnal_profile
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return diurnal_profile(pts, "click", T_2024, T_FEB)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1908,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deadband_compress": q_deadband_compress,
         "hash_sample": q_hash_sample,
         "streaming_deadband": q_streaming_deadband,
+        "diurnal_profile": q_diurnal_profile,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1922,7 +1933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_stat_state": q_streaming_stat_state,
         # -- (e) green anchors, one per SURVEY family ------------------
-        "raw_values": q_raw_values,
         "streaming_ingest": q_streaming_ingest,
         "aligned_windows": q_aligned_windows,
         "windows_holes": q_windows_holes,
@@ -1939,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "raw_values": q_raw_values,
         "store_version_travel": q_store_version_travel,
         "nearest_asof": q_nearest_asof,
         "multistream_align": q_multistream_align,
@@ -2625,6 +2636,22 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "diurnal_profile": f"""
+            {PTS_CTE}, src AS (
+                SELECT (time // 3600000000000) % 24 AS hour,
+                       CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts
+                WHERE uuid = 'click' AND time >= 1704067200000000000 AND time < 1706745600000000000
+            ), agg AS (
+                SELECT hour, count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sq
+                FROM src GROUP BY 1
+            ), spine AS (SELECT range AS hour FROM range(0, 24))
+            SELECT spine.hour, COALESCE(agg.cnt, 0) AS cnt,
+                   CAST(agg.sq AS DOUBLE) / CAST(agg.cnt AS DOUBLE) AS mean_q,
+                   (CAST(agg.sq AS DOUBLE) / CAST(agg.cnt AS DOUBLE))
+                       * CAST(0.01 AS DOUBLE) AS mean
+            FROM spine LEFT JOIN agg USING (hour) ORDER BY hour
+        """,
         "hash_sample": f"""
             {PTS_CTE}, src AS (
                 SELECT uuid, time, value,

@@ -598,3 +598,45 @@ def sax_symbols(
         )
         .orderBy("time")
     )
+
+
+def diurnal_profile(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Hour-of-day seasonality profile: per hour 0-23 (UTC), the count and
+    integer-quantum mean of every reading that ever fell in that hour —
+    the diurnal fingerprint (load curves, office-hours patterns) that
+    `autocorr` detects and this operator describes. The mean rides the
+    integer-quantum path: sum in int64 quanta, one double division — so
+    the 24-row profile is bit-identical in any engine. Hours with no
+    points emit cnt=0/null mean. Columns: hour, cnt, mean_q (quantum
+    units, e.g. cents), mean (value units: mean_q * quantum).
+
+    Scale shape: one map-side-combined groupBy on an integer expression;
+    the 24-row spine joins broadcast."""
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
+    ).select(
+        F.expr("(time div 3600000000000) % 24").alias("hour"),
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
+    )
+    agg = src.groupBy("hour").agg(
+        F.count("*").alias("cnt"), F.sum("q").alias("sq")
+    )
+    spark = points.sparkSession
+    spine = spark.range(0, 24).select(F.col("id").alias("hour"))
+    mean_q = F.col("sq").cast("double") / F.col("cnt").cast("double")
+    return (
+        spine.join(agg, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            mean_q.alias("mean_q"),
+            (mean_q * F.lit(value_quantum)).alias("mean"),
+        )
+        .orderBy("hour")
+    )

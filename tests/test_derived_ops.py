@@ -602,3 +602,17 @@ def test_hash_sample_deterministic_and_bounded(spark):
         by_uuid.setdefault(u, []).append(rk)
     assert len(by_uuid["a"]) == 10 and by_uuid["a"] == list(range(1, 11))
     assert len(by_uuid["b"]) == 5  # short stream: every point, ranks 1..5
+
+
+def test_diurnal_profile_exact_hours(spark):
+    H = 3_600_000_000_000
+    rows = [("a", 0 * H + 5, 1.0), ("a", 24 * H + 7, 3.0),  # hour 0 twice
+            ("a", 5 * H + 9, 7.0)]  # hour 5 once
+    pts = mk(spark, rows)
+    from btrdb_server_spark.operators.stat import diurnal_profile
+
+    out = {r.hour: r for r in diurnal_profile(pts, "a", 0, 48 * H).collect()}
+    assert len(out) == 24
+    assert (out[0].cnt, out[0].mean) == (2, pytest.approx(2.0))
+    assert (out[5].cnt, out[5].mean) == (1, pytest.approx(7.0))
+    assert out[3].cnt == 0 and out[3].mean is None
