@@ -649,6 +649,37 @@ def q_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diurnal_profile(pts, "click", T_2024, T_FEB)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel over the events feed:
+    users reaching each step, every later event strictly after the user's
+    earliest qualifying previous step. All-integer output."""
+    from btrdb_server_spark.operators.events import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle anchored at 2024-01-01: first-event
+    week x active-week offset x distinct users. All-integer output."""
+    from btrdb_server_spark.operators.events import retention_cohorts
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("time", epoch_ns_expr(ev))
+    return retention_cohorts(ev, T_2024)
+
+
+def q_ohlc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick downsample of the click stream at pw=40 (~18.3 min
+    buckets) over 2024: open/high/low/close per bucket, open/close by
+    deterministic lexicographic (time, value) order. Values pass through
+    with no arithmetic — bit-exact."""
+    from btrdb_server_spark.operators.stat import ohlc_windows
+
+    pts = load_points(spark, sf_dir, T_2024 - (1 << 40), T_2025)
+    return ohlc_windows(pts, "click", T_2024, T_2025, 40)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1919,6 +1950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "streaming_deadband": q_streaming_deadband,
         "diurnal_profile": q_diurnal_profile,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "ohlc_windows": q_ohlc_windows,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1938,17 +1972,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "rollup_rewrite": q_rollup_rewrite,
-        "windows_rewrite": q_windows_rewrite,
-        "sql_rollup_serve": q_sql_rollup_serve,
         "list_collections": q_list_collections,
         "delete_range": q_delete_range,
-        "registry_obliterate": q_registry_obliterate,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "buffer_stat_merge": q_buffer_stat_merge,
         "late_data_rollup": q_late_data_rollup,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "windows_rewrite": q_windows_rewrite,
+        "sql_rollup_serve": q_sql_rollup_serve,
+        "registry_obliterate": q_registry_obliterate,
         "raw_values": q_raw_values,
         "store_version_travel": q_store_version_travel,
         "nearest_asof": q_nearest_asof,
@@ -2636,6 +2670,62 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                       count(*) AS users FROM s1
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+            ) ORDER BY step
+        """,
+        "retention_cohorts": f"""
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       (epoch_ns(ts) - {T_2024}) // {7 * DAY_NS} AS week
+                FROM events WHERE epoch_ns(ts) >= {T_2024}
+            ), c AS (
+                SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+            )
+            SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+                   count(*) AS users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+        """,
+        "ohlc_windows": f"""
+            {PTS_CTE}, src AS (
+                SELECT ((time >> 40) << 40) AS wt, time, value FROM pts
+                WHERE uuid = 'click'
+                  AND time >= {(T_2024 >> 40) << 40}
+                  AND time < {(T_2025 >> 40) << 40}
+            ), r AS (
+                SELECT wt, value,
+                       row_number() OVER (PARTITION BY wt
+                           ORDER BY time, value) AS rn_o,
+                       row_number() OVER (PARTITION BY wt
+                           ORDER BY time DESC, value DESC) AS rn_c
+                FROM src
+            )
+            SELECT wt AS time,
+                   max(CASE WHEN rn_o = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rn_c = 1 THEN value END) AS close,
+                   count(*) AS cnt
+            FROM r GROUP BY 1 ORDER BY time
+        """,
         "diurnal_profile": f"""
             {PTS_CTE}, src AS (
                 SELECT (time // 3600000000000) % 24 AS hour,

@@ -67,3 +67,103 @@ def user_activity(
         .agg(*aggs)
         .orderBy("user_id")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed steps[0], then
+    steps[1] STRICTLY AFTER their first steps[0], then steps[2] strictly
+    after that, ... One row per step: (step, event_type, users), users
+    monotonically non-increasing — the activation/conversion readout of
+    an event feed.
+
+    Semantics: t_1 = min ts of step 1; t_k = min ts of step k with
+    ts > t_{k-1}. A user counts for step k iff t_k exists. Strictly
+    sequential (each later event must be after the user's EARLIEST
+    qualifying previous step), the standard window-less funnel definition.
+
+    Scale shape: one groupBy(user) per step plus one join per transition —
+    every shuffle is keyed on the same user column, so the exchanges
+    co-partition and the per-step subplans are reused across the final
+    union (ReuseExchange); no window sorts, no per-user event collection.
+    All-integer output, engine-exact."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    user, ts = F.col(user_col), F.col(ts_col)
+    stages = []
+    prev = (
+        events.where(F.col(type_col) == F.lit(steps[0]))
+        .groupBy(user.alias("u"))
+        .agg(F.min(ts).alias("t"))
+    )
+    stages.append(prev)
+    for st in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == F.lit(st))
+            .select(user.alias("u"), ts.alias("ets"))
+            .join(prev, "u")
+            .where(F.col("ets") > F.col("t"))
+            .groupBy("u")
+            .agg(F.min("ets").alias("t"))
+        )
+        stages.append(nxt)
+        prev = nxt
+    counts = [
+        s.agg(F.count("*").alias("users")).select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(name).alias("event_type"),
+            F.col("users"),
+        )
+        for i, (name, s) in enumerate(zip(steps, stages))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("step")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    anchor: int,
+    week_ns: int = 7 * 86_400_000_000_000,
+    time_col: str = "time",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention triangle: cohort_week = the week (since `anchor`)
+    of each user's first event; for every later week they were active,
+    one (cohort_week, week_offset, users) row — the classic cohort
+    retention table. `time_col` is int64 epoch ns (see
+    sources.testdata.epoch_ns_expr for the events table).
+
+    Scale shape: (user, week) pairs are distinct-ed first (map-side
+    combine collapses each user-week to one row before the shuffle), the
+    cohort assignment is a groupBy(user) min over that already-tiny set,
+    and the join back is keyed on the same user column — co-partitioned
+    with the distinct's exchange. The final count(*) equals distinct
+    users per cell because the join's left side is already unique per
+    (user, week). All-integer output, engine-exact."""
+    uw = (
+        events.where(F.col(time_col) >= F.lit(anchor))
+        .select(
+            F.col(user_col).alias("u"),
+            # int64 div, not double /: a year of ns exceeds 2^53 and a
+            # float quotient can mis-bucket a boundary point.
+            F.expr(f"({time_col} - {anchor}L) div {week_ns}L").alias("week"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("u").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "u")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )

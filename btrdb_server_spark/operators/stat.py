@@ -640,3 +640,47 @@ def diurnal_profile(
         )
         .orderBy("hour")
     )
+
+
+def ohlc_windows(
+    points: DataFrame, uuid: str, start: int, end: int, pw: int
+) -> DataFrame:
+    """Candlestick read: per aligned 2**pw bucket the Open/High/Low/Close
+    of one stream — the historian/finance downsample that keeps the first
+    and last reading of each interval instead of (or alongside) the mean.
+    Same bucket alignment and range masking as aligned_windows
+    (quasar.go:285-289); empty buckets omitted.
+
+    Open/close are defined by LEXICOGRAPHIC (time, value) order, so a
+    duplicate-timestamp tie resolves deterministically (same rule as the
+    dup-timestamp compat flag elsewhere): open = value of min
+    struct(time, value), close = value of max struct(time, value).
+    min/max over structs are declarative aggregates — the plan is ONE
+    map-side-combined groupBy; the shuffle carries one 5-field row per
+    (bucket), never per point. Values pass through untouched (no
+    arithmetic), so output doubles are bit-exact in any engine.
+    Columns: time (bucket start), open, high, low, close, cnt."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    return (
+        points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend))
+        .groupBy(F.shiftleft(F.shiftright("time", pw), pw).alias("time"))
+        .agg(
+            F.min(F.struct("time", "value")).alias("o"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("time", "value")).alias("c"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "time",
+            F.col("o.value").alias("open"),
+            "high",
+            "low",
+            F.col("c.value").alias("close"),
+            "cnt",
+        )
+        .orderBy("time")
+    )

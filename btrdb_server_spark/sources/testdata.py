@@ -56,28 +56,35 @@ def _ntz_lit(ns: int):
     return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
 
 
+def epoch_ns_expr(events: DataFrame, ts_col: str = "ts"):
+    """Epoch-nanosecond Column for the events `ts`, matching DuckDB's
+    epoch_ns(ts) bit-exactly and independent of the session timezone.
+    The parquet stores TIMESTAMP(MICROS, not adjusted to UTC): Spark 4
+    reads it as TIMESTAMP_NTZ; time = wall-clock µs × 1000. Legacy dtypes
+    (int64 ns via nanosAsLong, tz-aware TimestampType) are still accepted
+    for older lakes."""
+    ts_type = dict(events.dtypes)[ts_col]
+    if ts_type == "bigint":  # legacy nanosAsLong read: raw int64 ns
+        return F.col(ts_col) - F.col(ts_col) % F.lit(1000)
+    if ts_type == "timestamp_ntz":
+        return (
+            F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {ts_col})")
+            * F.lit(1000)
+        )
+    # tz-aware TimestampType (µs instant) fallback
+    return F.unix_micros(ts_col) * F.lit(1000)
+
+
 def events_to_points(events: DataFrame) -> DataFrame:
     """Map the events table to the (uuid, time, value) points plane.
 
     uuid = event_type (one stream per source type), time = epoch nanoseconds
-    of the wall-clock ts. The parquet stores TIMESTAMP(MICROS, not adjusted
-    to UTC): Spark 4 reads it as TIMESTAMP_NTZ; time = wall-clock µs × 1000,
-    exactly DuckDB's epoch_ns(ts) — keeping the oracle comparison exact and
-    timezone-independent. Legacy dtypes (int64 ns via nanosAsLong, tz-aware
-    TimestampType) are still accepted for older lakes.
+    of the wall-clock ts (see epoch_ns_expr — exactly DuckDB's epoch_ns(ts),
+    keeping the oracle comparison exact and timezone-independent).
     """
-    ts_type = dict(events.dtypes)["ts"]
-    if ts_type == "bigint":  # legacy nanosAsLong read: raw int64 ns
-        time_col = (F.col("ts") - F.col("ts") % F.lit(1000)).alias("time")
-    elif ts_type == "timestamp_ntz":
-        time_col = (
-            F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts)") * F.lit(1000)
-        ).alias("time")
-    else:  # tz-aware TimestampType (µs instant) fallback
-        time_col = (F.unix_micros("ts") * F.lit(1000)).alias("time")
     return events.select(
         F.col("event_type").alias("uuid"),
-        time_col,
+        epoch_ns_expr(events).alias("time"),
         F.col("value").alias("value"),
     )
 

@@ -616,3 +616,46 @@ def test_diurnal_profile_exact_hours(spark):
     assert (out[0].cnt, out[0].mean) == (2, pytest.approx(2.0))
     assert (out[5].cnt, out[5].mean) == (1, pytest.approx(7.0))
     assert out[3].cnt == 0 and out[3].mean is None
+
+
+def test_funnel_strict_ordering(spark):
+    # u1 completes all three in order; u2 clicks BEFORE its first view
+    # (click must not count); u3 views only.
+    rows = [
+        (10, "view", 1.0, 1), (20, "click", 1.0, 1), (30, "purchase", 1.0, 1),
+        (10, "click", 1.0, 2), (20, "view", 1.0, 2),
+        (10, "view", 1.0, 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_type string, value double, user_id long"
+    )
+    from btrdb_server_spark.operators.events import funnel
+
+    out = {r.step: (r.event_type, r.users) for r in funnel(ev).collect()}
+    assert out == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+def test_retention_cohorts_known_triangle(spark):
+    W = 7 * 86_400_000_000_000
+    # u1 joins week 0, active weeks 0 and 2; u2 joins week 1, active week 1.
+    rows = [(1, 0), (1, 2 * W + 5), (2, W + 3), (1, 10)]  # dup week-0 row for u1
+    ev = spark.createDataFrame(rows, "user_id long, time long")
+    from btrdb_server_spark.operators.events import retention_cohorts
+
+    out = {(r.cohort_week, r.week_offset): r.users
+           for r in retention_cohorts(ev, 0).collect()}
+    assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_ohlc_windows_lexicographic_ties(spark):
+    # pw=2 -> 4 ns buckets. Bucket 0: points at t=1 (vals 5.0 and 2.0 —
+    # duplicate timestamp, open resolves to the smaller value) and t=3.
+    # Bucket 4..7 empty -> omitted. Bucket 8: single point.
+    pts = mk(spark, [("a", 1, 5.0), ("a", 1, 2.0), ("a", 3, 1.0), ("a", 9, 7.0)])
+    from btrdb_server_spark.operators.stat import ohlc_windows
+
+    out = {r.time: r for r in ohlc_windows(pts, "a", 0, 12, 2).collect()}
+    assert set(out) == {0, 8}
+    b0 = out[0]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.cnt) == (2.0, 5.0, 1.0, 1.0, 3)
+    assert (out[8].open, out[8].close, out[8].cnt) == (7.0, 7.0, 1)
