@@ -680,6 +680,24 @@ def q_ohlc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_windows(pts, "click", T_2024, T_2025, 40)
 
 
+def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the click and view streams at pw=40 bucket
+    sums, lags -3..3: the lag estimator. Exact integer components, one
+    double Pearson ratio per lag — bit-exact."""
+    from btrdb_server_spark.operators.corr import xcorr_lags
+
+    pts = load_points(spark, sf_dir, T_2024 - (1 << 40), T_2025)
+    return xcorr_lags(pts, "click", "view", T_2024, T_2025, 40)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event matrix per user ((ts, event_id)
+    order — deterministic on duplicate timestamps). All-integer output."""
+    from btrdb_server_spark.operators.events import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1953,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "ohlc_windows": q_ohlc_windows,
+        "xcorr_lags": q_xcorr_lags,
+        "event_transitions": q_event_transitions,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1970,16 +1990,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "aligned_windows": q_aligned_windows,
         "windows_holes": q_windows_holes,
-        "aligned_windows_rollup": q_aligned_windows_rollup,
         "rollup_rewrite": q_rollup_rewrite,
         "list_collections": q_list_collections,
         "delete_range": q_delete_range,
         "buffer_read_your_writes": q_buffer_read_your_writes,
-        "buffer_stat_merge": q_buffer_stat_merge,
         "late_data_rollup": q_late_data_rollup,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "aligned_windows_rollup": q_aligned_windows_rollup,
+        "buffer_stat_merge": q_buffer_stat_merge,
         "windows_rewrite": q_windows_rewrite,
         "sql_rollup_serve": q_sql_rollup_serve,
         "registry_obliterate": q_registry_obliterate,
@@ -2704,6 +2724,69 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS users
             FROM uw JOIN c USING (user_id)
             GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+        """,
+        "xcorr_lags": f"""
+            {PTS_CTE}, sa AS (
+                SELECT (time >> 40) - {T_2024 >> 40} AS bucket,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS s
+                FROM pts WHERE uuid = 'click'
+                  AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+                GROUP BY 1
+            ), sb AS (
+                SELECT (time >> 40) - {T_2024 >> 40} AS bucket,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS s
+                FROM pts WHERE uuid = 'view'
+                  AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+                GROUP BY 1
+            ), lags AS (SELECT range AS lag FROM range(-3, 4)),
+            sxy AS (
+                SELECT lag, CAST(sum(sa.s * sb.s) AS BIGINT) AS Sxy
+                FROM lags, sa, sb WHERE sb.bucket = sa.bucket + lags.lag
+                GROUP BY 1
+            ), pa AS (
+                SELECT lag, CAST(sum(s) AS BIGINT) AS Sa,
+                       CAST(sum(s * s) AS BIGINT) AS Saa
+                FROM lags, sa
+                WHERE bucket >= greatest(0, -lag)
+                  AND bucket < {(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} - greatest(0, lag)
+                GROUP BY 1
+            ), pb AS (
+                SELECT lag, CAST(sum(s) AS BIGINT) AS Sb,
+                       CAST(sum(s * s) AS BIGINT) AS Sbb
+                FROM lags, sb
+                WHERE bucket >= greatest(0, lag)
+                  AND bucket < {(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} + least(0, lag)
+                GROUP BY 1
+            ), j AS (
+                SELECT lags.lag,
+                       CAST(COALESCE(Sxy, 0) AS DOUBLE) AS dxy,
+                       CAST(COALESCE(Sa, 0) AS DOUBLE) AS da,
+                       CAST(COALESCE(Saa, 0) AS DOUBLE) AS daa,
+                       CAST(COALESCE(Sb, 0) AS DOUBLE) AS db,
+                       CAST(COALESCE(Sbb, 0) AS DOUBLE) AS dbb,
+                       CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} - abs(lags.lag) AS DOUBLE) AS m
+                FROM lags LEFT JOIN sxy USING (lag)
+                          LEFT JOIN pa USING (lag) LEFT JOIN pb USING (lag)
+            )
+            SELECT lag,
+                   CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} - abs(lag) AS BIGINT) AS n_pairs,
+                   CASE WHEN (m * daa - da * da) > 0 AND (m * dbb - db * db) > 0
+                        THEN (m * dxy - da * db)
+                             / (sqrt(m * daa - da * da) * sqrt(m * dbb - db * db))
+                   END AS xcorr
+            FROM j ORDER BY lag
+        """,
+        "event_transitions": """
+            WITH nx AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events
+            )
+            SELECT from_type, to_type, count(*) AS cnt
+            FROM nx WHERE to_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY from_type, to_type
         """,
         "ohlc_windows": f"""
             {PTS_CTE}, src AS (

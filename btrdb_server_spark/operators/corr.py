@@ -216,3 +216,109 @@ def autocorr(
         )
         .orderBy("lag")
     )
+
+
+def xcorr_lags(
+    points: DataFrame,
+    uuid_a: str,
+    uuid_b: str,
+    start: int,
+    end: int,
+    pw: int,
+    lags: tuple[int, ...] = (-3, -2, -1, 0, 1, 2, 3),
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Cross-correlation function between two streams over per-bucket sums
+    (zero-filled spine): for each signed lag L, the Pearson correlation of
+    pairs (a_t, b_{t+L}) over the m = n-|L| overlapping buckets — the lag
+    estimator ("sensor B follows sensor A by ~2 buckets" shows as the
+    argmax lag). Positive L means b LAGS a.
+
+    Exactness: every component is an int64 in quantum units — Sxy from a
+    shifted join (zero-filled terms vanish), Sa/Saa and Sb/Sbb from
+    conditional range aggregates over the non-empty buckets — and the
+    Pearson ratio
+
+        r(L) = (m*Sxy - Sa*Sb) / (sqrt(m*Saa - Sa^2) * sqrt(m*Sbb - Sb^2))
+
+    evaluates in double on the exact integers, each factor cast first:
+    bit-identical in any engine. Null when either side of the overlap has
+    zero variance.
+
+    Scale shape: TWO point-scale groupBys to bucket sums (map-side
+    combined, localCheckpoint'ed — each table feeds every lag's join and
+    range aggregates), then per-lag work on bucket-scale tables only:
+    O(|lags| * non-empty buckets) beyond the scans."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    n = (fend - fstart) >> pw
+    if not lags or n <= max(abs(lag) for lag in lags):
+        raise ValueError("need lags, each shorter than the bucket range")
+    b0 = fstart >> pw
+    q = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+
+    def bucket_sums(uid: str) -> DataFrame:
+        return (
+            points.where((F.col("uuid") == F.lit(uid)) & time_range_pred(fstart, fend))
+            .groupBy((F.shiftright("time", pw) - F.lit(b0)).alias("bucket"))
+            .agg(F.sum(q).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+
+    sa, sb = bucket_sums(uuid_a), bucket_sums(uuid_b)
+    spark = points.sparkSession
+    lag_df = spark.createDataFrame([(int(lag),) for lag in lags], "lag long")
+    # Overlap index ranges: a-side t in [max(0,-L), n - max(0,L));
+    # b-side u = t+L in [max(0,L), n + min(0,L)).
+    lo_a = F.greatest(F.lit(0), -F.col("lag"))
+    hi_a = F.lit(n) - F.greatest(F.lit(0), F.col("lag"))
+    lo_b = F.greatest(F.lit(0), F.col("lag"))
+    hi_b = F.lit(n) + F.least(F.lit(0), F.col("lag"))
+    sxy = (
+        lag_df.join(sa.select(F.col("bucket").alias("t"), F.col("s").alias("va")))
+        .join(
+            sb.select(F.col("bucket").alias("u"), F.col("s").alias("vb")),
+            F.col("u") == F.col("t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("Sxy"))
+    )
+    parts_a = (
+        lag_df.join(sa)
+        .where((F.col("bucket") >= lo_a) & (F.col("bucket") < hi_a))
+        .groupBy("lag")
+        .agg(
+            F.sum("s").alias("Sa"),
+            F.sum(F.col("s") * F.col("s")).alias("Saa"),
+        )
+    )
+    parts_b = (
+        lag_df.join(sb)
+        .where((F.col("bucket") >= lo_b) & (F.col("bucket") < hi_b))
+        .groupBy("lag")
+        .agg(
+            F.sum("s").alias("Sb"),
+            F.sum(F.col("s") * F.col("s")).alias("Sbb"),
+        )
+    )
+    d = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")  # noqa: E731
+    m = (F.lit(n) - F.abs(F.col("lag"))).cast("double")
+    num = m * d("Sxy") - d("Sa") * d("Sb")
+    var_a = m * d("Saa") - d("Sa") * d("Sa")
+    var_b = m * d("Sbb") - d("Sb") * d("Sb")
+    return (
+        lag_df.join(sxy, "lag", "left")
+        .join(parts_a, "lag", "left")
+        .join(parts_b, "lag", "left")
+        .select(
+            "lag",
+            (F.lit(n) - F.abs(F.col("lag"))).alias("n_pairs"),
+            F.when(
+                (var_a > 0) & (var_b > 0),
+                num / (F.sqrt(var_a) * F.sqrt(var_b)),
+            ).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )

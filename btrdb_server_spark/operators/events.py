@@ -167,3 +167,36 @@ def retention_cohorts(
         .agg(F.count("*").alias("users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: one row per (from_type, to_type) with the number of times a
+    user's event of from_type was IMMEDIATELY followed by to_type — the
+    path-analysis matrix behind "where do users go after a view?". The
+    per-user order is (ts, event_id), so a duplicate-timestamp tie
+    resolves deterministically by the unique event id.
+
+    Scale shape: one window shuffle partitioned by user (per-user event
+    counts bound the sort — the same key and skew profile as
+    sessionization), then a map-side-combined groupBy on the tiny
+    (type x type) key domain. All-integer output, engine-exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nx = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    )
+    return (
+        nx.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("from_type", "to_type")
+    )

@@ -659,3 +659,33 @@ def test_ohlc_windows_lexicographic_ties(spark):
     b0 = out[0]
     assert (b0.open, b0.high, b0.low, b0.close, b0.cnt) == (2.0, 5.0, 1.0, 1.0, 3)
     assert (out[8].open, out[8].close, out[8].cnt) == (7.0, 7.0, 1)
+
+
+def test_xcorr_lags_detects_shift(spark):
+    # Stream b is stream a delayed by exactly 2 buckets (pw=0 -> 1 ns
+    # buckets): the cross-correlation peaks at lag +2 with r ~= 1.
+    a = [("a", t, (t + 1) * 0.01) for t in range(6)]
+    b = [("b", t + 2, (t + 1) * 0.01) for t in range(6)]
+    pts = mk(spark, a + b)
+    from btrdb_server_spark.operators.corr import xcorr_lags
+
+    out = {r.lag: r for r in xcorr_lags(pts, "a", "b", 0, 8, 0).collect()}
+    assert set(out) == {-3, -2, -1, 0, 1, 2, 3}
+    assert all(out[L].n_pairs == 8 - abs(L) for L in out)
+    assert out[2].xcorr == pytest.approx(1.0)
+    best = max(out.values(), key=lambda r: (r.xcorr is not None and r.xcorr, r.lag))
+    assert best.lag == 2
+
+
+def test_event_transitions_order_and_ties(spark):
+    # u1: view -> click -> view. u2: two events at the SAME ts — order
+    # falls back to event_id, so view(id=4) precedes click(id=5).
+    rows = [
+        (1, 10, 1, "view"), (2, 20, 1, "click"), (3, 30, 1, "view"),
+        (4, 50, 2, "view"), (5, 50, 2, "click"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts long, user_id long, event_type string")
+    from btrdb_server_spark.operators.events import event_transitions
+
+    out = {(r.from_type, r.to_type): r.cnt for r in event_transitions(ev).collect()}
+    assert out == {("view", "click"): 2, ("click", "view"): 1}
