@@ -657,9 +657,16 @@ def ohlc_windows(
     struct(time, value), close = value of max struct(time, value).
     min/max over structs are declarative aggregates — the plan is ONE
     map-side-combined groupBy; the shuffle carries one 5-field row per
-    (bucket), never per point. Values pass through untouched (no
-    arithmetic), so output doubles are bit-exact in any engine.
-    Columns: time (bucket start), open, high, low, close, cnt."""
+    (bucket), never per point. Struct-typed agg buffers do fall off
+    whole-stage HashAggregate onto SortAggregate (per-partition sort by
+    bucket key) — the deliberate trade: one sorted pass over the points
+    beats the hash-friendly alternative (a primitive-only aggregate plus
+    a SECOND point-scale join to resolve open/close ties), and the
+    partial aggregate still collapses each partition to bucket-scale
+    before the exchange (pinned in tests/test_plans.py). Values pass
+    through untouched (no arithmetic), so output doubles are bit-exact in
+    any engine. Columns: time (bucket start), open, high, low, close,
+    cnt."""
     if not 0 <= pw <= MAX_PW:
         raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
     fstart = align_floor(start, pw)

@@ -409,3 +409,35 @@ def test_new_pipeline_ops_plan_shapes(spark):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("doc_id" in s for s in specs)
+
+
+def test_ohlc_partial_agg_before_exchange(spark):
+    """OHLC's struct-typed min/max falls off HashAggregate onto
+    SortAggregate by design — the contract is that the PARTIAL aggregate
+    still runs map-side, so the shuffle carries one row per bucket, not
+    per point (see ohlc_windows docstring for the trade-off)."""
+    plan = entry_mod.q_ohlc_windows(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min(struct(time" in plan
+    # partial aggregate must sit BELOW the hash-partition exchange
+    assert plan.index("partial_min(struct(time") > plan.index("Exchange hashpartitioning")
+
+
+def test_funnel_reuses_user_exchanges(spark):
+    """Every funnel shuffle is keyed on the same user column; the union of
+    per-step counts must not multiply point-scale scans (subplans shared
+    via exchange reuse) and each step is a partial-agg groupBy."""
+    plan = plan_of(entry_mod.q_funnel(spark, SF))
+    assert "partial_min" in plan
+    # one scan per event-type filter is fine; the s1 subtree must be reused
+    # rather than recomputed for every downstream step + count branch.
+    assert "ReusedExchange" in plan or plan.count("FileScan parquet") <= 4
+
+
+def test_xcorr_per_lag_work_is_bucket_scale(spark):
+    """xcorr's per-lag joins/aggregates run on localCheckpoint'ed
+    bucket-scale tables: the executed plan must contain NO parquet scan
+    (points were scanned exactly once per side at checkpoint time)."""
+    df = entry_mod.q_xcorr_lags(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan  # the two pinned bucket tables
