@@ -698,6 +698,30 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangedRanges->RawValues as one operator: click points landing
+    inside the >=1h silences of the error stream, via the BUCKETED range
+    join (pw=42 equi-join on exploded interval buckets — the large-
+    interval-set scale path; no nested loop)."""
+    from btrdb_server_spark.operators.changes import interval_join
+    from btrdb_server_spark.operators.derive import gaps
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    g = gaps(pts, "error", T_2024, T_FEB, min_gap=3_600_000_000_000).select(
+        F.col("gap_start").alias("start"), F.col("gap_end").alias("end")
+    )
+    clicks = pts.where(
+        (F.col("uuid") == "click")
+        & (F.col("time") >= T_2024)
+        & (F.col("time") < T_FEB)
+    ).select("time", "value")
+    return (
+        interval_join(clicks, g, bucket_pw=42)
+        .select(F.col("start").alias("gap_start"), "time", "value")
+        .orderBy("gap_start", "time", "value")
+    )
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -1973,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_windows": q_ohlc_windows,
         "xcorr_lags": q_xcorr_lags,
         "event_transitions": q_event_transitions,
+        "interval_join": q_interval_join,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -1989,7 +2014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (e) green anchors, one per SURVEY family ------------------
         "streaming_ingest": q_streaming_ingest,
         "aligned_windows": q_aligned_windows,
-        "windows_holes": q_windows_holes,
         "rollup_rewrite": q_rollup_rewrite,
         "list_collections": q_list_collections,
         "delete_range": q_delete_range,
@@ -1998,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "buffer_stat_merge": q_buffer_stat_merge,
         "windows_rewrite": q_windows_rewrite,
@@ -2775,6 +2800,19 @@ def oracle_sql() -> dict[str, str]:
                              / (sqrt(m * daa - da * da) * sqrt(m * dbb - db * db))
                    END AS xcorr
             FROM j ORDER BY lag
+        """,
+        "interval_join": f"""
+            {PTS_CTE}
+            , l AS (SELECT time, lag(time) OVER (ORDER BY time, value) AS prev_time
+                    FROM pts
+                    WHERE uuid = 'error' AND time >= {T_2024} AND time < {T_FEB})
+            , g AS (SELECT prev_time AS s, time AS e FROM l
+                    WHERE prev_time IS NOT NULL
+                      AND time - prev_time >= 3600000000000)
+            SELECT g.s AS gap_start, p.time, p.value
+            FROM pts p JOIN g ON p.time >= g.s AND p.time < g.e
+            WHERE p.uuid = 'click' AND p.time >= {T_2024} AND p.time < {T_FEB}
+            ORDER BY gap_start, time, value
         """,
         "event_transitions": """
             WITH nx AS (

@@ -136,3 +136,48 @@ def times_to_changed_ranges(
     keys = ["uuid"] if by_uuid else []
     buckets = changed_times.select(*keys, F.shiftright("time", resolution).alias("bucket"))
     return buckets_to_ranges(buckets, resolution, by_uuid=by_uuid)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Range join: every point with interval.start <= time < interval.end,
+    tagged with its interval's columns — the fetch step of the reference's
+    ChangedRanges -> RawValues workflow (quasar.go:399-402 then
+    serve.go:122-180, one RawValues call per returned range) as a single
+    declarative operator. A point inside k overlapping intervals appears
+    k times (it IS a join).
+
+    Two scale paths:
+    - bucket_pw=None: broadcast nested-loop range join. Right for
+      changed-ranges-sized interval sets (hundreds..thousands): the
+      interval table ships to every executor once and each point scans
+      only that in-memory list; there is no shuffle of the points at all.
+    - bucket_pw=p: equi-join on 2**p-ns buckets for LARGE interval sets.
+      Each interval explodes into the buckets it covers
+      (sequence(start>>p, (end-1)>>p) — ascending since end > start), the
+      points compute one bucket key, and the join is a plain shuffle hash
+      join with the exact containment predicate re-applied after. Pick p
+      near the typical interval width: the explode factor stays O(1) and
+      no executor ever sees a nested loop.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    contains = (F.col("time") >= s) & (F.col("time") < e)
+    if bucket_pw is None:
+        return points.join(F.broadcast(intervals), contains)
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(F.shiftright(s, bucket_pw), F.shiftright(e - 1, bucket_pw))
+        ),
+    )
+    return (
+        points.withColumn("_bucket", F.shiftright("time", bucket_pw))
+        .join(iv, "_bucket")
+        .where(contains)
+        .drop("_bucket")
+    )

@@ -689,3 +689,20 @@ def test_event_transitions_order_and_ties(spark):
 
     out = {(r.from_type, r.to_type): r.cnt for r in event_transitions(ev).collect()}
     assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_interval_join_paths_agree(spark):
+    pts = mk(spark, [("a", t, float(t)) for t in range(0, 100, 7)])
+    iv = spark.createDataFrame(
+        [(10, 30), (25, 40), (90, 95)], "start long, end long"
+    )  # first two OVERLAP: points in [25,30) must appear twice
+    from btrdb_server_spark.operators.changes import interval_join
+
+    def rows(df):
+        return sorted((r.start, r.time) for r in df.collect())
+
+    bcast = rows(interval_join(pts, iv))
+    bucketed = rows(interval_join(pts, iv, bucket_pw=3))
+    assert bcast == bucketed
+    assert (10, 28) in bcast and (25, 28) in bcast  # overlap -> two rows
+    assert (90, 91) in bcast and all(t != 95 for _, t in bcast)  # end exclusive

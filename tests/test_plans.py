@@ -441,3 +441,20 @@ def test_xcorr_per_lag_work_is_bucket_scale(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan  # the two pinned bucket tables
+
+
+def test_interval_join_bucketed_is_equi_join(spark):
+    """The bucketed path must plan as a shuffle/sort-merge EQUI join on the
+    bucket key — never a nested-loop over the interval set; the broadcast
+    path must plan as BroadcastNestedLoopJoin with no points shuffle."""
+    from btrdb_server_spark.operators.changes import interval_join
+    from btrdb_server_spark.sources.testdata import load_points
+
+    pts = load_points(spark, SF).where(F.col("uuid") == "click")
+    iv = spark.createDataFrame([(0, 10**18)], "start long, end long")
+    bp = plan_of(interval_join(pts, iv, bucket_pw=42))
+    assert "NestedLoop" not in bp
+    assert "SortMergeJoin" in bp or "ShuffledHashJoin" in bp or "BroadcastHashJoin" in bp
+    nb = plan_of(interval_join(pts, iv))
+    assert "BroadcastNestedLoopJoin" in nb
+    assert "Exchange hashpartitioning" not in nb
