@@ -1530,6 +1530,15 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_edit_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact character-level Levenshtein —
+    the short-text verifier (dedup family's third verification lens after
+    shingle Jaccard and embedding cosine)."""
+    from btrdb_server_spark.functions.dedup import edit_verified_pairs
+
+    return edit_verified_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by frequency with doc frequency."""
     from btrdb_server_spark.functions.text import token_freq
@@ -1998,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_lags": q_xcorr_lags,
         "event_transitions": q_event_transitions,
         "interval_join": q_interval_join,
+        "edit_verified_pairs": q_edit_verified_pairs,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -2012,7 +2022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_stat_state": q_streaming_stat_state,
         # -- (e) green anchors, one per SURVEY family ------------------
-        "streaming_ingest": q_streaming_ingest,
         "aligned_windows": q_aligned_windows,
         "rollup_rewrite": q_rollup_rewrite,
         "list_collections": q_list_collections,
@@ -2022,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "streaming_ingest": q_streaming_ingest,
         "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "buffer_stat_merge": q_buffer_stat_merge,
@@ -3853,6 +3863,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+            ORDER BY a, b
+        """,
+        "edit_verified_pairs": f"""
+            WITH {_verified_pairs_ctes()},
+            ev AS (
+                SELECT c.a, c.b,
+                       CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+                       CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS mlen
+                FROM cand c
+                JOIN documents da ON da.doc_id = c.a
+                JOIN documents db ON db.doc_id = c.b
+            )
+            SELECT a, b, dist,
+                   CAST(1 AS DOUBLE)
+                       - CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE) AS edit_sim
+            FROM ev
+            WHERE CAST(1 AS DOUBLE)
+                      - CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE) >= 0.3
             ORDER BY a, b
         """,
         "minhash_verified_pairs": f"""

@@ -593,3 +593,47 @@ def duplicate_spans(
         .select(id_col, "tok_start", "n_docs", "n_occurrences")
         .orderBy(id_col, "tok_start")
     )
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by exact character-level Levenshtein edit
+    distance (the JVM built-in) — the verifier to use where shingle
+    Jaccard is too coarse: short documents, small in-place edits,
+    transposition-heavy noise. edit_sim = 1 - dist / max(len_a, len_b),
+    computed as one double division over exact integers.
+
+    Scale shape: the distance runs ONLY on LSH candidate pairs (never
+    corpus²), entirely JVM-side. Levenshtein itself is O(len_a * len_b)
+    per pair — on a long-document corpus cap or pre-truncate the text
+    column upstream; the operator is meant for the short-text regime.
+    Columns: a, b, dist, edit_sim; ordered by (a, b)."""
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, text_col, id_col, num_hashes, k),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    ta = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
+    tb = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("tb"))
+    sim = F.lit(1.0) - F.col("dist").cast("double") / F.col("mlen").cast("double")
+    return (
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+            F.greatest(F.length("ta"), F.length("tb")).cast("long").alias("mlen"),
+        )
+        .select("a", "b", "dist", sim.alias("edit_sim"))
+        .where(F.col("edit_sim") >= F.lit(threshold))
+        .orderBy("a", "b")
+    )

@@ -706,3 +706,19 @@ def test_interval_join_paths_agree(spark):
     assert bcast == bucketed
     assert (10, 28) in bcast and (25, 28) in bcast  # overlap -> two rows
     assert (90, 91) in bcast and all(t != 95 for _, t in bcast)  # end exclusive
+
+
+def test_edit_verified_pairs_known_distance(spark):
+    # Two near-identical docs (one char edit) and one unrelated doc:
+    # LSH proposes the near pair; edit_sim = 1 - 1/len.
+    t = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(1, t), (2, t[:-1] + "x"), (3, "completely different text " * 5)],
+        "doc_id long, text string",
+    )
+    from btrdb_server_spark.functions.dedup import edit_verified_pairs
+
+    out = edit_verified_pairs(docs, threshold=0.5).collect()
+    assert [(r.a, r.b) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r.dist == 1 and r.edit_sim == pytest.approx(1.0 - 1.0 / len(t))
