@@ -722,6 +722,17 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour count/sum/mean per distinct click timestamp in
+    January — the moving-average signal, computed via the neighbor-bucket
+    equi-join (no serial per-stream window). Exact int64 partials, one
+    double division — bit-exact."""
+    from btrdb_server_spark.operators.derive import rolling_stats
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return rolling_stats(pts, "click", T_2024, T_FEB, 3_600_000_000_000)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -2008,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "interval_join": q_interval_join,
         "edit_verified_pairs": q_edit_verified_pairs,
+        "rolling_stats": q_rolling_stats,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -2024,13 +2036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (e) green anchors, one per SURVEY family ------------------
         "aligned_windows": q_aligned_windows,
         "rollup_rewrite": q_rollup_rewrite,
-        "list_collections": q_list_collections,
         "delete_range": q_delete_range,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "late_data_rollup": q_late_data_rollup,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "list_collections": q_list_collections,
         "streaming_ingest": q_streaming_ingest,
         "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
@@ -3864,6 +3876,26 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        "rolling_stats": f"""
+            {PTS_CTE}, tt AS (
+                SELECT time, count(*) AS c,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS sq
+                FROM pts
+                WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), r AS (
+                SELECT time,
+                       CAST(sum(c) OVER win AS BIGINT) AS cnt,
+                       CAST(sum(sq) OVER win AS BIGINT) AS sum_q
+                FROM tt WINDOW win AS (
+                    ORDER BY time
+                    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+            )
+            SELECT time, cnt, sum_q,
+                   (CAST(sum_q AS DOUBLE) / CAST(cnt AS DOUBLE))
+                       * CAST(0.01 AS DOUBLE) AS mean
+            FROM r ORDER BY time
         """,
         "edit_verified_pairs": f"""
             WITH {_verified_pairs_ctes()},

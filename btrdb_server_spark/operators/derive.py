@@ -739,3 +739,70 @@ def deadband_compress(
         .select("r.time", "r.value")
         .orderBy("time")
     )
+
+
+def rolling_stats(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    bucket_pw: int | None = None,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Trailing-window aggregates WITHOUT a serial per-stream window: for
+    every distinct timestamp t of the stream in [start, end), the count,
+    exact quantum-unit sum, and mean of all points in [t - width, t]
+    (time-inclusive frame — duplicate-timestamp peers all included, the
+    RANGE-frame semantics). The moving-average / event-rate signal a
+    monitoring pipeline derives per point.
+
+    Scale shape (the reason this operator exists instead of
+    Window.orderBy.rangeBetween, which serializes a stream through one
+    task): (1) a map-side-combined groupBy(time) collapses the point
+    plane to distinct-time partials; (2) each partial is replicated to
+    its own 2**pw bucket and the next (pw chosen so 2**pw >= width, hence
+    any contributor of target t lives in t's bucket or the previous one);
+    (3) one shuffle hash equi-join on the bucket key pairs targets with
+    the ~2 buckets that can contribute, the exact [t-width, t] predicate
+    filters, and a second groupBy(time) sums the partials. Every stage is
+    key-parallel; the fan-out factor is exactly 2. The mean divides the
+    exact int64 sum by the exact count in double (one division, one
+    multiply) — bit-identical in any engine. Columns: time, cnt, sum_q,
+    mean; ordered by time."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    pw = bucket_pw if bucket_pw is not None else max(int(width).bit_length(), 1)
+    if (1 << pw) < width:
+        raise ValueError(f"2**bucket_pw ({1 << pw}) must be >= width ({width})")
+    q = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    tt = (
+        points.where(
+            (F.col("uuid") == F.lit(uuid))
+            & (F.col("time") >= F.lit(start))
+            & (F.col("time") < F.lit(end))
+        )
+        .groupBy("time")
+        .agg(F.count("*").alias("c"), F.sum(q).alias("sq"))
+        .localCheckpoint(eager=True)  # feeds both join sides; one point scan
+    )
+    b = F.shiftright("time", pw)
+    targets = tt.select(F.col("time").alias("t"), b.alias("tb"))
+    contrib = tt.select(
+        F.col("time").alias("qt"),
+        "c",
+        "sq",
+        F.explode(F.array(b, b + F.lit(1))).alias("tb"),
+    )
+    rolled = (
+        targets.join(contrib, "tb")
+        .where((F.col("qt") <= F.col("t")) & (F.col("qt") >= F.col("t") - F.lit(width)))
+        .groupBy("t")
+        .agg(F.sum("c").alias("cnt"), F.sum("sq").alias("sum_q"))
+    )
+    mean = (
+        F.col("sum_q").cast("double") / F.col("cnt").cast("double")
+    ) * F.lit(value_quantum)
+    return rolled.select(
+        F.col("t").alias("time"), "cnt", "sum_q", mean.alias("mean")
+    ).orderBy("time")

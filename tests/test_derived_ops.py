@@ -722,3 +722,17 @@ def test_edit_verified_pairs_known_distance(spark):
     assert [(r.a, r.b) for r in out] == [(1, 2)]
     r = out[0]
     assert r.dist == 1 and r.edit_sim == pytest.approx(1.0 - 1.0 / len(t))
+
+
+def test_rolling_stats_inclusive_frame_and_dups(spark):
+    # width=5, inclusive [t-5, t]; duplicate timestamps are peers and both
+    # count. Output is one row per DISTINCT time.
+    pts = mk(spark, [("a", 0, 1.0), ("a", 5, 2.0), ("a", 5, 4.0), ("a", 12, 3.0)])
+    from btrdb_server_spark.operators.derive import rolling_stats
+
+    out = {r.time: r for r in rolling_stats(pts, "a", 0, 20, 5).collect()}
+    assert set(out) == {0, 5, 12}
+    assert (out[0].cnt, out[0].mean) == (1, pytest.approx(1.0))
+    assert (out[5].cnt, out[5].sum_q) == (3, 700)
+    assert out[5].mean == pytest.approx(700 / 3 * 0.01)
+    assert (out[12].cnt, out[12].mean) == (1, pytest.approx(3.0))
