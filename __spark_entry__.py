@@ -733,6 +733,25 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_stats(pts, "click", T_2024, T_FEB, 3_600_000_000_000)
 
 
+def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream DQ report over 2024: counts, duplicate-timestamp
+    pressure, extents, exact quantum sum. Two-level aggregation so
+    map-side combine absorbs dup-heavy streams."""
+    from btrdb_server_spark.operators.stat import stream_profile
+
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    return stream_profile(pts, T_2024, T_2025)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document first-occurrence shingle novelty over the corpus —
+    the crawl-freshness / template-detection signal. Inverted-index
+    shape; one double division over exact counts."""
+    from btrdb_server_spark.functions.dedup import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -2020,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "edit_verified_pairs": q_edit_verified_pairs,
         "rolling_stats": q_rolling_stats,
+        "stream_profile": q_stream_profile,
+        "ngram_novelty": q_ngram_novelty,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -2038,10 +2059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_rewrite": q_rollup_rewrite,
         "delete_range": q_delete_range,
         "buffer_read_your_writes": q_buffer_read_your_writes,
-        "late_data_rollup": q_late_data_rollup,
-        "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "late_data_rollup": q_late_data_rollup,
+        "dedup_clusters": q_dedup_clusters,
         "list_collections": q_list_collections,
         "streaming_ingest": q_streaming_ingest,
         "windows_holes": q_windows_holes,
@@ -3876,6 +3897,41 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        "stream_profile": f"""
+            {PTS_CTE}, pt AS (
+                SELECT uuid, time, count(*) AS c,
+                       min(value) AS vmin, max(value) AS vmax,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS sq
+                FROM pts WHERE time >= {T_2024} AND time < {T_2025}
+                GROUP BY 1, 2
+            )
+            SELECT uuid,
+                   CAST(sum(c) AS BIGINT) AS n_points,
+                   count(*) AS n_distinct_ts,
+                   CAST(sum(c) - count(*) AS BIGINT) AS n_dup_ts,
+                   min(time) AS t_min, max(time) AS t_max,
+                   min(vmin) AS vmin, max(vmax) AS vmax,
+                   CAST(sum(sq) AS BIGINT) AS sum_q
+            FROM pt GROUP BY 1 ORDER BY uuid
+        """,
+        "ngram_novelty": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM t),
+            dig AS (SELECT doc_id, md5(s0) AS d FROM raw_sh),
+            sh AS (SELECT DISTINCT doc_id, {_hexn_sql('d', 15)} AS s FROM dig),
+            tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+            nov AS (
+                SELECT fd AS doc_id, count(*) AS nn
+                FROM (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1)
+                GROUP BY 1
+            )
+            SELECT tot.doc_id, n_shingles,
+                   COALESCE(nn, 0) AS n_novel,
+                   CAST(COALESCE(nn, 0) AS DOUBLE)
+                       / CAST(n_shingles AS DOUBLE) AS novelty
+            FROM tot LEFT JOIN nov ON nov.doc_id = tot.doc_id
+            ORDER BY tot.doc_id
         """,
         "rolling_stats": f"""
             {PTS_CTE}, tt AS (

@@ -637,3 +637,54 @@ def edit_verified_pairs(
         .where(F.col("edit_sim") >= F.lit(threshold))
         .orderBy("a", "b")
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: of a doc's DISTINCT word k-shingles,
+    the fraction whose FIRST corpus occurrence (minimum doc id) is this
+    doc — the freshness signal a crawl pipeline uses to rank near-the-
+    frontier content and to spot template-heavy feeds (novelty ~ 0).
+    Docs with < k tokens have no shingles and are excluded (same rule as
+    minhash_signatures).
+
+    Scale shape: the same inverted-index skeleton as the LSH verifier —
+    one shingle explode (8-byte hashed keys), a distinct, then BOTH
+    outputs come from shingle-keyed groupBys (first-occurrence = min doc
+    id per shingle; novel count = rows per first_doc) with NO join back
+    through the shingle table: the only join is doc-scale (totals x
+    novel counts). novelty = n_novel / n_shingles, one double division
+    over exact int64 counts. Columns: doc_id, n_shingles, n_novel,
+    novelty; ordered by doc_id."""
+    sh = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s0"))
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tot = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    nov = (
+        sh.groupBy("s")
+        .agg(F.min(id_col).alias("fd"))
+        .groupBy(F.col("fd").alias(id_col))
+        .agg(F.count("*").alias("nn"))
+    )
+    novelty = F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+    return (
+        tot.join(nov, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("nn"), F.lit(0)).alias("n_novel"),
+        )
+        .select(id_col, "n_shingles", "n_novel", novelty.alias("novelty"))
+        .orderBy(id_col)
+    )

@@ -691,3 +691,47 @@ def ohlc_windows(
         )
         .orderBy("time")
     )
+
+
+def stream_profile(
+    points: DataFrame,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Per-stream data-quality profile over [start, end): point count,
+    distinct and duplicate timestamp counts, time extent, value extremes,
+    and the exact quantum-unit value sum — the one-pass DQ report run
+    before onboarding a feed (duplicate-timestamp pressure is what the
+    reference's pw=0 truncation warning guards, qtree.go:692-699).
+
+    Scale shape: two-level aggregation — (uuid, time) partials first, so
+    map-side combine absorbs duplicate-heavy streams before any shuffle,
+    then a per-uuid rollup of the partials. All-integer output except the
+    untouched vmin/vmax pass-throughs. Columns: uuid, n_points,
+    n_distinct_ts, n_dup_ts, t_min, t_max, vmin, vmax, sum_q."""
+    q = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    per_ts = (
+        points.where(time_range_pred(start, end))
+        .groupBy("uuid", "time")
+        .agg(
+            F.count("*").alias("c"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum(q).alias("sq"),
+        )
+    )
+    return (
+        per_ts.groupBy("uuid")
+        .agg(
+            F.sum("c").alias("n_points"),
+            F.count("*").alias("n_distinct_ts"),
+            (F.sum("c") - F.count("*")).alias("n_dup_ts"),
+            F.min("time").alias("t_min"),
+            F.max("time").alias("t_max"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("sq").alias("sum_q"),
+        )
+        .orderBy("uuid")
+    )

@@ -736,3 +736,31 @@ def test_rolling_stats_inclusive_frame_and_dups(spark):
     assert (out[5].cnt, out[5].sum_q) == (3, 700)
     assert out[5].mean == pytest.approx(700 / 3 * 0.01)
     assert (out[12].cnt, out[12].mean) == (1, pytest.approx(3.0))
+
+
+def test_stream_profile_dup_counting(spark):
+    pts = mk(spark, [("a", 1, 2.0), ("a", 1, 3.0), ("a", 7, 4.0), ("b", 2, 9.0)])
+    from btrdb_server_spark.operators.stat import stream_profile
+
+    out = {r.uuid: r for r in stream_profile(pts, 0, 10).collect()}
+    a = out["a"]
+    assert (a.n_points, a.n_distinct_ts, a.n_dup_ts) == (3, 2, 1)
+    assert (a.t_min, a.t_max, a.vmin, a.vmax, a.sum_q) == (1, 7, 2.0, 4.0, 900)
+    assert (out["b"].n_points, out["b"].n_dup_ts) == (1, 0)
+
+
+def test_ngram_novelty_first_occurrence(spark):
+    # doc 1 introduces all its shingles; doc 2 repeats doc 1 verbatim
+    # (novelty 0); doc 3 is half doc 1, half new.
+    t1 = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, "alpha beta gamma zeta eta theta")],
+        "doc_id long, text string",
+    )
+    from btrdb_server_spark.functions.dedup import ngram_novelty
+
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert out[1].novelty == pytest.approx(1.0) and out[1].n_shingles == 3
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    # doc 3 shares only the shingle "alpha beta gamma" with doc 1
+    assert (out[3].n_shingles, out[3].n_novel) == (4, 3)
