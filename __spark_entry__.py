@@ -752,6 +752,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
 
 
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language (ties by doc id) — per-group
+    quota curation; WindowGroupLimit keeps the shuffle at groups x k."""
+    from btrdb_server_spark.functions.curation import group_topk
+
+    return group_topk(load_table(spark, sf_dir, "documents"))
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -2041,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "stream_profile": q_stream_profile,
         "ngram_novelty": q_ngram_novelty,
+        "group_topk": q_group_topk,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -2058,9 +2067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_windows": q_aligned_windows,
         "rollup_rewrite": q_rollup_rewrite,
         "delete_range": q_delete_range,
-        "buffer_read_your_writes": q_buffer_read_your_writes,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "buffer_read_your_writes": q_buffer_read_your_writes,
         "late_data_rollup": q_late_data_rollup,
         "dedup_clusters": q_dedup_clusters,
         "list_collections": q_list_collections,
@@ -3897,6 +3906,15 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        "group_topk": """
+            SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 3 ORDER BY lang, rk
         """,
         "stream_profile": f"""
             {PTS_CTE}, pt AS (

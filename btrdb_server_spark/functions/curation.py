@@ -529,3 +529,35 @@ def decontaminate_lsh(
         )
         .orderBy(id_col)
     )
+
+
+def group_topk(
+    docs: DataFrame,
+    group_col: str = "lang",
+    order_col: str = "n_chars",
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quota selection: the top k rows of each group by
+    `order_col` descending (ties broken by ascending id — fully
+    deterministic) — the "keep the k best documents per domain/language"
+    curation primitive.
+
+    Scale shape: Spark rewrites a row_number-filter window into
+    WindowGroupLimit, which keeps ONLY k rows per group per partition
+    BEFORE the exchange (pinned in tests/test_plans.py) — the shuffle
+    carries groups x k rows, never the corpus. Columns: group_col, id,
+    order value, rk."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(group_col, id_col, order_col)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.lit(k))
+        # cast AFTER the filter: the WindowGroupLimit rewrite matches the
+        # raw rank predicate, and the int64 output matches SQL engines
+        # whose row_number() is BIGINT.
+        .select(group_col, id_col, order_col, F.col("rk").cast("long").alias("rk"))
+        .orderBy(group_col, "rk")
+    )

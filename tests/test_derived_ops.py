@@ -764,3 +764,15 @@ def test_ngram_novelty_first_occurrence(spark):
     assert out[2].novelty == 0.0 and out[2].n_novel == 0
     # doc 3 shares only the shingle "alpha beta gamma" with doc 1
     assert (out[3].n_shingles, out[3].n_novel) == (4, 3)
+
+
+def test_group_topk_quota_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 10), (3, "en", 5), (4, "en", 1), (5, "de", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    from btrdb_server_spark.functions.curation import group_topk
+
+    out = [(r.lang, r.doc_id, r.rk) for r in group_topk(docs, k=3).collect()]
+    # tie at 10 chars resolves by doc_id; doc 4 falls outside the quota
+    assert out == [("de", 5, 1), ("en", 1, 1), ("en", 2, 2), ("en", 3, 3)]

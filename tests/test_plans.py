@@ -458,3 +458,11 @@ def test_interval_join_bucketed_is_equi_join(spark):
     nb = plan_of(interval_join(pts, iv))
     assert "BroadcastNestedLoopJoin" in nb
     assert "Exchange hashpartitioning" not in nb
+
+
+def test_group_topk_window_group_limit(spark):
+    """The rank filter must rewrite to WindowGroupLimit: per-partition
+    top-k BEFORE the exchange, so the shuffle carries groups x k rows."""
+    plan = entry_mod.q_group_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit", plan.index("Exchange hashpartitioning")) > 0
