@@ -760,6 +760,18 @@ def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_topk(load_table(spark, sf_dir, "documents"))
 
 
+def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free feature join: each January purchase gets the latest
+    trailing-1h click stats computed strictly before it (rolling_stats
+    composed with the bucketed as-of carry)."""
+    from btrdb_server_spark.operators.derive import asof_features
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return asof_features(
+        pts, "purchase", "click", T_2024, T_FEB, 3_600_000_000_000, bucket_pw=42
+    )
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -2050,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_profile": q_stream_profile,
         "ngram_novelty": q_ngram_novelty,
         "group_topk": q_group_topk,
+        "asof_features": q_asof_features,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -2065,10 +2078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stat_state": q_streaming_stat_state,
         # -- (e) green anchors, one per SURVEY family ------------------
         "aligned_windows": q_aligned_windows,
-        "rollup_rewrite": q_rollup_rewrite,
         "delete_range": q_delete_range,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: multi-round green, checked locally ----------
+        "rollup_rewrite": q_rollup_rewrite,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "late_data_rollup": q_late_data_rollup,
         "dedup_clusters": q_dedup_clusters,
@@ -3906,6 +3919,33 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        "asof_features": f"""
+            {PTS_CTE}, tt AS (
+                SELECT time, count(*) AS c,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS sq
+                FROM pts
+                WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), r AS (
+                SELECT time,
+                       CAST(sum(c) OVER win AS BIGINT) AS cnt,
+                       CAST(sum(sq) OVER win AS BIGINT) AS sum_q
+                FROM tt WINDOW win AS (
+                    ORDER BY time
+                    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+            ), f AS (
+                SELECT time, cnt, sum_q,
+                       (CAST(sum_q AS DOUBLE) / CAST(cnt AS DOUBLE))
+                           * CAST(0.01 AS DOUBLE) AS mean
+                FROM r
+            ), p AS (
+                SELECT time AS target_time FROM pts
+                WHERE uuid = 'purchase' AND time >= {T_2024} AND time < {T_FEB}
+            )
+            SELECT p.target_time, f.time AS feat_time, f.cnt, f.sum_q, f.mean
+            FROM p ASOF LEFT JOIN f ON f.time < p.target_time
+            ORDER BY target_time, feat_time
         """,
         "group_topk": """
             SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (

@@ -806,3 +806,59 @@ def rolling_stats(
     return rolled.select(
         F.col("t").alias("time"), "cnt", "sum_q", mean.alias("mean")
     ).orderBy("time")
+
+
+def asof_features(
+    points: DataFrame,
+    target_uuid: str,
+    feature_uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    bucket_pw: int | None = None,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Point-in-time-correct feature join: for every point of
+    `target_uuid` in [start, end), the most recent trailing-`width`
+    rolling stats of `feature_uuid` computed STRICTLY BEFORE the target
+    time — the leakage-free feature lookup a training pipeline needs
+    (a feature computed at t must never see the event at t). Targets
+    preceding the first feature row keep null features.
+
+    Composition, not new machinery: rolling_stats builds the feature
+    stream (distinct-time partials, neighbor-bucket equi-join), the
+    vectorized as-of carry (operators/nearest.py — backward-exclusive by
+    the probes-sort-first tie rule) matches each target to its feature
+    time, and a feature-time-keyed join re-attaches the full row. With
+    `bucket_pw` the as-of window runs per (uuid, bucket) with the carry
+    chain — no serial pass. Columns: target_time, feat_time, cnt, sum_q,
+    mean; ordered by target_time."""
+    from btrdb_server_spark.operators.nearest import nearest_asof
+
+    feat = rolling_stats(
+        points, feature_uuid, start, end, width, value_quantum=value_quantum
+    ).localCheckpoint(eager=False)  # feeds the as-of union AND the join-back
+    fpts = feat.select(
+        F.lit("__f").alias("uuid"), "time", F.col("mean").alias("value")
+    )
+    probes = points.where(
+        (F.col("uuid") == F.lit(target_uuid))
+        & (F.col("time") >= F.lit(start))
+        & (F.col("time") < F.lit(end))
+    ).select(F.lit("__f").alias("uuid"), F.col("time").alias("probe_time"))
+    m = nearest_asof(fpts, probes, backward=True, bucket_pw=bucket_pw)
+    return (
+        m.select(
+            F.col("probe_time").alias("target_time"),
+            F.col("time").alias("feat_time"),
+        )
+        .join(
+            feat.select(
+                F.col("time").alias("feat_time"), "cnt", "sum_q", "mean"
+            ),
+            "feat_time",
+            "left",
+        )
+        .select("target_time", "feat_time", "cnt", "sum_q", "mean")
+        .orderBy("target_time", "feat_time")
+    )

@@ -776,3 +776,21 @@ def test_group_topk_quota_and_ties(spark):
     out = [(r.lang, r.doc_id, r.rk) for r in group_topk(docs, k=3).collect()]
     # tie at 10 chars resolves by doc_id; doc 4 falls outside the quota
     assert out == [("de", 5, 1), ("en", 1, 1), ("en", 2, 2), ("en", 3, 3)]
+
+
+def test_asof_features_strictly_before(spark):
+    # click features at t=10 (mean 1.0) and t=20 (mean over [15,20] window
+    # of width 5 = (1+2)/2? -> points 10(1.0), 20(2.0), width 15 covers both).
+    # purchases at t=10 (must see NOTHING: strictly-before), 15, 25.
+    pts = mk(spark, [
+        ("click", 10, 1.0), ("click", 20, 2.0),
+        ("purchase", 10, 0.0), ("purchase", 15, 0.0), ("purchase", 25, 0.0),
+    ])
+    from btrdb_server_spark.operators.derive import asof_features
+
+    out = {r.target_time: r for r in
+           asof_features(pts, "purchase", "click", 0, 40, 15, bucket_pw=6).collect()}
+    assert out[10].feat_time is None and out[10].mean is None
+    assert out[15].feat_time == 10 and out[15].mean == pytest.approx(1.0)
+    assert out[25].feat_time == 20 and out[25].cnt == 2
+    assert out[25].mean == pytest.approx(1.5)
