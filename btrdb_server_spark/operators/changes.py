@@ -169,7 +169,10 @@ def interval_join(
     contains = (F.col("time") >= s) & (F.col("time") < e)
     if bucket_pw is None:
         return points.join(F.broadcast(intervals), contains)
-    iv = intervals.withColumn(
+    # Drop degenerate intervals first: with end <= start the bucket
+    # sequence would DESCEND (Spark's sequence default step is -1),
+    # exploding spurious buckets that only the exact filter removes.
+    iv = intervals.where(s < e).withColumn(
         "_bucket",
         F.explode(
             F.sequence(F.shiftright(s, bucket_pw), F.shiftright(e - 1, bucket_pw))

@@ -794,3 +794,12 @@ def test_asof_features_strictly_before(spark):
     assert out[15].feat_time == 10 and out[15].mean == pytest.approx(1.0)
     assert out[25].feat_time == 20 and out[25].cnt == 2
     assert out[25].mean == pytest.approx(1.5)
+
+
+def test_interval_join_degenerate_interval_dropped(spark):
+    pts = mk(spark, [("a", 5, 1.0)])
+    iv = spark.createDataFrame([(9, 3), (4, 6)], "start long, end long")
+    from btrdb_server_spark.operators.changes import interval_join
+
+    out = interval_join(pts, iv, bucket_pw=1).collect()
+    assert [(r.start, r.time) for r in out] == [(4, 5)]
