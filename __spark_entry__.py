@@ -772,6 +772,25 @@ def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm-edge detection: every up/down crossing of value 10.0 by the
+    click stream in January (bucketed lag — no serial window)."""
+    from btrdb_server_spark.operators.derive import threshold_crossings
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return threshold_crossings(pts, "click", T_2024, T_FEB, 10.0, bucket_pw=40)
+
+
+def q_excursions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time report: maximal runs of click readings at/above 10.0 in
+    January — start/end/duration/peak per excursion (shared
+    gap-and-islands machinery on the threshold state)."""
+    from btrdb_server_spark.operators.derive import excursions
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return excursions(pts, "click", T_2024, T_FEB, 10.0, bucket_pw=40)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -2063,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "group_topk": q_group_topk,
         "asof_features": q_asof_features,
+        "threshold_crossings": q_threshold_crossings,
+        "excursions": q_excursions,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -2076,11 +2097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": q_streaming_ewma,
         "streaming_dedup": q_streaming_dedup,
         "streaming_stat_state": q_streaming_stat_state,
-        # -- (e) green anchors, one per SURVEY family ------------------
+        # ---- position 51+: multi-round green, checked locally ----------
         "aligned_windows": q_aligned_windows,
         "delete_range": q_delete_range,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # ---- position 51+: multi-round green, checked locally ----------
         "rollup_rewrite": q_rollup_rewrite,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "late_data_rollup": q_late_data_rollup,
@@ -3919,6 +3939,44 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        "threshold_crossings": f"""
+            {PTS_CTE}, l AS (
+                SELECT time, value,
+                       lag(time) OVER (ORDER BY time, value) AS pt,
+                       lag(value) OVER (ORDER BY time, value) AS pv
+                FROM pts
+                WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_FEB}
+            )
+            SELECT time, value, pt AS prev_time, pv AS prev_value,
+                   CASE WHEN value >= 10.0 THEN 'up' ELSE 'down' END AS direction
+            FROM l
+            WHERE pt IS NOT NULL AND ((value >= 10.0) <> (pv >= 10.0))
+            ORDER BY time, value
+        """,
+        "excursions": f"""
+            {PTS_CTE}, l AS (
+                SELECT time, value,
+                       lag(time) OVER (ORDER BY time, value) AS pt,
+                       lag(value) OVER (ORDER BY time, value) AS pv
+                FROM pts
+                WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_FEB}
+            ), f AS (
+                SELECT time, value, value >= 10.0 AS ab,
+                       CASE WHEN pt IS NULL OR ((value >= 10.0) <> (pv >= 10.0))
+                            THEN 1 ELSE 0 END AS nr
+                FROM l
+            ), a AS (
+                SELECT time, value, ab,
+                       sum(nr) OVER (ORDER BY time, value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+                FROM f
+            )
+            SELECT min(time) AS t_start, max(time) AS t_end,
+                   max(time) - min(time) AS duration_ns,
+                   count(*) AS n_points, max(value) AS v_max
+            FROM a WHERE ab GROUP BY rid
+            ORDER BY t_start
         """,
         "asof_features": f"""
             {PTS_CTE}, tt AS (

@@ -598,6 +598,60 @@ def cusum_changepoint(
     )
 
 
+def _assign_run_ids(lagged, new_run, bucket_pw, carry=()):
+    """Gap-and-islands run assignment shared by the run-shaped operators
+    (value_run_lengths, excursions): a running sum of the `new_run` flag
+    in (time, value) order becomes the 0-based run_id. bucket_pw=None
+    runs one window per stream; with bucket_pw the cumulative flag rides
+    per (uuid, bucket) and a metadata-sized per-uuid offset chain (one
+    row per non-empty bucket) globalizes the ids — a dense stream fans
+    out across buckets. Returns (time, value, *carry, run_id)."""
+    carry = list(carry)
+    if bucket_pw is None:
+        w = (
+            Window.partitionBy("uuid")
+            .orderBy("time", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return lagged.select(
+            "time",
+            "value",
+            *carry,
+            (F.sum(new_run).over(w) - F.lit(1)).alias("run_id"),
+        )
+    b = lagged.select(
+        "uuid",
+        "time",
+        "value",
+        *carry,
+        new_run.alias("nr"),
+        F.shiftright("time", bucket_pw).alias("bucket"),
+    )
+    wb = (
+        Window.partitionBy("uuid", "bucket")
+        .orderBy("time", "value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.select(
+        "uuid", "bucket", "time", "value", *carry, F.sum("nr").over(wb).alias("cum")
+    )
+    totals = b.groupBy("uuid", "bucket").agg(F.sum("nr").alias("tot"))
+    wc = (
+        Window.partitionBy("uuid")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "uuid", "bucket", F.coalesce(F.sum("tot").over(wc), F.lit(0)).alias("off")
+    )
+    return within.join(offsets, ["uuid", "bucket"]).select(
+        "time",
+        "value",
+        *carry,
+        (F.col("cum") + F.col("off") - F.lit(1)).alias("run_id"),
+    )
+
+
 def value_run_lengths(
     points: DataFrame,
     uuid: str,
@@ -621,43 +675,7 @@ def value_run_lengths(
     new_run = (
         F.col("prev_time").isNull() | (F.col("value") != F.col("prev_value"))
     ).cast("long")
-    if bucket_pw is None:
-        w = (
-            Window.partitionBy("uuid")
-            .orderBy("time", "value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        assigned = lagged.select(
-            "time", "value", (F.sum(new_run).over(w) - F.lit(1)).alias("run_id")
-        )
-    else:
-        b = lagged.select(
-            "uuid",
-            "time",
-            "value",
-            new_run.alias("nr"),
-            F.shiftright("time", bucket_pw).alias("bucket"),
-        )
-        wb = (
-            Window.partitionBy("uuid", "bucket")
-            .orderBy("time", "value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        within = b.select(
-            "uuid", "bucket", "time", "value", F.sum("nr").over(wb).alias("cum")
-        )
-        totals = b.groupBy("uuid", "bucket").agg(F.sum("nr").alias("tot"))
-        wc = (
-            Window.partitionBy("uuid")
-            .orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = totals.select(
-            "uuid", "bucket", F.coalesce(F.sum("tot").over(wc), F.lit(0)).alias("off")
-        )
-        assigned = within.join(offsets, ["uuid", "bucket"]).select(
-            "time", "value", (F.col("cum") + F.col("off") - F.lit(1)).alias("run_id")
-        )
+    assigned = _assign_run_ids(lagged, new_run, bucket_pw)
     return (
         assigned.groupBy("run_id")
         .agg(
@@ -861,4 +879,80 @@ def asof_features(
         )
         .select("target_time", "feat_time", "cnt", "sum_q", "mean")
         .orderBy("target_time", "feat_time")
+    )
+
+
+def threshold_crossings(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    threshold: float,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Alarm-edge detection: every point where the stream crosses
+    `threshold` relative to its predecessor — 'up' when the point is at
+    or above the threshold and its predecessor was below, 'down' for the
+    reverse. The event feed a SCADA alarm plane derives from a raw
+    signal. The first in-range point has no predecessor and never
+    crosses. Values pass through untouched; the comparison is a plain
+    IEEE >=, identical in any engine. Columns: time, value, prev_time,
+    prev_value, direction; ordered by (time, value)."""
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
+    above = F.col("value") >= F.lit(threshold)
+    prev_above = F.col("prev_value") >= F.lit(threshold)
+    return (
+        lagged.where(F.col("prev_time").isNotNull() & (above != prev_above))
+        .select(
+            "time",
+            "value",
+            "prev_time",
+            "prev_value",
+            F.when(above, F.lit("up")).otherwise(F.lit("down")).alias("direction"),
+        )
+        .orderBy("time", "value")
+    )
+
+
+def excursions(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    threshold: float,
+    min_points: int = 1,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Threshold-excursion (dwell-time) report: one row per maximal run of
+    consecutive points at or above `threshold` — when the excursion
+    started and ended, how long the signal dwelt there, how many points,
+    and the peak — the 'time above limit' table an alarm review or a
+    regulatory report asks for. Complements threshold_crossings (the
+    edges) with the islands between them.
+
+    Scale shape: the shared gap-and-islands assignment
+    (_assign_run_ids) keyed on the above/below STATE change; with
+    bucket_pw the run index rides the (uuid, bucket) carry chain. The
+    per-run aggregate is map-side combined on run_id. Columns: t_start,
+    t_end, duration_ns, n_points, v_max; ordered by t_start."""
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
+    above = F.col("value") >= F.lit(threshold)
+    prev_above = F.col("prev_value") >= F.lit(threshold)
+    new_run = (F.col("prev_time").isNull() | (above != prev_above)).cast("long")
+    assigned = _assign_run_ids(
+        lagged.withColumn("ab", above), new_run, bucket_pw, carry=("ab",)
+    )
+    return (
+        assigned.where(F.col("ab"))
+        .groupBy("run_id")
+        .agg(
+            F.min("time").alias("t_start"),
+            F.max("time").alias("t_end"),
+            (F.max("time") - F.min("time")).alias("duration_ns"),
+            F.count("*").alias("n_points"),
+            F.max("value").alias("v_max"),
+        )
+        .where(F.col("n_points") >= F.lit(min_points))
+        .select("t_start", "t_end", "duration_ns", "n_points", "v_max")
+        .orderBy("t_start")
     )

@@ -803,3 +803,25 @@ def test_interval_join_degenerate_interval_dropped(spark):
 
     out = interval_join(pts, iv, bucket_pw=1).collect()
     assert [(r.start, r.time) for r in out] == [(4, 5)]
+
+
+def test_threshold_crossings_and_excursions(spark):
+    # value path: 5, 12, 15, 8, 20 (threshold 10): up at t=2, down at t=4,
+    # up at t=5 -> excursions [2,3] (peak 15) and [5,5] (peak 20).
+    pts = mk(spark, [("a", 1, 5.0), ("a", 2, 12.0), ("a", 3, 15.0),
+                     ("a", 4, 8.0), ("a", 5, 20.0)])
+    from btrdb_server_spark.operators.derive import excursions, threshold_crossings
+
+    cr = [(r.time, r.direction) for r in
+          threshold_crossings(pts, "a", 0, 10, 10.0).collect()]
+    assert cr == [(2, "up"), (4, "down"), (5, "up")]
+    # bucketed path must agree
+    crb = [(r.time, r.direction) for r in
+           threshold_crossings(pts, "a", 0, 10, 10.0, bucket_pw=1).collect()]
+    assert crb == cr
+    ex = [(r.t_start, r.t_end, r.n_points, r.v_max) for r in
+          excursions(pts, "a", 0, 10, 10.0).collect()]
+    assert ex == [(2, 3, 2, 15.0), (5, 5, 1, 20.0)]
+    exb = [(r.t_start, r.t_end, r.n_points, r.v_max) for r in
+           excursions(pts, "a", 0, 10, 10.0, bucket_pw=1).collect()]
+    assert exb == ex
