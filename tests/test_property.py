@@ -424,3 +424,64 @@ def test_cusum_score_matches_pandas(spark, pts):
         if best is None or score > best[0] or (score == best[0] and t < best[1]):
             best = (score, t)
     assert (got.score, got.time) == best
+
+
+@given(pts=points_strategy, width=st.integers(1, 200_000))
+@SET
+def test_rolling_stats_matches_brute_force(spark, pts, width):
+    """rolling_stats (neighbor-bucket equi-join) == the O(n^2) definition:
+    for each distinct t, count/sum over all points in [t-width, t]."""
+    from btrdb_server_spark.operators.derive import rolling_stats
+
+    got = {
+        r.time: (r.cnt, r.sum_q)
+        for r in rolling_stats(_df(spark, pts), "s", T0, T1, width).collect()
+    }
+    qs = [(t, round(v / 0.01)) for t, v in pts]
+    want = {}
+    for t in {t for t, _ in pts}:
+        inw = [q for (u, q) in qs if t - width <= u <= t]
+        want[t] = (len(inw), sum(inw))
+    assert got == want
+
+
+@given(
+    pts=points_strategy,
+    ivs=st.lists(
+        st.tuples(st.integers(T0, T1), st.integers(T0, T1)),
+        min_size=1,
+        max_size=10,
+    ),
+    pw=st.integers(1, 18),
+)
+@SET
+def test_interval_join_bucketed_equals_broadcast(spark, pts, ivs, pw):
+    """The exploded-bucket equi-join and the broadcast nested-loop paths
+    must return identical multisets for any interval set (including
+    overlapping and degenerate intervals)."""
+    from btrdb_server_spark.operators.changes import interval_join
+
+    pdf = _df(spark, pts)
+    iv = spark.createDataFrame(ivs, "start long, end long")
+    a = sorted((r.start, r.end, r.time) for r in interval_join(pdf, iv).collect())
+    b = sorted(
+        (r.start, r.end, r.time)
+        for r in interval_join(pdf, iv, bucket_pw=pw).collect()
+    )
+    assert a == b
+
+
+@given(pts=points_strategy, thr=st.floats(-1e6, 1e6, allow_nan=False))
+@SET
+def test_excursions_partition_the_above_set(spark, pts, thr):
+    """Every in-range point at/above the threshold falls in exactly one
+    excursion; excursions are disjoint, ordered, and peak-correct."""
+    from btrdb_server_spark.operators.derive import excursions
+
+    ex = excursions(_df(spark, pts), "s", T0, T1, thr).collect()
+    above = sorted((t, v) for t, v in pts if v >= thr)
+    assert sum(r.n_points for r in ex) == len(above)
+    for prev, cur in zip(ex, ex[1:]):
+        assert prev.t_end < cur.t_start  # disjoint + ordered
+    if above:
+        assert max(r.v_max for r in ex) == max(v for _, v in above)
