@@ -382,6 +382,64 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"), num_merges=6)
 
 
+def _sdt_oracle_sql(uuid: str, t0: int, t1: int, eq: int) -> str:
+    """SDT oracle as a RECURSIVE CTE over point indexes (one state row per
+    step, scalar state only). DuckDB 1.0's list_reduce silently drops
+    list-typed fields inside a struct accumulator (s := acc.s || [x]
+    returns just [x] — verified), so the kept set cannot ride the fold;
+    instead each step flags whether the door closed and which point got
+    stored, and the kept set assembles afterwards: first point + every
+    stored point + the final point (always strictly later than any
+    stored one, matching the engine's conditional append)."""
+    up = f"CAST(p.q + {eq} - st.qp AS DOUBLE) / CAST(p.time - st.tp AS DOUBLE)"
+    lo = f"CAST(p.q - {eq} - st.qp AS DOUBLE) / CAST(p.time - st.tp AS DOUBLE)"
+    nshi = f"least(st.shi, {up})"
+    nslo = f"greatest(st.slo, {lo})"
+    cl = f"({nslo} > {nshi})"
+    up2 = f"CAST(p.q + {eq} - st.ql AS DOUBLE) / CAST(p.time - st.tl AS DOUBLE)"
+    lo2 = f"CAST(p.q - {eq} - st.ql AS DOUBLE) / CAST(p.time - st.tl AS DOUBLE)"
+    return f"""
+        WITH RECURSIVE pts AS (
+            SELECT event_type AS uuid, epoch_ns(ts) AS time, value FROM events
+        ), d AS (
+            SELECT time, max(value) AS value FROM pts
+            WHERE uuid = '{uuid}' AND time >= {t0} AND time < {t1}
+            GROUP BY 1
+        ), pi AS (
+            SELECT row_number() OVER (ORDER BY time) AS i, time, value,
+                   CAST(round(value / 0.01) AS BIGINT) AS q
+            FROM d
+        ), st AS (
+            SELECT i, time AS tp, q AS qp, time AS tl, q AS ql, value AS vl,
+                   CAST('-infinity' AS DOUBLE) AS slo,
+                   CAST('infinity' AS DOUBLE) AS shi,
+                   FALSE AS closed,
+                   CAST(NULL AS BIGINT) AS stored_t,
+                   CAST(NULL AS DOUBLE) AS stored_v
+            FROM pi WHERE i = 1
+            UNION ALL
+            SELECT p.i,
+                   CASE WHEN {cl} THEN st.tl ELSE st.tp END,
+                   CASE WHEN {cl} THEN st.ql ELSE st.qp END,
+                   p.time, p.q, p.value,
+                   CASE WHEN {cl} THEN {lo2} ELSE {nslo} END,
+                   CASE WHEN {cl} THEN {up2} ELSE {nshi} END,
+                   {cl},
+                   CASE WHEN {cl} THEN st.tl END,
+                   CASE WHEN {cl} THEN st.vl END
+            FROM st JOIN pi p ON p.i = st.i + 1
+        )
+        SELECT time, value FROM (
+            SELECT time, value FROM pi WHERE i = 1
+            UNION ALL
+            SELECT stored_t, stored_v FROM st WHERE closed
+            UNION ALL
+            SELECT time, value FROM pi
+            WHERE i = (SELECT max(i) FROM pi) AND i > 1
+        ) ORDER BY time
+    """
+
+
 def _bpe_oracle_sql(n: int) -> str:
     """Chained-CTE replay of n BPE merge iterations (the pq_train/kmeans
     oracle style): each iteration counts adjacent pairs from the current
@@ -789,6 +847,16 @@ def q_excursions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     return excursions(pts, "click", T_2024, T_FEB, 10.0, bucket_pw=40)
+
+
+def q_sdt_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swinging-door trending of the click stream in January at
+    tolerance 2.0 — the PI-historian linear-segment compression; kept
+    set engine-exact via integer-quantum slopes."""
+    from btrdb_server_spark.operators.derive import sdt_compress
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return sdt_compress(pts, "click", T_2024, T_FEB, 2.0)
 
 
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_features": q_asof_features,
         "threshold_crossings": q_threshold_crossings,
         "excursions": q_excursions,
+        "sdt_compress": q_sdt_compress,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
         "pq_train": q_pq_train,
@@ -3940,6 +4009,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
         """,
+        "sdt_compress": _sdt_oracle_sql("click", T_2024, T_FEB, 200),
         "threshold_crossings": f"""
             {PTS_CTE}, l AS (
                 SELECT time, value,

@@ -956,3 +956,96 @@ def excursions(
         .select("t_start", "t_end", "duration_ns", "n_points", "v_max")
         .orderBy("t_start")
     )
+
+
+def sdt_compress(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    tolerance: float,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Swinging-door trending (SDT) — the PI-historian flagship
+    compression: keep a point only when the line from the last STORED
+    point (the pivot) can no longer pass within `tolerance` of every
+    point seen since. The envelope is the classic pair of slopes (the
+    'doors'): each new point narrows [slope_lo, slope_hi] through
+    (value ± tolerance); when the doors cross, the PREVIOUS point is
+    stored, becomes the pivot, and the envelope restarts. The final
+    point is always stored. Complements deadband_compress (value-step
+    exceptions) with trend-aware linear segments.
+
+    Exactness: duplicate timestamps first collapse to their max value
+    (deterministic both engines); every slope is one IEEE-double division
+    of two exact int64s (quanta numerator, ns denominator — times
+    strictly increase after the collapse, so no zero/NaN), and min/max +
+    one comparison per step are bit-identical in any engine: the kept
+    set is engine-exact.
+
+    Execution: unlike deadband (whose kept set is tiny), SDT's output
+    grows with the input, and a Catalyst higher-order fold must carry
+    the kept array through every step — O(n^2) copying, measured 18 s at
+    20k points. The fold is therefore an Arrow-batched applyInPandas
+    (O(n), the documented seam for sequential set-emitting folds —
+    Python floats are the same IEEE binary64, so the kept set is
+    unchanged). Per-stream interactive ranges; chunk by time or serve
+    plots from the ladder's decimation at 100 TB. Columns: time, value;
+    ordered by time."""
+    import pandas as pd
+
+    if tolerance <= 0:
+        raise ValueError("tolerance must be positive")
+    eq = round(tolerance / value_quantum)
+    src = (
+        points.where(
+            (F.col("uuid") == F.lit(uuid))
+            & (F.col("time") >= F.lit(start))
+            & (F.col("time") < F.lit(end))
+        )
+        .groupBy("time")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "time",
+            "value",
+            F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
+        )
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("time")
+        ts = pdf["time"].tolist()
+        qs = pdf["q"].tolist()
+        vs = pdf["value"].tolist()
+        n = len(ts)
+        if n == 0:
+            return pd.DataFrame({"time": [], "value": []})
+        kept_t, kept_v = [int(ts[0])], [float(vs[0])]
+        tp, qp = int(ts[0]), int(qs[0])
+        tl, ql, vl = tp, qp, float(vs[0])
+        slo, shi = float("-inf"), float("inf")
+        for i in range(1, n):
+            t, q, v = int(ts[i]), int(qs[i]), float(vs[i])
+            dt = float(t - tp)
+            nshi = min(shi, float(q + eq - qp) / dt)
+            nslo = max(slo, float(q - eq - qp) / dt)
+            if nslo > nshi:  # doors crossed: store the previous point
+                kept_t.append(tl)
+                kept_v.append(vl)
+                tp, qp = tl, ql
+                dt2 = float(t - tl)
+                shi = float(q + eq - ql) / dt2
+                slo = float(q - eq - ql) / dt2
+            else:
+                shi, slo = nshi, nslo
+            tl, ql, vl = t, q, v
+        if kept_t[-1] != tl:
+            kept_t.append(tl)
+            kept_v.append(vl)
+        return pd.DataFrame({"time": kept_t, "value": kept_v})
+
+    return (
+        src.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(fold, "time long, value double")
+        .orderBy("time")
+    )

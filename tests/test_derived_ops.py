@@ -825,3 +825,24 @@ def test_threshold_crossings_and_excursions(spark):
     exb = [(r.t_start, r.t_end, r.n_points, r.v_max) for r in
            excursions(pts, "a", 0, 10, 10.0, bucket_pw=1).collect()]
     assert exb == ex
+
+
+def test_sdt_compress_line_and_spike(spark):
+    from btrdb_server_spark.operators.derive import sdt_compress
+
+    # A perfect line compresses to first + last.
+    line = mk(spark, [("a", t, t / 10) for t in range(0, 40, 10)])
+    assert [(r.time, r.value) for r in sdt_compress(line, "a", 0, 100, 0.5).collect()] \
+        == [(0, 0.0), (30, 3.0)]
+    # A spike closes the door twice: every point survives.
+    sp = mk(spark, [("a", 0, 0.0), ("a", 10, 1.0), ("a", 20, 5.0), ("a", 30, 3.0)])
+    assert [(r.time, r.value) for r in sdt_compress(sp, "a", 0, 100, 0.5).collect()] \
+        == [(0, 0.0), (10, 1.0), (20, 5.0), (30, 3.0)]
+    # Duplicate timestamps collapse to max value before the fold.
+    dup = mk(spark, [("a", 0, 0.0), ("a", 10, 1.0), ("a", 10, 9.0), ("a", 20, 2.0)])
+    out = [(r.time, r.value) for r in sdt_compress(dup, "a", 0, 100, 0.5).collect()]
+    assert out == [(0, 0.0), (10, 9.0), (20, 2.0)]
+    # Single point: kept as-is, no duplicate append.
+    one = mk(spark, [("a", 7, 3.0)])
+    assert [(r.time, r.value) for r in sdt_compress(one, "a", 0, 100, 0.5).collect()] \
+        == [(7, 3.0)]
