@@ -382,7 +382,9 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"), num_merges=6)
 
 
-def _sdt_oracle_sql(uuid: str, t0: int, t1: int, eq: int) -> str:
+def _sdt_oracle_sql(
+    uuid: str, t0: int, t1: int, eq: int, include_final: bool = True
+) -> str:
     """SDT oracle as a RECURSIVE CTE over point indexes (one state row per
     step, scalar state only). DuckDB 1.0's list_reduce silently drops
     list-typed fields inside a struct accumulator (s := acc.s || [x]
@@ -433,9 +435,7 @@ def _sdt_oracle_sql(uuid: str, t0: int, t1: int, eq: int) -> str:
             SELECT time, value FROM pi WHERE i = 1
             UNION ALL
             SELECT stored_t, stored_v FROM st WHERE closed
-            UNION ALL
-            SELECT time, value FROM pi
-            WHERE i = (SELECT max(i) FROM pi) AND i > 1
+            {"UNION ALL SELECT time, value FROM pi WHERE i = (SELECT max(i) FROM pi) AND i > 1" if include_final else ""}
         ) ORDER BY time
     """
 
@@ -684,6 +684,52 @@ def q_streaming_deadband(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_deadband_out"
     q = (
         streaming_deadband(stream, deadband=50.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT time, value FROM {name}").orderBy("time")
+
+
+def q_streaming_sdt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swinging-door trending AT INGEST: the continuous query emits a
+    stored point whenever the slope doors cross; on the in-order 4-slice
+    source the emitted set is bit-equal to the batch fold minus its
+    trailing final-point append — which is the oracle."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_sdt
+
+    work = tempfile.mkdtemp(prefix="btrdb_sdt_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
+        F.col("uuid") == "view"
+    )
+    span = (T_JAN10 - T_2024) // 4
+    for kk in range(4):
+        lo = T_2024 + kk * span
+        hi = T_JAN10 if kk == 3 else T_2024 + (kk + 1) * span
+        (
+            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_sdt_out"
+    q = (
+        streaming_sdt(stream, tolerance=2.0)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
@@ -2153,10 +2199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_crossings": q_threshold_crossings,
         "excursions": q_excursions,
         "sdt_compress": q_sdt_compress,
+        "streaming_sdt": q_streaming_sdt,
         # -- (c) new in round 4, first time inside the window ----------
         "sessions": q_sessions,
-        "pq_train": q_pq_train,
-        "tfidf_topk": q_tfidf_topk,
         "streaming_sessions": q_streaming_sessions,
         "decontaminate_lsh": q_decontaminate_lsh,
         "media_dedup": q_media_dedup,
@@ -2166,7 +2211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": q_streaming_ewma,
         "streaming_dedup": q_streaming_dedup,
         "streaming_stat_state": q_streaming_stat_state,
-        # ---- position 51+: multi-round green, checked locally ----------
+        # ---- position 51+: multi-round green or locally bit-exact ------
+        # pq_train/tfidf_topk: never driver-checked but unchanged since r04
+        # and locally green twice — deferred so the CHANGED streaming
+        # entries (streaming_dedup/streaming_stat_state) re-earn in-window.
+        "pq_train": q_pq_train,
+        "tfidf_topk": q_tfidf_topk,
         "aligned_windows": q_aligned_windows,
         "delete_range": q_delete_range,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4010,6 +4060,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "sdt_compress": _sdt_oracle_sql("click", T_2024, T_FEB, 200),
+        "streaming_sdt": _sdt_oracle_sql(
+            "view", T_2024, T_JAN10, 200, include_final=False
+        ),
         "threshold_crossings": f"""
             {PTS_CTE}, l AS (
                 SELECT time, value,

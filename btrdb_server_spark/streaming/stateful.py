@@ -515,3 +515,98 @@ def streaming_deadband(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SDT_OUTPUT_SCHEMA = "uuid string, time long, value double"
+SDT_STATE_SCHEMA = (
+    "tp long, qp long, tl long, ql long, vl double, slo double, shi double"
+)
+
+
+def _make_update_sdt(eq: int):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Swinging-door trending at ingest for one stream: state is the
+        seven SDT scalars (pivot, last point, slope envelope). Each batch
+        folds its points in time order with the identical decision
+        sequence as the batch operator, so on an in-order source the
+        emitted set is bit-equal to derive.sdt_compress MINUS the final
+        point (a stream has no end; the batch operator's trailing append
+        is a batch-only convention — the oracle drops it). Duplicate
+        timestamps collapse to their max value WITHIN a batch (same rule
+        as the batch scan); a point at or behind the frontier raises —
+        order-defined, like streaming_deadband/streaming_ewma."""
+        (uuid,) = key
+        started = state.exists
+        if started:
+            tp, qp, tl, ql, vl, slo, shi = state.get
+        out_t, out_v = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["time", "value"]).drop_duplicates(
+                "time", keep="last"
+            )
+            for t, v, q in zip(
+                pdf["time"].astype("int64"), pdf["value"], pdf["q"].astype("int64")
+            ):
+                t, v, q = int(t), float(v), int(q)
+                if not started:
+                    out_t.append(t)
+                    out_v.append(v)
+                    tp, qp, tl, ql, vl = t, q, t, q, v
+                    slo, shi = float("-inf"), float("inf")
+                    started = True
+                    continue
+                if t <= tl:
+                    raise ValueError(
+                        f"stream {uuid}: point at {t} at/behind the SDT "
+                        f"frontier {tl} — order-defined operator"
+                    )
+                dt = float(t - tp)
+                nshi = min(shi, float(q + eq - qp) / dt)
+                nslo = max(slo, float(q - eq - qp) / dt)
+                if nslo > nshi:  # doors crossed: store the previous point
+                    out_t.append(tl)
+                    out_v.append(vl)
+                    tp, qp = tl, ql
+                    dt2 = float(t - tl)
+                    shi = float(q + eq - ql) / dt2
+                    slo = float(q - eq - ql) / dt2
+                else:
+                    shi, slo = nshi, nslo
+                tl, ql, vl = t, q, v
+        if not started:
+            return
+        state.update((tp, qp, tl, ql, vl, slo, shi))
+        if out_t:
+            yield pd.DataFrame({"uuid": uuid, "time": out_t, "value": out_v})
+
+    return fn
+
+
+def streaming_sdt(
+    points_stream: DataFrame,
+    tolerance: float,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Swinging-door trending as a continuous query: the ingest path
+    emits a stored point each time the slope doors cross — the write-side
+    dual of the batch sdt_compress scan, cutting stored volume at the
+    source the way a PI-style historian does. State is seven scalars per
+    stream; on an in-order source the emitted set is bit-equal to the
+    batch fold minus its trailing final-point append (the oracle)."""
+    if tolerance <= 0:
+        raise ValueError("tolerance must be positive")
+    eq = round(tolerance / value_quantum)
+    with_q = points_stream.withColumn(
+        "q", F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    )
+    return with_q.groupBy("uuid").applyInPandasWithState(
+        _make_update_sdt(eq),
+        SDT_OUTPUT_SCHEMA,
+        SDT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

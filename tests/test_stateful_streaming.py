@@ -298,3 +298,47 @@ def test_streaming_deadband_matches_batch_fold(spark, tmp_path):
         "s", 0, 100, deadband=0.3,
     ).collect()
     assert got == [(r.time, r.value) for r in batch]  # bit-equal kept set
+
+
+def test_streaming_sdt_matches_batch_fold_minus_final(spark, tmp_path):
+    from btrdb_server_spark.operators.derive import sdt_compress
+    from btrdb_server_spark.streaming.stateful import streaming_sdt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # Line, spike, line — door must close mid-sequence; batch boundaries
+    # split the fold to exercise the cross-batch state continuation.
+    pts = [(0, 0.0), (10, 1.0), (20, 2.0), (30, 7.0), (40, 4.0), (50, 5.0)]
+    write_batch(spark, src, [("s", t, v) for t, v in pts[:2]], 1)
+    write_batch(spark, src, [("s", t, v) for t, v in pts[2:4]], 2)
+    write_batch(spark, src, [("s", t, v) for t, v in pts[4:]], 3)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_sdt(stream, tolerance=0.5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sdt_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.time, r.value) for r in spark.sql("SELECT * FROM sdt_updates").collect()
+    )
+    batch = [
+        (r.time, r.value)
+        for r in sdt_compress(
+            spark.createDataFrame([("s", t, v) for t, v in pts], POINTS_SCHEMA),
+            "s", 0, 100, tolerance=0.5,
+        ).collect()
+    ]
+    # streaming emits the batch kept set minus the trailing final point
+    assert batch[-1][0] == pts[-1][0]
+    assert got == batch[:-1]
