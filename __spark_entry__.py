@@ -905,6 +905,16 @@ def q_sdt_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdt_compress(pts, "click", T_2024, T_FEB, 2.0)
 
 
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-79-bucket ~ daily at pw=40) forecast MAE over
+    the click stream's 2024 bucket sums — the baseline the seasonality
+    probes must beat. Exact int64 absolute-error sum, one division."""
+    from btrdb_server_spark.operators.corr import seasonal_naive_error
+
+    pts = load_points(spark, sf_dir, T_2024 - (1 << 40), T_2025)
+    return seasonal_naive_error(pts, "click", T_2024, T_2025, 40, 79)
+
+
 def q_nearest_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, end=T_JAN15)
     return nearest(pts, "purchase", T_JAN15, backward=True)
@@ -2200,8 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excursions": q_excursions,
         "sdt_compress": q_sdt_compress,
         "streaming_sdt": q_streaming_sdt,
+        "seasonal_naive_error": q_seasonal_naive_error,
         # -- (c) new in round 4, first time inside the window ----------
-        "sessions": q_sessions,
         "streaming_sessions": q_streaming_sessions,
         "decontaminate_lsh": q_decontaminate_lsh,
         "media_dedup": q_media_dedup,
@@ -2217,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries (streaming_dedup/streaming_stat_state) re-earn in-window.
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
+        "sessions": q_sessions,
         "aligned_windows": q_aligned_windows,
         "delete_range": q_delete_range,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4063,6 +4074,29 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sdt": _sdt_oracle_sql(
             "view", T_2024, T_JAN10, 200, include_final=False
         ),
+        "seasonal_naive_error": f"""
+            {PTS_CTE}, sums AS (
+                SELECT (time >> 40) - {T_2024 >> 40} AS bucket,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS s
+                FROM pts WHERE uuid = 'click'
+                  AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+                GROUP BY 1
+            ), j AS (
+                SELECT abs(COALESCE(c.cs, 0) - COALESCE(p.ps, 0)) AS ae
+                FROM (SELECT bucket AS t, s AS cs FROM sums WHERE bucket >= 79) c
+                FULL JOIN (SELECT bucket + 79 AS t, s AS ps FROM sums
+                           WHERE bucket < {(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} - 79) p
+                USING (t)
+            )
+            SELECT CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} - 79 AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(sum(ae), 0) AS BIGINT) AS sae_q,
+                   CAST(COALESCE(sum(ae), 0) AS DOUBLE)
+                       / CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} - 79 AS DOUBLE) AS mae_q,
+                   (CAST(COALESCE(sum(ae), 0) AS DOUBLE)
+                       / CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} - 79 AS DOUBLE))
+                       * CAST(0.01 AS DOUBLE) AS mae
+            FROM j
+        """,
         "threshold_crossings": f"""
             {PTS_CTE}, l AS (
                 SELECT time, value,

@@ -599,6 +599,8 @@ def edit_verified_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,  # keyword-only: k/num_hashes positional order differs across the
+    # minhash family (see ADVICE r04 on with_rowwise_signatures)
     k: int = 3,
     bands: int = DEFAULT_BANDS,
     num_hashes: int = DEFAULT_NUM_HASHES,

@@ -322,3 +322,63 @@ def xcorr_lags(
         )
         .orderBy("lag")
     )
+
+
+def seasonal_naive_error(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    pw: int,
+    period: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each bucket sum by the
+    sum `period` buckets earlier and report the mean absolute error over
+    the zero-filled spine — the baseline every seasonality claim
+    (autocorr peak, diurnal profile) must beat before a fancier model is
+    worth running. One summary row: n_pairs (n - period), sae_q (exact
+    int64 sum of |s_t - s_{t-period}| in quantum units), mae_q (one
+    double division), mae (value units).
+
+    Scale shape: ONE point-scale groupBy to bucket sums, then a
+    bucket-scale full-outer self-join shifted by `period` (zero-filled
+    terms via coalesce), one map-side-combined sum. Exact integers until
+    the final division — bit-identical in any engine."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    n = (fend - fstart) >> pw
+    if not 0 < period < n:
+        raise ValueError("period must be positive and shorter than the range")
+    b0 = fstart >> pw
+    sums = (
+        points.where((F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend))
+        .groupBy((F.shiftright("time", pw) - F.lit(b0)).alias("bucket"))
+        .agg(
+            F.sum(F.round(F.col("value") / F.lit(value_quantum)).cast("long")).alias("s")
+        )
+    )
+    cur = sums.where(F.col("bucket") >= F.lit(period)).select(
+        F.col("bucket").alias("t"), F.col("s").alias("cs")
+    )
+    past = sums.where(F.col("bucket") < F.lit(n - period)).select(
+        (F.col("bucket") + F.lit(period)).alias("t"), F.col("s").alias("ps")
+    )
+    joined = cur.join(past, "t", "full").select(
+        F.abs(
+            F.coalesce(F.col("cs"), F.lit(0)) - F.coalesce(F.col("ps"), F.lit(0))
+        ).alias("ae")
+    )
+    np_ = n - period
+    mae_q = F.col("sae_q").cast("double") / F.lit(float(np_))
+    return (
+        joined.agg(F.coalesce(F.sum("ae"), F.lit(0)).alias("sae_q"))
+        .select(
+            F.lit(np_).cast("long").alias("n_pairs"),
+            "sae_q",
+            mae_q.alias("mae_q"),
+            (mae_q * F.lit(value_quantum)).alias("mae"),
+        )
+    )

@@ -846,3 +846,15 @@ def test_sdt_compress_line_and_spike(spark):
     one = mk(spark, [("a", 7, 3.0)])
     assert [(r.time, r.value) for r in sdt_compress(one, "a", 0, 100, 0.5).collect()] \
         == [(7, 3.0)]
+
+
+def test_seasonal_naive_error_known_values(spark):
+    # pw=0 (1 ns buckets), n=6, period=2. Quanta sums per bucket:
+    # b0=100, b1=0, b2=100, b3=200, b4=0, b5=100.
+    # pairs t=2..5: |100-100| + |200-0| + |0-100| + |100-200| = 400.
+    pts = mk(spark, [("a", 0, 1.0), ("a", 2, 1.0), ("a", 3, 2.0), ("a", 5, 1.0)])
+    from btrdb_server_spark.operators.corr import seasonal_naive_error
+
+    r = seasonal_naive_error(pts, "a", 0, 6, 0, 2).collect()[0]
+    assert (r.n_pairs, r.sae_q) == (4, 400)
+    assert r.mae_q == pytest.approx(100.0) and r.mae == pytest.approx(1.0)
