@@ -743,6 +743,54 @@ def q_streaming_sdt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT time, value FROM {name}").orderBy("time")
 
 
+def q_streaming_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alarms AT INGEST: the continuous query emits an alert
+    row the moment the click stream crosses 10.0; on the in-order
+    4-slice source the alert set is bit-equal to the batch
+    threshold_crossings scan — which is the oracle."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_crossings
+
+    work = tempfile.mkdtemp(prefix="btrdb_cross_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
+        F.col("uuid") == "click"
+    )
+    span = (T_JAN10 - T_2024) // 4
+    for kk in range(4):
+        lo = T_2024 + kk * span
+        hi = T_JAN10 if kk == 3 else T_2024 + (kk + 1) * span
+        (
+            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_cross_out"
+    q = (
+        streaming_crossings(stream, threshold=10.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT time, value, prev_time, prev_value, direction FROM {name}"
+    ).orderBy("time", "value")
+
+
 def q_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day profile of the click stream over January — the diurnal
     fingerprint that `autocorr` detects, described per hour. Integer-quantum
@@ -2211,10 +2259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdt_compress": q_sdt_compress,
         "streaming_sdt": q_streaming_sdt,
         "seasonal_naive_error": q_seasonal_naive_error,
+        "streaming_crossings": q_streaming_crossings,
         # -- (c) new in round 4, first time inside the window ----------
         "streaming_sessions": q_streaming_sessions,
         "decontaminate_lsh": q_decontaminate_lsh,
-        "media_dedup": q_media_dedup,
         "streaming_lsh": q_streaming_lsh,
         "value_histogram": q_value_histogram,
         # -- (d) changed this round: multi-batch streaming sources -----
@@ -2228,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
+        "media_dedup": q_media_dedup,
         "aligned_windows": q_aligned_windows,
         "delete_range": q_delete_range,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4096,6 +4145,20 @@ def oracle_sql() -> dict[str, str]:
                        / CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} - 79 AS DOUBLE))
                        * CAST(0.01 AS DOUBLE) AS mae
             FROM j
+        """,
+        "streaming_crossings": f"""
+            {PTS_CTE}, l AS (
+                SELECT time, value,
+                       lag(time) OVER (ORDER BY time, value) AS pt,
+                       lag(value) OVER (ORDER BY time, value) AS pv
+                FROM pts
+                WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_JAN10}
+            )
+            SELECT time, value, pt AS prev_time, pv AS prev_value,
+                   CASE WHEN value >= 10.0 THEN 'up' ELSE 'down' END AS direction
+            FROM l
+            WHERE pt IS NOT NULL AND ((value >= 10.0) <> (pv >= 10.0))
+            ORDER BY time, value
         """,
         "threshold_crossings": f"""
             {PTS_CTE}, l AS (

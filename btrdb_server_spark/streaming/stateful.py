@@ -610,3 +610,73 @@ def streaming_sdt(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CROSSINGS_OUTPUT_SCHEMA = (
+    "uuid string, time long, value double, prev_time long, "
+    "prev_value double, direction string"
+)
+CROSSINGS_STATE_SCHEMA = "last_time long, last_value double"
+
+
+def _make_update_crossings(threshold: float):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Threshold-edge detection at ingest for one stream: state is the
+        last seen (time, value). Each batch scans its points in time
+        order and emits a row whenever the value crosses the threshold
+        relative to its predecessor — the same decision sequence as the
+        batch operator, so on an in-order source the alert set is
+        bit-equal to derive.threshold_crossings (the oracle).
+        Order-defined: a point behind the frontier raises."""
+        (uuid,) = key
+        if state.exists:
+            last_t, last_v = state.get
+        else:
+            last_t, last_v = None, None
+        out = {k: [] for k in ("time", "value", "prev_time", "prev_value", "direction")}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["time", "value"])
+            for t, v in zip(pdf["time"].astype("int64"), pdf["value"]):
+                t, v = int(t), float(v)
+                if last_t is not None and t < last_t:
+                    raise ValueError(
+                        f"stream {uuid}: point at {t} behind the crossings "
+                        f"frontier {last_t} — order-defined operator"
+                    )
+                if last_t is not None and (v >= threshold) != (last_v >= threshold):
+                    out["time"].append(t)
+                    out["value"].append(v)
+                    out["prev_time"].append(last_t)
+                    out["prev_value"].append(last_v)
+                    out["direction"].append("up" if v >= threshold else "down")
+                last_t, last_v = t, v
+        if last_t is None:
+            return
+        state.update((last_t, last_v))
+        if out["time"]:
+            yield pd.DataFrame({"uuid": uuid, **out})
+
+    return fn
+
+
+def streaming_crossings(
+    points_stream: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Threshold-edge alarm detection as a continuous query: the ingest
+    path emits an alert row the moment a stream crosses the limit —
+    the at-ingest twin of the batch threshold_crossings scan (SCADA
+    alarms fire on arrival, not on the next batch scan). State is two
+    scalars per stream; on an in-order source the alert set is bit-equal
+    to the batch operator (the oracle)."""
+    return points_stream.groupBy("uuid").applyInPandasWithState(
+        _make_update_crossings(threshold),
+        CROSSINGS_OUTPUT_SCHEMA,
+        CROSSINGS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -342,3 +342,42 @@ def test_streaming_sdt_matches_batch_fold_minus_final(spark, tmp_path):
     # streaming emits the batch kept set minus the trailing final point
     assert batch[-1][0] == pts[-1][0]
     assert got == batch[:-1]
+
+
+def test_streaming_crossings_matches_batch(spark, tmp_path):
+    from btrdb_server_spark.operators.derive import threshold_crossings
+    from btrdb_server_spark.streaming.stateful import streaming_crossings
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    pts = [(1, 5.0), (2, 12.0), (3, 15.0), (4, 8.0), (5, 20.0)]
+    write_batch(spark, src, [("s", t, v) for t, v in pts[:2]], 1)
+    write_batch(spark, src, [("s", t, v) for t, v in pts[2:4]], 2)
+    write_batch(spark, src, [("s", t, v) for t, v in pts[4:]], 3)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_crossings(stream, threshold=10.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cross_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.time, r.prev_time, r.direction)
+        for r in spark.sql("SELECT * FROM cross_updates").collect()
+    )
+    batch = threshold_crossings(
+        spark.createDataFrame([("s", t, v) for t, v in pts], POINTS_SCHEMA),
+        "s", 0, 100, 10.0,
+    ).collect()
+    assert got == [(r.time, r.prev_time, r.direction) for r in batch]
+    assert got == [(2, 1, "up"), (4, 3, "down"), (5, 4, "up")]
