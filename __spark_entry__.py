@@ -810,6 +810,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(load_table(spark, sf_dir, "events"))
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel: view -> click -> purchase where every
+    later step lands within 2 days of the user's FIRST view (the ts
+    column is epoch ns so the window is plain integer arithmetic)."""
+    from btrdb_server_spark.operators.events import funnel
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("t_ns", epoch_ns_expr(ev))
+    return funnel(ev, ts_col="t_ns", within=2 * DAY_NS)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle anchored at 2024-01-01: first-event
     week x active-week offset x distinct users. All-integer output."""
@@ -2260,11 +2272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sdt": q_streaming_sdt,
         "seasonal_naive_error": q_seasonal_naive_error,
         "streaming_crossings": q_streaming_crossings,
+        "funnel_windowed": q_funnel_windowed,
         # -- (c) new in round 4, first time inside the window ----------
         "streaming_sessions": q_streaming_sessions,
         "decontaminate_lsh": q_decontaminate_lsh,
         "streaming_lsh": q_streaming_lsh,
-        "value_histogram": q_value_histogram,
         # -- (d) changed this round: multi-batch streaming sources -----
         "streaming_ewma": q_streaming_ewma,
         "streaming_dedup": q_streaming_dedup,
@@ -2277,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
         "media_dedup": q_media_dedup,
+        "value_histogram": q_value_histogram,
         "aligned_windows": q_aligned_windows,
         "delete_range": q_delete_range,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2991,6 +3004,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.user_id, min(e.ts) AS t
                 FROM events e JOIN s2 USING (user_id)
                 WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                       count(*) AS users FROM s1
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+            ) ORDER BY step
+        """,
+        "funnel_windowed": f"""
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+            ), s1 AS (
+                SELECT user_id, min(t) AS t, min(t) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.t) AS t, min(s1.t1) AS t1
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.t > s1.t
+                  AND e.t <= s1.t1 + {2 * DAY_NS}
+                GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.t) AS t
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t > s2.t
+                  AND e.t <= s2.t1 + {2 * DAY_NS}
+                GROUP BY 1
             )
             SELECT * FROM (
                 SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,

@@ -75,6 +75,7 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users performed steps[0], then
     steps[1] STRICTLY AFTER their first steps[0], then steps[2] strictly
@@ -86,6 +87,11 @@ def funnel(
     ts > t_{k-1}. A user counts for step k iff t_k exists. Strictly
     sequential (each later event must be after the user's EARLIEST
     qualifying previous step), the standard window-less funnel definition.
+    With `within` set (same units as ts_col — e.g. an INTERVAL-free
+    integer when ts is numeric), every later step must ALSO land at or
+    before t_1 + within: the windowed-conversion variant ("purchased
+    within 7 days of first view"). The first-step time threads through
+    the per-step aggregates, so the window costs no extra shuffle.
 
     Scale shape: one groupBy(user) per step plus one join per transition —
     every shuffle is keyed on the same user column, so the exchanges
@@ -100,16 +106,21 @@ def funnel(
         events.where(F.col(type_col) == F.lit(steps[0]))
         .groupBy(user.alias("u"))
         .agg(F.min(ts).alias("t"))
+        .select("u", "t", F.col("t").alias("t1"))
     )
     stages.append(prev)
     for st in steps[1:]:
+        cond = F.col("ets") > F.col("t")
+        if within is not None:
+            cond = cond & (F.col("ets") <= F.col("t1") + F.lit(within))
         nxt = (
             events.where(F.col(type_col) == F.lit(st))
             .select(user.alias("u"), ts.alias("ets"))
             .join(prev, "u")
-            .where(F.col("ets") > F.col("t"))
+            .where(cond)
             .groupBy("u")
-            .agg(F.min("ets").alias("t"))
+            # t1 is functionally dependent on u; min() carries it exactly
+            .agg(F.min("ets").alias("t"), F.min("t1").alias("t1"))
         )
         stages.append(nxt)
         prev = nxt

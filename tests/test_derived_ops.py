@@ -858,3 +858,22 @@ def test_seasonal_naive_error_known_values(spark):
     r = seasonal_naive_error(pts, "a", 0, 6, 0, 2).collect()[0]
     assert (r.n_pairs, r.sae_q) == (4, 400)
     assert r.mae_q == pytest.approx(100.0) and r.mae == pytest.approx(1.0)
+
+
+def test_funnel_windowed_cutoff(spark):
+    # u1 converts fully within the window; u2's purchase misses the
+    # 100-unit budget measured from the FIRST view.
+    rows = [
+        (10, "view", 1.0, 1), (20, "click", 1.0, 1), (30, "purchase", 1.0, 1),
+        (10, "view", 1.0, 2), (20, "click", 1.0, 2), (150, "purchase", 1.0, 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_type string, value double, user_id long"
+    )
+    from btrdb_server_spark.operators.events import funnel
+
+    out = {r.step: r.users for r in funnel(ev, within=100).collect()}
+    assert out == {1: 2, 2: 2, 3: 1}
+    # unbounded: both purchases count
+    out2 = {r.step: r.users for r in funnel(ev).collect()}
+    assert out2 == {1: 2, 2: 2, 3: 2}
