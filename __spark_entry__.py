@@ -822,6 +822,14 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ts_col="t_ns", within=2 * DAY_NS)
 
 
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams with document frequency — the phrase-level
+    vocabulary table (boilerplate/contamination phrase scan)."""
+    from btrdb_server_spark.functions.text import ngram_freq
+
+    return ngram_freq(load_table(spark, sf_dir, "documents"), n=2)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle anchored at 2024-01-01: first-event
     week x active-week offset x distinct users. All-integer output."""
@@ -2285,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pq_train/tfidf_topk: never driver-checked but unchanged since r04
         # and locally green twice — deferred so the CHANGED streaming
         # entries (streaming_dedup/streaming_stat_state) re-earn in-window.
+        "ngram_freq": q_ngram_freq,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -3874,6 +3883,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
             FROM tk GROUP BY tok
             ORDER BY cnt DESC, tok LIMIT 100
+        """,
+        "ngram_freq": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tk AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM t)
+            SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+            FROM tk GROUP BY gram
+            ORDER BY cnt DESC, gram LIMIT 100
         """,
         # Exact batch counts: the streaming sketch never evicts at this
         # capacity, so its running counts (and overcount=0) must agree.

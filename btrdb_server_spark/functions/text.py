@@ -343,3 +343,32 @@ def token_entropy(
         )
         .orderBy(id_col)
     )
+
+
+def ngram_freq(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 100,
+) -> DataFrame:
+    """Corpus n-gram table: the `top` most frequent word n-grams with
+    total count and document frequency — the phrase-level companion to
+    token_freq that an LM data pipeline reads for boilerplate phrases,
+    contamination shingles, and tokenizer merge candidates. Same plan
+    shape: one explode + one map-side-combined groupBy, top-k as
+    TakeOrderedAndProject (no global sort), lexicographic tie-break."""
+    from btrdb_server_spark.functions.dedup import shingles_col
+
+    grams = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct(id_col).alias("doc_freq"),
+        )
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(top)
+    )

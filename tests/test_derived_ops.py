@@ -877,3 +877,14 @@ def test_funnel_windowed_cutoff(spark):
     # unbounded: both purchases count
     out2 = {r.step: r.users for r in funnel(ev).collect()}
     assert out2 == {1: 2, 2: 2, 3: 2}
+
+
+def test_ngram_freq_bigrams(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    from btrdb_server_spark.functions.text import ngram_freq
+
+    out = [(r.gram, r.cnt, r.doc_freq) for r in ngram_freq(docs, n=2).collect()]
+    # "a b" appears in docs 1 and 2; "b c" only in doc 1; doc 3 too short
+    assert out == [("a b", 2, 2), ("b c", 1, 1)]
