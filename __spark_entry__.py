@@ -822,6 +822,17 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ts_col="t_ns", within=2 * DAY_NS)
 
 
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users + stickiness per active day, anchored at
+    2024-01-01 — exploded-cover countDistinct, no range join."""
+    from btrdb_server_spark.operators.events import dau_wau
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("time", epoch_ns_expr(ev))
+    return dau_wau(ev, T_2024)
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2294,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and locally green twice — deferred so the CHANGED streaming
         # entries (streaming_dedup/streaming_stat_state) re-earn in-window.
         "ngram_freq": q_ngram_freq,
+        "dau_wau": q_dau_wau,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -3883,6 +3895,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
             FROM tk GROUP BY tok
             ORDER BY cnt DESC, tok LIMIT 100
+        """,
+        "dau_wau": f"""
+            WITH ud AS (
+                SELECT DISTINCT user_id AS u,
+                       (epoch_ns(ts) - {T_2024}) // {DAY_NS} AS day
+                FROM events WHERE epoch_ns(ts) >= {T_2024}
+            ), dau AS (
+                SELECT day, count(*) AS dau FROM ud GROUP BY 1
+            ), cover AS (
+                SELECT u, unnest(generate_series(day, day + 6)) AS day FROM ud
+            ), wau AS (
+                SELECT day, count(DISTINCT u) AS wau FROM cover GROUP BY 1
+            )
+            SELECT dau.day, dau.dau, wau.wau,
+                   CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+            FROM dau JOIN wau USING (day)
+            ORDER BY day
         """,
         "ngram_freq": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -211,3 +211,42 @@ def event_transitions(
         .agg(F.count("*").alias("cnt"))
         .orderBy("from_type", "to_type")
     )
+
+
+def dau_wau(
+    events: DataFrame,
+    anchor: int,
+    day_ns: int = 86_400_000_000_000,
+    time_col: str = "time",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Daily/weekly active users and the DAU/WAU stickiness ratio per
+    active day — the engagement dashboard row. WAU at day d counts
+    distinct users active in the trailing 7-day window [d-6, d],
+    computed WITHOUT a range join: each distinct (user, day) pair
+    explodes to the 7 days it covers and a countDistinct per covered day
+    does the rest (fan-out exactly 7; both aggregations map-side
+    combine). Output restricted to days with activity. stickiness =
+    dau / wau, one double division over exact counts. Columns: day,
+    dau, wau, stickiness; ordered by day. `time_col` is int64 epoch ns
+    (see sources.testdata.epoch_ns_expr)."""
+    ud = (
+        events.where(F.col(time_col) >= F.lit(anchor))
+        .select(
+            F.col(user_col).alias("u"),
+            F.expr(f"({time_col} - {anchor}L) div {day_ns}L").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both the dau and wau aggs
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    cover = ud.select(
+        "u", F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias("day")
+    )
+    wau = cover.groupBy("day").agg(F.countDistinct("u").alias("wau"))
+    stick = F.col("dau").cast("double") / F.col("wau").cast("double")
+    return (
+        dau.join(wau, "day")
+        .select("day", "dau", "wau", stick.alias("stickiness"))
+        .orderBy("day")
+    )

@@ -888,3 +888,19 @@ def test_ngram_freq_bigrams(spark):
     out = [(r.gram, r.cnt, r.doc_freq) for r in ngram_freq(docs, n=2).collect()]
     # "a b" appears in docs 1 and 2; "b c" only in doc 1; doc 3 too short
     assert out == [("a b", 2, 2), ("b c", 1, 1)]
+
+
+def test_dau_wau_trailing_window(spark):
+    D = 86_400_000_000_000
+    # u1 active days 0 and 7; u2 active day 1 only.
+    rows = [(1, 0), (1, 7 * D), (2, D), (1, 10)]  # dup day-0 row for u1
+    ev = spark.createDataFrame(rows, "user_id long, time long")
+    from btrdb_server_spark.operators.events import dau_wau
+
+    out = {r.day: r for r in dau_wau(ev, 0).collect()}
+    assert set(out) == {0, 1, 7}
+    assert (out[0].dau, out[0].wau) == (1, 1)
+    assert (out[1].dau, out[1].wau) == (1, 2)  # u1 (day 0) still in window
+    # day 7: only u1 active in [1, 7]... u2's day-1 activity still covers it
+    assert (out[7].dau, out[7].wau) == (1, 2)
+    assert out[1].stickiness == pytest.approx(0.5)
