@@ -833,6 +833,16 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau_wau(ev, T_2024)
 
 
+def q_exceedance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do click and view alarm together? Phi coefficient of per-bucket
+    threshold exceedance (pw=40, both thresholds 10.0) over 2024 —
+    exact integer contingency, one double expression."""
+    from btrdb_server_spark.operators.corr import exceedance_corr
+
+    pts = load_points(spark, sf_dir, T_2024 - (1 << 40), T_2025)
+    return exceedance_corr(pts, "click", "view", T_2024, T_2025, 40, 10.0, 10.0)
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2306,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries (streaming_dedup/streaming_stat_state) re-earn in-window.
         "ngram_freq": q_ngram_freq,
         "dau_wau": q_dau_wau,
+        "exceedance_corr": q_exceedance_corr,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -3895,6 +3906,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
             FROM tk GROUP BY tok
             ORDER BY cnt DESC, tok LIMIT 100
+        """,
+        "exceedance_corr": f"""
+            {PTS_CTE}, ea AS (
+                SELECT (time >> 40) AS bucket FROM pts
+                WHERE uuid = 'click'
+                  AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+                GROUP BY 1 HAVING max(value) >= 10.0
+            ), eb AS (
+                SELECT (time >> 40) AS bucket FROM pts
+                WHERE uuid = 'view'
+                  AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+                GROUP BY 1 HAVING max(value) >= 10.0
+            ), c AS (
+                SELECT (SELECT count(*) FROM ea) AS n_a,
+                       (SELECT count(*) FROM eb) AS n_b,
+                       (SELECT count(*) FROM ea JOIN eb USING (bucket)) AS n_both
+            )
+            SELECT CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} AS BIGINT) AS n_buckets,
+                   n_a, n_b, n_both,
+                   CASE WHEN CAST(n_a AS DOUBLE)
+                             * (CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} AS DOUBLE) - CAST(n_a AS DOUBLE))
+                             * CAST(n_b AS DOUBLE)
+                             * (CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} AS DOUBLE) - CAST(n_b AS DOUBLE)) > 0
+                        THEN (CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} AS DOUBLE) * CAST(n_both AS DOUBLE)
+                                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                             / sqrt(CAST(n_a AS DOUBLE)
+                                  * (CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} AS DOUBLE) - CAST(n_a AS DOUBLE))
+                                  * CAST(n_b AS DOUBLE)
+                                  * (CAST({(((T_2025 >> 40) << 40) - ((T_2024 >> 40) << 40)) >> 40} AS DOUBLE) - CAST(n_b AS DOUBLE)))
+                   END AS phi
+            FROM c
         """,
         "dau_wau": f"""
             WITH ud AS (

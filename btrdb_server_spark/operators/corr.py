@@ -382,3 +382,72 @@ def seasonal_naive_error(
             (mae_q * F.lit(value_quantum)).alias("mae"),
         )
     )
+
+
+def exceedance_corr(
+    points: DataFrame,
+    uuid_a: str,
+    uuid_b: str,
+    start: int,
+    end: int,
+    pw: int,
+    thr_a: float,
+    thr_b: float,
+) -> DataFrame:
+    """Cross-stream ALARM correlation: the phi coefficient of the 2x2
+    contingency "did bucket exceed the threshold" between two streams
+    over aligned 2**pw buckets — "do these two sensors alarm together?",
+    the binary-event companion to stream_corr's value correlation. A
+    bucket exceeds when its max value is at/above the stream's
+    threshold; empty buckets do not exceed (zero-filled spine
+    semantics). One summary row: n_buckets, n_a, n_b, n_both, phi
+    (null when either margin is degenerate).
+
+        phi = (n*n11 - na*nb) / sqrt(na*(n-na) * nb*(n-nb))
+
+    — every term an exact int64 count, one double expression at the end:
+    bit-identical in any engine.
+
+    Scale shape: two point-scale groupBys collapse to exceeding-bucket
+    sets (map-side combined; the filter keeps only exceeding buckets, so
+    the join input is alarm-scale, not bucket-scale); n_both is one
+    equi-join count. No spine materializes — n comes from the range."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    n = (fend - fstart) >> pw
+    if n <= 0:
+        raise ValueError("empty bucket range")
+
+    def exceeding(uid: str, thr: float) -> DataFrame:
+        return (
+            points.where(
+                (F.col("uuid") == F.lit(uid)) & time_range_pred(fstart, fend)
+            )
+            .groupBy(F.shiftright("time", pw).alias("bucket"))
+            .agg(F.max("value").alias("vmax"))
+            .where(F.col("vmax") >= F.lit(thr))
+            .select("bucket")
+            .localCheckpoint(eager=False)  # feeds its margin AND the join
+        )
+
+    ea, eb = exceeding(uuid_a, thr_a), exceeding(uuid_b, thr_b)
+    counts = (
+        ea.agg(F.count("*").alias("n_a"))
+        .crossJoin(eb.agg(F.count("*").alias("n_b")))
+        .crossJoin(ea.join(eb, "bucket").agg(F.count("*").alias("n_both")))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nn = F.lit(float(n))
+    num = nn * d("n_both") - d("n_a") * d("n_b")
+    den2 = (
+        d("n_a") * (nn - d("n_a")) * d("n_b") * (nn - d("n_b"))
+    )
+    return counts.select(
+        F.lit(n).cast("long").alias("n_buckets"),
+        "n_a",
+        "n_b",
+        "n_both",
+        F.when(den2 > 0, num / F.sqrt(den2)).alias("phi"),
+    )

@@ -904,3 +904,20 @@ def test_dau_wau_trailing_window(spark):
     # day 7: only u1 active in [1, 7]... u2's day-1 activity still covers it
     assert (out[7].dau, out[7].wau) == (1, 2)
     assert out[1].stickiness == pytest.approx(0.5)
+
+
+def test_exceedance_corr_perfect_and_counts(spark):
+    # pw=1 (2 ns buckets) over [0, 8): 4 buckets. a exceeds in buckets
+    # 0 and 2; b exceeds in exactly the same buckets -> phi = 1.
+    pts = mk(spark, [
+        ("a", 0, 9.0), ("a", 4, 9.0), ("a", 6, 1.0),
+        ("b", 1, 9.0), ("b", 5, 9.0), ("b", 7, 1.0),
+    ])
+    from btrdb_server_spark.operators.corr import exceedance_corr
+
+    r = exceedance_corr(pts, "a", "b", 0, 8, 1, 5.0, 5.0).collect()[0]
+    assert (r.n_buckets, r.n_a, r.n_b, r.n_both) == (4, 2, 2, 2)
+    assert r.phi == pytest.approx(1.0)
+    # degenerate margin (b never exceeds) -> null phi
+    r2 = exceedance_corr(pts, "a", "b", 0, 8, 1, 5.0, 99.0).collect()[0]
+    assert r2.phi is None and r2.n_b == 0
