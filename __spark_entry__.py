@@ -843,6 +843,24 @@ def q_exceedance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exceedance_corr(pts, "click", "view", T_2024, T_2025, 40, 10.0, 10.0)
 
 
+def q_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition lift matrix over the events feed — exact integer
+    contingency, one double expression per edge."""
+    from btrdb_server_spark.operators.events import transition_lift
+
+    return transition_lift(load_table(spark, sf_dir, "events"))
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence fingerprint of the click stream in January: exact type-1
+    percentiles of inter-arrival gaps via distinct-gap histogram
+    cumulation (bucketed lag, no interpolation). All-integer output."""
+    from btrdb_server_spark.operators.derive import interarrival_stats
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return interarrival_stats(pts, "click", T_2024, T_FEB, bucket_pw=40)
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2317,6 +2335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq": q_ngram_freq,
         "dau_wau": q_dau_wau,
         "exceedance_corr": q_exceedance_corr,
+        "transition_lift": q_transition_lift,
+        "interarrival_stats": q_interarrival_stats,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -3906,6 +3926,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
             FROM tk GROUP BY tok
             ORDER BY cnt DESC, tok LIMIT 100
+        """,
+        "transition_lift": """
+            WITH nx AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events
+            ), pairs AS (
+                SELECT from_type, to_type, count(*) AS cnt
+                FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2
+            ), nf AS (
+                SELECT from_type, CAST(sum(cnt) AS BIGINT) AS n_f
+                FROM pairs GROUP BY 1
+            ), nt AS (
+                SELECT to_type, CAST(sum(cnt) AS BIGINT) AS n_t
+                FROM pairs GROUP BY 1
+            ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pairs)
+            SELECT p.from_type, p.to_type, p.cnt,
+                   (CAST(p.cnt AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                       / (CAST(nf.n_f AS DOUBLE) * CAST(nt.n_t AS DOUBLE)) AS lift
+            FROM pairs p
+            JOIN nf USING (from_type) JOIN nt USING (to_type), tot
+            ORDER BY from_type, to_type
+        """,
+        "interarrival_stats": f"""
+            {PTS_CTE}, l AS (
+                SELECT time, lag(time) OVER (ORDER BY time, value) AS pt
+                FROM pts
+                WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_FEB}
+            ), gp AS (
+                SELECT time - pt AS g FROM l WHERE pt IS NOT NULL
+            ), h AS (SELECT g, count(*) AS c FROM gp GROUP BY 1),
+            cum AS (
+                SELECT g, CAST(sum(c) OVER (
+                    ORDER BY g ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM h
+            ), t AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n,
+                       min(g) AS g_min, max(g) AS g_max FROM h
+            )
+            SELECT t.n AS n_gaps, t.g_min, t.g_max,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.5) AS BIGINT)
+                            THEN cum.g END) AS p50,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.9) AS BIGINT)
+                            THEN cum.g END) AS p90,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.99) AS BIGINT)
+                            THEN cum.g END) AS p99
+            FROM cum, t GROUP BY 1, 2, 3
         """,
         "exceedance_corr": f"""
             {PTS_CTE}, ea AS (

@@ -1049,3 +1049,54 @@ def sdt_compress(
         .applyInPandas(fold, "time long, value double")
         .orderBy("time")
     )
+
+
+def interarrival_stats(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Inter-arrival-time distribution of one stream: count, min, max and
+    EXACT type-1 (no-interpolation) percentiles of the gaps between
+    consecutive points — the cadence fingerprint that tells a regular
+    1-Hz feed from a bursty event stream at a glance. All-integer output
+    (ns), engine-exact: p_q = the smallest gap whose cumulative count
+    reaches ceil(q * n).
+
+    Scale shape: the bucketed lag produces gaps without a serial window;
+    the selection runs on the DISTINCT-GAP histogram (groupBy(g) with
+    map-side combine), whose cumulative window is value-domain-scale —
+    far below point scale for any real cadence. Columns: n_gaps, g_min,
+    g_max, p<q>... ; one row."""
+    labels = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels from qs={qs}")
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
+    g = lagged.where(F.col("prev_time").isNotNull()).select(
+        (F.col("time") - F.col("prev_time")).alias("g")
+    )
+    h = g.groupBy("g").agg(F.count("*").alias("c"))
+    w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select("g", F.sum("c").over(w).alias("cum"))
+    total = h.agg(
+        F.sum("c").alias("n"), F.min("g").alias("g_min"), F.max("g").alias("g_max")
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.col("n").cast("double") * F.lit(q)),
+                F.col("g"),
+            )
+        ).alias(lbl)
+        for q, lbl in zip(qs, labels)
+    ]
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .groupBy("n", "g_min", "g_max")
+        .agg(*picks)
+        .select(F.col("n").alias("n_gaps"), "g_min", "g_max", *labels)
+    )

@@ -250,3 +250,58 @@ def dau_wau(
         .select("day", "dau", "wau", stick.alias("stickiness"))
         .orderBy("day")
     )
+
+
+def transition_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition LIFT: for every (from_type, to_type) edge of the
+    next-event matrix, how much more likely to_type is right after
+    from_type than in general —
+
+        lift = P(to|from) / P(to) = (n_ft * n) / (n_f * n_t)
+
+    with n_ft the transition count, n_f the from-marginal (outgoing),
+    n_t the to-marginal (incoming), n the total transition count — the
+    "what does a view actually drive" reading of event_transitions.
+    Every factor is an exact int64 count; lift is one double expression:
+    bit-identical in any engine.
+
+    Scale shape: one window shuffle per user (shared with
+    event_transitions' plan shape), one tiny groupBy on the (type x
+    type) domain, then marginals and total derive from THAT tiny table —
+    no second pass over the events. Columns: from_type, to_type, cnt,
+    lift; ordered by (from_type, to_type)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # tiny; feeds marginals + total
+    )
+    nf = pairs.groupBy("from_type").agg(F.sum("cnt").alias("n_f"))
+    nt = pairs.groupBy("to_type").agg(F.sum("cnt").alias("n_t"))
+    total = pairs.agg(F.sum("cnt").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.join(nf, "from_type")
+        .join(nt, "to_type")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "to_type",
+            "cnt",
+            ((d("cnt") * d("n")) / (d("n_f") * d("n_t"))).alias("lift"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -921,3 +921,29 @@ def test_exceedance_corr_perfect_and_counts(spark):
     # degenerate margin (b never exceeds) -> null phi
     r2 = exceedance_corr(pts, "a", "b", 0, 8, 1, 5.0, 99.0).collect()[0]
     assert r2.phi is None and r2.n_b == 0
+
+
+def test_transition_lift_known_matrix(spark):
+    # u1: a->b, b->a, a->b ; u2: a->b. Transitions: a->b x3, b->a x1.
+    rows = [
+        (1, 10, 1, "a"), (2, 20, 1, "b"), (3, 30, 1, "a"), (4, 40, 1, "b"),
+        (5, 10, 2, "a"), (6, 20, 2, "b"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts long, user_id long, event_type string")
+    from btrdb_server_spark.operators.events import transition_lift
+
+    out = {(r.from_type, r.to_type): r for r in transition_lift(ev).collect()}
+    assert out[("a", "b")].cnt == 3 and out[("b", "a")].cnt == 1
+    # lift(a->b) = (3 * 4) / (3 * 3); lift(b->a) = (1 * 4) / (1 * 1)
+    assert out[("a", "b")].lift == pytest.approx(12 / 9)
+    assert out[("b", "a")].lift == pytest.approx(4.0)
+
+
+def test_interarrival_stats_exact_selection(spark):
+    # gaps: 1, 1, 2, 10  -> n=4; p50 -> rank 2 -> 1; p90 -> rank 4 -> 10.
+    pts = mk(spark, [("a", t, 1.0) for t in (0, 1, 2, 4, 14)])
+    from btrdb_server_spark.operators.derive import interarrival_stats
+
+    r = interarrival_stats(pts, "a", 0, 100).collect()[0]
+    assert (r.n_gaps, r.g_min, r.g_max) == (4, 1, 10)
+    assert (r.p50, r.p90, r.p99) == (1, 10, 10)
