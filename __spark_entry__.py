@@ -861,6 +861,29 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(pts, "click", T_2024, T_FEB, bucket_pw=40)
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of every purchase to the user's most recent
+    click/view strictly before it, 1-day lookback — one ordered carry
+    per user, no join."""
+    from btrdb_server_spark.operators.events import attribution_last_touch
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("time", epoch_ns_expr(ev))
+    return attribution_last_touch(ev, within=DAY_NS)
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view -> first-subsequent-purchase latency distribution:
+    exact type-1 percentiles over per-user latencies."""
+    from btrdb_server_spark.operators.events import time_to_convert
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("time", epoch_ns_expr(ev))
+    return time_to_convert(ev)
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2337,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exceedance_corr": q_exceedance_corr,
         "transition_lift": q_transition_lift,
         "interarrival_stats": q_interarrival_stats,
+        "attribution_last_touch": q_attribution_last_touch,
+        "time_to_convert": q_time_to_convert,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -3974,6 +3999,60 @@ def oracle_sql() -> dict[str, str]:
                             THEN cum.g END) AS p90,
                    min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.99) AS BIGINT)
                             THEN cum.g END) AS p99
+            FROM cum, t GROUP BY 1, 2, 3
+        """,
+        "attribution_last_touch": f"""
+            WITH src AS (
+                SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS eid,
+                       event_type AS et,
+                       CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+                FROM events
+                WHERE event_type IN ('purchase', 'click', 'view')
+            ), c AS (
+                SELECT *, last_value(
+                    CASE WHEN kind = 1
+                         THEN struct_pack(t := t, eid := eid, et := et) END
+                    IGNORE NULLS) OVER (
+                        PARTITION BY u ORDER BY t, kind, eid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+                FROM src
+            )
+            SELECT eid AS event_id, t AS conv_time,
+                   CASE WHEN ok THEN lt.eid END AS touch_event_id,
+                   CASE WHEN ok THEN lt.et END AS touch_type,
+                   CASE WHEN ok THEN lt.t END AS touch_time,
+                   CASE WHEN ok THEN t - lt.t END AS latency
+            FROM (
+                SELECT *, lt IS NOT NULL AND t - lt.t <= {DAY_NS} AS ok
+                FROM c WHERE kind = 0
+            )
+            ORDER BY event_id
+        """,
+        "time_to_convert": """
+            WITH ff AS (
+                SELECT user_id AS u, min(epoch_ns(ts)) AS t0
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ), lat AS (
+                SELECT e.user_id AS u, min(epoch_ns(e.ts) - ff.t0) AS v
+                FROM events e JOIN ff ON ff.u = e.user_id
+                WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > ff.t0
+                GROUP BY 1
+            ), h AS (SELECT v, count(*) AS c FROM lat GROUP BY 1),
+            cum AS (
+                SELECT v, CAST(sum(c) OVER (
+                    ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM h
+            ), t AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n,
+                       min(v) AS lo, max(v) AS hi FROM h
+            )
+            SELECT t.n AS n_converted, t.lo AS lat_min, t.hi AS lat_max,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.5) AS BIGINT)
+                            THEN cum.v END) AS p50,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.9) AS BIGINT)
+                            THEN cum.v END) AS p90,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.99) AS BIGINT)
+                            THEN cum.v END) AS p99
             FROM cum, t GROUP BY 1, 2, 3
         """,
         "exceedance_corr": f"""

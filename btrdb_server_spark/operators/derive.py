@@ -1051,6 +1051,53 @@ def sdt_compress(
     )
 
 
+def exact_percentiles(
+    values: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_label: str = "n",
+    min_label: str = "v_min",
+    max_label: str = "v_max",
+) -> DataFrame:
+    """EXACT type-1 (no-interpolation) percentiles of one integer column,
+    plus count/min/max — one output row. Engine-exact: p_q = the smallest
+    value whose cumulative count reaches ceil(q * n).
+
+    Scale shape: the selection runs on the DISTINCT-VALUE histogram
+    (groupBy with map-side combine), so the single cumulative window is
+    value-domain-scale — far below row scale whenever the column is
+    quantized (gap ns, latency ns, counts)."""
+    labels = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels from qs={qs}")
+    h = values.groupBy(F.col(col).alias("_v")).agg(F.count("*").alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select("_v", F.sum("_c").over(w).alias("_cum"))
+    total = h.agg(
+        F.sum("_c").alias("_n"), F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.col("_n").cast("double") * F.lit(q)),
+                F.col("_v"),
+            )
+        ).alias(lbl)
+        for q, lbl in zip(qs, labels)
+    ]
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .groupBy("_n", "_lo", "_hi")
+        .agg(*picks)
+        .select(
+            F.col("_n").alias(n_label),
+            F.col("_lo").alias(min_label),
+            F.col("_hi").alias(max_label),
+            *labels,
+        )
+    )
+
+
 def interarrival_stats(
     points: DataFrame,
     uuid: str,
@@ -1060,43 +1107,15 @@ def interarrival_stats(
     bucket_pw: int | None = None,
 ) -> DataFrame:
     """Inter-arrival-time distribution of one stream: count, min, max and
-    EXACT type-1 (no-interpolation) percentiles of the gaps between
+    EXACT type-1 percentiles (see exact_percentiles) of the gaps between
     consecutive points — the cadence fingerprint that tells a regular
     1-Hz feed from a bursty event stream at a glance. All-integer output
-    (ns), engine-exact: p_q = the smallest gap whose cumulative count
-    reaches ceil(q * n).
-
-    Scale shape: the bucketed lag produces gaps without a serial window;
-    the selection runs on the DISTINCT-GAP histogram (groupBy(g) with
-    map-side combine), whose cumulative window is value-domain-scale —
-    far below point scale for any real cadence. Columns: n_gaps, g_min,
-    g_max, p<q>... ; one row."""
-    labels = [f"p{q * 100:g}".replace(".", "_") for q in qs]
-    if len(set(labels)) != len(labels):
-        raise ValueError(f"duplicate quantile labels from qs={qs}")
+    (ns). The bucketed lag produces gaps without a serial window.
+    Columns: n_gaps, g_min, g_max, p<q>... ; one row."""
     lagged = _lagged(points, uuid, start, end, bucket_pw)
     g = lagged.where(F.col("prev_time").isNotNull()).select(
         (F.col("time") - F.col("prev_time")).alias("g")
     )
-    h = g.groupBy("g").agg(F.count("*").alias("c"))
-    w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = h.select("g", F.sum("c").over(w).alias("cum"))
-    total = h.agg(
-        F.sum("c").alias("n"), F.min("g").alias("g_min"), F.max("g").alias("g_max")
-    )
-    picks = [
-        F.min(
-            F.when(
-                F.col("cum")
-                >= F.ceil(F.col("n").cast("double") * F.lit(q)),
-                F.col("g"),
-            )
-        ).alias(lbl)
-        for q, lbl in zip(qs, labels)
-    ]
-    return (
-        cum.crossJoin(F.broadcast(total))
-        .groupBy("n", "g_min", "g_max")
-        .agg(*picks)
-        .select(F.col("n").alias("n_gaps"), "g_min", "g_max", *labels)
+    return exact_percentiles(
+        g, "g", qs, n_label="n_gaps", min_label="g_min", max_label="g_max"
     )

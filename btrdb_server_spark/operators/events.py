@@ -305,3 +305,111 @@ def transition_lift(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    within: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "time",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the user's most
+    recent touch event (any of `touch_types`) STRICTLY BEFORE it — the
+    "which click gets credit for this purchase" join of marketing
+    analytics. With `within` set (same units as time_col), touches older
+    than `within` before the conversion leave it unattributed (NULL touch
+    columns). Ties (several touches at one timestamp) resolve to the
+    highest event id; a conversion at the exact timestamp of a touch does
+    NOT credit it (strictly before).
+
+    Scale shape: an as-of join expressed as ONE ordered carry per user —
+    union the (filtered) touch and conversion rows, sort each user's
+    slice by (time, kind, id) with conversions BEFORE touches at equal
+    times, and take last(touch, ignorenulls) over the strictly-preceding
+    frame. One window shuffle keyed on user (bounded per-user groups, the
+    sessionization skew profile), no join, no per-user collection.
+    Columns: event_id, conv_time, touch_event_id, touch_type, touch_time,
+    latency (all int64, touch_* NULL when unattributed); ordered by
+    event_id. Mirrors the reference's nearest-point (backward) semantics
+    on the event plane (engine.go Nearest / qtree.go FindNearestValue)."""
+    from pyspark.sql import Window
+
+    user, typ = F.col(user_col), F.col(type_col)
+    src = events.where(typ.isin(conversion, *touch_types)).select(
+        user.alias("u"),
+        F.col(time_col).alias("t"),
+        F.col(id_col).alias("eid"),
+        typ.alias("et"),
+        # At equal t: conversions (0) sort before touches (1), so the
+        # strictly-preceding frame never admits an equal-time touch.
+        F.when(typ == F.lit(conversion), F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "kind", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("kind") == 1, F.struct(F.col("t"), F.col("eid"), F.col("et"))
+    )
+    carried = src.select(
+        "*", F.last(touch, ignorenulls=True).over(w).alias("lt")
+    ).where(F.col("kind") == 0)
+    ok = F.col("lt").isNotNull()
+    if within is not None:
+        ok = ok & (F.col("t") - F.col("lt.t") <= F.lit(within))
+    return carried.select(
+        F.col("eid").alias("event_id"),
+        F.col("t").alias("conv_time"),
+        F.when(ok, F.col("lt.eid")).alias("touch_event_id"),
+        F.when(ok, F.col("lt.et")).alias("touch_type"),
+        F.when(ok, F.col("lt.t")).alias("touch_time"),
+        F.when(ok, F.col("t") - F.col("lt.t")).alias("latency"),
+    ).orderBy("event_id")
+
+
+def time_to_convert(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "time",
+) -> DataFrame:
+    """Conversion-latency distribution: per user, the time from their
+    FIRST from_type event to their first to_type event STRICTLY AFTER it
+    (the funnel's step-2 latency); then exact type-1 percentiles of those
+    per-user latencies (see derive.exact_percentiles). The "how long does
+    a view take to become a purchase" readout. All-integer output,
+    engine-exact. Columns: n_converted, lat_min, lat_max, p<q>...; one
+    row.
+
+    Scale shape: two map-side-combined groupBy(user) minima joined on the
+    user key (co-partitioned exchanges), then the histogram-cumulation
+    selection on the latency value domain — no window over event rows."""
+    from btrdb_server_spark.operators.derive import exact_percentiles
+
+    user, typ, t = F.col(user_col), F.col(type_col), F.col(time_col)
+    first_from = (
+        events.where(typ == F.lit(from_type))
+        .groupBy(user.alias("u"))
+        .agg(F.min(t).alias("t0"))
+    )
+    lat = (
+        events.where(typ == F.lit(to_type))
+        .select(user.alias("u"), t.alias("t1"))
+        .join(first_from, "u")
+        .where(F.col("t1") > F.col("t0"))
+        .groupBy("u")
+        .agg(F.min(F.col("t1") - F.col("t0")).alias("lat"))
+        .select("lat")
+    )
+    return exact_percentiles(
+        lat, "lat", qs, n_label="n_converted", min_label="lat_min",
+        max_label="lat_max",
+    )

@@ -947,3 +947,50 @@ def test_interarrival_stats_exact_selection(spark):
     r = interarrival_stats(pts, "a", 0, 100).collect()[0]
     assert (r.n_gaps, r.g_min, r.g_max) == (4, 1, 10)
     assert (r.p50, r.p90, r.p99) == (1, 10, 10)
+
+
+def test_attribution_last_touch_strict_and_window(spark):
+    from btrdb_server_spark.operators.events import attribution_last_touch
+
+    rows = [
+        # u1: click@10(e1), view@20(e2), purchase@20(e3) -> equal-time view
+        # NOT credited; latest strictly-before touch is click? No: view@20
+        # is AT the conversion time -> excluded; click@10 wins.
+        (1, 10, 1, "click"), (2, 20, 1, "view"), (3, 20, 1, "purchase"),
+        # u1 second purchase@30 -> view@20 now strictly before, credited.
+        (4, 30, 1, "purchase"),
+        # u2: purchase@5 with no touch -> unattributed.
+        (5, 5, 2, "purchase"),
+        # u3: two clicks at t=10 (e6, e7) -> tie resolves to higher eid.
+        (6, 10, 3, "click"), (7, 10, 3, "click"), (8, 40, 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, time long, user_id long, event_type string"
+    )
+    out = {r.event_id: r for r in attribution_last_touch(ev).collect()}
+    assert out[3].touch_event_id == 1 and out[3].latency == 10
+    assert out[4].touch_event_id == 2 and out[4].latency == 10
+    assert out[5].touch_event_id is None and out[5].latency is None
+    assert out[8].touch_event_id == 7 and out[8].touch_type == "click"
+    # within=5: u1's purchase@30 (latency 10) becomes unattributed.
+    w = {r.event_id: r for r in attribution_last_touch(ev, within=5).collect()}
+    assert w[4].touch_event_id is None and w[3].touch_event_id is None
+
+
+def test_time_to_convert_first_pair_percentiles(spark):
+    from btrdb_server_spark.operators.events import time_to_convert
+
+    rows = [
+        # u1: first view@10, purchases @5 (before -> ignored) and @13 -> lat 3
+        (1, 10, 1, "view"), (2, 5, 1, "purchase"), (3, 13, 1, "purchase"),
+        # u2: view@0, purchase@100 -> lat 100
+        (4, 0, 2, "view"), (5, 100, 2, "purchase"),
+        # u3: view only -> excluded
+        (6, 50, 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, time long, user_id long, event_type string"
+    )
+    r = time_to_convert(ev).collect()[0]
+    assert (r.n_converted, r.lat_min, r.lat_max) == (2, 3, 100)
+    assert (r.p50, r.p90, r.p99) == (3, 100, 100)
