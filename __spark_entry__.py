@@ -884,6 +884,25 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_to_convert(ev)
 
 
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers of the view stream over 2024 (pw=49,
+    k=2.5) — bucket-keyed exchanges only, no window over points."""
+    from btrdb_server_spark.operators.stat import mad_anomaly
+
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    return mad_anomaly(pts, "view", T_2024, T_2025, 49, k=2.5)
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) distribution per stream over
+    2024 — digit from the quantized integer's decimal string, exact in
+    every engine."""
+    from btrdb_server_spark.operators.stat import benford_digits
+
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    return benford_digits(pts, T_2024, T_2025)
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2362,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "attribution_last_touch": q_attribution_last_touch,
         "time_to_convert": q_time_to_convert,
+        "mad_anomaly": q_mad_anomaly,
+        "benford_digits": q_benford_digits,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -4000,6 +4021,46 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.99) AS BIGINT)
                             THEN cum.g END) AS p99
             FROM cum, t GROUP BY 1, 2, 3
+        """,
+        "mad_anomaly": f"""
+            {PTS_CTE}, b AS (
+                SELECT ((time >> 49) << 49) AS bucket, time, value
+                FROM pts
+                WHERE uuid = 'view' AND time >= {T_2024} AND time < {T_2025}
+            ), med AS (
+                SELECT bucket, quantile_cont(value, 0.5) AS med
+                FROM b GROUP BY 1
+            ), dev AS (
+                SELECT b.bucket, b.time, b.value, med.med,
+                       abs(b.value - med.med) AS dev
+                FROM b JOIN med USING (bucket)
+            ), mad AS (
+                SELECT bucket, quantile_cont(dev, 0.5) AS mad
+                FROM dev GROUP BY 1
+            )
+            SELECT dev.bucket, dev.time, dev.value, dev.med, mad.mad, dev.dev
+            FROM dev JOIN mad USING (bucket)
+            WHERE dev.dev > 2.5 * mad.mad
+            ORDER BY time, value
+        """,
+        "benford_digits": f"""
+            {PTS_CTE}, base AS (
+                SELECT uuid,
+                       CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts WHERE time >= {T_2024} AND time < {T_2025}
+            ), counts AS (
+                SELECT uuid,
+                       CAST(substr(CAST(abs(q) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                       count(*) AS cnt
+                FROM base WHERE q != 0 GROUP BY 1, 2
+            ), totals AS (
+                SELECT uuid, CAST(sum(cnt) AS BIGINT) AS total
+                FROM counts GROUP BY 1
+            )
+            SELECT c.uuid, c.digit, c.cnt,
+                   CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS freq
+            FROM counts c JOIN totals t USING (uuid)
+            ORDER BY uuid, digit
         """,
         "attribution_last_touch": f"""
             WITH src AS (

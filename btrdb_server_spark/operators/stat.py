@@ -735,3 +735,91 @@ def stream_profile(
         )
         .orderBy("uuid")
     )
+
+
+def mad_anomaly(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    pw: int,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-bucket anomalies: points whose deviation from their
+    aligned 2**pw bucket's MEDIAN exceeds k x MAD (median absolute
+    deviation) — the outlier detector that, unlike anomaly_zscore, is not
+    itself dragged by the outliers it hunts (a stuck spike inflates a
+    stddev but barely moves a median). Exact interpolated medians via
+    percentile(), deviations and the k*mad threshold are plain IEEE
+    arithmetic: engine-deterministic.
+
+    Scale shape: two bucket-keyed groupBy medians, each BROADCAST back
+    onto the point scan (bucket-scale tables — no point-scale shuffle,
+    no window); the median aggregate's exchange is computed once and
+    reused (ReusedExchange at runtime under AQE). The pruned two-column
+    scan runs three times — the classic two-pass-MAD tradeoff, chosen
+    over materializing a point-scale intermediate. Columns:
+    bucket, time, value, med, mad, dev; ordered by (time, value).
+    Complements the rollup-servable closed aggregate set
+    (qtree.go:802-808) on the documented raw-scan path."""
+    if not 0 <= pw <= MAX_PW:
+        raise ValueError(f"pointwidth {pw} out of range [0, {MAX_PW}]")
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    base = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(fstart, fend)
+    ).select(
+        F.shiftleft(F.shiftright("time", pw), pw).alias("bucket"), "time", "value"
+    )
+    med = base.groupBy("bucket").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = base.join(med, "bucket").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("bucket").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        dev.join(mad, "bucket")
+        .where(F.col("dev") > F.lit(k) * F.col("mad"))
+        .select("bucket", "time", "value", "med", "mad", "dev")
+        .orderBy("time", "value")
+    )
+
+
+def benford_digits(
+    points: DataFrame,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """First-significant-digit distribution per stream — the Benford's-law
+    fraud/DQ probe (natural measurements lean on small leading digits; a
+    fabricated or clipped feed does not). The digit comes from the
+    QUANTIZED integer value's decimal string — integer-to-string is
+    exact and identical in every engine, where floor(log10(double))
+    risks a 1-ulp flip at powers of ten. Zero-quantum points carry no
+    leading digit and are excluded.
+
+    Scale shape: one map-side-combined groupBy on the (stream x 9-digit)
+    domain; the per-stream totals join is stream-scale (AQE broadcasts
+    it). Columns: uuid, digit, cnt, freq (cnt/total, one double
+    division); ordered by (uuid, digit)."""
+    q = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    digit = F.substring(F.abs(q).cast("string"), 1, 1).cast("long")
+    base = (
+        points.where(time_range_pred(start, end))
+        .select("uuid", q.alias("q"), digit.alias("digit"))
+        .where(F.col("q") != 0)
+    )
+    counts = base.groupBy("uuid", "digit").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("uuid").agg(F.sum("cnt").alias("total"))
+    return (
+        counts.join(totals, "uuid")
+        .select(
+            "uuid",
+            "digit",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+                "freq"
+            ),
+        )
+        .orderBy("uuid", "digit")
+    )

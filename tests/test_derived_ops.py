@@ -994,3 +994,45 @@ def test_time_to_convert_first_pair_percentiles(spark):
     r = time_to_convert(ev).collect()[0]
     assert (r.n_converted, r.lat_min, r.lat_max) == (2, 3, 100)
     assert (r.p50, r.p90, r.p99) == (3, 100, 100)
+
+
+def test_mad_anomaly_robust_to_outlier(spark):
+    from btrdb_server_spark.operators.stat import mad_anomaly
+
+    # One bucket (pw=4 covers 0..15): values 10,10,10,12,100.
+    # median=10, devs sorted [0,0,0,2,90] -> MAD=0? No: 5 values, median
+    # is index 2 -> 0. Use devs [0,0,1,2,90] via value 11: median of
+    # (10,10,10,11,12,100)... keep it simple: 3 tens + 14 + 100.
+    # values [10,10,10,14,100]: median 10, devs [0,0,0,4,90], MAD=0
+    # (index 2). With MAD=0, k*MAD=0: 14 and 100 both flag.
+    pts = mk(spark, [("a", t, v) for t, v in
+                     [(0, 10.0), (1, 10.0), (2, 10.0),
+                      (3, 14.0), (4, 100.0)]])
+    out = mad_anomaly(pts, "a", 0, 16, 4, k=3.0).collect()
+    assert [(r.time, r.value) for r in out] == [(3, 14.0), (4, 100.0)]
+    assert out[1].med == 10.0 and out[1].mad == 0.0 and out[1].dev == 90.0
+    # Non-degenerate MAD: values [10,11,12,13,100] -> median 12,
+    # devs sorted [0,1,1,2,88] -> MAD=1; k=3 -> threshold 3: only 100.
+    pts3 = mk(spark, [("a", t, v) for t, v in
+                      [(0, 10.0), (1, 11.0), (2, 12.0),
+                       (3, 13.0), (4, 100.0)]])
+    out3 = mad_anomaly(pts3, "a", 0, 16, 4, k=3.0).collect()
+    assert [(r.time, r.value) for r in out3] == [(4, 100.0)]
+    assert out3[0].mad == 1.0
+    # zero-MAD bucket (all equal): any deviating point flags.
+    pts2 = mk(spark, [("a", t, 5.0) for t in range(5)] + [("a", 5, 5.01)])
+    out2 = mad_anomaly(pts2, "a", 0, 16, 4, k=3.0).collect()
+    assert [(r.time) for r in out2] == [5]
+
+
+def test_benford_digits_known_distribution(spark):
+    from btrdb_server_spark.operators.stat import benford_digits
+
+    # quanta: 1.23->123 (d1), 9.0->900 (d9), 0.19->19 (d1), 0.0 excluded,
+    # -2.5->-250 (d2).
+    pts = mk(spark, [("a", 0, 1.23), ("a", 1, 9.0), ("a", 2, 0.19),
+                     ("a", 3, 0.0), ("a", 4, -2.5)])
+    out = {r.digit: r for r in benford_digits(pts, 0, 10).collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1].cnt == 2 and out[1].freq == 0.5
+    assert out[2].cnt == 1 and out[9].cnt == 1
