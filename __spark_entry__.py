@@ -903,6 +903,26 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(pts, T_2024, T_2025)
 
 
+def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation anchored at 2025-01-01: exact quintile boundaries
+    broadcast back onto the per-user aggregate — no global-sort ntile."""
+    from btrdb_server_spark.operators.events import user_rfm
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("time", epoch_ns_expr(ev))
+    return user_rfm(ev, T_2025)
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 4-plane LSH-bucketed ANN vs the exact batched scan
+    for probes 0-4 — the approximate index's quality gauge."""
+    from btrdb_server_spark.functions.similarity import ann_recall_eval, hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_eval(emb, [0, 1, 2, 3, 4], hyperplanes(64, planes=4, seed=42), k=10)
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2383,6 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_convert": q_time_to_convert,
         "mad_anomaly": q_mad_anomaly,
         "benford_digits": q_benford_digits,
+        "user_rfm": q_user_rfm,
+        "ann_recall_eval": q_ann_recall_eval,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -2676,6 +2698,94 @@ def _ann_lsh_topk_sql() -> str:
                round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
         FROM e JOIN b ON e.vec_id = b.vec_id JOIN pb ON b.bucket = pb.bucket, probe
         ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
+
+
+def _rfm_sql(anchor_end: int) -> str:
+    """user_rfm oracle: per-metric exact type-1 quintile boundaries via
+    histogram cumulation, then comparison-assigned 1-5 scores (ties share
+    a score) — mirrors operators/events.py user_rfm."""
+    bounds = []
+    for m in ("recency", "frequency", "monetary_q"):
+        picks = ", ".join(
+            f"min(CASE WHEN cum >= CAST(ceil(CAST(t_{m}.n AS DOUBLE) * {q}) AS BIGINT)"
+            f" THEN v END) AS b{i}"
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8))
+        )
+        bounds.append(
+            f"h_{m} AS (SELECT {m} AS v, count(*) AS c FROM u GROUP BY 1),\n"
+            f"c_{m} AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED"
+            f" PRECEDING) AS BIGINT) AS cum FROM h_{m}),\n"
+            f"t_{m} AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h_{m}),\n"
+            f"b_{m} AS (SELECT {picks} FROM c_{m}, t_{m})"
+        )
+
+    def hi(m: str, tbl: str) -> str:
+        terms = " + ".join(
+            f"CASE WHEN u.{m} > {tbl}.b{i} THEN 1 ELSE 0 END" for i in range(4)
+        )
+        return f"(1 + {terms})"
+
+    return f"""
+        WITH u AS (
+            SELECT user_id, {anchor_end} - max(epoch_ns(ts)) AS recency,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT)
+                       AS monetary_q
+            FROM events WHERE epoch_ns(ts) < {anchor_end} GROUP BY 1
+        ),
+        {",".join(bounds)}
+        SELECT user_id, recency, frequency, monetary_q, r_score, f_score,
+               m_score, r_score * 100 + f_score * 10 + m_score AS rfm
+        FROM (
+            SELECT u.user_id, u.recency, u.frequency, u.monetary_q,
+                   CAST(6 - {hi("recency", "b_recency")} AS BIGINT) AS r_score,
+                   CAST({hi("frequency", "b_frequency")} AS BIGINT) AS f_score,
+                   CAST({hi("monetary_q", "b_monetary_q")} AS BIGINT) AS m_score
+            FROM u, b_recency, b_frequency, b_monetary_q
+        )
+        ORDER BY user_id
+    """
+
+
+def _ann_recall_eval_sql() -> str:
+    """ann_recall_eval oracle: exact batched top-10 vs LSH-bucket-restricted
+    top-10 (4 hyperplanes, seed 42), intersected per probe."""
+    return f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        s AS (SELECT p.probe_id, e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), p.q), 6) AS cosine
+              FROM embeddings e CROSS JOIN probes p),
+        r AS (SELECT probe_id, vec_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM s),
+        exact AS (SELECT probe_id, vec_id FROM r WHERE rank <= 10),
+        b AS (SELECT vec_id, CAST({_lsh_bucket_terms(4)} AS BIGINT) AS bucket
+              FROM embeddings),
+        pb AS (SELECT p.probe_id, b.bucket, p.q
+               FROM probes p JOIN b ON b.vec_id = p.probe_id),
+        cs AS (SELECT pb.probe_id, e.vec_id,
+                      round(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), pb.q), 6) AS cosine
+               FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+               JOIN pb ON b.bucket = pb.bucket),
+        ar AS (SELECT probe_id, vec_id,
+                      row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+               FROM cs),
+        approx AS (SELECT probe_id, vec_id FROM ar WHERE rank <= 10),
+        hits AS (SELECT probe_id, count(*) AS n_hits
+                 FROM approx JOIN exact USING (probe_id, vec_id) GROUP BY 1),
+        ne AS (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY 1)
+        SELECT ne.probe_id, ne.n_exact, coalesce(hits.n_hits, 0) AS n_hits,
+               CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+                   / CAST(ne.n_exact AS DOUBLE) AS recall
+        FROM ne LEFT JOIN hits USING (probe_id) ORDER BY probe_id
     """
 
 
@@ -4022,6 +4132,8 @@ def oracle_sql() -> dict[str, str]:
                             THEN cum.g END) AS p99
             FROM cum, t GROUP BY 1, 2, 3
         """,
+        "user_rfm": _rfm_sql(T_2025),
+        "ann_recall_eval": _ann_recall_eval_sql(),
         "mad_anomaly": f"""
             {PTS_CTE}, b AS (
                 SELECT ((time >> 49) << 49) AS bucket, time, value

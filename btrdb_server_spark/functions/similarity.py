@@ -854,3 +854,84 @@ def knn_graph(
         .select("vec_id", "rank", "neighbor", "score")
         .orderBy("vec_id", "rank")
     )
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    probe_ids: Sequence[int],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    scan, per probe — the quality gauge every approximate index ships
+    with (is 1/2^planes of the corpus enough to keep the true
+    neighbors?). recall = |ANN top-k  ∩  exact top-k| / |exact top-k|;
+    exact integer counts, one double division.
+
+    Scale shape: the exact side is cosine_topk_batch's one-scan salted
+    two-phase heap; the ANN side assigns buckets in the same scan shape,
+    broadcasts the B probes WITH their buckets, and pairs only
+    bucket-matching candidates (~1/2^planes of the corpus) before the
+    same per-probe two-phase top-k. The final intersection joins two
+    B*k-row tables — negligible. Columns: probe_id, n_exact, n_hits,
+    recall; ordered by probe_id."""
+    from pyspark.sql import Window
+
+    exact = cosine_topk_batch(embeddings, probe_ids, k, id_col, vec_col).select(
+        "probe_id", id_col
+    )
+    buckets = lsh_bucket_assignments(embeddings, planes, id_col, vec_col)
+    probes = (
+        embeddings.where(F.col(id_col).isin(list(probe_ids)))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("q"),
+        )
+        .join(buckets.withColumnRenamed(id_col, "probe_id"), "probe_id")
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    scored = (
+        embeddings.join(buckets, id_col)
+        .join(F.broadcast(probes), "bucket")
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.round(cosine_col(emb, F.col("q")), 6).alias("cosine"),
+            F.spark_partition_id().alias("part"),
+        )
+    )
+    local = Window.partitionBy("probe_id", "part").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    pruned = (
+        scored.withColumn("lrn", F.row_number().over(local))
+        .where(F.col("lrn") <= k)
+        .drop("lrn", "part")
+    )
+    final = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    approx = (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+        .select("probe_id", id_col)
+    )
+    hits = approx.join(exact, ["probe_id", id_col]).groupBy("probe_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("n_exact"))
+    return (
+        per_probe.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("probe_id")
+    )

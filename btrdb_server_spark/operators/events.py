@@ -413,3 +413,66 @@ def time_to_convert(
         lat, "lat", qs, n_label="n_converted", min_label="lat_min",
         max_label="lat_max",
     )
+
+
+def user_rfm(
+    events: DataFrame,
+    anchor_end: int,
+    value_quantum: float = 0.01,
+    user_col: str = "user_id",
+    time_col: str = "time",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per user the ns
+    since their last event, their event count, and their exact
+    quantum-unit value total, each scored 1-5 against the POPULATION's
+    exact type-1 quintile boundaries (20/40/60/80th percentiles) —
+    the classic customer-value grid. score = 1 + #(boundaries strictly
+    below the value); recency is reversed (fresher = higher). Ties share
+    a score, so the output is engine-exact with no ordering ambiguity.
+
+    Scale shape: one map-side-combined groupBy(user), then each metric's
+    quintile boundaries come from derive.exact_percentiles (value-domain
+    histogram cumulation) and broadcast back as ONE row — no global-sort
+    ntile window, which would funnel the whole user table through a
+    single partition. Columns: user_id, recency, frequency, monetary_q,
+    r_score, f_score, m_score, rfm (r*100+f*10+m); ordered by user_id."""
+    from btrdb_server_spark.operators.derive import exact_percentiles
+
+    qs = (0.2, 0.4, 0.6, 0.8)
+    q = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    u = (
+        events.where(F.col(time_col) < F.lit(anchor_end))
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            (F.lit(anchor_end) - F.max(time_col)).alias("recency"),
+            F.count("*").alias("frequency"),
+            F.sum(q).alias("monetary_q"),
+        )
+    )
+    out = u
+    for metric in ("recency", "frequency", "monetary_q"):
+        b = exact_percentiles(u.select(metric), metric, qs).select(
+            *[F.col(f"p{int(q_ * 100)}").alias(f"_{metric}_b{i}") for i, q_ in enumerate(qs)]
+        )
+        out = out.crossJoin(F.broadcast(b))
+
+    def score_high(metric: str):
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(F.col(metric) > F.col(f"_{metric}_b{i}"), 1).otherwise(0)
+        return s.cast("long")
+
+    r_score = (F.lit(6) - score_high("recency")).alias("r_score")
+    f_score = score_high("frequency").alias("f_score")
+    m_score = score_high("monetary_q").alias("m_score")
+    return (
+        out.select(
+            "user_id", "recency", "frequency", "monetary_q",
+            r_score, f_score, m_score,
+        )
+        .withColumn(
+            "rfm",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")),
+        )
+        .orderBy("user_id")
+    )

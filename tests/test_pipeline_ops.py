@@ -758,3 +758,46 @@ def test_rowwise_signatures_match_batch(spark, sf_dir):
     a = [tuple(r) for r in minhash_signatures(docs).orderBy("doc_id").collect()]
     b = [tuple(r) for r in with_rowwise_signatures(docs).orderBy("doc_id").collect()]
     assert a == b and len(a) > 0
+
+
+def test_ann_recall_eval_bounds_and_dup(spark):
+    import random
+
+    from btrdb_server_spark.functions.similarity import ann_recall_eval
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    vecs.append((200, list(vecs[0][1])))  # exact dup of vec 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    planes = hyperplanes(16, planes=4)
+    out = {r.probe_id: r for r in
+           ann_recall_eval(df, [0, 1, 2], planes, k=5).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r.n_exact == 5 and 0 <= r.n_hits <= 5
+        assert r.recall == r.n_hits / 5
+    # probe 0's bucket contains itself and its dup -> at least those two
+    # exact top-2 (cosine 1.0) are recalled.
+    assert out[0].n_hits >= 2
+
+
+def test_user_rfm_boundary_scores(spark):
+    from btrdb_server_spark.operators.events import user_rfm
+
+    # 5 users, strictly increasing frequency/monetary, decreasing recency.
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for j in range(u):  # user u has u events
+            rows.append((eid, 10 * u + j, u, "click", 1.0 * u)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, time long, user_id long, event_type string, value double"
+    )
+    out = {r.user_id: r for r in user_rfm(ev, anchor_end=1000).collect()}
+    assert out[5].frequency == 5 and out[5].monetary_q == 5 * 500
+    # distinct metric values, 5 users -> scores are a permutation of 1..5
+    assert sorted(r.f_score for r in out.values()) == [1, 2, 3, 4, 5]
+    assert sorted(r.m_score for r in out.values()) == [1, 2, 3, 4, 5]
+    # user 5 is most recent (latest max time) -> best recency score 5
+    assert out[5].r_score == 5 and out[1].r_score == 1
+    assert out[5].rfm == 555 and out[1].rfm == 111
