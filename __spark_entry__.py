@@ -923,6 +923,66 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_eval(emb, [0, 1, 2, 3, 4], hyperplanes(64, planes=4, seed=42), k=10)
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution AT INGEST: each arriving purchase is
+    credited to the user's most recent already-ingested click/view
+    (1-day lookback). On the in-order 4-slice source the attribution
+    set is bit-equal to the batch attribution_last_touch carry — which
+    is the oracle. Slices cut on time boundaries, so equal-time
+    conversion/touch pairs never straddle a batch."""
+    import tempfile
+
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+    from btrdb_server_spark.streaming.stateful import streaming_attribution
+
+    work = tempfile.mkdtemp(prefix="btrdb_attr_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        epoch_ns_expr(ev).alias("time"),
+        "user_id",
+        "event_type",
+    ).where(F.col("event_type").isin("purchase", "click", "view"))
+    bounds = ev.agg(F.min("time"), F.max("time")).collect()[0]
+    lo0, hi0 = bounds[0], bounds[1] + 1
+    span = (hi0 - lo0) // 4
+    for kk in range(4):
+        lo = lo0 + kk * span
+        hi = hi0 if kk == 3 else lo0 + (kk + 1) * span
+        (
+            ev.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, time long, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_attr_out"
+    q = (
+        streaming_attribution(stream, within=DAY_NS)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT event_id, conv_time, touch_event_id, touch_type, "
+        f"touch_time, latency FROM {name}"
+    ).orderBy("event_id")
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2405,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "user_rfm": q_user_rfm,
         "ann_recall_eval": q_ann_recall_eval,
+        "streaming_attribution": q_streaming_attribution,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -2699,6 +2760,38 @@ def _ann_lsh_topk_sql() -> str:
         FROM e JOIN b ON e.vec_id = b.vec_id JOIN pb ON b.bucket = pb.bucket, probe
         ORDER BY cosine DESC, e.vec_id LIMIT 10
     """
+
+
+def _attribution_sql() -> str:
+    """Shared oracle for attribution_last_touch and its at-ingest twin
+    streaming_attribution (bit-equal on the in-order sliced source)."""
+    return f"""
+            WITH src AS (
+                SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS eid,
+                       event_type AS et,
+                       CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+                FROM events
+                WHERE event_type IN ('purchase', 'click', 'view')
+            ), c AS (
+                SELECT *, last_value(
+                    CASE WHEN kind = 1
+                         THEN struct_pack(t := t, eid := eid, et := et) END
+                    IGNORE NULLS) OVER (
+                        PARTITION BY u ORDER BY t, kind, eid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+                FROM src
+            )
+            SELECT eid AS event_id, t AS conv_time,
+                   CASE WHEN ok THEN lt.eid END AS touch_event_id,
+                   CASE WHEN ok THEN lt.et END AS touch_type,
+                   CASE WHEN ok THEN lt.t END AS touch_time,
+                   CASE WHEN ok THEN t - lt.t END AS latency
+            FROM (
+                SELECT *, lt IS NOT NULL AND t - lt.t <= {DAY_NS} AS ok
+                FROM c WHERE kind = 0
+            )
+            ORDER BY event_id
+        """
 
 
 def _rfm_sql(anchor_end: int) -> str:
@@ -4174,33 +4267,8 @@ def oracle_sql() -> dict[str, str]:
             FROM counts c JOIN totals t USING (uuid)
             ORDER BY uuid, digit
         """,
-        "attribution_last_touch": f"""
-            WITH src AS (
-                SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS eid,
-                       event_type AS et,
-                       CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
-                FROM events
-                WHERE event_type IN ('purchase', 'click', 'view')
-            ), c AS (
-                SELECT *, last_value(
-                    CASE WHEN kind = 1
-                         THEN struct_pack(t := t, eid := eid, et := et) END
-                    IGNORE NULLS) OVER (
-                        PARTITION BY u ORDER BY t, kind, eid
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
-                FROM src
-            )
-            SELECT eid AS event_id, t AS conv_time,
-                   CASE WHEN ok THEN lt.eid END AS touch_event_id,
-                   CASE WHEN ok THEN lt.et END AS touch_type,
-                   CASE WHEN ok THEN lt.t END AS touch_time,
-                   CASE WHEN ok THEN t - lt.t END AS latency
-            FROM (
-                SELECT *, lt IS NOT NULL AND t - lt.t <= {DAY_NS} AS ok
-                FROM c WHERE kind = 0
-            )
-            ORDER BY event_id
-        """,
+        "attribution_last_touch": _attribution_sql(),
+        "streaming_attribution": _attribution_sql(),
         "time_to_convert": """
             WITH ff AS (
                 SELECT user_id AS u, min(epoch_ns(ts)) AS t0

@@ -680,3 +680,109 @@ def streaming_crossings(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+ATTR_OUTPUT_SCHEMA = (
+    "event_id long, conv_time long, touch_event_id long, touch_type string, "
+    "touch_time long, latency long"
+)
+ATTR_STATE_SCHEMA = "last_t long, last_eid long, last_et string"
+
+
+def _make_update_attribution(conversion: str, within):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Last-touch attribution at ingest for one user: state is the
+        most recent touch (time, event_id, event_type). Each batch
+        replays its events in (time, kind, event_id) order with
+        conversions BEFORE equal-time touches — the exact total order of
+        the batch operator's carry window — so on an in-order source the
+        attribution set is bit-equal to events.attribution_last_touch
+        (the oracle). A conversion emits immediately with the state
+        touch (or NULLs when none / outside the lookback window)."""
+        if state.exists:
+            last_t, last_eid, last_et = state.get
+        else:
+            last_t, last_eid, last_et = None, None, None
+        out = {
+            k: []
+            for k in (
+                "event_id", "conv_time", "touch_event_id", "touch_type",
+                "touch_time", "latency",
+            )
+        }
+        frontier = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.assign(
+                kind=(pdf["event_type"] != conversion).astype("int64")
+            ).sort_values(["time", "kind", "event_id"])
+            for t, eid, et, kind in zip(
+                pdf["time"].astype("int64"),
+                pdf["event_id"].astype("int64"),
+                pdf["event_type"],
+                pdf["kind"],
+            ):
+                t, eid = int(t), int(eid)
+                if frontier is not None and t < frontier:
+                    raise ValueError(
+                        f"user {key[0]}: event at {t} behind the attribution "
+                        f"frontier {frontier} — order-defined operator"
+                    )
+                frontier = t
+                if kind == 0:  # conversion
+                    ok = last_t is not None and (
+                        within is None or t - last_t <= within
+                    )
+                    out["event_id"].append(eid)
+                    out["conv_time"].append(t)
+                    out["touch_event_id"].append(last_eid if ok else None)
+                    out["touch_type"].append(last_et if ok else None)
+                    out["touch_time"].append(last_t if ok else None)
+                    out["latency"].append(t - last_t if ok else None)
+                else:
+                    last_t, last_eid, last_et = t, eid, str(et)
+        if last_t is not None:
+            state.update((last_t, last_eid, last_et))
+        if out["event_id"]:
+            # Nullable Int64 arrays: a plain DataFrame would infer float64
+            # for [int, None] columns and shred ns-scale int64s (ulp 256
+            # at 2^60).
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.array(out["event_id"], dtype="int64"),
+                    "conv_time": pd.array(out["conv_time"], dtype="int64"),
+                    "touch_event_id": pd.array(
+                        out["touch_event_id"], dtype="Int64"
+                    ),
+                    "touch_type": pd.array(out["touch_type"], dtype=object),
+                    "touch_time": pd.array(out["touch_time"], dtype="Int64"),
+                    "latency": pd.array(out["latency"], dtype="Int64"),
+                }
+            )
+
+    return fn
+
+
+def streaming_attribution(
+    events_stream: DataFrame,
+    conversion: str = "purchase",
+    within=None,
+) -> DataFrame:
+    """Last-touch attribution as a continuous query: the moment a
+    conversion arrives, it is credited to the user's most recent touch
+    already ingested — the at-ingest twin of the batch
+    attribution_last_touch carry (online marketing attribution fires on
+    arrival, not on the nightly scan). State is one (time, id, type)
+    triple per user; on an in-order source the attribution set is
+    bit-equal to the batch operator (the oracle). The stream must be
+    pre-filtered to the conversion + touch types of interest."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_update_attribution(conversion, within),
+        ATTR_OUTPUT_SCHEMA,
+        ATTR_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -381,3 +381,57 @@ def test_streaming_crossings_matches_batch(spark, tmp_path):
     ).collect()
     assert got == [(r.time, r.prev_time, r.direction) for r in batch]
     assert got == [(2, 1, "up"), (4, 3, "down"), (5, 4, "up")]
+
+
+EVENTS_SCHEMA = "event_id long, time long, user_id long, event_type string"
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    from btrdb_server_spark.operators.events import attribution_last_touch
+    from btrdb_server_spark.streaming.stateful import streaming_attribution
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        # u1: click@10, view@20 + purchase@20 (equal-time touch NOT
+        # credited), purchase@30 (credits view@20).
+        (1, 10, 1, "click"), (2, 20, 1, "view"), (3, 20, 1, "purchase"),
+        (4, 30, 1, "purchase"),
+        # u2: purchase@5 unattributed; click@40; purchase@200 outside
+        # within=50 -> unattributed.
+        (5, 5, 2, "purchase"), (6, 40, 2, "click"), (7, 200, 2, "purchase"),
+    ]
+    # Split across batches mid-user to exercise state continuation.
+    def wb(rs):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    wb([r for r in rows if r[1] <= 20])
+    wb([r for r in rows if 20 < r[1] <= 40])
+    wb([r for r in rows if r[1] > 40])
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_attribution(stream, within=50)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("attr_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.event_id, r.touch_event_id, r.latency)
+        for r in spark.sql("SELECT * FROM attr_updates").collect()
+    )
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    batch = attribution_last_touch(ev, within=50).collect()
+    assert got == [(r.event_id, r.touch_event_id, r.latency) for r in batch]
+    assert got == [(3, 1, 10), (4, 2, 10), (5, None, None), (7, None, None)]
