@@ -983,6 +983,28 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_synthesize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distiller synthesis: click - view on the 2^42-ns common grid over
+    2024 (per-stream min per cell, all-inputs-ready rows only) — a new
+    first-class stream from a linear combination."""
+    from btrdb_server_spark.operators.align import synthesize_stream
+
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    return synthesize_stream(
+        pts, {"click": 1.0, "view": -1.0}, "click_minus_view",
+        T_2024, T_2025, grid_pw=42,
+    )
+
+
+def q_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream availability vs a declared 6-hour cadence over 2024:
+    occupied slots, longest outage run, coverage ratio."""
+    from btrdb_server_spark.operators.stat import coverage_report
+
+    pts = load_points(spark, sf_dir, T_2024, T_2025)
+    return coverage_report(pts, T_2024, T_2025, 21_600_000_000_000)
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2466,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rfm": q_user_rfm,
         "ann_recall_eval": q_ann_recall_eval,
         "streaming_attribution": q_streaming_attribution,
+        "synthesize_stream": q_synthesize_stream,
+        "coverage_report": q_coverage_report,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -4227,6 +4251,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_rfm": _rfm_sql(T_2025),
         "ann_recall_eval": _ann_recall_eval_sql(),
+        "synthesize_stream": f"""
+            {PTS_CTE}, g AS (
+                SELECT uuid, ((time >> 42) << 42) AS t, value FROM pts
+            ), a AS (
+                SELECT t,
+                       min(CASE WHEN uuid = 'click' THEN value END) AS c,
+                       min(CASE WHEN uuid = 'view' THEN value END) AS v
+                FROM g
+                WHERE uuid IN ('click', 'view')
+                  AND t >= 1704067101192355840 AND t < 1735689055607193600
+                GROUP BY 1
+            )
+            SELECT 'click_minus_view' AS uuid, t AS time,
+                   (0.0 + (c * 1.0)) + (v * -1.0) AS value
+            FROM a WHERE c IS NOT NULL AND v IS NOT NULL
+            ORDER BY time
+        """,
+        "coverage_report": f"""
+            {PTS_CTE}, s AS (
+                SELECT uuid, (time - 1704067200000000000) // 21600000000000 AS slot, count(*) AS c
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1735689600000000000
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT uuid, slot, c,
+                       slot - lag(slot) OVER (PARTITION BY uuid ORDER BY slot)
+                           AS jump
+                FROM s
+            ), per AS (
+                SELECT uuid, count(*) AS n_present,
+                       CAST(sum(c) AS BIGINT) AS n_points,
+                       coalesce(max(jump - 1), 0) AS interior,
+                       min(slot) AS first_slot, max(slot) AS last_slot
+                FROM r GROUP BY 1
+            )
+            SELECT uuid, 1464 AS n_expected, n_present, n_points,
+                   greatest(interior, first_slot,
+                            1464 - 1 - last_slot) AS longest_gap_slots,
+                   CAST(n_present AS DOUBLE) / 1464.0 AS coverage
+            FROM per ORDER BY uuid
+        """,
         "mad_anomaly": f"""
             {PTS_CTE}, b AS (
                 SELECT ((time >> 49) << 49) AS bucket, time, value

@@ -76,3 +76,58 @@ def write_csv(aligned: DataFrame, path: str) -> None:
     empty cells for nulls; coalesce(1) mirrors the single-stream RPC response
     — drop it when exporting at scale."""
     aligned.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def synthesize_stream(
+    points: DataFrame,
+    weights: dict[str, float],
+    name: str,
+    start: int,
+    end: int,
+    bias: float = 0.0,
+    grid_pw: int | None = None,
+) -> DataFrame:
+    """Distiller-style stream synthesis: a NEW stream whose value at each
+    shared timestamp is a linear combination of the input streams —
+    bias + Σ w_u * value_u — e.g. phase-angle difference (w = [1, -1]),
+    three-phase imbalance, or a unit conversion. Rows exist only where
+    EVERY input stream has a point (the distiller's all-inputs-ready
+    rule); duplicate timestamps within a stream collapse via min() so
+    the result is engine-deterministic. The output is a (uuid, time,
+    value) points frame insertable straight back into the store — the
+    derived stream round-trips as a first-class stream.
+
+    Bit-exactness: the combination is evaluated left-to-right in the
+    dict's insertion order, (bias + w1*v1) + w2*v2 + ... — mirror the
+    same association order in any oracle. One shuffle on time (the
+    align_streams conditional aggregate); the arithmetic is a
+    whole-stage-codegen projection.
+
+    `grid_pw`: streams sampled on different cadences rarely share exact
+    ns timestamps; with grid_pw set, times floor to the 2**grid_pw grid
+    first (per-stream min within a grid cell), so the combination runs
+    cell-by-cell — the distiller's common-grid alignment step.
+
+    The distiller layer computes exactly this over aligned raw scans
+    (the reference serves the scans; BTrDB's upper layers own synthesis
+    — serve.go:880-1011 is the alignment machinery)."""
+    uuids = list(weights)
+    if grid_pw is not None:
+        points = points.withColumn(
+            "time", F.shiftleft(F.shiftright("time", grid_pw), grid_pw)
+        )
+        start = align_floor(start, grid_pw)
+        end = align_floor(end, grid_pw)
+    aligned = align_streams(points, uuids, start, end, agg="min")
+    expr = F.lit(float(bias))
+    for u in uuids:
+        expr = expr + F.col(u) * F.lit(float(weights[u]))
+    present = None
+    for u in uuids:
+        c = F.col(u).isNotNull()
+        present = c if present is None else (present & c)
+    return (
+        aligned.where(present)
+        .select(F.lit(name).alias("uuid"), "time", expr.alias("value"))
+        .orderBy("time")
+    )

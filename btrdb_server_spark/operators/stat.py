@@ -823,3 +823,67 @@ def benford_digits(
         )
         .orderBy("uuid", "digit")
     )
+
+
+def coverage_report(
+    points: DataFrame,
+    start: int,
+    end: int,
+    cadence: int,
+) -> DataFrame:
+    """Per-stream availability/SLA report against a declared cadence: of
+    the (end-start)/cadence expected slots in [start, end), how many
+    hold at least one point, the longest outage run (consecutive empty
+    slots), and the coverage ratio — the uptime table an operations
+    review reads. All-integer except the one coverage division.
+
+    Scale shape: one map-side-combined groupBy(uuid, slot) collapse to
+    DISTINCT occupied slots (slot-scale, far below point scale), then a
+    bucketed neighbor-lag per stream on that slot table for the longest
+    run — the window rides the already-tiny distinct-slot frame.
+    Columns: uuid, n_expected, n_present, n_points, longest_gap_slots,
+    coverage; ordered by uuid."""
+    from pyspark.sql import Window
+
+    if cadence <= 0 or end <= start:
+        raise ValueError("coverage_report needs cadence > 0 and end > start")
+    n_expected = (end - start + cadence - 1) // cadence
+    slots = (
+        points.where(time_range_pred(start, end))
+        # int64 div, never float: a double (time - start) rounds whole ns
+        # beyond 2**52 and misassigns boundary points (see windows()).
+        .select("uuid", F.expr(f"(time - ({start})) div {cadence}").alias("slot"))
+        .groupBy("uuid", "slot")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("uuid").orderBy("slot")
+    runs = slots.select(
+        "uuid",
+        "slot",
+        "c",
+        (F.col("slot") - F.lag("slot").over(w)).alias("jump"),
+    )
+    # longest run of empty slots: max(jump) - 1 over interior gaps, plus
+    # the leading gap (first slot) and trailing gap (after last slot).
+    per = runs.groupBy("uuid").agg(
+        F.count("*").alias("n_present"),
+        F.sum("c").alias("n_points"),
+        F.coalesce(F.max(F.col("jump") - 1), F.lit(0)).alias("interior"),
+        F.min("slot").alias("first_slot"),
+        F.max("slot").alias("last_slot"),
+    )
+    longest = F.greatest(
+        F.col("interior"),
+        F.col("first_slot"),
+        F.lit(n_expected) - 1 - F.col("last_slot"),
+    )
+    return per.select(
+        "uuid",
+        F.lit(n_expected).alias("n_expected"),
+        "n_present",
+        "n_points",
+        longest.alias("longest_gap_slots"),
+        (F.col("n_present").cast("double") / F.lit(float(n_expected))).alias(
+            "coverage"
+        ),
+    ).orderBy("uuid")

@@ -1036,3 +1036,34 @@ def test_benford_digits_known_distribution(spark):
     assert set(out) == {1, 2, 9}
     assert out[1].cnt == 2 and out[1].freq == 0.5
     assert out[2].cnt == 1 and out[9].cnt == 1
+
+
+def test_synthesize_stream_linear_combo(spark):
+    from btrdb_server_spark.operators.align import synthesize_stream
+
+    pts = mk(spark, [
+        ("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0),
+        ("b", 0, 10.0), ("b", 2, 30.0),  # b missing at t=1
+    ])
+    out = synthesize_stream(pts, {"a": 1.0, "b": -1.0}, "a_minus_b", 0, 10).collect()
+    assert [(r.uuid, r.time, r.value) for r in out] == [
+        ("a_minus_b", 0, -9.0), ("a_minus_b", 2, -27.0)]
+    # bias + scaling
+    out2 = synthesize_stream(pts, {"a": 2.0}, "a2", 0, 10, bias=1.0).collect()
+    assert [r.value for r in out2] == [3.0, 5.0, 7.0]
+
+
+def test_coverage_report_gaps_and_edges(spark):
+    from btrdb_server_spark.operators.stat import coverage_report
+
+    # cadence 10, range [0, 100) -> 10 slots. Stream a: slots 2,3,7
+    # (leading gap 2, interior gap 3, trailing gap 2 -> longest 3).
+    # Stream b: slot 0 only (trailing gap 9).
+    pts = mk(spark, [("a", 25, 1.0), ("a", 26, 1.0), ("a", 35, 1.0),
+                     ("a", 78, 1.0), ("b", 5, 2.0)])
+    out = {r.uuid: r for r in coverage_report(pts, 0, 100, 10).collect()}
+    a = out["a"]
+    assert (a.n_expected, a.n_present, a.n_points) == (10, 3, 4)
+    assert a.longest_gap_slots == 3 and a.coverage == 0.3
+    b = out["b"]
+    assert (b.n_present, b.longest_gap_slots, b.coverage) == (1, 9, 0.1)
