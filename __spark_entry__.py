@@ -1005,6 +1005,23 @@ def q_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_report(pts, T_2024, T_2025, 21_600_000_000_000)
 
 
+def q_token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 lift-ranked adjacent token pairs (min count 5) — the
+    statistically-glued phrases raw ngram counts miss. Rational lift,
+    no ln(), bit-exact."""
+    from btrdb_server_spark.functions.text import token_collocations
+
+    return token_collocations(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dashboard: doc/token/vocab counts, mean tokens per
+    doc, chars, language and source cardinalities."""
+    from btrdb_server_spark.functions.text import corpus_summary
+
+    return corpus_summary(load_table(spark, sf_dir, "documents"))
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams with document frequency — the phrase-level
     vocabulary table (boilerplate/contamination phrase scan)."""
@@ -2490,6 +2507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": q_streaming_attribution,
         "synthesize_stream": q_synthesize_stream,
         "coverage_report": q_coverage_report,
+        "token_collocations": q_token_collocations,
+        "corpus_summary": q_corpus_summary,
         "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
@@ -4290,6 +4309,57 @@ def oracle_sql() -> dict[str, str]:
                             1464 - 1 - last_slot) AS longest_gap_slots,
                    CAST(n_present AS DOUBLE) / 1464.0 AS coverage
             FROM per ORDER BY uuid
+        """,
+        "token_collocations": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            u AS (SELECT unnest(toks) AS w FROM t),
+            uni AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+            pr AS (
+                SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+                       unnest(list_slice(toks, 2, len(toks))) AS w2
+                FROM t WHERE len(toks) >= 2
+            ),
+            pairs AS (
+                SELECT w1, w2, count(*) AS c12 FROM pr
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            tot AS (
+                SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+                       (SELECT CAST(sum(c12) AS BIGINT) FROM pairs) AS n_bi
+            )
+            SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+                   ((CAST(p.c12 AS DOUBLE) * CAST(tot.n_uni AS DOUBLE))
+                        * CAST(tot.n_uni AS DOUBLE))
+                   / ((CAST(tot.n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE))
+                        * CAST(u2.c AS DOUBLE)) AS lift
+            FROM pairs p
+            JOIN uni u1 ON u1.w = p.w1
+            JOIN uni u2 ON u2.w = p.w2, tot
+            ORDER BY lift DESC, w1, w2 LIMIT 100
+        """,
+        "corpus_summary": f"""
+            WITH t AS (
+                SELECT doc_id, lang, source, {_TOKS} AS toks,
+                       CAST(len(text) AS BIGINT) AS chars
+                FROM documents
+            ),
+            base AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                       CAST(sum(chars) AS BIGINT) AS total_chars,
+                       count(DISTINCT lang) AS n_langs,
+                       count(DISTINCT source) AS n_sources
+                FROM t
+            ),
+            v AS (
+                SELECT count(DISTINCT w) AS n_unique_tokens
+                FROM (SELECT unnest(toks) AS w FROM t)
+            )
+            SELECT n_docs, n_tokens, n_unique_tokens,
+                   CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS mean_tokens,
+                   total_chars, n_langs, n_sources
+            FROM base, v
         """,
         "mad_anomaly": f"""
             {PTS_CTE}, b AS (

@@ -372,3 +372,111 @@ def ngram_freq(
         .orderBy(F.col("cnt").desc(), "gram")
         .limit(top)
     )
+
+
+def token_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus collocations: adjacent token pairs ranked by LIFT —
+    P(w1 w2) / (P(w1) P(w2)) over bigram slots vs unigram slots — the
+    "statistically glued" phrases (named entities, idioms, boilerplate)
+    a tokenizer or phrase-mining pass wants, where raw ngram_freq counts
+    only surface the common. lift = (c12 * n_uni * n_uni) /
+    (n_bi * c1 * c2), every factor an exact int64 count, the expression
+    one fixed-association double product: bit-identical in any engine
+    (kept rational — ln() differs across engines, so no log-PMI).
+
+    Scale shape: one token explode feeding BOTH the unigram and bigram
+    map-side-combined groupBys, marginal counts join the (already
+    min_count-pruned) bigram table on single-token keys, corpus totals
+    broadcast as one row; top-k is TakeOrderedAndProject. Columns: w1,
+    w2, c12, c1, c2, lift; ordered by (lift desc, w1, w2)."""
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    )
+    uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    pairs = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        pairs.agg(F.sum("c12").alias("n_bi"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    lift = ((d("c12") * d("n_uni")) * d("n_uni")) / (
+        (d("n_bi") * d("c1")) * d("c2")
+    )
+    return (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "c12", "c1", "c2", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(top)
+    )
+
+
+def corpus_summary(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus dashboard: document count, total/unique token
+    counts, exact mean tokens per doc (one double division), total
+    characters, and language/source cardinalities — the summary line a
+    dataset card or ingest review starts from. All-integer except the
+    division.
+
+    Scale shape: one pass computes the per-doc aggregates map-side
+    (token counts from the array length — no explode for totals); only
+    the DISTINCT-token count needs the exploded table, and it
+    map-side-combines to vocabulary scale. Columns: n_docs, n_tokens,
+    n_unique_tokens, mean_tokens, total_chars, n_langs, n_sources."""
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(source_col),
+        tokens_col(F.col(text_col)).alias("toks"),
+        F.length(text_col).cast("long").alias("chars"),
+    )
+    base = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("n_tokens"),
+        F.sum("chars").alias("total_chars"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.countDistinct(source_col).alias("n_sources"),
+    )
+    vocab = toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("n_unique_tokens")
+    )
+    return base.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "n_tokens",
+        "n_unique_tokens",
+        (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_tokens"
+        ),
+        "total_chars",
+        "n_langs",
+        "n_sources",
+    )

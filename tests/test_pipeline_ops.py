@@ -801,3 +801,34 @@ def test_user_rfm_boundary_scores(spark):
     # user 5 is most recent (latest max time) -> best recency score 5
     assert out[5].r_score == 5 and out[1].r_score == 1
     assert out[5].rfm == 555 and out[1].rfm == 111
+
+
+def test_token_collocations_lift(spark):
+    from btrdb_server_spark.functions.text import token_collocations
+
+    # "new york" always together (2x); "the cat"/"the dog" dilute "the".
+    docs = spark.createDataFrame(
+        [(1, "new york the cat"), (2, "new york the dog")],
+        "doc_id long, text string",
+    )
+    out = {(r.w1, r.w2): r for r in
+           token_collocations(docs, min_count=2, top=10).collect()}
+    ny = out[("new", "york")]
+    # unigrams: new 2, york 2, the 2, cat 1, dog 1 -> n_uni 8
+    # bigrams with c>=2: (new,york) 2, (york,the) 2 -> n_bi 4
+    assert (ny.c12, ny.c1, ny.c2) == (2, 2, 2)
+    assert ny.lift == ((2 * 8.0) * 8.0) / ((4 * 2.0) * 2.0)
+
+
+def test_corpus_summary_exact(spark):
+    from btrdb_server_spark.functions.text import corpus_summary
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "web"), (2, "a b", "en", "books"),
+         (3, "d", "fr", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = corpus_summary(docs).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.n_unique_tokens) == (3, 6, 4)
+    assert r.mean_tokens == 2.0
+    assert (r.total_chars, r.n_langs, r.n_sources) == (5 + 3 + 1, 2, 2)
