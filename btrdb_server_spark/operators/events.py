@@ -476,3 +476,49 @@ def user_rfm(
         )
         .orderBy("user_id")
     )
+
+
+def top_paths(
+    events: DataFrame,
+    depth: int = 5,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common user journeys: each user's first `depth` events (by
+    time, event id breaking ties) concatenated into a '>'-joined path
+    string, ranked by how many users walked it — the path-analysis readout
+    behind "what do people do right after signup?". Columns:
+    (path, users), top k by users desc then path asc (deterministic).
+
+    Scale shape: ONE window sort keyed by user (rank within user), then two
+    map-side-combined groupBys; per-user work is bounded by `depth`, and
+    user cardinality keeps the window partitions small and many — no skew
+    amplification at 100x. The per-user sequence is rebuilt with
+    array_sort(struct(rn, type)) rather than relying on collect_list
+    order (which Spark does not guarantee)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    first_n = (
+        events.select(user_col, type_col, ts_col, id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= depth)
+    )
+    paths = first_n.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", F.col(type_col).alias("t")))),
+                lambda s: s["t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("users"))
+        .orderBy(F.col("users").desc(), "path")
+        .limit(k)
+    )

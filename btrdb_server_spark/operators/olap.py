@@ -1,0 +1,140 @@
+"""Relational rollups over the warehouse tables (lineitem/orders/customer/
+nation) — the classic scan-aggregate and star-join shapes a user runs NEXT
+TO the points plane when the same lake holds both telemetry and business
+tables. The reference keeps these out of scope (its plane is (time, value)
+only — qtree/qtree.go); on Spark they come free, and they demonstrate the
+two plans that matter at 100 TB:
+
+* `pricing_summary` — one full-scan groupBy with map-side combine and a
+  pushed date predicate (TPC-H Q1 flavor). The scan reads exactly the
+  seven columns it needs (ReadSchema) and skips row groups past the ship
+  date (PushedFilters).
+* `revenue_by_nation` — a star join: fact⋈fact co-partitioned shuffle join
+  (lineitem⋈orders on orderkey) with the dimension chain broadcast
+  (customer→nation is dimension-sized here; nation ALWAYS broadcast). At
+  1000 executors the only wide exchange is the two facts hashing on the
+  same key; every dim hop is a map-side hash join.
+
+Exactness: every money column in the lake is 2-decimal quantized, so all
+sums run on exact integers — cents for prices, hundredths for
+discount/tax rates, and their integer products for the derived
+disc_price/charge terms (units 1e-4 and 1e-6) — accumulated in
+decimal(38,0) so a 100 TB fact table cannot overflow. Output doubles are
+single divisions of exact integers (bit-identical in any engine, any
+aggregation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2-decimal quantized double -> exact integer hundredths. The /0.01 form is
+# deliberate (mirrors the DuckDB oracle text CAST(round(x/0.01) AS BIGINT)):
+# exact-2-dec inputs never sit on .5 ties, so HALF_UP vs banker's is moot.
+def _h(col) -> F.Column:
+    return F.round(col / F.lit(0.01)).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """TPC-H-Q1-flavor pricing summary: per (returnflag, linestatus) the
+    exact sums of quantity, base price, discounted price and charge plus
+    their means and the discount mean. One map-side-combined groupBy over
+    a pruned scan; the date predicate reaches the parquet row groups.
+
+    disc_price = extendedprice*(1-discount) is computed as the INTEGER
+    product cents*(100-disc_hundredths) (units 1e-4); charge additionally
+    multiplies by (100+tax_hundredths) (units 1e-6). Sums in decimal(38,0);
+    every emitted double is one division of exact integers."""
+    cents = _h(F.col("l_extendedprice"))
+    disc_h = _h(F.col("l_discount"))
+    tax_h = _h(F.col("l_tax"))
+    qty = F.round(F.col("l_quantity")).cast("long")
+    dp4 = cents * (F.lit(100) - disc_h)                         # 1e-4 units
+    src = lineitem.where(
+        F.to_date(F.col("l_shipdate")) < F.lit(ship_before).cast("date")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("qty"),
+        cents.alias("cents"),
+        disc_h.alias("disc_h"),
+        dp4.alias("dp4"),
+        (dp4 * (F.lit(100) + tax_h)).alias("ch6"),              # 1e-6 units
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    agg = src.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum(dec("cents")).alias("s_cents"),
+        F.sum(dec("dp4")).alias("s_dp4"),
+        F.sum(dec("ch6")).alias("s_ch6"),
+        F.sum("disc_h").alias("s_disc_h"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        (d("s_cents") / F.lit(100.0)).alias("sum_base_price"),
+        (d("s_dp4") / F.lit(10000.0)).alias("sum_disc_price"),
+        (d("s_ch6") / F.lit(1000000.0)).alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (d("s_cents") / F.col("count_order") / F.lit(100.0)).alias("avg_price"),
+        (
+            F.col("s_disc_h").cast("double") / F.col("count_order") / F.lit(100.0)
+        ).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    order_from: str = "1996-01-01",
+    order_before: str = "1997-01-01",
+) -> DataFrame:
+    """Revenue per customer nation for orders in [order_from, order_before):
+    the star-join rollup (TPC-H Q5 flavor, minus the supplier leg).
+    revenue = Σ extendedprice*(1-discount), exact in 1e-4 integer units.
+
+    Plan shape (asserted in tests/test_plans.py): nation is broadcast
+    EXPLICITLY; customer joins as a dim hop (broadcast at dim scale, AQE
+    decides past the hint threshold); the one wide exchange is
+    lineitem⋈orders co-hashing l_orderkey/o_orderkey. The date filter cuts
+    orders BEFORE the fact-fact join, so the join's build side is already
+    range-pruned. Columns: n_name, revenue, n_orders, n_items."""
+    od = F.to_date(F.col("o_orderdate"))
+    o = orders.where(
+        (od >= F.lit(order_from).cast("date"))
+        & (od < F.lit(order_before).cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    rev4 = _h(F.col("l_extendedprice")) * (
+        F.lit(100) - _h(F.col("l_discount"))
+    )
+    li = lineitem.select("l_orderkey", rev4.alias("rev4"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(dec("rev4")).alias("s_rev4"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "n_name",
+            (F.col("s_rev4").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "n_orders",
+            "n_items",
+        )
+        .orderBy("n_name")
+    )
