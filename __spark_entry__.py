@@ -2416,6 +2416,77 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 power iterations, d=0.85) over the part
+    co-purchase graph, all arithmetic in fixed-point 1e-12 integer rank
+    units (multiply + floor-divide) — bit-identical in any engine, no
+    float accumulation surface. Top 50 parts."""
+    from btrdb_server_spark.functions.graph import copurchase_edges, pagerank_fixed
+
+    return pagerank_fixed(copurchase_edges(load_table(spark, sf_dir, "lineitem")))
+
+
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned periodogram of the click stream over the first 4 weeks of
+    January: DFT power at harmonics k=1..8 on a 288-bin phase grid with a
+    Python-precomputed integer trig table shared verbatim with the oracle
+    (libm-independent; sums in exact integers)."""
+    from btrdb_server_spark.operators.spectral import periodogram
+
+    end = T_2024 + 28 * DAY_NS
+    pts = load_points(spark, sf_dir, T_2024, end)
+    return periodogram(pts, "click", T_2024, end, k_max=8, bins=288)
+
+
+def _periodogram_oracle_sql() -> str:
+    from btrdb_server_spark.operators.spectral import trig_table
+
+    vals = ", ".join(f"({b}, {c}, {s})" for b, c, s in trig_table(288))
+    end = T_2024 + 28 * DAY_NS
+    span = end - T_2024
+    return f"""
+        {PTS_CTE}, src AS (
+            SELECT ((time - {T_2024}) * 288) // {span} AS pbin,
+                   CAST(round(value / 0.01) AS BIGINT) AS vq
+            FROM pts
+            WHERE uuid = 'click' AND time >= {T_2024} AND time < {end}
+        ), b AS (
+            SELECT pbin, CAST(sum(vq) AS BIGINT) AS sq, count(*) AS cnt
+            FROM src GROUP BY 1
+        ), trig(tb, cq, sgq) AS (VALUES {vals}),
+        ks AS (SELECT range AS k FROM range(1, 9)),
+        j AS (
+            SELECT ks.k, b.sq, b.cnt, trig.cq, trig.sgq
+            FROM ks CROSS JOIN b
+            JOIN trig ON trig.tb = (ks.k * b.pbin) % 288
+        ), agg AS (
+            SELECT k, CAST(sum(cnt) AS BIGINT) AS n,
+                   sum(CAST(sq AS HUGEINT) * cq) AS sc,
+                   sum(CAST(sq AS HUGEINT) * sgq) AS ss
+            FROM j GROUP BY 1
+        ), amps AS (
+            SELECT k, n,
+                   CAST(sc AS DOUBLE) / 1000000.0 / 100.0 AS amp_cos,
+                   CAST(ss AS DOUBLE) / 1000000.0 / 100.0 AS amp_sin
+            FROM agg
+        )
+        SELECT k, n, amp_cos, amp_sin,
+               (amp_cos * amp_cos + amp_sin * amp_sin) AS power
+        FROM amps ORDER BY k
+    """
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Holt double exponential smoothing of the view stream over
+    January (a=1/4, b=1/8, exact binary fractions): final level/trend per
+    day plus the one-step forecast. The fold is a fixed IEEE op sequence
+    over the sorted day, replayed op-for-op by the oracle."""
+    from btrdb_server_spark.operators.derive import holt_forecast
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return holt_forecast(pts, "view", T_2024, T_FEB, DAY_NS)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-flavor pricing summary over lineitem: one pruned-scan
     map-side-combined groupBy; all money sums on exact integer cents /
@@ -2487,6 +2558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "copurchase_pagerank": q_copurchase_pagerank,
+        "periodogram": q_periodogram,
+        "holt_forecast": q_holt_forecast,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_paths": q_top_paths,
@@ -2514,10 +2588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_aligned_windows": q_store_aligned_windows,
         "store_compact": q_store_compact,
         "store_nearest": q_store_nearest,
+        # ---- position 51+: multi-round green or locally bit-exact ------
         "streaming_rollup_serve": q_streaming_rollup_serve,
         "text_stats": q_text_stats,
         "token_entropy": q_token_entropy,
-        # ---- position 51+: multi-round green or locally bit-exact ------
         "nearest_before": q_nearest_before,
         "store_changes": q_store_changes,
         "store_delete_range": q_store_delete_range,
@@ -3000,6 +3074,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        # Fixed-point integer PageRank: every op is int64 multiply/floor-
+        # divide, so iteration results are engine- and order-exact.
+        "copurchase_pagerank": """
+            WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            e0 AS (
+                SELECT a.p AS u, b.p AS v, count(*) AS w
+                FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+                GROUP BY 1, 2
+            ),
+            wsum AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM e0 GROUP BY 1),
+            e AS (SELECT e0.u, e0.v, e0.w, wsum.wu FROM e0 JOIN wsum USING (u)),
+            nodes AS (SELECT u AS p FROM e0 UNION SELECT v FROM e0),
+            n AS (SELECT count(*) AS n_nodes FROM nodes),
+            r0 AS (SELECT p, (1000000000000 // n_nodes) AS r
+                   FROM nodes CROSS JOIN n),
+            c1 AS (SELECT e.v, CAST(sum((r0.r * e.w) // e.wu) AS BIGINT) AS inc
+                   FROM r0 JOIN e ON r0.p = e.u GROUP BY 1),
+            r1 AS (SELECT nodes.p,
+                          ((15 * (1000000000000 // n.n_nodes)
+                            + 85 * coalesce(c1.inc, 0)) // 100) AS r
+                   FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.p = c1.v),
+            c2 AS (SELECT e.v, CAST(sum((r1.r * e.w) // e.wu) AS BIGINT) AS inc
+                   FROM r1 JOIN e ON r1.p = e.u GROUP BY 1),
+            r2 AS (SELECT nodes.p,
+                          ((15 * (1000000000000 // n.n_nodes)
+                            + 85 * coalesce(c2.inc, 0)) // 100) AS r
+                   FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.p = c2.v),
+            c3 AS (SELECT e.v, CAST(sum((r2.r * e.w) // e.wu) AS BIGINT) AS inc
+                   FROM r2 JOIN e ON r2.p = e.u GROUP BY 1),
+            r3 AS (SELECT nodes.p,
+                          ((15 * (1000000000000 // n.n_nodes)
+                            + 85 * coalesce(c3.inc, 0)) // 100) AS r
+                   FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.p = c3.v)
+            SELECT p AS part, r AS rank_fp FROM r3
+            ORDER BY rank_fp DESC, part LIMIT 50
+        """,
+        # Binned DFT on a shared Python-precomputed integer trig table
+        # (libm cos/sin differ across engines by ULPs — neither side calls
+        # them); see operators/spectral.py.
+        "periodogram": _periodogram_oracle_sql(),
+        # Holt fold replayed op-for-op on the sorted day: the level'
+        # subexpression is duplicated inside the trend update exactly as
+        # the Spark lambda writes it, so intermediate rounding matches and
+        # the doubles are bit-identical.
+        "holt_forecast": f"""
+            {PTS_CTE}, src AS (
+                SELECT (time - {T_2024}) // {DAY_NS} AS widx, time, value
+                FROM pts
+                WHERE uuid = 'view' AND time >= {T_2024} AND time < {T_FEB}
+            ), arr AS (
+                SELECT widx, count(*) AS n,
+                       list(struct_pack(t := time, v := value)
+                            ORDER BY time, value) AS a
+                FROM src GROUP BY 1
+            ), f AS (
+                -- accumulator is a 2-element DOUBLE[] ([level, trend]), NOT
+                -- a struct: DuckDB 1.0 list_reduce evaluates struct_pack
+                -- fields sequentially and later fields see the ALREADY
+                -- UPDATED acc fields (acc.l reads the new level) — plain
+                -- list accumulators bind correctly.
+                SELECT widx, n, list_reduce(
+                    list_transform(a, p -> [p.v, CAST(0 AS DOUBLE)]),
+                    (acc, x) -> [
+                        CAST(0.25 AS DOUBLE) * x[1]
+                            + CAST(0.75 AS DOUBLE) * (acc[1] + acc[2]),
+                        CAST(0.125 AS DOUBLE)
+                            * ((CAST(0.25 AS DOUBLE) * x[1]
+                                + CAST(0.75 AS DOUBLE) * (acc[1] + acc[2]))
+                               - acc[1])
+                            + CAST(0.875 AS DOUBLE) * acc[2]]
+                ) AS s FROM arr
+            )
+            SELECT {T_2024} + widx * {DAY_NS} AS time, n,
+                   s[1] AS level, s[2] AS trend, (s[1] + s[2]) AS forecast
+            FROM f ORDER BY time
         """,
         # Money columns are 2-decimal quantized: all sums run on exact
         # integer cents / 1e-4 / 1e-6 units, every emitted double is one

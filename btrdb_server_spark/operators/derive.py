@@ -1119,3 +1119,79 @@ def interarrival_stats(
     return exact_percentiles(
         g, "g", qs, n_label="n_gaps", min_label="g_min", max_label="g_max"
     )
+
+
+def holt_forecast(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+) -> DataFrame:
+    """Holt double exponential smoothing per window: fold the window's
+    points left-to-right through
+
+        level' = a*x + (1-a)*(level + trend)
+        trend' = b*(level' - level) + (1-b)*trend
+
+    seeded with level = first value, trend = 0, and emit the window's final
+    state plus the one-step-ahead forecast level+trend — the trend-aware
+    smoother behind capacity forecasts, where plain EWMA lags ramps.
+    Columns: time (window start), n, level, trend, forecast; windows with
+    no points are omitted (hole semantics follow AlignedWindows,
+    qtree/qtree.go:925 - empty windows are not emitted).
+
+    Exactness: the fold is a fixed IEEE op sequence over the sorted window
+    (time, then value tiebreak), bit-reproducible in any engine that
+    replays the same order — the DuckDB oracle does, op for op (same
+    duplicated level' subexpression in the trend update, so even the
+    rounding of the intermediate matches). Defaults a=1/4, b=1/8 are exact
+    binary fractions.
+
+    Scale shape: one map-side collect_list per window; per-task work is one
+    window's points. Like ewma's bucket path, Holt is an affine (2x2
+    matrix) recurrence, so windows could compose associatively for
+    unbounded spans — not needed while windows are bounded."""
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    a, b = F.lit(alpha), F.lit(1.0 - alpha)
+    g, h = F.lit(beta), F.lit(1.0 - beta)
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid))
+        & (F.col("time") >= F.lit(start))
+        & (F.col("time") < F.lit(end))
+    ).select(
+        F.expr(f"(time - ({start})) div {width}").alias("widx"),
+        F.struct("time", "value").alias("p"),
+    )
+    arr = F.array_sort(F.collect_list("p")).alias("arr")
+    folded = src.groupBy("widx").agg(arr, F.count("*").alias("n"))
+
+    first_v = F.element_at(F.col("arr"), 1)["value"]
+    init = F.struct(first_v.alias("l"), F.lit(0.0).alias("tr"))
+    rest = F.slice(
+        F.col("arr"), 2, F.greatest(F.size(F.col("arr")) - 1, F.lit(0))
+    )
+
+    def step(acc, x):
+        # level' appears twice (once for l, once inside tr) — the oracle
+        # duplicates the same subexpression so intermediate rounding matches.
+        lp = a * x["value"] + b * (acc["l"] + acc["tr"])
+        return F.struct(
+            lp.alias("l"),
+            (g * (lp - acc["l"]) + h * acc["tr"]).alias("tr"),
+        )
+
+    fin = F.aggregate(rest, init, step)
+    return (
+        folded.select(
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            F.col("n"),
+            fin["l"].alias("level"),
+            fin["tr"].alias("trend"),
+            (fin["l"] + fin["tr"]).alias("forecast"),
+        )
+        .orderBy("time")
+    )

@@ -466,3 +466,52 @@ def test_group_topk_window_group_limit(spark):
     plan = entry_mod.q_group_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert plan.index("WindowGroupLimit", plan.index("Exchange hashpartitioning")) > 0
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    """The Q1-flavor scan must push the ship-date predicate to parquet,
+    prune to the seven needed columns, and combine map-side (partial
+    HashAggregate before the exchange)."""
+    df = entry_mod.q_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "ReadSchema" in plan
+    assert "partial" in plan.lower()
+    # exactly one wide exchange: the groupBy on (returnflag, linestatus)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    """The star join must broadcast the nation dim (explicit hint) and must
+    NOT plan a cartesian/nested-loop anywhere; the fact-fact join keys on
+    the order id."""
+    plan = plan_of(entry_mod.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_periodogram_single_point_scale_groupby(spark):
+    """The only point-scale stage is the phase-bin groupBy; the trig table
+    joins broadcast (never shuffles the binned table by trig key)."""
+    df = entry_mod.q_periodogram(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # one exchange for the bin groupBy + one for the final k-groupBy (both
+    # metadata-scale); the point-scale scan feeds only the first.
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Exchange hashpartitioning") <= 2
+
+
+def test_pagerank_topk_never_globally_sorts(spark):
+    """The top-50 must plan as TakeOrderedAndProject, not a global Sort of
+    all nodes."""
+    plan = entry_mod.q_copurchase_pagerank(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_paths_window_group_limit(spark):
+    """The first-N-events rank filter must rewrite to WindowGroupLimit so
+    the per-user sort shuffles only depth rows per user."""
+    plan = entry_mod.q_top_paths(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
