@@ -2416,6 +2416,61 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x1024, salted-md5 rows) over the corpus token
+    stream, audited against the exact top-30 tokens: (tok, cnt, cms_est),
+    cms_est >= cnt by construction — deterministic, integer, oracle-exact."""
+    from btrdb_server_spark.functions.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 1024, k: int = 30) -> str:
+    def hex4(md5_expr: str) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr({md5_expr},1,1))-1)*4096"
+            f" + (strpos('0123456789abcdef', substr({md5_expr},2,1))-1)*256"
+            f" + (strpos('0123456789abcdef', substr({md5_expr},3,1))-1)*16"
+            f" + (strpos('0123456789abcdef', substr({md5_expr},4,1))-1))"
+        )
+
+    def bucket(r: int) -> str:
+        m = f"md5('cms{r}:' || tok)"
+        return f"({hex4(m)} % {width})"
+
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r, {bucket(r)} AS b, cnt FROM counts"
+        for r in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT tok, cnt, CAST({r} AS BIGINT) AS r, {bucket(r)} AS b FROM top"
+        for r in range(depth)
+    )
+    return f"""
+        WITH tk AS (SELECT {_TOKS} AS toks FROM documents),
+        tok AS (SELECT unnest(toks) AS tok FROM tk),
+        counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        rows_ AS ({rows}),
+        cells AS (SELECT r, b, CAST(sum(cnt) AS BIGINT) AS cell
+                  FROM rows_ GROUP BY 1, 2),
+        top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {k}),
+        probes AS ({probes})
+        SELECT p.tok, p.cnt, min(c.cell) AS cms_est
+        FROM probes p JOIN cells c USING (r, b)
+        GROUP BY 1, 2 ORDER BY cnt DESC, tok
+    """
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5/95 exact type-1 cut points on the quantized-value
+    histogram) vs raw mean of the error stream over January — all integer
+    internals, value-domain-scale window."""
+    from btrdb_server_spark.operators.stat import winsorized_stats
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return winsorized_stats(pts, "error", T_2024, T_FEB)
+
+
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (3 power iterations, d=0.85) over the part
     co-purchase graph, all arithmetic in fixed-point 1e-12 integer rank
@@ -2558,6 +2613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "winsorized_stats": q_winsorized_stats,
         "copurchase_pagerank": q_copurchase_pagerank,
         "periodogram": q_periodogram,
         "holt_forecast": q_holt_forecast,
@@ -2586,9 +2643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multistream_align": q_multistream_align,
         "nearest_asof": q_nearest_asof,
         "store_aligned_windows": q_store_aligned_windows,
+        # ---- position 51+: multi-round green or locally bit-exact ------
         "store_compact": q_store_compact,
         "store_nearest": q_store_nearest,
-        # ---- position 51+: multi-round green or locally bit-exact ------
         "streaming_rollup_serve": q_streaming_rollup_serve,
         "text_stats": q_text_stats,
         "token_entropy": q_token_entropy,
@@ -3074,6 +3131,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "cms_heavy_hitters": _cms_oracle_sql(),
+        "winsorized_stats": f"""
+            {PTS_CTE}, src AS (
+                SELECT CAST(round(value / 0.01) AS BIGINT) AS vq FROM pts
+                WHERE uuid = 'error' AND time >= {T_2024} AND time < {T_FEB}
+            ), h AS (SELECT vq, count(*) AS c FROM src GROUP BY 1),
+            cum AS (
+                SELECT vq, CAST(sum(c) OVER (
+                    ORDER BY vq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM h
+            ), t AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(vq * c) AS BIGINT) AS s FROM h
+            ), cuts AS (
+                SELECT t.n, t.s,
+                       min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.05) AS BIGINT)
+                                THEN cum.vq END) AS lo,
+                       min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.95) AS BIGINT)
+                                THEN cum.vq END) AS hi
+                FROM cum, t GROUP BY 1, 2
+            ), ws AS (
+                SELECT cuts.n, cuts.s, cuts.lo, cuts.hi,
+                       CAST(sum(least(greatest(h.vq, cuts.lo), cuts.hi) * h.c)
+                            AS BIGINT) AS ws
+                FROM h CROSS JOIN cuts GROUP BY 1, 2, 3, 4
+            )
+            SELECT n, CAST(lo AS DOUBLE) / 100.0 AS p_lo,
+                   CAST(hi AS DOUBLE) / 100.0 AS p_hi,
+                   CAST(ws AS DOUBLE) / n / 100.0 AS win_mean,
+                   CAST(s AS DOUBLE) / n / 100.0 AS mean
+            FROM ws
         """,
         # Fixed-point integer PageRank: every op is int64 multiply/floor-
         # divide, so iteration results are engine- and order-exact.

@@ -26,7 +26,7 @@ against the aggregate — the spine side is tiny and broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from btrdb_server_spark.constants import MAX_PW
@@ -887,3 +887,76 @@ def coverage_report(
             "coverage"
         ),
     ).orderBy("uuid")
+
+
+def winsorized_stats(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Robust location summary of one stream: exact type-1 percentile cut
+    points at lo_q/hi_q and the WINSORIZED mean (values clamped into
+    [p_lo, p_hi] before averaging) next to the raw mean — the outlier-
+    resistant number an SLO dashboard shows when a telemetry feed throws
+    occasional 1000x spikes. One row: n, p_lo, p_hi, win_mean, mean.
+
+    Exactness: the quantized-value histogram makes every piece integer —
+    cut points are histogram values, the clamped sum is Σ clamp(vq)*cnt in
+    int64 — and each emitted double is one fixed op sequence over exact
+    integers (mirrored by the oracle).
+
+    Scale shape: identical to exact_percentiles (operators/derive.py) —
+    the groupBy collapses to the distinct-value histogram with map-side
+    combine, the single cumulative window runs at value-domain scale, and
+    the clamp pass re-scans the HISTOGRAM (not the points) against the
+    broadcast 1-row cut-point table."""
+    if not 0.0 < lo_q < hi_q < 1.0:
+        raise ValueError("need 0 < lo_q < hi_q < 1")
+    h = (
+        points.where(
+            (F.col("uuid") == F.lit(uuid))
+            & (F.col("time") >= F.lit(start))
+            & (F.col("time") < F.lit(end))
+        )
+        .select(F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"))
+        .groupBy("vq")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select("vq", "c", F.sum("c").over(w).alias("cum"))
+    total = h.agg(F.sum("c").alias("n"), F.sum(F.col("vq") * F.col("c")).alias("s"))
+
+    def pick(q: float):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n").cast("double") * F.lit(q)),
+                F.col("vq"),
+            )
+        )
+
+    cuts = (
+        cum.crossJoin(F.broadcast(total))
+        .groupBy("n", "s")
+        .agg(pick(lo_q).alias("lo"), pick(hi_q).alias("hi"))
+    )
+    qd = float(round(1.0 / value_quantum))
+    wsum = (
+        h.crossJoin(F.broadcast(cuts))
+        .groupBy("n", "s", "lo", "hi")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("vq"), F.col("lo")), F.col("hi")) * F.col("c")
+            ).alias("ws")
+        )
+    )
+    return wsum.select(
+        F.col("n"),
+        (F.col("lo").cast("double") / F.lit(qd)).alias("p_lo"),
+        (F.col("hi").cast("double") / F.lit(qd)).alias("p_hi"),
+        (F.col("ws").cast("double") / F.col("n") / F.lit(qd)).alias("win_mean"),
+        (F.col("s").cast("double") / F.col("n") / F.lit(qd)).alias("mean"),
+    )
