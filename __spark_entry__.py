@@ -2416,6 +2416,98 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point Holt smoothing of the purchase stream (Jan 1-10): every
+    point with its running (level, trend) — the flat fold the oracle
+    replays op-for-op (level' subexpression duplicated identically)."""
+    from btrdb_server_spark.operators.derive import holt_smooth
+
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10)
+    return holt_smooth(pts, "purchase", T_2024, T_JAN10)
+
+
+def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt smoothing as a continuous query: keyed state (frontier, level,
+    trend) continues the 2-state recurrence across four sequentially
+    written time slices; the emitted union is bit-equal to the batch
+    fold, which is the oracle."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_holt
+
+    work = tempfile.mkdtemp(prefix="btrdb_sholt_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
+        F.col("uuid").isin("purchase", "error")
+    )
+    span = (T_JAN10 - T_2024) // 4
+    for k in range(4):
+        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
+        (
+            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_holt_out"
+    q = (
+        streaming_holt(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
+
+
+def _holt_flat_sql(uuid_filter: str, grouped: bool) -> str:
+    """Shared flat-Holt oracle: growing list-of-structs fold (the plain
+    struct accumulator is broken in DuckDB 1.0 — see the holt_forecast
+    oracle note), level' duplicated inside the trend update exactly as the
+    Spark lambda computes it."""
+    key = "uuid, " if grouped else ""
+    lp = (
+        "CAST(0.25 AS DOUBLE) * x[1].v + CAST(0.75 AS DOUBLE)"
+        " * (acc[len(acc)].l + acc[len(acc)].tr)"
+    )
+    return f"""
+        {PTS_CTE}, src AS (
+            SELECT uuid, time, value FROM pts
+            WHERE {uuid_filter}
+              AND time >= {T_2024} AND time < {T_JAN10}
+        ), arr AS (
+            SELECT {key}list(struct_pack(t := time, v := value)
+                             ORDER BY time, value) AS a
+            FROM src {('GROUP BY uuid') if grouped else ''}
+        ), f AS (
+            SELECT {key}list_reduce(
+                list_transform(a, p -> [struct_pack(t := p.t, v := p.v,
+                                                    l := p.v,
+                                                    tr := CAST(0 AS DOUBLE))]),
+                (acc, x) -> list_append(acc, struct_pack(
+                    t := x[1].t, v := x[1].v,
+                    l := {lp},
+                    tr := CAST(0.125 AS DOUBLE) * (({lp}) - acc[len(acc)].l)
+                          + CAST(0.875 AS DOUBLE) * acc[len(acc)].tr))
+            ) AS r FROM arr
+        )
+        SELECT {key}u.r.t AS time, u.r.v AS value, u.r.l AS level,
+               u.r.tr AS trend
+        FROM f, unnest(f.r) AS u(r) ORDER BY {key}time
+    """
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (4x1024, salted-md5 rows) over the corpus token
     stream, audited against the exact top-30 tokens: (tok, cnt, cms_est),
@@ -2613,6 +2705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "holt_smooth": q_holt_smooth,
+        "streaming_holt": q_streaming_holt,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "winsorized_stats": q_winsorized_stats,
         "copurchase_pagerank": q_copurchase_pagerank,
@@ -2640,10 +2734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_usage": q_metadata_usage,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified_pairs,
-        "multistream_align": q_multistream_align,
         "nearest_asof": q_nearest_asof,
-        "store_aligned_windows": q_store_aligned_windows,
         # ---- position 51+: multi-round green or locally bit-exact ------
+        "multistream_align": q_multistream_align,
+        "store_aligned_windows": q_store_aligned_windows,
         "store_compact": q_store_compact,
         "store_nearest": q_store_nearest,
         "streaming_rollup_serve": q_streaming_rollup_serve,
@@ -3132,6 +3226,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "holt_smooth": _holt_flat_sql("uuid = 'purchase'", grouped=False),
+        "streaming_holt": _holt_flat_sql("uuid IN ('purchase', 'error')", grouped=True),
         "cms_heavy_hitters": _cms_oracle_sql(),
         "winsorized_stats": f"""
             {PTS_CTE}, src AS (

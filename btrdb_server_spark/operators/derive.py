@@ -1195,3 +1195,68 @@ def holt_forecast(
         )
         .orderBy("time")
     )
+
+
+def holt_smooth(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+) -> DataFrame:
+    """Per-point Holt double exponential smoothing of one stream (the flat
+    companion of holt_forecast's per-window finals, and the batch oracle
+    for streaming_holt): every input point with its running (level, trend)
+    state. Columns: time, value, level, trend; ordered by time.
+
+    Same exactness contract as ewma's flat path: one sorted fold per
+    stream, a fixed IEEE op sequence the DuckDB oracle replays op-for-op.
+    Bounded interactive ranges only — the scale paths are holt_forecast
+    (per-window, embarrassingly parallel) or, for unbounded per-point
+    output, the affine 2x2-matrix composition noted there."""
+    a, b = F.lit(alpha), F.lit(1.0 - alpha)
+    g, h = F.lit(beta), F.lit(1.0 - beta)
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid))
+        & (F.col("time") >= F.lit(start))
+        & (F.col("time") < F.lit(end))
+    ).select(F.struct("time", "value").alias("p"))
+    arr = F.array_sort(F.collect_list("p"))
+    first = F.element_at(F.col("arr"), 1)
+    init = F.array(
+        F.struct(
+            first["time"].alias("time"),
+            first["value"].alias("value"),
+            first["value"].alias("l"),
+            F.lit(0.0).alias("tr"),
+        )
+    )
+    rest = F.slice(F.col("arr"), 2, F.greatest(F.size(F.col("arr")) - 1, F.lit(0)))
+
+    def step(acc, x):
+        last = F.element_at(acc, -1)
+        lp = a * x["value"] + b * (last["l"] + last["tr"])
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["time"].alias("time"),
+                    x["value"].alias("value"),
+                    lp.alias("l"),
+                    (g * (lp - last["l"]) + h * last["tr"]).alias("tr"),
+                )
+            ),
+        )
+
+    folded = (
+        src.groupBy(F.lit(1).alias("_g"))
+        .agg(arr.alias("arr"))
+        .select(F.explode(F.aggregate(rest, init, step)).alias("s"))
+    )
+    return folded.select(
+        F.col("s.time").alias("time"),
+        F.col("s.value").alias("value"),
+        F.col("s.l").alias("level"),
+        F.col("s.tr").alias("trend"),
+    ).orderBy("time")

@@ -786,3 +786,87 @@ def streaming_attribution(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUTPUT_SCHEMA = "uuid string, time long, value double, level double, trend double"
+HOLT_STATE_SCHEMA = "last_time long, level double, trend double"
+
+
+def _make_update_holt(alpha: float, beta: float):
+    a, b = float(alpha), 1.0 - float(alpha)
+    g, h = float(beta), 1.0 - float(beta)
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Continue one stream's Holt (level, trend) recurrence across
+        micro-batches: state is three scalars (frontier, level, trend);
+        each batch folds its points in time order with the IDENTICAL op
+        sequence as derive.holt_smooth — the level' value is computed once
+        and reused in the trend update, matching the batch lambda — so on
+        an in-order source the emission is bit-equal to the batch fold
+        (the oracle). Order-defined like streaming_ewma: a point behind
+        the frontier raises."""
+        (uuid,) = key
+        if state.exists:
+            last_t, lvl, tr = state.get
+        else:
+            last_t, lvl, tr = None, None, None
+        out_t, out_v, out_l, out_tr = [], [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["time", "value"])
+            for t, v in zip(pdf["time"].astype("int64"), pdf["value"]):
+                t, v = int(t), float(v)
+                if last_t is not None and t < last_t:
+                    raise ValueError(
+                        f"stream {uuid}: point at {t} behind the Holt "
+                        f"frontier {last_t} — order-defined operator"
+                    )
+                if lvl is None:
+                    lvl, tr = v, 0.0
+                else:
+                    lp = a * v + b * (lvl + tr)
+                    tr = g * (lp - lvl) + h * tr
+                    lvl = lp
+                last_t = t
+                out_t.append(t)
+                out_v.append(v)
+                out_l.append(lvl)
+                out_tr.append(tr)
+        if not out_t:
+            return
+        state.update((last_t, lvl, tr))
+        yield pd.DataFrame(
+            {
+                "uuid": uuid,
+                "time": out_t,
+                "value": out_v,
+                "level": out_l,
+                "trend": out_tr,
+            }
+        )
+
+    return fn
+
+
+def streaming_holt(
+    points_stream: DataFrame, alpha: float = 0.25, beta: float = 0.125
+) -> DataFrame:
+    """Holt double exponential smoothing as a continuous query: per-stream
+    keyed state carries (frontier, level, trend) so the 2-state recurrence
+    continues across micro-batches; on an in-order source the emission is
+    bit-equal to the batch holt_smooth fold. State is three scalars per
+    stream — O(streams), same class as streaming_ewma."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    return points_stream.groupBy("uuid").applyInPandasWithState(
+        _make_update_holt(alpha, beta),
+        HOLT_OUTPUT_SCHEMA,
+        HOLT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -435,3 +435,48 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     batch = attribution_last_touch(ev, within=50).collect()
     assert got == [(r.event_id, r.touch_event_id, r.latency) for r in batch]
     assert got == [(3, 1, 10), (4, 2, 10), (5, None, None), (7, None, None)]
+
+
+def test_streaming_holt_continues_two_state_recurrence(spark, tmp_path):
+    """Three in-order micro-batches: keyed state carries (frontier, level,
+    trend) so the emitted union equals the batch Holt fold bit-for-bit —
+    including the duplicated level' subexpression in the trend update."""
+    from btrdb_server_spark.streaming.stateful import streaming_holt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    vals = [4.0, 8.0, 2.0, 6.0, 10.0, 0.0]
+    write_batch(spark, src, [("s", i, vals[i]) for i in (0, 1)], 1)
+    write_batch(spark, src, [("s", i, vals[i]) for i in (2, 3)], 2)
+    write_batch(spark, src, [("s", i, vals[i]) for i in (4, 5)], 3)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_holt(stream, alpha=0.25, beta=0.125)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("holt_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.time: (r.level, r.trend)
+        for r in spark.sql("SELECT * FROM holt_updates").collect()
+    }
+    lvl, tr, exp = None, None, {}
+    for i, v in enumerate(vals):
+        if lvl is None:
+            lvl, tr = v, 0.0
+        else:
+            lp = 0.25 * v + 0.75 * (lvl + tr)
+            tr = 0.125 * (lp - lvl) + 0.875 * tr
+            lvl = lp
+        exp[i] = (lvl, tr)
+    assert got == exp  # bit-equal, not approx
