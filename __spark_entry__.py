@@ -2416,6 +2416,26 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the purchase stream's daily totals over
+    January: integer S and tie-corrected variance, continuity-corrected Z
+    — quadratic only in the 31 windows, never in points."""
+    from btrdb_server_spark.operators.corr import mann_kendall
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return mann_kendall(pts, "purchase", T_2024, T_FEB, DAY_NS)
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the purchase stream's daily totals: type-1
+    median of the 465 pairwise slopes plus the median intercept — each
+    slope ONE exact-int division, the median an order-statistic pick."""
+    from btrdb_server_spark.operators.corr import theilsen_trend
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return theilsen_trend(pts, "purchase", T_2024, T_FEB, DAY_NS)
+
+
 def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point Holt smoothing of the purchase stream (Jan 1-10): every
     point with its running (level, trend) — the flat fold the oracle
@@ -2705,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "mann_kendall": q_mann_kendall,
+        "theilsen_trend": q_theilsen_trend,
         "holt_smooth": q_holt_smooth,
         "streaming_holt": q_streaming_holt,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2732,10 +2754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_data_rollup": q_late_data_rollup,
         "lookup_streams": q_lookup_streams,
         "metadata_usage": q_metadata_usage,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified_pairs,
-        "nearest_asof": q_nearest_asof,
         # ---- position 51+: multi-round green or locally bit-exact ------
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "nearest_asof": q_nearest_asof,
         "multistream_align": q_multistream_align,
         "store_aligned_windows": q_store_aligned_windows,
         "store_compact": q_store_compact,
@@ -3225,6 +3247,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "mann_kendall": f"""
+            {PTS_CTE}, t AS (
+                SELECT (time - {T_2024}) // {DAY_NS} AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS yq
+                FROM pts
+                WHERE uuid = 'purchase' AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), s AS (
+                SELECT CAST(sum(CAST(sign(b.yq - a.yq) AS BIGINT)) AS BIGINT) AS s
+                FROM t a JOIN t b ON a.widx < b.widx
+            ), nt AS (SELECT count(*) AS n FROM t),
+            ties AS (
+                SELECT COALESCE(CAST(sum(t_ * (t_ - 1) * (2 * t_ + 5)) AS BIGINT), 0)
+                           AS tie_term
+                FROM (SELECT count(*) AS t_ FROM t GROUP BY yq)
+            ), x AS (
+                SELECT nt.n, s.s,
+                       CAST(nt.n * (nt.n - 1) * (2 * nt.n + 5) - ties.tie_term
+                            AS DOUBLE) / 18.0 AS var_s
+                FROM s, nt, ties
+            )
+            SELECT n, s, var_s,
+                   CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                        ELSE 0.0 END AS z
+            FROM x
+        """,
+        "theilsen_trend": f"""
+            {PTS_CTE}, t AS (
+                SELECT (time - {T_2024}) // {DAY_NS} AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS yq
+                FROM pts
+                WHERE uuid = 'purchase' AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), pairs AS (
+                SELECT a.widx AS i, b.widx AS j,
+                       CAST(b.yq - a.yq AS DOUBLE)
+                           / CAST(b.widx - a.widx AS DOUBLE) AS slope
+                FROM t a JOIN t b ON a.widx < b.widx
+            ), np AS (SELECT count(*) AS n_pairs FROM pairs),
+            cum AS (
+                SELECT slope, count(*) OVER (
+                    ORDER BY slope, i, j ROWS UNBOUNDED PRECEDING) AS cum
+                FROM pairs
+            ), med AS (
+                SELECT np.n_pairs,
+                       min(CASE WHEN cum.cum >=
+                                CAST(ceil(CAST(np.n_pairs AS DOUBLE) * 0.5) AS BIGINT)
+                                THEN cum.slope END) AS slope_q
+                FROM cum, np GROUP BY 1
+            ), resid AS (
+                SELECT med.n_pairs, med.slope_q,
+                       CAST(t.yq AS DOUBLE)
+                           - med.slope_q * CAST(t.widx AS DOUBLE) AS r,
+                       t.widx
+                FROM t CROSS JOIN med
+            ), rcum AS (
+                SELECT n_pairs, slope_q, r, count(*) OVER (
+                    ORDER BY r, widx ROWS UNBOUNDED PRECEDING) AS cum
+                FROM resid
+            ), nt AS (SELECT count(*) AS n FROM t)
+            SELECT nt.n, rcum.n_pairs,
+                   min(CASE WHEN rcum.cum >=
+                            CAST(ceil(CAST(nt.n AS DOUBLE) * 0.5) AS BIGINT)
+                            THEN rcum.slope_q END) / 100.0 AS slope_per_window,
+                   min(CASE WHEN rcum.cum >=
+                            CAST(ceil(CAST(nt.n AS DOUBLE) * 0.5) AS BIGINT)
+                            THEN rcum.r END) / 100.0 AS intercept
+            FROM rcum, nt GROUP BY 1, 2
         """,
         "holt_smooth": _holt_flat_sql("uuid = 'purchase'", grouped=False),
         "streaming_holt": _holt_flat_sql("uuid IN ('purchase', 'error')", grouped=True),
