@@ -2416,6 +2416,62 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between the click and view streams' zero-filled hourly
+    profiles (Jan 1-8, 168 buckets each): all-integer DP in one Arrow
+    batch, replayed by the oracle as a recursive CTE."""
+    from btrdb_server_spark.operators.corr import dtw_distance
+
+    pts = load_points(spark, sf_dir, T_2024, T_JAN8)
+    return dtw_distance(pts, "click", "view", T_2024, T_JAN8, HOUR_NS)
+
+
+def _dtw_oracle_sql() -> str:
+    tot = (
+        "SELECT (time - {t0}) // {w} AS widx, "
+        "CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS BIGINT) AS yq "
+        "FROM pts WHERE uuid = '{u}' AND time >= {t0} AND time < {t1} "
+        "GROUP BY 1"
+    )
+    t0, t1, w, nw = T_2024, T_JAN8, HOUR_NS, (T_JAN8 - T_2024) // HOUR_NS
+    ta = tot.format(t0=t0, t1=t1, w=w, u="click")
+    tb = tot.format(t0=t0, t1=t1, w=w, u="view")
+    return f"""
+        WITH RECURSIVE pts AS (
+            SELECT event_type AS uuid, epoch_ns(ts) AS time, value FROM events
+        ),
+        spine AS (SELECT range AS widx FROM range(0, {nw})),
+        ta AS ({ta}), tb AS ({tb}),
+        sa AS (SELECT list(COALESCE(ta.yq, 0) ORDER BY spine.widx) AS a
+               FROM spine LEFT JOIN ta USING (widx)),
+        sb AS (SELECT list(COALESCE(tb.yq, 0) ORDER BY spine.widx) AS b
+               FROM spine LEFT JOIN tb USING (widx)),
+        dp(i, row) AS (
+            SELECT 1 AS i,
+                   list_reduce(
+                     list_concat([[abs(a[1] - b[1])]],
+                                 list_transform(range(2, len(b)+1),
+                                                j -> [j, abs(a[1] - b[j])])),
+                     (acc, x) -> list_append(acc, x[2] + acc[len(acc)])) AS row
+            FROM sa, sb
+            UNION ALL
+            SELECT dp.i + 1,
+                   list_reduce(
+                     list_concat([[abs(a[dp.i + 1] - b[1]) + dp.row[1]]],
+                                 list_transform(range(2, len(b)+1),
+                                                j -> [j, abs(a[dp.i + 1] - b[j])])),
+                     (acc, x) -> list_append(acc,
+                         x[2] + least(dp.row[x[1]], acc[len(acc)],
+                                      dp.row[x[1] - 1]))) AS row
+            FROM dp, sa, sb WHERE dp.i < len(a)
+        )
+        SELECT CAST(len(a) AS BIGINT) AS n_a, CAST(len(b) AS BIGINT) AS n_b,
+               row[len(row)] AS dtw_q,
+               CAST(row[len(row)] AS DOUBLE) / 100.0 AS dtw
+        FROM dp, sa, sb WHERE dp.i = len(a)
+    """
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test on the purchase stream's daily totals over
     January: integer S and tie-corrected variance, continuity-corrected Z
@@ -2725,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "dtw_distance": q_dtw_distance,
         "mann_kendall": q_mann_kendall,
         "theilsen_trend": q_theilsen_trend,
         "holt_smooth": q_holt_smooth,
@@ -2754,8 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_data_rollup": q_late_data_rollup,
         "lookup_streams": q_lookup_streams,
         "metadata_usage": q_metadata_usage,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
         # ---- position 51+: multi-round green or locally bit-exact ------
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "nearest_asof": q_nearest_asof,
         "multistream_align": q_multistream_align,
@@ -3248,6 +3305,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "dtw_distance": _dtw_oracle_sql(),
         "mann_kendall": f"""
             {PTS_CTE}, t AS (
                 SELECT (time - {T_2024}) // {DAY_NS} AS widx,

@@ -605,3 +605,75 @@ def theilsen_trend(
             (F.col("int_q") / F.lit(q)).alias("intercept"),
         )
     )
+
+
+def dtw_distance(
+    points: DataFrame,
+    uuid_a: str,
+    uuid_b: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Dynamic-time-warping distance between two streams' zero-filled
+    window-total profiles: the shape-similarity measure that forgives
+    phase shift (a sensor lagging its twin by an hour still matches),
+    where stream_corr / xcorr_lags demand alignment. One row:
+    n_a, n_b, dtw_q (quantum units), dtw (value units).
+
+    Full O(n_a·n_b) DP with |Δ| cost over int64 quantum totals — every DP
+    cell is integer min/add, so the distance is engine-exact (the oracle
+    replays the DP as a recursive CTE). Spark built-ins cannot express a
+    2-D DP recurrence, so the fold runs in ONE Arrow-batched mapInPandas
+    over the two collected profiles — the documented escape hatch for
+    genuinely sequential kernels. Point-scale work is the two map-side
+    groupBys; the DP input is window-count-sized (the user-chosen
+    resolution), never points."""
+    import pandas as pd
+
+    def series(uuid: str, name: str) -> DataFrame:
+        tot = _daily_totals(points, uuid, start, end, width, value_quantum)
+        n_w = (end - start) // width
+        spine = points.sparkSession.range(0, n_w).select(
+            F.col("id").alias("widx")
+        )
+        filled = spine.join(tot, "widx", "left").select(
+            "widx", F.coalesce(F.col("yq"), F.lit(0)).alias("yq")
+        )
+        return filled.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "yq"))),
+                lambda s: s["yq"],
+            ).alias(name)
+        )
+
+    both = series(uuid_a, "a").crossJoin(series(uuid_b, "b"))
+
+    def dp(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                a = [int(x) for x in row["a"]]
+                b = [int(x) for x in row["b"]]
+                prev = []
+                run = 0
+                for j in range(len(b)):
+                    run += abs(a[0] - b[j])
+                    prev.append(run)
+                for i in range(1, len(a)):
+                    cur = [abs(a[i] - b[0]) + prev[0]]
+                    for j in range(1, len(b)):
+                        cur.append(
+                            abs(a[i] - b[j]) + min(prev[j], cur[j - 1], prev[j - 1])
+                        )
+                    prev = cur
+                yield pd.DataFrame(
+                    {
+                        "n_a": [len(a)],
+                        "n_b": [len(b)],
+                        "dtw_q": [prev[-1]],
+                        "dtw": [float(prev[-1]) / round(1.0 / value_quantum)],
+                    }
+                )
+
+    return both.mapInPandas(dp, "n_a long, n_b long, dtw_q long, dtw double")
