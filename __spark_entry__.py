@@ -2416,6 +2416,46 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Kalman local-level filter of the error stream over January
+    (q=1/4, r=4, exact binary fractions): final level, posterior variance
+    and gain per day — every reused intermediate expanded to the same
+    duplicated subexpression on both engines."""
+    from btrdb_server_spark.operators.derive import kalman_level
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return kalman_level(pts, "error", T_2024, T_FEB, DAY_NS)
+
+
+def _kalman_oracle_sql() -> str:
+    ppred = "(acc[2] + CAST(0.25 AS DOUBLE))"
+    k = f"({ppred} / ({ppred} + CAST(4.0 AS DOUBLE)))"
+    return f"""
+        {PTS_CTE}, src AS (
+            SELECT (time - {T_2024}) // {DAY_NS} AS widx, time, value
+            FROM pts
+            WHERE uuid = 'error' AND time >= {T_2024} AND time < {T_FEB}
+        ), arr AS (
+            SELECT widx, count(*) AS n,
+                   list(struct_pack(t := time, v := value)
+                        ORDER BY time, value) AS a
+            FROM src GROUP BY 1
+        ), f AS (
+            SELECT widx, n, list_reduce(
+                list_transform(a, p -> [p.v, CAST(4.0 AS DOUBLE),
+                                        CAST(0 AS DOUBLE)]),
+                (acc, x) -> [
+                    acc[1] + {k} * (x[1] - acc[1]),
+                    (CAST(1.0 AS DOUBLE) - {k}) * {ppred},
+                    {k}]
+            ) AS s FROM arr
+        )
+        SELECT {T_2024} + widx * {DAY_NS} AS time, n,
+               s[1] AS level, s[2] AS p_var, s[3] AS gain
+        FROM f ORDER BY time
+    """
+
+
 def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance between the click and view streams' zero-filled hourly
     profiles (Jan 1-8, 168 buckets each): all-integer DP in one Arrow
@@ -2806,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "kalman_level": q_kalman_level,
         "dtw_distance": q_dtw_distance,
         "mann_kendall": q_mann_kendall,
         "theilsen_trend": q_theilsen_trend,
@@ -2835,8 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "late_data_rollup": q_late_data_rollup,
         "lookup_streams": q_lookup_streams,
-        "metadata_usage": q_metadata_usage,
         # ---- position 51+: multi-round green or locally bit-exact ------
+        "metadata_usage": q_metadata_usage,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "nearest_asof": q_nearest_asof,
@@ -3330,6 +3371,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "kalman_level": _kalman_oracle_sql(),
         "dtw_distance": _dtw_oracle_sql(),
         "mann_kendall": f"""
             {PTS_CTE}, t AS (

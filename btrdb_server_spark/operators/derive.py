@@ -1260,3 +1260,78 @@ def holt_smooth(
         F.col("s.l").alias("level"),
         F.col("s.tr").alias("trend"),
     ).orderBy("time")
+
+
+def kalman_level(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    q_var: float = 0.25,
+    r_var: float = 4.0,
+) -> DataFrame:
+    """Kalman filter, local-level model, per window: fold the window's
+    points through
+
+        P~ = P + q                      (predict)
+        K  = P~ / (P~ + r)              (gain)
+        x' = x + K·(z - x)              (update)
+        P' = (1 - K)·P~
+
+    seeded with x = first value, P = r, and emit the window's final
+    (level, p_var, gain) — the optimal denoiser for a drifting sensor
+    under Gaussian assumptions, and the third member of the sequential-
+    smoother family next to ewma (fixed gain) and holt (trend-aware).
+    Columns: time, n, level, p_var, gain; empty windows omitted.
+
+    Exactness: identical contract to holt_forecast — a fixed IEEE op
+    sequence over the sorted window, with every reused intermediate (P~,
+    K) expanded to the SAME duplicated subexpression on both engines, so
+    intermediate rounding matches bit-for-bit. Defaults q=1/4, r=4 are
+    exact binary fractions. Scale shape: one map-side collect_list per
+    window, per-task work bounded by the window."""
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    qv, rv = F.lit(q_var), F.lit(r_var)
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid))
+        & (F.col("time") >= F.lit(start))
+        & (F.col("time") < F.lit(end))
+    ).select(
+        F.expr(f"(time - ({start})) div {width}").alias("widx"),
+        F.struct("time", "value").alias("p"),
+    )
+    folded = src.groupBy("widx").agg(
+        F.array_sort(F.collect_list("p")).alias("arr"), F.count("*").alias("n")
+    )
+    first_v = F.element_at(F.col("arr"), 1)["value"]
+    # acc = [x, P, K] — plain array accumulator (engine-portable; see the
+    # DuckDB struct-accumulator note on holt_forecast's oracle).
+    init = F.array(first_v, rv.cast("double"), F.lit(0.0))
+    rest = F.slice(
+        F.col("arr"), 2, F.greatest(F.size(F.col("arr")) - 1, F.lit(0))
+    )
+
+    def step(acc, x):
+        z = x["value"]
+        xp, pp = F.element_at(acc, 1), F.element_at(acc, 2)
+        ppred = pp + qv
+        k = ppred / (ppred + rv)
+        return F.array(
+            xp + k * (z - xp),
+            (F.lit(1.0) - k) * ppred,
+            k,
+        )
+
+    fin = F.aggregate(rest, init, step)
+    return (
+        folded.select(
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            F.col("n"),
+            F.element_at(fin, 1).alias("level"),
+            F.element_at(fin, 2).alias("p_var"),
+            F.element_at(fin, 3).alias("gain"),
+        )
+        .orderBy("time")
+    )
