@@ -3381,7 +3381,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE uuid = 'purchase' AND time >= {T_2024} AND time < {T_FEB}
                 GROUP BY 1
             ), s AS (
-                SELECT CAST(sum(CAST(sign(b.yq - a.yq) AS BIGINT)) AS BIGINT) AS s
+                SELECT CAST(COALESCE(sum(CAST(sign(b.yq - a.yq) AS BIGINT)), 0)
+                            AS BIGINT) AS s
                 FROM t a JOIN t b ON a.widx < b.widx
             ), nt AS (SELECT count(*) AS n FROM t),
             ties AS (

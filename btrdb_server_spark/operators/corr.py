@@ -498,8 +498,11 @@ def mann_kendall(
     a = t.select(F.col("widx").alias("i"), F.col("yq").alias("yi"))
     b = t.select(F.col("widx").alias("j"), F.col("yq").alias("yj"))
     pairs = a.join(b, F.col("i") < F.col("j"))
+    # coalesce: a 0- or 1-window range has no pairs -> S is 0, not null
     s_df = pairs.agg(
-        F.sum(F.signum(F.col("yj") - F.col("yi")).cast("long")).alias("s")
+        F.coalesce(
+            F.sum(F.signum(F.col("yj") - F.col("yi")).cast("long")), F.lit(0)
+        ).alias("s")
     )
     nt = t.agg(F.count("*").alias("n"))
     ties = (
@@ -563,9 +566,10 @@ def theilsen_trend(
     w = W.orderBy("slope", "i", "j").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = pairs.select("slope", F.count("*").over(w).alias("cum"))
     np_df = pairs.agg(F.count("*").alias("n_pairs"))
+    # Ungrouped agg so a pair-less range (fewer than 2 windows) still
+    # yields the one-row frame (null slope) instead of vanishing.
     med = (
         cum.crossJoin(F.broadcast(np_df))
-        .groupBy("n_pairs")
         .agg(
             F.min(
                 F.when(
@@ -575,6 +579,7 @@ def theilsen_trend(
                 )
             ).alias("slope_q")
         )
+        .crossJoin(F.broadcast(np_df))
     )
     resid = t.crossJoin(F.broadcast(med)).select(
         "n_pairs",

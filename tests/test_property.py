@@ -485,3 +485,124 @@ def test_excursions_partition_the_above_set(spark, pts, thr):
         assert prev.t_end < cur.t_start  # disjoint + ordered
     if above:
         assert max(r.v_max for r in ex) == max(v for _, v in above)
+
+
+# 2-decimal quantized values: the exactness contract of the round-6
+# trend/similarity operators (cents arithmetic) holds on this domain.
+q2_points = st.lists(
+    st.tuples(
+        st.integers(min_value=T0, max_value=T1 - 1),
+        st.integers(min_value=-10000, max_value=10000).map(lambda c: c / 100.0),
+    ),
+    min_size=2,
+    max_size=120,
+)
+
+
+@given(pts=q2_points)
+@SET
+def test_dtw_identity_and_symmetry(spark, pts):
+    """dtw(a, a) = 0 and dtw(a, b) = dtw(b, a) (|.| cost is symmetric) —
+    checked through the full operator including bucketing/zero-fill."""
+    from btrdb_server_spark.operators.corr import dtw_distance
+
+    width = (T1 - T0) // 16
+    df = _df(spark, pts).unionAll(
+        spark.createDataFrame(
+            [("r", t + 7, v + 0.5) for t, v in pts],
+            "uuid string, time long, value double",
+        )
+    )
+    self_d = dtw_distance(df, "s", "s", T0, T1, width).collect()[0]
+    assert self_d.dtw_q == 0
+    ab = dtw_distance(df, "s", "r", T0, T1, width).collect()[0]
+    ba = dtw_distance(df, "r", "s", T0, T1, width).collect()[0]
+    assert ab.dtw_q == ba.dtw_q and ab.dtw_q >= 0
+
+
+@given(pts=q2_points)
+@SET
+def test_mann_kendall_matches_bruteforce(spark, pts):
+    """S, tie-corrected Var and Z against an independent O(n^2) pure-python
+    recomputation on the same integer window totals."""
+    from collections import Counter, defaultdict
+
+    from btrdb_server_spark.operators.corr import mann_kendall
+
+    width = (T1 - T0) // 8
+    got = mann_kendall(_df(spark, pts), "s", T0, T1, width).collect()[0]
+    tot = defaultdict(int)
+    for t, v in pts:
+        tot[(t - T0) // width] += round(v * 100)
+    ys = [tot[w] for w in sorted(tot)]
+    n = len(ys)
+    s = sum(
+        (0 if ys[j] == ys[i] else (1 if ys[j] > ys[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie = sum(c * (c - 1) * (2 * c + 5) for c in Counter(ys).values())
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    z = (s - 1) / math.sqrt(var) if s > 0 else ((s + 1) / math.sqrt(var) if s < 0 else 0.0)
+    assert (got.n, got.s, got.var_s) == (n, s, var)
+    assert got.z == z
+
+
+@given(pts=q2_points)
+@SET
+def test_theilsen_matches_bruteforce(spark, pts):
+    """Type-1 median slope and intercept against an independent pure-python
+    recomputation (same (slope, i, j) ordering, same ceil(n/2) pick);
+    a pair-less range must still emit the one-row frame with null slope."""
+    import math as _m
+    from collections import defaultdict
+
+    from btrdb_server_spark.operators.corr import theilsen_trend
+
+    width = (T1 - T0) // 8
+    got = theilsen_trend(_df(spark, pts), "s", T0, T1, width).collect()[0]
+    tot = defaultdict(int)
+    for t, v in pts:
+        tot[(t - T0) // width] += round(v * 100)
+    ws = sorted(tot)
+    slopes = sorted(
+        ((tot[ws[jj]] - tot[ws[ii]]) / float(ws[jj] - ws[ii]), ws[ii], ws[jj])
+        for ii in range(len(ws))
+        for jj in range(ii + 1, len(ws))
+    )
+    assert got.n == len(ws) and got.n_pairs == len(slopes)
+    if not slopes:
+        assert got.slope_per_window is None and got.intercept is None
+        return
+    sl = slopes[_m.ceil(len(slopes) * 0.5) - 1][0]
+    resid = sorted((tot[w] - sl * w, w) for w in ws)
+    ic = resid[_m.ceil(len(ws) * 0.5) - 1][0]
+    assert got.slope_per_window == sl / 100.0
+    assert got.intercept == ic / 100.0
+
+
+@given(pts=q2_points)
+@SET
+def test_pagerank_mass_conservation_bound(spark, pts):
+    """Total fixed-point rank never exceeds N·RANK_ONE and every rank is
+    at least the teleport floor (15% of base, minus flooring loss)."""
+    from btrdb_server_spark.functions.graph import RANK_ONE, pagerank_fixed
+
+    # build a small random-ish multigraph from the generated points:
+    # order id = time bucket, part id = cents mod 13
+    rows = [
+        (int(t) // ((T1 - T0) // 8), int(round(v * 100)) % 13)
+        for t, v in pts
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from btrdb_server_spark.functions.graph import copurchase_edges
+
+    edges = copurchase_edges(li)
+    if edges.count() == 0:
+        return
+    out = pagerank_fixed(edges, top=None).collect()
+    n = len(out)
+    total = sum(r.rank_fp for r in out)
+    assert total <= n * RANK_ONE
+    floor_min = (15 * (RANK_ONE // n)) // 100
+    assert all(r.rank_fp >= floor_min for r in out)
