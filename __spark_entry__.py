@@ -2416,6 +2416,52 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional vs marginal entropy of the event-type Markov chain:
+    how much the previous event predicts the next. Float terms summed by
+    a SORTED fold on both engines (fixed order, bit-exact)."""
+    from btrdb_server_spark.operators.events import markov_entropy
+
+    return markov_entropy(load_table(spark, sf_dir, "events"))
+
+
+def _markov_entropy_oracle_sql() -> str:
+    return """
+        WITH r AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ), tr AS (
+            SELECT from_type, to_type, count(*) AS cnt FROM r
+            WHERE to_type IS NOT NULL GROUP BY 1, 2
+        ), cu AS (
+            SELECT from_type, CAST(sum(cnt) AS BIGINT) AS cu FROM tr GROUP BY 1
+        ), cvt AS (
+            SELECT to_type, CAST(sum(cnt) AS BIGINT) AS cv FROM tr GROUP BY 1
+        ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tr),
+        terms AS (
+            SELECT list(-(CAST(cnt AS DOUBLE) / t)
+                        * log2(CAST(cnt AS DOUBLE) / cu)
+                        ORDER BY from_type, to_type) AS arr,
+                   CAST(sum(cnt) AS BIGINT) AS n_trans
+            FROM tr JOIN cu USING (from_type) CROSS JOIN tot
+        ), marg AS (
+            SELECT list(-(CAST(cv AS DOUBLE) / t)
+                        * log2(CAST(cv AS DOUBLE) / t)
+                        ORDER BY to_type) AS marr,
+                   count(*) AS n_states
+            FROM cvt CROSS JOIN tot
+        )
+        SELECT terms.n_trans, marg.n_states,
+               CAST(0 AS DOUBLE) + list_reduce(terms.arr, (a, x) -> a + x)
+                   AS h_cond,
+               CAST(0 AS DOUBLE) + list_reduce(marg.marr, (a, x) -> a + x)
+                   AS h_marg
+        FROM terms, marg
+    """
+
+
 def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day Kalman local-level filter of the error stream over January
     (q=1/4, r=4, exact binary fractions): final level, posterior variance
@@ -2846,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "markov_entropy": q_markov_entropy,
         "kalman_level": q_kalman_level,
         "dtw_distance": q_dtw_distance,
         "mann_kendall": q_mann_kendall,
@@ -3371,6 +3418,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "markov_entropy": _markov_entropy_oracle_sql(),
         "kalman_level": _kalman_oracle_sql(),
         "dtw_distance": _dtw_oracle_sql(),
         "mann_kendall": f"""

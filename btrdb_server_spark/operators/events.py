@@ -522,3 +522,84 @@ def top_paths(
         .orderBy(F.col("users").desc(), "path")
         .limit(k)
     )
+
+
+def markov_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Predictability of the event feed as two numbers: the conditional
+    entropy rate H(next | current) = -Σ_{u,v} p(u,v)·log2 p(v|u) of the
+    first-order Markov chain over event types, and the marginal entropy
+    H(next) — their gap is exactly the information the previous event
+    carries about the next one (how "sticky" the journeys are). One row:
+    n_trans, n_states, h_cond, h_marg.
+
+    Exactness: counts are integers; the float work is a SORTED fold over
+    the (from, to) term list (~|types|² rows, metadata-scale), so the
+    summation order is fixed and the result bit-identical in any engine —
+    the same fixed-order-fold discipline as ewma/holt, needed here
+    because -x·log2(y) terms are not associatively safe.
+
+    Scale shape: identical to event_transitions (one user-keyed window,
+    one tiny groupBy); everything after the count matrix is a single-row
+    fold over a type²-sized array."""
+    tr = event_transitions(events, user_col, type_col, ts_col, id_col)
+    from_tot = tr.groupBy("from_type").agg(F.sum("cnt").alias("cu"))
+    to_tot = tr.groupBy("to_type").agg(F.sum("cnt").alias("cv"))
+    tot = tr.agg(F.sum("cnt").alias("t"), F.count("*").alias("n_cells"))
+    terms = (
+        tr.join(F.broadcast(from_tot), "from_type")
+        .join(F.broadcast(to_tot), "to_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.struct(
+                "from_type",
+                "to_type",
+                (
+                    -(F.col("cnt").cast("double") / F.col("t"))
+                    * F.log2(F.col("cnt").cast("double") / F.col("cu"))
+                ).alias("hc"),
+                "cv",
+                "cnt",
+                "t",
+            ).alias("s")
+        )
+    )
+    folded = terms.agg(
+        F.array_sort(F.collect_list("s")).alias("arr"),
+        F.sum("s.cnt").alias("n_trans"),
+    )
+    hc = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["hc"]
+    )
+    # marginal: one term per distinct to_type — dedupe via the sorted
+    # distinct cv list keyed by to_type
+    marg = (
+        to_tot.crossJoin(F.broadcast(tot))
+        .select(
+            F.struct(
+                "to_type",
+                (
+                    -(F.col("cv").cast("double") / F.col("t"))
+                    * F.log2(F.col("cv").cast("double") / F.col("t"))
+                ).alias("hm"),
+            ).alias("s")
+        )
+        .agg(
+            F.array_sort(F.collect_list("s")).alias("marr"),
+            F.count("*").alias("n_states"),
+        )
+    )
+    hm = F.aggregate(
+        F.col("marr"), F.lit(0.0), lambda acc, x: acc + x["hm"]
+    )
+    return folded.crossJoin(F.broadcast(marg)).select(
+        F.col("n_trans"),
+        F.col("n_states"),
+        hc.alias("h_cond"),
+        hm.alias("h_marg"),
+    )
