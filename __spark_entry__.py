@@ -2416,6 +2416,16 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_twa_hold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day time-weighted average (step-hold) of the click stream over
+    January — the PI-historian aggregate irregular sampling can't bias;
+    integer numerator/coverage, one double division."""
+    from btrdb_server_spark.operators.stat import twa_hold
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return twa_hold(pts, "click", T_2024, T_FEB, DAY_NS)
+
+
 def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional vs marginal entropy of the event-type Markov chain:
     how much the previous event predicts the next. Float terms summed by
@@ -2892,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "twa_hold": q_twa_hold,
         "markov_entropy": q_markov_entropy,
         "kalman_level": q_kalman_level,
         "dtw_distance": q_dtw_distance,
@@ -2922,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_cap": q_insert_cap,
         "lang_id": q_lang_id,
         "late_data_rollup": q_late_data_rollup,
+        # ---- position 51+: lookup_streams moved out for twa_hold -------
         "lookup_streams": q_lookup_streams,
         # ---- position 51+: multi-round green or locally bit-exact ------
         "metadata_usage": q_metadata_usage,
@@ -3417,6 +3429,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "twa_hold": f"""
+            {PTS_CTE}, src AS (
+                SELECT time,
+                       CAST(round(value / 0.01) AS BIGINT) AS vq, value
+                FROM pts
+                WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_FEB}
+            ), seg AS (
+                SELECT time AS s,
+                       COALESCE(lead(time) OVER (ORDER BY time, value),
+                                {T_FEB}) AS e,
+                       vq
+                FROM src
+            ), frag AS (
+                SELECT u.widx, seg.vq,
+                       least(seg.e, {T_2024} + (u.widx + 1) * {DAY_NS})
+                         - greatest(seg.s, {T_2024} + u.widx * {DAY_NS}) AS ov
+                FROM seg, unnest(generate_series(
+                        (seg.s - {T_2024}) // {DAY_NS},
+                        (seg.e - 1 - {T_2024}) // {DAY_NS})) AS u(widx)
+                WHERE seg.e > seg.s
+            ), agg AS (
+                SELECT widx,
+                       sum(CAST(vq AS HUGEINT) * ov) AS num,
+                       CAST(sum(ov) AS BIGINT) AS cov
+                FROM frag GROUP BY 1
+            )
+            SELECT {T_2024} + widx * {DAY_NS} AS time, cov AS covered_ns,
+                   CAST(num AS DOUBLE) / CAST(cov AS DOUBLE) / 100.0 AS twa
+            FROM agg ORDER BY time
         """,
         "markov_entropy": _markov_entropy_oracle_sql(),
         "kalman_level": _kalman_oracle_sql(),

@@ -960,3 +960,78 @@ def winsorized_stats(
         (F.col("ws").cast("double") / F.col("n") / F.lit(qd)).alias("win_mean"),
         (F.col("s").cast("double") / F.col("n") / F.lit(qd)).alias("mean"),
     )
+
+
+def twa_hold(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Time-weighted average with step-hold interpolation, the classic
+    historian aggregate (PI-style "timeweighted"): each point's value is
+    held until the next point; a window's TWA is Σ value·held_ns over the
+    window divided by the covered nanoseconds. Irregular sampling stops
+    biasing the mean toward chatty periods — the reason historians default
+    to TWA, and a semantic the reference's count-weighted stat nodes
+    (qtree operators.go mean = sum/count) cannot express. Columns: time,
+    covered_ns, twa; windows with no coverage are omitted (hole
+    semantics). The range's last point holds to `end`.
+
+    Exactness: numerator Σ vq·overlap_ns runs in decimal(38,0) integer
+    units, coverage in int64; the TWA is one double division of exact
+    integers. A held segment spanning k windows is exploded to its k
+    (window, overlap) fragments — the same bounded-fan-out trick as
+    interval_join's exploded-bucket path, so no window ever needs its
+    neighbors. The lead() pairing is a flat per-stream window (bounded
+    interactive ranges; the carry-chain pattern of operators/nearest.py
+    is the scale path, as for gaps/rate)."""
+    from pyspark.sql import Window as W
+
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
+    ).select(
+        "time",
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"),
+        F.col("value").alias("v"),
+    )
+    w = W.orderBy("time", "v")
+    seg = src.select(
+        F.col("time").alias("s"),
+        F.coalesce(F.lead("time").over(w), F.lit(end)).alias("e"),
+        "vq",
+    ).where(F.col("e") > F.col("s"))
+    frag = seg.select(
+        "s",
+        "e",
+        "vq",
+        F.explode(
+            F.sequence(
+                F.expr(f"(s - ({start})) div {width}"),
+                F.expr(f"(e - 1 - ({start})) div {width}"),
+            )
+        ).alias("widx"),
+    ).select(
+        "widx",
+        "vq",
+        (
+            F.least(F.col("e"), F.lit(start) + (F.col("widx") + 1) * F.lit(width))
+            - F.greatest(F.col("s"), F.lit(start) + F.col("widx") * F.lit(width))
+        ).alias("ov"),
+    )
+    q = float(round(1.0 / value_quantum))
+    agg = frag.groupBy("widx").agg(
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("ov")).alias("num"),
+        F.sum("ov").alias("cov"),
+    )
+    return agg.select(
+        (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+        F.col("cov").alias("covered_ns"),
+        (
+            F.col("num").cast("double") / F.col("cov").cast("double") / F.lit(q)
+        ).alias("twa"),
+    ).orderBy("time")
