@@ -2416,6 +2416,17 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-flavor existence rollup: 1996 orders with >=1 line item
+    shipped >90 days late, per priority — planned as a LeftSemi join
+    co-hashed on the order key (each order emitted at most once)."""
+    from btrdb_server_spark.operators.olap import late_order_priority
+
+    return late_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def q_twa_hold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day time-weighted average (step-hold) of the click stream over
     January — the PI-historian aggregate irregular sampling can't bias;
@@ -2902,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "late_order_priority": q_late_order_priority,
         "twa_hold": q_twa_hold,
         "markov_entropy": q_markov_entropy,
         "kalman_level": q_kalman_level,
@@ -2931,9 +2943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_range": q_delete_range,
         "exact_dedup": q_exact_dedup,
         "insert_cap": q_insert_cap,
-        "lang_id": q_lang_id,
         "late_data_rollup": q_late_data_rollup,
-        # ---- position 51+: lookup_streams moved out for twa_hold -------
+        # ---- position 51+ --------------------------------------------
+        "lang_id": q_lang_id,
         "lookup_streams": q_lookup_streams,
         # ---- position 51+: multi-round green or locally bit-exact ------
         "metadata_usage": q_metadata_usage,
@@ -3429,6 +3441,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "late_order_priority": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(o_orderdate AS DATE) AS odate
+                FROM orders
+                WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            ), late AS (
+                SELECT DISTINCT o.o_orderkey, o.o_orderpriority
+                FROM o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                WHERE CAST(l.l_shipdate AS DATE) > o.odate + 90
+            )
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM late GROUP BY 1 ORDER BY 1
         """,
         "twa_hold": f"""
             {PTS_CTE}, src AS (

@@ -138,3 +138,41 @@ def revenue_by_nation(
         )
         .orderBy("n_name")
     )
+
+
+def late_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+    order_from: str = "1996-01-01",
+    order_before: str = "1997-01-01",
+) -> DataFrame:
+    """Orders (in a date range) having AT LEAST ONE line item shipped more
+    than `late_days` after the order date, counted per order priority —
+    the TPC-H-Q4-flavor existence query whose right plan is a SEMI join:
+    the lineitem side is reduced to qualifying order keys and each order
+    row is emitted at most once, never multiplied by its line items.
+
+    Plan shape (pinned in tests): date-filtered orders ⋈ lineitem
+    co-hashed on the order key as LeftSemi — the aggregate sees one row
+    per order, so no count-distinct is needed. All-integer output.
+    Columns: o_orderpriority, n_orders."""
+    od = F.to_date(F.col("o_orderdate"))
+    o = orders.where(
+        (od >= F.lit(order_from).cast("date"))
+        & (od < F.lit(order_before).cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderpriority", od.alias("odate"))
+    li = lineitem.select(
+        "l_orderkey", F.to_date(F.col("l_shipdate")).alias("sdate")
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("sdate") > F.date_add(F.col("odate"), late_days)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

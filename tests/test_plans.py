@@ -515,3 +515,11 @@ def test_top_paths_window_group_limit(spark):
     the per-user sort shuffles only depth rows per user."""
     plan = entry_mod.q_top_paths(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_late_order_priority_semi_join(spark):
+    """The existence query must plan as a LeftSemi join (orders emitted at
+    most once) — never an inner join + distinct over multiplied rows."""
+    plan = entry_mod.q_late_order_priority(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
