@@ -2416,6 +2416,53 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_variance_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day variance decomposition of the view stream over January:
+    how much variance the daily cycle explains (seasonal strength).
+    Integer Σv/Σv², sorted fold for the 24 between-group terms."""
+    from btrdb_server_spark.operators.stat import variance_decompose
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return variance_decompose(pts, "view", T_2024, T_FEB)
+
+
+def _variance_decompose_oracle_sql() -> str:
+    return f"""
+        {PTS_CTE}, src AS (
+            SELECT (time // 3600000000000) % 24 AS g,
+                   CAST(round(value / 0.01) AS BIGINT) AS vq
+            FROM pts
+            WHERE uuid = 'view' AND time >= {T_2024} AND time < {T_FEB}
+        ), per_g AS (
+            SELECT g, count(*) AS n_g, CAST(sum(vq) AS BIGINT) AS t_g,
+                   sum(CAST(vq AS HUGEINT) * vq) AS ssq_g
+            FROM src GROUP BY 1
+        ), folded AS (
+            SELECT list(CAST(t_g AS DOUBLE) * CAST(t_g AS DOUBLE)
+                        / CAST(n_g AS DOUBLE) ORDER BY g) AS arr,
+                   CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(t_g) AS BIGINT) AS t,
+                   sum(ssq_g) AS ssq
+            FROM per_g
+        ), x AS (
+            SELECT n,
+                   CAST(ssq AS DOUBLE)
+                     - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS ss_total,
+                   (CAST(0 AS DOUBLE)
+                     + list_reduce(arr, (a, b) -> a + b))
+                     - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS ss_between
+            FROM folded
+        )
+        SELECT n, ss_total / 10000.0 AS ss_total,
+               ss_between / 10000.0 AS ss_group,
+               (ss_total - ss_between) / 10000.0 AS ss_resid,
+               ss_between / ss_total AS strength
+        FROM x
+    """
+
+
 def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-flavor existence rollup: 1996 orders with >=1 line item
     shipped >90 days late, per priority — planned as a LeftSemi join
@@ -2913,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "variance_decompose": q_variance_decompose,
         "late_order_priority": q_late_order_priority,
         "twa_hold": q_twa_hold,
         "markov_entropy": q_markov_entropy,
@@ -2943,8 +2991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_range": q_delete_range,
         "exact_dedup": q_exact_dedup,
         "insert_cap": q_insert_cap,
-        "late_data_rollup": q_late_data_rollup,
         # ---- position 51+ --------------------------------------------
+        "late_data_rollup": q_late_data_rollup,
         "lang_id": q_lang_id,
         "lookup_streams": q_lookup_streams,
         # ---- position 51+: multi-round green or locally bit-exact ------
@@ -3442,6 +3490,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "variance_decompose": _variance_decompose_oracle_sql(),
         "late_order_priority": """
             WITH o AS (
                 SELECT o_orderkey, o_orderpriority,

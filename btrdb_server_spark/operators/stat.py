@@ -1035,3 +1035,74 @@ def twa_hold(
             F.col("num").cast("double") / F.col("cov").cast("double") / F.lit(q)
         ).alias("twa"),
     ).orderBy("time")
+
+
+def variance_decompose(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    period_ns: int = 3_600_000_000_000,
+    n_groups: int = 24,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """One-way variance decomposition of a stream by cyclic phase group
+    (default hour-of-day): SS_total = SS_between + SS_within, and the
+    seasonal strength SS_between/SS_total — "how much of this feed's
+    variance is just the daily cycle", the quantitative companion to the
+    diurnal_profile eyeball. One row: n, ss_total, ss_group, ss_resid,
+    strength (value² units).
+
+    Exactness: Σv and Σv² run on integer quantum units (decimal(38,0) —
+    order-free); the only float accumulation, Σ_g T_g²/n_g over the
+    n_groups group terms, is a SORTED fold over a fixed-size array (the
+    markov_entropy discipline), so every double op has a fixed order and
+    the result is engine-exact.
+
+    Scale shape: one map-side-combined groupBy(phase) — group count is the
+    period resolution, not data size; everything after is a 1-row fold."""
+    grp = F.expr(f"(time div {period_ns}) % {n_groups}")
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
+    ).select(
+        grp.alias("g"),
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"),
+    )
+    per_g = src.groupBy("g").agg(
+        F.count("*").alias("n_g"),
+        F.sum("vq").alias("t_g"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("ssq_g"),
+    )
+    # per-group between-term T_g^2/n_g as a double, folded in g order
+    term = (
+        F.col("t_g").cast("double") * F.col("t_g").cast("double")
+        / F.col("n_g").cast("double")
+    )
+    folded = per_g.select(
+        F.struct("g", term.alias("bt")).alias("s"),
+        "n_g",
+        "t_g",
+        "ssq_g",
+    ).agg(
+        F.array_sort(F.collect_list("s")).alias("arr"),
+        F.sum("n_g").alias("n"),
+        F.sum("t_g").alias("t"),
+        F.sum("ssq_g").alias("ssq"),
+    )
+    between_raw = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["bt"]
+    )
+    q2 = float(round(1.0 / value_quantum)) ** 2
+    grand = (
+        F.col("t").cast("double") * F.col("t").cast("double")
+        / F.col("n").cast("double")
+    )
+    ss_total = F.col("ssq").cast("double") - grand
+    ss_between = between_raw - grand
+    return folded.select(
+        F.col("n"),
+        (ss_total / F.lit(q2)).alias("ss_total"),
+        (ss_between / F.lit(q2)).alias("ss_group"),
+        ((ss_total - ss_between) / F.lit(q2)).alias("ss_resid"),
+        (ss_between / ss_total).alias("strength"),
+    )
