@@ -2416,6 +2416,79 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud: exact integer
+    moments (1e-4 quantized, no rounding ties exist), metadata-scale
+    power iteration with every float reduction an explicit ascending
+    fold — eigenvalue and all 64 loadings bit-identical to the oracle."""
+    from btrdb_server_spark.functions.linalg import pca_top_component
+
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pca_oracle_sql(dim: int = 64, iterations: int = 3) -> str:
+    matvec = (
+        "list_transform(range(0, {d}), i -> list_reduce("
+        "list_transform(range(0, {d}), j -> c[i*{d} + j + 1] * v[j + 1]),"
+        " (a, b) -> a + b))"
+    ).format(d=dim)
+    its = []
+    for k in range(1, iterations + 1):
+        prev = "i0" if k == 1 else f"n{k - 1}"
+        its.append(
+            f"s{k} AS (SELECT c, n, {matvec} AS w FROM {prev}),\n"
+            f"        n{k} AS (SELECT c, n, list_transform(w, x -> x / "
+            f"sqrt(list_reduce(list_transform(w, y -> y * y), "
+            f"(a, b) -> a + b))) AS v FROM s{k})"
+        )
+    its_sql = ",\n        ".join(its)
+    return f"""
+        WITH src AS (
+            SELECT list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS xq
+            FROM embeddings
+        ), idx AS (SELECT range AS i FROM range(0, {dim})),
+        pairs AS (
+            SELECT a.i AS i, b.i AS j,
+                   sum(CAST(src.xq[a.i + 1] AS HUGEINT) * src.xq[b.i + 1]) AS s
+            FROM src, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2
+        ), tv AS (
+            SELECT a.i AS i, CAST(sum(src.xq[a.i + 1]) AS BIGINT) AS t,
+                   count(*) AS n
+            FROM src, idx a GROUP BY 1
+        ), full_ AS (
+            SELECT i, j, s FROM pairs
+            UNION ALL
+            SELECT j AS i, i AS j, s FROM pairs WHERE i <> j
+        ), m AS (
+            SELECT list(CAST(f.s AS DOUBLE)
+                        - CAST(ti.t AS DOUBLE) * CAST(tj.t AS DOUBLE)
+                          / CAST(ti.n AS DOUBLE)
+                        ORDER BY f.i, f.j) AS c,
+                   min(ti.n) AS n
+            FROM full_ f JOIN tv ti ON f.i = ti.i JOIN tv tj ON f.j = tj.i
+        ), i0 AS (
+            SELECT c, n, list_transform(range(0, {dim}),
+                                        i -> CAST(1 AS DOUBLE)) AS v
+            FROM m
+        ),
+        {its_sql},
+        lamq AS (
+            SELECT n, v, list_reduce(
+                list_transform(range(0, {dim}), i -> v[i + 1]
+                    * list_reduce(
+                        list_transform(range(0, {dim}),
+                                       j -> c[i*{dim} + j + 1] * v[j + 1]),
+                        (a, b) -> a + b)),
+                (a, b) -> a + b) AS lam
+            FROM n{iterations}
+        )
+        SELECT u.i AS i, v[u.i + 1] AS loading,
+               lam / 100000000.0 AS eigenvalue, n
+        FROM lamq, unnest(range(0, {dim})) AS u(i) ORDER BY i
+    """
+
+
 def q_variance_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day variance decomposition of the view stream over January:
     how much variance the daily cycle explains (seasonal strength).
@@ -2960,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "pca_top_component": q_pca_top_component,
         "variance_decompose": q_variance_decompose,
         "late_order_priority": q_late_order_priority,
         "twa_hold": q_twa_hold,
@@ -2990,8 +3064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "delete_range": q_delete_range,
         "exact_dedup": q_exact_dedup,
-        "insert_cap": q_insert_cap,
         # ---- position 51+ --------------------------------------------
+        "insert_cap": q_insert_cap,
         "late_data_rollup": q_late_data_rollup,
         "lang_id": q_lang_id,
         "lookup_streams": q_lookup_streams,
@@ -3490,6 +3564,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "pca_top_component": _pca_oracle_sql(),
         "variance_decompose": _variance_decompose_oracle_sql(),
         "late_order_priority": """
             WITH o AS (
