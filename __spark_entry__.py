@@ -2416,6 +2416,62 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for the purchase stream's January mean
+    (B=200): deterministic salted-hash resampling against integer
+    Poisson(1) thresholds; replicate means exact, CI bounds order-
+    statistic picks."""
+    from btrdb_server_spark.operators.stat import bootstrap_ci
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return bootstrap_ci(pts, "purchase", T_2024, T_FEB)
+
+
+def _bootstrap_oracle_sql() -> str:
+    from btrdb_server_spark.operators.stat import _poisson1_thresholds
+
+    u = "(('0x' || substr(md5('boot' || ':' || r || ':' || time || ':' || vq), 1, 8))::BIGINT)"
+    k = " + ".join(
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _poisson1_thresholds()
+    )
+    return f"""
+        {PTS_CTE}, src AS (
+            SELECT time, CAST(round(value / 0.01) AS BIGINT) AS vq FROM pts
+            WHERE uuid = 'purchase' AND time >= {T_2024} AND time < {T_FEB}
+        ), rep AS (
+            SELECT src.time, src.vq, u.r
+            FROM src, unnest(generate_series(0, 199)) AS u(r)
+        ), ks AS (
+            SELECT r, vq, ({k}) AS k FROM rep
+        ), means AS (
+            SELECT r,
+                   CAST(CAST(sum(k * vq) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / 100.0 AS m
+            FROM ks GROUP BY r HAVING CAST(sum(k) AS BIGINT) > 0
+        ), cum AS (
+            SELECT m, count(*) OVER (ORDER BY m, r
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM means
+        ), tot AS (SELECT count(*) AS b FROM means),
+        base AS (
+            SELECT count(*) AS n, CAST(sum(vq) AS BIGINT) AS tv FROM src
+        ), picks AS (
+            SELECT tot.b,
+                   min(CASE WHEN cum.cum >=
+                       CAST(ceil(CAST(tot.b AS DOUBLE) * 0.025) AS BIGINT)
+                       THEN cum.m END) AS ci_lo,
+                   min(CASE WHEN cum.cum >=
+                       CAST(ceil(CAST(tot.b AS DOUBLE) * 0.975) AS BIGINT)
+                       THEN cum.m END) AS ci_hi
+            FROM cum, tot GROUP BY 1
+        )
+        SELECT base.n, picks.b,
+               CAST(base.tv AS DOUBLE) / CAST(base.n AS DOUBLE) / 100.0 AS mean,
+               picks.ci_lo, picks.ci_hi
+        FROM picks, base
+    """
+
+
 def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding cloud: exact integer
     moments (1e-4 quantized, no rounding ties exist), metadata-scale
@@ -3033,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "bootstrap_ci": q_bootstrap_ci,
         "pca_top_component": q_pca_top_component,
         "variance_decompose": q_variance_decompose,
         "late_order_priority": q_late_order_priority,
@@ -3063,8 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimate_envelope": q_decimate_envelope,
         "dedup_clusters": q_dedup_clusters,
         "delete_range": q_delete_range,
-        "exact_dedup": q_exact_dedup,
         # ---- position 51+ --------------------------------------------
+        "exact_dedup": q_exact_dedup,
         "insert_cap": q_insert_cap,
         "late_data_rollup": q_late_data_rollup,
         "lang_id": q_lang_id,
@@ -3564,6 +3621,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "bootstrap_ci": _bootstrap_oracle_sql(),
         "pca_top_component": _pca_oracle_sql(),
         "variance_decompose": _variance_decompose_oracle_sql(),
         "late_order_priority": """

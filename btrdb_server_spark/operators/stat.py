@@ -1106,3 +1106,125 @@ def variance_decompose(
         ((ss_total - ss_between) / F.lit(q2)).alias("ss_resid"),
         (ss_between / ss_total).alias("strength"),
     )
+
+
+# Poisson(1) cumulative thresholds on the integer 2^32 grid: k(u) = #{m :
+# u >= T[m]} for a 32-bit hash u. Python-computed once, shared verbatim
+# with the SQL oracle — resampling decisions are pure integer compares.
+def _poisson1_thresholds(kmax: int = 8) -> list[int]:
+    import math as _m
+
+    cum, out, p = 0.0, [], _m.exp(-1.0)
+    for k in range(kmax):
+        cum += p
+        out.append(round(cum * 2**32))
+        p /= k + 1
+    return out
+
+
+def bootstrap_ci(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    replicates: int = 200,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the stream mean: each of
+    `replicates` resamples includes every point k~Poisson(1) times, where
+    k comes from a salted 32-bit md5 hash against PRECOMPUTED integer
+    thresholds — resampling is deterministic, engine-portable, and needs
+    no shared-state RNG (the property that makes the bootstrap
+    distributable at all; Poisson bootstrap is the standard trick for
+    exactly this reason). One row: n, b, mean, ci_lo, ci_hi (type-1
+    percentile picks of the replicate means at lo_q/hi_q).
+
+    Exactness: every replicate's mean is Σk·vq / Σk over exact integers —
+    one double division — and the CI bounds are order-statistic PICKS,
+    not accumulations. Scale shape: one explode (×replicates) feeding a
+    map-side-combined groupBy(replicate) — the shuffle carries `replicates`
+    rows; the pick windows run on the B-row table."""
+    if replicates < 2:
+        raise ValueError("need >= 2 replicates")
+    thresholds = _poisson1_thresholds()
+    src = points.where(
+        (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
+    ).select(
+        "time",
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"),
+        F.col("value").alias("v"),
+    )
+    rep = src.select(
+        "time",
+        "vq",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("r"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                # vq not v: integer decimal strings render identically in
+                # every engine; double-to-string formatting does not.
+                F.concat_ws(":", F.lit("boot"), F.col("r"), F.col("time"), F.col("vq"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = None
+    for t in thresholds:
+        term = F.when(u >= F.lit(t), F.lit(1)).otherwise(F.lit(0))
+        k = term if k is None else k + term
+    means = (
+        rep.select("r", "vq", k.alias("k"))
+        .groupBy("r")
+        .agg(F.sum(F.col("k") * F.col("vq")).alias("skv"), F.sum("k").alias("sk"))
+        .where(F.col("sk") > 0)
+        .select(
+            "r",
+            (
+                F.col("skv").cast("double")
+                / F.col("sk").cast("double")
+                / F.lit(float(round(1.0 / value_quantum)))
+            ).alias("m"),
+        )
+    )
+    w = Window.orderBy("m", "r").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = means.select("m", F.count("*").over(w).alias("cum"))
+    tot = means.agg(F.count("*").alias("b"))
+    base = src.agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("tv"),
+    )
+    picks = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("b")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("b").cast("double") * F.lit(lo_q)),
+                    F.col("m"),
+                )
+            ).alias("ci_lo"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("b").cast("double") * F.lit(hi_q)),
+                    F.col("m"),
+                )
+            ).alias("ci_hi"),
+        )
+    )
+    q = float(round(1.0 / value_quantum))
+    return picks.crossJoin(F.broadcast(base)).select(
+        "n",
+        "b",
+        (F.col("tv").cast("double") / F.col("n").cast("double") / F.lit(q)).alias(
+            "mean"
+        ),
+        "ci_lo",
+        "ci_hi",
+    )
