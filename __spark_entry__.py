@@ -2416,6 +2416,71 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout on purchase totals (pre-period Jan 1-15,
+    experiment Jan 15-Feb 1, salted-hash arms): per-arm means, pooled
+    CUPED θ from integer raw-sums, adjusted means, SRM chi² — every
+    double a fixed op sequence over exact integer moments."""
+    from btrdb_server_spark.operators.events import ab_experiment
+
+    return ab_experiment(
+        load_table(spark, sf_dir, "events"), T_JAN15, T_2024, T_FEB
+    )
+
+
+def _ab_oracle_sql() -> str:
+    arm = "((('0x' || substr(md5('ab' || ':' || u), 1, 8))::BIGINT) % 2)"
+    return f"""
+        WITH ev AS (
+            SELECT user_id AS u, epoch_ns(ts) AS t,
+                   CAST(round(value / 0.01) AS BIGINT) AS vq
+            FROM events WHERE event_type = 'purchase'
+        ), pu AS (
+            SELECT u,
+                   CAST(sum(CASE WHEN t < {T_JAN15} THEN vq ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN t >= {T_JAN15} THEN vq ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM ev WHERE t >= {T_2024} AND t < {T_FEB} GROUP BY 1
+        ), pa AS (SELECT u, x, y, {arm} AS arm FROM pu),
+        pooled AS (
+            SELECT count(*) AS n_all,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM pa
+        ), arms AS (
+            SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS ax,
+                   CAST(sum(y) AS BIGINT) AS ay
+            FROM pa GROUP BY 1
+        ), x1 AS (
+            SELECT arms.arm, arms.n,
+                   CAST(arms.ax AS DOUBLE) / CAST(arms.n AS DOUBLE) / 100.0
+                       AS mean_x,
+                   CAST(arms.ay AS DOUBLE) / CAST(arms.n AS DOUBLE) / 100.0
+                       AS mean_y,
+                   (CAST(pooled.n_all AS DOUBLE) * CAST(pooled.sxy AS DOUBLE)
+                    - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sy AS DOUBLE))
+                   / (CAST(pooled.n_all AS DOUBLE) * CAST(pooled.sxx AS DOUBLE)
+                      - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sx AS DOUBLE))
+                       AS theta,
+                   CAST(pooled.sx AS DOUBLE) / CAST(pooled.n_all AS DOUBLE)
+                       / 100.0 AS gmean_x,
+                   (CAST(arms.n AS DOUBLE)
+                    - CAST(pooled.n_all AS DOUBLE) / 2.0)
+                   * (CAST(arms.n AS DOUBLE)
+                      - CAST(pooled.n_all AS DOUBLE) / 2.0)
+                   / (CAST(pooled.n_all AS DOUBLE) / 2.0) AS chi_term
+            FROM arms CROSS JOIN pooled
+        ), chi AS (SELECT sum(chi_term) AS srm_chi2 FROM x1)
+        SELECT x1.arm, x1.n, x1.mean_x, x1.mean_y,
+               (x1.mean_y - x1.theta * (x1.mean_x - x1.gmean_x)) AS mean_y_adj,
+               x1.theta, chi.srm_chi2
+        FROM x1 CROSS JOIN chi ORDER BY x1.arm
+    """
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% Poisson-bootstrap CI for the purchase stream's January mean
     (B=200): deterministic salted-hash resampling against integer
@@ -3089,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "ab_experiment": q_ab_experiment,
         "bootstrap_ci": q_bootstrap_ci,
         "pca_top_component": q_pca_top_component,
         "variance_decompose": q_variance_decompose,
@@ -3119,8 +3185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_export": q_csv_export,
         "decimate_envelope": q_decimate_envelope,
         "dedup_clusters": q_dedup_clusters,
-        "delete_range": q_delete_range,
         # ---- position 51+ --------------------------------------------
+        "delete_range": q_delete_range,
         "exact_dedup": q_exact_dedup,
         "insert_cap": q_insert_cap,
         "late_data_rollup": q_late_data_rollup,
@@ -3621,6 +3687,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "ab_experiment": _ab_oracle_sql(),
         "bootstrap_ci": _bootstrap_oracle_sql(),
         "pca_top_component": _pca_oracle_sql(),
         "variance_decompose": _variance_decompose_oracle_sql(),
