@@ -2416,6 +2416,59 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between the two hash arms on experiment-period purchase
+    totals: t and Welch-Satterthwaite df from exact per-arm integer
+    moments."""
+    from btrdb_server_spark.operators.events import welch_ttest
+
+    return welch_ttest(load_table(spark, sf_dir, "events"), T_JAN15, T_2024, T_FEB)
+
+
+def _welch_oracle_sql() -> str:
+    arm = "((('0x' || substr(md5('ab' || ':' || u), 1, 8))::BIGINT) % 2)"
+    da = "CAST(a.n_a AS DOUBLE)"
+    db_ = "CAST(b.n_b AS DOUBLE)"
+    var_a = (
+        f"(CAST(a.syy_a AS DOUBLE) - CAST(a.sy_a AS DOUBLE)"
+        f" * CAST(a.sy_a AS DOUBLE) / {da}) / ({da} - 1.0) / 10000.0"
+    )
+    var_b = (
+        f"(CAST(b.syy_b AS DOUBLE) - CAST(b.sy_b AS DOUBLE)"
+        f" * CAST(b.sy_b AS DOUBLE) / {db_}) / ({db_} - 1.0) / 10000.0"
+    )
+    se2a = f"({var_a} / {da})"
+    se2b = f"({var_b} / {db_})"
+    return f"""
+        WITH ev AS (
+            SELECT user_id AS u, epoch_ns(ts) AS t,
+                   CAST(round(value / 0.01) AS BIGINT) AS vq
+            FROM events WHERE event_type = 'purchase'
+        ), pu AS (
+            SELECT u, CAST(sum(vq) AS BIGINT) AS y
+            FROM ev WHERE t >= {T_JAN15} AND t < {T_FEB} GROUP BY 1
+        ), pa AS (SELECT y, {arm} AS arm FROM pu),
+        arms AS (
+            SELECT arm, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM pa GROUP BY 1
+        ), a AS (SELECT n AS n_a, sy AS sy_a, syy AS syy_a FROM arms
+                 WHERE arm = 0),
+        b AS (SELECT n AS n_b, sy AS sy_b, syy AS syy_b FROM arms
+              WHERE arm = 1)
+        SELECT a.n_a, b.n_b,
+               CAST(a.sy_a AS DOUBLE) / {da} / 100.0 AS mean_a,
+               CAST(b.sy_b AS DOUBLE) / {db_} / 100.0 AS mean_b,
+               (CAST(a.sy_a AS DOUBLE) / {da} / 100.0
+                - CAST(b.sy_b AS DOUBLE) / {db_} / 100.0)
+                 / sqrt({se2a} + {se2b}) AS t_stat,
+               ({se2a} + {se2b}) * ({se2a} + {se2b})
+                 / ({se2a} * {se2a} / ({da} - 1.0)
+                    + {se2b} * {se2b} / ({db_} - 1.0)) AS df
+        FROM a CROSS JOIN b
+    """
+
+
 def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout on purchase totals (pre-period Jan 1-15,
     experiment Jan 15-Feb 1, salted-hash arms): per-arm means, pooled
@@ -3154,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "welch_ttest": q_welch_ttest,
         "ab_experiment": q_ab_experiment,
         "bootstrap_ci": q_bootstrap_ci,
         "pca_top_component": q_pca_top_component,
@@ -3184,8 +3238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changed_ranges": q_changed_ranges,
         "csv_export": q_csv_export,
         "decimate_envelope": q_decimate_envelope,
-        "dedup_clusters": q_dedup_clusters,
         # ---- position 51+ --------------------------------------------
+        "dedup_clusters": q_dedup_clusters,
         "delete_range": q_delete_range,
         "exact_dedup": q_exact_dedup,
         "insert_cap": q_insert_cap,
@@ -3687,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "welch_ttest": _welch_oracle_sql(),
         "ab_experiment": _ab_oracle_sql(),
         "bootstrap_ci": _bootstrap_oracle_sql(),
         "pca_top_component": _pca_oracle_sql(),

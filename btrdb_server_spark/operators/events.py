@@ -706,3 +706,100 @@ def ab_experiment(
         .select("arm", "n", "mean_x", "mean_y", "mean_y_adj", "theta", "srm_chi2")
         .orderBy("arm")
     )
+
+
+def welch_ttest(
+    events: DataFrame,
+    split_ns: int,
+    start: int,
+    end: int,
+    metric_type: str = "purchase",
+    salt: str = "ab",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between the two hash arms of
+    ab_experiment, on the experiment-period per-user totals: t statistic
+    and Welch-Satterthwaite degrees of freedom — the significance readout
+    next to the effect size. One row: n_a, n_b, mean_a, mean_b, t_stat,
+    df.
+
+    Exactness: per-arm n, Σy, Σy² are exact integers (decimal(38,0));
+    sample variance, t and df are fixed double op sequences over them,
+    mirrored by the oracle. Scale shape: one groupBy(user), one 2-row
+    aggregate."""
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    t = epoch_ns_expr(events, ts_col)
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    per_user = (
+        events.where(
+            (F.col(type_col) == F.lit(metric_type))
+            & (t >= F.lit(split_ns))
+            & (t < F.lit(end))
+        )
+        .select(F.col(user_col).alias("u"), vq.alias("yq"))
+        .groupBy("u")
+        .agg(F.sum("yq").alias("y"))
+        .select(
+            "y",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(salt), F.col("u"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("sy").alias("sy_a"), F.col("syy").alias("syy_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("sy").alias("sy_b"), F.col("syy").alias("syy_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    q = float(round(1.0 / value_quantum))
+    mean_a = d("sy_a") / d("n_a") / F.lit(q)
+    mean_b = d("sy_b") / d("n_b") / F.lit(q)
+    var_a = (
+        (d("syy_a") - d("sy_a") * d("sy_a") / d("n_a"))
+        / (d("n_a") - F.lit(1.0))
+        / F.lit(q * q)
+    )
+    var_b = (
+        (d("syy_b") - d("sy_b") * d("sy_b") / d("n_b"))
+        / (d("n_b") - F.lit(1.0))
+        / F.lit(q * q)
+    )
+    se2a = var_a / d("n_a")
+    se2b = var_b / d("n_b")
+    t_stat = (mean_a - mean_b) / F.sqrt(se2a + se2b)
+    df = (
+        (se2a + se2b)
+        * (se2a + se2b)
+        / (
+            se2a * se2a / (d("n_a") - F.lit(1.0))
+            + se2b * se2b / (d("n_b") - F.lit(1.0))
+        )
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        t_stat.alias("t_stat"),
+        df.alias("df"),
+    )
