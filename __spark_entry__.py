@@ -2416,6 +2416,89 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the view stream: Jan 1-15 reference deciles vs Jan
+    15-Feb current period, Laplace-smoothed, sorted-fold total."""
+    from btrdb_server_spark.operators.stat import psi_drift
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return psi_drift(pts, "view", T_2024, T_JAN15, T_JAN15, T_FEB)
+
+
+def _psi_oracle_sql(bins: int = 10) -> str:
+    picks = ",\n                   ".join(
+        f"min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.nr AS DOUBLE) * {k / bins})"
+        f" AS BIGINT) THEN cum.vq END) AS c{k}"
+        for k in range(1, bins)
+    )
+    binexpr = " + ".join(
+        f"(CASE WHEN h.vq >= cuts.c{k} THEN 1 ELSE 0 END)" for k in range(1, bins)
+    )
+    return f"""
+        {PTS_CTE}, href AS (
+            SELECT CAST(round(value / 0.01) AS BIGINT) AS vq, count(*) AS c
+            FROM pts WHERE uuid = 'view'
+              AND time >= {T_2024} AND time < {T_JAN15} GROUP BY 1
+        ), hcur AS (
+            SELECT CAST(round(value / 0.01) AS BIGINT) AS vq, count(*) AS c
+            FROM pts WHERE uuid = 'view'
+              AND time >= {T_JAN15} AND time < {T_FEB} GROUP BY 1
+        ), cum AS (
+            SELECT vq, CAST(sum(c) OVER (ORDER BY vq
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM href
+        ), t AS (SELECT CAST(sum(c) AS BIGINT) AS nr FROM href),
+        cuts AS (
+            SELECT {picks}
+            FROM cum, t
+        ), bref AS (
+            SELECT CAST({binexpr} AS BIGINT) AS bin, CAST(sum(h.c) AS BIGINT)
+                       AS n_ref
+            FROM href h CROSS JOIN cuts GROUP BY 1
+        ), bcur AS (
+            SELECT CAST({binexpr} AS BIGINT) AS bin, CAST(sum(h.c) AS BIGINT)
+                       AS n_cur
+            FROM hcur h CROSS JOIN cuts GROUP BY 1
+        ), spine AS (SELECT range AS bin FROM range(0, {bins})),
+        both_ AS (
+            SELECT spine.bin, COALESCE(bref.n_ref, 0) AS n_ref,
+                   COALESCE(bcur.n_cur, 0) AS n_cur
+            FROM spine LEFT JOIN bref USING (bin) LEFT JOIN bcur USING (bin)
+        ), totals AS (
+            SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                   CAST(sum(n_cur) AS BIGINT) AS tc
+            FROM both_
+        ), terms AS (
+            SELECT bin, n_ref, n_cur,
+                   (((CAST(n_cur AS DOUBLE) + 1.0)
+                     / (CAST(tc AS DOUBLE) + {float(bins)})
+                     - (CAST(n_ref AS DOUBLE) + 1.0)
+                       / (CAST(tr AS DOUBLE) + {float(bins)}))
+                    * ln(((CAST(n_cur AS DOUBLE) + 1.0)
+                          / (CAST(tc AS DOUBLE) + {float(bins)}))
+                         / ((CAST(n_ref AS DOUBLE) + 1.0)
+                            / (CAST(tr AS DOUBLE) + {float(bins)}))))
+                       AS psi_term
+            FROM both_ CROSS JOIN totals
+        ), folded AS (
+            SELECT CAST(0 AS DOUBLE)
+                   + list_reduce(list(psi_term ORDER BY bin),
+                                 (a, b) -> a + b) AS psi
+            FROM terms
+        )
+        SELECT terms.bin, terms.n_ref, terms.n_cur, terms.psi_term, folded.psi
+        FROM terms CROSS JOIN folded ORDER BY terms.bin
+    """
+
+
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user January purchase concentration from
+    the integer sorted-rank identity; one 4-op double at the end."""
+    from btrdb_server_spark.operators.events import gini_spend
+
+    return gini_spend(load_table(spark, sf_dir, "events"), T_2024, T_FEB)
+
+
 def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's t between the two hash arms on experiment-period purchase
     totals: t and Welch-Satterthwaite df from exact per-arm integer
@@ -3207,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "psi_drift": q_psi_drift,
+        "gini_spend": q_gini_spend,
         "welch_ttest": q_welch_ttest,
         "ab_experiment": q_ab_experiment,
         "bootstrap_ci": q_bootstrap_ci,
@@ -3235,10 +3320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_quantiles": q_aligned_quantiles,
         "buffer_query_version": q_buffer_query_version,
         "buffer_read_your_writes": q_buffer_read_your_writes,
-        "changed_ranges": q_changed_ranges,
-        "csv_export": q_csv_export,
         "decimate_envelope": q_decimate_envelope,
         # ---- position 51+ --------------------------------------------
+        "changed_ranges": q_changed_ranges,
+        "csv_export": q_csv_export,
         "dedup_clusters": q_dedup_clusters,
         "delete_range": q_delete_range,
         "exact_dedup": q_exact_dedup,
@@ -3740,6 +3825,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "psi_drift": _psi_oracle_sql(),
+        "gini_spend": f"""
+            WITH ev AS (
+                SELECT user_id AS u, epoch_ns(ts) AS t,
+                       CAST(round(value / 0.01) AS BIGINT) AS vq
+                FROM events WHERE event_type = 'purchase'
+            ), pu AS (
+                SELECT u, CAST(sum(vq) AS BIGINT) AS y
+                FROM ev WHERE t >= {T_2024} AND t < {T_FEB} GROUP BY 1
+            ), ranked AS (
+                SELECT y, CAST(row_number() OVER (ORDER BY y, u) AS BIGINT) AS i
+                FROM pu
+            ), agg AS (
+                SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS ty,
+                       sum(CAST(i AS HUGEINT) * y) AS iy
+                FROM ranked
+            )
+            SELECT n AS n_users, CAST(ty AS DOUBLE) / 100.0 AS total,
+                   2.0 * CAST(iy AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(ty AS DOUBLE))
+                   - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+            FROM agg
         """,
         "welch_ttest": _welch_oracle_sql(),
         "ab_experiment": _ab_oracle_sql(),

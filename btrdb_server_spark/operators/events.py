@@ -803,3 +803,61 @@ def welch_ttest(
         t_stat.alias("t_stat"),
         df.alias("df"),
     )
+
+
+def gini_spend(
+    events: DataFrame,
+    start: int,
+    end: int,
+    metric_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Gini coefficient of per-user spend concentration — "do 1% of users
+    drive 99% of revenue?" — from the sorted-rank identity
+    G = 2·Σ i·y₍ᵢ₎ / (n·Σy) − (n+1)/n over the ranked per-user totals.
+    One row: n_users, total, gini.
+
+    Exactness: per-user totals and the rank-weighted sum Σ i·y₍ᵢ₎ are
+    exact integers (decimal(38,0); ranks ordered by (total, user) so ties
+    break deterministically); the Gini is a fixed 4-op double sequence.
+    Scale shape: one groupBy(user), one rank window over the USER-count
+    table (not events), one 1-row aggregate."""
+    from pyspark.sql import Window as W
+
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    t = epoch_ns_expr(events, ts_col)
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    per_user = (
+        events.where(
+            (F.col(type_col) == F.lit(metric_type))
+            & (t >= F.lit(start))
+            & (t < F.lit(end))
+        )
+        .select(F.col(user_col).alias("u"), vq.alias("yq"))
+        .groupBy("u")
+        .agg(F.sum("yq").alias("y"))
+    )
+    w = W.orderBy("y", "u")
+    ranked = per_user.select(
+        "y", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("ty"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("y")).alias("iy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    q = float(round(1.0 / value_quantum))
+    gini = (
+        F.lit(2.0) * d("iy") / (d("n") * d("ty"))
+        - (d("n") + F.lit(1.0)) / d("n")
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        (d("ty") / F.lit(q)).alias("total"),
+        gini.alias("gini"),
+    )

@@ -1228,3 +1228,108 @@ def bootstrap_ci(
         "ci_lo",
         "ci_hi",
     )
+
+
+def psi_drift(
+    points: DataFrame,
+    uuid: str,
+    ref_start: int,
+    ref_end: int,
+    cur_start: int,
+    cur_end: int,
+    bins: int = 10,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Population-stability-index drift report between a reference and a
+    current period of one stream: bin edges are the REFERENCE deciles
+    (exact type-1 picks on the quantized-value histogram), both periods
+    are counted into those fixed bins, and
+    PSI = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref) with Laplace-smoothed
+    probabilities (k+1)/(n+bins) so empty current bins stay finite —
+    the ML-monitoring staple for "did this feature's distribution move
+    between training and serving". One row per bin: (bin, n_ref, n_cur,
+    psi_term, psi); psi is the total, repeated.
+
+    Exactness: edges and counts are integers; probabilities are fixed
+    divisions; the only float accumulation (Σ psi_term over `bins` terms)
+    is a SORTED fold. Scale shape: two histogram groupBys (value-domain
+    scale), one cut-point window, broadcast edge table everywhere."""
+    if bins < 2:
+        raise ValueError("need >= 2 bins")
+
+    def hist(lo: int, hi: int) -> DataFrame:
+        return (
+            points.where(
+                (F.col("uuid") == F.lit(uuid)) & time_range_pred(lo, hi)
+            )
+            .select(
+                F.round(F.col("value") / F.lit(value_quantum))
+                .cast("long")
+                .alias("vq")
+            )
+            .groupBy("vq")
+            .agg(F.count("*").alias("c"))
+        )
+
+    href, hcur = hist(ref_start, ref_end), hist(cur_start, cur_end)
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = href.select("vq", F.sum("c").over(w).alias("cum"))
+    tot = href.agg(F.sum("c").alias("nr"))
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.col("nr").cast("double") * F.lit(k / bins)),
+                F.col("vq"),
+            )
+        ).alias(f"c{k}")
+        for k in range(1, bins)
+    ]
+    cuts = cum.crossJoin(F.broadcast(tot)).groupBy("nr").agg(*picks)
+
+    def binned(h: DataFrame, label: str) -> DataFrame:
+        b = None
+        for k in range(1, bins):
+            term = F.when(F.col("vq") >= F.col(f"c{k}"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            b = term if b is None else b + term
+        return (
+            h.crossJoin(F.broadcast(cuts))
+            .select(b.cast("long").alias("bin"), "c")
+            .groupBy("bin")
+            .agg(F.sum("c").alias(label))
+        )
+
+    spark = points.sparkSession
+    spine = spark.range(0, bins).select(F.col("id").alias("bin"))
+    both = (
+        spine.join(binned(href, "n_ref"), "bin", "left")
+        .join(binned(hcur, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = both.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pr = (d("n_ref") + F.lit(1.0)) / (d("tr") + F.lit(float(bins)))
+    pc = (d("n_cur") + F.lit(1.0)) / (d("tc") + F.lit(float(bins)))
+    terms = both.crossJoin(F.broadcast(totals)).select(
+        "bin", "n_ref", "n_cur", ((pc - pr) * F.log(pc / pr)).alias("psi_term")
+    )
+    folded = terms.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "psi_term"))).alias("arr")
+    ).select(
+        F.aggregate(
+            F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["psi_term"]
+        ).alias("psi")
+    )
+    return (
+        terms.crossJoin(F.broadcast(folded))
+        .select("bin", "n_ref", "n_cur", "psi_term", "psi")
+        .orderBy("bin")
+    )
