@@ -2416,6 +2416,14 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP cube over (returnflag, linestatus): leaf cells, subtotals,
+    grand total in one grouping-sets aggregation; revenue in exact cents."""
+    from btrdb_server_spark.operators.olap import revenue_rollup
+
+    return revenue_rollup(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift of the view stream: Jan 1-15 reference deciles vs Jan
     15-Feb current period, Laplace-smoothed, sorted-fold total."""
@@ -3290,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "revenue_rollup": q_revenue_rollup,
         "psi_drift": q_psi_drift,
         "gini_spend": q_gini_spend,
         "welch_ttest": q_welch_ttest,
@@ -3319,9 +3328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_windowed": q_align_windowed,
         "aligned_quantiles": q_aligned_quantiles,
         "buffer_query_version": q_buffer_query_version,
-        "buffer_read_your_writes": q_buffer_read_your_writes,
         "decimate_envelope": q_decimate_envelope,
         # ---- position 51+ --------------------------------------------
+        "buffer_read_your_writes": q_buffer_read_your_writes,
         "changed_ranges": q_changed_ranges,
         "csv_export": q_csv_export,
         "dedup_clusters": q_dedup_clusters,
@@ -3825,6 +3834,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "revenue_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   CAST(sum(CAST(round(l_extendedprice / 0.01) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus
         """,
         "psi_drift": _psi_oracle_sql(),
         "gini_spend": f"""

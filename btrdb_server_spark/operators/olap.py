@@ -176,3 +176,32 @@ def late_order_priority(
         .agg(F.count("*").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP cube over (returnflag, linestatus): per-cell,
+    per-returnflag-subtotal and grand-total revenue in ONE aggregation
+    pass — Catalyst expands the grouping sets and the shuffle still
+    map-side combines, so the cube costs one scan, not three. gid is the
+    standard grouping bitmask (0 = leaf cell, 1 = linestatus rolled up,
+    3 = grand total). Revenue exact in integer cents. Columns:
+    l_returnflag, l_linestatus, gid, revenue, n_items."""
+    cents = _h(F.col("l_extendedprice"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        lineitem.select("l_returnflag", "l_linestatus", cents.alias("cents"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(dec("cents")).alias("s_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "gid",
+            (F.col("s_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            "n_items",
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
