@@ -2416,6 +2416,59 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier purchase-lifetime survival over January: churn = last
+    purchase >7 days before range end, right-censored otherwise; KM
+    product as a sorted fold over the distinct-lifetime factors."""
+    from btrdb_server_spark.operators.events import kaplan_meier
+
+    return kaplan_meier(
+        load_table(spark, sf_dir, "events"), T_2024, T_FEB,
+        metric_type="purchase",
+    )
+
+
+def _km_oracle_sql() -> str:
+    gap = 604_800_000_000_000
+    return f"""
+        WITH ev AS (
+            SELECT user_id AS u, epoch_ns(ts) AS t FROM events
+            WHERE event_type = 'purchase'
+        ), pu AS (
+            SELECT u, min(t) AS ft, max(t) AS lt FROM ev
+            WHERE t >= {T_2024} AND t < {T_FEB} GROUP BY 1
+        ), lf AS (
+            SELECT (lt - ft) // {DAY_NS} AS life,
+                   (lt < {T_FEB - gap}) AS churned
+            FROM pu
+        ), bl AS (
+            SELECT life, count(*) AS n_at,
+                   CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM lf GROUP BY 1
+        ), rk AS (
+            SELECT life, d,
+                   CAST(sum(n_at) OVER (ORDER BY life DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+            FROM bl
+        ), arr AS (
+            SELECT list(struct_pack(
+                       life := life,
+                       f := CAST(1 AS DOUBLE)
+                            - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE),
+                       d := d, n_risk := n_risk) ORDER BY life) AS a
+            FROM rk WHERE d > 0
+        )
+        SELECT a[u.i].life AS t_days, a[u.i].n_risk AS n_risk,
+               a[u.i].d AS n_churn,
+               list_reduce(
+                   list_concat([CAST(1 AS DOUBLE)],
+                               list_transform(a[1:u.i], x -> x.f)),
+                   (p, q) -> p * q) AS survival
+        FROM arr, unnest(range(1, len(a) + 1)) AS u(i)
+        ORDER BY t_days
+    """
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP cube over (returnflag, linestatus): leaf cells, subtotals,
     grand total in one grouping-sets aggregation; revenue in exact cents."""
@@ -3298,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "kaplan_meier": q_kaplan_meier,
         "revenue_rollup": q_revenue_rollup,
         "psi_drift": q_psi_drift,
         "gini_spend": q_gini_spend,
@@ -3327,9 +3381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_windows": q_aligned_windows,
         "align_windowed": q_align_windowed,
         "aligned_quantiles": q_aligned_quantiles,
-        "buffer_query_version": q_buffer_query_version,
         "decimate_envelope": q_decimate_envelope,
         # ---- position 51+ --------------------------------------------
+        "buffer_query_version": q_buffer_query_version,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "changed_ranges": q_changed_ranges,
         "csv_export": q_csv_export,
@@ -3835,6 +3889,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "kaplan_meier": _km_oracle_sql(),
         "revenue_rollup": """
             SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -861,3 +861,91 @@ def gini_spend(
         (d("ty") / F.lit(q)).alias("total"),
         gini.alias("gini"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    start: int,
+    end: int,
+    churn_gap_ns: int = 604_800_000_000_000,  # 7 days
+    day_ns: int = 86_400_000_000_000,
+    metric_type: str | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime: per user, lifetime =
+    last activity − first activity (whole days); a user has CHURNED
+    (event observed) if their last activity is more than churn_gap before
+    the range end, else they are right-censored — the standard retention
+    curve that, unlike naive "days active" averages, handles censoring
+    correctly. One row per distinct lifetime with an observed churn:
+    (t_days, n_risk, n_churn, survival), survival = Π_{t'<=t}
+    (1 − d_{t'}/n_{t'}).
+
+    Exactness: lifetimes, risk sets and churn counts are integers; the
+    KM product is a SORTED fold over the (few) distinct-lifetime factors,
+    each factor a fixed 3-op double — engine-exact like every other
+    sequential fold here.
+
+    Scale shape: one groupBy(user) (min/max), one groupBy(lifetime), a
+    cumulative window over the distinct-lifetime table, a 1-row fold."""
+    from pyspark.sql import Window as W
+
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    t = epoch_ns_expr(events, ts_col)
+    cond = (t >= F.lit(start)) & (t < F.lit(end))
+    if metric_type is not None:
+        # lifetime on a sparse activity type (e.g. purchases): a feed
+        # where every user pings daily has no churners on the full stream
+        cond = cond & (F.col(type_col) == F.lit(metric_type))
+    per_user = (
+        events.where(cond)
+        .select(F.col(user_col).alias("u"), t.alias("t"))
+        .groupBy("u")
+        .agg(F.min("t").alias("first_t"), F.max("t").alias("last_t"))
+        .select(
+            F.expr(f"(last_t - first_t) div {day_ns}").alias("life"),
+            (F.col("last_t") < F.lit(end - churn_gap_ns)).alias("churned"),
+        )
+    )
+    by_life = per_user.groupBy("life").agg(
+        F.count("*").alias("n_at"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
+    )
+    # risk set: users with lifetime >= t (they were "alive" through t)
+    w = W.orderBy(F.col("life").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = by_life.select(
+        "life", "d", F.sum("n_at").over(w).alias("n_risk")
+    ).where(F.col("d") > 0)
+    # sorted product fold over the (life, factor) table
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")
+    folded = risk.select(
+        F.struct("life", factor.alias("f"), "d", "n_risk").alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("arr"))
+    # running product per row: emit (life, n_risk, d, survival) by folding
+    # prefixes — the array is distinct-lifetime-sized, so the quadratic
+    # prefix replay is metadata-scale.
+    rows = folded.select(
+        F.explode(
+            F.transform(
+                F.col("arr"),
+                lambda s, i: F.struct(
+                    s["life"].alias("t_days"),
+                    s["n_risk"].alias("n_risk"),
+                    s["d"].alias("n_churn"),
+                    F.aggregate(
+                        F.slice(F.col("arr"), 1, i + 1),
+                        F.lit(1.0),
+                        lambda acc, x: acc * x["f"],
+                    ).alias("survival"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.t_days", "r.n_risk", "r.n_churn", "r.survival").orderBy(
+        "t_days"
+    )
