@@ -606,3 +606,115 @@ def test_pagerank_mass_conservation_bound(spark, pts):
     assert total <= n * RANK_ONE
     floor_min = (15 * (RANK_ONE // n)) // 100
     assert all(r.rank_fp >= floor_min for r in out)
+
+
+@given(pts=q2_points)
+@SET
+def test_twa_hold_matches_bruteforce(spark, pts):
+    """Step-hold TWA against a pure-python segment replay: per window the
+    covered ns and the exact numerator agree, and total coverage equals
+    the span from the first point to T1."""
+    from collections import defaultdict
+
+    from btrdb_server_spark.operators.stat import twa_hold
+
+    width = (T1 - T0) // 8
+    got = {
+        r.time: (r.covered_ns, r.twa)
+        for r in twa_hold(_df(spark, pts), "s", T0, T1, width).collect()
+    }
+    ordered = sorted((t, round(v * 100)) for t, v in pts)
+    # last point per duplicate timestamp holds (value tiebreak ordering)
+    num, cov = defaultdict(int), defaultdict(int)
+    for idx, (t, vq) in enumerate(ordered):
+        e = ordered[idx + 1][0] if idx + 1 < len(ordered) else T1
+        s = t
+        while s < e:
+            w = (s - T0) // width
+            stop = min(e, T0 + (w + 1) * width)
+            num[w] += vq * (stop - s)
+            cov[w] += stop - s
+            s = stop
+    exp = {
+        T0 + w * width: (cov[w], float(num[w]) / float(cov[w]) / 100.0)
+        for w in cov
+        if cov[w] > 0
+    }
+    assert got == exp
+    assert sum(c for c, _ in got.values()) == T1 - ordered[0][0]
+
+
+@given(pts=q2_points)
+@SET
+def test_kalman_matches_bruteforce(spark, pts):
+    """Per-window Kalman finals against the identical python fold (same
+    duplicated-intermediate op order)."""
+    from collections import defaultdict
+
+    from btrdb_server_spark.operators.derive import kalman_level
+
+    width = (T1 - T0) // 4
+    got = {
+        r.time: (r.n, r.level, r.p_var, r.gain)
+        for r in kalman_level(_df(spark, pts), "s", T0, T1, width).collect()
+    }
+    groups = defaultdict(list)
+    for t, v in sorted(pts):
+        groups[(t - T0) // width].append(v)
+    exp = {}
+    for w, vs in groups.items():
+        x, p, k = vs[0], 4.0, 0.0
+        for z in vs[1:]:
+            ppred = p + 0.25
+            k = ppred / (ppred + 4.0)
+            x = x + k * (z - x)
+            p = (1.0 - k) * ppred
+        exp[T0 + w * width] = (len(vs), x, p, k)
+    assert got == exp
+
+
+@given(pts=q2_points)
+@SET
+def test_kaplan_meier_matches_bruteforce(spark, pts):
+    """KM curve against a direct python recomputation on per-user
+    lifetimes (users = value cents mod 5, churn gap = 1/4 of the range)."""
+    from collections import defaultdict
+
+    from btrdb_server_spark.operators.events import kaplan_meier
+
+    gap = (T1 - T0) // 4
+    day = (T1 - T0) // 20
+    rows = [
+        (int(round(v * 100)) % 5, t, "e", i, "{}")
+        for i, (t, v) in enumerate(pts)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long, props string"
+    )
+    got = [
+        (r.t_days, r.n_risk, r.n_churn, r.survival)
+        for r in kaplan_meier(
+            ev, T0, T1, churn_gap_ns=gap, day_ns=day
+        ).collect()
+    ]
+    span = defaultdict(list)
+    for u, t, *_ in rows:
+        span[u].append(t)
+    lives = [
+        ((max(ts) - min(ts)) // day, max(ts) < T1 - gap)
+        for ts in span.values()
+    ]
+    by_life = defaultdict(lambda: [0, 0])
+    for life, ch in lives:
+        by_life[life][0] += 1
+        by_life[life][1] += 1 if ch else 0
+    exp, surv = [], 1.0
+    risk = len(lives)
+    for life in sorted(by_life):
+        n_at, d = by_life[life]
+        if d > 0:
+            # n_risk = users with lifetime >= life
+            n_risk = sum(n for l2, (n, _) in by_life.items() if l2 >= life)
+            surv = surv * (1.0 - float(d) / float(n_risk))
+            exp.append((life, n_risk, d, surv))
+    assert got == exp
