@@ -3317,16 +3317,15 @@ def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate: the external driver checks the FIRST 50
     entries, so coverage rotates between rounds. Round-6 window =
-    (a) the 21 entries that have never had a driver row in any round
+    (a) the 21 entries that had never had a driver row through r05
     (r05 checked the 50 newest/changed ops — all green — leaving these
-    deferred at 51+); (b) operators new in round 6; (c) rotated green
-    anchors whose last driver row is r03 (the stalest), one per SURVEY
-    family, near-duplicate variants (aligned_windows_all, nearest_after
-    twins, metadata_ann_usage, changed_ranges_all, token_freq,
-    minhash_signatures) left at 51+. Every r05-green entry moved past 50
-    banked its row this round; everything at 51+ is validated by
-    scripts/check_driver.py (bit-exact, the driver's own compare) before
-    round end."""
+    deferred at 51+); (b) the 27 operators new in round 6 (every new op
+    earns its row immediately); (c) three of the rotated r03-stale green
+    anchors (aligned_windows, align_windowed, aligned_quantiles) — the
+    rest of the stale-anchor refresh yields its seats to the new ops and
+    rotates in round 7. Every r05-green entry moved past 50 banked its
+    row; everything at 51+ is validated by scripts/check_driver.py
+    (bit-exact, the driver's own compare) before round end."""
     return {
         # -- round-6 window: the 21 never-driver-checked entries first --
         "ngram_freq": q_ngram_freq,
