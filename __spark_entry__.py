@@ -2416,6 +2416,15 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift statistic for the view stream, Jan 1-15 vs Jan
+    15-Feb: integer |n_b·cum_a − n_a·cum_b| argmax, one division."""
+    from btrdb_server_spark.operators.stat import ks_test
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return ks_test(pts, "view", T_2024, T_JAN15, T_JAN15, T_FEB)
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier purchase-lifetime survival over January: churn = last
     purchase >7 days before range end, right-censored otherwise; KM
@@ -3350,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "ks_test": q_ks_test,
         "kaplan_meier": q_kaplan_meier,
         "revenue_rollup": q_revenue_rollup,
         "psi_drift": q_psi_drift,
@@ -3379,9 +3389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated r03-stale green anchors (one per SURVEY family) ----
         "aligned_windows": q_aligned_windows,
         "align_windowed": q_align_windowed,
-        "aligned_quantiles": q_aligned_quantiles,
         "decimate_envelope": q_decimate_envelope,
         # ---- position 51+ --------------------------------------------
+        "aligned_quantiles": q_aligned_quantiles,
         "buffer_query_version": q_buffer_query_version,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "changed_ranges": q_changed_ranges,
@@ -3887,6 +3897,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "ks_test": f"""
+            {PTS_CTE}, ha AS (
+                SELECT CAST(round(value / 0.01) AS BIGINT) AS vq,
+                       count(*) AS ca
+                FROM pts WHERE uuid = 'view'
+                  AND time >= {T_2024} AND time < {T_JAN15} GROUP BY 1
+            ), hb AS (
+                SELECT CAST(round(value / 0.01) AS BIGINT) AS vq,
+                       count(*) AS cb
+                FROM pts WHERE uuid = 'view'
+                  AND time >= {T_JAN15} AND time < {T_FEB} GROUP BY 1
+            ), merged AS (
+                SELECT COALESCE(ha.vq, hb.vq) AS vq,
+                       COALESCE(ha.ca, 0) AS ca, COALESCE(hb.cb, 0) AS cb
+                FROM ha FULL OUTER JOIN hb ON ha.vq = hb.vq
+            ), cum AS (
+                SELECT vq,
+                       CAST(sum(ca) OVER (ORDER BY vq
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+                       CAST(sum(cb) OVER (ORDER BY vq
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+                FROM merged
+            ), tot AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b
+                FROM merged
+            ), scored AS (
+                SELECT tot.n_a, tot.n_b,
+                       abs(tot.n_b * cum.cum_a - tot.n_a * cum.cum_b) AS g,
+                       cum.vq
+                FROM cum CROSS JOIN tot
+            ), best AS (
+                SELECT n_a, n_b, g, vq,
+                       row_number() OVER (ORDER BY g DESC, vq DESC) AS rn
+                FROM scored
+            )
+            SELECT n_a, n_b,
+                   CAST(g AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d_stat,
+                   CAST(vq AS DOUBLE) / 100.0 AS at_value
+            FROM best WHERE rn = 1
         """,
         "kaplan_meier": _km_oracle_sql(),
         "revenue_rollup": """

@@ -1333,3 +1333,77 @@ def psi_drift(
         .select("bin", "n_ref", "n_cur", "psi_term", "psi")
         .orderBy("bin")
     )
+
+
+def ks_test(
+    points: DataFrame,
+    uuid: str,
+    a_start: int,
+    a_end: int,
+    b_start: int,
+    b_end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two periods of one
+    stream: D = max over the merged value domain of |ECDF_a − ECDF_b| —
+    the bin-free drift test next to psi_drift's binned report. One row:
+    n_a, n_b, d_stat, at_value (the value where the gap peaks; largest
+    such value on ties).
+
+    Exactness: ECDFs never materialize as floats — the maximized quantity
+    is the INTEGER |n_b·cum_a(v) − n_a·cum_b(v)| on the distinct-value
+    histogram, the argmax is a struct-max (deterministic tie-break), and
+    D is one double division at the end. Scale shape: two value-domain
+    histograms, one merged cumulative window, a single struct-max
+    aggregate — nothing point-scale past the groupBys."""
+
+    def hist(lo: int, hi: int, label: str) -> DataFrame:
+        return (
+            points.where(
+                (F.col("uuid") == F.lit(uuid)) & time_range_pred(lo, hi)
+            )
+            .select(
+                F.round(F.col("value") / F.lit(value_quantum))
+                .cast("long")
+                .alias("vq")
+            )
+            .groupBy("vq")
+            .agg(F.count("*").alias(label))
+        )
+
+    ha, hb = hist(a_start, a_end, "ca"), hist(b_start, b_end, "cb")
+    merged = ha.join(hb, "vq", "full").select(
+        "vq",
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        "vq",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = merged.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    gap = (
+        F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")
+    )
+    best = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.struct(F.abs(gap).alias("g"), F.col("vq").alias("vq")).alias("cand"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("cand").alias("m"))
+    )
+    q = float(round(1.0 / value_quantum))
+    return best.select(
+        "n_a",
+        "n_b",
+        (
+            F.col("m.g").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("d_stat"),
+        (F.col("m.vq").cast("double") / F.lit(q)).alias("at_value"),
+    )
