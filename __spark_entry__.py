@@ -2416,6 +2416,15 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of the error stream's January gaps
+    (bucketed lag, exact integer moments, fixed double sequence)."""
+    from btrdb_server_spark.operators.derive import burstiness
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return burstiness(pts, "error", T_2024, T_FEB, bucket_pw=42)
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift statistic for the view stream, Jan 1-15 vs Jan
     15-Feb: integer |n_b·cum_a − n_a·cum_b| argmax, one division."""
@@ -3359,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "burstiness": q_burstiness,
         "ks_test": q_ks_test,
         "kaplan_meier": q_kaplan_meier,
         "revenue_rollup": q_revenue_rollup,
@@ -3391,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_windowed": q_align_windowed,
         "decimate_envelope": q_decimate_envelope,
         # ---- position 51+ --------------------------------------------
+        "align_windowed": q_align_windowed,
         "aligned_quantiles": q_aligned_quantiles,
         "buffer_query_version": q_buffer_query_version,
         "buffer_read_your_writes": q_buffer_read_your_writes,
@@ -3897,6 +3908,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT time, value FROM pts
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
+        """,
+        "burstiness": f"""
+            {PTS_CTE}, l AS (
+                SELECT time, lag(time) OVER (ORDER BY time, value) AS pt
+                FROM pts
+                WHERE uuid = 'error' AND time >= {T_2024} AND time < {T_FEB}
+            ), gp AS (SELECT time - pt AS g FROM l WHERE pt IS NOT NULL),
+            agg AS (
+                SELECT count(*) AS n_gaps, CAST(sum(g) AS BIGINT) AS sg,
+                       sum(CAST(g AS HUGEINT) * g) AS sgg
+                FROM gp
+            )
+            SELECT n_gaps,
+                   CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_ns,
+                   sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                        - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                          * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                       AS std_ns,
+                   (sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                         - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                           * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                    - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   / (sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                           - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                             * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                      + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS b
+            FROM agg
         """,
         "ks_test": f"""
             {PTS_CTE}, ha AS (

@@ -1335,3 +1335,40 @@ def kalman_level(
         )
         .orderBy("time")
     )
+
+
+def burstiness(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    bucket_pw: int | None = None,
+) -> DataFrame:
+    """Goh-Barabási burstiness of one stream's inter-arrival gaps:
+    B = (σ − μ)/(σ + μ) ∈ [−1, 1] — B≈−1 a metronome, B≈0 Poisson,
+    B→1 heavy bursts — the single number that tells a polled feed from an
+    event-driven one (the cadence summary interarrival_stats' percentiles
+    approximate visually). One row: n_gaps, mean_ns, std_ns, b.
+
+    Exactness: gap count/sum/sum-of-squares are exact integers
+    (decimal(38,0) for Σg²); μ, σ and B are a fixed double op sequence
+    (σ uses the population form √(Σg²/n − μ²), computed exactly as
+    written). Same bucketed-lag scale path as gaps/rate."""
+    lagged = _lagged(points, uuid, start, end, bucket_pw)
+    g = lagged.where(F.col("prev_time").isNotNull()).select(
+        (F.col("time") - F.col("prev_time")).alias("g")
+    )
+    agg = g.agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("sgg"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = d("sg") / d("n_gaps")
+    sig = F.sqrt(d("sgg") / d("n_gaps") - mu * mu)
+    return agg.select(
+        "n_gaps",
+        mu.alias("mean_ns"),
+        sig.alias("std_ns"),
+        ((sig - mu) / (sig + mu)).alias("b"),
+    )
