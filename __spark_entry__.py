@@ -2416,6 +2416,90 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-hold TWA as a continuous query: keyed state holds the frontier
+    point and the open window's integer partials; a window emits exactly
+    once when the held segment crosses its end. Union over four
+    sequential slices is bit-equal to the batch scan on closed windows."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_twa
+
+    work = tempfile.mkdtemp(prefix="btrdb_stwa_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
+        F.col("uuid").isin("purchase", "error")
+    )
+    span = (T_JAN10 - T_2024) // 4
+    for k in range(4):
+        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
+        (
+            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_twa_out"
+    q = (
+        streaming_twa(stream, T_2024, DAY_NS)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
+
+
+def _streaming_twa_oracle_sql() -> str:
+    t0, t1, w = T_2024, T_JAN10, DAY_NS
+    return f"""
+        {PTS_CTE}, src AS (
+            SELECT uuid, time, CAST(round(value / 0.01) AS BIGINT) AS vq,
+                   value
+            FROM pts
+            WHERE uuid IN ('purchase', 'error')
+              AND time >= {t0} AND time < {t1}
+        ), seg AS (
+            SELECT uuid, time AS s,
+                   lead(time) OVER (PARTITION BY uuid
+                                    ORDER BY time, value) AS e,
+                   vq
+            FROM src
+        ), mx AS (SELECT uuid, max(time) AS maxt FROM src GROUP BY 1),
+        frag AS (
+            SELECT seg.uuid, u.widx, seg.vq,
+                   least(seg.e, {t0} + (u.widx + 1) * {w})
+                     - greatest(seg.s, {t0} + u.widx * {w}) AS ov
+            FROM seg, unnest(generate_series(
+                    (seg.s - {t0}) // {w},
+                    (seg.e - 1 - {t0}) // {w})) AS u(widx)
+            WHERE seg.e IS NOT NULL AND seg.e > seg.s
+        ), agg AS (
+            SELECT uuid, widx, sum(CAST(vq AS HUGEINT) * ov) AS num,
+                   CAST(sum(ov) AS BIGINT) AS cov
+            FROM frag GROUP BY 1, 2
+        )
+        SELECT agg.uuid, {t0} + agg.widx * {w} AS time,
+               agg.cov AS covered_ns,
+               CAST(agg.num AS DOUBLE) / CAST(agg.cov AS DOUBLE) / 100.0
+                   AS twa
+        FROM agg JOIN mx ON agg.uuid = mx.uuid
+        WHERE agg.widx < (mx.maxt - {t0}) // {w}
+        ORDER BY agg.uuid, time
+    """
+
+
 def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goh-Barabási burstiness of the error stream's January gaps
     (bucketed lag, exact integer moments, fixed double sequence)."""
@@ -3368,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "streaming_twa": _small_state(q_streaming_twa),
         "burstiness": q_burstiness,
         "ks_test": q_ks_test,
         "kaplan_meier": q_kaplan_meier,
@@ -3909,6 +3994,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "streaming_twa": _streaming_twa_oracle_sql(),
         "burstiness": f"""
             {PTS_CTE}, l AS (
                 SELECT time, lag(time) OVER (ORDER BY time, value) AS pt

@@ -870,3 +870,109 @@ def streaming_holt(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+TWA_OUTPUT_SCHEMA = "uuid string, time long, covered_ns long, twa double"
+TWA_STATE_SCHEMA = "last_t long, last_vq long, num long, cov long"
+
+
+def _make_update_twa(start: int, width: int, quantum: float):
+    q = float(round(1.0 / quantum))
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Continue one stream's step-hold TWA across micro-batches: state
+        is the open window's partial (Σ vq·held_ns, Σ held_ns) plus the
+        held frontier point. Each arriving point extends the held segment;
+        every window boundary the segment crosses CLOSES that window and
+        emits its final (covered_ns, twa) — so the emitted union is
+        exactly the batch twa_hold over [start, frontier) minus the
+        still-open frontier window, which is the oracle. Order-defined
+        like the other recurrences: a point behind the frontier raises.
+        num stays within int64 for vq·width < 2^63 (e.g. 2-decimal values
+        up to ~10^5 with day windows); wider configs belong on the batch
+        path's decimal(38,0)."""
+        (uuid,) = key
+        if state.exists:
+            last_t, last_vq, num, cov = state.get
+        else:
+            last_t, last_vq, num, cov = None, None, 0, 0
+        out_w, out_cov, out_twa = [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["time", "value"])
+            for t, vq in zip(
+                pdf["time"].astype("int64"), pdf["vq"].astype("int64")
+            ):
+                t, vq = int(t), int(vq)
+                if last_t is not None and t < last_t:
+                    raise ValueError(
+                        f"stream {uuid}: point at {t} behind the TWA "
+                        f"frontier {last_t} — order-defined operator"
+                    )
+                if last_t is not None:
+                    s = last_t
+                    while True:
+                        w = (s - start) // width
+                        wend = start + (w + 1) * width
+                        if t <= wend:
+                            num += last_vq * (t - s)
+                            cov += t - s
+                            break
+                        num += last_vq * (wend - s)
+                        cov += wend - s
+                        out_w.append(w)
+                        out_cov.append(cov)
+                        out_twa.append(float(num) / float(cov) / q)
+                        num, cov = 0, 0
+                        s = wend
+                    if (t - start) // width > w:
+                        # segment ended exactly on the boundary: window w
+                        # is complete, the new point opens the next one
+                        if cov > 0:
+                            out_w.append(w)
+                            out_cov.append(cov)
+                            out_twa.append(float(num) / float(cov) / q)
+                        num, cov = 0, 0
+                last_t, last_vq = t, vq
+        if last_t is None:
+            return
+        state.update((last_t, last_vq, num, cov))
+        if out_w:
+            yield pd.DataFrame(
+                {
+                    "uuid": uuid,
+                    "time": [start + w * width for w in out_w],
+                    "covered_ns": out_cov,
+                    "twa": out_twa,
+                }
+            )
+
+    return fn
+
+
+def streaming_twa(
+    points_stream: DataFrame,
+    start: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Step-hold time-weighted average as a continuous query: per-stream
+    keyed state carries the held frontier point and the open window's
+    integer partials; windows emit exactly once, when the held segment
+    crosses their end — the at-ingest dual of the batch twa_hold scan,
+    bit-equal to it over the closed windows (the driver oracle)."""
+    if width <= 0:
+        raise ValueError("window width must be positive")
+    with_q = points_stream.withColumn(
+        "vq", F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    )
+    return with_q.groupBy("uuid").applyInPandasWithState(
+        _make_update_twa(start, width, value_quantum),
+        TWA_OUTPUT_SCHEMA,
+        TWA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -480,3 +480,46 @@ def test_streaming_holt_continues_two_state_recurrence(spark, tmp_path):
             lvl = lp
         exp[i] = (lvl, tr)
     assert got == exp  # bit-equal, not approx
+
+
+def test_streaming_twa_closes_windows_once(spark, tmp_path):
+    """Windows emit exactly once, when the held segment crosses their end;
+    the union equals the batch step-hold TWA on closed windows."""
+    from btrdb_server_spark.streaming.stateful import streaming_twa
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    width = 100
+    # points at t=0,30,120,250 value held stepwise; windows [0,100),[100,200)
+    write_batch(spark, src, [("s", 0, 2.0), ("s", 30, 4.0)], 1)
+    write_batch(spark, src, [("s", 120, 6.0)], 2)
+    write_batch(spark, src, [("s", 250, 8.0)], 3)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_twa(stream, 0, width)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("twa_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.time: (r.covered_ns, r.twa)
+        for r in spark.sql("SELECT * FROM twa_updates").collect()
+    }
+    # window 0: [0,30)@2 + [30,100)@4 -> (100, (30*200+70*400)/100/100)
+    # window 1: [100,120)@4 + [120,200)@6 -> (100, (20*400+80*600)/100/100)
+    # window 2 still open (frontier 250) -> not emitted
+    exp = {
+        0: (100, (30 * 200 + 70 * 400) / 100 / 100.0),
+        100: (100, (20 * 400 + 80 * 600) / 100 / 100.0),
+    }
+    assert got == exp
