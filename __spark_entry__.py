@@ -2416,6 +2416,51 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: first-activity-week cohorts, per-user
+    cumulative purchase revenue by week offset; integer sums, one
+    division per row."""
+    from btrdb_server_spark.operators.events import cohort_ltv
+
+    return cohort_ltv(load_table(spark, sf_dir, "events"), T_2024)
+
+
+WEEK_NS = 604_800_000_000_000
+
+
+def _cohort_ltv_oracle_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id AS u, epoch_ns(ts) AS t, event_type,
+                   CAST(round(value / 0.01) AS BIGINT) AS vq
+            FROM events
+        ), firsts AS (
+            SELECT u, (min(t) - {T_2024}) // {WEEK_NS} AS cohort_week
+            FROM ev GROUP BY 1
+        ), sizes AS (
+            SELECT cohort_week, count(*) AS n_users FROM firsts GROUP BY 1
+        ), rev AS (
+            SELECT f.cohort_week,
+                   ((e.t - {T_2024}) // {WEEK_NS}) - f.cohort_week
+                       AS week_offset,
+                   CAST(sum(e.vq) AS BIGINT) AS rev_q
+            FROM ev e JOIN firsts f USING (u)
+            WHERE e.event_type = 'purchase' GROUP BY 1, 2
+        ), x AS (
+            SELECT r.cohort_week, r.week_offset, s.n_users, r.rev_q,
+                   CAST(sum(r.rev_q) OVER (PARTITION BY r.cohort_week
+                        ORDER BY r.week_offset ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_q
+            FROM rev r JOIN sizes s USING (cohort_week)
+        )
+        SELECT cohort_week, week_offset, n_users,
+               CAST(rev_q AS DOUBLE) / 100.0 AS rev,
+               CAST(cum_q AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+                   AS cum_ltv
+        FROM x ORDER BY 1, 2
+    """
+
+
 def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-hold TWA as a continuous query: keyed state holds the frontier
     point and the open window's integer partials; a window emits exactly
@@ -3452,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "cohort_ltv": q_cohort_ltv,
         "streaming_twa": _small_state(q_streaming_twa),
         "burstiness": q_burstiness,
         "ks_test": q_ks_test,
@@ -3994,6 +4040,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "cohort_ltv": _cohort_ltv_oracle_sql(),
         "streaming_twa": _streaming_twa_oracle_sql(),
         "burstiness": f"""
             {PTS_CTE}, l AS (

@@ -949,3 +949,87 @@ def kaplan_meier(
     return rows.select("r.t_days", "r.n_risk", "r.n_churn", "r.survival").orderBy(
         "t_days"
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    start: int,
+    week_ns: int = 604_800_000_000_000,
+    metric_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by FIRST-ACTIVITY
+    week, each cohort's per-user cumulative metric revenue tracked by
+    week offset — the growth-accounting companion to retention_cohorts
+    (which counts comebacks; this one sums what they spend). One row per
+    (cohort_week, week_offset): n_users, rev, cum_ltv.
+
+    Exactness: revenue totals are integer quantum sums; the cumulative is
+    an int64 running sum over the tiny (cohort × offset) table; cum_ltv
+    is one double division per row. Scale shape: one groupBy(user) for
+    cohort assignment, one broadcast join back, one map-side groupBy on
+    the (cohort, offset) key, one window over the triangle table."""
+    from pyspark.sql import Window as W
+
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    t = epoch_ns_expr(events, ts_col)
+    firsts = (
+        events.select(F.col(user_col).alias("u"), t.alias("t"))
+        .groupBy("u")
+        .agg(F.min("t").alias("first_t"))
+        .select(
+            "u", F.expr(f"(first_t - ({start})) div {week_ns}").alias("cohort_week")
+        )
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    rev = (
+        events.where(F.col(type_col) == F.lit(metric_type))
+        .select(
+            F.col(user_col).alias("u"),
+            (t - F.lit(start)).alias("off_ns"),
+            vq.alias("vq"),
+        )
+        .join(F.broadcast(firsts), "u")
+        .select(
+            "cohort_week",
+            (
+                F.expr(f"off_ns div {week_ns}") - F.col("cohort_week")
+            ).alias("week_offset"),
+            "vq",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("vq").alias("rev_q"))
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    q = float(round(1.0 / value_quantum))
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            (F.col("rev_q").cast("double") / F.lit(q)).alias("rev"),
+            F.sum("rev_q").over(w).alias("cum_q"),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "rev",
+            (
+                F.col("cum_q").cast("double")
+                / F.col("n_users").cast("double")
+                / F.lit(q)
+            ).alias("cum_ltv"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
