@@ -2416,6 +2416,67 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_uplift_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pre-period-quintile arm means and uplift on purchase totals:
+    exact type-1 cuts, integer cells, fixed division order."""
+    from btrdb_server_spark.operators.events import uplift_quintiles
+
+    return uplift_quintiles(
+        load_table(spark, sf_dir, "events"), T_JAN15, T_2024, T_FEB
+    )
+
+
+def _uplift_oracle_sql(n_bins: int = 5) -> str:
+    arm = "((('0x' || substr(md5('ab' || ':' || u), 1, 8))::BIGINT) % 2)"
+    picks = ",\n                   ".join(
+        f"min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * {k / n_bins})"
+        f" AS BIGINT) THEN cum.x END) AS c{k}"
+        for k in range(1, n_bins)
+    )
+    qbin = " + ".join(
+        f"(CASE WHEN pa.x >= cuts.c{k} THEN 1 ELSE 0 END)" for k in range(1, n_bins)
+    )
+    return f"""
+        WITH ev AS (
+            SELECT user_id AS u, epoch_ns(ts) AS t,
+                   CAST(round(value / 0.01) AS BIGINT) AS vq
+            FROM events WHERE event_type = 'purchase'
+        ), pu AS (
+            SELECT u,
+                   CAST(sum(CASE WHEN t < {T_JAN15} THEN vq ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN t >= {T_JAN15} THEN vq ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM ev WHERE t >= {T_2024} AND t < {T_FEB} GROUP BY 1
+        ), pa AS (SELECT u, x, y, {arm} AS arm FROM pu),
+        h AS (SELECT x, count(*) AS c FROM pa GROUP BY 1),
+        cum AS (
+            SELECT x, CAST(sum(c) OVER (ORDER BY x
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM h
+        ), t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        cuts AS (SELECT {picks} FROM cum, t),
+        cells AS (
+            SELECT CAST({qbin} AS BIGINT) AS qbin,
+                   CAST(sum(CASE WHEN pa.arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN pa.arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN pa.arm = 0 THEN pa.y ELSE 0 END)
+                        AS BIGINT) AS sy_a,
+                   CAST(sum(CASE WHEN pa.arm = 1 THEN pa.y ELSE 0 END)
+                        AS BIGINT) AS sy_b
+            FROM pa CROSS JOIN cuts GROUP BY 1
+        )
+        SELECT qbin, n_a, n_b,
+               CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_y_a,
+               CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_y_b,
+               (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+                - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0) AS uplift
+        FROM cells ORDER BY qbin
+    """
+
+
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LTV triangle: first-activity-week cohorts, per-user
     cumulative purchase revenue by week offset; integer sums, one
@@ -3497,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "uplift_quintiles": q_uplift_quintiles,
         "cohort_ltv": q_cohort_ltv,
         "streaming_twa": _small_state(q_streaming_twa),
         "burstiness": q_burstiness,
@@ -4040,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "uplift_quintiles": _uplift_oracle_sql(),
         "cohort_ltv": _cohort_ltv_oracle_sql(),
         "streaming_twa": _streaming_twa_oracle_sql(),
         "burstiness": f"""

@@ -1033,3 +1033,104 @@ def cohort_ltv(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def uplift_quintiles(
+    events: DataFrame,
+    split_ns: int,
+    start: int,
+    end: int,
+    metric_type: str = "purchase",
+    salt: str = "ab",
+    n_bins: int = 5,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Heterogeneous treatment effect readout: users bucketed into
+    quintiles of their PRE-period metric total (exact type-1 cut points),
+    then per (quintile, arm) the experiment-period mean — the uplift
+    column answers "does the effect concentrate in heavy or light users?"
+    One row per quintile: qbin, n_a, n_b, mean_y_a, mean_y_b, uplift.
+
+    Exactness: cut points are order-statistic picks on the integer X
+    histogram; per-cell sums are integers; means and the uplift are fixed
+    double sequences. Scale shape: one groupBy(user), a value-domain cut
+    window, broadcast cuts, one tiny (bins × arms) aggregate."""
+    from pyspark.sql import Window as W
+
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    t = epoch_ns_expr(events, ts_col)
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    per_user = (
+        events.where(
+            (F.col(type_col) == F.lit(metric_type))
+            & (t >= F.lit(start))
+            & (t < F.lit(end))
+        )
+        .select(
+            F.col(user_col).alias("u"),
+            F.when(t < F.lit(split_ns), vq).otherwise(F.lit(0)).alias("xq"),
+            F.when(t >= F.lit(split_ns), vq).otherwise(F.lit(0)).alias("yq"),
+        )
+        .groupBy("u")
+        .agg(F.sum("xq").alias("x"), F.sum("yq").alias("y"))
+        .select(
+            "x",
+            "y",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(salt), F.col("u"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+        )
+    )
+    h = per_user.groupBy("x").agg(F.count("*").alias("c"))
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = h.select("x", F.sum("c").over(w).alias("cum"))
+    tot = h.agg(F.sum("c").alias("n"))
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.col("n").cast("double") * F.lit(k / n_bins)),
+                F.col("x"),
+            )
+        ).alias(f"c{k}")
+        for k in range(1, n_bins)
+    ]
+    cuts = cum.crossJoin(F.broadcast(tot)).groupBy("n").agg(*picks)
+    qbin = None
+    for k in range(1, n_bins):
+        term = F.when(F.col("x") >= F.col(f"c{k}"), F.lit(1)).otherwise(F.lit(0))
+        qbin = term if qbin is None else qbin + term
+    cells = (
+        per_user.crossJoin(F.broadcast(cuts))
+        .select(qbin.cast("long").alias("qbin"), "arm", "y")
+        .groupBy("qbin")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("sy_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("sy_b"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    q = float(round(1.0 / value_quantum))
+    mean_a = d("sy_a") / d("n_a") / F.lit(q)
+    mean_b = d("sy_b") / d("n_b") / F.lit(q)
+    return cells.select(
+        "qbin",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_y_a"),
+        mean_b.alias("mean_y_b"),
+        (mean_a - mean_b).alias("uplift"),
+    ).orderBy("qbin")
