@@ -2900,7 +2900,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_oracle_sql() -> str:
     from btrdb_server_spark.operators.stat import _poisson1_thresholds
 
-    u = "(('0x' || substr(md5('boot' || ':' || r || ':' || time || ':' || vq), 1, 8))::BIGINT)"
+    u = "((h * 69069 + r * 362437) % 4294967296)"
     k = " + ".join(
         f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _poisson1_thresholds()
     )
@@ -2908,9 +2908,14 @@ def _bootstrap_oracle_sql() -> str:
         {PTS_CTE}, src AS (
             SELECT time, CAST(round(value / 0.01) AS BIGINT) AS vq FROM pts
             WHERE uuid = 'purchase' AND time >= {T_2024} AND time < {T_FEB}
+        ), hsrc AS (
+            SELECT time, vq,
+                   (('0x' || substr(md5('boot' || ':' || time || ':' || vq),
+                                    1, 8))::BIGINT) AS h
+            FROM src
         ), rep AS (
-            SELECT src.time, src.vq, u.r
-            FROM src, unnest(generate_series(0, 199)) AS u(r)
+            SELECT hsrc.vq, hsrc.h, u.r
+            FROM hsrc, unnest(generate_series(0, 199)) AS u(r)
         ), ks AS (
             SELECT r, vq, ({k}) AS k FROM rep
         ), means AS (

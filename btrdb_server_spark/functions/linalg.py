@@ -4,12 +4,17 @@ single direction explains this embedding space" probe behind drift
 monitoring, whitening decisions, and ANN index diagnostics.
 
 Split of labor (the kmeans_train pattern): the DATA-SCALE work — second
-moments S_ij = Σ x_i·x_j and first moments T_i — is one exploded
-map-side-combined groupBy over the corpus; the d×d matrix those sums
-define is METADATA (64×64 here), so the 3-iteration power method runs on
-the collected matrix driver-side, exactly like broadcasting centroids.
-Nothing quadratic-in-rows ever forms; at 100 TB the only big pass is the
-d(d+1)/2-key aggregation.
+moments S = Σ xᵀx and first moments T — runs as ONE Arrow-batched
+mapInPandas pass emitting a d²-sized integer partial per batch (numpy
+int64 matmul; exact and order-free, so partials from any partitioning sum
+to the same totals — map-side combine by construction). The d×d matrix
+those sums define is METADATA (64×64 here), so the 3-iteration power
+method runs on the collected partials driver-side, exactly like
+broadcasting centroids. Nothing quadratic-in-rows ever forms; at 100 TB
+the only big pass is the single scan, and driver traffic is one
+(d², d, 1) triple per batch. (An earlier pure-DataFrame formulation
+exploded d(d+1)/2 product rows per vector — 10M+ rows at sf0.1 — and ran
+5× slower; the partial-aggregation shape is the scalable one.)
 
 Determinism: embeddings are float32; each value is quantized to the 1e-4
 grid (the quantization is exact-product: a float32 payload times 10⁴ is an
@@ -52,53 +57,52 @@ def pca_top_component(
     the Rayleigh quotient; eigenvalue reported in (unquantized) value²
     units. Loadings have the deterministic sign the fixed start vector
     induces."""
+    import numpy as np
+    import pandas as pd
+
     spark = embeddings.sparkSession
     xq = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * F.lit(SCALE)).cast("long"),
     )
     src = embeddings.select(xq.alias("xq"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at(F.col("xq"), i + 1)
-                        * F.element_at(F.col("xq"), j + 1)
-                    ).alias("p"),
-                ),
-            ),
-        )
-    )
-    s_tbl = (
-        src.select(F.explode(pair_structs).alias("s"))
-        .groupBy(F.col("s.i").alias("i"), F.col("s.j").alias("j"))
-        .agg(F.sum(F.col("s.p").cast("decimal(38,0)")).alias("s"))
-    )
-    t_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.struct(i.alias("i"), F.element_at(F.col("xq"), i + 1).alias("x")),
-    )
-    t_tbl = (
-        src.select(F.explode(t_structs).alias("t"))
-        .groupBy(F.col("t.i").alias("i"))
-        .agg(F.sum("t.x").alias("t"), F.count("*").alias("n"))
-    )
-    # metadata-scale collects: d(d+1)/2 + d rows (the centroid-broadcast
-    # class of driver traffic — never row-scale)
-    s_rows = {(r["i"], r["j"]): int(r["s"]) for r in s_tbl.collect()}
-    t_rows = {r["i"]: (int(r["t"]), int(r["n"])) for r in t_tbl.collect()}
-    n = next(iter(t_rows.values()))[1]
-    t = [float(t_rows[i][0]) for i in range(dim)]
+
+    def partial_moments(batches):
+        """Per-Arrow-batch integer partials: S (d×d second moments), T
+        (first moments), n. Exact int64 (order-free), so partials from
+        any partitioning sum to the same totals — the map-side-combine
+        shape that keeps the moment pass one scan with a d²-sized
+        shuffle, instead of exploding d²/2 rows per vector."""
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+            st = x.T @ x  # d×d int64, |xq|<=1e4 -> safe for ~9e10 rows/batch
+            yield pd.DataFrame(
+                {
+                    "s_flat": [st.flatten().tolist()],
+                    "t_vec": [x.sum(axis=0).tolist()],
+                    "n": [int(len(pdf))],
+                }
+            )
+
+    parts = src.mapInPandas(
+        partial_moments, "s_flat array<long>, t_vec array<long>, n long"
+    ).collect()
+    # metadata-scale collect: one (d², d, 1) triple per Arrow batch
+    n = sum(r["n"] for r in parts)
+    s_tot = [0] * (dim * dim)
+    t_tot = [0] * dim
+    for r in parts:
+        for k, v in enumerate(r["s_flat"]):
+            s_tot[k] += v
+        for k, v in enumerate(r["t_vec"]):
+            t_tot[k] += v
+    t = [float(v) for v in t_tot]
     c = [0.0] * (dim * dim)
     for i in range(dim):
         for j in range(dim):
-            s = float(s_rows[(i, j) if i <= j else (j, i)])
-            c[i * dim + j] = s - t[i] * t[j] / float(n)
+            c[i * dim + j] = float(s_tot[i * dim + j]) - t[i] * t[j] / float(n)
 
     v = [1.0] * dim
     for _ in range(iterations):

@@ -1156,18 +1156,15 @@ def bootstrap_ci(
         F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"),
         F.col("value").alias("v"),
     )
-    rep = src.select(
-        "time",
-        "vq",
-        "v",
-        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("r"),
-    )
-    u = F.conv(
+    # ONE md5 per point, then a per-replicate 32-bit LCG mix: 200x fewer
+    # digest evaluations than hashing (replicate, point) pairs, same
+    # engine-portable determinism (integer multiply/add/mod only).
+    h = F.conv(
         F.substring(
             F.md5(
                 # vq not v: integer decimal strings render identically in
                 # every engine; double-to-string formatting does not.
-                F.concat_ws(":", F.lit("boot"), F.col("r"), F.col("time"), F.col("vq"))
+                F.concat_ws(":", F.lit("boot"), F.col("time"), F.col("vq"))
             ),
             1,
             8,
@@ -1175,6 +1172,15 @@ def bootstrap_ci(
         16,
         10,
     ).cast("long")
+    rep = src.select(
+        "time",
+        "vq",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("r"),
+    )
+    u = (F.col("h") * F.lit(69069) + F.col("r") * F.lit(362437)) % F.lit(
+        4294967296
+    )
     k = None
     for t in thresholds:
         term = F.when(u >= F.lit(t), F.lit(1)).otherwise(F.lit(0))
