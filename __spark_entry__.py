@@ -2416,6 +2416,54 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), probe_id=0, k=10)
 
 
+def q_dormancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy/winback sizing over 2024: per-user longest silence, users
+    dormant >=7d who returned, exact percentiles of the max-silence
+    distribution."""
+    from btrdb_server_spark.operators.events import dormancy_stats
+
+    return dormancy_stats(load_table(spark, sf_dir, "events"), T_2024, T_2025)
+
+
+def _dormancy_oracle_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id AS u, epoch_ns(ts) AS t, ts, event_id FROM events
+        ), g AS (
+            SELECT u, t - lag(t) OVER (PARTITION BY u
+                                       ORDER BY ts, event_id) AS g
+            FROM ev WHERE t >= {T_2024} AND t < {T_2025}
+        ), pu AS (
+            SELECT u, CAST(max(g) AS BIGINT) AS v FROM g
+            WHERE g IS NOT NULL GROUP BY 1
+        ), h AS (SELECT v, count(*) AS c FROM pu GROUP BY 1),
+        cum AS (
+            SELECT v, CAST(sum(c) OVER (
+                ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM h
+        ), t AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n, min(v) AS g_min,
+                   max(v) AS g_max FROM h
+        ), pct AS (
+            SELECT t.n AS n_users, t.g_min, t.g_max,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.5) AS BIGINT)
+                            THEN cum.v END) AS p50,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.9) AS BIGINT)
+                            THEN cum.v END) AS p90,
+                   min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.n AS DOUBLE) * 0.99) AS BIGINT)
+                            THEN cum.v END) AS p99
+            FROM cum, t GROUP BY 1, 2, 3
+        ), dorm AS (
+            SELECT CAST(sum(CASE WHEN v >= 604800000000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dormant
+            FROM pu
+        )
+        SELECT pct.n_users, dorm.n_dormant, pct.g_min, pct.g_max,
+               pct.p50, pct.p90, pct.p99
+        FROM pct, dorm
+    """
+
+
 def q_uplift_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pre-period-quintile arm means and uplift on purchase totals:
     exact type-1 cuts, integer cells, fixed division order."""
@@ -3563,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
         # -- new in round 6 ---------------------------------------------
+        "dormancy_stats": q_dormancy_stats,
         "uplift_quintiles": q_uplift_quintiles,
         "cohort_ltv": q_cohort_ltv,
         "streaming_twa": _small_state(q_streaming_twa),
@@ -4107,6 +4156,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'click' AND time >= {T_2024} AND time < {T_2025}
             ORDER BY time
         """,
+        "dormancy_stats": _dormancy_oracle_sql(),
         "uplift_quintiles": _uplift_oracle_sql(),
         "cohort_ltv": _cohort_ltv_oracle_sql(),
         "streaming_twa": _streaming_twa_oracle_sql(),

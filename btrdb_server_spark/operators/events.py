@@ -1134,3 +1134,56 @@ def uplift_quintiles(
         mean_b.alias("mean_y_b"),
         (mean_a - mean_b).alias("uplift"),
     ).orderBy("qbin")
+
+
+def dormancy_stats(
+    events: DataFrame,
+    start: int,
+    end: int,
+    dormant_ns: int = 604_800_000_000_000,  # 7 days
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Dormancy/winback readout: each user's LONGEST silence between
+    consecutive events in the range; how many users went dormant (silence
+    >= dormant_ns) yet came back, plus exact type-1 percentiles of the
+    max-silence distribution — the re-engagement sizing number ("how many
+    winback emails would have fired?"). One row: n_users, n_dormant,
+    g_min, g_max, p50/p90/p99 (ns).
+
+    Exactness: gaps and their max are integers; the percentile machinery
+    is exact_percentiles (operators/derive.py) on the per-user max-gap
+    table. Scale shape: one user-keyed lag window (same key/skew profile
+    as sessionization), one groupBy(user) max, then value-domain-scale
+    percentile selection."""
+    from pyspark.sql import Window as W
+
+    from btrdb_server_spark.operators.derive import exact_percentiles
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    t = epoch_ns_expr(events, ts_col)
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    gaps = (
+        events.where((t >= F.lit(start)) & (t < F.lit(end)))
+        .select(
+            F.col(user_col).alias("u"),
+            (t - F.lag(t).over(w)).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    per_user = gaps.groupBy("u").agg(F.max("g").alias("maxg"))
+    pct = exact_percentiles(
+        per_user.select(F.col("maxg").alias("v")), "v", qs,
+        n_label="n_users", min_label="g_min", max_label="g_max",
+    )
+    dorm = per_user.agg(
+        F.sum(F.when(F.col("maxg") >= F.lit(dormant_ns), 1).otherwise(0)).alias(
+            "n_dormant"
+        )
+    )
+    return pct.crossJoin(F.broadcast(dorm)).select(
+        "n_users", "n_dormant", "g_min", "g_max",
+        *[f"p{q * 100:g}".replace(".", "_") for q in qs],
+    )
