@@ -3550,6 +3550,69 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(load_table(spark, sf_dir, "events"))
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of purchase vs view daily totals over
+    January: average-rank tie treatment as exact integer half-units
+    (rank2 = 2*min_rank + ties - 1), Pearson on the integer ranks, rho a
+    single mirrored double expression."""
+    from btrdb_server_spark.operators.corr import spearman_corr
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return spearman_corr(pts, "purchase", "view", T_2024, T_FEB, DAY_NS)
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-flavor shipping queue: top-10 BUILDING-segment orders by
+    unshipped revenue (exact 1e-4 integer units — float-tie-free rank);
+    date filters pushed below the fact-fact co-hash, customer leg a
+    left-semi dim hop, TakeOrderedAndProject instead of a global sort."""
+    from btrdb_server_spark.operators.olap import shipping_priority
+
+    return shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-flavor max-revenue supplier for 1996Q1: one date-pruned
+    groupBy, 1-row max broadcast back, supplier dim broadcast; integer
+    revenue makes the max-equality engine-independent."""
+    from btrdb_server_spark.operators.olap import top_supplier
+
+    return top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation x order-year revenue crosstab via DataFrame pivot with a
+    STATIC year list (no distinct pre-scan, single shuffle); cells exact
+    integer cents emitted as one division each."""
+    from btrdb_server_spark.operators.olap import pivot_report
+
+    return pivot_report(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over part brands: support /
+    confidence / lift from exact integer counts; part broadcast, pair
+    fan-out co-hashed on the order key, label-scale count joins
+    broadcast."""
+    from btrdb_server_spark.operators.olap import assoc_rules
+
+    return assoc_rules(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=8
     (restored afterwards). The state partition count is FIXED by the
@@ -3643,6 +3706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_paths": q_top_paths,
+        "spearman_corr": q_spearman_corr,
+        "shipping_priority": q_shipping_priority,
+        "top_supplier": q_top_supplier,
+        "pivot_report": q_pivot_report,
+        "assoc_rules": q_assoc_rules,
         # -- rotated r03-stale green anchors (one per SURVEY family) ----
         "aligned_windows": q_aligned_windows,
         "align_windowed": q_align_windowed,
@@ -4562,6 +4630,142 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT path, count(*) AS users FROM p
             GROUP BY 1 ORDER BY users DESC, path LIMIT 20
+        """,
+        "spearman_corr": f"""
+            {PTS_CTE}, tx AS (
+                SELECT (time - {T_2024}) // {DAY_NS} AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS xq
+                FROM pts WHERE uuid = 'purchase'
+                  AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), ty AS (
+                SELECT (time - {T_2024}) // {DAY_NS} AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS yv
+                FROM pts WHERE uuid = 'view'
+                  AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), j AS (
+                SELECT tx.widx, xq, yv FROM tx JOIN ty ON tx.widx = ty.widx
+            ), r AS (
+                SELECT CAST(2 * rank() OVER (ORDER BY xq)
+                            + count(*) OVER (PARTITION BY xq) - 1
+                            AS BIGINT) AS ra,
+                       CAST(2 * rank() OVER (ORDER BY yv)
+                            + count(*) OVER (PARTITION BY yv) - 1
+                            AS BIGINT) AS rb
+                FROM j
+            ), a AS (
+                SELECT count(*) AS n,
+                       CAST(sum(ra) AS BIGINT) AS sa,
+                       CAST(sum(rb) AS BIGINT) AS sb,
+                       CAST(sum(ra * ra) AS BIGINT) AS saa,
+                       CAST(sum(rb * rb) AS BIGINT) AS sbb,
+                       CAST(sum(ra * rb) AS BIGINT) AS sab
+                FROM r
+            )
+            SELECT n AS n_windows,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                   END AS rho
+            FROM a
+        """,
+        "shipping_priority": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                           AS o_orderdate
+                FROM orders
+                WHERE CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+            ), li AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem
+                WHERE CAST(l_shipdate AS DATE) > DATE '1996-07-01'
+            )
+            SELECT l_orderkey,
+                   CAST(sum(rev4) AS DOUBLE) / 10000.0 AS revenue,
+                   o_orderdate,
+                   count(*) AS n_lines
+            FROM li JOIN o ON l_orderkey = o_orderkey
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY sum(rev4) DESC, l_orderkey LIMIT 10
+        """,
+        "top_supplier": """
+            WITH ps AS (
+                SELECT l_suppkey,
+                       sum(CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                           * (100 - CAST(round(l_discount / 0.01) AS BIGINT)))
+                           AS s_rev4
+                FROM lineitem
+                WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(s_rev4 AS DOUBLE) / 10000.0 AS total_revenue
+            FROM ps JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_rev4 = (SELECT max(s_rev4) FROM ps)
+            ORDER BY s_suppkey
+        """,
+        "pivot_report": """
+            WITH o AS (
+                SELECT o_custkey, year(o_orderdate) AS yr,
+                       CAST(round(o_totalprice / 0.01) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT n_name,
+                   """
+        + ",\n                   ".join(
+            f"CAST(COALESCE(sum(CASE WHEN yr = {y} THEN cents END), 0)"
+            f" AS DOUBLE) / 100.0 AS y{y}"
+            for y in range(1995, 2002)
+        )
+        + """
+            FROM o JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "assoc_rules": """
+            WITH baskets AS (
+                SELECT DISTINCT l_orderkey, p_brand AS brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), n AS (
+                SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+            ), pairs AS (
+                SELECT a.brand AS brand_a, b.brand AS brand_b,
+                       count(*) AS pair_cnt
+                FROM baskets a
+                JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                              AND a.brand <> b.brand
+                GROUP BY 1, 2
+            ), singles AS (
+                SELECT brand, count(*) AS cnt FROM baskets GROUP BY 1
+            )
+            SELECT brand_a, brand_b, pair_cnt,
+                   CAST(pair_cnt AS DOUBLE) / CAST(ca.cnt AS DOUBLE)
+                       AS confidence,
+                   CAST(n_orders * pair_cnt AS DOUBLE)
+                       / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+            FROM pairs
+            JOIN singles ca ON brand_a = ca.brand
+            JOIN singles cb ON brand_b = cb.brand
+            CROSS JOIN n
+            ORDER BY pair_cnt DESC, brand_a, brand_b LIMIT 50
         """,
         "aligned_windows": f"""
             {PTS_CTE}

@@ -682,3 +682,63 @@ def dtw_distance(
                 )
 
     return both.mapInPandas(dp, "n_a long, n_b long, dtw_q long, dtw double")
+
+
+def spearman_corr(
+    points: DataFrame,
+    uuid_x: str,
+    uuid_y: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Spearman rank correlation between two streams' per-window totals
+    over [start, end): Pearson on AVERAGE ranks (the textbook tie
+    treatment), computed entirely in integers — average ranks are exact
+    half-units, so rank2 = 2*min_rank + ties - 1 is an integer and every
+    moment sum is int64; rho is one double expression over six exact
+    integers, bit-identical in any engine and any aggregation order.
+    Monotone-robust alternative to stream_corr's Pearson (a single spike
+    that drags a covariance barely moves a rank). Columns: n_windows, rho
+    (null when either side is a constant series).
+
+    Scale shape: the point scan collapses to window-indexed totals
+    (bucket-scale) per stream; the rank windows run over that bounded
+    series (window count fixed by the query range — the unpartitioned
+    window is over metadata-scale rows, same bound as mann_kendall's
+    pair join), then one global aggregate."""
+    from pyspark.sql import Window as W
+
+    x = _daily_totals(points, uuid_x, start, end, width, value_quantum)
+    y = _daily_totals(points, uuid_y, start, end, width, value_quantum)
+    j = (
+        x.select("widx", F.col("yq").alias("xq"))
+        .join(y.select("widx", F.col("yq").alias("yv")), "widx")
+    )
+    rank2 = lambda c: (  # noqa: E731
+        2 * F.rank().over(W.orderBy(c))
+        + F.count("*").over(W.partitionBy(c))
+        - 1
+    ).cast("long")
+    ranked = j.select(
+        rank2(F.col("xq")).alias("ra"), rank2(F.col("yv")).alias("rb")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("n") * d("sab") - d("sa") * d("sb")
+    var_a = d("n") * d("saa") - d("sa") * d("sa")
+    var_b = d("n") * d("sbb") - d("sb") * d("sb")
+    return agg.select(
+        F.col("n").alias("n_windows"),
+        F.when(
+            (var_a > 0) & (var_b > 0), cov / (F.sqrt(var_a) * F.sqrt(var_b))
+        ).alias("rho"),
+    )

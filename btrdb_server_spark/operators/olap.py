@@ -205,3 +205,210 @@ def revenue_rollup(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-07-01",
+    top: int = 10,
+) -> DataFrame:
+    """Unshipped-revenue shipping queue (TPC-H Q3 flavor): for one market
+    segment, the `top` orders placed before `cutoff` ranked by the revenue
+    of their line items still shipping after it. revenue exact in 1e-4
+    integer units, so the rank has no float ties — orderkey is a pure
+    formality tiebreak.
+
+    Plan shape: both date filters cut their fact BEFORE the
+    lineitem⋈orders co-hash; the segment-filtered customer column pair
+    joins as a dim hop; the final TakeOrderedAndProject keeps only `top`
+    rows per partition before the single-reducer merge — no global sort
+    materializes. Columns: l_orderkey, revenue, o_orderdate, n_lines."""
+    cut = F.lit(cutoff).cast("date")
+    o = (
+        orders.where(F.to_date(F.col("o_orderdate")) < cut)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date(F.col("o_orderdate")).cast("string").alias("o_orderdate"),
+        )
+    )
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = lineitem.where(F.to_date(F.col("l_shipdate")) > cut).select(
+        "l_orderkey", rev4.alias("rev4")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"], "left_semi")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(dec("rev4")).alias("s_rev4"), F.count("*").alias("n_lines"))
+        .select(
+            "l_orderkey",
+            (F.col("s_rev4").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "o_orderdate",
+            "n_lines",
+        )
+        .orderBy(F.col("s_rev4").desc(), "l_orderkey")
+        .limit(top)
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    ship_from: str = "1996-01-01",
+    ship_before: str = "1996-04-01",
+) -> DataFrame:
+    """Maximum-revenue supplier(s) for a shipping quarter (TPC-H Q15
+    flavor): per-supplier discounted revenue, then the row(s) equal to the
+    maximum. Revenue is an exact 1e-4 integer, so the max-equality join is
+    deterministic — the float formulation of Q15 needs a VIEW precisely
+    because a double max can tie-break differently between plans; integers
+    make the semantics engine-independent.
+
+    Plan shape: ONE date-pruned fact scan groupBy l_suppkey (map-side
+    combine), then the global max as an unpartitioned window over the
+    per-supplier rows — supplier cardinality is dim-scale, so the single
+    window task is bounded and the fact is never scanned twice (the
+    broadcast-the-max formulation plans a second scan+aggregate of the
+    same subtree pre-AQE-reuse). Supplier name a broadcast dim hop.
+    Columns: s_suppkey, s_name, total_revenue."""
+    from pyspark.sql.window import Window
+
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    sd = F.to_date(F.col("l_shipdate"))
+    per_supp = (
+        lineitem.where(
+            (sd >= F.lit(ship_from).cast("date"))
+            & (sd < F.lit(ship_before).cast("date"))
+        )
+        .select("l_suppkey", rev4.alias("rev4"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("rev4").cast("decimal(38,0)")).alias("s_rev4"))
+    )
+    # supplier-scale rows only — the unpartitioned window is bounded
+    mx = per_supp.withColumn(
+        "mx", F.max("s_rev4").over(Window.partitionBy())
+    )
+    s = supplier.select("s_suppkey", "s_name")
+    return (
+        mx.where(F.col("s_rev4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("s_rev4").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+PIVOT_YEARS = list(range(1995, 2002))
+
+
+def pivot_report(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Nation x order-year revenue crosstab via the DataFrame pivot
+    operator: one row per customer nation, one column per order year
+    (y1995..y2001), cell = exact total order value in dollars. The pivot
+    value list is STATIC (PIVOT_YEARS) — Catalyst folds the crosstab into
+    a single groupBy(n_name) over year-conditional partial aggregates, no
+    distinct-values pre-scan and no second shuffle; absent cells are 0.
+
+    Plan shape: orders groupBy (nationkey via dim hops) — customer joins
+    at dim scale, nation broadcast; ONE wide exchange hashing n_name.
+    Columns: n_name, y1995..y2001."""
+    o = orders.select(
+        "o_custkey",
+        F.year(F.col("o_orderdate")).alias("yr"),
+        _h(F.col("o_totalprice")).alias("cents"),
+    )
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"]
+    )
+    piv = (
+        joined.groupBy("n_name")
+        .pivot("yr", PIVOT_YEARS)
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")))
+    )
+    cols = [
+        (F.coalesce(F.col(str(y)).cast("double"), F.lit(0.0)) / F.lit(100.0)).alias(
+            f"y{y}"
+        )
+        for y in PIVOT_YEARS
+    ]
+    return piv.select("n_name", *cols).orderBy("n_name")
+
+
+def assoc_rules(
+    lineitem: DataFrame,
+    part: DataFrame,
+    top: int = 50,
+) -> DataFrame:
+    """Market-basket association rules over part BRANDS: for each ordered
+    brand pair (a -> b) co-present in an order, support count, confidence
+    P(b|a) and lift P(a,b)/(P(a)P(b)). Brands collapse the 10k-part
+    catalog to 25 labels, so pair counts are statistically meaningful at
+    any sf. All counts are integers; confidence and lift are single
+    divisions of exact integer products.
+
+    Plan shape: part is BROADCAST onto the fact scan; baskets are
+    per-order DISTINCT brand sets (groupBy orderkey+brand, map-side
+    combined); the pair fan-out is a self-join CO-HASHED on the order key
+    with fan-out bounded by basket size squared (~25 max); brand-pair and
+    per-brand counts are label-scale tables joined broadcast. No
+    point-scale shuffle except the one orderkey hash. Columns: brand_a,
+    brand_b, pair_cnt, confidence, lift."""
+    p = part.select("p_partkey", "p_brand")
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    # basket count stays inside the lazy plan — a broadcast 1-row cross
+    # join, never a driver-side count() (the pagerank_fixed pattern).
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = baskets.select(F.col("l_orderkey").alias("o"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("l_orderkey").alias("o"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    singles = baskets.groupBy("brand").agg(F.count("*").alias("cnt"))
+    ca = singles.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("c_a"))
+    cb = singles.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            (
+                F.col("pair_cnt").cast("double") / F.col("c_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n_orders") * F.col("pair_cnt")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), "brand_a", "brand_b")
+        .limit(top)
+    )

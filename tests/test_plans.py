@@ -560,3 +560,47 @@ def test_twa_fragments_are_bounded_explode(spark):
     plan = entry_mod.q_twa_hold(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan
     assert "NestedLoop" not in plan
+
+
+def test_shipping_priority_take_ordered(spark):
+    """Q3-flavor top-10 must plan TakeOrderedAndProject (no global sort);
+    the segment leg must stay a semi join; the ship/order date predicates
+    reach the parquet scans."""
+    df = entry_mod.q_shipping_priority(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in simple
+    assert "LeftSemi" in simple
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_top_supplier_single_fact_scan(spark):
+    """The fact is scanned ONCE (max via supplier-scale window, not a
+    second aggregate subtree); supplier joins broadcast; the only wide
+    exchange is the per-supplier groupBy."""
+    df = entry_mod.q_top_supplier(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("BroadcastHashJoin") >= 1
+    assert simple.count("Exchange hashpartitioning") <= 1
+    assert simple.count("lineitem.parquet") == 1
+
+
+def test_pivot_report_single_shuffle(spark):
+    """The static-value pivot must fold into ONE groupBy(n_name) shuffle —
+    no distinct-values pre-pass, no second aggregate exchange — with
+    nation broadcast."""
+    df = entry_mod.q_pivot_report(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in simple
+    # customer⋈orders may hash-join wide; the PIVOT itself adds exactly
+    # one aggregate exchange on n_name
+    assert simple.count("Exchange hashpartitioning") <= 2
+
+
+def test_assoc_rules_broadcast_counts(spark):
+    """Brand-pair fan-out co-hashes the order key once; part and the
+    label-scale count tables broadcast; top-50 is TakeOrderedAndProject."""
+    df = entry_mod.q_assoc_rules(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in simple
+    assert simple.count("BroadcastHashJoin") >= 3
