@@ -3550,6 +3550,57 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(load_table(spark, sf_dir, "events"))
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph via degree-ordered
+    orientation (O(m^1.5) wedge generation, co-hashed closure semi-join);
+    clustering coefficient the single double division."""
+    from btrdb_server_spark.functions.graph import triangle_count
+
+    return triangle_count(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of stream id vs day-of-week over January:
+    integer contingency diffs, per-cell double terms, fixed-order fold
+    over the sorted cell list; zero cells included via the row x col
+    spine."""
+    from btrdb_server_spark.operators.stat import chi2_independence
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return chi2_independence(pts, T_2024, T_FEB)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type (k=256, 52-bit md5-prefix
+    hashes exact in doubles) audited against the exact count; k-smallest
+    prune via WindowGroupLimit."""
+    from btrdb_server_spark.functions.sketch import kmv_distinct
+
+    return kmv_distinct(load_table(spark, sf_dir, "events"))
+
+
+def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream skew/kurtosis shape profile over January from exact
+    integer raw moments (3rd/4th powers assembled and summed in
+    decimal(38,0)); statistics are fixed double expressions over the
+    integer sums."""
+    from btrdb_server_spark.operators.stat import moments_profile
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return moments_profile(pts, T_2024, T_FEB)
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream max peak-to-trough decline over January on integer
+    quanta: bucketed running max with algebraic cross-bucket carry
+    (max(P, rin) - v folds to max(ibest, P - bmin)), duplicate timestamps
+    ordered (time, value) on both sides."""
+    from btrdb_server_spark.operators.derive import max_drawdown
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return max_drawdown(pts, T_2024, T_FEB, bucket_pw=40)
+
+
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of purchase vs view daily totals over
     January: average-rank tie treatment as exact integer half-units
@@ -3706,6 +3757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_paths": q_top_paths,
+        "triangle_count": q_triangle_count,
+        "chi2_independence": q_chi2_independence,
+        "kmv_distinct": q_kmv_distinct,
+        "moments_profile": q_moments_profile,
+        "max_drawdown": q_max_drawdown,
         "spearman_corr": q_spearman_corr,
         "shipping_priority": q_shipping_priority,
         "top_supplier": q_top_supplier,
@@ -4630,6 +4686,182 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT path, count(*) AS users FROM p
             GROUP BY 1 ORDER BY users DESC, path LIMIT 20
+        """,
+        "triangle_count": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), edges AS (
+                SELECT DISTINCT a.p AS u, b.p AS v
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            ), deg AS (
+                SELECT p, count(*) AS deg FROM (
+                    SELECT u AS p FROM edges
+                    UNION ALL SELECT v AS p FROM edges
+                ) GROUP BY 1
+            ), oriented AS (
+                SELECT CASE WHEN du.deg < dv.deg
+                              OR (du.deg = dv.deg AND u < v)
+                            THEN u ELSE v END AS src,
+                       CASE WHEN du.deg < dv.deg
+                              OR (du.deg = dv.deg AND u < v)
+                            THEN v ELSE u END AS dst,
+                       CASE WHEN du.deg < dv.deg
+                              OR (du.deg = dv.deg AND u < v)
+                            THEN dv.deg ELSE du.deg END AS ddeg
+                FROM edges
+                JOIN deg du ON du.p = u
+                JOIN deg dv ON dv.p = v
+            ), tri AS (
+                SELECT count(*) AS n_triangles
+                FROM (
+                    SELECT e1.dst AS y, e2.dst AS z
+                    FROM oriented e1
+                    JOIN oriented e2 ON e1.src = e2.src
+                     AND (e1.ddeg < e2.ddeg
+                          OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+                ) c
+                WHERE EXISTS (SELECT 1 FROM oriented w
+                              WHERE w.src = c.y AND w.dst = c.z)
+            ), w AS (
+                SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT)
+                           AS n_wedges,
+                       count(*) AS n_nodes
+                FROM deg
+            ), e AS (SELECT count(*) AS n_edges FROM edges)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   3.0 * CAST(n_triangles AS DOUBLE)
+                       / CAST(n_wedges AS DOUBLE) AS clustering
+            FROM w, e, tri
+        """,
+        "chi2_independence": f"""
+            {PTS_CTE}, cells AS (
+                SELECT uuid,
+                       ((time // {DAY_NS}) + 4) % 7 AS dow,
+                       count(*) AS o
+                FROM pts WHERE time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1, 2
+            ), rows_ AS (
+                SELECT uuid, CAST(sum(o) AS BIGINT) AS r FROM cells
+                GROUP BY 1
+            ), cols_ AS (
+                SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells
+                GROUP BY 1
+            ), tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+            spine AS (
+                SELECT rows_.uuid, cols_.dow, r, c, n,
+                       COALESCE(o, 0) AS o
+                FROM rows_ CROSS JOIN cols_ CROSS JOIN tot
+                LEFT JOIN cells ON cells.uuid = rows_.uuid
+                               AND cells.dow = cols_.dow
+            ), terms AS (
+                SELECT uuid, dow, n,
+                       CAST(n * o - r * c AS DOUBLE)
+                       * CAST(n * o - r * c AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                          * CAST(c AS DOUBLE)) AS term
+                FROM spine
+            ), agg AS (
+                SELECT CAST(max(n) AS BIGINT) AS n_total,
+                       count(DISTINCT uuid) AS n_rows,
+                       count(DISTINCT dow) AS n_cols,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(term ORDER BY uuid, dow),
+                                     (a, x) -> a + x) AS chi2
+                FROM terms
+            )
+            SELECT n_total, n_rows, n_cols,
+                   (n_rows - 1) * (n_cols - 1) AS dof,
+                   chi2,
+                   sqrt(chi2 / (CAST(n_total AS DOUBLE)
+                                * CAST(least(n_rows, n_cols) - 1
+                                       AS DOUBLE))) AS cramers_v
+            FROM agg
+        """,
+        "kmv_distinct": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type AS uuid,
+                       CAST('0x' || substr(
+                           md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS h
+                FROM events
+            ), r AS (
+                SELECT uuid, h,
+                       row_number() OVER (PARTITION BY uuid ORDER BY h) AS rn
+                FROM h
+            ), t AS (
+                SELECT uuid, CAST(max(h) AS BIGINT) AS kth_hash,
+                       count(*) AS n_kept
+                FROM r WHERE rn <= 256 GROUP BY 1
+            ), e AS (
+                SELECT event_type AS uuid,
+                       count(DISTINCT user_id) AS n_exact
+                FROM events GROUP BY 1
+            )
+            SELECT uuid, n_exact, n_kept, kth_hash,
+                   CASE WHEN n_kept = 256
+                        THEN {float(255 * (1 << 52))!r}
+                             / CAST(kth_hash AS DOUBLE)
+                        ELSE CAST(n_kept AS DOUBLE) END AS kmv_est
+            FROM e JOIN t USING (uuid) ORDER BY uuid
+        """,
+        "moments_profile": f"""
+            {PTS_CTE}, src AS (
+                SELECT uuid, CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts WHERE time >= {T_2024} AND time < {T_FEB}
+            ), agg AS (
+                SELECT uuid, count(*) AS n,
+                       CAST(sum(q) AS BIGINT) AS s1,
+                       CAST(sum(q * q) AS BIGINT) AS s2,
+                       sum(CAST(q * q AS HUGEINT) * q) AS s3,
+                       sum(CAST(q * q AS HUGEINT) * (q * q)) AS s4
+                FROM src GROUP BY 1
+            ), m AS (
+                -- HUGEINT->DOUBLE is not correctly rounded in DuckDB;
+                -- base-2^31 limbs are int64 (exactly convertible) and
+                -- the hi*2^31 + lo re-round mirrors the engine verbatim
+                SELECT uuid, n,
+                       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                       (CAST(CAST(s3 // 2147483648 AS BIGINT) AS DOUBLE)
+                          * 2147483648.0
+                        + CAST(CAST(s3 % 2147483648 AS BIGINT) AS DOUBLE))
+                           / CAST(n AS DOUBLE) AS r3,
+                       (CAST(CAST(s4 // 2147483648 AS BIGINT) AS DOUBLE)
+                          * 2147483648.0
+                        + CAST(CAST(s4 % 2147483648 AS BIGINT) AS DOUBLE))
+                           / CAST(n AS DOUBLE) AS r4
+                FROM agg
+            ), c AS (
+                SELECT uuid, n, mu,
+                       r2 - mu * mu AS m2,
+                       r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                       r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                          - 3.0 * mu * mu * mu * mu AS m4
+                FROM m
+            )
+            SELECT uuid, n AS n_points,
+                   mu * 0.01 AS mean,
+                   sqrt(m2) * 0.01 AS std,
+                   CASE WHEN m2 > 0 THEN m3 / (sqrt(m2) * m2) END
+                       AS skewness,
+                   CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END
+                       AS kurtosis_x
+            FROM c ORDER BY uuid
+        """,
+        "max_drawdown": f"""
+            {PTS_CTE}, s AS (
+                SELECT uuid, CAST(round(value / 0.01) AS BIGINT) AS q,
+                       max(CAST(round(value / 0.01) AS BIGINT))
+                           OVER (PARTITION BY uuid
+                                 ORDER BY time,
+                                          CAST(round(value / 0.01) AS BIGINT))
+                           AS rm
+                FROM pts WHERE time >= {T_2024} AND time < {T_FEB}
+            )
+            SELECT uuid, count(*) AS n_points,
+                   CAST(max(rm - q) AS BIGINT) AS dd_q,
+                   CAST(max(rm - q) AS DOUBLE) * 0.01 AS drawdown
+            FROM s GROUP BY 1 ORDER BY 1
         """,
         "spearman_corr": f"""
             {PTS_CTE}, tx AS (

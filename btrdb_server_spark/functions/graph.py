@@ -94,3 +94,83 @@ def pagerank_fixed(
     else:
         out = out.orderBy("part")
     return out
+
+
+def triangle_count(lineitem: DataFrame) -> DataFrame:
+    """Global triangle census of the co-purchase graph (parts = nodes,
+    distinct same-order pairs = undirected edges): triangle count, wedge
+    (open-triple) count and the global clustering coefficient
+    3·T / wedges. All counts exact integers; the coefficient is the one
+    double division.
+
+    Scale shape: the classic degree-ordered node-iterator — every edge
+    is ORIENTED from its (degree, id)-smaller endpoint, so wedge
+    generation is a self-join of the oriented edge list on the source
+    with out-degrees bounded by ~sqrt(m); closure is one co-hashed join
+    of candidate (y, z) pairs against oriented edges. Total work
+    O(m^1.5) instead of Σ deg² — the hub that breaks the naive wedge
+    join is exactly the node the orientation strips. Columns: n_nodes,
+    n_edges, n_wedges, n_triangles, clustering."""
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("p").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("p").alias("v"), F.col("deg").alias("deg_v"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("deg_u")).otherwise(F.col("deg_v")).alias("sdeg"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("ddeg"),
+    )
+    e1 = oriented.select(
+        "src", F.col("dst").alias("y"), F.col("ddeg").alias("ydeg")
+    )
+    e2 = oriented.select(
+        "src", F.col("dst").alias("z"), F.col("ddeg").alias("zdeg")
+    )
+    cands = e1.join(e2, "src").where(
+        (F.col("ydeg") < F.col("zdeg"))
+        | ((F.col("ydeg") == F.col("zdeg")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = cands.join(closing, ["y", "z"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
+        F.count("*").alias("n_nodes"),
+    )
+    ecnt = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        wedges.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("clustering"),
+        )
+    )

@@ -85,3 +85,61 @@ def cms_heavy_hitters(
         .agg(F.min("cell").alias("cms_est"))
         .orderBy(F.col("cnt").desc(), "tok")
     )
+
+
+def kmv_distinct(
+    events: DataFrame,
+    k: int = 256,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group, audited against
+    the exact count: hash each id to 52 bits (md5 prefix — fits double
+    exactly, so the estimate's one division is engine-identical), keep
+    the k smallest distinct hashes per group, estimate
+    D ≈ (k-1)·2^52 / h_(k). Groups with fewer than k distinct hashes are
+    served EXACTLY (the sketch holds every hash). The mergeable
+    distinct sketch the reference lacks: fixed k-row state per group,
+    union = merge-and-trim — the shape that answers "distinct users per
+    stream per window" at 100 TB without a count-distinct shuffle of raw
+    ids.
+
+    Scale shape: one distinct on (group, hash) — map-side combined; the
+    k-smallest prune is a rank window that rewrites to WindowGroupLimit
+    (per-partition top-k BEFORE the exchange, k rows per group shuffle);
+    the exact audit is the only id-scale count-distinct and exists to
+    certify the estimate in tests. Columns: uuid, n_exact, n_kept,
+    kth_hash, kmv_est."""
+    if k < 2:
+        raise ValueError("need k >= 2")
+    from pyspark.sql import Window as W
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = (
+        events.select(F.col(group_col).alias("uuid"), h.alias("h")).distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("uuid").orderBy("h"))
+    kept = (
+        hashes.withColumn("rn", rn)
+        .where(F.col("rn") <= k)
+        .groupBy("uuid")
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("n_kept"))
+    )
+    exact = events.groupBy(F.col(group_col).alias("uuid")).agg(
+        F.countDistinct(id_col).alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") == k,
+        F.lit(float((k - 1) * (1 << 52))) / F.col("kth_hash").cast("double"),
+    ).otherwise(F.col("n_kept").cast("double"))
+    return (
+        exact.join(kept, "uuid")
+        .select("uuid", "n_exact", "n_kept", "kth_hash", est.alias("kmv_est"))
+        .orderBy("uuid")
+    )

@@ -1372,3 +1372,61 @@ def burstiness(
         sig.alias("std_ns"),
         ((sig - mu) / (sig + mu)).alias("b"),
     )
+
+
+def max_drawdown(
+    points: DataFrame,
+    start: int,
+    end: int,
+    bucket_pw: int = 36,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Per-stream maximum drawdown over [start, end): the largest
+    peak-to-trough decline max_t(runmax(t) - v(t)), on exact integer
+    quanta so the result is order-independent. Duplicate timestamps are
+    ordered (time, value) in BOTH engine and oracle — the only source of
+    ambiguity in a running max — making the statistic deterministic.
+
+    Scale shape: the running max NEVER serializes a stream through one
+    task. Within each (uuid, 2**bucket_pw) bucket a bounded window
+    computes the in-bucket running max; across buckets the carry is pure
+    algebra on bucket-scale rows — for prefix peak P and bucket members,
+    max_t(max(P, runmax_in(t)) - v(t)) = max(in-bucket best, P - bucket
+    min) — so the cross-bucket pass is one lag-style window over one row
+    per non-empty bucket (the derive.py carry-chain pattern). Columns:
+    uuid, n_points, dd_q, drawdown."""
+    q = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    src = points.where(
+        (F.col("time") >= F.lit(start)) & (F.col("time") < F.lit(end))
+    ).select(
+        "uuid",
+        "time",
+        q.alias("q"),
+        F.shiftright("time", bucket_pw).alias("bucket"),
+    )
+    w_in = Window.partitionBy("uuid", "bucket").orderBy("time", "q")
+    pts = src.withColumn("rm", F.max("q").over(w_in))
+    per_bucket = pts.groupBy("uuid", "bucket").agg(
+        F.max("q").alias("bmax"),
+        F.min("q").alias("bmin"),
+        F.max(F.col("rm") - F.col("q")).alias("ibest"),
+        F.count("*").alias("n"),
+    )
+    w_prev = (
+        Window.partitionBy("uuid")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = per_bucket.withColumn("peak", F.max("bmax").over(w_prev))
+    best = F.greatest(
+        F.col("ibest"), F.coalesce(F.col("peak") - F.col("bmin"), F.lit(0))
+    )
+    agg = carried.groupBy("uuid").agg(
+        F.sum("n").alias("n_points"), F.max(best).alias("dd_q")
+    )
+    return agg.select(
+        "uuid",
+        "n_points",
+        "dd_q",
+        (F.col("dd_q").cast("double") * F.lit(value_quantum)).alias("drawdown"),
+    ).orderBy("uuid")

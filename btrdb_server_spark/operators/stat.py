@@ -1413,3 +1413,156 @@ def ks_test(
         ).alias("d_stat"),
         (F.col("m.vq").cast("double") / F.lit(q)).alias("at_value"),
     )
+
+
+def moments_profile(
+    points: DataFrame,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Per-stream shape profile over [start, end): mean, std, skewness
+    and EXCESS kurtosis from exact integer raw moments of the quantized
+    values — skew/kurtosis are scale-free, so the quantum-unit moments
+    need no rescaling and every statistic is a fixed double expression
+    over five exact integers (bit-identical in any engine, any
+    aggregation order). The distribution-shape companion to
+    stream_profile's DQ counts: a feed whose skew drifts is aging
+    (tail growth) even while min/max/mean stay put.
+
+    Integer sizing: q <= ~6e4 at the lake's value range, so q^2 and q^3
+    fit int64 per element, but q^4 (~1e19) does NOT — the 4th power is
+    assembled as decimal(38,0) * int64 BEFORE summing, and the 3rd/4th
+    moment SUMS run in decimal(38,0) (q^3 partials overflow int64 at
+    ~1e5 rows). One map-side-combined groupBy; no window, no second
+    scan. Columns: uuid, n_points, mean, std, skewness, kurtosis_x
+    (null when variance is zero)."""
+    q = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    src = points.where(time_range_pred(start, end)).select(
+        "uuid",
+        q.alias("q"),
+        (q * q).alias("q2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = src.groupBy("uuid").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum("q2").alias("s2"),
+        F.sum(dec("q2") * F.col("q")).alias("s3"),
+        F.sum(dec("q2") * F.col("q2")).alias("s4"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dn = d("n")
+    mu = d("s1") / dn
+    r2 = d("s2") / dn
+    # s3/s4 live in decimal(38,0) (DuckDB: HUGEINT) — and HUGEINT->DOUBLE
+    # is NOT correctly rounded in DuckDB (observed 2-ulp truncation),
+    # while decimal->double is in Spark. Route both engines through a
+    # base-2^31 limb split instead: hi = s div 2^31 and lo = s mod 2^31
+    # are both int64-ranged (hi fits while s < ~2e28 — n up to ~2e9
+    # points/stream at the worst-case value magnitude), int64->double is
+    # correctly rounded everywhere, and hi*2^31 + lo re-rounds
+    # IDENTICALLY in any IEEE engine because the operation sequence is
+    # mirrored verbatim in the oracle.
+    limb = lambda c: (  # noqa: E731
+        F.expr(f"CAST({c} div 2147483648 AS DOUBLE)") * F.lit(2147483648.0)
+        + F.expr(f"CAST({c} % 2147483648 AS DOUBLE)")
+    )
+    r3 = limb("s3") / dn
+    r4 = limb("s4") / dn
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        r4
+        - F.lit(4.0) * mu * r3
+        + F.lit(6.0) * mu * mu * r2
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return agg.select(
+        "uuid",
+        F.col("n").alias("n_points"),
+        (mu * F.lit(value_quantum)).alias("mean"),
+        (F.sqrt(m2) * F.lit(value_quantum)).alias("std"),
+        F.when(m2 > 0, m3 / (F.sqrt(m2) * m2)).alias("skewness"),
+        F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_x"),
+    ).orderBy("uuid")
+
+
+def chi2_independence(
+    points: DataFrame,
+    start: int,
+    end: int,
+    day_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Chi-square test of independence between stream id and day-of-week
+    over [start, end): is traffic mix stable across weekdays? The
+    contingency table is (uuid x dow) point counts; the statistic is the
+    exact-integer form sum over ALL cells (including empty ones) of
+    (n*O - R*C)^2 / (n*R*C) — every diff is an exact int64, each cell
+    term one double expression, and the cross-cell sum runs as a
+    FIXED-ORDER fold over the (uuid, dow)-sorted cell list so the float
+    accumulation is engine- and plan-independent. Day-of-week comes from
+    pure integer time arithmetic ((time div day) + 4) mod 7, Monday=0 —
+    no calendar functions to disagree on. Cramer's V normalizes for a
+    readable effect size.
+
+    Scale shape: ONE point-scale groupBy (uuid, dow) — everything after
+    is label-scale: marginals, the full row x col spine (so zero cells
+    contribute their R*C/n term), broadcast joins, and a fold over
+    rows*cols structs. Columns: n_total, n_rows, n_cols, dof, chi2,
+    cramers_v."""
+    # integer div — a float division of epoch-ns (> 2^53) would round
+    dow = (F.expr(f"time div {day_ns}") + 4) % 7
+    cells = (
+        points.where(time_range_pred(start, end))
+        .select("uuid", dow.alias("dow"))
+        .groupBy("uuid", "dow")
+        .agg(F.count("*").alias("o"))
+    )
+    rows = cells.groupBy("uuid").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    spine = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["uuid", "dow"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "uuid",
+            "dow",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).alias("diff")
+    term = (
+        F.col("diff").cast("double") * F.col("diff").cast("double")
+        / (d("n") * d("r") * d("c"))
+    )
+    terms = spine.select("uuid", "dow", "n", "r", "c", diff).select(
+        "uuid", "dow", "n", term.alias("term")
+    )
+    agg = terms.agg(
+        F.max("n").alias("n_total"),
+        F.countDistinct("uuid").alias("n_rows"),
+        F.countDistinct("dow").alias("n_cols"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("uuid", "dow", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"),
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    mindim = F.least(F.col("n_rows"), F.col("n_cols")) - 1
+    return agg.select(
+        "n_total",
+        "n_rows",
+        "n_cols",
+        dof.alias("dof"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2") / (F.col("n_total").cast("double") * mindim.cast("double"))
+        ).alias("cramers_v"),
+    )

@@ -1,0 +1,178 @@
+"""Unit + property tests for the distribution-shape, drawdown, sketch and
+graph-census operators: pandas/pure-python recomputations fully independent
+of the Spark plans under test (the reference's randomized-compare strategy,
+quasar_test.go:73-120 GenData/CompareData)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.functions.graph import triangle_count
+from btrdb_server_spark.functions.sketch import kmv_distinct
+from btrdb_server_spark.operators.corr import spearman_corr
+from btrdb_server_spark.operators.derive import max_drawdown
+from btrdb_server_spark.operators.stat import chi2_independence, moments_profile
+
+T0 = 1_000_000
+T1 = 2_000_000
+
+pts_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=T0, max_value=T1 - 1),
+        st.integers(min_value=-200_000, max_value=200_000),  # value in cents
+    ),
+    min_size=2,
+    max_size=300,
+)
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, pts, uuid="s"):
+    return spark.createDataFrame(
+        [(uuid, t, q / 100.0) for t, q in pts],
+        "uuid string, time long, value double",
+    )
+
+
+@given(pts=pts_strategy)
+@SET
+def test_max_drawdown_matches_cummax(spark, pts):
+    got = max_drawdown(_df(spark, pts), T0, T1, bucket_pw=12).collect()
+    df = pd.DataFrame(pts, columns=["time", "q"]).sort_values(["time", "q"])
+    want = int((df["q"].cummax() - df["q"]).max())
+    assert len(got) == 1
+    assert got[0].dd_q == want
+    assert got[0].n_points == len(pts)
+    assert got[0].drawdown == pytest.approx(want * 0.01, abs=0)
+
+
+@given(pts=pts_strategy)
+@SET
+def test_max_drawdown_bucket_width_invariant(spark, pts):
+    df = _df(spark, pts)
+    a = max_drawdown(df, T0, T1, bucket_pw=8).collect()[0]
+    b = max_drawdown(df, T0, T1, bucket_pw=40).collect()[0]
+    assert a.dd_q == b.dd_q and a.n_points == b.n_points
+
+
+@given(pts=pts_strategy)
+@SET
+def test_moments_profile_matches_numpy(spark, pts):
+    got = moments_profile(_df(spark, pts), T0, T1).collect()[0]
+    qs = pd.Series([q for _, q in pts], dtype="float64")
+    n = len(qs)
+    mu = qs.sum() / n
+    m2 = (qs**2).sum() / n - mu * mu
+    assert got.n_points == n
+    assert got.mean == pytest.approx(mu * 0.01, rel=1e-9, abs=1e-9)
+    if m2 > 0:
+        m3 = (qs**3).sum() / n - 3 * mu * (qs**2).sum() / n + 2 * mu**3
+        m4 = (
+            (qs**4).sum() / n
+            - 4 * mu * (qs**3).sum() / n
+            + 6 * mu * mu * (qs**2).sum() / n
+            - 3 * mu**4
+        )
+        assert got.skewness == pytest.approx(
+            m3 / (math.sqrt(m2) * m2), rel=1e-7, abs=1e-9
+        )
+        assert got.kurtosis_x == pytest.approx(
+            m4 / (m2 * m2) - 3.0, rel=1e-7, abs=1e-9
+        )
+    else:
+        assert got.skewness is None and got.kurtosis_x is None
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=4, max_size=40
+    ),
+    ys=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=4, max_size=40
+    ),
+)
+@SET
+def test_spearman_matches_pandas(spark, xs, ys):
+    n = min(len(xs), len(ys))
+    day = 1000
+    rows = [("x", T0 + i * day, xs[i] / 100.0) for i in range(n)] + [
+        ("y", T0 + i * day, ys[i] / 100.0) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    got = spearman_corr(df, "x", "y", T0, T0 + n * day, day).collect()[0]
+    want = (
+        pd.Series(xs[:n], dtype="float64")
+        .rank(method="average")
+        .corr(pd.Series(ys[:n], dtype="float64").rank(method="average"))
+    )
+    assert got.n_windows == n
+    if pd.isna(want):
+        assert got.rho is None
+    else:
+        assert got.rho == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    rows = [(i, "small" if i < 100 else "big", i % 3000) for i in range(6000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    out = {r.uuid: r for r in kmv_distinct(df, k=256).collect()}
+    # below k distinct: sketch serves the exact hash count
+    assert out["small"].n_kept == out["small"].n_exact == 100
+    assert out["small"].kmv_est == 100.0
+    # above k: estimate within the ~1/sqrt(k-2) band (generous 4 sigma)
+    big = out["big"]
+    assert big.n_kept == 256
+    assert abs(big.kmv_est - big.n_exact) / big.n_exact < 4 / math.sqrt(254)
+
+
+def test_triangle_count_known_graph(spark):
+    orders = [
+        (1, 101), (1, 102), (1, 103),   # triangle 101-102-103
+        (2, 101), (2, 102),             # duplicate edge
+        (3, 102), (3, 103), (3, 104),   # triangle 102-103-104
+    ]
+    df = spark.createDataFrame(
+        [(o, p, 1.0) for o, p in orders],
+        "l_orderkey long, l_partkey long, l_extendedprice double",
+    )
+    r = triangle_count(df).collect()[0]
+    # edges: 12,13,23,24,34 on nodes {101..104}
+    assert r.n_nodes == 4 and r.n_edges == 5
+    assert r.n_wedges == 8 and r.n_triangles == 2
+    assert r.clustering == pytest.approx(0.75, abs=0)
+
+
+def test_chi2_independence_brute_force(spark):
+    rows = []
+    t = T0
+    for uuid, dow_counts in [("a", [5, 3, 2]), ("b", [1, 4, 7])]:
+        for dow, cnt in enumerate(dow_counts):
+            day_ns = 86_400_000_000_000
+            base = (dow + 3) * day_ns  # ((d div day)+4)%7 == dow for d=(dow+3)*day
+            for i in range(cnt):
+                rows.append((uuid, base + i, 1.0))
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    got = chi2_independence(df, 0, 10 * 86_400_000_000_000).collect()[0]
+    obs = {("a", 3): 5, ("a", 4): 3, ("a", 5): 2, ("b", 3): 1, ("b", 4): 4, ("b", 5): 7}
+    n = sum(obs.values())
+    r = {"a": 10, "b": 12}
+    c = {3: 6, 4: 7, 5: 9}
+    chi2 = sum(
+        (n * obs.get((u, d), 0) - r[u] * c[d]) ** 2 / (n * r[u] * c[d])
+        for u in sorted(r)
+        for d in sorted(c)
+    )
+    assert got.n_total == n and got.dof == 2
+    assert got.chi2 == pytest.approx(chi2, rel=1e-12)
+    assert got.cramers_v == pytest.approx(math.sqrt(chi2 / n), rel=1e-12)
