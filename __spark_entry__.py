@@ -3550,6 +3550,124 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(load_table(spark, sf_dir, "events"))
 
 
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-flavor returned-revenue top-20 customers for 1996Q1:
+    returnflag+date predicates prune both facts before the one co-hash,
+    customer/nation dims join AFTER the customer-scale aggregate,
+    integer-revenue rank (no float ties), TakeOrderedAndProject."""
+    from btrdb_server_spark.operators.olap import returned_item_losses
+
+    return returned_item_losses(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) 7-day forecast of purchase daily totals: phi from exact
+    integer lag-1 moments (autocorr's n^2 trick), phi^h as an explicit
+    multiplication fold (JVM pow() is 1-ulp off libm)."""
+    from btrdb_server_spark.operators.corr import ar1_forecast
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return ar1_forecast(pts, "purchase", T_2024, T_FEB, DAY_NS, horizon=7)
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the view stream's hourly totals (aggregated-
+    variance method, scales 1/2/4/8): integer block sums, libm-UDF logs,
+    fixed-order OLS folds."""
+    from btrdb_server_spark.operators.corr import hurst_exponent
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return hurst_exponent(
+        pts, "view", T_2024, T_FEB, DAY_NS // 24, scales=(1, 2, 4, 8)
+    )
+
+
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-flavor trade-flow matrix: revenue per (supplier nation,
+    customer nation, ship year); both nation legs broadcast dim chains,
+    one fact-fact co-hash on the order key, label-scale final groupBy."""
+    from btrdb_server_spark.operators.olap import bilateral_trade
+
+    return bilateral_trade(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus token distribution: OLS of ln(freq) on
+    ln(rank) over the top-100 tokens, all sums as fixed-order folds over
+    the rank-sorted term list."""
+    from btrdb_server_spark.functions.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+def q_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of purchase values across day-of-week groups over
+    January: per-group exact integer moments, fixed-dow-order folds for
+    SSB/SSW, F statistic one final expression."""
+    from btrdb_server_spark.operators.stat import anova_dow
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return anova_dow(pts, "purchase", T_2024, T_FEB)
+
+
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-user sketch per event type: bounded keyed
+    state (k smallest hashes), set-union merge is associative so the
+    converged state equals the batch sketch bit-for-bit — the oracle is
+    the BATCH kmv SQL."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_kmv
+
+    work = tempfile.mkdtemp(prefix="btrdb_skmv_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(src_d)
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_d)
+    )
+    out = streaming_kmv(stream)
+    name = "stream_kmv_out"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql import Window
+
+    # update mode re-emits per batch; the converged sketch is the row
+    # with the most kept hashes and, at n_kept = k, the smallest kth.
+    w = Window.partitionBy("uuid").orderBy(
+        F.col("n_kept").desc(), F.col("kth_hash")
+    )
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("uuid", "n_kept", "kth_hash", "kmv_est")
+        .orderBy("uuid")
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph via degree-ordered
     orientation (O(m^1.5) wedge generation, co-hashed closure semi-join);
@@ -3757,6 +3875,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_paths": q_top_paths,
+        "returned_item_losses": q_returned_item_losses,
+        "ar1_forecast": q_ar1_forecast,
+        "hurst_exponent": q_hurst_exponent,
+        "bilateral_trade": q_bilateral_trade,
+        "zipf_fit": q_zipf_fit,
+        "anova_dow": q_anova_dow,
+        "streaming_kmv": _small_state(q_streaming_kmv),
         "triangle_count": q_triangle_count,
         "chi2_independence": q_chi2_independence,
         "kmv_distinct": q_kmv_distinct,
@@ -4686,6 +4811,286 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT path, count(*) AS users FROM p
             GROUP BY 1 ORDER BY users DESC, path LIMIT 20
+        """,
+        "returned_item_losses": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+            ), li AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem WHERE l_returnflag = 'R'
+            ), pc AS (
+                SELECT o_custkey, sum(rev4) AS s_rev4,
+                       count(*) AS n_items
+                FROM li JOIN o ON l_orderkey = o_orderkey GROUP BY 1
+            )
+            SELECT c_custkey, c_name, n_name,
+                   CAST(s_rev4 AS DOUBLE) / 10000.0 AS revenue,
+                   n_items
+            FROM pc JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY s_rev4 DESC, c_custkey LIMIT 20
+        """,
+        "ar1_forecast": f"""
+            {PTS_CTE}, t AS (
+                SELECT (time - {T_2024}) // {DAY_NS} AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts WHERE uuid = 'purchase'
+                  AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), marg AS (
+                SELECT CAST(sum(s) AS BIGINT) AS S,
+                       CAST(sum(s * s) AS BIGINT) AS SS,
+                       CAST(COALESCE(sum(CASE WHEN widx < 30 THEN s END), 0)
+                            AS BIGINT) AS Sh,
+                       CAST(COALESCE(sum(CASE WHEN widx >= 1 THEN s END), 0)
+                            AS BIGINT) AS St,
+                       CAST(COALESCE(sum(CASE WHEN widx = 30 THEN s END), 0)
+                            AS BIGINT) AS lastv
+                FROM t
+            ), dots AS (
+                SELECT CAST(COALESCE(sum(a.s * b.s), 0) AS BIGINT) AS Sxy
+                FROM t a JOIN t b ON a.widx + 1 = b.widx
+            ), st2 AS (
+                SELECT lastv,
+                       CASE WHEN 31.0 * 31.0 * CAST(SS AS DOUBLE)
+                                 - 31.0 * CAST(S AS DOUBLE)
+                                   * CAST(S AS DOUBLE) > 0
+                       THEN (31.0 * 31.0
+                               * CAST(COALESCE(Sxy, 0) AS DOUBLE)
+                             - 31.0 * CAST(S AS DOUBLE)
+                               * (CAST(COALESCE(Sh, 0) AS DOUBLE)
+                                  + CAST(COALESCE(St, 0) AS DOUBLE))
+                             + 30.0 * CAST(S AS DOUBLE)
+                               * CAST(S AS DOUBLE))
+                            / (31.0 * 31.0 * CAST(SS AS DOUBLE)
+                               - 31.0 * CAST(S AS DOUBLE)
+                                 * CAST(S AS DOUBLE))
+                       ELSE 0.0 END AS phi,
+                       CAST(S AS DOUBLE) / 31.0 AS mu
+                FROM marg, dots
+            ), hs AS (SELECT unnest(range(1, 8)) AS h)
+            SELECT h, phi,
+                   (mu + list_reduce(
+                            list_prepend(CAST(1 AS DOUBLE),
+                                list_transform(range(1, h + 1), x -> phi)),
+                            (a, b) -> a * b)
+                         * (CAST(lastv AS DOUBLE) - mu)) * 0.01 AS forecast
+            FROM st2 CROSS JOIN hs ORDER BY h
+        """,
+        "hurst_exponent": f"""
+            {PTS_CTE}, t AS (
+                SELECT (time - {T_2024}) // {DAY_NS // 24} AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts WHERE uuid = 'view'
+                  AND time >= {T_2024} AND time < {T_FEB}
+                GROUP BY 1
+            ), sc AS (
+                """
+        + "\n                UNION ALL\n                ".join(
+            f"""SELECT {m} AS m,
+                       (CAST(SS AS DOUBLE) / ({float(m)!r} * {float(m)!r}))
+                           / {float(744 // m)!r}
+                       - (CAST(S AS DOUBLE) / {float(m)!r}
+                          / {float(744 // m)!r})
+                         * (CAST(S AS DOUBLE) / {float(m)!r}
+                            / {float(744 // m)!r}) AS var_m
+                FROM (SELECT CAST(COALESCE(sum(bs), 0) AS BIGINT) AS S,
+                             CAST(COALESCE(sum(bs * bs), 0) AS BIGINT) AS SS
+                      FROM (SELECT widx // {m} AS blk,
+                                   CAST(sum(s) AS BIGINT) AS bs
+                            FROM t WHERE widx < {(744 // m) * m}
+                            GROUP BY 1))"""
+            for m in (1, 2, 4, 8)
+        )
+        + """
+            ), terms AS (
+                SELECT m, ln(CAST(m AS DOUBLE)) AS x, ln(var_m) AS y
+                FROM sc
+            ), f AS (
+                SELECT count(*) AS k,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(x ORDER BY m),
+                                     (a, b) -> a + b) AS sx,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(y ORDER BY m),
+                                     (a, b) -> a + b) AS sy,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(x * y ORDER BY m),
+                                     (a, b) -> a + b) AS sxy,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(x * x ORDER BY m),
+                                     (a, b) -> a + b) AS sxx,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(y * y ORDER BY m),
+                                     (a, b) -> a + b) AS syy
+                FROM terms
+            ), st AS (
+                SELECT k,
+                       CAST(k AS DOUBLE) * sxy - sx * sy AS cov,
+                       CAST(k AS DOUBLE) * sxx - sx * sx AS vx,
+                       CAST(k AS DOUBLE) * syy - sy * sy AS vy
+                FROM f
+            )
+            SELECT k AS n_scales,
+                   1.0 + (cov / vx) / 2.0 AS hurst,
+                   CASE WHEN vy > 0 THEN cov * cov / (vx * vy) END AS r2
+            FROM st
+        """,
+        "bilateral_trade": """
+            WITH s AS (
+                SELECT s_suppkey, n_name AS supp_nation
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ), c AS (
+                SELECT c_custkey, n_name AS cust_nation
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), o AS (
+                SELECT o_orderkey, cust_nation
+                FROM orders JOIN c ON o_custkey = c_custkey
+            ), li AS (
+                SELECT l_orderkey, l_suppkey, year(l_shipdate) AS l_year,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem
+            )
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(rev4) AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM li JOIN s ON l_suppkey = s_suppkey
+            JOIN o ON l_orderkey = o_orderkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "zipf_fit": r"""
+            WITH tk AS (
+                SELECT list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+                FROM documents
+            ), counts AS (
+                SELECT tok, count(*) AS cnt
+                FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY 1
+            ), tot AS (
+                SELECT count(*) AS vocab_size,
+                       CAST(sum(cnt) AS BIGINT) AS total_tokens
+                FROM counts
+            ), top AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+                FROM counts ORDER BY cnt DESC, tok LIMIT 100
+            ), terms AS (
+                SELECT rank,
+                       ln(CAST(rank AS DOUBLE)) AS x,
+                       ln(CAST(cnt AS DOUBLE)) AS y
+                FROM top
+            ), f AS (
+                SELECT count(*) AS n,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(x ORDER BY rank),
+                                     (a, b) -> a + b) AS sx,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(y ORDER BY rank),
+                                     (a, b) -> a + b) AS sy,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(x * y ORDER BY rank),
+                                     (a, b) -> a + b) AS sxy,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(x * x ORDER BY rank),
+                                     (a, b) -> a + b) AS sxx,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(y * y ORDER BY rank),
+                                     (a, b) -> a + b) AS syy
+                FROM terms
+            ), st AS (
+                SELECT n, sx, sy,
+                       CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+                       CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+                       CAST(n AS DOUBLE) * syy - sy * sy AS vy
+                FROM f
+            )
+            SELECT n AS n_top, vocab_size, total_tokens,
+                   cov / vx AS slope,
+                   (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) AS intercept,
+                   CASE WHEN vy > 0 THEN cov * cov / (vx * vy) END AS r2
+            FROM st CROSS JOIN tot
+        """,
+        "anova_dow": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts WHERE uuid = 'purchase'
+                  AND time >= {T_2024} AND time < {T_FEB}
+            ), g AS (
+                SELECT ((time // {DAY_NS}) + 4) % 7 AS dow,
+                       count(*) AS ng,
+                       CAST(sum(q) AS BIGINT) AS s1,
+                       CAST(sum(q * q) AS BIGINT) AS s2
+                FROM src GROUP BY 1
+            ), t AS (
+                SELECT CAST(sum(ng) AS BIGINT) AS n,
+                       CAST(sum(s1) AS BIGINT) AS t1,
+                       count(*) AS k
+                FROM g
+            ), terms AS (
+                SELECT dow, n,
+                       CAST(ng AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+                          - CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+                          - CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE)) AS bt,
+                       CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(ng AS DOUBLE) AS wt
+                FROM g CROSS JOIN t
+            ), f AS (
+                SELECT CAST(max(n) AS BIGINT) AS n_total,
+                       count(*) AS n_groups,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(bt ORDER BY dow),
+                                     (a, b) -> a + b) AS ssb,
+                       CAST(0 AS DOUBLE)
+                       + list_reduce(list(wt ORDER BY dow),
+                                     (a, b) -> a + b) AS ssw
+                FROM terms
+            )
+            SELECT n_total, n_groups,
+                   n_groups - 1 AS df_between,
+                   n_total - n_groups AS df_within,
+                   ssb, ssw,
+                   CASE WHEN ssw > 0 AND n_groups - 1 > 0
+                             AND n_total - n_groups > 0
+                   THEN (ssb / CAST(n_groups - 1 AS DOUBLE))
+                        / (ssw / CAST(n_total - n_groups AS DOUBLE)) END
+                       AS f_stat
+            FROM f
+        """,
+        "streaming_kmv": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type AS uuid,
+                       CAST('0x' || substr(
+                           md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS h
+                FROM events
+            ), r AS (
+                SELECT uuid, h,
+                       row_number() OVER (PARTITION BY uuid ORDER BY h) AS rn
+                FROM h
+            ), t AS (
+                SELECT uuid, CAST(max(h) AS BIGINT) AS kth_hash,
+                       count(*) AS n_kept
+                FROM r WHERE rn <= 256 GROUP BY 1
+            )
+            SELECT uuid, n_kept, kth_hash,
+                   CASE WHEN n_kept = 256
+                        THEN {float(255 * (1 << 52))!r}
+                             / CAST(kth_hash AS DOUBLE)
+                        ELSE CAST(n_kept AS DOUBLE) END AS kmv_est
+            FROM t ORDER BY uuid
         """,
         "triangle_count": """
             WITH li AS (

@@ -480,3 +480,100 @@ def corpus_summary(
         "n_langs",
         "n_sources",
     )
+
+
+def zipf_fit(
+    docs: DataFrame, top: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(freq) against ln(rank) over the `top` most frequent tokens
+    (natural text sits near slope -1; synthetic or templated corpora
+    drift off it — a one-row corpus fingerprint for drift monitoring).
+    Ranks are integers (count desc, token asc tiebreak), the per-rank
+    log terms are deterministic doubles, and every OLS sum runs as a
+    FIXED-ORDER fold over the rank-sorted term list, so slope/intercept/
+    r2 are bit-identical across engines and plans. The logs themselves
+    are computed by a label-scale pandas UDF wrapping libm's log —
+    java.lang.Math.log is only 1-ulp-accurate and measurably disagrees
+    with the C library DuckDB calls (observed on 5/199 small ints), so
+    the JVM log built-ins cannot appear in an oracle-paired expression.
+
+    Scale shape: one token-scale groupBy (map-side combined), a
+    TakeOrderedAndProject top-k, then label-scale work: rank window over
+    `top` rows and four folds over a collected array. vocab/total counts
+    ride in via broadcast 1-row cross joins. Columns: n_top, vocab_size,
+    total_tokens, slope, intercept, r2."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("cnt").alias("total_tokens"),
+    )
+    ranked = (
+        counts.orderBy(F.col("cnt").desc(), "tok")
+        .limit(top)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), "tok"))
+            .alias("rank"),
+            "cnt",
+        )
+    )
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(s):  # libm log, elementwise — matches DuckDB ln() bit-exactly
+        return s.map(lambda v: math.log(v))
+
+    terms = ranked.select(
+        "rank",
+        _ln(F.col("rank").cast("double")).alias("x"),
+        _ln(F.col("cnt").cast("double")).alias("y"),
+    ).select(
+        "rank",
+        "x",
+        "y",
+        (F.col("x") * F.col("y")).alias("xy"),
+        (F.col("x") * F.col("x")).alias("xx"),
+        (F.col("y") * F.col("y")).alias("yy"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("rank", "x", "y", "xy", "xx", "yy"))
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731
+        F.col("arr"), F.lit(0.0), lambda acc, e: acc + e[field]
+    )
+    agg = terms.agg(
+        F.count("*").alias("n"), arr.alias("arr")
+    ).select(
+        "n",
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+        fold("yy").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / vx
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n").alias("n_top"),
+            "vocab_size",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            slope.alias("slope"),
+            ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+            F.when(vy > 0, cov * cov / (vx * vy)).alias("r2"),
+        )
+    )

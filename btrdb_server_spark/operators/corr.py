@@ -742,3 +742,212 @@ def spearman_corr(
             (var_a > 0) & (var_b > 0), cov / (F.sqrt(var_a) * F.sqrt(var_b))
         ).alias("rho"),
     )
+
+
+def ar1_forecast(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    horizon: int = 7,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """AR(1) forecast of a stream's per-window totals: fit
+    x_{t+1} - mu = phi (x_t - mu) by least squares on the lag-1 pairs
+    (phi = the Yule-Walker/ACF(1) estimate over the zero-filled window
+    spine) and project h = 1..horizon steps ahead from the last window:
+    f_h = mu + phi^h (x_last - mu). Every moment is an exact integer in
+    quantum units (the autocorr n^2-scaling trick); phi and mu are fixed
+    double expressions, and phi^h is a LEFT-FOLD of h explicit
+    multiplications — never pow(), whose JVM implementation is only
+    1-ulp-accurate and disagrees with libm (same class of bug as
+    Math.log, see zipf_fit). Columns: h, phi, forecast.
+
+    Scale shape: one point-scale groupBy to window totals; the fit is
+    three aggregates over the bucket-scale table (marginal, shifted
+    self-join dot product, last window), the projection a `horizon`-row
+    literal explode of a broadcast 1-row stats table."""
+    if horizon < 1:
+        raise ValueError("horizon >= 1")
+    n = (end - start) // width
+    if n < 3:
+        raise ValueError("need at least 3 windows")
+    sums = (
+        points.where(
+            (F.col("uuid") == F.lit(uuid))
+            & (F.col("time") >= F.lit(start))
+            & (F.col("time") < F.lit(end))
+        )
+        .select(
+            F.expr(f"(time - ({start})) div {width}").alias("widx"),
+            F.round(F.col("value") / F.lit(value_quantum))
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("widx")
+        .agg(F.sum("vq").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    marg = sums.agg(
+        F.sum("s").alias("S"),
+        F.sum(F.col("s") * F.col("s")).alias("SS"),
+        F.sum(F.when(F.col("widx") < n - 1, F.col("s"))).alias("Sh"),
+        F.sum(F.when(F.col("widx") >= 1, F.col("s"))).alias("St"),
+        F.coalesce(
+            F.sum(F.when(F.col("widx") == n - 1, F.col("s"))), F.lit(0)
+        ).alias("last"),
+    )
+    a = sums.select(F.col("widx").alias("t"), F.col("s").alias("sa"))
+    b = sums.select((F.col("widx") - 1).alias("t"), F.col("s").alias("sb"))
+    dots = a.join(b, "t").agg(
+        F.coalesce(F.sum(F.col("sa") * F.col("sb")), F.lit(0)).alias("Sxy")
+    )
+    stats = marg.crossJoin(F.broadcast(dots))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nn = F.lit(float(n))
+    # numerator/denominator of phi, x n^2 (exact integers cast late)
+    num = (
+        nn * nn * F.coalesce(d("Sxy"), F.lit(0.0))
+        - nn * d("S") * (F.coalesce(d("Sh"), F.lit(0.0)) + F.coalesce(d("St"), F.lit(0.0)))
+        + F.lit(float(n - 1)) * d("S") * d("S")
+    )
+    den = nn * nn * d("SS") - nn * d("S") * d("S")
+    phi = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    mu = d("S") / nn
+    spark = points.sparkSession
+    hs = spark.createDataFrame([(h,) for h in range(1, horizon + 1)], "h long")
+    proj = stats.withColumn("phi", phi).withColumn("mu", mu).crossJoin(
+        F.broadcast(hs)
+    )
+    phi_pow = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("h")), lambda _: F.col("phi")
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return proj.select(
+        "h",
+        "phi",
+        (
+            (F.col("mu") + phi_pow * (d("last") - F.col("mu")))
+            * F.lit(value_quantum)
+        ).alias("forecast"),
+    ).orderBy("h")
+
+
+def hurst_exponent(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    scales: tuple[int, ...] = (1, 2, 4, 8),
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Hurst exponent by the aggregated-variance method: block-average
+    the per-window totals at each scale m, compute the variance of the
+    block means, fit ln Var(m) against ln m — slope = 2H - 2, so
+    H = 1 + slope/2 (H ~ 0.5: no memory; H > 0.5: long-range
+    dependence, the self-similarity diagnostic for utility telemetry).
+    Block sums are exact integers per scale; each variance is a fixed
+    double expression; the logs go through the libm pandas UDF (JVM log
+    is 1-ulp off libm — zipf_fit note) and the 4-point OLS runs as
+    fixed-order folds. Columns: n_scales, hurst, r2.
+
+    Scale shape: ONE point-scale groupBy to window totals, then per
+    scale a bucket-scale groupBy(widx div m) — |scales| passes over the
+    checkpointed spine table, constant-size everything after."""
+    import math as _math
+
+    from pyspark.sql.functions import pandas_udf
+
+    n = (end - start) // width
+    if any(n // m < 2 for m in scales):
+        raise ValueError("every scale needs >= 2 blocks")
+    sums = (
+        points.where(
+            (F.col("uuid") == F.lit(uuid))
+            & (F.col("time") >= F.lit(start))
+            & (F.col("time") < F.lit(end))
+        )
+        .select(
+            F.expr(f"(time - ({start})) div {width}").alias("widx"),
+            F.round(F.col("value") / F.lit(value_quantum))
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("widx")
+        .agg(F.sum("vq").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    per_scale = []
+    for m in scales:
+        nb = n // m  # full blocks only; the ragged tail is dropped
+        blocks = (
+            sums.where(F.col("widx") < nb * m)
+            .groupBy(F.expr(f"widx div {m}").alias("blk"))
+            .agg(F.sum("s").alias("bs"))
+        )
+        agg = blocks.agg(
+            F.coalesce(F.sum("bs"), F.lit(0)).alias("S"),
+            F.coalesce(F.sum(F.col("bs") * F.col("bs")), F.lit(0)).alias("SS"),
+        )
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        nbd = F.lit(float(nb))
+        md = F.lit(float(m))
+        # variance of block MEANS: E[(bs/m)^2] - (E[bs/m])^2, all from
+        # integer sums; zero-filled windows are implicit (absent rows
+        # contribute 0 to S/SS but DO count in nb)
+        var = (d("SS") / (md * md)) / nbd - (d("S") / md / nbd) * (
+            d("S") / md / nbd
+        )
+        per_scale.append(
+            agg.select(
+                F.lit(m).cast("long").alias("m"), var.alias("var_m")
+            )
+        )
+    from functools import reduce as _reduce
+
+    scaled = _reduce(DataFrame.unionAll, per_scale)
+
+    @pandas_udf("double")
+    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
+        return s.map(lambda v: _math.log(v) if v > 0 else float("nan"))
+
+    terms = scaled.select(
+        "m", _ln(F.col("m").cast("double")).alias("x"), _ln("var_m").alias("y")
+    ).select(
+        "m",
+        "x",
+        "y",
+        (F.col("x") * F.col("y")).alias("xy"),
+        (F.col("x") * F.col("x")).alias("xx"),
+        (F.col("y") * F.col("y")).alias("yy"),
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731
+        F.col("arr"), F.lit(0.0), lambda acc, e: acc + e[field]
+    )
+    agg2 = terms.agg(
+        F.count("*").alias("k"),
+        F.array_sort(F.collect_list(F.struct("m", "x", "y", "xy", "xx", "yy"))).alias(
+            "arr"
+        ),
+    ).select(
+        "k",
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+        fold("yy").alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    cov = kd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = kd * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg2.select(
+        F.col("k").alias("n_scales"),
+        (F.lit(1.0) + (cov / vx) / F.lit(2.0)).alias("hurst"),
+        F.when(vy > 0, cov * cov / (vx * vy)).alias("r2"),
+    )

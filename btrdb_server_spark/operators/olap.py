@@ -412,3 +412,120 @@ def assoc_rules(
         .orderBy(F.col("pair_cnt").desc(), "brand_a", "brand_b")
         .limit(top)
     )
+
+
+def bilateral_trade(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Trade-flow matrix (TPC-H Q7 flavor, unfiltered): discounted
+    revenue between every (supplier nation, customer nation) pair per
+    ship year. Revenue exact in 1e-4 integer units; the emitted double
+    is one division.
+
+    Plan shape: the ONE wide exchange is lineitem⋈orders co-hashing the
+    order key. Both nation legs are dimension chains resolved map-side:
+    supplier⋈nation broadcast onto the fact scan (supp_nation rides the
+    lineitem rows into the join), customer⋈nation broadcast onto orders.
+    The final groupBy is label-scale (25 x 25 x years). Columns:
+    supp_nation, cust_nation, l_year, revenue, n_items."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    s = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("snk")
+    )
+    c = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cnk")
+    )
+    o = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .select("o_orderkey", "cust_nation")
+    )
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year(F.col("l_shipdate")).alias("l_year"),
+            rev4.alias("rev4"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("l_orderkey", "supp_nation", "l_year", "rev4")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(dec("rev4")).alias("s_rev4"), F.count("*").alias("n_items"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.col("s_rev4").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "n_items",
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def returned_item_losses(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    order_from: str = "1996-01-01",
+    order_before: str = "1996-04-01",
+    top: int = 20,
+) -> DataFrame:
+    """Customers who returned the most revenue in an order quarter
+    (TPC-H Q10 flavor): revenue of l_returnflag = 'R' items per customer,
+    top `top` by exact 1e-4 integer revenue (custkey tiebreak — no float
+    rank ties possible).
+
+    Plan shape: the returnflag + date predicates prune both fact scans
+    BEFORE the one wide lineitem⋈orders co-hash; customer resolves
+    after the per-customer aggregate (aggregate first, then join the
+    dim — the groupBy output is customer-scale, so the name/nation hop
+    never touches item-scale rows); nation broadcast. Top-k is
+    TakeOrderedAndProject. Columns: c_custkey, c_name, n_name, revenue,
+    n_items."""
+    od = F.to_date(F.col("o_orderdate"))
+    o = orders.where(
+        (od >= F.lit(order_from).cast("date"))
+        & (od < F.lit(order_before).cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev4.alias("rev4")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("rev4")).alias("s_rev4"), F.count("*").alias("n_items"))
+    )
+    c = customer.select("c_custkey", "c_name", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        per_cust.join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("s_rev4").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "n_items",
+            F.col("s_rev4").alias("_rank"),
+        )
+        .orderBy(F.col("_rank").desc(), "c_custkey")
+        .limit(top)
+        .drop("_rank")
+    )

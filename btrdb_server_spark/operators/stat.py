@@ -1566,3 +1566,85 @@ def chi2_independence(
             F.col("chi2") / (F.col("n_total").cast("double") * mindim.cast("double"))
         ).alias("cramers_v"),
     )
+
+
+def anova_dow(
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    day_ns: int = 86_400_000_000_000,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """One-way ANOVA of one stream's values across day-of-week groups
+    over [start, end): does the level genuinely differ by weekday, or is
+    the diurnal_profile spread just noise? Per-group exact integer
+    moments (n_g, s1_g, s2_g); the between/within sums of squares are
+    per-group double terms folded in FIXED dow ORDER, and the F statistic
+    is one final expression — engine- and plan-independent like
+    chi2_independence. Day-of-week from pure integer time arithmetic
+    (Monday=0). Columns: n_total, n_groups, df_between, df_within, ssb,
+    ssw, f_stat (null when ssw is 0 or dof degenerate).
+
+    Scale shape: ONE point-scale groupBy(dow) — 7 groups; everything
+    after is constant-size: a 1-row grand total broadcast back and a
+    7-element fold."""
+    dow = (F.expr(f"time div {day_ns}") + 4) % 7
+    q = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    groups = (
+        points.where(
+            (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
+        )
+        .select(dow.alias("dow"), q.alias("q"))
+        .groupBy("dow")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+        )
+    )
+    tot = groups.agg(
+        F.sum("ng").alias("n"),
+        F.sum("s1").alias("t1"),
+        F.count("*").alias("k"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gm = d("t1") / d("n")
+    mean_g = d("s1") / d("ng")
+    ssb_term = d("ng") * (mean_g - gm) * (mean_g - gm)
+    ssw_term = d("s2") - d("s1") * d("s1") / d("ng")
+    terms = groups.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n",
+        "k",
+        ssb_term.alias("bt"),
+        ssw_term.alias("wt"),
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731
+        F.col("arr"), F.lit(0.0), lambda acc, e: acc + e[field]
+    )
+    agg = terms.agg(
+        F.max("n").alias("n_total"),
+        F.count("*").alias("n_groups"),
+        F.array_sort(F.collect_list(F.struct("dow", "bt", "wt"))).alias("arr"),
+    ).select(
+        "n_total",
+        "n_groups",
+        fold("bt").alias("ssb"),
+        fold("wt").alias("ssw"),
+    )
+    dfb = F.col("n_groups") - 1
+    dfw = F.col("n_total") - F.col("n_groups")
+    return agg.select(
+        "n_total",
+        "n_groups",
+        dfb.alias("df_between"),
+        dfw.alias("df_within"),
+        "ssb",
+        "ssw",
+        F.when(
+            (F.col("ssw") > 0) & (dfb > 0) & (dfw > 0),
+            (F.col("ssb") / dfb.cast("double"))
+            / (F.col("ssw") / dfw.cast("double")),
+        ).alias("f_stat"),
+    )

@@ -976,3 +976,76 @@ def streaming_twa(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUTPUT_SCHEMA = "uuid string, n_kept long, kth_hash long, kmv_est double"
+KMV_STATE_SCHEMA = "hashes string"
+
+
+def _update_kmv(k: int):
+    """KMV merge for one group: state is the sorted list of the k
+    smallest distinct hashes seen so far (bounded — at most k int64s per
+    group, json-encoded). Merge = set-union the batch's hashes, sort,
+    trim to k: associative and order-independent, so the final state is
+    IDENTICAL to the batch sketch no matter how arrivals were split into
+    micro-batches (the property the entry's oracle asserts)."""
+    import json
+
+    est_num = float((k - 1) * (1 << 52))
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uuid = key[0]
+        s = set(json.loads(state.get[0])) if state.exists else set()
+        for pdf in pdfs:
+            s.update(int(h) for h in pdf["h"])
+        merged = sorted(s)[:k]
+        state.update((json.dumps(merged),))
+        n_kept = len(merged)
+        kth = merged[-1] if merged else 0
+        est = est_num / float(kth) if n_kept == k else float(n_kept)
+        yield pd.DataFrame(
+            {
+                "uuid": [uuid],
+                "n_kept": [n_kept],
+                "kth_hash": [kth],
+                "kmv_est": [est],
+            }
+        )
+
+    return fn
+
+
+def streaming_kmv(events_stream: DataFrame, k: int = 256) -> DataFrame:
+    """Streaming distinct-count sketch: per event type, a KMV sketch of
+    the user-id stream maintained in keyed state — bounded at k hashes
+    per group forever (no watermark; a late arrival still folds in, ST2
+    semantics), versus an exact streaming count-distinct whose state
+    grows with the id universe. Hashing runs JVM-side BEFORE the
+    stateful op (same 52-bit md5 prefix as the batch kmv_distinct, so
+    the converged state equals the batch sketch bit-for-bit); the python
+    state fn only set-merges bounded int lists.
+
+    `events_stream` needs (event_type, user_id). At 100 TB: state is
+    groups x k longs under RocksDB; the update is associative, so
+    shard/batch boundaries never change the converged sketch."""
+    hashed = events_stream.select(
+        F.col("event_type").alias("uuid"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    return hashed.groupBy("uuid").applyInPandasWithState(
+        _update_kmv(k),
+        KMV_OUTPUT_SCHEMA,
+        KMV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

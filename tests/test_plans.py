@@ -604,3 +604,27 @@ def test_assoc_rules_broadcast_counts(spark):
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in simple
     assert simple.count("BroadcastHashJoin") >= 3
+
+
+def test_bilateral_trade_two_broadcast_legs(spark):
+    """Both nation dim chains must broadcast; the only wide exchanges are
+    the fact-fact order-key co-hash and the label-scale final groupBy."""
+    df = entry_mod.q_bilateral_trade(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("BroadcastHashJoin") >= 2
+    assert "Cartesian" not in simple
+
+
+def test_returned_item_losses_agg_before_dim(spark):
+    """The customer dim must join AFTER the per-customer aggregate (the
+    aggregate's child sees no customer columns) and the top-20 must be
+    TakeOrderedAndProject."""
+    df = entry_mod.q_returned_item_losses(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in simple
+    # the aggregate on o_custkey happens below the customer join:
+    # customer.parquet appears exactly once, and only one wide exchange
+    # carries item-scale rows (the lineitem⋈orders co-hash pair)
+    assert simple.count("customer.parquet") == 1
+    plan = plan_of(df)
+    assert "l_returnflag" in plan  # returnflag filter pushed to the scan

@@ -176,3 +176,94 @@ def test_chi2_independence_brute_force(spark):
     assert got.n_total == n and got.dof == 2
     assert got.chi2 == pytest.approx(chi2, rel=1e-12)
     assert got.cramers_v == pytest.approx(math.sqrt(chi2 / n), rel=1e-12)
+
+
+def test_anova_dow_brute_force(spark):
+    day = 86_400_000_000_000
+    rows = []
+    vals = {0: [100, 200, 300], 1: [400, 400], 2: [50, 150, 250, 350]}
+    for dow, qs in vals.items():
+        base = (dow + 3) * day
+        rows.extend(("s", base + i, q / 100.0) for i, q in enumerate(qs))
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    from btrdb_server_spark.operators.stat import anova_dow
+
+    got = anova_dow(df, "s", 0, 10 * day).collect()[0]
+    flat = [q for qs in vals.values() for q in qs]
+    n, k = len(flat), len(vals)
+    gm = sum(flat) / n
+    ssb = sum(len(qs) * (sum(qs) / len(qs) - gm) ** 2 for qs in vals.values())
+    ssw = sum(
+        sum(q * q for q in qs) - sum(qs) ** 2 / len(qs) for qs in vals.values()
+    )
+    assert got.n_total == n and got.n_groups == k
+    assert got.ssb == pytest.approx(ssb, rel=1e-9)
+    assert got.ssw == pytest.approx(ssw, rel=1e-9)
+    assert got.f_stat == pytest.approx(
+        (ssb / (k - 1)) / (ssw / (n - k)), rel=1e-9
+    )
+
+
+def test_zipf_fit_synthetic_powerlaw(spark):
+    # token i repeated ~C/i times => slope should be near -1
+    docs = []
+    for i in range(1, 41):
+        docs.extend([(len(docs) + j, f"tok{i:02d}") for j in range(400 // i)])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, text string"
+    )
+    from btrdb_server_spark.functions.text import zipf_fit
+
+    r = zipf_fit(df, top=40).collect()[0]
+    assert r.n_top == 40 and r.vocab_size == 40
+    assert -1.15 < r.slope < -0.85
+    assert r.r2 > 0.97
+
+
+def test_bilateral_trade_symmetric_totals(spark):
+    sf = "/root/testdata/sf0.001"
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_bilateral_trade(spark, sf)
+    rows = df.collect()
+    assert len(rows) > 0
+    # total items across the matrix == lineitems with resolvable legs
+    from btrdb_server_spark.sources.testdata import load_table
+
+    n_li = load_table(spark, sf, "lineitem").count()
+    assert sum(r.n_items for r in rows) == n_li
+
+
+def test_ar1_forecast_brute_force(spark):
+    day = 1000
+    qs = [100, 140, 120, 180, 160, 220, 200, 260]
+    rows = [("s", T0 + i * day, q / 100.0) for i, q in enumerate(qs)]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    from btrdb_server_spark.operators.corr import ar1_forecast
+
+    got = ar1_forecast(df, "s", T0, T0 + len(qs) * day, day, horizon=3).collect()
+    n = len(qs)
+    mu = sum(qs) / n
+    num = sum((qs[i] - mu) * (qs[i + 1] - mu) for i in range(n - 1))
+    den = sum((q - mu) ** 2 for q in qs)
+    phi = num / den
+    assert len(got) == 3
+    for r in got:
+        assert r.phi == pytest.approx(phi, rel=1e-9)
+        want = (mu + phi**r.h * (qs[-1] - mu)) * 0.01
+        assert r.forecast == pytest.approx(want, rel=1e-9)
+
+
+def test_hurst_white_noise_near_half(spark):
+    import random
+
+    rnd = random.Random(7)
+    day = 1000
+    n = 512
+    rows = [("s", T0 + i * day, rnd.randint(0, 10000) / 100.0) for i in range(n)]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    from btrdb_server_spark.operators.corr import hurst_exponent
+
+    r = hurst_exponent(df, "s", T0, T0 + n * day, day, scales=(1, 2, 4, 8)).collect()[0]
+    assert r.n_scales == 4
+    assert 0.3 < r.hurst < 0.7  # iid noise: H ~ 0.5
