@@ -3782,6 +3782,96 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H-Q5 local-supplier volume for ASIA 1996: one fact-fact
+    co-hash, every dim (customer/supplier/nation/region) broadcast, the
+    c_nationkey = s_nationkey equality resolved map-side; integer-rank
+    ordering."""
+    from btrdb_server_spark.operators.olap import local_supplier_volume
+
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-flavor yearly market share of NATION_7 suppliers within
+    AMERICA-market orders; share is one division of exact int64 sums."""
+    from btrdb_server_spark.operators.olap import market_share
+
+    return market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-flavor per-month promo revenue share over 1996 shipping;
+    part broadcast, integer-domain percentage."""
+    from btrdb_server_spark.operators.olap import promo_revenue
+
+    return promo_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-flavor small-quantity revenue for Brand#23 with the
+    1/5-of-part-average threshold tested by exact cross-multiplication."""
+    from btrdb_server_spark.operators.olap import small_qty_revenue
+
+    return small_qty_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-flavor top-20 large-volume orders (sum qty > 150),
+    integer-cent rank."""
+    from btrdb_server_spark.operators.olap import large_orders
+
+    return large_orders(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-flavor OR-of-blocks revenue: brand/size/quantity
+    disjunction across a broadcast part join."""
+    from btrdb_server_spark.operators.olap import disjunctive_revenue
+
+    return disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-flavor idle high-balance customers per market segment;
+    above-positive-average test by integer cross-multiplication, LeftAnti
+    against 1999+ order custkeys."""
+    from btrdb_server_spark.operators.olap import idle_customers
+
+    return idle_customers(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=8
     (restored afterwards). The state partition count is FIXED by the
@@ -4029,6 +4119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_ann_usage": q_metadata_ann_usage,
         "minhash_signatures": q_minhash_signatures,
         "token_freq": q_token_freq,
+        # -- new this round (position 51+; rotate into the r07 window) --
+        "local_supplier_volume": q_local_supplier_volume,
+        "market_share": q_market_share,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "idle_customers": q_idle_customers,
     }
 
 
@@ -7738,5 +7836,153 @@ def oracle_sql() -> dict[str, str]:
             FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
             WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
             ORDER BY a, b
+        """,
+        "local_supplier_volume": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            ), li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem
+            ), asia AS (
+                SELECT n_nationkey, n_name FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            )
+            SELECT n_name,
+                   CAST(sum(rev4) AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM li JOIN o ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN asia ON s_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY sum(rev4) DESC, n_name
+        """,
+        "market_share": """
+            WITH mkt AS (
+                SELECT n_nationkey FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA'
+            ), supp AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+            ), li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem
+            )
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM supp)
+                                 THEN rev4 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(rev4) AS DOUBLE) AS mkt_share,
+                   CAST(sum(rev4) AS DOUBLE) / 10000.0 AS total_revenue,
+                   count(*) AS n_items
+            FROM li JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey IN (SELECT n_nationkey FROM mkt)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "promo_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       strftime(l_shipdate, '%Y-%m') AS ship_month,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem
+                WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+            )
+            SELECT ship_month,
+                   CAST(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN rev4 * 100 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(rev4) AS DOUBLE) AS promo_pct,
+                   CAST(sum(rev4) AS DOUBLE) / 10000.0 AS total_revenue,
+                   count(*) AS n_items
+            FROM li JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT) AS cents
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_brand = 'Brand#23')
+            ), stats AS (
+                SELECT l_partkey AS sp_partkey,
+                       CAST(sum(qty) AS BIGINT) AS s_qty,
+                       count(*) AS cnt
+                FROM li GROUP BY 1
+            )
+            SELECT 'Brand#23' AS brand,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS small_qty_revenue,
+                   count(*) AS n_items
+            FROM li JOIN stats ON l_partkey = sp_partkey
+            WHERE qty * 5 * cnt < 1 * s_qty
+        """,
+        "large_orders": """
+            WITH po AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                         AS sum_qty
+                FROM lineitem GROUP BY 1 HAVING sum_qty > 150
+            )
+            SELECT c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(CAST(round(o_totalprice / 0.01) AS BIGINT) AS DOUBLE)
+                     / 100.0 AS total_price,
+                   sum_qty
+            FROM po JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY CAST(round(o_totalprice / 0.01) AS BIGINT) DESC,
+                     o_orderkey
+            LIMIT 20
+        """,
+        "disjunctive_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem WHERE l_quantity BETWEEN 1 AND 30
+            )
+            SELECT CAST(sum(rev4) AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM li JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND qty BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND qty BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND qty BETWEEN 20 AND 30)
+        """,
+        "idle_customers": """
+            WITH c AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(round(c_acctbal / 0.01) AS BIGINT) AS cents
+                FROM customer
+            ), pos AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS s_pos,
+                       count(*) AS n_pos
+                FROM c WHERE cents > 0
+            )
+            SELECT c_mktsegment, count(*) AS n_custs,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS total_acctbal
+            FROM c, pos
+            WHERE cents * n_pos > s_pos
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                   WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
     }

@@ -529,3 +529,368 @@ def returned_item_losses(
         .limit(top)
         .drop("_rank")
     )
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    r_name: str = "ASIA",
+    order_from: str = "1996-01-01",
+    order_before: str = "1997-01-01",
+) -> DataFrame:
+    """Full TPC-H-Q5 local-supplier volume: revenue per nation of a region
+    where the SUPPLIER and the CUSTOMER sit in the same nation — the
+    five-way star join with an intra-row equality (c_nationkey =
+    s_nationkey) that a naive plan turns into a second wide shuffle.
+
+    Plan shape: the one wide exchange is lineitem⋈orders co-hashing the
+    order key; customer, supplier, nation and region are all dim-scale
+    and join as broadcast hash hops, so the same-nation equality is a
+    map-side filter, never a shuffle key. Revenue exact in 1e-4 integer
+    units; ordering on the integer sum (no float rank ties). Columns:
+    n_name, revenue, n_items."""
+    od = F.to_date(F.col("o_orderdate"))
+    o = orders.where(
+        (od >= F.lit(order_from).cast("date"))
+        & (od < F.lit(order_before).cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = lineitem.select("l_orderkey", "l_suppkey", rev4.alias("rev4"))
+    n = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == r_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    c = customer.select("c_custkey", F.col("c_nationkey"))
+    s = supplier.select("s_suppkey", F.col("s_nationkey"))
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s["s_suppkey"])
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(dec("rev4")).alias("s_rev4"), F.count("*").alias("n_items"))
+        .select(
+            "n_name",
+            (F.col("s_rev4").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "n_items",
+            F.col("s_rev4").alias("_rank"),
+        )
+        .orderBy(F.col("_rank").desc(), "n_name")
+        .drop("_rank")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    mkt_region: str = "AMERICA",
+    supp_nation: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H-Q8-flavor market share: within one market region's orders,
+    the yearly revenue share supplied by one nation. share =
+    nation_rev4 / total_rev4, both exact int64 sums, so the emitted
+    double is ONE division of exact integers (bit-identical anywhere).
+
+    Plan shape: one lineitem⋈orders co-hash; customer→nation→region
+    (market filter) and supplier→nation (numerator flag) broadcast; the
+    share is a conditional sum, not a second pass. Columns: o_year,
+    mkt_share, total_revenue, n_items."""
+    mkt_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == mkt_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("mkt_nationkey"))
+    )
+    supp_keys = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == supp_nation)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    o = orders.select(
+        "o_orderkey", "o_custkey", F.year(F.col("o_orderdate")).alias("o_year")
+    )
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = lineitem.select("l_orderkey", "l_suppkey", rev4.alias("rev4"))
+    c = customer.select("c_custkey", "c_nationkey")
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(
+            F.broadcast(mkt_nations),
+            F.col("c_nationkey") == F.col("mkt_nationkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(supp_keys.withColumn("is_supp", F.lit(1))),
+            F.col("l_suppkey") == supp_keys["s_suppkey"],
+            "left",
+        )
+    )
+    num = F.when(F.col("is_supp") == 1, F.col("rev4")).otherwise(F.lit(0))
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(dec(
+                "rev4"
+            )).alias("s_total"),
+            F.sum(num.cast("decimal(38,0)")).alias("s_nation"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.col("o_year").cast("long").alias("o_year"),
+            (
+                F.col("s_nation").cast("double")
+                / F.col("s_total").cast("double")
+            ).alias("mkt_share"),
+            (F.col("s_total").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+            "n_items",
+        )
+        .orderBy("o_year")
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    year_from: str = "1996-01-01",
+    year_before: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H-Q14-flavor promotion effect: per ship month, the percentage
+    of revenue from PROMO-type parts. promo_pct = 100 * promo4 / total4
+    with the *100 applied in the integer domain, so the double is one
+    exact-int division.
+
+    Plan shape: part is a broadcast dim carrying only (p_partkey,
+    is_promo); the month rollup map-side combines; the date predicate
+    reaches the lineitem scan. Columns: ship_month, promo_pct,
+    total_revenue, n_items."""
+    sd = F.to_date(F.col("l_shipdate"))
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = lineitem.where(
+        (sd >= F.lit(year_from).cast("date"))
+        & (sd < F.lit(year_before).cast("date"))
+    ).select(
+        "l_partkey",
+        F.date_format(sd, "yyyy-MM").alias("ship_month"),
+        rev4.alias("rev4"),
+    )
+    p = part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").cast("int").alias("is_promo")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    promo4 = F.when(F.col("is_promo") == 1, F.col("rev4")).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("ship_month")
+        .agg(
+            F.sum(promo4.cast("decimal(38,0)") * F.lit(100)).alias("s_promo"),
+            F.sum(dec("rev4")).alias("s_total"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "ship_month",
+            (
+                F.col("s_promo").cast("double")
+                / F.col("s_total").cast("double")
+            ).alias("promo_pct"),
+            (F.col("s_total").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+            "n_items",
+        )
+        .orderBy("ship_month")
+    )
+
+
+def small_qty_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#23",
+    frac_num: int = 1,
+    frac_den: int = 5,
+) -> DataFrame:
+    """TPC-H-Q17-flavor small-quantity revenue: total extended price of
+    brand items ordered in a quantity below frac (default 1/5) of that
+    part's average order quantity. The avg comparison is EXACT by
+    cross-multiplication: qty < (num/den)*(s_qty/cnt) iff
+    qty*den*cnt < num*s_qty — all int64, no float threshold.
+
+    Plan shape: the brand filter broadcasts as a semi-join into the
+    lineitem scan FIRST, the per-part (s_qty, cnt) aggregate over the
+    surviving brand-only rows is part-scale and broadcasts back — two
+    passes over the brand slice only, never over the full fact.
+    Columns: brand, small_qty_revenue, n_items."""
+    pk = part.where(F.col("p_brand") == brand).select("p_partkey")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    li = lineitem.join(
+        F.broadcast(pk), F.col("l_partkey") == pk["p_partkey"], "left_semi"
+    ).select(
+        "l_partkey", qty.alias("qty"), _h(F.col("l_extendedprice")).alias("cents")
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("s_qty"), F.count("*").alias("cnt")
+    ).withColumnRenamed("l_partkey", "sp_partkey")
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    small = li.join(
+        F.broadcast(stats), F.col("l_partkey") == F.col("sp_partkey")
+    ).where(
+        F.col("qty") * F.lit(frac_den) * F.col("cnt")
+        < F.lit(frac_num) * F.col("s_qty")
+    )
+    return small.agg(
+        F.lit(brand).alias("brand"),
+        (F.sum(dec("cents")).cast("double") / F.lit(100.0)).alias(
+            "small_qty_revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: int = 150,
+    top: int = 20,
+) -> DataFrame:
+    """TPC-H-Q18-flavor large-volume orders: orders whose total line
+    quantity exceeds `min_qty`, top `top` by total price (integer-cent
+    rank, orderkey tiebreak — no float ordering).
+
+    Plan shape: the per-order quantity rollup map-side combines on the
+    fact alone; the qualifying key set (tiny) then joins orders
+    co-hashed on the order key and the customer hop is a broadcast.
+    Columns: c_name, o_orderkey, o_orderdate, total_price, sum_qty."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    per_order = (
+        lineitem.select("l_orderkey", qty.alias("qty"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        _h(F.col("o_totalprice")).alias("price_cents"),
+    )
+    c = customer.select("c_custkey", "c_name")
+    return (
+        per_order.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("price_cents").cast("double") / F.lit(100.0)).alias(
+                "total_price"
+            ),
+            "sum_qty",
+            F.col("price_cents").alias("_rank"),
+        )
+        .orderBy(F.col("_rank").desc(), "o_orderkey")
+        .limit(top)
+        .drop("_rank")
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q19-flavor disjunctive-predicate revenue: one scalar revenue
+    over an OR of three (brand, size-range, quantity-range) blocks — the
+    shape that tests whether a disjunction across a dim join still prunes
+    (it does: the part predicate lands in the broadcast build side, the
+    quantity bounds in the fact scan as `l_quantity BETWEEN lo AND hi`
+    over the union of the blocks' ranges).
+
+    Columns: revenue, n_items."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = lineitem.where(F.col("l_quantity").between(1, 30)).select(
+        "l_partkey", qty.alias("qty"), rev4.alias("rev4")
+    )
+    p = part.select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("qty").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("qty").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("qty").between(20, 30))
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .where(cond)
+        .agg(
+            (F.sum(dec("rev4")).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def idle_customers(
+    orders: DataFrame, customer: DataFrame, idle_from: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H-Q22-flavor idle high-balance customers: customers with an
+    account balance above the average POSITIVE balance who have placed no
+    order since `idle_from`, counted per market segment. The
+    above-average test is exact by cross-multiplication (cents * n_pos >
+    s_pos_cents, all int64) — no float threshold.
+
+    Plan shape: the positive-balance average is a two-value broadcast
+    (one aggregate over the dim-scale customer table); the idleness test
+    is a LeftAnti join against date-pruned order custkeys. At fact scale
+    the anti join co-hashes customer keys — customer-scale, not
+    item-scale, because only o_custkey is shuffled. Columns:
+    c_mktsegment, n_custs, total_acctbal."""
+    cents = _h(F.col("c_acctbal"))
+    c = customer.select("c_custkey", "c_mktsegment", cents.alias("cents"))
+    orders = orders.where(
+        F.to_date(F.col("o_orderdate")) >= F.lit(idle_from).cast("date")
+    )
+    pos = c.where(F.col("cents") > 0).agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_pos"),
+        F.count("*").alias("n_pos"),
+    )
+    rich = c.join(F.broadcast(pos)).where(
+        F.col("cents").cast("decimal(38,0)") * F.col("n_pos") > F.col("s_pos")
+    )
+    idle = rich.join(
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            (
+                F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+                / F.lit(100.0)
+            ).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -628,3 +628,60 @@ def test_returned_item_losses_agg_before_dim(spark):
     assert simple.count("customer.parquet") == 1
     plan = plan_of(df)
     assert "l_returnflag" in plan  # returnflag filter pushed to the scan
+
+
+def test_local_supplier_volume_one_wide_exchange(spark):
+    """Q5-full: every dim (customer/supplier/nation/region) broadcasts;
+    no cartesian; the same-nation equality is resolved inside a
+    broadcast hash join, not a second fact shuffle."""
+    df = entry_mod.q_local_supplier_volume(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("BroadcastHashJoin") >= 3
+    assert "Cartesian" not in simple
+
+
+def test_market_share_semi_join_market(spark):
+    """Q8 flavor: the market-region membership is a broadcast LeftSemi,
+    the numerator flag a broadcast left join — one conditional-sum pass,
+    no second aggregation over the fact."""
+    df = entry_mod.q_market_share(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in simple
+    assert simple.count("lineitem.parquet") == 1
+
+
+def test_promo_revenue_part_broadcast_and_date_pushdown(spark):
+    """Q14 flavor: part joins broadcast; the ship-date range reaches the
+    lineitem parquet scan."""
+    df = entry_mod.q_promo_revenue(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in simple
+    plan = plan_of(df)
+    assert "l_shipdate" in plan
+
+
+def test_small_qty_revenue_brand_slice_only(spark):
+    """Q17 flavor: both passes run over the brand slice (semi-join into
+    the scan), and the per-part stats join back as a broadcast."""
+    df = entry_mod.q_small_qty_revenue(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in simple
+    assert simple.count("BroadcastHashJoin") >= 1
+
+
+def test_large_orders_agg_before_join(spark):
+    """Q18 flavor: the quantity rollup happens on the fact alone (partial
+    aggregate below any join) and the top-20 is TakeOrderedAndProject."""
+    df = entry_mod.q_large_orders(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in simple
+    assert simple.count("lineitem.parquet") == 1
+
+
+def test_idle_customers_anti_join(spark):
+    """Q22 flavor: idleness is a LeftAnti join against date-pruned order
+    keys; the average-balance scalar joins as a broadcast."""
+    df = entry_mod.q_idle_customers(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in simple
+    assert "Broadcast" in simple
