@@ -3872,6 +3872,42 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (p=8) distinct active user-days per event type, audited
+    against the exact count; integer-domain harmonic sum, one division."""
+    from btrdb_server_spark.functions.sketch import hll_distinct
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_type", "user_id", epoch_ns_expr(ev).alias("t_ns"))
+    ids = ev.select(
+        F.col("event_type"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.expr(f"CAST(t_ns DIV {DAY_NS} AS STRING)"),
+        ).alias("uid_day"),
+    )
+    return hll_distinct(ids, p=8, group_col="event_type", id_col="uid_day")
+
+
+def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter (m=256, k=2) membership audit: build over src0 doc
+    ids, probe every doc, exact per-source false-positive accounting."""
+    from btrdb_server_spark.functions.sketch import bloom_audit
+
+    return bloom_audit(load_table(spark, sf_dir, "documents"))
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (d=8 sign estimators) over the
+    token stream vs exact F2; median is an integer order statistic."""
+    from btrdb_server_spark.functions.sketch import ams_f2
+
+    return ams_f2(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=8
     (restored afterwards). The state partition count is FIXED by the
@@ -4127,6 +4163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_customers": q_idle_customers,
+        "hll_distinct": q_hll_distinct,
+        "bloom_audit": q_bloom_audit,
+        "ams_f2": q_ams_f2,
     }
 
 
@@ -7984,5 +8023,127 @@ def oracle_sql() -> dict[str, str]:
               AND c_custkey NOT IN (SELECT o_custkey FROM orders
                    WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        "hll_distinct": """
+            WITH ids AS (
+                SELECT event_type,
+                       CAST(user_id AS VARCHAR) || ':' ||
+                       CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR)
+                           AS uid_day
+                FROM events
+            ), h AS (
+                SELECT event_type AS uuid,
+                       CAST('0x' || substr(md5('hll:' || uid_day), 1, 15)
+                            AS BIGINT) AS h60,
+                       uid_day
+                FROM ids
+            ), r AS (
+                SELECT uuid, h60 % 256 AS reg,
+                       (h60 >> 8) % 1099511627776 AS suf
+                FROM h
+            ), regs AS (
+                SELECT uuid, reg,
+                       CAST(max(41 - CASE WHEN suf = 0 THEN 0
+                           ELSE CAST(floor(log2(CAST(suf AS DOUBLE)))
+                                AS BIGINT) + 1 END) AS BIGINT) AS M
+                FROM r GROUP BY 1, 2
+            ), pg AS (
+                SELECT uuid,
+                       CAST(sum(CAST(1 AS BIGINT) << CAST(41 - M AS INTEGER))
+                            AS BIGINT) AS s_used,
+                       count(*) AS n_used
+                FROM regs GROUP BY 1
+            ), e AS (
+                SELECT event_type AS uuid,
+                       count(DISTINCT uid_day) AS n_exact
+                FROM ids GROUP BY 1
+            )
+            SELECT uuid, n_exact, n_used AS n_registers_used,
+                   CASE WHEN ({ALPHA_M2_241} /
+                              CAST(s_used + (256 - n_used)
+                                   * 2199023255552 AS DOUBLE))
+                             <= 640.0
+                         AND (256 - n_used) > 0
+                        THEN 256.0 * ln(256.0 /
+                             CAST(256 - n_used AS DOUBLE))
+                        ELSE {ALPHA_M2_241} /
+                             CAST(s_used + (256 - n_used)
+                                  * 2199023255552 AS DOUBLE)
+                   END AS hll_est
+            FROM e JOIN pg USING (uuid) ORDER BY uuid
+        """.replace("{ALPHA_M2_241}", repr(
+            (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 41)
+        )),
+        "bloom_audit": """
+            WITH ids AS (
+                SELECT source AS src, CAST(doc_id AS BIGINT) AS id
+                FROM documents
+            ), bits AS (
+                SELECT DISTINCT
+                       CAST('0x' || substr(md5('bloom' || r || ':' ||
+                            CAST(id AS VARCHAR)), 1, 12) AS BIGINT) % 256
+                           AS pos
+                FROM ids, (SELECT unnest([0, 1]) AS r)
+                WHERE src = 'src0'
+            ), probes AS (
+                SELECT src, id, r,
+                       CAST('0x' || substr(md5('bloom' || r || ':' ||
+                            CAST(id AS VARCHAR)), 1, 12) AS BIGINT) % 256
+                           AS pos
+                FROM ids, (SELECT unnest([0, 1]) AS r)
+            ), hits AS (
+                SELECT src, id FROM probes
+                WHERE pos IN (SELECT pos FROM bits)
+                GROUP BY 1, 2 HAVING count(*) = 2
+            ), flagged AS (
+                SELECT i.src, i.id,
+                       CASE WHEN h.id IS NULL THEN 0 ELSE 1 END AS claimed,
+                       CASE WHEN i.src = 'src0' THEN 1 ELSE 0 END
+                           AS is_member
+                FROM ids i LEFT JOIN hits h
+                  ON i.src = h.src AND i.id = h.id
+            )
+            SELECT src AS source, count(*) AS n_ids,
+                   CAST(sum(claimed) AS BIGINT) AS claimed,
+                   CAST(sum(is_member) AS BIGINT) AS true_members,
+                   CAST(sum(CASE WHEN claimed = 1 AND is_member = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS false_positives,
+                   CASE WHEN count(*) - sum(is_member) > 0
+                        THEN CAST(sum(CASE WHEN claimed = 1
+                                           AND is_member = 0
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                             / CAST(count(*) - sum(is_member) AS DOUBLE)
+                        ELSE 0.0 END AS fp_rate
+            FROM flagged GROUP BY 1 ORDER BY 1
+        """,
+        "ams_f2": """
+            WITH counts AS (
+                SELECT tok, count(*) AS cnt
+                FROM (SELECT unnest(string_split_regex(trim(text),
+                                                       '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY 1
+            ), est AS (
+                SELECT r,
+                       CAST(sum(CASE WHEN CAST('0x' || substr(
+                                md5('ams' || r || ':' || tok), 1, 4)
+                                AS BIGINT) % 2 = 0
+                            THEN cnt ELSE -cnt END) AS BIGINT) AS S
+                FROM counts, (SELECT unnest([0,1,2,3,4,5,6,7]) AS r)
+                GROUP BY 1
+            ), sq AS (
+                SELECT S * S AS sq,
+                       row_number() OVER (ORDER BY S * S) AS rn
+                FROM est
+            )
+            SELECT (SELECT CAST(sum(cnt * cnt) AS BIGINT) FROM counts)
+                       AS f2_exact,
+                   (SELECT CAST(sq AS BIGINT) FROM sq WHERE rn = 4)
+                       AS f2_est_median,
+                   (SELECT CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE) / 8.0
+                    FROM sq) AS f2_est_mean,
+                   (SELECT count(*) FROM counts) AS n_tokens_distinct,
+                   CAST(8 AS BIGINT) AS d
         """,
     }

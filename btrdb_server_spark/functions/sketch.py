@@ -143,3 +143,228 @@ def kmv_distinct(
         .select("uuid", "n_exact", "n_kept", "kth_hash", est.alias("kmv_est"))
         .orderBy("uuid")
     )
+
+
+def hll_distinct(
+    events: DataFrame,
+    p: int = 8,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group, audited against the
+    exact count. Deterministic md5 hashing: the low `p` hash bits pick
+    one of m=2^p registers, the register keeps max(41 - bit_length of
+    the next 40 hash bits). The harmonic sum runs in the INTEGER
+    domain — sum(2^(40-M_j)) over occupied registers plus 2^40 per empty
+    register — so the raw estimate alpha*m^2*2^40 / S is ONE division of
+    engine-identical doubles (S < 2^49 fits exactly). Small-range
+    correction (linear counting m*ln(m/V)) applied per the standard
+    recipe when raw <= 2.5m and V > 0.
+
+    The mergeable fixed-size distinct sketch at 100 TB: register table =
+    m rows per group (map-side combined max), union of sketches =
+    groupBy max — never a shuffle of raw ids. The exact count exists to
+    certify the estimate. Columns: uuid, n_exact, n_registers_used,
+    hll_est."""
+    if not 4 <= p <= 14:
+        raise ValueError("need 4 <= p <= 14")
+    m = 1 << p
+    hexh = F.md5(F.concat(F.lit("hll:"), F.col(id_col).cast("string")))
+    # 60 hash bits: top p -> register index, next 40 -> rank domain
+    h60 = F.conv(F.substring(hexh, 1, 15), 16, 10).cast("long")
+    reg = (h60 % F.lit(m)).alias("reg")  # low bits as index (independent of suffix)
+    suffix = F.shiftright(h60, p) % F.lit(1 << 40)
+    # leading zeros within 40 bits: 40 - bit_length(suffix); rank = lz + 1
+    blen = F.when(F.col("suf") == 0, F.lit(0)).otherwise(
+        (F.floor(F.log2(F.col("suf").cast("double"))) + 1).cast("long")
+    )
+    regs = (
+        events.select(F.col(group_col).alias("uuid"), reg, suffix.alias("suf"))
+        .withColumn("rank", F.lit(41) - blen)
+        .groupBy("uuid", "reg")
+        .agg(F.max("rank").alias("M"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per_group = regs.groupBy("uuid").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 41 - CAST(M AS INT))")).alias("s_used"),
+        F.count("*").alias("n_used"),
+    )
+    S = F.col("s_used") + (F.lit(m) - F.col("n_used")) * F.lit(1 << 41)
+    raw = F.lit(alpha * m * m * float(1 << 41)) / S.cast("double")
+    v_empty = F.lit(m) - F.col("n_used")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    exact = events.groupBy(F.col(group_col).alias("uuid")).agg(
+        F.countDistinct(id_col).alias("n_exact")
+    )
+    return (
+        exact.join(per_group, "uuid")
+        .select(
+            "uuid",
+            "n_exact",
+            F.col("n_used").alias("n_registers_used"),
+            corrected.alias("hll_est"),
+        )
+        .orderBy("uuid")
+    )
+
+
+def bloom_audit(
+    documents: DataFrame,
+    m_bits: int = 256,
+    k_hashes: int = 2,
+    build_source: str = "src0",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Bloom-filter membership audit: build an (m_bits, k_hashes) filter
+    over the ids of one source slice, probe EVERY id, and report per
+    source the claimed-member count, the true members, the false
+    positives, and the exact false-positive rate among true
+    non-members — the defining one-sided guarantee (no false negatives)
+    checked as data, not asserted.
+
+    Deterministic salted-md5 bit positions, so the filter bitset — and
+    every probe — is oracle-reproducible. Scale shape: the filter is a
+    distinct (position) table of <= m_bits rows built from one pass over
+    the build slice; probes expand to k rows each, join the position
+    table BROADCAST, and claim membership iff all k positions hit
+    (count = k). fp_rate = fp / non_members, one exact-int division.
+    Columns: source, n_ids, claimed, true_members, false_positives,
+    fp_rate."""
+    if k_hashes < 1 or m_bits < 2:
+        raise ValueError("need k_hashes >= 1, m_bits >= 2")
+    ids = documents.select(
+        F.col(source_col).alias("src"), F.col(id_col).cast("long").alias("id")
+    )
+    pos_of = lambda r: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{r}:"), F.col("id").cast("string"))),
+                1, 12,
+            ), 16, 10,
+        ).cast("long") % F.lit(m_bits)
+    )
+    build = ids.where(F.col("src") == build_source)
+    bits = reduce(
+        DataFrame.unionAll,
+        [build.select(pos_of(r).alias("pos")) for r in range(k_hashes)],
+    ).distinct()
+    probes = reduce(
+        DataFrame.unionAll,
+        [
+            ids.select("src", "id", F.lit(r).alias("r"), pos_of(r).alias("pos"))
+            for r in range(k_hashes)
+        ],
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("src", "id")
+        .agg(F.count("*").alias("nhit"))
+        .where(F.col("nhit") == k_hashes)
+        .select("src", "id", F.lit(1).alias("claimed"))
+    )
+    flagged = ids.join(hits, ["src", "id"], "left").select(
+        "src",
+        "id",
+        F.coalesce(F.col("claimed"), F.lit(0)).alias("claimed"),
+        (F.col("src") == build_source).cast("int").alias("is_member"),
+    )
+    agg = flagged.groupBy(F.col("src").alias("source")).agg(
+        F.count("*").alias("n_ids"),
+        F.sum("claimed").alias("claimed"),
+        F.sum("is_member").alias("true_members"),
+        F.sum(
+            ((F.col("claimed") == 1) & (F.col("is_member") == 0)).cast("long")
+        ).alias("false_positives"),
+    )
+    non_members = F.col("n_ids") - F.col("true_members")
+    return agg.select(
+        "source",
+        "n_ids",
+        "claimed",
+        "true_members",
+        "false_positives",
+        F.when(
+            non_members > 0,
+            F.col("false_positives").cast("double") / non_members.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("fp_rate"),
+    ).orderBy("source")
+
+
+def ams_f2(
+    docs: DataFrame,
+    d: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """AMS second-frequency-moment (self-join size / "surprise number")
+    sketch over the whitespace-token stream, audited against the exact
+    F2 = sum over tokens of cnt^2. Each of `d` estimators keeps one
+    integer S_r = sum_tok s_r(tok)*cnt with s_r = +-1 from a salted md5
+    bit; E[S_r^2] = F2. The reported estimate is the MEDIAN of the d
+    squares — an ORDER STATISTIC of integers, so every emitted value is
+    exact in any engine at any parallelism (no float path at all).
+
+    Scale shape: one map-side-combined token count, then d conditional
+    sums over the token-domain table (never a second corpus scan); the
+    median picks from d rows on the driver-scale estimator table.
+    Columns: f2_exact, f2_est_median, f2_est_mean, n_tokens_distinct,
+    d."""
+    if d < 1:
+        raise ValueError("need d >= 1")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sign_of = lambda r: F.when(  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"ams{r}:"), F.col("tok"))), 1, 4),
+            16, 10,
+        ).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    est_rows = reduce(
+        DataFrame.unionAll,
+        [
+            counts.select(
+                F.lit(r).alias("r"), (sign_of(r) * F.col("cnt")).alias("term")
+            )
+            for r in range(d)
+        ],
+    )
+    sq = (
+        est_rows.groupBy("r")
+        .agg(F.sum("term").alias("S"))
+        .select((F.col("S") * F.col("S")).alias("sq"))
+    )
+    # exact median of d integers: lower median (element at ceil(d/2)-th
+    # rank); the mean (the unbiased estimator) is one division of the
+    # exact integer total.
+    from pyspark.sql import Window as W
+
+    med = (
+        sq.withColumn("rn", F.row_number().over(W.orderBy("sq")))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rn") == (d + 1) // 2, F.col("sq"))).alias(
+                "f2_est_median"
+            ),
+            F.sum("sq").alias("sq_total"),
+        )
+    )
+    exact = counts.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("f2_exact"),
+        F.count("*").alias("n_tokens_distinct"),
+    )
+    return exact.join(F.broadcast(med)).select(
+        "f2_exact",
+        "f2_est_median",
+        (F.col("sq_total").cast("double") / F.lit(float(d))).alias(
+            "f2_est_mean"
+        ),
+        "n_tokens_distinct",
+        F.lit(d).cast("long").alias("d"),
+    )

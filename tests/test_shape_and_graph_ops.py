@@ -267,3 +267,80 @@ def test_hurst_white_noise_near_half(spark):
     r = hurst_exponent(df, "s", T0, T0 + n * day, day, scales=(1, 2, 4, 8)).collect()[0]
     assert r.n_scales == 4
     assert 0.3 < r.hurst < 0.7  # iid noise: H ~ 0.5
+
+
+def test_hll_brute_force_registers(spark):
+    """HLL registers and estimate recomputed in pure Python (hashlib md5)
+    — exact equality on the integer register state AND the emitted
+    estimate, plus the accuracy envelope ~1.04/sqrt(m)."""
+    import hashlib
+
+    from btrdb_server_spark.functions.sketch import hll_distinct
+
+    ids = [f"u{i}" for i in range(3000)]
+    df = spark.createDataFrame(
+        [("g", i) for i in ids], "event_type string, user_id string"
+    )
+    out = hll_distinct(df, p=8).collect()[0]
+    m = 256
+    regs = {}
+    for i in ids:
+        h60 = int(hashlib.md5(f"hll:{i}".encode()).hexdigest()[:15], 16)
+        reg = h60 % m
+        suf = (h60 >> 8) % (1 << 40)
+        rank = 41 - (suf.bit_length())
+        regs[reg] = max(regs.get(reg, 0), rank)
+    S = sum(1 << (41 - M) for M in regs.values()) + (m - len(regs)) * (1 << 41)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m * float(1 << 41) / float(S)
+    v = m - len(regs)
+    est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+    assert out.n_exact == 3000
+    assert out.n_registers_used == len(regs)
+    assert out.hll_est == est
+    assert abs(out.hll_est - 3000) / 3000 < 4 * 1.04 / math.sqrt(m)
+
+
+def test_bloom_no_false_negatives(spark):
+    """The one-sided Bloom guarantee: every true member is claimed, at
+    every filter size — false positives allowed, negatives never."""
+    from btrdb_server_spark.functions.sketch import bloom_audit
+
+    rows = [(i, "src0" if i % 3 == 0 else f"src{1 + i % 2}") for i in range(240)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for m_bits in (64, 256, 4096):
+        out = {r.source: r for r in bloom_audit(df, m_bits=m_bits).collect()}
+        b = out["src0"]
+        assert b.claimed == b.n_ids == b.true_members  # no false negatives
+        assert b.false_positives == 0
+        for srcname in ("src1", "src2"):
+            nm = out[srcname]
+            assert nm.true_members == 0
+            assert nm.false_positives == nm.claimed  # every claim is false
+            assert nm.fp_rate == nm.false_positives / nm.n_ids
+
+
+def test_ams_f2_brute_force(spark):
+    """AMS estimators recomputed in pure Python: exact integer equality of
+    f2_exact, the median order statistic, and the mean."""
+    import hashlib
+    from collections import Counter
+
+    from btrdb_server_spark.functions.sketch import ams_f2
+
+    texts = ["a b c a", "b b d", "a e f g b", "c c c"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = ams_f2(df, d=8).collect()[0]
+    cnt = Counter(tok for t in texts for tok in t.split())
+    assert out.f2_exact == sum(c * c for c in cnt.values())
+    sqs = []
+    for r in range(8):
+        s = 0
+        for tok, c in cnt.items():
+            h = int(hashlib.md5(f"ams{r}:{tok}".encode()).hexdigest()[:4], 16)
+            s += c if h % 2 == 0 else -c
+        sqs.append(s * s)
+    sqs.sort()
+    assert out.f2_est_median == sqs[3]  # lower median of 8
+    assert out.f2_est_mean == sum(sqs) / 8.0
+    assert out.n_tokens_distinct == len(cnt)
