@@ -3908,6 +3908,66 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ams_f2(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratio per stream over January day buckets
+    (horizons 2/5/10): one fixed IEEE tree over exact integer moments."""
+    from btrdb_server_spark.operators.tsshape import variance_ratio
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return variance_ratio(pts, T_2024, T_FEB, DAY_NS, qs=(2, 5, 10))
+
+
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy of the daily-sum series per stream —
+    integer pattern counts, fixed-order entropy fold."""
+    from btrdb_server_spark.operators.tsshape import permutation_entropy
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return permutation_entropy(pts, T_2024, T_FEB, DAY_NS)
+
+
+def q_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peaks of the daily-sum series clearing both neighbors by
+    100.00 units — all comparisons on exact integer quanta."""
+    from btrdb_server_spark.operators.tsshape import peak_detect
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return peak_detect(pts, T_2024, T_FEB, DAY_NS, min_delta=100.0)
+
+
+def q_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-point quadratic Savitzky-Golay smoothing of the daily-sum series
+    — exact integer convolution, one division per emitted double."""
+    from btrdb_server_spark.operators.tsshape import savgol_smooth
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return savgol_smooth(pts, T_2024, T_FEB, DAY_NS)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the click stream at hour
+    buckets over January (period 24): trend/seasonal/residual each one
+    exact-integer division."""
+    from btrdb_server_spark.operators.tsshape import seasonal_decompose
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB).where(
+        F.col("uuid") == "click"
+    )
+    return seasonal_decompose(pts, T_2024, T_FEB, HOUR_NS, period=24)
+
+
+def q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF-argmax dominant period per stream at hour buckets over two
+    weeks (lags 2..36) — the argmax compares exact decimal integers."""
+    from btrdb_server_spark.operators.tsshape import dominant_period
+
+    pts = load_points(spark, sf_dir, T_2024, T_2024 + 14 * DAY_NS)
+    return dominant_period(
+        pts, T_2024, T_2024 + 14 * DAY_NS, HOUR_NS, min_lag=2, max_lag=36
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=8
     (restored afterwards). The state partition count is FIXED by the
@@ -4166,6 +4226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bloom_audit": q_bloom_audit,
         "ams_f2": q_ams_f2,
+        "variance_ratio": q_variance_ratio,
+        "permutation_entropy": q_permutation_entropy,
+        "peak_detect": q_peak_detect,
+        "savgol_smooth": q_savgol_smooth,
+        "seasonal_decompose": q_seasonal_decompose,
+        "dominant_period": q_dominant_period,
     }
 
 
@@ -8146,4 +8212,291 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM counts) AS n_tokens_distinct,
                    CAST(8 AS BIGINT) AS d
         """,
+        "variance_ratio": """
+            {PTS}, pts2 AS (
+                SELECT uuid, time, value FROM pts
+                WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts2 GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), marg AS (
+                SELECT uuid, CAST(sum(s) AS BIGINT) AS S,
+                       CAST(sum(s * s) AS BIGINT) AS SS
+                FROM x GROUP BY 1
+            ), y AS (
+                SELECT uuid, 2 AS q, widx, y FROM (
+                    SELECT uuid, widx,
+                           CAST(sum(s) OVER (PARTITION BY uuid ORDER BY widx
+                                ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)
+                                AS BIGINT) AS y
+                    FROM x) WHERE widx <= 29
+                UNION ALL
+                SELECT uuid, 5 AS q, widx, y FROM (
+                    SELECT uuid, widx,
+                           CAST(sum(s) OVER (PARTITION BY uuid ORDER BY widx
+                                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                                AS BIGINT) AS y
+                    FROM x) WHERE widx <= 26
+                UNION ALL
+                SELECT uuid, 10 AS q, widx, y FROM (
+                    SELECT uuid, widx,
+                           CAST(sum(s) OVER (PARTITION BY uuid ORDER BY widx
+                                ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+                                AS BIGINT) AS y
+                    FROM x) WHERE widx <= 21
+            ), qagg AS (
+                SELECT uuid, q, CAST(sum(y) AS BIGINT) AS Sy,
+                       CAST(sum(y * y) AS BIGINT) AS SSy,
+                       count(*) AS ny
+                FROM y GROUP BY 1, 2
+            )
+            SELECT uuid, q,
+                   CASE WHEN CAST(q AS DOUBLE)
+                             * (31.0 * CAST(SS AS DOUBLE)
+                                - CAST(S AS DOUBLE) * CAST(S AS DOUBLE))
+                             * CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE) <> 0
+                        THEN ((CAST(ny AS DOUBLE) * CAST(SSy AS DOUBLE)
+                               - CAST(Sy AS DOUBLE) * CAST(Sy AS DOUBLE))
+                              * 31.0 * 31.0)
+                             / (CAST(q AS DOUBLE)
+                                * (31.0 * CAST(SS AS DOUBLE)
+                                   - CAST(S AS DOUBLE) * CAST(S AS DOUBLE))
+                                * CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE))
+                   END AS vr,
+                   CAST(31 AS BIGINT) AS n_buckets
+            FROM qagg JOIN marg USING (uuid) ORDER BY uuid, q
+        """.replace("{PTS}", PTS_CTE),
+        "permutation_entropy": """
+            {PTS}, pts2 AS (
+                SELECT uuid, time, value FROM pts
+                WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts2 GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), tri AS (
+                SELECT uuid, s AS a,
+                       lead(s, 1) OVER w AS b,
+                       lead(s, 2) OVER w AS c
+                FROM x WINDOW w AS (PARTITION BY uuid ORDER BY widx)
+            ), coded AS (
+                SELECT uuid,
+                       ((CASE WHEN b < a THEN 1 ELSE 0 END)
+                        + (CASE WHEN c < a THEN 1 ELSE 0 END)) * 9
+                       + ((CASE WHEN a <= b THEN 1 ELSE 0 END)
+                          + (CASE WHEN c < b THEN 1 ELSE 0 END)) * 3
+                       + (CASE WHEN a <= c THEN 1 ELSE 0 END)
+                       + (CASE WHEN b <= c THEN 1 ELSE 0 END) AS code
+                FROM tri WHERE c IS NOT NULL
+            ), cnts AS (
+                SELECT uuid, count(*) AS N,
+                       sum(CASE WHEN code = 5 THEN 1 ELSE 0 END) AS c5,
+                       sum(CASE WHEN code = 7 THEN 1 ELSE 0 END) AS c7,
+                       sum(CASE WHEN code = 11 THEN 1 ELSE 0 END) AS c11,
+                       sum(CASE WHEN code = 15 THEN 1 ELSE 0 END) AS c15,
+                       sum(CASE WHEN code = 19 THEN 1 ELSE 0 END) AS c19,
+                       sum(CASE WHEN code = 21 THEN 1 ELSE 0 END) AS c21
+                FROM coded GROUP BY 1
+            ), hh AS (
+                SELECT uuid, N,
+                       (CASE WHEN c5 > 0 THEN -(CAST(c5 AS DOUBLE) / CAST(N AS DOUBLE)) * ln(CAST(c5 AS DOUBLE) / CAST(N AS DOUBLE)) ELSE 0.0 END)
+                     + (CASE WHEN c7 > 0 THEN -(CAST(c7 AS DOUBLE) / CAST(N AS DOUBLE)) * ln(CAST(c7 AS DOUBLE) / CAST(N AS DOUBLE)) ELSE 0.0 END)
+                     + (CASE WHEN c11 > 0 THEN -(CAST(c11 AS DOUBLE) / CAST(N AS DOUBLE)) * ln(CAST(c11 AS DOUBLE) / CAST(N AS DOUBLE)) ELSE 0.0 END)
+                     + (CASE WHEN c15 > 0 THEN -(CAST(c15 AS DOUBLE) / CAST(N AS DOUBLE)) * ln(CAST(c15 AS DOUBLE) / CAST(N AS DOUBLE)) ELSE 0.0 END)
+                     + (CASE WHEN c19 > 0 THEN -(CAST(c19 AS DOUBLE) / CAST(N AS DOUBLE)) * ln(CAST(c19 AS DOUBLE) / CAST(N AS DOUBLE)) ELSE 0.0 END)
+                     + (CASE WHEN c21 > 0 THEN -(CAST(c21 AS DOUBLE) / CAST(N AS DOUBLE)) * ln(CAST(c21 AS DOUBLE) / CAST(N AS DOUBLE)) ELSE 0.0 END)
+                       AS h
+                FROM cnts
+            )
+            SELECT uuid, N AS n_triples, h, h / 1.791759469228055 AS h_norm
+            FROM hh ORDER BY uuid
+        """.replace("{PTS}", PTS_CTE),
+        "peak_detect": """
+            {PTS}, pts2 AS (
+                SELECT uuid, time, value FROM pts
+                WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts2 GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), lgd AS (
+                SELECT uuid, widx, s,
+                       lag(s, 1) OVER w AS p,
+                       lead(s, 1) OVER w AS nx
+                FROM x WINDOW w AS (PARTITION BY uuid ORDER BY widx)
+            )
+            SELECT uuid,
+                   1704067200000000000 + widx * 86400000000000 AS time,
+                   CAST(s AS DOUBLE) / 100.0 AS value,
+                   CAST(s - greatest(p, nx) AS DOUBLE) / 100.0
+                       AS prominence_min
+            FROM lgd
+            WHERE p IS NOT NULL AND nx IS NOT NULL
+              AND s > p AND s >= nx AND s - greatest(p, nx) >= 10000
+            ORDER BY uuid, time
+        """.replace("{PTS}", PTS_CTE),
+        "savgol_smooth": """
+            {PTS}, pts2 AS (
+                SELECT uuid, time, value FROM pts
+                WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts2 GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), taps AS (
+                SELECT uuid, widx, s,
+                       lag(s, 2) OVER w AS m2, lag(s, 1) OVER w AS m1,
+                       lead(s, 1) OVER w AS p1, lead(s, 2) OVER w AS p2
+                FROM x WINDOW w AS (PARTITION BY uuid ORDER BY widx)
+            )
+            SELECT uuid,
+                   1704067200000000000 + widx * 86400000000000 AS time,
+                   CAST(s AS DOUBLE) / 100.0 AS raw,
+                   CAST(-3 * m2 + 12 * m1 + 17 * s + 12 * p1 - 3 * p2
+                        AS DOUBLE) / 3500.0 AS smooth
+            FROM taps WHERE m2 IS NOT NULL AND p2 IS NOT NULL
+            ORDER BY uuid, time
+        """.replace("{PTS}", PTS_CTE),
+        "seasonal_decompose": """
+            {PTS}, pts2 AS (
+                SELECT uuid, time, value FROM pts
+                WHERE time >= 1704067200000000000 AND time < 1706745600000000000 AND uuid = 'click'
+            ), su AS (
+                SELECT uuid, (time - 1704067200000000000) // 3600000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts2 GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 744)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), t AS (
+                SELECT uuid, widx, s,
+                       2 * CAST(sum(s) OVER (PARTITION BY uuid ORDER BY widx
+                             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                           AS BIGINT)
+                       - lag(s, 12) OVER w - lead(s, 12) OVER w AS tnum,
+                       widx % 24 AS phase
+                FROM x WINDOW w AS (PARTITION BY uuid ORDER BY widx)
+            ), v AS (
+                SELECT uuid, widx, s, tnum, phase,
+                       48 * s - tnum AS dnum
+                FROM t WHERE tnum IS NOT NULL
+            ), seas AS (
+                SELECT uuid, phase, CAST(sum(dnum) AS BIGINT) AS Sphase,
+                       count(*) AS cphase
+                FROM v GROUP BY 1, 2
+            )
+            SELECT v.uuid,
+                   1704067200000000000 + widx * 3600000000000 AS time,
+                   CAST(s AS DOUBLE) / 100.0 AS x,
+                   CAST(tnum AS DOUBLE) / 4800.0 AS trend,
+                   CAST(Sphase AS DOUBLE)
+                       / (4800.0 * CAST(cphase AS DOUBLE)) AS seasonal,
+                   (CAST(cphase AS DOUBLE) * CAST(dnum AS DOUBLE)
+                    - CAST(Sphase AS DOUBLE))
+                       / (4800.0 * CAST(cphase AS DOUBLE)) AS residual
+            FROM v JOIN seas ON v.uuid = seas.uuid AND v.phase = seas.phase
+            ORDER BY v.uuid, time
+        """.replace("{PTS}", PTS_CTE),
+        "dominant_period": """
+            {PTS}, pts2 AS (
+                SELECT uuid, time, value FROM pts
+                WHERE time >= 1704067200000000000 AND time < 1705276800000000000
+            ), su AS (
+                SELECT uuid, (time - 1704067200000000000) // 3600000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts2 GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 336)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), lagq AS (
+                SELECT unnest(range(2, 37)) AS lag
+            ), marg AS (
+                SELECT uuid, CAST(sum(s) AS BIGINT) AS S,
+                       CAST(sum(s * s) AS BIGINT) AS SS
+                FROM x GROUP BY 1
+            ), sxy AS (
+                SELECT a.uuid, lag,
+                       CAST(sum(a.s * b.s) AS BIGINT) AS Sxy
+                FROM x a CROSS JOIN lagq
+                JOIN x b ON b.uuid = a.uuid AND b.widx = a.widx + lag
+                GROUP BY 1, 2
+            ), parts AS (
+                SELECT uuid, lag,
+                       CAST(COALESCE(sum(CASE WHEN widx < 336 - lag
+                                              THEN s END), 0) AS BIGINT)
+                           AS Sh,
+                       CAST(COALESCE(sum(CASE WHEN widx >= lag
+                                              THEN s END), 0) AS BIGINT)
+                           AS St
+                FROM x CROSS JOIN lagq GROUP BY 1, 2
+            ), per_lag AS (
+                SELECT sxy.uuid, sxy.lag,
+                       336 * 336 * Sxy - 336 * S * (Sh + St)
+                           + (336 - sxy.lag) * S * S AS num_exact,
+                       336.0 * 336.0 * CAST(Sxy AS DOUBLE)
+                           - 336.0 * CAST(S AS DOUBLE)
+                             * (CAST(Sh AS DOUBLE) + CAST(St AS DOUBLE))
+                           + (336.0 - CAST(sxy.lag AS DOUBLE))
+                             * CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                           AS num_dbl,
+                       336.0 * 336.0 * CAST(SS AS DOUBLE)
+                           - 336.0 * CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                           AS den_dbl
+                FROM sxy
+                JOIN parts ON parts.uuid = sxy.uuid AND parts.lag = sxy.lag
+                JOIN marg ON marg.uuid = sxy.uuid
+            ), pick AS (
+                SELECT uuid, lag, num_dbl, den_dbl,
+                       row_number() OVER (PARTITION BY uuid
+                            ORDER BY num_exact DESC, lag) AS rn
+                FROM per_lag
+            )
+            SELECT uuid, CAST(lag AS BIGINT) AS best_lag,
+                   CASE WHEN den_dbl <> 0 THEN num_dbl / den_dbl END AS acf,
+                   CAST(336 AS BIGINT) AS n_buckets
+            FROM pick WHERE rn = 1 ORDER BY uuid
+        """.replace("{PTS}", PTS_CTE),
     }

@@ -1,0 +1,449 @@
+"""Time-series shape operators over the integer bucket-sum spine: variance
+ratio (random-walk test), permutation entropy (complexity), local-peak
+detection, Savitzky-Golay smoothing, classical additive seasonal
+decomposition, and the dominant-period (ACF argmax) probe.
+
+All six share one scan shape: a map-side-combined groupBy collapses the
+point-scale stream to integer bucket sums in value-quantum units, the
+spine zero-fills empty buckets, and everything after runs on the
+bucket-scale table (n = range/width rows per stream — bounded by the
+REQUEST, not the data, so a 100 TB stream costs the same post-scan work
+as a 1 GB one). Every emitted double is a single division (or a fixed
+left-to-right IEEE expression) over exact int64/decimal integers, so
+results are bit-identical in any engine at any parallelism — the same
+exactness contract as operators/corr.py autocorr.
+
+Reference parity note: the reference's closed aggregate set is
+min/mean/max/count (qtree/qtree.go:802-808); these are extension
+operators in the SURVEY §2.12 sense.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.operators.raw import time_range_pred
+
+
+def _bucket_sums(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float,
+) -> tuple[DataFrame, int]:
+    """(uuid, widx, s) with s the exact integer bucket sum in quantum
+    units, zero-filled over the full [0, n) spine per stream present in
+    the range. Returns (df, n)."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    end = end - (end - start) % width
+    n = (end - start) // width
+    if n < 1:
+        raise ValueError("empty range")
+    sums = (
+        points.where(time_range_pred(start, end))
+        .select(
+            "uuid",
+            F.expr(f"(time - ({start})) div {width}").alias("widx"),
+            F.round(F.col("value") / F.lit(value_quantum))
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("uuid", "widx")
+        .agg(F.sum("vq").alias("s"))
+    )
+    spark = points.sparkSession
+    spine = (
+        sums.select("uuid")
+        .distinct()
+        .join(spark.range(0, n).select(F.col("id").alias("widx")))
+    )
+    filled = spine.join(sums, ["uuid", "widx"], "left").select(
+        "uuid", "widx", F.coalesce(F.col("s"), F.lit(0)).alias("s")
+    )
+    return filled, n
+
+
+def variance_ratio(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    qs: tuple[int, ...] = (2, 5, 10),
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio statistic per stream and horizon:
+    VR(q) = Var(q-bucket sums) / (q * Var(1-bucket sums)) over the
+    zero-filled spine, with overlapping q-windows. VR ~ 1 for a random
+    walk in the increments, < 1 for mean reversion, > 1 for trending.
+
+    Exactness: with S/SS the spine sum and sum of squares (int64) and
+    Sy/SSy the overlapping q-sum aggregates (decimal(38,0) — y^2 can
+    pass int64), VR evaluates as
+
+        ((ny*SSy - Sy^2) * n * n) / (q * (n*SS - S^2) * ny * ny)
+
+    each factor an exact integer cast to double first — one fixed IEEE
+    tree. Scale shape: q-sums come from a (q x offset) explode joined on
+    the BUCKET-scale table, so the post-scan cost is O(sum(qs) * n) rows.
+    Columns: uuid, q, vr, n_buckets."""
+    if not qs or any(q < 2 for q in qs):
+        raise ValueError("horizons must be >= 2")
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    if n <= max(qs):
+        raise ValueError("range shorter than the largest horizon")
+    filled = filled.localCheckpoint(eager=True)
+    marg = filled.groupBy("uuid").agg(
+        F.sum("s").alias("S"),
+        F.sum(F.col("s") * F.col("s")).alias("SS"),
+    )
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(int(q), int(j)) for q in qs for j in range(q)], "q long, j long"
+    )
+    y = (
+        filled.join(offs)
+        .select("uuid", "q", (F.col("widx") - F.col("j")).alias("t"), "s")
+        .where((F.col("t") >= 0) & (F.col("t") <= F.lit(n) - F.col("q")))
+        .groupBy("uuid", "q", "t")
+        .agg(F.sum("s").alias("y"))
+    )
+    qagg = y.groupBy("uuid", "q").agg(
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("Sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("SSy"),
+        F.count("*").alias("ny"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = (d("ny") * d("SSy") - d("Sy") * d("Sy")) * float(n) * float(n)
+    den = d("q") * (float(n) * d("SS") - d("S") * d("S")) * d("ny") * d("ny")
+    return (
+        qagg.join(marg, "uuid")
+        .select(
+            "uuid",
+            "q",
+            F.when(den != 0, num / den).alias("vr"),
+            F.lit(n).cast("long").alias("n_buckets"),
+        )
+        .orderBy("uuid", "q")
+    )
+
+
+def permutation_entropy(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Order-3 permutation entropy per stream (Bandt-Pompe): classify
+    every consecutive bucket-sum triple by its ordinal pattern (ties
+    broken by time position, the standard convention) and report the
+    Shannon entropy of the 6-pattern distribution plus its ln(6)-
+    normalized form. Low = predictable shape, 1.0 = white noise.
+
+    Exactness: pattern counts are integers; H folds the <= 6 terms in
+    FIXED pattern-code order via F.aggregate over a sorted struct array,
+    each term -(c/N)*ln(c/N) computed on exact integer ratios — the
+    fixed-order float fold pattern of events.py markov_entropy. Scale
+    shape: one lead-window pass over the bucket-scale spine (bounded
+    partitions: n rows per stream). Columns: uuid, n_triples, h, h_norm."""
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    if n < 3:
+        raise ValueError("need at least 3 buckets")
+    w = Window.partitionBy("uuid").orderBy("widx")
+    tri = (
+        filled.withColumn("b", F.lead("s", 1).over(w))
+        .withColumn("c", F.lead("s", 2).over(w))
+        .where(F.col("c").isNotNull())
+    )
+    a, b, c = F.col("s"), F.col("b"), F.col("c")
+    # rank of element i among the triple, ties to the earlier position:
+    r0 = (b < a).cast("int") + (c < a).cast("int")
+    r1 = (a <= b).cast("int") + (c < b).cast("int")
+    r2 = (a <= c).cast("int") + (b <= c).cast("int")
+    coded = tri.select("uuid", (r0 * 9 + r1 * 3 + r2).alias("code"))
+    counts = coded.groupBy("uuid", "code").agg(F.count("*").alias("cnt"))
+    per = counts.groupBy("uuid").agg(
+        F.sum("cnt").alias("N"),
+        F.array_sort(F.collect_list(F.struct("code", "cnt"))).alias("cc"),
+    )
+    term = (
+        "-(CAST(x.cnt AS DOUBLE) / CAST(N AS DOUBLE))"
+        " * ln(CAST(x.cnt AS DOUBLE) / CAST(N AS DOUBLE))"
+    )
+    h = F.expr(f"aggregate(cc, CAST(0.0 AS DOUBLE), (acc, x) -> acc + ({term}))")
+    return per.select(
+        "uuid",
+        F.col("N").alias("n_triples"),
+        h.alias("h"),
+        (h / F.lit(math.log(6.0))).alias("h_norm"),
+    ).orderBy("uuid")
+
+
+def peak_detect(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    min_delta: float = 0.0,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Local-peak detection on the bucket-sum spine: interior buckets
+    strictly above the previous bucket, at least as high as the next
+    (plateaus credit their first bucket), clearing BOTH neighbors by
+    `min_delta` (value units). All comparisons run on exact integer
+    quanta — no float threshold. Columns: uuid, time, value,
+    prominence_min (height above the higher neighbor, value units)."""
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    if n < 3:
+        raise ValueError("need at least 3 buckets")
+    dq = int(round(min_delta / value_quantum))
+    q = round(1.0 / value_quantum)
+    w = Window.partitionBy("uuid").orderBy("widx")
+    lagged = (
+        filled.withColumn("p", F.lag("s", 1).over(w))
+        .withColumn("nx", F.lead("s", 1).over(w))
+        .where(F.col("p").isNotNull() & F.col("nx").isNotNull())
+    )
+    gap = F.col("s") - F.greatest(F.col("p"), F.col("nx"))
+    return (
+        lagged.where(
+            (F.col("s") > F.col("p")) & (F.col("s") >= F.col("nx")) & (gap >= dq)
+        )
+        .select(
+            "uuid",
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            (F.col("s").cast("double") / F.lit(float(q))).alias("value"),
+            (gap.cast("double") / F.lit(float(q))).alias("prominence_min"),
+        )
+        .orderBy("uuid", "time")
+    )
+
+
+# 5-point quadratic Savitzky-Golay convolution (Savitzky & Golay 1964).
+_SG5 = (-3, 12, 17, 12, -3)
+_SG5_DEN = 35
+
+
+def savgol_smooth(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """5-point quadratic Savitzky-Golay smoothing of the bucket-sum
+    spine: smooth_t = (-3 s_{t-2} + 12 s_{t-1} + 17 s_t + 12 s_{t+1}
+    - 3 s_{t+2}) / 35 — the least-squares parabola value, preserving
+    peak heights a moving average flattens. Interior buckets only.
+
+    Exactness: the convolution numerator is exact int64; raw and smooth
+    are each ONE division (by q and 35q). Scale shape: four lag/lead
+    taps on the bucket-scale spine window. Columns: uuid, time, raw,
+    smooth."""
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    if n < 5:
+        raise ValueError("need at least 5 buckets")
+    q = round(1.0 / value_quantum)
+    w = Window.partitionBy("uuid").orderBy("widx")
+    taps = (
+        filled.withColumn("m2", F.lag("s", 2).over(w))
+        .withColumn("m1", F.lag("s", 1).over(w))
+        .withColumn("p1", F.lead("s", 1).over(w))
+        .withColumn("p2", F.lead("s", 2).over(w))
+        .where(F.col("m2").isNotNull() & F.col("p2").isNotNull())
+    )
+    num = (
+        F.lit(_SG5[0]) * F.col("m2")
+        + F.lit(_SG5[1]) * F.col("m1")
+        + F.lit(_SG5[2]) * F.col("s")
+        + F.lit(_SG5[3]) * F.col("p1")
+        + F.lit(_SG5[4]) * F.col("p2")
+    )
+    return taps.select(
+        "uuid",
+        (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+        (F.col("s").cast("double") / F.lit(float(q))).alias("raw"),
+        (num.cast("double") / F.lit(float(_SG5_DEN * q))).alias("smooth"),
+    ).orderBy("uuid", "time")
+
+
+def seasonal_decompose(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    period: int = 24,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the bucket-sum spine
+    (the moving-average method of STL's ancestor): trend = centered
+    2x(period)-MA, seasonal = per-phase mean of the detrended series,
+    residual = the rest. Even period handled with the standard
+    half-weight endpoints.
+
+    Exactness: trend numerator tnum_t = s_{t-p/2} + 2*sum_{|j|<p/2}
+    s_{t+j} + s_{t+p/2} (int64) over denominator 2p; detrended_t =
+    (2p*s_t - tnum_t)/2p keeps the SAME integer denominator, so the
+    per-phase seasonal mean is sum(dnum)/(2p*c) and the residual
+    (c*dnum - Sphase)/(2p*c) — every emitted double is one division of
+    exact int64 products. Scale shape: one rangeBetween window sum plus
+    two endpoint taps on the bucket-scale spine, then a phase-scale
+    broadcast join. Columns: uuid, time, x, trend, seasonal, residual."""
+    if period < 2 or period % 2 != 0:
+        raise ValueError("period must be even and >= 2")
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    half = period // 2
+    if n < period + 1:
+        raise ValueError("range shorter than one period plus one bucket")
+    q = round(1.0 / value_quantum)
+    w = Window.partitionBy("uuid").orderBy("widx")
+    wr = w.rowsBetween(-half, half)
+    t = (
+        filled.withColumn("full", F.sum("s").over(wr))
+        .withColumn("lo", F.lag("s", half).over(w))
+        .withColumn("hi", F.lead("s", half).over(w))
+        .where(F.col("lo").isNotNull() & F.col("hi").isNotNull())
+        .select(
+            "uuid",
+            "widx",
+            "s",
+            (F.lit(2) * F.col("full") - F.col("lo") - F.col("hi")).alias(
+                "tnum"
+            ),
+            (F.col("widx") % F.lit(period)).alias("phase"),
+        )
+        .withColumn("dnum", F.lit(2 * period) * F.col("s") - F.col("tnum"))
+    )
+    t = t.localCheckpoint(eager=True)
+    seas = t.groupBy("uuid", "phase").agg(
+        F.sum("dnum").alias("Sphase"), F.count("*").alias("cphase")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = float(2 * period)
+    return (
+        t.join(F.broadcast(seas), ["uuid", "phase"])
+        .select(
+            "uuid",
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            (d("s") / F.lit(float(q))).alias("x"),
+            (d("tnum") / F.lit(den * q)).alias("trend"),
+            (d("Sphase") / (F.lit(den * q) * d("cphase"))).alias("seasonal"),
+            (
+                (d("cphase") * d("dnum") - d("Sphase"))
+                / (F.lit(den * q) * d("cphase"))
+            ).alias("residual"),
+        )
+        .orderBy("uuid", "time")
+    )
+
+
+def dominant_period(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    min_lag: int = 2,
+    max_lag: int = 48,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Dominant period per stream: the lag in [min_lag, max_lag] whose
+    Box-Jenkins ACF over the zero-filled bucket-sum spine is highest —
+    the integer-exact seasonality detector (a diurnal stream at hour
+    buckets answers 24).
+
+    Exactness: the lag-independent ACF denominator cancels in the
+    argmax, and the n^2-scaled numerator n^2*Sxy - n*S*(Sh+St) +
+    (n-L)*S^2 is computed in decimal(38,0) — the argmax compares EXACT
+    integers (smaller lag wins ties), so the winning lag is engine- and
+    order-independent; the reported acf is then the usual fixed IEEE
+    expression on int64 components. Scale shape: identical to
+    operators/corr.py autocorr (one scan, then O(lags * buckets) on the
+    bucket table). Columns: uuid, best_lag, acf, n_buckets."""
+    if not 1 <= min_lag <= max_lag:
+        raise ValueError("need 1 <= min_lag <= max_lag")
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    if n <= max_lag:
+        raise ValueError("range shorter than the largest lag")
+    filled = filled.localCheckpoint(eager=True)
+    marg = filled.groupBy("uuid").agg(
+        F.sum("s").alias("S"), F.sum(F.col("s") * F.col("s")).alias("SS")
+    )
+    spark = points.sparkSession
+    lag_df = spark.createDataFrame(
+        [(int(lag),) for lag in range(min_lag, max_lag + 1)], "lag long"
+    )
+    a = filled.select("uuid", F.col("widx").alias("t"), F.col("s").alias("sa"))
+    b = filled.select(
+        F.col("uuid").alias("ub"), F.col("widx").alias("tb"), F.col("s").alias("sb")
+    )
+    sxy = (
+        lag_df.join(a)
+        .join(
+            b,
+            (F.col("ub") == F.col("uuid"))
+            & (F.col("tb") == F.col("t") + F.col("lag")),
+        )
+        .groupBy("uuid", "lag")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("Sxy"))
+    )
+    parts = (
+        lag_df.join(filled)
+        .groupBy("uuid", "lag")
+        .agg(
+            F.sum(
+                F.when(F.col("widx") < F.lit(n) - F.col("lag"), F.col("s"))
+            ).alias("Sh"),
+            F.sum(F.when(F.col("widx") >= F.col("lag"), F.col("s"))).alias(
+                "St"
+            ),
+        )
+    )
+    dec = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("decimal(38,0)")  # noqa: E731
+    d = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")  # noqa: E731
+    per_lag = (
+        sxy.join(parts, ["uuid", "lag"])
+        .join(marg, "uuid")
+        .select(
+            "uuid",
+            "lag",
+            (
+                F.lit(n) * F.lit(n) * dec("Sxy")
+                - F.lit(n) * dec("S") * (dec("Sh") + dec("St"))
+                + (F.lit(n) - F.col("lag")) * dec("S") * dec("S")
+            ).alias("num_exact"),
+            (
+                F.lit(float(n)) * F.lit(float(n)) * d("Sxy")
+                - F.lit(float(n)) * d("S") * (d("Sh") + d("St"))
+                + (F.lit(float(n)) - F.col("lag").cast("double"))
+                * d("S")
+                * d("S")
+            ).alias("num_dbl"),
+            (
+                F.lit(float(n)) * F.lit(float(n)) * d("SS")
+                - F.lit(float(n)) * d("S") * d("S")
+            ).alias("den_dbl"),
+        )
+    )
+    pick = per_lag.groupBy("uuid").agg(
+        F.max(F.struct(F.col("num_exact"), (-F.col("lag")).alias("neg_lag"))).alias(
+            "best"
+        )
+    )
+    return (
+        pick.select("uuid", (-F.col("best.neg_lag")).alias("best_lag"))
+        .join(per_lag.withColumnRenamed("lag", "best_lag"), ["uuid", "best_lag"])
+        .select(
+            "uuid",
+            "best_lag",
+            F.when(F.col("den_dbl") != 0, F.col("num_dbl") / F.col("den_dbl")).alias(
+                "acf"
+            ),
+            F.lit(n).cast("long").alias("n_buckets"),
+        )
+        .orderBy("uuid")
+    )

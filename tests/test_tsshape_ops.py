@@ -1,0 +1,140 @@
+"""Property tests for the time-series shape pack (operators/tsshape.py):
+independent pure-python/pandas recomputation (the reference's
+randomized-compare strategy, quasar_test.go:73-120) plus the analytic
+invariants each operator owes — SG polynomial reproduction, decomposition
+additivity, known-period recovery."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.operators.tsshape import (
+    dominant_period,
+    peak_detect,
+    permutation_entropy,
+    savgol_smooth,
+    seasonal_decompose,
+    variance_ratio,
+)
+
+T0 = 10_000_000
+W = 1_000  # bucket width (ns)
+
+
+def _pts(spark, series, uuid="s"):
+    """One point per bucket at the bucket start; values = cents/100."""
+    rows = [(uuid, T0 + i * W, c / 100.0) for i, c in enumerate(series)]
+    return spark.createDataFrame(rows, "uuid string, time long, value double")
+
+
+def test_variance_ratio_brute_force(spark):
+    rng = random.Random(7)
+    xs = [rng.randint(-500, 500) for _ in range(40)]
+    n = len(xs)
+    df = _pts(spark, xs)
+    out = {r.q: r.vr for r in variance_ratio(df, T0, T0 + n * W, W, qs=(2, 5)).collect()}
+    S = sum(xs)
+    SS = sum(v * v for v in xs)
+    for q in (2, 5):
+        ys = [sum(xs[t : t + q]) for t in range(n - q + 1)]
+        ny = len(ys)
+        Sy = sum(ys)
+        SSy = sum(y * y for y in ys)
+        num = (float(ny) * float(SSy) - float(Sy) * float(Sy)) * n * n
+        den = float(q) * (n * float(SS) - float(S) * float(S)) * ny * ny
+        assert out[q] == num / den
+
+
+def test_variance_ratio_random_walk_near_one(spark):
+    """Increments iid -> VR(q) ~ 1 (within sampling noise)."""
+    rng = random.Random(1)
+    xs = [rng.randint(-100, 100) for _ in range(400)]
+    df = _pts(spark, xs)
+    out = {r.q: r.vr for r in variance_ratio(df, T0, T0 + 400 * W, W, qs=(2,)).collect()}
+    assert abs(out[2] - 1.0) < 0.25
+
+
+def test_permutation_entropy_brute_force_and_edges(spark):
+    rng = random.Random(3)
+    xs = [rng.randint(0, 50) for _ in range(60)]
+    df = _pts(spark, xs)
+    row = permutation_entropy(df, T0, T0 + 60 * W, W).collect()[0]
+    from collections import Counter
+
+    pats = Counter()
+    for i in range(58):
+        a, b, c = xs[i], xs[i + 1], xs[i + 2]
+        r0 = (b < a) + (c < a)
+        r1 = (a <= b) + (c < b)
+        r2 = (a <= c) + (b <= c)
+        pats[r0 * 9 + r1 * 3 + r2] += 1
+    N = sum(pats.values())
+    h = 0.0
+    for code in sorted(pats):
+        p = pats[code] / N
+        h = h + (-p * math.log(p))
+    assert row.n_triples == N
+    assert row.h == h
+    # strictly increasing series -> one pattern -> zero entropy
+    mono = _pts(spark, list(range(0, 120, 2)), uuid="m")
+    r2 = permutation_entropy(mono, T0, T0 + 60 * W, W).collect()[0]
+    assert r2.h == 0.0 and r2.h_norm == 0.0
+
+
+def test_peak_detect_known_peaks(spark):
+    #           0    1     2    3     4     5    6
+    xs = [100, 500, 100, 2000, 100, 2100, 2100, 100]
+    df = _pts(spark, xs)
+    out = peak_detect(df, T0, T0 + 8 * W, W, min_delta=3.0).collect()
+    got = {(r.time - T0) // W: (r.value, r.prominence_min) for r in out}
+    # bucket 1 (500 over 100/100, gap 4.00) and bucket 3 (gap 19.00);
+    # bucket 5 starts a plateau — its higher neighbor is the plateau
+    # partner, so its prominence gap is 0 and min_delta=3 rejects it;
+    # bucket 6 fails s > prev.
+    assert set(got) == {1, 3}
+    assert got[1] == (5.0, 4.0)
+    assert got[3] == (20.0, 19.0)
+    # with no prominence floor the plateau's FIRST bucket is credited
+    out0 = peak_detect(df, T0, T0 + 8 * W, W, min_delta=0.0).collect()
+    got0 = {(r.time - T0) // W for r in out0}
+    assert got0 == {1, 3, 5}
+
+
+def test_savgol_reproduces_quadratic_exactly(spark):
+    """The defining SG property: a polynomial of the filter's order passes
+    through unchanged — and with integer inputs the equality is EXACT."""
+    xs = [3 * t * t - 7 * t + 11 for t in range(20)]
+    df = _pts(spark, xs)
+    out = savgol_smooth(df, T0, T0 + 20 * W, W).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r.smooth == r.raw
+
+
+def test_seasonal_decompose_additivity_and_recovery(spark):
+    """x ~= trend + seasonal + residual (additivity), and a pure
+    seasonal+linear series yields near-zero residuals away from noise."""
+    period = 6
+    season = [0, 40, 80, 40, 0, -160]  # zero-mean
+    xs = [1000 + 5 * t + season[t % period] for t in range(48)]
+    df = _pts(spark, xs)
+    out = seasonal_decompose(df, T0, T0 + 48 * W, W, period=period).collect()
+    assert len(out) == 48 - period
+    for r in out:
+        assert abs(r.x - (r.trend + r.seasonal + r.residual)) < 1e-9
+        assert abs(r.residual) < 1e-9  # exact linear trend + exact season
+
+
+def test_dominant_period_recovers_cycle(spark):
+    period = 7
+    rng = random.Random(9)
+    xs = [
+        1000 * (1 + (t % period == 0)) + rng.randint(-20, 20) for t in range(70)
+    ]
+    df = _pts(spark, xs)
+    row = dominant_period(df, T0, T0 + 70 * W, W, min_lag=2, max_lag=20).collect()[0]
+    assert row.best_lag == period
+    assert row.acf > 0.5
