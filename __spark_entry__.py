@@ -3968,6 +3968,31 @@ def q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MIPS top-10 for probe vec 7 with the norm-augmentation
+    reduction emitted alongside (aug cosine = dot / (|q| * max-norm))."""
+    from btrdb_server_spark.functions.similarity import mips_topk
+
+    return mips_topk(load_table(spark, sf_dir, "embeddings"), probe_id=7)
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN top-10 for probe vec 7: decoded-code dot
+    ranking with the exact dot audited on the same row."""
+    from btrdb_server_spark.functions.similarity import sq8_topk
+
+    return sq8_topk(load_table(spark, sf_dir, "embeddings"), probe_id=7)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed Jaccard-containment pairs (3-gram shingles, C >= 0.5) —
+    the quote/subset duplication signal symmetric Jaccard misses."""
+    from btrdb_server_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=8
     (restored afterwards). The state partition count is FIXED by the
@@ -4232,6 +4257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savgol_smooth": q_savgol_smooth,
         "seasonal_decompose": q_seasonal_decompose,
         "dominant_period": q_dominant_period,
+        "mips_topk": q_mips_topk,
+        "sq8_topk": q_sq8_topk,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -8499,4 +8527,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(336 AS BIGINT) AS n_buckets
             FROM pick WHERE rn = 1 ORDER BY uuid
         """.replace("{PTS}", PTS_CTE),
+        "mips_topk": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), m2 AS (
+                SELECT max(list_dot_product(v, v)) AS M2 FROM e
+            ), q AS (
+                SELECT v AS qv FROM e WHERE vec_id = 7
+            )
+            SELECT vec_id,
+                   round(list_dot_product(v, qv), 6) AS dot,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(M2)), 6)
+                       AS aug_cos
+            FROM e, q, m2
+            ORDER BY dot DESC, vec_id LIMIT 10
+        """,
+        "sq8_topk": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), pos AS (
+                SELECT vec_id, unnest(v) AS x,
+                       unnest(generate_series(1, 64)) AS i
+                FROM e
+            ), stats AS (
+                SELECT i, min(x) AS lo, max(x) AS hi FROM pos GROUP BY i
+            ), arrs AS (
+                SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a
+                FROM stats
+            ), q AS (
+                SELECT v AS qv FROM e WHERE vec_id = 7
+            ), dec AS (
+                SELECT vec_id,
+                       list_transform(generate_series(1, 64), i ->
+                           lo_a[i] + least(255.0,
+                               floor((v[i] - lo_a[i]) * 255.0
+                                     / (CASE WHEN hi_a[i] > lo_a[i]
+                                             THEN hi_a[i] - lo_a[i]
+                                             ELSE 1.0 END)))
+                             * (hi_a[i] - lo_a[i]) / 255.0) AS dv,
+                       v
+                FROM e, arrs
+            )
+            SELECT vec_id,
+                   round(list_dot_product(dv, qv), 6) AS approx_dot,
+                   round(list_dot_product(v, qv), 6) AS exact_dot,
+                   round(list_dot_product(dv, qv), 6)
+                       - round(list_dot_product(v, qv), 6) AS err
+            FROM dec, q
+            ORDER BY approx_dot DESC, vec_id LIMIT 10
+        """,
+        "containment_pairs": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), raw_sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                           THEN list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> array_to_string(
+                                   list_slice(toks, i, i + 2), ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS s0
+                FROM t
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s
+                FROM raw_sh
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT l.doc_id AS src, r.doc_id AS dst,
+                       count(*) AS inter
+                FROM sh l JOIN sh r
+                  ON l.s = r.s AND l.doc_id <> r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT src, dst,
+                   inter / sz AS containment,
+                   inter, sz AS src_sz
+            FROM inter JOIN sz ON src = doc_id
+            WHERE inter / sz >= 0.5
+            ORDER BY src, dst
+        """,
     }

@@ -690,3 +690,61 @@ def ngram_novelty(
         .select(id_col, "n_shingles", "n_novel", novelty.alias("novelty"))
         .orderBy(id_col)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Jaccard CONTAINMENT C(A -> B) = |A n B| / |A| over k-gram shingle
+    sets — the asymmetric near-duplication signal symmetric Jaccard
+    misses: a short document quoted wholesale inside a long one has tiny
+    Jaccard but containment ~1. Emits DIRECTED pairs (src, dst,
+    containment, inter, src_sz) with containment >= threshold and
+    src != dst — both directions when both clear the bar.
+
+    Same scale shape as ngram_jaccard_pairs (dedup.py:475): hashed
+    shingle inverted index built once, singleton shingles pruned before
+    the self-join, sizes joined broadcast; the ratio is one exact
+    integer division (never rounded — rounding ties diverge across
+    engines)."""
+    sh = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    shared = (
+        sh.groupBy("s").agg(F.count("*").alias("nd")).where(F.col("nd") >= 2).select("s")
+    )
+    shx = sh.join(shared, "s")
+    inter = (
+        shx.alias("l")
+        .join(shx.alias("r"), F.col("l.s") == F.col("r.s"))
+        .where(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("src"), F.col(f"r.{id_col}").alias("dst")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ssz = sizes.select(F.col(id_col).alias("src"), F.col("sz").alias("src_sz"))
+    return (
+        inter.join(F.broadcast(ssz), "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("inter") / F.col("src_sz")).alias("containment"),
+            "inter",
+            "src_sz",
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy("src", "dst")
+    )

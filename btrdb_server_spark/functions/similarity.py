@@ -935,3 +935,104 @@ def ann_recall_eval(
         )
         .orderBy("probe_id")
     )
+
+
+def mips_topk(
+    embeddings: DataFrame,
+    probe_id: int = 7,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximum-inner-product top-k with the norm-augmentation reduction
+    made visible: MIPS is NOT cosine search (a long vector can win on dot
+    while losing on angle), but augmenting every corpus vector with
+    aug = sqrt(M^2 - |v|^2) — M the max corpus norm — and the query with
+    0 turns dot ranking into cosine ranking in d+1 dims (Bachrach et al.
+    2014). Emits both the raw dot and the augmented-space cosine; the
+    two orderings coincide by construction (aug_cos = dot / (|q|*M)).
+
+    Scale shape: one aggregate for M^2 (broadcast scalar), the probe a
+    broadcast 1-row join, TakeOrderedAndProject top-k — the exact
+    brute-force MIPS baseline an IVF/PQ serving path is measured
+    against. Ranking on round(dot, 6) with id tiebreak (the repo's
+    deterministic-rank convention). Columns: vec_id, dot, aug_cos."""
+    emb = F.col(vec_col).cast("array<double>")
+    m2 = embeddings.agg(
+        F.max(_dot(emb, emb)).alias("M2")
+    )
+    probe_row = embeddings.where(F.col(id_col) == probe_id).select(
+        F.col(vec_col).cast("array<double>").alias("q")
+    )
+    dot = F.round(_dot(emb, F.col("q")), 6)
+    aug_cos = F.round(
+        _dot(emb, F.col("q"))
+        / (F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(F.col("M2"))),
+        6,
+    )
+    return (
+        embeddings.join(F.broadcast(probe_row))
+        .join(F.broadcast(m2))
+        .select(F.col(id_col), dot.alias("dot"), aug_cos.alias("aug_cos"))
+        .orderBy(F.col("dot").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    probe_id: int = 7,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) asymmetric ANN: compress every vector to
+    one byte per dimension with per-dimension [min, max] ranges, rank by
+    the dot product of the EXACT query against the DECODED corpus codes
+    — the 4x-compression serving path (and its accuracy) audited against
+    the exact dot on the same row.
+
+    code_d = floor((x_d - lo_d) * 255 / (hi_d - lo_d)) (capped at 255),
+    decode_d = lo_d + code_d * (hi_d - lo_d) / 255. The [lo, hi] table
+    is ONE aggregate over the corpus (2*dim doubles, broadcast); codes
+    never materialize corpus-wide — at serving scale the codes table is
+    the stored index and this operator IS its build+probe plan fused.
+    Ranking on round(approx_dot, 6) with id tiebreak. Columns: vec_id,
+    approx_dot, exact_dot, err."""
+    emb = F.col(vec_col).cast("array<double>")
+    stats = embeddings.agg(
+        F.array(*[F.min(emb[i]) for i in range(dim)]).alias("lo"),
+        F.array(*[F.max(emb[i]) for i in range(dim)]).alias("hi"),
+    )
+    probe_row = embeddings.where(F.col(id_col) == probe_id).select(
+        F.col(vec_col).cast("array<double>").alias("q")
+    )
+    # decoded_d as an expression over (x, lo, hi): floor in double —
+    # identical IEEE sequence in the SQL oracle.
+    code = lambda x, lo, hi: F.least(  # noqa: E731
+        F.lit(255.0),
+        F.floor(
+            (x - lo) * F.lit(255.0) / F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        ).cast("double"),
+    )
+    dec = lambda x, lo, hi: lo + code(x, lo, hi) * (hi - lo) / F.lit(255.0)  # noqa: E731
+    decoded = F.zip_with(
+        F.zip_with(emb, F.col("lo"), lambda x, lo: F.struct(x.alias("x"), lo.alias("lo"))),
+        F.col("hi"),
+        lambda s, hi: dec(s["x"], s["lo"], hi),
+    )
+    approx = F.round(_dot(decoded, F.col("q")), 6)
+    exact = F.round(_dot(emb, F.col("q")), 6)
+    return (
+        embeddings.join(F.broadcast(probe_row))
+        .join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            approx.alias("approx_dot"),
+            exact.alias("exact_dot"),
+            (approx - exact).alias("err"),
+        )
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col))
+        .limit(k)
+    )

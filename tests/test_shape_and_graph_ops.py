@@ -344,3 +344,68 @@ def test_ams_f2_brute_force(spark):
     assert out.f2_est_median == sqs[3]  # lower median of 8
     assert out.f2_est_mean == sum(sqs) / 8.0
     assert out.n_tokens_distinct == len(cnt)
+
+
+def test_mips_norm_augmentation_rank_equivalence(spark):
+    """The MIPS reduction's defining fact: ordering by raw dot equals
+    ordering by augmented-space cosine (same denominator per row), and
+    the dots match numpy."""
+    import numpy as np
+
+    from btrdb_server_spark.functions.similarity import mips_topk
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 8) * rng.uniform(0.2, 3.0, size=(40, 1))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mips_topk(df, probe_id=3, k=40).collect()
+    dots = [r.dot for r in out]
+    augs = [r.aug_cos for r in out]
+    assert dots == sorted(dots, reverse=True)
+    assert augs == sorted(augs, reverse=True)  # same ordering
+    q = vecs[3]
+    byid = {r.vec_id: r.dot for r in out}
+    for i, v in enumerate(vecs):
+        assert abs(byid[i] - float(np.dot(v, q))) < 2e-6
+
+
+def test_sq8_error_bound_and_recall(spark):
+    """SQ8 decode error per dimension is at most one quantization step, so
+    |approx_dot - exact_dot| <= sum_i |q_i| * step_i; and top-1 recall
+    holds on a well-separated corpus."""
+    import numpy as np
+
+    from btrdb_server_spark.functions.similarity import sq8_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8)
+    vecs[42] = vecs[7] * 1.5  # dominant MIPS neighbor of probe 7
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sq8_topk(df, probe_id=7, k=60, dim=8).collect()
+    steps = (vecs.max(0) - vecs.min(0)) / 255.0
+    bound = float(np.abs(vecs[7]) @ steps) + 4e-6  # + rounding slack
+    for r in out:
+        assert abs(r.err) <= bound
+    assert out[0].vec_id == 42
+
+
+def test_containment_detects_subset(spark):
+    """A document fully quoted inside a longer one: containment 1.0 in the
+    quote->host direction, below threshold in reverse."""
+    from btrdb_server_spark.functions.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = (
+        "intro words here " + quote + " and then a very long tail "
+        "of unrelated filler text that keeps going on and on with many "
+        "more tokens than the quoted span itself"
+    )
+    other = "completely different content nothing shared at all whatsoever"
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], "doc_id long, text string"
+    )
+    out = {(r.src, r.dst): r.containment for r in containment_pairs(df, k=3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # host is not contained in the quote
+    assert all(3 not in pair for pair in out)
