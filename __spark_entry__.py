@@ -3993,6 +3993,42 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style grade per document (vowel-group syllable
+    proxy) — three JVM regexp counts, one fixed IEEE expression."""
+    from btrdb_server_spark.functions.text import readability
+
+    return readability(load_table(spark, sf_dir, "documents"))
+
+
+def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive 3-event behavioral motifs across user streams
+    (sliding window, integer counts, deterministic rank)."""
+    from btrdb_server_spark.operators.events import frequent_sequences
+
+    return frequent_sequences(load_table(spark, sf_dir, "events"))
+
+
+def q_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase volume regressed on click and view volumes over
+    January — Cramer's rule on exact decimal(38,0) integer moments."""
+    from btrdb_server_spark.operators.corr import ols_two_factor
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return ols_two_factor(
+        pts, "purchase", "click", "view", T_2024, T_FEB, DAY_NS
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — Pearson on
+    exact integer degree moments over the directed edge list."""
+    from btrdb_server_spark.functions.graph import degree_assortativity
+
+    return degree_assortativity(load_table(spark, sf_dir, "lineitem"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=8
     (restored afterwards). The state partition count is FIXED by the
@@ -4260,6 +4296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mips_topk": q_mips_topk,
         "sq8_topk": q_sq8_topk,
         "containment_pairs": q_containment_pairs,
+        "readability": q_readability,
+        "frequent_sequences": q_frequent_sequences,
+        "ols_two_factor": q_ols_two_factor,
+        "degree_assortativity": q_degree_assortativity,
     }
 
 
@@ -8613,5 +8653,150 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz ON src = doc_id
             WHERE inter / sz >= 0.5
             ORDER BY src, dst
+        """,
+        "readability": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(lower(text),
+                           '\\s+'), x -> x <> '')) AS words,
+                       greatest(CAST(1 AS BIGINT),
+                           CAST(len(regexp_extract_all(text, '[.!?]+'))
+                                AS BIGINT)) AS sentences,
+                       CAST(len(regexp_extract_all(lower(text),
+                           '[aeiouy]+')) AS BIGINT) AS syllables
+                FROM documents
+            )
+            SELECT doc_id, CAST(words AS BIGINT) AS words, sentences,
+                   syllables,
+                   CASE WHEN words > 0 THEN
+                       0.39 * (CAST(words AS DOUBLE)
+                               / CAST(sentences AS DOUBLE))
+                       + 11.8 * (CAST(syllables AS DOUBLE)
+                                 / CAST(words AS DOUBLE))
+                       - 15.59
+                   END AS fk_grade
+            FROM t ORDER BY doc_id
+        """,
+        "frequent_sequences": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       lead(event_type, 1) OVER w AS e1,
+                       lead(event_type, 2) OVER w AS e2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type || '>' || e1 || '>' || e2 AS seq,
+                   count(*) AS cnt
+            FROM o WHERE e2 IS NOT NULL
+            GROUP BY 1 ORDER BY cnt DESC, seq LIMIT 20
+        """,
+        "ols_two_factor": """
+            {PTS}, su AS (
+                SELECT (time - 1704067200000000000) // 86400000000000 AS widx, uuid,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts
+                WHERE uuid IN ('purchase', 'click', 'view')
+                  AND time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), wide AS (
+                SELECT g.widx,
+                       CAST(COALESCE(sum(CASE WHEN uuid = 'purchase'
+                                         THEN s END), 0) AS BIGINT) AS y,
+                       CAST(COALESCE(sum(CASE WHEN uuid = 'click'
+                                         THEN s END), 0) AS BIGINT) AS x1,
+                       CAST(COALESCE(sum(CASE WHEN uuid = 'view'
+                                         THEN s END), 0) AS BIGINT) AS x2
+                FROM (SELECT unnest(range(0, 31)) AS widx) g
+                LEFT JOIN su ON su.widx = g.widx
+                GROUP BY 1
+            ), mom AS (
+                SELECT count(*) AS n,
+                       CAST(sum(x1) AS HUGEINT) AS S1,
+                       CAST(sum(x2) AS HUGEINT) AS S2,
+                       CAST(sum(y) AS HUGEINT) AS Sy,
+                       CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS S11,
+                       CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS S22,
+                       CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS S12,
+                       CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS S1y,
+                       CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS S2y,
+                       CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS Syy
+                FROM wide
+            ), dets AS (
+                SELECT n, Sy, S1y, S2y, Syy,
+                       n * (S11 * S22 - S12 * S12)
+                         - S1 * (S1 * S22 - S12 * S2)
+                         + S2 * (S1 * S12 - S11 * S2) AS det,
+                       Sy * (S11 * S22 - S12 * S12)
+                         - S1 * (S1y * S22 - S12 * S2y)
+                         + S2 * (S1y * S12 - S11 * S2y) AS det0,
+                       n * (S1y * S22 - S12 * S2y)
+                         - Sy * (S1 * S22 - S12 * S2)
+                         + S2 * (S1 * S2y - S1y * S2) AS det1,
+                       n * (S11 * S2y - S1y * S12)
+                         - S1 * (S1 * S2y - S1y * S2)
+                         + Sy * (S1 * S12 - S11 * S2) AS det2
+                FROM mom
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN CAST(det AS DOUBLE) <> 0 THEN
+                       (CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE)) / 100.0
+                   END AS b0,
+                   CASE WHEN CAST(det AS DOUBLE) <> 0 THEN
+                       CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE)
+                   END AS b1,
+                   CASE WHEN CAST(det AS DOUBLE) <> 0 THEN
+                       CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE)
+                   END AS b2,
+                   CASE WHEN CAST(det AS DOUBLE) <> 0
+                         AND (CAST(Syy AS DOUBLE) - CAST(Sy AS DOUBLE)
+                              * CAST(Sy AS DOUBLE) / CAST(n AS DOUBLE)) <> 0
+                   THEN 1.0 - (CAST(Syy AS DOUBLE)
+                               - ((CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE))
+                                    * CAST(Sy AS DOUBLE)
+                                  + (CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE))
+                                    * CAST(S1y AS DOUBLE)
+                                  + (CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE))
+                                    * CAST(S2y AS DOUBLE)))
+                              / (CAST(Syy AS DOUBLE) - CAST(Sy AS DOUBLE)
+                                 * CAST(Sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   END AS r2
+            FROM dets
+        """.replace("{PTS}", PTS_CTE),
+        "degree_assortativity": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+            edges AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey <> b.l_partkey
+            ), deg AS (
+                SELECT u, count(*) AS deg FROM edges GROUP BY 1
+            ), ed AS (
+                SELECT du.deg AS x, dv.deg AS y
+                FROM edges JOIN deg du ON edges.u = du.u
+                JOIN deg dv ON edges.v = dv.u
+            ), mom AS (
+                SELECT count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS Sx,
+                       CAST(sum(y) AS BIGINT) AS Sy,
+                       CAST(sum(x * x) AS BIGINT) AS Sxx,
+                       CAST(sum(y * y) AS BIGINT) AS Syy,
+                       CAST(sum(x * y) AS BIGINT) AS Sxy
+                FROM ed
+            ), nn AS (SELECT count(*) AS n_nodes FROM deg)
+            SELECT n AS n_edges, n_nodes,
+                   CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(Sxx AS DOUBLE)
+                                   - CAST(Sx AS DOUBLE) * CAST(Sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(Syy AS DOUBLE)
+                                     - CAST(Sy AS DOUBLE) * CAST(Sy AS DOUBLE)))
+                             <> 0
+                        THEN (CAST(n AS DOUBLE) * CAST(Sxy AS DOUBLE)
+                              - CAST(Sx AS DOUBLE) * CAST(Sy AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE) * CAST(Sxx AS DOUBLE)
+                                     - CAST(Sx AS DOUBLE) * CAST(Sx AS DOUBLE))
+                                    * (CAST(n AS DOUBLE) * CAST(Syy AS DOUBLE)
+                                       - CAST(Sy AS DOUBLE) * CAST(Sy AS DOUBLE)))
+                   END AS assortativity
+            FROM mom, nn
         """,
     }

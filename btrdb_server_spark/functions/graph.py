@@ -174,3 +174,48 @@ def triangle_count(lineitem: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def degree_assortativity(lineitem: DataFrame) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation between the degrees at the two ends of every edge —
+    positive when hub products co-sell with hubs (rich-club catalogs),
+    negative when hubs anchor long tails. Computed over the directed
+    edge list (each undirected edge contributes both orientations, the
+    standard symmetrization), with full degree (distinct-neighbor
+    count).
+
+    Exactness: degrees and all five correlation moments are int64; r is
+    the usual (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+    on exact integers cast to double first — one fixed IEEE tree. Scale
+    shape: one distinct on the edge list, one node-scale degree
+    aggregate joined back BROADCAST at dim scale (shuffled co-hash at
+    catalog scale), one global moment reduce. Columns: n_edges, n_nodes,
+    assortativity."""
+    edges = copurchase_edges(lineitem).select("u", "v").distinct()
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("u").alias("nu"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("u").alias("nv"), F.col("deg").alias("y"))
+    ed = edges.join(F.broadcast(du), F.col("u") == F.col("nu")).join(
+        F.broadcast(dv), F.col("v") == F.col("nv")
+    )
+    mom = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("Sx"),
+        F.sum("y").alias("Sy"),
+        F.sum(F.col("x") * F.col("x")).alias("Sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("Syy"),
+        F.sum(F.col("x") * F.col("y")).alias("Sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("Sxy") - d("Sx") * d("Sy")
+    den = F.sqrt(
+        (d("n") * d("Sxx") - d("Sx") * d("Sx"))
+        * (d("n") * d("Syy") - d("Sy") * d("Sy"))
+    )
+    nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return mom.join(F.broadcast(nodes)).select(
+        F.col("n").alias("n_edges"),
+        "n_nodes",
+        F.when(den != 0, num / den).alias("assortativity"),
+    )

@@ -951,3 +951,119 @@ def hurst_exponent(
         (F.lit(1.0) + (cov / vx) / F.lit(2.0)).alias("hurst"),
         F.when(vy > 0, cov * cov / (vx * vy)).alias("r2"),
     )
+
+
+def ols_two_factor(
+    points: DataFrame,
+    y_uuid: str,
+    x1_uuid: str,
+    x2_uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Two-factor linear regression between streams on the bucket-sum
+    grid: y_t = b0 + b1*x1_t + b2*x2_t over buckets of `width` ns — the
+    cross-stream explanatory model ("how much of purchase volume do
+    clicks and views explain?") the reference's single-stream plane
+    cannot ask.
+
+    Exactness: the 3x3 normal equations are solved by Cramer's rule on
+    EXACT integer moments in decimal(38,0) (bucket sums in quantum
+    units; every determinant a fixed polynomial of int64 moments), so
+    the four determinants are exact; each beta is one decimal->double
+    cast pair and a division; R^2 evaluates in one fixed IEEE tree from
+    the same exact moments. Buckets where any stream is empty count as
+    zero (the shared spine). Scale shape: one point-scale scan collapsed
+    to (bucket x 3 streams) sums, pivoted to bucket-scale rows; the
+    moment reduce is one row. Columns: n, b0, b1, b2, r2 (betas in
+    value units — quantum cancels across the pivot)."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    end = end - (end - start) % width
+    nb = (end - start) // width
+    if nb < 4:
+        raise ValueError("need at least 4 buckets")
+    su = (
+        points.where(
+            F.col("uuid").isin(y_uuid, x1_uuid, x2_uuid)
+            & (F.col("time") >= start)
+            & (F.col("time") < end)
+        )
+        .groupBy(
+            F.expr(f"(time - ({start})) div {width}").alias("widx"), "uuid"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+            ).alias("s")
+        )
+    )
+    wide = (
+        points.sparkSession.range(0, nb)
+        .select(F.col("id").alias("widx"))
+        .join(su, "widx", "left")
+        .groupBy("widx")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("uuid") == y_uuid, F.col("s"))), F.lit(0)
+            ).alias("y"),
+            F.coalesce(
+                F.sum(F.when(F.col("uuid") == x1_uuid, F.col("s"))), F.lit(0)
+            ).alias("x1"),
+            F.coalesce(
+                F.sum(F.when(F.col("uuid") == x2_uuid, F.col("s"))), F.lit(0)
+            ).alias("x2"),
+        )
+    )
+    dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = wide.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("S1"),
+        F.sum("x2").alias("S2"),
+        F.sum("y").alias("Sy"),
+        F.sum(dc("x1") * F.col("x1")).alias("S11"),
+        F.sum(dc("x2") * F.col("x2")).alias("S22"),
+        F.sum(dc("x1") * F.col("x2")).alias("S12"),
+        F.sum(dc("x1") * F.col("y")).alias("S1y"),
+        F.sum(dc("x2") * F.col("y")).alias("S2y"),
+        F.sum(dc("y") * F.col("y")).alias("Syy"),
+    )
+    D = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    det = (
+        D("n") * (D("S11") * D("S22") - D("S12") * D("S12"))
+        - D("S1") * (D("S1") * D("S22") - D("S12") * D("S2"))
+        + D("S2") * (D("S1") * D("S12") - D("S11") * D("S2"))
+    )
+    det0 = (
+        D("Sy") * (D("S11") * D("S22") - D("S12") * D("S12"))
+        - D("S1") * (D("S1y") * D("S22") - D("S12") * D("S2y"))
+        + D("S2") * (D("S1y") * D("S12") - D("S11") * D("S2y"))
+    )
+    det1 = (
+        D("n") * (D("S1y") * D("S22") - D("S12") * D("S2y"))
+        - D("Sy") * (D("S1") * D("S22") - D("S12") * D("S2"))
+        + D("S2") * (D("S1") * D("S2y") - D("S1y") * D("S2"))
+    )
+    det2 = (
+        D("n") * (D("S11") * D("S2y") - D("S1y") * D("S12"))
+        - D("S1") * (D("S1") * D("S2y") - D("S1y") * D("S2"))
+        + D("Sy") * (D("S1") * D("S12") - D("S11") * D("S2"))
+    )
+    q = round(1.0 / value_quantum)
+    d = lambda e: e.cast("double")  # noqa: E731
+    b0 = d(det0) / d(det)
+    b1 = d(det1) / d(det)
+    b2 = d(det2) / d(det)
+    sst = d(F.col("Syy")) - d(F.col("Sy")) * d(F.col("Sy")) / d(F.col("n"))
+    sse = d(F.col("Syy")) - (
+        b0 * d(F.col("Sy")) + b1 * d(F.col("S1y")) + b2 * d(F.col("S2y"))
+    )
+    return mom.select(
+        F.col("n"),
+        F.when(d(det) != 0, b0 / F.lit(float(q))).alias("b0"),
+        F.when(d(det) != 0, b1).alias("b1"),
+        F.when(d(det) != 0, b2).alias("b2"),
+        F.when((d(det) != 0) & (sst != 0), F.lit(1.0) - sse / sst).alias("r2"),
+    )

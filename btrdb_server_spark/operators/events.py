@@ -1187,3 +1187,43 @@ def dormancy_stats(
         "n_users", "n_dormant", "g_min", "g_max",
         *[f"p{q * 100:g}".replace(".", "_") for q in qs],
     )
+
+
+def frequent_sequences(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most frequent length-`n` CONSECUTIVE event sequences across all
+    user streams (sliding window, time order with event-id tiebreak) —
+    the behavioral-motif miner behind "what three-step pattern precedes
+    churn". Unlike top_paths (each user's first events once), every
+    position in every stream contributes one n-gram.
+
+    Pure integer counts; top-k by count desc then sequence asc — fully
+    deterministic. Scale shape: one user-keyed window sort (partitions
+    bounded by per-user activity), n-1 lead taps, one map-side-combined
+    groupBy; TakeOrderedAndProject for the top-k. Columns: seq, cnt."""
+    if n < 2:
+        raise ValueError("need n >= 2")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cols = [F.col(type_col)]
+    df = events.select(user_col, type_col, ts_col, id_col)
+    for j in range(1, n):
+        df = df.withColumn(f"e{j}", F.lead(type_col, j).over(w))
+        cols.append(F.col(f"e{j}"))
+    grams = df.where(F.col(f"e{n-1}").isNotNull()).select(
+        F.array_join(F.array(*cols), ">").alias("seq")
+    )
+    return (
+        grams.groupBy("seq")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "seq")
+        .limit(k)
+    )

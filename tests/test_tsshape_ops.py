@@ -138,3 +138,79 @@ def test_dominant_period_recovers_cycle(spark):
     row = dominant_period(df, T0, T0 + 70 * W, W, min_lag=2, max_lag=20).collect()[0]
     assert row.best_lag == period
     assert row.acf > 0.5
+
+
+def test_readability_brute_force(spark):
+    from btrdb_server_spark.functions.text import readability
+
+    docs = [
+        (1, "The cat sat. The dog ran! Did it rain?"),
+        (2, "aeiou bcd xyz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in readability(df).collect()}
+    import re
+
+    for did, text in docs:
+        words = len([t for t in text.lower().split() if t])
+        sents = max(1, len(re.findall(r"[.!?]+", text)))
+        syls = len(re.findall(r"[aeiouy]+", text.lower()))
+        r = out[did]
+        assert (r.words, r.sentences, r.syllables) == (words, sents, syls)
+        assert r.fk_grade == 0.39 * (words / sents) + 11.8 * (syls / words) - 15.59
+
+
+def test_frequent_sequences_known_motif(spark):
+    from btrdb_server_spark.operators.events import frequent_sequences
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        for ev in ["a", "b", "c", "a", "b", "c"]:
+            rows.append((eid, u, eid, ev))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    out = frequent_sequences(df, n=3, k=3).collect()
+    assert out[0].seq == "a>b>c" and out[0].cnt == 20
+    # sliding n-grams per 6-event user: 4 each -> a>b>c x2, b>c>a, c>a>b
+    assert {r.seq for r in out} == {"a>b>c", "b>c>a", "c>a>b"}
+
+
+def test_ols_two_factor_exact_fit(spark):
+    """A y that is EXACTLY b0 + b1*x1 + b2*x2 on integer quanta: Cramer on
+    exact moments recovers the coefficients bit-exactly, r2 == 1."""
+    import random
+
+    from btrdb_server_spark.operators.corr import ols_two_factor
+
+    rng = random.Random(2)
+    rows = []
+    for t in range(24):
+        x1 = rng.randint(100, 900)
+        x2 = rng.randint(100, 900)
+        y = 700 + 5 * x1 - 2 * x2
+        for uuid, cents in (("y", y), ("x1", x1), ("x2", x2)):
+            rows.append((uuid, T0 + t * W, cents / 100.0))
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    r = ols_two_factor(df, "y", "x1", "x2", T0, T0 + 24 * W, W).collect()[0]
+    assert r.b1 == 5.0 and r.b2 == -2.0 and r.b0 == 7.0  # 700 quanta = 7.00
+    assert r.r2 == 1.0
+
+
+def test_degree_assortativity_star_vs_clique(spark):
+    """A star graph is maximally disassortative; a clique has zero degree
+    variance (null r). Orders stand in for edges via 2-item baskets."""
+    from btrdb_server_spark.functions.graph import degree_assortativity
+
+    star = [(o, 0) for o in range(5)] + [(o, o + 1) for o in range(5)]
+    df = spark.createDataFrame(star, "l_orderkey long, l_partkey long")
+    r = degree_assortativity(df).collect()[0]
+    assert r.n_edges == 10 and r.n_nodes == 6
+    assert r.assortativity == -1.0  # perfect star
+    clique = [(100 + i * 10 + j, p) for i, j, p in
+              [(a, b, p) for a in range(4) for b in range(2) for p in (0,)]]
+    # build a triangle instead: orders {1:(a,b), 2:(b,c), 3:(a,c)}
+    tri = [(1, 10), (1, 11), (2, 11), (2, 12), (3, 10), (3, 12)]
+    df2 = spark.createDataFrame(tri, "l_orderkey long, l_partkey long")
+    r2 = degree_assortativity(df2).collect()[0]
+    assert r2.assortativity is None  # zero variance -> undefined
