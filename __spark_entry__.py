@@ -4030,22 +4030,23 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
-    """Run a stateful-streaming query with spark.sql.shuffle.partitions=8
+    """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
     shuffle-partition setting at first checkpoint; sizing it to the key
     cardinality (a handful of streams) instead of the CPU count removes
     the per-state-partition python-worker spinup that dominates these
-    queries at interactive scale (measured 7.8 s -> 4.5 s for
-    streaming_ewma at sf0.1 on local[32]). At production key cardinality
-    the right number is larger — this wrapper tunes the DRIVER-SCALE
-    fixtures, the operators themselves are partition-count-agnostic
-    (keyed state)."""
+    queries at interactive scale (measured steady-state 3.9 s at 8
+    partitions vs 3.3 s at 4 vs 3.2 s at 2 for streaming_ewma at sf0.1
+    on local[32]; 4 keeps headroom for the user-keyed ops). At
+    production key cardinality the right number is larger — this wrapper
+    tunes the DRIVER-SCALE fixtures, the operators themselves are
+    partition-count-agnostic (keyed state)."""
     import functools
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             return fn(spark, sf_dir)
         finally:
