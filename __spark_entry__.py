@@ -4029,6 +4029,43 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(load_table(spark, sf_dir, "lineitem"))
 
 
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-flavor order-count distribution including zero-order
+    customers: fact-side aggregate before the customer left join."""
+    from btrdb_server_spark.operators.olap import customer_distribution
+
+    return customer_distribution(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test vs the exact median on January daily sums
+    per stream — integer runs, one fixed IEEE z expression."""
+    from btrdb_server_spark.operators.tsshape import runs_test
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return runs_test(pts, T_2024, T_FEB, DAY_NS)
+
+
+def q_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: event share of the top-decile users
+    (deterministic rank, one exact-int division)."""
+    from btrdb_server_spark.operators.events import power_users
+
+    return power_users(load_table(spark, sf_dir, "events"))
+
+
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram coverage curve at k in (10, 100, 1000): head-heaviness of
+    the corpus n-gram volume, exact integer shares."""
+    from btrdb_server_spark.functions.text import ngram_coverage
+
+    return ngram_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4301,6 +4338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_sequences": q_frequent_sequences,
         "ols_two_factor": q_ols_two_factor,
         "degree_assortativity": q_degree_assortativity,
+        "customer_distribution": q_customer_distribution,
+        "runs_test": q_runs_test,
+        "power_users": q_power_users,
+        "ngram_coverage": q_ngram_coverage,
     }
 
 
@@ -8799,5 +8840,127 @@ def oracle_sql() -> dict[str, str]:
                                        - CAST(Sy AS DOUBLE) * CAST(Sy AS DOUBLE)))
                    END AS assortativity
             FROM mom, nn
+        """,
+        "customer_distribution": """
+            WITH pc AS (
+                SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+            ), j AS (
+                SELECT COALESCE(cnt, 0) AS c_count
+                FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM j GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        "runs_test": """
+            {PTS}, su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), med AS (
+                SELECT uuid, s AS med FROM (
+                    SELECT uuid, s, row_number() OVER (PARTITION BY uuid
+                        ORDER BY s, widx) AS rn FROM x)
+                WHERE rn = 16
+            ), signed AS (
+                SELECT x.uuid, widx,
+                       CASE WHEN s > med THEN 1 ELSE 0 END AS up
+                FROM x JOIN med ON x.uuid = med.uuid
+                WHERE s <> med
+            ), lagged AS (
+                SELECT uuid, up,
+                       lag(up) OVER (PARTITION BY uuid ORDER BY widx) AS prev
+                FROM signed
+            ), agg AS (
+                SELECT uuid,
+                       CAST(sum(up) AS BIGINT) AS n1,
+                       CAST(sum(1 - up) AS BIGINT) AS n2,
+                       CAST(sum(CASE WHEN prev IS NULL OR up <> prev
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS runs
+                FROM lagged GROUP BY 1
+            )
+            SELECT uuid, n1, n2, runs,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND
+                        (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                              - 1.0)) > 0
+                   THEN (CAST(runs AS DOUBLE)
+                         - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            + 1.0))
+                        / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                * (2.0 * CAST(n1 AS DOUBLE)
+                                   * CAST(n2 AS DOUBLE)
+                                   - (CAST(n1 AS DOUBLE)
+                                      + CAST(n2 AS DOUBLE))))
+                               / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                  * (CAST(n1 AS DOUBLE)
+                                     + CAST(n2 AS DOUBLE))
+                                  * ((CAST(n1 AS DOUBLE)
+                                      + CAST(n2 AS DOUBLE)) - 1.0)))
+                   END AS z
+            FROM agg ORDER BY uuid
+        """.replace("{PTS}", PTS_CTE),
+        "power_users": """
+            WITH pu AS (
+                SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+            ), r AS (
+                SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id)
+                           AS rn
+                FROM pu
+            ), nu AS (
+                SELECT count(*) AS n_users,
+                       CAST(sum(cnt) AS BIGINT) AS total_events
+                FROM pu
+            ), t AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS top_events
+                FROM r, nu
+                WHERE rn <= greatest(CAST(1 AS BIGINT), n_users // 10)
+            )
+            SELECT n_users,
+                   greatest(CAST(1 AS BIGINT), n_users // 10) AS k,
+                   top_events, total_events,
+                   CAST(top_events AS DOUBLE)
+                       / CAST(total_events AS DOUBLE) AS share
+            FROM nu, t
+        """,
+        "ngram_coverage": """
+            WITH t AS (
+                SELECT list_filter(regexp_split_to_array(lower(text),
+                    '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), grams AS (
+                SELECT unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+                FROM t
+            ), counts AS (
+                SELECT g, count(*) AS cnt FROM grams GROUP BY 1
+            ), ranked AS (
+                SELECT cnt, row_number() OVER (ORDER BY cnt DESC, g) AS rn
+                FROM counts
+            ), ks AS (SELECT unnest([10, 100, 1000]) AS k)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(COALESCE(sum(CASE WHEN rn <= k THEN cnt END), 0)
+                        AS BIGINT) AS covered,
+                   CAST(sum(cnt) AS BIGINT) AS total,
+                   count(*) AS distinct_grams,
+                   CAST(COALESCE(sum(CASE WHEN rn <= k THEN cnt END), 0)
+                        AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS coverage
+            FROM ranked CROSS JOIN ks
+            GROUP BY k ORDER BY k
         """,
     }

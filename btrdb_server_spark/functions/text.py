@@ -611,3 +611,64 @@ def readability(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         syllables.alias("syllables"),
         F.when(words > 0, grade).alias("fk_grade"),
     ).orderBy(id_col)
+
+
+def ngram_coverage(
+    docs: DataFrame,
+    n: int = 3,
+    ks: tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-concentration curve: the share of total word-`n`-gram
+    VOLUME covered by the top-k most frequent n-grams, for each k — the
+    one-look answer to "how head-heavy is this corpus" (and the sizing
+    input for n-gram cache/LM truncation). Deterministic rank (count
+    desc, gram asc); each share is ONE division of exact int64 sums.
+
+    Scale shape: one explode+groupBy collapses the corpus to the n-gram
+    domain (map-side combined); the rank window and the per-k
+    conditional sums run on the domain-scale table. Columns: k,
+    covered, total, distinct_grams, coverage."""
+    if n < 1 or not ks:
+        raise ValueError("need n >= 1 and at least one k")
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    if n == 1:
+        grams = F.explode(toks).alias("g")
+    else:
+        grams = F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g")
+    counts = docs.select(grams).groupBy("g").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("g"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    spark = docs.sparkSession
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k long")
+    per_k = (
+        kdf.join(ranked)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("k"), F.col("cnt"))).alias(
+                "covered"
+            ),
+            F.sum("cnt").alias("total"),
+            F.count("*").alias("distinct_grams"),
+        )
+    )
+    return per_k.select(
+        "k",
+        F.coalesce(F.col("covered"), F.lit(0)).alias("covered"),
+        "total",
+        "distinct_grams",
+        (
+            F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+            / F.col("total").cast("double")
+        ).alias("coverage"),
+    ).orderBy("k")

@@ -1227,3 +1227,49 @@ def frequent_sequences(
         .orderBy(F.col("cnt").desc(), "seq")
         .limit(k)
     )
+
+
+def power_users(
+    events: DataFrame,
+    decile: int = 10,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Activity concentration (the Pareto readout): what share of all
+    events comes from the top 1/`decile` most active users. k =
+    max(1, n_users div decile); users ranked by event count desc with
+    user-id tiebreak, so the cut is deterministic. share is ONE division
+    of exact int64 sums.
+
+    Scale shape: one map-side-combined per-user count (user-scale), one
+    rank window over the user-scale table, one two-row reduce — the
+    event scan is touched once. Columns: n_users, k, top_events,
+    total_events, share."""
+    if decile < 2:
+        raise ValueError("need decile >= 2")
+    from pyspark.sql import Window
+
+    per_user = events.groupBy(user_col).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col(user_col))
+    ranked = per_user.withColumn("rn", F.row_number().over(w))
+    n_users = per_user.agg(
+        F.count("*").alias("n_users"), F.sum("cnt").alias("total_events")
+    )
+    k_expr = F.greatest(F.lit(1).cast("long"), F.expr(f"n_users div {decile}"))
+    top = (
+        ranked.join(F.broadcast(n_users))
+        .where(F.col("rn") <= k_expr)
+        .agg(F.sum("cnt").alias("top_events"))
+    )
+    return (
+        n_users.join(F.broadcast(top))
+        .select(
+            "n_users",
+            k_expr.alias("k"),
+            "top_events",
+            "total_events",
+            (
+                F.col("top_events").cast("double")
+                / F.col("total_events").cast("double")
+            ).alias("share"),
+        )
+    )

@@ -894,3 +894,25 @@ def idle_customers(
         )
         .orderBy("c_mktsegment")
     )
+
+
+def customer_distribution(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """TPC-H-Q13-flavor customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING the zero-order
+    customers a plain groupBy would drop. Pure integer counts.
+
+    Plan shape: the per-customer count aggregates the FACT side alone
+    first (order-key scale never leaves the map-combine), then customer
+    left-joins the customer-scale counts — the aggregate-before-join
+    shape; the distribution rollup is a second customer-scale combine.
+    Columns: c_count, custdist, ordered custdist desc / c_count desc."""
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    joined = customer.select("c_custkey").join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    return (
+        joined.select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

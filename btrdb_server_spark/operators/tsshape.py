@@ -447,3 +447,69 @@ def dominant_period(
         )
         .orderBy("uuid")
     )
+
+
+def runs_test(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness per stream: bucket sums
+    are classified above/below the stream MEDIAN (exact lower-median
+    order statistic; equals-median buckets dropped, the standard
+    convention), R counts the sign runs, and the z-statistic compares R
+    to its null mean 2*n1*n2/(n1+n2) + 1. |z| >> 0 flags trending
+    (too few runs) or oscillation (too many).
+
+    Exactness: the median is an integer order statistic; n1, n2, R are
+    integers; E[R] and Var[R] are the textbook rationals evaluated in
+    ONE fixed IEEE tree on exact int64 casts. Scale shape: one rank
+    window for the median, one lag pass for runs — all bucket-scale.
+    Columns: uuid, n1, n2, runs, z."""
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    if n < 4:
+        raise ValueError("need at least 4 buckets")
+    w = Window.partitionBy("uuid").orderBy("s", "widx")
+    ranked = filled.withColumn("rn", F.row_number().over(w))
+    med = ranked.where(F.col("rn") == (n + 1) // 2).select(
+        "uuid", F.col("s").alias("med")
+    )
+    signed = (
+        filled.join(F.broadcast(med), "uuid")
+        .where(F.col("s") != F.col("med"))
+        .select("uuid", "widx", (F.col("s") > F.col("med")).cast("int").alias("up"))
+    )
+    wo = Window.partitionBy("uuid").orderBy("widx")
+    runs = (
+        signed.withColumn("prev", F.lag("up").over(wo))
+        .select(
+            "uuid",
+            "up",
+            (F.col("prev").isNull() | (F.col("up") != F.col("prev")))
+            .cast("long")
+            .alias("new_run"),
+        )
+        .groupBy("uuid")
+        .agg(
+            F.sum("up").alias("n1"),
+            F.sum(F.lit(1) - F.col("up")).alias("n2"),
+            F.sum("new_run").alias("runs"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nn = d("n1") + d("n2")
+    two = F.lit(2.0) * d("n1") * d("n2")
+    mu = two / nn + F.lit(1.0)
+    var = (two * (two - nn)) / (nn * nn * (nn - F.lit(1.0)))
+    return runs.select(
+        "uuid",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "runs",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+            (d("runs") - mu) / F.sqrt(var),
+        ).alias("z"),
+    ).orderBy("uuid")

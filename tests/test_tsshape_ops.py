@@ -214,3 +214,77 @@ def test_degree_assortativity_star_vs_clique(spark):
     df2 = spark.createDataFrame(tri, "l_orderkey long, l_partkey long")
     r2 = degree_assortativity(df2).collect()[0]
     assert r2.assortativity is None  # zero variance -> undefined
+
+
+def test_runs_test_brute_force(spark):
+    """Alternating series -> maximal runs (positive z); block series ->
+    two runs (negative z); values recomputed in pure python."""
+    from btrdb_server_spark.operators.tsshape import runs_test
+
+    alt = [100 + i if i % 2 == 0 else 900 + i for i in range(20)]
+    blk = [100 + i for i in range(10)] + [900 + i for i in range(10)]
+    df = _pts(spark, alt, uuid="alt").unionAll(_pts(spark, blk, uuid="blk"))
+    out = {r.uuid: r for r in runs_test(df, T0, T0 + 20 * W, W).collect()}
+
+    def brute(xs):
+        med = sorted(range(len(xs)), key=lambda i: (xs[i], i))
+        m = xs[med[(len(xs) + 1) // 2 - 1]]
+        ups = [1 if x > m else 0 for x in xs if x != m]
+        n1, n2 = sum(ups), len(ups) - sum(ups)
+        runs = 1 + sum(1 for i in range(1, len(ups)) if ups[i] != ups[i - 1])
+        nn = float(n1) + float(n2)
+        two = 2.0 * float(n1) * float(n2)
+        mu = two / nn + 1.0
+        var = (two * (two - nn)) / (nn * nn * (nn - 1.0))
+        return n1, n2, runs, (float(runs) - mu) / var**0.5
+
+    for name, xs in (("alt", alt), ("blk", blk)):
+        n1, n2, runs, z = brute(xs)
+        r = out[name]
+        assert (r.n1, r.n2, r.runs) == (n1, n2, runs)
+        assert abs(r.z - z) < 1e-12
+    assert out["alt"].z > 0 > out["blk"].z
+
+
+def test_power_users_concentration(spark):
+    from btrdb_server_spark.operators.events import power_users
+
+    # 20 users; user 0 contributes 81 events, the rest 1 each
+    rows = [(i, 0) for i in range(81)] + [(81 + u, u) for u in range(1, 20)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    r = power_users(df, decile=10).collect()[0]
+    assert (r.n_users, r.k, r.top_events, r.total_events) == (20, 2, 82, 100)
+    assert r.share == 0.82
+
+
+def test_ngram_coverage_monotone_and_exact(spark):
+    from btrdb_server_spark.functions.text import ngram_coverage
+
+    docs = [(1, "a b c a b c a b d"), (2, "a b c x y z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.k: r for r in ngram_coverage(df, n=3, ks=(1, 2, 100)).collect()}
+    from collections import Counter
+
+    grams = Counter()
+    for _, t in docs:
+        toks = t.split()
+        for i in range(len(toks) - 2):
+            grams[" ".join(toks[i : i + 3])] += 1
+    total = sum(grams.values())
+    top = sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert out[1].covered == top[0][1]
+    assert out[2].covered == top[0][1] + top[1][1]
+    assert out[100].covered == total and out[100].coverage == 1.0
+    assert out[1].coverage <= out[2].coverage <= out[100].coverage
+
+
+def test_customer_distribution_includes_zero(spark):
+    from btrdb_server_spark.operators.olap import customer_distribution
+
+    cust = spark.createDataFrame([(i,) for i in range(6)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(o, c) for o, c in [(1, 0), (2, 0), (3, 1), (4, 2), (5, 2), (6, 2)]],
+        "o_orderkey long, o_custkey long",
+    )
+    out = {r.c_count: r.custdist for r in customer_distribution(orders, cust).collect()}
+    assert out == {0: 3, 1: 1, 2: 1, 3: 1}
