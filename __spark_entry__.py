@@ -4066,6 +4066,33 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_coverage(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 forecasting revenue change: one pruned scan, every
+    predicate pushed, a single map-combined aggregate cell."""
+    from btrdb_server_spark.operators.olap import forecast_revenue
+
+    return forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bin histogram-sketch p50/p90/p99 per stream over January,
+    audited against the exact order statistic on the same row."""
+    from btrdb_server_spark.operators.tsshape import hist_quantiles
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return hist_quantiles(pts, T_2024, T_FEB)
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact nearest-centroid purity and mean intra-cluster
+    squared distance per embedding label (1e-4 quantization, decimal
+    cross-multiplied argmin — no float in the test)."""
+    from btrdb_server_spark.functions.similarity import cluster_purity
+
+    return cluster_purity(load_table(spark, sf_dir, "embeddings"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4342,6 +4369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "power_users": q_power_users,
         "ngram_coverage": q_ngram_coverage,
+        "forecast_revenue": q_forecast_revenue,
+        "hist_quantiles": q_hist_quantiles,
+        "cluster_purity": q_cluster_purity,
     }
 
 
@@ -8962,5 +8992,124 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS coverage
             FROM ranked CROSS JOIN ks
             GROUP BY k ORDER BY k
+        """,
+        "forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                            * CAST(round(l_discount / 0.01) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+              AND CAST(round(l_discount / 0.01) AS BIGINT) BETWEEN 4 AND 6
+              AND l_quantity < 24
+        """,
+        "hist_quantiles": """
+            {PTS}, src AS (
+                SELECT uuid, CAST(round(value / 0.01) AS BIGINT) AS vq
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), rng AS (
+                SELECT uuid, CAST(min(vq) AS BIGINT) AS lo,
+                       CAST(max(vq) AS BIGINT) AS hi, count(*) AS n
+                FROM src GROUP BY 1
+            ), binned AS (
+                SELECT src.uuid, ((vq - lo) * 64) // (hi - lo + 1) AS b,
+                       count(*) AS cnt
+                FROM src JOIN rng USING (uuid) GROUP BY 1, 2
+            ), cum AS (
+                SELECT uuid, b, cnt,
+                       CAST(COALESCE(sum(cnt) OVER (PARTITION BY uuid
+                            ORDER BY b) - cnt, 0) AS BIGINT) AS cum_before
+                FROM binned
+            ), pq AS (SELECT unnest([50, 90, 99]) AS p),
+            wr AS (
+                SELECT uuid, p, lo, hi, n, (p * n + 99) // 100 AS rank
+                FROM rng, pq
+            ), cell AS (
+                SELECT wr.uuid, p, lo, hi, rank, cum_before, cnt, b
+                FROM wr JOIN cum ON wr.uuid = cum.uuid
+                WHERE cum_before < rank AND rank <= cum_before + cnt
+            ), ranked AS (
+                SELECT uuid, vq,
+                       row_number() OVER (PARTITION BY uuid ORDER BY vq)
+                           AS rn
+                FROM src
+            ), ex AS (
+                SELECT r.uuid, p, CAST(vq AS DOUBLE) / 100.0 AS exact
+                FROM ranked r JOIN wr ON r.uuid = wr.uuid AND rn = rank
+            ), est AS (
+                SELECT uuid, p,
+                       ((CAST(lo AS DOUBLE) + CAST(b AS DOUBLE)
+                         * ((CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE) + 1.0)
+                            / 64.0))
+                        + (CAST(rank AS DOUBLE) - CAST(cum_before AS DOUBLE))
+                          / CAST(cnt AS DOUBLE)
+                          * ((CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE) + 1.0)
+                             / 64.0))
+                       / 100.0 AS est
+                FROM cell
+            )
+            SELECT est.uuid, CAST(est.p AS BIGINT) AS p, est, exact,
+                   est - exact AS err
+            FROM est JOIN ex ON est.uuid = ex.uuid AND est.p = ex.p
+            ORDER BY est.uuid, p
+        """.replace("{PTS}", PTS_CTE),
+        "cluster_purity": """
+            WITH pts AS (
+                SELECT vec_id AS pid, label AS lab,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(round(x / 0.0001) AS BIGINT)) AS v
+                FROM embeddings
+            ), comp AS (
+                SELECT lab, unnest(v) AS x,
+                       unnest(generate_series(1, 64)) AS d
+                FROM pts
+            ), cs AS (
+                SELECT lab, d, CAST(sum(x) AS BIGINT) AS S
+                FROM comp GROUP BY 1, 2
+            ), cents AS (
+                SELECT lab AS clab, list(S ORDER BY d) AS S FROM cs GROUP BY 1
+            ), sizes AS (
+                SELECT lab AS clab, count(*) AS c FROM pts GROUP BY 1
+            ), cb AS (
+                SELECT cents.clab, S, c FROM cents JOIN sizes USING (clab)
+            ), scored AS (
+                SELECT pid, lab, clab,
+                       CAST(list_sum(list_transform(
+                           generate_series(1, 64),
+                           i -> (c * v[i] - S[i]) * (c * v[i] - S[i])))
+                           AS BIGINT) AS m,
+                       CAST(c AS HUGEINT) * c AS c2
+                FROM pts CROSS JOIN cb
+            ), own AS (
+                SELECT pid, m AS m_own, c2 AS c2_own
+                FROM scored WHERE lab = clab
+            ), beaten AS (
+                SELECT DISTINCT s.pid
+                FROM scored s JOIN own ON s.pid = own.pid
+                WHERE s.lab <> s.clab
+                  AND CAST(s.m AS HUGEINT) * own.c2_own
+                      < CAST(own.m_own AS HUGEINT) * s.c2
+            ), flags AS (
+                SELECT lab, CASE WHEN pid IN (SELECT pid FROM beaten)
+                                 THEN 0 ELSE 1 END AS is_own
+                FROM pts
+            ), intra AS (
+                SELECT lab, CAST(sum(m) AS BIGINT) AS sm,
+                       CAST(max(c2) AS HUGEINT) AS c2
+                FROM scored WHERE lab = clab GROUP BY 1
+            ), per AS (
+                SELECT lab, count(*) AS n,
+                       CAST(sum(is_own) AS BIGINT) AS nearest_own
+                FROM flags GROUP BY 1
+            )
+            SELECT CAST(per.lab AS BIGINT) AS label, n, nearest_own,
+                   CAST(nearest_own AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS purity,
+                   CAST(sm AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(c2 AS DOUBLE))
+                       * 1e-08 AS mean_intra_sq
+            FROM per JOIN intra ON per.lab = intra.lab
+            ORDER BY label
         """,
     }

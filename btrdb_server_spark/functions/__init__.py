@@ -41,7 +41,17 @@ from btrdb_server_spark.functions.graph import (
     pagerank_fixed,
 )
 from btrdb_server_spark.functions.linalg import pca_top_component
-from btrdb_server_spark.functions.sketch import cms_heavy_hitters
+from btrdb_server_spark.functions.sketch import (
+    ams_f2,
+    bloom_audit,
+    cms_heavy_hitters,
+    hll_distinct,
+    kmv_distinct,
+)
+from btrdb_server_spark.functions.similarity import mips_topk, sq8_topk
+from btrdb_server_spark.functions.dedup import containment_pairs
+from btrdb_server_spark.functions.text import ngram_coverage, readability
+from btrdb_server_spark.functions.graph import degree_assortativity
 
 __all__ = [
     "bpe_token_stats",
@@ -78,4 +88,14 @@ __all__ = [
     "pagerank_fixed",
     "pca_top_component",
     "cms_heavy_hitters",
+    "ams_f2",
+    "bloom_audit",
+    "hll_distinct",
+    "kmv_distinct",
+    "mips_topk",
+    "sq8_topk",
+    "containment_pairs",
+    "ngram_coverage",
+    "readability",
+    "degree_assortativity",
 ]

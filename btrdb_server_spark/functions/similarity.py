@@ -1036,3 +1036,113 @@ def sq8_topk(
         .orderBy(F.col("approx_dot").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def cluster_purity(
+    embeddings: DataFrame,
+    quantum: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Integer-exact cluster-quality audit of the labeled embedding
+    cloud: for every point, is its OWN label's centroid the nearest (in
+    L2), against every other label's centroid? Reported per label as
+    purity = nearest-own fraction plus the mean squared intra-cluster
+    distance — the kmeans/labeling QA readout.
+
+    Exactness: embeddings quantize to 1e-4 ints (the linalg.py PCA
+    discipline); a label centroid is the exact rational S_d/c, and
+    ||x - S/c||^2 * c^2 = sum_d (c*x_d - S_d)^2 is an EXACT int64. The
+    nearest-centroid comparison across labels with different sizes
+    cross-multiplies in decimal(38,0) (m1/c1^2 < m2/c2^2 iff
+    m1*c2^2 < m2*c1^2) — no float anywhere in the test (a point is
+    nearest-own unless some other centroid STRICTLY beats its own, so
+    exact ties keep the point); mean_intra is ONE division of exact
+    integers. Scale shape: one pass for centroid sums (label-scale,
+    broadcast back), one points x labels broadcast join bounded by the
+    label count. Columns: label, n, nearest_own, purity,
+    mean_intra_sq."""
+    emb = F.col(vec_col).cast("array<double>")
+    vq = F.transform(emb, lambda x: F.round(x / F.lit(quantum)).cast("long"))
+    pts = embeddings.select(
+        F.col(id_col).alias("pid"), F.col(label_col).alias("lab"), vq.alias("v")
+    ).localCheckpoint(eager=False)
+    # per-label integer component sums + counts
+    cents = (
+        pts.select("lab", F.posexplode("v").alias("d", "x"))
+        .groupBy("lab", "d")
+        .agg(F.sum("x").alias("S"))
+        .groupBy("lab")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "S"))).alias("ds"))
+        .select(
+            F.col("lab").alias("clab"),
+            F.transform(F.col("ds"), lambda s: s["S"]).alias("S"),
+        )
+    )
+    sizes = pts.groupBy(F.col("lab").alias("clab")).agg(F.count("*").alias("c"))
+    cb = cents.join(F.broadcast(sizes), "clab")
+    # m = sum_d (c*x_d - S_d)^2  (int64), per (point, centroid)
+    m_expr = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("S"),
+            lambda x, s: (F.col("c") * x - s) * (F.col("c") * x - s),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = pts.join(F.broadcast(cb)).select(
+        "pid",
+        "lab",
+        "clab",
+        m_expr.alias("m"),
+        (F.col("c").cast("decimal(38,0)") * F.col("c")).alias("c2"),
+    )
+    # exact argmin over labels: minimize m/c^2 via decimal cross-products;
+    # ties break toward the point's own label, then smaller label id.
+    own = scored.where(F.col("lab") == F.col("clab")).select(
+        "pid", F.col("m").alias("m_own"), F.col("c2").alias("c2_own")
+    )
+    other = scored.where(F.col("lab") != F.col("clab"))
+    beaten = (
+        other.join(F.broadcast(own), "pid")
+        .where(
+            F.col("m").cast("decimal(38,0)") * F.col("c2_own")
+            < F.col("m_own").cast("decimal(38,0)") * F.col("c2")
+        )
+        .select("pid")
+        .distinct()
+        .withColumn("beaten", F.lit(1))
+    )
+    flags = pts.join(beaten, "pid", "left").select(
+        "lab",
+        F.when(F.col("beaten").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_own"
+        ),
+    )
+    intra = scored.where(F.col("lab") == F.col("clab")).groupBy("lab").agg(
+        F.sum(F.col("m").cast("decimal(38,0)")).alias("sm"),
+        F.max("c2").alias("c2"),
+    )
+    per = flags.groupBy("lab").agg(
+        F.count("*").alias("n"), F.sum("is_own").alias("nearest_own")
+    )
+    qq = quantum * quantum
+    return (
+        per.join(intra, "lab")
+        .select(
+            F.col("lab").cast("long").alias("label"),
+            "n",
+            "nearest_own",
+            (
+                F.col("nearest_own").cast("double") / F.col("n").cast("double")
+            ).alias("purity"),
+            (
+                F.col("sm").cast("double")
+                / (F.col("n").cast("double") * F.col("c2").cast("double"))
+                * F.lit(qq)
+            ).alias("mean_intra_sq"),
+        )
+        .orderBy("label")
+    )

@@ -916,3 +916,36 @@ def customer_distribution(orders: DataFrame, customer: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    year_from: str = "1996-01-01",
+    year_before: str = "1997-01-01",
+    disc_lo: int = 4,
+    disc_hi: int = 6,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H-Q6 forecasting-revenue-change: the potential revenue of
+    dropping small-quantity discounts — Σ extendedprice * discount over
+    one ship year, discount within [disc_lo, disc_hi] hundredths,
+    quantity < max_qty. THE pure predicate-pushdown query: no join, no
+    groupBy key — one scan where every predicate reaches the parquet
+    row groups and the aggregate is a single map-combined cell.
+
+    Exact in 1e-4 integer units (cents * discount-hundredths).
+    Columns: revenue, n_items."""
+    sd = F.to_date(F.col("l_shipdate"))
+    src = lineitem.where(
+        (sd >= F.lit(year_from).cast("date"))
+        & (sd < F.lit(year_before).cast("date"))
+        & _h(F.col("l_discount")).between(disc_lo, disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    rev4 = _h(F.col("l_extendedprice")) * _h(F.col("l_discount"))
+    return src.agg(
+        (
+            F.sum(rev4.cast("decimal(38,0)")).cast("double") / F.lit(10000.0)
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

@@ -513,3 +513,93 @@ def runs_test(
             (d("runs") - mu) / F.sqrt(var),
         ).alias("z"),
     ).orderBy("uuid")
+
+
+def hist_quantiles(
+    points: DataFrame,
+    start: int,
+    end: int,
+    bins: int = 64,
+    ps: tuple[int, ...] = (50, 90, 99),
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Histogram-sketch quantile estimation per stream, audited against
+    the exact order statistic on the same row — the mergeable
+    fixed-size alternative to sorting 100 TB: a `bins`-cell equi-width
+    histogram is a groupBy away (and unions by cell-wise ADD), the
+    p-quantile is read off the cumulative counts with linear
+    interpolation inside the target cell.
+
+    Exactness: cell index (vq - lo) * bins div (hi - lo + 1) is all
+    int64; the interpolated estimate
+    cell_lo + (rank - cum_before) / cell_cnt * cell_width evaluates as
+    one fixed IEEE tree over exact integers; the exact quantile is the
+    type-1 order statistic at rank ceil(p*n/100) (a rank window, exact).
+    Columns: uuid, p, est, exact, err (value units)."""
+    if bins < 2 or not ps or any(not 0 < p <= 100 for p in ps):
+        raise ValueError("need bins >= 2 and percentiles in (0, 100]")
+    q = round(1.0 / value_quantum)
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    src = (
+        points.where(time_range_pred(start, end))
+        .select("uuid", vq.alias("vq"))
+        .localCheckpoint(eager=False)
+    )
+    rng = src.groupBy("uuid").agg(
+        F.min("vq").alias("lo"),
+        F.max("vq").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = (
+        src.join(F.broadcast(rng), "uuid")
+        .select(
+            "uuid",
+            F.expr(
+                f"((vq - lo) * CAST({bins} AS BIGINT)) div (hi - lo + 1)"
+            ).alias("b"),
+        )
+        .groupBy("uuid", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.partitionBy("uuid").orderBy("b")
+    cum = binned.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum) - F.col("cnt"), F.lit(0))
+    )
+    spark = points.sparkSession
+    pdf = spark.createDataFrame([(int(p),) for p in ps], "p long")
+    # rank = ceil(p*n/100) in integers
+    withrank = pdf.join(rng).select(
+        "uuid", "p", "lo", "hi", "n",
+        F.expr("(p * n + 99) div 100").alias("rank"),
+    )
+    cell = (
+        withrank.join(cum, "uuid")
+        .where(
+            (F.col("cum_before") < F.col("rank"))
+            & (F.col("rank") <= F.col("cum_before") + F.col("cnt"))
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    width = (d("hi") - d("lo") + F.lit(1.0)) / F.lit(float(bins))
+    cell_lo = d("lo") + d("b") * width
+    est = (
+        cell_lo
+        + (d("rank") - d("cum_before")) / d("cnt") * width
+    ) / F.lit(float(q))
+    # exact type-1 order statistic (the audit side)
+    wrank = Window.partitionBy("uuid").orderBy("vq")
+    ranked = src.withColumn("rn", F.row_number().over(wrank))
+    exact_df = (
+        ranked.join(
+            withrank.select("uuid", "p", "rank"),
+            ["uuid"],
+        )
+        .where(F.col("rn") == F.col("rank"))
+        .select("uuid", "p", (F.col("vq").cast("double") / F.lit(float(q))).alias("exact"))
+    )
+    return (
+        cell.select("uuid", "p", est.alias("est"))
+        .join(exact_df, ["uuid", "p"])
+        .select("uuid", "p", "est", "exact", (F.col("est") - F.col("exact")).alias("err"))
+        .orderBy("uuid", "p")
+    )

@@ -288,3 +288,45 @@ def test_customer_distribution_includes_zero(spark):
     )
     out = {r.c_count: r.custdist for r in customer_distribution(orders, cust).collect()}
     assert out == {0: 3, 1: 1, 2: 1, 3: 1}
+
+
+def test_hist_quantiles_exact_when_bins_resolve(spark):
+    """With a value domain narrower than the bin count every bin holds one
+    distinct value, so the estimate's containing cell is exact to within
+    the cell width; and the exact column IS the order statistic."""
+    import random
+
+    from btrdb_server_spark.operators.tsshape import hist_quantiles
+
+    rng = random.Random(4)
+    vals = [rng.randint(0, 1000) for _ in range(500)]
+    df = _pts(spark, vals)
+    out = {r.p: r for r in hist_quantiles(df, T0, T0 + 500 * W, W).collect()}
+    svals = sorted(vals)
+    for p in (50, 90, 99):
+        rank = -((-p * 500) // 100)
+        assert out[p].exact == svals[rank - 1] / 100.0
+        width = (max(vals) - min(vals) + 1) / 64 / 100.0
+        assert abs(out[p].est - out[p].exact) <= width + 1e-9
+
+
+def test_cluster_purity_separated_clusters(spark):
+    """Two well-separated blobs -> purity 1.0 for both labels; a point
+    planted at the other blob's centroid flips exactly one count."""
+    import numpy as np
+
+    from btrdb_server_spark.functions.similarity import cluster_purity
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(30):
+        base = 5.0 if i % 2 == 0 else -5.0
+        v = base + rng.randn(8) * 0.1
+        rows.append((i, [float(x) for x in v], i % 2))
+    # plant a defector: labeled 0, sitting at blob 1
+    rows.append((99, [-5.0] * 8, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.label: r for r in cluster_purity(df).collect()}
+    assert out[1].purity == 1.0
+    assert out[0].nearest_own == out[0].n - 1  # only the defector strays
+    assert out[0].mean_intra_sq > out[1].mean_intra_sq  # defector inflates
