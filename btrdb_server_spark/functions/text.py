@@ -626,9 +626,11 @@ def ngram_coverage(
     desc, gram asc); each share is ONE division of exact int64 sums.
 
     Scale shape: one explode+groupBy collapses the corpus to the n-gram
-    domain (map-side combined); the rank window and the per-k
-    conditional sums run on the domain-scale table. Columns: k,
-    covered, total, distinct_grams, coverage."""
+    domain (map-side combined); the head is then a TakeOrderedAndProject
+    top-max(k) (per-partition heaps — the domain table is NEVER globally
+    sorted, the rank window runs on max(k) rows), and the totals are one
+    domain-scale reduce. Columns: k, covered, total, distinct_grams,
+    coverage."""
     if n < 1 or not ks:
         raise ValueError("need n >= 1 and at least one k")
     from pyspark.sql import Window
@@ -647,8 +649,12 @@ def ngram_coverage(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g")
     counts = docs.select(grams).groupBy("g").agg(F.count("*").alias("cnt"))
+    head = counts.orderBy(F.col("cnt").desc(), F.col("g")).limit(int(max(ks)))
     w = Window.orderBy(F.col("cnt").desc(), F.col("g"))
-    ranked = counts.withColumn("rn", F.row_number().over(w))
+    ranked = head.withColumn("rn", F.row_number().over(w))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("distinct_grams")
+    )
     spark = docs.sparkSession
     kdf = spark.createDataFrame([(int(k),) for k in ks], "k long")
     per_k = (
@@ -657,18 +663,21 @@ def ngram_coverage(
         .agg(
             F.sum(F.when(F.col("rn") <= F.col("k"), F.col("cnt"))).alias(
                 "covered"
-            ),
-            F.sum("cnt").alias("total"),
-            F.count("*").alias("distinct_grams"),
+            )
         )
     )
-    return per_k.select(
-        "k",
-        F.coalesce(F.col("covered"), F.lit(0)).alias("covered"),
-        "total",
-        "distinct_grams",
-        (
-            F.coalesce(F.col("covered"), F.lit(0)).cast("double")
-            / F.col("total").cast("double")
-        ).alias("coverage"),
-    ).orderBy("k")
+    return (
+        kdf.join(per_k, "k", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "k",
+            F.coalesce(F.col("covered"), F.lit(0)).alias("covered"),
+            "total",
+            "distinct_grams",
+            (
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

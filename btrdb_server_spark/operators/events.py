@@ -1236,32 +1236,59 @@ def power_users(
 ) -> DataFrame:
     """Activity concentration (the Pareto readout): what share of all
     events comes from the top 1/`decile` most active users. k =
-    max(1, n_users div decile); users ranked by event count desc with
-    user-id tiebreak, so the cut is deterministic. share is ONE division
-    of exact int64 sums.
+    max(1, n_users div decile); the cut is by event count desc (ties at
+    the threshold all contribute the threshold count, so the result is
+    rank-tiebreak-independent). share is ONE division of exact int64
+    sums.
 
-    Scale shape: one map-side-combined per-user count (user-scale), one
-    rank window over the user-scale table, one two-row reduce — the
-    event scan is touched once. Columns: n_users, k, top_events,
-    total_events, share."""
+    Scale shape: NO global user sort — the per-user counts collapse to a
+    count-of-counts table (activity-value domain, tiny), the k-th-user
+    threshold T is read off its descending cumulative, and
+    top_events = sum(c * n_c for c > T) + (k - users_above) * T (every
+    user tied AT the threshold contributes exactly T, so the rank
+    tiebreak cannot change the sum). One map-side-combined per-user
+    count, one domain-scale window, three scalar reduces. Columns:
+    n_users, k, top_events, total_events, share."""
     if decile < 2:
         raise ValueError("need decile >= 2")
     from pyspark.sql import Window
 
     per_user = events.groupBy(user_col).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col(user_col))
-    ranked = per_user.withColumn("rn", F.row_number().over(w))
+    coc = per_user.groupBy("cnt").agg(F.count("*").alias("nu"))
     n_users = per_user.agg(
-        F.count("*").alias("n_users"), F.sum("cnt").alias("total_events")
+        F.count("*").alias("n_users"),
+        F.sum("cnt").alias("total_events"),
     )
     k_expr = F.greatest(F.lit(1).cast("long"), F.expr(f"n_users div {decile}"))
-    top = (
-        ranked.join(F.broadcast(n_users))
-        .where(F.col("rn") <= k_expr)
-        .agg(F.sum("cnt").alias("top_events"))
+    wd = Window.orderBy(F.col("cnt").desc())
+    cum = coc.select(
+        "cnt",
+        "nu",
+        (F.col("cnt") * F.col("nu")).alias("ev"),
+        F.coalesce(
+            F.sum("nu").over(wd) - F.col("nu"), F.lit(0)
+        ).alias("users_above"),
+        F.coalesce(
+            F.sum(F.col("cnt") * F.col("nu")).over(wd)
+            - F.col("cnt") * F.col("nu"),
+            F.lit(0),
+        ).alias("events_above"),
+    )
+    thr = (
+        cum.join(F.broadcast(n_users))
+        .where(
+            (F.col("users_above") < k_expr)
+            & (k_expr <= F.col("users_above") + F.col("nu"))
+        )
+        .select(
+            (
+                F.col("events_above")
+                + (k_expr - F.col("users_above")) * F.col("cnt")
+            ).alias("top_events")
+        )
     )
     return (
-        n_users.join(F.broadcast(top))
+        n_users.join(F.broadcast(thr))
         .select(
             "n_users",
             k_expr.alias("k"),
