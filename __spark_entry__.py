@@ -4093,6 +4093,34 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_purity(load_table(spark, sf_dir, "embeddings"))
 
 
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability as set algebra: union/intersection/Jaccard of the
+    click and purchase user sets estimated purely from the two k=256
+    sketches (theta co-membership), audited vs exact on the same row."""
+    from btrdb_server_spark.functions.sketch import kmv_set_ops
+
+    return kmv_set_ops(load_table(spark, sf_dir, "events"))
+
+
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator per stream over January (k=100):
+    WindowGroupLimit top-(k+1), descending fixed-order log fold."""
+    from btrdb_server_spark.operators.tsshape import tail_index
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return tail_index(pts, T_2024, T_FEB, k=100)
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stream md5-rank preview sample (k=20 per
+    stream) — WindowGroupLimit keeps the exchange at streams x k."""
+    from btrdb_server_spark.operators.tsshape import group_sample
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return group_sample(pts, T_2024, T_FEB, k=20)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4372,6 +4400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "hist_quantiles": q_hist_quantiles,
         "cluster_purity": q_cluster_purity,
+        "kmv_set_ops": q_kmv_set_ops,
+        "tail_index": q_tail_index,
+        "group_sample": q_group_sample,
     }
 
 
@@ -9112,4 +9143,102 @@ def oracle_sql() -> dict[str, str]:
             FROM per JOIN intra ON per.lab = intra.lab
             ORDER BY label
         """,
+        "kmv_set_ops": """
+            WITH h AS (
+                SELECT DISTINCT event_type AS g,
+                       CAST('0x' || substr(
+                           md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS h
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ), sk AS (
+                SELECT g, h FROM (
+                    SELECT g, h, row_number() OVER (PARTITION BY g
+                        ORDER BY h) AS rn FROM h)
+                WHERE rn <= 256
+            ), merged AS (
+                SELECT h,
+                       max(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                           AS in_b
+                FROM sk GROUP BY 1
+            ), topu AS (
+                SELECT * FROM (
+                    SELECT h, in_a, in_b,
+                           row_number() OVER (ORDER BY h) AS urn
+                    FROM merged)
+                WHERE urn <= 256
+            ), usk AS (
+                SELECT CAST(max(h) AS BIGINT) AS kth, count(*) AS nk,
+                       CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nboth
+                FROM topu
+            ), ex AS (
+                SELECT count(DISTINCT CASE WHEN event_type = 'click'
+                              THEN user_id END) AS n_a,
+                       count(DISTINCT CASE WHEN event_type = 'purchase'
+                              THEN user_id END) AS n_b,
+                       count(DISTINCT user_id) AS union_exact
+                FROM events WHERE event_type IN ('click', 'purchase')
+            )
+            SELECT n_a, n_b, union_exact,
+                   CASE WHEN nk = 256
+                        THEN 1.1484179049794765e+18 / CAST(kth AS DOUBLE)
+                        ELSE CAST(nk AS DOUBLE) END AS union_est,
+                   n_a + n_b - union_exact AS inter_exact,
+                   (CAST(nboth AS DOUBLE) / CAST(nk AS DOUBLE))
+                       * (CASE WHEN nk = 256
+                               THEN 1.1484179049794765e+18 / CAST(kth AS DOUBLE)
+                               ELSE CAST(nk AS DOUBLE) END) AS inter_est,
+                   CAST(n_a + n_b - union_exact AS DOUBLE)
+                       / CAST(union_exact AS DOUBLE) AS jaccard_exact,
+                   CAST(nboth AS DOUBLE) / CAST(nk AS DOUBLE) AS jaccard_est
+            FROM ex, usk
+        """,
+        "tail_index": """
+            {PTS}, src AS (
+                SELECT uuid, CAST(round(value / 0.01) AS BIGINT) AS vq
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), ranked AS (
+                SELECT uuid, vq,
+                       row_number() OVER (PARTITION BY uuid
+                            ORDER BY vq DESC) AS rn
+                FROM src WHERE vq > 0
+            ), xk AS (
+                SELECT uuid, vq AS xk1 FROM ranked WHERE rn = 101
+            ), got AS (
+                SELECT uuid, count(*) AS got FROM ranked
+                WHERE rn <= 101 GROUP BY 1
+            ), terms AS (
+                SELECT ranked.uuid,
+                       list(ln(CAST(vq AS DOUBLE) / CAST(xk1 AS DOUBLE))
+                            ORDER BY rn) AS arr
+                FROM ranked JOIN xk USING (uuid)
+                WHERE rn <= 100 GROUP BY 1
+            ), ls AS (
+                SELECT terms.uuid,
+                       CAST(0 AS DOUBLE)
+                           + list_reduce(arr, (a, x) -> a + x) AS logsum
+                FROM terms
+            )
+            SELECT ls.uuid, CAST(100 AS BIGINT) AS k,
+                   CAST(xk1 AS DOUBLE) / 100.0 AS x_kplus1,
+                   CASE WHEN logsum > 0 THEN 100.0 / logsum END AS alpha
+            FROM ls JOIN xk ON ls.uuid = xk.uuid
+            JOIN got ON ls.uuid = got.uuid
+            WHERE got = 101 ORDER BY ls.uuid
+        """.replace("{PTS}", PTS_CTE),
+        "group_sample": """
+            {PTS}, src AS (
+                SELECT uuid, time, value,
+                       CAST('0x' || substr(md5('gs:' || uuid || ':' ||
+                            CAST(time AS VARCHAR)), 1, 13) AS BIGINT) AS rk
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            )
+            SELECT uuid, time, value, rk FROM (
+                SELECT uuid, time, value, rk,
+                       row_number() OVER (PARTITION BY uuid
+                            ORDER BY rk, time) AS rn
+                FROM src)
+            WHERE rn <= 20 ORDER BY uuid, rk, time
+        """.replace("{PTS}", PTS_CTE),
     }

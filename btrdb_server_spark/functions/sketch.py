@@ -368,3 +368,97 @@ def ams_f2(
         "n_tokens_distinct",
         F.lit(d).cast("long").alias("d"),
     )
+
+
+def kmv_set_ops(
+    events: DataFrame,
+    group_a: str = "click",
+    group_b: str = "purchase",
+    k: int = 256,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """The defining KMV property — MERGEABILITY — demonstrated as set
+    algebra between two groups' id sets: the union sketch is the k
+    smallest of the two sketches' union (never touching raw ids again),
+    |A u B| estimates from its k-th hash, the Jaccard estimate is the
+    co-membership fraction inside the union sketch (the theta-sketch
+    trick), and |A n B| = jaccard_est * union_est. Exact counts audited
+    on the same row.
+
+    Exactness: hashes are 52-bit md5 prefixes (double-exact), every
+    estimate is one or two divisions of exact int64s; the co-membership
+    count is an integer. Scale shape: two k-row sketches (built with
+    the WindowGroupLimit prune of kmv_distinct), merged and re-trimmed
+    at k rows — the union/intersection NEVER rescans ids; only the
+    audit columns do. Columns: n_a, n_b, union_exact, union_est,
+    inter_exact, inter_est, jaccard_exact, jaccard_est."""
+    if k < 2:
+        raise ValueError("need k >= 2")
+    from pyspark.sql import Window as W
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = (
+        events.where(F.col(group_col).isin(group_a, group_b))
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rn = F.row_number().over(W.partitionBy("g").orderBy("h"))
+    sk = hashes.withColumn("rn", rn).where(F.col("rn") <= k).select("g", "h")
+    # union sketch: k smallest distinct hashes of the merged sketches,
+    # each tagged with which side(s) carry it (the theta co-membership).
+    merged = (
+        sk.groupBy("h")
+        .agg(
+            F.max((F.col("g") == group_a).cast("int")).alias("in_a"),
+            F.max((F.col("g") == group_b).cast("int")).alias("in_b"),
+        )
+        .withColumn("urn", F.row_number().over(W.orderBy("h")))
+        .where(F.col("urn") <= k)
+    )
+    usk = merged.agg(
+        F.max("h").alias("kth"),
+        F.count("*").alias("nk"),
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("long")).alias("both"),
+    )
+    est = lambda kth, nk: F.when(  # noqa: E731
+        nk == k, F.lit(float((k - 1) * (1 << 52))) / kth.cast("double")
+    ).otherwise(nk.cast("double"))
+    exact = events.where(F.col(group_col).isin(group_a, group_b)).agg(
+        F.countDistinct(
+            F.when(F.col(group_col) == group_a, F.col(id_col))
+        ).alias("n_a"),
+        F.countDistinct(
+            F.when(F.col(group_col) == group_b, F.col(id_col))
+        ).alias("n_b"),
+        F.countDistinct(id_col).alias("union_exact"),
+    )
+    jac = F.col("both").cast("double") / F.col("nk").cast("double")
+    uest = est(F.col("kth"), F.col("nk"))
+    return (
+        exact.join(F.broadcast(usk))
+        .select(
+            "n_a",
+            "n_b",
+            "union_exact",
+            uest.alias("union_est"),
+            (F.col("n_a") + F.col("n_b") - F.col("union_exact")).alias(
+                "inter_exact"
+            ),
+            (jac * uest).alias("inter_est"),
+            (
+                (F.col("n_a") + F.col("n_b") - F.col("union_exact")).cast(
+                    "double"
+                )
+                / F.col("union_exact").cast("double")
+            ).alias("jaccard_exact"),
+            jac.alias("jaccard_est"),
+        )
+    )

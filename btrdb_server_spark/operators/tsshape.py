@@ -603,3 +603,128 @@ def hist_quantiles(
         .select("uuid", "p", "est", "exact", (F.col("est") - F.col("exact")).alias("err"))
         .orderBy("uuid", "p")
     )
+
+
+def tail_index(
+    points: DataFrame,
+    start: int,
+    end: int,
+    k: int = 100,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Hill estimator of the tail index per stream: over the k largest
+    positive values, alpha = k / sum_i ln(x_(i) / x_(k+1)) — the
+    heavy-tail diagnostic that says whether extremes are power-law
+    (alpha small, variance may not exist) or thin-tailed. Pairs with
+    the Zipf/Gini/burstiness family.
+
+    Exactness: order statistics on integer quanta (deterministic rank,
+    value-then-nothing ties are identical values); each term is libm ln
+    of a ratio of exact integers (quantum cancels) via the pandas UDF —
+    JVM Math.log is 1-ulp off libm (the hurst_exponent/zipf_fit note) —
+    and the sum folds in ASCENDING rank order via F.aggregate over a
+    sorted array, a fixed float fold. Scale shape: the k+1 largest per
+    stream come from a WindowGroupLimit rank prune (per-partition
+    heaps, k+1 rows per stream on the exchange); the UDF and fold touch
+    k rows per stream. Columns: uuid, k, x_kplus1, alpha."""
+    if k < 2:
+        raise ValueError("need k >= 2")
+    import math as _math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
+        return s.map(lambda v: _math.log(v) if v > 0 else float("nan"))
+
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    src = (
+        points.where(time_range_pred(start, end))
+        .select("uuid", vq.alias("vq"))
+        .where(F.col("vq") > 0)
+    )
+    w = Window.partitionBy("uuid").orderBy(F.col("vq").desc())
+    top = src.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k + 1
+    )
+    xk = top.where(F.col("rn") == k + 1).select(
+        "uuid", F.col("vq").alias("xk1")
+    )
+    terms = (
+        top.where(F.col("rn") <= k)
+        .join(F.broadcast(xk), "uuid")
+        .select(
+            "uuid",
+            "rn",
+            "xk1",
+            _ln(F.col("vq").cast("double") / F.col("xk1").cast("double")).alias(
+                "t"
+            ),
+        )
+    )
+    per = terms.groupBy("uuid").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "t"))).alias("tops"),
+        F.count("*").alias("got"),
+        F.min("xk1").alias("xk1"),
+    )
+    logsum = F.expr(
+        "aggregate(tops, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)"
+    )
+    q = round(1.0 / value_quantum)
+    return (
+        per.where(F.col("got") == k)
+        .select(
+            "uuid",
+            F.lit(k).cast("long").alias("k"),
+            (F.col("xk1").cast("double") / F.lit(float(q))).alias("x_kplus1"),
+            F.when(logsum > 0, F.lit(float(k)) / logsum).alias("alpha"),
+        )
+        .orderBy("uuid")
+    )
+
+
+def group_sample(
+    points: DataFrame,
+    start: int,
+    end: int,
+    k: int = 20,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Deterministic per-stream preview sample: the k points whose
+    salted md5 rank is smallest WITHIN each stream — the "show me a
+    fair sample of every stream" query, stable across runs, engines
+    and partitionings (unlike TABLESAMPLE). Rank key is
+    md5('gs:' || uuid || ':' || time) with (hash, time) tiebreak.
+
+    Scale shape: one rank-window prune that rewrites to
+    WindowGroupLimit — per-partition top-k heaps BEFORE the exchange,
+    so the shuffle carries streams x k rows, never the scan. Columns:
+    uuid, time, value, rk."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    rk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("gs:"),
+                    F.col("uuid"),
+                    F.lit(":"),
+                    F.col("time").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    src = points.where(time_range_pred(start, end)).select(
+        "uuid", "time", "value", rk.alias("rk")
+    )
+    w = Window.partitionBy("uuid").orderBy("rk", "time")
+    return (
+        src.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("uuid", "time", "value", "rk")
+        .orderBy("uuid", "rk", "time")
+    )

@@ -409,3 +409,69 @@ def test_containment_detects_subset(spark):
     assert out[(1, 2)] == 1.0
     assert (2, 1) not in out  # host is not contained in the quote
     assert all(3 not in pair for pair in out)
+
+
+def test_kmv_set_ops_below_k_is_exact(spark):
+    """With both groups under k distinct ids the sketches hold every
+    hash, so union/intersection/Jaccard estimates are EXACT."""
+    from btrdb_server_spark.functions.sketch import kmv_set_ops
+
+    rows = (
+        [(i, "click") for i in range(80)]
+        + [(i, "purchase") for i in range(40, 120)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = kmv_set_ops(df, k=256).collect()[0]
+    assert (r.n_a, r.n_b, r.union_exact, r.inter_exact) == (80, 80, 120, 40)
+    assert r.union_est == 120.0
+    assert r.inter_est == r.inter_exact
+    assert r.jaccard_est == r.jaccard_exact == 40 / 120
+
+
+def test_tail_index_powerlaw_recovery(spark):
+    """Pareto(alpha) samples -> Hill alpha near the truth; recomputed in
+    pure python bit-exactly."""
+    import math
+    import random
+
+    from btrdb_server_spark.operators.tsshape import tail_index
+
+    rng = random.Random(6)
+    alpha_true = 2.0
+    vals = [
+        max(1, round(100 * (rng.random() ** (-1 / alpha_true))))
+        for _ in range(3000)
+    ]
+    df = _px(spark, vals)
+    r = tail_index(df, PT0, PT0 + 3000 * PW, k=100).collect()[0]
+    top = sorted(vals, reverse=True)
+    xk1 = top[100]
+    ls = 0.0
+    for v in top[:100]:
+        ls = ls + math.log(v / xk1)
+    assert r.alpha == 100.0 / ls
+    assert 1.2 < r.alpha < 3.2  # around the true tail index
+
+
+PT0 = 10_000_000
+PW = 1_000
+
+
+def _px(spark, series, uuid="s"):
+    rows = [(uuid, PT0 + i * PW, c / 100.0) for i, c in enumerate(series)]
+    return spark.createDataFrame(rows, "uuid string, time long, value double")
+
+
+
+def test_group_sample_deterministic_and_bounded(spark):
+    from btrdb_server_spark.operators.tsshape import group_sample
+
+    rows = [(f"u{j}", PT0 + i * PW, float(i)) for j in range(3) for i in range(200)]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    a = group_sample(df, PT0, PT0 + 200 * PW, k=5).collect()
+    b = group_sample(df.repartition(7), PT0, PT0 + 200 * PW, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # partition-proof
+    per = {}
+    for r in a:
+        per.setdefault(r.uuid, []).append(r.rk)
+    assert all(len(v) == 5 and v == sorted(v) for v in per.values())
