@@ -4121,6 +4121,44 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_sample(pts, T_2024, T_FEB, k=20)
 
 
+
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily SLO error-budget burn over January (budget 150000 ppm):
+    integer counts, one division per emitted double."""
+    from btrdb_server_spark.operators.tsshape import error_budget
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(epoch_ns_expr(ev).alias("time"), "event_type")
+    return error_budget(ev, start=T_2024, end=T_FEB)
+
+
+def q_incident_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous daily buckets coalesced into incidents (|z| > 1.5 on
+    exact spine moments, gap-and-islands grouping)."""
+    from btrdb_server_spark.operators.tsshape import incident_report
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return incident_report(pts, T_2024, T_FEB, DAY_NS, z_threshold=1.5)
+
+
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 day-over-day moves across all streams (integer deltas,
+    TakeOrderedAndProject)."""
+    from btrdb_server_spark.operators.tsshape import top_movers
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return top_movers(pts, T_2024, T_FEB, DAY_NS)
+
+
+def q_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus survival curve under a sliding min-token quality bar —
+    docs and token volume kept per threshold, exact integer shares."""
+    from btrdb_server_spark.functions.curation import quality_curve
+
+    return quality_curve(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4403,6 +4441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "tail_index": q_tail_index,
         "group_sample": q_group_sample,
+        "error_budget": q_error_budget,
+        "incident_report": q_incident_report,
+        "top_movers": q_top_movers,
+        "quality_curve": q_quality_curve,
     }
 
 
@@ -9241,4 +9283,126 @@ def oracle_sql() -> dict[str, str]:
                 FROM src)
             WHERE rn <= 20 ORDER BY uuid, rk, time
         """.replace("{PTS}", PTS_CTE),
+        "error_budget": """
+            WITH per AS (
+                SELECT (epoch_ns(ts) - 1704067200000000000) // 86400000000000 AS widx,
+                       count(*) AS events,
+                       CAST(sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS errors
+                FROM events
+                WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1706745600000000000
+                GROUP BY 1
+            ), cum AS (
+                SELECT widx, events, errors,
+                       CAST(sum(errors) OVER (ORDER BY widx) AS BIGINT)
+                           AS cum_err
+                FROM per
+            ), tot AS (SELECT CAST(sum(events) AS BIGINT) AS tot_ev FROM per)
+            SELECT 1704067200000000000 + widx * 86400000000000 AS time, events, errors,
+                   CAST(errors AS DOUBLE) / CAST(events AS DOUBLE)
+                       AS error_share,
+                   CAST(errors * 1000000 AS DOUBLE)
+                       / CAST(events * 150000 AS DOUBLE) AS burn_rate,
+                   CAST(cum_err * 1000000 AS DOUBLE)
+                       / CAST(tot_ev * 150000 AS DOUBLE) AS cum_budget_used
+            FROM cum, tot ORDER BY time
+        """,
+        "incident_report": """
+            {PTS}, su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), marg AS (
+                SELECT uuid, CAST(sum(s) AS BIGINT) AS m_sum,
+                       CAST(sum(s * s) AS BIGINT) AS m_sq
+                FROM x GROUP BY 1
+            ), zz AS (
+                SELECT x.uuid, widx,
+                       (31.0 * CAST(s AS DOUBLE) - CAST(m_sum AS DOUBLE))
+                       / sqrt(31.0 * CAST(m_sq AS DOUBLE)
+                              - CAST(m_sum AS DOUBLE)
+                                * CAST(m_sum AS DOUBLE)) AS z
+                FROM x JOIN marg ON x.uuid = marg.uuid
+            ), fl AS (
+                SELECT uuid, widx, z FROM zz
+                WHERE z > 1.5 OR z < -1.5
+            ), runs AS (
+                SELECT uuid, widx, z,
+                       CASE WHEN widx - lag(widx) OVER w IS NULL
+                                 OR widx - lag(widx) OVER w > 1
+                            THEN 1 ELSE 0 END AS new_run
+                FROM fl WINDOW w AS (PARTITION BY uuid ORDER BY widx)
+            ), rid AS (
+                SELECT uuid, widx, z,
+                       CAST(sum(new_run) OVER (PARTITION BY uuid
+                            ORDER BY widx) AS BIGINT) AS run_id
+                FROM runs
+            )
+            SELECT uuid,
+                   1704067200000000000 + min(widx) * 86400000000000 AS incident_start,
+                   1704067200000000000 + (max(widx) + 1) * 86400000000000 AS incident_end,
+                   count(*) AS n_buckets,
+                   max(abs(z)) AS peak_z
+            FROM rid GROUP BY uuid, run_id
+            ORDER BY uuid, incident_start
+        """.replace("{PTS}", PTS_CTE),
+        "top_movers": """
+            {PTS}, su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), lagd AS (
+                SELECT uuid, widx, s,
+                       lag(s) OVER (PARTITION BY uuid ORDER BY widx) AS p
+                FROM x
+            )
+            SELECT uuid, 1704067200000000000 + widx * 86400000000000 AS time,
+                   CAST(s AS DOUBLE) / 100.0 AS value,
+                   CAST(p AS DOUBLE) / 100.0 AS prev_value,
+                   CAST(s - p AS DOUBLE) / 100.0 AS delta
+            FROM lagd WHERE p IS NOT NULL
+            ORDER BY abs(s - p) DESC, uuid, widx LIMIT 10
+        """.replace("{PTS}", PTS_CTE),
+        "quality_curve": """
+            WITH pd AS (
+                SELECT CAST(len(list_filter(regexp_split_to_array(
+                    lower(text), '\\s+'), x -> x <> '')) AS BIGINT)
+                    AS n_tok
+                FROM documents
+            ), th AS (
+                SELECT unnest([10, 20, 40, 80, 160]) AS min_tokens
+            )
+            SELECT CAST(min_tokens AS BIGINT) AS min_tokens,
+                   CAST(sum(CASE WHEN n_tok >= min_tokens
+                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+                   count(*) AS docs_total,
+                   CAST(COALESCE(sum(CASE WHEN n_tok >= min_tokens
+                            THEN n_tok END), 0) AS BIGINT) AS tokens_kept,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+                   CAST(sum(CASE WHEN n_tok >= min_tokens THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS doc_share,
+                   CAST(COALESCE(sum(CASE WHEN n_tok >= min_tokens
+                            THEN n_tok END), 0) AS DOUBLE)
+                       / CAST(sum(n_tok) AS DOUBLE) AS token_share
+            FROM pd CROSS JOIN th
+            GROUP BY 1 ORDER BY 1
+        """,
     }

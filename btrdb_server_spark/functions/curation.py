@@ -561,3 +561,61 @@ def group_topk(
         .select(group_col, id_col, order_col, F.col("rk").cast("long").alias("rk"))
         .orderBy(group_col, "rk")
     )
+
+
+def quality_curve(
+    docs: DataFrame,
+    thresholds: tuple[int, ...] = (10, 20, 40, 80, 160),
+    text_col: str = "text",
+) -> DataFrame:
+    """Survival curve of the corpus under a sliding minimum-token-count
+    quality bar: for each threshold, how many documents and how much
+    token volume survive — the sizing table read before committing to a
+    filter setting (the complement of quality_filter's single verdict).
+
+    Pure integer counts (token counts per doc computed once, thresholds
+    applied as conditional sums); each share is ONE division of exact
+    int64s. Scale shape: one corpus pass to per-doc token counts
+    (map-side), then a thresholds x docs conditional aggregate — the
+    doc-scale table is scanned once per batch of thresholds, never the
+    corpus. Columns: min_tokens, docs_kept, docs_total, tokens_kept,
+    tokens_total, doc_share, token_share."""
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    from btrdb_server_spark.functions.text import tokens_col
+
+    per_doc = docs.select(
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tok")
+    )
+    spark = docs.sparkSession
+    tdf = spark.createDataFrame(
+        [(int(t),) for t in thresholds], "min_tokens long"
+    )
+    agg = (
+        tdf.join(per_doc)
+        .groupBy("min_tokens")
+        .agg(
+            F.sum((F.col("n_tok") >= F.col("min_tokens")).cast("long")).alias(
+                "docs_kept"
+            ),
+            F.count("*").alias("docs_total"),
+            F.sum(
+                F.when(F.col("n_tok") >= F.col("min_tokens"), F.col("n_tok"))
+            ).alias("tokens_kept"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+    )
+    d = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")  # noqa: E731
+    return agg.select(
+        "min_tokens",
+        "docs_kept",
+        "docs_total",
+        F.coalesce(F.col("tokens_kept"), F.lit(0)).alias("tokens_kept"),
+        "tokens_total",
+        (d("docs_kept") / F.col("docs_total").cast("double")).alias(
+            "doc_share"
+        ),
+        (d("tokens_kept") / F.col("tokens_total").cast("double")).alias(
+            "token_share"
+        ),
+    ).orderBy("min_tokens")

@@ -728,3 +728,179 @@ def group_sample(
         .select("uuid", "time", "value", "rk")
         .orderBy("uuid", "rk", "time")
     )
+
+
+def error_budget(
+    events: DataFrame,
+    budget_ppm: int = 150_000,
+    time_col: str = "time",
+    type_col: str = "event_type",
+    error_type: str = "error",
+    width: int = 86_400_000_000_000,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """SLO error-budget burn per window: error share of all events vs an
+    allowance of `budget_ppm` parts-per-million, plus the cumulative
+    burn fraction of the period's total budget — the SRE dashboard row.
+    burn_rate = (errors * 1e6) / (events * budget_ppm): > 1 means this
+    window alone overspends its pro-rata budget.
+
+    Exactness: counts are integers; error share, burn rate and the
+    cumulative budget fraction are each ONE division of exact int64
+    products. Scale shape: one map-side-combined groupBy to window
+    counts, one window-scale cumulative. Columns: time, events, errors,
+    error_share, burn_rate, cum_budget_used."""
+    if budget_ppm <= 0 or width <= 0:
+        raise ValueError("budget_ppm and width must be positive")
+    t = F.col(time_col)
+    src = events
+    if start is not None:
+        src = src.where(t >= start)
+    if end is not None:
+        src = src.where(t < end)
+    origin = start if start is not None else 0
+    per = (
+        src.select(
+            F.expr(f"({time_col} - ({origin})) div {width}").alias("widx"),
+            (F.col(type_col) == error_type).cast("long").alias("is_err"),
+        )
+        .groupBy("widx")
+        .agg(F.count("*").alias("events"), F.sum("is_err").alias("errors"))
+    )
+    wc = Window.orderBy("widx")
+    cum = per.select(
+        "widx",
+        "events",
+        "errors",
+        F.sum("errors").over(wc).alias("cum_err"),
+        F.sum("events").over(wc).alias("cum_ev"),
+    )
+    tot = per.agg(F.sum("events").alias("tot_ev"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            (F.lit(origin) + F.col("widx") * F.lit(width)).alias("time"),
+            "events",
+            "errors",
+            (d("errors") / d("events")).alias("error_share"),
+            (
+                (F.col("errors") * F.lit(1_000_000)).cast("double")
+                / (F.col("events") * F.lit(budget_ppm)).cast("double")
+            ).alias("burn_rate"),
+            (
+                (F.col("cum_err") * F.lit(1_000_000)).cast("double")
+                / (F.col("tot_ev") * F.lit(budget_ppm)).cast("double")
+            ).alias("cum_budget_used"),
+        )
+        .orderBy("time")
+    )
+
+
+def incident_report(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    z_threshold: float = 2.0,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Anomalous buckets grouped into INCIDENTS: a bucket is anomalous
+    when its sum deviates from the stream's spine mean by more than
+    `z_threshold` population sigmas (the z-test on exact integer spine
+    moments — (n*s - S) / sqrt(n*SS - S^2)), and consecutive
+    anomalous buckets coalesce into one incident row (the classic
+    gap-and-islands pass) — pages per INCIDENT, not per bucket.
+
+    Exactness: the z comparison is a fixed IEEE tree on exact int64
+    moments; island grouping is integer arithmetic. Scale shape: one
+    point-scale groupBy to the spine, moments broadcast back, one
+    bucket-scale lag window. Columns: uuid, incident_start,
+    incident_end, n_buckets, peak_z."""
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    # NB: Spark resolution is case-insensitive — the moment columns must
+    # not collide with the spine's lowercase `s`.
+    marg = filled.groupBy("uuid").agg(
+        F.sum("s").alias("m_sum"),
+        F.sum(F.col("s") * F.col("s")).alias("m_sq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nn = float(n)
+    z = (nn * d("s") - d("m_sum")) / F.sqrt(
+        nn * d("m_sq") - d("m_sum") * d("m_sum")
+    )
+    flagged = (
+        filled.join(F.broadcast(marg), "uuid")
+        .select("uuid", "widx", z.alias("z"))
+        .where(
+            (F.col("z") > F.lit(z_threshold))
+            | (F.col("z") < F.lit(-z_threshold))
+        )
+    )
+    w = Window.partitionBy("uuid").orderBy("widx")
+    runs = flagged.withColumn(
+        "new_run",
+        (
+            F.coalesce(F.col("widx") - F.lag("widx").over(w), F.lit(2)) > 1
+        ).cast("long"),
+    ).withColumn("run_id", F.sum("new_run").over(w))
+    return (
+        runs.groupBy("uuid", "run_id")
+        .agg(
+            F.min("widx").alias("w0"),
+            F.max("widx").alias("w1"),
+            F.count("*").alias("n_buckets"),
+            F.max(F.abs(F.col("z"))).alias("peak_z"),
+        )
+        .select(
+            "uuid",
+            (F.lit(start) + F.col("w0") * F.lit(width)).alias("incident_start"),
+            (F.lit(start) + (F.col("w1") + 1) * F.lit(width)).alias(
+                "incident_end"
+            ),
+            "n_buckets",
+            "peak_z",
+        )
+        .orderBy("uuid", "incident_start")
+    )
+
+
+def top_movers(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    k: int = 10,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Biggest bucket-over-bucket moves across ALL streams: rank every
+    (stream, bucket) by |delta| of consecutive spine sums and keep the
+    top k — the "what changed the most overnight" screen. Integer
+    deltas, integer rank (|delta| desc, uuid/time asc tiebreak), one
+    division per emitted double. Scale shape: bucket-scale lag window
+    per stream, then TakeOrderedAndProject. Columns: uuid, time, value,
+    prev_value, delta."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    q = round(1.0 / value_quantum)
+    w = Window.partitionBy("uuid").orderBy("widx")
+    lagged = (
+        filled.withColumn("p", F.lag("s").over(w))
+        .where(F.col("p").isNotNull())
+        .withColumn("delta", F.col("s") - F.col("p"))
+    )
+    return (
+        lagged.orderBy(
+            F.abs(F.col("delta")).desc(), "uuid", "widx"
+        )
+        .limit(k)
+        .select(
+            "uuid",
+            (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
+            (F.col("s").cast("double") / F.lit(float(q))).alias("value"),
+            (F.col("p").cast("double") / F.lit(float(q))).alias("prev_value"),
+            (F.col("delta").cast("double") / F.lit(float(q))).alias("delta"),
+        )
+    )

@@ -330,3 +330,61 @@ def test_cluster_purity_separated_clusters(spark):
     assert out[1].purity == 1.0
     assert out[0].nearest_own == out[0].n - 1  # only the defector strays
     assert out[0].mean_intra_sq > out[1].mean_intra_sq  # defector inflates
+
+
+def test_error_budget_brute_force(spark):
+    from btrdb_server_spark.operators.tsshape import error_budget
+
+    rows = []
+    eid = 0
+    # window 0: 2 errors / 10 events; window 1: 0 / 5
+    for i in range(10):
+        rows.append((T0 + i, "error" if i < 2 else "click"))
+    for i in range(5):
+        rows.append((T0 + W + i, "view"))
+    df = spark.createDataFrame(rows, "time long, event_type string")
+    out = error_budget(
+        df, budget_ppm=100_000, width=W, start=T0, end=T0 + 2 * W
+    ).collect()
+    w0, w1 = out[0], out[1]
+    assert (w0.events, w0.errors, w0.error_share) == (10, 2, 0.2)
+    assert w0.burn_rate == 2_000_000 / 1_000_000  # 2x the 10% budget
+    assert w1.errors == 0 and w1.burn_rate == 0.0
+    assert w1.cum_budget_used == 2_000_000 / (15 * 100_000)
+
+
+def test_incident_report_groups_runs(spark):
+    from btrdb_server_spark.operators.tsshape import incident_report
+
+    xs = [100] * 20
+    xs[5] = 5000
+    xs[6] = 5000
+    xs[12] = 5000
+    df = _pts(spark, xs)
+    out = incident_report(df, T0, T0 + 20 * W, W, z_threshold=1.0).collect()
+    spans = [((r.incident_start - T0) // W, (r.incident_end - T0) // W, r.n_buckets) for r in out]
+    assert (5, 7, 2) in spans and (12, 13, 1) in spans
+    assert all(r.peak_z > 1.0 for r in out)
+
+
+def test_top_movers_rank(spark):
+    from btrdb_server_spark.operators.tsshape import top_movers
+
+    xs = [100, 100, 900, 100, 100, 100]  # +800 then -800 moves
+    df = _pts(spark, xs)
+    out = top_movers(df, T0, T0 + 6 * W, W, k=2).collect()
+    deltas = sorted(r.delta for r in out)
+    assert deltas == [-8.0, 8.0]
+
+
+def test_quality_curve_monotone(spark):
+    from btrdb_server_spark.functions.curation import quality_curve
+
+    docs = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 15, 30, 60, 200])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = quality_curve(df, thresholds=(10, 50, 100)).collect()
+    kept = [r.docs_kept for r in out]
+    assert kept == [4, 2, 1]
+    assert out[0].tokens_kept == 15 + 30 + 60 + 200
+    shares = [r.token_share for r in out]
+    assert shares == sorted(shares, reverse=True)
