@@ -685,3 +685,45 @@ def test_idle_customers_anti_join(spark):
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in simple
     assert "Broadcast" in simple
+
+
+def test_group_sample_window_group_limit(spark):
+    """The per-stream md5-rank prune must rewrite to WindowGroupLimit —
+    per-partition top-k heaps BEFORE the exchange."""
+    df = entry_mod.q_group_sample(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in simple
+
+
+def test_tail_index_window_group_limit(spark):
+    """The top-(k+1) per stream is a WindowGroupLimit prune, not a global
+    sort."""
+    df = entry_mod.q_tail_index(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in simple
+
+
+def test_ngram_coverage_take_ordered_head(spark):
+    """The n-gram domain is never globally sorted: the head is
+    TakeOrderedAndProject and the rank window sees max(k) rows."""
+    df = entry_mod.q_ngram_coverage(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in simple
+
+
+def test_customer_distribution_agg_before_join(spark):
+    """Q13: the per-customer count aggregates the orders fact alone —
+    orders.parquet is scanned once and the aggregate sits below the
+    customer join."""
+    df = entry_mod.q_customer_distribution(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("orders.parquet") == 1
+
+
+def test_power_users_no_user_scale_sort(spark):
+    """The decile threshold reads off the count-of-counts cumulative —
+    the single-partition window runs on the activity-value domain, so no
+    global user-scale Sort feeds a row_number."""
+    df = entry_mod.q_power_users(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in simple
