@@ -4159,6 +4159,26 @@ def q_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_curve(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does yesterday's click volume predict today's purchase volume
+    beyond purchase's own AR(1) memory? F-test from exact decimal
+    moments (restricted vs full RSS)."""
+    from btrdb_server_spark.operators.corr import granger_lite
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return granger_lite(pts, "purchase", "click", T_2024, T_FEB, DAY_NS)
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 recurring 4-day SAX words across all streams (per-stream
+    z-normalization, integer counts, deterministic rank)."""
+    from btrdb_server_spark.operators.tsshape import sax_motifs
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return sax_motifs(pts, T_2024, T_FEB, DAY_NS)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4445,6 +4465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incident_report": q_incident_report,
         "top_movers": q_top_movers,
         "quality_curve": q_quality_curve,
+        "granger_lite": q_granger_lite,
+        "sax_motifs": q_sax_motifs,
     }
 
 
@@ -9405,4 +9427,142 @@ def oracle_sql() -> dict[str, str]:
             FROM pd CROSS JOIN th
             GROUP BY 1 ORDER BY 1
         """,
+        "granger_lite": """
+            {PTS}, su AS (
+                SELECT (time - 1704067200000000000) // 86400000000000 AS widx, uuid,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts
+                WHERE uuid IN ('purchase', 'click')
+                  AND time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), wide AS (
+                SELECT g.widx,
+                       CAST(COALESCE(sum(CASE WHEN uuid = 'purchase'
+                                         THEN s END), 0) AS BIGINT) AS y,
+                       CAST(COALESCE(sum(CASE WHEN uuid = 'click'
+                                         THEN s END), 0) AS BIGINT) AS x
+                FROM (SELECT unnest(range(0, 31)) AS widx) g
+                LEFT JOIN su ON su.widx = g.widx
+                GROUP BY 1
+            ), lagd AS (
+                SELECT widx, y, x,
+                       lag(y) OVER (ORDER BY widx) AS yl,
+                       lag(x) OVER (ORDER BY widx) AS xl
+                FROM wide
+            ), mom AS (
+                SELECT count(*) AS n,
+                       CAST(sum(yl) AS HUGEINT) AS S1,
+                       CAST(sum(xl) AS HUGEINT) AS S2,
+                       CAST(sum(y) AS HUGEINT) AS Sy,
+                       CAST(sum(CAST(yl AS HUGEINT) * yl) AS HUGEINT) AS S11,
+                       CAST(sum(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS S22,
+                       CAST(sum(CAST(yl AS HUGEINT) * xl) AS HUGEINT) AS S12,
+                       CAST(sum(CAST(yl AS HUGEINT) * y) AS HUGEINT) AS S1y,
+                       CAST(sum(CAST(xl AS HUGEINT) * y) AS HUGEINT) AS S2y,
+                       CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS Syy
+                FROM lagd WHERE yl IS NOT NULL
+            ), dets AS (
+                SELECT *,
+                       n * (S11 * S22 - S12 * S12)
+                         - S1 * (S1 * S22 - S12 * S2)
+                         + S2 * (S1 * S12 - S11 * S2) AS det,
+                       Sy * (S11 * S22 - S12 * S12)
+                         - S1 * (S1y * S22 - S12 * S2y)
+                         + S2 * (S1y * S12 - S11 * S2y) AS det0,
+                       n * (S1y * S22 - S12 * S2y)
+                         - Sy * (S1 * S22 - S12 * S2)
+                         + S2 * (S1 * S2y - S1y * S2) AS det1,
+                       n * (S11 * S2y - S1y * S12)
+                         - S1 * (S1 * S2y - S1y * S2)
+                         + Sy * (S1 * S12 - S11 * S2) AS det2,
+                       CAST(n * S1y - S1 * Sy AS DOUBLE)
+                         / CAST(n * S11 - S1 * S1 AS DOUBLE) AS b1r
+                FROM mom
+            ), rr AS (
+                SELECT *,
+                       (CAST(Sy AS DOUBLE) - b1r * CAST(S1 AS DOUBLE))
+                           / CAST(n AS DOUBLE) AS b0r,
+                       CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0f,
+                       CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1f,
+                       CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2f
+                FROM dets
+            ), rss AS (
+                SELECT *,
+                       CAST(Syy AS DOUBLE)
+                           - (b0r * CAST(Sy AS DOUBLE)
+                              + b1r * CAST(S1y AS DOUBLE)) AS rss_r,
+                       CAST(Syy AS DOUBLE)
+                           - (b0f * CAST(Sy AS DOUBLE)
+                              + b1f * CAST(S1y AS DOUBLE)
+                              + b2f * CAST(S2y AS DOUBLE)) AS rss_f
+                FROM rr
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   b1f AS b_ar, b2f AS b_x,
+                   rss_r AS rss_restricted, rss_f AS rss_full,
+                   CASE WHEN rss_f > 0 THEN
+                       (rss_r - rss_f) / (rss_f / (CAST(n AS DOUBLE) - 3.0))
+                   END AS f_stat
+            FROM rss
+        """.replace("{PTS}", PTS_CTE),
+        "sax_motifs": """
+            {PTS}, src AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(round(value / 0.01) AS BIGINT) AS q
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), wagg AS (
+                SELECT uuid, widx, CAST(sum(q) AS BIGINT) AS sw,
+                       count(*) AS nw
+                FROM src GROUP BY 1, 2
+            ), gl AS (
+                SELECT uuid, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+                       CAST(sum(q * q) AS BIGINT) AS sqq
+                FROM src GROUP BY 1
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM wagg) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), syms AS (
+                SELECT spine.uuid, spine.widx,
+                       CASE WHEN nw IS NULL THEN NULL
+                            WHEN ((CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
+                                   - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / (sqrt(CAST(n AS DOUBLE)
+                                          * CAST(sqq AS DOUBLE)
+                                          - CAST(sq AS DOUBLE)
+                                            * CAST(sq AS DOUBLE))
+                                     / CAST(n AS DOUBLE))) < -0.6744897501960817 THEN 'a'
+                            WHEN ((CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
+                                   - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / (sqrt(CAST(n AS DOUBLE)
+                                          * CAST(sqq AS DOUBLE)
+                                          - CAST(sq AS DOUBLE)
+                                            * CAST(sq AS DOUBLE))
+                                     / CAST(n AS DOUBLE))) < 0.0 THEN 'b'
+                            WHEN ((CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
+                                   - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / (sqrt(CAST(n AS DOUBLE)
+                                          * CAST(sqq AS DOUBLE)
+                                          - CAST(sq AS DOUBLE)
+                                            * CAST(sq AS DOUBLE))
+                                     / CAST(n AS DOUBLE))) < 0.6744897501960817 THEN 'c'
+                            ELSE 'd' END AS sym
+                FROM spine
+                LEFT JOIN wagg ON spine.uuid = wagg.uuid
+                                AND spine.widx = wagg.widx
+                JOIN gl ON spine.uuid = gl.uuid
+            ), words AS (
+                SELECT uuid, sym,
+                       lead(sym, 1) OVER w AS s1,
+                       lead(sym, 2) OVER w AS s2,
+                       lead(sym, 3) OVER w AS s3
+                FROM syms WINDOW w AS (PARTITION BY uuid ORDER BY widx)
+            )
+            SELECT uuid, sym || s1 || s2 || s3 AS motif, count(*) AS cnt
+            FROM words
+            WHERE sym IS NOT NULL AND s1 IS NOT NULL
+              AND s2 IS NOT NULL AND s3 IS NOT NULL
+            GROUP BY 1, 2 ORDER BY cnt DESC, motif, uuid LIMIT 20
+        """.replace("{PTS}", PTS_CTE),
     }

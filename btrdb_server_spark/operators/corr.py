@@ -1067,3 +1067,128 @@ def ols_two_factor(
         F.when(d(det) != 0, b2).alias("b2"),
         F.when((d(det) != 0) & (sst != 0), F.lit(1.0) - sse / sst).alias("r2"),
     )
+
+
+def granger_lite(
+    points: DataFrame,
+    y_uuid: str,
+    x_uuid: str,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Granger-style predictive-causality probe on the bucket-sum grid:
+    does x's previous bucket improve the AR(1) prediction of y?
+    Restricted model y_t ~ 1 + y_{t-1}; full model y_t ~ 1 + y_{t-1} +
+    x_{t-1}; F = (RSS_r - RSS_f) / (RSS_f / (n - 3)). Large F: lagged x
+    carries information about y beyond y's own memory.
+
+    Exactness: the 2x2 and 3x3 normal equations solve by closed form /
+    Cramer's rule on EXACT integer moments (decimal(38,0) products);
+    each RSS is the standard Syy - b.(X'y) identity evaluated as one
+    fixed IEEE tree over exact integers; F is two divisions. Buckets
+    with no data count as zero (shared spine). Scale shape: one
+    point-scale groupBy pivoted to (widx, y, x), one bucket-scale lag,
+    one one-row moment reduce. Columns: n, b_ar, b_x, rss_restricted,
+    rss_full, f_stat."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    end = end - (end - start) % width
+    nb = (end - start) // width
+    if nb < 5:
+        raise ValueError("need at least 5 buckets")
+    su = (
+        points.where(
+            F.col("uuid").isin(y_uuid, x_uuid)
+            & (F.col("time") >= start)
+            & (F.col("time") < end)
+        )
+        .groupBy(
+            F.expr(f"(time - ({start})) div {width}").alias("widx"), "uuid"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+            ).alias("s")
+        )
+    )
+    wide = (
+        points.sparkSession.range(0, nb)
+        .select(F.col("id").alias("widx"))
+        .join(su, "widx", "left")
+        .groupBy("widx")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("uuid") == y_uuid, F.col("s"))), F.lit(0)
+            ).alias("y"),
+            F.coalesce(
+                F.sum(F.when(F.col("uuid") == x_uuid, F.col("s"))), F.lit(0)
+            ).alias("x"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("widx")  # request-bounded bucket series
+    lagged = (
+        wide.withColumn("yl", F.lag("y").over(w))
+        .withColumn("xl", F.lag("x").over(w))
+        .where(F.col("yl").isNotNull())
+    )
+    dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum("yl").alias("S1"),
+        F.sum("xl").alias("S2"),
+        F.sum("y").alias("Sy"),
+        F.sum(dc("yl") * F.col("yl")).alias("S11"),
+        F.sum(dc("xl") * F.col("xl")).alias("S22"),
+        F.sum(dc("yl") * F.col("xl")).alias("S12"),
+        F.sum(dc("yl") * F.col("y")).alias("S1y"),
+        F.sum(dc("xl") * F.col("y")).alias("S2y"),
+        F.sum(dc("y") * F.col("y")).alias("Syy"),
+    )
+    D = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = lambda e: e.cast("double")  # noqa: E731
+    # restricted: y ~ 1 + yl
+    den_r = d(D("n") * D("S11") - D("S1") * D("S1"))
+    b1_r = d(D("n") * D("S1y") - D("S1") * D("Sy")) / den_r
+    b0_r = (d(F.col("Sy")) - b1_r * d(F.col("S1"))) / d(F.col("n"))
+    rss_r = d(F.col("Syy")) - (b0_r * d(F.col("Sy")) + b1_r * d(F.col("S1y")))
+    # full: y ~ 1 + yl + xl (Cramer, as in ols_two_factor)
+    det = (
+        D("n") * (D("S11") * D("S22") - D("S12") * D("S12"))
+        - D("S1") * (D("S1") * D("S22") - D("S12") * D("S2"))
+        + D("S2") * (D("S1") * D("S12") - D("S11") * D("S2"))
+    )
+    det0 = (
+        D("Sy") * (D("S11") * D("S22") - D("S12") * D("S12"))
+        - D("S1") * (D("S1y") * D("S22") - D("S12") * D("S2y"))
+        + D("S2") * (D("S1y") * D("S12") - D("S11") * D("S2y"))
+    )
+    det1 = (
+        D("n") * (D("S1y") * D("S22") - D("S12") * D("S2y"))
+        - D("Sy") * (D("S1") * D("S22") - D("S12") * D("S2"))
+        + D("S2") * (D("S1") * D("S2y") - D("S1y") * D("S2"))
+    )
+    det2 = (
+        D("n") * (D("S11") * D("S2y") - D("S1y") * D("S12"))
+        - D("S1") * (D("S1") * D("S2y") - D("S1y") * D("S2"))
+        + D("Sy") * (D("S1") * D("S12") - D("S11") * D("S2"))
+    )
+    b0_f = d(det0) / d(det)
+    b1_f = d(det1) / d(det)
+    b2_f = d(det2) / d(det)
+    rss_f = d(F.col("Syy")) - (
+        b0_f * d(F.col("Sy")) + b1_f * d(F.col("S1y")) + b2_f * d(F.col("S2y"))
+    )
+    fstat = (rss_r - rss_f) / (rss_f / (d(F.col("n")) - F.lit(3.0)))
+    ok = (den_r != 0) & (d(det) != 0)
+    return mom.select(
+        F.col("n"),
+        F.when(ok, b1_f).alias("b_ar"),
+        F.when(ok, b2_f).alias("b_x"),
+        F.when(ok, rss_r).alias("rss_restricted"),
+        F.when(ok, rss_f).alias("rss_full"),
+        F.when(ok & (rss_f > 0), fstat).alias("f_stat"),
+    )

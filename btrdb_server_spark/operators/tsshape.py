@@ -904,3 +904,95 @@ def top_movers(
             (F.col("delta").cast("double") / F.lit(float(q))).alias("delta"),
         )
     )
+
+
+# N(0,1) quartile breakpoints, 4-letter SAX alphabet (Lin et al. 2003) —
+# same literals as operators/stat.py sax_symbols.
+_SAXB = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def sax_motifs(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    word: int = 4,
+    k: int = 20,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Symbolic motif mining across ALL streams: PAA bucket means
+    z-normalized PER STREAM, discretized to the 4-letter SAX alphabet
+    (identical arithmetic to operators/stat.py sax_symbols), then every
+    sliding `word`-symbol window counted — the recurring-shape detector
+    ("which 4-day pattern keeps happening?"). Top `k` by count desc,
+    (word, uuid) asc — deterministic.
+
+    Exactness: bucket sums/counts and per-stream moments are exact
+    int64; z and the breakpoint compares are one fixed IEEE tree (the
+    sax_symbols contract); word counts are integers. Empty buckets
+    break words (the A2 hole contract). Scale shape: one point-scale
+    groupBy, per-stream moments broadcast back, word-1 lead taps on the
+    bucket-scale spine, one map-side-combined count. Columns: uuid,
+    motif, cnt."""
+    if word < 2 or k < 1:
+        raise ValueError("need word >= 2 and k >= 1")
+    if width <= 0:
+        raise ValueError("width must be positive")
+    end = end - (end - start) % width
+    nb = (end - start) // width
+    if nb < word:
+        raise ValueError("range shorter than one word")
+    src = points.where(time_range_pred(start, end)).select(
+        "uuid",
+        F.expr(f"(time - ({start})) div {width}").alias("widx"),
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
+    )
+    wagg = src.groupBy("uuid", "widx").agg(
+        F.sum("q").alias("sw"), F.count("*").alias("nw")
+    )
+    gl = src.groupBy("uuid").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sigma_q = F.sqrt(
+        (d("n") * d("sqq") - d("sq") * d("sq")).cast("double")
+    ) / d("n")
+    z = (d("sw") / d("nw") - d("sq") / d("n")) / sigma_q
+    b1, b2, b3 = (F.lit(b) for b in _SAXB)
+    sym = (
+        F.when(z < b1, "a").when(z < b2, "b").when(z < b3, "c").otherwise("d")
+    )
+    spark = points.sparkSession
+    spine = (
+        wagg.select("uuid")
+        .distinct()
+        .join(spark.range(0, nb).select(F.col("id").alias("widx")))
+    )
+    symbols = (
+        spine.join(wagg, ["uuid", "widx"], "left")
+        .join(F.broadcast(gl), "uuid")
+        .select(
+            "uuid",
+            "widx",
+            F.when(F.col("nw").isNotNull(), sym).alias("sym"),
+        )
+    )
+    w = Window.partitionBy("uuid").orderBy("widx")
+    cols = [F.col("sym")]
+    df = symbols
+    for j in range(1, word):
+        df = df.withColumn(f"s{j}", F.lead("sym", j).over(w))
+        cols.append(F.col(f"s{j}"))
+    full = df
+    for j in range(1, word):
+        full = full.where(F.col(f"s{j}").isNotNull())
+    full = full.where(F.col("sym").isNotNull())
+    return (
+        full.select("uuid", F.concat_ws("", *cols).alias("motif"))
+        .groupBy("uuid", "motif")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "motif", "uuid")
+        .limit(k)
+    )

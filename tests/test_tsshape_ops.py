@@ -388,3 +388,41 @@ def test_quality_curve_monotone(spark):
     assert out[0].tokens_kept == 15 + 30 + 60 + 200
     shares = [r.token_share for r in out]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_granger_lite_detects_lagged_dependence(spark):
+    """y built as 0.8*x_{t-1} + noise: the F-stat is large and b_x near
+    0.8; an independent pair yields a small F."""
+    import random
+
+    from btrdb_server_spark.operators.corr import granger_lite
+
+    rng = random.Random(8)
+    xs = [rng.randint(500, 1500) for _ in range(60)]
+    ys = [1000] + [round(0.8 * xs[t - 1]) + rng.randint(-20, 20) for t in range(1, 60)]
+    zs = [rng.randint(500, 1500) for _ in range(60)]
+    rows = []
+    for t in range(60):
+        for u, v in (("x", xs[t]), ("y", ys[t]), ("z", zs[t])):
+            rows.append((u, T0 + t * W, v / 100.0))
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    dep = granger_lite(df, "y", "x", T0, T0 + 60 * W, W).collect()[0]
+    ind = granger_lite(df, "y", "z", T0, T0 + 60 * W, W).collect()[0]
+    assert dep.f_stat > 50
+    assert abs(dep.b_x - 0.8) < 0.05
+    assert ind.f_stat < 10
+    assert dep.rss_full <= dep.rss_restricted  # adding a regressor never hurts
+
+
+def test_sax_motifs_periodic_series(spark):
+    """A strict 4-periodic series yields exactly 4 motifs, each the
+    rotation of the same word, with near-equal counts."""
+    from btrdb_server_spark.operators.tsshape import sax_motifs
+
+    pat = [100, 900, 2000, 2900]
+    xs = [pat[t % 4] for t in range(40)]
+    df = _pts(spark, xs)
+    out = sax_motifs(df, T0, T0 + 40 * W, W, word=4, k=10).collect()
+    assert len(out) == 4
+    assert {r.motif for r in out} == {"abcd", "bcda", "cdab", "dabc"}
+    assert all(9 <= r.cnt <= 10 for r in out)
