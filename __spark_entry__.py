@@ -4179,6 +4179,61 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_motifs(pts, T_2024, T_FEB, DAY_NS)
 
 
+
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL per event type over user-day ids: register max is
+    associative + idempotent, so the converged emission bit-equals the
+    batch estimate — oracle is the batch registers SQL."""
+    import tempfile
+
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+    from btrdb_server_spark.streaming.stateful import streaming_hll
+
+    work = tempfile.mkdtemp(prefix="btrdb_shll_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_type", "user_id", epoch_ns_expr(ev).alias("t_ns"))
+    ids = ev.select(
+        F.col("event_type").alias("uuid"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.expr(f"CAST(t_ns DIV {DAY_NS} AS STRING)"),
+        ).alias("id"),
+    )
+    ids.repartition(4).write.mode("overwrite").parquet(src_d)
+    stream = (
+        spark.readStream.schema("uuid string, id string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_d)
+    )
+    out = streaming_hll(stream)
+    name = "stream_hll_out"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql import Window
+
+    # update mode re-emits per batch; converged = the row with the
+    # largest seen-rows counter (strictly monotone per touched batch).
+    w = Window.partitionBy("uuid").orderBy(F.col("n_seen").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("uuid", "n_seen", "n_registers_used", "hll_est")
+        .orderBy("uuid")
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4467,6 +4522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curve": q_quality_curve,
         "granger_lite": q_granger_lite,
         "sax_motifs": q_sax_motifs,
+        "streaming_hll": _small_state(q_streaming_hll),
     }
 
 
@@ -9565,4 +9621,52 @@ def oracle_sql() -> dict[str, str]:
               AND s2 IS NOT NULL AND s3 IS NOT NULL
             GROUP BY 1, 2 ORDER BY cnt DESC, motif, uuid LIMIT 20
         """.replace("{PTS}", PTS_CTE),
+        "streaming_hll": """
+            WITH ids AS (
+                SELECT event_type,
+                       CAST(user_id AS VARCHAR) || ':' ||
+                       CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR)
+                           AS uid_day
+                FROM events
+            ), h AS (
+                SELECT event_type AS uuid,
+                       CAST('0x' || substr(md5('hll:' || uid_day), 1, 15)
+                            AS BIGINT) AS h60
+                FROM ids
+            ), r AS (
+                SELECT uuid, h60 % 256 AS reg,
+                       (h60 >> 8) % 1099511627776 AS suf
+                FROM h
+            ), regs AS (
+                SELECT uuid, reg,
+                       CAST(max(41 - CASE WHEN suf = 0 THEN 0
+                           ELSE CAST(floor(log2(CAST(suf AS DOUBLE)))
+                                AS BIGINT) + 1 END) AS BIGINT) AS M
+                FROM r GROUP BY 1, 2
+            ), pg AS (
+                SELECT uuid,
+                       CAST(sum(CAST(1 AS BIGINT) << CAST(41 - M AS INTEGER))
+                            AS BIGINT) AS s_used,
+                       count(*) AS n_used
+                FROM regs GROUP BY 1
+            ), seen AS (
+                SELECT event_type AS uuid, count(*) AS n_seen
+                FROM ids GROUP BY 1
+            )
+            SELECT uuid, n_seen, n_used AS n_registers_used,
+                   CASE WHEN ({ALPHA} /
+                              CAST(s_used + (256 - n_used)
+                                   * 2199023255552 AS DOUBLE))
+                             <= 640.0
+                         AND (256 - n_used) > 0
+                        THEN 256.0 * ln(256.0 /
+                             CAST(256 - n_used AS DOUBLE))
+                        ELSE {ALPHA} /
+                             CAST(s_used + (256 - n_used)
+                                  * 2199023255552 AS DOUBLE)
+                   END AS hll_est
+            FROM seen JOIN pg USING (uuid) ORDER BY uuid
+        """.replace("{ALPHA}", repr(
+            (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 41)
+        )),
     }

@@ -1049,3 +1049,95 @@ def streaming_kmv(events_stream: DataFrame, k: int = 256) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_OUTPUT_SCHEMA = (
+    "uuid string, n_seen long, n_registers_used long, hll_est double"
+)
+HLL_STATE_SCHEMA = "regs string, n_seen long"
+
+
+def _update_hll(p: int):
+    """HLL register merge for one group: state is the m=2^p register
+    array (max rank per register) plus a seen-rows counter. Register max
+    is associative AND idempotent, so the converged state is IDENTICAL
+    to the batch registers no matter how arrivals were split or
+    duplicated across retries — stronger than KMV (which needs the
+    set-dedup). The estimate repeats the batch hll_distinct arithmetic
+    in libm floats (python == DuckDB ln bit-exactly; the integer
+    harmonic sum has one division)."""
+    import json
+    import math
+
+    m = 1 << p
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 41)
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uuid = key[0]
+        if state.exists:
+            regs = json.loads(state.get[0])
+            n_seen = int(state.get[1])
+        else:
+            regs = [0] * m
+            n_seen = 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for reg, rank in zip(pdf["reg"], pdf["rank"]):
+                r = int(reg)
+                if int(rank) > regs[r]:
+                    regs[r] = int(rank)
+        state.update((json.dumps(regs), n_seen))
+        used = [r for r in regs if r > 0]
+        s_used = sum(1 << (41 - r) for r in used)
+        n_used = len(used)
+        S = s_used + (m - n_used) * (1 << 41)
+        raw = alpha_m2 / float(S)
+        v = m - n_used
+        est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+        yield pd.DataFrame(
+            {
+                "uuid": [uuid],
+                "n_seen": [n_seen],
+                "n_registers_used": [n_used],
+                "hll_est": [est],
+            }
+        )
+
+    return fn
+
+
+def streaming_hll(ids_stream: DataFrame, p: int = 8) -> DataFrame:
+    """Streaming HyperLogLog per group: fixed 2^p-register keyed state
+    forever (no watermark — a late id still folds in, ST2 semantics).
+    Hash/register/rank arithmetic runs JVM-side BEFORE the stateful op,
+    identical to the batch functions/sketch.py hll_distinct, and
+    register max is associative + idempotent, so the converged
+    emission bit-equals the batch estimate — the entry's oracle IS the
+    batch SQL. `ids_stream` needs (uuid, id) string columns. At 100 TB:
+    state is groups x 2^p small ints; retries and replays cannot skew
+    the sketch (idempotent max), unlike counter-based state."""
+    m = 1 << p
+    hexh = F.md5(F.concat(F.lit("hll:"), F.col("id").cast("string")))
+    h60 = F.conv(F.substring(hexh, 1, 15), 16, 10).cast("long")
+    suffix = F.shiftright(h60, p) % F.lit(1 << 40)
+    blen = F.when(F.col("suf") == 0, F.lit(0)).otherwise(
+        (F.floor(F.log2(F.col("suf").cast("double"))) + 1).cast("long")
+    )
+    hashed = (
+        ids_stream.select(
+            F.col("uuid"),
+            (h60 % F.lit(m)).alias("reg"),
+            suffix.alias("suf"),
+        )
+        .withColumn("rank", F.lit(41) - blen)
+        .select("uuid", "reg", "rank")
+    )
+    return hashed.groupBy("uuid").applyInPandasWithState(
+        _update_hll(p),
+        HLL_OUTPUT_SCHEMA,
+        HLL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -426,3 +426,49 @@ def test_sax_motifs_periodic_series(spark):
     assert len(out) == 4
     assert {r.motif for r in out} == {"abcd", "bcda", "cdab", "dabc"}
     assert all(9 <= r.cnt <= 10 for r in out)
+
+
+def test_streaming_hll_batch_split_invariant(spark, tmp_path):
+    """The converged streaming-HLL emission is identical whether the ids
+    arrive in 1 or 4 micro-batches (register max is associative and
+    idempotent), and equals the batch estimate."""
+    from btrdb_server_spark.functions.sketch import hll_distinct
+    from btrdb_server_spark.streaming.stateful import streaming_hll
+
+    ids = [("g", f"u{i}") for i in range(2000)]
+    df = spark.createDataFrame(ids, "uuid string, id string")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    outs = []
+    for j, mft in enumerate((1, 4)):
+        stream = (
+            spark.readStream.schema("uuid string, id string")
+            .option("maxFilesPerTrigger", mft)
+            .parquet(src)
+        )
+        name = f"shll_{j}"
+        q = (
+            streaming_hll(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{j}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        row = (
+            spark.sql(f"SELECT * FROM {name}")
+            .orderBy(F.col("n_seen").desc())
+            .collect()[0]
+        )
+        outs.append(row)
+    assert outs[0] == outs[1]
+    batch = hll_distinct(
+        df.withColumnRenamed("uuid", "event_type").withColumnRenamed("id", "user_id"),
+        p=8,
+    ).collect()[0]
+    assert outs[0].hll_est == batch.hll_est
+    assert outs[0].n_registers_used == batch.n_registers_used
