@@ -4267,11 +4267,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (r05 checked the 50 newest/changed ops — all green — leaving these
     deferred at 51+); (b) the 27 operators new in round 6 (every new op
     earns its row immediately); (c) three of the rotated r03-stale green
-    anchors (aligned_windows, align_windowed, aligned_quantiles) — the
-    rest of the stale-anchor refresh yields its seats to the new ops and
-    rotates in round 7. Every r05-green entry moved past 50 banked its
-    row; everything at 51+ is validated by scripts/check_driver.py
-    (bit-exact, the driver's own compare) before round end."""
+    anchors. The 40 operators added later in round 6 (warehouse Q5/Q6/
+    Q8/Q13/Q14/Q17/Q18/Q19/Q22, the sketch lab, the time-series shape
+    lab, vector/dedup additions, the operational/causality plane,
+    streaming_hll) sit at 51+ — each verified bit-exact against its
+    oracle via scripts/check_driver.py (the driver's own compare) this
+    round — and form the round-7 window together with any remaining
+    never-checked entries. Every r05-green entry moved past 50 banked
+    its row."""
     return {
         # -- round-6 window: the 21 never-driver-checked entries first --
         "ngram_freq": q_ngram_freq,
