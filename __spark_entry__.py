@@ -4234,6 +4234,49 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit under (type, hour-of-day, user-bucket) quasi-ids
+    — group sizes, k_min, rows below k=5."""
+    from btrdb_server_spark.functions.mlprep import k_anonymity
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        epoch_ns_expr(ev).alias("time"), "event_type", "user_id"
+    )
+    return k_anonymity(ev)
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value — one
+    exact-integer division per row, no label leakage."""
+    from btrdb_server_spark.functions.mlprep import target_encode
+
+    return target_encode(load_table(spark, sf_dir, "events"))
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick per-user feature rows (8 md5 buckets over
+    type:hour) — fixed-width categorical absorption, all integers."""
+    from btrdb_server_spark.functions.mlprep import hashed_features
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        epoch_ns_expr(ev).alias("time"), "event_type", "user_id"
+    )
+    return hashed_features(ev)
+
+
+def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic user-level 8/1/1 split with the stratification
+    report — same-user leakage impossible by construction."""
+    from btrdb_server_spark.functions.mlprep import split_report
+
+    return split_report(load_table(spark, sf_dir, "events"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4526,6 +4569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_lite": q_granger_lite,
         "sax_motifs": q_sax_motifs,
         "streaming_hll": _small_state(q_streaming_hll),
+        "k_anonymity": q_k_anonymity,
+        "target_encode": q_target_encode,
+        "hashed_features": q_hashed_features,
+        "split_report": q_split_report,
     }
 
 
@@ -9672,4 +9719,87 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{ALPHA}", repr(
             (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 41)
         )),
+        "k_anonymity": """
+            WITH g AS (
+                SELECT event_type,
+                       (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                       user_id % 50 AS ub,
+                       count(*) AS gsz
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT event_type,
+                   CAST(sum(gsz) AS BIGINT) AS n_rows,
+                   count(*) AS n_groups,
+                   CAST(min(gsz) AS BIGINT) AS k_min,
+                   CAST(sum(CASE WHEN gsz < 5 THEN gsz ELSE 0 END)
+                        AS BIGINT) AS rows_below_k,
+                   CAST(sum(CASE WHEN gsz < 5 THEN gsz ELSE 0 END)
+                        AS DOUBLE) / CAST(sum(gsz) AS DOUBLE)
+                       AS share_below_k
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "target_encode": """
+            WITH src AS (
+                SELECT event_id, event_type,
+                       CAST(round(value / 0.01) AS BIGINT) AS vq
+                FROM events
+            ), cat AS (
+                SELECT event_type, CAST(sum(vq) AS BIGINT) AS S,
+                       count(*) AS n
+                FROM src GROUP BY 1
+            )
+            SELECT event_id, src.event_type,
+                   CAST(vq AS DOUBLE) / 100.0 AS value,
+                   CASE WHEN n > 1 THEN
+                       (CAST(S - vq AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                           / 100.0
+                   END AS loo_enc
+            FROM src JOIN cat ON src.event_type = cat.event_type
+            ORDER BY event_id
+        """,
+        "hashed_features": """
+            WITH src AS (
+                SELECT user_id,
+                       CAST('0x' || substr(md5(event_type || ':' ||
+                            CAST((epoch_ns(ts) // 3600000000000) % 24
+                                 AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS b
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+                   CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                   CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+                   CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+                   CAST(sum(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+                   CAST(sum(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS BIGINT) AS f6,
+                   CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS f7,
+                   count(*) AS n_events
+            FROM src GROUP BY 1 ORDER BY 1
+        """,
+        "split_report": """
+            WITH src AS (
+                SELECT CASE
+                         WHEN CAST('0x' || substr(md5('split:' ||
+                              CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                              % 10 < 8 THEN 'train'
+                         WHEN CAST('0x' || substr(md5('split:' ||
+                              CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                              % 10 < 9 THEN 'val'
+                         ELSE 'test' END AS split,
+                       event_type, user_id AS uid
+                FROM events
+            ), per AS (
+                SELECT split, event_type, count(*) AS n_rows,
+                       count(DISTINCT uid) AS n_users
+                FROM src GROUP BY 1, 2
+            ), tt AS (
+                SELECT event_type, count(*) AS type_rows FROM src GROUP BY 1
+            )
+            SELECT split, per.event_type, n_rows, n_users,
+                   CAST(n_rows AS DOUBLE) / CAST(type_rows AS DOUBLE)
+                       AS type_share
+            FROM per JOIN tt ON per.event_type = tt.event_type
+            ORDER BY split, per.event_type
+        """,
     }

@@ -472,3 +472,54 @@ def test_streaming_hll_batch_split_invariant(spark, tmp_path):
     ).collect()[0]
     assert outs[0].hll_est == batch.hll_est
     assert outs[0].n_registers_used == batch.n_registers_used
+
+
+def test_target_encode_loo_no_leakage(spark):
+    """The LOO encoding of a row excludes exactly that row: for category
+    sums S and size n, enc_i = (S - v_i)/(n - 1); singletons are null."""
+    from btrdb_server_spark.functions.mlprep import target_encode
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 5.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_id: r.loo_enc for r in target_encode(df).collect()}
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    assert out[4] is None
+
+
+def test_split_report_user_level_and_weights(spark):
+    """Every event of a user lands in one split, and the 8/1/1 weights
+    roughly hold over many users."""
+    from btrdb_server_spark.functions.mlprep import split_report
+
+    rows = [(u, "t") for u in range(1000) for _ in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = split_report(df).collect()
+    by = {r.split: r for r in out}
+    assert sum(r.n_rows for r in out) == 3000
+    assert all(r.n_rows == 3 * r.n_users for r in out)  # user-level split
+    assert 0.7 < by["train"].type_share < 0.9
+    assert abs(sum(r.type_share for r in out) - 1.0) < 1e-12
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from btrdb_server_spark.functions.mlprep import k_anonymity
+
+    rows = []
+    # 10 users in one quasi-group (safe), 1 user alone in another (risky)
+    for u in range(10):
+        rows.append((3_600_000_000_000 * 5, "a", u % 2))  # hour 5, 2 buckets
+    rows.append((3_600_000_000_000 * 7, "a", 49))  # singleton group
+    df = spark.createDataFrame(rows, "time long, event_type string, user_id long")
+    r = k_anonymity(df, k=5, user_buckets=50).collect()[0]
+    assert r.k_min == 1 and r.rows_below_k == 1
+    assert r.n_groups == 3
+
+
+def test_hashed_features_row_sums(spark):
+    from btrdb_server_spark.functions.mlprep import hashed_features
+
+    rows = [(3_600_000_000_000 * h, f"t{h % 3}", h % 4) for h in range(96)]
+    df = spark.createDataFrame(rows, "time long, event_type string, user_id long")
+    out = hashed_features(df).collect()
+    for r in out:
+        assert sum(r[f"f{i}"] for i in range(8)) == r.n_events
