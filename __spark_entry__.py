@@ -4277,6 +4277,19 @@ def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_report(load_table(spark, sf_dir, "events"))
 
 
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation funnel: raw -> exact dedup -> quality filter ->
+    decontamination (bench = doc_id %% 17 == 0), per-stage doc/token
+    totals — every stage decision the existing operator's integer
+    rule."""
+    from btrdb_server_spark.functions.curation import curation_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return curation_pipeline(docs, bench)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4573,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "hashed_features": q_hashed_features,
         "split_report": q_split_report,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -9801,5 +9815,109 @@ def oracle_sql() -> dict[str, str]:
                        AS type_share
             FROM per JOIN tt ON per.event_type = tt.event_type
             ORDER BY split, per.event_type
+        """,
+        "curation_pipeline": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), base AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM t
+            ), hh AS (
+                SELECT doc_id,
+                       md5(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                           'g')) AS h
+                FROM documents
+            ), keepers AS (
+                SELECT h, min(doc_id) AS keeper FROM hh GROUP BY h
+            ), dup AS (
+                SELECT hh.doc_id, hh.doc_id <> keeper AS is_dup
+                FROM hh JOIN keepers USING (h)
+            ), qs AS (
+                SELECT doc_id,
+                       len(toks) AS n,
+                       coalesce(list_sum(list_transform(toks,
+                           x -> strlen(x))), 0) AS tok_chars,
+                       strlen(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           AS n_punct,
+                       strlen(text) AS n_chars,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','a','of','and','to','in','is','on','for',
+                            'with'], x))) AS n_stop
+                FROM t
+            ), qual AS (
+                SELECT doc_id,
+                       (n >= 10 AND n <= 100000
+                        AND tok_chars >= 2 * n AND tok_chars <= 12 * n
+                        AND n_punct * 5 <= n_chars * 1
+                        AND n_stop >= 2) AS q_keep
+                FROM qs
+            ), raw_sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                           THEN list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> array_to_string(
+                                   list_slice(toks, i, i + 2), ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS s0
+                FROM t
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s
+                FROM raw_sh
+            ), bsh AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0
+            ), ov AS (
+                SELECT sh.doc_id, count(*) AS n_shingles,
+                       CAST(sum(CASE WHEN bsh.s IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_matched
+                FROM sh LEFT JOIN bsh ON sh.s = bsh.s
+                GROUP BY 1
+            ), cont AS (
+                SELECT base.doc_id,
+                       COALESCE(n_matched * 2 >= n_shingles * 1
+                                AND n_shingles > 0, FALSE) AS contaminated
+                FROM base LEFT JOIN ov ON base.doc_id = ov.doc_id
+            ), flags AS (
+                SELECT n_tok,
+                       NOT is_dup AS s1,
+                       NOT is_dup AND q_keep AS s2,
+                       NOT is_dup AND q_keep AND NOT contaminated AS s3
+                FROM base
+                JOIN dup USING (doc_id)
+                JOIN qual USING (doc_id)
+                JOIN cont USING (doc_id)
+            ), agg AS (
+                SELECT count(*) AS d0, CAST(sum(n_tok) AS BIGINT) AS t0,
+                       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS d1,
+                       CAST(sum(CASE WHEN s1 THEN n_tok ELSE 0 END)
+                            AS BIGINT) AS t1,
+                       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS d2,
+                       CAST(sum(CASE WHEN s2 THEN n_tok ELSE 0 END)
+                            AS BIGINT) AS t2,
+                       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS d3,
+                       CAST(sum(CASE WHEN s3 THEN n_tok ELSE 0 END)
+                            AS BIGINT) AS t3
+                FROM flags
+            ), stages AS (
+                SELECT 0 AS stage_idx, 'raw' AS stage, d0 AS docs,
+                       t0 AS tokens, d0, t0 FROM agg
+                UNION ALL
+                SELECT 1, 'dedup', d1, t1, d0, t0 FROM agg
+                UNION ALL
+                SELECT 2, 'quality', d2, t2, d0, t0 FROM agg
+                UNION ALL
+                SELECT 3, 'decontaminated', d3, t3, d0, t0 FROM agg
+            )
+            SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+                   docs, tokens,
+                   CAST(docs AS DOUBLE) / CAST(d0 AS DOUBLE) AS doc_share,
+                   CAST(tokens AS DOUBLE) / CAST(t0 AS DOUBLE)
+                       AS token_share
+            FROM stages ORDER BY stage_idx
         """,
     }

@@ -619,3 +619,90 @@ def quality_curve(
             "token_share"
         ),
     ).orderBy("min_tokens")
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed curation funnel — the numbers a pretraining-data run
+    reports: how many documents and tokens survive each stage of
+    raw -> exact dedup (md5-content keeper) -> quality filter (the
+    Gopher-style rules of quality_filter) -> decontamination (3-gram
+    overlap vs the benchmark set, the decontaminate rule). One row per
+    stage with the running doc/token totals and the share of the raw
+    corpus still standing.
+
+    Every stage decision is the EXISTING operator's integer rule — this
+    operator adds only the composition, so the funnel is engine-exact
+    end to end. Scale shape: each stage's flag is a doc-scale column
+    (content hash groupBy, JVM quality expressions, broadcast-bench
+    shingle match); the funnel aggregate reads the flag table once.
+    Columns: stage_idx, stage, docs, tokens, doc_share, token_share."""
+    from btrdb_server_spark.functions.dedup import exact_dedup
+    from btrdb_server_spark.functions.text import tokens_col
+
+    n_tok = F.size(tokens_col(F.col(text_col))).cast("long")
+    base = docs.select(F.col(id_col), n_tok.alias("n_tok"))
+    dup = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("is_dup")
+    )
+    qual = quality_filter(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("keep").alias("q_keep")
+    )
+    cont = decontaminate(docs, bench, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("contaminated")
+    )
+    flags = (
+        base.join(dup, id_col)
+        .join(qual, id_col)
+        .join(cont, id_col)
+        .select(
+            "n_tok",
+            (~F.col("is_dup")).alias("s1"),
+            (~F.col("is_dup") & F.col("q_keep")).alias("s2"),
+            (
+                ~F.col("is_dup") & F.col("q_keep") & ~F.col("contaminated")
+            ).alias("s3"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").alias("d0"),
+        F.sum("n_tok").alias("t0"),
+        F.sum(F.col("s1").cast("long")).alias("d1"),
+        F.sum(F.when(F.col("s1"), F.col("n_tok")).otherwise(F.lit(0))).alias("t1"),
+        F.sum(F.col("s2").cast("long")).alias("d2"),
+        F.sum(F.when(F.col("s2"), F.col("n_tok")).otherwise(F.lit(0))).alias("t2"),
+        F.sum(F.col("s3").cast("long")).alias("d3"),
+        F.sum(F.when(F.col("s3"), F.col("n_tok")).otherwise(F.lit(0))).alias("t3"),
+    )
+    names = ["raw", "dedup", "quality", "decontaminated"]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(names[i]).alias("stage"),
+                F.col(f"d{i}").alias("docs"),
+                F.col(f"t{i}").alias("tokens"),
+            )
+            for i in range(4)
+        ]
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"), "d0", "t0")
+        .select(
+            F.col("s.stage_idx").alias("stage_idx"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.docs").alias("docs"),
+            F.col("s.tokens").alias("tokens"),
+            (F.col("s.docs").cast("double") / F.col("d0").cast("double")).alias(
+                "doc_share"
+            ),
+            (
+                F.col("s.tokens").cast("double") / F.col("t0").cast("double")
+            ).alias("token_share"),
+        )
+        .orderBy("stage_idx")
+    )

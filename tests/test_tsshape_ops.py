@@ -523,3 +523,28 @@ def test_hashed_features_row_sums(spark):
     out = hashed_features(df).collect()
     for r in out:
         assert sum(r[f"f{i}"] for i in range(8)) == r.n_events
+
+
+def test_curation_pipeline_monotone_funnel(spark):
+    """The funnel is monotone non-increasing in both docs and tokens, and
+    an exact duplicate is dropped at stage 1 while a contaminated doc
+    falls at stage 3."""
+    from btrdb_server_spark.functions.curation import curation_pipeline
+
+    good = ("the quick brown fox jumps over the lazy dog and runs on "
+            "with plenty of natural language for the filter to like")
+    rows = [
+        (0, good),                      # survives everything
+        (1, good),                      # exact duplicate of 0 -> stage 1
+        (2, "the bench doc is this exact sentence with the tokens on and on repeated for the benchmark"),
+        (3, "x" * 50),                  # fails quality (one giant token)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 2)
+    out = curation_pipeline(docs, bench).collect()
+    d = [r.docs for r in out]
+    t = [r.tokens for r in out]
+    assert d == sorted(d, reverse=True) and t == sorted(t, reverse=True)
+    assert d[0] == 4 and d[1] == 3        # dup dropped
+    assert d[3] == d[2] - 1               # the bench doc self-contaminates
+    assert out[0].doc_share == 1.0 and out[0].token_share == 1.0
