@@ -318,6 +318,9 @@ def ams_f2(
         docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
+        # d estimators + the exact audit all read this table — without
+        # the checkpoint each union branch re-explodes the corpus.
+        .localCheckpoint(eager=False)
     )
     sign_of = lambda r: F.when(  # noqa: E731
         F.conv(

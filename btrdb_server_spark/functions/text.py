@@ -648,7 +648,14 @@ def ngram_coverage(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g")
-    counts = docs.select(grams).groupBy("g").agg(F.count("*").alias("cnt"))
+    counts = (
+        docs.select(grams)
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        # the head and the totals both read this — checkpoint so the
+        # n-gram explode happens once, not per consumer.
+        .localCheckpoint(eager=False)
+    )
     head = counts.orderBy(F.col("cnt").desc(), F.col("g")).limit(int(max(ks)))
     w = Window.orderBy(F.col("cnt").desc(), F.col("g"))
     ranked = head.withColumn("rn", F.row_number().over(w))

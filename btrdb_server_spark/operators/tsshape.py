@@ -996,3 +996,106 @@ def sax_motifs(
         .orderBy(F.col("cnt").desc(), "motif", "uuid")
         .limit(k)
     )
+
+
+def hour_dow_heatmap(
+    points: DataFrame,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Hour-of-day x day-of-week utilization heatmap per stream: count
+    and exact mean per cell — the two-dimensional extension of the
+    diurnal profile (stat.py diurnal_profile) that separates "3am on
+    Sunday" from "3am on Tuesday". Epoch day 0 (1970-01-01) was a
+    Thursday, so dow = (epoch_days + 4) % 7 with 0 = Sunday.
+
+    Integer cell sums in quantum units; the mean is ONE division. Scale
+    shape: one map-side-combined groupBy over a 168-cell-per-stream
+    domain. Columns: uuid, dow, hod, n, mean."""
+    q = round(1.0 / value_quantum)
+    src = points.where(time_range_pred(start, end)).select(
+        "uuid",
+        F.expr("((time div 86400000000000) + 4) % 7").alias("dow"),
+        F.expr("(time div 3600000000000) % 24").alias("hod"),
+        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"),
+    )
+    return (
+        src.groupBy("uuid", "dow", "hod")
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("s"))
+        .select(
+            "uuid",
+            "dow",
+            "hod",
+            "n",
+            (
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(q)))
+            ).alias("mean"),
+        )
+        .orderBy("uuid", "dow", "hod")
+    )
+
+
+def var_cvar(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    alpha_pct: int = 5,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Value-at-Risk and Conditional VaR of bucket-over-bucket changes
+    per stream: VaR = the alpha-percentile worst delta (exact type-1
+    order statistic over the integer delta series), CVaR = the exact
+    mean of the deltas at or below VaR — the loss-tail summary, shaped
+    for telemetry drops as much as for P&L.
+
+    Exactness: deltas are int64; the VaR rank is ceil(alpha*n/100) via
+    the (a + b - 1) div b identity; CVaR is ONE division of exact
+    integers. Scale shape: one bucket-scale lag, one rank window over
+    the (request-bounded) delta series, one conditional aggregate.
+    Columns: uuid, n_deltas, var, cvar, n_tail."""
+    if not 0 < alpha_pct < 100:
+        raise ValueError("alpha_pct in (0, 100)")
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    if n < 3:
+        raise ValueError("need at least 3 buckets")
+    q = round(1.0 / value_quantum)
+    w = Window.partitionBy("uuid").orderBy("widx")
+    deltas = (
+        filled.withColumn("p", F.lag("s").over(w))
+        .where(F.col("p").isNotNull())
+        .select("uuid", (F.col("s") - F.col("p")).alias("d"))
+    )
+    wr = Window.partitionBy("uuid").orderBy("d")
+    ranked = deltas.withColumn("rn", F.row_number().over(wr))
+    nn = deltas.groupBy("uuid").agg(F.count("*").alias("nd"))
+    var_row = (
+        ranked.join(F.broadcast(nn), "uuid")
+        .where(
+            F.col("rn") == F.expr(f"({alpha_pct} * nd + 99) div 100")
+        )
+        .select("uuid", F.col("d").alias("var_q"))
+    )
+    tail = (
+        deltas.join(F.broadcast(var_row), "uuid")
+        .where(F.col("d") <= F.col("var_q"))
+        .groupBy("uuid")
+        .agg(F.sum("d").alias("tail_sum"), F.count("*").alias("n_tail"))
+    )
+    return (
+        nn.join(var_row, "uuid")
+        .join(tail, "uuid")
+        .select(
+            "uuid",
+            F.col("nd").alias("n_deltas"),
+            (F.col("var_q").cast("double") / F.lit(float(q))).alias("var"),
+            (
+                F.col("tail_sum").cast("double")
+                / (F.col("n_tail").cast("double") * F.lit(float(q)))
+            ).alias("cvar"),
+            "n_tail",
+        )
+        .orderBy("uuid")
+    )

@@ -1084,10 +1084,12 @@ def _update_hll(p: int):
             n_seen = 0
         for pdf in pdfs:
             n_seen += len(pdf)
-            for reg, rank in zip(pdf["reg"], pdf["rank"]):
-                r = int(reg)
-                if int(rank) > regs[r]:
-                    regs[r] = int(rank)
+            # vectorized per-batch register max (one pandas groupby, no
+            # python row loop — ~10k rows/batch would crawl otherwise)
+            gm = pdf.groupby("reg")["rank"].max()
+            for r, rank in gm.items():
+                if int(rank) > regs[int(r)]:
+                    regs[int(r)] = int(rank)
         state.update((json.dumps(regs), n_seen))
         used = [r for r in regs if r > 0]
         s_used = sum(1 << (41 - r) for r in used)
