@@ -4290,6 +4290,47 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(docs, bench)
 
 
+
+def q_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour x day-of-week utilization heatmap per stream over January —
+    168-cell integer sums, one division per mean."""
+    from btrdb_server_spark.operators.tsshape import hour_dow_heatmap
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return hour_dow_heatmap(pts, T_2024, T_FEB)
+
+
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%% Value-at-Risk and CVaR of day-over-day changes per stream —
+    exact order-statistic VaR, one-division CVaR."""
+    from btrdb_server_spark.operators.tsshape import var_cvar
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return var_cvar(pts, T_2024, T_FEB, DAY_NS)
+
+
+def q_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Shannon entropy of the event-type mix + dominant type —
+    fixed-order five-term fold, integer counts."""
+    from btrdb_server_spark.operators.events import mix_entropy
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(epoch_ns_expr(ev).alias("time"), "event_type")
+    return mix_entropy(ev, start=T_2024, end=T_FEB)
+
+
+def q_user_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning active users per day over January — the
+    growth-accounting timeline, all-integer."""
+    from btrdb_server_spark.operators.events import user_novelty
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(epoch_ns_expr(ev).alias("time"), "user_id")
+    return user_novelty(ev, start=T_2024, end=T_FEB)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4587,6 +4628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "split_report": q_split_report,
         "curation_pipeline": q_curation_pipeline,
+        "hour_dow_heatmap": q_hour_dow_heatmap,
+        "var_cvar": q_var_cvar,
+        "mix_entropy": q_mix_entropy,
+        "user_novelty": q_user_novelty,
     }
 
 
@@ -9919,5 +9964,117 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tokens AS DOUBLE) / CAST(t0 AS DOUBLE)
                        AS token_share
             FROM stages ORDER BY stage_idx
+        """,
+        "hour_dow_heatmap": """
+            {PTS}
+            SELECT uuid,
+                   ((time // 86400000000000) + 4) % 7 AS dow,
+                   (time // 3600000000000) % 24 AS hod,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 100.0) AS mean
+            FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """.replace("{PTS}", PTS_CTE),
+        "var_cvar": """
+            {PTS}, su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), deltas AS (
+                SELECT uuid, s - lag(s) OVER (PARTITION BY uuid
+                    ORDER BY widx) AS d
+                FROM x QUALIFY d IS NOT NULL
+            ), nn AS (
+                SELECT uuid, count(*) AS nd FROM deltas GROUP BY 1
+            ), ranked AS (
+                SELECT uuid, d, row_number() OVER (PARTITION BY uuid
+                    ORDER BY d) AS rn
+                FROM deltas
+            ), vr AS (
+                SELECT ranked.uuid, d AS var_q
+                FROM ranked JOIN nn ON ranked.uuid = nn.uuid
+                WHERE rn = (5 * nd + 99) // 100
+            ), tail AS (
+                SELECT deltas.uuid, CAST(sum(d) AS BIGINT) AS tail_sum,
+                       count(*) AS n_tail
+                FROM deltas JOIN vr ON deltas.uuid = vr.uuid
+                WHERE d <= var_q GROUP BY 1
+            )
+            SELECT nn.uuid, nd AS n_deltas,
+                   CAST(var_q AS DOUBLE) / 100.0 AS var,
+                   CAST(tail_sum AS DOUBLE)
+                       / (CAST(n_tail AS DOUBLE) * 100.0) AS cvar,
+                   n_tail
+            FROM nn JOIN vr ON nn.uuid = vr.uuid
+            JOIN tail ON nn.uuid = tail.uuid
+            ORDER BY nn.uuid
+        """.replace("{PTS}", PTS_CTE),
+        "mix_entropy": """
+            WITH per AS (
+                SELECT (epoch_ns(ts) - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                       count(*) AS N
+                FROM events
+                WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1706745600000000000
+                GROUP BY 1
+            ), hh AS (
+                SELECT widx, N,
+                       0.0 + (CASE WHEN c0 > 0 THEN -((CAST(c0 AS DOUBLE) / CAST(N AS DOUBLE))
+                        * ln(CAST(c0 AS DOUBLE) / CAST(N AS DOUBLE)))
+                        ELSE 0.0 END)
+                     + (CASE WHEN c1 > 0 THEN -((CAST(c1 AS DOUBLE) / CAST(N AS DOUBLE))
+                        * ln(CAST(c1 AS DOUBLE) / CAST(N AS DOUBLE)))
+                        ELSE 0.0 END)
+                     + (CASE WHEN c2 > 0 THEN -((CAST(c2 AS DOUBLE) / CAST(N AS DOUBLE))
+                        * ln(CAST(c2 AS DOUBLE) / CAST(N AS DOUBLE)))
+                        ELSE 0.0 END)
+                     + (CASE WHEN c3 > 0 THEN -((CAST(c3 AS DOUBLE) / CAST(N AS DOUBLE))
+                        * ln(CAST(c3 AS DOUBLE) / CAST(N AS DOUBLE)))
+                        ELSE 0.0 END)
+                     + (CASE WHEN c4 > 0 THEN -((CAST(c4 AS DOUBLE) / CAST(N AS DOUBLE))
+                        * ln(CAST(c4 AS DOUBLE) / CAST(N AS DOUBLE)))
+                        ELSE 0.0 END) AS h,
+                       greatest(c0, c1, c2, c3, c4) AS gm,
+                       c0, c1, c2, c3, c4
+                FROM per
+            )
+            SELECT 1704067200000000000 + widx * 86400000000000 AS time, N AS n_events, h,
+                   h / ln(5.0) AS h_norm,
+                   CASE WHEN c0 = gm AND TRUE THEN 'click' WHEN c1 = gm AND c0 < gm THEN 'view' WHEN c2 = gm AND c0 < gm AND c1 < gm THEN 'purchase' WHEN c3 = gm AND c0 < gm AND c1 < gm AND c2 < gm THEN 'signup' WHEN c4 = gm AND c0 < gm AND c1 < gm AND c2 < gm AND c3 < gm THEN 'error' END AS dominant
+            FROM hh ORDER BY time
+        """,
+        "user_novelty": """
+            WITH uw AS (
+                SELECT DISTINCT user_id AS u,
+                       (epoch_ns(ts) - 1704067200000000000) // 86400000000000 AS widx
+                FROM events
+                WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1706745600000000000
+            ), fw AS (
+                SELECT u, min(widx) AS w0 FROM uw GROUP BY 1
+            )
+            SELECT 1704067200000000000 + widx * 86400000000000 AS time,
+                   count(*) AS active_users,
+                   CAST(sum(CASE WHEN widx = w0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS new_users,
+                   count(*) - CAST(sum(CASE WHEN widx = w0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS returning_users,
+                   CAST(sum(CASE WHEN widx = w0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_share
+            FROM uw JOIN fw USING (u)
+            GROUP BY widx ORDER BY time
         """,
     }

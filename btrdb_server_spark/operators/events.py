@@ -1300,3 +1300,147 @@ def power_users(
             ).alias("share"),
         )
     )
+
+
+def mix_entropy(
+    events: DataFrame,
+    types: tuple[str, ...] = ("click", "view", "purchase", "signup", "error"),
+    width: int = 86_400_000_000_000,
+    start: int | None = None,
+    end: int | None = None,
+    time_col: str = "time",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-window Shannon entropy of the event-type mix plus the
+    dominant type — the workload-diversity timeline ("did the feed
+    collapse to one event kind?"). Fixed category list -> one static
+    conditional aggregate; H sums the per-type terms -(c/N) ln(c/N) in
+    DECLARED category order (a fixed float fold, the markov_entropy
+    discipline), dominant type by count desc then name asc.
+
+    Integer counts; each term's ratio is exact, and its ln goes through
+    the libm pandas UDF (JVM Math.log is 1-ulp off libm — the
+    hurst_exponent note). Scale shape: one map-side-combined groupBy
+    over windows; the UDF touches windows x |types| doubles. Columns:
+    time, n_events, h, h_norm, dominant."""
+    if not types or width <= 0:
+        raise ValueError("need types and positive width")
+    t = F.col(time_col)
+    src = events
+    if start is not None:
+        src = src.where(t >= start)
+    if end is not None:
+        src = src.where(t < end)
+    origin = start if start is not None else 0
+    aggs = [
+        F.sum((F.col(type_col) == ty).cast("long")).alias(f"c{i}")
+        for i, ty in enumerate(types)
+    ]
+    aggs.append(F.count("*").alias("N"))
+    per = src.groupBy(
+        F.expr(f"({time_col} - ({origin})) div {width}").alias("widx")
+    ).agg(*aggs)
+    import math as _math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(col):  # libm log — matches DuckDB ln() bit-exactly
+        return col.map(lambda v: _math.log(v) if v > 0 else float("nan"))
+
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # stage the ratios once so each _ln input is a plain column
+    per = per.select(
+        "*", *[(d(f"c{i}") / d("N")).alias(f"p{i}") for i in range(len(types))]
+    )
+    per = per.select(
+        "*", *[_ln(F.col(f"p{i}")).alias(f"l{i}") for i in range(len(types))]
+    )
+    h = F.lit(0.0)
+    for i in range(len(types)):
+        h = h + F.when(
+            F.col(f"c{i}") > 0, -(F.col(f"p{i}") * F.col(f"l{i}"))
+        ).otherwise(F.lit(0.0))
+    import math
+
+    dom = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"c{i}").alias("c"),
+                    F.lit(-i).alias("ni"),
+                )
+                for i in range(len(types))
+            ]
+        )
+    )
+    # dominant: max count, ties to the earlier DECLARED type
+    name_arr = F.array(*[F.lit(ty) for ty in types])
+    return per.select(
+        (F.lit(origin) + F.col("widx") * F.lit(width)).alias("time"),
+        F.col("N").alias("n_events"),
+        h.alias("h"),
+        (h / F.lit(math.log(float(len(types))))).alias("h_norm"),
+        F.element_at(name_arr, (-dom["ni"] + 1).cast("int")).alias("dominant"),
+    ).orderBy("time")
+
+
+def user_novelty(
+    events: DataFrame,
+    width: int = 86_400_000_000_000,
+    start: int | None = None,
+    end: int | None = None,
+    time_col: str = "time",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """New vs returning active users per window: a user is NEW in the
+    window of their first-ever event (within the queried range) and
+    RETURNING in every later active window — the growth-accounting
+    timeline behind every "DAU by cohort age" panel.
+
+    All-integer; new_share is ONE division. Scale shape: (user, window)
+    pairs distinct-ed first (map-side combine), the first-window
+    assignment is a groupBy(user) min over that user-window table, and
+    the join back is co-partitioned on the same user key (the
+    retention_cohorts shape). Columns: time, active_users, new_users,
+    returning_users, new_share."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    t = F.col(time_col)
+    src = events
+    if start is not None:
+        src = src.where(t >= start)
+    if end is not None:
+        src = src.where(t < end)
+    origin = start if start is not None else 0
+    uw = (
+        src.select(
+            F.col(user_col).alias("u"),
+            F.expr(f"({time_col} - ({origin})) div {width}").alias("widx"),
+        )
+        .distinct()
+    )
+    first = uw.groupBy("u").agg(F.min("widx").alias("w0"))
+    return (
+        uw.join(first, "u")
+        .groupBy("widx")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum((F.col("widx") == F.col("w0")).cast("long")).alias(
+                "new_users"
+            ),
+        )
+        .select(
+            (F.lit(origin) + F.col("widx") * F.lit(width)).alias("time"),
+            "active_users",
+            "new_users",
+            (F.col("active_users") - F.col("new_users")).alias(
+                "returning_users"
+            ),
+            (
+                F.col("new_users").cast("double")
+                / F.col("active_users").cast("double")
+            ).alias("new_share"),
+        )
+        .orderBy("time")
+    )

@@ -548,3 +548,62 @@ def test_curation_pipeline_monotone_funnel(spark):
     assert d[0] == 4 and d[1] == 3        # dup dropped
     assert d[3] == d[2] - 1               # the bench doc self-contaminates
     assert out[0].doc_share == 1.0 and out[0].token_share == 1.0
+
+
+def test_var_cvar_brute_force(spark):
+    import random
+
+    from btrdb_server_spark.operators.tsshape import var_cvar
+
+    rng = random.Random(12)
+    xs = [rng.randint(-1000, 1000) for _ in range(50)]
+    df = _pts(spark, xs)
+    r = var_cvar(df, T0, T0 + 50 * W, W, alpha_pct=10).collect()[0]
+    deltas = sorted(xs[i] - xs[i - 1] for i in range(1, 50))
+    rank = -((-10 * 49) // 100)
+    var_q = deltas[rank - 1]
+    tail = [d for d in deltas if d <= var_q]
+    assert r.var == var_q / 100.0
+    assert r.cvar == sum(tail) / (len(tail) * 100.0)
+    assert r.n_tail == len(tail)
+    assert r.cvar <= r.var  # tail mean can't exceed its upper bound
+
+
+def test_mix_entropy_uniform_vs_point_mass(spark):
+    from btrdb_server_spark.operators.events import mix_entropy
+
+    rows = []
+    # window 0: perfectly uniform over 5 types; window 1: all one type
+    types = ["click", "view", "purchase", "signup", "error"]
+    for i, ty in enumerate(types * 4):
+        rows.append((i, ty))
+    for i in range(10):
+        rows.append((1_000 + i, "error"))
+    df = spark.createDataFrame(rows, "time long, event_type string")
+    out = mix_entropy(df, width=1_000, start=0, end=2_000).collect()
+    assert abs(out[0].h_norm - 1.0) < 1e-12  # uniform -> max entropy
+    assert out[1].h == 0.0 and out[1].dominant == "error"
+
+
+def test_user_novelty_accounting(spark):
+    from btrdb_server_spark.operators.events import user_novelty
+
+    rows = [(0, 1), (0, 2), (1_000, 1), (1_000, 3), (2_000, 3)]
+    df = spark.createDataFrame(rows, "time long, user_id long")
+    out = {(r.time // 1_000): r for r in user_novelty(df, width=1_000, start=0, end=3_000).collect()}
+    assert (out[0].new_users, out[0].returning_users) == (2, 0)
+    assert (out[1].new_users, out[1].returning_users) == (1, 1)
+    assert (out[2].new_users, out[2].returning_users) == (0, 1)
+
+
+def test_hour_dow_heatmap_cells(spark):
+    from btrdb_server_spark.operators.tsshape import hour_dow_heatmap
+
+    HOUR = 3_600_000_000_000
+    # 1970-01-01 (epoch day 0) was a Thursday -> dow 4
+    rows = [("s", 5 * HOUR, 10.0), ("s", 5 * HOUR + 1, 30.0),
+            ("s", 29 * HOUR, 7.0)]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    out = {(r.dow, r.hod): r for r in hour_dow_heatmap(df, 0, 48 * HOUR).collect()}
+    assert out[(4, 5)].n == 2 and out[(4, 5)].mean == 20.0
+    assert out[(5, 5)].n == 1 and out[(5, 5)].mean == 7.0
