@@ -4331,6 +4331,31 @@ def q_user_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_novelty(ev, start=T_2024, end=T_FEB)
 
 
+
+def q_rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-50 and
+    the cosine top-50 (probe vec 7, vec_id aligned with doc_id) — two
+    TakeOrdered heads, one tiny outer join, exact 1/(60+rank) terms."""
+    from btrdb_server_spark.functions.retrieval import rerank_fusion
+
+    return rerank_fusion(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        BM25_QUERY,
+    )
+
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity vs discount level from exact
+    integer moments — does discounting move volume?"""
+    from btrdb_server_spark.operators.olap import discount_elasticity
+
+    return discount_elasticity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4632,6 +4657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var_cvar": q_var_cvar,
         "mix_entropy": q_mix_entropy,
         "user_novelty": q_user_novelty,
+        "rerank_fusion": q_rerank_fusion,
+        "discount_elasticity": q_discount_elasticity,
     }
 
 
@@ -10076,5 +10103,106 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_share
             FROM uw JOIN fw USING (u)
             GROUP BY widx ORDER BY time
+        """,
+        "rerank_fusion": """
+            WITH d AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    lower(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, dl,
+                          unnest(list_filter(toks, x -> list_contains(
+                              ['spark','hash','merge','window'], x)))
+                              AS term
+                   FROM dl),
+            tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+                    FROM tf GROUP BY 1, 2, 3),
+            dfc AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tfc GROUP BY 1),
+            sc AS (SELECT doc_id,
+                          round(sum(
+                              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                              * tf * (1.2 + 1.0)
+                              / (tf + 1.2
+                                 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                          ), 6) AS score
+                   FROM tfc JOIN dfc USING (term) CROSS JOIN st
+                   GROUP BY doc_id),
+            lexr AS (
+                SELECT doc_id AS dd,
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS bm25_rank
+                FROM (SELECT doc_id, score FROM sc
+                      ORDER BY score DESC, doc_id LIMIT 50)
+            ), e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+            cos AS (
+                SELECT vec_id,
+                       round(list_cosine_similarity(v, qv), 6) AS cosine
+                FROM e, q ORDER BY cosine DESC, vec_id LIMIT 50
+            ), denser AS (
+                SELECT vec_id AS dd,
+                       row_number() OVER (ORDER BY cosine DESC, vec_id)
+                           AS cos_rank
+                FROM cos
+            ), fused AS (
+                SELECT COALESCE(lexr.dd, denser.dd) AS doc_id,
+                       bm25_rank, cos_rank
+                FROM lexr FULL OUTER JOIN denser ON lexr.dd = denser.dd
+            )
+            SELECT doc_id,
+                   (CASE WHEN bm25_rank IS NOT NULL
+                         THEN 1.0 / (60.0 + CAST(bm25_rank AS DOUBLE))
+                         ELSE 0.0 END)
+                   + (CASE WHEN cos_rank IS NOT NULL
+                           THEN 1.0 / (60.0 + CAST(cos_rank AS DOUBLE))
+                           ELSE 0.0 END) AS rrf,
+                   bm25_rank, cos_rank
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "discount_elasticity": """
+            WITH src AS (
+                SELECT p_brand,
+                       CAST(round(l_discount / 0.01) AS BIGINT) AS x,
+                       CAST(round(l_quantity) AS BIGINT) AS y
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), mom AS (
+                SELECT p_brand, count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS Sx,
+                       CAST(sum(y) AS BIGINT) AS Sy,
+                       CAST(sum(x * x) AS BIGINT) AS Sxx,
+                       CAST(sum(y * y) AS BIGINT) AS Syy,
+                       CAST(sum(x * y) AS BIGINT) AS Sxy
+                FROM src GROUP BY 1
+            )
+            SELECT p_brand, n AS n_items,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(Sxx AS DOUBLE)
+                             - CAST(Sx AS DOUBLE) * CAST(Sx AS DOUBLE) <> 0
+                        THEN (CAST(n AS DOUBLE) * CAST(Sxy AS DOUBLE)
+                              - CAST(Sx AS DOUBLE) * CAST(Sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(Sxx AS DOUBLE)
+                                - CAST(Sx AS DOUBLE) * CAST(Sx AS DOUBLE))
+                   END AS slope,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(Sxx AS DOUBLE)
+                              - CAST(Sx AS DOUBLE) * CAST(Sx AS DOUBLE))
+                             <> 0
+                         AND (CAST(n AS DOUBLE) * CAST(Syy AS DOUBLE)
+                              - CAST(Sy AS DOUBLE) * CAST(Sy AS DOUBLE))
+                             <> 0
+                        THEN ((CAST(n AS DOUBLE) * CAST(Sxy AS DOUBLE)
+                               - CAST(Sx AS DOUBLE) * CAST(Sy AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(Sxy AS DOUBLE)
+                                 - CAST(Sx AS DOUBLE) * CAST(Sy AS DOUBLE)))
+                             / ((CAST(n AS DOUBLE) * CAST(Sxx AS DOUBLE)
+                                 - CAST(Sx AS DOUBLE) * CAST(Sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(Syy AS DOUBLE)
+                                   - CAST(Sy AS DOUBLE)
+                                     * CAST(Sy AS DOUBLE)))
+                   END AS r2,
+                   CAST(Sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty
+            FROM mom ORDER BY p_brand
         """,
     }

@@ -183,3 +183,63 @@ def tfidf_topk(
         .select(id_col, "rank", F.col("tok").alias("token"), "score")
         .orderBy(id_col, "rank")
     )
+
+
+def rerank_fusion(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    probe_id: int = 7,
+    pool: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vid_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a dense retriever — the
+    standard hybrid-search serving pattern: take the top-`pool` BM25
+    list and the top-`pool` cosine list (vec_id aligned with doc_id),
+    fuse with RRF(d) = 1/(rrf_k + rank_bm25) + 1/(rrf_k + rank_cos)
+    (missing from one list contributes nothing), emit the top `k`.
+
+    Exactness: ranks are integers (both retrievers already rank on
+    round(score, 6) with id tiebreaks); each RRF term is ONE division
+    of exact small integers and the fusion adds exactly two terms —
+    engine-identical. Scale shape: two TakeOrderedAndProject heads of
+    `pool` rows, one outer join of two tiny lists, one ordered limit.
+    Columns: doc_id, rrf, bm25_rank, cos_rank."""
+    from pyspark.sql import Window
+
+    from btrdb_server_spark.functions.similarity import cosine_topk_by_id
+
+    lex = bm25_topk(docs, query_terms, k=pool, text_col=text_col, id_col=id_col)
+    wl = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    lexr = lex.select(
+        F.col(id_col).alias("d"),
+        F.row_number().over(wl).alias("bm25_rank"),
+    )
+    dense = cosine_topk_by_id(
+        embeddings, probe_id=probe_id, k=pool, id_col=vid_col, vec_col=vec_col
+    )
+    wd = Window.orderBy(F.col("cosine").desc(), F.col(vid_col))
+    denser = dense.select(
+        F.col(vid_col).alias("d"),
+        F.row_number().over(wd).alias("cos_rank"),
+    )
+    fused = lexr.join(denser, "d", "full_outer")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(),
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c).cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            F.col("d").alias("doc_id"),
+            (term("bm25_rank") + term("cos_rank")).alias("rrf"),
+            "bm25_rank",
+            "cos_rank",
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(k)
+    )

@@ -949,3 +949,44 @@ def forecast_revenue(
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+def discount_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand discount elasticity: the OLS slope of order quantity
+    against the discount level (in hundredths) across a brand's line
+    items — "does a deeper discount actually move volume for this
+    brand?" — plus the fit r2 and mean quantity.
+
+    Exactness: all five sufficient statistics are exact int64
+    (quantities and discount-hundredths are small integers); slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) and r2 evaluate as fixed IEEE
+    trees on the exact moments. Brands with zero discount variance emit
+    null slope. Scale shape: part's brand column broadcasts into the
+    fact scan, ONE map-side-combined groupBy(brand) carries eight
+    integers per brand. Columns: p_brand, n_items, slope, r2,
+    mean_qty."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    disc_h = _h(F.col("l_discount"))
+    li = lineitem.select("l_partkey", qty.alias("y"), disc_h.alias("x"))
+    p = part.select("p_partkey", "p_brand")
+    src = li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = src.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("Sx"),
+        F.sum("y").alias("Sy"),
+        F.sum(dec("x") * F.col("x")).alias("Sxx"),
+        F.sum(dec("y") * F.col("y")).alias("Syy"),
+        F.sum(dec("x") * F.col("y")).alias("Sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = d("n") * d("Sxx") - d("Sx") * d("Sx")
+    vy = d("n") * d("Syy") - d("Sy") * d("Sy")
+    cov = d("n") * d("Sxy") - d("Sx") * d("Sy")
+    return mom.select(
+        "p_brand",
+        F.col("n").alias("n_items"),
+        F.when(vx != 0, cov / vx).alias("slope"),
+        F.when((vx != 0) & (vy != 0), (cov * cov) / (vx * vy)).alias("r2"),
+        (d("Sy") / d("n")).alias("mean_qty"),
+    ).orderBy("p_brand")

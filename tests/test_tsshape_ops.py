@@ -607,3 +607,53 @@ def test_hour_dow_heatmap_cells(spark):
     out = {(r.dow, r.hod): r for r in hour_dow_heatmap(df, 0, 48 * HOUR).collect()}
     assert out[(4, 5)].n == 2 and out[(4, 5)].mean == 20.0
     assert out[(5, 5)].n == 1 and out[(5, 5)].mean == 7.0
+
+
+def test_rerank_fusion_properties(spark):
+    """A doc at rank 1 in both lists dominates; a doc present in only
+    one list scores exactly its single term."""
+    from btrdb_server_spark.functions.retrieval import rerank_fusion
+
+    docs = [
+        (0, "spark hash merge window spark hash merge window"),
+        (1, "spark hash something else entirely here today now"),
+        (2, "nothing relevant at all in this one whatsoever ok"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(3, 8)
+    vecs[0] = vecs[1] * 2.0  # doc 0 also the nearest neighbor of probe 1
+    edf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = rerank_fusion(ddf, edf, ["spark", "hash", "merge", "window"],
+                        probe_id=1, pool=3, k=3).collect()
+    assert out[0].doc_id == 0
+    assert out[0].rrf == 1.0 / 61.0 + 1.0 / 62.0 or out[0].rrf == 2.0 / 61.0
+    only_lex = [r for r in out if r.cos_rank is None]
+    for r in only_lex:
+        assert r.rrf == 1.0 / (60.0 + r.bm25_rank)
+
+
+def test_discount_elasticity_planted_slope(spark):
+    from btrdb_server_spark.operators.olap import discount_elasticity
+
+    rows = []
+    # brand A: qty = 10 + 3*disc_h exactly; brand B: constant discount
+    for i, dh in enumerate([0, 2, 4, 6, 8] * 4):
+        rows.append((i, 10.0 + 3 * dh, dh / 100.0, "Brand#A"))
+    for i in range(5):
+        rows.append((100 + i, 7.0, 0.05, "Brand#B"))
+    li = spark.createDataFrame(
+        [(i, q, d) for i, q, d, b in rows],
+        "l_partkey long, l_quantity double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(i, b) for i, q, d, b in rows], "p_partkey long, p_brand string"
+    )
+    out = {r.p_brand: r for r in discount_elasticity(li, part).collect()}
+    assert out["Brand#A"].slope == 3.0 and out["Brand#A"].r2 == 1.0
+    assert out["Brand#B"].slope is None  # zero discount variance
