@@ -4356,6 +4356,23 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 drifted embedding dimensions between the vec-id-parity
+    halves: two-sample z from exact quantized integer moments."""
+    from btrdb_server_spark.functions.similarity import embedding_drift
+
+    return embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth at doc-prefix checkpoints — first-
+    occurrence min aggregate, no sequential scan."""
+    from btrdb_server_spark.functions.text import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4659,6 +4676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_novelty": q_user_novelty,
         "rerank_fusion": q_rerank_fusion,
         "discount_elasticity": q_discount_elasticity,
+        "embedding_drift": q_embedding_drift,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -10204,5 +10223,85 @@ def oracle_sql() -> dict[str, str]:
                    END AS r2,
                    CAST(Sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty
             FROM mom ORDER BY p_brand
+        """,
+        "embedding_drift": """
+            WITH pts AS (
+                SELECT vec_id % 2 = 0 AS is_a,
+                       unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(round(x / 0.0001) AS BIGINT))) AS x,
+                       unnest(generate_series(0, 63)) AS d
+                FROM embeddings
+            ), mom AS (
+                SELECT d,
+                       CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+                            AS BIGINT) AS na,
+                       CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END)
+                            AS BIGINT) AS nb,
+                       CAST(sum(CASE WHEN is_a THEN x ELSE 0 END)
+                            AS BIGINT) AS Sa,
+                       CAST(sum(CASE WHEN is_a THEN 0 ELSE x END)
+                            AS BIGINT) AS Sb,
+                       CAST(sum(CASE WHEN is_a THEN x * x ELSE 0 END)
+                            AS BIGINT) AS SSa,
+                       CAST(sum(CASE WHEN is_a THEN 0 ELSE x * x END)
+                            AS BIGINT) AS SSb
+                FROM pts GROUP BY 1
+            ), zz AS (
+                SELECT d AS dim,
+                       (CAST(Sa AS DOUBLE) / CAST(na AS DOUBLE)
+                        - CAST(Sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                       / sqrt((((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                * (CAST(SSa AS DOUBLE)
+                                   + CAST(SSb AS DOUBLE))
+                                - (CAST(Sa AS DOUBLE) + CAST(Sb AS DOUBLE))
+                                  * (CAST(Sa AS DOUBLE)
+                                     + CAST(Sb AS DOUBLE)))
+                               / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                  * (CAST(na AS DOUBLE)
+                                     + CAST(nb AS DOUBLE))))
+                              * (1.0 / CAST(na AS DOUBLE)
+                                 + 1.0 / CAST(nb AS DOUBLE))) AS z,
+                       CAST(Sa AS DOUBLE)
+                           / (CAST(na AS DOUBLE) * 10000.0) AS mean_a,
+                       CAST(Sb AS DOUBLE)
+                           / (CAST(nb AS DOUBLE) * 10000.0) AS mean_b,
+                       na AS n_a, nb AS n_b
+                FROM mom
+            )
+            SELECT dim, z, mean_a, mean_b, n_a, n_b FROM (
+                SELECT *, row_number() OVER (ORDER BY abs(z) DESC, dim)
+                    AS rn FROM zz)
+            WHERE rn <= 10 ORDER BY abs(z) DESC, dim
+        """,
+        "vocab_growth": """
+            WITH toks AS (
+                SELECT doc_id AS did,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(text), '\\s+'), x -> x <> '')) AS tok
+                FROM documents
+            ), first AS (
+                SELECT tok, CAST(min(did) AS BIGINT) AS first_doc
+                FROM toks GROUP BY 1
+            ), per_doc AS (
+                SELECT did, count(*) AS n_tok FROM toks GROUP BY 1
+            ), ks AS (SELECT unnest([50, 100, 200, 500]) AS k_docs),
+            vol AS (
+                SELECT k_docs,
+                       CAST(COALESCE(sum(CASE WHEN did < k_docs
+                            THEN n_tok END), 0) AS BIGINT) AS tokens_total
+                FROM per_doc CROSS JOIN ks GROUP BY 1
+            ), voc AS (
+                SELECT k_docs,
+                       CAST(sum(CASE WHEN first_doc < k_docs
+                            THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+                FROM first CROSS JOIN ks GROUP BY 1
+            )
+            SELECT CAST(vol.k_docs AS BIGINT) AS k_docs, tokens_total,
+                   vocab,
+                   CASE WHEN tokens_total > 0 THEN
+                       CAST(vocab AS DOUBLE) / CAST(tokens_total AS DOUBLE)
+                   END AS ttr
+            FROM vol JOIN voc ON vol.k_docs = voc.k_docs
+            ORDER BY k_docs
         """,
     }

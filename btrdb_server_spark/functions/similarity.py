@@ -1146,3 +1146,69 @@ def cluster_purity(
         )
         .orderBy("label")
     )
+
+
+def embedding_drift(
+    embeddings: DataFrame,
+    quantum: float = 1e-4,
+    top: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension drift screen between two deterministic halves of the
+    embedding corpus (vec_id parity stands in for old/new snapshots):
+    for every dimension, the two-sample z of the mean difference
+    against the pooled population sd — the "did the encoder move?"
+    monitor a feature store runs on refresh. Emits the `top` most
+    drifted dimensions (|z| desc, dim asc).
+
+    Exactness: embeddings quantize to 1e-4 ints (the linalg.py PCA
+    discipline); per-dim sums/squares are exact int64; z evaluates as
+    one fixed IEEE tree over them, so it is bit-identical in any engine
+    — and therefore the |z| ranking (dim tiebreak) is deterministic
+    too. Scale shape: one posexplode + map-side-combined (dim x half)
+    aggregate (2*dim rows), everything after is dim-scale. Columns:
+    dim, z, mean_a, mean_b, n_a, n_b."""
+    emb = F.col(vec_col).cast("array<double>")
+    vq = F.transform(emb, lambda x: F.round(x / F.lit(quantum)).cast("long"))
+    pts = embeddings.select(
+        (F.col(id_col) % 2 == 0).alias("is_a"), F.posexplode(vq).alias("d", "x")
+    )
+    mom = pts.groupBy("d").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.col("x")).otherwise(0)).alias("Sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("x")).otherwise(0)).alias("Sb"),
+        F.sum(
+            F.when(F.col("is_a"), F.col("x") * F.col("x")).otherwise(0)
+        ).alias("SSa"),
+        F.sum(
+            F.when(~F.col("is_a"), F.col("x") * F.col("x")).otherwise(0)
+        ).alias("SSb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # pooled population variance over both halves combined
+    n = d("na") + d("nb")
+    S = d("Sa") + d("Sb")
+    SS = d("SSa") + d("SSb")
+    var = (n * SS - S * S) / (n * n)
+    se = F.sqrt(var * (F.lit(1.0) / d("na") + F.lit(1.0) / d("nb")))
+    z = (d("Sa") / d("na") - d("Sb") / d("nb")) / se
+    from pyspark.sql import Window
+
+    q2 = round(1.0 / quantum)
+    ranked = mom.select(
+        F.col("d").alias("dim"),
+        z.alias("z"),
+        (d("Sa") / (d("na") * F.lit(float(q2)))).alias("mean_a"),
+        (d("Sb") / (d("nb") * F.lit(float(q2)))).alias("mean_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+    )
+    w = Window.orderBy(F.abs(F.col("z")).desc(), F.col("dim"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top)
+        .drop("rn")
+        .orderBy(F.abs(F.col("z")).desc(), "dim")
+    )

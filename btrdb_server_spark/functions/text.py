@@ -688,3 +688,68 @@ def ngram_coverage(
         )
         .orderBy("k")
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    checkpoints: tuple[int, ...] = (50, 100, 200, 500),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth table: at each corpus-prefix
+    checkpoint (the first k documents by id), the cumulative token
+    volume, the vocabulary size, and the type-token ratio — the curve
+    that sizes tokenizer vocabularies and detects synthetic/looped text
+    (vocabulary that stops growing).
+
+    Exactness: vocabulary-at-k counts tokens whose FIRST occurrence doc
+    is within the prefix (a min aggregate — no sequential scan);
+    volume-at-k is a conditional sum; ttr is ONE division. Scale shape:
+    one explode feeding two map-side-combined aggregates (first-doc per
+    token at vocabulary scale, volume per doc at doc scale), then
+    checkpoint-conditional sums — the corpus is scanned once. Columns:
+    k_docs, tokens_total, vocab, ttr."""
+    if not checkpoints:
+        raise ValueError("need at least one checkpoint")
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).localCheckpoint(eager=False)
+    first = toks.groupBy("tok").agg(F.min("did").alias("first_doc"))
+    per_doc = toks.groupBy("did").agg(F.count("*").alias("n_tok"))
+    spark = docs.sparkSession
+    kdf = spark.createDataFrame(
+        [(int(k),) for k in checkpoints], "k_docs long"
+    )
+    vol = (
+        kdf.join(per_doc)
+        .groupBy("k_docs")
+        .agg(
+            F.sum(
+                F.when(F.col("did") < F.col("k_docs"), F.col("n_tok"))
+            ).alias("tokens_total")
+        )
+    )
+    voc = (
+        kdf.join(first)
+        .groupBy("k_docs")
+        .agg(
+            F.sum(
+                (F.col("first_doc") < F.col("k_docs")).cast("long")
+            ).alias("vocab")
+        )
+    )
+    return (
+        vol.join(voc, "k_docs")
+        .select(
+            "k_docs",
+            F.coalesce(F.col("tokens_total"), F.lit(0)).alias("tokens_total"),
+            "vocab",
+            F.when(
+                F.col("tokens_total") > 0,
+                F.col("vocab").cast("double")
+                / F.col("tokens_total").cast("double"),
+            ).alias("ttr"),
+        )
+        .orderBy("k_docs")
+    )

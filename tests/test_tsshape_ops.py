@@ -657,3 +657,44 @@ def test_discount_elasticity_planted_slope(spark):
     out = {r.p_brand: r for r in discount_elasticity(li, part).collect()}
     assert out["Brand#A"].slope == 3.0 and out["Brand#A"].r2 == 1.0
     assert out["Brand#B"].slope is None  # zero discount variance
+
+
+def test_embedding_drift_planted_dimension(spark):
+    """Shift one dimension in the odd half only: that dim tops the drift
+    ranking with a large |z|; undrifted dims stay small."""
+    import numpy as np
+
+    from btrdb_server_spark.functions.similarity import embedding_drift
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for i in range(200):
+        v = rng.randn(8) * 0.1
+        if i % 2 == 1:
+            v[3] += 2.0  # drift dim 3 in half B
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_drift(df, top=8).collect()
+    assert out[0].dim == 3
+    assert abs(out[0].z) > 10
+    assert all(abs(r.z) < 5 for r in out[1:])
+    assert abs((out[0].mean_b - out[0].mean_a) - 2.0) < 0.1
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from btrdb_server_spark.functions.text import vocab_growth
+
+    docs = [(i, f"common w{i} w{i % 3}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = vocab_growth(df, checkpoints=(2, 5, 10)).collect()
+    vocabs = [r.vocab for r in out]
+    toks = [r.tokens_total for r in out]
+    assert toks == [6, 15, 30]
+    # vocab at k: 'common' + distinct w{i} for i<k + distinct w{i%3} seen
+    def brute(k):
+        s = set()
+        for i in range(k):
+            s.update(f"common w{i} w{i % 3}".split())
+        return len(s)
+    assert vocabs == [brute(2), brute(5), brute(10)]
+    assert vocabs == sorted(vocabs)
