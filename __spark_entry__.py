@@ -4373,6 +4373,25 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of (cheaper price, larger size) over the part
+    catalog — the classical skyline via one pair-domain running-max
+    window, all-integer domination."""
+    from btrdb_server_spark.operators.olap import skyline_parts
+
+    return skyline_parts(load_table(spark, sf_dir, "part"))
+
+
+def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-vs-weekend Welch t on January daily sums per stream —
+    exact integer moments, fixed IEEE t and Welch-Satterthwaite df."""
+    from btrdb_server_spark.operators.tsshape import weekend_effect
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return weekend_effect(pts, T_2024, T_FEB)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4678,6 +4697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_elasticity": q_discount_elasticity,
         "embedding_drift": q_embedding_drift,
         "vocab_growth": q_vocab_growth,
+        "skyline_parts": q_skyline_parts,
+        "weekend_effect": q_weekend_effect,
     }
 
 
@@ -10304,4 +10325,87 @@ def oracle_sql() -> dict[str, str]:
             FROM vol JOIN voc ON vol.k_docs = voc.k_docs
             ORDER BY k_docs
         """,
+        "skyline_parts": """
+            WITH src AS (
+                SELECT p_partkey,
+                       CAST(round(p_retailprice / 0.01) AS BIGINT) AS pc,
+                       CAST(p_size AS BIGINT) AS sz
+                FROM part
+            ), pairs AS (SELECT DISTINCT pc, sz FROM src),
+            fr AS (
+                SELECT pc, sz,
+                       max(sz) OVER (ORDER BY pc ASC, sz DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+                FROM pairs
+            ), frontier AS (
+                SELECT pc, sz FROM fr
+                WHERE prev_max IS NULL OR sz > prev_max
+            )
+            SELECT CAST(src.pc AS DOUBLE) / 100.0 AS retail_price,
+                   src.sz AS p_size,
+                   count(*) AS n_parts,
+                   CAST(min(p_partkey) AS BIGINT) AS min_partkey
+            FROM src JOIN frontier
+              ON src.pc = frontier.pc AND src.sz = frontier.sz
+            GROUP BY src.pc, src.sz
+            ORDER BY retail_price
+        """,
+        "weekend_effect": """
+            {PTS}, su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s,
+                       ((spine.widx + 19727) % 7) IN (0, 6) AS is_we
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), mom AS (
+                SELECT uuid,
+                       CAST(sum(CASE WHEN NOT is_we THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN is_we THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n2,
+                       CAST(sum(CASE WHEN NOT is_we THEN s ELSE 0 END)
+                            AS BIGINT) AS S1,
+                       CAST(sum(CASE WHEN is_we THEN s ELSE 0 END)
+                            AS BIGINT) AS S2,
+                       CAST(sum(CASE WHEN NOT is_we THEN s * s ELSE 0 END)
+                            AS BIGINT) AS SS1,
+                       CAST(sum(CASE WHEN is_we THEN s * s ELSE 0 END)
+                            AS BIGINT) AS SS2
+                FROM x GROUP BY 1
+            ), tt AS (
+                SELECT uuid, n1, n2,
+                       CAST(S1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                       CAST(S2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                       (CAST(n1 AS DOUBLE) * CAST(SS1 AS DOUBLE)
+                        - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE)
+                          * (CAST(n1 AS DOUBLE) - 1.0))
+                       / CAST(n1 AS DOUBLE) AS a,
+                       (CAST(n2 AS DOUBLE) * CAST(SS2 AS DOUBLE)
+                        - CAST(S2 AS DOUBLE) * CAST(S2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE)
+                          * (CAST(n2 AS DOUBLE) - 1.0))
+                       / CAST(n2 AS DOUBLE) AS b
+                FROM mom
+            )
+            SELECT uuid, n1 AS n_wd, n2 AS n_we,
+                   m1 / 100.0 AS mean_wd, m2 / 100.0 AS mean_we,
+                   CASE WHEN n1 > 1 AND n2 > 1 AND a + b > 0
+                        THEN (m1 - m2) / sqrt(a + b) END AS t,
+                   CASE WHEN n1 > 1 AND n2 > 1 AND a + b > 0
+                        THEN (a + b) * (a + b)
+                             / (a * a / (CAST(n1 AS DOUBLE) - 1.0)
+                                + b * b / (CAST(n2 AS DOUBLE) - 1.0))
+                   END AS df
+            FROM tt ORDER BY uuid
+        """.replace("{PTS}", PTS_CTE),
     }

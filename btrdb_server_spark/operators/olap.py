@@ -990,3 +990,46 @@ def discount_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         F.when((vx != 0) & (vy != 0), (cov * cov) / (vx * vy)).alias("r2"),
         (d("Sy") / d("n")).alias("mean_qty"),
     ).orderBy("p_brand")
+
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the part catalog on (cheaper
+    retail price, larger size): a (price, size) point is dominated when
+    some other point is at-least-as-good on both axes and strictly
+    better on one. The classical skyline operator the reference's
+    single-table plane never needed — and the textbook sort-scan
+    formulation Spark expresses in one window.
+
+    Exactness: prices in integer cents, sizes integer; domination is
+    pure integer comparison. Algorithm: distinct (price, size) pairs
+    sorted by (price asc, size desc); a pair is on the frontier iff its
+    size strictly exceeds every preceding pair's size (any predecessor
+    in that order is at-least-as-cheap, so a >= size predecessor
+    dominates). Scale shape: one distinct to the pair domain, one
+    running-max window over it (pair-domain scale, not catalog scale),
+    one broadcast join back for the per-pair part count. Columns:
+    retail_price, p_size, n_parts, min_partkey."""
+    from pyspark.sql import Window
+
+    cents = _h(F.col("p_retailprice"))
+    src = part.select(
+        "p_partkey", cents.alias("pc"), F.col("p_size").cast("long").alias("sz")
+    )
+    pairs = src.select("pc", "sz").distinct()
+    w = (
+        Window.orderBy(F.col("pc").asc(), F.col("sz").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = pairs.withColumn("prev_max", F.max("sz").over(w)).where(
+        F.col("prev_max").isNull() | (F.col("sz") > F.col("prev_max"))
+    )
+    per = src.join(frontier.select("pc", "sz"), ["pc", "sz"], "left_semi")
+    agg = per.groupBy("pc", "sz").agg(
+        F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey")
+    )
+    return agg.select(
+        (F.col("pc").cast("double") / F.lit(100.0)).alias("retail_price"),
+        F.col("sz").alias("p_size"),
+        "n_parts",
+        "min_partkey",
+    ).orderBy("retail_price")

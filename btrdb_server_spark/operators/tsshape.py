@@ -1099,3 +1099,66 @@ def var_cvar(
         )
         .orderBy("uuid")
     )
+
+
+def weekend_effect(
+    points: DataFrame,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Weekday-vs-weekend Welch t-test on daily sums per stream: does
+    the weekend population differ from the weekday one? Welch t and the
+    Welch-Satterthwaite df from exact per-group integer moments (the
+    welch_ttest machinery pointed at the calendar). dow from epoch days
+    (+4) % 7 with 0 = Sunday; weekend = {0, 6}.
+
+    Exactness: group sums/squares are int64; t and df are fixed IEEE
+    trees over them (sample variances with the n-1 denominator). Scale
+    shape: one point-scale groupBy to daily sums, one 2-group moment
+    reduce per stream. Columns: uuid, n_wd, n_we, mean_wd, mean_we, t,
+    df."""
+    filled, n = _bucket_sums(points, start, end, 86_400_000_000_000, value_quantum)
+    q = round(1.0 / value_quantum)
+    day0 = start // 86_400_000_000_000
+    dow = (F.col("widx") + F.lit(day0 + 4)) % 7
+    tagged = filled.select(
+        "uuid", "s", ((dow == 0) | (dow == 6)).alias("is_we")
+    )
+    mom = tagged.groupBy("uuid").agg(
+        F.sum(F.when(~F.col("is_we"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("is_we"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~F.col("is_we"), F.col("s")).otherwise(0)).alias("S1"),
+        F.sum(F.when(F.col("is_we"), F.col("s")).otherwise(0)).alias("S2"),
+        F.sum(
+            F.when(~F.col("is_we"), F.col("s") * F.col("s")).otherwise(0)
+        ).alias("SS1"),
+        F.sum(
+            F.when(F.col("is_we"), F.col("s") * F.col("s")).otherwise(0)
+        ).alias("SS2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m1 = d("S1") / d("n1")
+    m2 = d("S2") / d("n2")
+    v1 = (d("n1") * d("SS1") - d("S1") * d("S1")) / (
+        d("n1") * (d("n1") - F.lit(1.0))
+    )
+    v2 = (d("n2") * d("SS2") - d("S2") * d("S2")) / (
+        d("n2") * (d("n2") - F.lit(1.0))
+    )
+    a = v1 / d("n1")
+    b = v2 / d("n2")
+    t = (m1 - m2) / F.sqrt(a + b)
+    df = (a + b) * (a + b) / (
+        a * a / (d("n1") - F.lit(1.0)) + b * b / (d("n2") - F.lit(1.0))
+    )
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    return mom.select(
+        "uuid",
+        F.col("n1").cast("long").alias("n_wd"),
+        F.col("n2").cast("long").alias("n_we"),
+        (m1 / F.lit(float(q))).alias("mean_wd"),
+        (m2 / F.lit(float(q))).alias("mean_we"),
+        F.when(ok & ((a + b) > 0), t).alias("t"),
+        F.when(ok & ((a + b) > 0), df).alias("df"),
+    ).orderBy("uuid")

@@ -698,3 +698,46 @@ def test_vocab_growth_monotone_and_exact(spark):
         return len(s)
     assert vocabs == [brute(2), brute(5), brute(10)]
     assert vocabs == sorted(vocabs)
+
+
+def test_skyline_dominance(spark):
+    """No frontier point is dominated; every non-frontier point is."""
+    from btrdb_server_spark.operators.olap import skyline_parts
+
+    pts = [(1, 10.0, 5), (2, 10.0, 5), (3, 12.0, 8), (4, 15.0, 8),
+           (5, 9.0, 2), (6, 20.0, 9), (7, 12.0, 3)]
+    df = spark.createDataFrame(pts, "p_partkey long, p_retailprice double, p_size int")
+    out = skyline_parts(df).collect()
+    frontier = {(r.retail_price, r.p_size) for r in out}
+    allp = [(p, s) for _, p, s in pts]
+    def dominated(a):
+        return any(
+            (q[0] <= a[0] and q[1] >= a[1]) and q != a for q in set(allp)
+        )
+    for f in frontier:
+        assert not dominated(f), f
+    for a in set(allp):
+        if a not in frontier:
+            assert dominated(a), a
+    # duplicates on a frontier pair are counted together
+    d = {(r.retail_price, r.p_size): r.n_parts for r in out}
+    assert d[(10.0, 5)] == 2
+
+
+def test_weekend_effect_planted_difference(spark):
+    from btrdb_server_spark.operators.tsshape import weekend_effect
+
+    DAY = 86_400_000_000_000
+    # 28 days from a Monday-epoch-ish origin: start at day index so that
+    # dow of widx 0 = (day0+4)%7; use start=0 -> widx0 dow=4 (Thursday)
+    xs = []
+    for t in range(28):
+        dow = (t + 4) % 7
+        xs.append(50_000 if dow in (0, 6) else 10_000)
+    rows = [("s", t * DAY, c / 100.0) for t, c in enumerate(xs)]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    r = weekend_effect(df, 0, 28 * DAY).collect()[0]
+    assert (r.n_wd, r.n_we) == (20, 8)
+    assert r.mean_we == 500.0 and r.mean_wd == 100.0
+    assert r.t is None or abs(r.t) > 0  # zero variance -> a+b == 0 -> null
+    assert r.t is None  # constant groups: undefined t, reported null
