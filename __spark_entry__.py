@@ -4392,6 +4392,17 @@ def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekend_effect(pts, T_2024, T_FEB)
 
 
+
+def q_collection_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespace hierarchy rollup: one row per collection path prefix
+    with stream and child-collection counts — the tree browser's
+    payload in one pass (ListCollections walks prefixes per request)."""
+    from btrdb_server_spark.metadata import collection_tree
+
+    streams = streams_from_events(load_table(spark, sf_dir, "events"))
+    return collection_tree(streams)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4699,6 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "skyline_parts": q_skyline_parts,
         "weekend_effect": q_weekend_effect,
+        "collection_tree": q_collection_tree,
     }
 
 
@@ -10408,4 +10420,26 @@ def oracle_sql() -> dict[str, str]:
                    END AS df
             FROM tt ORDER BY uuid
         """.replace("{PTS}", PTS_CTE),
+        "collection_tree": """
+            WITH st AS (
+                SELECT DISTINCT 'events/' || event_type AS collection,
+                       event_type || '/' || CAST(user_id AS VARCHAR)
+                           AS uuid
+                FROM events
+            ), ex AS (
+                SELECT collection,
+                       unnest(list_transform(
+                           generate_series(1,
+                               len(string_split(collection, '/'))),
+                           i -> array_to_string(list_slice(
+                               string_split(collection, '/'), 1, i), '/')))
+                           AS prefix
+                FROM st
+            )
+            SELECT prefix,
+                   CAST(len(string_split(prefix, '/')) AS BIGINT) AS depth,
+                   count(*) AS n_streams,
+                   count(DISTINCT collection) AS n_collections
+            FROM ex GROUP BY 1 ORDER BY 1
+        """,
     }

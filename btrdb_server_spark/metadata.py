@@ -502,3 +502,42 @@ class StreamRegistry:
         """(tag_usage, annotation_usage): key -> stream count under a
         collection prefix (keyusage.go:20-78)."""
         return usage_of(self.live_df(), prefix)
+
+
+def collection_tree(streams) -> "DataFrame":
+    """Hierarchy rollup over the collection NAMESPACE: collections are
+    hierarchical by convention (prefix-searchable, '/'-delimited —
+    metaprovider.go:429-457 ListCollections), and this emits one row
+    per path prefix with the number of streams and distinct child
+    collections beneath it — the tree browser's one-query payload (the
+    reference walks prefixes per request; here the whole tree is one
+    pass).
+
+    All-integer; deterministic. Scale shape: each stream explodes to
+    depth-many prefix rows (depth is small by convention), one
+    map-side-combined groupBy(prefix) with a distinct-collection count.
+    Columns: prefix, depth, n_streams, n_collections."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(F.col("collection"), "/")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+    )
+    exploded = streams.select(
+        F.col("collection"), F.explode(prefixes).alias("prefix")
+    )
+    return (
+        exploded.groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_streams"),
+            F.countDistinct("collection").alias("n_collections"),
+        )
+        .select(
+            "prefix",
+            (F.size(F.split(F.col("prefix"), "/"))).cast("long").alias("depth"),
+            "n_streams",
+            "n_collections",
+        )
+        .orderBy("prefix")
+    )

@@ -741,3 +741,18 @@ def test_weekend_effect_planted_difference(spark):
     assert r.mean_we == 500.0 and r.mean_wd == 100.0
     assert r.t is None or abs(r.t) > 0  # zero variance -> a+b == 0 -> null
     assert r.t is None  # constant groups: undefined t, reported null
+
+
+def test_collection_tree_rollup(spark):
+    from btrdb_server_spark.metadata import collection_tree
+
+    rows = [
+        ("u1", "a/b/c"), ("u2", "a/b/c"), ("u3", "a/b/d"), ("u4", "a/e"),
+        ("u5", "z"),
+    ]
+    df = spark.createDataFrame(rows, "uuid string, collection string")
+    out = {r.prefix: r for r in collection_tree(df).collect()}
+    assert out["a"].n_streams == 4 and out["a"].n_collections == 3
+    assert out["a/b"].n_streams == 3 and out["a/b"].n_collections == 2
+    assert out["a/b/c"].n_streams == 2 and out["a/b/c"].n_collections == 1
+    assert out["z"].depth == 1 and out["z"].n_streams == 1
