@@ -756,3 +756,83 @@ def test_collection_tree_rollup(spark):
     assert out["a/b"].n_streams == 3 and out["a/b"].n_collections == 2
     assert out["a/b/c"].n_streams == 2 and out["a/b/c"].n_collections == 1
     assert out["z"].depth == 1 and out["z"].n_streams == 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SET
+@given(
+    xs=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=12, max_size=60
+    )
+)
+def test_variance_ratio_hypothesis(spark, xs):
+    from btrdb_server_spark.operators.tsshape import variance_ratio
+
+    n = len(xs)
+    df = _pts(spark, xs)
+    out = {r.q: r.vr for r in variance_ratio(df, T0, T0 + n * W, W, qs=(3,)).collect()}
+    ys = [sum(xs[t : t + 3]) for t in range(n - 2)]
+    ny, Sy, SSy = len(ys), sum(ys), sum(y * y for y in ys)
+    S, SS = sum(xs), sum(v * v for v in xs)
+    den = 3.0 * (n * float(SS) - float(S) * float(S)) * ny * ny
+    if den == 0:
+        assert out[3] is None
+    else:
+        num = (float(ny) * float(SSy) - float(Sy) * float(Sy)) * n * n
+        assert out[3] == num / den
+
+
+@_SET
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_target_encode_hypothesis(spark, vals):
+    from collections import defaultdict
+
+    from btrdb_server_spark.functions.mlprep import target_encode
+
+    rows = [(i, t, c / 100.0) for i, (t, c) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_id: r.loo_enc for r in target_encode(df).collect()}
+    sums, cnts = defaultdict(int), defaultdict(int)
+    for t, c in vals:
+        sums[t] += c
+        cnts[t] += 1
+    for i, (t, c) in enumerate(vals):
+        if cnts[t] == 1:
+            assert out[i] is None
+        else:
+            assert out[i] == (float(sums[t] - c) / float(cnts[t] - 1)) / 100.0
+
+
+@_SET
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_bloom_one_sided_hypothesis(spark, seed):
+    import random
+
+    from btrdb_server_spark.functions.sketch import bloom_audit
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(100_000), 60)
+    rows = [(i, "src0" if j < 20 else "srcX") for j, i in enumerate(ids)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in bloom_audit(df, m_bits=128, k_hashes=2).collect()}
+    b = out["src0"]
+    assert b.claimed == b.true_members == b.n_ids  # never a false negative
+    assert out["srcX"].true_members == 0
