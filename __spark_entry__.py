@@ -4403,6 +4403,21 @@ def q_collection_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collection_tree(streams)
 
 
+
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl revenue concentration per customer nation: sum of
+    squared customer shares as one exact-integer division, plus the top
+    customer's share."""
+    from btrdb_server_spark.operators.olap import market_concentration
+
+    return market_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4713,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "weekend_effect": q_weekend_effect,
         "collection_tree": q_collection_tree,
+        "market_concentration": q_market_concentration,
     }
 
 
@@ -10443,5 +10459,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_streams,
                    count(DISTINCT collection) AS n_collections
             FROM ex GROUP BY 1 ORDER BY 1
+        """,
+        "market_concentration": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT))
+                         AS rev4
+                FROM lineitem
+            ), pc AS (
+                SELECT o_custkey, CAST(sum(rev4) AS HUGEINT) AS r
+                FROM li JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1
+            ), agg AS (
+                SELECT n_name, count(*) AS n_customers,
+                       CAST(sum(r) AS HUGEINT) AS S,
+                       CAST(sum(r * r) AS HUGEINT) AS S2,
+                       CAST(max(r) AS HUGEINT) AS rmax
+                FROM pc JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1
+            )
+            SELECT n_name, n_customers,
+                   CAST(S2 AS DOUBLE)
+                       / (CAST(S AS DOUBLE) * CAST(S AS DOUBLE)) AS hhi,
+                   CAST(rmax AS DOUBLE) / CAST(S AS DOUBLE) AS top_share
+            FROM agg ORDER BY n_name
         """,
     }

@@ -1033,3 +1033,47 @@ def skyline_parts(part: DataFrame) -> DataFrame:
         "n_parts",
         "min_partkey",
     ).orderBy("retail_price")
+
+
+def market_concentration(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per customer nation:
+    HHI = sum over customers of (customer revenue / nation revenue)^2 —
+    the antitrust-style "is this market one whale or many minnows"
+    readout, the squared-share companion to gini_spend.
+
+    Exactness: with integer 1e-4 revenues r_i, HHI = sum(r_i^2) / S^2
+    — both decimal(38,0)-exact integers, ONE division of their double
+    casts. Scale shape: one fact-fact co-hash, customer-scale revenue
+    aggregate, nation broadcast, nation-scale final reduce. Columns:
+    n_name, n_customers, hhi, top_share."""
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = lineitem.select("l_orderkey", rev4.alias("rev4"))
+    o = orders.select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("rev4").cast("decimal(38,0)")).alias("r"))
+    )
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    tagged = per_cust.join(
+        F.broadcast(c), F.col("o_custkey") == c["c_custkey"]
+    ).join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+    agg = tagged.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("r").alias("S"),
+        F.sum(F.col("r") * F.col("r")).alias("S2"),
+        F.max("r").alias("rmax"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return agg.select(
+        "n_name",
+        "n_customers",
+        (d("S2") / (d("S") * d("S"))).alias("hhi"),
+        (d("rmax") / d("S")).alias("top_share"),
+    ).orderBy("n_name")

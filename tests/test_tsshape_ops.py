@@ -836,3 +836,26 @@ def test_bloom_one_sided_hypothesis(spark, seed):
     b = out["src0"]
     assert b.claimed == b.true_members == b.n_ids  # never a false negative
     assert out["srcX"].true_members == 0
+
+
+def test_market_concentration_bounds(spark):
+    """HHI in [1/n, 1]; a one-whale nation reads ~1, an equal-split
+    nation reads exactly 1/n; top_share is the max customer share."""
+    from btrdb_server_spark.operators.olap import market_concentration
+
+    li, od = [], []
+    # nation 0: four equal customers; nation 1: one whale + crumbs
+    for cust, amount in [(0, 100.0), (1, 100.0), (2, 100.0), (3, 100.0),
+                         (10, 970.0), (11, 10.0), (12, 10.0), (13, 10.0)]:
+        okey = cust + 1000
+        od.append((okey, cust))
+        li.append((okey, amount, 0.0))
+    lidf = spark.createDataFrame(li, "l_orderkey long, l_extendedprice double, l_discount double")
+    oddf = spark.createDataFrame(od, "o_orderkey long, o_custkey long")
+    cust_rows = [(c, 0 if c < 10 else 1) for c in [0, 1, 2, 3, 10, 11, 12, 13]]
+    cdf = spark.createDataFrame(cust_rows, "c_custkey long, c_nationkey int")
+    ndf = spark.createDataFrame([(0, "EQ"), (1, "WHALE")], "n_nationkey int, n_name string")
+    out = {r.n_name: r for r in market_concentration(lidf, oddf, cdf, ndf).collect()}
+    assert out["EQ"].hhi == 0.25 and out["EQ"].top_share == 0.25
+    assert out["WHALE"].hhi == (970**2 + 3 * 10**2) / 1000**2
+    assert out["WHALE"].top_share == 0.97
