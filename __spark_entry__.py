@@ -4418,6 +4418,16 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream inter-arrival gap histogram in decimal-digit decade
+    buckets over January — exact integer log-scale cadence profile."""
+    from btrdb_server_spark.operators.tsshape import gap_histogram
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return gap_histogram(pts, T_2024, T_FEB)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4729,6 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekend_effect": q_weekend_effect,
         "collection_tree": q_collection_tree,
         "market_concentration": q_market_concentration,
+        "gap_histogram": q_gap_histogram,
     }
 
 
@@ -10486,4 +10497,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rmax AS DOUBLE) / CAST(S AS DOUBLE) AS top_share
             FROM agg ORDER BY n_name
         """,
+        "gap_histogram": """
+            {PTS}, g AS (
+                SELECT uuid,
+                       time - lag(time) OVER (PARTITION BY uuid
+                           ORDER BY time) AS gap
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            )
+            SELECT uuid,
+                   CAST(strlen(CAST(gap AS VARCHAR)) AS BIGINT) AS digits,
+                   count(*) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_ns,
+                   CAST(max(gap) AS BIGINT) AS max_gap_ns
+            FROM g WHERE gap IS NOT NULL AND gap > 0
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """.replace("{PTS}", PTS_CTE),
     }

@@ -1162,3 +1162,40 @@ def weekend_effect(
         F.when(ok & ((a + b) > 0), t).alias("t"),
         F.when(ok & ((a + b) > 0), df).alias("df"),
     ).orderBy("uuid")
+
+
+def gap_histogram(
+    points: DataFrame,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """Inter-arrival gap distribution per stream in DECADE buckets
+    (bucket = number of decimal digits of the gap in ns — a log-scale
+    histogram with exact integer bucketing, no float log): the one-look
+    answer to "is this stream 1 Hz, 1/min, or bursty across scales",
+    and the cadence evidence behind coverage_report's declared-cadence
+    check.
+
+    All-integer output. Scale shape: one per-stream lag over the
+    time-ordered scan (stream-keyed window partitions), one map-side-
+    combined groupBy over the tiny (stream x ~19 digit-buckets) domain.
+    Columns: uuid, digits, n_gaps, min_gap_ns, max_gap_ns."""
+    w = Window.partitionBy("uuid").orderBy("time")
+    gaps = (
+        points.where(time_range_pred(start, end))
+        .select("uuid", "time")
+        .withColumn("prev", F.lag("time").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("uuid", (F.col("time") - F.col("prev")).alias("gap"))
+        .where(F.col("gap") > 0)  # duplicate timestamps carry no cadence
+    )
+    digits = F.length(F.col("gap").cast("string"))
+    return (
+        gaps.groupBy("uuid", digits.alias("digits"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap").alias("min_gap_ns"),
+            F.max("gap").alias("max_gap_ns"),
+        )
+        .orderBy("uuid", "digits")
+    )

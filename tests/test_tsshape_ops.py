@@ -859,3 +859,17 @@ def test_market_concentration_bounds(spark):
     assert out["EQ"].hhi == 0.25 and out["EQ"].top_share == 0.25
     assert out["WHALE"].hhi == (970**2 + 3 * 10**2) / 1000**2
     assert out["WHALE"].top_share == 0.97
+
+
+def test_gap_histogram_decades(spark):
+    from btrdb_server_spark.operators.tsshape import gap_histogram
+
+    times = [0, 5, 10, 1_010, 2_010, 1_000_000, 1_000_000]  # dup ts at end
+    rows = [("s", t, 1.0) for t in times]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    out = {r.digits: r for r in gap_histogram(df, 0, 2_000_000).collect()}
+    # gaps: 5,5 (1 digit), 1000,1000 (4 digits), 997990 (6 digits), 0 dropped
+    assert out[1].n_gaps == 2 and out[1].min_gap_ns == 5
+    assert out[4].n_gaps == 2 and out[4].max_gap_ns == 1000
+    assert out[6].n_gaps == 1 and out[6].min_gap_ns == 997_990
+    assert set(out) == {1, 4, 6}
