@@ -4428,6 +4428,34 @@ def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_histogram(pts, T_2024, T_FEB)
 
 
+
+def q_halfway_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day January's volume crosses its halfway mark per stream —
+    integer cumulative comparison, one front-load ratio division."""
+    from btrdb_server_spark.operators.tsshape import halfway_point
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return halfway_point(pts, T_2024, T_FEB, DAY_NS)
+
+
+def q_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal quantized value per stream with its share — the
+    stuck-sensor DQ probe, integer argmax."""
+    from btrdb_server_spark.operators.tsshape import mode_value
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return mode_value(pts, T_2024, T_FEB)
+
+
+def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per stream from exact type-1
+    quartiles over January."""
+    from btrdb_server_spark.operators.tsshape import tukey_outliers
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return tukey_outliers(pts, T_2024, T_FEB)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4740,6 +4768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_tree": q_collection_tree,
         "market_concentration": q_market_concentration,
         "gap_histogram": q_gap_histogram,
+        "halfway_point": q_halfway_point,
+        "mode_value": q_mode_value,
+        "tukey_outliers": q_tukey_outliers,
     }
 
 
@@ -10511,5 +10542,112 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(gap) AS BIGINT) AS max_gap_ns
             FROM g WHERE gap IS NOT NULL AND gap > 0
             GROUP BY 1, 2 ORDER BY 1, 2
+        """.replace("{PTS}", PTS_CTE),
+        "halfway_point": """
+            {PTS}, su AS (
+                SELECT uuid, (time - 1704067200000000000) // 86400000000000 AS widx,
+                       CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), spine AS (
+                SELECT u.uuid, g.widx
+                FROM (SELECT DISTINCT uuid FROM su) u
+                CROSS JOIN (SELECT unnest(range(0, 31)) AS widx) g
+            ), x AS (
+                SELECT spine.uuid, spine.widx, COALESCE(s, 0) AS s
+                FROM spine LEFT JOIN su USING (uuid, widx)
+            ), cum AS (
+                SELECT uuid, widx,
+                       CAST(sum(s) OVER (PARTITION BY uuid ORDER BY widx)
+                            AS BIGINT) AS cum
+                FROM x
+            ), tot AS (
+                SELECT uuid, CAST(sum(s) AS BIGINT) AS total
+                FROM x GROUP BY 1
+            ), hit AS (
+                SELECT cum.uuid, CAST(min(widx) AS BIGINT) AS halfway_widx
+                FROM cum JOIN tot ON cum.uuid = tot.uuid
+                WHERE 2 * cum >= total GROUP BY 1
+            )
+            SELECT uuid, halfway_widx,
+                   1704067200000000000 + halfway_widx * 86400000000000 AS halfway_time,
+                   CAST(31 AS BIGINT) AS n_buckets,
+                   CAST(halfway_widx + 1 AS DOUBLE) / 31.0
+                       AS frontload_ratio
+            FROM hit ORDER BY uuid
+        """.replace("{PTS}", PTS_CTE),
+        "mode_value": """
+            {PTS}, c AS (
+                SELECT uuid, CAST(round(value / 0.01) AS BIGINT) AS vq,
+                       count(*) AS cnt
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+                GROUP BY 1, 2
+            ), pick AS (
+                SELECT uuid, vq, cnt,
+                       row_number() OVER (PARTITION BY uuid
+                           ORDER BY cnt DESC, vq) AS rn
+                FROM c
+            ), tot AS (
+                SELECT uuid, CAST(sum(cnt) AS BIGINT) AS n_points
+                FROM c GROUP BY 1
+            )
+            SELECT pick.uuid,
+                   CAST(vq AS DOUBLE) / 100.0 AS mode_value,
+                   CAST(cnt AS BIGINT) AS mode_count,
+                   n_points,
+                   CAST(cnt AS DOUBLE) / CAST(n_points AS DOUBLE)
+                       AS mode_share
+            FROM pick JOIN tot ON pick.uuid = tot.uuid
+            WHERE rn = 1 ORDER BY pick.uuid
+        """.replace("{PTS}", PTS_CTE),
+        "tukey_outliers": """
+            {PTS}, src AS (
+                SELECT uuid, CAST(round(value / 0.01) AS BIGINT) AS vq
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            ), ranked AS (
+                SELECT uuid, vq,
+                       row_number() OVER (PARTITION BY uuid ORDER BY vq)
+                           AS rn
+                FROM src
+            ), nn AS (SELECT uuid, count(*) AS n FROM src GROUP BY 1),
+            qs AS (
+                SELECT ranked.uuid,
+                       CAST(min(CASE WHEN rn = (n + 3) // 4 THEN vq END)
+                            AS BIGINT) AS q1q,
+                       CAST(min(CASE WHEN rn = (3 * n + 3) // 4 THEN vq
+                            END) AS BIGINT) AS q3q
+                FROM ranked JOIN nn ON ranked.uuid = nn.uuid
+                WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+                GROUP BY 1
+            ), fl AS (
+                SELECT src.uuid,
+                       CASE WHEN CAST(vq AS DOUBLE) <
+                            CAST(q1q AS DOUBLE) - 1.5
+                                * (CAST(q3q AS DOUBLE)
+                                   - CAST(q1q AS DOUBLE))
+                            THEN 1 ELSE 0 END AS below,
+                       CASE WHEN CAST(vq AS DOUBLE) >
+                            CAST(q3q AS DOUBLE) + 1.5
+                                * (CAST(q3q AS DOUBLE)
+                                   - CAST(q1q AS DOUBLE))
+                            THEN 1 ELSE 0 END AS above
+                FROM src JOIN qs ON src.uuid = qs.uuid
+            ), agg AS (
+                SELECT uuid, CAST(sum(below) AS BIGINT) AS n_below,
+                       CAST(sum(above) AS BIGINT) AS n_above,
+                       count(*) AS n_points
+                FROM fl GROUP BY 1
+            )
+            SELECT agg.uuid,
+                   CAST(q1q AS DOUBLE) / 100.0 AS q1,
+                   CAST(q3q AS DOUBLE) / 100.0 AS q3,
+                   (CAST(q1q AS DOUBLE) - 1.5 * (CAST(q3q AS DOUBLE)
+                        - CAST(q1q AS DOUBLE))) / 100.0 AS lo_fence,
+                   (CAST(q3q AS DOUBLE) + 1.5 * (CAST(q3q AS DOUBLE)
+                        - CAST(q1q AS DOUBLE))) / 100.0 AS hi_fence,
+                   n_below, n_above, n_points
+            FROM agg JOIN qs ON agg.uuid = qs.uuid
+            ORDER BY agg.uuid
         """.replace("{PTS}", PTS_CTE),
     }

@@ -1199,3 +1199,166 @@ def gap_histogram(
         )
         .orderBy("uuid", "digits")
     )
+
+
+def halfway_point(
+    points: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """The volume-midpoint of the period per stream: the first bucket
+    where cumulative volume reaches half the period total (2*cum >=
+    total, an integer comparison — no float share), plus the front-load
+    ratio midpoint/n. Early midpoints flag front-loaded periods, late
+    ones back-loaded ramps.
+
+    All-integer decision; the ratio is ONE division. Scale shape: one
+    point-scale groupBy to bucket sums, one bucket-scale cumulative,
+    one min-pick. Columns: uuid, halfway_widx, halfway_time, n_buckets,
+    frontload_ratio."""
+    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    w = (
+        Window.partitionBy("uuid")
+        .orderBy("widx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = filled.withColumn("cum", F.sum("s").over(w))
+    tot = filled.groupBy("uuid").agg(F.sum("s").alias("total"))
+    hit = (
+        cum.join(F.broadcast(tot), "uuid")
+        .where(F.lit(2) * F.col("cum") >= F.col("total"))
+        .groupBy("uuid")
+        .agg(F.min("widx").alias("halfway_widx"))
+    )
+    return hit.select(
+        "uuid",
+        "halfway_widx",
+        (F.lit(start) + F.col("halfway_widx") * F.lit(width)).alias(
+            "halfway_time"
+        ),
+        F.lit(n).cast("long").alias("n_buckets"),
+        (
+            (F.col("halfway_widx") + F.lit(1)).cast("double")
+            / F.lit(float(n))
+        ).alias("frontload_ratio"),
+    ).orderBy("uuid")
+
+
+def mode_value(
+    points: DataFrame,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Modal value per stream: the most frequent quantized value, its
+    count, and its share of all points — the stuck-sensor / default-
+    value DQ probe (a healthy continuous signal has a tiny modal
+    share). Argmax over integer counts with the smaller value winning
+    ties — engine-exact.
+
+    Scale shape: one map-side-combined groupBy over the (stream, value)
+    domain, one struct-max argmax per stream, one total join. Columns:
+    uuid, mode_value, mode_count, n_points, mode_share."""
+    q = round(1.0 / value_quantum)
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    counts = (
+        points.where(time_range_pred(start, end))
+        .groupBy("uuid", vq.alias("vq"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    pick = counts.groupBy("uuid").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("vq")).alias("nvq"))).alias("m"),
+        F.sum("cnt").alias("n_points"),
+    )
+    return pick.select(
+        "uuid",
+        ((-F.col("m.nvq")).cast("double") / F.lit(float(q))).alias(
+            "mode_value"
+        ),
+        F.col("m.cnt").alias("mode_count"),
+        "n_points",
+        (
+            F.col("m.cnt").cast("double") / F.col("n_points").cast("double")
+        ).alias("mode_share"),
+    ).orderBy("uuid")
+
+
+def tukey_outliers(
+    points: DataFrame,
+    start: int,
+    end: int,
+    k_fence: float = 1.5,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Tukey-fence outlier census per stream: exact type-1 quartiles
+    (order statistics at ceil(n/4) and ceil(3n/4)), fences q1 -
+    k*(q3-q1) and q3 + k*(q3-q1), and the number of points beyond each
+    — the classical box-plot outlier count with no approximation in the
+    quartiles.
+
+    Exactness: quartiles are integer order statistics; the fences are
+    one fixed IEEE expression over them; the beyond-fence comparisons
+    put exact integers against those doubles — identical in any engine.
+    Scale shape: one rank window per stream (the audit-grade exact
+    quartile — at serving scale the histogram-sketch hist_quantiles is
+    the cheap path), one conditional reduce. Columns: uuid, q1, q3,
+    lo_fence, hi_fence, n_below, n_above, n_points."""
+    q = round(1.0 / value_quantum)
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    src = (
+        points.where(time_range_pred(start, end))
+        .select("uuid", vq.alias("vq"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("uuid").orderBy("vq")
+    ranked = src.withColumn("rn", F.row_number().over(w))
+    nn = src.groupBy("uuid").agg(F.count("*").alias("n"))
+    qs = (
+        ranked.join(F.broadcast(nn), "uuid")
+        .where(
+            (F.col("rn") == F.expr("(n + 3) div 4"))
+            | (F.col("rn") == F.expr("(3 * n + 3) div 4"))
+        )
+        .groupBy("uuid")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("vq"))
+            ).alias("q1q"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("vq")
+                )
+            ).alias("q3q"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    iqr = d("q3q") - d("q1q")
+    lo = d("q1q") - F.lit(float(k_fence)) * iqr
+    hi = d("q3q") + F.lit(float(k_fence)) * iqr
+    flagged = src.join(F.broadcast(qs), "uuid").select(
+        "uuid",
+        (F.col("vq").cast("double") < lo).cast("long").alias("below"),
+        (F.col("vq").cast("double") > hi).cast("long").alias("above"),
+    )
+    agg = flagged.groupBy("uuid").agg(
+        F.sum("below").alias("n_below"),
+        F.sum("above").alias("n_above"),
+        F.count("*").alias("n_points"),
+    )
+    qf = round(1.0 / value_quantum)
+    return (
+        agg.join(qs, "uuid")
+        .select(
+            "uuid",
+            (d("q1q") / F.lit(float(qf))).alias("q1"),
+            (d("q3q") / F.lit(float(qf))).alias("q3"),
+            (lo / F.lit(float(qf))).alias("lo_fence"),
+            (hi / F.lit(float(qf))).alias("hi_fence"),
+            "n_below",
+            "n_above",
+            "n_points",
+        )
+        .orderBy("uuid")
+    )

@@ -873,3 +873,57 @@ def test_gap_histogram_decades(spark):
     assert out[4].n_gaps == 2 and out[4].max_gap_ns == 1000
     assert out[6].n_gaps == 1 and out[6].min_gap_ns == 997_990
     assert set(out) == {1, 4, 6}
+
+
+def test_halfway_point_frontloaded(spark):
+    from btrdb_server_spark.operators.tsshape import halfway_point
+
+    front = [900] * 3 + [10] * 17   # half the volume lands by bucket 1
+    back = [10] * 17 + [900] * 3
+    df = _pts(spark, front, uuid="front").unionAll(_pts(spark, back, uuid="back"))
+    out = {r.uuid: r for r in halfway_point(df, T0, T0 + 20 * W, W).collect()}
+    import itertools
+    def brute(xs):
+        tot = sum(xs); c = 0
+        for i, v in enumerate(xs):
+            c += v
+            if 2 * c >= tot:
+                return i
+    assert out["front"].halfway_widx == brute(front)
+    assert out["back"].halfway_widx == brute(back)
+    assert out["front"].frontload_ratio < out["back"].frontload_ratio
+
+
+def test_mode_value_and_share(spark):
+    from btrdb_server_spark.operators.tsshape import mode_value
+
+    xs = [100, 100, 100, 250, 250, 777]
+    df = _pts(spark, xs)
+    r = mode_value(df, T0, T0 + 6 * W).collect()[0]
+    assert r.mode_value == 1.0 and r.mode_count == 3
+    assert r.mode_share == 0.5
+    # tie at the top -> smaller value wins
+    ys = [100, 100, 250, 250, 9]
+    r2 = mode_value(_pts(spark, ys, uuid="t"), T0, T0 + 5 * W).collect()[0]
+    assert r2.mode_value == 1.0
+
+
+def test_tukey_outliers_brute_force(spark):
+    import random
+
+    from btrdb_server_spark.operators.tsshape import tukey_outliers
+
+    rng = random.Random(21)
+    xs = [rng.randint(0, 1000) for _ in range(200)] + [99_999, -99_999]
+    df = _pts(spark, xs)
+    r = tukey_outliers(df, T0, T0 + len(xs) * W).collect()[0]
+    sv = sorted(xs)
+    n = len(sv)
+    q1 = sv[-((-n) // 4) - 1]
+    q3 = sv[-((-3 * n) // 4) - 1]
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+    assert r.q1 == q1 / 100.0 and r.q3 == q3 / 100.0
+    assert r.n_below == sum(1 for v in xs if v < lo)
+    assert r.n_above == sum(1 for v in xs if v > hi)
+    assert r.n_above >= 1 and r.n_below >= 1
