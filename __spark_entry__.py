@@ -4456,6 +4456,15 @@ def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tukey_outliers(pts, T_2024, T_FEB)
 
 
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language ID against the
+    declared lang column — per-cell counts and within-declared shares."""
+    from btrdb_server_spark.functions.text import lang_confusion
+
+    return lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4771,6 +4780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "halfway_point": q_halfway_point,
         "mode_value": q_mode_value,
         "tukey_outliers": q_tukey_outliers,
+        "lang_confusion": q_lang_confusion,
     }
 
 
@@ -10650,4 +10660,47 @@ def oracle_sql() -> dict[str, str]:
             FROM agg JOIN qs ON agg.uuid = qs.uuid
             ORDER BY agg.uuid
         """.replace("{PTS}", PTS_CTE),
+        "lang_confusion": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), sc AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, x -> list_contains(
+                           ['der','die','und','ist'], x))) AS s_de,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','and','of','is'], x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains(
+                           ['el','la','de','que'], x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains(
+                           ['le','les','et','est'], x))) AS s_fr
+                FROM t
+            ), preds AS (
+                SELECT lang AS declared,
+                       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                                THEN 'und'
+                            WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'de'
+                            WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'en'
+                            WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'es'
+                            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'fr'
+                            ELSE 'und' END AS predicted
+                FROM sc
+            ), cells AS (
+                SELECT declared, predicted, count(*) AS n
+                FROM preds GROUP BY 1, 2
+            ), tot AS (
+                SELECT declared, CAST(sum(n) AS BIGINT) AS t
+                FROM cells GROUP BY 1
+            )
+            SELECT cells.declared, predicted, n,
+                   CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+            FROM cells JOIN tot ON cells.declared = tot.declared
+            ORDER BY cells.declared, predicted
+        """,
     }

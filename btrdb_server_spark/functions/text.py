@@ -753,3 +753,38 @@ def vocab_growth(
         )
         .orderBy("k_docs")
     )
+
+
+def lang_confusion(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID heuristic against
+    the declared `lang` label: one row per (declared, predicted) cell
+    with its count and the within-declared share — the evaluation
+    readout that says WHERE the classifier is wrong, not just how
+    often. Composes lang_id unchanged.
+
+    Integer counts; the share is ONE division. Scale shape: lang_id's
+    pure map pass, one map-side-combined groupBy over the tiny
+    (langs x langs) domain. Columns: declared, predicted, n, share."""
+    preds = lang_id(docs, text_col=text_col, id_col=id_col)
+    labeled = docs.select(F.col(id_col), F.col(label_col).alias("declared"))
+    cells = (
+        labeled.join(preds, id_col)
+        .groupBy("declared", F.col("pred_lang").alias("predicted"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.groupBy("declared").agg(F.sum("n").alias("t"))
+    return (
+        cells.join(F.broadcast(tot), "declared")
+        .select(
+            "declared",
+            "predicted",
+            "n",
+            (F.col("n").cast("double") / F.col("t").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("declared", "predicted")
+    )

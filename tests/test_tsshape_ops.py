@@ -927,3 +927,25 @@ def test_tukey_outliers_brute_force(spark):
     assert r.n_below == sum(1 for v in xs if v < lo)
     assert r.n_above == sum(1 for v in xs if v > hi)
     assert r.n_above >= 1 and r.n_below >= 1
+
+
+def test_lang_confusion_shares_sum_to_one(spark):
+    from btrdb_server_spark.functions.text import lang_confusion
+
+    docs = [
+        (1, "the cat and the dog is here of course", "en"),
+        (2, "el perro de la casa que ladra", "es"),
+        (3, "zzz qqq xxx", "en"),  # no markers -> 'und'
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = lang_confusion(df).collect()
+    cells = {(r.declared, r.predicted): r for r in out}
+    assert cells[("en", "en")].n == 1
+    assert cells[("es", "es")].n == 1 and cells[("es", "es")].share == 1.0
+    assert cells[("en", "und")].n == 1
+    from collections import defaultdict
+
+    by_decl = defaultdict(float)
+    for r in out:
+        by_decl[r.declared] += r.share
+    assert all(abs(v - 1.0) < 1e-12 for v in by_decl.values())
