@@ -4465,6 +4465,18 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_confusion(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_hourly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase volume ratio per hour of day — the conversion
+    clock, 24-cell integer counts."""
+    from btrdb_server_spark.operators.events import hourly_conversion
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(epoch_ns_expr(ev).alias("time"), "event_type")
+    return hourly_conversion(ev)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4781,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_value": q_mode_value,
         "tukey_outliers": q_tukey_outliers,
         "lang_confusion": q_lang_confusion,
+        "hourly_conversion": q_hourly_conversion,
     }
 
 
@@ -10702,5 +10715,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
             FROM cells JOIN tot ON cells.declared = tot.declared
             ORDER BY cells.declared, predicted
+        """,
+        "hourly_conversion": """
+            WITH src AS (
+                SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS is_from,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS is_to
+                FROM events WHERE event_type IN ('view', 'purchase')
+            )
+            SELECT hod,
+                   CAST(sum(is_from) AS BIGINT) AS n_from,
+                   CAST(sum(is_to) AS BIGINT) AS n_to,
+                   CASE WHEN sum(is_from) > 0 THEN
+                       CAST(sum(is_to) AS DOUBLE)
+                           / CAST(sum(is_from) AS DOUBLE)
+                   END AS cvr
+            FROM src GROUP BY 1 ORDER BY 1
         """,
     }

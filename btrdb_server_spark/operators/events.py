@@ -1444,3 +1444,38 @@ def user_novelty(
         )
         .orderBy("time")
     )
+
+
+def hourly_conversion(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    time_col: str = "time",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-rate clock: per hour of day, the volume of the source
+    and target event types and their ratio — "when do views actually
+    become purchases?" (a volume-ratio clock; the per-user ordered
+    funnel is operators/events.py funnel).
+
+    Integer counts; cvr is ONE division (null when no source events in
+    the hour). Scale shape: one map-side-combined groupBy over a
+    24-cell domain. Columns: hod, n_from, n_to, cvr."""
+    hod = F.expr(f"({time_col} div 3600000000000) % 24")
+    src = events.where(F.col(type_col).isin(from_type, to_type)).select(
+        hod.alias("hod"),
+        (F.col(type_col) == from_type).cast("long").alias("is_from"),
+        (F.col(type_col) == to_type).cast("long").alias("is_to"),
+    )
+    agg = src.groupBy("hod").agg(
+        F.sum("is_from").alias("n_from"), F.sum("is_to").alias("n_to")
+    )
+    return agg.select(
+        "hod",
+        "n_from",
+        "n_to",
+        F.when(
+            F.col("n_from") > 0,
+            F.col("n_to").cast("double") / F.col("n_from").cast("double"),
+        ).alias("cvr"),
+    ).orderBy("hod")

@@ -949,3 +949,20 @@ def test_lang_confusion_shares_sum_to_one(spark):
     for r in out:
         by_decl[r.declared] += r.share
     assert all(abs(v - 1.0) < 1e-12 for v in by_decl.values())
+
+
+def test_hourly_conversion_counts(spark):
+    from btrdb_server_spark.operators.events import hourly_conversion
+
+    HOUR = 3_600_000_000_000
+    rows = (
+        [(5 * HOUR + i, "view") for i in range(4)]
+        + [(5 * HOUR + 10, "purchase")]
+        + [(7 * HOUR, "purchase")]
+        + [(8 * HOUR, "click")]  # ignored type
+    )
+    df = spark.createDataFrame(rows, "time long, event_type string")
+    out = {r.hod: r for r in hourly_conversion(df).collect()}
+    assert out[5].n_from == 4 and out[5].n_to == 1 and out[5].cvr == 0.25
+    assert out[7].n_from == 0 and out[7].cvr is None
+    assert 8 not in out
