@@ -4477,6 +4477,26 @@ def q_hourly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_conversion(ev)
 
 
+
+def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 customer repurchase intervals in days — the
+    replenishment-cycle profile."""
+    from btrdb_server_spark.operators.olap import repurchase_intervals
+
+    return repurchase_intervals(load_table(spark, sf_dir, "orders"))
+
+
+def q_ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay SLA profile: exact p50/p90/p99 day delays and
+    the slower-than-60d share."""
+    from btrdb_server_spark.operators.olap import ship_delay_profile
+
+    return ship_delay_profile(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4794,6 +4814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tukey_outliers": q_tukey_outliers,
         "lang_confusion": q_lang_confusion,
         "hourly_conversion": q_hourly_conversion,
+        "repurchase_intervals": q_repurchase_intervals,
+        "ship_delay_profile": q_ship_delay_profile,
     }
 
 
@@ -10733,5 +10755,58 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(sum(is_from) AS DOUBLE)
                    END AS cvr
             FROM src GROUP BY 1 ORDER BY 1
+        """,
+        "repurchase_intervals": """
+            WITH g AS (
+                SELECT datediff('day', lag(CAST(o_orderdate AS DATE))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY CAST(o_orderdate AS DATE),
+                                          o_orderkey),
+                           CAST(o_orderdate AS DATE)) AS gap
+                FROM orders QUALIFY gap IS NOT NULL
+            ), agg AS (
+                SELECT count(*) AS n, CAST(sum(gap) AS BIGINT) AS s FROM g
+            ), ranked AS (
+                SELECT gap, row_number() OVER (ORDER BY gap) AS rn FROM g
+            ), pick AS (
+                SELECT CAST(min(CASE WHEN rn = (50 * n + 99) // 100
+                            THEN gap END) AS BIGINT) AS p50_days,
+                       CAST(min(CASE WHEN rn = (90 * n + 99) // 100
+                            THEN gap END) AS BIGINT) AS p90_days
+                FROM ranked, agg
+                WHERE rn = (50 * n + 99) // 100
+                   OR rn = (90 * n + 99) // 100
+            )
+            SELECT n AS n_gaps, p50_days, p90_days,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_days
+            FROM agg, pick
+        """,
+        "ship_delay_profile": """
+            WITH d AS (
+                SELECT datediff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS d
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), agg AS (
+                SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN d > 60 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_slow
+                FROM d
+            ), ranked AS (
+                SELECT d, row_number() OVER (ORDER BY d) AS rn FROM d
+            ), pick AS (
+                SELECT CAST(min(CASE WHEN rn = (50 * n + 99) // 100
+                            THEN d END) AS BIGINT) AS p50,
+                       CAST(min(CASE WHEN rn = (90 * n + 99) // 100
+                            THEN d END) AS BIGINT) AS p90,
+                       CAST(min(CASE WHEN rn = (99 * n + 99) // 100
+                            THEN d END) AS BIGINT) AS p99
+                FROM ranked, agg
+                WHERE rn = (50 * n + 99) // 100
+                   OR rn = (90 * n + 99) // 100
+                   OR rn = (99 * n + 99) // 100
+            )
+            SELECT n AS n_items, p50, p90, p99, n_slow,
+                   CAST(n_slow AS DOUBLE) / CAST(n AS DOUBLE) AS slow_share
+            FROM agg, pick
         """,
     }

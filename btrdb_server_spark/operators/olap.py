@@ -1077,3 +1077,118 @@ def market_concentration(
         (d("S2") / (d("S") * d("S"))).alias("hhi"),
         (d("rmax") / d("S")).alias("top_share"),
     ).orderBy("n_name")
+
+
+def repurchase_intervals(orders: DataFrame) -> DataFrame:
+    """Customer repurchase-interval profile: the gaps in days between a
+    customer's consecutive orders, summarized as exact p50/p90 order
+    statistics plus the mean — the replenishment-cycle number a
+    retention model calibrates against.
+
+    Exactness: gaps are integer day differences; percentile ranks use
+    the (p*n + 99) div 100 ceiling identity; the mean is ONE division.
+    Scale shape: one customer-keyed lag window (partitions bounded by
+    per-customer order counts), one global rank window over the
+    gap-scale table for the audit-grade exact percentiles. Columns:
+    n_gaps, p50_days, p90_days, mean_days."""
+    from pyspark.sql import Window
+
+    gaps = (
+        orders.select("o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od"))
+        .withColumn("prev", F.lag("od").over(
+            Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+        ))
+        .where(F.col("prev").isNotNull())
+        .select(F.datediff("od", "prev").cast("long").alias("gap"))
+    )
+    wr = Window.orderBy("gap")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr))
+    agg = gaps.agg(F.count("*").alias("n"), F.sum("gap").alias("s"))
+    pick = (
+        ranked.join(F.broadcast(agg))
+        .select(
+            "gap",
+            "rn",
+            F.expr("(50 * n + 99) div 100").alias("r50"),
+            F.expr("(90 * n + 99) div 100").alias("r90"),
+        )
+        .where((F.col("rn") == F.col("r50")) | (F.col("rn") == F.col("r90")))
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("r50"), F.col("gap"))).alias(
+                "p50_days"
+            ),
+            F.min(F.when(F.col("rn") == F.col("r90"), F.col("gap"))).alias(
+                "p90_days"
+            ),
+        )
+    )
+    return agg.join(F.broadcast(pick)).select(
+        F.col("n").alias("n_gaps"),
+        "p50_days",
+        "p90_days",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "mean_days"
+        ),
+    )
+
+
+def ship_delay_profile(
+    lineitem: DataFrame, orders: DataFrame, slow_days: int = 60
+) -> DataFrame:
+    """Order-to-ship delay profile: exact p50/p90/p99 of the per-item
+    shipping delay in days plus the share slower than `slow_days` — the
+    logistics SLA readout.
+
+    Exactness: delays are integer day differences; percentiles are
+    exact order statistics at ceiling ranks; shares are single
+    divisions. Scale shape: one fact-fact co-hash on the order key, one
+    global rank window over the delay domain for the audit percentiles,
+    one conditional reduce. Columns: n_items, p50, p90, p99,
+    n_slow, slow_share."""
+    from pyspark.sql import Window
+
+    o = orders.select("o_orderkey", F.to_date("o_orderdate").alias("od"))
+    li = lineitem.select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    delays = (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select(F.datediff("sd", "od").cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    agg = delays.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("d") > slow_days).cast("long")).alias("n_slow"),
+    )
+    wr = Window.orderBy("d")
+    ranked = delays.withColumn("rn", F.row_number().over(wr))
+    pick = (
+        ranked.join(F.broadcast(agg))
+        .select(
+            "d",
+            "rn",
+            F.expr("(50 * n + 99) div 100").alias("r50"),
+            F.expr("(90 * n + 99) div 100").alias("r90"),
+            F.expr("(99 * n + 99) div 100").alias("r99"),
+        )
+        .where(
+            (F.col("rn") == F.col("r50"))
+            | (F.col("rn") == F.col("r90"))
+            | (F.col("rn") == F.col("r99"))
+        )
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("r50"), F.col("d"))).alias("p50"),
+            F.min(F.when(F.col("rn") == F.col("r90"), F.col("d"))).alias("p90"),
+            F.min(F.when(F.col("rn") == F.col("r99"), F.col("d"))).alias("p99"),
+        )
+    )
+    return agg.join(F.broadcast(pick)).select(
+        F.col("n").alias("n_items"),
+        "p50",
+        "p90",
+        "p99",
+        "n_slow",
+        (F.col("n_slow").cast("double") / F.col("n").cast("double")).alias(
+            "slow_share"
+        ),
+    )

@@ -966,3 +966,45 @@ def test_hourly_conversion_counts(spark):
     assert out[5].n_from == 4 and out[5].n_to == 1 and out[5].cvr == 0.25
     assert out[7].n_from == 0 and out[7].cvr is None
     assert 8 not in out
+
+
+def test_repurchase_intervals_brute(spark):
+    from datetime import date
+
+    from btrdb_server_spark.operators.olap import repurchase_intervals
+
+    rows = [
+        (1, 10, date(2024, 1, 1)), (2, 10, date(2024, 1, 11)),
+        (3, 10, date(2024, 2, 10)), (4, 20, date(2024, 1, 5)),
+        (5, 20, date(2024, 1, 6)),
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_custkey long, o_orderdate date")
+    r = repurchase_intervals(df).collect()[0]
+    gaps = sorted([10, 30, 1])
+    assert r.n_gaps == 3
+    assert r.p50_days == gaps[-((-50 * 3) // 100) - 1]
+    assert r.p90_days == gaps[-((-90 * 3) // 100) - 1]
+    assert r.mean_days == sum(gaps) / 3
+
+
+def test_ship_delay_profile_brute(spark):
+    from datetime import date, timedelta
+
+    from btrdb_server_spark.operators.olap import ship_delay_profile
+
+    base = date(2024, 1, 1)
+    delays = [1, 5, 10, 30, 61, 90, 2, 3, 4, 7]
+    od = spark.createDataFrame(
+        [(i, base) for i in range(len(delays))],
+        "o_orderkey long, o_orderdate date",
+    )
+    li = spark.createDataFrame(
+        [(i, base + timedelta(days=d)) for i, d in enumerate(delays)],
+        "l_orderkey long, l_shipdate date",
+    )
+    r = ship_delay_profile(li, od).collect()[0]
+    sv = sorted(delays)
+    n = len(sv)
+    assert r.p50 == sv[-((-50 * n) // 100) - 1]
+    assert r.p99 == sv[-((-99 * n) // 100) - 1]
+    assert r.n_slow == 2 and r.slow_share == 0.2
