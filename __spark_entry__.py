@@ -4497,6 +4497,15 @@ def q_ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 boilerplate 2-gram shingles by document frequency (df >=
+    1%% of the corpus) — the template-chrome removal list."""
+    from btrdb_server_spark.functions.dedup import boilerplate_ngrams
+
+    return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4816,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_conversion": q_hourly_conversion,
         "repurchase_intervals": q_repurchase_intervals,
         "ship_delay_profile": q_ship_delay_profile,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
     }
 
 
@@ -10808,5 +10818,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS n_items, p50, p90, p99, n_slow,
                    CAST(n_slow AS DOUBLE) / CAST(n AS DOUBLE) AS slow_share
             FROM agg, pick
+        """,
+        "boilerplate_ngrams": """
+            WITH t AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    lower(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 2
+                           THEN list_transform(
+                               generate_series(1, len(toks) - 1),
+                               i -> array_to_string(
+                                   list_slice(toks, i, i + 1), ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS s0
+                FROM t
+            ), nd AS (SELECT count(*) AS nd FROM documents),
+            c AS (
+                SELECT s0 AS shingle, count(*) AS df FROM sh GROUP BY 1
+            )
+            SELECT shingle, df,
+                   CAST(df AS DOUBLE) / CAST(nd AS DOUBLE) AS df_share
+            FROM c, nd
+            WHERE df * 100 >= nd * 1
+            ORDER BY df DESC, shingle LIMIT 20
         """,
     }

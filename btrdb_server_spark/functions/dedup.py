@@ -748,3 +748,51 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .orderBy("src", "dst")
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    k: int = 2,
+    min_share: float = 0.01,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate detector: the k-gram shingles present in the largest
+    SHARE of documents — headers, footers, license blurbs and template
+    chrome show up as shingles with implausibly high document frequency,
+    and this emits the top `top` with df >= min_share of the corpus
+    (the removal list a curation pipeline subtracts before dedup).
+
+    The share test is exact by cross-multiplication (df * 100 >=
+    n_docs * share_pct — min_share is taken in integer percent), and
+    the rank is (df desc, shingle text asc) — deterministic. Scale
+    shape: the distinct (doc, shingle) inverted index built once
+    (map-side combined), one shingle-domain count, TakeOrdered top-k;
+    the raw TEXT of the top shingles is recovered by a broadcast
+    semi-join of the tiny winner set back to the index. Columns:
+    shingle, df, df_share."""
+    share_pct = int(round(min_share * 100))
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_col(F.col(text_col), k)).alias("s0"),
+        )
+        .distinct()
+    )
+    n_docs = docs.select(F.count("*").alias("nd"))
+    counts = sh.groupBy("s0").agg(F.count("*").alias("df"))
+    return (
+        counts.join(F.broadcast(n_docs))
+        .where(F.col("df") * 100 >= F.col("nd") * F.lit(share_pct))
+        .select(
+            F.col("s0").alias("shingle"),
+            "df",
+            (F.col("df").cast("double") / F.col("nd").cast("double")).alias(
+                "df_share"
+            ),
+        )
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(top)
+    )

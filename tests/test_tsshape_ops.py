@@ -1008,3 +1008,18 @@ def test_ship_delay_profile_brute(spark):
     assert r.p50 == sv[-((-50 * n) // 100) - 1]
     assert r.p99 == sv[-((-99 * n) // 100) - 1]
     assert r.n_slow == 2 and r.slow_share == 0.2
+
+
+def test_boilerplate_ngrams_planted_template(spark):
+    from btrdb_server_spark.functions.dedup import boilerplate_ngrams
+
+    docs = [(i, f"copyright acme corp unique{i} words here") for i in range(50)]
+    docs += [(100 + i, f"totally different text {i} again") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = boilerplate_ngrams(df, k=2, min_share=0.5, top=5).collect()
+    tops = {r.shingle for r in out}
+    assert "copyright acme" in tops and "acme corp" in tops
+    byname = {r.shingle: r for r in out}
+    assert byname["copyright acme"].df == 50
+    assert abs(byname["copyright acme"].df_share - 50 / 55) < 1e-12
+    assert all(r.df * 100 >= 55 * 50 for r in out)
