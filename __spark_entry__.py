@@ -4506,6 +4506,18 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-month open-order backlog: +1/-1 month deltas and one
+    cumulative — interval stabbing without a per-day explode."""
+    from btrdb_server_spark.operators.olap import order_backlog
+
+    return order_backlog(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4826,6 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repurchase_intervals": q_repurchase_intervals,
         "ship_delay_profile": q_ship_delay_profile,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "order_backlog": q_order_backlog,
     }
 
 
@@ -10842,5 +10855,35 @@ def oracle_sql() -> dict[str, str]:
             FROM c, nd
             WHERE df * 100 >= nd * 1
             ORDER BY df DESC, shingle LIMIT 20
+        """,
+        "order_backlog": """
+            WITH ls AS (
+                SELECT l_orderkey,
+                       max(CAST(l_shipdate AS DATE)) AS close_d
+                FROM lineitem GROUP BY 1
+            ), spans AS (
+                SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                           AS open_m,
+                       strftime(close_d, '%Y-%m') AS close_m
+                FROM orders JOIN ls ON o_orderkey = l_orderkey
+            ), opened AS (
+                SELECT open_m AS month, count(*) AS n_opened
+                FROM spans GROUP BY 1
+            ), closed AS (
+                SELECT close_m AS month, count(*) AS n_closed
+                FROM spans GROUP BY 1
+            ), merged AS (
+                SELECT COALESCE(opened.month, closed.month) AS month,
+                       COALESCE(n_opened, 0) AS n_opened,
+                       COALESCE(n_closed, 0) AS n_closed
+                FROM opened FULL OUTER JOIN closed
+                  ON opened.month = closed.month
+            )
+            SELECT month, CAST(n_opened AS BIGINT) AS n_opened,
+                   CAST(n_closed AS BIGINT) AS n_closed,
+                   CAST(sum(n_opened - n_closed) OVER (ORDER BY month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS backlog_eom
+            FROM merged ORDER BY month
         """,
     }

@@ -1192,3 +1192,50 @@ def ship_delay_profile(
             "slow_share"
         ),
     )
+
+
+def order_backlog(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Open-order backlog timeline: per calendar month, how many orders
+    opened, how many fully shipped (their LAST line item's ship date),
+    and the end-of-month backlog — the classical interval-stabbing
+    count done as +1/-1 deltas and one cumulative, never a per-day
+    explode.
+
+    All-integer. Scale shape: one per-order max-shipdate aggregate
+    (fact co-hash, map-side combined), month-domain delta groupBy, one
+    month-scale cumulative window. Columns: month, n_opened, n_closed,
+    backlog_eom."""
+    from pyspark.sql import Window
+
+    last_ship = (
+        lineitem.select("l_orderkey", F.to_date("l_shipdate").alias("sd"))
+        .groupBy("l_orderkey")
+        .agg(F.max("sd").alias("close_d"))
+    )
+    o = orders.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_d")
+    )
+    spans = o.join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+    month = lambda c: F.date_format(F.col(c), "yyyy-MM")  # noqa: E731
+    opened = spans.groupBy(month("open_d").alias("month")).agg(
+        F.count("*").alias("n_opened")
+    )
+    closed = spans.groupBy(month("close_d").alias("month")).agg(
+        F.count("*").alias("n_closed")
+    )
+    merged = (
+        opened.join(closed, "month", "full_outer")
+        .select(
+            "month",
+            F.coalesce(F.col("n_opened"), F.lit(0)).alias("n_opened"),
+            F.coalesce(F.col("n_closed"), F.lit(0)).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        merged.withColumn(
+            "backlog_eom",
+            F.sum(F.col("n_opened") - F.col("n_closed")).over(w),
+        )
+        .orderBy("month")
+    )

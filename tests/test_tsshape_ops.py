@@ -1023,3 +1023,27 @@ def test_boilerplate_ngrams_planted_template(spark):
     assert byname["copyright acme"].df == 50
     assert abs(byname["copyright acme"].df_share - 50 / 55) < 1e-12
     assert all(r.df * 100 >= 55 * 50 for r in out)
+
+
+def test_order_backlog_conservation(spark):
+    """Backlog telescopes: eom backlog = cumulative opened - closed, and
+    ends at zero once every order has shipped."""
+    from datetime import date
+
+    from btrdb_server_spark.operators.olap import order_backlog
+
+    orders = spark.createDataFrame(
+        [(1, date(2024, 1, 5)), (2, date(2024, 1, 20)), (3, date(2024, 2, 2))],
+        "o_orderkey long, o_orderdate date",
+    )
+    li = spark.createDataFrame(
+        [(1, date(2024, 1, 10)), (1, date(2024, 3, 1)),   # order 1 closes in March
+         (2, date(2024, 1, 25)),                            # order 2 closes in Jan
+         (3, date(2024, 2, 15))],
+        "l_orderkey long, l_shipdate date",
+    )
+    out = {r.month: r for r in order_backlog(li, orders).collect()}
+    assert out["2024-01"].n_opened == 2 and out["2024-01"].n_closed == 1
+    assert out["2024-01"].backlog_eom == 1
+    assert out["2024-02"].backlog_eom == 1  # order 3 opens and closes; 1 still open
+    assert out["2024-03"].backlog_eom == 0
