@@ -4518,6 +4518,21 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_lake_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity and dimension-coverage audit across the
+    warehouse tables — six LeftAnti checks, one report."""
+    from btrdb_server_spark.operators.olap import lake_integrity
+
+    return lake_integrity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4839,6 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_delay_profile": q_ship_delay_profile,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "order_backlog": q_order_backlog,
+        "lake_integrity": q_lake_integrity,
     }
 
 
@@ -10885,5 +10901,49 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS backlog_eom
             FROM merged ORDER BY month
+        """,
+        "lake_integrity": """
+            WITH checks AS (
+                SELECT 'lineitem_orphan_order' AS "check",
+                       (SELECT count(*) FROM lineitem) AS n_total,
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_orderkey NOT IN
+                            (SELECT o_orderkey FROM orders)) AS n_failing
+                UNION ALL
+                SELECT 'order_orphan_customer',
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM orders
+                        WHERE o_custkey NOT IN
+                            (SELECT c_custkey FROM customer))
+                UNION ALL
+                SELECT 'order_without_lines',
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM orders
+                        WHERE o_orderkey NOT IN
+                            (SELECT l_orderkey FROM lineitem))
+                UNION ALL
+                SELECT 'part_never_sold',
+                       (SELECT count(*) FROM part),
+                       (SELECT count(*) FROM part
+                        WHERE p_partkey NOT IN
+                            (SELECT l_partkey FROM lineitem))
+                UNION ALL
+                SELECT 'supplier_never_used',
+                       (SELECT count(*) FROM supplier),
+                       (SELECT count(*) FROM supplier
+                        WHERE s_suppkey NOT IN
+                            (SELECT l_suppkey FROM lineitem))
+                UNION ALL
+                SELECT 'customer_without_orders',
+                       (SELECT count(*) FROM customer),
+                       (SELECT count(*) FROM customer
+                        WHERE c_custkey NOT IN
+                            (SELECT o_custkey FROM orders))
+            )
+            SELECT "check", CAST(n_total AS BIGINT) AS n_total,
+                   CAST(n_failing AS BIGINT) AS n_failing,
+                   CAST(n_failing AS DOUBLE) / CAST(n_total AS DOUBLE)
+                       AS share
+            FROM checks ORDER BY "check"
         """,
     }

@@ -1239,3 +1239,81 @@ def order_backlog(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def lake_integrity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity and coverage audit across the warehouse
+    tables — one row per check: line items whose order key resolves
+    nowhere, orders whose customer is missing, orders with no line
+    items, and the unused tail of each dimension (parts/suppliers/
+    customers with zero sales) — the pre-migration sanity report.
+
+    All-integer counts via LeftAnti joins (each check shuffles only the
+    KEY column of the probing side); shares are single divisions.
+    Columns: check, n_total, n_failing, share."""
+    def chk(name, total_df, anti):
+        t = total_df.agg(F.count("*").alias("n_total"))
+        f = anti.agg(F.count("*").alias("n_failing"))
+        return t.join(F.broadcast(f)).select(
+            F.lit(name).alias("check"),
+            "n_total",
+            "n_failing",
+            (
+                F.col("n_failing").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+
+    li_k = lineitem.select("l_orderkey")
+    o_k = orders.select("o_orderkey", "o_custkey")
+    c_k = customer.select("c_custkey")
+    checks = [
+        chk(
+            "lineitem_orphan_order",
+            li_k,
+            li_k.join(o_k, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"),
+        ),
+        chk(
+            "order_orphan_customer",
+            o_k,
+            o_k.join(c_k, F.col("o_custkey") == F.col("c_custkey"), "left_anti"),
+        ),
+        chk(
+            "order_without_lines",
+            o_k,
+            o_k.join(li_k, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"),
+        ),
+        chk(
+            "part_never_sold",
+            part.select("p_partkey"),
+            part.select("p_partkey").join(
+                lineitem.select("l_partkey"),
+                F.col("p_partkey") == F.col("l_partkey"),
+                "left_anti",
+            ),
+        ),
+        chk(
+            "supplier_never_used",
+            supplier.select("s_suppkey"),
+            supplier.select("s_suppkey").join(
+                lineitem.select("l_suppkey"),
+                F.col("s_suppkey") == F.col("l_suppkey"),
+                "left_anti",
+            ),
+        ),
+        chk(
+            "customer_without_orders",
+            c_k,
+            c_k.join(o_k, F.col("c_custkey") == F.col("o_custkey"), "left_anti"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check")

@@ -1047,3 +1047,26 @@ def test_order_backlog_conservation(spark):
     assert out["2024-01"].backlog_eom == 1
     assert out["2024-02"].backlog_eom == 1  # order 3 opens and closes; 1 still open
     assert out["2024-03"].backlog_eom == 0
+
+
+def test_lake_integrity_plants_orphans(spark):
+    from btrdb_server_spark.operators.olap import lake_integrity
+
+    li = spark.createDataFrame(
+        [(1, 10, 100), (2, 11, 100), (99, 10, 100)],  # order 99 missing
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    od = spark.createDataFrame(
+        [(1, 5), (2, 6), (3, 77)],  # cust 77 missing; order 3 has no lines
+        "o_orderkey long, o_custkey long",
+    )
+    cu = spark.createDataFrame([(5,), (6,), (7,)], "c_custkey long")
+    pa = spark.createDataFrame([(10,), (11,), (12,)], "p_partkey long")
+    su = spark.createDataFrame([(100,), (200,)], "s_suppkey long")
+    out = {r["check"]: r for r in lake_integrity(li, od, cu, pa, su).collect()}
+    assert out["lineitem_orphan_order"].n_failing == 1
+    assert out["order_orphan_customer"].n_failing == 1
+    assert out["order_without_lines"].n_failing == 1
+    assert out["part_never_sold"].n_failing == 1      # part 12
+    assert out["supplier_never_used"].n_failing == 1  # supplier 200
+    assert out["customer_without_orders"].n_failing == 1  # cust 7
