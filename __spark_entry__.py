@@ -4533,6 +4533,20 @@ def q_lake_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session depth (30-min gap sessions) — the
+    engagement-vs-outcome curve, all-integer."""
+    from btrdb_server_spark.operators.events import session_conversion
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        epoch_ns_expr(ev).alias("time"), "user_id", "event_id", "event_type"
+    )
+    return session_conversion(ev)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4855,6 +4869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "order_backlog": q_order_backlog,
         "lake_integrity": q_lake_integrity,
+        "session_conversion": q_session_conversion,
     }
 
 
@@ -10945,5 +10960,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_failing AS DOUBLE) / CAST(n_total AS DOUBLE)
                        AS share
             FROM checks ORDER BY "check"
+        """,
+        "session_conversion": """
+            WITH e AS (
+                SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+                FROM events
+            ), s AS (
+                SELECT user_id, t, event_id, event_type,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w > 1800000000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY t, event_id)
+            ), sid AS (
+                SELECT user_id, event_type,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS BIGINT) AS sid
+                FROM s
+            ), per AS (
+                SELECT user_id, sid, count(*) AS depth,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM sid GROUP BY 1, 2
+            )
+            SELECT CAST(depth AS BIGINT) AS depth,
+                   count(*) AS n_sessions,
+                   CAST(sum(conv) AS BIGINT) AS n_converted,
+                   CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS cvr
+            FROM per GROUP BY 1 ORDER BY 1
         """,
     }

@@ -1479,3 +1479,59 @@ def hourly_conversion(
             F.col("n_to").cast("double") / F.col("n_from").cast("double"),
         ).alias("cvr"),
     ).orderBy("hod")
+
+
+def session_conversion(
+    events: DataFrame,
+    gap_ns: int = 1_800_000_000_000,
+    conversion: str = "purchase",
+    time_col: str = "time",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Does engagement depth buy conversion? Gap-based user sessions
+    (a new session after `gap_ns` of silence), then per DEPTH (events
+    in the session): how many sessions reached that depth and how many
+    contained a conversion — the engagement-vs-outcome curve.
+
+    All-integer counts; cvr is ONE division. Scale shape: one user-
+    keyed lag window (per-user partitions), a cumulative session index,
+    one session-scale aggregate, one depth-domain rollup. Columns:
+    depth, n_sessions, n_converted, cvr."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(time_col, id_col)
+    sessions = (
+        events.select(user_col, time_col, id_col, type_col)
+        .withColumn("prev_t", F.lag(time_col).over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev_t").isNull()
+                | (F.col(time_col) - F.col("prev_t") > gap_ns)
+            ).cast("long"),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+    )
+    per = sessions.groupBy(user_col, "sid").agg(
+        F.count("*").alias("depth"),
+        F.max((F.col(type_col) == conversion).cast("long")).alias("conv"),
+    )
+    return (
+        per.groupBy("depth")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("conv").alias("n_converted"),
+        )
+        .select(
+            "depth",
+            "n_sessions",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("cvr"),
+        )
+        .orderBy("depth")
+    )

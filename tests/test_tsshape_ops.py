@@ -1070,3 +1070,22 @@ def test_lake_integrity_plants_orphans(spark):
     assert out["part_never_sold"].n_failing == 1      # part 12
     assert out["supplier_never_used"].n_failing == 1  # supplier 200
     assert out["customer_without_orders"].n_failing == 1  # cust 7
+
+
+def test_session_conversion_depth_curve(spark):
+    from btrdb_server_spark.operators.events import session_conversion
+
+    GAP = 1_800_000_000_000
+    rows = []
+    eid = 0
+    # user 1: depth-3 session WITH purchase, later a depth-1 without
+    for i, ty in enumerate(["view", "click", "purchase"]):
+        rows.append((1, i * 1000, eid, ty)); eid += 1
+    rows.append((1, 10 * GAP, eid, "view")); eid += 1
+    # user 2: depth-3 session WITHOUT purchase
+    for i, ty in enumerate(["view", "view", "click"]):
+        rows.append((2, i * 1000, eid, ty)); eid += 1
+    df = spark.createDataFrame(rows, "user_id long, time long, event_id long, event_type string")
+    out = {r.depth: r for r in session_conversion(df).collect()}
+    assert out[3].n_sessions == 2 and out[3].n_converted == 1 and out[3].cvr == 0.5
+    assert out[1].n_sessions == 1 and out[1].n_converted == 0
