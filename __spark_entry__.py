@@ -4547,6 +4547,15 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_conversion(ev)
 
 
+
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph shape card: nodes, edges, density, degree
+    stats, isolated parts — one row, exact integers."""
+    from btrdb_server_spark.functions.graph import graph_summary
+
+    return graph_summary(load_table(spark, sf_dir, "lineitem"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4870,6 +4879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_backlog": q_order_backlog,
         "lake_integrity": q_lake_integrity,
         "session_conversion": q_session_conversion,
+        "graph_summary": q_graph_summary,
     }
 
 
@@ -10989,5 +10999,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                        AS cvr
             FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "graph_summary": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), edges AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+            ), deg AS (
+                SELECT p, count(*) AS deg FROM (
+                    SELECT u AS p FROM edges
+                    UNION ALL SELECT v FROM edges)
+                GROUP BY 1
+            ), parts AS (SELECT DISTINCT l_partkey AS p FROM li),
+            iso AS (
+                SELECT count(*) AS n_isolated FROM parts
+                WHERE p NOT IN (SELECT p FROM deg)
+            ), m AS (SELECT count(*) AS n_edges FROM edges),
+            d AS (
+                SELECT count(*) AS n_nodes,
+                       CAST(sum(deg) AS BIGINT) AS sdeg,
+                       CAST(max(deg) AS BIGINT) AS max_degree
+                FROM deg
+            )
+            SELECT n_nodes, n_edges,
+                   (2.0 * CAST(n_edges AS DOUBLE))
+                       / (CAST(n_nodes AS DOUBLE)
+                          * (CAST(n_nodes AS DOUBLE) - 1.0)) AS density,
+                   CAST(sdeg AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+                       AS avg_degree,
+                   max_degree, n_isolated
+            FROM d, m, iso
         """,
     }

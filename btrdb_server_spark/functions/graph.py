@@ -219,3 +219,57 @@ def degree_assortativity(lineitem: DataFrame) -> DataFrame:
         "n_nodes",
         F.when(den != 0, num / den).alias("assortativity"),
     )
+
+
+def graph_summary(lineitem: DataFrame) -> DataFrame:
+    """One-row shape summary of the part co-purchase graph: node and
+    undirected-edge counts, density, mean and max degree, and the
+    isolated-part count (catalog items never co-bought with anything)
+    — the before-you-run-pagerank sanity card.
+
+    All-integer counts; density = 2m / (n*(n-1)) and the mean are
+    single divisions of exact integers. Scale shape: one distinct on
+    the oriented edge list, one node-scale degree aggregate, one
+    part-scale anti join for isolates. Columns: n_nodes, n_edges,
+    density, avg_degree, max_degree, n_isolated."""
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("deg"))
+    )
+    parts = li.select(F.col("l_partkey").alias("p")).distinct()
+    iso = parts.join(deg, "p", "left_anti").agg(
+        F.count("*").alias("n_isolated")
+    )
+    m = edges.agg(F.count("*").alias("n_edges"))
+    d = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("deg").alias("sdeg"),
+        F.max("deg").alias("max_degree"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        d.join(F.broadcast(m))
+        .join(F.broadcast(iso))
+        .select(
+            "n_nodes",
+            "n_edges",
+            (
+                (F.lit(2.0) * dd("n_edges"))
+                / (dd("n_nodes") * (dd("n_nodes") - F.lit(1.0)))
+            ).alias("density"),
+            (dd("sdeg") / dd("n_nodes")).alias("avg_degree"),
+            "max_degree",
+            "n_isolated",
+        )
+    )

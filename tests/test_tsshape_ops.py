@@ -1089,3 +1089,14 @@ def test_session_conversion_depth_curve(spark):
     out = {r.depth: r for r in session_conversion(df).collect()}
     assert out[3].n_sessions == 2 and out[3].n_converted == 1 and out[3].cvr == 0.5
     assert out[1].n_sessions == 1 and out[1].n_converted == 0
+
+
+def test_graph_summary_triangle_plus_isolate(spark):
+    from btrdb_server_spark.functions.graph import graph_summary
+
+    # orders: {1:(a,b)}, {2:(b,c)}, {3:(a,c)} -> triangle; part 99 isolated
+    rows = [(1, 10), (1, 11), (2, 11), (2, 12), (3, 10), (3, 12), (4, 99)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    r = graph_summary(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.max_degree, r.n_isolated) == (3, 3, 2, 1)
+    assert r.density == 1.0 and r.avg_degree == 2.0
