@@ -4556,6 +4556,15 @@ def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_summary(load_table(spark, sf_dir, "lineitem"))
 
 
+
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DQ card: doc counts, mean and exact median
+    lengths, mean tokens — slice-by-provenance."""
+    from btrdb_server_spark.functions.text import source_profile
+
+    return source_profile(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4880,6 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_integrity": q_lake_integrity,
         "session_conversion": q_session_conversion,
         "graph_summary": q_graph_summary,
+        "source_profile": q_source_profile,
     }
 
 
@@ -11031,5 +11041,37 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_degree,
                    max_degree, n_isolated
             FROM d, m, iso
+        """,
+        "source_profile": """
+            WITH src AS (
+                SELECT source,
+                       CAST(strlen(text) AS BIGINT) AS chars,
+                       CAST(len(list_filter(regexp_split_to_array(
+                           lower(text), '\\s+'), x -> x <> ''))
+                           AS BIGINT) AS toks
+                FROM documents
+            ), agg AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(chars) AS BIGINT) AS s_chars,
+                       CAST(sum(toks) AS BIGINT) AS s_toks
+                FROM src GROUP BY 1
+            ), med AS (
+                SELECT src.source, chars AS median_chars
+                FROM (
+                    SELECT source, chars,
+                           row_number() OVER (PARTITION BY source
+                               ORDER BY chars) AS rn
+                    FROM src) src
+                JOIN agg ON src.source = agg.source
+                WHERE rn = (n_docs + 1) // 2
+            )
+            SELECT agg.source, n_docs,
+                   CAST(s_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS mean_chars,
+                   median_chars,
+                   CAST(s_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS mean_tokens
+            FROM agg JOIN med ON agg.source = med.source
+            ORDER BY agg.source
         """,
     }

@@ -788,3 +788,51 @@ def lang_confusion(
         )
         .orderBy("declared", "predicted")
     )
+
+
+def source_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus profile: document count, mean and EXACT median
+    character length, and mean token count — the slice-by-provenance DQ
+    card that catches a broken source before it poisons the mix.
+
+    Exactness: lengths and token counts are integers; medians are
+    type-1 order statistics at rank ceil(n/2) (per-source rank window);
+    means are single divisions. Scale shape: one map pass for lengths,
+    one source-keyed rank window (partitions bounded by per-source doc
+    counts), one source-domain aggregate. Columns: source, n_docs,
+    mean_chars, median_chars, mean_tokens."""
+    from pyspark.sql import Window
+
+    src = docs.select(
+        F.col(source_col).alias("source"),
+        F.length(F.col(text_col)).cast("long").alias("chars"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("toks"),
+    ).localCheckpoint(eager=False)
+    agg = src.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars").alias("s_chars"),
+        F.sum("toks").alias("s_toks"),
+    )
+    w = Window.partitionBy("source").orderBy("chars")
+    med = (
+        src.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(agg.select("source", "n_docs")), "source")
+        .where(F.col("rn") == F.expr("(n_docs + 1) div 2"))
+        .select("source", F.col("chars").alias("median_chars"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        agg.join(med, "source")
+        .select(
+            "source",
+            "n_docs",
+            (d("s_chars") / d("n_docs")).alias("mean_chars"),
+            "median_chars",
+            (d("s_toks") / d("n_docs")).alias("mean_tokens"),
+        )
+        .orderBy("source")
+    )

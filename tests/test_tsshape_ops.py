@@ -1100,3 +1100,17 @@ def test_graph_summary_triangle_plus_isolate(spark):
     r = graph_summary(df).collect()[0]
     assert (r.n_nodes, r.n_edges, r.max_degree, r.n_isolated) == (3, 3, 2, 1)
     assert r.density == 1.0 and r.avg_degree == 2.0
+
+
+def test_source_profile_exact_median(spark):
+    from btrdb_server_spark.functions.text import source_profile
+
+    docs = [
+        (1, "aa", "s1"), (2, "bbbb", "s1"), (3, "cccccc", "s1"),
+        (4, "x y z", "s2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_profile(df).collect()}
+    assert out["s1"].median_chars == 4  # middle of {2, 4, 6}
+    assert out["s1"].mean_chars == 4.0
+    assert out["s2"].mean_tokens == 3.0 and out["s2"].n_docs == 1
