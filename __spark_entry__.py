@@ -4565,6 +4565,15 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_profile(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (b=1) vs the full 16-component estimator per LSH
+    candidate pair — the 64x signature-compression accuracy audit."""
+    from btrdb_server_spark.functions.dedup import bbit_minhash_est
+
+    return bbit_minhash_est(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4890,6 +4899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_conversion": q_session_conversion,
         "graph_summary": q_graph_summary,
         "source_profile": q_source_profile,
+        "bbit_minhash": q_bbit_minhash,
     }
 
 
@@ -11074,4 +11084,30 @@ def oracle_sql() -> dict[str, str]:
             FROM agg JOIN med ON agg.source = med.source
             ORDER BY agg.source
         """,
+        "bbit_minhash": """
+            WITH {SIG},
+            bands AS (
+                SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1, mh2, mh3) AS band_key FROM sig UNION ALL SELECT doc_id, 1 AS band, concat_ws('|', mh4, mh5, mh6, mh7) AS band_key FROM sig UNION ALL SELECT doc_id, 2 AS band, concat_ws('|', mh8, mh9, mh10, mh11) AS band_key FROM sig UNION ALL SELECT doc_id, 3 AS band, concat_ws('|', mh12, mh13, mh14, mh15) AS band_key FROM sig
+            ),
+            pairs AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id
+            ),
+            m AS (
+                SELECT p.a, p.b,
+                       CAST(CASE WHEN l.mh0 = r.mh0 THEN 1 ELSE 0 END + CASE WHEN l.mh1 = r.mh1 THEN 1 ELSE 0 END + CASE WHEN l.mh2 = r.mh2 THEN 1 ELSE 0 END + CASE WHEN l.mh3 = r.mh3 THEN 1 ELSE 0 END + CASE WHEN l.mh4 = r.mh4 THEN 1 ELSE 0 END + CASE WHEN l.mh5 = r.mh5 THEN 1 ELSE 0 END + CASE WHEN l.mh6 = r.mh6 THEN 1 ELSE 0 END + CASE WHEN l.mh7 = r.mh7 THEN 1 ELSE 0 END + CASE WHEN l.mh8 = r.mh8 THEN 1 ELSE 0 END + CASE WHEN l.mh9 = r.mh9 THEN 1 ELSE 0 END + CASE WHEN l.mh10 = r.mh10 THEN 1 ELSE 0 END + CASE WHEN l.mh11 = r.mh11 THEN 1 ELSE 0 END + CASE WHEN l.mh12 = r.mh12 THEN 1 ELSE 0 END + CASE WHEN l.mh13 = r.mh13 THEN 1 ELSE 0 END + CASE WHEN l.mh14 = r.mh14 THEN 1 ELSE 0 END + CASE WHEN l.mh15 = r.mh15 THEN 1 ELSE 0 END AS BIGINT) AS matches,
+                       CAST(CASE WHEN l.mh0 % 2 = r.mh0 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh1 % 2 = r.mh1 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh2 % 2 = r.mh2 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh3 % 2 = r.mh3 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh4 % 2 = r.mh4 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh5 % 2 = r.mh5 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh6 % 2 = r.mh6 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh7 % 2 = r.mh7 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh8 % 2 = r.mh8 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh9 % 2 = r.mh9 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh10 % 2 = r.mh10 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh11 % 2 = r.mh11 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh12 % 2 = r.mh12 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh13 % 2 = r.mh13 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh14 % 2 = r.mh14 % 2 THEN 1 ELSE 0 END + CASE WHEN l.mh15 % 2 = r.mh15 % 2 THEN 1 ELSE 0 END AS BIGINT) AS bit_agree
+                FROM pairs p
+                JOIN sig l ON l.doc_id = p.a
+                JOIN sig r ON r.doc_id = p.b
+            )
+            SELECT a, b, matches,
+                   CAST(matches AS DOUBLE) / 16.0 AS est_full,
+                   bit_agree,
+                   2.0 * (CAST(bit_agree AS DOUBLE) / 16.0) - 1.0
+                       AS est_bbit
+            FROM m ORDER BY a, b
+        """.replace("{SIG}", _sig_cte()),
     }

@@ -1114,3 +1114,20 @@ def test_source_profile_exact_median(spark):
     assert out["s1"].median_chars == 4  # middle of {2, 4, 6}
     assert out["s1"].mean_chars == 4.0
     assert out["s2"].mean_tokens == 3.0 and out["s2"].n_docs == 1
+
+
+def test_bbit_minhash_bounds_and_identity(spark):
+    """For an exact duplicate pair full est = 1 and bbit est = 1; bit
+    agreement always >= full matches (equal components agree in bit)."""
+    from btrdb_server_spark.functions.dedup import bbit_minhash_est
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(1, base), (2, base), (3, base + " different tail entirely here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.a, r.b): r for r in bbit_minhash_est(df).collect()}
+    dup = out[(1, 2)]
+    assert dup.est_full == 1.0 and dup.est_bbit == 1.0
+    for r in out.values():
+        assert r.bit_agree >= r.matches
+        assert -1.0 <= r.est_bbit <= 1.0
+        assert 0.0 <= r.est_full <= 1.0
