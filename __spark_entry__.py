@@ -4574,6 +4574,15 @@ def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bbit_minhash_est(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source under the corpus-wide min-id
+    keeper rule — which provenance re-crawls whom."""
+    from btrdb_server_spark.functions.dedup import dup_rate_by_source
+
+    return dup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4900,6 +4909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "source_profile": q_source_profile,
         "bbit_minhash": q_bbit_minhash,
+        "dup_rate_by_source": q_dup_rate_by_source,
     }
 
 
@@ -11110,4 +11120,20 @@ def oracle_sql() -> dict[str, str]:
                        AS est_bbit
             FROM m ORDER BY a, b
         """.replace("{SIG}", _sig_cte()),
+        "dup_rate_by_source": """
+            WITH hh AS (
+                SELECT doc_id, source,
+                       md5(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                           'g')) AS h
+                FROM documents
+            ), k AS (SELECT h, min(doc_id) AS keeper FROM hh GROUP BY h)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN hh.doc_id <> keeper THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_dups,
+                   CAST(sum(CASE WHEN hh.doc_id <> keeper THEN 1 ELSE 0
+                        END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS dup_rate
+            FROM hh JOIN k USING (h)
+            GROUP BY 1 ORDER BY 1
+        """,
     }

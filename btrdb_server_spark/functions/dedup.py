@@ -856,3 +856,41 @@ def bbit_minhash_est(
         )
         .orderBy("a", "b")
     )
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact-duplicate rate sliced by provenance: per source, how many
+    documents are copies of an earlier document (the exact_dedup
+    min-id-keeper rule, corpus-wide — a source whose docs lose to
+    another source's keepers is re-crawling someone else's content).
+
+    All-integer counts; the rate is ONE division. Scale shape:
+    exact_dedup's content-hash groupBy (map-side combined), one
+    source-domain rollup. Columns: source, n_docs, n_dups, dup_rate."""
+    flags = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("is_dup")
+    )
+    tagged = docs.select(F.col(id_col), F.col(source_col).alias("source")).join(
+        flags, id_col
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            (
+                F.col("n_dups").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

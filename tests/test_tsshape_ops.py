@@ -1131,3 +1131,19 @@ def test_bbit_minhash_bounds_and_identity(spark):
         assert r.bit_agree >= r.matches
         assert -1.0 <= r.est_bbit <= 1.0
         assert 0.0 <= r.est_full <= 1.0
+
+
+def test_dup_rate_by_source_keeper_rule(spark):
+    from btrdb_server_spark.functions.dedup import dup_rate_by_source
+
+    docs = [
+        (1, "same text here", "crawlA"),
+        (2, "same text here", "crawlB"),   # loses to doc 1
+        (3, "unique alpha", "crawlB"),
+        (4, "  SAME   text HERE ", "crawlB"),  # normalizes to dup too
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r.source: r for r in dup_rate_by_source(df).collect()}
+    assert out["crawlA"].n_dups == 0
+    assert out["crawlB"].n_dups == 2 and out["crawlB"].n_docs == 3
+    assert out["crawlB"].dup_rate == 2 / 3
