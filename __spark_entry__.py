@@ -4583,6 +4583,31 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate_by_source(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(stream, day) KMV distinct-user sketch (k=64) vs the exact
+    count — the mergeable windowed-rollup shape."""
+    from btrdb_server_spark.functions.sketch import kmv_daily
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        epoch_ns_expr(ev).alias("time"), "event_type", "user_id"
+    )
+    return kmv_daily(ev, start=T_2024, end=T_FEB)
+
+
+def q_segment_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment order-value card: count, exact mean and exact
+    median total price."""
+    from btrdb_server_spark.operators.olap import segment_spend_profile
+
+    return segment_spend_profile(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4910,6 +4935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_profile": q_source_profile,
         "bbit_minhash": q_bbit_minhash,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "kmv_daily": q_kmv_daily,
+        "segment_spend_profile": q_segment_spend_profile,
     }
 
 
@@ -11135,5 +11162,59 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_rate
             FROM hh JOIN k USING (h)
             GROUP BY 1 ORDER BY 1
+        """,
+        "kmv_daily": """
+            WITH h AS (
+                SELECT DISTINCT event_type AS uuid,
+                       (epoch_ns(ts) - 1704067200000000000) // 86400000000000 AS day,
+                       CAST('0x' || substr(
+                           md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS h
+                FROM events
+                WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1706745600000000000
+            ), r AS (
+                SELECT uuid, day, h,
+                       row_number() OVER (PARTITION BY uuid, day
+                           ORDER BY h) AS rn
+                FROM h
+            ), kept AS (
+                SELECT uuid, day, CAST(max(h) AS BIGINT) AS kth,
+                       count(*) AS n_kept
+                FROM r WHERE rn <= 64 GROUP BY 1, 2
+            ), ex AS (
+                SELECT uuid, day, count(*) AS n_exact FROM h GROUP BY 1, 2
+            )
+            SELECT ex.uuid, ex.day, n_exact, n_kept,
+                   CASE WHEN n_kept = 64
+                        THEN 2.8372677652434125e+17 / CAST(kth AS DOUBLE)
+                        ELSE CAST(n_kept AS DOUBLE) END AS kmv_est
+            FROM ex JOIN kept ON ex.uuid = kept.uuid AND ex.day = kept.day
+            ORDER BY ex.uuid, ex.day
+        """,
+        "segment_spend_profile": """
+            WITH src AS (
+                SELECT c_mktsegment,
+                       CAST(round(o_totalprice / 0.01) AS BIGINT) AS pc
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ), agg AS (
+                SELECT c_mktsegment, count(*) AS n_orders,
+                       CAST(sum(pc) AS BIGINT) AS s
+                FROM src GROUP BY 1
+            ), med AS (
+                SELECT src.c_mktsegment, pc AS medc
+                FROM (
+                    SELECT c_mktsegment, pc,
+                           row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY pc) AS rn
+                    FROM src) src
+                JOIN agg ON src.c_mktsegment = agg.c_mktsegment
+                WHERE rn = (n_orders + 1) // 2
+            )
+            SELECT agg.c_mktsegment, n_orders,
+                   CAST(s AS DOUBLE)
+                       / (CAST(n_orders AS DOUBLE) * 100.0) AS mean_price,
+                   CAST(medc AS DOUBLE) / 100.0 AS median_price
+            FROM agg JOIN med ON agg.c_mktsegment = med.c_mktsegment
+            ORDER BY agg.c_mktsegment
         """,
     }

@@ -465,3 +465,73 @@ def kmv_set_ops(
             jac.alias("jaccard_est"),
         )
     )
+
+
+def kmv_daily(
+    events: DataFrame,
+    k: int = 64,
+    day_ns: int = 86_400_000_000_000,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    time_col: str = "time",
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Windowed KMV: the distinct-id sketch PER (group, day) — the
+    mergeable rollup shape ("distinct users per stream per day") where
+    a day's sketch unions into weeks/months by merge-and-trim without
+    rescanning ids. Audited against the exact per-window count on the
+    same row.
+
+    Same 52-bit md5-prefix hashes as kmv_distinct (double-exact, one
+    division per estimate; windows under k distinct ids are served
+    EXACTLY). Scale shape: one distinct on (group, day, hash)
+    (map-side combined), a WindowGroupLimit rank prune at k rows per
+    window, window-scale aggregates. Columns: uuid, day, n_exact,
+    n_kept, kmv_est."""
+    if k < 2:
+        raise ValueError("need k >= 2")
+    from pyspark.sql import Window as W
+
+    t = F.col(time_col)
+    src = events
+    if start is not None:
+        src = src.where(t >= start)
+    if end is not None:
+        src = src.where(t < end)
+    origin = start if start is not None else 0
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = (
+        src.select(
+            F.col(group_col).alias("uuid"),
+            F.expr(f"({time_col} - ({origin})) div {day_ns}").alias("day"),
+            h.alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rn = F.row_number().over(W.partitionBy("uuid", "day").orderBy("h"))
+    kept = (
+        hashes.withColumn("rn", rn)
+        .where(F.col("rn") <= k)
+        .groupBy("uuid", "day")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n_kept"))
+    )
+    exact = hashes.groupBy("uuid", "day").agg(
+        F.count("*").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") == k,
+        F.lit(float((k - 1) * (1 << 52))) / F.col("kth").cast("double"),
+    ).otherwise(F.col("n_kept").cast("double"))
+    return (
+        exact.join(kept, ["uuid", "day"])
+        .select("uuid", "day", "n_exact", "n_kept", est.alias("kmv_est"))
+        .orderBy("uuid", "day")
+    )

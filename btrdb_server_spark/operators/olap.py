@@ -1317,3 +1317,46 @@ def lake_integrity(
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("check")
+
+
+def segment_spend_profile(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-market-segment order-value profile: order count, exact mean
+    and exact MEDIAN total price — the pricing-power card by customer
+    segment.
+
+    Exactness: prices in integer cents; the median is the type-1 order
+    statistic at rank ceil(n/2) per segment; the mean is ONE division.
+    Scale shape: customer's segment broadcasts into the orders scan,
+    one segment-keyed rank window, one segment-domain aggregate.
+    Columns: c_mktsegment, n_orders, mean_price, median_price."""
+    from pyspark.sql import Window
+
+    cents = _h(F.col("o_totalprice"))
+    c = customer.select("c_custkey", "c_mktsegment")
+    src = (
+        orders.select("o_custkey", cents.alias("pc"))
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select("c_mktsegment", "pc")
+        .localCheckpoint(eager=False)
+    )
+    agg = src.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"), F.sum("pc").alias("s")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("pc")
+    med = (
+        src.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(agg.select("c_mktsegment", "n_orders")), "c_mktsegment")
+        .where(F.col("rn") == F.expr("(n_orders + 1) div 2"))
+        .select("c_mktsegment", F.col("pc").alias("medc"))
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return (
+        agg.join(med, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (d("s") / (d("n_orders") * F.lit(100.0))).alias("mean_price"),
+            (d("medc") / F.lit(100.0)).alias("median_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1147,3 +1147,31 @@ def test_dup_rate_by_source_keeper_rule(spark):
     assert out["crawlA"].n_dups == 0
     assert out["crawlB"].n_dups == 2 and out["crawlB"].n_docs == 3
     assert out["crawlB"].dup_rate == 2 / 3
+
+
+def test_kmv_daily_exact_below_k(spark):
+    from btrdb_server_spark.functions.sketch import kmv_daily
+
+    DAY = 86_400_000_000_000
+    rows = [(i % 10, (i % 2) * DAY + i, "g") for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, time long, event_type string")
+    out = kmv_daily(df, k=64, start=0, end=2 * DAY).collect()
+    for r in out:
+        assert r.n_exact <= 10
+        assert r.kmv_est == float(r.n_exact)  # under k -> exact
+
+
+def test_segment_spend_profile_exact(spark):
+    from btrdb_server_spark.operators.olap import segment_spend_profile
+
+    orders = spark.createDataFrame(
+        [(i, i % 2, float(p)) for i, p in enumerate([10, 20, 30, 40, 50, 60])],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "c_custkey long, c_mktsegment string"
+    )
+    out = {r.c_mktsegment: r for r in segment_spend_profile(orders, cust).collect()}
+    assert out["A"].n_orders == 3 and out["A"].median_price == 30.0
+    assert out["A"].mean_price == 30.0
+    assert out["B"].median_price == 40.0  # {20,40,60} -> 40
