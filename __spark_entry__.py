@@ -4608,6 +4608,25 @@ def q_segment_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole/half-unit clumping per stream vs the 1%% smooth-distribution
+    expectation — the fractional-part DQ probe."""
+    from btrdb_server_spark.operators.tsshape import round_number_bias
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return round_number_bias(pts, T_2024, T_FEB)
+
+
+def q_spend_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-customer spend trend: fixed-effects OLS slope of order
+    price against the customer's own order index, exact decimal
+    moments."""
+    from btrdb_server_spark.operators.olap import spend_trajectory
+
+    return spend_trajectory(load_table(spark, sf_dir, "orders"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4937,6 +4956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "kmv_daily": q_kmv_daily,
         "segment_spend_profile": q_segment_spend_profile,
+        "round_number_bias": q_round_number_bias,
+        "spend_trajectory": q_spend_trajectory,
     }
 
 
@@ -11216,5 +11237,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(medc AS DOUBLE) / 100.0 AS median_price
             FROM agg JOIN med ON agg.c_mktsegment = med.c_mktsegment
             ORDER BY agg.c_mktsegment
+        """,
+        "round_number_bias": """
+            {PTS}, src AS (
+                SELECT uuid, CAST(round(value / 0.01) AS BIGINT) AS vq
+                FROM pts WHERE time >= 1704067200000000000 AND time < 1706745600000000000
+            )
+            SELECT uuid, count(*) AS n,
+                   CAST(sum(CASE WHEN vq % 100 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_whole,
+                   CAST(sum(CASE WHEN vq % 50 = 0 AND vq % 100 <> 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_half,
+                   CAST(sum(CASE WHEN vq % 100 = 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS whole_share,
+                   CAST(sum(CASE WHEN vq % 50 = 0 AND vq % 100 <> 0
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS half_share
+            FROM src GROUP BY 1 ORDER BY 1
+        """.replace("{PTS}", PTS_CTE),
+        "spend_trajectory": """
+            WITH seq AS (
+                SELECT o_custkey,
+                       CAST(row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+                           AS BIGINT) AS x,
+                       CAST(round(o_totalprice / 0.01) AS BIGINT) AS y
+                FROM orders
+            ), per AS (
+                SELECT o_custkey, count(*) AS n,
+                       CAST(sum(x) AS HUGEINT) AS Sx,
+                       CAST(sum(y) AS HUGEINT) AS Sy,
+                       CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS Sxx,
+                       CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS Sxy,
+                       CAST(min(CASE WHEN x = 1 THEN y END) AS BIGINT)
+                           AS first_y,
+                       CAST(max(CASE WHEN x = n2.mx THEN y END) AS BIGINT)
+                           AS last_y
+                FROM seq JOIN (
+                    SELECT o_custkey AS ck, max(x) AS mx
+                    FROM seq GROUP BY 1) n2
+                  ON seq.o_custkey = n2.ck
+                GROUP BY 1 HAVING count(*) >= 3
+            ), agg AS (
+                SELECT count(*) AS n_customers,
+                       CAST(sum(n) AS BIGINT) AS n_orders,
+                       CAST(sum(n * Sxy - Sx * Sy) AS HUGEINT) AS num,
+                       CAST(sum(n * Sxx - Sx * Sx) AS HUGEINT) AS den,
+                       CAST(sum(first_y) AS BIGINT) AS s_first,
+                       CAST(sum(last_y) AS BIGINT) AS s_last
+                FROM per
+            )
+            SELECT n_customers, n_orders,
+                   CASE WHEN CAST(den AS DOUBLE) <> 0 THEN
+                       CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   END AS slope_cents_per_order,
+                   CAST(s_first AS DOUBLE)
+                       / (CAST(n_customers AS DOUBLE) * 100.0)
+                       AS mean_first_price,
+                   CAST(s_last AS DOUBLE)
+                       / (CAST(n_customers AS DOUBLE) * 100.0)
+                       AS mean_last_price
+            FROM agg
         """,
     }

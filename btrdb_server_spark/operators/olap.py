@@ -1360,3 +1360,69 @@ def segment_spend_profile(orders: DataFrame, customer: DataFrame) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def spend_trajectory(orders: DataFrame, min_orders: int = 3) -> DataFrame:
+    """Within-customer spend trajectory: the fixed-effects OLS slope of
+    order total price (cents) against the customer's own order index —
+    "do customers spend more as they mature?" — pooling the demeaned
+    within-customer variation so cross-customer level differences never
+    contaminate the trend.
+
+    Exactness: slope = sum_c(n_c*Sxy_c - Sx_c*Sy_c) /
+    sum_c(n_c*Sxx_c - Sx_c^2) with every per-customer term an exact
+    decimal(38,0) integer — ONE division at the end. Customers with
+    fewer than `min_orders` orders are excluded (no within variation to
+    speak of). Scale shape: one customer-keyed rank window (bounded
+    partitions), one customer-scale moment aggregate, one global
+    reduce. Columns: n_customers, n_orders, slope_cents_per_order,
+    mean_first_price, mean_last_price."""
+    from pyspark.sql import Window
+
+    cents = _h(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents.alias("y")
+    ).withColumn("x", F.row_number().over(w).cast("long"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per = (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("Sx"),
+            F.sum("y").alias("Sy"),
+            F.sum(dec("x") * F.col("x")).alias("Sxx"),
+            F.sum(dec("x") * F.col("y")).alias("Sxy"),
+            F.min(F.when(F.col("x") == 1, F.col("y"))).alias("first_y"),
+            F.max(F.struct(F.col("x"), F.col("y"))).alias("last_s"),
+        )
+        .where(F.col("n") >= min_orders)
+    )
+    num = F.sum(
+        F.col("n") * F.col("Sxy") - dec("Sx") * F.col("Sy")
+    )
+    den = F.sum(
+        F.col("n") * F.col("Sxx") - dec("Sx") * F.col("Sx")
+    )
+    agg = per.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n").alias("n_orders"),
+        num.alias("num"),
+        den.alias("den"),
+        F.sum("first_y").alias("s_first"),
+        F.sum(F.col("last_s.y")).alias("s_last"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "n_customers",
+        "n_orders",
+        F.when(d("den") != 0, d("num") / d("den")).alias(
+            "slope_cents_per_order"
+        ),
+        (d("s_first") / (d("n_customers") * F.lit(100.0))).alias(
+            "mean_first_price"
+        ),
+        (d("s_last") / (d("n_customers") * F.lit(100.0))).alias(
+            "mean_last_price"
+        ),
+    )

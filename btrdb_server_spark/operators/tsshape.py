@@ -1362,3 +1362,46 @@ def tukey_outliers(
         )
         .orderBy("uuid")
     )
+
+
+def round_number_bias(
+    points: DataFrame,
+    start: int,
+    end: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Round-number bias probe per stream: the share of values landing
+    exactly on whole units (.00) and half units (.50) versus the 1%
+    each a smooth distribution would give — human-entered or defaulted
+    data clumps on round numbers, sensors don't (the Benford companion
+    for the fractional part).
+
+    All-integer counts (quanta mod 100 / mod 50); shares are single
+    divisions. Scale shape: one map-side-combined aggregate. Columns:
+    uuid, n, n_whole, n_half, whole_share, half_share."""
+    q = round(1.0 / value_quantum)
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    src = points.where(time_range_pred(start, end)).select(
+        "uuid", vq.alias("vq")
+    )
+    agg = src.groupBy("uuid").agg(
+        F.count("*").alias("n"),
+        F.sum((F.pmod(F.col("vq"), F.lit(q)) == 0).cast("long")).alias(
+            "n_whole"
+        ),
+        F.sum(
+            (
+                (F.pmod(F.col("vq"), F.lit(q // 2)) == 0)
+                & (F.pmod(F.col("vq"), F.lit(q)) != 0)
+            ).cast("long")
+        ).alias("n_half"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "uuid",
+        "n",
+        "n_whole",
+        "n_half",
+        (d("n_whole") / d("n")).alias("whole_share"),
+        (d("n_half") / d("n")).alias("half_share"),
+    ).orderBy("uuid")

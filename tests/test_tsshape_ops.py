@@ -1175,3 +1175,39 @@ def test_segment_spend_profile_exact(spark):
     assert out["A"].n_orders == 3 and out["A"].median_price == 30.0
     assert out["A"].mean_price == 30.0
     assert out["B"].median_price == 40.0  # {20,40,60} -> 40
+
+
+def test_round_number_bias_planted(spark):
+    from btrdb_server_spark.operators.tsshape import round_number_bias
+
+    vals = [100, 200, 150, 137, 263, 300, 50]  # quanta
+    df = _pts(spark, vals)
+    r = round_number_bias(df, T0, T0 + len(vals) * W).collect()[0]
+    assert r.n_whole == 3   # 100, 200, 300
+    assert r.n_half == 2    # 150, 50
+    assert r.whole_share == 3 / 7 and r.half_share == 2 / 7
+
+
+def test_spend_trajectory_planted_slope(spark):
+    from datetime import date, timedelta
+
+    from btrdb_server_spark.operators.olap import spend_trajectory
+
+    rows = []
+    ok = 0
+    # 5 customers, each 4 orders with price 100 + 25*(index-1): slope 2500c
+    for c in range(5):
+        for i in range(4):
+            rows.append((ok, c, date(2024, 1, 1) + timedelta(days=i),
+                         100.0 + 25.0 * i))
+            ok += 1
+    # one 2-order customer excluded by min_orders
+    rows.append((ok, 99, date(2024, 1, 1), 5.0)); ok += 1
+    rows.append((ok, 99, date(2024, 1, 2), 900.0))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    r = spend_trajectory(df).collect()[0]
+    assert r.n_customers == 5 and r.n_orders == 20
+    assert r.slope_cents_per_order == 2500.0
+    assert r.mean_first_price == 100.0 and r.mean_last_price == 175.0
