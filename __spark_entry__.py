@@ -4627,6 +4627,23 @@ def q_spend_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend_trajectory(load_table(spark, sf_dir, "orders"))
 
 
+
+def q_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-parts-per-order histogram — the cross-sell readout,
+    all-integer."""
+    from btrdb_server_spark.operators.olap import basket_diversity
+
+    return basket_diversity(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc type-token ratio and hapax share — the document-grain
+    repetitiveness lens, one JVM map pass."""
+    from btrdb_server_spark.functions.text import lexical_diversity
+
+    return lexical_diversity(load_table(spark, sf_dir, "documents"))
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4958,6 +4975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_spend_profile": q_segment_spend_profile,
         "round_number_bias": q_round_number_bias,
         "spend_trajectory": q_spend_trajectory,
+        "basket_diversity": q_basket_diversity,
+        "lexical_diversity": q_lexical_diversity,
     }
 
 
@@ -11299,5 +11318,45 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n_customers AS DOUBLE) * 100.0)
                        AS mean_last_price
             FROM agg
+        """,
+        "basket_diversity": """
+            WITH per AS (
+                SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts
+                FROM lineitem GROUP BY 1
+            ), tot AS (SELECT count(*) AS t FROM per)
+            SELECT CAST(n_parts AS BIGINT) AS n_parts,
+                   count(*) AS n_orders,
+                   CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE) AS share
+            FROM per, tot GROUP BY n_parts, t ORDER BY n_parts
+        """,
+        "lexical_diversity": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_sort(list_filter(regexp_split_to_array(
+                           lower(text), '\\s+'), x -> x <> '')) AS srt
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CAST(len(srt) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(srt)) AS BIGINT) AS n_types,
+                       CAST(CASE WHEN len(srt) > 0 THEN
+                           list_sum(list_transform(
+                               generate_series(1, len(srt)),
+                               i -> CASE WHEN srt[i] <>
+                                        COALESCE(srt[i - 1], '')
+                                     AND srt[i] <>
+                                        COALESCE(srt[i + 1], '')
+                                    THEN 1 ELSE 0 END))
+                           ELSE 0 END AS BIGINT) AS n_hapax
+                FROM t
+            )
+            SELECT doc_id, n_tokens, n_types,
+                   CASE WHEN n_tokens > 0 THEN
+                       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   END AS ttr,
+                   CASE WHEN n_types > 0 THEN
+                       CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+                   END AS hapax_share
+            FROM c ORDER BY doc_id
         """,
     }

@@ -836,3 +836,43 @@ def source_profile(
         )
         .orderBy("source")
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical diversity: token count, distinct-type count,
+    type-token ratio, and the hapax share (types used exactly once in
+    the doc) — the repetitiveness lens at document grain
+    (repetition_stats' sibling; low TTR + low hapax = looped text).
+
+    All-JVM array expressions, one map pass, no joins. Every ratio is
+    ONE division of exact integers. Columns: doc_id, n_tokens, n_types,
+    ttr, hapax_share."""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    n_typ = F.size(F.array_distinct(toks)).cast("long")
+    # hapax count: types whose in-doc count is exactly 1 — over the
+    # SORTED token array, an element differing from both neighbors.
+    srt = F.array_sort(toks)
+    # F.get is 0-based and null-safe out of bounds (unlike element_at,
+    # which raises on index 0)
+    is_hapax = F.transform(
+        F.sequence(F.lit(0), F.size(srt) - 1),
+        lambda i: (
+            (F.get(srt, i) != F.coalesce(F.get(srt, i - 1), F.lit("")))
+            & (F.get(srt, i) != F.coalesce(F.get(srt, i + 1), F.lit("")))
+        ).cast("int"),
+    )
+    n_hapax = F.when(
+        n_tok > 0,
+        F.aggregate(is_hapax, F.lit(0), lambda a, x: a + x).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.when(n_tok > 0, d(n_typ) / d(n_tok)).alias("ttr"),
+        F.when(n_typ > 0, d(n_hapax) / d(n_typ)).alias("hapax_share"),
+    ).orderBy(id_col)

@@ -1426,3 +1426,33 @@ def spend_trajectory(orders: DataFrame, min_orders: int = 3) -> DataFrame:
             "mean_last_price"
         ),
     )
+
+
+def basket_diversity(lineitem: DataFrame) -> DataFrame:
+    """Basket-diversity histogram: how many orders contain exactly k
+    DISTINCT parts — the cross-sell readout (all-singleton baskets mean
+    the catalog never bundles).
+
+    All-integer; share is ONE division. Scale shape: one distinct on
+    (order, part) (map-side combined), one order-scale count, one
+    k-domain rollup. Columns: n_parts, n_orders, share."""
+    per = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    tot = per.agg(F.count("*").alias("t"))
+    return (
+        per.groupBy("n_parts")
+        .agg(F.count("*").alias("n_orders"))
+        .join(F.broadcast(tot))
+        .select(
+            "n_parts",
+            "n_orders",
+            (
+                F.col("n_orders").cast("double") / F.col("t").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("n_parts")
+    )

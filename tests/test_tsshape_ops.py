@@ -1211,3 +1211,28 @@ def test_spend_trajectory_planted_slope(spark):
     assert r.n_customers == 5 and r.n_orders == 20
     assert r.slope_cents_per_order == 2500.0
     assert r.mean_first_price == 100.0 and r.mean_last_price == 175.0
+
+
+def test_basket_diversity_histogram(spark):
+    from btrdb_server_spark.operators.olap import basket_diversity
+
+    rows = [(1, 10), (1, 11), (1, 10), (2, 10), (3, 10), (3, 11), (3, 12)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {r.n_parts: r for r in basket_diversity(df).collect()}
+    assert out[1].n_orders == 1 and out[2].n_orders == 1 and out[3].n_orders == 1
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
+
+
+def test_lexical_diversity_brute(spark):
+    from collections import Counter
+
+    from btrdb_server_spark.functions.text import lexical_diversity
+
+    docs = [(1, "a b a c c d"), (2, "x x x"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in lexical_diversity(df).collect()}
+    c = Counter("a b a c c d".split())
+    assert out[1].n_tokens == 6 and out[1].n_types == 4
+    assert out[1].hapax_share == sum(1 for v in c.values() if v == 1) / 4
+    assert out[2].ttr == 1 / 3 and out[2].hapax_share == 0.0
+    assert out[3].n_tokens == 0 and out[3].ttr is None
