@@ -4644,6 +4644,29 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_diversity(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay by priority class: exact median + mean days —
+    does the priority flag buy speed?"""
+    from btrdb_server_spark.operators.olap import delay_by_priority
+
+    return delay_by_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) event-count histogram over January — the
+    per-entity burstiness distribution."""
+    from btrdb_server_spark.operators.events import activity_histogram
+    from btrdb_server_spark.sources.testdata import epoch_ns_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(epoch_ns_expr(ev).alias("time"), "user_id")
+    return activity_histogram(ev, start=T_2024, end=T_FEB)
+
+
 def _small_state(fn: Callable[[SparkSession, str], DataFrame]):
     """Run a stateful-streaming query with spark.sql.shuffle.partitions=4
     (restored afterwards). The state partition count is FIXED by the
@@ -4977,6 +5000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spend_trajectory": q_spend_trajectory,
         "basket_diversity": q_basket_diversity,
         "lexical_diversity": q_lexical_diversity,
+        "delay_by_priority": q_delay_by_priority,
+        "activity_histogram": q_activity_histogram,
     }
 
 
@@ -11358,5 +11383,46 @@ def oracle_sql() -> dict[str, str]:
                        CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
                    END AS hapax_share
             FROM c ORDER BY doc_id
+        """,
+        "delay_by_priority": """
+            WITH src AS (
+                SELECT o_orderpriority,
+                       datediff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS d
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), agg AS (
+                SELECT o_orderpriority, count(*) AS n_items,
+                       CAST(sum(d) AS BIGINT) AS s
+                FROM src GROUP BY 1
+            ), med AS (
+                SELECT src.o_orderpriority, d AS median_days
+                FROM (
+                    SELECT o_orderpriority, d,
+                           row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY d) AS rn
+                    FROM src) src
+                JOIN agg ON src.o_orderpriority = agg.o_orderpriority
+                WHERE rn = (n_items + 1) // 2
+            )
+            SELECT agg.o_orderpriority, n_items,
+                   CAST(s AS DOUBLE) / CAST(n_items AS DOUBLE)
+                       AS mean_days,
+                   CAST(median_days AS BIGINT) AS median_days
+            FROM agg JOIN med
+              ON agg.o_orderpriority = med.o_orderpriority
+            ORDER BY agg.o_orderpriority
+        """,
+        "activity_histogram": """
+            WITH per AS (
+                SELECT user_id, (epoch_ns(ts) - 1704067200000000000) // 86400000000000 AS widx,
+                       count(*) AS k
+                FROM events
+                WHERE epoch_ns(ts) >= 1704067200000000000 AND epoch_ns(ts) < 1706745600000000000
+                GROUP BY 1, 2
+            ), tot AS (SELECT count(*) AS t FROM per)
+            SELECT CAST(k AS BIGINT) AS events_in_window,
+                   count(*) AS n_user_windows,
+                   CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE) AS share
+            FROM per, tot GROUP BY k, t ORDER BY events_in_window
         """,
     }

@@ -1535,3 +1535,49 @@ def session_conversion(
         )
         .orderBy("depth")
     )
+
+
+def activity_histogram(
+    events: DataFrame,
+    width: int = 86_400_000_000_000,
+    start: int | None = None,
+    end: int | None = None,
+    time_col: str = "time",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """How bursty are individual users? The distribution of per-(user,
+    window) event counts: one row per activity level k with how many
+    user-windows hit exactly k events — the per-entity load histogram
+    behind rate-limit and abuse thresholds.
+
+    All-integer; share is ONE division. Scale shape: one map-side-
+    combined (user, window) count, one count-of-counts rollup (activity
+    domain, tiny). Columns: events_in_window, n_user_windows, share."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    t = F.col(time_col)
+    src = events
+    if start is not None:
+        src = src.where(t >= start)
+    if end is not None:
+        src = src.where(t < end)
+    origin = start if start is not None else 0
+    per = src.groupBy(
+        F.col(user_col).alias("u"),
+        F.expr(f"({time_col} - ({origin})) div {width}").alias("widx"),
+    ).agg(F.count("*").alias("k"))
+    tot = per.agg(F.count("*").alias("t"))
+    return (
+        per.groupBy(F.col("k").alias("events_in_window"))
+        .agg(F.count("*").alias("n_user_windows"))
+        .join(F.broadcast(tot))
+        .select(
+            "events_in_window",
+            "n_user_windows",
+            (
+                F.col("n_user_windows").cast("double")
+                / F.col("t").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("events_in_window")
+    )

@@ -1456,3 +1456,55 @@ def basket_diversity(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("n_parts")
     )
+
+
+def delay_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Does the priority flag actually buy speed? Per order priority:
+    item count, mean and exact MEDIAN order-to-ship delay in days — the
+    SLA-by-class readout that catches a priority queue nobody wired up.
+
+    Exactness: integer day delays; medians are type-1 order statistics
+    per class; means are single divisions. Scale shape: one fact-fact
+    co-hash, one priority-keyed rank window (bounded partitions — the
+    priority domain is tiny but each class is large, so the window is
+    the audit path; hist_quantiles is the sketch path), one class-scale
+    aggregate. Columns: o_orderpriority, n_items, mean_days,
+    median_days."""
+    from pyspark.sql import Window
+
+    o = orders.select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = lineitem.select("l_orderkey", F.to_date("l_shipdate").alias("sd"))
+    src = (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.datediff("sd", "od").cast("long").alias("d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    agg = src.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"), F.sum("d").alias("s")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    med = (
+        src.withColumn("rn", F.row_number().over(w))
+        .join(
+            F.broadcast(agg.select("o_orderpriority", "n_items")),
+            "o_orderpriority",
+        )
+        .where(F.col("rn") == F.expr("(n_items + 1) div 2"))
+        .select("o_orderpriority", F.col("d").alias("median_days"))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        agg.join(med, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_items",
+            (dd("s") / dd("n_items")).alias("mean_days"),
+            "median_days",
+        )
+        .orderBy("o_orderpriority")
+    )

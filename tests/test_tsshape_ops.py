@@ -1236,3 +1236,36 @@ def test_lexical_diversity_brute(spark):
     assert out[1].hapax_share == sum(1 for v in c.values() if v == 1) / 4
     assert out[2].ttr == 1 / 3 and out[2].hapax_share == 0.0
     assert out[3].n_tokens == 0 and out[3].ttr is None
+
+
+def test_delay_by_priority_exact(spark):
+    from datetime import date, timedelta
+
+    from btrdb_server_spark.operators.olap import delay_by_priority
+
+    base = date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, base, "1-URGENT" if i < 3 else "5-LOW") for i in range(6)],
+        "o_orderkey long, o_orderdate date, o_orderpriority string",
+    )
+    delays = {0: 1, 1: 2, 2: 9, 3: 10, 4: 20, 5: 30}
+    li = spark.createDataFrame(
+        [(i, base + timedelta(days=d)) for i, d in delays.items()],
+        "l_orderkey long, l_shipdate date",
+    )
+    out = {r.o_orderpriority: r for r in delay_by_priority(li, orders).collect()}
+    assert out["1-URGENT"].median_days == 2 and out["1-URGENT"].mean_days == 4.0
+    assert out["5-LOW"].median_days == 20 and out["5-LOW"].mean_days == 20.0
+
+
+def test_activity_histogram_counts(spark):
+    from btrdb_server_spark.operators.events import activity_histogram
+
+    DAY = 86_400_000_000_000
+    rows = [(1, 10), (1, 20), (1, DAY + 5), (2, 30)]
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    out = {r.events_in_window: r for r in
+           activity_histogram(df, start=0, end=2 * DAY).collect()}
+    # user 1 day 0: k=2; user 1 day 1: k=1; user 2 day 0: k=1
+    assert out[2].n_user_windows == 1 and out[1].n_user_windows == 2
+    assert abs(out[1].share - 2 / 3) < 1e-15
