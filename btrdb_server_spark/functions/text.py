@@ -849,14 +849,21 @@ def lexical_diversity(
     All-JVM array expressions, one map pass, no joins. Every ratio is
     ONE division of exact integers. Columns: doc_id, n_tokens, n_types,
     ttr, hapax_share."""
-    toks = tokens_col(F.col(text_col))
-    n_tok = F.size(toks).cast("long")
-    n_typ = F.size(F.array_distinct(toks)).cast("long")
+    # Stage the sorted array as a BOUND COLUMN before the lambda: there
+    # is no common-subexpression elimination inside higher-order-function
+    # lambdas, so referencing array_sort(...) inline re-sorts PER ELEMENT
+    # (measured 39 s -> 1 s at sf0.1 for this exact function).
+    staged = docs.select(
+        F.col(id_col),
+        F.array_sort(tokens_col(F.col(text_col))).alias("srt"),
+    )
+    srt = F.col("srt")
+    n_tok = F.size(srt).cast("long")
+    n_typ = F.size(F.array_distinct(srt)).cast("long")
     # hapax count: types whose in-doc count is exactly 1 — over the
-    # SORTED token array, an element differing from both neighbors.
-    srt = F.array_sort(toks)
+    # sorted token array, an element differing from both neighbors.
     # F.get is 0-based and null-safe out of bounds (unlike element_at,
-    # which raises on index 0)
+    # which raises on index 0).
     is_hapax = F.transform(
         F.sequence(F.lit(0), F.size(srt) - 1),
         lambda i: (
@@ -869,7 +876,7 @@ def lexical_diversity(
         F.aggregate(is_hapax, F.lit(0), lambda a, x: a + x).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     d = lambda c: c.cast("double")  # noqa: E731
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_typ.alias("n_types"),
