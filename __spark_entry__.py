@@ -4700,12 +4700,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (r05 checked the 50 newest/changed ops — all green — leaving these
     deferred at 51+); (b) the 27 operators new in round 6 (every new op
     earns its row immediately); (c) three of the rotated r03-stale green
-    anchors. The 56 operators added later in round 6 (warehouse Q5/Q6/
-    Q8/Q13/Q14/Q17/Q18/Q19/Q22 + skyline + elasticity, the sketch lab
-    incl. kmv_set_ops/streaming_hll, the time-series shape and
-    operational labs, vector/dedup additions, ML-prep & governance,
-    hybrid retrieval, the curation funnel, the namespace tree) sit at
-    51+ — each verified bit-exact against its
+    anchors. The 81 operators added later in round 6 (warehouse Q5/Q6/
+    Q8/Q13/Q14/Q17/Q18/Q19/Q22 + skyline/elasticity/backlog/integrity/
+    HHI/SLA cards, the sketch lab incl. kmv_set_ops/kmv_daily/
+    streaming_hll/bbit_minhash, the time-series shape and operational
+    labs, vector/dedup additions incl. boilerplate and provenance dup
+    rates, ML-prep & governance, hybrid retrieval, the curation funnel,
+    the namespace tree, the behavioral/retail cards) sit at 51+ — each verified bit-exact against its
     oracle via scripts/check_driver.py (the driver's own compare) this
     round — and form the round-7 window together with any remaining
     never-checked entries. Every r05-green entry moved past 50 banked
