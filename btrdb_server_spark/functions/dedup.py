@@ -441,14 +441,21 @@ def _hex4_to_int(col):
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
-    """16-bit SimHash: each token votes ±1 on every bit of its md5-derived
-    16-bit hash; fingerprint bit b is 1 iff the sum of votes is positive.
-    Term frequency is preserved (tokens not deduplicated)."""
+    """SimHash fingerprint: each token votes ±1 on every bit of its
+    md5-derived `bits`-bit hash; fingerprint bit b is 1 iff the sum of
+    votes is positive. Term frequency is preserved (tokens not
+    deduplicated). bits must be a multiple of 4 and <= 60 (the hash is
+    the first bits/4 hex chars of md5 — 15 chars = 60 bits keeps conv()
+    inside a signed long on both engines)."""
+    assert bits % 4 == 0 and bits <= 60, bits
     toks = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
     toks = toks.select(
-        id_col, _hex4_to_int(F.substring(F.md5("tok"), 1, 4)).alias("th")
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("th"),
     )
     bitted = toks.select(
         id_col,
@@ -464,11 +471,83 @@ def simhash(
         .agg(F.sum("vote").alias("s"))
         .groupBy(id_col)
         .agg(
-            F.sum(F.when(F.col("s") > 0, F.expr("1 << bit")).otherwise(0)).alias(
+            # The shift MUST be on a long: int32 `1 << bit` wraps at bit 31
+            # (shift count is taken mod 32), silently corrupting any
+            # fingerprint wider than 31 bits.
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << bit")).otherwise(0)
+            ).alias(
                 "simhash"
             )
         )
         .orderBy(id_col)
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded SimHash near-duplicate pairs with exact Hamming verify.
+
+    Candidate generation is the pigeonhole LSH: split the fingerprint
+    into `bands` contiguous slices and self-join on (band, slice value).
+    Any pair with Hamming distance <= bands-1 agrees on at least one
+    slice, so for max_hamming < bands recall is exactly 1 — no
+    probabilistic miss, unlike MinHash banding. At 60/4 = 15-bit slices
+    the buckets are near-singleton on non-duplicate text, so the verify
+    (one xor + bit_count per candidate) is ~linear in true pairs.
+
+    Scale shape: the fingerprint is one groupBy over (doc, bit) votes —
+    map-side combinable, JVM-only; the band join shuffles 4 rows of
+    (band, 15-bit value, id, fingerprint) per document; nothing touches
+    document text after tokenization. Complements minhash_lsh_pairs
+    (Jaccard regime) with the Charikar cosine/Hamming regime
+    (reference has no equivalent; STS-style near-dup per SURVEY 2.12).
+    """
+    assert max_hamming < bands, "pigeonhole recall needs max_hamming < bands"
+    assert bits % bands == 0, (bits, bands)
+    fp = simhash(docs, text_col, id_col, bits)
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    bt = fp.select(
+        F.col(id_col),
+        F.col("simhash").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        id_col,
+        "band",
+        F.expr(f"(h >> (band * {bw})) & {mask}").alias("bv"),
+        "h",
+    )
+    cand = (
+        bt.alias("l")
+        .join(
+            bt.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.h").alias("ha"),
+            F.col("r.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            F.expr("cast(bit_count(ha ^ hb) as int)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("a", "b")
     )
 
 
