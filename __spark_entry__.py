@@ -1986,6 +1986,30 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of MinHash LSH banding vs exact shingle Jaccard —
+    the audit that justifies the banded path at scale (dedup twin of
+    ann_recall_eval)."""
+    from btrdb_server_spark.functions.dedup import lsh_recall_eval
+
+    return lsh_recall_eval(load_table(spark, sf_dir, "documents"))
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-flavor profit by supplier nation x order year: selective
+    broadcast part filter drives the fact reduction; one wide shuffle
+    (lineitem x orders); cents-exact arithmetic."""
+    from btrdb_server_spark.operators.olap import product_profit
+
+    return product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -5089,6 +5113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 7 (verified via scripts/check_driver.py; window
         # slots this round are reserved for the never-checked backlog) --
         "simhash_pairs": q_simhash_pairs,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "product_profit": q_product_profit,
     }
 
 
@@ -8600,6 +8626,70 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE CAST(bit_count(xor(ha, hb)) AS INTEGER) <= 3
             ORDER BY a, b
+        """,
+        "lsh_recall_eval": f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            ), cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id
+            ), sh2 AS (
+                SELECT DISTINCT doc_id, {_hexn_sql("md5(s)", 15)} AS s FROM shrows
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id
+            ), inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
+                GROUP BY l.doc_id, r.doc_id
+            ), truth AS (
+                SELECT a, b FROM inter
+                JOIN sz sa ON sa.doc_id = a
+                JOIN sz sb ON sb.doc_id = b
+                WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+            )
+            SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+                   CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+                   CAST((SELECT count(*) FROM truth JOIN cand USING (a, b))
+                        AS BIGINT) AS n_hits,
+                   CAST((SELECT count(*) FROM truth JOIN cand USING (a, b))
+                        AS DOUBLE)
+                     / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall,
+                   CAST((SELECT count(*) FROM truth JOIN cand USING (a, b))
+                        AS DOUBLE)
+                     / CAST((SELECT count(*) FROM cand) AS DOUBLE) AS precision
+        """,
+        "product_profit": """
+            WITH p AS (
+                SELECT p_partkey,
+                       CAST(round(p_retailprice / 0.01) AS BIGINT) AS retail_h
+                FROM part WHERE p_type = 'ECONOMY'
+            ), li AS (
+                SELECT l_orderkey, l_partkey, l_suppkey,
+                       CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice / 0.01) AS BIGINT)
+                         * (100 - CAST(round(l_discount / 0.01) AS BIGINT)) AS rev4
+                FROM lineitem
+            ), j AS (
+                SELECT n_name,
+                       year(CAST(o_orderdate AS DATE)) AS o_year,
+                       rev4 - retail_h * qty * 60 AS profit4
+                FROM li JOIN p ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT n_name, o_year,
+                   CAST(sum(profit4) AS DOUBLE) / 10000.0 AS profit,
+                   count(*) AS n_items
+            FROM j GROUP BY 1, 2 ORDER BY n_name, o_year DESC
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -64,17 +64,43 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    # The external harness captures only the last ~2000 bytes of stdout, so
+    # a 284-entry per-query map printed inline is self-defeating (rounds
+    # r02-r06 recorded "parsed: null" for exactly this reason).  Print ONE
+    # compact line that always fits — total + the slowest queries — and
+    # write the complete per-query map to a repo file for the full record.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries_full_file": "BENCH_full.json",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"bench summary line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -299,6 +299,57 @@ def lsh_verified_pairs(
     )
 
 
+def lsh_recall_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Recall/precision audit of MinHash LSH banding against exact shingle
+    Jaccard ground truth — the dedup-family twin of ann_recall_eval.
+
+    One row: n_truth (exact pairs with jaccard >= threshold), n_candidates
+    (banded LSH pairs), n_hits (their intersection), recall and precision
+    as plain IEEE divisions. This is the gauge that justifies shipping the
+    banded path at 100 TB: the exact baseline is quadratic and only ever
+    runs at audit scale; the audit itself touches candidate pairs, never
+    the corpus cross product.
+    """
+    truth = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold).select(
+        "a", "b"
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, text_col, id_col, num_hashes, k),
+        id_col,
+        num_hashes,
+        bands,
+    ).select("a", "b")
+    hits = truth.join(cand, ["a", "b"], "left_semi")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hits = hits.agg(F.count("*").alias("n_hits"))
+    # Three one-row aggregates; the crossJoins are broadcast scalars.
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
+                "recall"
+            ),
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("precision"),
+        )
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     text_col: str = "text",

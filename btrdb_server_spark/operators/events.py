@@ -1124,8 +1124,11 @@ def uplift_quintiles(
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     q = float(round(1.0 / value_quantum))
-    mean_a = d("sy_a") / d("n_a") / F.lit(q)
-    mean_b = d("sy_b") / d("n_b") / F.lit(q)
+    # try_divide: an empty (quintile, arm) cell — real under user skew or
+    # tiny windows — yields NULL, matching DuckDB's x/0.0 semantics,
+    # instead of an ANSI DIVIDE_BY_ZERO abort of the whole readout.
+    mean_a = F.try_divide(d("sy_a"), d("n_a")) / F.lit(q)
+    mean_b = F.try_divide(d("sy_b"), d("n_b")) / F.lit(q)
     return cells.select(
         "qbin",
         "n_a",

@@ -593,6 +593,70 @@ def local_supplier_volume(
     )
 
 
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    p_type: str = "ECONOMY",
+    cost_pct: int = 60,
+) -> DataFrame:
+    """TPC-H-Q9-flavor product profit by supplier nation and order year.
+    The testdata schema has no partsupp/supplycost, so unit cost is a
+    fixed percentage of p_retailprice (default 60%) — the join/agg shape
+    is Q9's: a selective PART filter drives the fact reduction, supplier
+    routes profit to a nation, orders contributes the year.
+
+    profit = sum(extendedprice*(1-discount) - cost_pct% * retailprice *
+    quantity), exact in 1e-4 integer units (cents * hundredths on the
+    revenue side; retail hundredths * integer qty * cost_pct on the cost
+    side — cost_pct of 60 keeps 0.60*100 an exact integer).
+
+    Plan shape: part is filtered THEN broadcast (the filter prunes the
+    fact rows map-side before any wide exchange); supplier and nation are
+    broadcast dim hops; the one wide shuffle is lineitem co-hashing
+    o_orderkey against the date-projected orders. Reference: the engine
+    has no OLAP plane (qtree serves time ranges only) — this is SURVEY
+    2.12 warehouse-extension surface."""
+    p = part.where(F.col("p_type") == p_type).select(
+        "p_partkey", _h(F.col("p_retailprice")).alias("retail_h")
+    )
+    s = supplier.select("s_suppkey", "s_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    o = orders.select("o_orderkey", F.year(F.to_date("o_orderdate")).alias("o_year"))
+    rev4 = _h(F.col("l_extendedprice")) * (F.lit(100) - _h(F.col("l_discount")))
+    li = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        rev4.alias("rev4"),
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .withColumn(
+            "profit4",
+            F.col("rev4") - F.col("retail_h") * F.col("qty") * F.lit(cost_pct),
+        )
+    )
+    return (
+        joined.groupBy("n_name", "o_year")
+        .agg(F.sum(dec("profit4")).alias("s_p4"), F.count("*").alias("n_items"))
+        .select(
+            "n_name",
+            "o_year",
+            (F.col("s_p4").cast("double") / F.lit(10000.0)).alias("profit"),
+            "n_items",
+        )
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
 def market_share(
     lineitem: DataFrame,
     orders: DataFrame,

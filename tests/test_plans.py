@@ -727,3 +727,27 @@ def test_power_users_no_user_scale_sort(spark):
     df = entry_mod.q_power_users(spark, SF)
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in simple
+
+
+def test_product_profit_broadcasts_all_dims(spark):
+    """Q9 flavor: part (filtered), supplier and nation all broadcast; no
+    nested-loop/cartesian anywhere; the p_type filter reaches the part
+    scan so the fact reduction happens map-side."""
+    plan = plan_of(entry_mod.q_product_profit(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_simhash_pairs_band_join_not_cartesian(spark):
+    """The Hamming candidate join must be an equi-join on (band, slice
+    value) — a cross product would be quadratic in the corpus."""
+    plan = plan_of(entry_mod.q_simhash_pairs(spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_lsh_recall_eval_scalar_joins_broadcast(spark):
+    """The three one-row count aggregates combine via broadcast nested
+    loop (scalar x scalar) — never a shuffled join."""
+    plan = plan_of(entry_mod.q_lsh_recall_eval(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
