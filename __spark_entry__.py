@@ -2326,6 +2326,19 @@ def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(_decoded_media(spark, sf_dir), max_side=224).orderBy("media_id")
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-statistics feature extraction over opaque payloads (histogram,
+    exact mean byte, printable ratio, ascending-fold Shannon entropy) —
+    the decode-free screen for corrupt/compressed media objects."""
+    from btrdb_server_spark.functions.multimodal import (
+        media_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return media_features(media).orderBy("media_id")
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import centroids_from_rows, ivf_assign
 
@@ -2646,6 +2659,86 @@ def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
+
+
+def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(stream, day) p50/p90/p99 at ingest: keyed state carries
+    one value-histogram per open window (bounded by the quantized value
+    domain, not the point count); closed windows emit exactly once and
+    bit-equal the batch order-statistic scan — the latency-SLA primitive
+    the reference can only serve by raw scanning."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_quantile
+
+    work = tempfile.mkdtemp(prefix="btrdb_squant_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
+        F.col("uuid").isin("purchase", "error")
+    )
+    span = (T_JAN10 - T_2024) // 4
+    for k in range(4):
+        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
+        (
+            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_quantile_out"
+    q = (
+        streaming_quantile(stream, T_2024, DAY_NS)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
+
+
+def _streaming_quantile_oracle_sql() -> str:
+    t0, t1, w = T_2024, T_JAN10, DAY_NS
+    return f"""
+        {PTS_CTE}, src AS (
+            SELECT uuid, time, CAST(round(value / 0.01) AS BIGINT) AS vq
+            FROM pts
+            WHERE uuid IN ('purchase', 'error')
+              AND time >= {t0} AND time < {t1}
+        ), mx AS (SELECT uuid, max(time) AS maxt FROM src GROUP BY 1),
+        wv AS (
+            SELECT uuid, (time - {t0}) // {w} AS widx, vq,
+                   row_number() OVER (PARTITION BY uuid, (time - {t0}) // {w}
+                                      ORDER BY vq) AS rn,
+                   count(*) OVER (PARTITION BY uuid,
+                                  (time - {t0}) // {w}) AS n
+            FROM src
+        ), agg AS (
+            SELECT uuid, widx, any_value(n) AS n,
+                   max(CASE WHEN rn = (1 * n + 1) // 2 THEN vq END) AS k50,
+                   max(CASE WHEN rn = (9 * n + 9) // 10 THEN vq END) AS k90,
+                   max(CASE WHEN rn = (99 * n + 99) // 100 THEN vq END) AS k99
+            FROM wv GROUP BY 1, 2
+        )
+        SELECT agg.uuid, {t0} + agg.widx * {w} AS time,
+               CAST(agg.n AS BIGINT) AS n,
+               CAST(agg.k50 AS DOUBLE) / 100.0 AS p50,
+               CAST(agg.k90 AS DOUBLE) / 100.0 AS p90,
+               CAST(agg.k99 AS DOUBLE) / 100.0 AS p99
+        FROM agg JOIN mx ON agg.uuid = mx.uuid
+        WHERE agg.widx < (mx.maxt - {t0}) // {w}
+        ORDER BY agg.uuid, time
+    """
 
 
 def _streaming_twa_oracle_sql() -> str:
@@ -5115,6 +5208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_recall_eval": q_lsh_recall_eval,
         "product_profit": q_product_profit,
+        "media_features": q_media_features,
+        "streaming_quantile": _small_state(q_streaming_quantile),
     }
 
 
@@ -5495,6 +5590,7 @@ def oracle_sql() -> dict[str, str]:
         "uplift_quintiles": _uplift_oracle_sql(),
         "cohort_ltv": _cohort_ltv_oracle_sql(),
         "streaming_twa": _streaming_twa_oracle_sql(),
+        "streaming_quantile": _streaming_quantile_oracle_sql(),
         "burstiness": f"""
             {PTS_CTE}, l AS (
                 SELECT time, lag(time) OVER (ORDER BY time, value) AS pt
@@ -8830,6 +8926,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g.n_copies AS BIGINT) AS n_copies,
                    m.media_id <> g.keeper_id AS is_dup
             FROM m JOIN g USING (digest) ORDER BY m.media_id
+        """,
+        "media_features": """
+            WITH ch AS (
+                SELECT doc_id AS media_id, unnest(split(text, '')) AS c
+                FROM documents
+            ), hist AS (
+                SELECT media_id, ord(c) AS o, count(*) AS cnt
+                FROM ch GROUP BY media_id, ord(c)
+            ), base AS (
+                SELECT doc_id AS media_id,
+                       CAST(length(text) AS BIGINT) AS n_bytes
+                FROM documents
+            ), feats AS (
+                SELECT media_id,
+                       CAST(count(*) AS INTEGER) AS n_distinct_bytes,
+                       CAST(sum(o * cnt) AS BIGINT) AS sum_bytes,
+                       CAST(sum(CASE WHEN o BETWEEN 32 AND 126
+                                     THEN cnt ELSE 0 END) AS BIGINT) AS printable,
+                       any_value(n) AS n,
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                               list(-((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                                      * log2(CAST(cnt AS DOUBLE)
+                                             / CAST(n AS DOUBLE)))
+                                    ORDER BY o)),
+                           (a, x) -> a + x) AS byte_entropy
+                FROM (SELECT hist.*, base.n_bytes AS n
+                      FROM hist JOIN base USING (media_id))
+                GROUP BY media_id
+            )
+            SELECT b.media_id, b.n_bytes,
+                   COALESCE(f.n_distinct_bytes, 0) AS n_distinct_bytes,
+                   CAST(f.sum_bytes AS DOUBLE) / CAST(f.n AS DOUBLE) AS mean_byte,
+                   CAST(f.printable AS DOUBLE) / CAST(f.n AS DOUBLE)
+                       AS printable_ratio,
+                   f.byte_entropy
+            FROM base b LEFT JOIN feats f USING (media_id)
+            ORDER BY b.media_id
         """,
         "media_resize_plan": f"""
             WITH {_media_decoded_cte()}, s AS (

@@ -321,3 +321,80 @@ def resize_plan(decoded: DataFrame, max_side: int = 224) -> DataFrame:
         F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias("out_w"),
         F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias("out_h"),
     )
+
+
+BYTE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_distinct_bytes", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("printable_ratio", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+    ]
+)
+
+
+def media_features(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Byte-statistics feature extraction over opaque binary payloads — the
+    feature-extract stage of the multimodal pipeline, and unlike the codec
+    it needs no external library: byte histogram -> distinct-byte count,
+    exact mean byte, printable-ASCII ratio, and Shannon entropy in
+    bits/byte. These are the standard cheap screens for corrupt,
+    double-compressed, or mislabeled media objects (a 'text' payload at
+    7.9 bits/byte is ciphertext or already-compressed data).
+
+    Scale shape: one Arrow-batched mapInPandas pass; per payload the work
+    is a numpy bincount (no per-byte Python). Determinism contract: the
+    integer histogram is exact; mean and ratio are single divisions of
+    integer sums; the entropy is a LEFT FOLD of -(p*log2(p)) over bytes in
+    ASCENDING value order from a 0.0 accumulator, so the DuckDB oracle's
+    list_reduce over the same ordered term list reproduces every double
+    bit-for-bit (libm log2 on both engines). Empty payloads yield NULL
+    mean/ratio/entropy and n_distinct_bytes = 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nb, nd, mb, pr, be = [], [], [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(p if p is not None else b"", dtype=np.uint8)
+                n = int(b.size)
+                ids.append(mid)
+                nb.append(n)
+                if n == 0:
+                    nd.append(0)
+                    mb.append(None)
+                    pr.append(None)
+                    be.append(None)
+                    continue
+                cnt = np.bincount(b, minlength=256).astype(np.int64)
+                nz = np.nonzero(cnt)[0]
+                nd.append(int(nz.size))
+                mb.append(float(int(b.sum(dtype=np.int64))) / float(n))
+                pr.append(float(int(cnt[32:127].sum())) / float(n))
+                acc = 0.0
+                for v in nz:  # ascending byte value = the pinned fold order
+                    pv = float(int(cnt[v])) / float(n)
+                    acc = acc + (-(pv * math.log2(pv)))
+                be.append(acc)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": pd.array(nb, dtype="int64"),
+                    "n_distinct_bytes": pd.array(nd, dtype="Int32"),
+                    "mean_byte": pd.array(mb, dtype="float64"),
+                    "printable_ratio": pd.array(pr, dtype="float64"),
+                    "byte_entropy": pd.array(be, dtype="float64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(extract, BYTE_FEATURES_SCHEMA)

@@ -523,3 +523,78 @@ def test_streaming_twa_closes_windows_once(spark, tmp_path):
         100: (100, (20 * 400 + 80 * 600) / 100 / 100.0),
     }
     assert got == exp
+
+
+def test_streaming_quantile_closes_windows_once(spark, tmp_path):
+    """Per-(stream, window) exact p50/p90/p99 emit exactly once when the
+    first point beyond the window arrives, regardless of how arrivals are
+    split into micro-batches; the frontier window stays open."""
+    from btrdb_server_spark.streaming.stateful import streaming_quantile
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    width = 100
+    # window 0: values 1..4 (split across two batches); window 1: 10,20;
+    # window 2 opens at t=250 and must NOT emit.
+    write_batch(spark, src, [("s", 0, 1.0), ("s", 10, 2.0)], 1)
+    write_batch(spark, src, [("s", 20, 3.0), ("s", 30, 4.0)], 2)
+    write_batch(spark, src, [("s", 120, 10.0), ("s", 130, 20.0)], 3)
+    write_batch(spark, src, [("s", 250, 99.0)], 4)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_quantile(stream, 0, width)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("quantile_updates")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.time: (r.n, r.p50, r.p90, r.p99)
+        for r in spark.sql("SELECT * FROM quantile_updates").collect()
+    }
+    # n=4: k50=ceil(2)=2 -> 2.0; k90=ceil(3.6)=4 -> 4.0; k99=4 -> 4.0
+    # n=2: k50=1 -> 10.0; k90=ceil(1.8)=2 -> 20.0; k99=2 -> 20.0
+    assert got == {
+        0: (4, 2.0, 4.0, 4.0),
+        100: (2, 10.0, 20.0, 20.0),
+    }
+
+
+def test_streaming_quantile_rejects_out_of_order(spark, tmp_path):
+    """A point behind the open window is a contract violation (the op is
+    order-defined, like the other streaming recurrences)."""
+    from btrdb_server_spark.streaming.stateful import streaming_quantile
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    write_batch(spark, src, [("s", 150, 1.0)], 1)
+    write_batch(spark, src, [("s", 10, 2.0)], 2)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_quantile(stream, 0, 100)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("quantile_ooo")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="behind the open window"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

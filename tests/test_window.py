@@ -83,7 +83,8 @@ def test_survey_operator_inventory_matches_registry():
 def test_every_query_has_an_oracle_or_documented_exemption():
     """The correctness gate needs BOTH a queries() entry and an
     oracle_sql() entry; genuinely non-SQL-expressible ops must be listed
-    in NON_SQL_EXEMPT (currently none — all 284 have oracles)."""
+    in NON_SQL_EXEMPT (currently none — every registered entry has an
+    oracle)."""
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     exempt = set(getattr(entry_mod, "NON_SQL_EXEMPT", ()))
