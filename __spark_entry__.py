@@ -2741,6 +2741,14 @@ def _streaming_quantile_oracle_sql() -> str:
     """
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering, self-trained: per-doc ppl under an add-one
+    corpus bigram LM (libm ln/exp, ascending-position folds)."""
+    from btrdb_server_spark.functions.text import bigram_perplexity
+
+    return bigram_perplexity(load_table(spark, sf_dir, "documents"))
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5210,6 +5218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "media_features": q_media_features,
         "streaming_quantile": _small_state(q_streaming_quantile),
+        "bigram_perplexity": q_bigram_perplexity,
     }
 
 
@@ -8786,6 +8795,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(profit4) AS DOUBLE) / 10000.0 AS profit,
                    count(*) AS n_items
             FROM j GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+        """,
+        "bigram_perplexity": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            bi AS (
+                SELECT doc_id, u.i - 1 AS pos,
+                       toks[u.i] AS w1, toks[u.i + 1] AS w2
+                FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                WHERE len(toks) >= 2
+            ),
+            b AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+            uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS vsz
+                  FROM (SELECT unnest(toks) AS tok FROM t)),
+            terms AS (
+                SELECT bi.doc_id, bi.pos,
+                       ln((b.c12 + 1) / (uni.c1 + v.vsz)) AS term
+                FROM bi JOIN b USING (w1, w2)
+                JOIN uni USING (w1) CROSS JOIN v
+            ),
+            per AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                                        list(term ORDER BY pos)),
+                           (a, x) -> a + x) AS ll
+                FROM terms GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, ll,
+                   exp(-(ll / CAST(n_bigrams AS DOUBLE))) AS ppl
+            FROM per ORDER BY doc_id
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -883,3 +883,85 @@ def lexical_diversity(
         F.when(n_tok > 0, d(n_typ) / d(n_tok)).alias("ttr"),
         F.when(n_typ > 0, d(n_hapax) / d(n_typ)).alias("hapax_share"),
     ).orderBy(id_col)
+
+
+def bigram_perplexity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed corpus bigram LM
+    — CCNet/Gopher-style perplexity filtering, self-trained (no external
+    model): P(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V), where c counts bigram
+    occurrences corpus-wide, c1 counts first-position occurrences and V
+    is the corpus vocabulary. Output per doc: n_bigrams, log-likelihood
+    ll (natural log) and ppl = exp(-ll/n) — boilerplate and in-domain
+    text score low, gibberish and OOD text score high.
+
+    Exactness: each term is a libm-ln pandas UDF of an exact integer
+    ratio (JVM Math.log is 1-ulp off libm — the hurst/zipf note); the
+    per-doc sum folds in ASCENDING position order via F.aggregate over a
+    sorted array; ppl is libm exp of a single division. Scale shape: the
+    bigram LM is one groupBy over the exploded bigram stream (map-side
+    combined); scoring joins each doc's bigrams against the LM tables on
+    the bigram key; V rides a one-row broadcast; the fold touches each
+    doc's own bigrams only. Docs with fewer than 2 tokens have no
+    bigrams and are excluded (both engines)."""
+    import math as _math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
+        return s.map(_math.log)
+
+    @pandas_udf("double")
+    def _exp(s):  # libm exp — matches DuckDB exp() bit-exactly
+        return s.map(_math.exp)
+
+    t = ensure_parallelism(docs).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    )
+    bi = (
+        t.where(F.size("toks") >= 2)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("pos", "bg"),
+        )
+        .select(id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    b = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    u = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vsz")
+    )
+    terms = (
+        bi.join(b, ["w1", "w2"])
+        .join(u, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            "pos",
+            _ln(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("vsz")).cast("double")
+            ).alias("term"),
+        )
+    )
+    per = terms.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "term"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["term"],
+        ).alias("ll"),
+    )
+    return per.select(
+        id_col,
+        "n_bigrams",
+        "ll",
+        _exp(-(F.col("ll") / F.col("n_bigrams").cast("double"))).alias("ppl"),
+    ).orderBy(id_col)

@@ -751,3 +751,12 @@ def test_lsh_recall_eval_scalar_joins_broadcast(spark):
     loop (scalar x scalar) — never a shuffled join."""
     plan = plan_of(entry_mod.q_lsh_recall_eval(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bigram_perplexity_lm_joins_keyed(spark):
+    """The LM scoring joins are equi-joins on the bigram/unigram keys; the
+    only nested-loop is the one-row vocabulary-size broadcast."""
+    df = entry_mod.q_bigram_perplexity(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in simple
+    assert simple.count("BroadcastNestedLoopJoin") <= 1
