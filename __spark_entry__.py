@@ -110,6 +110,26 @@ def q_aligned_windows_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windows_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile plane on the rollup ladder — a tier the reference does NOT
+    have (qtree nodes carry min/mean/max/count only, qtree.go:925-947):
+    per-(uuid, bucket, quantized value) histogram rows built at pw=34,
+    coarsened 64:1 to pw=40 by the same associative groupBy-sum as the
+    stat ladder, then exact per-2^42-window p50/p90/p99 served from the
+    materialized tier. The oracle computes the order statistics from raw
+    points — proving the histogram path exact, not approximate."""
+    from btrdb_server_spark.plans.rollup import (
+        hist_from_hist,
+        hist_from_points,
+        quantiles_from_hist,
+    )
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    fine = hist_from_points(pts, 34)
+    level = hist_from_hist(fine, 40)
+    return quantiles_from_hist(level, 40, "view", T_2024, T_FEB, 42)
+
+
 def q_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent aggregate pushdown (qtree.go:925-947, SURVEY §4): a
     hand-written canonical aligned-stat DataFrame aggregation — the user
@@ -5218,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "media_features": q_media_features,
         "streaming_quantile": _small_state(q_streaming_quantile),
+        "windows_quantile_ladder": q_windows_quantile_ladder,
         "bigram_perplexity": q_bigram_perplexity,
     }
 
@@ -5600,6 +5621,28 @@ def oracle_sql() -> dict[str, str]:
         "cohort_ltv": _cohort_ltv_oracle_sql(),
         "streaming_twa": _streaming_twa_oracle_sql(),
         "streaming_quantile": _streaming_quantile_oracle_sql(),
+        "windows_quantile_ladder": f"""
+            {PTS_CTE}, src AS (
+                SELECT time, CAST(round(value / 0.01) AS BIGINT) AS vq
+                FROM pts
+                WHERE uuid = 'view'
+                  AND time >= {T_2024} AND time < {(T_FEB >> 42) << 42}
+            ), wv AS (
+                SELECT (time >> 42) << 42 AS wtime, vq,
+                       row_number() OVER (PARTITION BY (time >> 42) << 42
+                                          ORDER BY vq) AS rn,
+                       count(*) OVER (PARTITION BY (time >> 42) << 42) AS n
+                FROM src
+            )
+            SELECT wtime AS time, CAST(any_value(n) AS BIGINT) AS n,
+                   CAST(max(CASE WHEN rn = (1 * n + 1) // 2
+                                 THEN vq END) AS DOUBLE) / 100.0 AS p50,
+                   CAST(max(CASE WHEN rn = (9 * n + 9) // 10
+                                 THEN vq END) AS DOUBLE) / 100.0 AS p90,
+                   CAST(max(CASE WHEN rn = (99 * n + 99) // 100
+                                 THEN vq END) AS DOUBLE) / 100.0 AS p99
+            FROM wv GROUP BY 1 ORDER BY 1
+        """,
         "burstiness": f"""
             {PTS_CTE}, l AS (
                 SELECT time, lag(time) OVER (ORDER BY time, value) AS pt

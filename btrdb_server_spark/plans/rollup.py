@@ -155,6 +155,103 @@ def stat_from_rollup(
     )
 
 
+# ---------------------------------------------------------------- histogram
+# plane: a QUANTILE ladder the reference does not have (qtree nodes carry
+# only min/mean/max/count, qtree.go:925-947). Kept in first normal form —
+# one row per (uuid, bucket, quantized value) — so every ladder operation
+# is a plain associative groupBy-sum: columnar, prunable, mergeable under
+# any partitioning, and the level size is bounded by DISTINCT values per
+# bucket, not the point count.
+
+
+def hist_from_points(
+    points: DataFrame, pw: int, value_quantum: float = 0.01
+) -> DataFrame:
+    """Histogram rollup of raw points at level pw: one row per
+    (uuid, 2**pw bucket, vq) with its count."""
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    return points.groupBy(
+        "uuid",
+        F.shiftleft(F.shiftright("time", pw), pw).alias("bucket"),
+        vq.alias("vq"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+def hist_from_hist(finer: DataFrame, pw: int) -> DataFrame:
+    """Coarsen a histogram level — the same associative groupBy-sum as the
+    stat ladder's 64:1 step, keyed by (bucket, vq)."""
+    return finer.groupBy(
+        "uuid",
+        F.shiftleft(F.shiftright("bucket", pw), pw).alias("bucket"),
+        "vq",
+    ).agg(F.sum("cnt").alias("cnt"))
+
+
+def quantiles_from_hist(
+    level: DataFrame,
+    level_pw: int,
+    uuid: str,
+    start: int,
+    end: int,
+    pw: int,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """Serve exact per-window p50/p90/p99 (plus n) at width 2**pw from a
+    histogram level at level_pw <= pw — the quantile analog of
+    stat_from_rollup, reading the materialized tier instead of raw
+    points. Ranks are integer ceil(p*n) (the streaming_quantile rule), a
+    cumulative-count window over vq order picks the order statistic, and
+    the emitted double is one division of the integer quantum."""
+    from pyspark.sql import Window
+
+    from btrdb_server_spark.operators.stat import align_floor
+
+    assert level_pw <= pw
+    q = float(round(1.0 / value_quantum))
+    fstart = align_floor(start, pw)
+    fend = align_floor(end, pw)
+    binned = (
+        level.where(
+            (F.col("uuid") == F.lit(uuid))
+            & (F.col("bucket") >= F.lit(fstart))
+            & (F.col("bucket") < F.lit(fend))
+        )
+        .groupBy(
+            F.shiftleft(F.shiftright("bucket", pw), pw).alias("time"), F.col("vq")
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("time")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        "time",
+        "vq",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("time")).alias("n"),
+    )
+
+    def pick(num: int, den: int):
+        # k = ceil(num*n/den) in PURE integer arithmetic (the
+        # streaming_quantile rule) — a float ceil could tie-break
+        # differently for large n.
+        kk = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return F.min(F.when(F.col("cum") >= kk, F.col("vq")))
+
+    return (
+        cum.groupBy("time")
+        .agg(
+            F.max("n").alias("n"),
+            (pick(1, 2).cast("double") / F.lit(q)).alias("p50"),
+            (pick(9, 10).cast("double") / F.lit(q)).alias("p90"),
+            (pick(99, 100).cast("double") / F.lit(q)).alias("p99"),
+        )
+        .orderBy("time")
+    )
+
+
 class RollupLadder:
     """Parquet-materialized rollup ladder with incremental maintenance."""
 

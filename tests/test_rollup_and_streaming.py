@@ -414,3 +414,18 @@ def test_facade_aligned_windows_all(spark, tmp_path):
     assert "vsum" not in fleet2._jdf.queryExecution().executedPlan().toString()
     rows = {(r.uuid, r.time): r for r in fleet2.collect()}
     assert rows[("c", 0)]["max"] == 9.0
+
+
+def test_hist_ladder_coarsening_is_exact(spark):
+    """The histogram ladder's 64:1 step must be lossless: coarsening the
+    fine level equals building the coarse level from raw points directly
+    (the associativity that makes the quantile tier mergeable under any
+    partitioning)."""
+    from btrdb_server_spark.plans.rollup import hist_from_hist, hist_from_points
+    from btrdb_server_spark.sources.testdata import load_points
+
+    pts = load_points(spark, "/root/testdata/sf0.001", None, None)
+    via_ladder = hist_from_hist(hist_from_points(pts, 34), 40)
+    direct = hist_from_points(pts, 40)
+    assert via_ladder.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_ladder).count() == 0
