@@ -2769,6 +2769,14 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact card: cluster-size histogram with docs-removed
+    accounting under the keeper rule."""
+    from btrdb_server_spark.functions.dedup import dedup_stats
+
+    return dedup_stats(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5240,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantile": _small_state(q_streaming_quantile),
         "windows_quantile_ladder": q_windows_quantile_ladder,
         "bigram_perplexity": q_bigram_perplexity,
+        "dedup_stats": q_dedup_stats,
     }
 
 
@@ -8729,6 +8738,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN w ON sc.cluster = w.cluster AND w.rn = 1
             ORDER BY sc.doc_id
         """.format(vp_ctes=_verified_pairs_ctes()),
+        "dedup_stats": f"""
+            WITH RECURSIVE {_verified_pairs_ctes()},
+            e AS (
+                SELECT a AS src, b AS dst FROM vp
+                UNION ALL
+                SELECT b, a FROM vp
+            ),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+            ),
+            cl AS (SELECT node AS doc_id, min(lbl) AS cluster
+                   FROM reach GROUP BY node),
+            csz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY 1)
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+                   CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removed
+            FROM csz GROUP BY cluster_size ORDER BY cluster_size
+        """,
         "simhash": f"""
             WITH tk AS (
                 SELECT doc_id, unnest({_TOKS}) AS tok FROM documents

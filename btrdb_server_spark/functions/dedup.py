@@ -1024,3 +1024,28 @@ def dup_rate_by_source(
         )
         .orderBy("source")
     )
+
+
+def dedup_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", **cluster_kw) -> DataFrame:
+    """Dedup impact report: the cluster-size histogram and what the
+    keeper rule removes at each size — the card a 100 TB dedup run ships
+    with (singletons = untouched docs; the tail of big clusters is where
+    boilerplate and mirror sites show up). One row per cluster size:
+    (cluster_size, n_clusters, n_docs, n_removed).
+
+    Scale shape: everything beyond dedup_clusters is two metadata-scale
+    aggregates (cluster -> size, size -> histogram); document text never
+    reappears."""
+    cl = dedup_clusters(docs, text_col, id_col, **cluster_kw)
+    sizes = cl.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removed"),
+        )
+        .orderBy("cluster_size")
+    )
