@@ -4876,7 +4876,10 @@ _keyed_state_16 = _state_partitions(16)
 _keyed_state_8 = _state_partitions(8)
 
 
-R7_WINDOW: list[str] = [
+# The driver checks the FIRST 50 queries() entries each round; this
+# constant IS that window (round 7). scripts/rotate_window.py regenerates
+# it each round; tests/test_window.py pins dict order to it.
+DRIVER_WINDOW: list[str] = [
     "pricing_summary",
     "revenue_by_nation",
     "top_paths",
@@ -4933,7 +4936,7 @@ R7_WINDOW: list[str] = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate: the external driver checks the FIRST 50
     entries each round, so coverage rotates. The authoritative window is
-    the module constant R7_WINDOW (exactly 50 names, pinned by
+    the module constant DRIVER_WINDOW (exactly 50 names, pinned by
     tests/test_window.py so the window math can never silently drift).
 
     Standing rotation policy (round 7 onward):

@@ -5,7 +5,7 @@ entries of ``queries()``.  In round 6 a duplicate dict key plus an
 off-by-N docstring put 73 entries ahead of the "position 51+" marker, so
 23 entries the rotation plan believed were being checked silently fell
 outside the window.  These tests make that class of error a hard pytest
-failure: the window is a module constant (R7_WINDOW), the dict literal is
+failure: the window is a module constant (DRIVER_WINDOW), the dict literal is
 AST-checked for duplicate keys, and the first-50 slice must equal the
 constant exactly.
 """
@@ -35,8 +35,8 @@ def _dict_literal_keys() -> list[str]:
 
 def test_window_is_exactly_the_first_50_entries():
     keys = list(entry_mod.queries())
-    assert len(entry_mod.R7_WINDOW) == 50
-    assert keys[:50] == entry_mod.R7_WINDOW
+    assert len(entry_mod.DRIVER_WINDOW) == 50
+    assert keys[:50] == entry_mod.DRIVER_WINDOW
 
 
 def test_no_duplicate_keys_in_dict_literal():
@@ -47,8 +47,8 @@ def test_no_duplicate_keys_in_dict_literal():
 
 def test_window_names_are_unique_and_registered():
     qs = entry_mod.queries()
-    assert len(set(entry_mod.R7_WINDOW)) == 50
-    missing = [k for k in entry_mod.R7_WINDOW if k not in qs]
+    assert len(set(entry_mod.DRIVER_WINDOW)) == 50
+    missing = [k for k in entry_mod.DRIVER_WINDOW if k not in qs]
     assert not missing, missing
 
 

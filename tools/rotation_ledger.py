@@ -12,7 +12,7 @@ makes the coverage invariant executable (tests/test_window.py runs it):
 Status for each entry, in precedence order:
 - ``banked rN``  — green row in CORRECTNESS_r{N}.json at its LATEST driver
   check (a later red overrides an earlier green).
-- ``window``     — in the current round's 50-slot window (R7_WINDOW), i.e.
+- ``window``     — in the current round's 50-slot window (DRIVER_WINDOW), i.e.
   being checked by the driver this round; must ALSO be locally verified.
 - ``local``      — never driver-checked, but verified bit-exact against
   its DuckDB oracle by scripts/check_driver.py (the driver-replica
@@ -43,7 +43,7 @@ def build_ledger() -> dict:
 
     qs = list(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
-    window = list(entry_mod.R7_WINDOW)
+    window = list(entry_mod.DRIVER_WINDOW)
 
     latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
