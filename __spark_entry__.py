@@ -4946,8 +4946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - the remaining 46 slots burn down the never-driver-checked backlog,
       oldest registrations first (r7: the 20 TPC-H-pack/stat entries the
       r6 docstring promised but that overflowed the 50-slot window, then
-      26 more). 101 entries had no driver row entering r7; 55 remain
-      after it; the backlog clears by r9.
+      26 more). 101 entries had no driver row entering r7; 55 of those
+      remain after it, plus the 7 operators new in r7 (all verified
+      bit-exact locally) — the backlog clears by r9
+      (scripts/rotate_window.py regenerates the window mechanically).
     - entries past position 50 are banked green from earlier rounds or
       verified bit-exact against their DuckDB oracle locally via
       scripts/check_driver.py (the driver-replica compare).

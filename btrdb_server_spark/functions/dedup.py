@@ -8,9 +8,11 @@ Scale design (the point of each variant):
                        shuffle); the band join shuffles only (band_key, id)
                        pairs, turning O(n^2) similarity search into
                        O(candidate pairs). This is the scale path.
-- simhash            — single 64->16-bit fingerprint per doc via explode +
-                       groupBy; near-dup = fingerprint equality (or small
-                       hamming ball). Cheapest near-dup at scale.
+- simhash            — one 16-60-bit fingerprint per doc via explode +
+                       groupBy; near-dup = fingerprint equality or a small
+                       Hamming ball (simhash_pairs: pigeonhole-banded
+                       candidates, recall exactly 1 for hamming < bands).
+                       Cheapest near-dup at scale.
 - ngram_jaccard      — exact Jaccard via shingle inverted-index self-join;
                        quadratic in the worst case, correct baseline used to
                        validate the LSH recall. Not the 100 TB path.
