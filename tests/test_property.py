@@ -718,3 +718,72 @@ def test_kaplan_meier_matches_bruteforce(spark, pts):
             surv = surv * (1.0 - float(d) / float(n_risk))
             exp.append((life, n_risk, d, surv))
     assert got == exp
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(docs=docs_strategy)
+@SET
+def test_simhash_pairs_equal_bruteforce_hamming_ball(spark, docs):
+    """simhash_pairs must return EXACTLY the Hamming<=3 pairs: the
+    pigeonhole banding guarantees recall 1 for hamming < bands, and the
+    verify step filters candidates to the ball — so the output equals a
+    brute-force O(n^2) Hamming scan of the same fingerprints."""
+    from btrdb_server_spark.functions.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash(df, bits=60).collect()}
+    expected = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.a, r.b): r.hamming for r in simhash_pairs(df, bits=60).collect()
+    }
+    assert got == expected
+
+
+@given(pts=points_strategy, pw=st.integers(min_value=12, max_value=22))
+@SET
+def test_hist_ladder_quantiles_match_pandas(spark, pts, pw):
+    """quantiles_from_hist (built fine, coarsened, then served) equals a
+    pandas type-1 quantile recomputation per window — ceil(p*n) integer
+    ranks, independent of ladder partitioning."""
+    from btrdb_server_spark.plans.rollup import (
+        hist_from_hist,
+        hist_from_points,
+        quantiles_from_hist,
+    )
+
+    df = _df(spark, pts)
+    fine = hist_from_points(df, pw - 6)
+    level = hist_from_hist(fine, pw)
+    got = {
+        r.time: (r.n, r.p50, r.p90, r.p99)
+        for r in quantiles_from_hist(level, pw, "s", T0, T1, pw).collect()
+    }
+    pdf = pd.DataFrame(pts, columns=["time", "value"])
+    pdf["vq"] = (pdf["value"] / 0.01).round().astype("int64")
+    fstart, fend = (T0 >> pw) << pw, (T1 >> pw) << pw
+    pdf = pdf[(pdf["time"] >= fstart) & (pdf["time"] < fend)]
+    exp = {}
+    for w, g in pdf.groupby((pdf["time"] // (1 << pw)) * (1 << pw)):
+        vs = sorted(g["vq"])
+        n = len(vs)
+        pick = lambda num, den: vs[(num * n + den - 1) // den - 1] / 100.0
+        exp[w] = (n, pick(1, 2), pick(9, 10), pick(99, 100))
+    assert got == exp
