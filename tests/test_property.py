@@ -787,3 +787,73 @@ def test_hist_ladder_quantiles_match_pandas(spark, pts, pw):
         pick = lambda num, den: vs[(num * n + den - 1) // den - 1] / 100.0
         exp[w] = (n, pick(1, 2), pick(9, 10), pick(99, 100))
     assert got == exp
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=60,
+        unique_by=lambda p: p[0],
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=59), max_size=3, unique=True),
+)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_streaming_quantile_split_invariant(spark, pts, cuts, tmp_path_factory):
+    """However arrivals are cut into micro-batches, the closed-window
+    quantiles equal a pandas type-1 recomputation — the histogram-union
+    associativity contract."""
+    from btrdb_server_spark.streaming.stateful import streaming_quantile
+
+    work = tmp_path_factory.mktemp("squant_prop")
+    src, ckpt = str(work / "src"), str(work / "ckpt")
+    pts = sorted(pts)
+    bounds = sorted({c for c in cuts if c < len(pts)} | {len(pts)})
+    lo = 0
+    for i, hi in enumerate(bounds):
+        if hi > lo:
+            spark.createDataFrame(
+                [("s", t, v) for t, v in pts[lo:hi]],
+                "uuid string, time long, value double",
+            ).coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_quantile(stream, 0, 100)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("squant_prop_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.time: (r.n, r.p50, r.p90, r.p99)
+        for r in spark.sql("SELECT * FROM squant_prop_out").collect()
+    }
+    pdf = pd.DataFrame(pts, columns=["time", "value"])
+    pdf["vq"] = (pdf["value"] / 0.01).round().astype("int64")
+    frontier_w = (pdf["time"].max() // 100) * 100
+    exp = {}
+    for w, g in pdf.groupby((pdf["time"] // 100) * 100):
+        if w >= frontier_w:
+            continue  # frontier window never closes
+        vs = sorted(g["vq"])
+        n = len(vs)
+        pick = lambda num, den: vs[(num * n + den - 1) // den - 1] / 100.0
+        exp[w] = (n, pick(1, 2), pick(9, 10), pick(99, 100))
+    assert got == exp
