@@ -2777,6 +2777,18 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_stats(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier late-shipment rate with Wilson 95% bounds — the
+    sample-size-honest reliability leaderboard."""
+    from btrdb_server_spark.operators.olap import supplier_scorecard
+
+    return supplier_scorecard(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5254,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_quantile_ladder": q_windows_quantile_ladder,
         "bigram_perplexity": q_bigram_perplexity,
         "dedup_stats": q_dedup_stats,
+        "supplier_scorecard": q_supplier_scorecard,
     }
 
 
@@ -8763,6 +8776,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
                    CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removed
             FROM csz GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        "supplier_scorecard": """
+            WITH j AS (
+                SELECT l_suppkey,
+                       CAST(CAST(l_shipdate AS DATE) >
+                            CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+                            AS BIGINT) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), agg AS (
+                SELECT l_suppkey, count(*) AS n_lines,
+                       CAST(sum(late) AS BIGINT) AS n_late
+                FROM j GROUP BY 1
+            ), w AS (
+                SELECT l_suppkey, n_lines, n_late,
+                       CAST(n_lines AS DOUBLE) AS nd,
+                       CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p
+                FROM agg
+            )
+            SELECT s_suppkey, s_name, n_lines, n_late,
+                   p AS late_rate,
+                   ((p + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd))
+                     - ((1.96 * sqrt(p * (1.0 - p) / nd
+                                     + 3.8416 / (4.0 * nd * nd)))
+                        / (1.0 + 3.8416 / nd)) AS wilson_lo,
+                   ((p + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd))
+                     + ((1.96 * sqrt(p * (1.0 - p) / nd
+                                     + 3.8416 / (4.0 * nd * nd)))
+                        / (1.0 + 3.8416 / nd)) AS wilson_hi
+            FROM w JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY s_suppkey
         """,
         "simhash": f"""
             WITH tk AS (
