@@ -2789,6 +2789,14 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional corpus sample (Efraimidis-Spirakis keys,
+    deterministic salted-hash uniforms, global top-k without a sort)."""
+    from btrdb_server_spark.functions.curation import weighted_sample
+
+    return weighted_sample(load_table(spark, sf_dir, "documents"), k=100)
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5267,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity": q_bigram_perplexity,
         "dedup_stats": q_dedup_stats,
         "supplier_scorecard": q_supplier_scorecard,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -8806,6 +8815,16 @@ def oracle_sql() -> dict[str, str]:
                         / (1.0 + 3.8416 / nd)) AS wilson_hi
             FROM w JOIN supplier ON l_suppkey = s_suppkey
             ORDER BY s_suppkey
+        """,
+        "weighted_sample": f"""
+            WITH h AS (
+                SELECT doc_id, n_chars AS weight,
+                       {_hexn_sql("md5('ws:' || CAST(doc_id AS VARCHAR))", 8)} AS hv
+                FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+                   ln((hv + 1) / 4294967296.0) / CAST(weight AS DOUBLE) AS key
+            FROM h ORDER BY key DESC, doc_id LIMIT 100
         """,
         "simhash": f"""
             WITH tk AS (

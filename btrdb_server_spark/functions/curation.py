@@ -706,3 +706,54 @@ def curation_pipeline(
         )
         .orderBy("stage_idx")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row gets key = ln(u)/w for a salted-hash uniform
+    u in (0, 1]; the k largest keys are a weight-proportional sample.
+    With weight = document length, this is token-budget-proportional
+    corpus sampling — the mixing primitive stratified_sample (equal-rate)
+    and dsir_weights (importance scores) don't give you.
+
+    Exactness: u = (hv+1)/2^32 is an exact power-of-two division of a
+    salted md5 integer; ln is the libm pandas UDF (JVM Math.log is 1-ulp
+    off); the key is one further division by the integer weight. Scale
+    shape: one map-side projection, then a global top-k that plans as
+    TakeOrderedAndProject (per-partition heaps, k rows on the exchange —
+    never a full sort). Rows with weight <= 0 are excluded (both
+    engines)."""
+    import math as _math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
+        return s.map(_math.log)
+
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = (
+        ensure_parallelism(docs)
+        .where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            (
+                _ln((hv + F.lit(1)).cast("double") / F.lit(4294967296.0))
+                / F.col(weight_col).cast("double")
+            ).alias("key"),
+        )
+    )
+    return keyed.orderBy(F.desc("key"), id_col).limit(k)

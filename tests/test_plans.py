@@ -760,3 +760,11 @@ def test_bigram_perplexity_lm_joins_keyed(spark):
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in simple
     assert simple.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_weighted_sample_top_k_never_sorts_globally(spark):
+    """The A-ES top-k must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort of the keyed corpus."""
+    df = entry_mod.q_weighted_sample(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in simple
