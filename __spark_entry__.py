@@ -2797,6 +2797,18 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(load_table(spark, sf_dir, "documents"), k=100)
 
 
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs nprobe (1/2/4/8) per probe against the exact batched
+    scan — the ANN tuning curve; one corpus pass serves every setting."""
+    from btrdb_server_spark.functions.similarity import (
+        centroids_from_rows,
+        ivf_recall_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_recall_curve(emb, centroids_from_rows(emb, k=8), [0, 1, 2, 3])
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5276,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats": q_dedup_stats,
         "supplier_scorecard": q_supplier_scorecard,
         "weighted_sample": q_weighted_sample,
+        "ivf_recall_curve": q_ivf_recall_curve,
     }
 
 
@@ -8825,6 +8838,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(weight AS BIGINT) AS weight,
                    ln((hv + 1) / 4294967296.0) / CAST(weight AS DOUBLE) AS key
             FROM h ORDER BY key DESC, doc_id LIMIT 100
+        """,
+        "ivf_recall_curve": f"""
+            WITH {_IVF_CTES},
+            pr AS (SELECT vec_id AS probe_id, v AS q FROM e
+                   WHERE vec_id IN (0, 1, 2, 3)),
+            cr AS (SELECT pr.probe_id, c.cid,
+                          round(list_cosine_similarity(c.cv, pr.q), 6) AS cs
+                   FROM c, pr),
+            rk AS (SELECT probe_id, cid,
+                          row_number() OVER (PARTITION BY probe_id
+                                             ORDER BY cs DESC, cid) AS crank
+                   FROM cr),
+            ex AS (SELECT pr.probe_id, e.vec_id,
+                          row_number() OVER (
+                              PARTITION BY pr.probe_id
+                              ORDER BY round(list_cosine_similarity(e.v, pr.q), 6)
+                                       DESC, e.vec_id) AS rn
+                   FROM e, pr),
+            exact AS (SELECT probe_id, vec_id FROM ex WHERE rn <= 10),
+            exn AS (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY 1),
+            cand AS (SELECT rk.probe_id, e.vec_id, rk.crank,
+                            round(list_cosine_similarity(e.v, pr.q), 6) AS cosine
+                     FROM e
+                     JOIN assign a ON e.vec_id = a.vec_id
+                     JOIN rk ON a.cluster = rk.cid
+                     JOIN pr ON pr.probe_id = rk.probe_id
+                     WHERE rk.crank <= 8),
+            npg AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+            sel AS (SELECT probe_id, nprobe, vec_id,
+                           row_number() OVER (PARTITION BY probe_id, nprobe
+                                              ORDER BY cosine DESC, vec_id) AS rn
+                    FROM cand JOIN npg ON npg.nprobe >= cand.crank),
+            topk AS (SELECT probe_id, nprobe, vec_id FROM sel WHERE rn <= 10),
+            hits AS (SELECT t.probe_id, t.nprobe, count(*) AS n_hits
+                     FROM topk t JOIN exact x
+                       ON t.probe_id = x.probe_id AND t.vec_id = x.vec_id
+                     GROUP BY 1, 2)
+            SELECT g.probe_id, CAST(g.nprobe AS INTEGER) AS nprobe,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                     / CAST(exn.n_exact AS DOUBLE) AS recall
+            FROM (SELECT probe_id, nprobe FROM exn, npg) g
+            JOIN exn ON exn.probe_id = g.probe_id
+            LEFT JOIN hits h ON h.probe_id = g.probe_id AND h.nprobe = g.nprobe
+            ORDER BY g.probe_id, nprobe
         """,
         "simhash": f"""
             WITH tk AS (

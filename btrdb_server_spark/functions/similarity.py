@@ -1212,3 +1212,105 @@ def embedding_drift(
         .drop("rn")
         .orderBy(F.abs(F.col("z")).desc(), "dim")
     )
+
+
+def ivf_recall_curve(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    probe_ids: Sequence[int],
+    k: int = 10,
+    nprobes: Sequence[int] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k vs nprobe for the IVF index, per probe — THE tuning curve
+    an ANN deployment ships with: it tells you the cheapest nprobe that
+    clears your recall target, which at 100 TB is the difference between
+    scanning 1/64 and 1/8 of the corpus per query.
+
+    One corpus pass serves every nprobe setting: candidates are scored
+    once against the ranked-cluster table at max(nprobes), each candidate
+    row then fans out only to the settings with nprobe >= its cluster
+    rank, and per-(probe, nprobe) top-k runs on the already-pruned pair
+    table. The exact baseline reuses cosine_topk_batch (salted two-phase
+    heap). Columns: probe_id, nprobe, n_hits, recall.
+
+    Scale shape: cluster ranking touches the centroid dim table against
+    B broadcast probes; the corpus joins the assignment table once and
+    meets the <= B * max(nprobes)-row ranked table broadcast-side; the
+    (probe, nprobe) grid join at the end is metadata-scale."""
+    from pyspark.sql import Window
+
+    max_np = max(nprobes)
+    exact = cosine_topk_batch(embeddings, probe_ids, k, id_col, vec_col).select(
+        "probe_id", id_col
+    )
+    exn = exact.groupBy("probe_id").agg(F.count("*").alias("n_exact"))
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probes = embeddings.where(F.col(id_col).isin(list(probe_ids))).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("q"),
+    )
+    cr = centroids.join(F.broadcast(probes)).select(
+        "probe_id",
+        "cid",
+        F.round(cosine_col(F.col("cv"), F.col("q")), 6).alias("cs"),
+        "q",
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("cs").desc(), F.col("cid"))
+    ranked = (
+        cr.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= max_np)
+        .select("probe_id", F.col("cid").alias("cluster"), "crank", "q")
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    cand = (
+        embeddings.join(assign, id_col)
+        .join(F.broadcast(ranked), "cluster")
+        .select(
+            "probe_id",
+            F.col(id_col),
+            "crank",
+            F.round(cosine_col(emb, F.col("q")), 6).alias("cosine"),
+        )
+    )
+    np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
+    fanned = cand.select(
+        "probe_id",
+        id_col,
+        "cosine",
+        F.explode(F.filter(np_arr, lambda n: n >= F.col("crank"))).alias("nprobe"),
+    )
+    wk = Window.partitionBy("probe_id", "nprobe").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    topk = (
+        fanned.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "nprobe", id_col)
+    )
+    hits = (
+        topk.join(exact, ["probe_id", id_col], "left_semi")
+        .groupBy("probe_id", "nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    grid = exn.crossJoin(
+        F.broadcast(
+            embeddings.sparkSession.createDataFrame(
+                [(int(n),) for n in nprobes], "nprobe int"
+            )
+        )
+    )
+    return (
+        grid.join(hits, ["probe_id", "nprobe"], "left")
+        .select(
+            "probe_id",
+            "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("probe_id", "nprobe")
+    )
