@@ -2809,6 +2809,94 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_curve(emb, centroids_from_rows(emb, k=8), [0, 1, 2, 3])
 
 
+def q_streaming_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability/SLA at ingest: per (stream, day) slot occupancy vs an
+    hourly cadence from bounded keyed state; closed windows emit exactly
+    once and bit-equal the batch coverage scan."""
+    import tempfile
+
+    from btrdb_server_spark.streaming.stateful import streaming_coverage
+
+    work = tempfile.mkdtemp(prefix="btrdb_scov_q_")
+    src_d, ckpt = f"{work}/src", f"{work}/ckpt"
+    pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
+        F.col("uuid").isin("purchase", "error")
+    )
+    span = (T_JAN10 - T_2024) // 4
+    for k in range(4):
+        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
+        (
+            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
+            .orderBy("time", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_d)
+        )
+    stream = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_d)
+    )
+    name = "stream_coverage_out"
+    q = (
+        streaming_coverage(stream, T_2024, DAY_NS, HOUR_NS)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
+
+
+def _streaming_coverage_oracle_sql() -> str:
+    t0, t1, w, c = T_2024, T_JAN10, DAY_NS, HOUR_NS
+    n_exp = w // c
+    return f"""
+        {PTS_CTE}, src AS (
+            SELECT uuid, time FROM pts
+            WHERE uuid IN ('purchase', 'error')
+              AND time >= {t0} AND time < {t1}
+        ), mx AS (SELECT uuid, max(time) AS maxt FROM src GROUP BY 1),
+        sl AS (
+            SELECT uuid, (time - {t0}) // {w} AS widx,
+                   ((time - {t0}) % {w}) // {c} AS slot
+            FROM src
+        ), occ AS (
+            SELECT uuid, widx, slot, count(*) AS cnt
+            FROM sl GROUP BY 1, 2, 3
+        ), runs AS (
+            SELECT uuid, widx, slot, cnt,
+                   slot - lag(slot) OVER (PARTITION BY uuid, widx
+                                          ORDER BY slot) AS jump
+            FROM occ
+        ), per AS (
+            SELECT uuid, widx,
+                   count(*) AS n_present,
+                   CAST(sum(cnt) AS BIGINT) AS n_points,
+                   COALESCE(max(jump - 1), 0) AS interior,
+                   min(slot) AS first_slot, max(slot) AS last_slot
+            FROM runs GROUP BY 1, 2
+        )
+        SELECT per.uuid, {t0} + per.widx * {w} AS time,
+               CAST({n_exp} AS BIGINT) AS n_expected,
+               CAST(per.n_present AS BIGINT) AS n_present,
+               per.n_points,
+               CAST(greatest(per.interior, per.first_slot,
+                             {n_exp} - 1 - per.last_slot) AS BIGINT)
+                   AS longest_gap_slots,
+               CAST(per.n_present AS DOUBLE) / CAST({n_exp} AS DOUBLE)
+                   AS coverage
+        FROM per JOIN mx ON per.uuid = mx.uuid
+        WHERE per.widx < (mx.maxt - {t0}) // {w}
+        ORDER BY per.uuid, time
+    """
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5289,6 +5377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_scorecard": q_supplier_scorecard,
         "weighted_sample": q_weighted_sample,
         "ivf_recall_curve": q_ivf_recall_curve,
+        "streaming_coverage": _small_state(q_streaming_coverage),
     }
 
 
@@ -5670,6 +5759,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_ltv": _cohort_ltv_oracle_sql(),
         "streaming_twa": _streaming_twa_oracle_sql(),
         "streaming_quantile": _streaming_quantile_oracle_sql(),
+        "streaming_coverage": _streaming_coverage_oracle_sql(),
         "windows_quantile_ladder": f"""
             {PTS_CTE}, src AS (
                 SELECT time, CAST(round(value / 0.01) AS BIGINT) AS vq

@@ -1263,3 +1263,111 @@ def streaming_quantile(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+COVERAGE_OUTPUT_SCHEMA = (
+    "uuid string, time long, n_expected long, n_present long,"
+    " n_points long, longest_gap_slots long, coverage double"
+)
+COVERAGE_STATE_SCHEMA = "wstart long, occ string"
+
+
+def _make_update_coverage(start: int, width: int, cadence: int):
+    n_exp = width // cadence
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Availability-vs-cadence at ingest: state per stream is the open
+        window's occupied-slot histogram — bounded at width/cadence
+        entries by construction, the property that keeps the SLA monitor
+        O(slots) regardless of point rate. Windows close exactly once
+        (first point beyond the end); closed windows bit-equal the batch
+        coverage scan. Order-defined like the other recurrences."""
+        import json
+
+        (uuid,) = key
+        if state.exists:
+            wstart, occ_js = state.get
+            occ = {int(k_): int(v) for k_, v in json.loads(occ_js).items()}
+        else:
+            wstart, occ = None, {}
+        rows = []
+
+        def close(ws: int, o: dict) -> None:
+            if not o:
+                return
+            slots = sorted(o)
+            interior = max(
+                (b - a - 1 for a, b in zip(slots, slots[1:])), default=0
+            )
+            longest = max(interior, slots[0], n_exp - 1 - slots[-1])
+            rows.append(
+                (
+                    ws,
+                    n_exp,
+                    len(slots),
+                    sum(o.values()),
+                    longest,
+                    float(len(slots)) / float(n_exp),
+                )
+            )
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("time")
+            for t in pdf["time"].astype("int64"):
+                t = int(t)
+                ws = start + ((t - start) // width) * width
+                if wstart is None:
+                    wstart = ws
+                elif ws < wstart:
+                    raise ValueError(
+                        f"stream {uuid}: point at {t} behind the open "
+                        f"window {wstart} — order-defined operator"
+                    )
+                elif ws > wstart:
+                    close(wstart, occ)
+                    occ = {}
+                    wstart = ws
+                slot = (t - ws) // cadence
+                occ[slot] = occ.get(slot, 0) + 1
+        if wstart is None:
+            return
+        state.update((wstart, json.dumps(occ)))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "uuid": uuid,
+                    "time": [r[0] for r in rows],
+                    "n_expected": [r[1] for r in rows],
+                    "n_present": [r[2] for r in rows],
+                    "n_points": [r[3] for r in rows],
+                    "longest_gap_slots": [r[4] for r in rows],
+                    "coverage": [r[5] for r in rows],
+                }
+            )
+
+    return fn
+
+
+def streaming_coverage(
+    points_stream: DataFrame, start: int, width: int, cadence: int
+) -> DataFrame:
+    """Per-(stream, window) availability/SLA at ingest — the streaming
+    twin of the batch coverage_report: of the width/cadence expected
+    slots per window, how many hold a point, the longest outage run, and
+    the coverage ratio, emitted exactly once per closed window. The
+    reference has no availability plane at all (uptime there means
+    scanning raw points). Keyed state is the open window's occupied-slot
+    histogram — bounded by slots-per-window, not point rate."""
+    if width <= 0 or cadence <= 0 or width % cadence != 0:
+        raise ValueError("need width > 0, cadence > 0, cadence | width")
+    return points_stream.groupBy("uuid").applyInPandasWithState(
+        _make_update_coverage(start, width, cadence),
+        COVERAGE_OUTPUT_SCHEMA,
+        COVERAGE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
