@@ -2897,6 +2897,14 @@ def _streaming_coverage_oracle_sql() -> str:
     """
 
 
+def q_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-error mining: vectors whose best label centroid is not their
+    own, worst margin first (confident-learning-lite screen)."""
+    from btrdb_server_spark.functions.similarity import label_noise_screen
+
+    return label_noise_screen(load_table(spark, sf_dir, "embeddings"))
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5378,6 +5386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "ivf_recall_curve": q_ivf_recall_curve,
         "streaming_coverage": _small_state(q_streaming_coverage),
+        "label_noise_screen": q_label_noise_screen,
     }
 
 
@@ -8973,6 +8982,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN exn ON exn.probe_id = g.probe_id
             LEFT JOIN hits h ON h.probe_id = g.probe_id AND h.nprobe = g.nprobe
             ORDER BY g.probe_id, nprobe
+        """,
+        "label_noise_screen": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), dm AS (
+                SELECT label AS cid, u.i - 1 AS dim, avg(v[u.i]) AS m
+                FROM e, unnest(generate_series(1, len(v))) AS u(i)
+                GROUP BY 1, 2
+            ), c AS (
+                SELECT cid,
+                       list_transform(list(m ORDER BY dim), x -> round(x, 6))
+                           AS cv
+                FROM dm GROUP BY cid
+            ), sc AS (
+                SELECT e.vec_id, e.label, c.cid,
+                       round(list_cosine_similarity(e.v, c.cv), 6) AS cs
+                FROM e, c
+            ), best AS (
+                SELECT vec_id, label, cid, cs,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cid) AS rn
+                FROM sc
+            ), own AS (
+                SELECT vec_id, cs AS own_cos FROM sc WHERE cid = label
+            )
+            SELECT b.vec_id, b.label, b.cid AS pred_label,
+                   own.own_cos, b.cs AS pred_cos,
+                   b.cs - own.own_cos AS margin
+            FROM best b JOIN own ON b.vec_id = own.vec_id
+            WHERE b.rn = 1 AND b.cid <> b.label
+            ORDER BY margin DESC, b.vec_id
         """,
         "simhash": f"""
             WITH tk AS (

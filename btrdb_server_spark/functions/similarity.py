@@ -1314,3 +1314,77 @@ def ivf_recall_curve(
         )
         .orderBy("probe_id", "nprobe")
     )
+
+
+def label_noise_screen(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-error mining (confident-learning-lite): build one centroid
+    per LABEL (the supervised analog of ivf_refine's cluster means, same
+    round-6 engine-portable quantization), score every vector against all
+    label centroids, and emit the vectors whose best-matching label is
+    NOT their own, ordered by how badly (margin = best cosine - own
+    cosine). This is the screen a labeled-training-set pipeline runs
+    before fine-tuning: the top of the list is where annotation errors
+    and class confusion live.
+
+    Scale shape: centroids are a (labels x dim)-row aggregate
+    (map-side-combined posexplode avg); scoring joins the corpus against
+    the label-count-row centroid table broadcast-side (the corpus never
+    shuffles); the argmax is a struct-max aggregate. Columns: vec_id,
+    label, pred_label, own_cos, pred_cos, margin; suspects only,
+    worst-margin first."""
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dims = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    cent = (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("cid"),
+            F.transform("pairs", lambda p: F.round(p["m"], 6)).alias("cv"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        "label",
+        "cid",
+        F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("cs"),
+    )
+    best = scored.groupBy(id_col, "label").agg(
+        F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("b")
+    )
+    own = scored.where(F.col("cid") == F.col("label")).select(
+        id_col, F.col("cs").alias("own_cos")
+    )
+    return (
+        best.select(
+            id_col,
+            "label",
+            (-F.col("b.ncid")).alias("pred_label"),
+            F.col("b.cs").alias("pred_cos"),
+        )
+        .join(own, id_col)
+        .where(F.col("pred_label") != F.col("label"))
+        .select(
+            id_col,
+            "label",
+            "pred_label",
+            "own_cos",
+            "pred_cos",
+            (F.col("pred_cos") - F.col("own_cos")).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), id_col)
+    )
