@@ -2905,6 +2905,87 @@ def q_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_noise_screen(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily PSI drift curve of the view stream vs frozen Jan 1-15
+    reference deciles — "when did the feature start moving"."""
+    from btrdb_server_spark.operators.stat import psi_timeline
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return psi_timeline(pts, "view", T_2024, T_JAN15, T_JAN15, T_FEB, DAY_NS)
+
+
+def _psi_timeline_oracle_sql(bins: int = 10) -> str:
+    picks = ",\n                   ".join(
+        f"min(CASE WHEN cum.cum >= CAST(ceil(CAST(t.nr AS DOUBLE) * {k / bins})"
+        f" AS BIGINT) THEN cum.vq END) AS c{k}"
+        for k in range(1, bins)
+    )
+    binexpr = " + ".join(
+        f"(CASE WHEN h.vq >= cuts.c{k} THEN 1 ELSE 0 END)" for k in range(1, bins)
+    )
+    d0 = (T_JAN15 - T_2024) // DAY_NS
+    d1 = (T_FEB - T_2024 + DAY_NS - 1) // DAY_NS
+    return f"""
+        {PTS_CTE}, href AS (
+            SELECT CAST(round(value / 0.01) AS BIGINT) AS vq, count(*) AS c
+            FROM pts WHERE uuid = 'view'
+              AND time >= {T_2024} AND time < {T_JAN15} GROUP BY 1
+        ), hcur AS (
+            SELECT (time - {T_2024}) // {DAY_NS} AS day,
+                   CAST(round(value / 0.01) AS BIGINT) AS vq, count(*) AS c
+            FROM pts WHERE uuid = 'view'
+              AND time >= {T_JAN15} AND time < {T_FEB} GROUP BY 1, 2
+        ), cum AS (
+            SELECT vq, CAST(sum(c) OVER (ORDER BY vq
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM href
+        ), t AS (SELECT CAST(sum(c) AS BIGINT) AS nr FROM href),
+        cuts AS (
+            SELECT {picks}
+            FROM cum, t
+        ), bref AS (
+            SELECT CAST({binexpr} AS BIGINT) AS bin,
+                   CAST(sum(h.c) AS BIGINT) AS n_ref
+            FROM href h CROSS JOIN cuts GROUP BY 1
+        ), bcur AS (
+            SELECT h.day, CAST({binexpr} AS BIGINT) AS bin,
+                   CAST(sum(h.c) AS BIGINT) AS n_cur
+            FROM hcur h CROSS JOIN cuts GROUP BY 1, 2
+        ), spine AS (
+            SELECT d.range AS day, b.range AS bin
+            FROM range({d0}, {d1}) d, range(0, {bins}) b
+        ), both_ AS (
+            SELECT spine.day, spine.bin,
+                   COALESCE(bref.n_ref, 0) AS n_ref,
+                   COALESCE(bcur.n_cur, 0) AS n_cur
+            FROM spine
+            LEFT JOIN bref ON spine.bin = bref.bin
+            LEFT JOIN bcur ON spine.day = bcur.day AND spine.bin = bcur.bin
+        ), totals AS (
+            SELECT day, CAST(sum(n_ref) AS BIGINT) AS tr,
+                   CAST(sum(n_cur) AS BIGINT) AS tc
+            FROM both_ GROUP BY 1
+        ), terms AS (
+            SELECT b.day, b.bin, b.n_cur,
+                   (((CAST(b.n_cur AS DOUBLE) + 1.0)
+                     / (CAST(tt.tc AS DOUBLE) + {float(bins)})
+                     - (CAST(b.n_ref AS DOUBLE) + 1.0)
+                       / (CAST(tt.tr AS DOUBLE) + {float(bins)}))
+                    * ln(((CAST(b.n_cur AS DOUBLE) + 1.0)
+                          / (CAST(tt.tc AS DOUBLE) + {float(bins)}))
+                         / ((CAST(b.n_ref AS DOUBLE) + 1.0)
+                            / (CAST(tt.tr AS DOUBLE) + {float(bins)}))))
+                       AS psi_term
+            FROM both_ b JOIN totals tt ON b.day = tt.day
+        )
+        SELECT day, CAST(sum(n_cur) AS BIGINT) AS n_cur,
+               CAST(0 AS DOUBLE)
+                 + list_reduce(list(psi_term ORDER BY bin), (a, b) -> a + b)
+                   AS psi
+        FROM terms GROUP BY day ORDER BY day
+    """
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5387,6 +5468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_curve": q_ivf_recall_curve,
         "streaming_coverage": _small_state(q_streaming_coverage),
         "label_noise_screen": q_label_noise_screen,
+        "psi_timeline": q_psi_timeline,
     }
 
 
@@ -5871,6 +5953,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY gid, l_returnflag, l_linestatus
         """,
         "psi_drift": _psi_oracle_sql(),
+        "psi_timeline": _psi_timeline_oracle_sql(),
         "gini_spend": f"""
             WITH ev AS (
                 SELECT user_id AS u, epoch_ns(ts) AS t,

@@ -1341,6 +1341,135 @@ def psi_drift(
     )
 
 
+def psi_timeline(
+    points: DataFrame,
+    uuid: str,
+    ref_start: int,
+    ref_end: int,
+    cur_start: int,
+    cur_end: int,
+    day_ns: int,
+    bins: int = 10,
+    value_quantum: float = 0.01,
+) -> DataFrame:
+    """PSI drift monitor over TIME: reference deciles are frozen once
+    (exact type-1 picks on the reference histogram, like psi_drift), then
+    every day of the current period is scored against them — the
+    production dashboard that turns psi_drift's one-shot comparison into
+    the "when did the feature start moving" curve. One row per day:
+    (day, n_cur, psi), day indexed from ref_start in day_ns units.
+
+    Exactness: edges/counts integer; probabilities fixed divisions;
+    ln is the libm pandas UDF (engine parity on every term, not just at
+    benign values); each day's Σ over bins is a bin-SORTED fold. Scale
+    shape: one reference histogram + cut-point window (value-domain
+    scale), one (day, vq) histogram for the whole current period, a
+    broadcast cut table, and a (days x bins)-row fold — the raw points
+    are read exactly twice."""
+    import math as _math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
+        return s.map(_math.log)
+
+    if bins < 2:
+        raise ValueError("need >= 2 bins")
+    vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    href = (
+        points.where(
+            (F.col("uuid") == F.lit(uuid)) & time_range_pred(ref_start, ref_end)
+        )
+        .select(vq.alias("vq"))
+        .groupBy("vq")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = href.select("vq", F.sum("c").over(w).alias("cum"))
+    tot = href.agg(F.sum("c").alias("nr"))
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.col("nr").cast("double") * F.lit(k / bins)),
+                F.col("vq"),
+            )
+        ).alias(f"c{k}")
+        for k in range(1, bins)
+    ]
+    cuts = cum.crossJoin(F.broadcast(tot)).groupBy("nr").agg(*picks)
+
+    def bin_of():
+        b = None
+        for k in range(1, bins):
+            term = F.when(F.col("vq") >= F.col(f"c{k}"), F.lit(1)).otherwise(F.lit(0))
+            b = term if b is None else b + term
+        return b.cast("long")
+
+    ref_bins = (
+        href.crossJoin(F.broadcast(cuts))
+        .select(bin_of().alias("bin"), "c")
+        .groupBy("bin")
+        .agg(F.sum("c").alias("n_ref"))
+    )
+    # int64 div, never float: a double (time - ref_start) rounds whole ns
+    # beyond 2**52 and misassigns boundary points (see windows()).
+    day = F.expr(f"(time - ({ref_start})) div {day_ns}")
+    cur = (
+        points.where(
+            (F.col("uuid") == F.lit(uuid)) & time_range_pred(cur_start, cur_end)
+        )
+        .select(day.alias("day"), vq.alias("vq"))
+        .groupBy("day", "vq")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(cuts))
+        .select("day", bin_of().alias("bin"), "c")
+        .groupBy("day", "bin")
+        .agg(F.sum("c").alias("n_cur"))
+    )
+    spark = points.sparkSession
+    d0 = (cur_start - ref_start) // day_ns
+    d1 = (cur_end - ref_start + day_ns - 1) // day_ns
+    spine = (
+        spark.range(d0, d1)
+        .select(F.col("id").alias("day"))
+        .crossJoin(spark.range(0, bins).select(F.col("id").alias("bin")))
+    )
+    both = (
+        spine.join(F.broadcast(ref_bins), "bin", "left")
+        .join(cur, ["day", "bin"], "left")
+        .select(
+            "day",
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    tr = both.groupBy("day").agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pr = (d("n_ref") + F.lit(1.0)) / (d("tr") + F.lit(float(bins)))
+    pc = (d("n_cur") + F.lit(1.0)) / (d("tc") + F.lit(float(bins)))
+    terms = both.join(F.broadcast(tr), "day").select(
+        "day",
+        "bin",
+        "n_cur",
+        ((pc - pr) * _ln(pc / pr)).alias("psi_term"),
+    )
+    return (
+        terms.groupBy("day")
+        .agg(
+            F.sum("n_cur").alias("n_cur"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bin", "psi_term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["psi_term"],
+            ).alias("psi"),
+        )
+        .orderBy("day")
+    )
+
+
 def ks_test(
     points: DataFrame,
     uuid: str,
