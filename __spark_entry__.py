@@ -2986,6 +2986,14 @@ def _psi_timeline_oracle_sql(bins: int = 10) -> str:
     """
 
 
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup knob-picking card: verified near-dup pairs and touched docs
+    at each Jaccard threshold, from one candidate set + one verify."""
+    from btrdb_server_spark.functions.dedup import dedup_threshold_curve
+
+    return dedup_threshold_curve(load_table(spark, sf_dir, "documents"))
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5469,6 +5477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_coverage": _small_state(q_streaming_coverage),
         "label_noise_screen": q_label_noise_screen,
         "psi_timeline": q_psi_timeline,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
     }
 
 
@@ -9097,6 +9106,27 @@ def oracle_sql() -> dict[str, str]:
             FROM best b JOIN own ON b.vec_id = own.vec_id
             WHERE b.rn = 1 AND b.cid <> b.label
             ORDER BY margin DESC, b.vec_id
+        """,
+        "dedup_threshold_curve": f"""
+            WITH {_verified_pairs_ctes()},
+            th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+                          AS threshold),
+            fanned AS (
+                SELECT vp.a, vp.b, th.threshold
+                FROM vp JOIN th ON vp.jaccard >= th.threshold
+            ),
+            pc AS (SELECT threshold, count(*) AS n_pairs
+                   FROM fanned GROUP BY 1),
+            dc AS (SELECT threshold, count(DISTINCT doc) AS n_docs
+                   FROM (SELECT threshold, unnest([a, b]) AS doc FROM fanned)
+                   GROUP BY 1)
+            SELECT th.threshold,
+                   CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs
+            FROM th
+            LEFT JOIN pc ON th.threshold = pc.threshold
+            LEFT JOIN dc ON th.threshold = dc.threshold
+            ORDER BY th.threshold
         """,
         "simhash": f"""
             WITH tk AS (

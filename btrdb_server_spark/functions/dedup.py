@@ -1051,3 +1051,51 @@ def dedup_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         .orderBy("cluster_size")
     )
+
+
+def dedup_threshold_curve(
+    docs: DataFrame,
+    thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Dedup tuning curve: how many verified near-dup pairs (and how many
+    distinct documents they touch) survive at each Jaccard threshold —
+    the knob-picking card for a dedup run, from ONE candidate
+    set + ONE exact-verify pass (thresholding is a fan-out over the
+    already-verified pair table, never re-verification). The pair count
+    is what the cluster pass will ingest; the doc count bounds how much
+    of the corpus a given threshold can remove. Columns: threshold,
+    n_pairs, n_docs; ascending threshold.
+
+    Scale shape: identical to lsh_verified_pairs up to the verify, then
+    a |pairs| x |thresholds| fan-out and two metadata-scale aggregates."""
+    verified = lsh_verified_pairs(
+        docs, text_col, id_col, threshold=min(thresholds), **kw
+    ).select("a", "b", "jaccard")
+    th = F.array(*[F.lit(float(t)) for t in thresholds])
+    fanned = verified.select(
+        "a",
+        "b",
+        F.explode(F.filter(th, lambda t: F.col("jaccard") >= t)).alias("threshold"),
+    )
+    pairs = fanned.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    docs_n = (
+        fanned.select("threshold", F.explode(F.array("a", "b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        spine.join(pairs, "threshold", "left")
+        .join(docs_n, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
