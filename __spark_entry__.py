@@ -2994,6 +2994,14 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_threshold_curve(load_table(spark, sf_dir, "documents"))
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing run report: per-shard sequence fill, tail waste, and the
+    share of documents split across sequence boundaries."""
+    from btrdb_server_spark.functions.curation import pack_efficiency
+
+    return pack_efficiency(load_table(spark, sf_dir, "documents"))
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5478,6 +5486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise_screen": q_label_noise_screen,
         "psi_timeline": q_psi_timeline,
         "dedup_threshold_curve": q_dedup_threshold_curve,
+        "pack_efficiency": q_pack_efficiency,
     }
 
 
@@ -8646,6 +8655,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, n_tokens, tok_offset,
                    CAST(tok_offset // 256 AS BIGINT) AS seq_idx
             FROM o ORDER BY doc_id
+        """,
+        "pack_efficiency": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), o AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS tok_offset
+                FROM t
+            ), per AS (
+                SELECT shard, count(*) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN (tok_offset + n_tokens - 1) // 256
+                                          <> tok_offset // 256
+                                      AND n_tokens > 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_split_docs
+                FROM o GROUP BY 1
+            )
+            SELECT shard, n_docs, n_tokens,
+                   CAST((n_tokens + 255) // 256 AS BIGINT) AS n_seqs,
+                   CAST(((n_tokens + 255) // 256) * 256 - n_tokens AS BIGINT)
+                       AS tail_waste,
+                   CAST(n_tokens AS DOUBLE)
+                     / CAST(((n_tokens + 255) // 256) * 256 AS DOUBLE)
+                       AS fill_ratio,
+                   n_split_docs,
+                   CAST(n_split_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS split_frac
+            FROM per ORDER BY shard
         """,
         "exact_dedup": r"""
             WITH hh AS (

@@ -757,3 +757,51 @@ def weighted_sample(
         )
     )
     return keyed.orderBy(F.desc("key"), id_col).limit(k)
+
+
+def pack_efficiency(
+    docs: DataFrame,
+    ctx_len: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing efficiency report over pack_sequences: per shard, how many
+    training sequences the token stream fills, the tail waste (padding in
+    the final sequence), the fill ratio, and how many documents straddle
+    a sequence boundary (the cross-document-attention contamination
+    proxy packing runs monitor). Columns: shard, n_docs, n_tokens,
+    n_seqs, tail_waste, fill_ratio, n_split_docs, split_frac.
+
+    All-integer except the two ratio divisions; beyond pack_sequences
+    this is one metadata-scale aggregate per shard."""
+    packed = pack_sequences(docs, ctx_len, n_shards, text_col, id_col)
+    split = (
+        (
+            F.expr(f"(tok_offset + n_tokens - 1) div {ctx_len}")
+            != F.col("seq_idx")
+        )
+        & (F.col("n_tokens") > 0)
+    ).cast("long")
+    per = packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(split).alias("n_split_docs"),
+    )
+    n_seqs = F.expr(f"(n_tokens + {ctx_len - 1}) div {ctx_len}")
+    d = lambda c: c.cast("double")  # noqa: E731
+    return (
+        per.select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            n_seqs.alias("n_seqs"),
+            (n_seqs * F.lit(ctx_len) - F.col("n_tokens")).alias("tail_waste"),
+            (
+                d(F.col("n_tokens")) / d(n_seqs * F.lit(ctx_len))
+            ).alias("fill_ratio"),
+            "n_split_docs",
+            (d(F.col("n_split_docs")) / d(F.col("n_docs"))).alias("split_frac"),
+        )
+        .orderBy("shard")
+    )
