@@ -3002,6 +3002,16 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_efficiency(load_table(spark, sf_dir, "documents"))
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-rate anomalies: hour-of-day Poisson baselines from Jan
+    1-21, week-4 hours scored with the Anscombe z (sqrt is correctly
+    rounded — bit parity without libm UDFs); outage hours score too."""
+    from btrdb_server_spark.operators.stat import rate_anomaly
+
+    pts = load_points(spark, sf_dir, T_2024, T_FEB)
+    return rate_anomaly(pts, T_2024, 21, 10, HOUR_NS, DAY_NS)
+
+
 def _streaming_twa_oracle_sql() -> str:
     t0, t1, w = T_2024, T_JAN10, DAY_NS
     return f"""
@@ -5487,6 +5497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_timeline": q_psi_timeline,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "pack_efficiency": q_pack_efficiency,
+        "rate_anomaly": q_rate_anomaly,
     }
 
 
@@ -9170,6 +9181,49 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pc ON th.threshold = pc.threshold
             LEFT JOIN dc ON th.threshold = dc.threshold
             ORDER BY th.threshold
+        """,
+        "rate_anomaly": f"""
+            {PTS_CTE}, base AS (
+                SELECT uuid, ((time - {T_2024}) // {HOUR_NS}) % 24 AS hod,
+                       count(*) AS c
+                FROM pts
+                WHERE time >= {T_2024} AND time < {T_2024 + 21 * DAY_NS}
+                GROUP BY 1, 2
+            ), uu AS (
+                SELECT DISTINCT uuid FROM pts
+                WHERE time >= {T_2024} AND time < {T_2024 + 21 * DAY_NS}
+            ), hs AS (
+                SELECT uu.uuid, h.range AS hod FROM uu, range(0, 24) h
+            ), lam AS (
+                SELECT hs.uuid, hs.hod,
+                       CAST(COALESCE(base.c, 0) AS DOUBLE) / 21.0 AS lam
+                FROM hs LEFT JOIN base
+                  ON hs.uuid = base.uuid AND hs.hod = base.hod
+            ), ss AS (
+                SELECT uu.uuid, s.range AS slot
+                FROM uu, range({21 * 24}, {31 * 24}) s
+            ), obs AS (
+                SELECT uuid, (time - {T_2024}) // {HOUR_NS} AS slot,
+                       count(*) AS k
+                FROM pts
+                WHERE time >= {T_2024 + 21 * DAY_NS}
+                  AND time < {T_2024 + 31 * DAY_NS}
+                GROUP BY 1, 2
+            ), sc AS (
+                SELECT ss.uuid, ss.slot,
+                       CAST(COALESCE(obs.k, 0) AS BIGINT) AS k,
+                       ss.slot % 24 AS hod
+                FROM ss LEFT JOIN obs
+                  ON ss.uuid = obs.uuid AND ss.slot = obs.slot
+            )
+            SELECT sc.uuid, {T_2024} + sc.slot * {HOUR_NS} AS time,
+                   CAST(sc.hod AS BIGINT) AS hod, sc.k, lam.lam,
+                   2.0 * (sqrt(CAST(sc.k AS DOUBLE) + 0.375)
+                          - sqrt(lam.lam + 0.375)) AS z
+            FROM sc JOIN lam ON sc.uuid = lam.uuid AND sc.hod = lam.hod
+            WHERE abs(2.0 * (sqrt(CAST(sc.k AS DOUBLE) + 0.375)
+                             - sqrt(lam.lam + 0.375))) >= 3.0
+            ORDER BY sc.uuid, time
         """,
         "simhash": f"""
             WITH tk AS (

@@ -737,6 +737,96 @@ def stream_profile(
     )
 
 
+def rate_anomaly(
+    points: DataFrame,
+    start: int,
+    base_days: int,
+    score_days: int,
+    hour_ns: int,
+    day_ns: int,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Event-RATE anomalies with a seasonal Poisson baseline: per
+    (stream, hour-of-day) the baseline rate lambda comes from the first
+    `base_days` days; every hour slot of the following `score_days` days
+    is scored with the Anscombe variance-stabilized z
+    z = 2*(sqrt(k + 3/8) - sqrt(lambda + 3/8)), ~N(0,1) under Poisson —
+    the traffic-drop/spike pager rule. Zero-count hours are scored too
+    (an outage IS the anomaly), via an hour spine per stream. One row
+    per |z| >= z_cut: (uuid, time, hod, k, lam, z), ordered by uuid,
+    time.
+
+    Exactness end-to-end: counts are integers, lambda is one division by
+    base_days, and sqrt is CORRECTLY ROUNDED in IEEE 754 — unlike
+    ln/exp, both engines are bit-identical by spec, no libm UDF needed.
+    Scale shape: two hour-grain groupBys (slot scale, far below point
+    scale), a 24-row-per-stream baseline broadcast, and a generated slot
+    spine; raw points are read twice."""
+    hod = F.expr(f"((time - ({start})) div {hour_ns}) % 24")
+    day = F.expr(f"(time - ({start})) div {day_ns}")
+    base_end = start + base_days * day_ns
+    score_end = start + (base_days + score_days) * day_ns
+    base_cnt = (
+        points.where(time_range_pred(start, base_end))
+        .select("uuid", hod.alias("hod"))
+        .groupBy("uuid", "hod")
+        .agg(F.count("*").alias("c"))
+    )
+    uuids = points.where(time_range_pred(start, base_end)).select("uuid").distinct()
+    hod_spine = uuids.crossJoin(
+        F.broadcast(
+            points.sparkSession.range(0, 24).select(F.col("id").alias("hod"))
+        )
+    )
+    lam = hod_spine.join(base_cnt, ["uuid", "hod"], "left").select(
+        "uuid",
+        "hod",
+        (
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            / F.lit(float(base_days))
+        ).alias("lam"),
+    )
+    slot0 = base_days * (day_ns // hour_ns)
+    slot1 = (base_days + score_days) * (day_ns // hour_ns)
+    slot_spine = uuids.crossJoin(
+        F.broadcast(
+            points.sparkSession.range(slot0, slot1).select(F.col("id").alias("slot"))
+        )
+    )
+    obs = (
+        points.where(time_range_pred(base_end, score_end))
+        .select("uuid", F.expr(f"(time - ({start})) div {hour_ns}").alias("slot"))
+        .groupBy("uuid", "slot")
+        .agg(F.count("*").alias("k"))
+    )
+    scored = (
+        slot_spine.join(obs, ["uuid", "slot"], "left")
+        .select(
+            "uuid",
+            "slot",
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+            (F.col("slot") % 24).alias("hod"),
+        )
+        .join(F.broadcast(lam), ["uuid", "hod"])
+    )
+    z = F.lit(2.0) * (
+        F.sqrt(F.col("k").cast("double") + F.lit(0.375))
+        - F.sqrt(F.col("lam") + F.lit(0.375))
+    )
+    return (
+        scored.select(
+            "uuid",
+            (F.lit(start) + F.col("slot") * F.lit(hour_ns)).alias("time"),
+            "hod",
+            "k",
+            "lam",
+            z.alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= F.lit(z_cut))
+        .orderBy("uuid", "time")
+    )
+
+
 def mad_anomaly(
     points: DataFrame,
     uuid: str,
