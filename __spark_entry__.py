@@ -51,6 +51,23 @@ PTS_CTE = (
 )
 
 
+def _workdir(prefix: str) -> str:
+    """Scratch dir for a query's source parquet / checkpoint / store root.
+
+    Must outlive the query function (the driver collects the returned
+    DataFrame after the function returns), so cleanup is registered at
+    process exit rather than try/finally — previously these leaked one
+    mkdtemp per query per bench/correctness run.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-stream aligned statistical rollup over sf0.001."""
     pts = load_points(spark, "/root/testdata/sf0.001")
@@ -542,11 +559,10 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches — the source is four time-ordered slices written
     sequentially (mod-time ordering), and the emitted union is
     bit-identical to the batch fold, which is the oracle."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_ewma
 
-    work = tempfile.mkdtemp(prefix="btrdb_sewma_q_")
+    work = _workdir(prefix="btrdb_sewma_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
@@ -676,11 +692,10 @@ def q_streaming_deadband(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deadband compression AT INGEST: the continuous query emits only
     exception points; on the in-order 4-slice source the kept set is
     bit-equal to the batch fold, which is the oracle."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_deadband
 
-    work = tempfile.mkdtemp(prefix="btrdb_sdb_q_")
+    work = _workdir(prefix="btrdb_sdb_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid") == "view"
@@ -722,11 +737,10 @@ def q_streaming_sdt(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored point whenever the slope doors cross; on the in-order 4-slice
     source the emitted set is bit-equal to the batch fold minus its
     trailing final-point append — which is the oracle."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_sdt
 
-    work = tempfile.mkdtemp(prefix="btrdb_sdt_q_")
+    work = _workdir(prefix="btrdb_sdt_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid") == "view"
@@ -768,11 +782,10 @@ def q_streaming_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     row the moment the click stream crosses 10.0; on the in-order
     4-slice source the alert set is bit-equal to the batch
     threshold_crossings scan — which is the oracle."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_crossings
 
-    work = tempfile.mkdtemp(prefix="btrdb_cross_q_")
+    work = _workdir(prefix="btrdb_cross_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid") == "click"
@@ -950,12 +963,11 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is bit-equal to the batch attribution_last_touch carry — which
     is the oracle. Slices cut on time boundaries, so equal-time
     conversion/touch pairs never straddle a batch."""
-    import tempfile
 
     from btrdb_server_spark.sources.testdata import epoch_ns_expr
     from btrdb_server_spark.streaming.stateful import streaming_attribution
 
-    work = tempfile.mkdtemp(prefix="btrdb_attr_q_")
+    work = _workdir(prefix="btrdb_attr_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select(
@@ -1239,9 +1251,8 @@ def q_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams — csv.go:75-81) and read back with an explicit schema. Doubles
     survive the text round-trip exactly (shortest-repr formatting), so the
     read-back rows hash-match the alignment oracle."""
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="btrdb_csv_q_") + "/aligned"
+    out = _workdir(prefix="btrdb_csv_q_") + "/aligned"
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     aligned = align_streams(pts, EVENT_TYPES, T_2024, T_FEB, agg="max")
     # Multi-file export: each task writes its own part (the scalable sink
@@ -1313,11 +1324,10 @@ def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events points. The per-batch emission stream is not SQL-expressible,
     but the FINAL accumulated state per bucket must equal the batch
     groupBy over the same points — which is exactly the oracle."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_stat_windows
 
-    work = tempfile.mkdtemp(prefix="btrdb_stream_q_")
+    work = _workdir(prefix="btrdb_stream_q_")
     src, ckpt = f"{work}/src", f"{work}/ckpt"
     # repartition, not coalesce: the loader hands back ONE partition and
     # coalesce cannot increase it — four real files + maxFilesPerTrigger=2
@@ -1369,9 +1379,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spark.sql.streaming.stateStore.providerClass) + changelog
     checkpointing so state lives off-heap/on-disk; the no-watermark choice
     is semantic (a duplicate is a duplicate forever), matching ST2."""
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="btrdb_sdedup_q_")
+    work = _workdir(prefix="btrdb_sdedup_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # repartition, not coalesce: the loader may hand back ONE partition and
@@ -1428,12 +1437,11 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (overcount 0) — the final top-50 must equal the exact batch token
     counts, which is the oracle. The eviction path (upper/lower-bound
     semantics) is pytest-covered with a tiny capacity."""
-    import tempfile
 
     from btrdb_server_spark.functions.text import tokens_col
     from btrdb_server_spark.streaming.stateful import streaming_heavy_hitters
 
-    work = tempfile.mkdtemp(prefix="btrdb_stopk_q_")
+    work = _workdir(prefix="btrdb_stopk_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # repartition, not coalesce: the loader may hand back ONE partition and
@@ -1482,11 +1490,10 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     point FUSES two sessions. The final snapshot (max-seq rows per stream)
     must equal the batch gap-and-islands computation, which is the
     oracle."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_sessionize
 
-    work = tempfile.mkdtemp(prefix="btrdb_ssess_q_")
+    work = _workdir(prefix="btrdb_ssess_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     # Unsorted repartition (round-robin — the loader hands back ONE
@@ -1620,7 +1627,6 @@ def q_buffer_read_your_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncommitted buffer — a latest-generation read must return BOTH, while
     the committed-only version-1 read would not. The oracle is every raw
     point in the two-day range."""
-    import tempfile
 
     from btrdb_server_spark.api import BTrDB
 
@@ -1633,7 +1639,7 @@ def q_buffer_read_your_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     db = BTrDB(
-        spark, tempfile.mkdtemp(prefix="btrdb_buf_q_"), buffer_commit_threshold=1 << 30
+        spark, _workdir(prefix="btrdb_buf_q_"), buffer_commit_threshold=1 << 30
     )
     day1 = [(r.time, r.value) for r in rows if r.time < t_mid]
     day2 = [(r.time, r.value) for r in rows if r.time >= t_mid]
@@ -1647,7 +1653,6 @@ def q_buffer_read_your_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_buffer_query_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryVersion under buffering (ST5, pqm.go:343-361): major = committed
     generations, minor = uncommitted buffered point count."""
-    import tempfile
 
     from btrdb_server_spark.api import BTrDB
 
@@ -1659,7 +1664,7 @@ def q_buffer_query_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     db = BTrDB(
-        spark, tempfile.mkdtemp(prefix="btrdb_qv_q_"), buffer_commit_threshold=1 << 30
+        spark, _workdir(prefix="btrdb_qv_q_"), buffer_commit_threshold=1 << 30
     )
     db.insert("signup", [(r.time, r.value) for r in rows if r.time < t_mid],
               enforce_batch_cap=False)
@@ -1676,12 +1681,11 @@ def q_registry_obliterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, verify the uuid is never reusable (metaprovider.go:296-326)
     while its (collection, tags) identity IS (uniqueness is among live
     streams), and return the live registry."""
-    import tempfile
 
     from btrdb_server_spark.metadata import StreamRegistry
     from btrdb_server_spark.store import BTrDBError
 
-    reg = StreamRegistry(spark, tempfile.mkdtemp(prefix="btrdb_reg_q_"))
+    reg = StreamRegistry(spark, _workdir(prefix="btrdb_reg_q_"))
     streams = streams_from_events(load_table(spark, sf_dir, "events"))
     n = reg.create_many(streams)
     assert n == streams.count()
@@ -1708,12 +1712,11 @@ def q_registry_obliterate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_insert_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 batch limit (serve.go:63-68,702): a >25k-point insert is rejected
     with InsertTooBig(414) and leaves nothing behind."""
-    import tempfile
 
     from btrdb_server_spark.constants import MAX_INSERT_BATCH
     from btrdb_server_spark.store import BTrDBError, PointStore
 
-    store = PointStore(spark, tempfile.mkdtemp(prefix="btrdb_cap_q_"))
+    store = PointStore(spark, _workdir(prefix="btrdb_cap_q_"))
     too_big = [(i, 1.0) for i in range(MAX_INSERT_BATCH + 1)]
     try:
         store.insert("s", too_big, enforce_batch_cap=True)
@@ -1731,7 +1734,6 @@ def q_buffer_stat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows at latest generation over one committed day plus one buffered
     day — the weighted combine is Spark's partial->final aggregation over
     the unioned snapshot; the oracle aggregates all raw points."""
-    import tempfile
 
     from btrdb_server_spark.api import BTrDB
 
@@ -1743,7 +1745,7 @@ def q_buffer_stat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     db = BTrDB(
-        spark, tempfile.mkdtemp(prefix="btrdb_bsm_q_"), buffer_commit_threshold=1 << 30
+        spark, _workdir(prefix="btrdb_bsm_q_"), buffer_commit_threshold=1 << 30
     )
     db.insert("signup", [(r.time, r.value) for r in rows if r.time < t_mid],
               enforce_batch_cap=False)
@@ -1765,14 +1767,13 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     points file-streamed through the foreachBatch pipeline (validate ->
     versioned append, checkpoint WAL), flushed, then read back from the
     committed store at latest version."""
-    import tempfile
 
     from btrdb_server_spark.schemas import POINTS_SCHEMA
     from btrdb_server_spark.store import PointStore
     from btrdb_server_spark.streaming.ingest import IngestPipeline
 
     t_end = T_2024 + 2 * DAY_NS
-    work = tempfile.mkdtemp(prefix="btrdb_ing_q_")
+    work = _workdir(prefix="btrdb_ing_q_")
     src = f"{work}/src"
     pts = (
         load_points(spark, sf_dir, T_2024, t_end)
@@ -1800,7 +1801,6 @@ def q_streaming_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch (partition-targeted folds), then AlignedWindows is served
     from the materialized level — write path to hot-tier read path end to
     end. Oracle aggregates the same raw points."""
-    import tempfile
 
     from btrdb_server_spark.plans.rollup import RollupLadder
     from btrdb_server_spark.schemas import POINTS_SCHEMA
@@ -1808,7 +1808,7 @@ def q_streaming_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.streaming.ingest import IngestPipeline
 
     t_end = T_2024 + 2 * DAY_NS
-    work = tempfile.mkdtemp(prefix="btrdb_srs_q_")
+    work = _workdir(prefix="btrdb_srs_q_")
     src = f"{work}/src"
     pts = (
         load_points(spark, sf_dir, T_2024, t_end)
@@ -1850,7 +1850,6 @@ def q_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels (no watermark ever drops it — qtree accepts any in-domain time,
     qtree.go:629), and the served stats equal the oracle's full aggregate
     over both days."""
-    import tempfile
 
     from btrdb_server_spark.plans.rollup import RollupLadder
 
@@ -1861,7 +1860,7 @@ def q_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("time") >= T_2024) & (F.col("time") < t_end))
     )
     ladder = RollupLadder(
-        spark, tempfile.mkdtemp(prefix="btrdb_late_q_"), levels=[40],
+        spark, _workdir(prefix="btrdb_late_q_"), levels=[40],
         value_quantum=0.01,  # 2-decimal testdata: bit-deterministic means
     )
     ladder.update_with_batch(pts.where(F.col("time") >= t_mid), batch_id=0)
@@ -1881,12 +1880,11 @@ def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction (the OPTIMIZE/VACUUM analog): versions + tombstones fold
     into one base snapshot; reads at latest return exactly the pre-compaction
     answer with the version-dir read amplification gone."""
-    import tempfile
 
     from btrdb_server_spark.store import PointStore
 
     t_mid, t_end = T_2024 + DAY_NS, T_2024 + 2 * DAY_NS
-    store = PointStore(spark, tempfile.mkdtemp(prefix="btrdb_cmp_q_"))
+    store = PointStore(spark, _workdir(prefix="btrdb_cmp_q_"))
     pts = (
         load_points(spark, sf_dir, T_2024, t_end)
         .where(F.col("uuid") == "signup")
@@ -1955,11 +1953,10 @@ def q_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family — feed stateful band buckets that emit new-vs-resident
     candidate pairs). The distinct pair union must equal batch
     lsh_candidate_pairs over the same corpus, which is the oracle."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_lsh_candidates
 
-    work = tempfile.mkdtemp(prefix="btrdb_slsh_q_")
+    work = _workdir(prefix="btrdb_slsh_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # repartition, not coalesce: the loader may hand back ONE partition and
@@ -2641,11 +2638,10 @@ def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     point and the open window's integer partials; a window emits exactly
     once when the held segment crosses its end. Union over four
     sequential slices is bit-equal to the batch scan on closed windows."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_twa
 
-    work = tempfile.mkdtemp(prefix="btrdb_stwa_q_")
+    work = _workdir(prefix="btrdb_stwa_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
@@ -2687,11 +2683,10 @@ def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, not the point count); closed windows emit exactly once and
     bit-equal the batch order-statistic scan — the latency-SLA primitive
     the reference can only serve by raw scanning."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_quantile
 
-    work = tempfile.mkdtemp(prefix="btrdb_squant_q_")
+    work = _workdir(prefix="btrdb_squant_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
@@ -2813,11 +2808,10 @@ def q_streaming_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Availability/SLA at ingest: per (stream, day) slot occupancy vs an
     hourly cadence from bounded keyed state; closed windows emit exactly
     once and bit-equal the batch coverage scan."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_coverage
 
-    work = tempfile.mkdtemp(prefix="btrdb_scov_q_")
+    work = _workdir(prefix="btrdb_scov_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
@@ -3710,11 +3704,10 @@ def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend) continues the 2-state recurrence across four sequentially
     written time slices; the emitted union is bit-equal to the batch
     fold, which is the oracle."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_holt
 
-    work = tempfile.mkdtemp(prefix="btrdb_sholt_q_")
+    work = _workdir(prefix="btrdb_sholt_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
@@ -4023,11 +4016,10 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     state (k smallest hashes), set-union merge is associative so the
     converged state equals the batch sketch bit-for-bit — the oracle is
     the BATCH kmv SQL."""
-    import tempfile
 
     from btrdb_server_spark.streaming.stateful import streaming_kmv
 
-    work = tempfile.mkdtemp(prefix="btrdb_skmv_q_")
+    work = _workdir(prefix="btrdb_skmv_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     ev.repartition(4).write.mode("overwrite").parquet(src_d)
@@ -4179,7 +4171,6 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full TPC-H-Q5 local-supplier volume for ASIA 1996: one fact-fact
     co-hash, every dim (customer/supplier/nation/region) broadcast, the
@@ -4269,7 +4260,6 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog (p=8) distinct active user-days per event type, audited
     against the exact count; integer-domain harmonic sum, one division."""
@@ -4303,7 +4293,6 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.sketch import ams_f2
 
     return ams_f2(load_table(spark, sf_dir, "documents"))
-
 
 
 def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4365,7 +4354,6 @@ def q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact MIPS top-10 for probe vec 7 with the norm-augmentation
     reduction emitted alongside (aug cosine = dot / (|q| * max-norm))."""
@@ -4388,7 +4376,6 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.dedup import containment_pairs
 
     return containment_pairs(load_table(spark, sf_dir, "documents"))
-
 
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4424,7 +4411,6 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.graph import degree_assortativity
 
     return degree_assortativity(load_table(spark, sf_dir, "lineitem"))
-
 
 
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4463,7 +4449,6 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_coverage(load_table(spark, sf_dir, "documents"))
 
 
-
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6 forecasting revenue change: one pruned scan, every
     predicate pushed, a single map-combined aggregate cell."""
@@ -4488,7 +4473,6 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import cluster_purity
 
     return cluster_purity(load_table(spark, sf_dir, "embeddings"))
-
 
 
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4516,7 +4500,6 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     return group_sample(pts, T_2024, T_FEB, k=20)
-
 
 
 def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4556,7 +4539,6 @@ def q_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_curve(load_table(spark, sf_dir, "documents"))
 
 
-
 def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does yesterday's click volume predict today's purchase volume
     beyond purchase's own AR(1) memory? F-test from exact decimal
@@ -4576,17 +4558,15 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_motifs(pts, T_2024, T_FEB, DAY_NS)
 
 
-
 def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL per event type over user-day ids: register max is
     associative + idempotent, so the converged emission bit-equals the
     batch estimate — oracle is the batch registers SQL."""
-    import tempfile
 
     from btrdb_server_spark.sources.testdata import epoch_ns_expr
     from btrdb_server_spark.streaming.stateful import streaming_hll
 
-    work = tempfile.mkdtemp(prefix="btrdb_shll_q_")
+    work = _workdir(prefix="btrdb_shll_q_")
     src_d, ckpt = f"{work}/src", f"{work}/ckpt"
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select("event_type", "user_id", epoch_ns_expr(ev).alias("t_ns"))
@@ -4631,7 +4611,6 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit under (type, hour-of-day, user-bucket) quasi-ids
     — group sizes, k_min, rows below k=5."""
@@ -4674,7 +4653,6 @@ def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_report(load_table(spark, sf_dir, "events"))
 
 
-
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation funnel: raw -> exact dedup -> quality filter ->
     decontamination (bench = doc_id %% 17 == 0), per-stage doc/token
@@ -4685,7 +4663,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 17 == 0)
     return curation_pipeline(docs, bench)
-
 
 
 def q_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4728,7 +4705,6 @@ def q_user_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_novelty(ev, start=T_2024, end=T_FEB)
 
 
-
 def q_rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-50 and
     the cosine top-50 (probe vec 7, vec_id aligned with doc_id) — two
@@ -4753,7 +4729,6 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 drifted embedding dimensions between the vec-id-parity
     halves: two-sample z from exact quantized integer moments."""
@@ -4768,7 +4743,6 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.text import vocab_growth
 
     return vocab_growth(load_table(spark, sf_dir, "documents"))
-
 
 
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4789,7 +4763,6 @@ def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekend_effect(pts, T_2024, T_FEB)
 
 
-
 def q_collection_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Namespace hierarchy rollup: one row per collection path prefix
     with stream and child-collection counts — the tree browser's
@@ -4798,7 +4771,6 @@ def q_collection_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     streams = streams_from_events(load_table(spark, sf_dir, "events"))
     return collection_tree(streams)
-
 
 
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4815,7 +4787,6 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stream inter-arrival gap histogram in decimal-digit decade
     buckets over January — exact integer log-scale cadence profile."""
@@ -4823,7 +4794,6 @@ def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = load_points(spark, sf_dir, T_2024, T_FEB)
     return gap_histogram(pts, T_2024, T_FEB)
-
 
 
 def q_halfway_point(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4853,14 +4823,12 @@ def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tukey_outliers(pts, T_2024, T_FEB)
 
 
-
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-word language ID against the
     declared lang column — per-cell counts and within-declared shares."""
     from btrdb_server_spark.functions.text import lang_confusion
 
     return lang_confusion(load_table(spark, sf_dir, "documents"))
-
 
 
 def q_hourly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4872,7 +4840,6 @@ def q_hourly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select(epoch_ns_expr(ev).alias("time"), "event_type")
     return hourly_conversion(ev)
-
 
 
 def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4894,14 +4861,12 @@ def q_ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 boilerplate 2-gram shingles by document frequency (df >=
     1%% of the corpus) — the template-chrome removal list."""
     from btrdb_server_spark.functions.dedup import boilerplate_ngrams
 
     return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
-
 
 
 def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4913,7 +4878,6 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
     )
-
 
 
 def q_lake_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4930,7 +4894,6 @@ def q_lake_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion rate by session depth (30-min gap sessions) — the
     engagement-vs-outcome curve, all-integer."""
@@ -4944,14 +4907,12 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_conversion(ev)
 
 
-
 def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase graph shape card: nodes, edges, density, degree
     stats, isolated parts — one row, exact integers."""
     from btrdb_server_spark.functions.graph import graph_summary
 
     return graph_summary(load_table(spark, sf_dir, "lineitem"))
-
 
 
 def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4962,7 +4923,6 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_profile(load_table(spark, sf_dir, "documents"))
 
 
-
 def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """b-bit MinHash (b=1) vs the full 16-component estimator per LSH
     candidate pair — the 64x signature-compression accuracy audit."""
@@ -4971,14 +4931,12 @@ def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bbit_minhash_est(load_table(spark, sf_dir, "documents"))
 
 
-
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate rate per source under the corpus-wide min-id
     keeper rule — which provenance re-crawls whom."""
     from btrdb_server_spark.functions.dedup import dup_rate_by_source
 
     return dup_rate_by_source(load_table(spark, sf_dir, "documents"))
-
 
 
 def q_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5005,7 +4963,6 @@ def q_segment_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole/half-unit clumping per stream vs the 1%% smooth-distribution
     expectation — the fractional-part DQ probe."""
@@ -5024,7 +4981,6 @@ def q_spend_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend_trajectory(load_table(spark, sf_dir, "orders"))
 
 
-
 def q_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-parts-per-order histogram — the cross-sell readout,
     all-integer."""
@@ -5039,7 +4995,6 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.text import lexical_diversity
 
     return lexical_diversity(load_table(spark, sf_dir, "documents"))
-
 
 
 def q_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5115,56 +5070,56 @@ _keyed_state_8 = _state_partitions(8)
 # constant IS that window (round 7). scripts/rotate_window.py regenerates
 # it each round; tests/test_window.py pins dict order to it.
 DRIVER_WINDOW: list[str] = [
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_paths",
-    "returned_item_losses",
-    "ar1_forecast",
-    "hurst_exponent",
-    "bilateral_trade",
-    "zipf_fit",
-    "anova_dow",
-    "streaming_kmv",
-    "triangle_count",
-    "chi2_independence",
-    "kmv_distinct",
-    "moments_profile",
-    "max_drawdown",
-    "spearman_corr",
-    "shipping_priority",
-    "top_supplier",
-    "pivot_report",
-    "assoc_rules",
-    "csv_export",
-    "lookup_streams",
-    "nearest_asof",
-    "changed_ranges",
-    "local_supplier_volume",
-    "market_share",
-    "promo_revenue",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_revenue",
-    "idle_customers",
-    "hll_distinct",
-    "bloom_audit",
-    "ams_f2",
-    "variance_ratio",
-    "permutation_entropy",
-    "peak_detect",
-    "savgol_smooth",
-    "seasonal_decompose",
-    "dominant_period",
-    "mips_topk",
-    "sq8_topk",
-    "containment_pairs",
-    "readability",
-    "frequent_sequences",
-    "ols_two_factor",
-    "degree_assortativity",
-    "customer_distribution",
-    "runs_test",
-    "power_users",
+    "aligned_windows",
+    "align_windowed",
+    "multistream_align",
+    "nearest_before",
+    "streaming_hll",
+    "streaming_quantile",
+    "streaming_coverage",
+    "ngram_coverage",
+    "forecast_revenue",
+    "hist_quantiles",
+    "cluster_purity",
+    "kmv_set_ops",
+    "tail_index",
+    "group_sample",
+    "error_budget",
+    "incident_report",
+    "top_movers",
+    "quality_curve",
+    "granger_lite",
+    "sax_motifs",
+    "k_anonymity",
+    "target_encode",
+    "hashed_features",
+    "split_report",
+    "curation_pipeline",
+    "hour_dow_heatmap",
+    "var_cvar",
+    "mix_entropy",
+    "user_novelty",
+    "rerank_fusion",
+    "discount_elasticity",
+    "embedding_drift",
+    "vocab_growth",
+    "skyline_parts",
+    "weekend_effect",
+    "collection_tree",
+    "market_concentration",
+    "gap_histogram",
+    "halfway_point",
+    "mode_value",
+    "tukey_outliers",
+    "lang_confusion",
+    "hourly_conversion",
+    "repurchase_intervals",
+    "ship_delay_profile",
+    "boilerplate_ngrams",
+    "order_backlog",
+    "lake_integrity",
+    "session_conversion",
+    "graph_summary",
 ]
 
 
@@ -5190,8 +5145,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       scripts/check_driver.py (the driver-replica compare).
     """
     return {
-        # ---- ROUND-7 WINDOW: positions 1-50 (driver checks first 50) ----
-        # (a) the 20 TPC-H-pack/stat entries promised for r6 that overflowed
+        # ---- DRIVER WINDOW: positions 1-50 (driver checks first 50;
+        # regenerated by scripts/rotate_window.py) ----
+        "aligned_windows": q_aligned_windows,
+        "align_windowed": q_align_windowed,
+        "multistream_align": q_multistream_align,
+        "nearest_before": q_nearest_before,
+        "streaming_hll": _small_state(q_streaming_hll),
+        "streaming_quantile": _small_state(q_streaming_quantile),
+        "streaming_coverage": _small_state(q_streaming_coverage),
+        "ngram_coverage": q_ngram_coverage,
+        "forecast_revenue": q_forecast_revenue,
+        "hist_quantiles": q_hist_quantiles,
+        "cluster_purity": q_cluster_purity,
+        "kmv_set_ops": q_kmv_set_ops,
+        "tail_index": q_tail_index,
+        "group_sample": q_group_sample,
+        "error_budget": q_error_budget,
+        "incident_report": q_incident_report,
+        "top_movers": q_top_movers,
+        "quality_curve": q_quality_curve,
+        "granger_lite": q_granger_lite,
+        "sax_motifs": q_sax_motifs,
+        "k_anonymity": q_k_anonymity,
+        "target_encode": q_target_encode,
+        "hashed_features": q_hashed_features,
+        "split_report": q_split_report,
+        "curation_pipeline": q_curation_pipeline,
+        "hour_dow_heatmap": q_hour_dow_heatmap,
+        "var_cvar": q_var_cvar,
+        "mix_entropy": q_mix_entropy,
+        "user_novelty": q_user_novelty,
+        "rerank_fusion": q_rerank_fusion,
+        "discount_elasticity": q_discount_elasticity,
+        "embedding_drift": q_embedding_drift,
+        "vocab_growth": q_vocab_growth,
+        "skyline_parts": q_skyline_parts,
+        "weekend_effect": q_weekend_effect,
+        "collection_tree": q_collection_tree,
+        "market_concentration": q_market_concentration,
+        "gap_histogram": q_gap_histogram,
+        "halfway_point": q_halfway_point,
+        "mode_value": q_mode_value,
+        "tukey_outliers": q_tukey_outliers,
+        "lang_confusion": q_lang_confusion,
+        "hourly_conversion": q_hourly_conversion,
+        "repurchase_intervals": q_repurchase_intervals,
+        "ship_delay_profile": q_ship_delay_profile,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "order_backlog": q_order_backlog,
+        "lake_integrity": q_lake_integrity,
+        "session_conversion": q_session_conversion,
+        "graph_summary": q_graph_summary,
+        # ---- position 51+: banked green or locally verified ----
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_paths": q_top_paths,
@@ -5212,12 +5218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "pivot_report": q_pivot_report,
         "assoc_rules": q_assoc_rules,
-        # (b) 4 stale section-2 anchor re-validations (banked r03, oldest first)
         "csv_export": q_csv_export,
         "lookup_streams": q_lookup_streams,
         "nearest_asof": q_nearest_asof,
         "changed_ranges": q_changed_ranges,
-        # (c) 26 more never-driver-checked entries (backlog burn-down)
         "local_supplier_volume": q_local_supplier_volume,
         "market_share": q_market_share,
         "promo_revenue": q_promo_revenue,
@@ -5244,7 +5248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_distribution": q_customer_distribution,
         "runs_test": q_runs_test,
         "power_users": q_power_users,
-        # ---- position 51+: banked green or locally bit-exact (check_driver.py) ----
         "ngram_freq": q_ngram_freq,
         "dau_wau": q_dau_wau,
         "exceedance_corr": q_exceedance_corr,
@@ -5295,8 +5298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pagerank": q_copurchase_pagerank,
         "periodogram": q_periodogram,
         "holt_forecast": q_holt_forecast,
-        "aligned_windows": q_aligned_windows,
-        "align_windowed": q_align_windowed,
         "decimate_envelope": q_decimate_envelope,
         "aligned_quantiles": q_aligned_quantiles,
         "buffer_query_version": q_buffer_query_version,
@@ -5310,14 +5311,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_usage": q_metadata_usage,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "multistream_align": q_multistream_align,
         "store_aligned_windows": q_store_aligned_windows,
         "store_compact": q_store_compact,
         "store_nearest": q_store_nearest,
         "streaming_rollup_serve": q_streaming_rollup_serve,
         "text_stats": q_text_stats,
         "token_entropy": q_token_entropy,
-        "nearest_before": q_nearest_before,
         "store_changes": q_store_changes,
         "store_delete_range": q_store_delete_range,
         "windows_depth": q_windows_depth,
@@ -5424,50 +5423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_ann_usage": q_metadata_ann_usage,
         "minhash_signatures": q_minhash_signatures,
         "token_freq": q_token_freq,
-        "ngram_coverage": q_ngram_coverage,
-        "forecast_revenue": q_forecast_revenue,
-        "hist_quantiles": q_hist_quantiles,
-        "cluster_purity": q_cluster_purity,
-        "kmv_set_ops": q_kmv_set_ops,
-        "tail_index": q_tail_index,
-        "group_sample": q_group_sample,
-        "error_budget": q_error_budget,
-        "incident_report": q_incident_report,
-        "top_movers": q_top_movers,
-        "quality_curve": q_quality_curve,
-        "granger_lite": q_granger_lite,
-        "sax_motifs": q_sax_motifs,
-        "streaming_hll": _small_state(q_streaming_hll),
-        "k_anonymity": q_k_anonymity,
-        "target_encode": q_target_encode,
-        "hashed_features": q_hashed_features,
-        "split_report": q_split_report,
-        "curation_pipeline": q_curation_pipeline,
-        "hour_dow_heatmap": q_hour_dow_heatmap,
-        "var_cvar": q_var_cvar,
-        "mix_entropy": q_mix_entropy,
-        "user_novelty": q_user_novelty,
-        "rerank_fusion": q_rerank_fusion,
-        "discount_elasticity": q_discount_elasticity,
-        "embedding_drift": q_embedding_drift,
-        "vocab_growth": q_vocab_growth,
-        "skyline_parts": q_skyline_parts,
-        "weekend_effect": q_weekend_effect,
-        "collection_tree": q_collection_tree,
-        "market_concentration": q_market_concentration,
-        "gap_histogram": q_gap_histogram,
-        "halfway_point": q_halfway_point,
-        "mode_value": q_mode_value,
-        "tukey_outliers": q_tukey_outliers,
-        "lang_confusion": q_lang_confusion,
-        "hourly_conversion": q_hourly_conversion,
-        "repurchase_intervals": q_repurchase_intervals,
-        "ship_delay_profile": q_ship_delay_profile,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "order_backlog": q_order_backlog,
-        "lake_integrity": q_lake_integrity,
-        "session_conversion": q_session_conversion,
-        "graph_summary": q_graph_summary,
         "source_profile": q_source_profile,
         "bbit_minhash": q_bbit_minhash,
         "dup_rate_by_source": q_dup_rate_by_source,
@@ -5479,20 +5434,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "delay_by_priority": q_delay_by_priority,
         "activity_histogram": q_activity_histogram,
-        # -- new in round 7 (verified via scripts/check_driver.py; window
-        # slots this round are reserved for the never-checked backlog) --
         "simhash_pairs": q_simhash_pairs,
         "lsh_recall_eval": q_lsh_recall_eval,
         "product_profit": q_product_profit,
         "media_features": q_media_features,
-        "streaming_quantile": _small_state(q_streaming_quantile),
         "windows_quantile_ladder": q_windows_quantile_ladder,
         "bigram_perplexity": q_bigram_perplexity,
         "dedup_stats": q_dedup_stats,
         "supplier_scorecard": q_supplier_scorecard,
         "weighted_sample": q_weighted_sample,
         "ivf_recall_curve": q_ivf_recall_curve,
-        "streaming_coverage": _small_state(q_streaming_coverage),
         "label_noise_screen": q_label_noise_screen,
         "psi_timeline": q_psi_timeline,
         "dedup_threshold_curve": q_dedup_threshold_curve,
