@@ -9320,9 +9320,16 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM t),
             dig AS (SELECT doc_id, md5(s0) AS d FROM raw_sh),
-            sh AS (
+            sh0 AS (
                 SELECT DISTINCT doc_id, {_hexn_sql('d', 15)} AS s FROM dig
             ),
+            -- df_cap=1000: same capped-vocabulary contract as the Spark
+            -- side (functions/dedup.py ngram_jaccard_pairs) — shingles in
+            -- more than 1000 documents are dropped from intersection AND
+            -- sizes before the self-join.
+            dfs AS (SELECT s, count(*) AS nd FROM sh0 GROUP BY s),
+            sh AS (SELECT sh0.doc_id, sh0.s FROM sh0
+                   JOIN dfs ON dfs.s = sh0.s AND dfs.nd <= 1000),
             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
                 SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
@@ -10205,11 +10212,17 @@ def oracle_sql() -> dict[str, str]:
                                    list_slice(toks, i, i + 2), ' '))
                            ELSE CAST([] AS VARCHAR[]) END) AS s0
                 FROM t
-            ), sh AS (
+            ), sh0 AS (
                 SELECT DISTINCT doc_id,
                        CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s
                 FROM raw_sh
-            ), sz AS (
+            ),
+            -- df_cap=1000: mirrors functions/dedup.py containment_pairs —
+            -- capped vocabulary for both intersection and |A|.
+            dfs AS (SELECT s, count(*) AS nd FROM sh0 GROUP BY s),
+            sh AS (SELECT sh0.doc_id, sh0.s FROM sh0
+                   JOIN dfs ON dfs.s = sh0.s AND dfs.nd <= 1000),
+            sz AS (
                 SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
             ), inter AS (
                 SELECT l.doc_id AS src, r.doc_id AS dst,

@@ -610,10 +610,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    df_cap: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via a shingle inverted index:
     |A∩B| from the self-join on distinct shingles, |A∪B| = |A|+|B|-|A∩B|.
-    Returns pairs (a < b) with jaccard >= threshold."""
+    Returns pairs (a < b) with jaccard >= threshold.
+
+    ``df_cap`` bounds the self-join skew: a shingle present in m documents
+    contributes m² join rows, so one boilerplate shingle (license header,
+    navigation chrome) in 10⁶ documents of a 100 TB corpus would be a
+    10¹² row hot key on a single shuffle partition. Shingles with document
+    frequency > df_cap are dropped from BOTH the intersection and the
+    |A|,|B| sizes, so the result is the EXACT jaccard over the df-capped
+    vocabulary — the same contract as scrubbing `boilerplate_ngrams`
+    output before comparing. Consequence: pairs whose only overlap is
+    ultra-common boilerplate score 0 (by design); genuine near-duplicates
+    share plenty of sub-cap shingles and are unaffected. MinHash/LSH
+    remains the first-choice scale path; this is the exact verifier."""
     # Shingles are hashed to 60-bit ints (first 15 hex chars of md5) before
     # the distinct: the shuffle and self-join then move 8-byte keys instead
     # of ~30-byte strings. Collision odds at 2^60 are negligible and the
@@ -628,16 +641,16 @@ def ngram_jaccard_pairs(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    dfs = sh.groupBy("s").agg(F.count("*").alias("nd"))
+    shk = sh.join(dfs.where(F.col("nd") <= df_cap), "s")
+    sizes = shk.groupBy(id_col).agg(F.count("*").alias("sz"))
     # Shingles in exactly one document cannot contribute to any
     # intersection; pruning them first shrinks the self-join input to the
     # shared-vocabulary subset — on a near-dup-sparse 100 TB corpus that is
     # the difference between joining ~n*|doc| rows and joining only the
-    # colliding tail. Union sizes |A|,|B| still come from the full table.
-    shared = (
-        sh.groupBy("s").agg(F.count("*").alias("nd")).where(F.col("nd") >= 2).select("s")
-    )
-    shx = sh.join(shared, "s")
+    # colliding tail. The df-cap above bounds the other end: every join
+    # key now fans out at most df_cap² rows.
+    shx = shk.where(F.col("nd") >= 2).select(id_col, "s")
     inter = (
         shx.alias("l")
         .join(shx.alias("r"), F.col("l.s") == F.col("r.s"))
@@ -830,6 +843,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    df_cap: int = 1000,
 ) -> DataFrame:
     """Jaccard CONTAINMENT C(A -> B) = |A n B| / |A| over k-gram shingle
     sets — the asymmetric near-duplication signal symmetric Jaccard
@@ -838,11 +852,16 @@ def containment_pairs(
     containment, inter, src_sz) with containment >= threshold and
     src != dst — both directions when both clear the bar.
 
-    Same scale shape as ngram_jaccard_pairs (dedup.py:475): hashed
-    shingle inverted index built once, singleton shingles pruned before
-    the self-join, sizes joined broadcast; the ratio is one exact
-    integer division (never rounded — rounding ties diverge across
-    engines)."""
+    Same scale shape as ngram_jaccard_pairs: hashed shingle inverted
+    index built once, singleton shingles pruned before the self-join,
+    sizes joined broadcast; the ratio is one exact integer division
+    (never rounded — rounding ties diverge across engines). ``df_cap``
+    bounds the self-join skew exactly as in ngram_jaccard_pairs (see its
+    docstring): shingles in more than df_cap documents are dropped from
+    both the intersection and |A|, so containment is exact over the
+    df-capped vocabulary — a short doc contained in a long one via
+    boilerplate-only overlap no longer scores, which is the curation
+    semantics you want anyway."""
     sh = (
         ensure_parallelism(docs)
         .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
@@ -853,11 +872,10 @@ def containment_pairs(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    shared = (
-        sh.groupBy("s").agg(F.count("*").alias("nd")).where(F.col("nd") >= 2).select("s")
-    )
-    shx = sh.join(shared, "s")
+    dfs = sh.groupBy("s").agg(F.count("*").alias("nd"))
+    shk = sh.join(dfs.where(F.col("nd") <= df_cap), "s")
+    sizes = shk.groupBy(id_col).agg(F.count("*").alias("sz"))
+    shx = shk.where(F.col("nd") >= 2).select(id_col, "s")
     inter = (
         shx.alias("l")
         .join(shx.alias("r"), F.col("l.s") == F.col("r.s"))

@@ -768,3 +768,52 @@ def test_weighted_sample_top_k_never_sorts_globally(spark):
     df = entry_mod.q_weighted_sample(spark, SF)
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in simple
+
+
+def test_shingle_self_join_is_df_capped(spark):
+    """The exact-shingle self-joins (ngram_jaccard_pairs,
+    containment_pairs) must filter shingles to document-frequency
+    <= df_cap BEFORE the self-join: one boilerplate shingle in m
+    documents otherwise contributes m**2 rows to a single shuffle key —
+    at 100 TB a license-header shingle in 1e6 docs is a 1e12-row hot
+    partition. The nd <= cap predicate must survive into the optimized
+    plan of both operators."""
+    for q in (entry_mod.q_ngram_jaccard, entry_mod.q_containment_pairs):
+        plan = optimized_of(q(spark, SF))
+        assert "<= 1000" in plan, f"df_cap filter missing from {q.__name__}"
+
+
+def test_hot_shingle_skew_is_bounded_by_df_cap(spark):
+    """Skew stress: a corpus where ONE shingle appears in every document.
+    Uncapped, the self-join fans that key out to n*(n-1)/2 candidate
+    pairs; with df_cap below the hot key's frequency the shingle is
+    dropped from both intersection and sizes, so no pair survives and
+    the quadratic never runs. Jaccard over the remaining (per-doc
+    unique) vocabulary is exact."""
+    from btrdb_server_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    n = 40
+    rows = [(i, f"aaa bbb ccc u{i}x u{i}y") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # Every doc shares exactly the one boilerplate shingle "aaa bbb ccc";
+    # uncapped at threshold 0 that is C(40,2) = 780 candidate pairs.
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0).count()
+    assert uncapped == n * (n - 1) // 2
+    # df_cap below the hot key's document frequency: the key is excluded
+    # from the join input, so zero pairs — and zero quadratic fan-out.
+    assert ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10).count() == 0
+    assert containment_pairs(docs, threshold=0.0, df_cap=10).count() == 0
+    # Exactness on the capped vocabulary: two true near-dups still found
+    # (they share sub-cap shingles), with jaccard computed over capped
+    # sizes only.
+    rows += [(100, "xxx yyy zzz www qqq"), (101, "xxx yyy zzz www rrr")]
+    docs2 = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs2, threshold=0.4, df_cap=10).collect()
+    }
+    # docs 100/101: shingles {xyz, yzw, zwq|zwr} -> inter 2, union 4.
+    assert got == {(100, 101): 0.5}
