@@ -832,3 +832,33 @@ def test_corpus_summary_exact(spark):
     assert (r.n_docs, r.n_tokens, r.n_unique_tokens) == (3, 6, 4)
     assert r.mean_tokens == 2.0
     assert (r.total_chars, r.n_langs, r.n_sources) == (5 + 3 + 1, 2, 2)
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """With centroids=None, semantic_dedup derives k from ONE corpus count
+    (k = max(8, ceil(n / target_cell))) so expected cell size stays
+    ~target_cell as the corpus grows — the within-cell verify is quadratic
+    in cell size, so fixed k would scale super-linearly (measured 19.7x
+    wall at 10x corpus with fixed k=8 vs 6.9x with k scaled). The result
+    must equal the explicit-centroids run at the derived k."""
+    import math
+
+    from btrdb_server_spark.functions.similarity import (
+        centroids_from_rows,
+        semantic_dedup,
+    )
+
+    n, target = 200, 10
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(n)]
+    # plant one exact dup pair inside the same cluster
+    rows[150] = (150, rows[143][1])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = semantic_dedup(emb, threshold=0.999, target_cell=target)
+    k = max(8, math.ceil(n / target))
+    explicit = semantic_dedup(
+        emb, centroids_from_rows(emb, k=k), threshold=0.999
+    )
+    assert auto.collect() == explicit.collect()
+    # derived k really is corpus-sized: clusters observed > the fixed-8 floor
+    n_clusters = auto.select("cluster").distinct().count()
+    assert n_clusters > 8
