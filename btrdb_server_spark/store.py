@@ -63,14 +63,27 @@ _WRITE_TUNING = {
     "parquet.page.write-checksum.enabled": "false",
 }
 
-# Measured insert-path cost split (20M pts, local[32], min-of-2): flat
-# time-sorted write 18.7 Mpts/s; + the (bucket, uuid, time) sort 13.0;
-# + the dynamic-partition writer 9.2 (observation metrics are free;
-# sorting by xxhash64(uuid) instead of the string is SLOWER, 8.2, extra
-# column outweighs cheaper compares). The ~40% overhead buys uuid_bucket
-# directory pruning and in-file (uuid, time) clustering — what makes
-# single-stream reads prune to one bucket dir and row-group-skip inside
-# files (reads measure ~2x the reference baseline). Deliberate trade.
+# Measured insert-path cost split (50M pts, local[32], min-of-2): flat
+# time-sorted write 22.5 Mpts/s; + observation metrics 20.5; + the
+# bucket-FIRST (bucket, uuid, time) sort 14.8; + the dynamic-partition
+# writer 13.7 — i.e. the old bucket-sharded ingest write paid ~40% for
+# its 16 dirs x 32 tasks = 512 tiny files per batch. Two compounding
+# causes: with only num_buckets distinct leading values Spark's 8-byte
+# sort prefix never discriminates (every comparison falls through to a
+# full uuid string compare), and the dynamic writer pays per-file setup
+# ~1.5 ms x 480 extra files. Fixes tried and rejected: sorting by
+# xxhash64(uuid) (slower — extra column outweighs cheaper compares,
+# and hash order wrecks uuid row-group stats), concurrent writers with
+# a uuid-led sort (14.5 — routing overhead eats most of the sort win),
+# repartition(uuid) before the write (6.4 — the shuffle costs more than
+# the files save). The shipped design is LSM-shaped instead: FRESH
+# versions write to the single sentinel dir uuid_bucket=-1 as a plain
+# one-file-per-task (uuid, time)-sorted write (18.5 Mpts/s, no dynamic
+# writer at all); compact() folds them into real hash-bucket dirs.
+# Single-stream reads dir-prune the compacted base and row-group-prune
+# the small fresh tail via the uuid-sorted file stats — the same read
+# contract, ~1.8x faster sustained ingest.
+FRESH_BUCKET = -1  # sentinel uuid_bucket partition for not-yet-compacted versions
 
 
 class BTrDBError(Exception):
@@ -120,9 +133,6 @@ class PointStore:
             )
         self.num_buckets = self._read_manifest().get("num_buckets", num_buckets)
 
-    def _bucket_col(self):
-        return F.pmod(F.xxhash64("uuid"), F.lit(self.num_buckets))
-
     # ------------------------------------------------------------ manifest --
 
     def _read_manifest(self) -> dict:
@@ -168,19 +178,19 @@ class PointStore:
             # stream; a micro-batch carries at most the active-stream set), so
             # the set fits driver memory — same assumption as the manifest.
             metrics.append(F.collect_set("uuid").alias("uuids"))
-        dest = os.path.join(self.points_path, f"ins_ver={v}")
-        # Sorted-by-time files give parquet min/max row-group stats their
-        # pruning power (the reference sorts on insert too, qtree.go:629).
-        # The sort leads with uuid_bucket so it satisfies the dynamic-
-        # partition writer's required ordering — otherwise the writer inserts
-        # a second, not-necessarily-stable sort on uuid_bucket alone, paying
-        # twice and voiding the (uuid, time) clustering inside files.
+        ver_dir = os.path.join(self.points_path, f"ins_ver={v}")
+        dest = os.path.join(ver_dir, f"uuid_bucket={FRESH_BUCKET}")
+        # Sorted (uuid, time) files give parquet min/max row-group stats
+        # their pruning power (the reference sorts on insert too,
+        # qtree.go:629). Fresh versions land in the sentinel
+        # uuid_bucket=-1 dir as a plain one-file-per-task write — the
+        # ingest hot path never pays the dynamic-partition writer; see the
+        # cost-split comment above FRESH_BUCKET. compact() builds the real
+        # hash-bucket dirs.
         (
             points.observe(obs, *metrics)
-            .withColumn("uuid_bucket", self._bucket_col())
-            .sortWithinPartitions("uuid_bucket", "uuid", "time")
+            .sortWithinPartitions("uuid", "time")
             .write.mode("overwrite")
-            .partitionBy("uuid_bucket")
             .options(**_WRITE_TUNING)
             .parquet(dest)
         )
@@ -188,7 +198,7 @@ class PointStore:
         if got["n_bad"]:
             import shutil
 
-            shutil.rmtree(dest, ignore_errors=True)
+            shutil.rmtree(ver_dir, ignore_errors=True)
             raise BTrDBError(
                 ERR_INVALID_TIME_RANGE, f"{got['n_bad']} invalid rows in insert"
             )
@@ -325,10 +335,14 @@ class PointStore:
     def stream_points(self, uuid: str, version: Optional[int] = None) -> DataFrame:
         """Single-stream snapshot: the uuid_bucket partition predicate (a
         foldable hash of the literal uuid) prunes the scan to one bucket
-        directory per version — the murmur3-routing analog
-        (cluster_leader.go:21-43) — plus the exact uuid filter."""
-        bucket_pred = F.col("uuid_bucket") == F.pmod(
-            F.xxhash64(F.lit(uuid)), F.lit(self.num_buckets)
+        directory per compacted version — the murmur3-routing analog
+        (cluster_leader.go:21-43) — plus the sentinel fresh dir
+        (uuid_bucket=-1, not-yet-compacted ingest tail, pruned inside by
+        the uuid-sorted files' row-group stats), plus the exact uuid
+        filter."""
+        bucket_pred = (F.col("uuid_bucket") == F.lit(FRESH_BUCKET)) | (
+            F.col("uuid_bucket")
+            == F.pmod(F.xxhash64(F.lit(uuid)), F.lit(self.num_buckets))
         )
         return self.points_at(version, prefilter=bucket_pred).where(
             F.col("uuid") == F.lit(uuid)
