@@ -5067,8 +5067,8 @@ _keyed_state_8 = _state_partitions(8)
 
 
 # The driver checks the FIRST 50 queries() entries each round; this
-# constant IS that window (round 7). scripts/rotate_window.py regenerates
-# it each round; tests/test_window.py pins dict order to it.
+# constant IS that window. scripts/rotate_window.py regenerates it each
+# round; tests/test_window.py pins dict order to it.
 DRIVER_WINDOW: list[str] = [
     "aligned_windows",
     "align_windowed",
@@ -5129,20 +5129,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the module constant DRIVER_WINDOW (exactly 50 names, pinned by
     tests/test_window.py so the window math can never silently drift).
 
-    Standing rotation policy (round 7 onward):
+    Standing rotation policy (mechanized by scripts/rotate_window.py; no
+    counts here on purpose — prose tallies drift, tools/rotation_ledger.py
+    is the authoritative per-entry status):
     - 4 slots per round re-validate the oldest-banked SURVEY section-2
-      anchors (r7: csv_export, lookup_streams, nearest_asof,
-      changed_ranges — all banked r03).
+      anchors.
     - the remaining 46 slots burn down the never-driver-checked backlog,
-      oldest registrations first (r7: the 20 TPC-H-pack/stat entries the
-      r6 docstring promised but that overflowed the 50-slot window, then
-      26 more). 101 entries had no driver row entering r7; 55 of those
-      remain after it, plus the 7 operators new in r7 (all verified
-      bit-exact locally) — the backlog clears by r9
-      (scripts/rotate_window.py regenerates the window mechanically).
+      PRIORITY entries first (semantically novel ops), then oldest
+      registrations.
     - entries past position 50 are banked green from earlier rounds or
       verified bit-exact against their DuckDB oracle locally via
-      scripts/check_driver.py (the driver-replica compare).
+      scripts/check_driver.py (the driver-replica compare), recorded in
+      tools/local_verified.json.
     """
     return {
         # ---- DRIVER WINDOW: positions 1-50 (driver checks first 50;
@@ -9464,16 +9462,24 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN g USING (digest) ORDER BY m.media_id
         """,
         "media_features": """
-            WITH ch AS (
-                SELECT doc_id AS media_id, unnest(split(text, '')) AS c
+            -- Byte-based on purpose: the Spark side computes statistics
+            -- over the UTF-8 ENCODED payload, so the oracle decodes each
+            -- byte from hex(encode(text)) rather than iterating
+            -- characters — ord(char) would only agree on pure-ASCII
+            -- corpora and silently diverge on any multibyte document.
+            WITH hx AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS nb
                 FROM documents
+            ), ch AS (
+                SELECT media_id,
+                       CAST('0x' || substr(h, 2 * i - 1, 2) AS INTEGER) AS o
+                FROM hx, unnest(generate_series(1, CAST(nb AS INTEGER))) AS t(i)
             ), hist AS (
-                SELECT media_id, ord(c) AS o, count(*) AS cnt
-                FROM ch GROUP BY media_id, ord(c)
+                SELECT media_id, o, count(*) AS cnt
+                FROM ch GROUP BY media_id, o
             ), base AS (
-                SELECT doc_id AS media_id,
-                       CAST(length(text) AS BIGINT) AS n_bytes
-                FROM documents
+                SELECT media_id, nb AS n_bytes FROM hx
             ), feats AS (
                 SELECT media_id,
                        CAST(count(*) AS INTEGER) AS n_distinct_bytes,

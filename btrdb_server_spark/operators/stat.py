@@ -760,9 +760,19 @@ def rate_anomaly(
     base_days, and sqrt is CORRECTLY ROUNDED in IEEE 754 — unlike
     ln/exp, both engines are bit-identical by spec, no libm UDF needed.
     Scale shape: two hour-grain groupBys (slot scale, far below point
-    scale), a 24-row-per-stream baseline broadcast, and a generated slot
-    spine; raw points are read twice."""
-    hod = F.expr(f"((time - ({start})) div {hour_ns}) % 24")
+    scale), a period-row-per-stream baseline broadcast, and a generated
+    slot spine; raw points are read twice.
+
+    The seasonal period is day_ns // hour_ns (24 for real hours/days) and
+    is used consistently for the hour-of-day mapping, the baseline spine,
+    and slot scoring; day_ns must be an exact multiple of hour_ns or the
+    baseline lambda and the slot mapping would silently disagree."""
+    if day_ns % hour_ns:
+        raise ValueError(
+            f"day_ns ({day_ns}) must be an exact multiple of hour_ns ({hour_ns})"
+        )
+    period = day_ns // hour_ns
+    hod = F.expr(f"((time - ({start})) div {hour_ns}) % {period}")
     day = F.expr(f"(time - ({start})) div {day_ns}")
     base_end = start + base_days * day_ns
     score_end = start + (base_days + score_days) * day_ns
@@ -775,7 +785,7 @@ def rate_anomaly(
     uuids = points.where(time_range_pred(start, base_end)).select("uuid").distinct()
     hod_spine = uuids.crossJoin(
         F.broadcast(
-            points.sparkSession.range(0, 24).select(F.col("id").alias("hod"))
+            points.sparkSession.range(0, period).select(F.col("id").alias("hod"))
         )
     )
     lam = hod_spine.join(base_cnt, ["uuid", "hod"], "left").select(
@@ -805,7 +815,7 @@ def rate_anomaly(
             "uuid",
             "slot",
             F.coalesce(F.col("k"), F.lit(0)).alias("k"),
-            (F.col("slot") % 24).alias("hod"),
+            (F.col("slot") % period).alias("hod"),
         )
         .join(F.broadcast(lam), ["uuid", "hod"])
     )

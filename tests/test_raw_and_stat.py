@@ -481,3 +481,34 @@ def test_value_histogram_bins_and_contract(spark):
     }
     with pytest.raises(ValueError):
         value_histogram(pts, "s", 0, 100, bin_width=0.3)
+
+
+def test_rate_anomaly_period_derived_not_hardcoded(spark):
+    """The seasonal period is day_ns // hour_ns — NOT a literal 24 — so
+    synthetic granularities work: with day_ns = 4 * hour_ns the baseline
+    has 4 slots and a recurring burst in slot 2 of every 'day' is BASELINE
+    (not anomalous), while a burst in a normally-quiet slot pages. A
+    non-divisible (hour_ns, day_ns) pair must raise."""
+    import pytest as _pytest
+
+    from btrdb_server_spark.operators.stat import rate_anomaly
+
+    H = 1000  # synthetic hour
+    D = 4 * H  # synthetic day: period 4
+    # 3 base days: slot 2 carries 5 events per day, other slots 1 per day.
+    rows = []
+    for d in range(3):
+        for s in range(4):
+            n = 5 if s == 2 else 1
+            for i in range(n):
+                rows.append(("u", d * D + s * H + i, 1.0))
+    # score day 3: slot 2 again 5 (normal); slot 1 gets 9 (anomalous spike)
+    for i in range(5):
+        rows.append(("u", 3 * D + 2 * H + i, 1.0))
+    for i in range(9):
+        rows.append(("u", 3 * D + 1 * H + i, 1.0))
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+    got = rate_anomaly(pts, 0, 3, 1, H, D, z_cut=2.0).collect()
+    assert [(r.hod, r.k) for r in got] == [(1, 9)]  # only the true spike
+    with _pytest.raises(ValueError):
+        rate_anomaly(pts, 0, 3, 1, 1000, 2500, z_cut=2.0)
