@@ -90,7 +90,21 @@ def bpe_train(
     """Learn `num_merges` BPE merge rules. Returns one row per rule:
     (step 1-based, left, right, merged, pair_count) in learning order —
     the merge table a tokenizer ships. Deterministic: count desc, then
-    (left, right) asc."""
+    (left, right) asc.
+
+    SCALE CONTRACT — audit-scale, by design: exact greedy BPE is
+    inherently sequential (merge k+1's pair counts depend on merge k's
+    rewrite), so this runs ONE Spark job per merge — fine for the
+    oracle-checked merge tables it exists for (tens of merges over a
+    corpus sample), hopeless for a 30k-merge production vocabulary. The
+    driver holds only the single winning rule per step; the word table
+    itself stays distributed and checkpointed, so each step is a full
+    map-side pass, not a collect. A production-vocab variant would batch
+    the top-R non-overlapping pairs per round under frozen counts — the
+    standard fastBPE/SentencePiece speedup — which is a documented
+    APPROXIMATION of greedy order (ties and adjacent-pair interactions
+    resolve differently); it is deliberately not this function, whose
+    value is bit-reproducing the exact greedy table."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     docs = ensure_parallelism(docs)

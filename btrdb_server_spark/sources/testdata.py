@@ -143,7 +143,7 @@ T_JAN20 = 1_705_708_800_000_000_000
 
 # Bump when the ladder/store build semantics change: the tag is part of the
 # /tmp cache path, so stale artifacts from older code can never be served.
-CACHE_TAG = "v5"  # v5: quantized vq column added to the rollup ladder
+CACHE_TAG = "v6"  # v6: LSM store layout (fresh versions in uuid_bucket=-1)
 
 
 def ensure_events_store(spark: SparkSession, sf_dir: str):
