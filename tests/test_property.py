@@ -857,3 +857,95 @@ def test_streaming_quantile_split_invariant(spark, pts, cuts, tmp_path_factory):
         pick = lambda num, den: vs[(num * n + den - 1) // den - 1] / 100.0
         exp[w] = (n, pick(1, 2), pick(9, 10), pick(99, 100))
     assert got == exp
+
+
+# ---- MVCC store model check (LSM layout) -----------------------------------
+# Random interleavings of insert_many / delete_range / compact, validated
+# against a pure-Python model at EVERY readable version — the storage
+# engine's end-to-end contract (snapshot reads, tombstone semantics,
+# fresh-sentinel + compacted-bucket union) under adversarial op orders.
+
+op_strategy = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("insert"),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "b", "c"]),
+                    st.integers(min_value=0, max_value=99),
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=99),
+                st.integers(min_value=1, max_value=60),
+            ),
+        ),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(ops=op_strategy)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_store_mvcc_matches_model(spark, ops, tmp_path_factory):
+    """Every version still addressable after the op sequence must read
+    back exactly the model's snapshot: points are (uuid, time) keyed with
+    last-writer value; delete_range removes [start, end) of strictly
+    older insertions; compact folds history below the compaction point."""
+    from btrdb_server_spark.store import BTrDBError, PointStore
+
+    store = PointStore(spark, str(tmp_path_factory.mktemp("mvcc")), num_buckets=4)
+    # model: list of (version, kind, payload) in commit order
+    history = []
+    seq = 0
+    for kind, arg in ops:
+        if kind == "insert":
+            rows = [(u, t, float(seq * 1000 + i)) for i, (u, t) in enumerate(arg)]
+            seq += 1
+            v = store.insert_many(
+                spark.createDataFrame(rows, "uuid string, time long, value double")
+            )
+            history.append((v, "insert", rows))
+        elif kind == "delete":
+            u, s, w = arg
+            v = store.delete_range(u, s, s + w)
+            history.append((v, "delete", (u, s, s + w)))
+        else:
+            store.compact()
+
+    compacted = store._read_manifest().get("compacted_through", 0)
+    latest = store.version
+    for v in range(max(compacted, 1), latest + 1):
+        # model snapshot at v: apply history rows with ins_ver <= v,
+        # deletes hide strictly-older insertions in [start, end)
+        live = []  # (uuid, time, value, ins_ver)
+        for hv, kind, payload in history:
+            if hv > v:
+                break
+            if kind == "insert":
+                live.extend((u, t, val, hv) for u, t, val in payload)
+            else:
+                du, ds, de = payload
+                live = [
+                    (u, t, val, iv)
+                    for (u, t, val, iv) in live
+                    if not (u == du and ds <= t < de and iv < hv)
+                ]
+            # duplicates at one (uuid, time) are retained (store keeps all)
+        want = sorted((u, t, val) for u, t, val, _ in live)
+        got = sorted(
+            (r.uuid, r.time, r.value) for r in store.points_at(v).collect()
+        )
+        assert got == want, f"version {v}: {got} != {want}"
+    if compacted > 1:
+        with pytest.raises(BTrDBError):
+            store.points_at(compacted - 1).collect()
