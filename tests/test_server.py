@@ -1,0 +1,168 @@
+"""Wire-protocol tests: drive every btrdb.proto RPC over JSON/HTTP with a
+stdlib urllib client — no package import on the client side of the wire.
+
+Mirrors the reference's gRPC surface (grpcinterface/serve.go:63-1011):
+unary RPCs answer one proto-shaped JSON object; streaming RPCs answer
+ndjson pages with batched values; errors come back as bte-coded stat
+payloads, not HTTP failures.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from btrdb_server_spark.api import BTrDB
+from btrdb_server_spark.constants import (
+    ERR_ANN_VERSION_MISMATCH,
+    ERR_INVALID_POINT_WIDTH,
+    ERR_NO_SUCH_POINT,
+)
+from btrdb_server_spark.server import BTrDBHttpServer
+
+
+@pytest.fixture(scope="module")
+def srv(spark, tmp_path_factory):
+    db = BTrDB(
+        spark,
+        str(tmp_path_factory.mktemp("wire")),
+        buffer_commit_threshold=1 << 30,  # keep writes buffered: minor versions
+    )
+    s = BTrDBHttpServer(db).start()
+    yield s
+    s.stop()
+
+
+def call(srv, method: str, body: dict):
+    req = urllib.request.Request(
+        f"{srv.address}/v5/{method}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        ctype = r.headers.get("Content-Type", "")
+        raw = r.read().decode()
+    if "ndjson" in ctype:
+        return [json.loads(line) for line in raw.splitlines() if line]
+    return json.loads(raw)
+
+
+def test_wire_create_insert_read_cycle(srv):
+    assert call(srv, "Create", {
+        "uuid": "w1", "collection": "wire/a",
+        "tags": [{"key": "kind", "value": "sensor"}],
+        "annotations": [{"key": "note", "value": "hello"}],
+    })["stat"]["code"] == 0
+
+    ins = call(srv, "Insert", {
+        "uuid": "w1", "sync": False,
+        "values": [{"time": 100 + i, "value": float(i)} for i in range(64)],
+    })
+    assert ins["stat"]["code"] == 0
+    # unflushed points live in the buffer: minor version counts them
+    assert (ins["versionMajor"], ins["versionMinor"]) == (0, 64)
+
+    pages = call(srv, "RawValues", {"uuid": "w1", "start": 0, "end": 10_000})
+    vals = [v for p in pages for v in p["values"]]
+    assert [v["time"] for v in vals] == list(range(100, 164))
+    assert all(p["stat"]["code"] == 0 for p in pages)
+
+    fl = call(srv, "Flush", {"uuid": "w1"})
+    assert (fl["versionMajor"], fl["versionMinor"]) == (1, 0)
+
+
+def test_wire_stat_and_nearest(srv):
+    pages = call(srv, "AlignedWindows", {
+        "uuid": "w1", "start": 0, "end": 1 << 12, "pointWidth": 5,
+    })
+    vals = [v for p in pages for v in p["values"]]
+    assert sum(v["count"] for v in vals) == 64
+    assert all(v["min"] <= v["mean"] <= v["max"] for v in vals)
+
+    w = call(srv, "Windows", {
+        "uuid": "w1", "start": 100, "end": 164, "width": 32, "depth": 0,
+    })
+    assert sum(v["count"] for p in w for v in p["values"]) == 64
+
+    near = call(srv, "Nearest", {"uuid": "w1", "time": 150, "backward": True})
+    assert near["value"] == {"time": 149, "value": 49.0}
+    miss = call(srv, "Nearest", {"uuid": "w1", "time": 50, "backward": True})
+    assert miss["stat"]["code"] == ERR_NO_SUCH_POINT
+
+
+def test_wire_metadata_plane(srv):
+    call(srv, "Create", {"uuid": "w2", "collection": "wire/b",
+                         "tags": [{"key": "kind", "value": "actuator"}]})
+    cols = call(srv, "ListCollections", {"prefix": "wire/"})
+    assert cols["collections"] == ["wire/a", "wire/b"]
+
+    found = call(srv, "LookupStreams", {
+        "collection": "wire/", "isCollectionPrefix": True,
+        "tags": [{"key": "kind", "val": {"value": "sensor"}}],
+    })
+    descs = [d for p in found for d in p["results"]]
+    assert [d["uuid"] for d in descs] == ["w1"]
+    assert descs[0]["tags"] == [{"key": "kind", "value": "sensor"}]
+
+    info = call(srv, "StreamInfo", {"uuid": "w1"})
+    assert info["descriptor"]["collection"] == "wire/a"
+    assert info["descriptor"]["annotationVersion"] == 1
+
+    # CAS annotation write: wrong expected version is a coded error
+    bad = call(srv, "SetStreamAnnotations", {
+        "uuid": "w1", "expectedAnnotationVersion": 99,
+        "annotations": [{"key": "note", "val": {"value": "v2"}}],
+    })
+    assert bad["stat"]["code"] == ERR_ANN_VERSION_MISMATCH
+    ok = call(srv, "SetStreamAnnotations", {
+        "uuid": "w1", "expectedAnnotationVersion": 1,
+        "annotations": [{"key": "note", "val": {"value": "v2"}}],
+    })
+    assert ok["stat"]["code"] == 0
+
+    usage = call(srv, "GetMetadataUsage", {"prefix": "wire/"})
+    assert {"key": "kind", "count": 2} in usage["tags"]
+
+
+def test_wire_delete_changes_csv_info(srv):
+    call(srv, "Insert", {"uuid": "w2", "sync": True,
+                         "values": [{"time": t, "value": 1.0} for t in (5, 6, 7)]})
+    d = call(srv, "Delete", {"uuid": "w2", "start": 6, "end": 7})
+    assert d["stat"]["code"] == 0
+    left = call(srv, "RawValues", {"uuid": "w2", "start": 0, "end": 100})
+    assert [v["time"] for p in left for v in p["values"]] == [5, 7]
+
+    ch = call(srv, "Changes", {"uuid": "w2", "fromMajor": 0,
+                               "toMajor": d["versionMajor"], "resolution": 0})
+    ranges = [r for p in ch for r in p["ranges"]]
+    assert ranges and all(r["end"] > r["start"] for r in ranges)
+
+    csv = call(srv, "GenerateCSV", {"uuids": ["w1", "w2"],
+                                    "start": 0, "end": 10_000})
+    assert csv[0]["isHeader"] and csv[0]["row"][0] == "time"
+    body = [m["row"] for m in csv[1:]]
+    assert len(body) == 66  # 64 w1 points + (5, 7) from w2
+
+    info = call(srv, "Info", {})
+    assert info["build"] == "btrdb_server_spark"
+
+    fi = call(srv, "FaultInject", {"type": 1})
+    assert fi["stat"]["code"] != 0  # disabled unless enabled at boot
+
+
+def test_wire_errors_are_coded_payloads(srv):
+    bad_pw = call(srv, "AlignedWindows", {
+        "uuid": "w1", "start": 0, "end": 100, "pointWidth": 99,
+    })
+    # streaming RPC that fails at plan time still answers a coded payload
+    first = bad_pw[0] if isinstance(bad_pw, list) else bad_pw
+    assert first["stat"]["code"] == ERR_INVALID_POINT_WIDTH
+
+    ob = call(srv, "Obliterate", {"uuid": "w2"})
+    assert ob["stat"]["code"] == 0
+    gone = call(srv, "LookupStreams", {"collection": "wire/b",
+                                       "isCollectionPrefix": False})
+    assert [d for p in gone for d in p["results"]] == []
