@@ -381,7 +381,13 @@ def test_fresh_versions_use_sentinel_bucket_lsm_layout(spark, tmp_path):
     got = store.stream_points("u1").orderBy("time").collect()
     assert [r.value for r in got] == [float(i) for i in range(64) if i % 4 == 1]
     plan = store.stream_points("u1")._jdf.queryExecution().executedPlan().toString()
+    # partition pruning must admit EXACTLY the sentinel dir plus the one
+    # hash bucket: the predicate is an OR of the two literal values
     assert "uuid_bucket" in plan
+    import re as _re
+
+    m = _re.search(r"\(uuid_bucket#\d+ = -1\) OR \(uuid_bucket#\d+ = \d+\)", plan)
+    assert m, f"fresh-or-bucket partition predicate missing: {plan[:500]}"
     # after compact, the sentinel dir is gone and real buckets exist
     store.compact()
     vdirs = os.listdir(tmp_path / "s" / "points")
