@@ -41,10 +41,20 @@ class IngestPipeline:
         store: PointStore,
         ladder: Optional[RollupLadder] = None,
         drop_invalid: bool = True,
+        compact_every: Optional[int] = None,
     ):
+        """`compact_every`: fold the store's fresh-version tail every N
+        committed micro-batches. A long-running stream otherwise
+        accumulates one sentinel (uuid_bucket=-1) version dir per batch,
+        and the fresh tail cannot be bucket-pruned on read (measured ~4x
+        single-stream read cost at 50 uncompacted versions — see
+        store.FRESH_BUCKET). Compaction intentionally makes versions below
+        the compaction point unaddressable, so this is OPT-IN: leave None
+        when historical version reads matter more than read latency."""
         self.store = store
         self.ladder = ladder
         self.drop_invalid = drop_invalid
+        self.compact_every = compact_every
         self.query: Optional[StreamingQuery] = None
         self.batches_seen = 0
 
@@ -63,6 +73,11 @@ class IngestPipeline:
         if self.ladder is not None:
             self.ladder.update_with_batch(batch, batch_id=batch_id)
         self.batches_seen += 1
+        if self.compact_every and self.batches_seen % self.compact_every == 0:
+            # Replay-safe: compacting twice is a (wasteful) no-op, and a
+            # crash between insert and compact just defers the fold to the
+            # next multiple — compaction is maintenance, not a commit.
+            self.store.compact()
 
     def start(
         self,

@@ -429,3 +429,47 @@ def test_hist_ladder_coarsening_is_exact(spark):
     direct = hist_from_points(pts, 40)
     assert via_ladder.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_ladder).count() == 0
+
+
+def test_streaming_ingest_auto_compaction_cadence(spark, tmp_path):
+    """With compact_every=N the ingest pipeline folds the LSM fresh tail
+    every N committed micro-batches: after 4 single-file batches at
+    compact_every=2, the store has compacted at least once, its newest
+    layout contains real hash-bucket dirs, reads return every point, and
+    versions below the compaction point are intentionally unaddressable."""
+    import os
+
+    import pytest as _pytest
+
+    from btrdb_server_spark.store import FRESH_BUCKET, BTrDBError
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    store = PointStore(spark, str(tmp_path / "store"))
+    pipe = IngestPipeline(store, compact_every=2)
+    stream = (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    pipe.start(stream, str(tmp_path / "ckpt"))
+    try:
+        for k in range(4):
+            make_points(spark, [(100 + k, float(k))]).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src_dir))
+            pipe.flush()
+    finally:
+        pipe.stop()
+    compacted = store._read_manifest().get("compacted_through", 0)
+    assert compacted >= 2
+    got = store.points_at().where(F.col("uuid") == "s").orderBy("time").collect()
+    assert [(r.time, r.value) for r in got] == [(100 + k, float(k)) for k in range(4)]
+    with _pytest.raises(BTrDBError):
+        store.points_at(compacted - 1).collect()
+    # the compacted snapshot dir holds real hash buckets, not the sentinel
+    pts_root = tmp_path / "store" / "points"
+    vdirs = sorted(os.listdir(pts_root))
+    first = pts_root / vdirs[0]
+    buckets = [b for b in os.listdir(first) if (first / b).is_dir()]
+    assert buckets and f"uuid_bucket={FRESH_BUCKET}" not in buckets
