@@ -46,7 +46,11 @@ from typing import Optional
 from btrdb_server_spark.constants import ERR_NO_SUCH_POINT
 from btrdb_server_spark.store import BTrDBError
 
-STREAM_BATCH = 5000  # values per streamed response message
+# Response paging mirrors the reference (serve.go:63-68): 5000 raw/stat
+# points, 1000 changed ranges, 200 stream descriptors per message.
+STREAM_BATCH = 5000
+RANGE_BATCH = 1000
+LOOKUP_BATCH = 200
 
 _OK = {"code": 0, "msg": ""}
 
@@ -179,8 +183,9 @@ class BTrDBHttpServer:
         major, minor = self.db.query_version(uuid)
         return {"versionMajor": major, "versionMinor": minor}
 
-    def _stream_df(self, df, uuid: str, row_fn, values_key: str = "values"):
-        """Yield proto-shaped streamed messages, STREAM_BATCH values each.
+    def _stream_df(self, df, uuid: str, row_fn, values_key: str = "values",
+                   batch: int = STREAM_BATCH):
+        """Yield proto-shaped streamed messages, `batch` values each.
         The DataFrame is collected through Arrow in one driver pass and
         paged out — the same driver-bound shape as the reference's gRPC
         response loop."""
@@ -190,8 +195,8 @@ class BTrDBHttpServer:
         if not rows:
             yield {"stat": _OK, **ver, values_key: []}
             return
-        for i in range(0, len(rows), STREAM_BATCH):
-            yield {"stat": _OK, **ver, values_key: rows[i : i + STREAM_BATCH]}
+        for i in range(0, len(rows), batch):
+            yield {"stat": _OK, **ver, values_key: rows[i : i + batch]}
 
     # ------------------------------------------------------------ the RPCs --
 
@@ -263,7 +268,7 @@ class BTrDBHttpServer:
         )
         return self._stream_df(
             df.orderBy("uuid"), None, lambda r: _descriptor(r._asdict()),
-            values_key="results",
+            values_key="results", batch=LOOKUP_BATCH,
         )
 
     def rpc_Nearest(self, req):
@@ -287,7 +292,7 @@ class BTrDBHttpServer:
         )
         return self._stream_df(
             df, req["uuid"], lambda r: {"start": int(r.start), "end": int(r.end)},
-            values_key="ranges",
+            values_key="ranges", batch=RANGE_BATCH,
         )
 
     def rpc_Insert(self, req):
