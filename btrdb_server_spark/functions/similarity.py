@@ -783,10 +783,11 @@ def ann_topk_ivf_multiprobe(
 
 def knn_graph(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: Optional[DataFrame] = None,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell: int = 1024,
 ) -> DataFrame:
     """k-NN graph restricted to IVF cells: every vector's top-k cosine
     neighbors AMONG ITS OWN CLUSTER — the similarity-graph build behind
@@ -805,11 +806,21 @@ def knn_graph(
     Scale shape: one broadcast-join assignment pass (the corpus never
     shuffles for it), then a self-join keyed on the cluster id and a
     row_number window whose partitions are single vectors — cluster size
-    bounds both the join fan-out and every window group."""
+    bounds both the join fan-out and every window group. As in
+    semantic_dedup, the within-cell work is quadratic in cell size, so
+    when ``centroids`` is None the cell count is derived from one
+    metadata-scale count (n / target_cell, floor 8) to keep expected
+    cell size constant as the corpus grows; pass explicit centroids
+    (kmeans_train output or a pinned fixture k) to override."""
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    if centroids is None:
+        n = embeddings.count()  # metadata-scale: one count over the corpus
+        centroids = centroids_from_rows(
+            embeddings, max(8, -(-n // target_cell)), id_col, vec_col
+        )
     # Single-pass assignment CARRYING the vector: scoring against the
     # broadcast centroids and the struct-max argmax happen in one groupBy
     # (F.first(v) rides along — v is constant per vector), instead of
