@@ -166,3 +166,37 @@ def test_wire_errors_are_coded_payloads(srv):
     gone = call(srv, "LookupStreams", {"collection": "wire/b",
                                        "isCollectionPrefix": False})
     assert [d for p in gone for d in p["results"]] == []
+
+
+def test_wire_concurrent_requests_are_serialized_safely(srv):
+    """8 client threads interleaving inserts and reads on separate streams:
+    the coarse request lock must keep facade mutations consistent — every
+    thread's final flushed read-back is exactly its own writes."""
+    import threading
+
+    call(srv, "Create", {"uuid": "cc-seed", "collection": "wire/cc"})
+    errs, results = [], {}
+
+    def worker(i: int) -> None:
+        try:
+            u = f"cc{i}"
+            call(srv, "Create", {"uuid": u, "collection": "wire/cc"})
+            for j in range(3):
+                call(srv, "Insert", {"uuid": u, "sync": True, "values": [
+                    {"time": 10 * j + t, "value": float(i)} for t in range(4)
+                ]})
+            pages = call(srv, "RawValues", {"uuid": u, "start": 0, "end": 1000})
+            results[i] = [v for p in pages for v in p["values"]]
+        except Exception as e:  # pragma: no cover - surfaced via errs
+            errs.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    for i in range(8):
+        vals = results[i]
+        assert len(vals) == 12
+        assert all(v["value"] == float(i) for v in vals)
