@@ -200,3 +200,36 @@ def test_wire_concurrent_requests_are_serialized_safely(srv):
         vals = results[i]
         assert len(vals) == 12
         assert all(v["value"] == float(i) for v in vals)
+
+
+def test_wire_stat_reads_served_from_rollup_ladder(spark, tmp_path):
+    """Composed system over the wire: a ladder-backed facade answers
+    AlignedWindows from the materialized rollup tier, and the wire result
+    equals the raw aggregation computed client-side from RawValues."""
+    import collections
+
+    db = BTrDB(spark, str(tmp_path / "ldb"), rollup_levels=[4])
+    srv = BTrDBHttpServer(db).start()
+    try:
+        call(srv, "Create", {"uuid": "lw", "collection": "wire/l"})
+        call(srv, "Insert", {"uuid": "lw", "sync": True, "values": [
+            {"time": t, "value": float(t % 7)} for t in range(0, 256, 3)
+        ]})
+        pages = call(srv, "AlignedWindows", {
+            "uuid": "lw", "start": 0, "end": 256, "pointWidth": 5,
+        })
+        stat = {v["time"]: v for p in pages for v in p["values"]}
+        raw = call(srv, "RawValues", {"uuid": "lw", "start": 0, "end": 256})
+        buckets = collections.defaultdict(list)
+        for p in raw:
+            for v in p["values"]:
+                buckets[(v["time"] >> 5) << 5].append(v["value"])
+        assert set(stat) == set(buckets)
+        for b, vals in buckets.items():
+            s = stat[b]
+            assert (s["min"], s["max"], s["count"]) == (
+                min(vals), max(vals), len(vals)
+            )
+            assert abs(s["mean"] - sum(vals) / len(vals)) < 1e-9
+    finally:
+        srv.stop()
