@@ -319,10 +319,18 @@ def lsh_recall_eval(
     banded path at 100 TB: the exact baseline is quadratic and only ever
     runs at audit scale; the audit itself touches candidate pairs, never
     the corpus cross product.
+
+    Ground truth is deliberately UNCAPPED exact jaccard (df_cap disabled):
+    a recall audit must measure the banded index against the true pair
+    set, including pairs whose overlap rides boilerplate shingles — the
+    df-capped production operator would under-count exactly the pairs LSH
+    is most likely to miss, flattering recall. The skew-unbounded join is
+    acceptable here because this is an audit-scale op by contract (and
+    the DuckDB oracle computes the same uncapped truth).
     """
-    truth = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold).select(
-        "a", "b"
-    )
+    truth = ngram_jaccard_pairs(
+        docs, text_col, id_col, k, threshold, df_cap=1 << 62
+    ).select("a", "b")
     cand = lsh_candidate_pairs(
         minhash_signatures(docs, text_col, id_col, num_hashes, k),
         id_col,

@@ -186,11 +186,21 @@ def ivf_assign(
 def centroids_from_rows(
     embeddings: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic seed centroids: the first k vectors by id (a k-means
+    """Deterministic seed centroids: the k smallest-id vectors (a k-means
     iteration refines these in a real pipeline; assignment mechanics are
-    identical either way)."""
-    return embeddings.where(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    identical either way). orderBy+limit plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort) and — unlike the previous
+    `id < k` filter — holds for ANY id distribution: hash ids, offset
+    ids, or a filtered corpus slice. On dense 0..n ids the selected rows
+    are identical to the old behavior, so every pinned fixture result is
+    unchanged."""
+    return (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     )
 
 

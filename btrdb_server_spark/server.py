@@ -13,10 +13,13 @@ this package can still drive every operation:
 - Unary RPCs answer one JSON object shaped like the proto response.
 - Streaming RPCs (RawValues, AlignedWindows, Windows, Changes,
   LookupStreams, GenerateCSV — the `returns (stream ...)` set) answer
-  `application/x-ndjson`: one response message per line, `values`
-  batched STREAM_BATCH rows per message like the reference's batched
-  response pages, so a client can consume arbitrarily large results
-  without buffering them.
+  `application/x-ndjson`: one response message per line, paged like the
+  reference (5000 points / 1000 ranges / 200 descriptors per message;
+  CSV one row per message), so a client parses fixed-size messages
+  regardless of result size. The server materializes the page list on
+  the driver before writing (it has already collected the result to
+  serialize it) — deliberate, so the request lock never spans a write
+  to a possibly-slow client socket.
 - Every response carries `stat`: {"code": 0, "msg": ""} on success, a
   bte/errors.go-mirrored code (constants.py:53-65) on failure — errors
   are a payload, not an HTTP 5xx, matching gRPC semantics.
@@ -142,34 +145,45 @@ class BTrDBHttpServer:
         except json.JSONDecodeError:
             h.send_error(400, "body must be JSON")
             return
-        # The lock covers the RPC call AND any streamed generation: facade
-        # mutations and the per-request Spark collects are serialized at
-        # the door (see module docstring — the reference holds per-stream
-        # mutexes for the same reason), while each job parallelizes inside.
+        # The lock covers the RPC call and the DRAINING of any streamed
+        # generation (the facade mutation + Spark collect), but NOT the
+        # socket writes: a slow or stalled client must never wedge the
+        # server by blocking h.wfile.write while holding the lock. Pages
+        # are materialized under the lock (the driver has already
+        # collected the result to serialize it anyway) and written out
+        # afterwards. ANY exception — not just BTrDBError — becomes a
+        # coded stat payload: "errors are a payload, not a dead socket"
+        # is the wire contract, and a TypeError from a wrong-typed JSON
+        # field must not reset the connection.
+        msgs: Optional[list] = None
         with self._lock:
             try:
                 out = fn(req)
+                if hasattr(out, "__next__"):  # streaming RPC -> ndjson
+                    msgs = []
+                    try:
+                        for msg in out:
+                            msgs.append(msg)
+                    except BTrDBError as e:
+                        msgs.append({"stat": {"code": e.code, "msg": str(e)}})
+                    except Exception as e:  # noqa: BLE001 — wire boundary
+                        msgs.append({"stat": {"code": 500, "msg": repr(e)}})
             except BTrDBError as e:
                 out = {"stat": {"code": e.code, "msg": str(e)}}
             except KeyError as e:
                 out = {"stat": {"code": 400, "msg": f"missing field {e}"}}
-            if hasattr(out, "__next__"):  # streaming RPC -> ndjson
-                h.send_response(200)
-                h.send_header("Content-Type", "application/x-ndjson")
-                h.send_header("Transfer-Encoding", "chunked")
-                h.end_headers()
-                try:
-                    for msg in out:
-                        line = json.dumps(msg).encode() + b"\n"
-                        h.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
-                    h.wfile.write(b"0\r\n\r\n")
-                except BTrDBError as e:
-                    err = json.dumps(
-                        {"stat": {"code": e.code, "msg": str(e)}}
-                    ).encode() + b"\n"
-                    h.wfile.write(f"{len(err):x}\r\n".encode() + err + b"\r\n")
-                    h.wfile.write(b"0\r\n\r\n")
-                return
+            except Exception as e:  # noqa: BLE001 — wire boundary
+                out = {"stat": {"code": 500, "msg": repr(e)}}
+        if msgs is not None:
+            h.send_response(200)
+            h.send_header("Content-Type", "application/x-ndjson")
+            h.send_header("Transfer-Encoding", "chunked")
+            h.end_headers()
+            for msg in msgs:
+                line = json.dumps(msg).encode() + b"\n"
+                h.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+            h.wfile.write(b"0\r\n\r\n")
+            return
         body = json.dumps(out).encode()
         h.send_response(200)
         h.send_header("Content-Type", "application/json")
@@ -192,6 +206,7 @@ class BTrDBHttpServer:
         ver = self._versions(uuid) if uuid is not None else {}
         pdf = df.toPandas()
         rows = [row_fn(r) for r in pdf.itertuples(index=False)]
+        del pdf  # one driver copy from here on, not two
         if not rows:
             yield {"stat": _OK, **ver, values_key: []}
             return
@@ -226,13 +241,7 @@ class BTrDBHttpServer:
         info = self.db.stream_info(req["uuid"])
         out = {"stat": _OK, **self._versions(req["uuid"])}
         if not req.get("omitDescriptor"):
-            out["descriptor"] = {
-                "uuid": info["uuid"],
-                "collection": info["collection"],
-                "tags": _kv(info["tags"]),
-                "annotations": _kv(info["annotations"]),
-                "annotationVersion": info["annotation_version"],
-            }
+            out["descriptor"] = _descriptor(info)
         return out
 
     def rpc_SetStreamAnnotations(self, req):
@@ -348,16 +357,17 @@ class BTrDBHttpServer:
         cols = df.columns
 
         def gen():
-            # header message first, like the reference's isHeader page
+            # header message first, then one message per row — the
+            # reference's GenerateCSVResponse is likewise one row each
+            # (isHeader page + row pages, csv.go)
             yield {"stat": _OK, "isHeader": True, "row": cols}
             pdf = df.toPandas()
-            rows = [
-                ["" if v is None or v != v else str(v) for v in tup]
-                for tup in pdf.itertuples(index=False)
-            ]
-            for i in range(0, len(rows), STREAM_BATCH):
-                for row in rows[i : i + STREAM_BATCH]:
-                    yield {"stat": _OK, "isHeader": False, "row": row}
+            for tup in pdf.itertuples(index=False):
+                yield {
+                    "stat": _OK,
+                    "isHeader": False,
+                    "row": ["" if v is None or v != v else str(v) for v in tup],
+                }
 
         return gen()
 

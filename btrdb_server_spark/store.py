@@ -124,12 +124,11 @@ class PointStore:
         self.spark = spark
         self.path = path
         self.dup_timestamp_cap = dup_timestamp_cap
-        self.points_path = os.path.join(path, "points")
         self.deletes_path = os.path.join(path, "deletes")
         self.manifest_path = os.path.join(path, "manifest.json")
-        os.makedirs(self.points_path, exist_ok=True)
         os.makedirs(self.deletes_path, exist_ok=True)
         if not os.path.exists(self.manifest_path):
+            os.makedirs(os.path.join(path, "points"), exist_ok=True)
             self._write_manifest(
                 {
                     "version": 0,
@@ -137,9 +136,20 @@ class PointStore:
                     "has_deletes": False,
                     "has_points": False,
                     "num_buckets": num_buckets,
+                    "points_dir": "points",
                 }
             )
         self.num_buckets = self._read_manifest().get("num_buckets", num_buckets)
+
+    @property
+    def points_path(self) -> str:
+        """Current points GENERATION directory, resolved through the
+        manifest. compact() never mutates a generation in place: it builds
+        the next one and flips this pointer in one atomic manifest write,
+        so a reader planned at any moment sees a complete directory."""
+        return os.path.join(
+            self.path, self._read_manifest().get("points_dir", "points")
+        )
 
     # ------------------------------------------------------------ manifest --
 
@@ -374,6 +384,19 @@ class PointStore:
         base = self.points_at(None).withColumn(
             "uuid_bucket", F.pmod(F.xxhash64("uuid"), F.lit(num_buckets))
         )
+        # Build the NEXT points generation beside the current one, then
+        # flip the manifest's points_dir pointer in one atomic write —
+        # readers planned at any instant see either the old complete
+        # generation or the new complete generation, never a half-swapped
+        # directory (the old os.replace dance left a window where points/
+        # was missing). The superseded generation is kept on disk until
+        # the NEXT compact (two-generation retention), so scans already
+        # holding its file listing finish cleanly; a scan that spans two
+        # compactions is the documented residual race.
+        import shutil
+
+        old_dir = m.get("points_dir", "points")
+        new_dir = f"points.gen{v}"
         tmp = os.path.join(self.path, "compact.tmp")
         (
             base.repartition(num_buckets, "uuid_bucket")
@@ -383,21 +406,28 @@ class PointStore:
             .options(**_WRITE_TUNING)
             .parquet(tmp)
         )
-        import shutil
-
-        new_points = os.path.join(self.path, "points")
-        old = os.path.join(self.path, f"points.old.{v}")
-        os.replace(new_points, old)
-        os.makedirs(new_points)
-        os.replace(tmp, os.path.join(new_points, f"ins_ver={v}"))
-        shutil.rmtree(old)
-        if os.path.exists(self.deletes_path):
-            shutil.rmtree(self.deletes_path)
-            os.makedirs(self.deletes_path)
+        gen_path = os.path.join(self.path, new_dir)
+        shutil.rmtree(gen_path, ignore_errors=True)
+        os.makedirs(gen_path)
+        os.replace(tmp, os.path.join(gen_path, f"ins_ver={v}"))
         m["has_deletes"] = False
         m["compacted_through"] = v
         m["num_buckets"] = num_buckets
-        self._write_manifest(m)
+        stale = m.get("retired_points_dir")
+        m["retired_points_dir"] = old_dir
+        m["points_dir"] = new_dir
+        self._write_manifest(m)  # atomic flip: readers switch here
+        # Tombstones are folded into the snapshot, so they are cleared
+        # AFTER the flip: new-generation readers never consult them
+        # (has_deletes is false in the flipped manifest, and the snapshot
+        # rows carry ins_ver=v which no old tombstone outranks), while a
+        # reader still on the pre-flip manifest keeps them for as long as
+        # possible.
+        if os.path.exists(self.deletes_path):
+            shutil.rmtree(self.deletes_path)
+            os.makedirs(self.deletes_path)
+        if stale and stale != new_dir:
+            shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
         self.num_buckets = num_buckets
         return v
 

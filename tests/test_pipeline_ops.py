@@ -862,3 +862,27 @@ def test_semantic_dedup_auto_k_scales_with_corpus(spark):
     # derived k really is corpus-sized: clusters observed > the fixed-8 floor
     n_clusters = auto.select("cluster").distinct().count()
     assert n_clusters > 8
+
+
+def test_semantic_dedup_auto_k_with_non_dense_ids(spark):
+    """centroids_from_rows must work for ANY id distribution — the old
+    `id < k` filter selected zero seed rows when ids start at 10_000,
+    making the default semantic_dedup silently report zero duplicates."""
+    from btrdb_server_spark.functions.similarity import semantic_dedup
+
+    import math
+
+    # 120 distinct unit directions 0.05 rad apart (adjacent cosine
+    # cos(0.05) ~ 0.99875, below the 0.999 bar) plus ONE planted exact
+    # duplicate. No constant third component — it would compress angular
+    # distance (cosine becomes (1 + cos d)/2, putting neighbors over the
+    # bar).
+    rows = [
+        (10_000 + 7 * i, [math.cos(0.05 * i), math.sin(0.05 * i), 0.0])
+        for i in range(120)
+    ]
+    rows[60] = (10_000 + 7 * 60, rows[33][1])  # plant one exact duplicate
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = semantic_dedup(emb, threshold=0.999, target_cell=15)
+    dups = [r.vec_id for r in got.collect() if r.is_dup]
+    assert dups == [10_000 + 7 * 60]

@@ -467,9 +467,11 @@ def test_streaming_ingest_auto_compaction_cadence(spark, tmp_path):
     assert [(r.time, r.value) for r in got] == [(100 + k, float(k)) for k in range(4)]
     with _pytest.raises(BTrDBError):
         store.points_at(compacted - 1).collect()
-    # the compacted snapshot dir holds real hash buckets, not the sentinel
-    pts_root = tmp_path / "store" / "points"
-    vdirs = sorted(os.listdir(pts_root))
-    first = pts_root / vdirs[0]
+    # the live generation's snapshot holds real hash buckets, not the
+    # sentinel (points_path resolves through the manifest pointer)
+    import pathlib
+
+    pts_root = pathlib.Path(store.points_path)
+    first = pts_root / sorted(os.listdir(pts_root))[0]
     buckets = [b for b in os.listdir(first) if (first / b).is_dir()]
     assert buckets and f"uuid_bucket={FRESH_BUCKET}" not in buckets

@@ -395,11 +395,45 @@ def test_fresh_versions_use_sentinel_bucket_lsm_layout(spark, tmp_path):
 
     m = _re.search(r"\(uuid_bucket#\d+ = -1\) OR \(uuid_bucket#\d+ = \d+\)", plan)
     assert m, f"fresh-or-bucket partition predicate missing:\n{plan}"
-    # after compact, the sentinel dir is gone and real buckets exist
+    # after compact, the live generation (points_path resolves through the
+    # manifest pointer) holds real buckets and no sentinel dir
     store.compact()
-    vdirs = os.listdir(tmp_path / "s" / "points")
-    vroot = tmp_path / "s" / "points" / vdirs[0]
+    import pathlib
+
+    proot = pathlib.Path(store.points_path)
+    vroot = proot / sorted(os.listdir(proot))[0]
     buckets = [b for b in os.listdir(vroot) if (vroot / b).is_dir()]
     assert f"uuid_bucket={FRESH_BUCKET}" not in buckets
     assert all(b.startswith("uuid_bucket=") for b in buckets) and len(buckets) >= 1
     assert store.stream_points("u1").count() == 16
+
+
+def test_compact_flips_generation_atomically_with_retention(spark, tmp_path):
+    """compact() builds the next points generation beside the current one
+    and flips the manifest pointer in one atomic write; the superseded
+    generation stays on disk until the NEXT compact (two-generation
+    retention) so in-flight scans finish cleanly, then is garbage
+    collected."""
+    import os
+
+    from btrdb_server_spark.store import PointStore
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    pts = spark.createDataFrame(
+        [(f"u{i % 3}", i, float(i)) for i in range(32)],
+        "uuid string, time long, value double",
+    )
+    store.insert_many(pts)
+    gen0 = store.points_path
+    store.compact()
+    gen1 = store.points_path
+    assert gen1 != gen0
+    assert os.path.isdir(gen0), "superseded generation must be retained"
+    assert store.points_at().count() == 32
+    store.insert_many(pts)
+    store.compact()
+    gen2 = store.points_path
+    assert gen2 != gen1
+    assert not os.path.isdir(gen0), "two-generation retention: gen0 GC'd"
+    assert os.path.isdir(gen1)
+    assert store.points_at().count() == 64
