@@ -381,6 +381,17 @@ class PointStore:
         num_buckets = num_buckets or self.num_buckets
         m = self._read_manifest()
         v = m["version"]
+        # True no-op when nothing changed since the last compact: without
+        # this, rebuilding "points.gen{v}" would rmtree the LIVE generation
+        # before rewriting it — briefly invisible to concurrent readers.
+        # Makes back-to-back compaction (e.g. the ingest cadence hook on an
+        # idle stream) genuinely free.
+        if (
+            m.get("compacted_through") == v
+            and m.get("points_dir") == f"points.gen{v}"
+            and num_buckets == m.get("num_buckets")
+        ):
+            return v
         base = self.points_at(None).withColumn(
             "uuid_bucket", F.pmod(F.xxhash64("uuid"), F.lit(num_buckets))
         )

@@ -437,3 +437,27 @@ def test_compact_flips_generation_atomically_with_retention(spark, tmp_path):
     assert not os.path.isdir(gen0), "two-generation retention: gen0 GC'd"
     assert os.path.isdir(gen1)
     assert store.points_at().count() == 64
+
+
+def test_repeat_compact_is_a_true_noop(spark, tmp_path):
+    """compact() with no new versions since the last compact must not
+    touch the live generation at all (it would otherwise rebuild into the
+    SAME gen dir, rmtree-ing the live directory out from under readers)."""
+    import os
+
+    from btrdb_server_spark.store import PointStore
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert_many(
+        spark.createDataFrame(
+            [("u", i, float(i)) for i in range(16)],
+            "uuid string, time long, value double",
+        )
+    )
+    v = store.compact()
+    gen = store.points_path
+    mtime = os.stat(gen).st_mtime_ns
+    assert store.compact() == v  # idempotent
+    assert store.points_path == gen
+    assert os.stat(gen).st_mtime_ns == mtime  # directory untouched
+    assert store.points_at().count() == 16
