@@ -173,6 +173,14 @@ class PointStore:
         (pqm.go:343-361; minor is always 0 for committed batch reads)."""
         return self._read_manifest()["streams"].get(uuid, 0)
 
+    @property
+    def compacted_through(self) -> int:
+        """Version of the last compaction snapshot (0 = never compacted).
+        Versions at or below this are folded into the base and no longer
+        individually addressable. Durable (manifest-backed), so maintenance
+        cadences keyed on it survive process restarts and batch replays."""
+        return self._read_manifest().get("compacted_through", 0)
+
     # -------------------------------------------------------------- writes --
 
     def _write_version(self, points: DataFrame, v: int, collect_uuids: bool) -> list:
@@ -368,62 +376,120 @@ class PointStore:
 
     # ---------------------------------------------------------- compaction --
 
-    def compact(self, num_buckets: Optional[int] = None) -> int:
-        """Fold every committed version and tombstone into a single base
-        snapshot partitioned by uuid_bucket (hash-sharded like the
-        reference's murmur3 ranges), clustered by (uuid, time) within files.
+    def compact(self, num_buckets: Optional[int] = None, full: bool = False) -> int:
+        """Fold committed versions and tombstones into a base snapshot
+        partitioned by uuid_bucket (hash-sharded like the reference's murmur3
+        ranges), clustered by (uuid, time) within files.
 
         The analog of Delta OPTIMIZE + VACUUM: read amplification from many
         small version dirs goes away; version history BELOW the compaction
         point is no longer addressable (reads at older versions raise), while
         new versions continue appending on top. Returns the compaction
-        version."""
+        version.
+
+        INCREMENTAL by default once a base exists: only the uuid_bucket
+        partitions touched since the last compaction — buckets owning a
+        fresh-tail uuid or a tombstoned uuid — are re-read and rewritten;
+        untouched bucket directories are carried into the new generation as
+        hard links (an object-store metadata copy). This mirrors the
+        reference's COW tree, which rewrites only the root-to-leaf paths a
+        write touched (qtree COW, not a full tree rebuild): compaction cost
+        is proportional to the fresh tail + delete fan-out, not to base
+        size — the difference between a bounded maintenance job and a
+        ~1000x write-amplified full rewrite at a 100 TB base with a 0.1%
+        tail. `full=True` (or a num_buckets change, which re-routes every
+        uuid) forces the rewrite-everything path."""
         num_buckets = num_buckets or self.num_buckets
         m = self._read_manifest()
         v = m["version"]
-        # True no-op when nothing changed since the last compact: without
-        # this, rebuilding "points.gen{v}" would rmtree the LIVE generation
-        # before rewriting it — briefly invisible to concurrent readers.
-        # Makes back-to-back compaction (e.g. the ingest cadence hook on an
-        # idle stream) genuinely free.
-        if (
-            m.get("compacted_through") == v
-            and m.get("points_dir") == f"points.gen{v}"
-            and num_buckets == m.get("num_buckets")
-        ):
+        compacted = m.get("compacted_through", 0)
+        # True no-op when nothing changed since the last compact (every
+        # write — insert or delete — bumps the version, so compacted == v
+        # implies no fresh tail and no live tombstones). Makes back-to-back
+        # compaction (e.g. the ingest cadence hook on an idle stream)
+        # genuinely free, and keeps the live generation untouched.
+        if compacted == v and num_buckets == m.get("num_buckets"):
             return v
-        base = self.points_at(None).withColumn(
-            "uuid_bucket", F.pmod(F.xxhash64("uuid"), F.lit(num_buckets))
+        import shutil
+
+        old_dir = m.get("points_dir", "points")
+        # Generation names are UNIQUE per compaction (monotone counter),
+        # never derived from the version alone: compact(num_buckets=N) on an
+        # already-compacted store would otherwise compute new_dir == old_dir
+        # and rmtree the LIVE generation before rebuilding it — the exact
+        # reader-visibility window generations exist to remove.
+        seq = m.get("gen_seq", 0) + 1
+        new_dir = f"points.gen{v}.{seq}"
+        gen_path = os.path.join(self.path, new_dir)
+        tmp = os.path.join(self.path, "compact.tmp")
+
+        incremental = (
+            not full and compacted > 0 and num_buckets == m.get("num_buckets")
         )
+        bucket_of = F.pmod(F.xxhash64("uuid"), F.lit(num_buckets))
+        touched: Optional[list[int]] = None
+        if incremental:
+            # Touched buckets = home buckets of fresh-tail uuids plus
+            # tombstoned uuids. Both scans are tail-sized: the fresh scan is
+            # partition-pruned to the sentinel dirs, the deletes dataset is
+            # metadata-sized by construction.
+            fresh = (
+                self._raw_points()
+                .where(F.col("uuid_bucket") == F.lit(FRESH_BUCKET))
+                .select(bucket_of.alias("b"))
+                .distinct()
+            )
+            dels = self._deletes()
+            if dels is not None:
+                fresh = fresh.unionByName(
+                    dels.select(bucket_of.alias("b")).distinct()
+                )
+            touched = sorted({r.b for r in fresh.collect()})
+
+        if touched is None:  # full rewrite: every row re-read and re-routed
+            rewrite = self.points_at(None)
+        elif touched:  # incremental: only touched base buckets + fresh tail
+            scan_pred = F.col("uuid_bucket").isin([FRESH_BUCKET] + touched)
+            rewrite = self.points_at(None, prefilter=scan_pred).where(
+                bucket_of.isin(touched)
+            )
+        else:  # version moved but nothing owns a bucket: link-only carry
+            rewrite = None
+
+        if rewrite is not None:
+            (
+                rewrite.withColumn("uuid_bucket", bucket_of)
+                .repartition(num_buckets, "uuid_bucket")
+                .sortWithinPartitions("uuid_bucket", "uuid", "time")
+                .write.mode("overwrite")
+                .partitionBy("uuid_bucket")
+                .options(**_WRITE_TUNING)
+                .parquet(tmp)
+            )
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
         # Build the NEXT points generation beside the current one, then
         # flip the manifest's points_dir pointer in one atomic write —
         # readers planned at any instant see either the old complete
         # generation or the new complete generation, never a half-swapped
-        # directory (the old os.replace dance left a window where points/
-        # was missing). The superseded generation is kept on disk until
-        # the NEXT compact (two-generation retention), so scans already
-        # holding its file listing finish cleanly; a scan that spans two
-        # compactions is the documented residual race.
-        import shutil
-
-        old_dir = m.get("points_dir", "points")
-        new_dir = f"points.gen{v}"
-        tmp = os.path.join(self.path, "compact.tmp")
-        (
-            base.repartition(num_buckets, "uuid_bucket")
-            .sortWithinPartitions("uuid_bucket", "uuid", "time")
-            .write.mode("overwrite")
-            .partitionBy("uuid_bucket")
-            .options(**_WRITE_TUNING)
-            .parquet(tmp)
-        )
-        gen_path = os.path.join(self.path, new_dir)
+        # directory. The superseded generation is kept on disk until the
+        # NEXT compact (two-generation retention), so scans already holding
+        # its file listing finish cleanly; a scan that spans two compactions
+        # is the documented residual race.
         shutil.rmtree(gen_path, ignore_errors=True)
         os.makedirs(gen_path)
         os.replace(tmp, os.path.join(gen_path, f"ins_ver={v}"))
+        if touched is not None:
+            self._link_untouched_buckets(
+                os.path.join(self.path, old_dir, f"ins_ver={compacted}"),
+                os.path.join(gen_path, f"ins_ver={v}"),
+                set(touched),
+            )
         m["has_deletes"] = False
         m["compacted_through"] = v
         m["num_buckets"] = num_buckets
+        m["gen_seq"] = seq
         stale = m.get("retired_points_dir")
         m["retired_points_dir"] = old_dir
         m["points_dir"] = new_dir
@@ -442,6 +508,35 @@ class PointStore:
         self.num_buckets = num_buckets
         return v
 
+    @staticmethod
+    def _link_untouched_buckets(old_ver_dir: str, new_ver_dir: str,
+                                touched: set[int]) -> None:
+        """Carry base bucket dirs the compaction did not touch into the new
+        generation as hard links (copy fallback) — immutable parquet makes
+        this safe, and it is the local-FS analog of an object-store
+        server-side copy: O(files) metadata, zero data movement."""
+        import shutil
+
+        if not os.path.isdir(old_ver_dir):
+            return
+        for name in os.listdir(old_ver_dir):
+            if not name.startswith("uuid_bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if b in touched or b == FRESH_BUCKET:
+                continue
+            src, dst = os.path.join(old_ver_dir, name), os.path.join(
+                new_ver_dir, name
+            )
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden markers
+                try:
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                except OSError:
+                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+
     # ------------------------------------------------------------- changes --
 
     def changes(
@@ -450,7 +545,18 @@ class PointStore:
         """Time ranges changed in (from_ver, to_ver], coarsened to
         2**resolution ns and coalesced (quasar.go:404-485). Complete by
         construction: every inserted point and every tombstoned interval in
-        the version window contributes its bucket range."""
+        the version window contributes its bucket range.
+
+        Mirrors the points_at guard: a from_ver below the compaction point
+        is unanswerable (per-version history is folded into the snapshot,
+        whose rows all carry the compaction version — diffing across it
+        would report the entire snapshot as changed)."""
+        compacted = self._read_manifest().get("compacted_through", 0)
+        if from_ver < compacted:
+            raise BTrDBError(
+                ERR_INVALID_TIME_RANGE,
+                f"from_ver {from_ver} predates compaction point {compacted}",
+            )
         ins = (
             self._raw_points()
             .where(

@@ -43,8 +43,13 @@ class IngestPipeline:
         drop_invalid: bool = True,
         compact_every: Optional[int] = None,
     ):
-        """`compact_every`: fold the store's fresh-version tail every N
-        committed micro-batches. A long-running stream otherwise
+        """`compact_every`: fold the store's fresh-version tail whenever N
+        or more versions have committed since the last compaction. The
+        cadence is derived from DURABLE state (store.version −
+        store.compacted_through, both manifest-backed), not an in-process
+        batch counter — a counter resets on pipeline restart and ticks for
+        replayed already-committed batches, so it drifts from the number of
+        versions actually accumulated. A long-running stream otherwise
         accumulates one sentinel (uuid_bucket=-1) version dir per batch,
         and the fresh tail cannot be bucket-pruned on read (measured ~4x
         single-stream read cost at 50 uncompacted versions — see
@@ -56,7 +61,6 @@ class IngestPipeline:
         self.drop_invalid = drop_invalid
         self.compact_every = compact_every
         self.query: Optional[StreamingQuery] = None
-        self.batches_seen = 0
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.drop_invalid:
@@ -72,11 +76,14 @@ class IngestPipeline:
         self.store.insert_many(batch, batch_id=batch_id)
         if self.ladder is not None:
             self.ladder.update_with_batch(batch, batch_id=batch_id)
-        self.batches_seen += 1
-        if self.compact_every and self.batches_seen % self.compact_every == 0:
-            # Replay-safe: compacting twice is a (wasteful) no-op, and a
-            # crash between insert and compact just defers the fold to the
-            # next multiple — compaction is maintenance, not a commit.
+        if self.compact_every and (
+            self.store.version - self.store.compacted_through
+        ) >= self.compact_every:
+            # Replay-safe and restart-safe: both sides of the trigger are
+            # manifest state, so a replayed batch (no new version) never
+            # advances it and a restart resumes exactly where the tail
+            # stands. Compacting is maintenance, not a commit — a crash
+            # between insert and compact just defers the fold.
             self.store.compact()
 
     def start(

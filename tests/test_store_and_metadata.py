@@ -461,3 +461,165 @@ def test_repeat_compact_is_a_true_noop(spark, tmp_path):
     assert store.points_path == gen
     assert os.stat(gen).st_mtime_ns == mtime  # directory untouched
     assert store.points_at().count() == 16
+
+
+def test_incremental_compact_rewrites_only_touched_buckets(spark, tmp_path):
+    """After a base exists, compact() folds the fresh tail into ONLY the
+    uuid_bucket partitions that own a fresh or tombstoned uuid; untouched
+    bucket dirs are carried into the new generation as hard links (same
+    inode) — compaction cost tracks the tail, not the base (the reference's
+    COW tree rewrites only touched root-to-leaf paths, never the tree)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from btrdb_server_spark.store import PointStore
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=8)
+    pts = spark.createDataFrame(
+        [(f"u{i % 40}", t, float(t)) for i in range(40) for t in range(i, 400, 40)],
+        "uuid string, time long, value double",
+    )
+    store.insert_many(pts)
+    store.compact()  # establish the base
+    before = {
+        (r.uuid, r.time): r.value for r in store.points_at().collect()
+    }
+    base_dir = os.path.join(store.points_path, "ins_ver=1")
+    inodes = {
+        b: {f: os.stat(os.path.join(base_dir, b, f)).st_ino
+            for f in os.listdir(os.path.join(base_dir, b))
+            if not f.startswith(("_", "."))}
+        for b in os.listdir(base_dir) if b.startswith("uuid_bucket=")
+    }
+    # one fresh uuid -> exactly one touched bucket
+    store.insert("u0", [(1000, 42.0)])
+    v = store.compact()
+    b0 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("u0")), F.lit(8)).alias("b")
+    ).collect()[0].b
+    new_base = os.path.join(store.points_path, f"ins_ver={v}")
+    n_linked = n_rewritten = 0
+    for b in os.listdir(new_base):
+        if not b.startswith("uuid_bucket="):
+            continue
+        files = {f: os.stat(os.path.join(new_base, b, f)).st_ino
+                 for f in os.listdir(os.path.join(new_base, b))
+                 if not f.startswith(("_", "."))}
+        if b == f"uuid_bucket={b0}":
+            assert files.keys() != inodes[b].keys() or set(
+                files.values()
+            ) != set(inodes[b].values()), "touched bucket must be rewritten"
+            n_rewritten += 1
+        else:
+            assert set(files.values()) == set(
+                inodes[b].values()
+            ), f"untouched bucket {b} must be hard-linked, not rewritten"
+            n_linked += 1
+    assert n_rewritten == 1 and n_linked >= 1
+    after = {(r.uuid, r.time): r.value for r in store.points_at().collect()}
+    before[("u0", 1000)] = 42.0
+    assert after == before
+
+
+def test_incremental_compact_applies_tombstones_to_touched_bucket(spark, tmp_path):
+    """A delete-only tail: the tombstoned uuid's bucket is rewritten with
+    the tombstone applied; every other bucket is carried forward; answers
+    match a full rewrite."""
+    from btrdb_server_spark.store import PointStore
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=8)
+    pts = spark.createDataFrame(
+        [(f"u{i}", t, float(t)) for i in range(20) for t in range(10)],
+        "uuid string, time long, value double",
+    )
+    store.insert_many(pts)
+    store.compact()
+    store.delete_range("u3", 2, 6)
+    store.compact()
+    got = sorted(
+        (r.time, r.value)
+        for r in store.stream_points("u3").collect()
+    )
+    assert got == [(t, float(t)) for t in [0, 1, 6, 7, 8, 9]]
+    assert store.points_at().count() == 20 * 10 - 4
+    # tombstones folded: deletes dir cleared, manifest flag down
+    assert store._read_manifest()["has_deletes"] is False
+
+
+def test_compact_rebucket_on_compacted_store_is_safe(spark, tmp_path):
+    """ADVICE r8 (medium): compact(num_buckets=N) on an ALREADY-compacted
+    store used to compute new_dir == old_dir and rmtree the live generation
+    before repopulating it. Generation names are now unique per compaction:
+    the rebucket builds beside the live gen, flips atomically, keeps the
+    superseded gen (retention), and answers stay identical."""
+    import os
+
+    from btrdb_server_spark.store import PointStore
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert_many(
+        spark.createDataFrame(
+            [(f"u{i % 5}", i, float(i)) for i in range(50)],
+            "uuid string, time long, value double",
+        )
+    )
+    v = store.compact()
+    gen1 = store.points_path
+    before = sorted((r.uuid, r.time, r.value) for r in store.points_at().collect())
+    assert store.compact(num_buckets=8) == v  # same version, new layout
+    gen2 = store.points_path
+    assert gen2 != gen1, "rebucket must build a NEW generation dir"
+    assert os.path.isdir(gen1), "superseded generation retained until next compact"
+    assert store.num_buckets == 8
+    after = sorted((r.uuid, r.time, r.value) for r in store.points_at().collect())
+    assert after == before
+    # next compact retires gen1 (two-generation retention unchanged)
+    store.insert("u0", [(999, 9.0)])
+    store.compact()
+    assert not os.path.isdir(gen1)
+
+
+def test_changes_below_compaction_point_raises(spark, tmp_path):
+    """ADVICE r8: changes() mirrors the points_at guard — a from_ver below
+    the compaction point cannot be diffed (history is folded into the
+    snapshot) and raises instead of reporting the whole snapshot."""
+    import pytest as _pytest
+
+    from btrdb_server_spark.store import BTrDBError, PointStore
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert("u", [(1, 1.0)])
+    store.insert("u", [(2, 2.0)])
+    cv = store.compact()
+    store.insert("u", [(3, 3.0)])
+    with _pytest.raises(BTrDBError):
+        store.changes("u", cv - 1, store.version, 4).collect()
+    ok = store.changes("u", cv, store.version, 4).collect()
+    assert len(ok) >= 1
+
+
+def test_ingest_compaction_cadence_is_durable(spark, tmp_path):
+    """The auto-compaction trigger is (version - compacted_through) >=
+    compact_every — manifest state, not an in-process counter — so a
+    replayed (already-committed) batch does not advance the cadence and a
+    fresh pipeline object resumes the cadence where the store stands."""
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.ingest import IngestPipeline
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    pipe = IngestPipeline(store, compact_every=3)
+    mk = lambda t: spark.createDataFrame(
+        [("u", t, float(t))], "uuid string, time long, value double"
+    )
+    pipe._process_batch(mk(1), batch_id=0)
+    pipe._process_batch(mk(2), batch_id=1)
+    assert store.compacted_through == 0  # 2 versions < cadence 3
+    # replaying committed ids mints no version and must not trigger anything
+    pipe._process_batch(mk(1), batch_id=0)
+    pipe._process_batch(mk(2), batch_id=1)
+    assert store.version == 2 and store.compacted_through == 0
+    # a RESTARTED pipeline (fresh object) still fires on the 3rd version
+    pipe2 = IngestPipeline(store, compact_every=3)
+    pipe2._process_batch(mk(3), batch_id=2)
+    assert store.compacted_through == store.version == 3
