@@ -16,10 +16,12 @@ this package can still drive every operation:
   `application/x-ndjson`: one response message per line, paged like the
   reference (5000 points / 1000 ranges / 200 descriptors per message;
   CSV one row per message), so a client parses fixed-size messages
-  regardless of result size. The server materializes the page list on
-  the driver before writing (it has already collected the result to
-  serialize it) — deliberate, so the request lock never spans a write
-  to a possibly-slow client socket.
+  regardless of result size. Pages are produced LAZILY from
+  `toLocalIterator` — the driver holds at most a few partitions, so a
+  result far bigger than driver memory (or maxResultSize) streams
+  through, like the reference's bounded 5000-point channel
+  (serve.go:141-179). The request lock covers planning and the first
+  page only, never the client drain.
 - Every response carries `stat`: {"code": 0, "msg": ""} on success, a
   bte/errors.go-mirrored code (constants.py:53-65) on failure — errors
   are a payload, not an HTTP 5xx, matching gRPC semantics.
@@ -145,43 +147,56 @@ class BTrDBHttpServer:
         except json.JSONDecodeError:
             h.send_error(400, "body must be JSON")
             return
-        # The lock covers the RPC call and the DRAINING of any streamed
-        # generation (the facade mutation + Spark collect), but NOT the
-        # socket writes: a slow or stalled client must never wedge the
-        # server by blocking h.wfile.write while holding the lock. Pages
-        # are materialized under the lock (the driver has already
-        # collected the result to serialize it anyway) and written out
-        # afterwards. ANY exception — not just BTrDBError — becomes a
+        # The lock covers the RPC call and — for streaming RPCs — only the
+        # LAUNCH of the result iteration (planning, facade/version reads,
+        # the first page), never the client drain: results page out via
+        # toLocalIterator AFTER the lock is released, so (a) a slow client
+        # cannot wedge the server and (b) a result bigger than driver
+        # memory streams in bounded space instead of materializing under
+        # toPandas. A facade mutation that lands mid-drain is the same
+        # documented residual race as any scan vs. compaction: the planned
+        # generation's files outlive one compaction (two-generation
+        # retention). ANY exception — not just BTrDBError — becomes a
         # coded stat payload: "errors are a payload, not a dead socket"
         # is the wire contract, and a TypeError from a wrong-typed JSON
         # field must not reset the connection.
-        msgs: Optional[list] = None
+        stream = first = None
         with self._lock:
             try:
                 out = fn(req)
                 if hasattr(out, "__next__"):  # streaming RPC -> ndjson
-                    msgs = []
+                    stream = out
                     try:
-                        for msg in out:
-                            msgs.append(msg)
+                        first = next(stream)  # job launch, under the lock
+                    except StopIteration:
+                        stream, out = None, {"stat": _OK}
                     except BTrDBError as e:
-                        msgs.append({"stat": {"code": e.code, "msg": str(e)}})
-                    except Exception as e:  # noqa: BLE001 — wire boundary
-                        msgs.append({"stat": {"code": 500, "msg": repr(e)}})
+                        stream = None
+                        out = {"stat": {"code": e.code, "msg": str(e)}}
             except BTrDBError as e:
                 out = {"stat": {"code": e.code, "msg": str(e)}}
             except KeyError as e:
                 out = {"stat": {"code": 400, "msg": f"missing field {e}"}}
             except Exception as e:  # noqa: BLE001 — wire boundary
                 out = {"stat": {"code": 500, "msg": repr(e)}}
-        if msgs is not None:
+        if stream is not None:
             h.send_response(200)
             h.send_header("Content-Type", "application/x-ndjson")
             h.send_header("Transfer-Encoding", "chunked")
             h.end_headers()
-            for msg in msgs:
+
+            def write_msg(msg) -> None:
                 line = json.dumps(msg).encode() + b"\n"
                 h.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+
+            write_msg(first)
+            try:
+                for msg in stream:
+                    write_msg(msg)
+            except BTrDBError as e:
+                write_msg({"stat": {"code": e.code, "msg": str(e)}})
+            except Exception as e:  # noqa: BLE001 — wire boundary
+                write_msg({"stat": {"code": 500, "msg": repr(e)}})
             h.wfile.write(b"0\r\n\r\n")
             return
         body = json.dumps(out).encode()
@@ -200,18 +215,29 @@ class BTrDBHttpServer:
     def _stream_df(self, df, uuid: str, row_fn, values_key: str = "values",
                    batch: int = STREAM_BATCH):
         """Yield proto-shaped streamed messages, `batch` values each.
-        The DataFrame is collected through Arrow in one driver pass and
-        paged out — the same driver-bound shape as the reference's gRPC
-        response loop."""
+
+        Rows arrive through `toLocalIterator(prefetchPartitions=True)` —
+        the driver holds at most a couple of PARTITIONS, never the whole
+        result, so a RawValues over a year of data streams in bounded
+        memory exactly like the reference's 5000-point channel loop
+        (serve.go:141-179). Version metadata is captured EAGERLY (facade
+        state, read under the request lock at call time); the generator
+        body then only pulls from immutable planned scans, so the
+        dispatcher can release the lock before draining pages to the
+        client socket."""
         ver = self._versions(uuid) if uuid is not None else {}
-        pdf = df.toPandas()
-        rows = [row_fn(r) for r in pdf.itertuples(index=False)]
-        del pdf  # one driver copy from here on, not two
-        if not rows:
-            yield {"stat": _OK, **ver, values_key: []}
-            return
-        for i in range(0, len(rows), batch):
-            yield {"stat": _OK, **ver, values_key: rows[i : i + batch]}
+
+        def gen():
+            page, emitted = [], False
+            for r in df.toLocalIterator(prefetchPartitions=True):
+                page.append(row_fn(r))
+                if len(page) >= batch:
+                    yield {"stat": _OK, **ver, values_key: page}
+                    page, emitted = [], True
+            if page or not emitted:
+                yield {"stat": _OK, **ver, values_key: page}
+
+        return gen()
 
     # ------------------------------------------------------------ the RPCs --
 
@@ -220,7 +246,8 @@ class BTrDBHttpServer:
             req["uuid"], req["start"], req["end"], req.get("versionMajor") or None
         )
         return self._stream_df(
-            df, req["uuid"], lambda r: {"time": int(r.time), "value": float(r.value)}
+            df, req["uuid"],
+            lambda r: {"time": int(r["time"]), "value": float(r["value"])},
         )
 
     def rpc_AlignedWindows(self, req):
@@ -276,7 +303,7 @@ class BTrDBHttpServer:
             _from_kv(req.get("annotations")) or None,
         )
         return self._stream_df(
-            df.orderBy("uuid"), None, lambda r: _descriptor(r._asdict()),
+            df.orderBy("uuid"), None, lambda r: _descriptor(r.asDict()),
             values_key="results", batch=LOOKUP_BATCH,
         )
 
@@ -300,7 +327,8 @@ class BTrDBHttpServer:
             req.get("resolution", 0),
         )
         return self._stream_df(
-            df, req["uuid"], lambda r: {"start": int(r.start), "end": int(r.end)},
+            df, req["uuid"],
+            lambda r: {"start": int(r["start"]), "end": int(r["end"])},
             values_key="ranges", batch=RANGE_BATCH,
         )
 
@@ -349,6 +377,11 @@ class BTrDBHttpServer:
         }
 
     def rpc_GenerateCSV(self, req):
+        if "streams" in req:
+            return self._generate_csv_proto(req)
+        # Legacy convenience shape (pre-r9): uuids/start/end/pointWidth on
+        # the facade's shared-version alignment. Kept for embedded callers;
+        # proto-faithful clients send GenerateCSVParams above.
         uuids = req["uuids"]
         df = self.db.generate_csv(
             uuids, req["start"], req["end"], req.get("pointWidth") or None,
@@ -361,22 +394,105 @@ class BTrDBHttpServer:
             # reference's GenerateCSVResponse is likewise one row each
             # (isHeader page + row pages, csv.go)
             yield {"stat": _OK, "isHeader": True, "row": cols}
-            pdf = df.toPandas()
-            for tup in pdf.itertuples(index=False):
+            for r in df.toLocalIterator(prefetchPartitions=True):
                 yield {
                     "stat": _OK,
                     "isHeader": False,
-                    "row": ["" if v is None or v != v else str(v) for v in tup],
+                    "row": [
+                        "" if v is None or v != v else str(v) for v in r
+                    ],
                 }
+
+        return gen()
+
+    def _generate_csv_proto(self, req):
+        """GenerateCSVParams exactly as btrdb.proto:269-282 / serve.go:880-
+        1007: queryType in {ALIGNED_WINDOWS_QUERY=0, WINDOWS_QUERY=1,
+        RAW_QUERY=2}, startTime/endTime/windowSize/depth/includeVersions,
+        and per-stream {uuid, label, version} configs (version 0 = latest).
+        ALIGNED_WINDOWS_QUERY takes its pointWidth from `depth`, matching
+        serve.go:908. The reference's earliest-time cursor merge becomes a
+        full outer join on the time column — each stream may be pinned at
+        its own version, so per-stream scans are planned independently and
+        Spark co-sorts them; rows page out via toLocalIterator."""
+        from datetime import datetime, timezone
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        qt = req.get("queryType", 0)
+        if isinstance(qt, str):
+            qt = {"ALIGNED_WINDOWS_QUERY": 0, "WINDOWS_QUERY": 1,
+                  "RAW_QUERY": 2}[qt]
+        start, end = req["startTime"], req["endTime"]
+        streams = req["streams"]
+        header = ["Timestamp (ns)", "Human-Readable Time (UTC)"]
+        dfs, fmts = [], []  # fmts: (column name, formatter) per value col
+        for i, cfg in enumerate(streams):
+            u = cfg["uuid"]
+            ver = cfg.get("version") or None
+            shown_ver = ver if ver is not None else self.db.query_version(u)[0]
+            label = cfg.get("label") or u
+            vstr = f", ver. {shown_ver}" if req.get("includeVersions") else ""
+            if qt == 2:  # RAW_QUERY
+                df = self.db.raw_values(u, start, end, ver).select(
+                    "time", F.col("value").alias(f"_s{i}")
+                )
+                header.append(f"{label}{vstr}")
+                fmts.append((f"_s{i}", lambda v: f"{float(v):f}"))
+            else:
+                if qt == 0:  # ALIGNED_WINDOWS_QUERY: pw rides in `depth`
+                    df = self.db.aligned_windows(
+                        u, start, end, req.get("depth", 0), ver
+                    )
+                else:  # WINDOWS_QUERY
+                    df = self.db.windows(
+                        u, start, end, req["windowSize"],
+                        req.get("depth", 0), ver,
+                    )
+                df = df.select(
+                    "time",
+                    F.col("min").alias(f"_s{i}_min"),
+                    F.col("mean").alias(f"_s{i}_mean"),
+                    F.col("max").alias(f"_s{i}_max"),
+                    F.col("count").alias(f"_s{i}_count"),
+                )
+                for part in ("Min", "Mean", "Max", "Count"):
+                    header.append(f"{label}{vstr} ({part})")
+                for part in ("min", "mean", "max"):
+                    fmts.append((f"_s{i}_{part}", lambda v: f"{float(v):f}"))
+                fmts.append((f"_s{i}_count", lambda v: str(int(v))))
+            dfs.append(df)
+        joined = reduce(
+            lambda a, b: a.join(b, "time", "full_outer"), dfs
+        ).orderBy("time")
+
+        def rfc3339(ns: int) -> str:
+            return datetime.fromtimestamp(
+                ns // 1_000_000_000, tz=timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+        def gen():
+            yield {"stat": _OK, "isHeader": True, "row": header}
+            for r in joined.toLocalIterator(prefetchPartitions=True):
+                t = int(r["time"])
+                row = [str(t), rfc3339(t)]
+                for col, fmt in fmts:
+                    v = r[col]
+                    row.append("" if v is None or v != v else fmt(v))
+                yield {"stat": _OK, "isHeader": False, "row": row}
 
         return gen()
 
 
 def _stat_point(r) -> dict:
+    # Indexing by field name, not attribute access: pyspark Row subclasses
+    # tuple, so `r.count` resolves to tuple.count (a method), never the
+    # "count" column.
     return {
-        "time": int(r.time),
-        "min": float(r.min),
-        "mean": float(r.mean),
-        "max": float(r.max),
-        "count": int(r.count),
+        "time": int(r["time"]),
+        "min": float(r["min"]),
+        "mean": float(r["mean"]),
+        "max": float(r["max"]),
+        "count": int(r["count"]),
     }

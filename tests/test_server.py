@@ -202,6 +202,79 @@ def test_wire_concurrent_requests_are_serialized_safely(srv):
         assert all(v["value"] == float(i) for v in vals)
 
 
+def test_wire_streams_pages_without_driver_materialization(srv, monkeypatch):
+    """Streaming RPCs page through toLocalIterator — the whole result is
+    never materialized on the driver. Proven by poisoning toPandas (the old
+    materializing path) and collect for the duration of a multi-page
+    RawValues: if any code path tried to gather the full result
+    driver-side, the request would answer a coded 500 payload instead of
+    clean pages."""
+    from pyspark.sql import DataFrame
+
+    call(srv, "Create", {"uuid": "big1", "collection": "wire/big"})
+    for lo in range(0, 12_000, 4_000):
+        call(srv, "Insert", {"uuid": "big1", "sync": True, "values": [
+            {"time": t, "value": float(t)} for t in range(lo, lo + 4_000)
+        ]})
+
+    def boom(self, *a, **k):  # pragma: no cover - must never run
+        raise AssertionError("driver-side materialization in streaming RPC")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    pages = call(srv, "RawValues", {"uuid": "big1", "start": 0, "end": 10**9})
+    assert all(p["stat"]["code"] == 0 for p in pages)
+    assert [len(p["values"]) for p in pages] == [5000, 5000, 2000]
+    times = [v["time"] for p in pages for v in p["values"]]
+    assert times == list(range(12_000))
+
+
+def test_wire_generate_csv_proto_shape(srv):
+    """GenerateCSVParams exactly as btrdb.proto:269-282: queryType +
+    startTime/endTime + streams[{uuid,label,version}]. Raw merge follows
+    serve.go's earliest-time cursor (csv.go headers, %f cells, empty cell
+    when a stream has no point at that time)."""
+    call(srv, "Create", {"uuid": "pc1", "collection": "wire/csvp"})
+    call(srv, "Create", {"uuid": "pc2", "collection": "wire/csvp"})
+    call(srv, "Insert", {"uuid": "pc1", "sync": True, "values": [
+        {"time": t, "value": float(t)} for t in (10, 20, 30)
+    ]})
+    call(srv, "Insert", {"uuid": "pc2", "sync": True, "values": [
+        {"time": t, "value": 2.5} for t in (20, 40)
+    ]})
+
+    msgs = call(srv, "GenerateCSV", {
+        "queryType": "RAW_QUERY", "startTime": 0, "endTime": 1000,
+        "streams": [{"uuid": "pc1", "label": "left"},
+                    {"uuid": "pc2", "label": "right"}],
+    })
+    assert msgs[0]["isHeader"]
+    assert msgs[0]["row"] == [
+        "Timestamp (ns)", "Human-Readable Time (UTC)", "left", "right",
+    ]
+    rows = [m["row"] for m in msgs[1:]]
+    assert [r[0] for r in rows] == ["10", "20", "30", "40"]
+    assert rows[0][1] == "1970-01-01T00:00:00Z"  # RFC3339 of ns epoch
+    assert [r[2] for r in rows] == ["10.000000", "20.000000", "30.000000", ""]
+    assert [r[3] for r in rows] == ["", "2.500000", "", "2.500000"]
+
+    # ALIGNED_WINDOWS_QUERY: pointWidth rides in `depth` (serve.go:908),
+    # four columns per stream, includeVersions suffixes the label.
+    stat = call(srv, "GenerateCSV", {
+        "queryType": 0, "startTime": 0, "endTime": 1024, "depth": 5,
+        "includeVersions": True,
+        "streams": [{"uuid": "pc1", "label": "s"}],
+    })
+    hdr = stat[0]["row"]
+    assert hdr[2].startswith("s, ver. ") and hdr[2].endswith(" (Min)")
+    assert [h.rsplit("(", 1)[1] for h in hdr[2:]] == [
+        "Min)", "Mean)", "Max)", "Count)",
+    ]
+    srows = [m["row"] for m in stat[1:]]
+    assert [r[0] for r in srows] == ["0"]  # 10, 20, 30 all in bucket 0-31
+    assert srows[0][2:] == ["10.000000", "20.000000", "30.000000", "3"]
+
+
 def test_wire_stat_reads_served_from_rollup_ladder(spark, tmp_path):
     """Composed system over the wire: a ladder-backed facade answers
     AlignedWindows from the materialized rollup tier, and the wire result
