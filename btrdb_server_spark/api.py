@@ -38,11 +38,16 @@ class BTrDB:
         rollup_levels=None,
         buffer_commit_threshold: Optional[int] = None,
         dup_timestamp_cap: Optional[int] = None,
+        rollup_quantum: Optional[float] = None,
     ):
         """`rollup_levels`: optional pointwidth ladder (e.g. [12, 18, 24, 30])
         maintained on every write; AlignedWindows at latest version then
         answers from the best materialized level instead of raw points —
         the reference's ms-scale stat path (qtree.go:925-947).
+        `rollup_quantum`: value quantum for the ladder's int64 vq sums —
+        when the data is quantized (sensor decimals), means served from the
+        ladder become bit-deterministic under any aggregation order
+        (RollupLadder.value_quantum).
 
         `buffer_commit_threshold`: opt-in write buffering (the PQM,
         pqm.go:516-631): inserts below the threshold accumulate in a
@@ -58,7 +63,12 @@ class BTrDB:
         )
         self.registry = StreamRegistry(spark, os.path.join(path, "meta"))
         self.ladder = (
-            RollupLadder(spark, os.path.join(path, "rollups"), rollup_levels)
+            RollupLadder(
+                spark,
+                os.path.join(path, "rollups"),
+                rollup_levels,
+                value_quantum=rollup_quantum,
+            )
             if rollup_levels
             else None
         )
@@ -403,6 +413,21 @@ class BTrDB:
         from btrdb_server_spark.sql import sql as sql_op
 
         return sql_op(self, text)
+
+    def hook_sql(self, prefix: str = "btrdb") -> None:
+        """Wrap this session's PLAIN ``spark.sql`` so canonical aligned-stat
+        SQL text is served from the rollup ladder without routing through
+        ``db.sql()`` — the Python-side stand-in for a
+        SparkSessionExtensions.injectOptimizerRule Catalyst rule
+        (sql.py install_sql_hook)."""
+        from btrdb_server_spark.sql import install_sql_hook
+
+        install_sql_hook(self, prefix)
+
+    def unhook_sql(self) -> None:
+        from btrdb_server_spark.sql import uninstall_sql_hook
+
+        uninstall_sql_hook(self.spark)
 
     def info(self) -> dict:
         """Cluster info (serve.go:824-878) — single logical endpoint here."""

@@ -95,7 +95,14 @@ def sql(db: "BTrDB", text: str) -> DataFrame:
     """``spark.sql(text)`` with transparent ladder serving for canonical
     aligned-stat aggregations (module docstring); every other statement is
     returned exactly as Spark analyzed it."""
-    df = db.spark.sql(text)
+    run = getattr(db.spark, "_btrdb_sql_orig", None) or db.spark.sql
+    return _maybe_rewrite(db, run(text))
+
+
+def _maybe_rewrite(db: "BTrDB", df: DataFrame) -> DataFrame:
+    """Serve an analyzed DataFrame from the rollup ladder when (and only
+    when) the rewrite is provably exact — the guard set shared by
+    ``db.sql()`` and the plain-``spark.sql`` hook."""
     if db.ladder is None:
         return df
     if getattr(db, "_sql_view_version", None) != db.store.version:
@@ -113,3 +120,44 @@ def sql(db: "BTrDB", text: str) -> DataFrame:
     if buffered:
         return df  # buffered stream(s): the raw view (buffer merged) is the truth
     return rewrite_aligned_stat(df, db.ladder)
+
+
+def install_sql_hook(db: "BTrDB", prefix: str = "btrdb") -> None:
+    """Make PLAIN ``spark.sql(text)`` on this session transparently serve
+    canonical aligned-stat aggregations from the rollup ladder — no
+    ``db.sql()`` routing required.
+
+    This is the pure-Python analog of a Catalyst extension rule: a
+    production JVM deployment would register exactly plans/rewrite.py's
+    analyzed-plan match via ``SparkSessionExtensions.injectOptimizerRule``
+    (Scala class on the classpath, which a Python-only build cannot ship).
+    Here the session HANDLE's ``sql`` entry point is wrapped instead — an
+    instance attribute shadowing the class method, so every caller holding
+    this SparkSession gets the rewrite, while other sessions (and the
+    original method, kept at ``spark._btrdb_sql_orig``) are untouched.
+    The wrapped path applies the same exactness guards as ``db.sql()``
+    (canonical shape, aligned bounds, version-pinned views, no uncommitted
+    buffers) and passes every other statement through byte-identical.
+
+    Idempotent; re-installing rebinds the hook to the given facade.
+    Registers/refreshes the temp views as a side effect (the rewrite's
+    exactness contract needs the view pinned to the current version)."""
+    register_views(db, prefix)
+    spark = db.spark
+    orig = getattr(spark, "_btrdb_sql_orig", None) or spark.sql
+
+    def hooked_sql(text, *args, **kwargs):
+        if args or kwargs:  # parameterized/kwargs forms: pass through
+            return orig(text, *args, **kwargs)
+        return _maybe_rewrite(db, orig(text))
+
+    spark._btrdb_sql_orig = orig
+    spark.sql = hooked_sql
+
+
+def uninstall_sql_hook(spark) -> None:
+    """Restore the session's original ``sql`` method (no-op if unhooked)."""
+    orig = getattr(spark, "_btrdb_sql_orig", None)
+    if orig is not None:
+        del spark.sql  # remove the instance shadow; class method resumes
+        del spark._btrdb_sql_orig

@@ -284,3 +284,46 @@ def test_sql_count_star_matches(spark, tmp_path):
         "GROUP BY shiftleft(shiftright(time, 6), 6)"
     )
     assert "vsum" not in _executed(bogus)
+
+
+def test_sql_hook_serves_plain_spark_sql_from_ladder(spark, tmp_path):
+    """db.hook_sql() wraps the session's PLAIN sql entry point (the
+    injectOptimizerRule analog): canonical stat text over btrdb_points is
+    served from the ladder, non-canonical text passes through untouched,
+    results equal the raw aggregation, and unhook restores the session."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("h1", [(i, float(i % 10)) for i in range(4096)])
+    db.hook_sql()
+    try:
+        routed = spark.sql(CANON.format(pw=6, u="h1", s=0, e=4096))
+        assert "vsum" in _executed(routed), "hooked spark.sql missed ladder"
+        assert any("rollups" in f for f in routed.inputFiles())
+        raw = spark._btrdb_sql_orig(CANON.format(pw=6, u="h1", s=0, e=4096))
+        assert _rows(routed) == _rows(raw)
+        other = spark.sql("SELECT 1 AS one")
+        assert _rows(other) == [(1,)]
+    finally:
+        db.unhook_sql()
+    unrouted = spark.sql(CANON.format(pw=6, u="h1", s=0, e=4096))
+    assert "vsum" not in _executed(unrouted), "unhook did not restore sql"
+    assert _rows(unrouted) == _rows(routed)
+
+
+def test_sql_hook_is_idempotent_and_version_guarded(spark, tmp_path):
+    """Re-installing rebinds (no wrapper-on-wrapper chains); a write after
+    installation un-pins the views, so the hook falls back to raw until
+    views are refreshed — the same exactness guard as db.sql()."""
+    db = BTrDB(spark, str(tmp_path / "db"), rollup_levels=[4])
+    db.insert("h2", [(i, 1.0) for i in range(256)])
+    db.hook_sql()
+    try:
+        db.hook_sql()  # idempotent: orig stays the REAL method
+        assert spark._btrdb_sql_orig.__name__ == "sql"
+        q = CANON.format(pw=6, u="h2", s=0, e=256)
+        assert "vsum" in _executed(spark.sql(q))
+        db.insert("h2", [(1000, 2.0)])  # version moves; view now stale
+        assert "vsum" not in _executed(spark.sql(q))
+        db.hook_sql()  # refresh views -> rewrite engages again
+        assert "vsum" in _executed(spark.sql(q))
+    finally:
+        db.unhook_sql()
