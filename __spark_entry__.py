@@ -2089,6 +2089,45 @@ def q_sql_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_hook_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAIN ``spark.sql`` text — no ``db.sql()`` routing — served from the
+    rollup ladder: ``db.hook_sql()`` wraps the session's sql entry point
+    (sql.py install_sql_hook, the pure-Python analog of a
+    SparkSessionExtensions.injectOptimizerRule Catalyst rule; the
+    reference's qtree.go:925-947 stored-aggregate descent). The entry
+    asserts the ladder actually served the scan (inputFiles under
+    rollups/) and that the session's sql method is restored after."""
+    from btrdb_server_spark.api import BTrDB
+
+    pw = 40
+    s, e = (T_2024 >> pw) << pw, (T_2025 >> pw) << pw
+    work = _workdir(prefix="btrdb_sqlhook_q_")
+    db = BTrDB(spark, work, rollup_levels=[pw], rollup_quantum=0.01)
+    pts = load_points(spark, sf_dir, s, e).where(F.col("uuid") == "error")
+    db.insert("error", pts, enforce_batch_cap=False)
+    db.hook_sql()
+    try:
+        df = spark.sql(
+            f"""
+            SELECT shiftleft(shiftright(time, {pw}), {pw}) AS time,
+                   min(value) AS vmin, avg(value) AS mean,
+                   max(value) AS vmax, count(value) AS cnt
+            FROM btrdb_points
+            WHERE uuid = 'error' AND time >= {s} AND time < {e}
+            GROUP BY shiftleft(shiftright(time, {pw}), {pw})
+            """
+        )
+    finally:
+        db.unhook_sql()
+    assert any("rollups" in f for f in df.inputFiles()), (
+        "plain spark.sql text was not served from the ladder"
+    )
+    assert spark.sql.__name__ == "sql", "session sql entry point not restored"
+    return df.select(
+        "time", "vmin", F.round("mean", 6).alias("vmean"), "vmax", "cnt"
+    )
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/email/digit-run scrubbing with per-doc redaction counts."""
     from btrdb_server_spark.functions.text import text_scrub
@@ -5070,56 +5109,56 @@ _keyed_state_8 = _state_partitions(8)
 # constant IS that window. scripts/rotate_window.py regenerates it each
 # round; tests/test_window.py pins dict order to it.
 DRIVER_WINDOW: list[str] = [
-    "aligned_windows",
-    "align_windowed",
-    "multistream_align",
-    "nearest_before",
-    "streaming_hll",
-    "streaming_quantile",
-    "streaming_coverage",
-    "ngram_coverage",
-    "forecast_revenue",
-    "hist_quantiles",
-    "cluster_purity",
-    "kmv_set_ops",
-    "tail_index",
-    "group_sample",
-    "error_budget",
-    "incident_report",
-    "top_movers",
-    "quality_curve",
-    "granger_lite",
-    "sax_motifs",
-    "k_anonymity",
-    "target_encode",
-    "hashed_features",
-    "split_report",
-    "curation_pipeline",
-    "hour_dow_heatmap",
-    "var_cvar",
-    "mix_entropy",
-    "user_novelty",
-    "rerank_fusion",
-    "discount_elasticity",
-    "embedding_drift",
-    "vocab_growth",
-    "skyline_parts",
-    "weekend_effect",
-    "collection_tree",
-    "market_concentration",
-    "gap_histogram",
-    "halfway_point",
-    "mode_value",
-    "tukey_outliers",
-    "lang_confusion",
-    "hourly_conversion",
-    "repurchase_intervals",
-    "ship_delay_profile",
-    "boilerplate_ngrams",
-    "order_backlog",
-    "lake_integrity",
-    "session_conversion",
-    "graph_summary",
+    "nearest_after",
+    "buffer_read_your_writes",
+    "insert_cap",
+    "store_compact",
+    "source_profile",
+    "bbit_minhash",
+    "dup_rate_by_source",
+    "kmv_daily",
+    "segment_spend_profile",
+    "round_number_bias",
+    "spend_trajectory",
+    "basket_diversity",
+    "lexical_diversity",
+    "delay_by_priority",
+    "activity_histogram",
+    "simhash_pairs",
+    "lsh_recall_eval",
+    "product_profit",
+    "media_features",
+    "windows_quantile_ladder",
+    "bigram_perplexity",
+    "dedup_stats",
+    "supplier_scorecard",
+    "weighted_sample",
+    "ivf_recall_curve",
+    "label_noise_screen",
+    "psi_timeline",
+    "dedup_threshold_curve",
+    "pack_efficiency",
+    "rate_anomaly",
+    "decimate_envelope",
+    "aligned_quantiles",
+    "buffer_query_version",
+    "dedup_clusters",
+    "exact_dedup",
+    "late_data_rollup",
+    "lang_id",
+    "minhash_verified_pairs",
+    "minhash_lsh_pairs",
+    "store_aligned_windows",
+    "store_nearest",
+    "streaming_rollup_serve",
+    "text_stats",
+    "token_entropy",
+    "store_changes",
+    "store_delete_range",
+    "aligned_windows_all_rollup",
+    "minhash_signatures",
+    "token_freq",
+    "ann_ivf_topk",
 ]
 
 
@@ -5145,6 +5184,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- DRIVER WINDOW: positions 1-50 (driver checks first 50;
         # regenerated by scripts/rotate_window.py) ----
+        "nearest_after": q_nearest_after,
+        "buffer_read_your_writes": q_buffer_read_your_writes,
+        "insert_cap": q_insert_cap,
+        "store_compact": q_store_compact,
+        "source_profile": q_source_profile,
+        "bbit_minhash": q_bbit_minhash,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "kmv_daily": q_kmv_daily,
+        "segment_spend_profile": q_segment_spend_profile,
+        "round_number_bias": q_round_number_bias,
+        "spend_trajectory": q_spend_trajectory,
+        "basket_diversity": q_basket_diversity,
+        "lexical_diversity": q_lexical_diversity,
+        "delay_by_priority": q_delay_by_priority,
+        "activity_histogram": q_activity_histogram,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "product_profit": q_product_profit,
+        "media_features": q_media_features,
+        "windows_quantile_ladder": q_windows_quantile_ladder,
+        "bigram_perplexity": q_bigram_perplexity,
+        "dedup_stats": q_dedup_stats,
+        "supplier_scorecard": q_supplier_scorecard,
+        "weighted_sample": q_weighted_sample,
+        "ivf_recall_curve": q_ivf_recall_curve,
+        "label_noise_screen": q_label_noise_screen,
+        "psi_timeline": q_psi_timeline,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "pack_efficiency": q_pack_efficiency,
+        "rate_anomaly": q_rate_anomaly,
+        "decimate_envelope": q_decimate_envelope,
+        "aligned_quantiles": q_aligned_quantiles,
+        "buffer_query_version": q_buffer_query_version,
+        "dedup_clusters": q_dedup_clusters,
+        "exact_dedup": q_exact_dedup,
+        "late_data_rollup": q_late_data_rollup,
+        "lang_id": q_lang_id,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "store_aligned_windows": q_store_aligned_windows,
+        "store_nearest": q_store_nearest,
+        "streaming_rollup_serve": q_streaming_rollup_serve,
+        "text_stats": q_text_stats,
+        "token_entropy": q_token_entropy,
+        "store_changes": q_store_changes,
+        "store_delete_range": q_store_delete_range,
+        "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
+        "minhash_signatures": q_minhash_signatures,
+        "token_freq": q_token_freq,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # ---- position 51+: banked green or locally verified ----
         "aligned_windows": q_aligned_windows,
         "align_windowed": q_align_windowed,
         "multistream_align": q_multistream_align,
@@ -5195,7 +5285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_integrity": q_lake_integrity,
         "session_conversion": q_session_conversion,
         "graph_summary": q_graph_summary,
-        # ---- position 51+: banked green or locally verified ----
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_paths": q_top_paths,
@@ -5296,27 +5385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pagerank": q_copurchase_pagerank,
         "periodogram": q_periodogram,
         "holt_forecast": q_holt_forecast,
-        "decimate_envelope": q_decimate_envelope,
-        "aligned_quantiles": q_aligned_quantiles,
-        "buffer_query_version": q_buffer_query_version,
-        "buffer_read_your_writes": q_buffer_read_your_writes,
-        "dedup_clusters": q_dedup_clusters,
         "delete_range": q_delete_range,
-        "exact_dedup": q_exact_dedup,
-        "insert_cap": q_insert_cap,
-        "late_data_rollup": q_late_data_rollup,
-        "lang_id": q_lang_id,
         "metadata_usage": q_metadata_usage,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "store_aligned_windows": q_store_aligned_windows,
-        "store_compact": q_store_compact,
-        "store_nearest": q_store_nearest,
-        "streaming_rollup_serve": q_streaming_rollup_serve,
-        "text_stats": q_text_stats,
-        "token_entropy": q_token_entropy,
-        "store_changes": q_store_changes,
-        "store_delete_range": q_store_delete_range,
         "windows_depth": q_windows_depth,
         "windows_rollup": q_windows_rollup,
         "repetition_stats": q_repetition_stats,
@@ -5367,7 +5437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": _small_state(q_streaming_ewma),
         "streaming_dedup": _small_state(q_streaming_dedup),
         "streaming_stat_state": _keyed_state_16(q_streaming_stat_state),
-        "ann_ivf_topk": q_ann_ivf_topk,
         "rollup_rewrite": q_rollup_rewrite,
         "list_collections": q_list_collections,
         "streaming_ingest": q_streaming_ingest,
@@ -5376,6 +5445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_stat_merge": q_buffer_stat_merge,
         "windows_rewrite": q_windows_rewrite,
         "sql_rollup_serve": q_sql_rollup_serve,
+        "sql_hook_rollup": q_sql_hook_rollup,
         "registry_obliterate": q_registry_obliterate,
         "raw_values": q_raw_values,
         "store_version_travel": q_store_version_travel,
@@ -5415,38 +5485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_select": q_dedup_select,
         "streaming_topk": _small_state(q_streaming_topk),
         "aligned_windows_all": q_aligned_windows_all,
-        "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
-        "nearest_after": q_nearest_after,
         "changed_ranges_all": q_changed_ranges_all,
         "metadata_ann_usage": q_metadata_ann_usage,
-        "minhash_signatures": q_minhash_signatures,
-        "token_freq": q_token_freq,
-        "source_profile": q_source_profile,
-        "bbit_minhash": q_bbit_minhash,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "kmv_daily": q_kmv_daily,
-        "segment_spend_profile": q_segment_spend_profile,
-        "round_number_bias": q_round_number_bias,
-        "spend_trajectory": q_spend_trajectory,
-        "basket_diversity": q_basket_diversity,
-        "lexical_diversity": q_lexical_diversity,
-        "delay_by_priority": q_delay_by_priority,
-        "activity_histogram": q_activity_histogram,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        "product_profit": q_product_profit,
-        "media_features": q_media_features,
-        "windows_quantile_ladder": q_windows_quantile_ladder,
-        "bigram_perplexity": q_bigram_perplexity,
-        "dedup_stats": q_dedup_stats,
-        "supplier_scorecard": q_supplier_scorecard,
-        "weighted_sample": q_weighted_sample,
-        "ivf_recall_curve": q_ivf_recall_curve,
-        "label_noise_screen": q_label_noise_screen,
-        "psi_timeline": q_psi_timeline,
-        "dedup_threshold_curve": q_dedup_threshold_curve,
-        "pack_efficiency": q_pack_efficiency,
-        "rate_anomaly": q_rate_anomaly,
     }
 
 
@@ -6924,6 +6964,21 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS vmax, count(*) AS cnt
             FROM pts
             WHERE uuid = 'click'
+              AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Same quantized-mean contract as sql_rollup_serve, but the Spark
+        # side runs PLAIN spark.sql under db.hook_sql() — proving the
+        # session-level rewrite hook serves ladder answers for raw SQL text.
+        "sql_hook_rollup": f"""
+            {PTS_CTE}
+            SELECT ((time >> 40) << 40) AS time,
+                   min(value) AS vmin,
+                   round((sum(CAST(round(value / 0.01) AS BIGINT)) * 0.01)
+                         / count(*), 6) AS vmean,
+                   max(value) AS vmax, count(*) AS cnt
+            FROM pts
+            WHERE uuid = 'error'
               AND time >= {(T_2024 >> 40) << 40} AND time < {(T_2025 >> 40) << 40}
             GROUP BY 1 ORDER BY 1
         """,

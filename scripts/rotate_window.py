@@ -125,9 +125,18 @@ def plan() -> tuple[list[str], list[str], list[str]]:
     fill = never[: WINDOW_SIZE - len(anchors)]
     window = anchors + fill
     if len(window) < WINDOW_SIZE:
+        # Re-validation slots: banked-then-changed entries first (their
+        # green rows are stale evidence — tools/impl_drift.py; round-8
+        # verdict task), then oldest-banked. Within each group, oldest
+        # banking round first.
+        from tools import impl_drift
+
+        lv_path = os.path.join(REPO, "tools", "local_verified.json")
+        local = json.load(open(lv_path)) if os.path.exists(lv_path) else {}
+        stale = set(impl_drift.stale_banked(local))
         oldest = sorted(
             (n for n in names if n in lat and n not in window),
-            key=lambda n: lat[n][0],
+            key=lambda n: (n not in stale, lat[n][0]),
         )
         window += oldest[: WINDOW_SIZE - len(window)]
     assert len(window) == WINDOW_SIZE

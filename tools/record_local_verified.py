@@ -22,6 +22,13 @@ OUT = os.path.join(REPO, "tools", "local_verified.json")
 
 
 def main() -> int:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry_mod
+    from tools import impl_drift
+
+    qs = entry_mod.queries()
+    entry_src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+
     log_path = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     existing = json.load(open(OUT)) if os.path.exists(OUT) else {}
@@ -38,6 +45,14 @@ def main() -> int:
             "checked": stamp,
             "via": "scripts/check_driver.py (bit-exact driver-replica)",
         }
+        # Bind the verification to the implementation it proved: the
+        # fingerprint (q_ fn source sha + engine-module blob hashes) lets
+        # impl_drift clear banked-then-changed staleness only while the
+        # implementation is still the one this check ran against.
+        if name in qs:
+            existing[name]["impl"] = impl_drift.fingerprint(
+                qs[name].__name__, entry_src
+            )
         n += 1
     with open(OUT, "w") as f:
         json.dump(existing, f, indent=1, sort_keys=True)

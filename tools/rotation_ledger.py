@@ -91,6 +91,25 @@ def build_ledger() -> dict:
             problems.append(f"{name}: no oracle_sql() entry")
         ledger[name] = rec
 
+    # Banked-then-changed detection (round-8 verdict): a green driver row
+    # is stale evidence once the entry's implementation changes. Stale
+    # entries must be re-proven — either a local bit-exact re-verification
+    # at the CURRENT implementation (fingerprint match clears it inside
+    # stale_banked) or a slot in the current driver window.
+    from tools import impl_drift
+
+    stale = impl_drift.stale_banked(local)
+    for name, info in stale.items():
+        if name in ledger:
+            ledger[name]["stale"] = info["changed"]
+        if name in window:
+            continue  # being re-validated by the driver this round
+        problems.append(
+            f"{name}: banked r{info['banked_round']:02d} but implementation "
+            f"changed since ({', '.join(info['changed'])}) and no "
+            "fingerprint-matching local re-verification"
+        )
+
     counts: dict[str, int] = {}
     for rec in ledger.values():
         key = rec["status"].split()[0]
@@ -99,6 +118,7 @@ def build_ledger() -> dict:
         "entries": ledger,
         "counts": counts,
         "window_size": len(window),
+        "stale_banked": sorted(n for n in stale if n not in window),
         "problems": problems,
     }
 
