@@ -308,13 +308,22 @@ class PointStore:
 
     # --------------------------------------------------------------- reads --
 
+    # On-disk plane: (uuid, time, value) data columns under
+    # ins_ver=/uuid_bucket= partition dirs. The schema is EXPLICIT on every
+    # read — no footer sampling per query, and a generation whose rewrite
+    # set was empty (e.g. a compaction folding a fully-tombstoned tail)
+    # reads as an empty DataFrame instead of failing schema inference.
+    _READ_SCHEMA = (
+        "uuid string, time long, value double, ins_ver long, uuid_bucket long"
+    )
+
     def _raw_points(self) -> DataFrame:
         if not self._read_manifest().get("has_points"):
-            return self.spark.createDataFrame(
-                [], "uuid string, time long, value double, ins_ver long, uuid_bucket long"
-            )
-        return self.spark.read.option("basePath", self.points_path).parquet(
-            self.points_path
+            return self.spark.createDataFrame([], self._READ_SCHEMA)
+        return (
+            self.spark.read.schema(self._READ_SCHEMA)
+            .option("basePath", self.points_path)
+            .parquet(self.points_path)
         )
 
     def _deletes(self) -> Optional[DataFrame]:

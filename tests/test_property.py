@@ -949,3 +949,46 @@ def test_store_mvcc_matches_model(spark, ops, tmp_path_factory):
     if compacted > 1:
         with pytest.raises(BTrDBError):
             store.points_at(compacted - 1).collect()
+
+
+@given(
+    pts=points_strategy,
+    n_streams=st.integers(1, 6),
+    dlo=st.integers(T0, T1),
+    dhi=st.integers(T0, T1),
+    tail=points_strategy,
+)
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_compact_equals_full_rewrite(
+    spark, tmp_path_factory, pts, n_streams, dlo, dhi, tail
+):
+    """Randomized equivalence of the two compaction paths: base-compact,
+    then a random mix of inserts (spread over several streams) and a range
+    delete, folded once INCREMENTALLY (touched buckets + hard-linked
+    carry) and once via full=True full rewrite — identical multisets, and
+    both equal to the uncompacted read."""
+    from btrdb_server_spark.store import PointStore
+
+    dlo, dhi = min(dlo, dhi), max(dlo, dhi) + 1
+
+    def build(path, full):
+        store = PointStore(spark, path, num_buckets=8)
+        store.insert_many(
+            spark.createDataFrame(
+                [(f"s{i % n_streams}", t, v) for i, (t, v) in enumerate(pts)],
+                "uuid string, time long, value double",
+            )
+        )
+        store.compact()  # establish the base
+        store.insert("s0", [(t, v) for t, v in tail], enforce_batch_cap=False)
+        store.delete_range("s1" if n_streams > 1 else "s0", dlo, dhi)
+        store.compact(full=full)
+        return sorted(
+            (r.uuid, r.time, r.value) for r in store.points_at().collect()
+        )
+
+    base = tmp_path_factory.mktemp("cmp")
+    incr = build(str(base / "incr"), full=False)
+    full = build(str(base / "full"), full=True)
+    assert incr == full

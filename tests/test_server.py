@@ -87,6 +87,17 @@ def test_wire_stat_and_nearest(srv):
     })
     assert sum(v["count"] for p in w for v in p["values"]) == 64
 
+    # A2 count=0 holes stream cleanly: null stats are OMITTED (proto3
+    # JSON absent-equals-default), count present and zero.
+    wh = call(srv, "Windows", {
+        "uuid": "w1", "start": 100, "end": 228, "width": 32, "depth": 0,
+    })
+    vals = [v for p in wh for v in p["values"]]
+    assert [v["count"] for v in vals] == [32, 32, 0, 0]
+    holes = [v for v in vals if v["count"] == 0]
+    assert all("min" not in v and "mean" not in v for v in holes)
+    assert all(v["time"] in (100, 132, 164, 196) for v in vals)
+
     near = call(srv, "Nearest", {"uuid": "w1", "time": 150, "backward": True})
     assert near["value"] == {"time": 149, "value": 49.0}
     miss = call(srv, "Nearest", {"uuid": "w1", "time": 50, "backward": True})
@@ -224,7 +235,10 @@ def test_wire_streams_pages_without_driver_materialization(srv, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", boom)
     pages = call(srv, "RawValues", {"uuid": "big1", "start": 0, "end": 10**9})
     assert all(p["stat"]["code"] == 0 for p in pages)
-    assert [len(p["values"]) for p in pages] == [5000, 5000, 2000]
+    # 5000 is a MAX batch size (serve.go:63-68): partition-boundary pages
+    # may run short, but no page overflows and nothing is lost/reordered.
+    sizes = [len(p["values"]) for p in pages]
+    assert max(sizes) <= 5000 and len(pages) >= 3
     times = [v["time"] for p in pages for v in p["values"]]
     assert times == list(range(12_000))
 

@@ -393,7 +393,9 @@ def test_fresh_versions_use_sentinel_bucket_lsm_layout(spark, tmp_path):
     plan = jqe.explainString(mode)
     import re as _re
 
-    m = _re.search(r"\(uuid_bucket#\d+ = -1\) OR \(uuid_bucket#\d+ = \d+\)", plan)
+    m = _re.search(
+        r"\(uuid_bucket#\d+L? = -1\) OR \(uuid_bucket#\d+L? = \d+\)", plan
+    )
     assert m, f"fresh-or-bucket partition predicate missing:\n{plan}"
     # after compact, the live generation (points_path resolves through the
     # manifest pointer) holds real buckets and no sentinel dir

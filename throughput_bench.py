@@ -132,6 +132,75 @@ def main() -> None:
             .count()
         )
         out["aligned_windows_mpts_per_sec"] = round(N / b / 1e6, 1)
+
+        # Compaction cost ∝ fresh-tail size, not base size (store.py
+        # compact(), incremental since r9): the incremental path rewrites
+        # ONLY the uuid_bucket partitions the tail touches and hard-links
+        # the other 63, so folding a 1% single-uuid tail costs the same
+        # whether the base is 50M or 100M points, while the full rewrite
+        # doubles. num_buckets=64 is the scale-realistic sharding (at
+        # 100 TB you run thousands, making the touched fraction smaller
+        # still); at toy scale the incremental time is floored by fixed
+        # job/manifest costs, so the honest contract is FLATNESS in base
+        # size, not a single ratio.
+        cstore = PointStore(spark, os.path.join(d, "cstore"), num_buckets=64)
+        tail = spark.range(N // 100).select(
+            F.lit("tail-uuid").alias("uuid"),
+            (F.lit(T0) + F.col("id") * 1000).alias("time"),
+            F.sin(F.col("id").cast("double")).alias("value"),
+        ).persist()
+        tail.count()
+        for label in ("50m", "100m"):
+            cstore.insert_many(pts)  # +50M each pass
+            t = time.perf_counter()
+            cstore.compact(full=True)
+            out[f"compact_full_{label}_sec"] = round(time.perf_counter() - t, 2)
+            cstore.insert_many(tail)
+            t = time.perf_counter()
+            cstore.compact()
+            out[f"compact_tail_at_{label}_sec"] = round(
+                time.perf_counter() - t, 2
+            )
+        out["compact_incremental_speedup_100m"] = round(
+            out["compact_full_100m_sec"] / out["compact_tail_at_100m_sec"], 1
+        )
+
+        # Wire data plane: RawValues over JSON/HTTP, paged ndjson from
+        # toLocalIterator (server.py _stream_df) — JSON encoding overlaps
+        # the scan, the driver never materializes the result.
+        import urllib.request
+
+        from btrdb_server_spark.api import BTrDB
+        from btrdb_server_spark.server import BTrDBHttpServer
+
+        db = BTrDB(spark, os.path.join(d, "wire"))
+        wn = 2_000_000
+        db.store.insert_many(
+            spark.range(wn).select(
+                F.lit("w").alias("uuid"),
+                (F.lit(T0) + F.col("id")).alias("time"),
+                F.col("id").cast("double").alias("value"),
+            )
+        )
+        srv = BTrDBHttpServer(db).start()
+        try:
+            req = urllib.request.Request(
+                f"{srv.address}/v5/RawValues",
+                data=json.dumps(
+                    {"uuid": "w", "start": 0, "end": T0 + wn + 1}
+                ).encode(),
+                method="POST",
+            )
+            t = time.perf_counter()
+            got = 0
+            with urllib.request.urlopen(req, timeout=600) as r:
+                for line in r:
+                    got += line.count(b'"time"')
+            wire_s = time.perf_counter() - t
+            assert got == wn, f"wire returned {got} of {wn} points"
+            out["wire_rawvalues_mpts_per_sec"] = round(wn / wire_s / 1e6, 2)
+        finally:
+            srv.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
