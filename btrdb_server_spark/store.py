@@ -90,7 +90,12 @@ _WRITE_TUNING = {
 # Compaction cadence is therefore the operating knob, exactly as in any
 # LSM store: fold the tail (compact()) when uncompacted versions
 # accumulate past a few dozen, bearing in mind compact() intentionally
-# trades version addressability below the compaction point.
+# trades version addressability below the compaction point. Folding is
+# itself tail-priced (r9): once a base exists, compact() rewrites only
+# the uuid_bucket partitions owning a fresh or tombstoned uuid and
+# hard-links the rest into the new generation — measured flat in base
+# size (1% tail: 1.7 s at a 50M base, 2.2 s at 100M, while a full
+# rewrite doubles 7.0 -> 14.7 s; throughput_bench.py).
 FRESH_BUCKET = -1  # sentinel uuid_bucket partition for not-yet-compacted versions
 
 
