@@ -243,6 +243,47 @@ def test_wire_streams_pages_without_driver_materialization(srv, monkeypatch):
     assert times == list(range(12_000))
 
 
+def test_wire_arrow_bulk_lane(srv):
+    """The Arrow IPC extension lane: one valid IPC stream per request,
+    produced executor-side (driver work O(batches)); values bit-identical
+    to the JSON lane; an empty range answers schema-then-EOS (zero
+    batches), not an error."""
+    import pyarrow as pa
+
+    req = urllib.request.Request(
+        f"{srv.address}/v5/ArrowRawValues",
+        data=json.dumps({"uuid": "big1", "start": 0, "end": 10**9}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "application/vnd.apache.arrow.stream"
+        tbl = pa.ipc.open_stream(r.read()).read_all()
+    assert tbl.schema.names == ["time", "value"]
+    assert tbl.num_rows == 12_000
+    assert sorted(tbl.column("time").to_pylist()) == list(range(12_000))
+
+    stat = urllib.request.Request(
+        f"{srv.address}/v5/ArrowAlignedWindows",
+        data=json.dumps({"uuid": "big1", "start": 0, "end": 1 << 14,
+                         "pointWidth": 12}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(stat, timeout=300) as r:
+        stbl = pa.ipc.open_stream(r.read()).read_all()
+    assert stbl.schema.names == ["time", "min", "mean", "max", "count"]
+    assert sum(stbl.column("count").to_pylist()) == 12_000
+
+    empty = urllib.request.Request(
+        f"{srv.address}/v5/ArrowRawValues",
+        data=json.dumps({"uuid": "big1", "start": 10**17,
+                         "end": 10**17 + 1}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(empty, timeout=300) as r:
+        etbl = pa.ipc.open_stream(r.read()).read_all()
+    assert etbl.num_rows == 0 and etbl.schema.names == ["time", "value"]
+
+
 def test_wire_generate_csv_proto_shape(srv):
     """GenerateCSVParams exactly as btrdb.proto:269-282: queryType +
     startTime/endTime + streams[{uuid,label,version}]. Raw merge follows
