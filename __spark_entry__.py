@@ -1796,6 +1796,38 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_values(store.stream_points("signup"), "signup", T_2024, t_end)
 
 
+def q_streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC subscription to the store (streaming/changefeed.py): two days
+    of signup points committed as two versions, then followed via the
+    checkpointed file-source changefeed (availableNow). Delivered rows
+    must be bit-equal to the raw slice, with ins_ver marking which commit
+    delivered each row — the Spark-native replacement for the reference
+    clients' poll-Changes sync loop (quasar.go:404-485)."""
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed
+
+    t_mid, t_end = T_2024 + DAY_NS, T_2024 + 2 * DAY_NS
+    work = _workdir(prefix="btrdb_cf_q_")
+    pts = load_points(spark, sf_dir, T_2024, t_end).where(
+        F.col("uuid") == "signup"
+    )
+    store = PointStore(spark, f"{work}/store")
+    store.insert_many(pts.where(F.col("time") < t_mid))
+    store.insert_many(pts.where(F.col("time") >= t_mid))
+    rows: list = []
+    q = (
+        changefeed(store)
+        .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        rows, "uuid string, time long, value double, ins_ver long"
+    ).orderBy("time")
+
+
 def q_streaming_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full loop: file-streamed ingest maintains the rollup ladder per
     micro-batch (partition-targeted folds), then AlignedWindows is served
@@ -5440,6 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_rewrite": q_rollup_rewrite,
         "list_collections": q_list_collections,
         "streaming_ingest": q_streaming_ingest,
+        "streaming_changefeed": q_streaming_changefeed,
         "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "buffer_stat_merge": q_buffer_stat_merge,
@@ -8086,6 +8119,18 @@ def oracle_sql() -> dict[str, str]:
             {PTS_CTE}
             SELECT time, value FROM pts
             WHERE uuid = 'signup' AND time >= {T_2024} AND time < {T_2024 + 2 * DAY_NS}
+            ORDER BY time
+        """,
+        # Changefeed delivery == the raw slice; ins_ver marks which of the
+        # two commits (split at t_mid) delivered each row.
+        "streaming_changefeed": f"""
+            {PTS_CTE}
+            SELECT uuid, time, value,
+                   CAST(CASE WHEN time < {T_2024 + DAY_NS} THEN 1 ELSE 2 END
+                        AS BIGINT) AS ins_ver
+            FROM pts
+            WHERE uuid = 'signup' AND time >= {T_2024}
+              AND time < {T_2024 + 2 * DAY_NS}
             ORDER BY time
         """,
         "streaming_rollup_serve": f"""

@@ -414,6 +414,17 @@ class BTrDB:
 
         return sql_op(self, text)
 
+    def changefeed(self, include_version: bool = True,
+                   max_files_per_trigger: Optional[int] = None) -> DataFrame:
+        """Streaming CDC of committed inserts — a readStream subscription
+        to the store's fresh-version sentinel dirs (insert-only; see
+        streaming/changefeed.py for the delete/compaction caveats). The
+        Spark-native replacement for the reference clients' poll-Changes
+        sync loop (quasar.go:404-485)."""
+        from btrdb_server_spark.streaming.changefeed import changefeed as cf
+
+        return cf(self.store, include_version, max_files_per_trigger)
+
     def hook_sql(self, prefix: str = "btrdb") -> None:
         """Wrap this session's PLAIN ``spark.sql`` so canonical aligned-stat
         SQL text is served from the rollup ladder without routing through

@@ -475,3 +475,44 @@ def test_streaming_ingest_auto_compaction_cadence(spark, tmp_path):
     first = pts_root / sorted(os.listdir(pts_root))[0]
     buckets = [b for b in os.listdir(first) if (first / b).is_dir()]
     assert buckets and f"uuid_bucket={FRESH_BUCKET}" not in buckets
+
+
+def test_changefeed_streams_committed_inserts_only(spark, tmp_path):
+    """streaming/changefeed.py: a file-source subscription to the fresh
+    sentinel dirs delivers every committed insert exactly once (version
+    column from the path), resumes incrementally from its checkpoint,
+    and never re-emits rewritten history after deletes/compaction."""
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert("a", [(1, 1.0), (2, 2.0)])
+    store.insert("b", [(5, 5.0)])
+    feed = changefeed(store)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(name):
+        rows = []
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda b, _id: rows.extend(b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {(r.uuid, r.time, r.value, r.ins_ver) for r in rows}
+
+    assert drain("cf1") == {
+        ("a", 1, 1.0, 1), ("a", 2, 2.0, 1), ("b", 5, 5.0, 2),
+    }
+    store.insert("a", [(9, 9.0)])
+    assert drain("cf2") == {("a", 9, 9.0, 3)}  # incremental: new rows only
+    # a delete mints a version but the feed is insert-only, and the
+    # compaction fold's rewritten history lands in hash-bucket dirs the
+    # sentinel glob never matches — neither may re-emit anything
+    store.delete_range("a", 0, 2)
+    store.compact()
+    store.insert("b", [(7, 7.0)])
+    v = store.version
+    assert drain("cf3") == {("b", 7, 7.0, v)}
