@@ -42,7 +42,10 @@ def changefeed(
 ) -> DataFrame:
     """Streaming DataFrame of committed inserts (uuid, time, value
     [, ins_ver]) across ALL streams of a PointStore. Filter by uuid for a
-    per-stream subscription — the predicate prunes at the file listing.
+    per-stream subscription — the predicate pushes into the parquet scan,
+    where the (uuid, time)-sorted files' row-group stats prune it (file-
+    LEVEL pruning would need uuid in the path, which the sentinel layout
+    deliberately avoids on the hot write path; store.py:212-226).
 
     `max_files_per_trigger`: bound micro-batch size (one committed version
     is >= 1 file); None processes everything available each trigger."""
@@ -58,11 +61,16 @@ def changefeed(
     if include_version:
         # The sentinel glob defeats directory-partition discovery (the
         # generation dir between basePath and ins_ver= is not key=value),
-        # so the committing version is recovered from the file path.
+        # so the committing version is recovered from the file path — via
+        # the DETERMINISTIC hidden _metadata.file_path column, never
+        # input_file_name(): a nondeterministic projection blocks filter
+        # pushdown above it, which would turn every per-stream
+        # subscription (.where(uuid = ...)) into a full scan of each
+        # micro-batch (pinned by tests/test_plans.py).
         df = df.withColumn(
             "ins_ver",
-            F.regexp_extract(F.input_file_name(), r"ins_ver=(\d+)", 1).cast(
-                "long"
-            ),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"ins_ver=(\d+)", 1
+            ).cast("long"),
         )
     return df

@@ -817,3 +817,61 @@ def test_hot_shingle_skew_is_bounded_by_df_cap(spark):
     }
     # docs 100/101: shingles {xyz, yzw, zwq|zwr} -> inter 2, union 4.
     assert got == {(100, 101): 0.5}
+
+
+def test_incremental_compact_scan_is_partition_pruned(spark, tmp_path):
+    """The incremental compact's rewrite scan must carry a uuid_bucket
+    partition filter admitting ONLY the fresh sentinel plus the touched
+    buckets — at a 100 TB base that filter is the difference between a
+    tail-sized maintenance job and a full-store read. Pinned by building
+    the same prefiltered plan compact() plans internally."""
+    from pyspark.sql import functions as SF
+
+    from btrdb_server_spark.store import FRESH_BUCKET, PointStore
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=8)
+    store.insert_many(
+        spark.createDataFrame(
+            [(f"u{i}", t, 1.0) for i in range(16) for t in range(4)],
+            "uuid string, time long, value double",
+        )
+    )
+    store.compact()
+    store.insert("u3", [(99, 9.0)])
+    b3 = spark.range(1).select(
+        SF.pmod(SF.xxhash64(SF.lit("u3")), SF.lit(8)).alias("b")
+    ).collect()[0].b
+    pred = SF.col("uuid_bucket").isin([FRESH_BUCKET, int(b3)])
+    plan = plan_of(store.points_at(None, prefilter=pred))
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[[^\]]*uuid_bucket[^\]]*\]", plan)
+    assert m, f"uuid_bucket prefilter did not reach PartitionFilters:\n{plan}"
+    assert str(FRESH_BUCKET) in m.group(0) and str(b3) in m.group(0)
+
+
+def test_changefeed_uuid_filter_pushes_to_scan(spark, tmp_path):
+    """A per-stream changefeed subscription pushes the uuid predicate into
+    the parquet scan (row-group pruning via the (uuid, time)-sorted file
+    stats) — the feed never filters driver-side."""
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert("a", [(1, 1.0)])
+    store.insert("b", [(2, 2.0)])
+    rows = []
+    q = (
+        changefeed(store).where(F.col("uuid") == "a")
+        .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # the micro-batch's physical plan lives on the streaming query, not on
+    # the (ExistingRDD-wrapped) DataFrame foreachBatch receives
+    plan = q._jsq.explainInternal(True)
+    assert [(r.uuid, r.time) for r in rows] == [("a", 1)]
+    assert "PushedFilters" in plan and "EqualTo(uuid,a)" in plan, (
+        f"uuid filter not pushed to the feed scan:\n{plan}"
+    )
