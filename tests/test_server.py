@@ -243,6 +243,36 @@ def test_wire_streams_pages_without_driver_materialization(srv, monkeypatch):
     assert times == list(range(12_000))
 
 
+def test_wire_slow_client_drain_does_not_block_other_rpcs(srv):
+    """The request lock is scoped to planning + the first page: a client
+    that stalls mid-drain (response socket open, barely read) must not
+    wedge the server — reads AND facade mutations on other connections
+    complete while the stalled drain is pending."""
+    import http.client
+    import time
+
+    host = srv.address.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=300)
+    conn.request(
+        "POST", "/v5/RawValues",
+        body=json.dumps({"uuid": "big1", "start": 0, "end": 10**9}),
+    )
+    resp = conn.getresponse()
+    assert resp.read(64)  # leave the rest unread: drain is now stalled
+    try:
+        t0 = time.perf_counter()
+        info = call(srv, "Info", {})
+        ins = call(srv, "Insert", {"uuid": "big1", "sync": True, "values": [
+            {"time": 10**15, "value": 1.0},
+        ]})
+        assert info["build"] == "btrdb_server_spark"
+        assert ins["stat"]["code"] == 0
+        assert time.perf_counter() - t0 < 60
+    finally:
+        resp.read()
+        conn.close()
+
+
 def test_wire_arrow_bulk_lane(srv):
     """The Arrow IPC extension lane: one valid IPC stream per request,
     produced executor-side (driver work O(batches)); values bit-identical
