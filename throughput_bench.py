@@ -21,7 +21,7 @@ import shutil
 import tempfile
 import time
 
-N = 50_000_000
+N = int(os.environ.get("SPARK_GRAFT_TP_N", 50_000_000))  # smoke: set ~2M
 T0 = 1_704_067_200_000_000_000
 
 
@@ -199,6 +199,23 @@ def main() -> None:
             wire_s = time.perf_counter() - t
             assert got == wn, f"wire returned {got} of {wn} points"
             out["wire_rawvalues_mpts_per_sec"] = round(wn / wire_s / 1e6, 2)
+
+            # Arrow IPC bulk lane: binary columnar, executor-serialized
+            import pyarrow as pa
+
+            areq = urllib.request.Request(
+                f"{srv.address}/v5/ArrowRawValues",
+                data=json.dumps(
+                    {"uuid": "w", "start": 0, "end": T0 + wn + 1}
+                ).encode(),
+                method="POST",
+            )
+            t = time.perf_counter()
+            with urllib.request.urlopen(areq, timeout=600) as r:
+                tbl = pa.ipc.open_stream(r.read()).read_all()
+            arrow_s = time.perf_counter() - t
+            assert tbl.num_rows == wn
+            out["wire_arrow_mpts_per_sec"] = round(wn / arrow_s / 1e6, 2)
         finally:
             srv.stop()
     finally:
