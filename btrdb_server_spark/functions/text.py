@@ -965,3 +965,57 @@ def bigram_perplexity(
         "ll",
         _exp(-(F.col("ll") / F.col("n_bigrams").cast("double"))).alias("ppl"),
     ).orderBy(id_col)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) fingerprint
+    profile: hash every word k-gram, slide a window of w consecutive
+    hashes, select the minimum of each window — the distinct selected
+    values are the document's fingerprint set. Guarantee: any two docs
+    sharing a token run of length >= w + k - 1 share a fingerprint, with
+    expected density 2/(w+1) — position-robust local fingerprints where
+    rolling_fingerprint above is a single order-sensitive whole-doc hash.
+
+    Pure column expressions, single map-side pass, no shuffle until the
+    final presentation sort: the k-gram hash array, the window-min
+    transform, and the distinct fold all run inside one codegen stage —
+    the per-doc cost is O(tokens·w) independent of corpus size."""
+    docs = ensure_parallelism(docs)
+    grams = ngrams_col(F.col(text_col), k)
+    # One hash column staged on its own projection (CollapseProject will
+    # not inline it into the multiple consumers below — see the 10x note
+    # in bench lore about expensive exprs inside HOF lambdas).
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    staged = docs.select(F.col(id_col), hashes.alias("hs"))
+    m = F.size(F.col("hs"))
+    wins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = staged.select(
+        F.col(id_col), m.cast("long").alias("n_grams"), wins.alias("wins")
+    )
+    fps = F.array_distinct(F.col("wins"))
+    n_wins = F.size(F.col("wins")).cast("long")
+    return staged.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        n_wins.alias("n_windows"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.when(
+            n_wins > 0, F.size(fps).cast("double") / n_wins.cast("double")
+        ).alias("fp_density"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+    ).orderBy(id_col)

@@ -1631,3 +1631,82 @@ def delay_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def cube_report(lineitem: DataFrame) -> DataFrame:
+    """Grouping-sets CUBE over (returnflag, linestatus): the detail rows,
+    both one-dimension rollups, and the grand total computed in ONE pass.
+    `gid` = grouping(l_returnflag)*2 + grouping(l_linestatus) (0 = detail,
+    3 = grand total) — spelled out instead of grouping_id() so the bit
+    order is pinned identically in the Spark plan and the SQL oracle.
+
+    Spark expands CUBE before the aggregate (Expand node: each input row
+    fans out to the 4 grouping sets, then ONE map-side-combined hash
+    aggregate) — no second pass over the fact table per rollup level,
+    which is the whole point at a 100 TB fact. Money stays exact integer
+    1e-4 units until the final division (same discipline as
+    pricing_summary above).
+
+    Reference: no OLAP plane in the engine (qtree serves time buckets
+    only) — SURVEY 2.12 warehouse-extension surface."""
+    cents = _h(F.col("l_extendedprice"))
+    disc_h = _h(F.col("l_discount"))
+    qty = F.round(F.col("l_quantity")).cast("long")
+    src = lineitem.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("qty"),
+        (cents * (F.lit(100) - disc_h)).alias("dp4"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = src.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("long")
+        .alias("gid"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum(dec("dp4")).alias("s_dp4"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        "gid",
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        (F.col("s_dp4").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+        "n_items",
+    ).orderBy(
+        "gid",
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
+    )
+
+
+def join_skew_audit(
+    fact: DataFrame, key_col: str = "l_partkey", top: int = 10
+) -> DataFrame:
+    """Join-key skew report: the `top` heaviest values of a join key with
+    their row count, share of the fact table, and ratio to the mean key
+    weight — the numbers that decide whether a shuffle join on this key
+    needs salting (skew_vs_mean >> 1 on a hot key) or AQE skew splitting.
+
+    Shape: one map-side-combined groupBy(key) (the only shuffle, carrying
+    one row per distinct key per task), a single-row global summary
+    broadcast back, and a TakeOrderedAndProject top-k — no global sort,
+    no second scan of the fact. At 100 TB the per-key table is the
+    key-cardinality, not the row count."""
+    per_key = fact.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    tot = per_key.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            key_col,
+            "cnt",
+            (d("cnt") / d("total")).alias("share"),
+            (d("cnt") * d("n_keys") / d("total")).alias("skew_vs_mean"),
+        )
+        .orderBy(F.col("cnt").desc(), key_col)
+        .limit(top)
+    )

@@ -886,3 +886,87 @@ def test_semantic_dedup_auto_k_with_non_dense_ids(spark):
     got = semantic_dedup(emb, threshold=0.999, target_cell=15)
     dups = [r.vec_id for r in got.collect() if r.is_dup]
     assert dups == [10_000 + 7 * 60]
+
+
+# ---------------------------------------------------------------- r9 ops --
+
+
+def _li_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_partkey long",
+    )
+
+
+def test_cube_report_grouping_sets(spark):
+    """One CUBE pass emits detail rows (gid=0), both one-dim rollups
+    (gid=1,2) and the grand total (gid=3), with exact integer money."""
+    from btrdb_server_spark.operators.olap import cube_report
+
+    li = _li_df(
+        spark,
+        [
+            ("A", "F", 2.0, 100.00, 0.10, 1),
+            ("A", "O", 3.0, 200.00, 0.00, 1),
+            ("N", "F", 5.0, 50.00, 0.50, 1),
+        ],
+    )
+    rows = {(r.gid, r.l_returnflag, r.l_linestatus): r for r in cube_report(li).collect()}
+    assert len(rows) == 3 + 2 + 2 + 1  # detail + rf-rollup + ls-rollup + total
+    total = rows[(3, None, None)]
+    assert total.n_items == 3 and total.sum_qty == 10
+    assert abs(total.sum_disc_price - (90.0 + 200.0 + 25.0)) < 1e-9
+    a_roll = rows[(1, "A", None)]
+    assert a_roll.n_items == 2 and a_roll.sum_qty == 5
+
+
+def test_join_skew_audit_flags_hot_key(spark):
+    from btrdb_server_spark.operators.olap import join_skew_audit
+
+    li = _li_df(
+        spark,
+        [("A", "F", 1.0, 1.0, 0.0, 7)] * 8
+        + [("A", "F", 1.0, 1.0, 0.0, 1), ("A", "F", 1.0, 1.0, 0.0, 2)],
+    )
+    top = join_skew_audit(li, top=2).collect()
+    assert top[0].l_partkey == 7 and top[0].cnt == 8
+    assert abs(top[0].share - 0.8) < 1e-12
+    # 3 distinct keys, mean weight 10/3 -> hot key is 8/(10/3) = 2.4x mean
+    assert abs(top[0].skew_vs_mean - 2.4) < 1e-12
+
+
+def test_sorted_neighborhood_pairs_blocking(spark):
+    """Prefix-near docs in the same block pair up; a high-Jaccard doc whose
+    prefix lands in ANOTHER block is never compared (the documented
+    blocking recall trade)."""
+    from btrdb_server_spark.functions.dedup import sorted_neighborhood_pairs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"    # same prefix block
+    c = "zzz alpha beta gamma delta epsilon zeta eta"      # same tokens, other block
+    d = "totally different words about nothing shared here at all"
+    df = docs_df(spark, [a, b, c, d])
+    pairs = {(r.a, r.b): r.jaccard for r in sorted_neighborhood_pairs(df).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.7
+    assert not any(2 in p for p in pairs)  # cross-block: never a candidate
+
+
+def test_winnowing_fingerprints_profile(spark):
+    """Window-min fingerprinting: identical docs get identical profiles,
+    density tracks the 2/(w+1) expectation loosely, and sub-k docs emit the
+    documented zero/NULL profile."""
+    from btrdb_server_spark.functions.text import winnowing_fingerprints
+
+    long = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest tonight")
+    df = docs_df(spark, [long, long, "ab cd"])
+    rows = {r.doc_id: r for r in winnowing_fingerprints(df).collect()}
+    r0, r1, r2 = rows[0], rows[1], rows[2]
+    # k=3, w=4: n_grams = tokens-2, n_windows = n_grams-3
+    n_toks = len(long.split())
+    assert r0.n_grams == n_toks - 2 and r0.n_windows == r0.n_grams - 3
+    assert 0 < r0.n_fps <= r0.n_windows
+    assert (r0.n_fps, r0.fp_min, r0.fp_max) == (r1.n_fps, r1.fp_min, r1.fp_max)
+    assert r2.n_grams == 0 and r2.n_windows == 0 and r2.n_fps == 0
+    assert r2.fp_density is None and r2.fp_min is None

@@ -875,3 +875,32 @@ def test_changefeed_uuid_filter_pushes_to_scan(spark, tmp_path):
     assert "PushedFilters" in plan and "EqualTo(uuid,a)" in plan, (
         f"uuid filter not pushed to the feed scan:\n{plan}"
     )
+
+
+def test_cube_report_single_pass_expand(spark):
+    """CUBE must plan as one Expand + one hash aggregate over a single scan
+    of the fact — not one aggregation pass per grouping set. Exactly one
+    wide exchange (the post-Expand groupBy); money columns pruned to the
+    four needed."""
+    df = entry_mod.q_cube_report(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Expand") == 1
+    assert simple.count("Scan parquet") == 1
+    # one exchange for the grouped agg + the presentation sort's range
+    # exchange; no more
+    assert simple.count("Exchange hashpartitioning") == 1
+    plan = plan_of(df)
+    assert "partial" in plan.lower()  # map-side combine under the Expand
+
+
+def test_sorted_neighborhood_no_global_sort(spark):
+    """SNM must sort WITHIN hash-partitioned blocks (window over blk), never
+    range-partition the corpus into one global order, and the verify join
+    must be plain shuffled hash/sort-merge joins — no cartesian."""
+    df = entry_mod.q_sorted_neighborhood_pairs(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    # the only rangepartitioning allowed is the final presentation orderBy
+    # on (a, b) — the window itself must ride hashpartitioning(blk)
+    assert "hashpartitioning(blk" in simple
+    assert simple.count("Exchange rangepartitioning") <= 1
+    assert "CartesianProduct" not in simple and "NestedLoop" not in simple
