@@ -992,3 +992,53 @@ def test_incremental_compact_equals_full_rewrite(
     incr = build(str(base / "incr"), full=False)
     full = build(str(base / "full"), full=True)
     assert incr == full
+
+
+# ------------------------------------------------------- r9: winnowing --
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(docs=st.lists(_words, min_size=1, max_size=8))
+@SET
+def test_winnowing_matches_independent_python(spark, docs):
+    """functions/text.py winnowing_fingerprints vs a from-scratch Python
+    recomputation (same md5/8-hex-char hash, k=3 grams, w=4 window-min,
+    value-distinct selection) — every profile column bit-equal, including
+    the zero/NULL profile for sub-k docs and the MOSS density bound."""
+    import hashlib
+
+    from btrdb_server_spark.functions.text import winnowing_fingerprints
+
+    k, w = 3, 4
+
+    def profile(toks):
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        wins = [min(hs[i : i + w]) for i in range(len(hs) - w + 1)]
+        fps = set(wins)
+        return (
+            len(hs),
+            len(wins),
+            len(fps),
+            len(fps) / len(wins) if wins else None,
+            min(fps) if fps else None,
+            max(fps) if fps else None,
+        )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_windows, r.n_fps, r.fp_density, r.fp_min, r.fp_max)
+        for r in winnowing_fingerprints(df).collect()
+    }
+    for i, ts in enumerate(docs):
+        assert got[i] == profile(ts), f"doc {i}: {ts}"
