@@ -1822,7 +1822,13 @@ def q_streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # awaitTermination(timeout) returns False instead of raising: a
+        # partial `rows` would otherwise read as a (confusing) bit-exact
+        # mismatch, and the still-running query would leak into later
+        # entries sharing this session.
+        q.stop()
+        raise TimeoutError("changefeed drain exceeded 300s")
     return spark.createDataFrame(
         rows, "uuid string, time long, value double, ins_ver long"
     ).orderBy("time")

@@ -197,9 +197,13 @@ class BTrDBHttpServer:
         if stream is not None and isinstance(first, (bytes, bytearray)):
             # Arrow IPC bulk lane (rpc_Arrow*): raw binary chunks. Errors
             # at plan/launch time were already answered as a JSON stat
-            # payload above; a mid-drain failure can only truncate the
-            # stream, which the client's IPC reader detects (an IPC stream
-            # ends with an explicit EOS marker, so truncation is loud).
+            # payload above. A MID-DRAIN failure must not masquerade as a
+            # clean end of stream: every yielded chunk is a complete IPC
+            # message, so a truncated-but-terminated chunked body parses
+            # as a valid (short) table. On any drain error the chunked
+            # terminator is withheld and the connection closed — the
+            # client's HTTP layer raises "incomplete chunked read", the
+            # binary lane's analog of the ndjson lane's error stat line.
             h.send_response(200)
             h.send_header("Content-Type", "application/vnd.apache.arrow.stream")
             h.send_header("Transfer-Encoding", "chunked")
@@ -212,9 +216,9 @@ class BTrDBHttpServer:
                 wchunk(first)
                 for b in stream:
                     wchunk(b)
-            except Exception:  # noqa: BLE001 — truncation IS the signal
-                pass
-            h.wfile.write(b"0\r\n\r\n")
+                h.wfile.write(b"0\r\n\r\n")
+            except Exception:  # noqa: BLE001 — abort, never fake-complete
+                h.close_connection = True
             return
         if stream is not None:
             h.send_response(200)
@@ -227,15 +231,23 @@ class BTrDBHttpServer:
                 line = enc.encode() + b"\n"
                 h.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
 
-            write_msg(first)
+            # Socket-level failures (client went away) are terminal for
+            # the whole drain: reporting an error to a dead socket just
+            # raises again out of _dispatch, so the outer guard closes the
+            # connection instead. Engine errors stay inner and are still
+            # reported as a stat message on a LIVE socket.
             try:
-                for msg in stream:
-                    write_msg(msg)
-            except BTrDBError as e:
-                write_msg({"stat": {"code": e.code, "msg": str(e)}})
-            except Exception as e:  # noqa: BLE001 — wire boundary
-                write_msg({"stat": {"code": 500, "msg": repr(e)}})
-            h.wfile.write(b"0\r\n\r\n")
+                write_msg(first)
+                try:
+                    for msg in stream:
+                        write_msg(msg)
+                except BTrDBError as e:
+                    write_msg({"stat": {"code": e.code, "msg": str(e)}})
+                except Exception as e:  # noqa: BLE001 — wire boundary
+                    write_msg({"stat": {"code": 500, "msg": repr(e)}})
+                h.wfile.write(b"0\r\n\r\n")
+            except OSError:
+                h.close_connection = True
             return
         body = json.dumps(out).encode()
         h.send_response(200)
@@ -537,9 +549,15 @@ class BTrDBHttpServer:
         for i, cfg in enumerate(streams):
             u = cfg["uuid"]
             ver = cfg.get("version") or None
-            shown_ver = ver if ver is not None else self.db.query_version(u)[0]
             label = cfg.get("label") or u
-            vstr = f", ver. {shown_ver}" if req.get("includeVersions") else ""
+            if req.get("includeVersions"):
+                # version lookup only when the header shows it — latest-
+                # version resolution is a manifest read per stream and the
+                # value is otherwise unused
+                shown = ver if ver is not None else self.db.query_version(u)[0]
+                vstr = f", ver. {shown}"
+            else:
+                vstr = ""
             if qt == 2:  # RAW_QUERY
                 df = self.db.raw_values(u, start, end, ver).select(
                     "time", F.col("value").alias(f"_s{i}")

@@ -211,6 +211,16 @@ class PointStore:
             metrics.append(F.collect_set("uuid").alias("uuids"))
         ver_dir = os.path.join(self.points_path, f"ins_ver={v}")
         dest = os.path.join(ver_dir, f"uuid_bucket={FRESH_BUCKET}")
+        # Dot-prefixed staging: invisible to Spark/Hadoop listings AND to
+        # the changefeed's sentinel glob (streaming/changefeed.py). The
+        # write job lands here first; only after validation passes is the
+        # directory renamed into place, so a validation FAILURE never
+        # exposes files for a version that will not commit — without the
+        # stage, a live changefeed could emit phantom rows for an aborted
+        # version whose number the next insert then reuses. The residual
+        # exposure is crash-between-rename-and-manifest, same class as the
+        # batch readers' own crash window.
+        staging = os.path.join(ver_dir, f".staging.uuid_bucket={FRESH_BUCKET}")
         # Sorted (uuid, time) files give parquet min/max row-group stats
         # their pruning power (the reference sorts on insert too,
         # qtree.go:629). Fresh versions land in the sentinel
@@ -223,16 +233,19 @@ class PointStore:
             .sortWithinPartitions("uuid", "time")
             .write.mode("overwrite")
             .options(**_WRITE_TUNING)
-            .parquet(dest)
+            .parquet(staging)
         )
+        import shutil
+
         got = obs.get
         if got["n_bad"]:
-            import shutil
-
             shutil.rmtree(ver_dir, ignore_errors=True)
             raise BTrDBError(
                 ERR_INVALID_TIME_RANGE, f"{got['n_bad']} invalid rows in insert"
             )
+        if os.path.exists(dest):  # crash leftover from an uncommitted v
+            shutil.rmtree(dest)
+        os.replace(staging, dest)
         return got["uuids"] if collect_uuids else []
 
     def insert(self, uuid: str, points: DataFrame | list, enforce_batch_cap: bool = False) -> int:

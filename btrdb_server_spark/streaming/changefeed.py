@@ -16,6 +16,11 @@ Scope and caveats (by design, documented not hidden):
   compaction's rewritten history lands in real hash-bucket dirs — both
   invisible to the sentinel glob, so the feed never replays old data as
   fake inserts. Consumers needing delete visibility poll changes().
+- VALIDATED-ONLY: the insert path writes to a dot-prefixed staging dir
+  (invisible to the glob) and renames into the sentinel path only after
+  validation passes (store.py _write_version), so an aborted insert —
+  whose version number the next insert reuses — never reaches the feed.
+  Residual exposure: a crash between that rename and the manifest write.
 - Compaction retires old generation dirs (two-generation retention,
   store.py compact); files the feed has PROCESSED may vanish (harmless —
   the file log does not re-read), but a feed lagging behind more than one

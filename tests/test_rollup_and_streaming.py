@@ -516,3 +516,42 @@ def test_changefeed_streams_committed_inserts_only(spark, tmp_path):
     store.insert("b", [(7, 7.0)])
     v = store.version
     assert drain("cf3") == {("b", 7, 7.0, v)}
+
+
+def test_failed_insert_never_reaches_changefeed(spark, tmp_path):
+    """An insert that FAILS validation must leave nothing in the sentinel
+    dirs the changefeed globs: the write stages in a dot-prefixed dir and
+    renames into place only after validation, so a live feed can never
+    emit phantom rows for an aborted version (whose number the next
+    insert reuses)."""
+    import glob as globmod
+
+    from btrdb_server_spark.store import BTrDBError, PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert("a", [(1, 1.0)])  # v1 commits
+    with pytest.raises(BTrDBError):
+        store.insert("a", [(2, float("nan"))])  # aborted: would be v2
+    # nothing visible for the aborted version — neither to the glob ...
+    leaked = globmod.glob(
+        f"{store.path}/points*/ins_ver=*/uuid_bucket=-1/*.parquet"
+    )
+    assert leaked and all("ins_ver=1/" in f for f in leaked)
+    # ... nor to a feed drain; and the reused version number delivers
+    # exactly the retry's rows
+    v2 = store.insert("a", [(2, 2.0)])
+    assert v2 == 2
+    rows = []
+    q = (
+        changefeed(store)
+        .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert {(r.uuid, r.time, r.value, r.ins_ver) for r in rows} == {
+        ("a", 1, 1.0, 1),
+        ("a", 2, 2.0, 2),
+    }

@@ -391,3 +391,37 @@ def test_wire_stat_reads_served_from_rollup_ladder(spark, tmp_path):
             assert abs(s["mean"] - sum(vals) / len(vals)) < 1e-9
     finally:
         srv.stop()
+
+
+def test_wire_arrow_middrain_failure_is_loud(srv, monkeypatch):
+    """A mid-drain failure on the Arrow lane must NOT fake a clean end of
+    stream: every chunk is a complete IPC message, so a truncated body
+    that still gets the chunked terminator parses as a valid short table.
+    The server withholds the terminator and closes the connection — the
+    client's HTTP layer raises instead of returning partial data."""
+    import http.client
+
+    from btrdb_server_spark import server as server_mod
+
+    real = server_mod._arrow_ipc_chunks
+
+    def sabotaged(df):
+        it = real(df)
+        yield next(it)  # schema + maybe a batch arrives fine
+
+        raise RuntimeError("executor lost mid-drain")
+
+    monkeypatch.setattr(server_mod, "_arrow_ipc_chunks", sabotaged)
+    host = srv.address.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=300)
+    try:
+        conn.request(
+            "POST", "/v5/ArrowRawValues",
+            body=json.dumps({"uuid": "big1", "start": 0, "end": 10**9}),
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200  # headers were already committed
+        with pytest.raises((http.client.IncompleteRead, ConnectionError)):
+            resp.read()
+    finally:
+        conn.close()

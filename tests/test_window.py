@@ -91,3 +91,18 @@ def test_every_query_has_an_oracle_or_documented_exemption():
     assert oracles <= qs, f"oracles without queries: {oracles - qs}"
     uncovered = qs - oracles - exempt
     assert not uncovered, f"queries without oracle or exemption: {uncovered}"
+
+
+def test_impl_drift_extracts_last_top_level_def():
+    """_extract_fn must see a function that is the LAST top-level def in
+    the file (no following top-level statement): before the \\Z
+    alternative in the lookahead, such a function extracted as None on
+    both the old and new source and its body changes were invisible to
+    the banked-then-changed staleness check."""
+    from tools.impl_drift import _extract_fn
+
+    src = "def a():\n    return 1\n\n\ndef z_last():\n    return 2\n"
+    got = _extract_fn(src, "z_last")
+    assert got is not None and "return 2" in got
+    changed = src.replace("return 2", "return 3")
+    assert _extract_fn(changed, "z_last") != got

@@ -69,8 +69,12 @@ def _extract_fn(src: str, fn_name: str) -> str | None:
     """Extract a top-level `def fn_name(...)` block (ends at the next
     top-level statement). Whitespace-normalized so reformatting-only
     rewrites don't count as drift."""
+    # \Z alternative: a function that is the LAST top-level def in the
+    # file has no following top-level statement — without it the lookahead
+    # never matches and the function silently extracts as None on both the
+    # old and new blob, making its body changes invisible to drift.
     m = re.search(
-        rf"^def {re.escape(fn_name)}\(.*?(?=^\S)", src, re.S | re.M
+        rf"^def {re.escape(fn_name)}\(.*?(?=^\S|\Z)", src, re.S | re.M
     )
     if not m:
         return None
