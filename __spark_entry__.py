@@ -5168,6 +5168,15 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of sorted-neighborhood blocking vs uncapped exact
+    shingle-Jaccard truth — measures the documented block-boundary recall
+    trade (the SNM twin of lsh_recall_eval)."""
+    from btrdb_server_spark.functions.dedup import snm_recall_eval
+
+    return snm_recall_eval(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprint profile: window-min of k-gram hashes,
     distinct selected values per doc, density vs the 2/(w+1) expectation."""
@@ -5216,20 +5225,20 @@ DRIVER_WINDOW: list[str] = [
     "join_skew_audit",
     "sorted_neighborhood_pairs",
     "winnowing_fingerprints",
+    "snm_recall_eval",
     "dedup_clusters",
     "exact_dedup",
-    "lang_id",
     "minhash_verified_pairs",
     "minhash_lsh_pairs",
-    "text_stats",
-    "token_entropy",
     "minhash_signatures",
-    "token_freq",
-    "text_scrub",
     "dup_spans",
     "simhash",
     "ngram_jaccard",
-    "bpe_token_stats",
+    "dedup_select",
+    "minhash_jaccard_est",
+    "edit_verified_pairs",
+    "ngram_novelty",
+    "containment_pairs",
 ]
 
 
@@ -5291,21 +5300,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_audit": q_join_skew_audit,
         "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        "snm_recall_eval": q_snm_recall_eval,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
-        "lang_id": q_lang_id,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "text_stats": q_text_stats,
-        "token_entropy": q_token_entropy,
         "minhash_signatures": q_minhash_signatures,
-        "token_freq": q_token_freq,
-        "text_scrub": q_text_scrub,
         "dup_spans": q_dup_spans,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
-        "bpe_token_stats": q_bpe_token_stats,
+        "dedup_select": q_dedup_select,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "edit_verified_pairs": q_edit_verified_pairs,
+        "ngram_novelty": q_ngram_novelty,
+        "containment_pairs": q_containment_pairs,
         # ---- position 51+: banked green or locally verified ----
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "token_entropy": q_token_entropy,
+        "token_freq": q_token_freq,
+        "text_scrub": q_text_scrub,
+        "bpe_token_stats": q_bpe_token_stats,
         "decimate_envelope": q_decimate_envelope,
         "aligned_quantiles": q_aligned_quantiles,
         "buffer_query_version": q_buffer_query_version,
@@ -5409,7 +5424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_period": q_dominant_period,
         "mips_topk": q_mips_topk,
         "sq8_topk": q_sq8_topk,
-        "containment_pairs": q_containment_pairs,
         "readability": q_readability,
         "frequent_sequences": q_frequent_sequences,
         "ols_two_factor": q_ols_two_factor,
@@ -5488,7 +5502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_histogram": q_props_histogram,
         "user_activity": q_user_activity,
         "sax_symbols": q_sax_symbols,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
         "value_run_lengths": q_value_run_lengths,
         "deadband_compress": q_deadband_compress,
         "hash_sample": q_hash_sample,
@@ -5500,10 +5513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_lags": q_xcorr_lags,
         "event_transitions": q_event_transitions,
         "interval_join": q_interval_join,
-        "edit_verified_pairs": q_edit_verified_pairs,
         "rolling_stats": q_rolling_stats,
         "stream_profile": q_stream_profile,
-        "ngram_novelty": q_ngram_novelty,
         "group_topk": q_group_topk,
         "asof_features": q_asof_features,
         "threshold_crossings": q_threshold_crossings,
@@ -5558,7 +5569,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_refine": q_ivf_refine,
         "kmeans_train": q_kmeans_train,
-        "dedup_select": q_dedup_select,
         "streaming_topk": _small_state(q_streaming_topk),
         "aligned_windows_all": q_aligned_windows_all,
         "changed_ranges_all": q_changed_ranges_all,
@@ -12509,6 +12519,52 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz sa ON sa.d = a JOIN sz sb ON sb.d = b
             WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
             ORDER BY a, b
+        """,
+        "snm_recall_eval": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM t),
+            sh2 AS (
+                SELECT DISTINCT doc_id, {_hexn_sql("md5(s0)", 15)} AS s
+                FROM raw_sh
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
+                GROUP BY l.doc_id, r.doc_id
+            ),
+            truth AS (
+                SELECT a, b FROM inter
+                JOIN sz sa ON sa.doc_id = a
+                JOIN sz sb ON sb.doc_id = b
+                WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+            ),
+            keyed AS (
+                SELECT doc_id, substr(kk, 1, 8) AS blk, substr(kk, 1, 64) AS k64
+                FROM (SELECT doc_id,
+                             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS kk
+                      FROM documents)
+            ),
+            nb AS (
+                SELECT doc_id, lead(doc_id, 1) OVER w AS n1,
+                       lead(doc_id, 2) OVER w AS n2, lead(doc_id, 3) OVER w AS n3
+                FROM keyed WINDOW w AS (PARTITION BY blk ORDER BY k64, doc_id)
+            ),
+            cand AS (
+                SELECT least(doc_id, n) AS a, greatest(doc_id, n) AS b
+                FROM (SELECT doc_id, unnest([n1, n2, n3]) AS n FROM nb)
+                WHERE n IS NOT NULL
+            )
+            SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+                   CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+                   CAST((SELECT count(*) FROM truth JOIN cand USING (a, b))
+                        AS BIGINT) AS n_hits,
+                   CAST((SELECT count(*) FROM truth JOIN cand USING (a, b))
+                        AS DOUBLE)
+                     / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall,
+                   CAST((SELECT count(*) FROM truth JOIN cand USING (a, b))
+                        AS DOUBLE)
+                     / CAST((SELECT count(*) FROM cand) AS DOUBLE) AS precision
         """,
         "winnowing_fingerprints": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

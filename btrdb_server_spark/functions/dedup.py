@@ -1127,6 +1127,37 @@ def dedup_threshold_curve(
     )
 
 
+def _snm_candidates(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    block_chars: int,
+    key_chars: int,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (a < b): per-block prefix hash
+    partition, within-block sort on the longer key, each record paired
+    with its `window-1` successors via lead() — exactly n·(window-1)
+    candidates, no global sort. Shared by the production operator and the
+    recall audit so both gauge the same blocking."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    keyed = ensure_parallelism(docs).select(
+        F.col(id_col).alias("a"),
+        F.substring(norm, 1, block_chars).alias("blk"),
+        F.substring(norm, 1, key_chars).alias("k"),
+    )
+    w = Window.partitionBy("blk").orderBy("k", "a")
+    nbrs = F.array(*[F.lead("a", i).over(w) for i in range(1, window)])
+    return (
+        keyed.select("a", nbrs.alias("nbrs"))  # window exprs staged first:
+        .select("a", F.explode("nbrs").alias("b"))  # no generator over them
+        .where(F.col("b").isNotNull())
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1152,26 +1183,7 @@ def sorted_neighborhood_pairs(
     blocking recall trade, measured by lsh_recall_eval's methodology.
 
     Returns (a, b, jaccard) with a < b and jaccard >= threshold."""
-    from pyspark.sql import Window
-
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    keyed = ensure_parallelism(docs).select(
-        F.col(id_col).alias("a"),
-        F.substring(norm, 1, block_chars).alias("blk"),
-        F.substring(norm, 1, key_chars).alias("k"),
-    )
-    w = Window.partitionBy("blk").orderBy("k", "a")
-    nbrs = F.array(
-        *[F.lead("a", i).over(w) for i in range(1, window)]
-    )
-    cand = (
-        keyed.select("a", nbrs.alias("nbrs"))  # window exprs staged first:
-        .select("a", F.explode("nbrs").alias("b"))  # no generator over them
-        .where(F.col("b").isNotNull())
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-    )
+    cand = _snm_candidates(docs, text_col, id_col, window, block_chars, key_chars)
     tok = docs.select(
         F.col(id_col).alias("d"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
@@ -1196,4 +1208,50 @@ def sorted_neighborhood_pairs(
         .select("a", "b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(threshold))
         .orderBy("a", "b")
+    )
+
+
+def snm_recall_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    block_chars: int = 8,
+    key_chars: int = 64,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Recall/precision audit of sorted-neighborhood blocking against
+    exact shingle-Jaccard ground truth — the SNM twin of lsh_recall_eval,
+    measuring the documented blocking trade (pairs straddling a block
+    boundary or further than `window-1` apart in sort order are never
+    candidates).
+
+    Same contract as lsh_recall_eval: truth is UNCAPPED exact Jaccard
+    (audit-scale by design); the audit itself touches only the linear
+    candidate set. One row: n_truth, n_candidates, n_hits, recall,
+    precision."""
+    truth = ngram_jaccard_pairs(
+        docs, text_col, id_col, k, threshold, df_cap=1 << 62
+    ).select("a", "b")
+    cand = _snm_candidates(docs, text_col, id_col, window, block_chars, key_chars)
+    hits = truth.join(cand, ["a", "b"], "left_semi")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hits = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
+                "recall"
+            ),
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("precision"),
+        )
     )

@@ -970,3 +970,23 @@ def test_winnowing_fingerprints_profile(spark):
     assert (r0.n_fps, r0.fp_min, r0.fp_max) == (r1.n_fps, r1.fp_min, r1.fp_max)
     assert r2.n_grams == 0 and r2.n_windows == 0 and r2.n_fps == 0
     assert r2.fp_density is None and r2.fp_min is None
+
+
+def test_snm_recall_eval_counts_block_boundary_misses(spark):
+    """The audit must charge SNM for true pairs its blocking can never
+    see: four docs all pairwise at exact Jaccard 0.5 (= threshold), but
+    only one pair shares a block prefix — recall is exactly 1/6."""
+    from btrdb_server_spark.functions.dedup import snm_recall_eval
+
+    df = docs_df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta zeta",
+            "zzz alpha beta gamma delta",
+            "yyy alpha beta gamma delta",
+        ],
+    )
+    r = snm_recall_eval(df).collect()[0]
+    assert (r.n_truth, r.n_candidates, r.n_hits) == (6, 1, 1)
+    assert abs(r.recall - 1 / 6) < 1e-12 and r.precision == 1.0
