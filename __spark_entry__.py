@@ -1985,6 +1985,28 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=4)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-corpus dedup against a PERSISTED LSH index: 90% of the
+    documents table plays the already-deduped corpus (band-partitioned
+    signature index written once via lsh_index_build), the other 10% plays
+    tomorrow's crawl snapshot. The snapshot's band rows are broadcast and
+    probe the index scan — the corpus is never re-shingled, re-hashed, or
+    shuffled, and its text is never read; matches are verified with the
+    sketch estimate carried in the index rows (matches/16 >= 0.25)."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = _workdir(prefix="btrdb_lshidx_q_")
+    idx = f"{work}/lsh_index"
+    lsh_index_build(docs.where(F.col("doc_id") % 10 != 0), idx)
+    return incremental_dedup_pairs(
+        docs.where(F.col("doc_id") % 10 == 0), idx, est_threshold=0.25
+    )
+
+
 def q_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-at-ingest: the MinHash LSH index maintained INCREMENTALLY as
     documents stream in (per-row signatures — bit-identical to the batch
@@ -5226,6 +5248,7 @@ DRIVER_WINDOW: list[str] = [
     "sorted_neighborhood_pairs",
     "winnowing_fingerprints",
     "snm_recall_eval",
+    "incremental_dedup",
     "dedup_clusters",
     "exact_dedup",
     "minhash_verified_pairs",
@@ -5238,7 +5261,6 @@ DRIVER_WINDOW: list[str] = [
     "minhash_jaccard_est",
     "edit_verified_pairs",
     "ngram_novelty",
-    "containment_pairs",
 ]
 
 
@@ -5301,6 +5323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "snm_recall_eval": q_snm_recall_eval,
+        "incremental_dedup": q_incremental_dedup,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -5313,8 +5336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "edit_verified_pairs": q_edit_verified_pairs,
         "ngram_novelty": q_ngram_novelty,
-        "containment_pairs": q_containment_pairs,
         # ---- position 51+: banked green or locally verified ----
+        "containment_pairs": q_containment_pairs,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
         "token_entropy": q_token_entropy,
@@ -8830,6 +8853,37 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        "incremental_dedup": f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+            ),
+            m AS (
+                SELECT c.new_id, c.match_id,
+                       CAST({" + ".join(
+                           f"CASE WHEN ls.mh{j} = rs.mh{j} THEN 1 ELSE 0 END"
+                           for j in range(16)
+                       )} AS BIGINT) AS matches
+                FROM cand c
+                JOIN sig ls ON ls.doc_id = c.new_id
+                JOIN sig rs ON rs.doc_id = c.match_id
+            )
+            SELECT new_id, match_id, matches,
+                   matches / 16.0 AS est_jaccard
+            FROM m WHERE matches / 16.0 >= 0.25
+            ORDER BY new_id, match_id
         """,
         "sdt_compress": _sdt_oracle_sql("click", T_2024, T_FEB, 200),
         "streaming_sdt": _sdt_oracle_sql(

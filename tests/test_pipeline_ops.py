@@ -990,3 +990,82 @@ def test_snm_recall_eval_counts_block_boundary_misses(spark):
     r = snm_recall_eval(df).collect()[0]
     assert (r.n_truth, r.n_candidates, r.n_hits) == (6, 1, 1)
     assert abs(r.recall - 1 / 6) < 1e-12 and r.precision == 1.0
+
+
+def test_incremental_dedup_against_persisted_index(spark, tmp_path):
+    """The persisted-index path finds the same cross-side near-dups as the
+    one-shot estimate pipeline: index the base corpus, probe with a
+    snapshot containing one near-dup of a base doc and one novel doc."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+        minhash_jaccard_est,
+    )
+
+    base_texts = [
+        BASE,
+        "completely different words about spark dataframes and parquet files here",
+    ]
+    near = BASE.replace("lazy", "sleepy")
+    base = docs_df(spark, base_texts)
+    snapshot = spark.createDataFrame(
+        [(100, near), (101, "unrelated short text with nothing in common at all ok")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lsh_index")
+    # bands of 2 rows, as in test_minhash_lsh_finds_near_dups: a ~0.6-Jaccard
+    # pair reliably collides on at least one band.
+    lsh_index_build(base, idx, bands=8)
+    got = incremental_dedup_pairs(
+        snapshot, idx, bands=8, est_threshold=0.25
+    ).collect()
+    assert [(r.new_id, r.match_id) for r in got] == [(100, 0)]
+    r = got[0]
+    assert r.est_jaccard == r.matches / 16.0 and r.est_jaccard >= 0.25
+
+    # cross-check against the one-shot estimator over the union corpus:
+    # every incremental pair must appear with the SAME match count.
+    union = base.unionByName(snapshot)
+    est = {
+        (r.a, r.b): r.matches
+        for r in minhash_jaccard_est(union, bands=8).collect()
+    }
+    for r in got:
+        assert est[(r.match_id, r.new_id)] == r.matches
+
+    # index append keeps the corpus current: after folding the snapshot's
+    # own rows in (mode="append"), the NEXT snapshot matches both the
+    # original base doc and the just-appended near-dup (identical text ->
+    # identical signature -> est 1.0).
+    lsh_index_build(snapshot, idx, bands=8, mode="append")
+    probe2 = spark.createDataFrame([(200, near)], "doc_id long, text string")
+    got2 = {
+        (r.new_id, r.match_id): r.est_jaccard
+        for r in incremental_dedup_pairs(
+            probe2, idx, bands=8, est_threshold=0.25
+        ).collect()
+    }
+    assert set(got2) == {(200, 0), (200, 100)}
+    assert got2[(200, 100)] == 1.0
+
+
+def test_incremental_dedup_probe_side_broadcasts(spark, tmp_path):
+    """Scale contract: the snapshot (small) side is broadcast — the index
+    scan is probed in place, never shuffled into a sort-merge join."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+    )
+
+    base = docs_df(spark, [BASE, BASE.replace("fox", "wolf")])
+    idx = str(tmp_path / "lsh_index_plan")
+    lsh_index_build(base, idx)
+    snapshot = spark.createDataFrame(
+        [(100, BASE.replace("lazy", "sleepy"))], "doc_id long, text string"
+    )
+    plan = (
+        incremental_dedup_pairs(snapshot, idx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
