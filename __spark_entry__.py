@@ -2007,6 +2007,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-skew audit of a persisted LSH signature index: per band, doc
+    / bucket counts, max and mean bucket size, and colliding-bucket count.
+    Max bucket size is the hot-key guard read before every snapshot probe
+    (a degenerate boilerplate bucket turns incremental_dedup_pairs into a
+    skewed join); runs off the index alone — corpus text never read."""
+    from btrdb_server_spark.functions.dedup import lsh_index_build, lsh_index_stats
+
+    work = _workdir(prefix="btrdb_lshst_q_")
+    idx = f"{work}/lsh_index"
+    lsh_index_build(load_table(spark, sf_dir, "documents"), idx)
+    return lsh_index_stats(spark, idx)
+
+
 def q_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-at-ingest: the MinHash LSH index maintained INCREMENTALLY as
     documents stream in (per-row signatures — bit-identical to the batch
@@ -5249,6 +5263,7 @@ DRIVER_WINDOW: list[str] = [
     "winnowing_fingerprints",
     "snm_recall_eval",
     "incremental_dedup",
+    "lsh_index_stats",
     "dedup_clusters",
     "exact_dedup",
     "minhash_verified_pairs",
@@ -5260,7 +5275,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_select",
     "minhash_jaccard_est",
     "edit_verified_pairs",
-    "ngram_novelty",
 ]
 
 
@@ -5324,6 +5338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "snm_recall_eval": q_snm_recall_eval,
         "incremental_dedup": q_incremental_dedup,
+        "lsh_index_stats": q_lsh_index_stats,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -5335,8 +5350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_select": q_dedup_select,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "edit_verified_pairs": q_edit_verified_pairs,
-        "ngram_novelty": q_ngram_novelty,
         # ---- position 51+: banked green or locally verified ----
+        "ngram_novelty": q_ngram_novelty,
         "containment_pairs": q_containment_pairs,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
@@ -8853,6 +8868,29 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        "lsh_index_stats": f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            ),
+            per_bucket AS (
+                SELECT band, band_key, count(*) AS sz
+                FROM bands GROUP BY band, band_key
+            )
+            SELECT band,
+                   CAST(sum(sz) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(max(sz) AS BIGINT) AS max_bucket,
+                   CAST(sum(sz) AS BIGINT) / count(*) AS mean_bucket,
+                   CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_colliding
+            FROM per_bucket GROUP BY band ORDER BY band
         """,
         "incremental_dedup": f"""
             WITH {_sig_cte()},

@@ -1389,3 +1389,44 @@ def incremental_dedup_pairs(
         .dropDuplicates(["new_id", "match_id"])
         .orderBy("new_id", "match_id")
     )
+
+
+def lsh_index_stats(
+    spark,
+    index_path: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Operational audit of a persisted lsh_index_build index: per band,
+    the doc count, distinct bucket count, max/mean bucket size, and the
+    number of colliding buckets (size >= 2).
+
+    The max bucket size is THE number to watch before every snapshot
+    probe: incremental_dedup_pairs emits one candidate row per (new doc x
+    resident docs) in a shared bucket, so a degenerate bucket (empty-text
+    shingle artifacts, boilerplate) turns the probe into a hot-key join.
+    At 100 TB this runs off the index alone — one map-side-combined
+    groupBy per (band, band_key), then a per-band reduce; corpus text is
+    never touched, and the second aggregation's input is one row per
+    bucket.
+
+    Columns: band, n_docs, n_buckets, max_bucket, mean_bucket,
+    n_colliding — ordered by band.
+    """
+    idx = spark.read.parquet(index_path)
+    per_bucket = idx.groupBy("band", "band_key").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            (F.sum("sz") / F.count("*")).alias("mean_bucket"),
+            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_colliding"),
+        )
+        .orderBy("band")
+    )
