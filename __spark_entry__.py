@@ -2524,6 +2524,27 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from a PERSISTED IVF index: centroids + cluster-
+    partitioned cells written once (ivf_index_build), then the probe
+    ranks the 8 centroids, collects its 2 cluster ids, and scans ONLY
+    those cell directories (literal partition predicate = directory-level
+    pruning). Same semantics as ann_ivf_multiprobe — same oracle — but
+    assignment is paid at build time, not per query."""
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        centroids_from_rows,
+        ivf_index_build,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = _workdir(prefix="btrdb_ivfidx_q_")
+    idx = f"{work}/ivf_index"
+    ivf_index_build(emb, idx, centroids_from_rows(emb, k=8))
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_index_topk(spark, idx, probe, k=10, nprobe=2)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import cosine_topk_by_id
 
@@ -5264,6 +5285,7 @@ DRIVER_WINDOW: list[str] = [
     "snm_recall_eval",
     "incremental_dedup",
     "lsh_index_stats",
+    "ann_index_topk",
     "dedup_clusters",
     "exact_dedup",
     "minhash_verified_pairs",
@@ -5273,8 +5295,7 @@ DRIVER_WINDOW: list[str] = [
     "simhash",
     "ngram_jaccard",
     "dedup_select",
-    "minhash_jaccard_est",
-    "edit_verified_pairs",
+    "ann_ivf_topk",
 ]
 
 
@@ -5339,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_recall_eval": q_snm_recall_eval,
         "incremental_dedup": q_incremental_dedup,
         "lsh_index_stats": q_lsh_index_stats,
+        "ann_index_topk": q_ann_index_topk,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -5348,9 +5370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_select": q_dedup_select,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # ---- position 51+: banked green or locally verified ----
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "edit_verified_pairs": q_edit_verified_pairs,
-        # ---- position 51+: banked green or locally verified ----
         "ngram_novelty": q_ngram_novelty,
         "containment_pairs": q_containment_pairs,
         "lang_id": q_lang_id,
@@ -5369,7 +5392,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_changes": q_store_changes,
         "store_delete_range": q_store_delete_range,
         "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "aligned_windows": q_aligned_windows,
         "align_windowed": q_align_windowed,
         "multistream_align": q_multistream_align,
@@ -9806,6 +9828,20 @@ def oracle_sql() -> dict[str, str]:
             WITH {_IVF_CTES},
             pc AS (SELECT cluster FROM assign WHERE vec_id = 0),
             probe AS (SELECT v AS q FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
+            FROM e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN pc ON a.cluster = pc.cluster, probe
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "ann_index_topk": f"""
+            WITH {_IVF_CTES},
+            probe AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            cr AS (SELECT c.cid,
+                          round(list_cosine_similarity(c.cv, probe.q), 6) AS cs
+                   FROM c, probe),
+            pc AS (SELECT cid AS cluster FROM cr ORDER BY cs DESC, cid LIMIT 2)
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
             FROM e

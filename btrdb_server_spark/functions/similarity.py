@@ -1422,3 +1422,83 @@ def label_noise_screen(
         )
         .orderBy(F.desc("margin"), id_col)
     )
+
+
+def ivf_index_build(
+    embeddings: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index for repeated ANN serving: the k-row centroid
+    table plus the corpus vectors partitioned BY CLUSTER on disk.
+
+    The in-memory IVF family (ann_topk_ivf / ann_topk_ivf_multiprobe)
+    re-runs assignment on every query; an index that serves many probes
+    should pay assignment once and lay the corpus out so a probe reads
+    only its clusters. partitionBy("cluster") makes each cell a parquet
+    directory, so ann_index_topk's literal cluster predicate prunes at the
+    DIRECTORY level — a probe reads ~nprobe/k of the corpus bytes, which
+    is the entire economics of IVF at 100 TB. Build cost is one broadcast
+    assignment pass (corpus never shuffles to cluster — ivf_assign) plus
+    the partitioned write.
+
+    Reference analogy: the reference serves stat queries from its
+    persisted aggregate tree instead of re-scanning points
+    (qtree.go:925-947); this is the same precompute-then-prune discipline
+    for similarity search.
+    """
+    if centroids is None:
+        centroids = centroids_from_rows(embeddings, k, id_col, vec_col)
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    (
+        embeddings.join(assign, id_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            "cluster",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path + "/cells")
+    )
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    probe_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors of `probe_vec` from a persisted
+    ivf_index_build index, searching the `nprobe` nearest cells.
+
+    The centroid ranking runs on the k-row centroid table; the resulting
+    nprobe cluster ids are collected (nprobe INTEGERS — not data) because
+    only a LITERAL partition predicate lets the parquet source prune cell
+    directories before the scan. Exact cosine then runs only inside the
+    selected cells. Columns: vec_id, cosine — ordered, k rows.
+    """
+    q = _lit_vec([float(x) for x in probe_vec])
+    cents = spark.read.parquet(path + "/centroids")
+    ranked = cents.select(
+        "cid", F.round(cosine_col(F.col("cv"), q), 6).alias("cs")
+    )
+    top = [
+        r.cid
+        for r in ranked.orderBy(F.col("cs").desc(), "cid").limit(nprobe).collect()
+    ]
+    cells = spark.read.parquet(path + "/cells").where(F.col("cluster").isin(top))
+    return (
+        cells.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col("v"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )

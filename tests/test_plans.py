@@ -904,3 +904,27 @@ def test_sorted_neighborhood_no_global_sort(spark):
     assert "hashpartitioning(blk" in simple
     assert simple.count("Exchange rangepartitioning") <= 1
     assert "CartesianProduct" not in simple and "NestedLoop" not in simple
+
+
+def test_ann_index_probe_prunes_cell_directories(spark, tmp_path):
+    """The persisted-IVF probe's cluster predicate must reach the parquet
+    source as a PARTITION filter (directory pruning — the probe reads
+    ~nprobe/k of the corpus bytes), and the within-cell scoring must not
+    shuffle or join."""
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        ivf_index_build,
+    )
+
+    emb = entry_mod.load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    ivf_index_build(emb, idx, k=4)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    df = ann_index_topk(spark, idx, probe, k=5, nprobe=2)
+    plan = plan_of(df)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan  # ranking used the collected literal ids
