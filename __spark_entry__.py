@@ -2350,6 +2350,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_QUERY, k=10)
 
 
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PERSISTED inverted index: postings written once
+    partitioned by term-hash bucket (bm25_index_build), then the query's
+    literal bucket ids prune posting directories — the corpus is never
+    tokenized at query time. Score-identical to bm25_topk (same oracle)."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    work = _workdir(prefix="btrdb_bm25idx_q_")
+    idx = f"{work}/bm25_index"
+    bm25_index_build(load_table(spark, sf_dir, "documents"), idx)
+    return bm25_index_topk(spark, idx, BM25_QUERY, k=10)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms: sparse keyword featurization
     (smoothed idf, score rounded to 6 before ranking, ties by token)."""
@@ -5286,6 +5302,7 @@ DRIVER_WINDOW: list[str] = [
     "incremental_dedup",
     "lsh_index_stats",
     "ann_index_topk",
+    "bm25_index_topk",
     "dedup_clusters",
     "exact_dedup",
     "minhash_verified_pairs",
@@ -5295,7 +5312,6 @@ DRIVER_WINDOW: list[str] = [
     "simhash",
     "ngram_jaccard",
     "dedup_select",
-    "ann_ivf_topk",
 ]
 
 
@@ -5361,6 +5377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "lsh_index_stats": q_lsh_index_stats,
         "ann_index_topk": q_ann_index_topk,
+        "bm25_index_topk": q_bm25_index_topk,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -5370,8 +5387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_select": q_dedup_select,
-        "ann_ivf_topk": q_ann_ivf_topk,
         # ---- position 51+: banked green or locally verified ----
+        "ann_ivf_topk": q_ann_ivf_topk,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "edit_verified_pairs": q_edit_verified_pairs,
         "ngram_novelty": q_ngram_novelty,
@@ -8732,6 +8749,30 @@ def oracle_sql() -> dict[str, str]:
                    (dup.vec_id IS NOT NULL) AS is_dup
             FROM ea LEFT JOIN dup ON ea.vec_id = dup.vec_id
             ORDER BY ea.vec_id
+        """,
+        "bm25_index_topk": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, dl,
+                          unnest(list_filter(toks,
+                              x -> list_contains({_bm25_terms_sql()}, x))) AS term
+                   FROM dl),
+            tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+                    FROM tf GROUP BY 1, 2, 3),
+            dfc AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tfc GROUP BY 1),
+            sc AS (SELECT doc_id,
+                          round(sum(
+                              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                              * tf * ({BM25_K1} + 1.0)
+                              / (tf + {BM25_K1}
+                                 * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+                          ), 6) AS score
+                   FROM tfc JOIN dfc USING (term) CROSS JOIN st
+                   GROUP BY doc_id)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         "bm25_topk": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -243,3 +243,110 @@ def rerank_fusion(
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(k)
     )
+
+
+def bm25_index_build(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Persist the BM25 inverted index: full postings (term, doc, tf, dl)
+    partitioned by a term hash bucket, plus the corpus stats row.
+
+    bm25_topk tokenizes the corpus per query; an index that serves many
+    queries should tokenize once and lay postings out so a query reads
+    only its own terms' lists. partitionBy(term-hash bucket) makes each
+    bucket a parquet directory: bm25_index_topk's literal bucket predicate
+    prunes at the directory level, so a q-term query reads at most q/64 of
+    the postings bytes (plus the term equality filter row-group-pruning
+    inside the bucket via parquet min/max on the sorted term column).
+    Document frequencies are NOT stored: after pruning, the read contains
+    every posting of the query's terms, so df is computed exactly from the
+    pruned scan — nothing in the index goes stale except via append.
+
+    Completes the persisted-index trilogy (lsh_index_build for dedup,
+    ivf_index_build for ANN): precompute-then-prune, the same discipline
+    as the reference's persisted aggregate tree (qtree.go:925-947).
+    """
+    docs = ensure_parallelism(docs)
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    ).select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
+    stats = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.lit(buckets).cast("long").alias("buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    postings = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(buckets)))
+    )
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path + "/postings")
+    )
+
+
+def bm25_index_topk(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k served from a persisted bm25_index_build index —
+    score-identical to bm25_topk (same formula, same 6-digit rounding),
+    but the corpus is never tokenized at query time.
+
+    The only driver-side values are the query's bucket ids (|query| small
+    integers, computed with the same F.hash the build used — a LITERAL
+    partition predicate is what prunes the posting directories). Corpus
+    stats ride a broadcast 1-row table; per-term df is an exact aggregate
+    of the pruned scan; the final top-k is TakeOrderedAndProject.
+    """
+    stats_df = spark.read.parquet(path + "/stats")
+    n_buckets = stats_df.first()["buckets"]
+    terms_df = spark.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    )
+    bucket_ids = sorted(
+        r.b
+        for r in terms_df.select(
+            F.pmod(F.hash("term"), F.lit(int(n_buckets))).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    post = spark.read.parquet(path + "/postings").where(
+        F.col("bucket").isin(bucket_ids) & F.col("term").isin(query_terms)
+    )
+    dfreq = post.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    w = (
+        idf
+        * F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats_df.select("n_docs", "avgdl")))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(w), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), id_col).limit(k)

@@ -928,3 +928,25 @@ def test_ann_index_probe_prunes_cell_directories(spark, tmp_path):
     assert m and "cluster" in m.group(1), plan
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan  # ranking used the collected literal ids
+
+
+def test_bm25_index_probe_prunes_posting_buckets(spark, tmp_path):
+    """The persisted-BM25 probe must prune posting DIRECTORIES via the
+    literal bucket predicate, broadcast the query-sized df/stats sides,
+    and top-k without a global sort."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = entry_mod.load_table(spark, SF, "documents")
+    idx = str(tmp_path / "bm25_index")
+    bm25_index_build(docs, idx, buckets=16)
+    df = bm25_index_topk(spark, idx, ["spark", "hash"], k=5)
+    plan = plan_of(df)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
