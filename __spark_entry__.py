@@ -2561,6 +2561,38 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(spark, idx, probe, k=10, nprobe=2)
 
 
+def q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-balance audit of the persisted IVF index: per-cluster vector
+    count and corpus share, read from the cells' partition column alone
+    (vectors pruned) — the staleness gauge for fixed centroids."""
+    from btrdb_server_spark.functions.similarity import (
+        centroids_from_rows,
+        ivf_index_build,
+        ivf_index_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = _workdir(prefix="btrdb_ivfst_q_")
+    idx = f"{work}/ivf_index"
+    ivf_index_build(emb, idx, centroids_from_rows(emb, k=8))
+    return ivf_index_stats(spark, idx)
+
+
+def q_bm25_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list skew audit of the persisted BM25 index: top-20 terms
+    by document frequency with their share of all postings — the hot-term
+    (stopword/boilerplate) guard, read from the postings alone."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_build,
+        bm25_index_stats,
+    )
+
+    work = _workdir(prefix="btrdb_bm25st_q_")
+    idx = f"{work}/bm25_index"
+    bm25_index_build(load_table(spark, sf_dir, "documents"), idx)
+    return bm25_index_stats(spark, idx, top=20)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import cosine_topk_by_id
 
@@ -5303,6 +5335,8 @@ DRIVER_WINDOW: list[str] = [
     "lsh_index_stats",
     "ann_index_topk",
     "bm25_index_topk",
+    "ivf_index_stats",
+    "bm25_index_stats",
     "dedup_clusters",
     "exact_dedup",
     "minhash_verified_pairs",
@@ -5310,8 +5344,6 @@ DRIVER_WINDOW: list[str] = [
     "minhash_signatures",
     "dup_spans",
     "simhash",
-    "ngram_jaccard",
-    "dedup_select",
 ]
 
 
@@ -5378,6 +5410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_index_stats": q_lsh_index_stats,
         "ann_index_topk": q_ann_index_topk,
         "bm25_index_topk": q_bm25_index_topk,
+        "ivf_index_stats": q_ivf_index_stats,
+        "bm25_index_stats": q_bm25_index_stats,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -5385,9 +5419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "dup_spans": q_dup_spans,
         "simhash": q_simhash,
+        # ---- position 51+: banked green or locally verified ----
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_select": q_dedup_select,
-        # ---- position 51+: banked green or locally verified ----
         "ann_ivf_topk": q_ann_ivf_topk,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "edit_verified_pairs": q_edit_verified_pairs,
@@ -9875,6 +9909,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN assign a ON e.vec_id = a.vec_id
             JOIN pc ON a.cluster = pc.cluster, probe
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "ivf_index_stats": f"""
+            WITH {_IVF_CTES},
+            per AS (SELECT cluster, count(*) AS n_vecs
+                    FROM assign GROUP BY cluster),
+            t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t FROM per)
+            SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+                   CAST(n_vecs AS BIGINT) / t.t AS frac
+            FROM per, t ORDER BY cluster
+        """,
+        "bm25_index_stats": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tfc AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+            per AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                           CAST(sum(tf) AS BIGINT) AS total_tf
+                    FROM tfc GROUP BY term),
+            t AS (SELECT CAST(sum(df) AS BIGINT) AS t FROM per)
+            SELECT term, df, total_tf, df / t.t AS postings_share
+            FROM per, t ORDER BY df DESC, term LIMIT 20
         """,
         "ann_index_topk": f"""
             WITH {_IVF_CTES},

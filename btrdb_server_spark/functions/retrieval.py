@@ -350,3 +350,35 @@ def bm25_index_topk(
         .agg(F.round(F.sum(w), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), id_col).limit(k)
+
+
+def bm25_index_stats(spark, path: str, top: int = 20, id_col: str = "doc_id") -> DataFrame:
+    """Posting-list skew audit of a persisted bm25_index_build index: the
+    `top` terms by document frequency, with total term frequency and the
+    share of all posting rows each holds.
+
+    Hot terms (stopwords, boilerplate markup) are the scale hazard of an
+    inverted index — a query containing one drags its whole posting list
+    through the scorer. Read from the postings alone (term/tf columns;
+    text never touched): one map-side-combined groupBy(term), a 1-row
+    total, and a TakeOrderedAndProject for the top slice.
+
+    Columns: term, df, total_tf, postings_share — df desc, term ties.
+    """
+    post = spark.read.parquet(path + "/postings")
+    per = post.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    total = per.agg(F.sum("df").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "df",
+            "total_tf",
+            (F.col("df") / F.col("t")).alias("postings_share"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(top)
+    )

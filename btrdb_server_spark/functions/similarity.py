@@ -1502,3 +1502,29 @@ def ann_index_topk(
         .orderBy(F.col("cosine").desc(), id_col)
         .limit(k)
     )
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Cell-balance audit of a persisted ivf_index_build index: per
+    cluster, the vector count and its share of the corpus.
+
+    This is the staleness gauge for a fixed-centroid index: as the corpus
+    grows, drifted data piles into few cells, and a probe that should
+    read ~nprobe/k of the bytes reads a fat cell instead. Read off the
+    cells' partition column alone — parquet can answer it from footer
+    row counts; vectors are never deserialized (the `v` column is pruned).
+
+    Columns: cluster, n_vecs, frac — ordered by cluster.
+    """
+    cells = spark.read.parquet(path + "/cells").select("cluster")
+    per = cells.groupBy("cluster").agg(F.count("*").cast("long").alias("n_vecs"))
+    total = per.agg(F.sum("n_vecs").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "cluster",
+            "n_vecs",
+            (F.col("n_vecs") / F.col("t")).alias("frac"),
+        )
+        .orderBy("cluster")
+    )
