@@ -6053,7 +6053,7 @@ def oracle_sql() -> dict[str, str]:
         " / count(*), 6) AS vmean, "
         "max(value) AS vmax, count(*) AS cnt"
     )
-    return {
+    d = {
         "raw_values": f"""
             {PTS_CTE}
             SELECT time, value FROM pts
@@ -8784,30 +8784,6 @@ def oracle_sql() -> dict[str, str]:
             FROM ea LEFT JOIN dup ON ea.vec_id = dup.vec_id
             ORDER BY ea.vec_id
         """,
-        "bm25_index_topk": f"""
-            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
-            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-            tf AS (SELECT doc_id, dl,
-                          unnest(list_filter(toks,
-                              x -> list_contains({_bm25_terms_sql()}, x))) AS term
-                   FROM dl),
-            tfc AS (SELECT doc_id, dl, term, count(*) AS tf
-                    FROM tf GROUP BY 1, 2, 3),
-            dfc AS (SELECT term, count(DISTINCT doc_id) AS df
-                    FROM tfc GROUP BY 1),
-            sc AS (SELECT doc_id,
-                          round(sum(
-                              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                              * tf * ({BM25_K1} + 1.0)
-                              / (tf + {BM25_K1}
-                                 * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
-                          ), 6) AS score
-                   FROM tfc JOIN dfc USING (term) CROSS JOIN st
-                   GROUP BY doc_id)
-            SELECT doc_id, score FROM sc
-            ORDER BY score DESC, doc_id LIMIT 10
-        """,
         "bm25_topk": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
@@ -9929,20 +9905,6 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT CAST(sum(df) AS BIGINT) AS t FROM per)
             SELECT term, df, total_tf, df / t.t AS postings_share
             FROM per, t ORDER BY df DESC, term LIMIT 20
-        """,
-        "ann_index_topk": f"""
-            WITH {_IVF_CTES},
-            probe AS (SELECT v AS q FROM e WHERE vec_id = 0),
-            cr AS (SELECT c.cid,
-                          round(list_cosine_similarity(c.cv, probe.q), 6) AS cs
-                   FROM c, probe),
-            pc AS (SELECT cid AS cluster FROM cr ORDER BY cs DESC, cid LIMIT 2)
-            SELECT e.vec_id,
-                   round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
-            FROM e
-            JOIN assign a ON e.vec_id = a.vec_id
-            JOIN pc ON a.cluster = pc.cluster, probe
-            ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
         "ann_ivf_multiprobe": f"""
             WITH {_IVF_CTES},
@@ -12815,3 +12777,10 @@ def oracle_sql() -> dict[str, str]:
             FROM wn ORDER BY doc_id
         """,
     }
+    # Persisted-index twins are oracle-IDENTICAL to their one-shot
+    # counterparts by contract (same formula, same rounding, same
+    # ordering): alias the SQL instead of duplicating it, so a future
+    # formula fix cannot silently diverge the pair.
+    d["bm25_index_topk"] = d["bm25_topk"]
+    d["ann_index_topk"] = d["ann_ivf_multiprobe"]
+    return d

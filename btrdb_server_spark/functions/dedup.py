@@ -154,21 +154,15 @@ def with_rowwise_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-) -> DataFrame:
-    """LSH banding: split the signature into `bands` bands of r rows; docs
-    sharing any full band become a candidate pair (a < b). The self-join is
-    per (band_idx, band_key) — only colliding docs meet, never the full
-    cross product."""
+def _band_structs(num_hashes: int, bands: int):
+    """The LSH band-key expression shared by every banding consumer
+    (lsh_candidate_pairs, the persisted index's _band_rows): an array of
+    (band, band_key) structs, band_key = '|'-joined signature slice of
+    r = num_hashes // bands components. ONE definition so a formatting
+    change can never silently make persisted band keys incompatible with
+    the one-shot pipeline they are cross-checked against."""
     r = num_hashes // bands
-    # One explode instead of a `bands`-way union (a union re-runs the whole
-    # signature computation once per band); localCheckpoint materializes the
-    # band table once so the self-join's two sides share it.
-    band_structs = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -179,6 +173,22 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of r rows; docs
+    sharing any full band become a candidate pair (a < b). The self-join is
+    per (band_idx, band_key) — only colliding docs meet, never the full
+    cross product."""
+    # One explode instead of a `bands`-way union (a union re-runs the whole
+    # signature computation once per band); localCheckpoint materializes the
+    # band table once so the self-join's two sides share it.
+    band_structs = _band_structs(num_hashes, bands)
     all_bands = (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
@@ -1262,19 +1272,11 @@ def _band_rows(
 ) -> DataFrame:
     """Signature rows exploded to one row per (band, band_key), CARRYING the
     full signature: the join that consumes these can estimate Jaccard from
-    the matched row alone, with no second join back to a signature table."""
-    r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * r + i}") for i in range(r)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    the matched row alone, with no second join back to a signature table.
+    Band keys come from the same _band_structs lsh_candidate_pairs uses,
+    so persisted-index keys stay compatible with the one-shot pipeline's
+    by construction."""
+    band_structs = _band_structs(num_hashes, bands)
     return signatures.select(
         F.col(id_col),
         *[F.col(f"mh{j}") for j in range(num_hashes)],
@@ -1305,22 +1307,33 @@ def lsh_index_build(
     (minhash_lsh_pairs, lsh_verified_pairs) don't cover: once a corpus is
     deduped, tomorrow's crawl snapshot must dedup AGAINST it without
     re-shingling, re-hashing, or re-shuffling 100 TB. The index holds 16
-    longs + a band key per doc per band (~200 B/doc — a 10^10-doc corpus
-    indexes in ~8 TB, under 10% of corpus bytes) and is written ONCE;
-    every later snapshot only reads it. Appending a deduped snapshot's own
-    rows keeps the index current (same schema, append mode).
+    longs + a band key per (doc, band) row — ~200 B per row, ~800 B/doc
+    at bands=4, so a 10^10-doc corpus indexes in ~8 TB, under 10% of
+    corpus bytes — and is written ONCE; every later snapshot only reads
+    it. Appending a deduped snapshot's own rows keeps the index current
+    (same schema, append mode — the meta row is only written on
+    overwrite, so appends cannot change the hash family).
+
+    The index is SELF-DESCRIBING: (num_hashes, bands, k) persist in a
+    meta table and every probe reads them back — a probe can never
+    silently run with a mismatched hash family (which would return
+    missing pairs, not an error).
 
     Reference analogy: the reference folds new points against its
     persisted COW tree instead of rebuilding (store.py insert/compact);
     this is the same fold-against-persisted-state discipline for dedup.
     """
+    if mode == "overwrite":
+        docs.sparkSession.createDataFrame(
+            [(num_hashes, bands, k)], "num_hashes long, bands long, k long"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k)
     (
         _band_rows(sigs, id_col, num_hashes, bands)
         .withColumnRenamed(id_col, "index_id")
         .write.mode(mode)
         .partitionBy("band")
-        .parquet(path)
+        .parquet(path + "/bands")
     )
 
 
@@ -1329,14 +1342,13 @@ def incremental_dedup_pairs(
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-    k: int = 3,
     est_threshold: float = 0.5,
 ) -> DataFrame:
     """Dedup a NEW snapshot against a persisted lsh_index_build index:
     for every new doc, the already-indexed docs it near-duplicates,
-    with the MinHash Jaccard estimate (matches / num_hashes).
+    with the MinHash Jaccard estimate (matches / num_hashes). The hash
+    family (num_hashes, bands, k) is read from the index's meta table —
+    the probe cannot run with a mismatched family.
 
     Columns: new_id, match_id, matches, est_jaccard — ordered.
 
@@ -1359,7 +1371,9 @@ def incremental_dedup_pairs(
     snapshot itself, then index-append the survivors.
     """
     spark = new_docs.sparkSession
-    idx = spark.read.parquet(index_path)
+    meta = spark.read.parquet(index_path + "/meta").first()
+    num_hashes, bands, k = int(meta["num_hashes"]), int(meta["bands"]), int(meta["k"])
+    idx = spark.read.parquet(index_path + "/bands")
     new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, k)
     probe = (
         _band_rows(new_sigs, id_col, num_hashes, bands)
@@ -1391,12 +1405,7 @@ def incremental_dedup_pairs(
     )
 
 
-def lsh_index_stats(
-    spark,
-    index_path: str,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-) -> DataFrame:
+def lsh_index_stats(spark, index_path: str) -> DataFrame:
     """Operational audit of a persisted lsh_index_build index: per band,
     the doc count, distinct bucket count, max/mean bucket size, and the
     number of colliding buckets (size >= 2).
@@ -1413,7 +1422,7 @@ def lsh_index_stats(
     Columns: band, n_docs, n_buckets, max_bucket, mean_bucket,
     n_colliding — ordered by band.
     """
-    idx = spark.read.parquet(index_path)
+    idx = spark.read.parquet(index_path + "/bands")
     per_bucket = idx.groupBy("band", "band_key").agg(
         F.count("*").alias("sz")
     )

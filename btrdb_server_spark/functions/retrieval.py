@@ -352,7 +352,7 @@ def bm25_index_topk(
     return scored.orderBy(F.col("score").desc(), id_col).limit(k)
 
 
-def bm25_index_stats(spark, path: str, top: int = 20, id_col: str = "doc_id") -> DataFrame:
+def bm25_index_stats(spark, path: str, top: int = 20) -> DataFrame:
     """Posting-list skew audit of a persisted bm25_index_build index: the
     `top` terms by document frequency, with total term frequency and the
     share of all posting rows each holds.

@@ -1441,9 +1441,15 @@ def ivf_index_build(
     only its clusters. partitionBy("cluster") makes each cell a parquet
     directory, so ann_index_topk's literal cluster predicate prunes at the
     DIRECTORY level — a probe reads ~nprobe/k of the corpus bytes, which
-    is the entire economics of IVF at 100 TB. Build cost is one broadcast
-    assignment pass (corpus never shuffles to cluster — ivf_assign) plus
-    the partitioned write.
+    is the entire economics of IVF at 100 TB.
+
+    Build is a single MAP-ONLY pass: the k centroids are collected (k
+    rows — configuration, not data) and the nearest-centroid argmax runs
+    row-local against literal vectors, bit-identical to ivf_assign's
+    broadcast-join argmax (same rounded cosine, same ties-to-smallest-cid
+    lexicographic max). No join, no shuffle — the dynamic-partition write
+    emits at most k files per task, so even the write needs no
+    repartition (plan-pinned in tests/test_plans.py).
 
     Reference analogy: the reference serves stat queries from its
     persisted aggregate tree instead of re-scanning points
@@ -1453,17 +1459,42 @@ def ivf_index_build(
     if centroids is None:
         centroids = centroids_from_rows(embeddings, k, id_col, vec_col)
     centroids.write.mode("overwrite").parquet(path + "/centroids")
-    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
-    (
-        embeddings.join(assign, id_col)
-        .select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("v"),
-            "cluster",
-        )
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(path + "/cells")
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    _assigned_cells(embeddings, cent_rows, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path + "/cells")
+
+
+def _assigned_cells(
+    embeddings: DataFrame,
+    cent_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cluster) with the nearest-centroid argmax computed row-local
+    against LITERAL centroid vectors: array_max over (score, -cid) structs
+    is the same lexicographic max ivf_assign aggregates, so assignments
+    are bit-identical — but the plan is map-only (no join, no shuffle),
+    which is what lets ivf_index_build cluster a 100 TB corpus in one
+    pass. Staged select so the cast vector is computed once, not once per
+    centroid expression."""
+    staged = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_col(F.col("v"), _lit_vec([float(x) for x in r["cv"]])),
+                    6,
+                ).alias("score"),
+                F.lit(-int(r["cid"])).alias("ncid"),
+            )
+            for r in cent_rows
+        ]
+    )
+    return staged.select(
+        id_col, "v", (-F.array_max(scored)["ncid"]).alias("cluster")
     )
 
 

@@ -1016,9 +1016,7 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     # bands of 2 rows, as in test_minhash_lsh_finds_near_dups: a ~0.6-Jaccard
     # pair reliably collides on at least one band.
     lsh_index_build(base, idx, bands=8)
-    got = incremental_dedup_pairs(
-        snapshot, idx, bands=8, est_threshold=0.25
-    ).collect()
+    got = incremental_dedup_pairs(snapshot, idx, est_threshold=0.25).collect()
     assert [(r.new_id, r.match_id) for r in got] == [(100, 0)]
     r = got[0]
     assert r.est_jaccard == r.matches / 16.0 and r.est_jaccard >= 0.25
@@ -1042,7 +1040,7 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     got2 = {
         (r.new_id, r.match_id): r.est_jaccard
         for r in incremental_dedup_pairs(
-            probe2, idx, bands=8, est_threshold=0.25
+            probe2, idx, est_threshold=0.25
         ).collect()
     }
     assert set(got2) == {(200, 0), (200, 100)}

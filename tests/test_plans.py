@@ -924,8 +924,7 @@ def test_ann_index_probe_prunes_cell_directories(spark, tmp_path):
     plan = plan_of(df)
     import re as _re
 
-    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "cluster" in m.group(1), plan
+    assert _re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan), plan
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan  # ranking used the collected literal ids
 
@@ -946,7 +945,48 @@ def test_bm25_index_probe_prunes_posting_buckets(spark, tmp_path):
     plan = plan_of(df)
     import re as _re
 
-    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "bucket" in m.group(1), plan
+    assert _re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan), plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_index_build_is_map_only(spark):
+    """The index build's assignment must be row-local: no join, no
+    exchange — the whole 100 TB corpus clusters in one map pass (the
+    docstring contract of ivf_index_build)."""
+    from btrdb_server_spark.functions.similarity import (
+        _assigned_cells,
+        centroids_from_rows,
+    )
+
+    emb = entry_mod.load_table(spark, SF, "embeddings")
+    cents = sorted(
+        centroids_from_rows(emb, k=4).collect(), key=lambda r: r["cid"]
+    )
+    plan = plan_of(_assigned_cells(emb, cents))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_ivf_rowwise_assignment_matches_ivf_assign(spark):
+    """The literal-centroid row-local argmax must be bit-identical to
+    ivf_assign's broadcast-join argmax (same rounded cosine, same
+    ties-to-smallest-cid rule) — the persisted index's cells must agree
+    with every other IVF consumer."""
+    from btrdb_server_spark.functions.similarity import (
+        _assigned_cells,
+        centroids_from_rows,
+        ivf_assign,
+    )
+
+    emb = entry_mod.load_table(spark, SF, "embeddings")
+    cent_df = centroids_from_rows(emb, k=4)
+    cents = sorted(cent_df.collect(), key=lambda r: r["cid"])
+    rowwise = {
+        r["vec_id"]: r["cluster"]
+        for r in _assigned_cells(emb, cents).select("vec_id", "cluster").collect()
+    }
+    joined = {
+        r["vec_id"]: r["cluster"] for r in ivf_assign(emb, cent_df).collect()
+    }
+    assert rowwise == joined
