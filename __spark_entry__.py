@@ -2561,6 +2561,51 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(spark, idx, probe, k=10, nprobe=2)
 
 
+def q_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE exactness: build the index on 90% of the
+    vectors, fold the other 10% in with ivf_index_append (row-local
+    assignment against the persisted centroids), then probe. The oracle
+    is the FULL-corpus multiprobe query — append-then-probe must be
+    bit-equal to a rebuild, because assignment is a pure per-row function
+    of the (shared, full-corpus) centroid table."""
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        centroids_from_rows,
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = _workdir(prefix="btrdb_ivfinc_q_")
+    idx = f"{work}/ivf_index"
+    cents = centroids_from_rows(emb, k=8)
+    ivf_index_build(emb.where(F.col("vec_id") % 10 != 0), idx, cents)
+    ivf_index_append(emb.where(F.col("vec_id") % 10 == 0), idx)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_index_topk(spark, idx, probe, k=10, nprobe=2)
+
+
+def q_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index MAINTENANCE exactness: build on 90% of the documents,
+    bm25_index_append the other 10% (batch-only tokenization, exact
+    int64 stats fold), then query. The oracle is the FULL-corpus
+    bm25_topk — append-then-query must be bit-equal to a rebuild, since
+    df comes from the postings at query time and avgdl from the exactly
+    merged sums."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = _workdir(prefix="btrdb_bm25inc_q_")
+    idx = f"{work}/bm25_index"
+    bm25_index_build(docs.where(F.col("doc_id") % 10 != 0), idx)
+    bm25_index_append(docs.where(F.col("doc_id") % 10 == 0), idx)
+    return bm25_index_topk(spark, idx, BM25_QUERY, k=10)
+
+
 def q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-balance audit of the persisted IVF index: per-cluster vector
     count and corpus share, read from the cells' partition column alone
@@ -5335,15 +5380,15 @@ DRIVER_WINDOW: list[str] = [
     "lsh_index_stats",
     "ann_index_topk",
     "bm25_index_topk",
+    "ann_index_incremental",
+    "bm25_index_incremental",
     "ivf_index_stats",
     "bm25_index_stats",
-    "dedup_clusters",
-    "exact_dedup",
-    "minhash_verified_pairs",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "dup_spans",
-    "simhash",
+    "ann_ivf_topk",
+    "semantic_dedup",
+    "hard_negatives",
+    "ann_batch_topk",
+    "ann_ivf_multiprobe",
 ]
 
 
@@ -5410,8 +5455,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_index_stats": q_lsh_index_stats,
         "ann_index_topk": q_ann_index_topk,
         "bm25_index_topk": q_bm25_index_topk,
+        "ann_index_incremental": q_ann_index_incremental,
+        "bm25_index_incremental": q_bm25_index_incremental,
         "ivf_index_stats": q_ivf_index_stats,
         "bm25_index_stats": q_bm25_index_stats,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "hard_negatives": q_hard_negatives,
+        "ann_batch_topk": q_ann_batch_topk,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        # ---- position 51+: banked green or locally verified ----
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -5419,10 +5472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "dup_spans": q_dup_spans,
         "simhash": q_simhash,
-        # ---- position 51+: banked green or locally verified ----
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_select": q_dedup_select,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "edit_verified_pairs": q_edit_verified_pairs,
         "ngram_novelty": q_ngram_novelty,
@@ -5660,11 +5711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
         "domain_mix": q_domain_mix,
-        "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
-        "hard_negatives": q_hard_negatives,
-        "ann_batch_topk": q_ann_batch_topk,
-        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "pq_encode": q_pq_encode,
@@ -12783,4 +12830,8 @@ def oracle_sql() -> dict[str, str]:
     # formula fix cannot silently diverge the pair.
     d["bm25_index_topk"] = d["bm25_topk"]
     d["ann_index_topk"] = d["ann_ivf_multiprobe"]
+    # Maintenance-exactness twins: append-then-query must equal a full
+    # rebuild, so their oracle IS the full-corpus query's oracle.
+    d["bm25_index_incremental"] = d["bm25_topk"]
+    d["ann_index_incremental"] = d["ann_ivf_multiprobe"]
     return d

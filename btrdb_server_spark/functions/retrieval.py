@@ -274,9 +274,14 @@ def bm25_index_build(
     toks = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
     ).select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
+    # Stats store the EXACT integer sum of document lengths, not the
+    # average: sums of integers merge associatively (and stay exact in
+    # int64 far beyond 100 TB of tokens), so bm25_index_append can fold a
+    # new batch in and the derived avgdl = sum_dl / n_docs is bit-equal
+    # to a full rebuild's F.avg (both are one exact division).
     stats = toks.agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.sum("dl").cast("long").alias("sum_dl"),
         F.lit(buckets).cast("long").alias("buckets"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(path + "/stats")
@@ -345,7 +350,14 @@ def bm25_index_topk(
     )
     scored = (
         post.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats_df.select("n_docs", "avgdl")))
+        .crossJoin(
+            F.broadcast(
+                stats_df.select(
+                    "n_docs",
+                    (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+                )
+            )
+        )
         .groupBy(id_col)
         .agg(F.round(F.sum(w), 6).alias("score"))
     )
@@ -382,3 +394,60 @@ def bm25_index_stats(spark, path: str, top: int = 20) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(top)
     )
+
+
+def bm25_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a new document batch into a persisted bm25_index_build index —
+    the daily-crawl maintenance path: tokenize ONLY the batch, append its
+    postings under the same term-hash buckets (bucket count read from the
+    index; a batch can never write an incompatible layout), and replace
+    the 1-row stats with the exactly-merged (n_docs, sum_dl).
+
+    Append-then-query is BIT-EQUAL to a full rebuild over the union:
+    document frequencies are computed from the postings at query time (so
+    appended postings are counted exactly), and the stats fold adds exact
+    int64 counters. Proven by the ann/bm25 *_incremental driver entries,
+    whose oracle is the full-corpus one.
+
+    Not transactional (stats replace follows the postings append):
+    single-writer maintenance, same discipline as store compaction.
+    """
+    spark = new_docs.sparkSession
+    old = spark.read.parquet(path + "/stats").first()
+    buckets = int(old["buckets"])
+    docs = ensure_parallelism(new_docs)
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    ).select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
+    batch = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).first()
+    postings = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(buckets)))
+    )
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path + "/postings")
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(old["n_docs"]) + int(batch["n_docs"] or 0),
+                int(old["sum_dl"]) + int(batch["sum_dl"] or 0),
+                buckets,
+            )
+        ],
+        "n_docs long, sum_dl long, buckets long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")

@@ -1559,3 +1559,32 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def ivf_index_append(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a new vector batch into a persisted ivf_index_build index —
+    the maintenance path: assign ONLY the batch against the index's OWN
+    persisted centroids (read back, k rows) with the same row-local
+    argmax the build used, and append into the cluster-partitioned cells.
+
+    Append-then-probe is BIT-EQUAL to a full rebuild with the same
+    centroids (assignment is a pure per-row function of the centroid
+    table), proven by the ann_index_incremental driver entry against the
+    full-corpus oracle. Centroids do drift as the corpus grows —
+    ivf_index_stats is the cell-balance gauge that says when to re-train
+    and re-bucket (a full rebuild, like the store's re-bucketing
+    compaction).
+    """
+    spark = new_embeddings.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    _assigned_cells(new_embeddings, cent_rows, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(path + "/cells")
