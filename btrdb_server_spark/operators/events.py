@@ -542,11 +542,21 @@ def markov_entropy(
     the (from, to) term list (~|types|² rows, metadata-scale), so the
     summation order is fixed and the result bit-identical in any engine —
     the same fixed-order-fold discipline as ewma/holt, needed here
-    because -x·log2(y) terms are not associatively safe.
+    because -x·log2(y) terms are not associatively safe. log2 runs
+    through the libm pandas_udf (JVM Math.log is 1-ulp off libm on some
+    inputs — surfaced at sf0.001; the terms are metadata-scale rows).
 
     Scale shape: identical to event_transitions (one user-keyed window,
     one tiny groupBy); everything after the count matrix is a single-row
     fold over a type²-sized array."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _log2(s):  # libm log2 — matches DuckDB log2() bit-exactly
+        import numpy as np
+
+        return np.log2(s)
+
     tr = event_transitions(events, user_col, type_col, ts_col, id_col)
     from_tot = tr.groupBy("from_type").agg(F.sum("cnt").alias("cu"))
     to_tot = tr.groupBy("to_type").agg(F.sum("cnt").alias("cv"))
@@ -561,7 +571,7 @@ def markov_entropy(
                 "to_type",
                 (
                     -(F.col("cnt").cast("double") / F.col("t"))
-                    * F.log2(F.col("cnt").cast("double") / F.col("cu"))
+                    * _log2(F.col("cnt").cast("double") / F.col("cu"))
                 ).alias("hc"),
                 "cv",
                 "cnt",
@@ -585,7 +595,7 @@ def markov_entropy(
                 "to_type",
                 (
                     -(F.col("cv").cast("double") / F.col("t"))
-                    * F.log2(F.col("cv").cast("double") / F.col("t"))
+                    * _log2(F.col("cv").cast("double") / F.col("t"))
                 ).alias("hm"),
             ).alias("s")
         )

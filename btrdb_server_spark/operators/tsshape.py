@@ -147,10 +147,21 @@ def permutation_entropy(
 
     Exactness: pattern counts are integers; H folds the <= 6 terms in
     FIXED pattern-code order via F.aggregate over a sorted struct array,
-    each term -(c/N)*ln(c/N) computed on exact integer ratios — the
-    fixed-order float fold pattern of events.py markov_entropy. Scale
-    shape: one lead-window pass over the bucket-scale spine (bounded
-    partitions: n rows per stream). Columns: uuid, n_triples, h, h_norm."""
+    each term -(c/N)*ln(c/N) computed on exact integer ratios with the
+    libm pandas_udf ln (JVM Math.log is 1-ulp off libm on some inputs —
+    surfaced at sf0.001 — and the terms are <= 6 post-aggregate rows per
+    stream, so the shim costs nothing). The fixed-order float fold
+    pattern of events.py markov_entropy. Scale shape: one lead-window
+    pass over the bucket-scale spine (bounded partitions: n rows per
+    stream). Columns: uuid, n_triples, h, h_norm."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
+        import numpy as np
+
+        return np.log(s)
+
     filled, n = _bucket_sums(points, start, end, width, value_quantum)
     if n < 3:
         raise ValueError("need at least 3 buckets")
@@ -167,15 +178,16 @@ def permutation_entropy(
     r2 = (a <= c).cast("int") + (b <= c).cast("int")
     coded = tri.select("uuid", (r0 * 9 + r1 * 3 + r2).alias("code"))
     counts = coded.groupBy("uuid", "code").agg(F.count("*").alias("cnt"))
-    per = counts.groupBy("uuid").agg(
-        F.sum("cnt").alias("N"),
-        F.array_sort(F.collect_list(F.struct("code", "cnt"))).alias("cc"),
+    per_n = counts.groupBy("uuid").agg(F.sum("cnt").alias("N"))
+    ratio = F.col("cnt").cast("double") / F.col("N").cast("double")
+    terms = counts.join(F.broadcast(per_n), "uuid").select(
+        "uuid", "N", F.struct("code", (-ratio * _ln(ratio)).alias("term")).alias("ct")
     )
-    term = (
-        "-(CAST(x.cnt AS DOUBLE) / CAST(N AS DOUBLE))"
-        " * ln(CAST(x.cnt AS DOUBLE) / CAST(N AS DOUBLE))"
+    per = terms.groupBy("uuid").agg(
+        F.max("N").alias("N"),
+        F.array_sort(F.collect_list("ct")).alias("cc"),
     )
-    h = F.expr(f"aggregate(cc, CAST(0.0 AS DOUBLE), (acc, x) -> acc + ({term}))")
+    h = F.expr("aggregate(cc, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
     return per.select(
         "uuid",
         F.col("N").alias("n_triples"),
