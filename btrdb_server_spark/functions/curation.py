@@ -731,11 +731,9 @@ def weighted_sample(
     engines)."""
     import math as _math
 
-    from pyspark.sql.functions import pandas_udf
+    from btrdb_server_spark.utils import libm_ln
 
-    @pandas_udf("double")
-    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
-        return s.map(_math.log)
+    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
 
     hv = F.conv(
         F.substring(

@@ -1327,6 +1327,16 @@ def lsh_index_build(
         docs.sparkSession.createDataFrame(
             [(num_hashes, bands, k)], "num_hashes long, bands long, k long"
         ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    else:
+        # Appends MUST use the index's own hash family — caller-supplied
+        # params are ignored in favor of the persisted meta, otherwise an
+        # append could silently write band keys no probe can match.
+        meta = docs.sparkSession.read.parquet(path + "/meta").first()
+        num_hashes, bands, k = (
+            int(meta["num_hashes"]),
+            int(meta["bands"]),
+            int(meta["k"]),
+        )
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k)
     (
         _band_rows(sigs, id_col, num_hashes, bands)

@@ -421,9 +421,13 @@ def bm25_index_append(
     old = spark.read.parquet(path + "/stats").first()
     buckets = int(old["buckets"])
     docs = ensure_parallelism(new_docs)
-    toks = docs.select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
-    ).select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
+    # One tokenization for both consumers (stats aggregate + postings
+    # write): tokenizing the batch is the append's dominant cost.
+    toks = (
+        docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+        .select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
+        .localCheckpoint(eager=True)
+    )
     batch = toks.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
@@ -444,8 +448,8 @@ def bm25_index_append(
     spark.createDataFrame(
         [
             (
-                int(old["n_docs"]) + int(batch["n_docs"] or 0),
-                int(old["sum_dl"]) + int(batch["sum_dl"] or 0),
+                int(old["n_docs"] or 0) + int(batch["n_docs"] or 0),
+                int(old["sum_dl"] or 0) + int(batch["sum_dl"] or 0),
                 buckets,
             )
         ],

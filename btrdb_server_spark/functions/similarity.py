@@ -1459,7 +1459,14 @@ def ivf_index_build(
     if centroids is None:
         centroids = centroids_from_rows(embeddings, k, id_col, vec_col)
     centroids.write.mode("overwrite").parquet(path + "/centroids")
-    cent_rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    # Read the PERSISTED rows back rather than collect()ing the lineage:
+    # one execution of the centroid job instead of two, and the cells are
+    # guaranteed assigned against exactly the centroids the index stores
+    # (a non-deterministic centroid source would otherwise diverge them).
+    cent_rows = sorted(
+        embeddings.sparkSession.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
     _assigned_cells(embeddings, cent_rows, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(path + "/cells")

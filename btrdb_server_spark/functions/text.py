@@ -526,11 +526,9 @@ def zipf_fit(
     )
     import math
 
-    from pyspark.sql.functions import pandas_udf
+    from btrdb_server_spark.utils import libm_ln
 
-    @pandas_udf("double")
-    def _ln(s):  # libm log, elementwise — matches DuckDB ln() bit-exactly
-        return s.map(lambda v: math.log(v))
+    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
 
     terms = ranked.select(
         "rank",
@@ -907,15 +905,10 @@ def bigram_perplexity(
     bigrams and are excluded (both engines)."""
     import math as _math
 
-    from pyspark.sql.functions import pandas_udf
+    from btrdb_server_spark.utils import libm_exp, libm_ln
 
-    @pandas_udf("double")
-    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
-        return s.map(_math.log)
-
-    @pandas_udf("double")
-    def _exp(s):  # libm exp — matches DuckDB exp() bit-exactly
-        return s.map(_math.exp)
+    _ln = libm_ln()  # shared scalar-libm shims — match DuckDB bit-exactly
+    _exp = libm_exp()
 
     t = ensure_parallelism(docs).select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("toks")

@@ -912,9 +912,9 @@ def hurst_exponent(
 
     scaled = _reduce(DataFrame.unionAll, per_scale)
 
-    @pandas_udf("double")
-    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
-        return s.map(lambda v: _math.log(v) if v > 0 else float("nan"))
+    from btrdb_server_spark.utils import libm_ln
+
+    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
 
     terms = scaled.select(
         "m", _ln(F.col("m").cast("double")).alias("x"), _ln("var_m").alias("y")

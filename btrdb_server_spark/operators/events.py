@@ -549,13 +549,9 @@ def markov_entropy(
     Scale shape: identical to event_transitions (one user-keyed window,
     one tiny groupBy); everything after the count matrix is a single-row
     fold over a type²-sized array."""
-    from pyspark.sql.functions import pandas_udf
+    from btrdb_server_spark.utils import libm_log2
 
-    @pandas_udf("double")
-    def _log2(s):  # libm log2 — matches DuckDB log2() bit-exactly
-        import numpy as np
-
-        return np.log2(s)
+    _log2 = libm_log2()  # shared libm shim — matches DuckDB bit-exactly
 
     tr = event_transitions(events, user_col, type_col, ts_col, id_col)
     from_tot = tr.groupBy("from_type").agg(F.sum("cnt").alias("cu"))
@@ -1355,11 +1351,9 @@ def mix_entropy(
     ).agg(*aggs)
     import math as _math
 
-    from pyspark.sql.functions import pandas_udf
+    from btrdb_server_spark.utils import libm_ln
 
-    @pandas_udf("double")
-    def _ln(col):  # libm log — matches DuckDB ln() bit-exactly
-        return col.map(lambda v: _math.log(v) if v > 0 else float("nan"))
+    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
 
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     # stage the ratios once so each _ln input is a plain column

@@ -1468,11 +1468,9 @@ def psi_timeline(
     are read exactly twice."""
     import math as _math
 
-    from pyspark.sql.functions import pandas_udf
+    from btrdb_server_spark.utils import libm_ln
 
-    @pandas_udf("double")
-    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
-        return s.map(_math.log)
+    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
 
     if bins < 2:
         raise ValueError("need >= 2 bins")

@@ -154,13 +154,9 @@ def permutation_entropy(
     pattern of events.py markov_entropy. Scale shape: one lead-window
     pass over the bucket-scale spine (bounded partitions: n rows per
     stream). Columns: uuid, n_triples, h, h_norm."""
-    from pyspark.sql.functions import pandas_udf
+    from btrdb_server_spark.utils import libm_ln
 
-    @pandas_udf("double")
-    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
-        import numpy as np
-
-        return np.log(s)
+    _ln = libm_ln()  # shared libm shim — matches DuckDB bit-exactly
 
     filled, n = _bucket_sums(points, start, end, width, value_quantum)
     if n < 3:
@@ -177,11 +173,22 @@ def permutation_entropy(
     r1 = (a <= b).cast("int") + (c < b).cast("int")
     r2 = (a <= c).cast("int") + (b <= c).cast("int")
     coded = tri.select("uuid", (r0 * 9 + r1 * 3 + r2).alias("code"))
+    # ONE pass over the spine window: collapse to per-stream (N, sorted
+    # (code,cnt) array) in a single groupBy, then explode the <= 6-element
+    # post-aggregate array to feed the libm shim row-wise and re-collect —
+    # the expensive lead-window pass is never referenced twice.
     counts = coded.groupBy("uuid", "code").agg(F.count("*").alias("cnt"))
-    per_n = counts.groupBy("uuid").agg(F.sum("cnt").alias("N"))
-    ratio = F.col("cnt").cast("double") / F.col("N").cast("double")
-    terms = counts.join(F.broadcast(per_n), "uuid").select(
-        "uuid", "N", F.struct("code", (-ratio * _ln(ratio)).alias("term")).alias("ct")
+    per0 = counts.groupBy("uuid").agg(
+        F.sum("cnt").alias("N"),
+        F.array_sort(F.collect_list(F.struct("code", "cnt"))).alias("cc0"),
+    )
+    ratio = F.col("x.cnt").cast("double") / F.col("N").cast("double")
+    terms = per0.select(
+        "uuid", "N", F.explode("cc0").alias("x")
+    ).select(
+        "uuid",
+        "N",
+        F.struct(F.col("x.code").alias("code"), (-ratio * _ln(ratio)).alias("term")).alias("ct"),
     )
     per = terms.groupBy("uuid").agg(
         F.max("N").alias("N"),
@@ -641,13 +648,9 @@ def tail_index(
     k rows per stream. Columns: uuid, k, x_kplus1, alpha."""
     if k < 2:
         raise ValueError("need k >= 2")
-    import math as _math
+    from btrdb_server_spark.utils import libm_ln
 
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _ln(s):  # libm log — matches DuckDB ln() bit-exactly
-        return s.map(lambda v: _math.log(v) if v > 0 else float("nan"))
+    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
 
     vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
     src = (

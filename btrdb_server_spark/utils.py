@@ -59,3 +59,49 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def libm_ln():
+    """The repo's float-parity device, defined ONCE: natural log as an
+    Arrow-batched pandas_udf over SCALAR math.log (glibc libm — matching
+    DuckDB's ln() bit-exactly; numpy's np.log is SIMD-vectorized and not
+    guaranteed bit-identical to scalar libm). Nonpositive inputs map to
+    NaN (the guard some call sites relied on; harmless where inputs are
+    provably positive). Use on post-aggregate, metadata-scale rows —
+    never per-point hot paths. A factory (not a module-level udf) so
+    importing utils never touches the udf machinery."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(s):
+        import math
+
+        return s.map(lambda v: math.log(v) if v > 0 else float("nan"))
+
+    return _ln
+
+
+def libm_log2():
+    """Binary-log twin of libm_ln — matches DuckDB log2() bit-exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _log2(s):
+        import math
+
+        return s.map(lambda v: math.log2(v) if v > 0 else float("nan"))
+
+    return _log2
+
+
+def libm_exp():
+    """exp twin of libm_ln — matches DuckDB exp() bit-exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _exp(s):
+        import math
+
+        return s.map(math.exp)
+
+    return _exp
