@@ -1042,3 +1042,49 @@ def test_winnowing_matches_independent_python(spark, docs):
     }
     for i, ts in enumerate(docs):
         assert got[i] == profile(ts), f"doc {i}: {ts}"
+
+
+# Small word pool so random corpora actually share shingles (near-dups
+# arise by chance); docs need >= 3 tokens to have any 3-gram shingle.
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=docs_strategy)
+@SET
+def test_incremental_dedup_equals_one_shot_cross_pairs(spark, tmp_path_factory, texts):
+    """For ANY corpus split, probing a persisted LSH index must emit
+    exactly the cross-side subset of the one-shot estimator's pairs at
+    the same threshold, with identical match counts — the persisted-index
+    path can neither invent nor lose pairs relative to the in-memory
+    pipeline it mirrors."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+        minhash_jaccard_est,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    base = df.where(F.col("doc_id") % 2 == 0)
+    snap = df.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path_factory.mktemp("lshprop") / "idx")
+    lsh_index_build(base, idx, bands=8)
+    got = {
+        (r.new_id, r.match_id): r.matches
+        for r in incremental_dedup_pairs(snap, idx, est_threshold=0.25).collect()
+    }
+    # one-shot estimator over the union, restricted to cross-side pairs
+    # at the same threshold (est = matches/16 >= 0.25 <=> matches >= 4)
+    want = {}
+    for r in minhash_jaccard_est(df, bands=8).collect():
+        lo, hi = (r.a, r.b) if r.a < r.b else (r.b, r.a)
+        if lo % 2 != hi % 2 and r.matches >= 4:
+            new_id, match_id = (lo, hi) if lo % 2 == 1 else (hi, lo)
+            want[(new_id, match_id)] = r.matches
+    assert got == want
