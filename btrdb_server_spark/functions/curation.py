@@ -733,7 +733,7 @@ def weighted_sample(
 
     from btrdb_server_spark.utils import libm_ln
 
-    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
+    _ln = libm_ln(strict=True)  # libm shim; raises on nonpositive — matches DuckDB bit-exactly
 
     hv = F.conv(
         F.substring(

@@ -1314,37 +1314,46 @@ def lsh_index_build(
     (same schema, append mode — the meta row is only written on
     overwrite, so appends cannot change the hash family).
 
-    The index is SELF-DESCRIBING: (num_hashes, bands, k) persist in a
-    meta table and every probe reads them back — a probe can never
+    The index is SELF-DESCRIBING: (num_hashes, bands, k) persist in the
+    manifest and every probe reads them back — a probe can never
     silently run with a mismatched hash family (which would return
-    missing pairs, not an error).
+    missing pairs, not an error). Appends land in fresh batch dirs that
+    no reader consults until the atomic manifest flip commits them, and
+    the full lifecycle (lsh_index_retire / lsh_index_compact) follows
+    the store's tombstone + generation discipline — see
+    functions/index_store.py.
 
     Reference analogy: the reference folds new points against its
     persisted COW tree instead of rebuilding (store.py insert/compact);
     this is the same fold-against-persisted-state discipline for dedup.
     """
+    from btrdb_server_spark.functions import index_store as ixs
+
     if mode == "overwrite":
-        docs.sparkSession.createDataFrame(
-            [(num_hashes, bands, k)], "num_hashes long, bands long, k long"
-        ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+        m = ixs.init_index(
+            path,
+            ["bands"],
+            params={"num_hashes": num_hashes, "bands": bands, "k": k},
+        )
+        batch = 0
     else:
         # Appends MUST use the index's own hash family — caller-supplied
         # params are ignored in favor of the persisted meta, otherwise an
         # append could silently write band keys no probe can match.
-        meta = docs.sparkSession.read.parquet(path + "/meta").first()
-        num_hashes, bands, k = (
-            int(meta["num_hashes"]),
-            int(meta["bands"]),
-            int(meta["k"]),
-        )
+        m = ixs.read_manifest(path)
+        p = m["params"]
+        num_hashes, bands, k = int(p["num_hashes"]), int(p["bands"]), int(p["k"])
+        batch = ixs.next_batch(m)
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k)
     (
         _band_rows(sigs, id_col, num_hashes, bands)
         .withColumnRenamed(id_col, "index_id")
-        .write.mode(mode)
-        .partitionBy("band")
-        .parquet(path + "/bands")
+        .write.partitionBy("band")
+        .parquet(ixs.table_batch_dir(path, m, "bands", batch))
     )
+    if mode != "overwrite":
+        m["batches"] = m["batches"] + [batch]
+    ixs.write_manifest(path, m)  # atomic commit: nothing live before this
 
 
 def incremental_dedup_pairs(
@@ -1353,6 +1362,8 @@ def incremental_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     est_threshold: float = 0.5,
+    broadcast_snapshot: bool | None = None,
+    broadcast_row_cap: int = 2_000_000,
 ) -> DataFrame:
     """Dedup a NEW snapshot against a persisted lsh_index_build index:
     for every new doc, the already-indexed docs it near-duplicates,
@@ -1379,16 +1390,43 @@ def incremental_dedup_pairs(
     Within-snapshot duplicates are out of scope by design: run the
     one-shot pipeline (minhash_lsh_pairs / lsh_verified_pairs) on the
     snapshot itself, then index-append the survivors.
+
+    The "snapshot ≪ corpus" assumption is ENFORCED, not assumed: by
+    default the snapshot's band rows are broadcast only while the
+    snapshot is provably small (row count ≤ broadcast_row_cap, a cheap
+    count on the batch); an oversized snapshot degrades SOFT to a plain
+    shuffled join on (band, band_key) instead of OOMing the driver.
+    Pass broadcast_snapshot=True/False to skip the guard either way.
+
+    Retired docs (lsh_index_retire) never appear as match_id — the
+    tombstone set rides a broadcast anti-join on the index scan.
     """
+    from btrdb_server_spark.functions import index_store as ixs
+
     spark = new_docs.sparkSession
-    meta = spark.read.parquet(index_path + "/meta").first()
-    num_hashes, bands, k = int(meta["num_hashes"]), int(meta["bands"]), int(meta["k"])
-    idx = spark.read.parquet(index_path + "/bands")
+    m = ixs.read_manifest(index_path)
+    p = m["params"]
+    num_hashes, bands, k = int(p["num_hashes"]), int(p["bands"]), int(p["k"])
+    idx = ixs.minus_tombstones(
+        ixs.read_table(spark, index_path, m, "bands"),
+        ixs.read_tombstones(spark, index_path, m),
+        "index_id",
+    )
     new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, k)
     probe = (
         _band_rows(new_sigs, id_col, num_hashes, bands)
         .withColumnRenamed(id_col, "new_id")
     )
+    if broadcast_snapshot is None:
+        # The broadcast side holds bands rows per doc, ~(16 longs + key)
+        # each: the cap bounds it at a few hundred MB — comfortably
+        # inside executor broadcast budgets. The guard count reads just
+        # enough docs to decide (limit + count, never a full snapshot
+        # scan when it is huge).
+        doc_cap = max(1, broadcast_row_cap // bands)
+        broadcast_snapshot = new_docs.limit(doc_cap + 1).count() <= doc_cap
+    if broadcast_snapshot:
+        probe = F.broadcast(probe)
     matches = sum(
         F.when(F.col(f"mh{j}") == F.col(f"imh{j}"), 1).otherwise(0)
         for j in range(num_hashes)
@@ -1400,7 +1438,7 @@ def incremental_dedup_pairs(
             F.col("index_id").alias("match_id"),
             *[F.col(f"mh{j}").alias(f"imh{j}") for j in range(num_hashes)],
         )
-        .join(F.broadcast(probe), ["band", "band_key"])
+        .join(probe, ["band", "band_key"])
         .select(
             "new_id",
             "match_id",
@@ -1432,7 +1470,14 @@ def lsh_index_stats(spark, index_path: str) -> DataFrame:
     Columns: band, n_docs, n_buckets, max_bucket, mean_bucket,
     n_colliding — ordered by band.
     """
-    idx = spark.read.parquet(index_path + "/bands")
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(index_path)
+    idx = ixs.minus_tombstones(
+        ixs.read_table(spark, index_path, m, "bands"),
+        ixs.read_tombstones(spark, index_path, m),
+        "index_id",
+    )
     per_bucket = idx.groupBy("band", "band_key").agg(
         F.count("*").alias("sz")
     )
@@ -1449,3 +1494,85 @@ def lsh_index_stats(spark, index_path: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def lsh_index_retire(spark, index_path: str, ids: list) -> int:
+    """Retire documents from a persisted lsh_index_build index — the
+    takedown / re-curation path: once a doc is deleted from the corpus,
+    its signature rows must stop producing dedup matches (a stale pair
+    against a GDPR-deleted doc is a correctness bug, not a nuisance).
+    Records the ids in the tombstone set WITHOUT rewriting band rows;
+    every probe (incremental_dedup_pairs, lsh_index_stats) anti-joins the
+    broadcast set, so retire-then-probe is BIT-EQUAL to a rebuild on the
+    post-delete corpus. Bytes are reclaimed by lsh_index_compact —
+    tombstone now, rewrite in the background, the reference's Obliterate
+    protocol (internal/mprovider/metaprovider.go:339-427).
+
+    Idempotent (the retired set is derived from live index rows, so
+    re-retiring or retiring never-indexed ids is a no-op). Cost: one
+    index scan of the index_id column + a metadata-scale tombstone
+    rewrite. Returns the number of docs newly retired.
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(index_path)
+    seq = m["gen_seq"] + 1
+    tomb_old = ixs.read_tombstones(spark, index_path, m)
+    newly = (
+        ixs.minus_tombstones(
+            ixs.read_table(spark, index_path, m, "bands").select("index_id"),
+            tomb_old,
+            "index_id",
+        )
+        .where(F.col("index_id").isin(list(ids)))
+        .select(F.col("index_id").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_new = newly.count()
+    if n_new == 0:
+        return 0
+    full = newly if tomb_old is None else tomb_old.unionByName(newly)
+    tomb_dir = ixs.write_tombstones(index_path, m, full, seq)
+    old_tomb = m["tombstones"]
+    m["tombstones"] = tomb_dir
+    m["gen_seq"] = seq
+    ixs.write_manifest(index_path, m)
+    ixs.drop_dirs(index_path, [old_tomb])
+    return n_new
+
+
+def lsh_index_compact(spark, index_path: str) -> dict:
+    """Fold an LSH index's append fragments and drop its retired docs:
+    rewrite the live band rows into ONE fresh generation (re-sharded by
+    band so each band directory collapses to a few fat files), flip the
+    manifest atomically, then delete the superseded generations and the
+    tombstone set. Probe answers are unchanged (compact-then-probe ==
+    tombstone-view probe == post-delete rebuild, driver-proven); probes
+    stop paying the anti-join and the per-batch file fan-out. Mirrors
+    store.compact()'s generation discipline (store.py:406-520).
+    Returns {rows, gen}.
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(index_path)
+    seq = m["gen_seq"] + 1
+    live = ixs.minus_tombstones(
+        ixs.read_table(spark, index_path, m, "bands"),
+        ixs.read_tombstones(spark, index_path, m),
+        "index_id",
+    )
+    m2 = dict(m)
+    m2["tables"] = {"bands": f"bands.gen{seq}"}
+    m2["batches"] = [0]
+    (
+        live.repartition("band")
+        .write.partitionBy("band")
+        .parquet(ixs.table_batch_dir(index_path, m2, "bands", 0))
+    )
+    rows = ixs.read_table(spark, index_path, m2, "bands").count()
+    m2["tombstones"] = None
+    m2["gen_seq"] = seq
+    ixs.write_manifest(index_path, m2)  # atomic flip
+    ixs.drop_dirs(index_path, [m["tables"]["bands"], m["tombstones"]])
+    return {"rows": rows, "gen": seq}

@@ -245,6 +245,28 @@ def rerank_fusion(
     )
 
 
+def _bm25_postings(toks: DataFrame, id_col: str, buckets: int) -> DataFrame:
+    return (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(buckets)))
+    )
+
+
+def _live_postings(spark, path: str, m: dict | None = None) -> DataFrame:
+    """Committed postings minus retired docs (see functions/index_store.py
+    for the manifest/tombstone discipline shared by the three indexes)."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = m or ixs.read_manifest(path)
+    return ixs.minus_tombstones(
+        ixs.read_table(spark, path, m, "postings"),
+        ixs.read_tombstones(spark, path, m),
+        m["id_col"],
+    )
+
+
 def bm25_index_build(
     docs: DataFrame,
     path: str,
@@ -253,7 +275,8 @@ def bm25_index_build(
     buckets: int = 64,
 ) -> None:
     """Persist the BM25 inverted index: full postings (term, doc, tf, dl)
-    partitioned by a term hash bucket, plus the corpus stats row.
+    partitioned by a term hash bucket, a thin per-document length table
+    (the norms file of a classic IR index), and the exact corpus stats.
 
     bm25_topk tokenizes the corpus per query; an index that serves many
     queries should tokenize once and lay postings out so a query reads
@@ -266,38 +289,51 @@ def bm25_index_build(
     every posting of the query's terms, so df is computed exactly from the
     pruned scan — nothing in the index goes stale except via append.
 
+    Stats hold the EXACT integer (n_docs, sum_dl): integer sums merge
+    associatively (exact in int64 far beyond 100 TB of tokens), so
+    bm25_index_append folds a batch in and bm25_index_retire subtracts a
+    retired set out, and the derived avgdl = sum_dl / n_docs stays
+    bit-equal to a full rebuild's F.avg (one exact division either way).
+    They live IN the manifest, so the single atomic manifest flip commits
+    data + stats together — no crash window can leave them disagreeing
+    (the norms table makes any historical disagreement detectable and
+    repairable: bm25_index_verify / bm25_index_compact).
+
     Completes the persisted-index trilogy (lsh_index_build for dedup,
     ivf_index_build for ANN): precompute-then-prune, the same discipline
-    as the reference's persisted aggregate tree (qtree.go:925-947).
+    as the reference's persisted aggregate tree (qtree.go:925-947), with
+    the store's manifest/tombstone lifecycle (store.py, and the
+    reference's Obliterate protocol, metaprovider.go:339-427).
     """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    spark = docs.sparkSession
     docs = ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
     ).select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
-    # Stats store the EXACT integer sum of document lengths, not the
-    # average: sums of integers merge associatively (and stay exact in
-    # int64 far beyond 100 TB of tokens), so bm25_index_append can fold a
-    # new batch in and the derived avgdl = sum_dl / n_docs is bit-equal
-    # to a full rebuild's F.avg (both are one exact division).
-    stats = toks.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-        F.lit(buckets).cast("long").alias("buckets"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(path + "/stats")
-    postings = (
-        toks.select(id_col, "dl", F.explode("toks").alias("term"))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(buckets)))
+    m = ixs.init_index(path, ["postings", "docs"], id_col=id_col)
+    toks.select(id_col, "dl").write.parquet(
+        ixs.table_batch_dir(path, m, "docs", 0)
     )
     (
-        postings.repartition("bucket")
+        _bm25_postings(toks, id_col, buckets)
+        .repartition("bucket")
         .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path + "/postings")
+        .write.partitionBy("bucket")
+        .parquet(ixs.table_batch_dir(path, m, "postings", 0))
     )
+    # Stats read back from the PERSISTED norms table (one thin scan):
+    # exactly the rows the index committed, never a re-tokenization.
+    st = ixs.read_table(spark, path, m, "docs").agg(
+        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
+    ).first()
+    m["stats"] = {
+        "n_docs": int(st["n"] or 0),
+        "sum_dl": int(st["s"] or 0),
+        "buckets": buckets,
+    }
+    ixs.write_manifest(path, m)  # atomic commit: nothing live before this
 
 
 def bm25_index_topk(
@@ -314,28 +350,38 @@ def bm25_index_topk(
     The only driver-side values are the query's bucket ids (|query| small
     integers, computed with the same F.hash the build used — a LITERAL
     partition predicate is what prunes the posting directories). Corpus
-    stats ride a broadcast 1-row table; per-term df is an exact aggregate
-    of the pruned scan; the final top-k is TakeOrderedAndProject.
+    stats come from the manifest (exact int64 n_docs / sum_dl — they ride
+    the plan as literals, and avgdl = sum_dl / n_docs is the same one
+    IEEE division a rebuild's F.avg performs); retired docs are excluded
+    by the broadcast tombstone anti-join, so after a bm25_index_retire
+    the scores are bit-equal to a rebuild on the post-delete corpus (df
+    too — it is an exact aggregate of the pruned, tombstone-filtered
+    scan). The final top-k is TakeOrderedAndProject.
     """
-    stats_df = spark.read.parquet(path + "/stats")
-    n_buckets = stats_df.first()["buckets"]
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    id_col = m["id_col"]
+    st = m["stats"]
     terms_df = spark.createDataFrame(
         [(t,) for t in query_terms], "term string"
     )
     bucket_ids = sorted(
         r.b
         for r in terms_df.select(
-            F.pmod(F.hash("term"), F.lit(int(n_buckets))).alias("b")
+            F.pmod(F.hash("term"), F.lit(int(st["buckets"]))).alias("b")
         )
         .distinct()
         .collect()
     )
-    post = spark.read.parquet(path + "/postings").where(
+    post = _live_postings(spark, path, m).where(
         F.col("bucket").isin(bucket_ids) & F.col("term").isin(query_terms)
     )
     dfreq = post.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = F.lit(int(st["n_docs"]))
+    avgdl = F.lit(float(st["sum_dl"]) / float(st["n_docs"]))
     idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        (n_docs - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
     w = (
@@ -345,19 +391,11 @@ def bm25_index_topk(
         / (
             F.col("tf")
             + F.lit(BM25_K1)
-            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
         )
     )
     scored = (
         post.join(F.broadcast(dfreq), "term")
-        .crossJoin(
-            F.broadcast(
-                stats_df.select(
-                    "n_docs",
-                    (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
-                )
-            )
-        )
         .groupBy(id_col)
         .agg(F.round(F.sum(w), 6).alias("score"))
     )
@@ -375,11 +413,19 @@ def bm25_index_stats(spark, path: str, top: int = 20) -> DataFrame:
     text never touched): one map-side-combined groupBy(term), a 1-row
     total, and a TakeOrderedAndProject for the top slice.
 
+    df is countDistinct(doc) — the SAME definition bm25_index_topk scores
+    with — so an accidental double-append (duplicate (doc, term) posting
+    rows) cannot silently inflate the audit while the query path dedups;
+    tombstoned (retired) docs are excluded like every other read path.
+
     Columns: term, df, total_tf, postings_share — df desc, term ties.
     """
-    post = spark.read.parquet(path + "/postings")
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    post = _live_postings(spark, path, m)
     per = post.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"),
+        F.countDistinct(m["id_col"]).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("total_tf"),
     )
     total = per.agg(F.sum("df").alias("t"))
@@ -414,12 +460,18 @@ def bm25_index_append(
     int64 counters. Proven by the ann/bm25 *_incremental driver entries,
     whose oracle is the full-corpus one.
 
-    Not transactional (stats replace follows the postings append):
-    single-writer maintenance, same discipline as store compaction.
+    TRANSACTIONAL: the batch lands in fresh batch=<N> directories that no
+    reader consults until the single atomic manifest flip commits the
+    batch ids AND the folded stats together — a crash at any point leaves
+    the old index fully intact (the next append of batch N clears the
+    orphan). Single-writer maintenance, like store compaction.
     """
+    from btrdb_server_spark.functions import index_store as ixs
+
     spark = new_docs.sparkSession
-    old = spark.read.parquet(path + "/stats").first()
-    buckets = int(old["buckets"])
+    m = ixs.read_manifest(path)
+    id_col, buckets = m["id_col"], int(m["stats"]["buckets"])
+    n = ixs.next_batch(m)
     docs = ensure_parallelism(new_docs)
     # One tokenization for both consumers (stats aggregate + postings
     # write): tokenizing the batch is the append's dominant cost.
@@ -428,30 +480,196 @@ def bm25_index_append(
         .select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
         .localCheckpoint(eager=True)
     )
+    toks.select(id_col, "dl").write.parquet(
+        ixs.table_batch_dir(path, m, "docs", n)
+    )
+    (
+        _bm25_postings(toks, id_col, buckets)
+        .repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("bucket")
+        .parquet(ixs.table_batch_dir(path, m, "postings", n))
+    )
     batch = toks.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     ).first()
-    postings = (
-        toks.select(id_col, "dl", F.explode("toks").alias("term"))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(buckets)))
+    m["stats"]["n_docs"] += int(batch["n_docs"] or 0)
+    m["stats"]["sum_dl"] += int(batch["sum_dl"] or 0)
+    m["batches"] = m["batches"] + [n]
+    ixs.write_manifest(path, m)  # atomic commit: batch + stats together
+
+
+def bm25_index_retire(spark, path: str, ids: list) -> int:
+    """Retire documents from a persisted BM25 index — the takedown /
+    re-curation path (GDPR delete, spam purge): record the ids in the
+    tombstone set and subtract their exact (count, total length) from the
+    manifest stats, WITHOUT rewriting a single posting byte.
+
+    Retire-then-query is BIT-EQUAL to a full rebuild on the post-delete
+    corpus: every read path anti-joins the broadcast tombstone set (df
+    and the scored postings exclude retired docs exactly) and avgdl is
+    derived from the exactly-subtracted int64 stats. The postings bytes
+    are reclaimed later by bm25_index_compact — tombstone now, rewrite in
+    the background, the reference's Obliterate protocol
+    (internal/mprovider/metaprovider.go:339-427, quasar.go:125-143).
+
+    Idempotent: ids already retired (or never indexed) are ignored — the
+    retired set is derived from the LIVE norms table, so stats can never
+    be subtracted twice. Cost: one thin norms-table scan + a
+    metadata-scale tombstone rewrite. Returns the number of docs newly
+    retired.
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    id_col = m["id_col"]
+    seq = m["gen_seq"] + 1
+    tomb_old = ixs.read_tombstones(spark, path, m)
+    newly = (
+        ixs.minus_tombstones(
+            ixs.read_table(spark, path, m, "docs"), tomb_old, id_col
+        )
+        .where(F.col(id_col).isin(list(ids)))
+        .select(F.col(id_col).alias("id"), "dl")
+        .distinct()
+        .localCheckpoint(eager=True)  # one computation feeds fold + write
     )
+    delta = newly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("s"),
+    ).first()
+    n_new = int(delta["n"] or 0)
+    if n_new == 0:
+        return 0
+    full = newly if tomb_old is None else tomb_old.unionByName(newly)
+    tomb_dir = ixs.write_tombstones(path, m, full, seq)
+    old_tomb = m["tombstones"]
+    m["tombstones"] = tomb_dir
+    m["gen_seq"] = seq
+    m["stats"]["n_docs"] -= n_new
+    m["stats"]["sum_dl"] -= int(delta["s"] or 0)
+    ixs.write_manifest(path, m)  # atomic: tombstones + stats together
+    ixs.drop_dirs(path, [old_tomb])
+    return n_new
+
+
+def bm25_index_compact(spark, path: str) -> dict:
+    """Fold a BM25 index's append fragments and drop its retired docs:
+    rewrite postings (re-sharded by bucket, term-sorted — restoring the
+    row-group pruning appends fragment) and the norms table into ONE
+    fresh generation, recompute stats from the compacted norms, flip the
+    manifest atomically, then delete the superseded generations and the
+    tombstone set. The index answer is unchanged (compact-then-query ==
+    tombstone-view query == post-delete rebuild, driver-proven); what
+    changes is the economics — probes stop paying the anti-join and the
+    fragment read-amplification.
+
+    The stats recompute doubles as the corruption DETECTION path: a
+    manifest whose folded stats disagree with the norms table (possible
+    only via out-of-band tampering — every commit here is atomic) is
+    reported in the returned dict and REPAIRED (the norms table is the
+    doc-level truth). Mirrors store.compact()'s generation discipline
+    (store.py:406-520). Returns {docs, stats_repaired, gen}.
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    id_col = m["id_col"]
+    seq = m["gen_seq"] + 1
+    tomb = ixs.read_tombstones(spark, path, m)
+    live_docs = ixs.minus_tombstones(
+        ixs.read_table(spark, path, m, "docs"), tomb, id_col
+    )
+    live_post = ixs.minus_tombstones(
+        ixs.read_table(spark, path, m, "postings"), tomb, id_col
+    )
+    m2 = dict(m)
+    m2["tables"] = {t: f"{t}.gen{seq}" for t in m["tables"]}
+    m2["batches"] = [0]
+    live_docs.write.parquet(ixs.table_batch_dir(path, m2, "docs", 0))
     (
-        postings.repartition("bucket")
+        live_post.repartition("bucket")
         .sortWithinPartitions("term")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path + "/postings")
+        .write.partitionBy("bucket")
+        .parquet(ixs.table_batch_dir(path, m2, "postings", 0))
     )
-    spark.createDataFrame(
+    st = (
+        ixs.read_table(spark, path, m2, "docs")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("s"),
+        )
+        .first()
+    )
+    truth = {
+        "n_docs": int(st["n"] or 0),
+        "sum_dl": int(st["s"] or 0),
+        "buckets": m["stats"]["buckets"],
+    }
+    repaired = truth != m["stats"]
+    m2["stats"] = truth
+    m2["tombstones"] = None
+    m2["gen_seq"] = seq
+    ixs.write_manifest(path, m2)  # atomic flip to the compacted generation
+    ixs.drop_dirs(
+        path, [m["tables"][t] for t in m["tables"]] + [m["tombstones"]]
+    )
+    return {"docs": truth["n_docs"], "stats_repaired": repaired, "gen": seq}
+
+
+def bm25_index_verify(spark, path: str) -> DataFrame:
+    """Consistency audit of a persisted BM25 index: cross-check the
+    manifest's folded stats against the live norms table and the live
+    postings — the cheap detection path for any stats/postings
+    disagreement (e.g. out-of-band file loss or a duplicated batch dir).
+
+    One thin norms scan plus one postings scan (id column only, buckets
+    pruned to nothing — it reads every bucket but only the id/dl
+    columns). postings_n_docs counts docs with >= 1 token, so it equals
+    docs_n_docs only when no live doc is empty — `consistent` therefore
+    pins stats == norms AND norms >= postings distinct ids.
+
+    Columns (1 row): n_docs, sum_dl, docs_n_docs, docs_sum_dl,
+    postings_n_docs, consistent.
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    id_col = m["id_col"]
+    tomb = ixs.read_tombstones(spark, path, m)
+    d = (
+        ixs.minus_tombstones(
+            ixs.read_table(spark, path, m, "docs"), tomb, id_col
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        )
+        .first()
+    )
+    p = (
+        _live_postings(spark, path, m)
+        .agg(F.countDistinct(id_col).cast("long").alias("n"))
+        .first()
+    )
+    st = m["stats"]
+    ok = (
+        int(st["n_docs"]) == int(d["n"])
+        and int(st["sum_dl"]) == int(d["s"])
+        and int(p["n"]) <= int(d["n"])
+    )
+    return spark.createDataFrame(
         [
             (
-                int(old["n_docs"] or 0) + int(batch["n_docs"] or 0),
-                int(old["sum_dl"] or 0) + int(batch["sum_dl"] or 0),
-                buckets,
+                int(st["n_docs"]),
+                int(st["sum_dl"]),
+                int(d["n"]),
+                int(d["s"]),
+                int(p["n"]),
+                bool(ok),
             )
         ],
-        "n_docs long, sum_dl long, buckets long",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+        "n_docs long, sum_dl long, docs_n_docs long, docs_sum_dl long, "
+        "postings_n_docs long, consistent boolean",
+    )

@@ -1456,9 +1456,12 @@ def ivf_index_build(
     (qtree.go:925-947); this is the same precompute-then-prune discipline
     for similarity search.
     """
+    from btrdb_server_spark.functions import index_store as ixs
+
     if centroids is None:
         centroids = centroids_from_rows(embeddings, k, id_col, vec_col)
-    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    m = ixs.init_index(path, ["cells"], id_col=id_col)
+    centroids.write.parquet(path + "/centroids")
     # Read the PERSISTED rows back rather than collect()ing the lineage:
     # one execution of the centroid job instead of two, and the cells are
     # guaranteed assigned against exactly the centroids the index stores
@@ -1467,9 +1470,10 @@ def ivf_index_build(
         embeddings.sparkSession.read.parquet(path + "/centroids").collect(),
         key=lambda r: r["cid"],
     )
-    _assigned_cells(embeddings, cent_rows, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cluster").parquet(path + "/cells")
+    _assigned_cells(embeddings, cent_rows, id_col, vec_col).write.partitionBy(
+        "cluster"
+    ).parquet(ixs.table_batch_dir(path, m, "cells", 0))
+    ixs.write_manifest(path, m)  # atomic commit: nothing live before this
 
 
 def _assigned_cells(
@@ -1522,6 +1526,10 @@ def ann_index_topk(
     directories before the scan. Exact cosine then runs only inside the
     selected cells. Columns: vec_id, cosine — ordered, k rows.
     """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    id_col = m["id_col"]
     q = _lit_vec([float(x) for x in probe_vec])
     cents = spark.read.parquet(path + "/centroids")
     ranked = cents.select(
@@ -1531,7 +1539,13 @@ def ann_index_topk(
         r.cid
         for r in ranked.orderBy(F.col("cs").desc(), "cid").limit(nprobe).collect()
     ]
-    cells = spark.read.parquet(path + "/cells").where(F.col("cluster").isin(top))
+    cells = ixs.minus_tombstones(
+        ixs.read_table(spark, path, m, "cells").where(
+            F.col("cluster").isin(top)
+        ),
+        ixs.read_tombstones(spark, path, m),
+        id_col,
+    )
     return (
         cells.select(
             F.col(id_col),
@@ -1552,9 +1566,22 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     cells' partition column alone — parquet can answer it from footer
     row counts; vectors are never deserialized (the `v` column is pruned).
 
-    Columns: cluster, n_vecs, frac — ordered by cluster.
+    Columns: cluster, n_vecs, frac — ordered by cluster. On an index with
+    live tombstones the retired ids are excluded (the anti-join needs the
+    id column, so the footer-only fast path applies only to a compacted
+    or never-retired index).
     """
-    cells = spark.read.parquet(path + "/cells").select("cluster")
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    tomb = ixs.read_tombstones(spark, path, m)
+    cells = ixs.minus_tombstones(
+        ixs.read_table(spark, path, m, "cells").select(
+            m["id_col"], "cluster"
+        ),
+        tomb,
+        m["id_col"],
+    ).select("cluster")
     per = cells.groupBy("cluster").agg(F.count("*").cast("long").alias("n_vecs"))
     total = per.agg(F.sum("n_vecs").alias("t"))
     return (
@@ -1587,11 +1614,98 @@ def ivf_index_append(
     and re-bucket (a full rebuild, like the store's re-bucketing
     compaction).
     """
+    from btrdb_server_spark.functions import index_store as ixs
+
     spark = new_embeddings.sparkSession
+    m = ixs.read_manifest(path)
+    n = ixs.next_batch(m)
     cent_rows = sorted(
         spark.read.parquet(path + "/centroids").collect(),
         key=lambda r: r["cid"],
     )
-    _assigned_cells(new_embeddings, cent_rows, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cluster").parquet(path + "/cells")
+    _assigned_cells(new_embeddings, cent_rows, m["id_col"], vec_col).write.partitionBy(
+        "cluster"
+    ).parquet(ixs.table_batch_dir(path, m, "cells", n))
+    m["batches"] = m["batches"] + [n]
+    ixs.write_manifest(path, m)  # atomic commit of the batch
+
+
+def ivf_index_retire(spark, path: str, ids: list) -> int:
+    """Retire vectors from a persisted ivf_index_build index — the
+    takedown / re-curation path: a deleted document's embedding must stop
+    surfacing as a neighbor. Records the ids in the tombstone set WITHOUT
+    rewriting cells; ann_index_topk and ivf_index_stats anti-join the
+    broadcast set, so retire-then-probe is BIT-EQUAL to a rebuild (same
+    centroids) on the post-delete corpus. Bytes are reclaimed by
+    ivf_index_compact — tombstone now, rewrite in the background, the
+    reference's Obliterate protocol (metaprovider.go:339-427).
+
+    Idempotent; cost is one id-column scan of the cells plus a
+    metadata-scale tombstone rewrite. Returns the count newly retired.
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    id_col = m["id_col"]
+    seq = m["gen_seq"] + 1
+    tomb_old = ixs.read_tombstones(spark, path, m)
+    newly = (
+        ixs.minus_tombstones(
+            ixs.read_table(spark, path, m, "cells").select(id_col),
+            tomb_old,
+            id_col,
+        )
+        .where(F.col(id_col).isin(list(ids)))
+        .select(F.col(id_col).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_new = newly.count()
+    if n_new == 0:
+        return 0
+    full = newly if tomb_old is None else tomb_old.unionByName(newly)
+    tomb_dir = ixs.write_tombstones(path, m, full, seq)
+    old_tomb = m["tombstones"]
+    m["tombstones"] = tomb_dir
+    m["gen_seq"] = seq
+    ixs.write_manifest(path, m)
+    ixs.drop_dirs(path, [old_tomb])
+    return n_new
+
+
+def ivf_index_compact(spark, path: str) -> dict:
+    """Fold an IVF index's append fragments and drop its retired vectors:
+    rewrite the live cells into ONE fresh generation (re-sharded by
+    cluster so each cell directory collapses to a few fat files — and
+    ivf_index_stats regains its footer-only fast path), flip the manifest
+    atomically, then delete the superseded generations and the tombstone
+    set. Probe answers are unchanged (compact-then-probe == tombstone-
+    view probe == post-delete rebuild, driver-proven). Centroids are
+    untouched — re-training drifted centroids is a REBUILD, not a
+    compact (ivf_index_stats is the gauge for when). Mirrors
+    store.compact()'s generation discipline (store.py:406-520).
+    Returns {rows, gen}.
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    seq = m["gen_seq"] + 1
+    live = ixs.minus_tombstones(
+        ixs.read_table(spark, path, m, "cells"),
+        ixs.read_tombstones(spark, path, m),
+        m["id_col"],
+    )
+    m2 = dict(m)
+    m2["tables"] = {"cells": f"cells.gen{seq}"}
+    m2["batches"] = [0]
+    (
+        live.repartition("cluster")
+        .write.partitionBy("cluster")
+        .parquet(ixs.table_batch_dir(path, m2, "cells", 0))
+    )
+    rows = ixs.read_table(spark, path, m2, "cells").count()
+    m2["tombstones"] = None
+    m2["gen_seq"] = seq
+    ixs.write_manifest(path, m2)  # atomic flip
+    ixs.drop_dirs(path, [m["tables"]["cells"], m["tombstones"]])
+    return {"rows": rows, "gen": seq}

@@ -528,7 +528,7 @@ def zipf_fit(
 
     from btrdb_server_spark.utils import libm_ln
 
-    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
+    _ln = libm_ln(strict=True)  # libm shim; raises on nonpositive — matches DuckDB bit-exactly
 
     terms = ranked.select(
         "rank",
@@ -907,7 +907,7 @@ def bigram_perplexity(
 
     from btrdb_server_spark.utils import libm_exp, libm_ln
 
-    _ln = libm_ln()  # shared scalar-libm shims — match DuckDB bit-exactly
+    _ln = libm_ln(strict=True)  # libm shim; raises on nonpositives — match DuckDB bit-exactly
     _exp = libm_exp()
 
     t = ensure_parallelism(docs).select(

@@ -1470,7 +1470,7 @@ def psi_timeline(
 
     from btrdb_server_spark.utils import libm_ln
 
-    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
+    _ln = libm_ln(strict=True)  # libm shim; raises on nonpositive — matches DuckDB bit-exactly
 
     if bins < 2:
         raise ValueError("need >= 2 bins")

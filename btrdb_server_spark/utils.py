@@ -61,27 +61,37 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
-def libm_ln():
+def libm_ln(strict: bool = False):
     """The repo's float-parity device, defined ONCE: natural log as an
     Arrow-batched pandas_udf over SCALAR math.log (glibc libm — matching
     DuckDB's ln() bit-exactly; numpy's np.log is SIMD-vectorized and not
     guaranteed bit-identical to scalar libm). Nonpositive inputs map to
-    NaN (the guard some call sites relied on; harmless where inputs are
-    provably positive). Use on post-aggregate, metadata-scale rows —
-    never per-point hot paths. A factory (not a module-level udf) so
-    importing utils never touches the udf machinery."""
+    NaN by default; call sites whose inputs are provably positive (an
+    unsmoothed probability, a count ratio) should pass strict=True so a
+    future zero/negative input FAILS the job loudly instead of silently
+    propagating NaN through the aggregate. Use on post-aggregate,
+    metadata-scale rows — never per-point hot paths. A factory (not a
+    module-level udf) so importing utils never touches the udf
+    machinery."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _ln(s):
         import math
 
+        if strict:
+            bad = s[s <= 0]
+            if len(bad):
+                raise ValueError(
+                    f"libm_ln(strict): nonpositive input {bad.iloc[0]!r}"
+                )
+            return s.map(math.log)
         return s.map(lambda v: math.log(v) if v > 0 else float("nan"))
 
     return _ln
 
 
-def libm_log2():
+def libm_log2(strict: bool = False):
     """Binary-log twin of libm_ln — matches DuckDB log2() bit-exactly."""
     from pyspark.sql.functions import pandas_udf
 
@@ -89,6 +99,13 @@ def libm_log2():
     def _log2(s):
         import math
 
+        if strict:
+            bad = s[s <= 0]
+            if len(bad):
+                raise ValueError(
+                    f"libm_log2(strict): nonpositive input {bad.iloc[0]!r}"
+                )
+            return s.map(math.log2)
         return s.map(lambda v: math.log2(v) if v > 0 else float("nan"))
 
     return _log2

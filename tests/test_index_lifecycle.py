@@ -1,0 +1,253 @@
+"""Persisted-index lifecycle: batch-committed appends, tombstone retire,
+generation compaction, and crash-window behavior — the three indexes
+(LSH / BM25 / IVF) share the manifest discipline of
+functions/index_store.py (the store's tombstone-then-background-delete,
+mirroring the reference's Obliterate protocol,
+internal/mprovider/metaprovider.go:339-427)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_server_spark.functions import index_store as ixs
+
+
+@pytest.fixture()
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "spark sql executes declarative plans with catalyst today",
+        "minhash signatures estimate jaccard similarity between sets",
+    ]
+    rows = [(i, base[i % 3] + (" extra" if i % 9 == 0 else "")) for i in range(48)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def emb(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ------------------------------------------------------------------ BM25 ---
+
+
+def _bm25_scores(spark, path, terms):
+    from btrdb_server_spark.functions.retrieval import bm25_index_topk
+
+    return [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, terms, k=100).collect()
+    ]
+
+
+def test_bm25_retire_equals_postdelete_rebuild(spark, docs, tmp_path):
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_build,
+        bm25_index_retire,
+    )
+
+    p = str(tmp_path / "a")
+    bm25_index_build(docs, p, buckets=8)
+    retired = [i for i in range(48) if i % 7 == 3]
+    assert bm25_index_retire(spark, p, retired) == len(retired)
+    # idempotent: re-retiring (and retiring never-indexed ids) is a no-op
+    assert bm25_index_retire(spark, p, retired + [999]) == 0
+    p2 = str(tmp_path / "b")
+    bm25_index_build(docs.where(~F.col("doc_id").isin(retired)), p2, buckets=8)
+    assert _bm25_scores(spark, p, ["spark", "fox"]) == _bm25_scores(
+        spark, p2, ["spark", "fox"]
+    )
+
+
+def test_bm25_compact_folds_and_repairs(spark, docs, tmp_path):
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_retire,
+        bm25_index_verify,
+    )
+
+    p = str(tmp_path / "a")
+    bm25_index_build(docs.where("doc_id < 30"), p, buckets=8)
+    bm25_index_append(docs.where("doc_id >= 30"), p)
+    retired = [3, 10, 17]
+    bm25_index_retire(spark, p, retired)
+    before = _bm25_scores(spark, p, ["spark", "fox"])
+    assert bm25_index_verify(spark, p).first()["consistent"]
+    res = bm25_index_compact(spark, p)
+    assert res["stats_repaired"] is False and res["docs"] == 45
+    m = ixs.read_manifest(p)
+    assert m["batches"] == [0] and m["tombstones"] is None
+    # superseded generations and tombstones are deleted after the flip
+    assert sorted(os.listdir(p)) == ["MANIFEST.json", "docs.gen2", "postings.gen2"]
+    assert _bm25_scores(spark, p, ["spark", "fox"]) == before
+    assert bm25_index_verify(spark, p).first()["consistent"]
+
+
+def test_bm25_verify_detects_tampered_stats(spark, docs, tmp_path):
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_verify,
+    )
+
+    p = str(tmp_path / "a")
+    bm25_index_build(docs, p, buckets=8)
+    m = ixs.read_manifest(p)
+    m["stats"]["n_docs"] += 5  # out-of-band corruption
+    ixs.write_manifest(p, m)
+    assert not bm25_index_verify(spark, p).first()["consistent"]
+    # compact is the repair path: stats recomputed from the norms table
+    res = bm25_index_compact(spark, p)
+    assert res["stats_repaired"] is True
+    assert bm25_index_verify(spark, p).first()["consistent"]
+
+
+def test_bm25_uncommitted_batch_is_invisible(spark, docs, tmp_path):
+    """Crash-window contract: a batch directory written but never
+    committed to the manifest must not change any answer, and the next
+    append of the same batch id must clear it (store.py:246 rule)."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_append,
+        bm25_index_build,
+    )
+
+    p = str(tmp_path / "a")
+    bm25_index_build(docs.where("doc_id < 30"), p, buckets=8)
+    before = _bm25_scores(spark, p, ["spark", "fox"])
+    manifest = json.load(open(os.path.join(p, "MANIFEST.json")))
+
+    # simulate a crash mid-append: data dirs written, manifest NOT flipped
+    bm25_index_append(docs.where("doc_id >= 30"), p)
+    ixs.write_manifest(p, manifest)  # roll the manifest back = crash state
+    assert os.path.isdir(os.path.join(p, "docs.gen0", "batch=1"))
+    assert _bm25_scores(spark, p, ["spark", "fox"]) == before
+
+    # recovery: re-appending the same batch replaces the orphan cleanly
+    bm25_index_append(docs.where("doc_id >= 30"), p)
+    p2 = str(tmp_path / "b")
+    from btrdb_server_spark.functions.retrieval import bm25_index_build as b2
+
+    b2(docs, p2, buckets=8)
+    assert _bm25_scores(spark, p, ["spark", "fox"]) == _bm25_scores(
+        spark, p2, ["spark", "fox"]
+    )
+
+
+# ------------------------------------------------------------------- LSH ---
+
+
+def test_lsh_retire_then_compact_matches_rebuild(spark, docs, tmp_path):
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_retire,
+    )
+
+    corpus = docs.where("doc_id % 10 != 0")
+    snap = docs.where("doc_id % 10 == 0")
+    p = str(tmp_path / "a")
+    lsh_index_build(corpus.where("doc_id < 24"), p)
+    lsh_index_build(corpus.where("doc_id >= 24"), p, mode="append")
+    retired = [i for i in range(48) if i % 7 == 3]
+    n = lsh_index_retire(spark, p, retired)
+    assert 0 < n <= len(retired)
+    assert lsh_index_retire(spark, p, retired) == 0  # idempotent
+    got = [
+        (r.new_id, r.match_id, r.matches)
+        for r in incremental_dedup_pairs(snap, p).collect()
+    ]
+    p2 = str(tmp_path / "b")
+    lsh_index_build(corpus.where(~F.col("doc_id").isin(retired)), p2)
+    exp = [
+        (r.new_id, r.match_id, r.matches)
+        for r in incremental_dedup_pairs(snap, p2).collect()
+    ]
+    assert got == exp and got  # non-vacuous
+    lsh_index_compact(spark, p)
+    assert ixs.read_manifest(p)["tombstones"] is None
+    assert [
+        (r.new_id, r.match_id, r.matches)
+        for r in incremental_dedup_pairs(snap, p).collect()
+    ] == exp
+
+
+def test_lsh_probe_shuffle_fallback_matches_broadcast(spark, docs, tmp_path):
+    """The broadcast-size guard's soft-degrade path (plain shuffled join)
+    must return the identical pairs."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+    )
+
+    p = str(tmp_path / "a")
+    lsh_index_build(docs.where("doc_id % 10 != 0"), p)
+    snap = docs.where("doc_id % 10 == 0")
+    bc = [tuple(r) for r in incremental_dedup_pairs(snap, p).collect()]
+    sj = [
+        tuple(r)
+        for r in incremental_dedup_pairs(
+            snap, p, broadcast_snapshot=False
+        ).collect()
+    ]
+    tiny_cap = [
+        tuple(r)
+        for r in incremental_dedup_pairs(
+            snap, p, broadcast_row_cap=2
+        ).collect()
+    ]
+    assert bc == sj == tiny_cap and bc
+
+
+# ------------------------------------------------------------------- IVF ---
+
+
+def test_ivf_retire_then_compact_matches_rebuild(spark, emb, tmp_path):
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        centroids_from_rows,
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_index_retire,
+        ivf_index_stats,
+    )
+
+    probe = emb.where("vec_id = 0").select("embedding").first()[0]
+    p = str(tmp_path / "a")
+    ivf_index_build(emb, p, centroids_from_rows(emb, k=4))
+    retired = [i for i in range(60) if i % 5 == 2]
+    assert ivf_index_retire(spark, p, retired) == len(retired)
+    assert ivf_index_retire(spark, p, retired) == 0
+    got = [
+        (r.vec_id, r.cosine)
+        for r in ann_index_topk(spark, p, probe, k=30, nprobe=4).collect()
+    ]
+    p2 = str(tmp_path / "b")
+    ivf_index_build(
+        emb.where(~F.col("vec_id").isin(retired)), p2, centroids_from_rows(emb, k=4)
+    )
+    exp = [
+        (r.vec_id, r.cosine)
+        for r in ann_index_topk(spark, p2, probe, k=30, nprobe=4).collect()
+    ]
+    assert got == exp and got
+    st = {r.cluster: r.n_vecs for r in ivf_index_stats(spark, p).collect()}
+    assert sum(st.values()) == 60 - len(retired)
+    ivf_index_compact(spark, p)
+    assert [
+        (r.vec_id, r.cosine)
+        for r in ann_index_topk(spark, p, probe, k=30, nprobe=4).collect()
+    ] == exp
+    assert {
+        r.cluster: r.n_vecs for r in ivf_index_stats(spark, p).collect()
+    } == st

@@ -13,7 +13,7 @@ import math
 
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -674,10 +674,15 @@ def test_kalman_matches_bruteforce(spark, pts):
 
 
 @given(pts=q2_points)
+@example(pts=[(1126001, 0.0), (1726000, 0.0)])  # µs-truncation day-boundary
 @SET
 def test_kaplan_meier_matches_bruteforce(spark, pts):
     """KM curve against a direct python recomputation on per-user
-    lifetimes (users = value cents mod 5, churn gap = 1/4 of the range)."""
+    lifetimes (users = value cents mod 5, churn gap = 1/4 of the range).
+
+    The oracle truncates ts to µs multiples (t - t % 1000) exactly as the
+    engine's epoch_ns_expr bigint path does (sources/testdata.py) — raw-ns
+    lifetimes can land on the other side of a day boundary."""
     from collections import defaultdict
 
     from btrdb_server_spark.operators.events import kaplan_meier
@@ -699,7 +704,7 @@ def test_kaplan_meier_matches_bruteforce(spark, pts):
     ]
     span = defaultdict(list)
     for u, t, *_ in rows:
-        span[u].append(t)
+        span[u].append(t - t % 1000)  # engine epoch_ns_expr µs truncation
     lives = [
         ((max(ts) - min(ts)) // day, max(ts) < T1 - gap)
         for ts in span.values()
