@@ -68,6 +68,40 @@ def _workdir(prefix: str) -> str:
     return path
 
 
+# Per-process memo of persisted-index BUILDS. The index entries used to
+# rebuild the same (sf_dir, params) index from scratch inside every
+# query function — ~15-20 s of repeated tokenize/shingle/assign work per
+# bench run. Policy: exactly ONE cold-build entry per family keeps
+# paying the full maintenance cycle each call (incremental_dedup,
+# bm25_index_incremental, ann_index_incremental — the honest build+fold
+# timings); every read-only sibling reuses the memoized build, and every
+# MUTATING entry (retire / compact) works on a cheap directory COPY so
+# the shared build is never dirtied and each oracle comparison stays
+# hermetic.
+_IDX_MEMO: dict = {}
+
+
+def _memo_index(key: tuple, builder) -> str:
+    """Path of a built, NEVER-mutATED index for `key`; `builder(path)`
+    runs once per process."""
+    if key not in _IDX_MEMO:
+        idx = _workdir(prefix=f"btrdb_memo_{key[0]}_") + "/index"
+        builder(idx)
+        _IDX_MEMO[key] = idx
+    return _IDX_MEMO[key]
+
+
+def _mutable_index_copy(key: tuple, builder) -> str:
+    """Fresh private copy of the memoized build — for entries that
+    retire/compact (the copy is file-level: index dirs at bench scale
+    are MBs; the expensive build work is what the memo amortizes)."""
+    import shutil
+
+    dst = _workdir(prefix=f"btrdb_mut_{key[0]}_") + "/index"
+    shutil.copytree(_memo_index(key, builder), dst)
+    return dst
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-stream aligned statistical rollup over sf0.001."""
     pts = load_points(spark, "/root/testdata/sf0.001")
@@ -1265,6 +1299,26 @@ def q_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bulk_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical >10M-point export (api.export_bulk): the MVCC raw slice
+    written DIRECTLY FROM EXECUTORS as a parquet dataset — every
+    partition its own file, no driver funnel — then read back. The wire
+    lanes (paged JSON, Arrow IPC) are protocol conveniences bounded by
+    one socket; a bulk hand-off moves a dataset. Round-trip must be
+    bit-equal to the raw slice (parquet preserves doubles exactly)."""
+    from btrdb_server_spark.api import BTrDB
+
+    t_end = T_2024 + 2 * DAY_NS
+    work = _workdir(prefix="btrdb_bulk_q_")
+    pts = load_points(spark, sf_dir, T_2024, t_end).where(
+        F.col("uuid") == "error"
+    )
+    db = BTrDB(spark, f"{work}/db")
+    db.store.insert_many(pts)
+    db.export_bulk("error", T_2024, t_end, f"{work}/out")
+    return spark.read.parquet(f"{work}/out").orderBy("time", "value")
+
+
 def q_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeleteRange readback semantics (T1): points outside [Jan10, Jan20)."""
     pts = load_points(spark, sf_dir)
@@ -1834,6 +1888,43 @@ def q_streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("time")
 
 
+def q_streaming_changefeed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete half of the CDC story (streaming/changefeed.py
+    changefeed_deletes): inserts and range-deletes interleave as four
+    store versions; the tombstone feed must deliver exactly the two
+    delete commits, each carrying the major version the store assigned
+    it (2 and 4 — proving deletes and inserts share one version
+    sequence, the reference's DeleteRange-is-a-version contract,
+    quasar.go:487-520), exactly once through the checkpointed file log."""
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed_deletes
+
+    t_mid, t_end = T_2024 + DAY_NS, T_2024 + 2 * DAY_NS
+    work = _workdir(prefix="btrdb_cfd_q_")
+    pts = load_points(spark, sf_dir, T_2024, t_end).where(
+        F.col("uuid") == "signup"
+    )
+    store = PointStore(spark, f"{work}/store")
+    store.insert_many(pts.where(F.col("time") < t_mid))  # v1
+    store.delete_range("signup", T_2024, T_2024 + 6 * 3600 * 10**9)  # v2
+    store.insert_many(pts.where(F.col("time") >= t_mid))  # v3
+    store.delete_range("signup", t_mid, t_mid + 6 * 3600 * 10**9)  # v4
+    rows: list = []
+    q = (
+        changefeed_deletes(store)
+        .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("delete changefeed drain exceeded 300s")
+    return spark.createDataFrame(
+        rows, "uuid string, start long, end long, ver long"
+    ).orderBy("ver")
+
+
 def q_streaming_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full loop: file-streamed ingest maintains the rollup ladder per
     micro-batch (partition-targeted folds), then AlignedWindows is served
@@ -2015,10 +2106,69 @@ def q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed join); runs off the index alone — corpus text never read."""
     from btrdb_server_spark.functions.dedup import lsh_index_build, lsh_index_stats
 
-    work = _workdir(prefix="btrdb_lshst_q_")
-    idx = f"{work}/lsh_index"
-    lsh_index_build(load_table(spark, sf_dir, "documents"), idx)
+    idx = _memo_index(
+        ("lsh", sf_dir),
+        lambda p: lsh_index_build(load_table(spark, sf_dir, "documents"), p),
+    )
     return lsh_index_stats(spark, idx)
+
+
+def _lsh90_builder(spark: SparkSession, sf_dir: str):
+    """Build the 90%-corpus LSH index (the incremental-dedup fixture)."""
+    from btrdb_server_spark.functions.dedup import lsh_index_build
+
+    return lambda p: lsh_index_build(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0), p
+    )
+
+
+def q_incremental_dedup_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index RETIREMENT exactness (GDPR takedown / re-curation): tombstone
+    every corpus doc with doc_id % 7 == 3 in the persisted LSH index
+    (lsh_index_retire — id set recorded, zero band rows rewritten), then
+    probe with the snapshot. The oracle is the one-shot dedup on the
+    POST-DELETE corpus — retire-then-probe must be bit-equal to a rebuild,
+    because every probe anti-joins the broadcast tombstone set. The
+    reference analogy is Obliterate's tombstone-then-background-delete
+    (metaprovider.go:339-427); the index build itself is memoized and
+    copied, so this entry times retire + probe, not the build."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_retire,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _mutable_index_copy(("lsh90", sf_dir), _lsh90_builder(spark, sf_dir))
+    lsh_index_retire(
+        spark, idx, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    return incremental_dedup_pairs(
+        docs.where(F.col("doc_id") % 10 == 0), idx, est_threshold=0.25
+    )
+
+
+def q_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION exactness: retire doc_id % 7 == 3, then fold the
+    tombstones and append fragments into one fresh generation
+    (lsh_index_compact — the store's generation-swap discipline,
+    store.py:406-520) and probe. Same oracle as incremental_dedup_retire:
+    compact-then-probe == tombstone-view probe == post-delete rebuild,
+    with the tombstone anti-join gone from the probe plan."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_compact,
+        lsh_index_retire,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _mutable_index_copy(("lsh90", sf_dir), _lsh90_builder(spark, sf_dir))
+    lsh_index_retire(
+        spark, idx, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    lsh_index_compact(spark, idx)
+    return incremental_dedup_pairs(
+        docs.where(F.col("doc_id") % 10 == 0), idx, est_threshold=0.25
+    )
 
 
 def q_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2355,15 +2505,79 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by term-hash bucket (bm25_index_build), then the query's
     literal bucket ids prune posting directories — the corpus is never
     tokenized at query time. Score-identical to bm25_topk (same oracle)."""
+    from btrdb_server_spark.functions.retrieval import bm25_index_topk
+
+    idx = _memo_index(("bm25", sf_dir), _bm25_builder(spark, sf_dir))
+    return bm25_index_topk(spark, idx, BM25_QUERY, k=10)
+
+
+def _bm25_builder(spark: SparkSession, sf_dir: str):
+    from btrdb_server_spark.functions.retrieval import bm25_index_build
+
+    return lambda p: bm25_index_build(load_table(spark, sf_dir, "documents"), p)
+
+
+def q_bm25_index_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index RETIREMENT exactness: tombstone doc_id % 7 == 3
+    (bm25_index_retire — ids + exact int64 stats subtraction recorded in
+    one atomic manifest flip; zero posting bytes rewritten), then query.
+    The oracle is bm25_topk over the POST-DELETE corpus — retire-then-
+    query must be bit-equal to a rebuild, because df excludes tombstoned
+    docs via the broadcast anti-join and avgdl derives from the exactly
+    subtracted (n_docs, sum_dl). Build memoized + copied: the entry
+    times retire + query."""
     from btrdb_server_spark.functions.retrieval import (
-        bm25_index_build,
+        bm25_index_retire,
         bm25_index_topk,
     )
 
-    work = _workdir(prefix="btrdb_bm25idx_q_")
-    idx = f"{work}/bm25_index"
-    bm25_index_build(load_table(spark, sf_dir, "documents"), idx)
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _mutable_index_copy(("bm25", sf_dir), _bm25_builder(spark, sf_dir))
+    bm25_index_retire(
+        spark, idx, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
     return bm25_index_topk(spark, idx, BM25_QUERY, k=10)
+
+
+def q_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index COMPACTION exactness: retire doc_id % 7 == 3, fold the
+    tombstones out and the postings into one fresh term-sorted generation
+    (bm25_index_compact — stats recomputed from the norms table, the
+    built-in corruption detection/repair path), then query. Same oracle
+    as bm25_index_retire: compact must not move a single score."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_compact,
+        bm25_index_retire,
+        bm25_index_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _mutable_index_copy(("bm25", sf_dir), _bm25_builder(spark, sf_dir))
+    bm25_index_retire(
+        spark, idx, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    bm25_index_compact(spark, idx)
+    return bm25_index_topk(spark, idx, BM25_QUERY, k=10)
+
+
+def q_bm25_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index consistency AUDIT after a retire: cross-check the
+    manifest's folded (n_docs, sum_dl) against the live norms table and
+    the distinct-doc count of the live postings (bm25_index_verify — the
+    cheap detection path for stats/postings disagreement). The oracle
+    recomputes all five numbers from the post-delete corpus, so the check
+    is anchored to ground truth, not to the index's own bookkeeping."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_retire,
+        bm25_index_verify,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _mutable_index_copy(("bm25", sf_dir), _bm25_builder(spark, sf_dir))
+    bm25_index_retire(
+        spark, idx, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    return bm25_index_verify(spark, idx)
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2547,16 +2761,64 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     those cell directories (literal partition predicate = directory-level
     pruning). Same semantics as ann_ivf_multiprobe — same oracle — but
     assignment is paid at build time, not per query."""
+    from btrdb_server_spark.functions.similarity import ann_index_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _memo_index(("ivf", sf_dir), _ivf_builder(spark, sf_dir))
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_index_topk(spark, idx, probe, k=10, nprobe=2)
+
+
+def _ivf_builder(spark: SparkSession, sf_dir: str):
     from btrdb_server_spark.functions.similarity import (
-        ann_index_topk,
         centroids_from_rows,
         ivf_index_build,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    work = _workdir(prefix="btrdb_ivfidx_q_")
-    idx = f"{work}/ivf_index"
-    ivf_index_build(emb, idx, centroids_from_rows(emb, k=8))
+    return lambda p: ivf_index_build(emb, p, centroids_from_rows(emb, k=8))
+
+
+def q_ann_index_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index RETIREMENT exactness: tombstone vec_id % 5 == 2
+    (ivf_index_retire — id set recorded, zero cell bytes rewritten;
+    centroids untouched), then probe. The oracle is the multiprobe query
+    over the POST-DELETE vectors (same full-corpus centroids) — retire-
+    then-probe must be bit-equal to a rebuild, because the probe
+    anti-joins the broadcast tombstone set after the cell-directory
+    pruning. Build memoized + copied: times retire + probe."""
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        ivf_index_retire,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _mutable_index_copy(("ivf", sf_dir), _ivf_builder(spark, sf_dir))
+    ivf_index_retire(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_index_topk(spark, idx, probe, k=10, nprobe=2)
+
+
+def q_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index COMPACTION exactness: retire vec_id % 5 == 2, fold the
+    tombstones and append fragments into one fresh cluster-partitioned
+    generation (ivf_index_compact — ivf_index_stats regains its
+    footer-only fast path), then probe. Same oracle as ann_index_retire:
+    compact must not move a single neighbor or cosine."""
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        ivf_index_compact,
+        ivf_index_retire,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _mutable_index_copy(("ivf", sf_dir), _ivf_builder(spark, sf_dir))
+    ivf_index_retire(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    ivf_index_compact(spark, idx)
     probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return ann_index_topk(spark, idx, probe, k=10, nprobe=2)
 
@@ -2610,16 +2872,9 @@ def q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-balance audit of the persisted IVF index: per-cluster vector
     count and corpus share, read from the cells' partition column alone
     (vectors pruned) — the staleness gauge for fixed centroids."""
-    from btrdb_server_spark.functions.similarity import (
-        centroids_from_rows,
-        ivf_index_build,
-        ivf_index_stats,
-    )
+    from btrdb_server_spark.functions.similarity import ivf_index_stats
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    work = _workdir(prefix="btrdb_ivfst_q_")
-    idx = f"{work}/ivf_index"
-    ivf_index_build(emb, idx, centroids_from_rows(emb, k=8))
+    idx = _memo_index(("ivf", sf_dir), _ivf_builder(spark, sf_dir))
     return ivf_index_stats(spark, idx)
 
 
@@ -2627,14 +2882,9 @@ def q_bm25_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list skew audit of the persisted BM25 index: top-20 terms
     by document frequency with their share of all postings — the hot-term
     (stopword/boilerplate) guard, read from the postings alone."""
-    from btrdb_server_spark.functions.retrieval import (
-        bm25_index_build,
-        bm25_index_stats,
-    )
+    from btrdb_server_spark.functions.retrieval import bm25_index_stats
 
-    work = _workdir(prefix="btrdb_bm25st_q_")
-    idx = f"{work}/bm25_index"
-    bm25_index_build(load_table(spark, sf_dir, "documents"), idx)
+    idx = _memo_index(("bm25", sf_dir), _bm25_builder(spark, sf_dir))
     return bm25_index_stats(spark, idx, top=20)
 
 
@@ -5339,56 +5589,56 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constant IS that window. scripts/rotate_window.py regenerates it each
 # round; tests/test_window.py pins dict order to it.
 DRIVER_WINDOW: list[str] = [
-    "nearest_after",
-    "buffer_read_your_writes",
-    "insert_cap",
-    "store_compact",
-    "source_profile",
-    "bbit_minhash",
-    "dup_rate_by_source",
-    "kmv_daily",
-    "segment_spend_profile",
-    "round_number_bias",
-    "spend_trajectory",
-    "basket_diversity",
-    "lexical_diversity",
-    "delay_by_priority",
-    "activity_histogram",
-    "simhash_pairs",
-    "lsh_recall_eval",
-    "product_profit",
-    "media_features",
-    "windows_quantile_ladder",
-    "bigram_perplexity",
-    "dedup_stats",
-    "supplier_scorecard",
-    "weighted_sample",
-    "ivf_recall_curve",
-    "label_noise_screen",
-    "psi_timeline",
-    "dedup_threshold_curve",
-    "pack_efficiency",
-    "rate_anomaly",
-    "streaming_changefeed",
-    "sql_hook_rollup",
-    "cube_report",
-    "join_skew_audit",
-    "sorted_neighborhood_pairs",
-    "winnowing_fingerprints",
-    "snm_recall_eval",
-    "incremental_dedup",
-    "lsh_index_stats",
-    "ann_index_topk",
-    "bm25_index_topk",
-    "ann_index_incremental",
-    "bm25_index_incremental",
-    "ivf_index_stats",
-    "bm25_index_stats",
-    "ann_ivf_topk",
-    "semantic_dedup",
-    "hard_negatives",
-    "ann_batch_topk",
-    "ann_ivf_multiprobe",
+    "delete_range",
+    "metadata_usage",
+    "raw_values",
+    "windows_holes",
+    "incremental_dedup_retire",
+    "lsh_index_compact",
+    "bm25_index_retire",
+    "bm25_index_compact",
+    "bm25_index_verify",
+    "ann_index_retire",
+    "ivf_index_compact",
+    "streaming_changefeed_deletes",
+    "bulk_export",
+    "dedup_clusters",
+    "exact_dedup",
+    "minhash_verified_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "lang_id",
+    "text_stats",
+    "token_entropy",
+    "token_freq",
+    "decimate_envelope",
+    "aligned_quantiles",
+    "streaming_rollup_serve",
+    "buffer_query_version",
+    "dup_spans",
+    "simhash",
+    "ngram_jaccard",
+    "dedup_select",
+    "text_scrub",
+    "bpe_token_stats",
+    "quality_filter",
+    "decontaminate",
+    "stratified_sample",
+    "pack_sequences",
+    "doc_chunks",
+    "domain_mix",
+    "dsir_weights",
+    "bm25_topk",
+    "unigram_logprob",
+    "pq_encode",
+    "ann_pq_topk",
+    "cosine_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "rolling_fingerprint",
+    "ivf_assign",
+    "ivf_refine",
 ]
 
 
@@ -5414,6 +5664,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- DRIVER WINDOW: positions 1-50 (driver checks first 50;
         # regenerated by scripts/rotate_window.py) ----
+        "delete_range": q_delete_range,
+        "metadata_usage": q_metadata_usage,
+        "raw_values": q_raw_values,
+        "windows_holes": q_windows_holes,
+        "incremental_dedup_retire": q_incremental_dedup_retire,
+        "lsh_index_compact": q_lsh_index_compact,
+        "bm25_index_retire": q_bm25_index_retire,
+        "bm25_index_compact": q_bm25_index_compact,
+        "bm25_index_verify": q_bm25_index_verify,
+        "ann_index_retire": q_ann_index_retire,
+        "ivf_index_compact": q_ivf_index_compact,
+        "streaming_changefeed_deletes": q_streaming_changefeed_deletes,
+        "bulk_export": q_bulk_export,
+        "dedup_clusters": q_dedup_clusters,
+        "exact_dedup": q_exact_dedup,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "token_entropy": q_token_entropy,
+        "token_freq": q_token_freq,
+        "decimate_envelope": q_decimate_envelope,
+        "aligned_quantiles": q_aligned_quantiles,
+        "streaming_rollup_serve": q_streaming_rollup_serve,
+        "buffer_query_version": q_buffer_query_version,
+        "dup_spans": q_dup_spans,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_select": q_dedup_select,
+        "text_scrub": q_text_scrub,
+        "bpe_token_stats": q_bpe_token_stats,
+        "quality_filter": q_quality_filter,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "doc_chunks": q_doc_chunks,
+        "domain_mix": q_domain_mix,
+        "dsir_weights": q_dsir_weights,
+        "bm25_topk": q_bm25_topk,
+        "unigram_logprob": q_unigram_logprob,
+        "pq_encode": q_pq_encode,
+        "ann_pq_topk": q_ann_pq_topk,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "ivf_assign": q_ivf_assign,
+        "ivf_refine": q_ivf_refine,
+        # ---- position 51+: banked green or locally verified ----
+        "kmeans_train": q_kmeans_train,
+        "streaming_topk": _small_state(q_streaming_topk),
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "edit_verified_pairs": q_edit_verified_pairs,
         "nearest_after": q_nearest_after,
         "buffer_read_your_writes": q_buffer_read_your_writes,
         "insert_cap": q_insert_cap,
@@ -5464,33 +5769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "ann_batch_topk": q_ann_batch_topk,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
-        # ---- position 51+: banked green or locally verified ----
-        "dedup_clusters": q_dedup_clusters,
-        "exact_dedup": q_exact_dedup,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_signatures": q_minhash_signatures,
-        "dup_spans": q_dup_spans,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_select": q_dedup_select,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
-        "edit_verified_pairs": q_edit_verified_pairs,
         "ngram_novelty": q_ngram_novelty,
         "containment_pairs": q_containment_pairs,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "token_entropy": q_token_entropy,
-        "token_freq": q_token_freq,
-        "text_scrub": q_text_scrub,
-        "bpe_token_stats": q_bpe_token_stats,
-        "decimate_envelope": q_decimate_envelope,
-        "aligned_quantiles": q_aligned_quantiles,
-        "buffer_query_version": q_buffer_query_version,
         "late_data_rollup": q_late_data_rollup,
         "store_aligned_windows": q_store_aligned_windows,
         "store_nearest": q_store_nearest,
-        "streaming_rollup_serve": q_streaming_rollup_serve,
         "store_changes": q_store_changes,
         "store_delete_range": q_store_delete_range,
         "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
@@ -5643,8 +5926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pagerank": q_copurchase_pagerank,
         "periodogram": q_periodogram,
         "holt_forecast": q_holt_forecast,
-        "delete_range": q_delete_range,
-        "metadata_usage": q_metadata_usage,
         "windows_depth": q_windows_depth,
         "windows_rollup": q_windows_rollup,
         "repetition_stats": q_repetition_stats,
@@ -5695,39 +5976,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_rewrite": q_rollup_rewrite,
         "list_collections": q_list_collections,
         "streaming_ingest": q_streaming_ingest,
-        "windows_holes": q_windows_holes,
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "buffer_stat_merge": q_buffer_stat_merge,
         "windows_rewrite": q_windows_rewrite,
         "sql_rollup_serve": q_sql_rollup_serve,
         "registry_obliterate": q_registry_obliterate,
-        "raw_values": q_raw_values,
         "store_version_travel": q_store_version_travel,
         "gaps": q_gaps,
         "rate": q_rate,
-        "quality_filter": q_quality_filter,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "doc_chunks": q_doc_chunks,
-        "domain_mix": q_domain_mix,
-        "dsir_weights": q_dsir_weights,
-        "bm25_topk": q_bm25_topk,
-        "unigram_logprob": q_unigram_logprob,
-        "pq_encode": q_pq_encode,
-        "ann_pq_topk": q_ann_pq_topk,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "media_frame_sample": q_media_frame_sample,
         "media_resize_plan": q_media_resize_plan,
-        "ivf_assign": q_ivf_assign,
-        "ivf_refine": q_ivf_refine,
-        "kmeans_train": q_kmeans_train,
-        "streaming_topk": _small_state(q_streaming_topk),
         "aligned_windows_all": q_aligned_windows_all,
         "changed_ranges_all": q_changed_ranges_all,
         "metadata_ann_usage": q_metadata_ann_usage,
@@ -8096,6 +8355,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY h
         """,
+        "bulk_export": f"""
+            {PTS_CTE}
+            SELECT time, value FROM pts
+            WHERE uuid = 'error' AND time >= {T_2024}
+              AND time < {T_2024 + 2 * DAY_NS}
+            ORDER BY time, value
+        """,
         "csv_export": f"""
             {PTS_CTE}
             SELECT time,
@@ -8343,6 +8609,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE uuid = 'signup' AND time >= {T_2024}
               AND time < {T_2024 + 2 * DAY_NS}
             ORDER BY time
+        """,
+        "streaming_changefeed_deletes": f"""
+            SELECT * FROM (VALUES
+                ('signup', {T_2024}, {T_2024 + 6 * 3600 * 10**9},
+                 CAST(2 AS BIGINT)),
+                ('signup', {T_2024 + DAY_NS},
+                 {T_2024 + DAY_NS + 6 * 3600 * 10**9}, CAST(4 AS BIGINT))
+            ) AS t(uuid, "start", "end", ver)
+            ORDER BY ver
         """,
         "streaming_rollup_serve": f"""
             {PTS_CTE}
@@ -12834,4 +13109,107 @@ def oracle_sql() -> dict[str, str]:
     # rebuild, so their oracle IS the full-corpus query's oracle.
     d["bm25_index_incremental"] = d["bm25_topk"]
     d["ann_index_incremental"] = d["ann_ivf_multiprobe"]
+    # Retirement-exactness oracles: the engine tombstones ids in the
+    # persisted index (never rebuilding it); the oracle recomputes the
+    # query from scratch on the POST-DELETE corpus, so a green row proves
+    # retire-then-query == post-delete rebuild, bit-exactly.
+    d["incremental_dedup_retire"] = f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+                  AND r.doc_id % 7 <> 3
+            ),
+            m AS (
+                SELECT c.new_id, c.match_id,
+                       CAST({" + ".join(
+                           f"CASE WHEN ls.mh{j} = rs.mh{j} THEN 1 ELSE 0 END"
+                           for j in range(16)
+                       )} AS BIGINT) AS matches
+                FROM cand c
+                JOIN sig ls ON ls.doc_id = c.new_id
+                JOIN sig rs ON rs.doc_id = c.match_id
+            )
+            SELECT new_id, match_id, matches,
+                   matches / 16.0 AS est_jaccard
+            FROM m WHERE matches / 16.0 >= 0.25
+            ORDER BY new_id, match_id
+        """
+    d["bm25_index_retire"] = f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                       WHERE doc_id % 7 <> 3),
+            dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, dl,
+                          unnest(list_filter(toks,
+                              x -> list_contains({_bm25_terms_sql()}, x))) AS term
+                   FROM dl),
+            tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+                    FROM tf GROUP BY 1, 2, 3),
+            dfc AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tfc GROUP BY 1),
+            sc AS (SELECT doc_id,
+                          round(sum(
+                              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                              * tf * ({BM25_K1} + 1.0)
+                              / (tf + {BM25_K1}
+                                 * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+                          ), 6) AS score
+                   FROM tfc JOIN dfc USING (term) CROSS JOIN st
+                   GROUP BY doc_id)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10
+        """
+    d["bm25_index_verify"] = f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                       WHERE doc_id % 7 <> 3),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(COALESCE(sum(len(toks)), 0) AS BIGINT) AS s,
+                         CAST(sum(CASE WHEN len(toks) >= 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS p
+                  FROM d)
+            SELECT n AS n_docs, s AS sum_dl, n AS docs_n_docs,
+                   s AS docs_sum_dl, p AS postings_n_docs,
+                   (p <= n) AS consistent
+            FROM t
+        """
+    d["ann_index_retire"] = f"""
+            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings WHERE vec_id < 8),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id % 5 <> 2),
+            s AS (SELECT e.vec_id, c.cid,
+                         round(list_cosine_similarity(e.v, c.cv), 6) AS score
+                  FROM e CROSS JOIN c),
+            r AS (SELECT vec_id, cid, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+                  FROM s),
+            assign AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1),
+            probe AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            cr AS (SELECT c.cid,
+                          round(list_cosine_similarity(c.cv, probe.q), 6) AS cs
+                   FROM c, probe),
+            pc AS (SELECT cid AS cluster FROM cr ORDER BY cs DESC, cid LIMIT 2)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, probe.q), 6) AS cosine
+            FROM e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN pc ON a.cluster = pc.cluster, probe
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """
+    # Compaction twins: compact-then-query must equal the tombstone view,
+    # which equals the post-delete rebuild — one oracle serves all three.
+    d["lsh_index_compact"] = d["incremental_dedup_retire"]
+    d["bm25_index_compact"] = d["bm25_index_retire"]
+    d["ivf_index_compact"] = d["ann_index_retire"]
     return d

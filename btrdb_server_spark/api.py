@@ -425,6 +425,42 @@ class BTrDB:
 
         return cf(self.store, include_version, max_files_per_trigger)
 
+    def changefeed_deletes(
+        self, max_files_per_trigger: Optional[int] = None
+    ) -> DataFrame:
+        """Streaming CDC of committed range-deletes (uuid, start, end,
+        ver) — the tombstone dataset as a checkpointed file stream; merge
+        with changefeed()'s ins_ver for one totally-ordered version
+        history (streaming/changefeed.py changefeed_deletes)."""
+        from btrdb_server_spark.streaming.changefeed import changefeed_deletes
+
+        return changefeed_deletes(self.store, max_files_per_trigger)
+
+    def export_bulk(
+        self,
+        uuid: str,
+        start: int,
+        end: int,
+        dest: str,
+        version: Optional[int] = None,
+        fmt: str = "parquet",
+    ) -> None:
+        """Canonical >10M-point export: the MVCC raw slice written
+        DIRECTLY FROM EXECUTORS to `dest` (parquet by default, csv for
+        interop) — every partition writes its own file in parallel, no
+        driver funnel. The wire lanes exist for protocol clients
+        (GenerateCSV's paged rows, serve.go:826-901; the Arrow IPC
+        extension): both are single-socket-bound by construction, like
+        one gRPC egress stream. A bulk hand-off between engines should
+        move a DATASET, not a socket stream — this is the documented
+        fast path (README wire table), and the plan is pinned funnel-free
+        (no Collect/toPandas) in tests/test_plans.py."""
+        df = self.raw_values(uuid, start, end, version)
+        if fmt == "csv":
+            df.write.mode("overwrite").option("header", True).csv(dest)
+        else:
+            df.write.mode("overwrite").parquet(dest)
+
     def hook_sql(self, prefix: str = "btrdb") -> None:
         """Wrap this session's PLAIN ``spark.sql`` so canonical aligned-stat
         SQL text is served from the rollup ladder without routing through

@@ -1496,7 +1496,7 @@ def lsh_index_stats(spark, index_path: str) -> DataFrame:
     )
 
 
-def lsh_index_retire(spark, index_path: str, ids: list) -> int:
+def lsh_index_retire(spark, index_path: str, ids) -> int:
     """Retire documents from a persisted lsh_index_build index — the
     takedown / re-curation path: once a doc is deleted from the corpus,
     its signature rows must stop producing dedup matches (a stale pair
@@ -1524,7 +1524,7 @@ def lsh_index_retire(spark, index_path: str, ids: list) -> int:
             tomb_old,
             "index_id",
         )
-        .where(F.col("index_id").isin(list(ids)))
+        .transform(lambda df: ixs.retire_filter(df, ids, "index_id"))
         .select(F.col("index_id").alias("id"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -126,6 +126,21 @@ def minus_tombstones(
     )
 
 
+def retire_filter(df: DataFrame, ids, id_col: str) -> DataFrame:
+    """Rows of `df` whose id is in `ids`: a python list/sequence (literal
+    isin — fine for a metadata-scale takedown batch) or a DataFrame whose
+    FIRST column holds the ids (broadcast semi-join — the shape a bulk
+    re-curation job produces; never a driver-side collect)."""
+    if isinstance(ids, DataFrame):
+        key = ids.columns[0]
+        return df.join(
+            F.broadcast(ids.select(F.col(key).alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+    return df.where(F.col(id_col).isin(list(ids)))
+
+
 def write_tombstones(
     path: str, m: dict, tomb: DataFrame, seq: int
 ) -> str:

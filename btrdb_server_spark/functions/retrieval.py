@@ -500,7 +500,7 @@ def bm25_index_append(
     ixs.write_manifest(path, m)  # atomic commit: batch + stats together
 
 
-def bm25_index_retire(spark, path: str, ids: list) -> int:
+def bm25_index_retire(spark, path: str, ids) -> int:
     """Retire documents from a persisted BM25 index — the takedown /
     re-curation path (GDPR delete, spam purge): record the ids in the
     tombstone set and subtract their exact (count, total length) from the
@@ -530,7 +530,7 @@ def bm25_index_retire(spark, path: str, ids: list) -> int:
         ixs.minus_tombstones(
             ixs.read_table(spark, path, m, "docs"), tomb_old, id_col
         )
-        .where(F.col(id_col).isin(list(ids)))
+        .transform(lambda df: ixs.retire_filter(df, ids, id_col))
         .select(F.col(id_col).alias("id"), "dl")
         .distinct()
         .localCheckpoint(eager=True)  # one computation feeds fold + write

@@ -1630,7 +1630,7 @@ def ivf_index_append(
     ixs.write_manifest(path, m)  # atomic commit of the batch
 
 
-def ivf_index_retire(spark, path: str, ids: list) -> int:
+def ivf_index_retire(spark, path: str, ids) -> int:
     """Retire vectors from a persisted ivf_index_build index — the
     takedown / re-curation path: a deleted document's embedding must stop
     surfacing as a neighbor. Records the ids in the tombstone set WITHOUT
@@ -1655,7 +1655,7 @@ def ivf_index_retire(spark, path: str, ids: list) -> int:
             tomb_old,
             id_col,
         )
-        .where(F.col(id_col).isin(list(ids)))
+        .transform(lambda df: ixs.retire_filter(df, ids, id_col))
         .select(F.col(id_col).alias("id"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -145,6 +145,36 @@ class PointStore:
                 }
             )
         self.num_buckets = self._read_manifest().get("num_buckets", num_buckets)
+        self._quarantine_uncommitted()
+
+    def _quarantine_uncommitted(self) -> None:
+        """Version-fenced recovery on open: delete ins_ver dirs NEWER than
+        the manifest version — the leftovers of a crash between
+        _write_version's rename and the manifest commit. Batch readers
+        were never exposed (points_at filters ins_ver <= committed
+        version) and the next insert of the same version clears its own
+        leftover, but the CHANGEFEED's sentinel glob has no version fence:
+        without this sweep it could deliver phantom rows for a version
+        that never committed, then deliver the reused version's real rows
+        from differently-named files. The reference closes the same
+        window by version-fencing journal replay (pqm.go:160-186) —
+        recovery inspects durable state against the committed version and
+        discards anything beyond it. One os.listdir of the live
+        generation; tail-sized (dirs since last compaction)."""
+        import shutil
+
+        v = self._read_manifest()["version"]
+        pdir = self.points_path
+        if not os.path.isdir(pdir):
+            return
+        for name in os.listdir(pdir):
+            if name.startswith("ins_ver="):
+                try:
+                    n = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if n > v:
+                    shutil.rmtree(os.path.join(pdir, name), ignore_errors=True)
 
     @property
     def points_path(self) -> str:

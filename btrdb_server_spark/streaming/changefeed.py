@@ -12,15 +12,24 @@ path — the WAL the ingest already writes is the feed.
 
 Scope and caveats (by design, documented not hidden):
 
-- INSERT-ONLY. Range deletes are tombstones in a separate dataset and
-  compaction's rewritten history lands in real hash-bucket dirs — both
-  invisible to the sentinel glob, so the feed never replays old data as
-  fake inserts. Consumers needing delete visibility poll changes().
+- changefeed() is INSERT-ONLY. Range deletes are tombstones in a
+  separate dataset and compaction's rewritten history lands in real
+  hash-bucket dirs — both invisible to the sentinel glob, so the feed
+  never replays old data as fake inserts. Delete visibility is its own
+  stream: changefeed_deletes() subscribes to the tombstone dataset with
+  the same exactly-once file-log semantics (the reference's DeleteRange
+  is just another versioned commit clients observe via Changes,
+  quasar.go:487-520 / 404-485 — two feeds here because the two commit
+  kinds live in two datasets).
 - VALIDATED-ONLY: the insert path writes to a dot-prefixed staging dir
   (invisible to the glob) and renames into the sentinel path only after
   validation passes (store.py _write_version), so an aborted insert —
   whose version number the next insert reuses — never reaches the feed.
-  Residual exposure: a crash between that rename and the manifest write.
+  A crash between that rename and the manifest write is cleaned by the
+  store's open-time quarantine (store._quarantine_uncommitted: ins_ver
+  dirs newer than the committed version are deleted before any feed can
+  start, the version-fenced replay of pqm.go:160-186); only a feed
+  already RUNNING at the instant of that crash can see the phantom dir.
 - Compaction retires old generation dirs (two-generation retention,
   store.py compact); files the feed has PROCESSED may vanish (harmless —
   the file log does not re-read), but a feed lagging behind more than one
@@ -79,3 +88,29 @@ def changefeed(
             ).cast("long"),
         )
     return df
+
+
+def changefeed_deletes(
+    store,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming DataFrame of committed range-delete tombstones
+    (uuid, start, end, ver) of a PointStore — the delete half of the CDC
+    story. Each delete_range/obliterate appends one immutable tombstone
+    row-file under the store's deletes dataset (store.py:302-318), so a
+    readStream over it delivers every delete exactly once via the
+    checkpointed file log; `ver` is the committing major version carried
+    IN the row, so a consumer can merge this feed with changefeed()'s
+    ins_ver into one totally-ordered version history.
+
+    Caveat (same LSM-CDC contract as the insert feed): compaction folds
+    tombstones into the snapshot and clears the dataset
+    (store.py:530-532) — a feed lagging more than one compaction can
+    lose not-yet-processed tombstones. Operate with feed latency below
+    the compaction cadence."""
+    reader = store.spark.readStream.schema(
+        "uuid string, start long, end long, ver long"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(store.deletes_path)

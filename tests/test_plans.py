@@ -990,3 +990,32 @@ def test_ivf_rowwise_assignment_matches_ivf_assign(spark):
         r["vec_id"]: r["cluster"] for r in ivf_assign(emb, cent_df).collect()
     }
     assert rowwise == joined
+
+
+def test_export_bulk_is_funnel_free(spark, tmp_path):
+    """api.export_bulk's canonical bulk-export contract: the dataset the
+    executors write is the plain MVCC raw slice — no Collect, no Python
+    UDF stage, no driver funnel anywhere in the plan — and the write
+    lands one file per task (executor-parallel), unlike the wire lanes
+    which are single-socket by construction."""
+    import glob as globmod
+
+    from btrdb_server_spark.api import BTrDB
+
+    db = BTrDB(spark, str(tmp_path / "db"))
+    db.store.insert_many(
+        spark.range(0, 20000, 1, 4).select(
+            F.lit("a").alias("uuid"),
+            F.col("id").alias("time"),
+            F.col("id").cast("double").alias("value"),
+        )
+    )
+    df = db.raw_values("a", 0, 20000)
+    plan = plan_of(df)
+    assert "Collect" not in plan and "toPandas" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    db.export_bulk("a", 0, 20000, str(tmp_path / "out"))
+    parts = globmod.glob(str(tmp_path / "out" / "part-*"))
+    assert parts, "no part files written"
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 20000

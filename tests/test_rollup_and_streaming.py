@@ -555,3 +555,67 @@ def test_failed_insert_never_reaches_changefeed(spark, tmp_path):
         ("a", 1, 1.0, 1),
         ("a", 2, 2.0, 2),
     }
+
+
+def test_changefeed_deletes_streams_tombstones(spark, tmp_path):
+    """streaming/changefeed.py changefeed_deletes: every committed
+    delete_range arrives exactly once with its committing version,
+    interleaved inserts bump versions in between, and the feed resumes
+    incrementally from its checkpoint."""
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed_deletes
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert("a", [(1, 1.0), (2, 2.0)])  # v1
+    store.delete_range("a", 0, 2)            # v2
+    store.insert("b", [(5, 5.0)])            # v3
+    store.delete_range("b", 5, 6)            # v4
+    feed = changefeed_deletes(store)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        rows = []
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda b, _id: rows.extend(b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {(r.uuid, r.start, r.end, r.ver) for r in rows}
+
+    assert drain() == {("a", 0, 2, 2), ("b", 5, 6, 4)}
+    store.delete_range("a", 2, 3)  # v5
+    assert drain() == {("a", 2, 3, 5)}  # incremental: new tombstone only
+
+
+def test_open_quarantines_uncommitted_version(spark, tmp_path):
+    """store._quarantine_uncommitted: a crash between _write_version's
+    rename and the manifest commit leaves an ins_ver dir newer than the
+    committed version. Reopening the store must delete it (version-fenced
+    recovery), so reads stay consistent AND a changefeed started after
+    recovery never sees phantom rows for the never-committed version."""
+    import glob as globmod
+    import json
+
+    from btrdb_server_spark.store import PointStore
+
+    path = str(tmp_path / "s")
+    store = PointStore(spark, path, num_buckets=4)
+    store.insert("a", [(1, 1.0)])  # v1 commits
+    manifest = json.load(open(store.manifest_path))
+    store.insert("a", [(2, 2.0)])  # v2 commits...
+    json.dump(manifest, open(store.manifest_path, "w"))  # ...crash: roll back
+    assert globmod.glob(f"{path}/points*/ins_ver=2/*")  # orphan on disk
+
+    reopened = PointStore(spark, path, num_buckets=4)
+    assert not globmod.glob(f"{path}/points*/ins_ver=2*")  # quarantined
+    assert [(r.time, r.value) for r in reopened.points_at().collect()] == [
+        (1, 1.0)
+    ]
+    v = reopened.insert("a", [(3, 3.0)])  # version 2 is minted again
+    assert v == 2
+    assert sorted(
+        (r.time, r.value) for r in reopened.points_at().collect()
+    ) == [(1, 1.0), (3, 3.0)]
