@@ -554,6 +554,80 @@ def _bpe_oracle_sql(n: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY step"
 
 
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale BPE: 8 merges learned in rounds of 4 under frozen
+    per-round pair counts, applied sequentially in rank order inside one
+    rewrite pass — jobs ∝ rounds, not merges (the fastBPE/SentencePiece
+    batching; exact greedy bpe_train stays the audit reference). The
+    oracle replays the identical rounds in chained DuckDB CTEs."""
+    from btrdb_server_spark.functions.bpe import bpe_train_batched
+
+    return bpe_train_batched(
+        load_table(spark, sf_dir, "documents"), num_merges=8, round_size=4
+    )
+
+
+def _bpe_batched_oracle_sql(num_merges: int, round_size: int) -> str:
+    """Chained-CTE replay of bpe_train_batched: per round, rank the frozen
+    pair counts (count desc, pair asc), accept the top `round_size`, and
+    rewrite the word histogram sequentially in rank order (the same
+    greedy non-overlapping fold as _bpe_oracle_sql, once per pick)."""
+    toks = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+    ctes = [
+        f"""wh AS (SELECT w, count(*) AS freq FROM
+              (SELECT unnest({toks}) AS w FROM documents) GROUP BY 1),
+        w0_0 AS (SELECT string_split(w, '') AS syms, freq FROM wh)"""
+    ]
+    rounds = []
+    done = 0
+    ri = 0
+    while done < num_merges:
+        need = min(round_size, num_merges - done)
+        rounds.append((ri, need, done))
+        done += need
+        ri += 1
+    for ri, need, base in rounds:
+        ctes.append(
+            f"""p{ri} AS (
+            SELECT t.p.l AS l, t.p.r AS r, freq FROM w{ri}_0,
+            unnest(list_transform(generate_series(1, len(syms) - 1),
+                   i -> {{'l': syms[i], 'r': syms[i+1]}})) AS t(p))"""
+        )
+        ctes.append(
+            f"""k{ri} AS (
+            SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt,
+                   row_number() OVER (ORDER BY sum(freq) DESC, l, r) AS rk
+            FROM p{ri} GROUP BY l, r
+            ORDER BY cnt DESC, l, r LIMIT {need})"""
+        )
+        for j in range(1, need + 1):
+            ctes.append(
+                f"s{ri}_{j} AS (SELECT l, r FROM k{ri} WHERE rk = {j})"
+            )
+            # last pick of the last round needs no rewrite
+            if ri == rounds[-1][0] and j == need:
+                break
+            src = f"w{ri}_{j - 1}"
+            dst = f"w{ri + 1}_0" if j == need else f"w{ri}_{j}"
+            ctes.append(
+                f"""{dst} AS (
+            SELECT CASE WHEN len(syms) <= 1 THEN syms
+                   ELSE list_reduce(list_transform(syms, s -> [s]),
+                        (acc, x) -> CASE
+                            WHEN acc[len(acc)] = s{ri}_{j}.l AND x[1] = s{ri}_{j}.r
+                            THEN list_append(acc[1:len(acc)-1], s{ri}_{j}.l || s{ri}_{j}.r)
+                            ELSE list_concat(acc, x) END)
+                   END AS syms, freq
+            FROM {src} CROSS JOIN s{ri}_{j})"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f'SELECT {base} + rk AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, cnt AS pair_count FROM k{ri}"
+        for ri, need, base in rounds
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY step"
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA smoothing of the purchase stream (alpha=0.25, Jan 1-10): the
     flat path runs the EXACT left-to-right recurrence via a sorted array
@@ -5602,6 +5676,8 @@ DRIVER_WINDOW: list[str] = [
     "ivf_index_compact",
     "streaming_changefeed_deletes",
     "bulk_export",
+    "bpe_train_batched",
+    "bpe_train",
     "dedup_clusters",
     "exact_dedup",
     "minhash_verified_pairs",
@@ -5615,6 +5691,15 @@ DRIVER_WINDOW: list[str] = [
     "aligned_quantiles",
     "streaming_rollup_serve",
     "buffer_query_version",
+    "late_data_rollup",
+    "store_aligned_windows",
+    "store_nearest",
+    "store_changes",
+    "store_delete_range",
+    "aligned_windows_all_rollup",
+    "aligned_windows_all",
+    "changed_ranges_all",
+    "metadata_ann_usage",
     "dup_spans",
     "simhash",
     "ngram_jaccard",
@@ -5628,17 +5713,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_chunks",
     "domain_mix",
     "dsir_weights",
-    "bm25_topk",
-    "unigram_logprob",
-    "pq_encode",
-    "ann_pq_topk",
-    "cosine_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "embedding_near_dups",
-    "rolling_fingerprint",
-    "ivf_assign",
-    "ivf_refine",
 ]
 
 
@@ -5677,6 +5751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_compact": q_ivf_index_compact,
         "streaming_changefeed_deletes": q_streaming_changefeed_deletes,
         "bulk_export": q_bulk_export,
+        "bpe_train_batched": q_bpe_train_batched,
+        "bpe_train": q_bpe_train,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -5690,6 +5766,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_quantiles": q_aligned_quantiles,
         "streaming_rollup_serve": q_streaming_rollup_serve,
         "buffer_query_version": q_buffer_query_version,
+        "late_data_rollup": q_late_data_rollup,
+        "store_aligned_windows": q_store_aligned_windows,
+        "store_nearest": q_store_nearest,
+        "store_changes": q_store_changes,
+        "store_delete_range": q_store_delete_range,
+        "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
+        "aligned_windows_all": q_aligned_windows_all,
+        "changed_ranges_all": q_changed_ranges_all,
+        "metadata_ann_usage": q_metadata_ann_usage,
         "dup_spans": q_dup_spans,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5703,6 +5788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "domain_mix": q_domain_mix,
         "dsir_weights": q_dsir_weights,
+        # ---- position 51+: banked green or locally verified ----
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "pq_encode": q_pq_encode,
@@ -5714,7 +5800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "ivf_assign": q_ivf_assign,
         "ivf_refine": q_ivf_refine,
-        # ---- position 51+: banked green or locally verified ----
         "kmeans_train": q_kmeans_train,
         "streaming_topk": _small_state(q_streaming_topk),
         "minhash_jaccard_est": q_minhash_jaccard_est,
@@ -5771,12 +5856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ngram_novelty": q_ngram_novelty,
         "containment_pairs": q_containment_pairs,
-        "late_data_rollup": q_late_data_rollup,
-        "store_aligned_windows": q_store_aligned_windows,
-        "store_nearest": q_store_nearest,
-        "store_changes": q_store_changes,
-        "store_delete_range": q_store_delete_range,
-        "aligned_windows_all_rollup": q_aligned_windows_all_rollup,
         "aligned_windows": q_aligned_windows,
         "align_windowed": q_align_windowed,
         "multistream_align": q_multistream_align,
@@ -5936,7 +6015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "stream_corr": q_stream_corr,
         "lttb_decimate": q_lttb_decimate,
-        "bpe_train": q_bpe_train,
         "ewma": q_ewma,
         "cusum_changepoint": q_cusum_changepoint,
         "trend_ols": q_trend_ols,
@@ -5987,9 +6065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "media_frame_sample": q_media_frame_sample,
         "media_resize_plan": q_media_resize_plan,
-        "aligned_windows_all": q_aligned_windows_all,
-        "changed_ranges_all": q_changed_ranges_all,
-        "metadata_ann_usage": q_metadata_ann_usage,
     }
 
 
@@ -7768,6 +7843,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY time
         """,
         "bpe_train": _bpe_oracle_sql(6),
+        "bpe_train_batched": _bpe_batched_oracle_sql(8, 4),
         "funnel": """
             WITH s1 AS (
                 SELECT user_id, min(ts) AS t FROM events

@@ -1093,3 +1093,23 @@ def test_incremental_dedup_equals_one_shot_cross_pairs(spark, tmp_path_factory, 
             new_id, match_id = (lo, hi) if lo % 2 == 1 else (hi, lo)
             want[(new_id, match_id)] = r.matches
     assert got == want
+
+
+@given(docs=docs_strategy)
+@SET
+def test_bpe_batched_round1_equals_greedy(spark, docs):
+    """bpe_train_batched(round_size=1) must be BIT-EQUAL to exact greedy
+    bpe_train on any corpus — the degenerate case pinning the batched
+    variant's ranking, tie-break, and rewrite to the reference fold."""
+    from btrdb_server_spark.functions.bpe import bpe_train, bpe_train_batched
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in bpe_train(df, num_merges=5).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_train_batched(df, num_merges=5, round_size=1).collect()
+    ]
+    assert a == b
