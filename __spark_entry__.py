@@ -2560,6 +2560,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, centroids_from_rows(emb, k=8), threshold=0.35)
 
 
+def q_semantic_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup served from the PERSISTED IVF index: assignment was paid
+    at index build, so a re-run of the dedup policy (threshold sweep,
+    post-retirement re-curation) reads the cluster-partitioned cells and
+    runs only the within-cell pairwise step — the corpus is never
+    re-assigned. Same oracle as semantic_dedup: the index cells carry
+    the bit-identical assignment and the shared pair rule."""
+    from btrdb_server_spark.functions.similarity import semantic_dedup_from_index
+
+    idx = _memo_index(("ivf", sf_dir), _ivf_builder(spark, sf_dir))
+    return semantic_dedup_from_index(spark, idx, threshold=0.35)
+
+
 # Bag-of-words query shared with the BM25 oracle: common corpus words so
 # posting lists are non-trivial at every scale factor.
 BM25_QUERY = ["spark", "hash", "merge", "window"]
@@ -5677,7 +5690,33 @@ DRIVER_WINDOW: list[str] = [
     "streaming_changefeed_deletes",
     "bulk_export",
     "bpe_train_batched",
-    "bpe_train",
+    "semantic_dedup_index",
+    "pq_encode",
+    "ann_pq_topk",
+    "cosine_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "ivf_assign",
+    "ivf_refine",
+    "kmeans_train",
+    "knn_graph",
+    "ann_recall_eval",
+    "pq_train",
+    "mips_topk",
+    "sq8_topk",
+    "cluster_purity",
+    "embedding_drift",
+    "ivf_recall_curve",
+    "label_noise_screen",
+    "ann_index_topk",
+    "ann_index_incremental",
+    "ivf_index_stats",
+    "ann_ivf_topk",
+    "semantic_dedup",
+    "hard_negatives",
+    "ann_batch_topk",
+    "ann_ivf_multiprobe",
     "dedup_clusters",
     "exact_dedup",
     "minhash_verified_pairs",
@@ -5687,32 +5726,6 @@ DRIVER_WINDOW: list[str] = [
     "text_stats",
     "token_entropy",
     "token_freq",
-    "decimate_envelope",
-    "aligned_quantiles",
-    "streaming_rollup_serve",
-    "buffer_query_version",
-    "late_data_rollup",
-    "store_aligned_windows",
-    "store_nearest",
-    "store_changes",
-    "store_delete_range",
-    "aligned_windows_all_rollup",
-    "aligned_windows_all",
-    "changed_ranges_all",
-    "metadata_ann_usage",
-    "dup_spans",
-    "simhash",
-    "ngram_jaccard",
-    "dedup_select",
-    "text_scrub",
-    "bpe_token_stats",
-    "quality_filter",
-    "decontaminate",
-    "stratified_sample",
-    "pack_sequences",
-    "doc_chunks",
-    "domain_mix",
-    "dsir_weights",
 ]
 
 
@@ -5752,7 +5765,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_changefeed_deletes": q_streaming_changefeed_deletes,
         "bulk_export": q_bulk_export,
         "bpe_train_batched": q_bpe_train_batched,
-        "bpe_train": q_bpe_train,
+        "semantic_dedup_index": q_semantic_dedup_index,
+        "pq_encode": q_pq_encode,
+        "ann_pq_topk": q_ann_pq_topk,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_assign": q_ivf_assign,
+        "ivf_refine": q_ivf_refine,
+        "kmeans_train": q_kmeans_train,
+        "knn_graph": q_knn_graph,
+        "ann_recall_eval": q_ann_recall_eval,
+        "pq_train": q_pq_train,
+        "mips_topk": q_mips_topk,
+        "sq8_topk": q_sq8_topk,
+        "cluster_purity": q_cluster_purity,
+        "embedding_drift": q_embedding_drift,
+        "ivf_recall_curve": q_ivf_recall_curve,
+        "label_noise_screen": q_label_noise_screen,
+        "ann_index_topk": q_ann_index_topk,
+        "ann_index_incremental": q_ann_index_incremental,
+        "ivf_index_stats": q_ivf_index_stats,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "hard_negatives": q_hard_negatives,
+        "ann_batch_topk": q_ann_batch_topk,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
         "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -5762,6 +5801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_entropy": q_token_entropy,
         "token_freq": q_token_freq,
+        # ---- position 51+: banked green or locally verified ----
+        "bpe_train": q_bpe_train,
         "decimate_envelope": q_decimate_envelope,
         "aligned_quantiles": q_aligned_quantiles,
         "streaming_rollup_serve": q_streaming_rollup_serve,
@@ -5788,19 +5829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "domain_mix": q_domain_mix,
         "dsir_weights": q_dsir_weights,
-        # ---- position 51+: banked green or locally verified ----
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
-        "pq_encode": q_pq_encode,
-        "ann_pq_topk": q_ann_pq_topk,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "ivf_assign": q_ivf_assign,
-        "ivf_refine": q_ivf_refine,
-        "kmeans_train": q_kmeans_train,
         "streaming_topk": _small_state(q_streaming_topk),
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "edit_verified_pairs": q_edit_verified_pairs,
@@ -5828,8 +5859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats": q_dedup_stats,
         "supplier_scorecard": q_supplier_scorecard,
         "weighted_sample": q_weighted_sample,
-        "ivf_recall_curve": q_ivf_recall_curve,
-        "label_noise_screen": q_label_noise_screen,
         "psi_timeline": q_psi_timeline,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "pack_efficiency": q_pack_efficiency,
@@ -5843,17 +5872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_recall_eval": q_snm_recall_eval,
         "incremental_dedup": q_incremental_dedup,
         "lsh_index_stats": q_lsh_index_stats,
-        "ann_index_topk": q_ann_index_topk,
         "bm25_index_topk": q_bm25_index_topk,
-        "ann_index_incremental": q_ann_index_incremental,
         "bm25_index_incremental": q_bm25_index_incremental,
-        "ivf_index_stats": q_ivf_index_stats,
         "bm25_index_stats": q_bm25_index_stats,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "hard_negatives": q_hard_negatives,
-        "ann_batch_topk": q_ann_batch_topk,
-        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ngram_novelty": q_ngram_novelty,
         "containment_pairs": q_containment_pairs,
         "aligned_windows": q_aligned_windows,
@@ -5866,7 +5887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage": q_ngram_coverage,
         "forecast_revenue": q_forecast_revenue,
         "hist_quantiles": q_hist_quantiles,
-        "cluster_purity": q_cluster_purity,
         "kmv_set_ops": q_kmv_set_ops,
         "tail_index": q_tail_index,
         "group_sample": q_group_sample,
@@ -5887,7 +5907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_novelty": q_user_novelty,
         "rerank_fusion": q_rerank_fusion,
         "discount_elasticity": q_discount_elasticity,
-        "embedding_drift": q_embedding_drift,
         "vocab_growth": q_vocab_growth,
         "skyline_parts": q_skyline_parts,
         "weekend_effect": q_weekend_effect,
@@ -5946,8 +5965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savgol_smooth": q_savgol_smooth,
         "seasonal_decompose": q_seasonal_decompose,
         "dominant_period": q_dominant_period,
-        "mips_topk": q_mips_topk,
-        "sq8_topk": q_sq8_topk,
         "readability": q_readability,
         "frequent_sequences": q_frequent_sequences,
         "ols_two_factor": q_ols_two_factor,
@@ -5965,13 +5982,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_anomaly": q_mad_anomaly,
         "benford_digits": q_benford_digits,
         "user_rfm": q_user_rfm,
-        "ann_recall_eval": q_ann_recall_eval,
         "streaming_attribution": _keyed_state_16(q_streaming_attribution),
         "synthesize_stream": q_synthesize_stream,
         "coverage_report": q_coverage_report,
         "token_collocations": q_token_collocations,
         "corpus_summary": q_corpus_summary,
-        "pq_train": q_pq_train,
         "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
         "media_dedup": q_media_dedup,
@@ -6018,7 +6033,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "cusum_changepoint": q_cusum_changepoint,
         "trend_ols": q_trend_ols,
-        "knn_graph": q_knn_graph,
         "autocorr": q_autocorr,
         "props_histogram": q_props_histogram,
         "user_activity": q_user_activity,
@@ -13288,4 +13302,6 @@ def oracle_sql() -> dict[str, str]:
     d["lsh_index_compact"] = d["incremental_dedup_retire"]
     d["bm25_index_compact"] = d["bm25_index_retire"]
     d["ivf_index_compact"] = d["ann_index_retire"]
+    # Index-served SemDeDup carries the identical assignment + pair rule.
+    d["semantic_dedup_index"] = d["semantic_dedup"]
     return d

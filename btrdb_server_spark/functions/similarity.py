@@ -397,6 +397,15 @@ def semantic_dedup(
         .withColumn("nrm", _norm(F.col("v")))
         .localCheckpoint(eager=False)
     )
+    return _mark_semantic_dups(emb, threshold, id_col)
+
+
+def _mark_semantic_dups(emb: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """SemDeDup's within-cluster pairwise step over (id, v, cluster, nrm)
+    rows: mark every vector with a same-cluster, smaller-id neighbor at
+    cosine >= threshold. Shared by the per-run path (semantic_dedup) and
+    the persisted-index path (semantic_dedup_from_index) so the two can
+    never diverge on the pair rule."""
     l, r = emb.alias("l"), emb.alias("r")
     dup_ids = (
         l.join(
@@ -423,6 +432,41 @@ def semantic_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def semantic_dedup_from_index(
+    spark, path: str, threshold: float = 0.95
+) -> DataFrame:
+    """SemDeDup served from a persisted ivf_index_build index — the
+    operational form: the corpus-wide cluster assignment was paid ONCE at
+    index build (and per batch at append), so every re-run of the dedup
+    POLICY (a threshold sweep, a re-curation after retirements) reads the
+    cluster-partitioned cells and runs only the within-cell pairwise
+    step — the corpus is never re-assigned, and the self-join's shuffle
+    is already materialized as the cell directories. Retired vectors
+    (ivf_index_retire) are excluded exactly as a post-delete rebuild
+    would.
+
+    Bit-equal to semantic_dedup with the index's centroids: the index
+    cells carry the identical row-local argmax assignment
+    (plan/property-pinned), and the pair rule is the shared
+    _mark_semantic_dups. Same columns: (id, cluster, is_dup) ordered.
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    id_col = m["id_col"]
+    emb = (
+        ixs.minus_tombstones(
+            ixs.read_table(spark, path, m, "cells"),
+            ixs.read_tombstones(spark, path, m),
+            id_col,
+        )
+        .select(id_col, "v", "cluster")
+        .withColumn("nrm", _norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+    return _mark_semantic_dups(emb, threshold, id_col)
 
 
 def _pq_parts(

@@ -251,3 +251,33 @@ def test_ivf_retire_then_compact_matches_rebuild(spark, emb, tmp_path):
     assert {
         r.cluster: r.n_vecs for r in ivf_index_stats(spark, p).collect()
     } == st
+
+
+def test_semantic_dedup_from_index_matches_per_run(spark, emb, tmp_path):
+    """Index-served SemDeDup == the per-run path with the same centroids
+    (identical assignment + shared pair rule), and after a retire it
+    equals the per-run path on the post-delete corpus."""
+    from btrdb_server_spark.functions.similarity import (
+        centroids_from_rows,
+        ivf_index_build,
+        ivf_index_retire,
+        semantic_dedup,
+        semantic_dedup_from_index,
+    )
+
+    cents = centroids_from_rows(emb, k=4)
+    p = str(tmp_path / "ivf")
+    ivf_index_build(emb, p, cents)
+    got = [tuple(r) for r in semantic_dedup_from_index(spark, p, 0.35).collect()]
+    exp = [tuple(r) for r in semantic_dedup(emb, cents, 0.35).collect()]
+    assert got == exp and got
+    retired = [i for i in range(60) if i % 4 == 1]
+    ivf_index_retire(spark, p, retired)
+    got = [tuple(r) for r in semantic_dedup_from_index(spark, p, 0.35).collect()]
+    exp = [
+        tuple(r)
+        for r in semantic_dedup(
+            emb.where(~F.col("vec_id").isin(retired)), cents, 0.35
+        ).collect()
+    ]
+    assert got == exp and got
