@@ -1537,8 +1537,9 @@ def lsh_index_retire(spark, index_path: str, ids) -> int:
     old_tomb = m["tombstones"]
     m["tombstones"] = tomb_dir
     m["gen_seq"] = seq
+    ixs.drop_prior_retired(index_path, m)  # two-generation retention
+    m["retired_dirs"] = [d for d in [old_tomb] if d]
     ixs.write_manifest(index_path, m)
-    ixs.drop_dirs(index_path, [old_tomb])
     return n_new
 
 
@@ -1546,8 +1547,8 @@ def lsh_index_compact(spark, index_path: str) -> dict:
     """Fold an LSH index's append fragments and drop its retired docs:
     rewrite the live band rows into ONE fresh generation (re-sharded by
     band so each band directory collapses to a few fat files), flip the
-    manifest atomically, then delete the superseded generations and the
-    tombstone set. Probe answers are unchanged (compact-then-probe ==
+    manifest atomically; the superseded generations and tombstone set are
+    retained until the NEXT maintenance op (two-generation retention). Probe answers are unchanged (compact-then-probe ==
     tombstone-view probe == post-delete rebuild, driver-proven); probes
     stop paying the anti-join and the per-batch file fan-out. Mirrors
     store.compact()'s generation discipline (store.py:406-520).
@@ -1573,6 +1574,9 @@ def lsh_index_compact(spark, index_path: str) -> dict:
     rows = ixs.read_table(spark, index_path, m2, "bands").count()
     m2["tombstones"] = None
     m2["gen_seq"] = seq
+    ixs.drop_prior_retired(index_path, m)  # two-generation retention
+    m2["retired_dirs"] = [
+        d for d in [m["tables"]["bands"], m["tombstones"]] if d
+    ]
     ixs.write_manifest(index_path, m2)  # atomic flip
-    ixs.drop_dirs(index_path, [m["tables"]["bands"], m["tombstones"]])
     return {"rows": rows, "gen": seq}

@@ -154,10 +154,18 @@ def write_tombstones(
 
 
 def drop_dirs(path: str, names: list[Optional[str]]) -> None:
-    """Delete superseded generation dirs AFTER a manifest flip. A scan
-    already holding the old file listing may still race a compaction —
-    the same documented residual window as the store's two-generation
-    retention; these indexes are single-writer maintenance."""
+    """Delete superseded generation dirs."""
     for n in names:
         if n:
             shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+
+
+def drop_prior_retired(path: str, m: dict) -> None:
+    """Two-generation retention (store.compact's discipline,
+    store.py:406-520): a maintenance op never deletes the dirs IT
+    supersedes — it records them under the manifest's `retired_dirs` and
+    deletes the dirs the PREVIOUS op retired. A scan planned against the
+    pre-flip manifest therefore keeps its whole file listing readable for
+    one full maintenance interval; only a scan spanning two maintenance
+    ops can race a delete (the store's same documented residual)."""
+    drop_dirs(path, m.get("retired_dirs") or [])

@@ -549,8 +549,9 @@ def bm25_index_retire(spark, path: str, ids) -> int:
     m["gen_seq"] = seq
     m["stats"]["n_docs"] -= n_new
     m["stats"]["sum_dl"] -= int(delta["s"] or 0)
+    ixs.drop_prior_retired(path, m)  # two-generation retention
+    m["retired_dirs"] = [d for d in [old_tomb] if d]
     ixs.write_manifest(path, m)  # atomic: tombstones + stats together
-    ixs.drop_dirs(path, [old_tomb])
     return n_new
 
 
@@ -559,8 +560,9 @@ def bm25_index_compact(spark, path: str) -> dict:
     rewrite postings (re-sharded by bucket, term-sorted — restoring the
     row-group pruning appends fragment) and the norms table into ONE
     fresh generation, recompute stats from the compacted norms, flip the
-    manifest atomically, then delete the superseded generations and the
-    tombstone set. The index answer is unchanged (compact-then-query ==
+    manifest atomically; the superseded generations and tombstone set are
+    retained until the NEXT maintenance op (two-generation retention,
+    store.py:406-520 discipline) so in-flight scans keep their listings. The index answer is unchanged (compact-then-query ==
     tombstone-view query == post-delete rebuild, driver-proven); what
     changes is the economics — probes stop paying the anti-join and the
     fragment read-amplification.
@@ -611,10 +613,11 @@ def bm25_index_compact(spark, path: str) -> dict:
     m2["stats"] = truth
     m2["tombstones"] = None
     m2["gen_seq"] = seq
+    ixs.drop_prior_retired(path, m)  # two-generation retention
+    m2["retired_dirs"] = [
+        d for d in list(m["tables"].values()) + [m["tombstones"]] if d
+    ]
     ixs.write_manifest(path, m2)  # atomic flip to the compacted generation
-    ixs.drop_dirs(
-        path, [m["tables"][t] for t in m["tables"]] + [m["tombstones"]]
-    )
     return {"docs": truth["n_docs"], "stats_repaired": repaired, "gen": seq}
 
 

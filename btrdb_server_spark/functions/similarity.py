@@ -1712,8 +1712,9 @@ def ivf_index_retire(spark, path: str, ids) -> int:
     old_tomb = m["tombstones"]
     m["tombstones"] = tomb_dir
     m["gen_seq"] = seq
+    ixs.drop_prior_retired(path, m)  # two-generation retention
+    m["retired_dirs"] = [d for d in [old_tomb] if d]
     ixs.write_manifest(path, m)
-    ixs.drop_dirs(path, [old_tomb])
     return n_new
 
 
@@ -1722,8 +1723,8 @@ def ivf_index_compact(spark, path: str) -> dict:
     rewrite the live cells into ONE fresh generation (re-sharded by
     cluster so each cell directory collapses to a few fat files — and
     ivf_index_stats regains its footer-only fast path), flip the manifest
-    atomically, then delete the superseded generations and the tombstone
-    set. Probe answers are unchanged (compact-then-probe == tombstone-
+    atomically; superseded generations and the tombstone set are retained
+    until the NEXT maintenance op (two-generation retention). Probe answers are unchanged (compact-then-probe == tombstone-
     view probe == post-delete rebuild, driver-proven). Centroids are
     untouched — re-training drifted centroids is a REBUILD, not a
     compact (ivf_index_stats is the gauge for when). Mirrors
@@ -1750,6 +1751,9 @@ def ivf_index_compact(spark, path: str) -> dict:
     rows = ixs.read_table(spark, path, m2, "cells").count()
     m2["tombstones"] = None
     m2["gen_seq"] = seq
+    ixs.drop_prior_retired(path, m)  # two-generation retention
+    m2["retired_dirs"] = [
+        d for d in [m["tables"]["cells"], m["tombstones"]] if d
+    ]
     ixs.write_manifest(path, m2)  # atomic flip
-    ixs.drop_dirs(path, [m["tables"]["cells"], m["tombstones"]])
     return {"rows": rows, "gen": seq}

@@ -87,10 +87,22 @@ def test_bm25_compact_folds_and_repairs(spark, docs, tmp_path):
     assert res["stats_repaired"] is False and res["docs"] == 45
     m = ixs.read_manifest(p)
     assert m["batches"] == [0] and m["tombstones"] is None
-    # superseded generations and tombstones are deleted after the flip
-    assert sorted(os.listdir(p)) == ["MANIFEST.json", "docs.gen2", "postings.gen2"]
+    # two-generation retention: superseded dirs survive THIS op (in-flight
+    # scans keep their listings) and are recorded for the next op to drop
+    assert set(m["retired_dirs"]) <= set(os.listdir(p))
+    assert "docs.gen0" in m["retired_dirs"]
     assert _bm25_scores(spark, p, ["spark", "fox"]) == before
     assert bm25_index_verify(spark, p).first()["consistent"]
+    # ...and the NEXT maintenance op deletes them
+    res2 = bm25_index_compact(spark, p)
+    assert res2["docs"] == 45
+    left = set(os.listdir(p))
+    assert not (set(m["retired_dirs"]) & left)
+    assert sorted(left) == [
+        "MANIFEST.json", "docs.gen2", "docs.gen3",
+        "postings.gen2", "postings.gen3",
+    ]
+    assert _bm25_scores(spark, p, ["spark", "fox"]) == before
 
 
 def test_bm25_verify_detects_tampered_stats(spark, docs, tmp_path):
