@@ -293,3 +293,65 @@ def test_semantic_dedup_from_index_matches_per_run(spark, emb, tmp_path):
         ).collect()
     ]
     assert got == exp and got
+
+
+def test_lsh_ivf_uncommitted_batch_is_invisible(spark, docs, emb, tmp_path):
+    """The LSH and IVF appends share BM25's commit protocol: a batch dir
+    written but never committed to the manifest changes no probe answer,
+    and re-appending the same batch id replaces the orphan cleanly."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+    )
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        centroids_from_rows,
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    # --- LSH
+    p = str(tmp_path / "lsh")
+    snap = docs.where("doc_id % 10 == 0")
+    lsh_index_build(docs.where("doc_id % 10 != 0 and doc_id < 24"), p)
+    before = [tuple(r) for r in incremental_dedup_pairs(snap, p).collect()]
+    manifest = ixs.read_manifest(p)
+    lsh_index_build(
+        docs.where("doc_id % 10 != 0 and doc_id >= 24"), p, mode="append"
+    )
+    ixs.write_manifest(p, manifest)  # crash: batch written, commit lost
+    assert os.path.isdir(os.path.join(p, "bands.gen0", "batch=1"))
+    assert [
+        tuple(r) for r in incremental_dedup_pairs(snap, p).collect()
+    ] == before
+    lsh_index_build(  # recovery: same batch id, orphan replaced
+        docs.where("doc_id % 10 != 0 and doc_id >= 24"), p, mode="append"
+    )
+    p2 = str(tmp_path / "lsh2")
+    lsh_index_build(docs.where("doc_id % 10 != 0"), p2)
+    assert [
+        tuple(r) for r in incremental_dedup_pairs(snap, p).collect()
+    ] == [tuple(r) for r in incremental_dedup_pairs(snap, p2).collect()]
+
+    # --- IVF
+    q = str(tmp_path / "ivf")
+    cents = centroids_from_rows(emb, k=4)
+    probe = emb.where("vec_id = 0").select("embedding").first()[0]
+    ivf_index_build(emb.where("vec_id < 40"), q, cents)
+    before = [
+        tuple(r) for r in ann_index_topk(spark, q, probe, k=50, nprobe=4).collect()
+    ]
+    manifest = ixs.read_manifest(q)
+    ivf_index_append(emb.where("vec_id >= 40"), q)
+    ixs.write_manifest(q, manifest)  # crash
+    assert [
+        tuple(r) for r in ann_index_topk(spark, q, probe, k=50, nprobe=4).collect()
+    ] == before
+    ivf_index_append(emb.where("vec_id >= 40"), q)  # recovery
+    q2 = str(tmp_path / "ivf2")
+    ivf_index_build(emb, q2, cents)
+    assert [
+        tuple(r) for r in ann_index_topk(spark, q, probe, k=50, nprobe=4).collect()
+    ] == [
+        tuple(r) for r in ann_index_topk(spark, q2, probe, k=50, nprobe=4).collect()
+    ]
