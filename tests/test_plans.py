@@ -1019,3 +1019,57 @@ def test_export_bulk_is_funnel_free(spark, tmp_path):
     assert parts, "no part files written"
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == 20000
+
+
+def test_retired_index_probes_keep_pruning_and_broadcast(spark, tmp_path):
+    """After a retire, every index probe must KEEP its directory pruning
+    and take the tombstone set as a broadcast anti-join — a shuffled
+    anti-join here would re-shuffle the corpus-sized index scan at every
+    probe, which is exactly what the tombstone design exists to avoid."""
+    import re as _re
+
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+        lsh_index_retire,
+    )
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_build,
+        bm25_index_retire,
+        bm25_index_topk,
+    )
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        ivf_index_build,
+        ivf_index_retire,
+    )
+
+    docs = entry_mod.load_table(spark, SF, "documents")
+    emb = entry_mod.load_table(spark, SF, "embeddings")
+
+    b = str(tmp_path / "bm25")
+    bm25_index_build(docs, b, buckets=16)
+    bm25_index_retire(spark, b, [1, 8, 15])
+    plan = plan_of(bm25_index_topk(spark, b, ["spark", "hash"], k=5))
+    assert _re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan), plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+    v = str(tmp_path / "ivf")
+    ivf_index_build(emb, v, k=4)
+    ivf_index_retire(spark, v, [3, 9])
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    plan = plan_of(ann_index_topk(spark, v, probe, k=5, nprobe=2))
+    assert _re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan), plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+    p = str(tmp_path / "lsh")
+    lsh_index_build(docs.where(F.col("doc_id") % 10 != 0), p)
+    lsh_index_retire(spark, p, [11, 21])
+    plan = plan_of(
+        incremental_dedup_pairs(docs.where(F.col("doc_id") % 10 == 0), p)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # tombstone anti + probe
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
