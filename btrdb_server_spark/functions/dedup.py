@@ -1329,31 +1329,34 @@ def lsh_index_build(
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    if mode == "overwrite":
-        m = ixs.init_index(
-            path,
-            ["bands"],
-            params={"num_hashes": num_hashes, "bands": bands, "k": k},
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        if mode == "overwrite":
+            m = ixs.init_index(
+                path,
+                ["bands"],
+                params={"num_hashes": num_hashes, "bands": bands, "k": k},
+            )
+            batch = 0
+        else:
+            # Appends MUST use the index's own hash family — caller-supplied
+            # params are ignored in favor of the persisted meta, otherwise an
+            # append could silently write band keys no probe can match.
+            m = ixs.read_manifest(path)
+            p = m["params"]
+            num_hashes, bands, k = int(p["num_hashes"]), int(p["bands"]), int(p["k"])
+            batch = ixs.next_batch(m)
+        sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k)
+        rows = (
+            _band_rows(sigs, id_col, num_hashes, bands)
+            .withColumnRenamed(id_col, "index_id")
         )
-        batch = 0
-    else:
-        # Appends MUST use the index's own hash family — caller-supplied
-        # params are ignored in favor of the persisted meta, otherwise an
-        # append could silently write band keys no probe can match.
-        m = ixs.read_manifest(path)
-        p = m["params"]
-        num_hashes, bands, k = int(p["num_hashes"]), int(p["bands"]), int(p["k"])
-        batch = ixs.next_batch(m)
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k)
-    (
-        _band_rows(sigs, id_col, num_hashes, bands)
-        .withColumnRenamed(id_col, "index_id")
-        .write.partitionBy("band")
-        .parquet(ixs.table_batch_dir(path, m, "bands", batch))
-    )
-    if mode != "overwrite":
-        m["batches"] = m["batches"] + [batch]
-    ixs.write_manifest(path, m)  # atomic commit: nothing live before this
+        rows.write.partitionBy("band").parquet(
+            ixs.table_batch_dir(path, m, "bands", batch)
+        )
+        ixs.mark_table(m, "bands", 1, rows.schema)  # clear any stale mark
+        if mode != "overwrite":
+            m["batches"] = m["batches"] + [batch]
+        ixs.write_manifest(path, m)  # atomic commit: nothing live before this
 
 
 def incremental_dedup_pairs(
@@ -1411,6 +1414,7 @@ def incremental_dedup_pairs(
         ixs.read_table(spark, index_path, m, "bands"),
         ixs.read_tombstones(spark, index_path, m),
         "index_id",
+        tomb_rows=m.get("tombstone_rows"),
     )
     new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, k)
     probe = (
@@ -1477,6 +1481,7 @@ def lsh_index_stats(spark, index_path: str) -> DataFrame:
         ixs.read_table(spark, index_path, m, "bands"),
         ixs.read_tombstones(spark, index_path, m),
         "index_id",
+        tomb_rows=m.get("tombstone_rows"),
     )
     per_bucket = idx.groupBy("band", "band_key").agg(
         F.count("*").alias("sz")
@@ -1515,32 +1520,41 @@ def lsh_index_retire(spark, index_path: str, ids) -> int:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    m = ixs.read_manifest(index_path)
-    seq = m["gen_seq"] + 1
-    tomb_old = ixs.read_tombstones(spark, index_path, m)
-    newly = (
-        ixs.minus_tombstones(
-            ixs.read_table(spark, index_path, m, "bands").select("index_id"),
-            tomb_old,
-            "index_id",
+    with ixs.writer_lock(index_path):  # single-writer maintenance, enforced
+        m = ixs.read_manifest(index_path)
+        seq = m["gen_seq"] + 1
+        tomb_old = ixs.read_tombstones(spark, index_path, m)
+        old_rows = m.get("tombstone_rows")
+        newly = (
+            ixs.minus_tombstones(
+                ixs.read_table(spark, index_path, m, "bands").select("index_id"),
+                tomb_old,
+                "index_id",
+                tomb_rows=old_rows,
+            )
+            .transform(lambda df: ixs.retire_filter(df, ids, "index_id"))
+            .select(F.col("index_id").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .transform(lambda df: ixs.retire_filter(df, ids, "index_id"))
-        .select(F.col("index_id").alias("id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_new = newly.count()
-    if n_new == 0:
-        return 0
-    full = newly if tomb_old is None else tomb_old.unionByName(newly)
-    tomb_dir = ixs.write_tombstones(index_path, m, full, seq)
-    old_tomb = m["tombstones"]
-    m["tombstones"] = tomb_dir
-    m["gen_seq"] = seq
-    ixs.drop_prior_retired(index_path, m)  # two-generation retention
-    m["retired_dirs"] = [d for d in [old_tomb] if d]
-    ixs.write_manifest(index_path, m)
-    return n_new
+        n_new = newly.count()
+        if n_new == 0:
+            return 0
+        full = newly if tomb_old is None else tomb_old.unionByName(newly)
+        tomb_dir = ixs.write_tombstones(index_path, m, full, seq)
+        old_tomb = m["tombstones"]
+        m["tombstones"] = tomb_dir
+        # newly is disjoint from the old set by construction (derived from
+        # the tombstone-filtered live rows), so the counts fold exactly —
+        # this is what lets every probe's broadcast guard run for free.
+        m["tombstone_rows"] = (
+            old_rows if old_rows is not None else (tomb_old.count() if tomb_old is not None else 0)
+        ) + n_new
+        m["gen_seq"] = seq
+        ixs.drop_prior_retired(index_path, m)  # two-generation retention
+        m["retired_dirs"] = [d for d in [old_tomb] if d]
+        ixs.write_manifest(index_path, m)
+        return n_new
 
 
 def lsh_index_compact(spark, index_path: str) -> dict:
@@ -1556,27 +1570,37 @@ def lsh_index_compact(spark, index_path: str) -> dict:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    m = ixs.read_manifest(index_path)
-    seq = m["gen_seq"] + 1
-    live = ixs.minus_tombstones(
-        ixs.read_table(spark, index_path, m, "bands"),
-        ixs.read_tombstones(spark, index_path, m),
-        "index_id",
-    )
-    m2 = dict(m)
-    m2["tables"] = {"bands": f"bands.gen{seq}"}
-    m2["batches"] = [0]
-    (
-        live.repartition("band")
-        .write.partitionBy("band")
-        .parquet(ixs.table_batch_dir(index_path, m2, "bands", 0))
-    )
-    rows = ixs.read_table(spark, index_path, m2, "bands").count()
-    m2["tombstones"] = None
-    m2["gen_seq"] = seq
-    ixs.drop_prior_retired(index_path, m)  # two-generation retention
-    m2["retired_dirs"] = [
-        d for d in [m["tables"]["bands"], m["tombstones"]] if d
-    ]
-    ixs.write_manifest(index_path, m2)  # atomic flip
-    return {"rows": rows, "gen": seq}
+    with ixs.writer_lock(index_path):  # single-writer maintenance, enforced
+        m = ixs.read_manifest(index_path)
+        seq = m["gen_seq"] + 1
+        live = ixs.minus_tombstones(
+            ixs.read_table(spark, index_path, m, "bands"),
+            ixs.read_tombstones(spark, index_path, m),
+            "index_id",
+            tomb_rows=m.get("tombstone_rows"),
+        )
+        # Count BEFORE the write (column-pruned — reads only the id and
+        # the anti-join key, never the signatures) so the zero-live-rows
+        # case never attempts an unreadable empty partitioned write.
+        rows = live.count()
+        m2 = dict(m)
+        m2["tables"] = {"bands": f"bands.gen{seq}"}
+        m2["batches"] = [0] if rows else []
+        if rows:
+            (
+                live.repartition("band")
+                .write.partitionBy("band")
+                .parquet(ixs.table_batch_dir(index_path, m2, "bands", 0))
+            )
+        # A fully-retired index writes NO files (an empty partitioned
+        # write is unreadable); the schema rides the manifest instead.
+        ixs.mark_table(m2, "bands", rows, live.schema)
+        m2["tombstones"] = None
+        m2["tombstone_rows"] = 0
+        m2["gen_seq"] = seq
+        ixs.drop_prior_retired(index_path, m)  # two-generation retention
+        m2["retired_dirs"] = [
+            d for d in [m["tables"]["bands"], m["tombstones"]] if d
+        ]
+        ixs.write_manifest(index_path, m2)  # atomic flip
+        return {"rows": rows, "gen": seq}

@@ -1,12 +1,13 @@
-"""Generation manifest shared by the persisted LSH / BM25 / IVF indexes.
+"""Generation manifest shared by the persisted LSH / BM25 / IVF / PQ
+indexes.
 
-The three persisted indexes (lsh_index_build, bm25_index_build,
-ivf_index_build) are operational state that must survive the full
-lifecycle a 100 TB corpus actually has: batch APPENDS (daily crawls),
-document RETIREMENT (GDPR takedown, re-curation), and COMPACTION
-(folding append fragments and dropping retired rows). This module gives
-them the same durability discipline the point store already has
-(store.py: version dirs + atomic manifest flip + tombstones +
+The persisted indexes (lsh_index_build, bm25_index_build,
+ivf_index_build, pq_index_build) are operational state that must survive
+the full lifecycle a 100 TB corpus actually has: batch APPENDS (daily
+crawls), document RETIREMENT (GDPR takedown, re-curation), and
+COMPACTION (folding append fragments and dropping retired rows). This
+module gives them the same durability discipline the point store already
+has (store.py: version dirs + atomic manifest flip + tombstones +
 generation-named compaction; reference analogy: the tombstone-then-
 background-delete protocol of Obliterate,
 internal/mprovider/metaprovider.go:339-427, and the version-fenced
@@ -17,23 +18,40 @@ journal replay of pqm.go:160-186):
   tombstone set, and (for BM25) which exact corpus stats are LIVE;
 - data writes land in fresh ``<table>.gen<G>/batch=<N>`` directories
   that no reader consults until ONE atomic manifest flip (os.replace)
-  commits them — a crash mid-append/mid-compact leaves the old index
-  fully intact and only orphans an uncommitted directory, which the
-  next write of the same batch id clears (the store's "crash leftover
-  from an uncommitted version" rule, store.py:246);
+  commits them — a crash mid-append/mid-compact/mid-REBUILD leaves the
+  old index fully intact and only orphans an uncommitted directory,
+  which the next write of the same batch id clears (the store's "crash
+  leftover from an uncommitted version" rule, store.py:246). A rebuild
+  (overwrite-mode build on an existing index) is just the next
+  generation: init_index never deletes live data before the flip;
 - retirement appends to a tombstone SET (rewritten as a new small
   generation — tombstones are metadata-scale by construction); every
-  read path anti-joins it (broadcast — it never outgrows the retired
-  fraction) until compaction folds it into the data and drops it.
+  read path anti-joins it until compaction folds it into the data and
+  drops it. The anti-join BROADCASTS the set only while it is provably
+  small (row count carried in the manifest, so the guard is free);
+  a bulk re-curation that retires a large corpus fraction degrades
+  SOFT to a shuffled anti-join instead of OOMing the driver;
+- maintenance ops are SINGLE-WRITER, and that is now enforced, not
+  assumed: every mutating op holds an O_EXCL ``WRITER.lock`` (a stale
+  lock from a crashed same-host writer is stolen once its pid is gone),
+  and the manifest flip itself re-reads the manifest and CAS-asserts
+  the fence (gen_seq / batches / tables / tombstones) it started from —
+  a second writer that somehow bypassed the lock fails LOUDLY at the
+  flip instead of silently dropping the other writer's batch.
 
 Readers open exactly the committed batch directories
 (``spark.read.parquet(dir/batch=0, dir/batch=1, ...)``), so partition
 pruning on the real layout keys (bucket / cluster / band) is untouched
-and uncommitted garbage is invisible without any runtime filter.
+and uncommitted garbage is invisible without any runtime filter. A
+fully-retired-then-compacted table writes NO data files (an empty
+partitioned write would be unreadable); instead the manifest records the
+table's schema under ``empty_tables`` and readers synthesize the empty
+DataFrame from it.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -43,35 +61,162 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "MANIFEST.json"
+WRITER_LOCK = "WRITER.lock"
+
+# Broadcast the tombstone anti-join only below this many retired ids —
+# ~50 B/id keeps the broadcast under a few hundred MB, comfortably
+# inside executor broadcast budgets. Above it (a bulk re-curation that
+# retires a large corpus fraction before the next compaction) the live
+# view degrades soft to a shuffled anti-join on the id.
+TOMBSTONE_BROADCAST_CAP = 5_000_000
+
+_UNSET = object()
+
+
+class ConcurrentIndexWriterError(RuntimeError):
+    """A second concurrent writer was detected on a persisted index —
+    either at WRITER.lock acquisition or at the manifest CAS fence."""
+
+
+@contextlib.contextmanager
+def writer_lock(path: str):
+    """Single-writer fence for index maintenance ops (build / append /
+    retire / compact): an O_EXCL lockfile holding the writer's pid. A
+    live holder makes the second writer raise ConcurrentIndexWriterError
+    at acquisition (fail loudly — the silent failure mode was two
+    appends claiming the same batch id and one losing its rows); a
+    stale lock whose same-host pid is gone (crashed writer) is stolen.
+    Cross-host writers on shared storage are outside this fence — the
+    manifest CAS in write_manifest is the backstop there."""
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, WRITER_LOCK)
+    fd = None
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            pid = 0
+            with contextlib.suppress(OSError, ValueError):
+                with open(lock) as f:
+                    pid = int(f.read().strip() or "0")
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # exists, owned by another user
+            if alive or attempt:
+                raise ConcurrentIndexWriterError(
+                    f"index writer lock already held (pid {pid}): {lock}"
+                )
+            with contextlib.suppress(OSError):
+                os.unlink(lock)  # stale lock from a crashed writer
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
+
+
+def _fence(m: dict) -> dict:
+    """The manifest fields a concurrent maintenance op would have moved —
+    the CAS token write_manifest checks before flipping."""
+    return {
+        "gen_seq": int(m["gen_seq"]),
+        "batches": sorted(int(b) for b in m["batches"]),
+        "tables": dict(m.get("tables") or {}),
+        "tombstones": m.get("tombstones"),
+    }
 
 
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as f:
-        return json.load(f)
+        m = json.load(f)
+    # Stamp the CAS fence at read time: a maintenance op that mutates
+    # this dict and hands it back to write_manifest is checked against
+    # the state it STARTED from (popped before the JSON is written).
+    m["_expect"] = _fence(m)
+    return m
 
 
 def write_manifest(path: str, m: dict) -> None:
     """Atomic flip: readers planned at any instant see either the old
     complete index or the new complete index (same device rename —
-    exactly store._write_manifest's discipline)."""
-    tmp = os.path.join(path, MANIFEST + ".tmp")
+    exactly store._write_manifest's discipline).
+
+    CAS fence: if `m` carries an `_expect` token (stamped by
+    read_manifest, or None from init_index on a fresh path meaning "no
+    manifest may exist yet"), the CURRENT manifest is re-read and must
+    still match it — a concurrent writer that flipped in between makes
+    this op raise instead of silently superseding the other's commit."""
+    expect = m.pop("_expect", _UNSET)
+    target = os.path.join(path, MANIFEST)
+    if expect is None:
+        if os.path.exists(target):
+            raise ConcurrentIndexWriterError(
+                f"another writer created {target} since this build started"
+            )
+    elif expect is not _UNSET:
+        try:
+            with open(target) as f:
+                cur = json.load(f)
+        except FileNotFoundError:
+            raise ConcurrentIndexWriterError(
+                f"{target} vanished since this op started"
+            )
+        if _fence(cur) != expect:
+            raise ConcurrentIndexWriterError(
+                f"manifest moved under this op (expected {expect}, "
+                f"found {_fence(cur)}): {target}"
+            )
+    tmp = target + ".tmp"
     with open(tmp, "w") as f:
         json.dump(m, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+    os.replace(tmp, target)
 
 
 def init_index(path: str, tables: list[str], **extra) -> dict:
-    """Fresh index root: wipe `path`, return the gen-0 manifest (caller
-    writes data into table_batch_dir(...) then commits with
-    write_manifest — nothing is live until that flip)."""
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
+    """Start a (re)build: return the manifest for the NEXT generation.
+
+    On a fresh path this is the gen-0 manifest; on an existing index the
+    rebuild targets gen_seq+1 directories and the OLD index stays fully
+    live (and readable) until the caller's write_manifest flip — a crash
+    mid-rebuild orphans only uncommitted gen dirs, never the serving
+    index. The superseded generation is recorded in `retired_dirs` and
+    reclaimed by the NEXT maintenance op (two-generation retention),
+    like compact. Nothing is live until the caller's write_manifest."""
+    os.makedirs(path, exist_ok=True)
+    prior = (
+        read_manifest(path)
+        if os.path.exists(os.path.join(path, MANIFEST))
+        else None
+    )
+    seq = int(prior["gen_seq"]) + 1 if prior else 0
     m = {
-        "gen_seq": 0,
+        "gen_seq": seq,
         "batches": [0],
-        "tables": {t: f"{t}.gen0" for t in tables},
+        "tables": {t: f"{t}.gen{seq}" for t in tables},
         "tombstones": None,
+        "_expect": prior["_expect"] if prior else None,
     }
+    if prior is not None:
+        drop_prior_retired(path, prior)  # two-generation retention
+        m["retired_dirs"] = [
+            d
+            for d in list(prior.get("tables", {}).values())
+            + [
+                prior.get("tombstones"),
+                prior.get("centroids"),
+                prior.get("codebooks"),
+            ]
+            if d
+        ]
     m.update(extra)
     return m
 
@@ -86,16 +231,55 @@ def table_batch_dir(path: str, m: dict, table: str, batch: int) -> str:
 
 
 def next_batch(m: dict) -> int:
-    return max(m["batches"]) + 1
+    return max(m["batches"], default=-1) + 1
+
+
+def mark_table(
+    m: dict, table: str, rows: int, schema, batch_written: bool = True
+) -> None:
+    """Record a table's emptiness state in the manifest being built: a
+    zero-row table writes NO files (an empty partitioned parquet write
+    leaves an unreadable directory), so its schema is carried in the
+    manifest instead and read_table synthesizes the empty DataFrame.
+    A non-empty write clears any stale mark."""
+    empt = dict(m.get("empty_tables") or {})
+    if rows == 0:
+        empt[table] = schema.json()
+    else:
+        empt.pop(table, None)
+    m["empty_tables"] = empt
 
 
 def read_table(spark: SparkSession, path: str, m: dict, table: str) -> DataFrame:
     """All COMMITTED batches of a table, as one DataFrame. Opening the
     committed batch dirs explicitly (rather than the table root plus a
     filter) keeps uncommitted crash leftovers invisible and leaves
-    partition pruning on the layout keys (bucket/cluster/band) intact."""
+    partition pruning on the layout keys (bucket/cluster/band) intact.
+
+    A table marked empty in the manifest (`empty_tables`, written by a
+    compaction that found zero live rows) has no data files; its empty
+    DataFrame is synthesized from the recorded schema. Batch dirs are
+    allowed to be absent ONLY for marked tables (a later append revives
+    the table without rewriting history) — for an unmarked table a
+    missing committed dir still raises, preserving loss detection."""
+    from pyspark.sql.types import StructType
+
     root = os.path.join(path, m["tables"][table])
-    dirs = [os.path.join(root, f"batch={b}") for b in m["batches"]]
+    empty_schema = (m.get("empty_tables") or {}).get(table)
+    dirs, missing = [], []
+    for b in m["batches"]:
+        d = os.path.join(root, f"batch={b}")
+        (dirs if os.path.isdir(d) else missing).append(d)
+    if missing and empty_schema is None:
+        raise FileNotFoundError(
+            f"committed batch dirs missing from index table {root}: {missing}"
+        )
+    if not dirs:
+        if empty_schema is None:
+            raise FileNotFoundError(f"index table has no data and no schema: {root}")
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(empty_schema))
+        )
     # basePath anchors partition discovery at the table root so the real
     # layout keys (bucket/cluster/band) resolve consistently across batch
     # dirs; only the LISTED (committed) dirs are scanned. The synthetic
@@ -112,18 +296,32 @@ def read_tombstones(
 
 
 def minus_tombstones(
-    df: DataFrame, tomb: Optional[DataFrame], id_col: str, tomb_id: str = "id"
+    df: DataFrame,
+    tomb: Optional[DataFrame],
+    id_col: str,
+    tomb_id: str = "id",
+    tomb_rows: Optional[int] = None,
+    broadcast_row_cap: int = TOMBSTONE_BROADCAST_CAP,
 ) -> DataFrame:
-    """Live view of an index table: broadcast anti-join against the
-    retired-id set (absent set = the plain scan, so a never-retired
-    index keeps its pinned join-free plans)."""
+    """Live view of an index table: anti-join against the retired-id set
+    (absent set = the plain scan, so a never-retired index keeps its
+    pinned join-free plans).
+
+    The set is BROADCAST only while provably small: `tomb_rows` is the
+    exact count the retire path records in the manifest
+    (`tombstone_rows`), so the guard costs nothing; when the manifest
+    predates the counter the guard falls back to a bounded limit+count.
+    An oversized set (bulk re-curation retiring a large corpus fraction
+    before the next compaction) degrades SOFT to a shuffled anti-join on
+    the id instead of OOMing the driver."""
     if tomb is None:
         return df
-    return df.join(
-        F.broadcast(tomb.select(F.col(tomb_id).alias(id_col)).distinct()),
-        id_col,
-        "left_anti",
-    )
+    keys = tomb.select(F.col(tomb_id).alias(id_col)).distinct()
+    if tomb_rows is None:
+        tomb_rows = tomb.limit(broadcast_row_cap + 1).count()
+    if tomb_rows <= broadcast_row_cap:
+        keys = F.broadcast(keys)
+    return df.join(keys, id_col, "left_anti")
 
 
 def retire_filter(df: DataFrame, ids, id_col: str) -> DataFrame:
@@ -167,5 +365,6 @@ def drop_prior_retired(path: str, m: dict) -> None:
     deletes the dirs the PREVIOUS op retired. A scan planned against the
     pre-flip manifest therefore keeps its whole file listing readable for
     one full maintenance interval; only a scan spanning two maintenance
-    ops can race a delete (the store's same documented residual)."""
+    ops can race a generation delete (the store's same documented
+    residual)."""
     drop_dirs(path, m.get("retired_dirs") or [])

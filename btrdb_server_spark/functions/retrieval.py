@@ -264,6 +264,7 @@ def _live_postings(spark, path: str, m: dict | None = None) -> DataFrame:
         ixs.read_table(spark, path, m, "postings"),
         ixs.read_tombstones(spark, path, m),
         m["id_col"],
+        tomb_rows=m.get("tombstone_rows"),
     )
 
 
@@ -312,28 +313,29 @@ def bm25_index_build(
     toks = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
     ).select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
-    m = ixs.init_index(path, ["postings", "docs"], id_col=id_col)
-    toks.select(id_col, "dl").write.parquet(
-        ixs.table_batch_dir(path, m, "docs", 0)
-    )
-    (
-        _bm25_postings(toks, id_col, buckets)
-        .repartition("bucket")
-        .sortWithinPartitions("term")
-        .write.partitionBy("bucket")
-        .parquet(ixs.table_batch_dir(path, m, "postings", 0))
-    )
-    # Stats read back from the PERSISTED norms table (one thin scan):
-    # exactly the rows the index committed, never a re-tokenization.
-    st = ixs.read_table(spark, path, m, "docs").agg(
-        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
-    ).first()
-    m["stats"] = {
-        "n_docs": int(st["n"] or 0),
-        "sum_dl": int(st["s"] or 0),
-        "buckets": buckets,
-    }
-    ixs.write_manifest(path, m)  # atomic commit: nothing live before this
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m = ixs.init_index(path, ["postings", "docs"], id_col=id_col)
+        toks.select(id_col, "dl").write.parquet(
+            ixs.table_batch_dir(path, m, "docs", 0)
+        )
+        (
+            _bm25_postings(toks, id_col, buckets)
+            .repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.partitionBy("bucket")
+            .parquet(ixs.table_batch_dir(path, m, "postings", 0))
+        )
+        # Stats read back from the PERSISTED norms table (one thin scan):
+        # exactly the rows the index committed, never a re-tokenization.
+        st = ixs.read_table(spark, path, m, "docs").agg(
+            F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
+        ).first()
+        m["stats"] = {
+            "n_docs": int(st["n"] or 0),
+            "sum_dl": int(st["s"] or 0),
+            "buckets": buckets,
+        }
+        ixs.write_manifest(path, m)  # atomic commit: nothing live before this
 
 
 def bm25_index_topk(
@@ -363,6 +365,21 @@ def bm25_index_topk(
     m = ixs.read_manifest(path)
     id_col = m["id_col"]
     st = m["stats"]
+    if int(st["n_docs"]) == 0:
+        # Empty index (built on nothing, or every doc retired): the
+        # correct answer is zero rows — short-circuit before the avgdl
+        # division. Schema (id type in particular) comes from the norms
+        # table, which survives full retirement via the manifest's
+        # empty_tables record.
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = ixs.read_table(spark, path, m, "docs").schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField(id_col, id_type), StructField("score", DoubleType())]
+            ),
+        )
     terms_df = spark.createDataFrame(
         [(t,) for t in query_terms], "term string"
     )
@@ -469,35 +486,43 @@ def bm25_index_append(
     from btrdb_server_spark.functions import index_store as ixs
 
     spark = new_docs.sparkSession
-    m = ixs.read_manifest(path)
-    id_col, buckets = m["id_col"], int(m["stats"]["buckets"])
-    n = ixs.next_batch(m)
-    docs = ensure_parallelism(new_docs)
-    # One tokenization for both consumers (stats aggregate + postings
-    # write): tokenizing the batch is the append's dominant cost.
-    toks = (
-        docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
-        .select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
-        .localCheckpoint(eager=True)
-    )
-    toks.select(id_col, "dl").write.parquet(
-        ixs.table_batch_dir(path, m, "docs", n)
-    )
-    (
-        _bm25_postings(toks, id_col, buckets)
-        .repartition("bucket")
-        .sortWithinPartitions("term")
-        .write.partitionBy("bucket")
-        .parquet(ixs.table_batch_dir(path, m, "postings", n))
-    )
-    batch = toks.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    ).first()
-    m["stats"]["n_docs"] += int(batch["n_docs"] or 0)
-    m["stats"]["sum_dl"] += int(batch["sum_dl"] or 0)
-    m["batches"] = m["batches"] + [n]
-    ixs.write_manifest(path, m)  # atomic commit: batch + stats together
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m = ixs.read_manifest(path)
+        id_col, buckets = m["id_col"], int(m["stats"]["buckets"])
+        n = ixs.next_batch(m)
+        docs = ensure_parallelism(new_docs)
+        # One tokenization for both consumers (stats aggregate + postings
+        # write): tokenizing the batch is the append's dominant cost.
+        toks = (
+            docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+            .select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
+            .localCheckpoint(eager=True)
+        )
+        toks.select(id_col, "dl").write.parquet(
+            ixs.table_batch_dir(path, m, "docs", n)
+        )
+        post = _bm25_postings(toks, id_col, buckets)
+        (
+            post.repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.partitionBy("bucket")
+            .parquet(ixs.table_batch_dir(path, m, "postings", n))
+        )
+        batch = toks.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        ).first()
+        # Revive tables after a fully-retired compaction: clear the
+        # empty-table marks only for tables this batch actually put rows
+        # in (postings are nonempty iff the batch carried tokens).
+        if int(batch["n_docs"] or 0):
+            ixs.mark_table(m, "docs", 1, toks.schema)
+        if int(batch["sum_dl"] or 0):
+            ixs.mark_table(m, "postings", 1, post.schema)
+        m["stats"]["n_docs"] += int(batch["n_docs"] or 0)
+        m["stats"]["sum_dl"] += int(batch["sum_dl"] or 0)
+        m["batches"] = m["batches"] + [n]
+        ixs.write_manifest(path, m)  # atomic commit: batch + stats together
 
 
 def bm25_index_retire(spark, path: str, ids) -> int:
@@ -522,37 +547,47 @@ def bm25_index_retire(spark, path: str, ids) -> int:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    m = ixs.read_manifest(path)
-    id_col = m["id_col"]
-    seq = m["gen_seq"] + 1
-    tomb_old = ixs.read_tombstones(spark, path, m)
-    newly = (
-        ixs.minus_tombstones(
-            ixs.read_table(spark, path, m, "docs"), tomb_old, id_col
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m = ixs.read_manifest(path)
+        id_col = m["id_col"]
+        seq = m["gen_seq"] + 1
+        tomb_old = ixs.read_tombstones(spark, path, m)
+        old_rows = m.get("tombstone_rows")
+        newly = (
+            ixs.minus_tombstones(
+                ixs.read_table(spark, path, m, "docs"),
+                tomb_old,
+                id_col,
+                tomb_rows=old_rows,
+            )
+            .transform(lambda df: ixs.retire_filter(df, ids, id_col))
+            .select(F.col(id_col).alias("id"), "dl")
+            .distinct()
+            .localCheckpoint(eager=True)  # one computation feeds fold + write
         )
-        .transform(lambda df: ixs.retire_filter(df, ids, id_col))
-        .select(F.col(id_col).alias("id"), "dl")
-        .distinct()
-        .localCheckpoint(eager=True)  # one computation feeds fold + write
-    )
-    delta = newly.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("s"),
-    ).first()
-    n_new = int(delta["n"] or 0)
-    if n_new == 0:
-        return 0
-    full = newly if tomb_old is None else tomb_old.unionByName(newly)
-    tomb_dir = ixs.write_tombstones(path, m, full, seq)
-    old_tomb = m["tombstones"]
-    m["tombstones"] = tomb_dir
-    m["gen_seq"] = seq
-    m["stats"]["n_docs"] -= n_new
-    m["stats"]["sum_dl"] -= int(delta["s"] or 0)
-    ixs.drop_prior_retired(path, m)  # two-generation retention
-    m["retired_dirs"] = [d for d in [old_tomb] if d]
-    ixs.write_manifest(path, m)  # atomic: tombstones + stats together
-    return n_new
+        delta = newly.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("s"),
+        ).first()
+        n_new = int(delta["n"] or 0)
+        if n_new == 0:
+            return 0
+        full = newly if tomb_old is None else tomb_old.unionByName(newly)
+        tomb_dir = ixs.write_tombstones(path, m, full, seq)
+        old_tomb = m["tombstones"]
+        m["tombstones"] = tomb_dir
+        m["tombstone_rows"] = (
+            old_rows
+            if old_rows is not None
+            else (tomb_old.count() if tomb_old is not None else 0)
+        ) + n_new
+        m["gen_seq"] = seq
+        m["stats"]["n_docs"] -= n_new
+        m["stats"]["sum_dl"] -= int(delta["s"] or 0)
+        ixs.drop_prior_retired(path, m)  # two-generation retention
+        m["retired_dirs"] = [d for d in [old_tomb] if d]
+        ixs.write_manifest(path, m)  # atomic: tombstones + stats together
+        return n_new
 
 
 def bm25_index_compact(spark, path: str) -> dict:
@@ -576,49 +611,64 @@ def bm25_index_compact(spark, path: str) -> dict:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    m = ixs.read_manifest(path)
-    id_col = m["id_col"]
-    seq = m["gen_seq"] + 1
-    tomb = ixs.read_tombstones(spark, path, m)
-    live_docs = ixs.minus_tombstones(
-        ixs.read_table(spark, path, m, "docs"), tomb, id_col
-    )
-    live_post = ixs.minus_tombstones(
-        ixs.read_table(spark, path, m, "postings"), tomb, id_col
-    )
-    m2 = dict(m)
-    m2["tables"] = {t: f"{t}.gen{seq}" for t in m["tables"]}
-    m2["batches"] = [0]
-    live_docs.write.parquet(ixs.table_batch_dir(path, m2, "docs", 0))
-    (
-        live_post.repartition("bucket")
-        .sortWithinPartitions("term")
-        .write.partitionBy("bucket")
-        .parquet(ixs.table_batch_dir(path, m2, "postings", 0))
-    )
-    st = (
-        ixs.read_table(spark, path, m2, "docs")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("dl").cast("long").alias("s"),
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m = ixs.read_manifest(path)
+        id_col = m["id_col"]
+        seq = m["gen_seq"] + 1
+        tomb = ixs.read_tombstones(spark, path, m)
+        trows = m.get("tombstone_rows")
+        live_docs = ixs.minus_tombstones(
+            ixs.read_table(spark, path, m, "docs"), tomb, id_col, tomb_rows=trows
         )
-        .first()
-    )
-    truth = {
-        "n_docs": int(st["n"] or 0),
-        "sum_dl": int(st["s"] or 0),
-        "buckets": m["stats"]["buckets"],
-    }
-    repaired = truth != m["stats"]
-    m2["stats"] = truth
-    m2["tombstones"] = None
-    m2["gen_seq"] = seq
-    ixs.drop_prior_retired(path, m)  # two-generation retention
-    m2["retired_dirs"] = [
-        d for d in list(m["tables"].values()) + [m["tombstones"]] if d
-    ]
-    ixs.write_manifest(path, m2)  # atomic flip to the compacted generation
-    return {"docs": truth["n_docs"], "stats_repaired": repaired, "gen": seq}
+        live_post = ixs.minus_tombstones(
+            ixs.read_table(spark, path, m, "postings"),
+            tomb,
+            id_col,
+            tomb_rows=trows,
+        )
+        m2 = dict(m)
+        m2["tables"] = {t: f"{t}.gen{seq}" for t in m["tables"]}
+        # Count BEFORE each write (column-pruned scans): a fully-retired
+        # table writes NO files — an empty partitioned write would be
+        # unreadable — and records its schema in the manifest instead.
+        n_docs_live = live_docs.count()
+        n_post_live = live_post.count()
+        m2["batches"] = [0] if (n_docs_live or n_post_live) else []
+        if n_docs_live:
+            live_docs.write.parquet(ixs.table_batch_dir(path, m2, "docs", 0))
+        ixs.mark_table(m2, "docs", n_docs_live, live_docs.schema)
+        if n_post_live:
+            (
+                live_post.repartition("bucket")
+                .sortWithinPartitions("term")
+                .write.partitionBy("bucket")
+                .parquet(ixs.table_batch_dir(path, m2, "postings", 0))
+            )
+        ixs.mark_table(m2, "postings", n_post_live, live_post.schema)
+        st = (
+            ixs.read_table(spark, path, m2, "docs")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("dl").cast("long").alias("s"),
+            )
+            .first()
+        )
+        truth = {
+            "n_docs": int(st["n"] or 0),
+            "sum_dl": int(st["s"] or 0),
+            "buckets": m["stats"]["buckets"],
+        }
+        repaired = truth != m["stats"]
+        m2["stats"] = truth
+        m2["tombstones"] = None
+        m2["tombstone_rows"] = 0
+        m2["gen_seq"] = seq
+        ixs.drop_prior_retired(path, m)  # two-generation retention
+        m2["retired_dirs"] = [
+            d for d in list(m["tables"].values()) + [m["tombstones"]] if d
+        ]
+        ixs.write_manifest(path, m2)  # atomic flip to the compacted generation
+        return {"docs": truth["n_docs"], "stats_repaired": repaired, "gen": seq}
 
 
 def bm25_index_verify(spark, path: str) -> DataFrame:
@@ -643,7 +693,10 @@ def bm25_index_verify(spark, path: str) -> DataFrame:
     tomb = ixs.read_tombstones(spark, path, m)
     d = (
         ixs.minus_tombstones(
-            ixs.read_table(spark, path, m, "docs"), tomb, id_col
+            ixs.read_table(spark, path, m, "docs"),
+            tomb,
+            id_col,
+            tomb_rows=m.get("tombstone_rows"),
         )
         .agg(
             F.count("*").cast("long").alias("n"),

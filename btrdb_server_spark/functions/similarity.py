@@ -17,6 +17,7 @@ so results are reproducible and SQL-oracle-checkable.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -461,6 +462,7 @@ def semantic_dedup_from_index(
             ixs.read_table(spark, path, m, "cells"),
             ixs.read_tombstones(spark, path, m),
             id_col,
+            tomb_rows=m.get("tombstone_rows"),
         )
         .select(id_col, "v", "cluster")
         .withColumn("nrm", _norm(F.col("v")))
@@ -1468,6 +1470,12 @@ def label_noise_screen(
     )
 
 
+def _centroids_path(path: str, m: dict) -> str:
+    """Committed centroid generation (pre-generation manifests fall back
+    to the legacy flat `centroids` dir)."""
+    return os.path.join(path, m.get("centroids") or "centroids")
+
+
 def ivf_index_build(
     embeddings: DataFrame,
     path: str,
@@ -1504,20 +1512,28 @@ def ivf_index_build(
 
     if centroids is None:
         centroids = centroids_from_rows(embeddings, k, id_col, vec_col)
-    m = ixs.init_index(path, ["cells"], id_col=id_col)
-    centroids.write.parquet(path + "/centroids")
-    # Read the PERSISTED rows back rather than collect()ing the lineage:
-    # one execution of the centroid job instead of two, and the cells are
-    # guaranteed assigned against exactly the centroids the index stores
-    # (a non-deterministic centroid source would otherwise diverge them).
-    cent_rows = sorted(
-        embeddings.sparkSession.read.parquet(path + "/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    _assigned_cells(embeddings, cent_rows, id_col, vec_col).write.partitionBy(
-        "cluster"
-    ).parquet(ixs.table_batch_dir(path, m, "cells", 0))
-    ixs.write_manifest(path, m)  # atomic commit: nothing live before this
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m = ixs.init_index(path, ["cells"], id_col=id_col)
+        # Centroids are generationed like the cells: a REBUILD writes new
+        # centroids beside the old ones and the manifest flip commits
+        # centroids + cells together — a crash mid-rebuild can never leave
+        # new centroids serving old cells (which would be silently wrong
+        # probes, not an error).
+        cdir = f"centroids.gen{m['gen_seq']}"
+        m["centroids"] = cdir
+        centroids.write.mode("overwrite").parquet(os.path.join(path, cdir))
+        # Read the PERSISTED rows back rather than collect()ing the lineage:
+        # one execution of the centroid job instead of two, and the cells are
+        # guaranteed assigned against exactly the centroids the index stores
+        # (a non-deterministic centroid source would otherwise diverge them).
+        cent_rows = sorted(
+            embeddings.sparkSession.read.parquet(os.path.join(path, cdir)).collect(),
+            key=lambda r: r["cid"],
+        )
+        _assigned_cells(embeddings, cent_rows, id_col, vec_col).write.partitionBy(
+            "cluster"
+        ).parquet(ixs.table_batch_dir(path, m, "cells", 0))
+        ixs.write_manifest(path, m)  # atomic commit: nothing live before this
 
 
 def _assigned_cells(
@@ -1575,7 +1591,7 @@ def ann_index_topk(
     m = ixs.read_manifest(path)
     id_col = m["id_col"]
     q = _lit_vec([float(x) for x in probe_vec])
-    cents = spark.read.parquet(path + "/centroids")
+    cents = spark.read.parquet(_centroids_path(path, m))
     ranked = cents.select(
         "cid", F.round(cosine_col(F.col("cv"), q), 6).alias("cs")
     )
@@ -1589,6 +1605,7 @@ def ann_index_topk(
         ),
         ixs.read_tombstones(spark, path, m),
         id_col,
+        tomb_rows=m.get("tombstone_rows"),
     )
     return (
         cells.select(
@@ -1625,6 +1642,7 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
         ),
         tomb,
         m["id_col"],
+        tomb_rows=m.get("tombstone_rows"),
     ).select("cluster")
     per = cells.groupBy("cluster").agg(F.count("*").cast("long").alias("n_vecs"))
     total = per.agg(F.sum("n_vecs").alias("t"))
@@ -1661,17 +1679,20 @@ def ivf_index_append(
     from btrdb_server_spark.functions import index_store as ixs
 
     spark = new_embeddings.sparkSession
-    m = ixs.read_manifest(path)
-    n = ixs.next_batch(m)
-    cent_rows = sorted(
-        spark.read.parquet(path + "/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    _assigned_cells(new_embeddings, cent_rows, m["id_col"], vec_col).write.partitionBy(
-        "cluster"
-    ).parquet(ixs.table_batch_dir(path, m, "cells", n))
-    m["batches"] = m["batches"] + [n]
-    ixs.write_manifest(path, m)  # atomic commit of the batch
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m = ixs.read_manifest(path)
+        n = ixs.next_batch(m)
+        cent_rows = sorted(
+            spark.read.parquet(_centroids_path(path, m)).collect(),
+            key=lambda r: r["cid"],
+        )
+        cells = _assigned_cells(new_embeddings, cent_rows, m["id_col"], vec_col)
+        cells.write.partitionBy("cluster").parquet(
+            ixs.table_batch_dir(path, m, "cells", n)
+        )
+        ixs.mark_table(m, "cells", 1, cells.schema)  # revive after empty compact
+        m["batches"] = m["batches"] + [n]
+        ixs.write_manifest(path, m)  # atomic commit of the batch
 
 
 def ivf_index_retire(spark, path: str, ids) -> int:
@@ -1689,33 +1710,41 @@ def ivf_index_retire(spark, path: str, ids) -> int:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    m = ixs.read_manifest(path)
-    id_col = m["id_col"]
-    seq = m["gen_seq"] + 1
-    tomb_old = ixs.read_tombstones(spark, path, m)
-    newly = (
-        ixs.minus_tombstones(
-            ixs.read_table(spark, path, m, "cells").select(id_col),
-            tomb_old,
-            id_col,
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m = ixs.read_manifest(path)
+        id_col = m["id_col"]
+        seq = m["gen_seq"] + 1
+        tomb_old = ixs.read_tombstones(spark, path, m)
+        old_rows = m.get("tombstone_rows")
+        newly = (
+            ixs.minus_tombstones(
+                ixs.read_table(spark, path, m, "cells").select(id_col),
+                tomb_old,
+                id_col,
+                tomb_rows=old_rows,
+            )
+            .transform(lambda df: ixs.retire_filter(df, ids, id_col))
+            .select(F.col(id_col).alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .transform(lambda df: ixs.retire_filter(df, ids, id_col))
-        .select(F.col(id_col).alias("id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_new = newly.count()
-    if n_new == 0:
-        return 0
-    full = newly if tomb_old is None else tomb_old.unionByName(newly)
-    tomb_dir = ixs.write_tombstones(path, m, full, seq)
-    old_tomb = m["tombstones"]
-    m["tombstones"] = tomb_dir
-    m["gen_seq"] = seq
-    ixs.drop_prior_retired(path, m)  # two-generation retention
-    m["retired_dirs"] = [d for d in [old_tomb] if d]
-    ixs.write_manifest(path, m)
-    return n_new
+        n_new = newly.count()
+        if n_new == 0:
+            return 0
+        full = newly if tomb_old is None else tomb_old.unionByName(newly)
+        tomb_dir = ixs.write_tombstones(path, m, full, seq)
+        old_tomb = m["tombstones"]
+        m["tombstones"] = tomb_dir
+        m["tombstone_rows"] = (
+            old_rows
+            if old_rows is not None
+            else (tomb_old.count() if tomb_old is not None else 0)
+        ) + n_new
+        m["gen_seq"] = seq
+        ixs.drop_prior_retired(path, m)  # two-generation retention
+        m["retired_dirs"] = [d for d in [old_tomb] if d]
+        ixs.write_manifest(path, m)
+        return n_new
 
 
 def ivf_index_compact(spark, path: str) -> dict:
@@ -1733,27 +1762,35 @@ def ivf_index_compact(spark, path: str) -> dict:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    m = ixs.read_manifest(path)
-    seq = m["gen_seq"] + 1
-    live = ixs.minus_tombstones(
-        ixs.read_table(spark, path, m, "cells"),
-        ixs.read_tombstones(spark, path, m),
-        m["id_col"],
-    )
-    m2 = dict(m)
-    m2["tables"] = {"cells": f"cells.gen{seq}"}
-    m2["batches"] = [0]
-    (
-        live.repartition("cluster")
-        .write.partitionBy("cluster")
-        .parquet(ixs.table_batch_dir(path, m2, "cells", 0))
-    )
-    rows = ixs.read_table(spark, path, m2, "cells").count()
-    m2["tombstones"] = None
-    m2["gen_seq"] = seq
-    ixs.drop_prior_retired(path, m)  # two-generation retention
-    m2["retired_dirs"] = [
-        d for d in [m["tables"]["cells"], m["tombstones"]] if d
-    ]
-    ixs.write_manifest(path, m2)  # atomic flip
-    return {"rows": rows, "gen": seq}
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m = ixs.read_manifest(path)
+        seq = m["gen_seq"] + 1
+        live = ixs.minus_tombstones(
+            ixs.read_table(spark, path, m, "cells"),
+            ixs.read_tombstones(spark, path, m),
+            m["id_col"],
+            tomb_rows=m.get("tombstone_rows"),
+        )
+        # Count BEFORE the write (column-pruned — never deserializes the
+        # vectors) so a fully-retired index records its schema in the
+        # manifest instead of leaving an unreadable empty partitioned dir.
+        rows = live.count()
+        m2 = dict(m)
+        m2["tables"] = {"cells": f"cells.gen{seq}"}
+        m2["batches"] = [0] if rows else []
+        if rows:
+            (
+                live.repartition("cluster")
+                .write.partitionBy("cluster")
+                .parquet(ixs.table_batch_dir(path, m2, "cells", 0))
+            )
+        ixs.mark_table(m2, "cells", rows, live.schema)
+        m2["tombstones"] = None
+        m2["tombstone_rows"] = 0
+        m2["gen_seq"] = seq
+        ixs.drop_prior_retired(path, m)  # two-generation retention
+        m2["retired_dirs"] = [
+            d for d in [m["tables"]["cells"], m["tombstones"]] if d
+        ]
+        ixs.write_manifest(path, m2)  # atomic flip
+        return {"rows": rows, "gen": seq}

@@ -117,6 +117,7 @@ class PointStore:
         path: str,
         num_buckets: int = 16,
         dup_timestamp_cap: Optional[int] = None,
+        writer: bool = True,
     ):
         """`num_buckets`: uuid hash shards within every version directory —
         the murmur3-range analog (cluster_leader.go:21-43). Single-stream
@@ -145,11 +146,13 @@ class PointStore:
                 }
             )
         self.num_buckets = self._read_manifest().get("num_buckets", num_buckets)
-        self._quarantine_uncommitted()
+        self.writer = writer
+        if writer:
+            self.recover()
 
-    def _quarantine_uncommitted(self) -> None:
-        """Version-fenced recovery on open: delete ins_ver dirs NEWER than
-        the manifest version — the leftovers of a crash between
+    def recover(self) -> None:
+        """Version-fenced recovery: delete ins_ver dirs NEWER than the
+        manifest version — the leftovers of a crash between
         _write_version's rename and the manifest commit. Batch readers
         were never exposed (points_at filters ins_ver <= committed
         version) and the next insert of the same version clears its own
@@ -160,7 +163,18 @@ class PointStore:
         window by version-fencing journal replay (pqm.go:160-186) —
         recovery inspects durable state against the committed version and
         discards anything beyond it. One os.listdir of the live
-        generation; tail-sized (dirs since last compaction)."""
+        generation; tail-sized (dirs since last compaction).
+
+        Runs automatically on WRITER opens only (the default). A writer
+        open asserts the single-writer discipline the store already
+        documents, so sweeping there is safe; a READ-ONLY open
+        (``PointStore(..., writer=False)`` — a reader or changefeed
+        process beside a live writer) must NOT sweep: it could delete the
+        writer's about-to-commit version dir between _write_version's
+        rename and the manifest commit, and the writer would then commit
+        a manifest pointing at deleted data. Reader processes that need
+        the changefeed's phantom-dir fence after a crash call recover()
+        explicitly once they know no writer is mid-commit."""
         import shutil
 
         v = self._read_manifest()["version"]

@@ -26,10 +26,14 @@ Scope and caveats (by design, documented not hidden):
   validation passes (store.py _write_version), so an aborted insert —
   whose version number the next insert reuses — never reaches the feed.
   A crash between that rename and the manifest write is cleaned by the
-  store's open-time quarantine (store._quarantine_uncommitted: ins_ver
-  dirs newer than the committed version are deleted before any feed can
-  start, the version-fenced replay of pqm.go:160-186); only a feed
-  already RUNNING at the instant of that crash can see the phantom dir.
+  store's recovery sweep (store.recover(): ins_ver dirs newer than the
+  committed version are deleted, the version-fenced replay of
+  pqm.go:160-186). The sweep runs automatically on WRITER opens only —
+  a read-only open (PointStore(..., writer=False)) must not delete a
+  live writer's in-flight version dir, so a reader process that starts
+  a feed right after a crash calls store.recover() explicitly once it
+  knows no writer is mid-commit. Only a feed already RUNNING at the
+  instant of the crash can see the phantom dir.
 - Compaction retires old generation dirs (two-generation retention,
   store.py compact); files the feed has PROCESSED may vanish (harmless —
   the file log does not re-read), but a feed lagging behind more than one

@@ -591,11 +591,15 @@ def test_changefeed_deletes_streams_tombstones(spark, tmp_path):
 
 
 def test_open_quarantines_uncommitted_version(spark, tmp_path):
-    """store._quarantine_uncommitted: a crash between _write_version's
-    rename and the manifest commit leaves an ins_ver dir newer than the
-    committed version. Reopening the store must delete it (version-fenced
-    recovery), so reads stay consistent AND a changefeed started after
-    recovery never sees phantom rows for the never-committed version."""
+    """store.recover(): a crash between _write_version's rename and the
+    manifest commit leaves an ins_ver dir newer than the committed
+    version. Reopening the store AS A WRITER must delete it
+    (version-fenced recovery), so reads stay consistent AND a changefeed
+    started after recovery never sees phantom rows for the
+    never-committed version. A READ-ONLY open (writer=False) must NOT
+    sweep — beside a live writer it would delete the about-to-commit
+    version's data dir, and the writer would then commit a manifest
+    pointing at deleted data (silent loss from a read-only open)."""
     import glob as globmod
     import json
 
@@ -608,6 +612,13 @@ def test_open_quarantines_uncommitted_version(spark, tmp_path):
     store.insert("a", [(2, 2.0)])  # v2 commits...
     json.dump(manifest, open(store.manifest_path, "w"))  # ...crash: roll back
     assert globmod.glob(f"{path}/points*/ins_ver=2/*")  # orphan on disk
+
+    # a read-only open leaves the (possibly in-flight) dir alone...
+    reader = PointStore(spark, path, num_buckets=4, writer=False)
+    assert globmod.glob(f"{path}/points*/ins_ver=2/*")
+    assert [(r.time, r.value) for r in reader.points_at().collect()] == [
+        (1, 1.0)  # ...and batch reads were never exposed to it anyway
+    ]
 
     reopened = PointStore(spark, path, num_buckets=4)
     assert not globmod.glob(f"{path}/points*/ins_ver=2*")  # quarantined
