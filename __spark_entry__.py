@@ -2975,6 +2975,137 @@ def q_bm25_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_stats(spark, idx, top=20)
 
 
+def _pq_builder(spark: SparkSession, sf_dir: str):
+    from btrdb_server_spark.functions.similarity import (
+        centroids_from_rows,
+        pq_index_build,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lambda p: pq_index_build(
+        emb, p, centroids_from_rows(emb, k=8), k=8, m=4, k_codes=8, dim=64
+    )
+
+
+def _pq_probe_vec(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+
+
+def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index EXACTNESS: ADC served from a PERSISTED pq_index_build
+    index — coarse centroids + per-subspace codebooks + 8-bit codes in
+    cluster-partitioned cells; raw vectors are NOT stored (m bytes/vector
+    instead of dim*8 — the 100 TB RAM/IO economics of Jégou's IVFADC).
+    Probed with nprobe covering every cell, the scores are bit-equal to
+    the one-shot ann_pq_topk over the corpus (same oracle): same rounded
+    per-subspace squared L2, same round-6 sum, ties by id."""
+    from btrdb_server_spark.functions.similarity import pq_index_topk
+
+    idx = _memo_index(("pq", sf_dir), _pq_builder(spark, sf_dir))
+    return pq_index_topk(spark, idx, _pq_probe_vec(spark, sf_dir), k=10, nprobe=8)
+
+
+def q_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ PRUNED probe: rank the 8 coarse centroids, collect the top-2
+    cluster ids (literal partition predicate = directory-level pruning),
+    and run ADC only inside those cells — the serving path that reads
+    ~nprobe/k of the CODE bytes (itself ~m/(8*dim) of the vector bytes).
+    The oracle replays the same coarse assignment, cell choice, and ADC
+    scoring in SQL."""
+    from btrdb_server_spark.functions.similarity import pq_index_topk
+
+    idx = _memo_index(("pq", sf_dir), _pq_builder(spark, sf_dir))
+    return pq_index_topk(spark, idx, _pq_probe_vec(spark, sf_dir), k=10, nprobe=2)
+
+
+def q_pq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ MAINTENANCE exactness: build on 90% of the vectors with the
+    FULL-corpus quantizer (centroids + seed codebooks — the quantizer is
+    frozen configuration, exactly how a production index trains once and
+    encodes forever), pq_index_append the other 10% (encoding is a pure
+    per-row function of the persisted quantizer), probe all cells. The
+    oracle is the FULL-corpus one-shot ADC — append-then-probe must be
+    bit-equal to a rebuild."""
+    from btrdb_server_spark.functions.similarity import (
+        _pq_codebook_seed,
+        centroids_from_rows,
+        pq_index_append,
+        pq_index_build,
+        pq_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = _workdir(prefix="btrdb_pqinc_q_")
+    idx = f"{work}/pq_index"
+    cents = centroids_from_rows(emb, k=8)
+    cb = _pq_codebook_seed(emb, 4, 8, "vec_id", "embedding", 64)
+    pq_index_build(
+        emb.where(F.col("vec_id") % 10 != 0),
+        idx,
+        cents,
+        k=8,
+        m=4,
+        k_codes=8,
+        codebook=cb,
+        dim=64,
+    )
+    pq_index_append(emb.where(F.col("vec_id") % 10 == 0), idx)
+    return pq_index_topk(spark, idx, _pq_probe_vec(spark, sf_dir), k=10, nprobe=8)
+
+
+def q_pq_index_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ RETIREMENT exactness: tombstone vec_id % 5 == 2
+    (pq_index_retire — id set recorded via the shared index_store
+    lifecycle, zero code bytes rewritten, quantizer frozen), then probe
+    all cells. The oracle scores the POST-DELETE vectors with the
+    FULL-corpus codebooks — retire-then-probe must be bit-equal to a
+    rebuild with the same frozen quantizer. Build memoized + copied:
+    times retire + probe."""
+    from btrdb_server_spark.functions.similarity import (
+        pq_index_retire,
+        pq_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _mutable_index_copy(("pq", sf_dir), _pq_builder(spark, sf_dir))
+    pq_index_retire(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    return pq_index_topk(spark, idx, _pq_probe_vec(spark, sf_dir), k=10, nprobe=8)
+
+
+def q_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ COMPACTION exactness: retire vec_id % 5 == 2, fold tombstones
+    and append fragments into one fresh cluster-partitioned generation
+    (pq_index_compact, shared index_store discipline), then probe. Same
+    oracle as pq_index_retire: compact must not move a single neighbor or
+    ADC distance."""
+    from btrdb_server_spark.functions.similarity import (
+        pq_index_compact,
+        pq_index_retire,
+        pq_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _mutable_index_copy(("pq", sf_dir), _pq_builder(spark, sf_dir))
+    pq_index_retire(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    pq_index_compact(spark, idx)
+    return pq_index_topk(spark, idx, _pq_probe_vec(spark, sf_dir), k=10, nprobe=8)
+
+
+def q_pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-balance audit of the persisted IVF-PQ index: per-cluster code
+    count and corpus share — same staleness gauge (and same oracle) as
+    ivf_index_stats, since both indexes share the coarse quantizer."""
+    from btrdb_server_spark.functions.similarity import pq_index_stats
+
+    idx = _memo_index(("pq", sf_dir), _pq_builder(spark, sf_dir))
+    return pq_index_stats(spark, idx)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import cosine_topk_by_id
 
@@ -5676,10 +5807,47 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constant IS that window. scripts/rotate_window.py regenerates it each
 # round; tests/test_window.py pins dict order to it.
 DRIVER_WINDOW: list[str] = [
-    "delete_range",
-    "metadata_usage",
-    "raw_values",
-    "windows_holes",
+    "aligned_windows_rollup",
+    "rollup_rewrite",
+    "buffer_stat_merge",
+    "streaming_ingest",
+    "pq_index_topk",
+    "pq_index_probe",
+    "pq_index_incremental",
+    "pq_index_retire",
+    "pq_index_compact",
+    "pq_index_stats",
+    "streaming_rollup_serve",
+    "dup_spans",
+    "simhash",
+    "ngram_jaccard",
+    "dedup_select",
+    "bm25_topk",
+    "unigram_logprob",
+    "registry_obliterate",
+    "minhash_jaccard_est",
+    "edit_verified_pairs",
+    "ngram_novelty",
+    "tfidf_topk",
+    "containment_pairs",
+    "rerank_fusion",
+    "boilerplate_ngrams",
+    "insert_cap",
+    "store_compact",
+    "bbit_minhash",
+    "dup_rate_by_source",
+    "simhash_pairs",
+    "lsh_recall_eval",
+    "dedup_stats",
+    "dedup_threshold_curve",
+    "streaming_changefeed",
+    "sorted_neighborhood_pairs",
+    "snm_recall_eval",
+    "incremental_dedup",
+    "lsh_index_stats",
+    "bm25_index_topk",
+    "bm25_index_incremental",
+    "bm25_index_stats",
     "incremental_dedup_retire",
     "lsh_index_compact",
     "bm25_index_retire",
@@ -5688,44 +5856,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_index_retire",
     "ivf_index_compact",
     "streaming_changefeed_deletes",
-    "bulk_export",
-    "bpe_train_batched",
     "semantic_dedup_index",
-    "pq_encode",
-    "ann_pq_topk",
-    "cosine_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "embedding_near_dups",
-    "ivf_assign",
-    "ivf_refine",
-    "kmeans_train",
-    "knn_graph",
-    "ann_recall_eval",
-    "pq_train",
-    "mips_topk",
-    "sq8_topk",
-    "cluster_purity",
-    "embedding_drift",
-    "ivf_recall_curve",
-    "label_noise_screen",
-    "ann_index_topk",
-    "ann_index_incremental",
-    "ivf_index_stats",
-    "ann_ivf_topk",
-    "semantic_dedup",
-    "hard_negatives",
-    "ann_batch_topk",
-    "ann_ivf_multiprobe",
-    "dedup_clusters",
-    "exact_dedup",
-    "minhash_verified_pairs",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "lang_id",
-    "text_stats",
-    "token_entropy",
-    "token_freq",
 ]
 
 
@@ -5751,10 +5882,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- DRIVER WINDOW: positions 1-50 (driver checks first 50;
         # regenerated by scripts/rotate_window.py) ----
-        "delete_range": q_delete_range,
-        "metadata_usage": q_metadata_usage,
-        "raw_values": q_raw_values,
-        "windows_holes": q_windows_holes,
+        "aligned_windows_rollup": q_aligned_windows_rollup,
+        "rollup_rewrite": q_rollup_rewrite,
+        "buffer_stat_merge": q_buffer_stat_merge,
+        "streaming_ingest": q_streaming_ingest,
+        "pq_index_topk": q_pq_index_topk,
+        "pq_index_probe": q_pq_index_probe,
+        "pq_index_incremental": q_pq_index_incremental,
+        "pq_index_retire": q_pq_index_retire,
+        "pq_index_compact": q_pq_index_compact,
+        "pq_index_stats": q_pq_index_stats,
+        "streaming_rollup_serve": q_streaming_rollup_serve,
+        "dup_spans": q_dup_spans,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_select": q_dedup_select,
+        "bm25_topk": q_bm25_topk,
+        "unigram_logprob": q_unigram_logprob,
+        "registry_obliterate": q_registry_obliterate,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "edit_verified_pairs": q_edit_verified_pairs,
+        "ngram_novelty": q_ngram_novelty,
+        "tfidf_topk": q_tfidf_topk,
+        "containment_pairs": q_containment_pairs,
+        "rerank_fusion": q_rerank_fusion,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "insert_cap": q_insert_cap,
+        "store_compact": q_store_compact,
+        "bbit_minhash": q_bbit_minhash,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "dedup_stats": q_dedup_stats,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "streaming_changefeed": q_streaming_changefeed,
+        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+        "snm_recall_eval": q_snm_recall_eval,
+        "incremental_dedup": q_incremental_dedup,
+        "lsh_index_stats": q_lsh_index_stats,
+        "bm25_index_topk": q_bm25_index_topk,
+        "bm25_index_incremental": q_bm25_index_incremental,
+        "bm25_index_stats": q_bm25_index_stats,
         "incremental_dedup_retire": q_incremental_dedup_retire,
         "lsh_index_compact": q_lsh_index_compact,
         "bm25_index_retire": q_bm25_index_retire,
@@ -5763,9 +5931,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_retire": q_ann_index_retire,
         "ivf_index_compact": q_ivf_index_compact,
         "streaming_changefeed_deletes": q_streaming_changefeed_deletes,
+        "semantic_dedup_index": q_semantic_dedup_index,
+        # ---- position 51+: banked green or locally verified ----
+        "delete_range": q_delete_range,
+        "metadata_usage": q_metadata_usage,
+        "raw_values": q_raw_values,
+        "windows_holes": q_windows_holes,
         "bulk_export": q_bulk_export,
         "bpe_train_batched": q_bpe_train_batched,
-        "semantic_dedup_index": q_semantic_dedup_index,
         "pq_encode": q_pq_encode,
         "ann_pq_topk": q_ann_pq_topk,
         "cosine_topk": q_cosine_topk,
@@ -5801,11 +5974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_entropy": q_token_entropy,
         "token_freq": q_token_freq,
-        # ---- position 51+: banked green or locally verified ----
         "bpe_train": q_bpe_train,
         "decimate_envelope": q_decimate_envelope,
         "aligned_quantiles": q_aligned_quantiles,
-        "streaming_rollup_serve": q_streaming_rollup_serve,
         "buffer_query_version": q_buffer_query_version,
         "late_data_rollup": q_late_data_rollup,
         "store_aligned_windows": q_store_aligned_windows,
@@ -5816,10 +5987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_windows_all": q_aligned_windows_all,
         "changed_ranges_all": q_changed_ranges_all,
         "metadata_ann_usage": q_metadata_ann_usage,
-        "dup_spans": q_dup_spans,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_select": q_dedup_select,
         "text_scrub": q_text_scrub,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_filter": q_quality_filter,
@@ -5829,19 +5996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "domain_mix": q_domain_mix,
         "dsir_weights": q_dsir_weights,
-        "bm25_topk": q_bm25_topk,
-        "unigram_logprob": q_unigram_logprob,
         "rolling_fingerprint": q_rolling_fingerprint,
         "streaming_topk": _small_state(q_streaming_topk),
-        "minhash_jaccard_est": q_minhash_jaccard_est,
-        "edit_verified_pairs": q_edit_verified_pairs,
         "nearest_after": q_nearest_after,
         "buffer_read_your_writes": q_buffer_read_your_writes,
-        "insert_cap": q_insert_cap,
-        "store_compact": q_store_compact,
         "source_profile": q_source_profile,
-        "bbit_minhash": q_bbit_minhash,
-        "dup_rate_by_source": q_dup_rate_by_source,
         "kmv_daily": q_kmv_daily,
         "segment_spend_profile": q_segment_spend_profile,
         "round_number_bias": q_round_number_bias,
@@ -5850,33 +6009,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "delay_by_priority": q_delay_by_priority,
         "activity_histogram": q_activity_histogram,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_recall_eval": q_lsh_recall_eval,
         "product_profit": q_product_profit,
         "media_features": q_media_features,
         "windows_quantile_ladder": q_windows_quantile_ladder,
         "bigram_perplexity": q_bigram_perplexity,
-        "dedup_stats": q_dedup_stats,
         "supplier_scorecard": q_supplier_scorecard,
         "weighted_sample": q_weighted_sample,
         "psi_timeline": q_psi_timeline,
-        "dedup_threshold_curve": q_dedup_threshold_curve,
         "pack_efficiency": q_pack_efficiency,
         "rate_anomaly": q_rate_anomaly,
-        "streaming_changefeed": q_streaming_changefeed,
         "sql_hook_rollup": q_sql_hook_rollup,
         "cube_report": q_cube_report,
         "join_skew_audit": q_join_skew_audit,
-        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
         "winnowing_fingerprints": q_winnowing_fingerprints,
-        "snm_recall_eval": q_snm_recall_eval,
-        "incremental_dedup": q_incremental_dedup,
-        "lsh_index_stats": q_lsh_index_stats,
-        "bm25_index_topk": q_bm25_index_topk,
-        "bm25_index_incremental": q_bm25_index_incremental,
-        "bm25_index_stats": q_bm25_index_stats,
-        "ngram_novelty": q_ngram_novelty,
-        "containment_pairs": q_containment_pairs,
         "aligned_windows": q_aligned_windows,
         "align_windowed": q_align_windowed,
         "multistream_align": q_multistream_align,
@@ -5905,7 +6050,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var_cvar": q_var_cvar,
         "mix_entropy": q_mix_entropy,
         "user_novelty": q_user_novelty,
-        "rerank_fusion": q_rerank_fusion,
         "discount_elasticity": q_discount_elasticity,
         "vocab_growth": q_vocab_growth,
         "skyline_parts": q_skyline_parts,
@@ -5920,7 +6064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_conversion": q_hourly_conversion,
         "repurchase_intervals": q_repurchase_intervals,
         "ship_delay_profile": q_ship_delay_profile,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
         "order_backlog": q_order_backlog,
         "lake_integrity": q_lake_integrity,
         "session_conversion": q_session_conversion,
@@ -5987,7 +6130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_report": q_coverage_report,
         "token_collocations": q_token_collocations,
         "corpus_summary": q_corpus_summary,
-        "tfidf_topk": q_tfidf_topk,
         "sessions": q_sessions,
         "media_dedup": q_media_dedup,
         "value_histogram": q_value_histogram,
@@ -6065,14 +6207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": _small_state(q_streaming_ewma),
         "streaming_dedup": _small_state(q_streaming_dedup),
         "streaming_stat_state": _keyed_state_16(q_streaming_stat_state),
-        "rollup_rewrite": q_rollup_rewrite,
         "list_collections": q_list_collections,
-        "streaming_ingest": q_streaming_ingest,
-        "aligned_windows_rollup": q_aligned_windows_rollup,
-        "buffer_stat_merge": q_buffer_stat_merge,
         "windows_rewrite": q_windows_rewrite,
         "sql_rollup_serve": q_sql_rollup_serve,
-        "registry_obliterate": q_registry_obliterate,
         "store_version_travel": q_store_version_travel,
         "gaps": q_gaps,
         "rate": q_rate,
@@ -13304,4 +13441,57 @@ def oracle_sql() -> dict[str, str]:
     d["ivf_index_compact"] = d["ann_index_retire"]
     # Index-served SemDeDup carries the identical assignment + pair rule.
     d["semantic_dedup_index"] = d["semantic_dedup"]
+    # IVF-PQ twins: an all-cells probe of the persisted code index is
+    # ADC over the corpus, so exactness and maintenance entries share the
+    # one-shot ann_pq_topk oracle; the stats entry shares ivf_index_stats
+    # (same coarse quantizer, same assignment).
+    d["pq_index_topk"] = d["ann_pq_topk"]
+    d["pq_index_incremental"] = d["ann_pq_topk"]
+    d["pq_index_stats"] = d["ivf_index_stats"]
+    # Retirement: ADC over the POST-DELETE vectors with the FULL-corpus
+    # codebooks (the quantizer is frozen at build time — retire never
+    # retrains), so a green row proves retire-then-probe == a rebuild
+    # with the same quantizer, bit-exactly.
+    d["pq_index_retire"] = f"""
+            WITH {_PQ_CTES},
+            qsub AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+            dt AS (SELECT cb.j, cb.code,
+                          round(power(list_distance(cb.cv, qsub.qv), 2), 6) AS d
+                   FROM cb JOIN qsub USING (j)),
+            sc AS (SELECT c.vec_id, round(sum(d), 6) AS adc_dist
+                   FROM codes c JOIN dt ON c.j = dt.j AND c.code = dt.code
+                   WHERE c.vec_id % 5 <> 2
+                   GROUP BY 1)
+            SELECT vec_id, adc_dist FROM sc ORDER BY adc_dist, vec_id LIMIT 10
+        """
+    d["pq_index_compact"] = d["pq_index_retire"]
+    # Pruned IVF-PQ probe: the oracle replays the coarse assignment, the
+    # top-2 cell choice, and the ADC scoring inside those cells.
+    d["pq_index_probe"] = f"""
+            WITH {_PQ_CTES},
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            s AS (SELECT e.vec_id, c.cid,
+                         round(list_cosine_similarity(e.v, c.cv), 6) AS score
+                  FROM e CROSS JOIN c),
+            r AS (SELECT vec_id, cid, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+                  FROM s),
+            assign AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1),
+            probe AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            cr AS (SELECT c.cid,
+                          round(list_cosine_similarity(c.cv, probe.q), 6) AS cs
+                   FROM c, probe),
+            pc AS (SELECT cid AS cluster FROM cr ORDER BY cs DESC, cid LIMIT 2),
+            qsub AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+            dt AS (SELECT cb.j, cb.code,
+                          round(power(list_distance(cb.cv, qsub.qv), 2), 6) AS d
+                   FROM cb JOIN qsub USING (j)),
+            sc AS (SELECT c2.vec_id, round(sum(d), 6) AS adc_dist
+                   FROM codes c2
+                   JOIN assign a ON c2.vec_id = a.vec_id
+                   JOIN pc ON a.cluster = pc.cluster
+                   JOIN dt ON c2.j = dt.j AND c2.code = dt.code
+                   GROUP BY 1)
+            SELECT vec_id, adc_dist FROM sc ORDER BY adc_dist, vec_id LIMIT 10
+        """
     return d

@@ -1520,41 +1520,7 @@ def lsh_index_retire(spark, index_path: str, ids) -> int:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    with ixs.writer_lock(index_path):  # single-writer maintenance, enforced
-        m = ixs.read_manifest(index_path)
-        seq = m["gen_seq"] + 1
-        tomb_old = ixs.read_tombstones(spark, index_path, m)
-        old_rows = m.get("tombstone_rows")
-        newly = (
-            ixs.minus_tombstones(
-                ixs.read_table(spark, index_path, m, "bands").select("index_id"),
-                tomb_old,
-                "index_id",
-                tomb_rows=old_rows,
-            )
-            .transform(lambda df: ixs.retire_filter(df, ids, "index_id"))
-            .select(F.col("index_id").alias("id"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n_new = newly.count()
-        if n_new == 0:
-            return 0
-        full = newly if tomb_old is None else tomb_old.unionByName(newly)
-        tomb_dir = ixs.write_tombstones(index_path, m, full, seq)
-        old_tomb = m["tombstones"]
-        m["tombstones"] = tomb_dir
-        # newly is disjoint from the old set by construction (derived from
-        # the tombstone-filtered live rows), so the counts fold exactly —
-        # this is what lets every probe's broadcast guard run for free.
-        m["tombstone_rows"] = (
-            old_rows if old_rows is not None else (tomb_old.count() if tomb_old is not None else 0)
-        ) + n_new
-        m["gen_seq"] = seq
-        ixs.drop_prior_retired(index_path, m)  # two-generation retention
-        m["retired_dirs"] = [d for d in [old_tomb] if d]
-        ixs.write_manifest(index_path, m)
-        return n_new
+    return ixs.retire_table_ids(spark, index_path, "bands", ids, id_col="index_id")
 
 
 def lsh_index_compact(spark, index_path: str) -> dict:
@@ -1570,37 +1536,6 @@ def lsh_index_compact(spark, index_path: str) -> dict:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    with ixs.writer_lock(index_path):  # single-writer maintenance, enforced
-        m = ixs.read_manifest(index_path)
-        seq = m["gen_seq"] + 1
-        live = ixs.minus_tombstones(
-            ixs.read_table(spark, index_path, m, "bands"),
-            ixs.read_tombstones(spark, index_path, m),
-            "index_id",
-            tomb_rows=m.get("tombstone_rows"),
-        )
-        # Count BEFORE the write (column-pruned — reads only the id and
-        # the anti-join key, never the signatures) so the zero-live-rows
-        # case never attempts an unreadable empty partitioned write.
-        rows = live.count()
-        m2 = dict(m)
-        m2["tables"] = {"bands": f"bands.gen{seq}"}
-        m2["batches"] = [0] if rows else []
-        if rows:
-            (
-                live.repartition("band")
-                .write.partitionBy("band")
-                .parquet(ixs.table_batch_dir(index_path, m2, "bands", 0))
-            )
-        # A fully-retired index writes NO files (an empty partitioned
-        # write is unreadable); the schema rides the manifest instead.
-        ixs.mark_table(m2, "bands", rows, live.schema)
-        m2["tombstones"] = None
-        m2["tombstone_rows"] = 0
-        m2["gen_seq"] = seq
-        ixs.drop_prior_retired(index_path, m)  # two-generation retention
-        m2["retired_dirs"] = [
-            d for d in [m["tables"]["bands"], m["tombstones"]] if d
-        ]
-        ixs.write_manifest(index_path, m2)  # atomic flip
-        return {"rows": rows, "gen": seq}
+    return ixs.compact_partitioned_table(
+        spark, index_path, "bands", "band", id_col="index_id"
+    )

@@ -358,6 +358,113 @@ def drop_dirs(path: str, names: list[Optional[str]]) -> None:
             shutil.rmtree(os.path.join(path, n), ignore_errors=True)
 
 
+def retire_table_ids(
+    spark: SparkSession, path: str, table: str, ids, id_col: Optional[str] = None
+) -> int:
+    """Generic takedown path shared by the single-table indexes (LSH
+    bands, IVF cells, PQ code cells): record the ids in the tombstone
+    set WITHOUT rewriting index bytes, folding the EXACT retired count
+    into the manifest (which is what keeps every probe's broadcast guard
+    free). Retire-then-probe is bit-equal to a rebuild on the post-delete
+    corpus because every read path anti-joins the set; bytes are
+    reclaimed by compaction — tombstone now, rewrite in the background,
+    the reference's Obliterate protocol
+    (internal/mprovider/metaprovider.go:339-427).
+
+    Idempotent (the retired set is derived from live rows, so re-retiring
+    or retiring never-indexed ids is a no-op). Cost: one id-column scan
+    plus a metadata-scale tombstone rewrite. Returns the count newly
+    retired."""
+    with writer_lock(path):
+        m = read_manifest(path)
+        idc = id_col or m["id_col"]
+        seq = m["gen_seq"] + 1
+        tomb_old = read_tombstones(spark, path, m)
+        old_rows = m.get("tombstone_rows")
+        newly = (
+            minus_tombstones(
+                read_table(spark, path, m, table).select(idc),
+                tomb_old,
+                idc,
+                tomb_rows=old_rows,
+            )
+            .transform(lambda df: retire_filter(df, ids, idc))
+            .select(F.col(idc).alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = newly.count()
+        if n_new == 0:
+            return 0
+        full = newly if tomb_old is None else tomb_old.unionByName(newly)
+        tomb_dir = write_tombstones(path, m, full, seq)
+        old_tomb = m["tombstones"]
+        m["tombstones"] = tomb_dir
+        # newly is disjoint from the old set by construction (derived from
+        # the tombstone-filtered live rows), so the counts fold exactly.
+        m["tombstone_rows"] = (
+            old_rows
+            if old_rows is not None
+            else (tomb_old.count() if tomb_old is not None else 0)
+        ) + n_new
+        m["gen_seq"] = seq
+        drop_prior_retired(path, m)  # two-generation retention
+        m["retired_dirs"] = [d for d in [old_tomb] if d]
+        write_manifest(path, m)
+        return n_new
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    partition_col: str,
+    id_col: Optional[str] = None,
+) -> dict:
+    """Generic compaction shared by the single-table indexes: rewrite the
+    live rows into ONE fresh generation (re-sharded by the layout key so
+    each partition directory collapses to a few fat files), flip the
+    manifest atomically; the superseded generation and tombstone set are
+    retained until the NEXT maintenance op (two-generation retention,
+    store.py:406-520 discipline). Answers are unchanged (compact-then-
+    probe == tombstone-view probe == post-delete rebuild, driver-proven);
+    probes stop paying the anti-join and the per-batch file fan-out. A
+    fully-retired table records its schema in the manifest instead of
+    writing an unreadable empty partitioned dir. Returns {rows, gen}."""
+    with writer_lock(path):
+        m = read_manifest(path)
+        idc = id_col or m["id_col"]
+        seq = m["gen_seq"] + 1
+        live = minus_tombstones(
+            read_table(spark, path, m, table),
+            read_tombstones(spark, path, m),
+            idc,
+            tomb_rows=m.get("tombstone_rows"),
+        )
+        # Count BEFORE the write (column-pruned — reads only the id and
+        # the anti-join key, never the payload columns).
+        rows = live.count()
+        m2 = dict(m)
+        m2["tables"] = {**m["tables"], table: f"{table}.gen{seq}"}
+        m2["batches"] = [0] if rows else []
+        if rows:
+            (
+                live.repartition(partition_col)
+                .write.partitionBy(partition_col)
+                .parquet(table_batch_dir(path, m2, table, 0))
+            )
+        mark_table(m2, table, rows, live.schema)
+        m2["tombstones"] = None
+        m2["tombstone_rows"] = 0
+        m2["gen_seq"] = seq
+        drop_prior_retired(path, m)  # two-generation retention
+        m2["retired_dirs"] = [
+            d for d in [m["tables"][table], m["tombstones"]] if d
+        ]
+        write_manifest(path, m2)  # atomic flip
+        return {"rows": rows, "gen": seq}
+
+
 def drop_prior_retired(path: str, m: dict) -> None:
     """Two-generation retention (store.compact's discipline,
     store.py:406-520): a maintenance op never deletes the dirs IT

@@ -1552,6 +1552,17 @@ def _assigned_cells(
     staged = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
+    return staged.select(
+        id_col, "v", _nearest_centroid_col(cent_rows).alias("cluster")
+    )
+
+
+def _nearest_centroid_col(cent_rows) -> Column:
+    """Row-local nearest-centroid argmax over the `v` column against
+    LITERAL centroid vectors: array_max over (score, -cid) structs is the
+    same lexicographic max ivf_assign aggregates (rounded cosine, ties to
+    the smallest cid), but with no join and no shuffle — shared by the
+    IVF and PQ index builds."""
     scored = F.array(
         *[
             F.struct(
@@ -1564,9 +1575,7 @@ def _assigned_cells(
             for r in cent_rows
         ]
     )
-    return staged.select(
-        id_col, "v", (-F.array_max(scored)["ncid"]).alias("cluster")
-    )
+    return -F.array_max(scored)["ncid"]
 
 
 def ann_index_topk(
@@ -1710,41 +1719,7 @@ def ivf_index_retire(spark, path: str, ids) -> int:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    with ixs.writer_lock(path):  # single-writer maintenance, enforced
-        m = ixs.read_manifest(path)
-        id_col = m["id_col"]
-        seq = m["gen_seq"] + 1
-        tomb_old = ixs.read_tombstones(spark, path, m)
-        old_rows = m.get("tombstone_rows")
-        newly = (
-            ixs.minus_tombstones(
-                ixs.read_table(spark, path, m, "cells").select(id_col),
-                tomb_old,
-                id_col,
-                tomb_rows=old_rows,
-            )
-            .transform(lambda df: ixs.retire_filter(df, ids, id_col))
-            .select(F.col(id_col).alias("id"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n_new = newly.count()
-        if n_new == 0:
-            return 0
-        full = newly if tomb_old is None else tomb_old.unionByName(newly)
-        tomb_dir = ixs.write_tombstones(path, m, full, seq)
-        old_tomb = m["tombstones"]
-        m["tombstones"] = tomb_dir
-        m["tombstone_rows"] = (
-            old_rows
-            if old_rows is not None
-            else (tomb_old.count() if tomb_old is not None else 0)
-        ) + n_new
-        m["gen_seq"] = seq
-        ixs.drop_prior_retired(path, m)  # two-generation retention
-        m["retired_dirs"] = [d for d in [old_tomb] if d]
-        ixs.write_manifest(path, m)
-        return n_new
+    return ixs.retire_table_ids(spark, path, "cells", ids)
 
 
 def ivf_index_compact(spark, path: str) -> dict:
@@ -1762,35 +1737,368 @@ def ivf_index_compact(spark, path: str) -> dict:
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    with ixs.writer_lock(path):  # single-writer maintenance, enforced
-        m = ixs.read_manifest(path)
-        seq = m["gen_seq"] + 1
-        live = ixs.minus_tombstones(
-            ixs.read_table(spark, path, m, "cells"),
-            ixs.read_tombstones(spark, path, m),
-            m["id_col"],
-            tomb_rows=m.get("tombstone_rows"),
+    return ixs.compact_partitioned_table(spark, path, "cells", "cluster")
+
+
+# ------------------------------------------------------------- IVF-PQ -----
+# The persisted compressed-code ANN index: IVF coarse cells + product-
+# quantization codes INSTEAD of raw vectors in the cells. ivf_index_build
+# stores dim*8 bytes/vector; at 100 TB of embeddings the flat cells are
+# IO-bound even after directory pruning. Here a cell row is (id, m codes)
+# — m bytes/vector at k_codes <= 128 — so a probe's bytes scale with the
+# CODE table, not the vectors (Jégou et al. 2011, IVFADC). The quantizer
+# (coarse centroids + per-subspace codebooks) is FROZEN at build time and
+# versioned with the index — appends encode against it (a pure per-row
+# function, so append-then-probe == rebuild bit-exactly), retire/compact
+# follow the shared index_store lifecycle, and re-training is a REBUILD
+# (new generation, atomic flip), never an in-place mutation.
+
+
+def _pq_codebook_seed(
+    embeddings: DataFrame,
+    m: int,
+    k_codes: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Seed codebooks (j, code, cv): the first `k_codes` vectors'
+    subvectors — exactly pq_encode's deterministic default, so an index
+    built with the default codebook is code-identical to pq_encode."""
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.where(F.col(id_col) < k_codes)
+        .select(
+            F.col(id_col).cast("int").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice(v, j * sub + 1, sub).alias("cv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s"),
         )
-        # Count BEFORE the write (column-pruned — never deserializes the
-        # vectors) so a fully-retired index records its schema in the
-        # manifest instead of leaving an unreadable empty partitioned dir.
-        rows = live.count()
-        m2 = dict(m)
-        m2["tables"] = {"cells": f"cells.gen{seq}"}
-        m2["batches"] = [0] if rows else []
-        if rows:
-            (
-                live.repartition("cluster")
-                .write.partitionBy("cluster")
-                .parquet(ixs.table_batch_dir(path, m2, "cells", 0))
-            )
-        ixs.mark_table(m2, "cells", rows, live.schema)
-        m2["tombstones"] = None
-        m2["tombstone_rows"] = 0
-        m2["gen_seq"] = seq
-        ixs.drop_prior_retired(path, m)  # two-generation retention
-        m2["retired_dirs"] = [
-            d for d in [m["tables"]["cells"], m["tombstones"]] if d
-        ]
-        ixs.write_manifest(path, m2)  # atomic flip
-        return {"rows": rows, "gen": seq}
+        .select(F.col("s.j").alias("j"), "code", F.col("s.cv").alias("cv"))
+    )
+
+
+def _pq_assigned_codes(
+    embeddings: DataFrame,
+    cent_rows,
+    cb_rows,
+    m: int,
+    sub: int,
+    code_type: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, codes array, cluster): coarse assignment AND PQ encoding in
+    ONE map-only pass — both argmins run row-local against LITERAL
+    centroid/codebook vectors (no join, no shuffle; the dynamic-partition
+    write is the only fan-out), which is what lets the build pass over a
+    100 TB corpus once. Bit-identical to pq_encode: the same rounded
+    subvector L2 (_pq_l2's round(sqrt(...), 6)) feeds the same
+    lexicographic (dist, code) min — array_min over structs instead of
+    groupBy(min(struct)). Subvector slices are STAGED as their own
+    projection (no codegen subexpression elimination inside
+    higher-order-function lambdas — each slice would otherwise be
+    re-evaluated per codebook entry)."""
+    by_j: dict[int, list] = {}
+    for r in cb_rows:
+        by_j.setdefault(int(r["j"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cv"]])
+        )
+
+    def code_col(j: int) -> Column:
+        sv = F.col(f"_sv{j}")
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.sqrt(
+                            F.aggregate(
+                                F.zip_with(
+                                    sv,
+                                    _lit_vec(cv),
+                                    lambda x, y: (x - y) * (x - y),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            )
+                        ),
+                        6,
+                    ).alias("dist"),
+                    F.lit(code).alias("code"),
+                )
+                for code, cv in sorted(by_j[j])
+            ]
+        )
+        return F.array_min(cands)["code"].cast(code_type)
+
+    staged = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    staged = staged.select(
+        id_col,
+        "v",
+        *[
+            F.slice(F.col("v"), j * sub + 1, sub).alias(f"_sv{j}")
+            for j in range(m)
+        ],
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array(*[code_col(j) for j in range(m)]).alias("codes"),
+        _nearest_centroid_col(cent_rows).alias("cluster"),
+    )
+
+
+def pq_index_build(
+    embeddings: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    codebook: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> None:
+    """Persist an IVF-PQ index: the k-row coarse centroid table, the
+    (m x k_codes)-row PQ codebooks, and the corpus as (id, codes)
+    partitioned BY CLUSTER — raw vectors are NOT stored.
+
+    Completes the ANN index story ivf_index_build starts: the flat index
+    prunes cell DIRECTORIES but still reads dim*8 B/vector inside them;
+    this one reads m B/vector (8-bit codes), so probe bytes drop by
+    ~dim*8/m while keeping the same directory-level partition pruning.
+    Default quantizers are deterministic (centroids_from_rows seeds +
+    pq_encode's seed codebooks); pass centroids=/codebook= (pq_train) for
+    trained ones. Both are written as versioned generations and committed
+    by the SAME atomic manifest flip as the cells — a crash mid-(re)build
+    can never leave a new quantizer serving old codes.
+
+    Build is ONE map-only pass (coarse argmax + m code argmins, all
+    row-local against literal vectors — no join, no shuffle; plan-pinned
+    in tests/test_plans.py). Reference analogy: precompute-then-prune,
+    the persisted aggregate tree discipline (qtree.go:925-947), with the
+    store's manifest/tombstone lifecycle (functions/index_store.py).
+    """
+    from btrdb_server_spark.functions import index_store as ixs
+
+    spark = embeddings.sparkSession
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    code_type = "tinyint" if k_codes <= 127 else "smallint"
+    if centroids is None:
+        centroids = centroids_from_rows(embeddings, k, id_col, vec_col)
+    if codebook is None:
+        codebook = _pq_codebook_seed(embeddings, m, k_codes, id_col, vec_col, dim)
+    else:  # pq_train shape: (j, code, cv)
+        codebook = codebook.select(
+            F.col("j").cast("int").alias("j"),
+            F.col("code").cast("int").alias("code"),
+            F.col("cv").cast("array<double>").alias("cv"),
+        )
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        mst = ixs.init_index(
+            path,
+            ["cells"],
+            id_col=id_col,
+            params={"m": m, "k_codes": k_codes, "dim": dim, "sub": sub, "k": k},
+        )
+        cdir = f"centroids.gen{mst['gen_seq']}"
+        mst["centroids"] = cdir
+        centroids.write.mode("overwrite").parquet(os.path.join(path, cdir))
+        bdir = f"codebooks.gen{mst['gen_seq']}"
+        mst["codebooks"] = bdir
+        codebook.write.mode("overwrite").parquet(os.path.join(path, bdir))
+        # Quantizers read back from their PERSISTED generations (k and
+        # m*k_codes rows — configuration, not data): the cells are encoded
+        # against exactly the quantizer the index stores.
+        cent_rows = sorted(
+            spark.read.parquet(os.path.join(path, cdir)).collect(),
+            key=lambda r: r["cid"],
+        )
+        cb_rows = spark.read.parquet(os.path.join(path, bdir)).collect()
+        _pq_assigned_codes(
+            embeddings, cent_rows, cb_rows, m, sub, code_type, id_col, vec_col
+        ).write.partitionBy("cluster").parquet(
+            ixs.table_batch_dir(path, mst, "cells", 0)
+        )
+        ixs.write_manifest(path, mst)  # atomic commit: nothing live before
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    probe_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k ADC neighbors of `probe_vec` from a persisted pq_index_build
+    index, searching the `nprobe` nearest coarse cells.
+
+    The probe touches three tiny tables (centroids, codebooks, the
+    m*k_codes-row distance table — all configuration-scale) and ONLY the
+    code cells of its nprobe clusters: the cluster ids are collected
+    (nprobe INTEGERS) because only a LITERAL partition predicate prunes
+    cell directories before the scan; the distance table broadcasts onto
+    the pruned code scan; the sum is a map-side-combinable groupBy.
+    Raw vectors are never read — they are not even stored. Scores are
+    bit-equal to ann_pq_topk over the live corpus when nprobe covers the
+    probed vectors' cells (exactly ann_pq_topk when nprobe = k): the same
+    per-subspace round-6 squared L2, the same round-6 sum, ties by id.
+    Columns: <id>, adc_dist — ordered, k rows."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m_ = ixs.read_manifest(path)
+    id_col = m_["id_col"]
+    p = m_["params"]
+    sub = int(p["sub"])
+    q = [float(x) for x in probe_vec]
+    cents = spark.read.parquet(_centroids_path(path, m_))
+    ranked = cents.select(
+        "cid", F.round(cosine_col(F.col("cv"), _lit_vec(q)), 6).alias("cs")
+    )
+    top = [
+        r.cid
+        for r in ranked.orderBy(F.col("cs").desc(), "cid").limit(nprobe).collect()
+    ]
+    cb = spark.read.parquet(os.path.join(path, m_["codebooks"]))
+    dtab = cb.select(
+        F.col("j").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("cv"),
+                    F.slice(_lit_vec(q), F.col("j") * sub + 1, sub),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d"),
+    )
+    cells = ixs.minus_tombstones(
+        ixs.read_table(spark, path, m_, "cells").where(
+            F.col("cluster").isin(top)
+        ),
+        ixs.read_tombstones(spark, path, m_),
+        id_col,
+        tomb_rows=m_.get("tombstone_rows"),
+    )
+    return (
+        cells.select(F.col(id_col), F.posexplode("codes").alias("subspace", "code"))
+        .select(id_col, "subspace", F.col("code").cast("int").alias("code"))
+        .join(F.broadcast(dtab), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
+
+
+def pq_index_stats(spark, path: str) -> DataFrame:
+    """Cell-balance audit of a persisted pq_index_build index: per
+    cluster, the code-row count and corpus share — the same staleness
+    gauge as ivf_index_stats (drifted data piling into few cells defeats
+    the nprobe/k byte economics). Footer-only on a compacted or
+    never-retired index. Columns: cluster, n_vecs, frac — by cluster."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m_ = ixs.read_manifest(path)
+    cells = ixs.minus_tombstones(
+        ixs.read_table(spark, path, m_, "cells").select(m_["id_col"], "cluster"),
+        ixs.read_tombstones(spark, path, m_),
+        m_["id_col"],
+        tomb_rows=m_.get("tombstone_rows"),
+    ).select("cluster")
+    per = cells.groupBy("cluster").agg(F.count("*").cast("long").alias("n_vecs"))
+    total = per.agg(F.sum("n_vecs").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "cluster", "n_vecs", (F.col("n_vecs") / F.col("t")).alias("frac")
+        )
+        .orderBy("cluster")
+    )
+
+
+def pq_index_append(
+    new_embeddings: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a new vector batch into a persisted pq_index_build index:
+    encode ONLY the batch against the index's own persisted quantizer
+    (centroids + codebooks read back — the quantizer is FROZEN; assignment
+    and encoding are pure per-row functions of it), append into the
+    cluster-partitioned cells, commit with one atomic manifest flip.
+    Append-then-probe is BIT-EQUAL to a full rebuild with the same
+    quantizer (driver-proven by pq_index_incremental against the
+    full-corpus oracle). Quantizer drift shows up in pq_index_stats; the
+    remedy is a re-trained REBUILD, like the store's re-bucketing
+    compaction."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    spark = new_embeddings.sparkSession
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m_ = ixs.read_manifest(path)
+        p = m_["params"]
+        id_col = m_["id_col"]
+        n = ixs.next_batch(m_)
+        cent_rows = sorted(
+            spark.read.parquet(_centroids_path(path, m_)).collect(),
+            key=lambda r: r["cid"],
+        )
+        cb_rows = spark.read.parquet(os.path.join(path, m_["codebooks"])).collect()
+        code_type = "tinyint" if int(p["k_codes"]) <= 127 else "smallint"
+        cells = _pq_assigned_codes(
+            new_embeddings,
+            cent_rows,
+            cb_rows,
+            int(p["m"]),
+            int(p["sub"]),
+            code_type,
+            id_col,
+            vec_col,
+        )
+        cells.write.partitionBy("cluster").parquet(
+            ixs.table_batch_dir(path, m_, "cells", n)
+        )
+        ixs.mark_table(m_, "cells", 1, cells.schema)  # revive after empty compact
+        m_["batches"] = m_["batches"] + [n]
+        ixs.write_manifest(path, m_)  # atomic commit of the batch
+
+
+def pq_index_retire(spark, path: str, ids) -> int:
+    """Retire vectors from a persisted pq_index_build index — tombstone
+    set + broadcast-guarded anti-join on every probe, zero cell bytes
+    rewritten; bit-equal to a rebuild (same frozen quantizer) on the
+    post-delete corpus. See index_store.retire_table_ids (shared with
+    the IVF and LSH indexes). Returns the count newly retired."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    return ixs.retire_table_ids(spark, path, "cells", ids)
+
+
+def pq_index_compact(spark, path: str) -> dict:
+    """Fold a PQ index's append fragments and drop its retired codes into
+    one fresh cluster-partitioned generation (atomic flip, two-generation
+    retention; quantizer untouched — re-training is a rebuild). See
+    index_store.compact_partitioned_table. Returns {rows, gen}."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    return ixs.compact_partitioned_table(spark, path, "cells", "cluster")

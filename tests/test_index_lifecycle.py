@@ -568,3 +568,70 @@ def test_rebuild_is_crash_safe_generation_flip(spark, docs, tmp_path):
     assert [
         tuple(r) for r in incremental_dedup_pairs(snap, p).collect()
     ] == [tuple(r) for r in incremental_dedup_pairs(snap, p2).collect()]
+
+
+# --------------------------------------------------------------- IVF-PQ ---
+
+
+def test_pq_index_matches_one_shot_and_lifecycle(spark, emb, tmp_path):
+    """Persisted IVF-PQ index: all-cells probe == one-shot ann_pq_topk;
+    append-then-probe == rebuild; retire/compact == rebuild with the same
+    FROZEN quantizer on the post-delete corpus."""
+    from btrdb_server_spark.functions.similarity import (
+        _pq_codebook_seed,
+        ann_pq_topk,
+        centroids_from_rows,
+        pq_index_append,
+        pq_index_build,
+        pq_index_compact,
+        pq_index_retire,
+        pq_index_topk,
+    )
+
+    probe = emb.where("vec_id = 0").select("embedding").first()[0]
+    cents = centroids_from_rows(emb, 4)
+    cb = _pq_codebook_seed(emb, 4, 8, "vec_id", "embedding", 8)
+
+    p = str(tmp_path / "pq")
+    pq_index_build(emb, p, cents, k=4, m=4, k_codes=8, dim=8)
+    got = [tuple(r) for r in pq_index_topk(spark, p, probe, k=10, nprobe=4).collect()]
+    exp = [
+        tuple(r)
+        for r in ann_pq_topk(emb, probe_id=0, m=4, k_codes=8, k=10, dim=8).collect()
+    ]
+    assert got == exp and got
+
+    # append == rebuild (same frozen quantizer, passed explicitly so the
+    # 90% build cannot re-derive different seeds)
+    p2 = str(tmp_path / "pq2")
+    pq_index_build(
+        emb.where("vec_id % 10 != 0"), p2, cents, k=4, m=4, k_codes=8,
+        codebook=cb, dim=8,
+    )
+    pq_index_append(emb.where("vec_id % 10 == 0"), p2)
+    assert [
+        tuple(r) for r in pq_index_topk(spark, p2, probe, k=10, nprobe=4).collect()
+    ] == exp
+
+    # retire == same-quantizer rebuild on the post-delete corpus; compact
+    # preserves; codes (not vectors) are what the cells store
+    retired = [i for i in range(60) if i % 5 == 2]
+    assert pq_index_retire(spark, p, retired) == len(retired)
+    assert pq_index_retire(spark, p, retired) == 0  # idempotent
+    after = [tuple(r) for r in pq_index_topk(spark, p, probe, k=10, nprobe=4).collect()]
+    p3 = str(tmp_path / "pq3")
+    pq_index_build(
+        emb.where(~F.col("vec_id").isin(retired)), p3, cents, k=4, m=4,
+        k_codes=8, codebook=cb, dim=8,
+    )
+    assert after == [
+        tuple(r) for r in pq_index_topk(spark, p3, probe, k=10, nprobe=4).collect()
+    ]
+    res = pq_index_compact(spark, p)
+    assert res["rows"] == 60 - len(retired)
+    assert after == [
+        tuple(r) for r in pq_index_topk(spark, p, probe, k=10, nprobe=4).collect()
+    ]
+    m = ixs.read_manifest(p)
+    cols = ixs.read_table(spark, p, m, "cells").columns
+    assert "codes" in cols and "v" not in cols  # compressed codes only

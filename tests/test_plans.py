@@ -1073,3 +1073,74 @@ def test_retired_index_probes_keep_pruning_and_broadcast(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2  # tombstone anti + probe
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_index_probe_prunes_cells_and_reads_codes_only(spark, tmp_path):
+    """The persisted IVF-PQ probe must prune cell DIRECTORIES via the
+    literal cluster predicate AND touch only the code column — the read
+    schema carries (id, codes), never a raw vector column, which is the
+    byte economics the compressed index exists for. The ADC join must be
+    the broadcast of the m*k_codes distance table; the top-k must be
+    TakeOrderedAndProject."""
+    from btrdb_server_spark.functions.similarity import (
+        ivf_index_build,
+        pq_index_build,
+        pq_index_topk,
+    )
+
+    emb = entry_mod.load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "pq_index")
+    pq_index_build(emb, idx, k=4, m=4, k_codes=8, dim=64)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    df = pq_index_topk(spark, idx, probe, k=5, nprobe=2)
+    plan = plan_of(df)
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan), plan
+    assert "codes" in plan and "embedding" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    # bytes story: the compressed cells are a small fraction of the flat
+    # IVF cells for the same corpus (codes vs raw vectors on disk)
+    import os as _os
+
+    flat = str(tmp_path / "ivf_index")
+    ivf_index_build(emb, flat, k=4)
+
+    def _bytes(root, match):
+        tot = 0
+        for dirpath, _dirs, files in _os.walk(root):
+            if match in dirpath:
+                tot += sum(
+                    _os.path.getsize(_os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return tot
+
+    pq_bytes = _bytes(idx, "cells.gen0")
+    flat_bytes = _bytes(flat, "cells.gen0")
+    assert pq_bytes < flat_bytes / 3, (pq_bytes, flat_bytes)
+
+
+def test_pq_index_build_is_map_only(spark):
+    """Coarse assignment + PQ encoding must both run row-local against
+    literal quantizer vectors: no join, no exchange — one map pass over
+    the corpus (the docstring contract of pq_index_build)."""
+    from btrdb_server_spark.functions.similarity import (
+        _pq_assigned_codes,
+        _pq_codebook_seed,
+        centroids_from_rows,
+    )
+
+    emb = entry_mod.load_table(spark, SF, "embeddings")
+    cents = sorted(
+        centroids_from_rows(emb, k=4).collect(), key=lambda r: r["cid"]
+    )
+    cb_rows = _pq_codebook_seed(emb, 4, 8, "vec_id", "embedding", 64).collect()
+    plan = plan_of(
+        _pq_assigned_codes(emb, cents, cb_rows, 4, 16, "tinyint", "vec_id", "embedding")
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
