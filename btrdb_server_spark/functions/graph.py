@@ -80,14 +80,30 @@ def pagerank_fixed(
         f"(({100 - damping_pct} * ({RANK_ONE} div n_nodes)"
         f" + {damping_pct} * coalesce(inc, 0)) div 100)"
     )
+    prev = None
     for _ in range(iterations):
         contrib = r.join(e, r["p"] == e["u"]).select(
             F.col("v"), F.expr("(r * w) div wu").alias("c")
         )
         inc = contrib.groupBy("v").agg(F.sum("c").alias("inc"))
+        # Each iteration's rank vector is checkpointed (node-sized blocks)
+        # and the SUPERSEDED one unpersisted immediately: without this the
+        # final plan retains every iteration's join lineage and its blocks
+        # — the driver-heap blowup the sf1 row used to need 48 GB for.
+        # Values are unchanged (integer arithmetic, order-exact).
         r = spine.join(inc, spine["p"] == inc["v"], "left").select(
             "p", "n_nodes", F.expr(step).alias("r")
-        )
+        ).localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = r
+    if iterations > 0:
+        # The final ranks live in r's checkpoint blocks; the edge table
+        # and spine are no longer reachable from the returned plan —
+        # release their blocks. (At iterations=0 the returned plan still
+        # reads spine's truncated-lineage blocks, so they must stay.)
+        e.unpersist()
+        spine.unpersist()
     out = r.select(F.col("p").alias("part"), F.col("r").alias("rank_fp"))
     if top is not None:
         out = out.orderBy(F.col("rank_fp").desc(), "part").limit(top)

@@ -206,17 +206,19 @@ def init_index(path: str, tables: list[str], **extra) -> dict:
         "_expect": prior["_expect"] if prior else None,
     }
     if prior is not None:
-        drop_prior_retired(path, prior)  # two-generation retention
-        m["retired_dirs"] = [
-            d
-            for d in list(prior.get("tables", {}).values())
+        if "generations_retained" in prior:
+            m["generations_retained"] = prior["generations_retained"]
+        m["retired_dirs"] = prior.get("retired_dirs") or []
+        fold_retired(
+            path,
+            m,
+            list(prior.get("tables", {}).values())
             + [
                 prior.get("tombstones"),
                 prior.get("centroids"),
                 prior.get("codebooks"),
-            ]
-            if d
-        ]
+            ],
+        )
     m.update(extra)
     return m
 
@@ -408,8 +410,7 @@ def retire_table_ids(
             else (tomb_old.count() if tomb_old is not None else 0)
         ) + n_new
         m["gen_seq"] = seq
-        drop_prior_retired(path, m)  # two-generation retention
-        m["retired_dirs"] = [d for d in [old_tomb] if d]
+        fold_retired(path, m, [old_tomb])  # N-generation retention
         write_manifest(path, m)
         return n_new
 
@@ -457,10 +458,9 @@ def compact_partitioned_table(
         m2["tombstones"] = None
         m2["tombstone_rows"] = 0
         m2["gen_seq"] = seq
-        drop_prior_retired(path, m)  # two-generation retention
-        m2["retired_dirs"] = [
-            d for d in [m["tables"][table], m["tombstones"]] if d
-        ]
+        # N-generation retention: this op's superseded dirs become one
+        # retention group; groups older than generations_retained-1 drop.
+        fold_retired(path, m2, [m["tables"][table], m["tombstones"]])
         write_manifest(path, m2)  # atomic flip
         return {"rows": rows, "gen": seq}
 
@@ -473,5 +473,47 @@ def drop_prior_retired(path: str, m: dict) -> None:
     pre-flip manifest therefore keeps its whole file listing readable for
     one full maintenance interval; only a scan spanning two maintenance
     ops can race a generation delete (the store's same documented
-    residual)."""
-    drop_dirs(path, m.get("retired_dirs") or [])
+    residual). Prefer fold_retired, which also honors the manifest's
+    generations_retained knob."""
+    groups = m.get("retired_dirs") or []
+    if groups and isinstance(groups[0], str):
+        groups = [groups]
+    for g in groups:
+        drop_dirs(path, g)
+
+
+def fold_retired(path: str, m: dict, new_group: list) -> None:
+    """Record this op's superseded dirs as one retention GROUP and delete
+    groups older than the manifest's `generations_retained` (default 2 =
+    live + one superseded — exactly the old two-generation behavior).
+    `retired_dirs` is a list of groups, oldest first; the newest
+    (generations_retained - 1) groups stay on disk, so a scan planned
+    against an old manifest keeps its listing readable for that many
+    maintenance intervals. Set the knob once with
+    set_generations_retained; legacy flat lists migrate as one group."""
+    keep = max(1, int(m.get("generations_retained", 2))) - 1
+    groups = m.get("retired_dirs") or []
+    if groups and isinstance(groups[0], str):
+        groups = [groups]  # legacy flat list = the previous op's group
+    group = [d for d in new_group if d]
+    if group:
+        groups = groups + [group]
+    drop, m["retired_dirs"] = (
+        (groups[:-keep], groups[-keep:]) if keep else (groups, [])
+    )
+    for g in drop:
+        drop_dirs(path, g)
+
+
+def set_generations_retained(path: str, n: int) -> None:
+    """Widen (or narrow) an index's retention: how many generations —
+    live + superseded — stay on disk across maintenance ops. The
+    changefeed-lag / long-scan contract knob: a reader holding listings
+    from up to n-1 maintenance ops ago stays safe. Takes the writer lock
+    (it is a manifest write like any other maintenance op)."""
+    if n < 2:
+        raise ValueError("generations_retained must be >= 2 (live + 1)")
+    with writer_lock(path):
+        m = read_manifest(path)
+        m["generations_retained"] = int(n)
+        write_manifest(path, m)

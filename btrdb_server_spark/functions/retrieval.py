@@ -584,8 +584,7 @@ def bm25_index_retire(spark, path: str, ids) -> int:
         m["gen_seq"] = seq
         m["stats"]["n_docs"] -= n_new
         m["stats"]["sum_dl"] -= int(delta["s"] or 0)
-        ixs.drop_prior_retired(path, m)  # two-generation retention
-        m["retired_dirs"] = [d for d in [old_tomb] if d]
+        ixs.fold_retired(path, m, [old_tomb])  # N-generation retention
         ixs.write_manifest(path, m)  # atomic: tombstones + stats together
         return n_new
 
@@ -663,10 +662,10 @@ def bm25_index_compact(spark, path: str) -> dict:
         m2["tombstones"] = None
         m2["tombstone_rows"] = 0
         m2["gen_seq"] = seq
-        ixs.drop_prior_retired(path, m)  # two-generation retention
-        m2["retired_dirs"] = [
-            d for d in list(m["tables"].values()) + [m["tombstones"]] if d
-        ]
+        # N-generation retention via the shared ledger
+        ixs.fold_retired(
+            path, m2, list(m["tables"].values()) + [m["tombstones"]]
+        )
         ixs.write_manifest(path, m2)  # atomic flip to the compacted generation
         return {"docs": truth["n_docs"], "stats_repaired": repaired, "gen": seq}
 

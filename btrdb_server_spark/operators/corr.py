@@ -914,7 +914,10 @@ def hurst_exponent(
 
     from btrdb_server_spark.utils import libm_ln
 
-    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
+    # NOT strict by design: var_m is 0 for a constant series, and the
+    # documented behavior is a NaN slope (no Hurst exponent), not a
+    # failed job.
+    _ln = libm_ln()
 
     terms = scaled.select(
         "m", _ln(F.col("m").cast("double")).alias("x"), _ln("var_m").alias("y")

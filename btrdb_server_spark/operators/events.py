@@ -551,7 +551,9 @@ def markov_entropy(
     fold over a type²-sized array."""
     from btrdb_server_spark.utils import libm_log2
 
-    _log2 = libm_log2()  # shared libm shim — matches DuckDB bit-exactly
+    # strict: inputs are cnt/cu and cv/t with every count >= 1 (observed
+    # transitions only)
+    _log2 = libm_log2(strict=True)  # libm shim; raises on nonpositive
 
     tr = event_transitions(events, user_col, type_col, ts_col, id_col)
     from_tot = tr.groupBy("from_type").agg(F.sum("cnt").alias("cu"))
@@ -1353,7 +1355,10 @@ def mix_entropy(
 
     from btrdb_server_spark.utils import libm_ln
 
-    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
+    # NOT strict by design: p_i = c_i/N is ZERO for types absent from a
+    # window; the fold guards each term with when(c_i > 0, ...), so the
+    # NaN from ln(0) is dropped — NaN propagation is the contract here.
+    _ln = libm_ln()
 
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     # stage the ratios once so each _ln input is a plain column

@@ -156,7 +156,8 @@ def permutation_entropy(
     stream). Columns: uuid, n_triples, h, h_norm."""
     from btrdb_server_spark.utils import libm_ln
 
-    _ln = libm_ln()  # shared libm shim — matches DuckDB bit-exactly
+    # strict: inputs are c/N with c >= 1 (counts of OBSERVED patterns)
+    _ln = libm_ln(strict=True)  # libm shim; raises on nonpositive
 
     filled, n = _bucket_sums(points, start, end, width, value_quantum)
     if n < 3:
@@ -650,7 +651,8 @@ def tail_index(
         raise ValueError("need k >= 2")
     from btrdb_server_spark.utils import libm_ln
 
-    _ln = libm_ln()  # shared scalar-libm shim — matches DuckDB bit-exactly
+    # strict: inputs are vq/xk1 with vq >= xk1 >= 1 (descending ranks)
+    _ln = libm_ln(strict=True)  # libm shim; raises on nonpositive
 
     vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
     src = (

@@ -447,7 +447,12 @@ class PointStore:
 
     # ---------------------------------------------------------- compaction --
 
-    def compact(self, num_buckets: Optional[int] = None, full: bool = False) -> int:
+    def compact(
+        self,
+        num_buckets: Optional[int] = None,
+        full: bool = False,
+        generations_retained: int = 2,
+    ) -> int:
         """Fold committed versions and tombstones into a base snapshot
         partitioned by uuid_bucket (hash-sharded like the reference's murmur3
         ranges), clustered by (uuid, time) within files.
@@ -469,7 +474,19 @@ class PointStore:
         size — the difference between a bounded maintenance job and a
         ~1000x write-amplified full rewrite at a 100 TB base with a 0.1%
         tail. `full=True` (or a num_buckets change, which re-routes every
-        uuid) forces the rewrite-everything path."""
+        uuid) forces the rewrite-everything path.
+
+        `generations_retained` (default 2 = live + one superseded) is the
+        CHANGEFEED-LAG contract knob: superseded generations stay on disk
+        until this many exist, so a changefeed (whose sentinel glob spans
+        every retained generation) may lag up to generations_retained - 2
+        FULL compaction intervals without losing not-yet-processed files,
+        and any scan planned before the flip keeps its listing readable
+        for at least generations_retained - 1 intervals. Widening it
+        trades disk for feed-lag tolerance; it can vary per call (the
+        retained list lives in the manifest)."""
+        if generations_retained < 2:
+            raise ValueError("generations_retained must be >= 2 (live + 1)")
         num_buckets = num_buckets or self.num_buckets
         m = self._read_manifest()
         v = m["version"]
@@ -561,8 +578,20 @@ class PointStore:
         m["compacted_through"] = v
         m["num_buckets"] = num_buckets
         m["gen_seq"] = seq
-        stale = m.get("retired_points_dir")
-        m["retired_points_dir"] = old_dir
+        # Retention ledger: superseded generations, oldest first. The
+        # newest (generations_retained - 1) stay on disk; older ones are
+        # deleted after the flip. Legacy single-dir manifests migrate in.
+        retired = list(m.get("retired_points_dirs") or [])
+        legacy = m.pop("retired_points_dir", None)
+        if legacy:
+            retired = [legacy] + retired
+        retired.append(old_dir)
+        retired = [d for d in retired if d != new_dir]
+        keep = generations_retained - 1
+        stale_dirs, m["retired_points_dirs"] = (
+            retired[:-keep] if keep else retired,
+            retired[-keep:] if keep else [],
+        )
         m["points_dir"] = new_dir
         self._write_manifest(m)  # atomic flip: readers switch here
         # Tombstones are folded into the snapshot, so they are cleared
@@ -574,7 +603,7 @@ class PointStore:
         if os.path.exists(self.deletes_path):
             shutil.rmtree(self.deletes_path)
             os.makedirs(self.deletes_path)
-        if stale and stale != new_dir:
+        for stale in stale_dirs:
             shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
         self.num_buckets = num_buckets
         return v

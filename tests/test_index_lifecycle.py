@@ -89,15 +89,16 @@ def test_bm25_compact_folds_and_repairs(spark, docs, tmp_path):
     assert m["batches"] == [0] and m["tombstones"] is None
     # two-generation retention: superseded dirs survive THIS op (in-flight
     # scans keep their listings) and are recorded for the next op to drop
-    assert set(m["retired_dirs"]) <= set(os.listdir(p))
-    assert "docs.gen0" in m["retired_dirs"]
+    flat = [d for g in m["retired_dirs"] for d in g]
+    assert set(flat) <= set(os.listdir(p))
+    assert "docs.gen0" in flat
     assert _bm25_scores(spark, p, ["spark", "fox"]) == before
     assert bm25_index_verify(spark, p).first()["consistent"]
     # ...and the NEXT maintenance op deletes them
     res2 = bm25_index_compact(spark, p)
     assert res2["docs"] == 45
     left = set(os.listdir(p))
-    assert not (set(m["retired_dirs"]) & left)
+    assert not (set(flat) & left)
     assert sorted(left) == [
         "MANIFEST.json", "docs.gen2", "docs.gen3",
         "postings.gen2", "postings.gen3",
@@ -562,7 +563,8 @@ def test_rebuild_is_crash_safe_generation_flip(spark, docs, tmp_path):
     # is retained until the NEXT maintenance op, then reclaimed).
     lsh_index_build(docs.where("doc_id < 36"), p)
     m1 = ixs.read_manifest(p)
-    assert m1["gen_seq"] >= 1 and "bands.gen0" in m1["retired_dirs"]
+    assert m1["gen_seq"] >= 1
+    assert "bands.gen0" in [d for g in m1["retired_dirs"] for d in g]
     p2 = str(tmp_path / "b")
     lsh_index_build(docs.where("doc_id < 36"), p2)
     assert [

@@ -630,3 +630,90 @@ def test_open_quarantines_uncommitted_version(spark, tmp_path):
     assert sorted(
         (r.time, r.value) for r in reopened.points_at().collect()
     ) == [(1, 1.0), (3, 3.0)]
+
+
+def test_changefeed_survives_lagging_one_compaction_at_n3(spark, tmp_path):
+    """generations_retained: with N=3 a changefeed may lag a FULL
+    compaction interval — files committed before a compaction it never
+    drained remain on disk through the NEXT compaction, so the late drain
+    still delivers them. (At the default N=2 the same lag loses the
+    superseded generation — the documented LSM-CDC contract; the knob
+    widens it.)"""
+    import os as _os
+
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        rows = []
+        q = (
+            changefeed(store)
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {(r.uuid, r.time, r.value, r.ins_ver) for r in rows}
+
+    store.insert("a", [(1, 1.0)])  # v1, lands in the original generation
+    assert drain() == {("a", 1, 1.0, 1)}
+
+    # The feed now LAGS: these commits are never drained before the
+    # compactions that supersede their generations.
+    store.insert("a", [(2, 2.0)])            # v2 -> original generation
+    store.compact(generations_retained=3)    # gen A; original retained
+    store.insert("a", [(3, 3.0)])            # v3 -> generation A
+    store.compact(generations_retained=3)    # gen B; original + A retained
+    store.insert("a", [(4, 4.0)])            # v4 -> generation B
+
+    # the original generation (two compactions old) is still on disk
+    assert _os.path.isdir(_os.path.join(store.path, "points"))
+    # ...so the late drain loses nothing: v2's file (pre-first-compact),
+    # v4's (pre-second-compact) and v6's all arrive
+    assert drain() == {
+        ("a", 2, 2.0, 2),
+        ("a", 3, 3.0, 3),
+        ("a", 4, 4.0, 4),
+    }
+    # and the ledger trims beyond N: a third compact drops the original
+    store.insert("a", [(5, 5.0)])
+    store.compact(generations_retained=3)
+    assert not _os.path.isdir(_os.path.join(store.path, "points"))
+
+
+def test_index_generations_retained_widens_scan_safety(spark, tmp_path):
+    """index_store.set_generations_retained: at N=3 the dirs an op
+    superseded survive the NEXT op too (a reader holding listings from
+    two maintenance ops ago stays readable); the op after that drops
+    them."""
+    import os
+
+    from btrdb_server_spark.functions import index_store as ixs
+    from btrdb_server_spark.functions.dedup import (
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_retire,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "ix")
+    lsh_index_build(docs, p)
+    ixs.set_generations_retained(p, 3)
+    lsh_index_compact(spark, p)  # supersedes bands.gen0 (group 1)
+    assert os.path.isdir(os.path.join(p, "bands.gen0"))
+    lsh_index_retire(spark, p, [1, 2])  # creates the first tombstone gen:
+    # nothing superseded (no prior tombstone set) -> no retention group
+    assert os.path.isdir(os.path.join(p, "bands.gen0"))
+    lsh_index_compact(spark, p)  # second superseding group: gen0 retained
+    assert os.path.isdir(os.path.join(p, "bands.gen0"))
+    lsh_index_compact(spark, p)  # third superseding group: gen0 drops
+    assert not os.path.isdir(os.path.join(p, "bands.gen0"))
+    m = ixs.read_manifest(p)
+    assert m["generations_retained"] == 3
