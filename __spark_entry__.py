@@ -1449,9 +1449,11 @@ def q_store_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-(uuid, 2**42 ns bucket) StatPoints over a file-streamed copy of the
-    events points. The per-batch emission stream is not SQL-expressible,
-    but the FINAL accumulated state per bucket must equal the batch
-    groupBy over the same points — which is exactly the oracle."""
+    events points, with the quantized int64 sum (value_quantum=0.01) so
+    the accumulated mean is bit-identical in any arrival order. The
+    per-batch emission stream is not SQL-expressible, but the FINAL
+    accumulated state per bucket must equal the batch groupBy over the
+    same points — which is exactly the oracle."""
 
     from btrdb_server_spark.streaming.stateful import streaming_stat_windows
 
@@ -1468,7 +1470,7 @@ def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stat_state_out"
     q = (
-        streaming_stat_windows(stream, 42)
+        streaming_stat_windows(stream, 42, value_quantum=0.01)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
@@ -1488,8 +1490,12 @@ def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("uuid", "bucket", "vmin", F.round("vmean", 6).alias("vmean"),
-                "vmax", "cnt")
+        # no 6-digit rounding: the quantized int64 sum makes the mean the
+        # SAME double on both sides (float(int) exact, * 0.01, / cnt — one
+        # IEEE sequence), and a decimal round would only reintroduce the
+        # Spark-HALF_UP vs DuckDB tie hazard on the exact .5s the
+        # quantization produces
+        .select("uuid", "bucket", "vmin", "vmean", "vmax", "cnt")
         .orderBy("uuid", "bucket")
     )
 
@@ -8494,26 +8500,43 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(t AS HUGEINT) * t) AS stt,
                        sum(CAST(t AS HUGEINT) * vq) AS sty
                 FROM src GROUP BY 1
-            ), x AS (
-                SELECT widx, n,
-                       CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
-                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS denom,
-                       (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
-                           - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) AS snum,
-                       CAST(st AS DOUBLE) AS std, CAST(sy AS DOUBLE) AS syd
+            ), ex AS (
+                -- exact hugeint numerator/denominator, then the engine-
+                -- portable two-limb 2^52 double conversion (hugeint->double
+                -- casts are 1 ulp off the JVM above 2^53; int64 casts are
+                -- hardware-exact in every engine) — mirrors
+                -- operators/stat.py trend_ols limb_double verbatim
+                SELECT widx, n, st, sy,
+                       CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy
+                           AS num,
+                       CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st
+                           AS den
                 FROM agg
+            ), x AS (
+                SELECT widx, n, st, sy, den,
+                       (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+                         * (CAST(CAST(abs(num) // 4503599627370496 AS BIGINT)
+                                 AS DOUBLE) * 4503599627370496.0
+                            + CAST(CAST(abs(num) % 4503599627370496 AS BIGINT)
+                                   AS DOUBLE)) AS numd,
+                       (CASE WHEN den < 0 THEN -1.0 ELSE 1.0 END)
+                         * (CAST(CAST(abs(den) // 4503599627370496 AS BIGINT)
+                                 AS DOUBLE) * 4503599627370496.0
+                            + CAST(CAST(abs(den) % 4503599627370496 AS BIGINT)
+                                   AS DOUBLE)) AS dend
+                FROM ex
             ), y AS (
-                SELECT widx, n, denom,
-                       (snum / denom) AS slope_nsq,
-                       ((syd - (snum / denom) * std) / CAST(n AS DOUBLE))
-                           / 100.0 AS intercept
+                SELECT widx, n, den,
+                       (numd / dend) AS slope_nsq,
+                       ((CAST(sy AS DOUBLE) - (numd / dend) * CAST(st AS DOUBLE))
+                           / CAST(n AS DOUBLE)) / 100.0 AS intercept
                 FROM x
             ), spine AS (SELECT range AS widx FROM range(0, 31))
             SELECT 1704067200000000000 + spine.widx * 86400000000000 AS time,
-                   CASE WHEN y.denom > 0
+                   CASE WHEN y.den > 0
                         THEN y.slope_nsq * 1000000000.0 / 100.0 END
                        AS slope_per_sec,
-                   CASE WHEN y.denom > 0 THEN y.intercept END AS intercept,
+                   CASE WHEN y.den > 0 THEN y.intercept END AS intercept,
                    COALESCE(y.n, 0) AS n
             FROM spine LEFT JOIN y USING (widx) ORDER BY time
         """,
@@ -8623,7 +8646,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stat_state": f"""
             {PTS_CTE}
             SELECT uuid, ((time >> 42) << 42) AS bucket,
-                   min(value) AS vmin, round(sum(value) / count(*), 6) AS vmean,
+                   min(value) AS vmin,
+                   (CAST(CAST(sum(CAST(round(value / 0.01) AS BIGINT))
+                              AS BIGINT) AS DOUBLE) * 0.01)
+                       / count(*) AS vmean,
                    max(value) AS vmax, count(*) AS cnt
             FROM pts
             GROUP BY uuid, 2 ORDER BY uuid, bucket

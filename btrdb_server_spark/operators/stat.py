@@ -475,13 +475,21 @@ def trend_ols(
     t offsets from the window start in int64, values in quantum units;
     sum(t), sum(q), n in int64 and the big products sum(t*t), sum(t*q) in
     decimal(38,0) (a day of ns offsets squared overflows int64; 38 digits
-    hold t^2 sums for windows up to ~3 years). The closed-form
+    hold the closed form's n*Stt products for windows up to ~a month of
+    ns offsets). The closed-form
 
         slope = (n*Sty - St*Sy) / (n*Stt - St*St)
 
-    then runs in double on the exact integers (each factor cast first) —
-    a fixed IEEE sequence, bit-identical in any engine. Windows with
-    fewer than 2 distinct times emit null slope/intercept.
+    computes numerator and denominator EXACTLY in decimal, then converts
+    each to double through an explicit two-limb 2^52 split
+    (sign * (double(|x| div 2^52) * 2^52 + double(|x| mod 2^52))): both
+    limbs are int64 (hardware-correct casts in every engine), the scale
+    is a power of two (exact multiply), and the one add rounds once — so
+    the conversion is the same IEEE sequence everywhere. A plain
+    decimal/hugeint -> double cast is NOT portable above 2^53: engines
+    disagree by 1 ulp (DuckDB's hugeint cast vs the JVM's BigDecimal —
+    surfaced by the first full sf0.1 oracle sweep). Windows with fewer
+    than 2 distinct times emit null slope/intercept.
 
     Scale shape: one map-side-combined groupBy, one row per window on the
     shuffle; the spine join is window-count-sized and broadcast."""
@@ -508,20 +516,50 @@ def trend_ols(
         F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("stt"),
         F.sum(F.col("t").cast("decimal(38,0)") * F.col("vq")).alias("sty"),
     )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # exact integer numerator / denominator (den >= 0 by Cauchy-Schwarz)
+    agg = agg.select(
+        "widx",
+        "n",
+        "st",
+        "sy",
+        (dec("n") * F.col("sty") - dec("st") * F.col("sy")).alias("num"),
+        (dec("n") * F.col("stt") - dec("st") * F.col("st")).alias("den"),
+    )
+    LIMB = 4503599627370496  # 2^52
+
+    def limb_double(c: str):
+        """Engine-portable exact-integer -> double conversion (see
+        docstring): sign * (double(|x| div 2^52) * 2^52 + double(|x| mod
+        2^52)); mirrored verbatim in the DuckDB oracle."""
+        q_d = F.expr(f"CAST((abs({c}) div {LIMB}) AS BIGINT)").cast("double")
+        r_d = F.expr(f"CAST((abs({c}) % {LIMB}) AS BIGINT)").cast("double")
+        sgn = F.when(F.col(c) < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        return sgn * (q_d * F.lit(float(LIMB)) + r_d)
+
+    agg = agg.select(
+        "widx",
+        "n",
+        "st",
+        "sy",
+        "den",
+        limb_double("num").alias("numd"),
+        limb_double("den").alias("dend"),
+    )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    denom = d("n") * d("stt") - d("st") * d("st")
-    slope_nsq = (d("n") * d("sty") - d("st") * d("sy")) / denom
+    slope_nsq = F.col("numd") / F.col("dend")
     # cents/ns -> value/s: * 1e9 / q (both exactly representable)
     slope = slope_nsq * F.lit(1.0e9) / F.lit(float(q))
     intercept = ((d("sy") - slope_nsq * d("st")) / d("n")) / F.lit(float(q))
+    nonflat = F.col("den") > 0  # exact integer guard
     spark = points.sparkSession
     spine = spark.range(0, (end - start) // width).select(F.col("id").alias("widx"))
     return (
         spine.join(agg, "widx", "left")
         .select(
             (F.lit(start) + F.col("widx") * F.lit(width)).alias("time"),
-            F.when(denom > 0, slope).alias("slope_per_sec"),
-            F.when(denom > 0, intercept).alias("intercept"),
+            F.when(nonflat, slope).alias("slope_per_sec"),
+            F.when(nonflat, intercept).alias("intercept"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
         .orderBy("time")

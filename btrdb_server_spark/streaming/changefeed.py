@@ -34,11 +34,13 @@ Scope and caveats (by design, documented not hidden):
   a feed right after a crash calls store.recover() explicitly once it
   knows no writer is mid-commit. Only a feed already RUNNING at the
   instant of the crash can see the phantom dir.
-- Compaction retires old generation dirs (two-generation retention,
-  store.py compact); files the feed has PROCESSED may vanish (harmless —
-  the file log does not re-read), but a feed lagging behind more than one
-  compaction can lose not-yet-processed fresh files. Operate like any LSM
-  CDC: feed latency < compaction cadence.
+- Compaction retires old generation dirs (store.py compact); files the
+  feed has PROCESSED may vanish (harmless — the file log does not
+  re-read). A lagging feed's tolerance is the retention knob:
+  compact(generations_retained=N) keeps the newest N-1 superseded
+  generations on disk, so the feed may lag up to N-2 FULL compaction
+  intervals (default N=2 = the classic LSM-CDC contract: feed latency <
+  compaction cadence; widen N to trade disk for lag tolerance).
 - Rows carry `ins_ver` (the committing version) extracted from the file
   path — a consumer can resume the reference-style version protocol at
   any point.

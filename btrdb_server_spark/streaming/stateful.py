@@ -31,6 +31,53 @@ OUTPUT_SCHEMA = (
     "uuid string, bucket long, vmin double, vmean double, vmax double, cnt long"
 )
 STATE_SCHEMA = "vmin double, vsum double, vmax double, cnt long"
+STATE_SCHEMA_Q = "vmin double, vsumq long, vmax double, cnt long"
+
+
+def _make_update_bucket_stats_q(quantum: float):
+    """Quantized twin of _update_bucket_stats: the running sum is an EXACT
+    int64 of quantum units (the `vq` column the caller quantized JVM-side
+    with F.round — all decimal rounding stays in the engine, where oracle
+    parity is established). Integer addition is associative, so the
+    accumulated mean is bit-identical in ANY arrival order, micro-batch
+    partitioning, or engine — the rollup ladder's value_quantum
+    discipline applied to streaming state. min/max stay raw doubles
+    (order-free already)."""
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uuid, bucket = key
+        if state.exists:
+            vmin, vsumq, vmax, cnt = state.get
+        else:
+            vmin, vsumq, vmax, cnt = float("inf"), 0, float("-inf"), 0
+        for pdf in pdfs:
+            v = pdf["value"]
+            if len(v) == 0:
+                continue
+            vmin = min(vmin, float(v.min()))
+            vmax = max(vmax, float(v.max()))
+            vsumq += int(pdf["vq"].astype("int64").sum())
+            cnt += int(len(v))
+        if cnt == 0:
+            return
+        state.update((vmin, vsumq, vmax, cnt))
+        yield pd.DataFrame(
+            {
+                "uuid": [uuid],
+                "bucket": [bucket],
+                "vmin": [vmin],
+                # float(int64) is a hardware-correct cast; * quantum then
+                # / cnt is the same IEEE sequence as the SQL
+                # (sum(vq) * quantum) / count(*)
+                "vmean": [float(vsumq) * quantum / cnt],
+                "vmax": [vmax],
+                "cnt": [cnt],
+            }
+        )
+
+    return fn
 
 
 def _update_bucket_stats(
@@ -355,17 +402,39 @@ def streaming_sessionize(points_stream: DataFrame, gap: int) -> DataFrame:
     )
 
 
-def streaming_stat_windows(points_stream: DataFrame, pw: int) -> DataFrame:
+def streaming_stat_windows(
+    points_stream: DataFrame, pw: int, value_quantum: float | None = None
+) -> DataFrame:
     """Running AlignedWindows over a stream: one updated StatPoint per
     (uuid, 2**pw bucket) per micro-batch that touches it. Late points
-    reopen their bucket exactly (no watermark drop)."""
-    keyed = points_stream.withColumn(
+    reopen their bucket exactly (no watermark drop).
+
+    `value_quantum` (e.g. 0.01): accumulate the mean's sum as an EXACT
+    int64 of quantum units instead of a float — the mean is then
+    bit-identical regardless of arrival order or micro-batch boundaries
+    (and to a batch recomputation in any engine). The raw-float default
+    sums in arrival order, which is fine for dashboards but not for
+    bit-parity: the first full sf0.1 oracle sweep surfaced a 32-point
+    bucket whose pairwise numpy sum straddled a 6-digit rounding boundary
+    against the scan-order SQL sum."""
+    src = points_stream.withColumn(
         "bucket", F.shiftleft(F.shiftright("time", pw), pw)
-    ).groupBy("uuid", "bucket")
-    return keyed.applyInPandasWithState(
-        _update_bucket_stats,
+    )
+    if value_quantum is None:
+        return src.groupBy("uuid", "bucket").applyInPandasWithState(
+            _update_bucket_stats,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    src = src.withColumn(
+        "vq", F.round(F.col("value") / F.lit(float(value_quantum))).cast("long")
+    )
+    return src.groupBy("uuid", "bucket").applyInPandasWithState(
+        _make_update_bucket_stats_q(float(value_quantum)),
         OUTPUT_SCHEMA,
-        STATE_SCHEMA,
+        STATE_SCHEMA_Q,
         "update",
         GroupStateTimeout.NoTimeout,
     )
