@@ -55,10 +55,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _committed_version_fence(store):
+    """Boolean pandas_udf `ins_ver <= committed manifest version`,
+    re-reading the manifest at EXECUTION time — i.e. fresh on every
+    micro-batch (an Arrow-batch file read of a <KB json on the shared
+    store volume). This is what lets a RUNNING feed fence out a crashed
+    writer's orphan dir: a static literal would freeze the version at
+    stream start and filter out all later legitimate commits."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    manifest_path = store.manifest_path
+
+    @pandas_udf("boolean")
+    def _fence(ins_ver):
+        with open(manifest_path) as f:
+            v = int(_json.load(f)["version"])
+        return ins_ver <= v
+
+    return _fence
+
+
 def changefeed(
     store,
     include_version: bool = True,
     max_files_per_trigger: Optional[int] = None,
+    version_fence: bool = False,
 ) -> DataFrame:
     """Streaming DataFrame of committed inserts (uuid, time, value
     [, ins_ver]) across ALL streams of a PointStore. Filter by uuid for a
@@ -68,7 +91,19 @@ def changefeed(
     deliberately avoids on the hot write path; store.py:212-226).
 
     `max_files_per_trigger`: bound micro-batch size (one committed version
-    is >= 1 file); None processes everything available each trigger."""
+    is >= 1 file); None processes everything available each trigger.
+
+    `version_fence=True` closes the last documented phantom window for a
+    feed RUNNING at the instant a writer crashes between _write_version's
+    rename and the manifest commit: every micro-batch re-reads the
+    committed manifest version (execution-time pandas_udf) and drops rows
+    whose ins_ver exceeds it, so the orphan dir is never delivered — and
+    once the recovery retry commits that version, the retry's own files
+    deliver the rows exactly once. Residual: only a micro-batch that read
+    the orphan's files while recovery + retry + commit ALL completed
+    inside the same trigger can still pass them (orders of magnitude
+    narrower than the unfenced contract). Off by default: the fence adds
+    an Arrow-batched udf filter to an otherwise pure-JVM scan."""
     from btrdb_server_spark.store import FRESH_BUCKET
 
     glob = os.path.join(
@@ -78,7 +113,7 @@ def changefeed(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(glob)
-    if include_version:
+    if include_version or version_fence:
         # The sentinel glob defeats directory-partition discovery (the
         # generation dir between basePath and ins_ver= is not key=value),
         # so the committing version is recovered from the file path — via
@@ -93,6 +128,10 @@ def changefeed(
                 F.col("_metadata.file_path"), r"ins_ver=(\d+)", 1
             ).cast("long"),
         )
+    if version_fence:
+        df = df.where(_committed_version_fence(store)(F.col("ins_ver")))
+        if not include_version:
+            df = df.drop("ins_ver")
     return df
 
 

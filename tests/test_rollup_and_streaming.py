@@ -717,3 +717,53 @@ def test_index_generations_retained_widens_scan_safety(spark, tmp_path):
     assert not os.path.isdir(os.path.join(p, "bands.gen0"))
     m = ixs.read_manifest(p)
     assert m["generations_retained"] == 3
+
+
+def test_version_fenced_changefeed_never_delivers_phantoms(spark, tmp_path):
+    """changefeed(version_fence=True): a feed whose checkpoint predates a
+    writer crash (orphan ins_ver dir newer than the committed manifest)
+    must deliver NOTHING for the never-committed version — and after the
+    recovery retry commits it, exactly the retry's rows, once."""
+    import glob as globmod
+    import json as _json
+    import shutil as _shutil
+
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    feed = changefeed(store, version_fence=True)
+
+    def drain():
+        rows = []
+        q = (
+            feed.writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted((r.uuid, r.time, r.value, r.ins_ver) for r in rows)
+
+    store.insert("a", [(1, 1.0)])  # v1 commits
+    assert drain() == [("a", 1, 1.0, 1)]
+
+    # crash: v2's data dir renamed into place, manifest commit lost
+    manifest = _json.load(open(store.manifest_path))
+    store.insert("a", [(2, 999.0)])  # would be v2
+    _json.dump(manifest, open(store.manifest_path, "w"))  # roll back
+    orphan = globmod.glob(f"{store.path}/points*/ins_ver=2")
+    assert orphan  # the phantom dir a running feed would otherwise glob
+
+    # the fenced feed delivers nothing for the never-committed version
+    assert drain() == []
+
+    # recovery: quarantine the orphan (writer reopen) and retry the insert
+    _shutil.rmtree(orphan[0])
+    v = PointStore(spark, str(tmp_path / "s"), num_buckets=4).insert(
+        "a", [(2, 2.0)]
+    )
+    assert v == 2
+    # exactly the retry's rows arrive — once, with the committed version
+    assert drain() == [("a", 2, 2.0, 2)]
