@@ -637,3 +637,38 @@ def test_pq_index_matches_one_shot_and_lifecycle(spark, emb, tmp_path):
     m = ixs.read_manifest(p)
     cols = ixs.read_table(spark, p, m, "cells").columns
     assert "codes" in cols and "v" not in cols  # compressed codes only
+
+
+def test_pq_fully_retired_compact_and_revive(spark, emb, tmp_path):
+    """The generic zero-live-rows compaction through the PQ family: a
+    fully-retired code index compacts without writing unreadable dirs,
+    probes return empty, and an append against the frozen quantizer
+    revives it bit-equal to a fresh same-quantizer build."""
+    from btrdb_server_spark.functions.similarity import (
+        _pq_codebook_seed,
+        centroids_from_rows,
+        pq_index_append,
+        pq_index_build,
+        pq_index_compact,
+        pq_index_retire,
+        pq_index_topk,
+    )
+
+    cents = centroids_from_rows(emb, 4)
+    cb = _pq_codebook_seed(emb, 4, 8, "vec_id", "embedding", 8)
+    probe = emb.where("vec_id = 3").select("embedding").first()[0]
+    p = str(tmp_path / "pq")
+    pq_index_build(emb.where("vec_id < 30"), p, cents, k=4, m=4, k_codes=8,
+                   codebook=cb, dim=8)
+    assert pq_index_retire(spark, p, list(range(30))) == 30
+    assert pq_index_compact(spark, p)["rows"] == 0
+    assert pq_index_topk(spark, p, probe, k=5, nprobe=4).collect() == []
+    pq_index_append(emb.where("vec_id < 10"), p)
+    p2 = str(tmp_path / "pq2")
+    pq_index_build(emb.where("vec_id < 10"), p2, cents, k=4, m=4, k_codes=8,
+                   codebook=cb, dim=8)
+    assert [
+        tuple(r) for r in pq_index_topk(spark, p, probe, k=5, nprobe=4).collect()
+    ] == [
+        tuple(r) for r in pq_index_topk(spark, p2, probe, k=5, nprobe=4).collect()
+    ]

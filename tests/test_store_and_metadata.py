@@ -625,3 +625,35 @@ def test_ingest_compaction_cadence_is_durable(spark, tmp_path):
     pipe2 = IngestPipeline(store, compact_every=3)
     pipe2._process_batch(mk(3), batch_id=2)
     assert store.compacted_through == store.version == 3
+
+
+def test_compact_migrates_legacy_retired_dir_key(spark, tmp_path):
+    """Retention-ledger migration: a pre-r11 manifest records ONE
+    superseded generation under `retired_points_dir`; the next compact
+    folds it into the `retired_points_dirs` list and retention applies
+    across the boundary (the legacy dir is dropped once it falls outside
+    generations_retained)."""
+    import json
+    import os
+
+    from btrdb_server_spark.store import PointStore
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert("a", [(1, 1.0)])
+    store.compact()  # retires the original "points" dir
+    m = json.load(open(store.manifest_path))
+    assert m["retired_points_dirs"] == ["points"]
+    # rewrite as the legacy single-dir key (pre-r11 manifest shape)
+    m["retired_points_dir"] = m.pop("retired_points_dirs")[0]
+    json.dump(m, open(store.manifest_path, "w"))
+
+    store.insert("a", [(2, 2.0)])
+    store.compact()  # default N=2: the legacy dir must be reclaimed
+    m2 = json.load(open(store.manifest_path))
+    assert "retired_points_dir" not in m2
+    assert m2["retired_points_dirs"] == [m["points_dir"]]
+    assert not os.path.isdir(os.path.join(store.path, "points"))
+    assert [(r.time, r.value) for r in store.points_at().orderBy("time").collect()] == [
+        (1, 1.0),
+        (2, 2.0),
+    ]
