@@ -1350,10 +1350,29 @@ def lsh_index_build(
             _band_rows(sigs, id_col, num_hashes, bands)
             .withColumnRenamed(id_col, "index_id")
         )
-        rows.write.partitionBy("band").parquet(
-            ixs.table_batch_dir(path, m, "bands", batch)
-        )
-        ixs.mark_table(m, "bands", 1, rows.schema)  # clear any stale mark
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        d = ixs.table_batch_dir(path, m, "bands", batch)
+        rows.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.partitionBy(
+            "band"
+        ).parquet(d)
+        n_rows = int(obs.get["n_rows"] or 0)
+        if n_rows == 0:
+            # A zero-row partitioned write leaves a file-less (unreadable)
+            # dir: drop it. An empty APPEND commits nothing (in particular
+            # it must not clear a fully-retired index's empty_tables mark);
+            # an empty BUILD commits a batch-less manifest whose schema
+            # record lets read_table synthesize the empty index (same
+            # shape as a fully-retired compaction — a later append then
+            # revives it as batch 0).
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            if mode != "overwrite":
+                return
+            m["batches"] = []
+        ixs.mark_table(m, "bands", n_rows, rows.schema)
         if mode != "overwrite":
             m["batches"] = m["batches"] + [batch]
         ixs.write_manifest(path, m)  # atomic commit: nothing live before this

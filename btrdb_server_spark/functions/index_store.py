@@ -32,8 +32,11 @@ journal replay of pqm.go:160-186):
   a bulk re-curation that retires a large corpus fraction degrades
   SOFT to a shuffled anti-join instead of OOMing the driver;
 - maintenance ops are SINGLE-WRITER, and that is now enforced, not
-  assumed: every mutating op holds an O_EXCL ``WRITER.lock`` (a stale
-  lock from a crashed same-host writer is stolen once its pid is gone),
+  assumed: every mutating op holds an O_EXCL ``WRITER.lock`` LEASE
+  (host + pid + token, mtime-heartbeated; a same-host crashed writer is
+  stolen the moment its pid is gone, a foreign-host writer only after
+  its heartbeat exceeds the lease TTL, and the steal itself is an
+  atomic rename-then-verify so N contenders produce one winner),
   and the manifest flip itself re-reads the manifest and CAS-asserts
   the fence (gen_seq / batches / tables / tombstones) it started from —
   a second writer that somehow bypassed the lock fails LOUDLY at the
@@ -55,6 +58,10 @@ import contextlib
 import json
 import os
 import shutil
+import socket
+import threading
+import time
+import uuid as uuidlib
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +69,13 @@ from pyspark.sql import functions as F
 
 MANIFEST = "MANIFEST.json"
 WRITER_LOCK = "WRITER.lock"
+
+# A lock whose holder is on ANOTHER host (shared storage) is a LEASE: the
+# holder's liveness cannot be probed with os.kill, so the holder heartbeats
+# the lockfile mtime while it works and a contender may steal only a lease
+# whose heartbeat is older than this TTL. Same-host locks keep the stronger
+# pid-liveness rule (steal the moment the pid is gone).
+LEASE_TTL_SEC = 600.0
 
 # Broadcast the tombstone anti-join only below this many retired ids —
 # ~50 B/id keeps the broadcast under a few hundred MB, comfortably
@@ -78,50 +92,128 @@ class ConcurrentIndexWriterError(RuntimeError):
     either at WRITER.lock acquisition or at the manifest CAS fence."""
 
 
+def _read_lock(lock: str) -> Optional[str]:
+    """Raw lock content, or None if the file vanished / is unreadable."""
+    try:
+        with open(lock) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def _pid_alive(pid: int) -> bool:
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by another user
+
+
 @contextlib.contextmanager
-def writer_lock(path: str):
-    """Single-writer fence for index maintenance ops (build / append /
-    retire / compact): an O_EXCL lockfile holding the writer's pid. A
-    live holder makes the second writer raise ConcurrentIndexWriterError
-    at acquisition (fail loudly — the silent failure mode was two
-    appends claiming the same batch id and one losing its rows); a
-    stale lock whose same-host pid is gone (crashed writer) is stolen.
-    Cross-host writers on shared storage are outside this fence — the
-    manifest CAS in write_manifest is the backstop there."""
+def writer_lock(path: str, lease_ttl_sec: float = LEASE_TTL_SEC):
+    """Single-writer LEASE for index maintenance ops (build / append /
+    retire / compact): a lockfile holding ``host:pid:token``, created
+    O_EXCL and heartbeated (mtime touch) while held. A live holder makes
+    a second writer raise ConcurrentIndexWriterError at acquisition —
+    fail loudly; the silent failure mode was two appends claiming the
+    same batch id and one losing its rows.
+
+    Steal rules (who may reclaim an abandoned lock):
+    - SAME-HOST lock whose pid is gone — a crashed local writer —
+      stealable immediately (pid liveness is authoritative locally);
+    - FOREIGN-HOST lock (shared storage) — stealable only once its
+      heartbeat mtime is older than `lease_ttl_sec`; a live remote
+      writer keeps the mtime fresh, so it can never be stolen merely
+      because its pid NUMBER happens to be dead on this host.
+    The steal itself is ATOMIC (rename of a uniquely-named replacement
+    over the stale lock, then verify-own-token): two contenders both
+    diagnosing the same stale lock produce exactly one winner — the
+    loser's rename is overwritten and its verification read fails.
+    Release verifies ownership too, so a stolen-from writer's cleanup
+    can no longer unlink the thief's live lock. Residual TOCTOU windows
+    (verify-then-unlink, steal racing a fresh legitimate acquire) are
+    microseconds wide and backstopped by write_manifest's CAS fence —
+    concurrent flips still fail loudly at commit."""
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, WRITER_LOCK)
-    fd = None
+    host = socket.gethostname()
+    token = f"{host}:{os.getpid()}:{uuidlib.uuid4().hex}"
+    acquired = False
     for attempt in (0, 1):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, token.encode())
+            os.close(fd)
+            acquired = True
             break
         except FileExistsError:
-            pid = 0
-            with contextlib.suppress(OSError, ValueError):
-                with open(lock) as f:
-                    pid = int(f.read().strip() or "0")
-            alive = False
-            if pid > 0:
+            cur = _read_lock(lock)
+            if cur is None:
+                continue  # holder released between our open and read: retry
+            parts = cur.split(":")
+            lock_host = parts[0] if len(parts) >= 3 else host
+            try:
+                lock_pid = int(parts[1] if len(parts) >= 3 else (cur or "0"))
+            except ValueError:
+                lock_pid = 0
+            if lock_host == host:
+                stale = not _pid_alive(lock_pid)
+            else:  # cross-host: only an expired heartbeat lease is stale
                 try:
-                    os.kill(pid, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True  # exists, owned by another user
-            if alive or attempt:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # vanished mid-diagnosis: retry the O_EXCL
+                stale = age > lease_ttl_sec
+            if not stale or attempt:
                 raise ConcurrentIndexWriterError(
-                    f"index writer lock already held (pid {pid}): {lock}"
+                    f"index writer lock already held "
+                    f"(host {lock_host}, pid {lock_pid}): {lock}"
                 )
+            # Atomic steal: rename a unique replacement over the stale
+            # lock, then verify our token survived — of N concurrent
+            # stealers exactly the last rename wins and every loser sees
+            # a foreign token and raises.
+            tmp = f"{lock}.steal.{os.getpid()}.{uuidlib.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(token)
+            os.rename(tmp, lock)
+            if _read_lock(lock) == token:
+                acquired = True
+                break
+            raise ConcurrentIndexWriterError(
+                f"lost the stale-lock steal race to another writer: {lock}"
+            )
+    if not acquired:  # unreachable belt-and-braces (loop raises or breaks)
+        raise ConcurrentIndexWriterError(f"could not acquire {lock}")
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        # Refresh the lease mtime while held; stop touching the moment the
+        # lock is no longer ours (stolen after a long stall) — refreshing a
+        # thief's lock would extend the WRONG lease.
+        while not stop.wait(max(lease_ttl_sec / 8.0, 0.05)):
+            if _read_lock(lock) != token:
+                return
             with contextlib.suppress(OSError):
-                os.unlink(lock)  # stale lock from a crashed writer
+                os.utime(lock, None)
+
+    hb = threading.Thread(
+        target=_heartbeat, name="index-writer-lease", daemon=True
+    )
+    hb.start()
     try:
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.unlink(lock)
+        stop.set()
+        hb.join(timeout=5.0)
+        # Verified release: unlink only if the lock is still OURS.
+        if _read_lock(lock) == token:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
 
 
 def _fence(m: dict) -> dict:
@@ -154,8 +246,17 @@ def write_manifest(path: str, m: dict) -> None:
     read_manifest, or None from init_index on a fresh path meaning "no
     manifest may exist yet"), the CURRENT manifest is re-read and must
     still match it — a concurrent writer that flipped in between makes
-    this op raise instead of silently superseding the other's commit."""
+    this op raise instead of silently superseding the other's commit.
+
+    Deferred reclamation: dirs fold_retired aged out of the retention
+    window travel here under `_drop_after_commit` and are deleted only
+    AFTER the flip succeeds — an op that crashes (or fails the CAS)
+    before committing deletes NOTHING, so the documented
+    generations_retained reader window never shrinks by an uncommitted
+    op. A crash between the flip and the deletes leaks the aged-out dirs
+    (bounded: one retention group), never data."""
     expect = m.pop("_expect", _UNSET)
+    drop_after = m.pop("_drop_after_commit", None)
     target = os.path.join(path, MANIFEST)
     if expect is None:
         if os.path.exists(target):
@@ -179,6 +280,8 @@ def write_manifest(path: str, m: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(m, f, indent=1, sort_keys=True)
     os.replace(tmp, target)
+    for group in drop_after or []:
+        drop_dirs(path, group)
 
 
 def init_index(path: str, tables: list[str], **extra) -> dict:
@@ -190,7 +293,10 @@ def init_index(path: str, tables: list[str], **extra) -> dict:
     mid-rebuild orphans only uncommitted gen dirs, never the serving
     index. The superseded generation is recorded in `retired_dirs` and
     reclaimed by the NEXT maintenance op (two-generation retention),
-    like compact. Nothing is live until the caller's write_manifest."""
+    like compact; groups aged out of the retention window here are only
+    DELETED when this rebuild's own write_manifest commits (deferred via
+    `_drop_after_commit`) — an abandoned rebuild shrinks nothing.
+    Nothing is live until the caller's write_manifest."""
     os.makedirs(path, exist_ok=True)
     prior = (
         read_manifest(path)
@@ -326,30 +432,51 @@ def minus_tombstones(
     return df.join(keys, id_col, "left_anti")
 
 
-def retire_filter(df: DataFrame, ids, id_col: str) -> DataFrame:
+def retire_filter(
+    df: DataFrame,
+    ids,
+    id_col: str,
+    broadcast_row_cap: int = TOMBSTONE_BROADCAST_CAP,
+) -> DataFrame:
     """Rows of `df` whose id is in `ids`: a python list/sequence (literal
     isin — fine for a metadata-scale takedown batch) or a DataFrame whose
-    FIRST column holds the ids (broadcast semi-join — the shape a bulk
-    re-curation job produces; never a driver-side collect)."""
+    FIRST column holds the ids (semi-join — the shape a bulk re-curation
+    job produces; never a driver-side collect). The semi-join BROADCASTS
+    the id set only while provably small (a bounded limit+count probe,
+    same guard as minus_tombstones); a bulk re-curation handing in a
+    large corpus fraction degrades SOFT to a shuffled semi-join instead
+    of OOMing at the broadcast."""
     if isinstance(ids, DataFrame):
         key = ids.columns[0]
-        return df.join(
-            F.broadcast(ids.select(F.col(key).alias(id_col)).distinct()),
-            id_col,
-            "left_semi",
-        )
+        keys = ids.select(F.col(key).alias(id_col)).distinct()
+        if ids.limit(broadcast_row_cap + 1).count() <= broadcast_row_cap:
+            keys = F.broadcast(keys)
+        return df.join(keys, id_col, "left_semi")
     return df.where(F.col(id_col).isin(list(ids)))
 
 
 def write_tombstones(
-    path: str, m: dict, tomb: DataFrame, seq: int
+    path: str, m: dict, tomb: DataFrame, seq: int, rows: Optional[int] = None
 ) -> str:
     """Persist the new FULL tombstone set as its own generation (the set
-    is rewritten, not appended — it is metadata-scale, and a rewrite
-    keeps the flip atomic: the old set stays live until the manifest
-    points away from it). Returns the new dir name for the manifest."""
+    is rewritten, not appended — it is metadata-scale by contract, and a
+    rewrite keeps the flip atomic: the old set stays live until the
+    manifest points away from it). Returns the new dir name.
+
+    `rows` is the exact set size the caller already counted: at or under
+    the broadcast cap the set collapses to ONE file (single task — fine
+    for metadata-scale sets, and the read side stays a one-file load);
+    past the cap — a bulk re-curation — the single-task coalesce(1)
+    would bottleneck the whole retire on one core, so the set is written
+    multi-file at the job's natural parallelism instead (reads and the
+    anti-join are unaffected; they already degrade to shuffles at the
+    same threshold)."""
     d = f"tombstones.gen{seq}"
-    tomb.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, d))
+    target = os.path.join(path, d)
+    if rows is not None and rows > TOMBSTONE_BROADCAST_CAP:
+        tomb.write.mode("overwrite").parquet(target)
+    else:
+        tomb.coalesce(1).write.mode("overwrite").parquet(target)
     return d
 
 
@@ -398,17 +525,18 @@ def retire_table_ids(
         n_new = newly.count()
         if n_new == 0:
             return 0
-        full = newly if tomb_old is None else tomb_old.unionByName(newly)
-        tomb_dir = write_tombstones(path, m, full, seq)
-        old_tomb = m["tombstones"]
-        m["tombstones"] = tomb_dir
         # newly is disjoint from the old set by construction (derived from
         # the tombstone-filtered live rows), so the counts fold exactly.
-        m["tombstone_rows"] = (
+        total = (
             old_rows
             if old_rows is not None
             else (tomb_old.count() if tomb_old is not None else 0)
         ) + n_new
+        full = newly if tomb_old is None else tomb_old.unionByName(newly)
+        tomb_dir = write_tombstones(path, m, full, seq, rows=total)
+        old_tomb = m["tombstones"]
+        m["tombstones"] = tomb_dir
+        m["tombstone_rows"] = total
         m["gen_seq"] = seq
         fold_retired(path, m, [old_tomb])  # N-generation retention
         write_manifest(path, m)
@@ -483,14 +611,20 @@ def drop_prior_retired(path: str, m: dict) -> None:
 
 
 def fold_retired(path: str, m: dict, new_group: list) -> None:
-    """Record this op's superseded dirs as one retention GROUP and delete
-    groups older than the manifest's `generations_retained` (default 2 =
-    live + one superseded — exactly the old two-generation behavior).
-    `retired_dirs` is a list of groups, oldest first; the newest
-    (generations_retained - 1) groups stay on disk, so a scan planned
-    against an old manifest keeps its listing readable for that many
-    maintenance intervals. Set the knob once with
-    set_generations_retained; legacy flat lists migrate as one group."""
+    """Record this op's superseded dirs as one retention GROUP and age
+    out groups older than the manifest's `generations_retained` (default
+    2 = live + one superseded — exactly the old two-generation
+    behavior). `retired_dirs` is a list of groups, oldest first; the
+    newest (generations_retained - 1) groups stay on disk, so a scan
+    planned against an old manifest keeps its listing readable for that
+    many maintenance intervals. Set the knob once with
+    set_generations_retained; legacy flat lists migrate as one group.
+
+    Aged-out groups are NOT deleted here: they are stashed under
+    `_drop_after_commit` and deleted by write_manifest only after the
+    op's atomic flip succeeds — an op that never commits (crash, CAS
+    conflict, rebuild abandoned after init_index) must not shrink the
+    reader window the retention knob promises."""
     keep = max(1, int(m.get("generations_retained", 2))) - 1
     groups = m.get("retired_dirs") or []
     if groups and isinstance(groups[0], str):
@@ -501,8 +635,8 @@ def fold_retired(path: str, m: dict, new_group: list) -> None:
     drop, m["retired_dirs"] = (
         (groups[:-keep], groups[-keep:]) if keep else (groups, [])
     )
-    for g in drop:
-        drop_dirs(path, g)
+    if drop:
+        m["_drop_after_commit"] = (m.get("_drop_after_commit") or []) + drop
 
 
 def set_generations_retained(path: str, n: int) -> None:

@@ -572,15 +572,16 @@ def bm25_index_retire(spark, path: str, ids) -> int:
         n_new = int(delta["n"] or 0)
         if n_new == 0:
             return 0
-        full = newly if tomb_old is None else tomb_old.unionByName(newly)
-        tomb_dir = ixs.write_tombstones(path, m, full, seq)
-        old_tomb = m["tombstones"]
-        m["tombstones"] = tomb_dir
-        m["tombstone_rows"] = (
+        total = (
             old_rows
             if old_rows is not None
             else (tomb_old.count() if tomb_old is not None else 0)
         ) + n_new
+        full = newly if tomb_old is None else tomb_old.unionByName(newly)
+        tomb_dir = ixs.write_tombstones(path, m, full, seq, rows=total)
+        old_tomb = m["tombstones"]
+        m["tombstones"] = tomb_dir
+        m["tombstone_rows"] = total
         m["gen_seq"] = seq
         m["stats"]["n_docs"] -= n_new
         m["stats"]["sum_dl"] -= int(delta["s"] or 0)

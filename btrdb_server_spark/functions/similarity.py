@@ -1696,9 +1696,20 @@ def ivf_index_append(
             key=lambda r: r["cid"],
         )
         cells = _assigned_cells(new_embeddings, cent_rows, m["id_col"], vec_col)
-        cells.write.partitionBy("cluster").parquet(
-            ixs.table_batch_dir(path, m, "cells", n)
-        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        d = ixs.table_batch_dir(path, m, "cells", n)
+        cells.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.partitionBy(
+            "cluster"
+        ).parquet(d)
+        if int(obs.get["n_rows"] or 0) == 0:
+            # Empty batch: commit nothing (see pq_index_append) — the write
+            # left a file-less dir and must not clear an empty_tables mark.
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            return
         ixs.mark_table(m, "cells", 1, cells.schema)  # revive after empty compact
         m["batches"] = m["batches"] + [n]
         ixs.write_manifest(path, m)  # atomic commit of the batch
@@ -1952,12 +1963,18 @@ def pq_index_topk(
     m*k_codes-row distance table — all configuration-scale) and ONLY the
     code cells of its nprobe clusters: the cluster ids are collected
     (nprobe INTEGERS) because only a LITERAL partition predicate prunes
-    cell directories before the scan; the distance table broadcasts onto
-    the pruned code scan; the sum is a map-side-combinable groupBy.
-    Raw vectors are never read — they are not even stored. Scores are
-    bit-equal to ann_pq_topk over the live corpus when nprobe covers the
-    probed vectors' cells (exactly ann_pq_topk when nprobe = k): the same
-    per-subspace round-6 squared L2, the same round-6 sum, ties by id.
+    cell directories before the scan, and the distance table is collected
+    (m*k_codes DOUBLES — configuration, not data) into per-subspace
+    LITERAL arrays indexed row-locally by each vector's code bytes. The
+    ADC sum is therefore one map-only projection over the pruned code
+    scan straight into TakeOrderedAndProject — ZERO joins, ZERO
+    exchanges, no per-subspace row inflation (the r11 shape exploded m
+    rows per vector into a broadcast join + groupBy; plan pinned in
+    tests/test_plans.py). Raw vectors are never read — they are not even
+    stored. Scores are bit-equal to ann_pq_topk over the live corpus when
+    nprobe covers the probed vectors' cells (exactly ann_pq_topk when
+    nprobe = k): the same per-subspace round-6 squared L2, summed in the
+    same subspace order, the same round-6 total, ties by id.
     Columns: <id>, adc_dist — ordered, k rows."""
     from btrdb_server_spark.functions import index_store as ixs
 
@@ -1975,8 +1992,12 @@ def pq_index_topk(
         for r in ranked.orderBy(F.col("cs").desc(), "cid").limit(nprobe).collect()
     ]
     cb = spark.read.parquet(os.path.join(path, m_["codebooks"]))
+    # Per-(subspace, code) squared L2 to the probe — the SAME JVM
+    # expression the r11 broadcast-join shape evaluated, so the collected
+    # values are bit-identical; m*k_codes rows is quantizer configuration,
+    # not data (the codebook itself was already collected at build time).
     dtab = cb.select(
-        F.col("j").alias("subspace"),
+        F.col("j").cast("int").alias("subspace"),
         F.col("code").cast("int").alias("code"),
         F.round(
             F.aggregate(
@@ -1990,7 +2011,12 @@ def pq_index_topk(
             ),
             6,
         ).alias("d"),
-    )
+    ).collect()
+    m = int(p["m"])
+    k_codes = int(p["k_codes"])
+    dist: dict[int, list] = {j: [0.0] * k_codes for j in range(m)}
+    for r in dtab:
+        dist[r["subspace"]][r["code"]] = float(r["d"])
     cells = ixs.minus_tombstones(
         ixs.read_table(spark, path, m_, "cells").where(
             F.col("cluster").isin(top)
@@ -1999,12 +2025,18 @@ def pq_index_topk(
         id_col,
         tomb_rows=m_.get("tombstone_rows"),
     )
+    # Row-local ADC: index each subspace's literal distance array by the
+    # stored code byte and add the m terms left-to-right — the identical
+    # IEEE sequence the exploded shape produced (posexplode emitted
+    # subspaces in order within one partition, so its partial sum folded
+    # j-ascending too), with no Exchange and no Join on the serving path.
+    adc = F.element_at(F.lit(dist[0]), F.col("codes").getItem(0).cast("int") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(
+            F.lit(dist[j]), F.col("codes").getItem(j).cast("int") + 1
+        )
     return (
-        cells.select(F.col(id_col), F.posexplode("codes").alias("subspace", "code"))
-        .select(id_col, "subspace", F.col("code").cast("int").alias("code"))
-        .join(F.broadcast(dtab), ["subspace", "code"])
-        .groupBy(id_col)
-        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        cells.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
@@ -2075,9 +2107,21 @@ def pq_index_append(
             id_col,
             vec_col,
         )
-        cells.write.partitionBy("cluster").parquet(
-            ixs.table_batch_dir(path, m_, "cells", n)
-        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        d = ixs.table_batch_dir(path, m_, "cells", n)
+        cells.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.partitionBy(
+            "cluster"
+        ).parquet(d)
+        if int(obs.get["n_rows"] or 0) == 0:
+            # Empty batch: a file-less partitioned dir is unreadable and
+            # clearing a fully-retired index's empty_tables mark for ZERO
+            # new rows would break the next read — commit nothing.
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            return
         ixs.mark_table(m_, "cells", 1, cells.schema)  # revive after empty compact
         m_["batches"] = m_["batches"] + [n]
         ixs.write_manifest(path, m_)  # atomic commit of the batch

@@ -672,3 +672,217 @@ def test_pq_fully_retired_compact_and_revive(spark, emb, tmp_path):
     ] == [
         tuple(r) for r in pq_index_topk(spark, p2, probe, k=5, nprobe=4).collect()
     ]
+
+
+# ------------------------------------------------- r12 hardening tests ---
+
+
+def test_writer_lease_cross_host_rules(tmp_path):
+    """VERDICT r11 #3: a FOREIGN-host lock with a fresh heartbeat must
+    NOT be stolen (its pid number being dead on THIS host means nothing);
+    one whose heartbeat exceeds the lease TTL must be. Same-host dead-pid
+    locks keep the immediate-steal rule regardless of mtime."""
+    import subprocess
+    import time as _t
+
+    p = str(tmp_path / "ix")
+    os.makedirs(p)
+    lock = os.path.join(p, ixs.WRITER_LOCK)
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+
+    # foreign host, fresh mtime -> live remote writer, never stolen
+    with open(lock, "w") as f:
+        f.write(f"some-other-host:{dead.pid}:deadbeef")
+    with pytest.raises(ixs.ConcurrentIndexWriterError):
+        with ixs.writer_lock(p, lease_ttl_sec=3600):
+            pass
+    assert os.path.exists(lock)  # the loser must not unlink the holder's lock
+
+    # foreign host, expired lease -> stolen
+    old = _t.time() - 7200
+    os.utime(lock, (old, old))
+    with ixs.writer_lock(p, lease_ttl_sec=3600):
+        with open(lock) as f:
+            assert f.read().split(":")[1] == str(os.getpid())  # ours now
+    assert not os.path.exists(lock)
+
+    # same host, dead pid, FRESH mtime -> still stolen (pid liveness wins)
+    import socket as _s
+
+    with open(lock, "w") as f:
+        f.write(f"{_s.gethostname()}:{dead.pid}:deadbeef")
+    with ixs.writer_lock(p, lease_ttl_sec=3600):
+        pass
+    assert not os.path.exists(lock)
+
+
+def test_writer_lease_release_verifies_ownership(tmp_path):
+    """ADVICE r11 (low): the finally-unlink must not remove a lock that is
+    no longer ours — a thief's live lock survives the victim's cleanup."""
+    p = str(tmp_path / "ix")
+    os.makedirs(p)
+    lock = os.path.join(p, ixs.WRITER_LOCK)
+    with ixs.writer_lock(p):
+        # simulate a steal while we hold it (e.g. after a long stall)
+        with open(lock, "w") as f:
+            f.write("thief-host:12345:feedface")
+    with open(lock) as f:
+        assert f.read() == "thief-host:12345:feedface"  # survived our exit
+    os.unlink(lock)
+
+
+def test_retired_dirs_deleted_only_after_commit(spark, docs, tmp_path):
+    """ADVICE r11 (low): dirs aged out of the retention window must be
+    deleted only when the op that aged them out COMMITS — a rebuild that
+    starts (init_index) and then crashes or fails the CAS fence must not
+    shrink the generations_retained reader window."""
+    from btrdb_server_spark.functions.dedup import lsh_index_build, lsh_index_compact
+
+    p = str(tmp_path / "ix")
+    lsh_index_build(docs.where("doc_id < 24"), p)
+    lsh_index_compact(spark, p)  # retires bands.gen0 (default retention 2)
+    assert os.path.isdir(os.path.join(p, "bands.gen0"))
+
+    # a rebuild BEGINS: init_index ages bands.gen0 out of the window...
+    m = ixs.init_index(p, ["bands"], params=ixs.read_manifest(p)["params"])
+    # ...but the dir must still be on disk (nothing committed yet)
+    assert os.path.isdir(os.path.join(p, "bands.gen0"))
+    assert m.get("_drop_after_commit")
+
+    # the rebuild fails its CAS fence (another op flipped in between):
+    # the aged-out dir STILL survives
+    from btrdb_server_spark.functions.dedup import lsh_index_retire
+
+    lsh_index_retire(spark, p, [1])  # concurrent flip moves the fence
+    with pytest.raises(ixs.ConcurrentIndexWriterError):
+        ixs.write_manifest(p, m)
+    assert os.path.isdir(os.path.join(p, "bands.gen0"))
+
+    # a clean maintenance op commits -> the aged-out group finally drops
+    lsh_index_compact(spark, p)
+    lsh_index_compact(spark, p)
+    assert not os.path.isdir(os.path.join(p, "bands.gen0"))
+
+
+def test_retire_filter_broadcast_cap_bit_equal(spark, docs, tmp_path):
+    """VERDICT r11 #2: the retire path's DataFrame arm must not broadcast
+    an arbitrarily large id set — past the cap it degrades to a shuffled
+    semi-join with identical results."""
+    ids = docs.select("doc_id").where("doc_id % 3 == 1")
+    small = ixs.retire_filter(docs, ids, "doc_id")  # under cap: broadcast
+    big = ixs.retire_filter(docs, ids, "doc_id", broadcast_row_cap=2)
+    assert "broadcast" in small._jdf.queryExecution().toString().lower()
+    assert "broadcasthashjoin" not in (
+        big._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert sorted(r.doc_id for r in small.collect()) == sorted(
+        r.doc_id for r in big.collect()
+    )
+
+
+def test_write_tombstones_multi_file_past_cap(spark, tmp_path):
+    """VERDICT r11 #2: a bulk-retire tombstone set past the broadcast cap
+    must not funnel through a single coalesce(1) task."""
+    import glob as _g
+
+    p = str(tmp_path / "ix")
+    os.makedirs(p)
+    tomb = spark.range(0, 1000, 1, 8).select(F.col("id"))
+    d1 = ixs.write_tombstones(p, {}, tomb, 1, rows=1000)  # metadata-scale
+    assert len(_g.glob(os.path.join(p, d1, "*.parquet"))) == 1
+    d2 = ixs.write_tombstones(p, {}, tomb, 2, rows=ixs.TOMBSTONE_BROADCAST_CAP + 1)
+    assert len(_g.glob(os.path.join(p, d2, "*.parquet"))) > 1
+    # same rows either way
+    a = sorted(r.id for r in spark.read.parquet(os.path.join(p, d1)).collect())
+    b = sorted(r.id for r in spark.read.parquet(os.path.join(p, d2)).collect())
+    assert a == b == list(range(1000))
+
+
+def test_crash_orphan_batch_dir_is_cleared_on_retry(spark, emb, tmp_path):
+    """ADVICE r11 (medium): a crash mid-append leaves an orphan
+    <table>.gen<G>/batch=<N> dir; the RETRY of the same batch id must
+    clear it and succeed (table_batch_dir's contract), not die with
+    'path already exists'."""
+    from btrdb_server_spark.functions.similarity import (
+        ann_index_topk,
+        centroids_from_rows,
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    p = str(tmp_path / "ivf")
+    cents = centroids_from_rows(emb, k=4)
+    ivf_index_build(emb.where("vec_id < 40"), p, cents)
+    # simulate the crash leftover: an uncommitted batch=1 dir with junk
+    orphan = os.path.join(p, "cells.gen0", "batch=1")
+    os.makedirs(os.path.join(orphan, "cluster=0"))
+    with open(os.path.join(orphan, "cluster=0", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    ivf_index_append(emb.where("vec_id >= 40"), p)  # retry of batch 1
+    probe = emb.where("vec_id = 0").select("embedding").first()[0]
+    p2 = str(tmp_path / "ivf2")
+    ivf_index_build(emb, p2, cents)
+    assert [
+        tuple(r) for r in ann_index_topk(spark, p, probe, k=50, nprobe=4).collect()
+    ] == [
+        tuple(r) for r in ann_index_topk(spark, p2, probe, k=50, nprobe=4).collect()
+    ]
+
+
+def test_empty_batch_append_is_a_noop(spark, emb, tmp_path):
+    """ADVICE r11 (low): a ZERO-row append must commit nothing — it must
+    not clear a fully-retired index's empty_tables mark (which would
+    leave read_table an existing-but-unreadable file-less dir) and must
+    not grow the batch list."""
+    from btrdb_server_spark.functions.similarity import (
+        _pq_codebook_seed,
+        centroids_from_rows,
+        pq_index_append,
+        pq_index_build,
+        pq_index_compact,
+        pq_index_retire,
+        pq_index_topk,
+    )
+
+    cents = centroids_from_rows(emb, 4)
+    cb = _pq_codebook_seed(emb, 4, 8, "vec_id", "embedding", 8)
+    probe = emb.where("vec_id = 3").select("embedding").first()[0]
+    p = str(tmp_path / "pq")
+    pq_index_build(emb.where("vec_id < 30"), p, cents, k=4, m=4, k_codes=8,
+                   codebook=cb, dim=8)
+    pq_index_retire(spark, p, list(range(30)))
+    pq_index_compact(spark, p)  # fully retired: empty_tables mark set
+    before = ixs.read_manifest(p)
+
+    pq_index_append(emb.where("vec_id < 0"), p)  # EMPTY batch
+    after = ixs.read_manifest(p)
+    assert after["batches"] == before["batches"]
+    assert after.get("empty_tables") == before.get("empty_tables")
+    # the index still reads (as empty) — the r11 bug left an unreadable dir
+    assert pq_index_topk(spark, p, probe, k=5, nprobe=4).collect() == []
+
+    # a real append still revives it
+    pq_index_append(emb.where("vec_id < 10"), p)
+    assert len(pq_index_topk(spark, p, probe, k=5, nprobe=4).collect()) == 5
+
+
+def test_empty_lsh_build_reads_as_empty_index(spark, docs, tmp_path):
+    """A build over a corpus that yields zero band rows must still commit
+    a readable (empty) index instead of a file-less unreadable dir."""
+    from btrdb_server_spark.functions.dedup import (
+        incremental_dedup_pairs,
+        lsh_index_build,
+    )
+
+    p = str(tmp_path / "lsh")
+    lsh_index_build(docs.where("doc_id < 0"), p)  # zero docs
+    assert incremental_dedup_pairs(docs.where("doc_id < 6"), p).collect() == []
+    # an append then revives it, equal to a fresh build of the same rows
+    lsh_index_build(docs.where("doc_id < 6"), p, mode="append")
+    p2 = str(tmp_path / "lsh2")
+    lsh_index_build(docs.where("doc_id < 6"), p2)
+    probe_docs = docs.where("doc_id >= 6")
+    assert [
+        tuple(r) for r in incremental_dedup_pairs(probe_docs, p).collect()
+    ] == [tuple(r) for r in incremental_dedup_pairs(probe_docs, p2).collect()]

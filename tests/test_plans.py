@@ -1079,9 +1079,11 @@ def test_pq_index_probe_prunes_cells_and_reads_codes_only(spark, tmp_path):
     """The persisted IVF-PQ probe must prune cell DIRECTORIES via the
     literal cluster predicate AND touch only the code column — the read
     schema carries (id, codes), never a raw vector column, which is the
-    byte economics the compressed index exists for. The ADC join must be
-    the broadcast of the m*k_codes distance table; the top-k must be
-    TakeOrderedAndProject."""
+    byte economics the compressed index exists for. The ADC itself is a
+    row-local literal distance-table lookup (VERDICT r11 #1): on a
+    never-retired index the serving plan is scan -> project ->
+    TakeOrderedAndProject with ZERO Exchange and ZERO Join — no
+    per-subspace row inflation, no shuffle on the hot path."""
     from btrdb_server_spark.functions.similarity import (
         ivf_index_build,
         pq_index_build,
@@ -1098,7 +1100,7 @@ def test_pq_index_probe_prunes_cells_and_reads_codes_only(spark, tmp_path):
 
     assert _re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan), plan
     assert "codes" in plan and "embedding" not in plan
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Join" not in plan and "Exchange" not in plan, plan
     assert "TakeOrderedAndProject" in plan
 
     # bytes story: the compressed cells are a small fraction of the flat
