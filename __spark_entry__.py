@@ -3112,6 +3112,25 @@ def q_pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_index_stats(spark, idx)
 
 
+def q_pq_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-drift gauge of the persisted IVF-PQ index
+    (pq_index_drift): the mean/max QUANTIZATION residual — the squared
+    L2 between a vector and its PQ reconstruction, exactly the error ADC
+    adds to every probe distance — over the deterministic vec_id % 3
+    sample, re-encoded row-locally against the index's frozen persisted
+    codebooks (bit-identical to the stored codes). The operator's
+    rebuild trigger: re-gauge each append batch and re-train when the
+    mean residual outgrows its build-time value. Residuals quantize to
+    int64 micro-units before the global sum, so the mean is
+    order-independent; the oracle replays the same per-subspace min
+    distance, quantization, and division sequence in SQL."""
+    from btrdb_server_spark.functions.similarity import pq_index_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _memo_index(("pq", sf_dir), _pq_builder(spark, sf_dir))
+    return pq_index_drift(spark, idx, emb, sample_mod=3)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrdb_server_spark.functions.similarity import cosine_topk_by_id
 
@@ -5813,9 +5832,42 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constant IS that window. scripts/rotate_window.py regenerates it each
 # round; tests/test_window.py pins dict order to it.
 DRIVER_WINDOW: list[str] = [
-    "aligned_windows_rollup",
-    "rollup_rewrite",
-    "buffer_stat_merge",
+    "store_version_travel",
+    "list_collections",
+    "windows_depth",
+    "windows_rollup",
+    "pq_index_drift",
+    "pq_encode",
+    "ann_pq_topk",
+    "cosine_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "ivf_assign",
+    "ivf_refine",
+    "kmeans_train",
+    "knn_graph",
+    "ann_recall_eval",
+    "pq_train",
+    "mips_topk",
+    "sq8_topk",
+    "cluster_purity",
+    "embedding_drift",
+    "ivf_recall_curve",
+    "label_noise_screen",
+    "ann_index_topk",
+    "ann_index_incremental",
+    "ivf_index_stats",
+    "ann_ivf_topk",
+    "semantic_dedup",
+    "hard_negatives",
+    "ann_batch_topk",
+    "ann_ivf_multiprobe",
+    "dedup_clusters",
+    "exact_dedup",
+    "minhash_verified_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
     "streaming_ingest",
     "pq_index_topk",
     "pq_index_probe",
@@ -5830,39 +5882,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_select",
     "bm25_topk",
     "unigram_logprob",
-    "registry_obliterate",
-    "minhash_jaccard_est",
-    "edit_verified_pairs",
-    "ngram_novelty",
-    "tfidf_topk",
-    "containment_pairs",
-    "rerank_fusion",
-    "boilerplate_ngrams",
-    "insert_cap",
-    "store_compact",
-    "bbit_minhash",
-    "dup_rate_by_source",
-    "simhash_pairs",
-    "lsh_recall_eval",
-    "dedup_stats",
-    "dedup_threshold_curve",
-    "streaming_changefeed",
-    "sorted_neighborhood_pairs",
-    "snm_recall_eval",
-    "incremental_dedup",
-    "lsh_index_stats",
-    "bm25_index_topk",
-    "bm25_index_incremental",
-    "bm25_index_stats",
-    "incremental_dedup_retire",
-    "lsh_index_compact",
-    "bm25_index_retire",
-    "bm25_index_compact",
-    "bm25_index_verify",
-    "ann_index_retire",
-    "ivf_index_compact",
-    "streaming_changefeed_deletes",
-    "semantic_dedup_index",
 ]
 
 
@@ -5888,9 +5907,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- DRIVER WINDOW: positions 1-50 (driver checks first 50;
         # regenerated by scripts/rotate_window.py) ----
-        "aligned_windows_rollup": q_aligned_windows_rollup,
-        "rollup_rewrite": q_rollup_rewrite,
-        "buffer_stat_merge": q_buffer_stat_merge,
+        "store_version_travel": q_store_version_travel,
+        "list_collections": q_list_collections,
+        "windows_depth": q_windows_depth,
+        "windows_rollup": q_windows_rollup,
+        "pq_index_drift": q_pq_index_drift,
+        "pq_encode": q_pq_encode,
+        "ann_pq_topk": q_ann_pq_topk,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_assign": q_ivf_assign,
+        "ivf_refine": q_ivf_refine,
+        "kmeans_train": q_kmeans_train,
+        "knn_graph": q_knn_graph,
+        "ann_recall_eval": q_ann_recall_eval,
+        "pq_train": q_pq_train,
+        "mips_topk": q_mips_topk,
+        "sq8_topk": q_sq8_topk,
+        "cluster_purity": q_cluster_purity,
+        "embedding_drift": q_embedding_drift,
+        "ivf_recall_curve": q_ivf_recall_curve,
+        "label_noise_screen": q_label_noise_screen,
+        "ann_index_topk": q_ann_index_topk,
+        "ann_index_incremental": q_ann_index_incremental,
+        "ivf_index_stats": q_ivf_index_stats,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "hard_negatives": q_hard_negatives,
+        "ann_batch_topk": q_ann_batch_topk,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "dedup_clusters": q_dedup_clusters,
+        "exact_dedup": q_exact_dedup,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_signatures": q_minhash_signatures,
         "streaming_ingest": q_streaming_ingest,
         "pq_index_topk": q_pq_index_topk,
         "pq_index_probe": q_pq_index_probe,
@@ -5905,6 +5957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_select": q_dedup_select,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
+        # ---- position 51+: banked green or locally verified ----
+        "aligned_windows_rollup": q_aligned_windows_rollup,
+        "rollup_rewrite": q_rollup_rewrite,
+        "buffer_stat_merge": q_buffer_stat_merge,
         "registry_obliterate": q_registry_obliterate,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "edit_verified_pairs": q_edit_verified_pairs,
@@ -5938,44 +5994,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_compact": q_ivf_index_compact,
         "streaming_changefeed_deletes": q_streaming_changefeed_deletes,
         "semantic_dedup_index": q_semantic_dedup_index,
-        # ---- position 51+: banked green or locally verified ----
         "delete_range": q_delete_range,
         "metadata_usage": q_metadata_usage,
         "raw_values": q_raw_values,
         "windows_holes": q_windows_holes,
         "bulk_export": q_bulk_export,
         "bpe_train_batched": q_bpe_train_batched,
-        "pq_encode": q_pq_encode,
-        "ann_pq_topk": q_ann_pq_topk,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "ivf_assign": q_ivf_assign,
-        "ivf_refine": q_ivf_refine,
-        "kmeans_train": q_kmeans_train,
-        "knn_graph": q_knn_graph,
-        "ann_recall_eval": q_ann_recall_eval,
-        "pq_train": q_pq_train,
-        "mips_topk": q_mips_topk,
-        "sq8_topk": q_sq8_topk,
-        "cluster_purity": q_cluster_purity,
-        "embedding_drift": q_embedding_drift,
-        "ivf_recall_curve": q_ivf_recall_curve,
-        "label_noise_screen": q_label_noise_screen,
-        "ann_index_topk": q_ann_index_topk,
-        "ann_index_incremental": q_ann_index_incremental,
-        "ivf_index_stats": q_ivf_index_stats,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "hard_negatives": q_hard_negatives,
-        "ann_batch_topk": q_ann_batch_topk,
-        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
-        "dedup_clusters": q_dedup_clusters,
-        "exact_dedup": q_exact_dedup,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_signatures": q_minhash_signatures,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
         "token_entropy": q_token_entropy,
@@ -6168,8 +6192,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pagerank": q_copurchase_pagerank,
         "periodogram": q_periodogram,
         "holt_forecast": q_holt_forecast,
-        "windows_depth": q_windows_depth,
-        "windows_rollup": q_windows_rollup,
         "repetition_stats": q_repetition_stats,
         "resample_hold": q_resample_hold,
         "resample_linear": q_resample_linear,
@@ -6213,10 +6235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": _small_state(q_streaming_ewma),
         "streaming_dedup": _small_state(q_streaming_dedup),
         "streaming_stat_state": _keyed_state_16(q_streaming_stat_state),
-        "list_collections": q_list_collections,
         "windows_rewrite": q_windows_rewrite,
         "sql_rollup_serve": q_sql_rollup_serve,
-        "store_version_travel": q_store_version_travel,
         "gaps": q_gaps,
         "rate": q_rate,
         "multimodal_decode": q_multimodal_decode,
@@ -13491,6 +13511,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, adc_dist FROM sc ORDER BY adc_dist, vec_id LIMIT 10
         """
     d["pq_index_compact"] = d["pq_index_retire"]
+    # Quantizer-drift gauge: per sampled vector the per-subspace MIN of
+    # the same round-6 squared L2 the codes CTE ranks, quantized to int64
+    # micro-units (order-independent sum), then one global mean/max.
+    d["pq_index_drift"] = f"""
+            WITH {_PQ_CTES},
+            dmin AS (SELECT s.vec_id, s.j,
+                            min(round(power(list_distance(s.sv, cb.cv), 2),
+                                      6)) AS dmin
+                     FROM sub s JOIN cb USING (j)
+                     WHERE s.vec_id % 3 = 0 GROUP BY 1, 2),
+            rq AS (SELECT vec_id,
+                          CAST(sum(CAST(round(dmin * 1e6) AS BIGINT))
+                               AS BIGINT) AS rq
+                   FROM dmin GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(sum(rq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                       AS mean_resid,
+                   CAST(max(rq) AS DOUBLE) / 1e6 AS max_resid
+            FROM rq
+        """
     # Pruned IVF-PQ probe: the oracle replays the coarse assignment, the
     # top-2 cell choice, and the ADC scoring inside those cells.
     d["pq_index_probe"] = f"""

@@ -52,15 +52,16 @@ def main() -> None:
     # steady-state cost of the plan, which is what the baseline comparison
     # is about.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    means: dict[str, float] = {}
     for name in sorted(qs):
-        best, n = None, 0
+        times, n = [], 0
         for _ in range(reps):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = len(df.toPandas())
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(min(times), 4)
+        means[name] = round(sum(times) / len(times), 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -77,6 +78,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": means,
+                "reps": reps,
                 "sf": sf,
                 "n_queries": len(timings),
             },
@@ -95,6 +98,7 @@ def main() -> None:
             "queries": slowest,
             "sf": sf,
             "n_queries": len(timings),
+            "reps": reps,
             "queries_full_file": "BENCH_full.json",
         },
         separators=(",", ":"),

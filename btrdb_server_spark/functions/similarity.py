@@ -2068,6 +2068,90 @@ def pq_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def pq_index_drift(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    sample_mod: int = 3,
+) -> DataFrame:
+    """Quantizer-staleness gauge for a persisted pq_index_build index:
+    the QUANTIZATION RESIDUAL — per sampled vector, the squared L2
+    between the vector and its PQ reconstruction, i.e. exactly the error
+    term ADC adds to every probe distance — over the deterministic
+    sample `id % sample_mod == 0` of `embeddings`.
+
+    This is the drift METRIC the stats entry lacked (cell balance says
+    the coarse centroids drifted; this says the CODEBOOKS no longer fit
+    the data): gauge it at build time, re-gauge it on each new append
+    batch (pass the batch as `embeddings` — the quantizer is frozen, so
+    re-encoding here is bit-identical to what pq_index_append stores),
+    and REBUILD with a re-trained quantizer (pq_train) when the mean
+    residual on new data grows past ~2x its build-time value — at that
+    point ADC ranking quality, not just cell balance, is degrading.
+
+    Plan shape: one map-only pass over the sampled vectors (per-subspace
+    literal-codebook distance arrays, row-local min — no join, no
+    shuffle) into a single global aggregate. Residuals are quantized to
+    int64 micro-units before summing, so the mean is order-independent
+    and bit-stable across engines and partitionings.
+
+    Columns (1 row): n_sampled, mean_resid, max_resid."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m_ = ixs.read_manifest(path)
+    p = m_["params"]
+    m, sub, k_codes = int(p["m"]), int(p["sub"]), int(p["k_codes"])
+    id_col = m_["id_col"]
+    cb_rows = spark.read.parquet(os.path.join(path, m_["codebooks"])).collect()
+    cvs = {
+        (int(r["j"]), int(r["code"])): [float(x) for x in r["cv"]]
+        for r in cb_rows
+    }
+    sample = embeddings.where(
+        F.col(id_col) % F.lit(int(sample_mod)) == 0
+    ).select(F.col(vec_col).cast("array<double>").alias("v"))
+    staged = sample.select(
+        *[F.slice("v", j * sub + 1, sub).alias(f"_sv{j}") for j in range(m)]
+    )
+
+    def _dist(j: int, c: int):
+        # Same round-6 squared L2 as the ADC distance table (and the
+        # oracle's round(power(list_distance, 2), 6)).
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(f"_sv{j}"),
+                    _lit_vec(cvs[(j, c)]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    dq = [
+        F.round(
+            F.array_min(F.array(*[_dist(j, c) for c in range(k_codes)]))
+            * F.lit(1e6)
+        ).cast("long")
+        for j in range(m)
+    ]
+    resid_q = dq[0]
+    for term in dq[1:]:
+        resid_q = resid_q + term
+    return staged.select(resid_q.alias("rq")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        (
+            F.sum("rq").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_resid"),
+        (F.max("rq").cast("double") / F.lit(1e6)).alias("max_resid"),
+    )
+
+
 def pq_index_append(
     new_embeddings: DataFrame,
     path: str,

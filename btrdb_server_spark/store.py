@@ -484,7 +484,13 @@ class PointStore:
         and any scan planned before the flip keeps its listing readable
         for at least generations_retained - 1 intervals. Widening it
         trades disk for feed-lag tolerance; it can vary per call (the
-        retained list lives in the manifest)."""
+        retained list lives in the manifest). The DELETE feed rides the
+        same ledger: tombstone files folded by a compaction stay in place
+        under the deletes dataset for generations_retained - 1
+        compactions (they are outranked by every post-compaction row's
+        ins_ver, so batch reads never re-apply them), giving
+        changefeed_deletes the identical lag contract the insert feed
+        has."""
         if generations_retained < 2:
             raise ValueError("generations_retained must be >= 2 (live + 1)")
         num_buckets = num_buckets or self.num_buckets
@@ -529,8 +535,13 @@ class PointStore:
             )
             dels = self._deletes()
             if dels is not None:
+                # `ver > compacted` excludes tombstone files RETAINED for
+                # lagging delete-feeds (folded into the base by an earlier
+                # compaction): they no longer touch any bucket.
                 fresh = fresh.unionByName(
-                    dels.select(bucket_of.alias("b")).distinct()
+                    dels.where(F.col("ver") > F.lit(compacted))
+                    .select(bucket_of.alias("b"))
+                    .distinct()
                 )
             touched = sorted({r.b for r in fresh.collect()})
 
@@ -592,17 +603,42 @@ class PointStore:
             retired[:-keep] if keep else retired,
             retired[-keep:] if keep else [],
         )
+        # Tombstone files folded by THIS compaction enter the same
+        # retention ledger as the points generations (feed-lag parity for
+        # changefeed_deletes): they stay IN PLACE under deletes_path —
+        # the file-source feed tracks files by path, so moving them would
+        # hide not-yet-drained tombstones — for generations_retained - 1
+        # compactions, then age out. Batch readers are unaffected: the
+        # visibility anti-join requires ins_ver < ver, and every
+        # new-generation row carries ins_ver = v >= any folded
+        # tombstone's ver (changes() likewise filters ver > from_ver >=
+        # compacted_through); the touched-bucket scan above filters them
+        # explicitly.
+        dgroups = [g for g in (m.get("retired_delete_files") or []) if g]
+        already = {f for g in dgroups for f in g}
+        folded = sorted(
+            f
+            for f in os.listdir(self.deletes_path)
+            if not f.startswith(("_", ".")) and f not in already
+        ) if os.path.isdir(self.deletes_path) else []
+        if folded:
+            dgroups.append(folded)
+        stale_dgroups, m["retired_delete_files"] = (
+            dgroups[:-keep] if keep else dgroups,
+            dgroups[-keep:] if keep else [],
+        )
         m["points_dir"] = new_dir
         self._write_manifest(m)  # atomic flip: readers switch here
-        # Tombstones are folded into the snapshot, so they are cleared
-        # AFTER the flip: new-generation readers never consult them
-        # (has_deletes is false in the flipped manifest, and the snapshot
-        # rows carry ins_ver=v which no old tombstone outranks), while a
-        # reader still on the pre-flip manifest keeps them for as long as
-        # possible.
-        if os.path.exists(self.deletes_path):
-            shutil.rmtree(self.deletes_path)
-            os.makedirs(self.deletes_path)
+        # Retention-expired files are reclaimed AFTER the flip: a reader
+        # still on the pre-flip manifest keeps its listing for as long as
+        # possible (has_deletes is false in the flipped manifest, and the
+        # snapshot rows carry ins_ver=v which no old tombstone outranks).
+        import contextlib
+
+        for g in stale_dgroups:
+            for f in g:
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(self.deletes_path, f))
         for stale in stale_dirs:
             shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
         self.num_buckets = num_buckets

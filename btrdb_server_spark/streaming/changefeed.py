@@ -55,14 +55,76 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _committed_version_fence(store):
-    """Boolean pandas_udf `ins_ver <= committed manifest version`,
-    re-reading the manifest at EXECUTION time — i.e. fresh on every
-    micro-batch (an Arrow-batch file read of a <KB json on the shared
-    store volume). This is what lets a RUNNING feed fence out a crashed
-    writer's orphan dir: a static literal would freeze the version at
-    stream start and filter out all later legitimate commits."""
+class PhantomVersionError(RuntimeError):
+    """A changefeed micro-batch carries rows whose ins_ver exceeds the
+    committed manifest version and the manifest did not catch up within
+    the grace window — the signature of a writer that crashed between
+    _write_version's rename and the manifest commit. The micro-batch
+    FAILS (so the checkpointed file source re-delivers the same files on
+    restart) instead of silently dropping rows: in the overwhelmingly
+    common case the gap is just the normal rename-then-commit window of
+    a LIVE insert, and dropping there would permanently lose committed
+    rows — the file log marks listed files processed and never re-reads
+    them."""
+
+
+def fence_batch(store, batch_df: DataFrame, grace_sec: float = 0.1,
+                max_wait_sec: float = 10.0) -> DataFrame:
+    """Driver-side version fence for a changefeed micro-batch — the
+    recommended fence shape: call it first inside foreachBatch.
+
+    Reads max(ins_ver) of the batch (one column-pruned JVM action — the
+    batch is micro-batch-sized) and compares it against the committed
+    manifest version read ON THE DRIVER (the process that owns the store
+    path; executors never open() the manifest, so this works when the
+    data plane is object storage the executors see but the manifest
+    lives behind the driver's filesystem). While the batch runs ahead of
+    the manifest it WAITS — this is the normal insert window between
+    _write_version's rename and the manifest commit, which resolves in
+    milliseconds — and only if the writer never commits within
+    `max_wait_sec` (a crashed writer's orphan) does it raise
+    PhantomVersionError, failing the micro-batch so the file source
+    re-delivers the same files after recovery (run store.recover(), set
+    spark.sql.files.ignoreMissingFiles=true for the restart so the
+    quarantined orphan files read as absent; the retried insert's own
+    files then deliver the rows exactly once). NEVER drops a row: every
+    outcome is deliver-all or fail-and-retry."""
+    import time as _time
+
+    mx = batch_df.agg(F.max("ins_ver").alias("mx")).first()["mx"]
+    if mx is None:
+        return batch_df
+    v = store.version
+    deadline = _time.monotonic() + max_wait_sec
+    while mx > v and _time.monotonic() < deadline:
+        _time.sleep(grace_sec)
+        v = store.version
+    if mx > v:
+        raise PhantomVersionError(
+            f"micro-batch carries ins_ver={mx} > committed version {v} "
+            f"after {max_wait_sec}s — crashed-writer orphan; run "
+            "store.recover() and restart the stream "
+            "(spark.sql.files.ignoreMissingFiles=true)"
+        )
+    return batch_df
+
+
+def _committed_version_fence(store, grace_sec: float, max_wait_sec: float):
+    """Boolean pandas_udf implementing fence_batch's wait-then-FAIL
+    contract inside the scan itself, re-reading the manifest at EXECUTION
+    time (fresh every micro-batch). Requires executors to open() the
+    manifest path — i.e. a shared POSIX store volume; prefer fence_batch
+    (driver-side, pure-JVM plan) on real clusters.
+
+    Never drops a row: a batch running ahead of the manifest (the normal
+    rename-then-commit window of a live insert) WAITS for the commit;
+    only a writer that never commits within max_wait_sec — a crashed
+    writer's orphan — fails the batch, so the checkpointed file source
+    re-delivers those files after recovery instead of marking them
+    processed with their rows silently filtered (which permanently lost
+    committed rows in the normal window)."""
     import json as _json
+    import time as _time
 
     from pyspark.sql.functions import pandas_udf
 
@@ -70,9 +132,23 @@ def _committed_version_fence(store):
 
     @pandas_udf("boolean")
     def _fence(ins_ver):
-        with open(manifest_path) as f:
-            v = int(_json.load(f)["version"])
-        return ins_ver <= v
+        def committed() -> int:
+            with open(manifest_path) as f:
+                return int(_json.load(f)["version"])
+
+        v = committed()
+        mx = int(ins_ver.max()) if len(ins_ver) else 0
+        deadline = _time.monotonic() + max_wait_sec
+        while mx > v and _time.monotonic() < deadline:
+            _time.sleep(grace_sec)
+            v = committed()
+        if mx > v:
+            raise RuntimeError(
+                f"PhantomVersionError: ins_ver={mx} > committed {v} after "
+                f"{max_wait_sec}s — crashed-writer orphan; run "
+                "store.recover() and restart the stream"
+            )
+        return ins_ver <= v  # all True: the batch is fully committed
 
     return _fence
 
@@ -82,6 +158,8 @@ def changefeed(
     include_version: bool = True,
     max_files_per_trigger: Optional[int] = None,
     version_fence: bool = False,
+    fence_grace_sec: float = 0.1,
+    fence_max_wait_sec: float = 10.0,
 ) -> DataFrame:
     """Streaming DataFrame of committed inserts (uuid, time, value
     [, ins_ver]) across ALL streams of a PointStore. Filter by uuid for a
@@ -96,14 +174,22 @@ def changefeed(
     `version_fence=True` closes the last documented phantom window for a
     feed RUNNING at the instant a writer crashes between _write_version's
     rename and the manifest commit: every micro-batch re-reads the
-    committed manifest version (execution-time pandas_udf) and drops rows
-    whose ins_ver exceeds it, so the orphan dir is never delivered — and
-    once the recovery retry commits that version, the retry's own files
-    deliver the rows exactly once. Residual: only a micro-batch that read
-    the orphan's files while recovery + retry + commit ALL completed
-    inside the same trigger can still pass them (orders of magnitude
-    narrower than the unfenced contract). Off by default: the fence adds
-    an Arrow-batched udf filter to an otherwise pure-JVM scan."""
+    committed manifest version at execution time and — crucially — a
+    batch whose ins_ver runs AHEAD of the manifest WAITS for the commit
+    and then delivers everything; only a version that never commits
+    within `fence_max_wait_sec` (a crashed writer's orphan) FAILS the
+    micro-batch, so the checkpointed file source re-delivers the same
+    files after recovery. It never silently drops: the rename lands
+    BEFORE the manifest commit on every normal insert, so a
+    filter-and-drop fence would permanently lose those committed rows
+    whenever a micro-batch listed them inside that window (the file log
+    marks listed files processed and never re-reads them). Off by
+    default, and implemented as an execution-time pandas_udf that open()s
+    the manifest from executors — it requires a shared POSIX store
+    volume and puts an Arrow-batched filter on an otherwise pure-JVM
+    scan; on a real cluster prefer the driver-side fence_batch() inside
+    foreachBatch, which has the same wait-then-fail contract with a
+    pure-JVM plan and no executor manifest access."""
     from btrdb_server_spark.store import FRESH_BUCKET
 
     glob = os.path.join(
@@ -129,7 +215,10 @@ def changefeed(
             ).cast("long"),
         )
     if version_fence:
-        df = df.where(_committed_version_fence(store)(F.col("ins_ver")))
+        fence = _committed_version_fence(
+            store, fence_grace_sec, fence_max_wait_sec
+        )
+        df = df.where(fence(F.col("ins_ver")))
         if not include_version:
             df = df.drop("ins_ver")
     return df
@@ -148,11 +237,17 @@ def changefeed_deletes(
     IN the row, so a consumer can merge this feed with changefeed()'s
     ins_ver into one totally-ordered version history.
 
-    Caveat (same LSM-CDC contract as the insert feed): compaction folds
-    tombstones into the snapshot and clears the dataset
-    (store.py:530-532) — a feed lagging more than one compaction can
-    lose not-yet-processed tombstones. Operate with feed latency below
-    the compaction cadence."""
+    Retention (same LSM-CDC contract AND the same knob as the insert
+    feed): compaction folds tombstones into the snapshot, but the folded
+    files stay in place under the deletes dataset on the same
+    generations_retained ledger as the points generations
+    (store.compact) — the delete feed may lag up to
+    generations_retained - 2 full compaction intervals without losing
+    not-yet-processed tombstones (default N=2 = one interval of
+    retention; widen N to trade disk for lag tolerance). Retained files
+    are invisible to batch readers: the MVCC anti-join requires
+    ins_ver < ver and every post-compaction row carries the compaction
+    version, which no folded tombstone outranks."""
     reader = store.spark.readStream.schema(
         "uuid string, start long, end long, ver long"
     )

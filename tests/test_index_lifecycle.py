@@ -886,3 +886,39 @@ def test_empty_lsh_build_reads_as_empty_index(spark, docs, tmp_path):
     assert [
         tuple(r) for r in incremental_dedup_pairs(probe_docs, p).collect()
     ] == [tuple(r) for r in incremental_dedup_pairs(probe_docs, p2).collect()]
+
+
+def test_pq_index_drift_detects_shifted_corpus(spark, emb, tmp_path):
+    """pq_index_drift (VERDICT r11 #5): the reconstruction residual of
+    the frozen quantizer must be deterministic, sample the id % mod rows,
+    and GROW on a corpus that drifted away from the training data — the
+    operator's rebuild trigger."""
+    from btrdb_server_spark.functions.similarity import (
+        _pq_codebook_seed,
+        centroids_from_rows,
+        pq_index_build,
+        pq_index_drift,
+    )
+
+    cents = centroids_from_rows(emb, 4)
+    cb = _pq_codebook_seed(emb, 4, 8, "vec_id", "embedding", 8)
+    p = str(tmp_path / "pq")
+    pq_index_build(emb, p, cents, k=4, m=4, k_codes=8, codebook=cb, dim=8)
+
+    base = pq_index_drift(spark, p, emb, sample_mod=3).first()
+    assert base["n_sampled"] == emb.where("vec_id % 3 = 0").count()
+    assert 0.0 <= base["mean_resid"] <= base["max_resid"]
+
+    # a shifted corpus (what tomorrow's crawl looks like after drift)
+    shifted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(7.0) + F.lit(3.0)).alias(
+            "embedding"
+        ),
+    )
+    drifted = pq_index_drift(spark, p, shifted, sample_mod=3).first()
+    assert drifted["mean_resid"] > 2 * base["mean_resid"]
+
+    # deterministic: the gauge is a pure function of (index, sample)
+    again = pq_index_drift(spark, p, emb, sample_mod=3).first()
+    assert tuple(again) == tuple(base)

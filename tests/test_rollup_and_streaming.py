@@ -720,10 +720,11 @@ def test_index_generations_retained_widens_scan_safety(spark, tmp_path):
 
 
 def test_version_fenced_changefeed_never_delivers_phantoms(spark, tmp_path):
-    """changefeed(version_fence=True): a feed whose checkpoint predates a
-    writer crash (orphan ins_ver dir newer than the committed manifest)
-    must deliver NOTHING for the never-committed version — and after the
-    recovery retry commits it, exactly the retry's rows, once."""
+    """changefeed(version_fence=True): a micro-batch that read a crashed
+    writer's orphan dir (ins_ver newer than the committed manifest, and
+    the commit never arrives) must FAIL — never silently drop — so the
+    checkpointed file source re-delivers after recovery; the retry's
+    rows then arrive exactly once."""
     import glob as globmod
     import json as _json
     import shutil as _shutil
@@ -733,9 +734,11 @@ def test_version_fenced_changefeed_never_delivers_phantoms(spark, tmp_path):
 
     store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
     ckpt = str(tmp_path / "ckpt")
-    feed = changefeed(store, version_fence=True)
+    feed = changefeed(
+        store, version_fence=True, fence_grace_sec=0.05, fence_max_wait_sec=1.0
+    )
 
-    def drain():
+    def drain(expect_fail=False):
         rows = []
         q = (
             feed.writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
@@ -743,21 +746,29 @@ def test_version_fenced_changefeed_never_delivers_phantoms(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
+        if expect_fail:
+            from pyspark.errors import StreamingQueryException
+
+            with pytest.raises(StreamingQueryException):
+                q.awaitTermination(120)
+                raise AssertionError("fenced phantom batch must fail")
+            assert rows == []  # and nothing was delivered
+            return None
         assert q.awaitTermination(120)
         return sorted((r.uuid, r.time, r.value, r.ins_ver) for r in rows)
 
     store.insert("a", [(1, 1.0)])  # v1 commits
     assert drain() == [("a", 1, 1.0, 1)]
 
-    # crash: v2's data dir renamed into place, manifest commit lost
+    # crash: v2's data dir renamed into place, manifest commit lost forever
     manifest = _json.load(open(store.manifest_path))
     store.insert("a", [(2, 999.0)])  # would be v2
     _json.dump(manifest, open(store.manifest_path, "w"))  # roll back
     orphan = globmod.glob(f"{store.path}/points*/ins_ver=2")
     assert orphan  # the phantom dir a running feed would otherwise glob
 
-    # the fenced feed delivers nothing for the never-committed version
-    assert drain() == []
+    # the fenced feed FAILS the batch (fail-and-retry, not drop-and-lose)
+    drain(expect_fail=True)
 
     # recovery: quarantine the orphan (writer reopen) and retry the insert
     _shutil.rmtree(orphan[0])
@@ -765,5 +776,151 @@ def test_version_fenced_changefeed_never_delivers_phantoms(spark, tmp_path):
         "a", [(2, 2.0)]
     )
     assert v == 2
-    # exactly the retry's rows arrive — once, with the committed version
-    assert drain() == [("a", 2, 2.0, 2)]
+    # restart: the failed batch re-lists the quarantined (now absent)
+    # orphan files — ignoreMissingFiles lets it complete empty, and the
+    # retry's own files deliver the rows exactly once
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try:
+        assert drain() == [("a", 2, 2.0, 2)]
+    finally:
+        spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
+
+
+def test_version_fence_waits_out_commit_window_no_loss(spark, tmp_path):
+    """The fence must NOT drop rows listed in the NORMAL window between
+    the insert's data-dir rename and its manifest commit (the rename
+    lands first on every insert): the micro-batch waits for the commit
+    and then delivers everything. A drop here is permanent loss — the
+    file log marks the listed files processed and never re-reads them."""
+    import json as _json
+    import threading
+
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    store.insert("a", [(1, 1.0)])  # v1 commits
+    pre = _json.load(open(store.manifest_path))
+    store.insert("a", [(2, 2.0)])  # v2: dir renamed AND committed...
+    committed = _json.load(open(store.manifest_path))
+    _json.dump(pre, open(store.manifest_path, "w"))  # ...rewind to the window
+
+    # the manifest commit lands while the fenced micro-batch is waiting
+    t = threading.Timer(
+        1.0, lambda: _json.dump(committed, open(store.manifest_path, "w"))
+    )
+    t.start()
+    rows = []
+    q = (
+        changefeed(
+            store,
+            version_fence=True,
+            fence_grace_sec=0.05,
+            fence_max_wait_sec=30.0,
+        )
+        .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    t.join()
+    # BOTH versions' rows arrive — v2 was committed, only its manifest
+    # write raced the listing; the r11 filter-fence silently lost it
+    assert sorted((r.uuid, r.time, r.value, r.ins_ver) for r in rows) == [
+        ("a", 1, 1.0, 1),
+        ("a", 2, 2.0, 2),
+    ]
+
+
+def test_fence_batch_driver_side_contract(spark, tmp_path):
+    """fence_batch (the cluster-shape fence: driver-side manifest read,
+    pure-JVM plan, for use inside foreachBatch): waits out the normal
+    commit window, raises PhantomVersionError on a never-committing
+    orphan, passes committed batches through untouched."""
+    import threading
+
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import (
+        PhantomVersionError,
+        fence_batch,
+    )
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert("a", [(1, 1.0)])  # committed version = 1
+    batch = spark.createDataFrame(
+        [("a", 1, 1.0, 1), ("a", 2, 2.0, 2)],
+        "uuid string, time long, value double, ins_ver long",
+    )
+    # orphan: version 2 never commits within the wait -> fail, not drop
+    with pytest.raises(PhantomVersionError):
+        fence_batch(store, batch, grace_sec=0.05, max_wait_sec=0.5)
+
+    # normal window: the commit lands while the fence waits -> all rows
+    t = threading.Timer(0.5, lambda: store.insert("a", [(2, 2.0)]))
+    t.start()
+    out = fence_batch(store, batch, grace_sec=0.05, max_wait_sec=30.0)
+    t.join()
+    assert out is batch and out.count() == 2
+
+    # fully-committed batch (and a batch with NULL max) pass straight through
+    assert fence_batch(store, batch, max_wait_sec=0.1).count() == 2
+    empty = batch.where("ins_ver > 99")
+    assert fence_batch(store, empty, max_wait_sec=0.1).count() == 0
+
+
+def test_deletes_feed_survives_lagging_one_compaction_at_n3(spark, tmp_path):
+    """VERDICT r11 #7 — retention parity for the DELETE feed: with
+    generations_retained=3 a changefeed_deletes may lag a full compaction
+    interval; tombstones folded by a compaction it never drained are
+    still on disk (in place, same paths) through the NEXT compaction, so
+    the late drain loses nothing. The third compaction ages them out.
+    Batch reads meanwhile never re-apply the folded tombstones."""
+    import glob as _g
+    import os as _os
+
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed_deletes
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        rows = []
+        q = (
+            changefeed_deletes(store)
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {(r.uuid, r.start, r.end, r.ver) for r in rows}
+
+    store.insert("a", [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)])  # v1
+    store.delete_range("a", 1, 2)  # v2
+    assert drain() == {("a", 1, 2, 2)}
+
+    # The feed now LAGS: these deletes are never drained before the
+    # compactions that fold them.
+    store.delete_range("a", 2, 3)              # v3 -> folded by compact A
+    store.compact(generations_retained=3)      # A: v3's tombstone retained
+    store.delete_range("a", 3, 4)              # v4 -> folded by compact B
+    store.compact(generations_retained=3)      # B: both still retained
+    store.delete_range("a", 4, 5)              # v5 -> live tombstone
+
+    # the late drain still delivers every tombstone exactly once
+    assert drain() == {("a", 2, 3, 3), ("a", 3, 4, 4), ("a", 4, 5, 5)}
+    # and batch reads never re-applied the folded tombstones: only the
+    # not-yet-compacted delete (4,5) plus the folded history is excluded
+    assert sorted(
+        (r.time, r.value) for r in store.points_at().collect()
+    ) == []
+
+    # a third compaction ages the oldest folded group out of the ledger
+    n_before = len(_g.glob(_os.path.join(store.deletes_path, "*.parquet")))
+    store.insert("a", [(9, 9.0)])
+    store.compact(generations_retained=3)
+    n_after = len(_g.glob(_os.path.join(store.deletes_path, "*.parquet")))
+    assert n_after < n_before
