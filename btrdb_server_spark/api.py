@@ -415,15 +415,23 @@ class BTrDB:
         return sql_op(self, text)
 
     def changefeed(self, include_version: bool = True,
-                   max_files_per_trigger: Optional[int] = None) -> DataFrame:
+                   max_files_per_trigger: Optional[int] = None,
+                   version_fence: bool = False) -> DataFrame:
         """Streaming CDC of committed inserts — a readStream subscription
         to the store's fresh-version sentinel dirs (insert-only; see
-        streaming/changefeed.py for the delete/compaction caveats). The
-        Spark-native replacement for the reference clients' poll-Changes
-        sync loop (quasar.go:404-485)."""
+        streaming/changefeed.py for the delete/compaction caveats and
+        the wait-then-fail `version_fence`; prefer
+        streaming.changefeed.fence_batch inside foreachBatch on a real
+        cluster). The Spark-native replacement for the reference
+        clients' poll-Changes sync loop (quasar.go:404-485)."""
         from btrdb_server_spark.streaming.changefeed import changefeed as cf
 
-        return cf(self.store, include_version, max_files_per_trigger)
+        return cf(
+            self.store,
+            include_version,
+            max_files_per_trigger,
+            version_fence=version_fence,
+        )
 
     def changefeed_deletes(
         self, max_files_per_trigger: Optional[int] = None
