@@ -1350,25 +1350,15 @@ def lsh_index_build(
             _band_rows(sigs, id_col, num_hashes, bands)
             .withColumnRenamed(id_col, "index_id")
         )
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        d = ixs.table_batch_dir(path, m, "bands", batch)
-        rows.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.partitionBy(
-            "band"
-        ).parquet(d)
-        n_rows = int(obs.get["n_rows"] or 0)
+        n_rows = ixs.write_partitioned_batch(
+            rows, ixs.table_batch_dir(path, m, "bands", batch), "band"
+        )
         if n_rows == 0:
-            # A zero-row partitioned write leaves a file-less (unreadable)
-            # dir: drop it. An empty APPEND commits nothing (in particular
-            # it must not clear a fully-retired index's empty_tables mark);
-            # an empty BUILD commits a batch-less manifest whose schema
-            # record lets read_table synthesize the empty index (same
-            # shape as a fully-retired compaction — a later append then
-            # revives it as batch 0).
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+            # An empty APPEND commits nothing (in particular it must not
+            # clear a fully-retired index's empty_tables mark); an empty
+            # BUILD commits a batch-less manifest whose schema record lets
+            # read_table synthesize the empty index (same shape as a
+            # fully-retired compaction — a later append revives batch 0).
             if mode != "overwrite":
                 return
             m["batches"] = []

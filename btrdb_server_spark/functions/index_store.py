@@ -101,6 +101,29 @@ def _read_lock(lock: str) -> Optional[str]:
         return None
 
 
+def _parse_lock(cur: str):
+    """(host, pid, ttl) from lock content. Current format is
+    ``host:pid:token:ttl``; r12-early locks lack the ttl; legacy locks
+    are a bare pid (same-host by construction). Unparseable/empty
+    content returns (None, 0, None) — the holder may be mid-write, so
+    it is NOT treated as a dead same-host pid."""
+    parts = cur.split(":")
+    if len(parts) >= 3:
+        try:
+            pid = int(parts[1])
+        except ValueError:
+            pid = 0
+        ttl = None
+        if len(parts) >= 4:
+            with contextlib.suppress(ValueError):
+                ttl = float(parts[3])
+        return parts[0], pid, ttl
+    try:
+        return socket.gethostname(), int(cur), None  # legacy bare pid
+    except ValueError:
+        return None, 0, None
+
+
 def _pid_alive(pid: int) -> bool:
     if pid <= 0:
         return False
@@ -126,24 +149,30 @@ def writer_lock(path: str, lease_ttl_sec: float = LEASE_TTL_SEC):
     - SAME-HOST lock whose pid is gone — a crashed local writer —
       stealable immediately (pid liveness is authoritative locally);
     - FOREIGN-HOST lock (shared storage) — stealable only once its
-      heartbeat mtime is older than `lease_ttl_sec`; a live remote
-      writer keeps the mtime fresh, so it can never be stolen merely
-      because its pid NUMBER happens to be dead on this host.
-    The steal itself is ATOMIC (rename of a uniquely-named replacement
-    over the stale lock, then verify-own-token): two contenders both
-    diagnosing the same stale lock produce exactly one winner — the
-    loser's rename is overwritten and its verification read fails.
-    Release verifies ownership too, so a stolen-from writer's cleanup
+      heartbeat mtime is older than the lease TTL the HOLDER recorded in
+      the lockfile (falling back to this call's `lease_ttl_sec` for
+      locks predating the recorded TTL), so processes configured with
+      different TTLs can never steal a live writer that is heartbeating
+      on its own schedule;
+    - EMPTY/unparseable content (a holder between its O_EXCL create and
+      its token write, or a writer that crashed exactly there) — never
+      treated as a dead pid; stealable only past the TTL, like a
+      foreign lease.
+    The steal itself is ATOMIC: the stale lock is renamed ASIDE to a
+    unique name — of N contenders diagnosing the same stale lock exactly
+    one rename succeeds (the losers' source vanishes and they raise) —
+    and the winner then re-enters the normal O_EXCL create. Release and
+    heartbeat verify ownership first, so a stolen-from writer's cleanup
     can no longer unlink the thief's live lock. Residual TOCTOU windows
-    (verify-then-unlink, steal racing a fresh legitimate acquire) are
-    microseconds wide and backstopped by write_manifest's CAS fence —
-    concurrent flips still fail loudly at commit."""
+    (verify-then-unlink on release, a steal racing a holder's normal
+    release) are microseconds wide and backstopped by write_manifest's
+    CAS fence — concurrent flips still fail loudly at commit."""
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, WRITER_LOCK)
     host = socket.gethostname()
-    token = f"{host}:{os.getpid()}:{uuidlib.uuid4().hex}"
+    token = f"{host}:{os.getpid()}:{uuidlib.uuid4().hex}:{lease_ttl_sec:g}"
     acquired = False
-    for attempt in (0, 1):
+    for attempt in (0, 1, 2):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, token.encode())
@@ -154,40 +183,40 @@ def writer_lock(path: str, lease_ttl_sec: float = LEASE_TTL_SEC):
             cur = _read_lock(lock)
             if cur is None:
                 continue  # holder released between our open and read: retry
-            parts = cur.split(":")
-            lock_host = parts[0] if len(parts) >= 3 else host
+            lock_host, lock_pid, lock_ttl = _parse_lock(cur)
             try:
-                lock_pid = int(parts[1] if len(parts) >= 3 else (cur or "0"))
-            except ValueError:
-                lock_pid = 0
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # vanished mid-diagnosis: retry the O_EXCL
             if lock_host == host:
                 stale = not _pid_alive(lock_pid)
-            else:  # cross-host: only an expired heartbeat lease is stale
-                try:
-                    age = time.time() - os.path.getmtime(lock)
-                except OSError:
-                    continue  # vanished mid-diagnosis: retry the O_EXCL
-                stale = age > lease_ttl_sec
-            if not stale or attempt:
+            else:  # foreign/unknown: only an expired heartbeat lease
+                stale = age > (
+                    lock_ttl if lock_ttl and lock_ttl > 0 else lease_ttl_sec
+                )
+            if not stale or attempt == 2:
                 raise ConcurrentIndexWriterError(
                     f"index writer lock already held "
                     f"(host {lock_host}, pid {lock_pid}): {lock}"
                 )
-            # Atomic steal: rename a unique replacement over the stale
-            # lock, then verify our token survived — of N concurrent
-            # stealers exactly the last rename wins and every loser sees
-            # a foreign token and raises.
-            tmp = f"{lock}.steal.{os.getpid()}.{uuidlib.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(token)
-            os.rename(tmp, lock)
-            if _read_lock(lock) == token:
-                acquired = True
-                break
-            raise ConcurrentIndexWriterError(
-                f"lost the stale-lock steal race to another writer: {lock}"
-            )
-    if not acquired:  # unreachable belt-and-braces (loop raises or breaks)
+            # Atomic steal: rename the stale lock ASIDE. rename() has
+            # exactly one winner per source file — every losing
+            # contender's rename raises FileNotFoundError — so two
+            # stealers can never both proceed (the flaw of steal-by-
+            # overwrite, where the first stealer's verification read
+            # passes before the second stealer's rename lands).
+            aside = f"{lock}.stale.{os.getpid()}.{uuidlib.uuid4().hex}"
+            try:
+                os.rename(lock, aside)
+            except FileNotFoundError:
+                raise ConcurrentIndexWriterError(
+                    f"lost the stale-lock steal race to another writer: {lock}"
+                )
+            with contextlib.suppress(OSError):
+                os.unlink(aside)
+            # loop re-enters the O_EXCL create; a third party that slips
+            # in first makes it fail loudly at the liveness check above
+    if not acquired:
         raise ConcurrentIndexWriterError(f"could not acquire {lock}")
     stop = threading.Event()
 
@@ -340,6 +369,26 @@ def table_batch_dir(path: str, m: dict, table: str, batch: int) -> str:
 
 def next_batch(m: dict) -> int:
     return max(m["batches"], default=-1) + 1
+
+
+def write_partitioned_batch(df: DataFrame, d: str, partition_col: str) -> int:
+    """Write one batch table partitioned by its layout key and return the
+    EXACT row count, observed on the write job itself (no second pass).
+    A zero-row batch REMOVES the directory the write just created — an
+    empty partitioned parquet write leaves a file-less dir that poisons
+    a later all-batches read — so the caller must then commit nothing
+    for it (an append no-op) or record the schema under empty_tables
+    (an empty build). Shared by the LSH / IVF / PQ batch writers."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.partitionBy(
+        partition_col
+    ).parquet(d)
+    n = int(obs.get["n"] or 0)
+    if n == 0:
+        shutil.rmtree(d, ignore_errors=True)
+    return n
 
 
 def mark_table(

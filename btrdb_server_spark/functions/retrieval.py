@@ -14,6 +14,8 @@ __spark_entry__.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -498,26 +500,38 @@ def bm25_index_append(
             .select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
             .localCheckpoint(eager=True)
         )
-        toks.select(id_col, "dl").write.parquet(
-            ixs.table_batch_dir(path, m, "docs", n)
-        )
-        post = _bm25_postings(toks, id_col, buckets)
-        (
-            post.repartition("bucket")
-            .sortWithinPartitions("term")
-            .write.partitionBy("bucket")
-            .parquet(ixs.table_batch_dir(path, m, "postings", n))
-        )
         batch = toks.agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),
         ).first()
+        if int(batch["n_docs"] or 0) == 0:
+            # Empty crawl batch: a committed no-op — writing it would leave
+            # a file-less partitioned postings dir and could clear a fully-
+            # retired index's empty_tables mark for zero new rows.
+            return
+        toks.select(id_col, "dl").write.parquet(
+            ixs.table_batch_dir(path, m, "docs", n)
+        )
+        post = _bm25_postings(toks, id_col, buckets)
+        post_dir = ixs.table_batch_dir(path, m, "postings", n)
+        n_post = ixs.write_partitioned_batch(
+            post.repartition("bucket").sortWithinPartitions("term"),
+            post_dir,
+            "bucket",
+        )
         # Revive tables after a fully-retired compaction: clear the
         # empty-table marks only for tables this batch actually put rows
-        # in (postings are nonempty iff the batch carried tokens).
-        if int(batch["n_docs"] or 0):
-            ixs.mark_table(m, "docs", 1, toks.schema)
-        if int(batch["sum_dl"] or 0):
+        # in (postings are nonempty iff the batch carried tokens). A
+        # docs-only batch (every doc empty) contributes no postings: while
+        # the postings table is MARKED empty its batch dir must stay
+        # absent (read_table synthesizes from the schema record), but an
+        # UNMARKED (populated) table requires every committed batch dir to
+        # exist — a file-less placeholder among populated dirs reads fine
+        # and keeps the loss-detection contract intact.
+        if n_post == 0 and "postings" not in (m.get("empty_tables") or {}):
+            os.makedirs(post_dir, exist_ok=True)
+        ixs.mark_table(m, "docs", 1, toks.schema)
+        if n_post:
             ixs.mark_table(m, "postings", 1, post.schema)
         m["stats"]["n_docs"] += int(batch["n_docs"] or 0)
         m["stats"]["sum_dl"] += int(batch["sum_dl"] or 0)

@@ -1696,20 +1696,10 @@ def ivf_index_append(
             key=lambda r: r["cid"],
         )
         cells = _assigned_cells(new_embeddings, cent_rows, m["id_col"], vec_col)
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        d = ixs.table_batch_dir(path, m, "cells", n)
-        cells.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.partitionBy(
-            "cluster"
-        ).parquet(d)
-        if int(obs.get["n_rows"] or 0) == 0:
-            # Empty batch: commit nothing (see pq_index_append) — the write
-            # left a file-less dir and must not clear an empty_tables mark.
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
-            return
+        if not ixs.write_partitioned_batch(
+            cells, ixs.table_batch_dir(path, m, "cells", n), "cluster"
+        ):
+            return  # empty batch: a committed no-op (see pq_index_append)
         ixs.mark_table(m, "cells", 1, cells.schema)  # revive after empty compact
         m["batches"] = m["batches"] + [n]
         ixs.write_manifest(path, m)  # atomic commit of the batch
@@ -2191,20 +2181,12 @@ def pq_index_append(
             id_col,
             vec_col,
         )
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        d = ixs.table_batch_dir(path, m_, "cells", n)
-        cells.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.partitionBy(
-            "cluster"
-        ).parquet(d)
-        if int(obs.get["n_rows"] or 0) == 0:
-            # Empty batch: a file-less partitioned dir is unreadable and
-            # clearing a fully-retired index's empty_tables mark for ZERO
-            # new rows would break the next read — commit nothing.
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+        if not ixs.write_partitioned_batch(
+            cells, ixs.table_batch_dir(path, m_, "cells", n), "cluster"
+        ):
+            # Empty batch: clearing a fully-retired index's empty_tables
+            # mark for ZERO new rows would break the next read (the write
+            # leaves a file-less dir) — commit nothing.
             return
         ixs.mark_table(m_, "cells", 1, cells.schema)  # revive after empty compact
         m_["batches"] = m_["batches"] + [n]

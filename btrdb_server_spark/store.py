@@ -639,6 +639,10 @@ class PointStore:
             for f in g:
                 with contextlib.suppress(OSError):
                     os.unlink(os.path.join(self.deletes_path, f))
+                # the local-FS ChecksumFileSystem writes a .<name>.crc
+                # sidecar per part file; reclaim it with its data file
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(self.deletes_path, f".{f}.crc"))
         for stale in stale_dirs:
             shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
         self.num_buckets = num_buckets

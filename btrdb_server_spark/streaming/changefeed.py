@@ -91,6 +91,12 @@ def fence_batch(store, batch_df: DataFrame, grace_sec: float = 0.1,
     outcome is deliver-all or fail-and-retry."""
     import time as _time
 
+    if "ins_ver" not in batch_df.columns:
+        raise ValueError(
+            "fence_batch needs the ins_ver column: build the feed with "
+            "changefeed(include_version=True) and drop the column in your "
+            "sink after the fence"
+        )
     mx = batch_df.agg(F.max("ins_ver").alias("mx")).first()["mx"]
     if mx is None:
         return batch_df

@@ -922,3 +922,92 @@ def test_pq_index_drift_detects_shifted_corpus(spark, emb, tmp_path):
     # deterministic: the gauge is a pure function of (index, sample)
     again = pq_index_drift(spark, p, emb, sample_mod=3).first()
     assert tuple(again) == tuple(base)
+
+
+def test_writer_lease_empty_and_recorded_ttl_rules(tmp_path):
+    """Review hardening: (a) EMPTY lock content (a holder between its
+    O_EXCL create and its token write) must never parse as a dead pid —
+    it is stealable only past the TTL; (b) foreign-lock staleness uses
+    the TTL the HOLDER recorded in the lockfile, so a contender with a
+    smaller configured TTL cannot steal a live slow-heartbeat writer."""
+    import time as _t
+
+    p = str(tmp_path / "ix")
+    os.makedirs(p)
+    lock = os.path.join(p, ixs.WRITER_LOCK)
+
+    # empty content, fresh mtime -> mid-write holder, not stealable
+    open(lock, "w").close()
+    with pytest.raises(ixs.ConcurrentIndexWriterError):
+        with ixs.writer_lock(p, lease_ttl_sec=3600):
+            pass
+    assert os.path.exists(lock)
+    # empty content, expired -> crashed-before-write leftover, stealable
+    old = _t.time() - 7200
+    os.utime(lock, (old, old))
+    with ixs.writer_lock(p, lease_ttl_sec=3600):
+        pass
+    assert not os.path.exists(lock)
+
+    # foreign lock recording ttl=7200, age 3600: a contender configured
+    # with the 600s default must honor the HOLDER's lease and refuse
+    with open(lock, "w") as f:
+        f.write("slow-host:12345:cafe:7200")
+    os.utime(lock, (_t.time() - 3600, _t.time() - 3600))
+    with pytest.raises(ixs.ConcurrentIndexWriterError):
+        with ixs.writer_lock(p):  # default lease_ttl_sec=600
+            pass
+    # ...and may steal once the holder's own lease expired
+    os.utime(lock, (_t.time() - 8000, _t.time() - 8000))
+    with ixs.writer_lock(p):
+        pass
+    os.rmdir(p)
+
+
+def test_bm25_empty_append_is_a_noop(spark, docs, tmp_path):
+    """An empty crawl batch must commit nothing: no batch id, no stats
+    drift, no file-less postings dir — and the index keeps answering."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_append,
+        bm25_index_build,
+    )
+
+    p = str(tmp_path / "a")
+    bm25_index_build(docs.where("doc_id < 30"), p, buckets=8)
+    before_scores = _bm25_scores(spark, p, ["spark", "fox"])
+    before = ixs.read_manifest(p)
+    bm25_index_append(docs.where("doc_id < 0"), p)  # EMPTY batch
+    after = ixs.read_manifest(p)
+    assert after["batches"] == before["batches"]
+    assert after["stats"] == before["stats"]
+    assert _bm25_scores(spark, p, ["spark", "fox"]) == before_scores
+    # a docs-only batch (all docs tokenless) folds the doc counts but
+    # contributes no postings — and the index still reads
+    empty_docs = spark.createDataFrame(
+        [(100, ""), (101, "")], "doc_id long, text string"
+    )
+    bm25_index_append(empty_docs, p)
+    m = ixs.read_manifest(p)
+    assert m["stats"]["n_docs"] == before["stats"]["n_docs"] + 2
+    assert m["stats"]["sum_dl"] == before["stats"]["sum_dl"]
+    # append-then-query == rebuild over the union (avgdl legitimately
+    # shifts with the two zero-length docs)
+    p2 = str(tmp_path / "b")
+    bm25_index_build(
+        docs.where("doc_id < 30").unionByName(empty_docs), p2, buckets=8
+    )
+    assert _bm25_scores(spark, p, ["spark", "fox"]) == _bm25_scores(
+        spark, p2, ["spark", "fox"]
+    )
+
+
+def test_fence_batch_requires_ins_ver(spark, tmp_path):
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import fence_batch
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    batch = spark.createDataFrame(
+        [("a", 1, 1.0)], "uuid string, time long, value double"
+    )
+    with pytest.raises(ValueError, match="include_version=True"):
+        fence_batch(store, batch)

@@ -924,3 +924,9 @@ def test_deletes_feed_survives_lagging_one_compaction_at_n3(spark, tmp_path):
     store.compact(generations_retained=3)
     n_after = len(_g.glob(_os.path.join(store.deletes_path, "*.parquet")))
     assert n_after < n_before
+    # ...and reclaims the checksum sidecars with their part files: every
+    # remaining .crc pairs with a live parquet file (no orphan leak)
+    left = set(_os.listdir(store.deletes_path))
+    for f in left:
+        if f.endswith(".crc"):
+            assert f[1:-4] in left, f
