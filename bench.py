@@ -6,6 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with a full action (toPandas over Arrow batches —
 the vectorized client transfer, the same path the oracle comparison uses) so
 the measured time includes the complete plan: scan, shuffle, sort, transfer.
+
+A fixed CALIBRATION ANCHOR — a pinned generated-data groupBy with zero I/O
+and zero Python — is timed at bench start and end and recorded as
+`anchor_sec` (min of the two) in both artifacts: identical code measured
+343.5 -> 366.1 -> 400.7 s across three driver rounds while the builder's own
+runs of the same tree sat at 307-341 s, so round-over-round comparisons must
+be normalized by what THIS host actually sustains during THIS run
+(ratio_normalized = (total_A / anchor_A) / (total_B / anchor_B)).
 """
 
 from __future__ import annotations
@@ -15,6 +23,26 @@ import os
 import re
 import sys
 import time
+
+
+def _anchor_sec(spark) -> float:
+    """One fixed synthetic probe of host+JVM speed: groupBy/agg over
+    spark.range (no files, no shuffle-partition sensitivity beyond the
+    pinned 32, no Python workers). Best of 3 — the anchor must measure
+    the host's steady-state ceiling, not its own scheduling noise."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 997 AS k", "id * 2654435761 % 1000003 AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+            .count()
+        )
+        assert n == 997
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -52,6 +80,7 @@ def main() -> None:
     # steady-state cost of the plan, which is what the baseline comparison
     # is about.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    anchor_start = _anchor_sec(spark)
     means: dict[str, float] = {}
     for name in sorted(qs):
         times, n = [], 0
@@ -64,6 +93,8 @@ def main() -> None:
         means[name] = round(sum(times) / len(times), 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    anchor_end = _anchor_sec(spark)
+    anchor = min(anchor_start, anchor_end)
     total = round(sum(timings.values()), 4)
     # The external harness captures only the last ~2000 bytes of stdout, so
     # a 284-entry per-query map printed inline is self-defeating (rounds
@@ -82,6 +113,9 @@ def main() -> None:
                 "reps": reps,
                 "sf": sf,
                 "n_queries": len(timings),
+                "anchor_sec": anchor,
+                "anchor_start_sec": anchor_start,
+                "anchor_end_sec": anchor_end,
             },
             f,
             indent=1,
@@ -99,6 +133,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "reps": reps,
+            "anchor_sec": anchor,
             "queries_full_file": "BENCH_full.json",
         },
         separators=(",", ":"),
