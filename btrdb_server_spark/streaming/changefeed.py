@@ -115,12 +115,127 @@ def fence_batch(store, batch_df: DataFrame, grace_sec: float = 0.1,
     return batch_df
 
 
+class _FencedWriter:
+    """DataStreamWriter proxy that carries the version fence to the sink:
+    `foreachBatch(fn)` installs fence_batch IN FRONT of `fn` (driver-side
+    manifest read, pure-JVM plan — the cluster-correct fence shape), and
+    every builder method (option/trigger/outputMode/...) passes through.
+    A fenced feed only supports foreachBatch sinks: a direct sink
+    (`format(...).start()`, `toTable`) has no per-micro-batch driver hook
+    to fence on, so `start` without foreachBatch fails loudly with the
+    two honest alternatives instead of silently not fencing."""
+
+    def __init__(self, writer, store, grace_sec, max_wait_sec, drop_ins_ver):
+        self._w = writer
+        self._store = store
+        self._grace = grace_sec
+        self._max_wait = max_wait_sec
+        self._drop = drop_ins_ver
+        self._has_sink = False
+
+    def foreachBatch(self, fn):
+        store, grace, max_wait, drop = (
+            self._store, self._grace, self._max_wait, self._drop,
+        )
+
+        def fenced(batch_df, batch_id):
+            out = fence_batch(store, batch_df, grace, max_wait)
+            if drop:
+                out = out.drop("ins_ver")
+            return fn(out, batch_id)
+
+        self._w = self._w.foreachBatch(fenced)
+        self._has_sink = True
+        return self
+
+    def start(self, *a, **kw):
+        if not self._has_sink:
+            raise ValueError(
+                "a version-fenced changefeed needs a foreachBatch sink "
+                "(the fence is a per-micro-batch driver-side check); use "
+                ".writeStream.foreachBatch(fn) or build the feed with "
+                "changefeed(version_fence='in-scan') on a shared POSIX "
+                "volume"
+            )
+        return self._w.start(*a, **kw)
+
+    def toTable(self, *a, **kw):
+        raise ValueError(
+            "a version-fenced changefeed needs a foreachBatch sink; "
+            "write the table inside foreachBatch"
+        )
+
+    def __getattr__(self, name):
+        attr = getattr(self._w, name)
+        if not callable(attr):
+            return attr
+
+        def call(*a, **kw):
+            out = attr(*a, **kw)
+            if out is self._w or type(out).__name__ == "DataStreamWriter":
+                self._w = out
+                return self
+            return out
+
+        return call
+
+
+class FencedChangefeed:
+    """The DataFrame changefeed(version_fence=True) returns: a streaming
+    DataFrame whose PLAN is the plain pure-JVM sentinel scan (zero
+    Python, filter pushdown intact) and whose version fence travels WITH
+    it to the sink — `writeStream` yields a writer that runs fence_batch
+    (wait-then-FAIL, never drop) on every micro-batch before the user's
+    foreachBatch body. Transformations (.where/.select/...) return a
+    re-wrapped feed, so a per-stream subscription keeps its fence.
+    This replaces the r12 wiring where the PUBLIC fence flag reached the
+    executor-sleeping pandas_udf variant (`version_fence='in-scan'`,
+    still available, shared-POSIX-volume/test-only): the discoverable
+    API now gets the cluster-correct shape — executors never open() the
+    manifest and no task slot sleeps through the commit window."""
+
+    def __init__(self, df, store, grace_sec, max_wait_sec, drop_ins_ver):
+        object.__setattr__(self, "_df", df)
+        object.__setattr__(self, "_store", store)
+        object.__setattr__(self, "_grace", grace_sec)
+        object.__setattr__(self, "_max_wait", max_wait_sec)
+        object.__setattr__(self, "_drop", drop_ins_ver)
+
+    @property
+    def writeStream(self):
+        return _FencedWriter(
+            self._df.writeStream,
+            self._store,
+            self._grace,
+            self._max_wait,
+            self._drop,
+        )
+
+    def __getattr__(self, name):
+        attr = getattr(self._df, name)
+        if not callable(attr):
+            return attr
+
+        def call(*a, **kw):
+            out = attr(*a, **kw)
+            if isinstance(out, DataFrame) and out.isStreaming:
+                return FencedChangefeed(
+                    out, self._store, self._grace, self._max_wait, self._drop
+                )
+            return out
+
+        return call
+
+
 def _committed_version_fence(store, grace_sec: float, max_wait_sec: float):
     """Boolean pandas_udf implementing fence_batch's wait-then-FAIL
     contract inside the scan itself, re-reading the manifest at EXECUTION
     time (fresh every micro-batch). Requires executors to open() the
-    manifest path — i.e. a shared POSIX store volume; prefer fence_batch
-    (driver-side, pure-JVM plan) on real clusters.
+    manifest path — i.e. a shared POSIX store volume (and it sleeps in an
+    executor task slot through the commit window); reachable only via
+    changefeed(version_fence='in-scan') for single-volume/test setups —
+    the default fence (version_fence=True) is the driver-side
+    FencedChangefeed delegation to fence_batch.
 
     Never drops a row: a batch running ahead of the manifest (the normal
     rename-then-commit window of a live insert) WAITS for the commit;
@@ -163,10 +278,10 @@ def changefeed(
     store,
     include_version: bool = True,
     max_files_per_trigger: Optional[int] = None,
-    version_fence: bool = False,
+    version_fence: bool | str = False,
     fence_grace_sec: float = 0.1,
     fence_max_wait_sec: float = 10.0,
-) -> DataFrame:
+) -> "DataFrame | FencedChangefeed":
     """Streaming DataFrame of committed inserts (uuid, time, value
     [, ins_ver]) across ALL streams of a PointStore. Filter by uuid for a
     per-stream subscription — the predicate pushes into the parquet scan,
@@ -179,8 +294,8 @@ def changefeed(
 
     `version_fence=True` closes the last documented phantom window for a
     feed RUNNING at the instant a writer crashes between _write_version's
-    rename and the manifest commit: every micro-batch re-reads the
-    committed manifest version at execution time and — crucially — a
+    rename and the manifest commit: every micro-batch is checked against
+    the committed manifest version at execution time and — crucially — a
     batch whose ins_ver runs AHEAD of the manifest WAITS for the commit
     and then delivers everything; only a version that never commits
     within `fence_max_wait_sec` (a crashed writer's orphan) FAILS the
@@ -190,12 +305,13 @@ def changefeed(
     filter-and-drop fence would permanently lose those committed rows
     whenever a micro-batch listed them inside that window (the file log
     marks listed files processed and never re-reads them). Off by
-    default, and implemented as an execution-time pandas_udf that open()s
-    the manifest from executors — it requires a shared POSIX store
-    volume and puts an Arrow-batched filter on an otherwise pure-JVM
-    scan; on a real cluster prefer the driver-side fence_batch() inside
-    foreachBatch, which has the same wait-then-fail contract with a
-    pure-JVM plan and no executor manifest access."""
+    default. True returns a FencedChangefeed — the plan stays the plain
+    pure-JVM scan and the fence runs DRIVER-side (fence_batch) in front
+    of the foreachBatch sink, so it is cluster-correct: executors never
+    open() the manifest and no task slot sleeps. 'in-scan' keeps the r12
+    execution-time pandas_udf filter (requires a shared POSIX store
+    volume and holds an Arrow-batched filter on the scan) for
+    single-volume setups whose sink is not foreachBatch."""
     from btrdb_server_spark.store import FRESH_BUCKET
 
     glob = os.path.join(
@@ -220,13 +336,21 @@ def changefeed(
                 F.col("_metadata.file_path"), r"ins_ver=(\d+)", 1
             ).cast("long"),
         )
-    if version_fence:
+    if version_fence == "in-scan":
         fence = _committed_version_fence(
             store, fence_grace_sec, fence_max_wait_sec
         )
         df = df.where(fence(F.col("ins_ver")))
         if not include_version:
             df = df.drop("ins_ver")
+    elif version_fence:
+        return FencedChangefeed(
+            df,
+            store,
+            fence_grace_sec,
+            fence_max_wait_sec,
+            drop_ins_ver=not include_version,
+        )
     return df
 
 

@@ -930,3 +930,83 @@ def test_deletes_feed_survives_lagging_one_compaction_at_n3(spark, tmp_path):
     for f in left:
         if f.endswith(".crc"):
             assert f[1:-4] in left, f
+
+def test_default_fence_routes_driver_side_pure_jvm_plan(spark, tmp_path):
+    """VERDICT r12 #5: changefeed(version_fence=True) must reach the
+    driver-side fence_batch shape — the plan stays the plain pure-JVM
+    scan (no pandas_udf / Python eval), the fence survives
+    transformations, and a non-foreachBatch sink fails loudly instead of
+    silently not fencing."""
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import (
+        FencedChangefeed,
+        changefeed,
+    )
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.insert("a", [(1, 1.0)])
+    store.insert("b", [(2, 2.0)])
+    feed = changefeed(store, version_fence=True)
+    assert isinstance(feed, FencedChangefeed)
+    plan = feed._df._jdf.queryExecution().analyzed().toString().lower()
+    assert "python" not in plan and "arrow" not in plan
+
+    # transformations keep the fence (and the pure-JVM plan)
+    sub = feed.where(F.col("uuid") == "a")
+    assert isinstance(sub, FencedChangefeed)
+
+    # a direct sink has no per-batch driver hook -> loud failure
+    with pytest.raises(ValueError, match="foreachBatch"):
+        feed.writeStream.format("memory").queryName("x").start()
+
+    # the fenced foreachBatch drain delivers the committed rows
+    rows = []
+    q = (
+        sub.writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted((r.uuid, r.time, r.value, r.ins_ver) for r in rows) == [
+        ("a", 1, 1.0, 1)
+    ]
+
+
+def test_in_scan_fence_variant_still_fails_phantoms(spark, tmp_path):
+    """The pandas_udf in-scan fence stays available for single-POSIX-
+    volume sinks that cannot use foreachBatch — same wait-then-FAIL
+    contract (version_fence='in-scan')."""
+    import glob as globmod
+    import json as _json
+
+    from pyspark.errors import StreamingQueryException
+
+    from btrdb_server_spark.store import PointStore
+    from btrdb_server_spark.streaming.changefeed import changefeed
+
+    store = PointStore(spark, str(tmp_path / "s"), num_buckets=4)
+    feed = changefeed(
+        store,
+        version_fence="in-scan",
+        fence_grace_sec=0.05,
+        fence_max_wait_sec=1.0,
+    )
+    assert isinstance(feed, type(store.spark.range(1)))  # a plain DataFrame
+    store.insert("a", [(1, 1.0)])
+    manifest = _json.load(open(store.manifest_path))
+    store.insert("a", [(2, 999.0)])  # crash: dir renamed, commit lost
+    _json.dump(manifest, open(store.manifest_path, "w"))
+    assert globmod.glob(f"{store.path}/points*/ins_ver=2")
+
+    rows = []
+    q = (
+        feed.writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+        raise AssertionError("in-scan fenced phantom batch must fail")
+    assert rows == []
