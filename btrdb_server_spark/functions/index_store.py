@@ -31,6 +31,14 @@ journal replay of pqm.go:160-186):
   small (row count carried in the manifest, so the guard is free);
   a bulk re-curation that retires a large corpus fraction degrades
   SOFT to a shuffled anti-join instead of OOMing the driver;
+- every control-file primitive (manifest flip, lease create/steal/
+  heartbeat/release) goes through a pluggable COMMIT BACKEND
+  (functions/commit_backend.py): POSIX rename/O_EXCL by default —
+  byte-for-byte the behavior described below — or a conditional-put
+  contract (put/delete-if-match) for S3-class object stores where
+  rename and O_EXCL do not exist; the lifecycle test suite runs on
+  BOTH. Bulk data files need no conditional semantics: they land on
+  paths no reader consults until the manifest flip;
 - maintenance ops are SINGLE-WRITER, and that is now enforced, not
   assumed: every mutating op holds an O_EXCL ``WRITER.lock`` LEASE
   (host + pid + token, mtime-heartbeated; a same-host crashed writer is
@@ -60,12 +68,13 @@ import os
 import shutil
 import socket
 import threading
-import time
 import uuid as uuidlib
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from btrdb_server_spark.functions import commit_backend as cbk
 
 MANIFEST = "MANIFEST.json"
 WRITER_LOCK = "WRITER.lock"
@@ -93,12 +102,11 @@ class ConcurrentIndexWriterError(RuntimeError):
 
 
 def _read_lock(lock: str) -> Optional[str]:
-    """Raw lock content, or None if the file vanished / is unreadable."""
-    try:
-        with open(lock) as f:
-            return f.read().strip()
-    except OSError:
-        return None
+    """Lock content (stripped), or None if it vanished / is unreadable.
+    Reads through the commit backend so lock diagnosis works on both the
+    POSIX volume and a conditional-put object store."""
+    raw = cbk.get_default_backend().read(lock)
+    return None if raw is None else raw.strip()
 
 
 def _parse_lock(cur: str):
@@ -158,77 +166,74 @@ def writer_lock(path: str, lease_ttl_sec: float = LEASE_TTL_SEC):
       its token write, or a writer that crashed exactly there) — never
       treated as a dead pid; stealable only past the TTL, like a
       foreign lease.
-    The steal itself is ATOMIC: the stale lock is renamed ASIDE to a
-    unique name — of N contenders diagnosing the same stale lock exactly
-    one rename succeeds (the losers' source vanishes and they raise) —
-    and the winner then re-enters the normal O_EXCL create. Release and
-    heartbeat verify ownership first, so a stolen-from writer's cleanup
-    can no longer unlink the thief's live lock. Residual TOCTOU windows
+    The steal itself is ONE-WINNER atomic via the commit backend
+    (functions/commit_backend.py): on POSIX the stale lock is renamed
+    ASIDE to a unique name — of N contenders exactly one rename succeeds
+    — and on a conditional-put object store it is a DELETE If-Match on
+    the diagnosed-stale content; either way the winner then re-enters
+    the normal exclusive create. Release and heartbeat verify ownership
+    first, so a stolen-from writer's cleanup can no longer unlink the
+    thief's live lock. Residual TOCTOU windows on the POSIX backend
     (verify-then-unlink on release, a steal racing a holder's normal
     release) are microseconds wide and backstopped by write_manifest's
-    CAS fence — concurrent flips still fail loudly at commit."""
+    CAS fence — concurrent flips still fail loudly at commit; the
+    conditional-put backend closes them outright (every mutation is
+    content-conditional)."""
+    backend = cbk.get_default_backend()
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, WRITER_LOCK)
     host = socket.gethostname()
     token = f"{host}:{os.getpid()}:{uuidlib.uuid4().hex}:{lease_ttl_sec:g}"
     acquired = False
     for attempt in (0, 1, 2):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, token.encode())
-            os.close(fd)
+        if backend.create_exclusive(lock, token):
             acquired = True
             break
-        except FileExistsError:
-            cur = _read_lock(lock)
-            if cur is None:
-                continue  # holder released between our open and read: retry
-            lock_host, lock_pid, lock_ttl = _parse_lock(cur)
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except OSError:
-                continue  # vanished mid-diagnosis: retry the O_EXCL
-            if lock_host == host:
-                stale = not _pid_alive(lock_pid)
-            else:  # foreign/unknown: only an expired heartbeat lease
-                stale = age > (
-                    lock_ttl if lock_ttl and lock_ttl > 0 else lease_ttl_sec
-                )
-            if not stale or attempt == 2:
-                raise ConcurrentIndexWriterError(
-                    f"index writer lock already held "
-                    f"(host {lock_host}, pid {lock_pid}): {lock}"
-                )
-            # Atomic steal: rename the stale lock ASIDE. rename() has
-            # exactly one winner per source file — every losing
-            # contender's rename raises FileNotFoundError — so two
-            # stealers can never both proceed (the flaw of steal-by-
-            # overwrite, where the first stealer's verification read
-            # passes before the second stealer's rename lands).
-            aside = f"{lock}.stale.{os.getpid()}.{uuidlib.uuid4().hex}"
-            try:
-                os.rename(lock, aside)
-            except FileNotFoundError:
-                raise ConcurrentIndexWriterError(
-                    f"lost the stale-lock steal race to another writer: {lock}"
-                )
-            with contextlib.suppress(OSError):
-                os.unlink(aside)
-            # loop re-enters the O_EXCL create; a third party that slips
-            # in first makes it fail loudly at the liveness check above
+        raw = backend.read(lock)
+        if raw is None:
+            continue  # holder released between our create and read: retry
+        cur = raw.strip()
+        lock_host, lock_pid, lock_ttl = _parse_lock(cur)
+        age = backend.age_sec(lock)
+        if age is None:
+            continue  # vanished mid-diagnosis: retry the create
+        if lock_host == host:
+            stale = not _pid_alive(lock_pid)
+        else:  # foreign/unknown: only an expired heartbeat lease
+            stale = age > (
+                lock_ttl if lock_ttl and lock_ttl > 0 else lease_ttl_sec
+            )
+        if not stale or attempt == 2:
+            raise ConcurrentIndexWriterError(
+                f"index writer lock already held "
+                f"(host {lock_host}, pid {lock_pid}): {lock}"
+            )
+        # One-winner steal of the diagnosed-stale lock (rename-aside on
+        # POSIX, DELETE If-Match on conditional-put): losers raise.
+        if not backend.remove_stale(lock, raw):
+            raise ConcurrentIndexWriterError(
+                f"lost the stale-lock steal race to another writer: {lock}"
+            )
+        # loop re-enters the exclusive create; a third party that slips
+        # in first makes it fail loudly at the liveness check above
     if not acquired:
         raise ConcurrentIndexWriterError(f"could not acquire {lock}")
     stop = threading.Event()
 
     def _heartbeat() -> None:
-        # Refresh the lease mtime while held; stop touching the moment the
-        # lock is no longer ours (stolen after a long stall) — refreshing a
-        # thief's lock would extend the WRONG lease.
+        # Refresh the lease's last-modified while held; stop the moment
+        # the lock is PROVABLY no longer ours (stolen after a long
+        # stall) — refreshing a thief's lock would extend the WRONG
+        # lease. A read that FAILS (a shared-storage blip) is not proof
+        # of loss: exiting there would permanently stop the heartbeat of
+        # a still-live writer, whose lease then expires mid-write and
+        # gets stolen; keep trying and re-check ownership next tick (the
+        # manifest CAS still fails an actually-stolen-from writer
+        # loudly). refresh_if_content: True=refreshed, False=not ours,
+        # None=read failed.
         while not stop.wait(max(lease_ttl_sec / 8.0, 0.05)):
-            if _read_lock(lock) != token:
+            if backend.refresh_if_content(lock, token) is False:
                 return
-            with contextlib.suppress(OSError):
-                os.utime(lock, None)
 
     hb = threading.Thread(
         target=_heartbeat, name="index-writer-lease", daemon=True
@@ -239,10 +244,8 @@ def writer_lock(path: str, lease_ttl_sec: float = LEASE_TTL_SEC):
     finally:
         stop.set()
         hb.join(timeout=5.0)
-        # Verified release: unlink only if the lock is still OURS.
-        if _read_lock(lock) == token:
-            with contextlib.suppress(OSError):
-                os.unlink(lock)
+        # Verified release: delete only if the lock is still OURS.
+        backend.delete_if_content(lock, token)
 
 
 def _fence(m: dict) -> dict:
@@ -257,8 +260,11 @@ def _fence(m: dict) -> dict:
 
 
 def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST)) as f:
-        m = json.load(f)
+    target = os.path.join(path, MANIFEST)
+    raw = cbk.get_default_backend().read(target)
+    if raw is None:
+        raise FileNotFoundError(target)
+    m = json.loads(raw)
     # Stamp the CAS fence at read time: a maintenance op that mutates
     # this dict and hands it back to write_manifest is checked against
     # the state it STARTED from (popped before the JSON is written).
@@ -268,8 +274,11 @@ def read_manifest(path: str) -> dict:
 
 def write_manifest(path: str, m: dict) -> None:
     """Atomic flip: readers planned at any instant see either the old
-    complete index or the new complete index (same device rename —
-    exactly store._write_manifest's discipline).
+    complete index or the new complete index. On the POSIX backend that
+    is a same-device rename — exactly store._write_manifest's
+    discipline; on a conditional-put backend it is a PUT If-Match on the
+    content the fence check just read (If-None-Match:* for a fresh
+    build), so the compare and the flip are ONE service-side atomic step.
 
     CAS fence: if `m` carries an `_expect` token (stamped by
     read_manifest, or None from init_index on a fresh path meaning "no
@@ -284,31 +293,37 @@ def write_manifest(path: str, m: dict) -> None:
     generations_retained reader window never shrinks by an uncommitted
     op. A crash between the flip and the deletes leaks the aged-out dirs
     (bounded: one retention group), never data."""
+    backend = cbk.get_default_backend()
     expect = m.pop("_expect", _UNSET)
     drop_after = m.pop("_drop_after_commit", None)
     target = os.path.join(path, MANIFEST)
+    raw = backend.read(target)
     if expect is None:
-        if os.path.exists(target):
+        if raw is not None:
             raise ConcurrentIndexWriterError(
                 f"another writer created {target} since this build started"
             )
+        observed = None  # conditional backends: create-if-absent
     elif expect is not _UNSET:
-        try:
-            with open(target) as f:
-                cur = json.load(f)
-        except FileNotFoundError:
+        if raw is None:
             raise ConcurrentIndexWriterError(
                 f"{target} vanished since this op started"
             )
+        cur = json.loads(raw)
         if _fence(cur) != expect:
             raise ConcurrentIndexWriterError(
                 f"manifest moved under this op (expected {expect}, "
                 f"found {_fence(cur)}): {target}"
             )
-    tmp = target + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1, sort_keys=True)
-    os.replace(tmp, target)
+        observed = raw  # conditional backends: put-if-match this content
+    else:
+        observed = cbk.UNCONDITIONAL
+    try:
+        backend.publish(
+            target, json.dumps(m, indent=1, sort_keys=True), observed
+        )
+    except cbk.CommitConflictError as e:
+        raise ConcurrentIndexWriterError(str(e))
     for group in drop_after or []:
         drop_dirs(path, group)
 
@@ -327,11 +342,10 @@ def init_index(path: str, tables: list[str], **extra) -> dict:
     `_drop_after_commit`) — an abandoned rebuild shrinks nothing.
     Nothing is live until the caller's write_manifest."""
     os.makedirs(path, exist_ok=True)
-    prior = (
-        read_manifest(path)
-        if os.path.exists(os.path.join(path, MANIFEST))
-        else None
-    )
+    try:
+        prior = read_manifest(path)
+    except FileNotFoundError:
+        prior = None
     seq = int(prior["gen_seq"]) + 1 if prior else 0
     m = {
         "gen_seq": seq,
@@ -486,19 +500,30 @@ def retire_filter(
     ids,
     id_col: str,
     broadcast_row_cap: int = TOMBSTONE_BROADCAST_CAP,
+    ids_rows: Optional[int] = None,
 ) -> DataFrame:
     """Rows of `df` whose id is in `ids`: a python list/sequence (literal
     isin — fine for a metadata-scale takedown batch) or a DataFrame whose
     FIRST column holds the ids (semi-join — the shape a bulk re-curation
     job produces; never a driver-side collect). The semi-join BROADCASTS
-    the id set only while provably small (a bounded limit+count probe,
-    same guard as minus_tombstones); a bulk re-curation handing in a
+    the id set only while provably small; a bulk re-curation handing in a
     large corpus fraction degrades SOFT to a shuffled semi-join instead
-    of OOMing at the broadcast."""
+    of OOMing at the broadcast.
+
+    The upstream plan behind an `ids` DataFrame runs ONCE: pass
+    `ids_rows` when the caller already knows the set size (a takedown
+    batch usually does), else the projected keys are localCheckpointed
+    before the cap probe — a retire set that is itself an expensive job
+    (a quality-filter output) must not be recomputed from scratch for
+    the semi-join after the count already ran it (the BM25 append path's
+    `toks` discipline)."""
     if isinstance(ids, DataFrame):
         key = ids.columns[0]
         keys = ids.select(F.col(key).alias(id_col)).distinct()
-        if ids.limit(broadcast_row_cap + 1).count() <= broadcast_row_cap:
+        if ids_rows is None:
+            keys = keys.localCheckpoint(eager=True)
+            ids_rows = keys.limit(broadcast_row_cap + 1).count()
+        if ids_rows <= broadcast_row_cap:
             keys = F.broadcast(keys)
         return df.join(keys, id_col, "left_semi")
     return df.where(F.col(id_col).isin(list(ids)))

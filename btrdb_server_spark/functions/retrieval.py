@@ -532,6 +532,20 @@ def bm25_index_append(
             os.makedirs(post_dir, exist_ok=True)
         ixs.mark_table(m, "docs", 1, toks.schema)
         if n_post:
+            if "postings" in (m.get("empty_tables") or {}):
+                # REVIVAL of a fully-retired postings table: while the mark
+                # was set, docs-only batches committed their ids WITHOUT a
+                # postings dir (read_table synthesizes from the schema
+                # record, absent dirs tolerated). Clearing the mark now
+                # re-arms loss detection — every committed batch dir must
+                # exist — so give those earlier docs-only batches their
+                # file-less placeholder dirs before the mark drops, or the
+                # index reads FileNotFoundError until manual repair.
+                post_root = os.path.join(path, m["tables"]["postings"])
+                for b in m["batches"]:
+                    os.makedirs(
+                        os.path.join(post_root, f"batch={b}"), exist_ok=True
+                    )
             ixs.mark_table(m, "postings", 1, post.schema)
         m["stats"]["n_docs"] += int(batch["n_docs"] or 0)
         m["stats"]["sum_dl"] += int(batch["sum_dl"] or 0)

@@ -1931,6 +1931,10 @@ def pq_index_build(
             key=lambda r: r["cid"],
         )
         cb_rows = spark.read.parquet(os.path.join(path, bdir)).collect()
+        # The exact persisted codebook row count — the probe's truncation
+        # guard (a trained codebook may legitimately hold fewer than
+        # m*k_codes rows, so the count is recorded, not assumed).
+        mst["params"]["cb_rows"] = len(cb_rows)
         _pq_assigned_codes(
             embeddings, cent_rows, cb_rows, m, sub, code_type, id_col, vec_col
         ).write.partitionBy("cluster").parquet(
@@ -2004,9 +2008,38 @@ def pq_index_topk(
     ).collect()
     m = int(p["m"])
     k_codes = int(p["k_codes"])
-    dist: dict[int, list] = {j: [0.0] * k_codes for j in range(m)}
+    # A codebook parquet missing entries relative to the row count the
+    # build recorded (truncated write, params drift) must fail LOUDLY:
+    # an unset slot would otherwise score distance 0 — the best possible
+    # — and silently corrupt the top-k ranking. `cb_rows` is the exact
+    # count the build/re-encode persisted (a TRAINED codebook may hold
+    # fewer than m*k_codes rows — a seed code that wins no vectors drops
+    # out of pq_train's means — so m*k_codes alone is not the truth);
+    # legitimately-absent codes score +inf (no stored cell references
+    # them, but never silently 0).
+    expected = int(p.get("cb_rows", m * k_codes))
+    if len(dtab) != expected:
+        raise ValueError(
+            f"persisted codebooks incomplete for {path}: "
+            f"{len(dtab)} (j, code) entries != recorded cb_rows {expected}"
+        )
+    dist: dict[int, list] = {j: [None] * k_codes for j in range(m)}
     for r in dtab:
-        dist[r["subspace"]][r["code"]] = float(r["d"])
+        j, c = int(r["subspace"]), int(r["code"])
+        if not (0 <= j < m and 0 <= c < k_codes):
+            raise ValueError(
+                f"codebook entry (j={j}, code={c}) outside params "
+                f"m={m}, k_codes={k_codes} for {path}"
+            )
+        if dist[j][c] is not None:
+            raise ValueError(
+                f"duplicate codebook entry (j={j}, code={c}) for {path}"
+            )
+        dist[j][c] = float(r["d"])
+    inf = float("inf")
+    dist = {
+        j: [inf if x is None else x for x in dist[j]] for j in range(m)
+    }
     cells = ixs.minus_tombstones(
         ixs.read_table(spark, path, m_, "cells").where(
             F.col("cluster").isin(top)
@@ -2094,10 +2127,18 @@ def pq_index_drift(
     m, sub, k_codes = int(p["m"]), int(p["sub"]), int(p["k_codes"])
     id_col = m_["id_col"]
     cb_rows = spark.read.parquet(os.path.join(path, m_["codebooks"])).collect()
-    cvs = {
-        (int(r["j"]), int(r["code"])): [float(x) for x in r["cv"]]
-        for r in cb_rows
-    }
+    # Codes PRESENT per subspace (a trained codebook legitimately drops
+    # codes that won no vectors — pq_index_reencode); the residual min
+    # runs over what the quantizer can actually encode to, exactly the
+    # oracle's min over the persisted cb rows.
+    by_j: dict[int, list] = {}
+    for r in cb_rows:
+        by_j.setdefault(int(r["j"]), []).append([float(x) for x in r["cv"]])
+    missing = [j for j in range(m) if not by_j.get(j)]
+    if missing:
+        raise ValueError(
+            f"persisted codebooks empty for subspaces {missing} of {path}"
+        )
     sample = embeddings.where(
         F.col(id_col) % F.lit(int(sample_mod)) == 0
     ).select(F.col(vec_col).cast("array<double>").alias("v"))
@@ -2105,14 +2146,14 @@ def pq_index_drift(
         *[F.slice("v", j * sub + 1, sub).alias(f"_sv{j}") for j in range(m)]
     )
 
-    def _dist(j: int, c: int):
+    def _dist(j: int, cv: list):
         # Same round-6 squared L2 as the ADC distance table (and the
         # oracle's round(power(list_distance, 2), 6)).
         return F.round(
             F.aggregate(
                 F.zip_with(
                     F.col(f"_sv{j}"),
-                    _lit_vec(cvs[(j, c)]),
+                    _lit_vec(cv),
                     lambda x, y: (x - y) * (x - y),
                 ),
                 F.lit(0.0),
@@ -2123,7 +2164,7 @@ def pq_index_drift(
 
     dq = [
         F.round(
-            F.array_min(F.array(*[_dist(j, c) for c in range(k_codes)]))
+            F.array_min(F.array(*[_dist(j, cv) for cv in by_j[j]]))
             * F.lit(1e6)
         ).cast("long")
         for j in range(m)
@@ -2212,3 +2253,112 @@ def pq_index_compact(spark, path: str) -> dict:
     from btrdb_server_spark.functions import index_store as ixs
 
     return ixs.compact_partitioned_table(spark, path, "cells", "cluster")
+
+
+def pq_index_reencode(
+    embeddings: DataFrame,
+    path: str,
+    codebook: DataFrame | None = None,
+    train_iters: int = 1,
+    vec_col: str = "embedding",
+) -> dict:
+    """Quantizer EVOLUTION for a persisted pq_index_build index — the
+    remedy pq_index_drift's gauge calls for: train fresh CODEBOOKS on the
+    live corpus (pq_train; or pass `codebook` to bring your own), then
+    re-encode every LIVE cell against them through the same
+    generation-swap machinery compaction uses — new ``codebooks.gen{s}``
+    and ``cells.gen{s}`` directories, ONE atomic manifest flip, the
+    superseded generations on the retention ledger, tombstones folded
+    (only live rows are re-encoded, like compact). The COARSE structure
+    is deliberately kept: centroids — and therefore the cluster
+    partition layout and every probe's nprobe pruning — do not move;
+    coarse drift is ivf/pq_index_stats' department and a full rebuild.
+
+    `embeddings` must carry (id_col, vec_col) for the indexed corpus —
+    the cells store codes, not vectors, so re-encoding necessarily
+    rereads the source vectors (restricted to LIVE ids by a semi-join
+    against the index, so retired vectors neither train nor re-enter).
+
+    Re-encode-then-probe is BIT-EQUAL to a from-scratch rebuild with the
+    same centroids and the same trained codebook over the post-retire
+    corpus (encoding is a pure per-row function of the persisted
+    quantizer — driver-proven by pq_index_reencode against a full SQL
+    oracle that replays the Lloyd step), and the drift gauge's mean
+    residual can only improve on the training sample (each subvector
+    moves to its nearest NEW centroid; k-means' objective step).
+
+    A crash at any point leaves the OLD quantizer serving the OLD codes
+    — exactly the property the reference gets from versioned-root
+    atomic swaps (qtree.go generation discipline). Cost: one pass to
+    train (iters bounded), one map-only encode pass, one
+    cluster-partitioned write. Returns {rows, gen, cb_rows}."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    spark = embeddings.sparkSession
+    with ixs.writer_lock(path):  # single-writer maintenance, enforced
+        m_ = ixs.read_manifest(path)
+        p = m_["params"]
+        m, sub = int(p["m"]), int(p["sub"])
+        id_col = m_["id_col"]
+        seq = int(m_["gen_seq"]) + 1
+        # LIVE corpus: the index's ids minus tombstones, joined back to
+        # the caller's vectors (inner semi-join — extra source rows never
+        # sneak in, retired ids never train).
+        live_ids = ixs.minus_tombstones(
+            ixs.read_table(spark, path, m_, "cells").select(id_col),
+            ixs.read_tombstones(spark, path, m_),
+            id_col,
+            tomb_rows=m_.get("tombstone_rows"),
+        )
+        live = embeddings.join(live_ids, id_col, "left_semi")
+        if codebook is None:
+            codebook = pq_train(
+                live,
+                m=m,
+                k=int(p["k_codes"]),
+                iters=train_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=int(p["dim"]),
+            )
+        else:
+            codebook = codebook.select(
+                F.col("j").cast("int").alias("j"),
+                F.col("code").cast("int").alias("code"),
+                F.col("cv").cast("array<double>").alias("cv"),
+            )
+        bdir = f"codebooks.gen{seq}"
+        codebook.write.mode("overwrite").parquet(os.path.join(path, bdir))
+        # Encode against the PERSISTED artifacts (centroids unchanged,
+        # codebooks just written) — the cells hold exactly what a reader
+        # of this generation will score with.
+        cent_rows = sorted(
+            spark.read.parquet(_centroids_path(path, m_)).collect(),
+            key=lambda r: r["cid"],
+        )
+        cb_rows = spark.read.parquet(os.path.join(path, bdir)).collect()
+        code_type = "tinyint" if int(p["k_codes"]) <= 127 else "smallint"
+        cells = _pq_assigned_codes(
+            live, cent_rows, cb_rows, m, sub, code_type, id_col, vec_col
+        )
+        m2 = dict(m_)
+        m2["params"] = {**p, "cb_rows": len(cb_rows)}
+        m2["codebooks"] = bdir
+        m2["tables"] = {**m_["tables"], "cells": f"cells.gen{seq}"}
+        m2["batches"] = [0]
+        rows = ixs.write_partitioned_batch(
+            cells, ixs.table_batch_dir(path, m2, "cells", 0), "cluster"
+        )
+        if rows == 0:
+            m2["batches"] = []
+        ixs.mark_table(m2, "cells", rows, cells.schema)
+        m2["tombstones"] = None
+        m2["tombstone_rows"] = 0
+        m2["gen_seq"] = seq
+        ixs.fold_retired(
+            path,
+            m2,
+            [m_["tables"]["cells"], m_["codebooks"], m_["tombstones"]],
+        )
+        ixs.write_manifest(path, m2)  # atomic flip: quantizer + cells together
+        return {"rows": rows, "gen": seq, "cb_rows": len(cb_rows)}

@@ -203,14 +203,24 @@ class PointStore:
     # ------------------------------------------------------------ manifest --
 
     def _read_manifest(self) -> dict:
-        with open(self.manifest_path) as f:
-            return json.load(f)
+        # Through the commit backend (functions/commit_backend.py): the
+        # manifest read/flip pair is the store's only coordination
+        # primitive, so it shares the index lifecycle's object-store
+        # portability seam (POSIX os.replace by default; put-if-match on
+        # an S3-class backend). Version-dir renames stay POSIX: those
+        # paths are invisible to readers until THIS flip commits them,
+        # so on an object store they become plain puts, not renames.
+        from btrdb_server_spark.functions import commit_backend as cbk
+
+        raw = cbk.get_default_backend().read(self.manifest_path)
+        if raw is None:
+            raise FileNotFoundError(self.manifest_path)
+        return json.loads(raw)
 
     def _write_manifest(self, m: dict) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self.manifest_path)
+        from btrdb_server_spark.functions import commit_backend as cbk
+
+        cbk.get_default_backend().publish(self.manifest_path, json.dumps(m))
 
     @property
     def version(self) -> int:

@@ -13,7 +13,31 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from btrdb_server_spark.functions import commit_backend as cbk
 from btrdb_server_spark.functions import index_store as ixs
+
+
+@pytest.fixture(
+    autouse=True,
+    params=["posix", "condput"],
+    ids=["posix", "condput"],
+)
+def commit_backend(request):
+    """VERDICT r12 #1: every lifecycle test runs on BOTH commit backends
+    — the POSIX rename/O_EXCL primitives (the default; zero behavior
+    change) and the simulated conditional-put contract an S3-class
+    object store would implement (no rename, no O_EXCL, no utime —
+    put/delete-if-match only)."""
+    old = cbk.get_default_backend()
+    cbk.set_default_backend(
+        cbk.PosixBackend()
+        if request.param == "posix"
+        else cbk.SimulatedCondPutBackend()
+    )
+    try:
+        yield request.param
+    finally:
+        cbk.set_default_backend(old)
 
 
 @pytest.fixture()
@@ -1011,3 +1035,246 @@ def test_fence_batch_requires_ins_ver(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="include_version=True"):
         fence_batch(store, batch)
+
+def test_bm25_docs_only_revival_stays_readable(spark, docs, tmp_path):
+    """ADVICE r12 (medium): a docs-only batch committed while the
+    postings table is MARKED empty (fully-retired index) writes no
+    postings dir — correct while the mark holds. A later token-bearing
+    append clears the mark, re-arming read_table's every-committed-dir
+    loss detection, so it must backfill placeholder dirs for those
+    earlier batches or the index reads FileNotFoundError forever."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_retire,
+    )
+
+    p = str(tmp_path / "a")
+    sub = docs.where("doc_id < 12")
+    bm25_index_build(sub, p, buckets=8)
+    bm25_index_retire(spark, p, list(range(12)))  # retire EVERYTHING
+    bm25_index_compact(spark, p)  # postings (and docs) now marked empty
+    assert "postings" in ixs.read_manifest(p)["empty_tables"]
+
+    # docs-only batch: tokenless docs, no postings dir for its batch id
+    bm25_index_append(
+        spark.createDataFrame([(200, ""), (201, "")], "doc_id long, text string"),
+        p,
+    )
+    m = ixs.read_manifest(p)
+    assert "postings" in m["empty_tables"]  # still marked
+    docs_only_batches = list(m["batches"])
+
+    # token-bearing append clears the mark — and must leave EVERY
+    # committed batch id's postings dir present
+    bm25_index_append(
+        spark.createDataFrame(
+            [(300, "spark catalyst fox")], "doc_id long, text string"
+        ),
+        p,
+    )
+    m = ixs.read_manifest(p)
+    assert "postings" not in (m.get("empty_tables") or {})
+    post_root = os.path.join(p, m["tables"]["postings"])
+    for b in m["batches"]:
+        assert os.path.isdir(os.path.join(post_root, f"batch={b}")), b
+    assert docs_only_batches  # the hazard actually existed in this run
+    # and the index answers: the revived corpus is exactly doc 300
+    assert [d for d, _ in _bm25_scores(spark, p, ["spark", "fox"])] == [300]
+
+
+def test_pq_topk_rejects_incomplete_codebooks(spark, emb, tmp_path):
+    """ADVICE r12 (low): a codebooks parquet missing (j, code) entries
+    relative to params.k_codes must fail LOUDLY — an unset distance slot
+    scoring 0.0 (the best possible) would silently corrupt top-k."""
+    from btrdb_server_spark.functions.similarity import (
+        pq_index_build,
+        pq_index_topk,
+    )
+
+    p = str(tmp_path / "pq")
+    pq_index_build(emb, p, k=4, m=4, k_codes=8)
+    probe = [0.1] * 8
+    assert pq_index_topk(spark, p, probe, k=3, nprobe=4).count() == 3
+    m = ixs.read_manifest(p)
+    cb_path = os.path.join(p, m["codebooks"])
+    cb = spark.read.parquet(cb_path).where("NOT (j = 1 AND code = 3)")
+    rows = cb.collect()
+    import shutil as _sh
+
+    _sh.rmtree(cb_path)
+    spark.createDataFrame(rows, cb.schema).write.parquet(cb_path)
+    with pytest.raises(ValueError, match="incomplete"):
+        pq_index_topk(spark, p, probe, k=3, nprobe=4)
+
+
+def test_heartbeat_survives_transient_read_failure(tmp_path, monkeypatch):
+    """ADVICE r12 (low): a transient lock-read failure (shared-storage
+    blip -> _read_lock None) must not permanently stop the heartbeat —
+    a still-live writer whose lease then expires would be stolen
+    mid-write. The thread keeps touching and re-checks next tick."""
+    import time as _t
+
+    p = str(tmp_path / "ix")
+    os.makedirs(p)
+    lock = os.path.join(p, ixs.WRITER_LOCK)
+    backend = ixs.cbk.get_default_backend()
+    real_read = type(backend).read
+    fail = {"on": False}
+
+    def flaky(self, path):
+        return None if fail["on"] else real_read(self, path)
+
+    monkeypatch.setattr(type(backend), "read", flaky)
+    with ixs.writer_lock(p, lease_ttl_sec=0.8):  # tick ~0.1s
+        _t.sleep(0.3)
+        fail["on"] = True  # storage blip: every read fails
+        _t.sleep(0.4)
+        fail["on"] = False  # blip clears
+        old = _t.time() - 100
+        os.utime(lock, (old, old))  # stale mtime: only the heartbeat fixes it
+        deadline = _t.monotonic() + 5.0
+        while os.path.getmtime(lock) < old + 50 and _t.monotonic() < deadline:
+            _t.sleep(0.05)
+        assert os.path.getmtime(lock) > old + 50  # still heartbeating
+    assert not os.path.exists(lock)
+
+
+def test_writer_lock_cleans_up_failed_token_write(
+    tmp_path, monkeypatch, commit_backend
+):
+    """ADVICE r12 (low): if the token write fails right after the O_EXCL
+    create (ENOSPC, signal), the just-created EMPTY lock must be
+    unlinked — empty content is TTL-gated, so leaving it would block
+    every later same-host writer for the full lease TTL. On the
+    conditional-put backend the create IS the content write (one atomic
+    put), so a failed put must leave no object at all."""
+    p = str(tmp_path / "ix")
+    os.makedirs(p)
+    lock = os.path.join(p, ixs.WRITER_LOCK)
+    backend = ixs.cbk.get_default_backend()
+
+    if commit_backend == "posix":
+
+        def boom(fd, data):
+            raise OSError(28, "No space left on device")
+
+        monkeypatch.setattr(ixs.cbk.os, "write", boom)
+    else:
+
+        def boom_put(self, path, content):
+            raise OSError(28, "No space left on device")
+
+        monkeypatch.setattr(type(backend), "_put", boom_put)
+    with pytest.raises(OSError, match="No space"):
+        with ixs.writer_lock(p):
+            pass
+    assert not os.path.exists(lock)  # no empty lock left behind
+    monkeypatch.undo()
+    with ixs.writer_lock(p):  # an immediate retry acquires cleanly
+        pass
+
+
+def test_retire_filter_executes_ids_plan_once(spark, docs):
+    """VERDICT r12 #4: the DataFrame arm must not run the (possibly
+    expensive) upstream ids plan twice — once for the broadcast-cap
+    probe and again for the semi-join. Proven with an accumulator-
+    instrumented source: exactly one pass over the ids rows, bit-equal
+    results on both sides of the cap."""
+    sc = spark.sparkContext
+
+    def make_ids(acc):
+        def bump(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return (
+            spark.range(0, 48)
+            .where("id % 3 = 1")
+            .select(F.col("id").alias("doc_id"))
+            .mapInPandas(bump, "doc_id long")
+        )
+
+    expect = sorted(r.doc_id for r in docs.where("doc_id % 3 = 1").collect())
+
+    # under the cap (broadcast arm)
+    acc = sc.accumulator(0)
+    out = ixs.retire_filter(docs, make_ids(acc), "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == expect
+    assert acc.value == 16
+
+    # past the cap (shuffled semi-join arm)
+    acc2 = sc.accumulator(0)
+    out2 = ixs.retire_filter(docs, make_ids(acc2), "doc_id", broadcast_row_cap=2)
+    assert sorted(r.doc_id for r in out2.collect()) == expect
+    assert acc2.value == 16
+
+    # caller-supplied count: no probe at all, still one execution
+    acc3 = sc.accumulator(0)
+    out3 = ixs.retire_filter(docs, make_ids(acc3), "doc_id", ids_rows=16)
+    assert sorted(r.doc_id for r in out3.collect()) == expect
+    assert acc3.value == 16
+
+def test_pq_reencode_matches_retrained_rebuild(spark, emb, tmp_path):
+    """VERDICT r12 #3: pq_index_reencode — train fresh codebooks on the
+    live corpus, re-encode every live cell through the generation-swap
+    machinery, atomic flip. Probe-after-reencode must be BIT-EQUAL to a
+    from-scratch rebuild with the same centroids and the same trained
+    codebook over the post-retire corpus; the drift gauge's mean
+    residual must not increase; the lifecycle (tombstones folded, old
+    generations ledgered) must match compact's discipline."""
+    from btrdb_server_spark.functions.similarity import (
+        pq_index_build,
+        pq_index_drift,
+        pq_index_reencode,
+        pq_index_retire,
+        pq_index_topk,
+        pq_train,
+    )
+
+    p = str(tmp_path / "pq")
+    pq_index_build(emb, p, k=4, m=4, k_codes=8, dim=8)
+    retired = emb.where("vec_id % 5 = 2").select("vec_id")
+    pq_index_retire(spark, p, retired)
+    live = emb.where("vec_id % 5 <> 2")
+    probe = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4, 0.0, 0.7]
+
+    before = pq_index_drift(spark, p, live).first()
+    m0 = ixs.read_manifest(p)
+    old_cells, old_cb = m0["tables"]["cells"], m0["codebooks"]
+    cents = spark.read.parquet(os.path.join(p, m0["centroids"]))
+
+    res = pq_index_reencode(emb, p, train_iters=1)
+    assert res["rows"] == live.count() and res["cb_rows"] > 0
+
+    # bit-equal to the from-scratch rebuild with the same quantizer
+    cb = pq_train(live, m=4, k=8, iters=1, dim=8)
+    p2 = str(tmp_path / "pq2")
+    pq_index_build(
+        live, p2, centroids=cents, k=4, m=4, k_codes=8, codebook=cb, dim=8
+    )
+    a = [tuple(r) for r in pq_index_topk(spark, p, probe, k=10, nprobe=4).collect()]
+    b = [tuple(r) for r in pq_index_topk(spark, p2, probe, k=10, nprobe=4).collect()]
+    assert a == b and len(a) == 10
+
+    # the re-trained quantizer fits the live data at least as well
+    after = pq_index_drift(spark, p, live).first()
+    assert after["mean_resid"] <= before["mean_resid"]
+    assert after["n_sampled"] == before["n_sampled"]
+
+    # lifecycle: one atomic flip — tombstones folded, generations bumped,
+    # superseded cells + codebooks on the retention ledger (still on disk)
+    m1 = ixs.read_manifest(p)
+    assert m1["gen_seq"] == m0["gen_seq"] + 1
+    assert m1["tombstones"] is None and m1["tombstone_rows"] == 0
+    assert m1["codebooks"] != old_cb and m1["tables"]["cells"] != old_cells
+    assert os.path.isdir(os.path.join(p, old_cells))
+    assert os.path.isdir(os.path.join(p, old_cb))
+    flat = [d for g in m1["retired_dirs"] for d in g]
+    assert old_cells in flat and old_cb in flat
+    # a retired vector can never resurface, even probing every cell
+    gone = {r.vec_id for r in retired.collect()}
+    allk = pq_index_topk(spark, p, probe, k=100, nprobe=4)
+    assert not ({r.vec_id for r in allk.collect()} & gone)
