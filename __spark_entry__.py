@@ -2673,6 +2673,52 @@ def q_bm25_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_verify(spark, idx)
 
 
+def q_bm25_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary/length drift gauge of a persisted BM25 index
+    (bm25_index_drift — VERDICT r12 #6): index built on the 90% corpus
+    (doc_id % 10 != 0), gauged with the held-out 10% as the incoming
+    crawl batch — OOV token mass, new-term rate, and length-ratio drift
+    against the manifest's exactly-folded stats. The oracle recomputes
+    every counter from the same tokenization in SQL; all rates are
+    single IEEE divisions of exact int64s."""
+    from btrdb_server_spark.functions.retrieval import bm25_index_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _memo_index(("bm2590", sf_dir), _bm2590_builder(spark, sf_dir))
+    return bm25_index_drift(spark, idx, docs.where(F.col("doc_id") % 10 == 0))
+
+
+def _bm2590_builder(spark: SparkSession, sf_dir: str):
+    """Build the 90%-corpus BM25 index (the drift-gauge fixture)."""
+    from btrdb_server_spark.functions.retrieval import bm25_index_build
+
+    return lambda p: bm25_index_build(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0),
+        p,
+    )
+
+
+def q_lsh_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-precision drift gauge of the persisted LSH index
+    (lsh_index_drift — VERDICT r12 #6): over the deterministic sample of
+    index candidate pairs (smaller id % 4 == 0), the stored signatures'
+    Jaccard estimate vs the exact shingle Jaccard verified from the
+    corpus text — mean estimate, mean truth, mean absolute error, and
+    precision at the 0.5 dedup threshold. Per-pair ratios floor-quantize
+    to int64 micro-units before the global means (order-independent,
+    no rounding-tie surface). The re-band/rebuild trigger for the
+    dedup index, closing the same gauge->remedy loop as
+    pq_index_drift -> pq_index_reencode."""
+    from btrdb_server_spark.functions.dedup import lsh_index_build, lsh_index_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _memo_index(
+        ("lsh", sf_dir),
+        lambda p: lsh_index_build(docs, p),
+    )
+    return lsh_index_drift(spark, idx, docs, sample_mod=4, threshold=0.5)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms: sparse keyword featurization
     (smoothed idf, score rounded to 6 before ranking, ties by token)."""
@@ -3129,6 +3175,72 @@ def q_pq_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _memo_index(("pq", sf_dir), _pq_builder(spark, sf_dir))
     return pq_index_drift(spark, idx, emb, sample_mod=3)
+
+
+def q_pq_index_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer EVOLUTION exactness (pq_index_reencode — VERDICT r12
+    #3): retire vec_id % 5 == 2, then re-train the codebooks on the LIVE
+    corpus (pq_train, one Lloyd iteration from the deterministic seeds)
+    and re-encode every live cell through the generation-swap machinery
+    (new codebooks + cells generations, ONE atomic manifest flip, old
+    generations on the retention ledger), then probe all cells. The
+    oracle replays the whole pipeline in SQL — live filter, seed
+    assignment, the Lloyd mean step (round-6 per-dim means, the pq_train
+    oracle's formulation), re-encode argmin against the trained
+    codebooks, ADC — so a green row proves reencode-then-probe is
+    bit-equal to a from-scratch rebuild with the same centroids and the
+    same trained quantizer over the post-delete corpus."""
+    from btrdb_server_spark.functions.similarity import (
+        pq_index_reencode,
+        pq_index_retire,
+        pq_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _mutable_index_copy(("pq", sf_dir), _pq_builder(spark, sf_dir))
+    pq_index_retire(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    pq_index_reencode(emb, idx, train_iters=1)
+    return pq_index_topk(spark, idx, _pq_probe_vec(spark, sf_dir), k=10, nprobe=8)
+
+
+def q_pq_index_reencode_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-encode REMEDY measured by the drift gauge: mean
+    quantization residual over the deterministic live sample BEFORE
+    (frozen seed codebooks, post-retire) and AFTER pq_index_reencode
+    re-trains on the live corpus — the residual must drop (each sampled
+    subvector moves to its nearest NEW centroid; k-means' objective
+    step), closing the loop pq_index_drift opens: gauge -> threshold ->
+    re-encode -> gauge again. One row: n_sampled, mean_resid_seed,
+    mean_resid_trained, resid_dropped."""
+    from btrdb_server_spark.functions.similarity import (
+        pq_index_drift,
+        pq_index_reencode,
+        pq_index_retire,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = emb.where(F.col("vec_id") % 5 != 2)
+    idx = _mutable_index_copy(("pq", sf_dir), _pq_builder(spark, sf_dir))
+    pq_index_retire(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    before = pq_index_drift(spark, idx, live, sample_mod=3).select(
+        "n_sampled", F.col("mean_resid").alias("mean_resid_seed")
+    )
+    pq_index_reencode(emb, idx, train_iters=1)
+    after = pq_index_drift(spark, idx, live, sample_mod=3).select(
+        F.col("mean_resid").alias("mean_resid_trained")
+    )
+    return before.crossJoin(after).select(
+        "n_sampled",
+        "mean_resid_seed",
+        "mean_resid_trained",
+        (F.col("mean_resid_trained") <= F.col("mean_resid_seed")).alias(
+            "resid_dropped"
+        ),
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5832,10 +5944,47 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constant IS that window. scripts/rotate_window.py regenerates it each
 # round; tests/test_window.py pins dict order to it.
 DRIVER_WINDOW: list[str] = [
-    "store_version_travel",
-    "list_collections",
-    "windows_depth",
-    "windows_rollup",
+    "csv_export",
+    "nearest_asof",
+    "changed_ranges",
+    "lookup_streams",
+    "pq_index_reencode",
+    "pq_index_reencode_drift",
+    "bm25_index_drift",
+    "lsh_index_drift",
+    "registry_obliterate",
+    "minhash_jaccard_est",
+    "edit_verified_pairs",
+    "ngram_novelty",
+    "tfidf_topk",
+    "containment_pairs",
+    "rerank_fusion",
+    "boilerplate_ngrams",
+    "insert_cap",
+    "store_compact",
+    "bbit_minhash",
+    "dup_rate_by_source",
+    "simhash_pairs",
+    "lsh_recall_eval",
+    "dedup_stats",
+    "dedup_threshold_curve",
+    "streaming_changefeed",
+    "sorted_neighborhood_pairs",
+    "snm_recall_eval",
+    "incremental_dedup",
+    "lsh_index_stats",
+    "bm25_index_topk",
+    "bm25_index_incremental",
+    "bm25_index_stats",
+    "incremental_dedup_retire",
+    "lsh_index_compact",
+    "bm25_index_retire",
+    "bm25_index_compact",
+    "bm25_index_verify",
+    "ann_index_retire",
+    "ivf_index_compact",
+    "streaming_changefeed_deletes",
+    "semantic_dedup_index",
     "pq_index_drift",
     "pq_encode",
     "ann_pq_topk",
@@ -5845,43 +5994,6 @@ DRIVER_WINDOW: list[str] = [
     "embedding_near_dups",
     "ivf_assign",
     "ivf_refine",
-    "kmeans_train",
-    "knn_graph",
-    "ann_recall_eval",
-    "pq_train",
-    "mips_topk",
-    "sq8_topk",
-    "cluster_purity",
-    "embedding_drift",
-    "ivf_recall_curve",
-    "label_noise_screen",
-    "ann_index_topk",
-    "ann_index_incremental",
-    "ivf_index_stats",
-    "ann_ivf_topk",
-    "semantic_dedup",
-    "hard_negatives",
-    "ann_batch_topk",
-    "ann_ivf_multiprobe",
-    "dedup_clusters",
-    "exact_dedup",
-    "minhash_verified_pairs",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "streaming_ingest",
-    "pq_index_topk",
-    "pq_index_probe",
-    "pq_index_incremental",
-    "pq_index_retire",
-    "pq_index_compact",
-    "pq_index_stats",
-    "streaming_rollup_serve",
-    "dup_spans",
-    "simhash",
-    "ngram_jaccard",
-    "dedup_select",
-    "bm25_topk",
-    "unigram_logprob",
 ]
 
 
@@ -5907,10 +6019,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- DRIVER WINDOW: positions 1-50 (driver checks first 50;
         # regenerated by scripts/rotate_window.py) ----
-        "store_version_travel": q_store_version_travel,
-        "list_collections": q_list_collections,
-        "windows_depth": q_windows_depth,
-        "windows_rollup": q_windows_rollup,
+        "csv_export": q_csv_export,
+        "nearest_asof": q_nearest_asof,
+        "changed_ranges": q_changed_ranges,
+        "lookup_streams": q_lookup_streams,
+        "pq_index_reencode": q_pq_index_reencode,
+        "pq_index_reencode_drift": q_pq_index_reencode_drift,
+        "bm25_index_drift": q_bm25_index_drift,
+        "lsh_index_drift": q_lsh_index_drift,
+        "registry_obliterate": q_registry_obliterate,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "edit_verified_pairs": q_edit_verified_pairs,
+        "ngram_novelty": q_ngram_novelty,
+        "tfidf_topk": q_tfidf_topk,
+        "containment_pairs": q_containment_pairs,
+        "rerank_fusion": q_rerank_fusion,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "insert_cap": q_insert_cap,
+        "store_compact": q_store_compact,
+        "bbit_minhash": q_bbit_minhash,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "dedup_stats": q_dedup_stats,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "streaming_changefeed": q_streaming_changefeed,
+        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+        "snm_recall_eval": q_snm_recall_eval,
+        "incremental_dedup": q_incremental_dedup,
+        "lsh_index_stats": q_lsh_index_stats,
+        "bm25_index_topk": q_bm25_index_topk,
+        "bm25_index_incremental": q_bm25_index_incremental,
+        "bm25_index_stats": q_bm25_index_stats,
+        "incremental_dedup_retire": q_incremental_dedup_retire,
+        "lsh_index_compact": q_lsh_index_compact,
+        "bm25_index_retire": q_bm25_index_retire,
+        "bm25_index_compact": q_bm25_index_compact,
+        "bm25_index_verify": q_bm25_index_verify,
+        "ann_index_retire": q_ann_index_retire,
+        "ivf_index_compact": q_ivf_index_compact,
+        "streaming_changefeed_deletes": q_streaming_changefeed_deletes,
+        "semantic_dedup_index": q_semantic_dedup_index,
         "pq_index_drift": q_pq_index_drift,
         "pq_encode": q_pq_encode,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5920,6 +6069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_assign": q_ivf_assign,
         "ivf_refine": q_ivf_refine,
+        # ---- position 51+: banked green or locally verified ----
+        "store_version_travel": q_store_version_travel,
+        "list_collections": q_list_collections,
+        "windows_depth": q_windows_depth,
+        "windows_rollup": q_windows_rollup,
         "kmeans_train": q_kmeans_train,
         "knn_graph": q_knn_graph,
         "ann_recall_eval": q_ann_recall_eval,
@@ -5957,43 +6111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_select": q_dedup_select,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
-        # ---- position 51+: banked green or locally verified ----
         "aligned_windows_rollup": q_aligned_windows_rollup,
         "rollup_rewrite": q_rollup_rewrite,
         "buffer_stat_merge": q_buffer_stat_merge,
-        "registry_obliterate": q_registry_obliterate,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
-        "edit_verified_pairs": q_edit_verified_pairs,
-        "ngram_novelty": q_ngram_novelty,
-        "tfidf_topk": q_tfidf_topk,
-        "containment_pairs": q_containment_pairs,
-        "rerank_fusion": q_rerank_fusion,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "insert_cap": q_insert_cap,
-        "store_compact": q_store_compact,
-        "bbit_minhash": q_bbit_minhash,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        "dedup_stats": q_dedup_stats,
-        "dedup_threshold_curve": q_dedup_threshold_curve,
-        "streaming_changefeed": q_streaming_changefeed,
-        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
-        "snm_recall_eval": q_snm_recall_eval,
-        "incremental_dedup": q_incremental_dedup,
-        "lsh_index_stats": q_lsh_index_stats,
-        "bm25_index_topk": q_bm25_index_topk,
-        "bm25_index_incremental": q_bm25_index_incremental,
-        "bm25_index_stats": q_bm25_index_stats,
-        "incremental_dedup_retire": q_incremental_dedup_retire,
-        "lsh_index_compact": q_lsh_index_compact,
-        "bm25_index_retire": q_bm25_index_retire,
-        "bm25_index_compact": q_bm25_index_compact,
-        "bm25_index_verify": q_bm25_index_verify,
-        "ann_index_retire": q_ann_index_retire,
-        "ivf_index_compact": q_ivf_index_compact,
-        "streaming_changefeed_deletes": q_streaming_changefeed_deletes,
-        "semantic_dedup_index": q_semantic_dedup_index,
         "delete_range": q_delete_range,
         "metadata_usage": q_metadata_usage,
         "raw_values": q_raw_values,
@@ -6118,10 +6238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "pivot_report": q_pivot_report,
         "assoc_rules": q_assoc_rules,
-        "csv_export": q_csv_export,
-        "lookup_streams": q_lookup_streams,
-        "nearest_asof": q_nearest_asof,
-        "changed_ranges": q_changed_ranges,
         "local_supplier_volume": q_local_supplier_volume,
         "market_share": q_market_share,
         "promo_revenue": q_promo_revenue,
@@ -13559,5 +13675,185 @@ def oracle_sql() -> dict[str, str]:
                    JOIN dt ON c2.j = dt.j AND c2.code = dt.code
                    GROUP BY 1)
             SELECT vec_id, adc_dist FROM sc ORDER BY adc_dist, vec_id LIMIT 10
+        """
+    # Quantizer re-encode: the oracle replays the WHOLE evolution — live
+    # filter (vec_id % 5 <> 2 retired), seed assignment from the LIVE
+    # corpus' first-8 seeds, one Lloyd mean step (round-6 per-dim means
+    # — the pq_train oracle's formulation), re-encode argmin against the
+    # trained codebooks, then ADC with probe vec 0 — so reencode-then-
+    # probe == a from-scratch rebuild with the same trained quantizer.
+    _PQ_LIVE_TRAIN_CTES = """
+            j AS (SELECT unnest(generate_series(0, 3)) AS j),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id % 5 <> 2),
+            sub AS (SELECT vec_id, j, list_slice(v, j*16 + 1, j*16 + 16) AS sv
+                    FROM e CROSS JOIN j),
+            cb0 AS (SELECT e.vec_id AS code, j,
+                           list_slice(v, j*16 + 1, j*16 + 16) AS cv
+                    FROM e CROSS JOIN j WHERE e.vec_id < 8),
+            d0 AS (SELECT s.vec_id, s.j, cb0.code,
+                          round(list_distance(s.sv, cb0.cv), 6) AS dist
+                   FROM sub s JOIN cb0 USING (j)),
+            r0 AS (SELECT vec_id, j, code, row_number() OVER
+                          (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+                   FROM d0),
+            a0 AS (SELECT vec_id, j, code FROM r0 WHERE rn = 1),
+            jm AS (SELECT a0.j, a0.code, s.sv
+                   FROM a0 JOIN sub s ON a0.vec_id = s.vec_id AND a0.j = s.j),
+            i AS (SELECT unnest(generate_series(1, 16)) AS i),
+            dmm AS (SELECT j, code, i, sv[i] AS x FROM jm CROSS JOIN i),
+            dm AS (SELECT j, code, i, round(avg(x), 6) AS xm
+                   FROM dmm GROUP BY 1, 2, 3),
+            cb1 AS (SELECT j, code, list(xm ORDER BY i) AS cv
+                    FROM dm GROUP BY 1, 2)
+    """
+    d["pq_index_reencode"] = f"""
+            WITH {_PQ_LIVE_TRAIN_CTES},
+            d1 AS (SELECT s.vec_id, s.j, cb1.code,
+                          round(list_distance(s.sv, cb1.cv), 6) AS dist
+                   FROM sub s JOIN cb1 USING (j)),
+            r1 AS (SELECT vec_id, j, code, row_number() OVER
+                          (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+                   FROM d1),
+            codes1 AS (SELECT vec_id, j, code FROM r1 WHERE rn = 1),
+            qsub AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+            dt AS (SELECT cb1.j, cb1.code,
+                          round(power(list_distance(cb1.cv, qsub.qv), 2), 6) AS d
+                   FROM cb1 JOIN qsub USING (j)),
+            sc AS (SELECT c.vec_id, round(sum(d), 6) AS adc_dist
+                   FROM codes1 c JOIN dt ON c.j = dt.j AND c.code = dt.code
+                   GROUP BY 1)
+            SELECT vec_id, adc_dist FROM sc ORDER BY adc_dist, vec_id LIMIT 10
+        """
+    # Gauge-then-remedy: mean residual of the live vec_id % 3 sample
+    # against the BUILD-time seed codebook (seeded from the FULL corpus
+    # — retire never touches the quantizer) and against the re-trained
+    # one; the same int64 micro-unit quantization as pq_index_drift.
+    d["pq_index_reencode_drift"] = f"""
+            WITH {_PQ_LIVE_TRAIN_CTES},
+            cbf AS (SELECT vec_id AS code, j,
+                           list_slice(CAST(embedding AS DOUBLE[]),
+                                      j*16 + 1, j*16 + 16) AS cv
+                    FROM embeddings CROSS JOIN j WHERE vec_id < 8),
+            samp AS (SELECT vec_id, j, sv FROM sub WHERE vec_id % 3 = 0),
+            dmin0 AS (SELECT s.vec_id, s.j,
+                             min(round(power(list_distance(s.sv, cbf.cv), 2),
+                                       6)) AS dmin
+                      FROM samp s JOIN cbf USING (j) GROUP BY 1, 2),
+            rq0 AS (SELECT vec_id,
+                           CAST(sum(CAST(round(dmin * 1e6) AS BIGINT))
+                                AS BIGINT) AS rq
+                    FROM dmin0 GROUP BY 1),
+            dmin1 AS (SELECT s.vec_id, s.j,
+                             min(round(power(list_distance(s.sv, cb1.cv), 2),
+                                       6)) AS dmin
+                      FROM samp s JOIN cb1 USING (j) GROUP BY 1, 2),
+            rq1 AS (SELECT vec_id,
+                           CAST(sum(CAST(round(dmin * 1e6) AS BIGINT))
+                                AS BIGINT) AS rq
+                    FROM dmin1 GROUP BY 1),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+                         CAST(sum(rq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                             / 1e6 AS mean_resid_seed
+                  FROM rq0),
+            b AS (SELECT CAST(sum(rq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                             / 1e6 AS mean_resid_trained
+                  FROM rq1)
+            SELECT n_sampled, mean_resid_seed, mean_resid_trained,
+                   mean_resid_trained <= mean_resid_seed AS resid_dropped
+            FROM a CROSS JOIN b
+        """
+    # BM25 drift gauge: 90% corpus is the index, held-out 10% is the
+    # incoming batch; every counter recomputed from the same tokenizer,
+    # every rate a single IEEE division of exact int64s.
+    d["bm25_index_drift"] = f"""
+            WITH ct AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                        WHERE doc_id % 10 <> 0),
+            vocab AS (SELECT DISTINCT unnest(toks) AS term FROM ct),
+            cstat AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(len(toks)) AS BIGINT) AS s FROM ct),
+            bt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                   WHERE doc_id % 10 = 0),
+            bstat AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM bt),
+            btok AS (SELECT unnest(toks) AS term FROM bt),
+            occ AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                                AS BIGINT) AS oov_tokens
+                    FROM btok b LEFT JOIN vocab v ON b.term = v.term),
+            uniq AS (SELECT CAST(count(*) AS BIGINT) AS batch_terms,
+                            CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS new_terms
+                     FROM (SELECT DISTINCT term FROM btok) b
+                     LEFT JOIN vocab v ON b.term = v.term)
+            SELECT n_docs, n_tokens, oov_tokens,
+                   CAST(oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS oov_rate,
+                   batch_terms, new_terms,
+                   CAST(new_terms AS DOUBLE) / CAST(batch_terms AS DOUBLE)
+                       AS new_term_rate,
+                   CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS batch_avgdl,
+                   CAST(cstat.s AS DOUBLE) / CAST(cstat.n AS DOUBLE)
+                       AS index_avgdl,
+                   (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       / (CAST(cstat.s AS DOUBLE) / CAST(cstat.n AS DOUBLE))
+                       AS len_ratio
+            FROM bstat CROSS JOIN occ CROSS JOIN uniq CROSS JOIN cstat
+        """
+    # LSH banding-precision drift: sampled index candidates (smaller id
+    # % 4 == 0), signature-estimate vs exact shingle Jaccard, per-pair
+    # FLOOR micro-unit quantization (tie-free, order-independent sums).
+    _est_matches = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(16)
+    )
+    d["lsh_index_drift"] = f"""
+            WITH {_sig_cte()},
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('|', "
+                    + ", ".join(f"mh{b*4+i}" for i in range(4))
+                    + ") AS band_key FROM sig"
+                    for b in range(4)
+                )}
+            ),
+            cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                     FROM bands l JOIN bands r
+                       ON l.band = r.band AND l.band_key = r.band_key
+                     WHERE l.doc_id % 4 = 0 AND l.doc_id < r.doc_id),
+            est AS (SELECT c.a, c.b,
+                           CAST(floor(({_est_matches}) / 16 * 1e6)
+                                AS BIGINT) AS est_q
+                    FROM cand c
+                    JOIN sig sa ON sa.doc_id = c.a
+                    JOIN sig sb ON sb.doc_id = c.b),
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            raw_sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s0 FROM t),
+            dig AS (SELECT doc_id, md5(s0) AS dg FROM raw_sh),
+            sh AS (SELECT DISTINCT doc_id, {_hexn_sql('dg', 15)} AS s FROM dig),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            iv AS (SELECT c.a, c.b, count(*) AS inter
+                   FROM cand c
+                   JOIN sh l ON l.doc_id = c.a
+                   JOIN sh r ON r.doc_id = c.b AND r.s = l.s
+                   GROUP BY c.a, c.b),
+            pp AS (SELECT e.a, e.b, e.est_q,
+                          CAST(floor(COALESCE(iv.inter, 0)
+                                     / (sa.sz + sb.sz - COALESCE(iv.inter, 0))
+                                     * 1e6) AS BIGINT) AS true_q
+                   FROM est e
+                   LEFT JOIN iv ON iv.a = e.a AND iv.b = e.b
+                   JOIN sz sa ON sa.doc_id = e.a
+                   JOIN sz sb ON sb.doc_id = e.b)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(est_q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                       AS mean_est_jaccard,
+                   CAST(sum(true_q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                       AS mean_true_jaccard,
+                   CAST(sum(abs(est_q - true_q)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) / 1e6 AS mean_abs_err,
+                   CAST(sum(CASE WHEN true_q >= 500000 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS "precision"
+            FROM pp
         """
     return d

@@ -1510,6 +1510,149 @@ def lsh_index_stats(spark, index_path: str) -> DataFrame:
     )
 
 
+def lsh_index_drift(
+    spark,
+    index_path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banding-PRECISION drift gauge for a persisted lsh_index_build
+    index — the staleness metric the stats entry lacks (bucket skew says
+    the keyspace degenerated; this says the banding's candidate QUALITY
+    did): over the deterministic sample of index candidate pairs whose
+    smaller id satisfies ``a % sample_mod == 0``, compare the stored
+    signatures' Jaccard ESTIMATE (matching positions / num_hashes — the
+    quantity banding acts on) against the exact shingle Jaccard verified
+    from the live corpus text.
+
+    One row: n_pairs, mean_est_jaccard, mean_true_jaccard, mean_abs_err,
+    precision (fraction of sampled candidates whose TRUE Jaccard clears
+    `threshold`). Rebuild trigger: gauge at build time, re-gauge after
+    appends — when precision sinks or mean_abs_err grows past ~2x the
+    build-time value (boilerplate/templating drift feeding the bands
+    hash-collision-prone shingles), re-band or re-shingle via a REBUILD
+    (lsh_index_build overwrite — same generation-swap discipline as
+    pq_index_reencode).
+
+    Per-pair ratios are exact int ratios quantized to int64 micro-units
+    before the global sums, so every mean is order-independent and
+    bit-stable across engines; the precision compare runs on the
+    quantized values (no float-tie surface). Cost: one pruned index
+    self-join restricted to the sampled left ids, plus exact-verify
+    shingling of ONLY the docs appearing in sampled pairs — never the
+    corpus (the lsh_verified_pairs economics, sampled)."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(index_path)
+    p = m["params"]
+    num_hashes, k = int(p["num_hashes"]), int(p["k"])
+    rows = ixs.minus_tombstones(
+        ixs.read_table(spark, index_path, m, "bands"),
+        ixs.read_tombstones(spark, index_path, m),
+        "index_id",
+        tomb_rows=m.get("tombstone_rows"),
+    )
+    mh = [f"mh{j}" for j in range(num_hashes)]
+    left = (
+        rows.where(F.col("index_id") % F.lit(int(sample_mod)) == 0)
+        .select(
+            F.col("index_id").alias("a"),
+            "band",
+            "band_key",
+            *[F.col(c).alias(f"l_{c}") for c in mh],
+        )
+    )
+    right = rows.select(
+        F.col("index_id").alias("b"),
+        "band",
+        "band_key",
+        *[F.col(c).alias(f"r_{c}") for c in mh],
+    )
+    matches = sum(
+        F.when(F.col(f"l_{c}") == F.col(f"r_{c}"), 1).otherwise(0) for c in mh
+    )
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            # est quantized per pair via FLOOR: round() would sit on the
+            # HALF_UP-vs-banker's tie divergence for raw ratios; floor of
+            # the identical IEEE product is tie-free and engine-portable.
+            F.floor(matches / F.lit(num_hashes) * 1e6)
+            .cast("long")
+            .alias("est_q"),
+        )
+        .distinct()  # a pair colliding in several bands counts once
+        .localCheckpoint(eager=False)  # feeds ids, the verify join, the agg
+    )
+    ids = cand.select(F.col("a").alias(id_col)).union(
+        cand.select(F.col("b").alias(id_col))
+    ).distinct()
+    sh = (
+        ensure_parallelism(docs.join(ids, id_col, "left_semi"))
+        .select(
+            F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s")
+        )
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("a"), "s"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    per_pair = (
+        cand.join(inter, ["a", "b"], "left")  # zero-overlap pairs stay
+        .join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "est_q",
+            F.floor(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sza") + F.col("szb") - F.coalesce(F.col("inter"), F.lit(0)))
+                * 1e6
+            )
+            .cast("long")
+            .alias("true_q"),
+        )
+    )
+    thr_q = int(threshold * 1e6)  # exact for the supported thresholds
+    n = F.count(F.lit(1)).cast("long")
+    return per_pair.agg(
+        n.alias("n_pairs"),
+        (F.sum("est_q").cast("double") / n.cast("double") / F.lit(1e6)).alias(
+            "mean_est_jaccard"
+        ),
+        (F.sum("true_q").cast("double") / n.cast("double") / F.lit(1e6)).alias(
+            "mean_true_jaccard"
+        ),
+        (
+            F.sum(F.abs(F.col("est_q") - F.col("true_q"))).cast("double")
+            / n.cast("double")
+            / F.lit(1e6)
+        ).alias("mean_abs_err"),
+        (
+            F.sum(F.when(F.col("true_q") >= thr_q, 1).otherwise(0)).cast("double")
+            / n.cast("double")
+        ).alias("precision"),
+    )
+
+
 def lsh_index_retire(spark, index_path: str, ids) -> int:
     """Retire documents from a persisted lsh_index_build index — the
     takedown / re-curation path: once a doc is deleted from the corpus,

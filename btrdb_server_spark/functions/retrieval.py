@@ -461,6 +461,89 @@ def bm25_index_stats(spark, path: str, top: int = 20) -> DataFrame:
     )
 
 
+def bm25_index_drift(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary/length drift gauge for a persisted bm25_index_build
+    index — the staleness metric the stats entry lacks (posting skew
+    says the hot terms changed; this says the CORPUS the index models no
+    longer looks like the batches arriving): tokenize `new_docs` with
+    the index's own tokenizer and report, in one row,
+
+    - n_docs, n_tokens — batch size;
+    - oov_tokens / oov_rate — token OCCURRENCES whose term the live
+      postings have never seen (out-of-vocabulary mass: a new language,
+      domain, or markup dialect shows up here first);
+    - batch_terms / new_terms / new_term_rate — the distinct-term view
+      of the same shift;
+    - batch_avgdl / index_avgdl / len_ratio — document-length drift,
+      which silently reweights BM25's length normalization (the b term)
+      even when the vocabulary is stable.
+
+    Rebuild trigger: gauge a held-out slice at build time; when a crawl
+    batch's oov_rate or len_ratio runs ~2x the build-time baseline,
+    re-tokenize/rebuild (bm25_index_build overwrite — generation-swap,
+    like pq_index_reencode) rather than appending the drifted batch into
+    stats it distorts. Every rate is a single IEEE division of exact
+    int64 counters (index avgdl comes from the manifest's exactly-folded
+    stats), so the row is bit-stable across engines. Plan: ONE tokenize
+    pass over the batch, a term-level join against the distinct live
+    postings vocabulary (column-pruned — postings tf/doc never read),
+    three scalar aggregates. The batch is crawl-sized; the vocabulary
+    join is the only corpus-scale touch and reads one column."""
+    from btrdb_server_spark.functions import index_store as ixs
+
+    m = ixs.read_manifest(path)
+    st = m["stats"]
+    index_avgdl = float(int(st["sum_dl"])) / float(int(st["n_docs"]))
+    vocab = _live_postings(spark, path, m).select("term").distinct()
+    toks = (
+        ensure_parallelism(new_docs)
+        .select(tokens_col(F.col(text_col)).alias("toks"))
+        .localCheckpoint(eager=False)  # one tokenize pass, three consumers
+    )
+    doc_agg = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+    )
+    tok_rows = toks.select(F.explode("toks").alias("term"))
+    known = vocab.withColumn("known", F.lit(True))
+    occ = tok_rows.join(known, "term", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+    uniq = tok_rows.distinct().join(known, "term", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("batch_terms"),
+        F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("new_terms"),
+    )
+    return (
+        doc_agg.crossJoin(occ)
+        .crossJoin(uniq)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "oov_tokens",
+            (F.col("oov_tokens") / F.col("n_tokens")).alias("oov_rate"),
+            "batch_terms",
+            "new_terms",
+            (F.col("new_terms") / F.col("batch_terms")).alias("new_term_rate"),
+            (F.col("sum_dl") / F.col("n_docs")).alias("batch_avgdl"),
+            F.lit(index_avgdl).alias("index_avgdl"),
+            (
+                (F.col("sum_dl") / F.col("n_docs")) / F.lit(index_avgdl)
+            ).alias("len_ratio"),
+        )
+    )
+
+
 def bm25_index_append(
     new_docs: DataFrame,
     path: str,

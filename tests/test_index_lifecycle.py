@@ -1278,3 +1278,64 @@ def test_pq_reencode_matches_retrained_rebuild(spark, emb, tmp_path):
     gone = {r.vec_id for r in retired.collect()}
     allk = pq_index_topk(spark, p, probe, k=100, nprobe=4)
     assert not ({r.vec_id for r in allk.collect()} & gone)
+
+def test_bm25_index_drift_flags_oov_batch(spark, docs, tmp_path):
+    """VERDICT r12 #6: the BM25 drift gauge must read ~zero OOV for an
+    in-vocabulary batch and flag a vocabulary-shifted batch, with the
+    length ratio tracking the batch/index avgdl drift."""
+    from btrdb_server_spark.functions.retrieval import (
+        bm25_index_build,
+        bm25_index_drift,
+    )
+
+    p = str(tmp_path / "a")
+    bm25_index_build(docs, p, buckets=8)
+
+    in_vocab = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "spark sql plans")],
+        "doc_id long, text string",
+    )
+    r = bm25_index_drift(spark, p, in_vocab).first()
+    assert r["oov_tokens"] == 0 and r["oov_rate"] == 0.0
+    assert r["new_terms"] == 0 and r["n_docs"] == 2 and r["n_tokens"] == 7
+    assert r["len_ratio"] < 1.0  # short batch vs the 9-ish-token corpus
+
+    shifted = spark.createDataFrame(
+        [(200, "quantenmechanik beschreibt verschraenkte zustaende heute")],
+        "doc_id long, text string",
+    )
+    s = bm25_index_drift(spark, p, shifted).first()
+    assert s["oov_tokens"] >= 4 and s["oov_rate"] > 0.7
+    assert s["new_terms"] >= 4 and s["new_term_rate"] > 0.7
+    assert s["index_avgdl"] == r["index_avgdl"]  # manifest-derived, stable
+
+
+def test_lsh_index_drift_gauges_banding_precision(spark, docs, tmp_path):
+    """VERDICT r12 #6: the LSH drift gauge verifies a deterministic
+    sample of index candidates against exact shingle Jaccard — on the
+    near-dup-heavy fixture precision is high and the estimate tracks
+    truth; retiring docs shrinks the sampled candidate set (tombstoned
+    docs must not be gauged)."""
+    from btrdb_server_spark.functions.dedup import (
+        lsh_index_build,
+        lsh_index_drift,
+        lsh_index_retire,
+    )
+
+    p = str(tmp_path / "ix")
+    lsh_index_build(docs, p)
+    r = lsh_index_drift(spark, p, docs, sample_mod=1).first()
+    assert r["n_pairs"] > 0
+    assert 0.0 <= r["mean_est_jaccard"] <= 1.0
+    assert 0.0 <= r["mean_true_jaccard"] <= 1.0
+    assert r["mean_abs_err"] < 0.35  # 16-hash estimate tracks truth
+    assert r["precision"] > 0.9  # the fixture's candidates are real dups
+
+    # deterministic sampling: sample_mod=2 gauges a subset
+    half = lsh_index_drift(spark, p, docs, sample_mod=2).first()
+    assert 0 < half["n_pairs"] <= r["n_pairs"]
+
+    # retired docs leave the gauge
+    lsh_index_retire(spark, p, [i for i in range(48) if i % 3 == 0])
+    after = lsh_index_drift(spark, p, docs, sample_mod=1).first()
+    assert after["n_pairs"] < r["n_pairs"]
