@@ -33,6 +33,7 @@ from btrdb_server_spark.sources.testdata import (
     load_table,
     streams_from_events,
 )
+from btrdb_server_spark.streaming import bounded_state_partitions
 
 # Time constants (UTC epoch ns). Testdata events span Jan 2024.
 T_2024 = 1_704_067_200_000_000_000  # 2024-01-01
@@ -101,6 +102,50 @@ def _mutable_index_copy(key: tuple, builder) -> str:
     shutil.copytree(_memo_index(key, builder), dst)
     return dst
 
+
+
+def _write_time_slices(
+    df: DataFrame, start: int, end: int, src_d: str, order=("time", "value"), n: int = 4
+) -> None:
+    """Streaming-source prep: n time-slice parquet files under src_d whose
+    mod-times (and names) ASCEND in slice order, so the file source
+    (maxFilesPerTrigger=1) replays them as in-time-order micro-batches.
+
+    Previously n sequential filter+sort+coalesce(1) write JOBS per query
+    (~2 s of the ~3.5 s fixed floor of every streaming entry at sf0.1);
+    now ONE job: the slice id is an exact integer-division column, a single
+    task sorts by (slice, *order) and the partitionBy writer cuts one file
+    per slice; the driver then moves the files into slice-name order and
+    pins ascending mod-times explicitly (utime) instead of relying on
+    sequential write timing. Same bytes, same slice boundaries, 4x fewer
+    jobs. Rows outside [start, end) are dropped exactly as the per-slice
+    range filters did (load_points widens bounds to whole µs)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    span = max((end - start) // n, 1)
+    tmp = src_d + "__stage"
+    (
+        df.where((F.col("time") >= start) & (F.col("time") < end))
+        .withColumn(
+            "slice",
+            F.least(F.lit(n - 1), F.expr(f"(time - {start}L) DIV {span}L")).cast("int"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("slice", *order)
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    _os.makedirs(src_d, exist_ok=True)
+    base = 1_000_000_000  # fixed base; only the relative order matters
+    for i in range(n):
+        for j, p in enumerate(sorted(_glob.glob(f"{tmp}/slice={i}/*.parquet"))):
+            dst = f"{src_d}/slice-{i:02d}-{j}.parquet"
+            _shutil.move(p, dst)
+            _os.utime(dst, (base + i, base + i))
+    _shutil.rmtree(tmp, ignore_errors=True)
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-stream aligned statistical rollup over sf0.001."""
@@ -675,37 +720,29 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
     )
-    # Time-ordered slices, written SEQUENTIALLY so the file source's
-    # mod-time ordering replays them in time order (EWMA is order-defined;
-    # the operator enforces the contract rather than assuming it).
-    span = (T_JAN10 - T_2024) // 4
-    for k in range(4):
-        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
-        (
-            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    # Time-ordered slices with pinned ascending mod-times so the file
+    # source replays them in time order (EWMA is order-defined; the
+    # operator enforces the contract rather than assuming it).
+    _write_time_slices(pts, T_2024, T_JAN10, src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_d)
     )
     name = "stream_ewma_out"
-    q = (
-        streaming_ewma(stream, alpha=0.25)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_ewma(stream, alpha=0.25)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
 
 
@@ -808,35 +845,26 @@ def q_streaming_deadband(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid") == "view"
     )
-    span = (T_JAN10 - T_2024) // 4
-    for kk in range(4):
-        lo = T_2024 + kk * span
-        hi = T_JAN10 if kk == 3 else T_2024 + (kk + 1) * span
-        (
-            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    _write_time_slices(pts, T_2024, T_JAN10, src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_d)
     )
     name = "stream_deadband_out"
-    q = (
-        streaming_deadband(stream, deadband=50.0)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_deadband(stream, deadband=50.0)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT time, value FROM {name}").orderBy("time")
 
 
@@ -853,35 +881,26 @@ def q_streaming_sdt(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid") == "view"
     )
-    span = (T_JAN10 - T_2024) // 4
-    for kk in range(4):
-        lo = T_2024 + kk * span
-        hi = T_JAN10 if kk == 3 else T_2024 + (kk + 1) * span
-        (
-            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    _write_time_slices(pts, T_2024, T_JAN10, src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_d)
     )
     name = "stream_sdt_out"
-    q = (
-        streaming_sdt(stream, tolerance=2.0)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_sdt(stream, tolerance=2.0)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT time, value FROM {name}").orderBy("time")
 
 
@@ -898,35 +917,26 @@ def q_streaming_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid") == "click"
     )
-    span = (T_JAN10 - T_2024) // 4
-    for kk in range(4):
-        lo = T_2024 + kk * span
-        hi = T_JAN10 if kk == 3 else T_2024 + (kk + 1) * span
-        (
-            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    _write_time_slices(pts, T_2024, T_JAN10, src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_d)
     )
     name = "stream_cross_out"
-    q = (
-        streaming_crossings(stream, threshold=10.0)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_crossings(stream, threshold=10.0)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(
         f"SELECT time, value, prev_time, prev_value, direction FROM {name}"
     ).orderBy("time", "value")
@@ -1086,17 +1096,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("event_type").isin("purchase", "click", "view"))
     bounds = ev.agg(F.min("time"), F.max("time")).collect()[0]
     lo0, hi0 = bounds[0], bounds[1] + 1
-    span = (hi0 - lo0) // 4
-    for kk in range(4):
-        lo = lo0 + kk * span
-        hi = hi0 if kk == 3 else lo0 + (kk + 1) * span
-        (
-            ev.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "event_id")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    _write_time_slices(ev, lo0, hi0, src_d, order=("time", "event_id"))
     stream = (
         spark.readStream.schema(
             "event_id long, time long, user_id long, event_type string"
@@ -1105,18 +1105,19 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src_d)
     )
     name = "stream_attr_out"
-    q = (
-        streaming_attribution(stream, within=DAY_NS)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_attribution(stream, within=DAY_NS)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(
         f"SELECT event_id, conv_time, touch_event_id, touch_type, "
         f"touch_time, latency FROM {name}"
@@ -1469,18 +1470,19 @@ def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     name = "stat_state_out"
-    q = (
-        streaming_stat_windows(stream, 42, value_quantum=0.01)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_stat_windows(stream, 42, value_quantum=0.01)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # Multiple emissions per bucket across micro-batches: keep the final one
     # (max cnt — the accumulator only grows).
     out = spark.sql(f"SELECT * FROM {name}")
@@ -1535,17 +1537,18 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_dedup_out"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.sql(f"SELECT * FROM {name}")
     from pyspark.sql import Window
 
@@ -1590,17 +1593,18 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = stream.select(F.explode(tokens_col(F.col("text"))).alias("token"))
     hh = streaming_heavy_hitters(toks, num_shards=8, capacity=65536)
     name = "stream_topk_out"
-    q = (
-        hh.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            hh.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.sql(f"SELECT * FROM {name}")
     from pyspark.sql import Window
 
@@ -1642,17 +1646,18 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = streaming_sessionize(stream, gap=3_600_000_000_000)
     name = "stream_sessions_out"
-    q = (
-        sess.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            sess.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.sql(f"SELECT * FROM {name}")
     from pyspark.sql import Window
 
@@ -1949,20 +1954,21 @@ def q_streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.insert_many(pts.where(F.col("time") < t_mid))
     store.insert_many(pts.where(F.col("time") >= t_mid))
     rows: list = []
-    q = (
-        changefeed(store)
-        .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        # awaitTermination(timeout) returns False instead of raising: a
-        # partial `rows` would otherwise read as a (confusing) bit-exact
-        # mismatch, and the still-running query would leak into later
-        # entries sharing this session.
-        q.stop()
-        raise TimeoutError("changefeed drain exceeded 300s")
+    with bounded_state_partitions(spark):
+        q = (
+            changefeed(store)
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            # awaitTermination(timeout) returns False instead of raising: a
+            # partial `rows` would otherwise read as a (confusing) bit-exact
+            # mismatch, and the still-running query would leak into later
+            # entries sharing this session.
+            q.stop()
+            raise TimeoutError("changefeed drain exceeded 300s")
     return spark.createDataFrame(
         rows, "uuid string, time long, value double, ins_ver long"
     ).orderBy("time")
@@ -1990,16 +1996,17 @@ def q_streaming_changefeed_deletes(spark: SparkSession, sf_dir: str) -> DataFram
     store.insert_many(pts.where(F.col("time") >= t_mid))  # v3
     store.delete_range("signup", t_mid, t_mid + 6 * 3600 * 10**9)  # v4
     rows: list = []
-    q = (
-        changefeed_deletes(store)
-        .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("delete changefeed drain exceeded 300s")
+    with bounded_state_partitions(spark):
+        q = (
+            changefeed_deletes(store)
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("delete changefeed drain exceeded 300s")
     return spark.createDataFrame(
         rows, "uuid string, start long, end long, ver long"
     ).orderBy("ver")
@@ -2274,17 +2281,18 @@ def q_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = streaming_lsh_candidates(stream)
     name = "stream_lsh_out"
-    q = (
-        cand.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            cand.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.sql(f"SELECT * FROM {name}")
         .distinct()  # a pair colliding in several bands/batches emits once
@@ -3478,34 +3486,26 @@ def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
     )
-    span = (T_JAN10 - T_2024) // 4
-    for k in range(4):
-        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
-        (
-            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    _write_time_slices(pts, T_2024, T_JAN10, src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_d)
     )
     name = "stream_twa_out"
-    q = (
-        streaming_twa(stream, T_2024, DAY_NS)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_twa(stream, T_2024, DAY_NS)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
 
 
@@ -3523,34 +3523,26 @@ def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
     )
-    span = (T_JAN10 - T_2024) // 4
-    for k in range(4):
-        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
-        (
-            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    _write_time_slices(pts, T_2024, T_JAN10, src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_d)
     )
     name = "stream_quantile_out"
-    q = (
-        streaming_quantile(stream, T_2024, DAY_NS)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_quantile(stream, T_2024, DAY_NS)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
 
 
@@ -3648,34 +3640,26 @@ def q_streaming_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
     )
-    span = (T_JAN10 - T_2024) // 4
-    for k in range(4):
-        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
-        (
-            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    _write_time_slices(pts, T_2024, T_JAN10, src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_d)
     )
     name = "stream_coverage_out"
-    q = (
-        streaming_coverage(stream, T_2024, DAY_NS, HOUR_NS)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_coverage(stream, T_2024, DAY_NS, HOUR_NS)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
 
 
@@ -4544,34 +4528,26 @@ def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load_points(spark, sf_dir, T_2024, T_JAN10).where(
         F.col("uuid").isin("purchase", "error")
     )
-    span = (T_JAN10 - T_2024) // 4
-    for k in range(4):
-        lo, hi = T_2024 + k * span, T_JAN10 if k == 3 else T_2024 + (k + 1) * span
-        (
-            pts.where((F.col("time") >= lo) & (F.col("time") < hi))
-            .orderBy("time", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_d)
-        )
+    _write_time_slices(pts, T_2024, T_JAN10, src_d)
     stream = (
         spark.readStream.schema("uuid string, time long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_d)
     )
     name = "stream_holt_out"
-    q = (
-        streaming_holt(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            streaming_holt(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {name}").orderBy("uuid", "time")
 
 
@@ -4862,17 +4838,18 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_kmv(stream)
     name = "stream_kmv_out"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     emitted = spark.sql(f"SELECT * FROM {name}")
     from pyspark.sql import Window
 
@@ -5418,17 +5395,18 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_hll(stream)
     name = "stream_hll_out"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     emitted = spark.sql(f"SELECT * FROM {name}")
     from pyspark.sql import Window
 

@@ -57,7 +57,9 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             t_build = time.perf_counter() - t0
 
-            plan = df._jdf.queryExecution().explainString("formatted")
+            jvm = spark.sparkContext._jvm
+            mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            plan = df._jdf.queryExecution().explainString(mode)
             n_exch = len(re.findall(r"\bExchange\b", plan))
             n_py = len(re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow", plan))
             n_join = len(re.findall(r"Join\b", plan))
