@@ -549,9 +549,14 @@ def pq_train(
     if iters < 0:
         raise ValueError("iters must be >= 0")
     e, cb, _sub = _pq_parts(embeddings, m, k, id_col, vec_col, dim)
-    if iters:
-        cb = cb.localCheckpoint(eager=True)
-    for _ in range(iters):
+    for it in range(iters):
+        if it:
+            # Truncate BETWEEN iterations only: each checkpoint is a full
+            # job barrier, and within one iteration the codebook is
+            # referenced exactly once (the broadcast join), so the seed
+            # plan never replays. iters=1 — the common maintenance cycle —
+            # now runs zero mid-train checkpoint jobs (was two).
+            cb = cb.localCheckpoint(eager=True)
         # The subvector rides through the argmin struct ((dist, code) is
         # unique per group, so sv never acts as a comparator) — no second
         # join to recover member vectors for the mean.
@@ -584,7 +589,6 @@ def pq_train(
                     "cv"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
     return cb
 
@@ -2328,15 +2332,21 @@ def pq_index_reencode(
                 F.col("cv").cast("array<double>").alias("cv"),
             )
         bdir = f"codebooks.gen{seq}"
-        codebook.write.mode("overwrite").parquet(os.path.join(path, bdir))
+        # ONE execution of the training plan: collect the codebook, then
+        # persist the collected rows (write -> read-back -> collect was
+        # three jobs and ran the train plan twice; doubles round-trip
+        # parquet losslessly, so the persisted artifact and the rows the
+        # encode below scores with are still bit-identical).
+        cb_rows = codebook.collect()
+        spark.createDataFrame(
+            cb_rows, "j int, code int, cv array<double>"
+        ).write.mode("overwrite").parquet(os.path.join(path, bdir))
         # Encode against the PERSISTED artifacts (centroids unchanged,
-        # codebooks just written) — the cells hold exactly what a reader
-        # of this generation will score with.
+        # codebooks just persisted from the same rows).
         cent_rows = sorted(
             spark.read.parquet(_centroids_path(path, m_)).collect(),
             key=lambda r: r["cid"],
         )
-        cb_rows = spark.read.parquet(os.path.join(path, bdir)).collect()
         code_type = "tinyint" if int(p["k_codes"]) <= 127 else "smallint"
         cells = _pq_assigned_codes(
             live, cent_rows, cb_rows, m, sub, code_type, id_col, vec_col
