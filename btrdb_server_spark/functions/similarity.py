@@ -17,6 +17,7 @@ so results are reproducible and SQL-oracle-checkable.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Optional, Sequence
 
@@ -41,8 +42,56 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _vec_sql(vs: Sequence[float]) -> str:
+    """SQL text for a literal double array. repr() emits the shortest
+    decimal that round-trips the IEEE-754 value and Spark's parser
+    re-rounds it to the identical bits, so the parsed Literal equals
+    F.lit's on every finite double — but ONE expr() parse replaces
+    len(vs)+1 py4j round trips. Literal-vector trees (centroids,
+    codebooks, probes) were costing SECONDS of driver time per index
+    build at 64 dims x k candidates (guide §7.3: plan construction is
+    single-threaded driver work); the executed plan is unchanged."""
+    return "array(" + ", ".join(repr(float(x)) + "D" for x in vs) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text mirroring _dot() exactly (same fold, same 0.0 seed)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    """SQL text for the squared-L2 fold used by the PQ encode/drift
+    trees: identical op chain to the zip_with/aggregate Column form."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cos_lit_sql(col: str, vs: Sequence[float]) -> str:
+    """SQL text mirroring cosine_col(F.col(col), _lit_vec(vs)) exactly:
+    dot / (norm(col) * norm(lit))."""
+    a = _vec_sql(vs)
+    return (
+        f"({_dot_sql(col, a)} / (sqrt({_dot_sql(col, col)}) * "
+        f"sqrt({_dot_sql(a, a)})))"
+    )
+
+
+def _all_finite(vs: Sequence[float]) -> bool:
+    return all(map(math.isfinite, vs))
+
+
 def _lit_vec(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    vs = [float(x) for x in vec]
+    if vs and _all_finite(vs):
+        # One expr() parse; the analyzed tree (CreateArray of double
+        # Literals) is identical to the F.array(F.lit..) form below.
+        return F.expr(_vec_sql(vs))
+    return F.array(*[F.lit(x) for x in vs])
 
 
 def cosine_topk(
@@ -106,10 +155,27 @@ def lsh_bucket_assignments(
 ) -> DataFrame:
     """Sign-of-dot-product LSH signature: bucket = sum_j (dot(v, h_j) > 0)
     << j. Vectors in the same bucket are ANN candidates."""
-    emb = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0)
-    for j, h in enumerate(planes):
-        bucket = bucket + F.when(_dot(emb, _lit_vec(h)) > 0, F.lit(1 << j)).otherwise(0)
+    vss = [[float(x) for x in h] for h in planes]
+    if vss and all(_all_finite(h) for h in vss):
+        # One expr() parse for the whole plane sum (identical tree to the
+        # Column loop below — same left-assoc adds, same CASE/cast
+        # coercions); planes x dim literal trees were ~60 ms of py4j
+        # driver time each (guide §7.3).
+        col_sql = f"cast(`{vec_col}` as array<double>)"
+        b = "0"
+        for j, h in enumerate(vss):
+            b = (
+                f"({b} + (CASE WHEN ({_dot_sql(col_sql, _vec_sql(h))} > 0) "
+                f"THEN {1 << j} ELSE 0 END))"
+            )
+        bucket = F.expr(b)
+    else:
+        emb = F.col(vec_col).cast("array<double>")
+        bucket = F.lit(0)
+        for j, h in enumerate(vss):
+            bucket = bucket + F.when(
+                _dot(emb, _lit_vec(h)) > 0, F.lit(1 << j)
+            ).otherwise(0)
     return embeddings.select(F.col(id_col), bucket.alias("bucket")).orderBy(id_col)
 
 
@@ -1085,9 +1151,16 @@ def sq8_topk(
     Ranking on round(approx_dot, 6) with id tiebreak. Columns: vec_id,
     approx_dot, exact_dot, err."""
     emb = F.col(vec_col).cast("array<double>")
+    # One expr() parse per bound array instead of 2*dim py4j min/getItem
+    # trees (identical analyzed aggregate; guide §7.3 driver-time note).
+    _el = f"cast(`{vec_col}` as array<double>)"
     stats = embeddings.agg(
-        F.array(*[F.min(emb[i]) for i in range(dim)]).alias("lo"),
-        F.array(*[F.max(emb[i]) for i in range(dim)]).alias("hi"),
+        F.expr(
+            "array(" + ", ".join(f"min({_el}[{i}])" for i in range(dim)) + ")"
+        ).alias("lo"),
+        F.expr(
+            "array(" + ", ".join(f"max({_el}[{i}])" for i in range(dim)) + ")"
+        ).alias("hi"),
     )
     probe_row = embeddings.where(F.col(id_col) == probe_id).select(
         F.col(vec_col).cast("array<double>").alias("q")
@@ -1567,18 +1640,33 @@ def _nearest_centroid_col(cent_rows) -> Column:
     same lexicographic max ivf_assign aggregates (rounded cosine, ties to
     the smallest cid), but with no join and no shuffle — shared by the
     IVF and PQ index builds."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_col(F.col("v"), _lit_vec([float(x) for x in r["cv"]])),
-                    6,
-                ).alias("score"),
-                F.lit(-int(r["cid"])).alias("ncid"),
+    rows = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    if rows and all(_all_finite(cv) for _, cv in rows):
+        # One expr() parse of the whole candidate array (the analyzed
+        # tree matches the F.struct/F.round Column form element for
+        # element) — k centroids x dim literals was seconds of py4j
+        # driver time per build call (guide §7.3).
+        scored = F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('score', round({_cos_lit_sql('v', cv)}, 6), "
+                f"'ncid', {-cid})"
+                for cid, cv in rows
             )
-            for r in cent_rows
-        ]
-    )
+            + ")"
+        )
+    else:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(cosine_col(F.col("v"), _lit_vec(cv)), 6).alias(
+                        "score"
+                    ),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, cv in rows
+            ]
+        )
     return -F.array_max(scored)["ncid"]
 
 
@@ -1819,7 +1907,26 @@ def _pq_assigned_codes(
             (int(r["code"]), [float(x) for x in r["cv"]])
         )
 
+    sql_ok = all(
+        _all_finite(cv) for cands in by_j.values() for _, cv in cands
+    )
+
     def code_col(j: int) -> Column:
+        if sql_ok:
+            # One expr() parse per subspace instead of k_codes py4j
+            # literal/lambda trees (~60 ms EACH on the driver — the
+            # build's dominant cost at sf0.1 was plan construction, not
+            # the job; guide §7.3). Parsed tree identical to the Column
+            # form below.
+            cands = ", ".join(
+                f"named_struct('dist', round(sqrt("
+                f"{_sq_l2_sql(f'_sv{j}', _vec_sql(cv))}), 6), "
+                f"'code', {code})"
+                for code, cv in sorted(by_j[j])
+            )
+            return F.expr(f"array_min(array({cands}))")["code"].cast(
+                code_type
+            )
         sv = F.col(f"_sv{j}")
         cands = F.array(
             *[
@@ -2166,13 +2273,33 @@ def pq_index_drift(
             6,
         )
 
-    dq = [
-        F.round(
-            F.array_min(F.array(*[_dist(j, cv) for cv in by_j[j]]))
-            * F.lit(1e6)
-        ).cast("long")
-        for j in range(m)
-    ]
+    sql_ok = all(_all_finite(cv) for cvs in by_j.values() for cv in cvs)
+    if sql_ok:
+        # One expr() parse per subspace (identical tree to the _dist
+        # Column form) — m*k_codes py4j lambda trees were the gauge's
+        # dominant driver-side cost; see _pq_assigned_codes.
+        dq = [
+            F.round(
+                F.expr(
+                    "array_min(array("
+                    + ", ".join(
+                        f"round({_sq_l2_sql(f'_sv{j}', _vec_sql(cv))}, 6)"
+                        for cv in by_j[j]
+                    )
+                    + "))"
+                )
+                * F.lit(1e6)
+            ).cast("long")
+            for j in range(m)
+        ]
+    else:
+        dq = [
+            F.round(
+                F.array_min(F.array(*[_dist(j, cv) for cv in by_j[j]]))
+                * F.lit(1e6)
+            ).cast("long")
+            for j in range(m)
+        ]
     resid_q = dq[0]
     for term in dq[1:]:
         resid_q = resid_q + term

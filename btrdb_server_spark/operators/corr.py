@@ -880,37 +880,44 @@ def hurst_exponent(
         )
         .groupBy("widx")
         .agg(F.sum("vq").alias("s"))
-        .localCheckpoint(eager=True)
     )
-    per_scale = []
-    for m in scales:
-        nb = n // m  # full blocks only; the ragged tail is dropped
-        blocks = (
-            sums.where(F.col("widx") < nb * m)
-            .groupBy(F.expr(f"widx div {m}").alias("blk"))
-            .agg(F.sum("s").alias("bs"))
-        )
-        agg = blocks.agg(
-            F.coalesce(F.sum("bs"), F.lit(0)).alias("S"),
-            F.coalesce(F.sum(F.col("bs") * F.col("bs")), F.lit(0)).alias("SS"),
-        )
-        d = lambda c: F.col(c).cast("double")  # noqa: E731
-        nbd = F.lit(float(nb))
-        md = F.lit(float(m))
-        # variance of block MEANS: E[(bs/m)^2] - (E[bs/m])^2, all from
-        # integer sums; zero-filled windows are implicit (absent rows
-        # contribute 0 to S/SS but DO count in nb)
-        var = (d("SS") / (md * md)) / nbd - (d("S") / md / nbd) * (
-            d("S") / md / nbd
-        )
-        per_scale.append(
-            agg.select(
-                F.lit(m).cast("long").alias("m"), var.alias("var_m")
-            )
-        )
-    from functools import reduce as _reduce
-
-    scaled = _reduce(DataFrame.unionAll, per_scale)
+    # All scales in ONE pass: attach the per-scale constants as a 4-row
+    # broadcast spine, block-aggregate on (m, widx div m), then reduce per
+    # m. Replaces the per-scale loop (an eager checkpoint job + 2
+    # exchanges and an ArrowEvalPython round trip PER scale, unioned) with
+    # two exchanges and one Python round trip total; S/SS are the same
+    # exact integer sums and the variance expression applies the identical
+    # IEEE op chain with the identical per-scale values, so var_m is
+    # bit-equal. The spine left-join restores the always-one-row-per-scale
+    # contract (S = SS = 0 when no block survives the bound filter).
+    spark = points.sparkSession
+    spine = spark.createDataFrame(
+        [(int(m), (n // m) * m, float(n // m)) for m in scales],
+        "m long, bound long, nbd double",
+    )
+    blocks = (
+        sums.join(F.broadcast(spine))
+        .where(F.col("widx") < F.col("bound"))
+        .groupBy("m", F.expr("widx div m").alias("blk"))
+        .agg(F.sum("s").alias("bs"))
+    )
+    per_scale = blocks.groupBy("m").agg(
+        F.sum("bs").alias("S"),
+        F.sum(F.col("bs") * F.col("bs")).alias("SS"),
+    )
+    d = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")  # noqa: E731
+    nbd = F.col("nbd")
+    md = F.col("m").cast("double")
+    # variance of block MEANS: E[(bs/m)^2] - (E[bs/m])^2, all from
+    # integer sums; zero-filled windows are implicit (absent rows
+    # contribute 0 to S/SS but DO count in nb)
+    var = (d("SS") / (md * md)) / nbd - (d("S") / md / nbd) * (
+        d("S") / md / nbd
+    )
+    scaled = (
+        spine.join(per_scale, "m", "left")
+        .select(F.col("m"), var.alias("var_m"))
+    )
 
     from btrdb_server_spark.utils import libm_ln
 
