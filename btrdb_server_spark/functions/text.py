@@ -633,6 +633,10 @@ def ngram_coverage(
         raise ValueError("need n >= 1 and at least one k")
     from pyspark.sql import Window
 
+    # The interpreted tokenize+slice explode is the expensive stage; a
+    # single-file input would otherwise run it on ONE task (guide §2.5
+    # input skew — every sibling text operator carries the same guard).
+    docs = ensure_parallelism(docs)
     toks = tokens_col(F.col(text_col))
     if n == 1:
         grams = F.explode(toks).alias("g")
