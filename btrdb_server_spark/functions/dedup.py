@@ -182,24 +182,29 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of r rows; docs
-    sharing any full band become a candidate pair (a < b). The self-join is
-    per (band_idx, band_key) — only colliding docs meet, never the full
-    cross product."""
+    sharing any full band become a candidate pair (a < b). Collision groups
+    are gathered per (band_idx, band_key) and pairs generated map-side —
+    only colliding docs meet, never the full cross product."""
     # One explode instead of a `bands`-way union (a union re-runs the whole
-    # signature computation once per band); localCheckpoint materializes the
-    # band table once so the self-join's two sides share it.
+    # signature computation once per band). Pair generation is a per-group
+    # collect_list + double explode instead of the band-table self-join:
+    # ONE signature pipeline feeds one groupBy exchange and the pairs are
+    # generated inside the task (the self-join ran the signature pipeline
+    # once PER SIDE — at bench scale AQE broadcasts one side so runtime
+    # exchange reuse never fires, and the localCheckpoint that used to
+    # paper over that cost a planner pass plus, under AQE, eager execution
+    # of every shuffle stage at plan-construction time). Group fan-out is
+    # bounded by band-collision size, the same bound the join had.
     band_structs = _band_structs(num_hashes, bands)
-    all_bands = (
+    groups = (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-        .localCheckpoint(eager=False)
+        .groupBy("bk")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
     )
-    left = all_bands.select("band", "band_key", F.col(id_col).alias("a"))
-    right = all_bands.select("band", "band_key", F.col(id_col).alias("b"))
     return (
-        left.join(right, ["band", "band_key"])
+        groups.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
         .orderBy("a", "b")
     )
@@ -271,12 +276,17 @@ def lsh_verified_pairs(
     index through the CANDIDATE pair list, so the exact work scales with
     the number of candidates — never with corpus² — which is what makes
     the pipeline hold on a 100 TB near-dup-sparse corpus."""
+    # No checkpoints: `sh`'s three consumers sit directly above its distinct
+    # exchange and `cand` is consumed once, so runtime exchange reuse dedups
+    # every replay — while each lazy localCheckpoint would cost a planner
+    # pass + (under AQE) eager execution of its shuffle stages at
+    # construction, serializing work one query execution overlaps.
     cand = lsh_candidate_pairs(
         minhash_signatures(docs, text_col, id_col, num_hashes, k),
         id_col,
         num_hashes,
         bands,
-    ).localCheckpoint(eager=False)
+    )
     sh = (
         ensure_parallelism(docs)
         .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
@@ -284,7 +294,6 @@ def lsh_verified_pairs(
             id_col, F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s")
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (

