@@ -320,6 +320,43 @@ def lsh_verified_pairs(
     )
 
 
+def _pair_audit(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    """One-pass recall/precision audit of a candidate pair set against a
+    truth pair set: tag each side, union, and fold all three counts out of
+    ONE aggregation — the previous three-branch shape (count(truth),
+    count(cand), count(truth left_semi cand)) executed the truth and
+    candidate pipelines TWICE each, and both are whole-corpus jobs (the
+    truth side is the uncapped exact-Jaccard self-join). Counts are
+    identical: truth is distinct on (a, b) by construction (groupBy
+    output), so n_hits = pairs carrying both tags = the semi-join count;
+    n_truth / n_candidates are plain row counts either way (coalesce
+    keeps them 0, not NULL, on empty inputs). One row: n_truth,
+    n_candidates, n_hits, recall, precision."""
+    u = truth.select("a", "b", F.lit(1).alias("t"), F.lit(0).alias("c")).unionAll(
+        cand.select("a", "b", F.lit(0).alias("t"), F.lit(1).alias("c"))
+    )
+    per = u.groupBy("a", "b").agg(F.sum("t").alias("st"), F.sum("c").alias("sc"))
+    return per.agg(
+        F.coalesce(F.sum("st"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("sc"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(
+            F.sum(((F.col("st") > 0) & (F.col("sc") > 0)).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
+            "recall"
+        ),
+        (
+            F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")
+        ).alias("precision"),
+    )
+
+
 def lsh_recall_eval(
     docs: DataFrame,
     text_col: str = "text",
@@ -356,27 +393,7 @@ def lsh_recall_eval(
         num_hashes,
         bands,
     ).select("a", "b")
-    hits = truth.join(cand, ["a", "b"], "left_semi")
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_hits = hits.agg(F.count("*").alias("n_hits"))
-    # Three one-row aggregates; the crossJoins are broadcast scalars.
-    return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hits))
-        .select(
-            "n_truth",
-            "n_candidates",
-            "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
-                "recall"
-            ),
-            (
-                F.col("n_hits").cast("double")
-                / F.col("n_candidates").cast("double")
-            ).alias("precision"),
-        )
-    )
+    return _pair_audit(truth, cand)
 
 
 def dedup_clusters(
@@ -1254,26 +1271,7 @@ def snm_recall_eval(
         docs, text_col, id_col, k, threshold, df_cap=1 << 62
     ).select("a", "b")
     cand = _snm_candidates(docs, text_col, id_col, window, block_chars, key_chars)
-    hits = truth.join(cand, ["a", "b"], "left_semi")
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_hits = hits.agg(F.count("*").alias("n_hits"))
-    return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hits))
-        .select(
-            "n_truth",
-            "n_candidates",
-            "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
-                "recall"
-            ),
-            (
-                F.col("n_hits").cast("double")
-                / F.col("n_candidates").cast("double")
-            ).alias("precision"),
-        )
-    )
+    return _pair_audit(truth, cand)
 
 
 def _band_rows(

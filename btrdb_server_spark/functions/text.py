@@ -931,7 +931,12 @@ def bigram_perplexity(
         .select(id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
     b = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    u = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c1(w1) = sum over w2 of c12(w1, w2) — derived from the bigram table
+    # instead of a second groupBy over the exploded stream, which replayed
+    # the whole tokenize+explode corpus pass (different grouping keys mean
+    # different exchanges, so runtime exchange reuse cannot dedup them).
+    # Exact same integer counts, one corpus pass fewer.
+    u = b.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = t.select(F.explode("toks").alias("tok")).agg(
         F.countDistinct("tok").alias("vsz")
     )

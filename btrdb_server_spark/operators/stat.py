@@ -1287,12 +1287,22 @@ def bootstrap_ci(
     if replicates < 2:
         raise ValueError("need >= 2 replicates")
     thresholds = _poisson1_thresholds()
-    src = points.where(
-        (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
-    ).select(
-        "time",
-        F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"),
-        F.col("value").alias("v"),
+    from btrdb_server_spark.utils import ensure_parallelism
+
+    # The x`replicates` explode below fans every point out 200x; a
+    # single-file scan otherwise runs that whole stage on ONE task
+    # (measured: 1 scan partition at sf0.1 -> the explode+threshold stage
+    # serialized on one core). Replicate sums are exact int64s, so the
+    # repartition cannot move a bit; a well-partitioned corpus makes the
+    # guard a no-op (guide §2.5 input skew).
+    src = ensure_parallelism(
+        points.where(
+            (F.col("uuid") == F.lit(uuid)) & time_range_pred(start, end)
+        ).select(
+            "time",
+            F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("vq"),
+            F.col("value").alias("v"),
+        )
     )
     # ONE md5 per point, then a per-replicate 32-bit LCG mix: 200x fewer
     # digest evaluations than hashing (replicate, point) pairs, same
@@ -1337,16 +1347,25 @@ def bootstrap_ci(
             ).alias("m"),
         )
     )
-    w = Window.orderBy("m", "r").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = means.select("m", F.count("*").over(w).alias("cum"))
-    tot = means.agg(F.count("*").alias("b"))
+    # The replicate count b rides the SAME window pass as the running
+    # count (identical partition/order spec -> one Window operator): a
+    # separate means.agg(count) branch re-executed the whole explode x B
+    # + groupBy pipeline a second time (the plan carried the Generate
+    # subtree twice; ReusedExchange could not fire across the broadcast).
+    w = Window.orderBy("m", "r")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = means.select(
+        "m",
+        F.count("*").over(w_run).alias("cum"),
+        F.count("*").over(w_all).alias("b"),
+    )
     base = src.agg(
         F.count("*").alias("n"),
         F.sum("vq").alias("tv"),
     )
     picks = (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("b")
+        cum.groupBy("b")
         .agg(
             F.min(
                 F.when(
@@ -1416,9 +1435,17 @@ def psi_drift(
         )
 
     href, hcur = hist(ref_start, ref_end), hist(cur_start, cur_end)
-    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = href.select("vq", F.sum("c").over(w).alias("cum"))
-    tot = href.agg(F.sum("c").alias("nr"))
+    # nr rides the SAME window pass as the running sum (identical
+    # partition/order spec -> one Window operator): a separate
+    # href.agg(sum) branch re-executed the reference histogram pipeline
+    # a second time (same defect and fix as bootstrap_ci's replicate
+    # count — the broadcast boundary blocks exchange reuse).
+    wspec = Window.orderBy("vq")
+    w_run = wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = href.select(
+        "vq", F.sum("c").over(w_run).alias("cum"), F.sum("c").over(w_all).alias("nr")
+    )
     picks = [
         F.min(
             F.when(
@@ -1429,7 +1456,7 @@ def psi_drift(
         ).alias(f"c{k}")
         for k in range(1, bins)
     ]
-    cuts = cum.crossJoin(F.broadcast(tot)).groupBy("nr").agg(*picks)
+    cuts = cum.groupBy("nr").agg(*picks)
 
     def binned(h: DataFrame, label: str) -> DataFrame:
         b = None
@@ -1521,9 +1548,17 @@ def psi_timeline(
         .groupBy("vq")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = href.select("vq", F.sum("c").over(w).alias("cum"))
-    tot = href.agg(F.sum("c").alias("nr"))
+    # nr rides the SAME window pass as the running sum (identical
+    # partition/order spec -> one Window operator): a separate
+    # href.agg(sum) branch re-executed the reference histogram pipeline
+    # a second time (same defect and fix as bootstrap_ci's replicate
+    # count — the broadcast boundary blocks exchange reuse).
+    wspec = Window.orderBy("vq")
+    w_run = wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = href.select(
+        "vq", F.sum("c").over(w_run).alias("cum"), F.sum("c").over(w_all).alias("nr")
+    )
     picks = [
         F.min(
             F.when(
@@ -1534,7 +1569,7 @@ def psi_timeline(
         ).alias(f"c{k}")
         for k in range(1, bins)
     ]
-    cuts = cum.crossJoin(F.broadcast(tot)).groupBy("nr").agg(*picks)
+    cuts = cum.groupBy("nr").agg(*picks)
 
     def bin_of():
         b = None
@@ -1648,18 +1683,25 @@ def ks_test(
         F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
         F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
     )
-    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Totals ride the SAME window pass as the running sums (identical
+    # partition/order spec -> one Window operator): the separate
+    # merged.agg branch re-executed both histogram scans a second time
+    # (broadcast boundaries block exchange reuse — the bootstrap_ci fix).
+    wspec = Window.orderBy("vq")
+    w_run = wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cum = merged.select(
         "vq",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(w_run).alias("cum_a"),
+        F.sum("cb").over(w_run).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
     )
-    tot = merged.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     gap = (
         F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")
     )
     best = (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .select(
             "n_a",
             "n_b",
@@ -1778,11 +1820,17 @@ def chi2_independence(
     cramers_v."""
     # integer div — a float division of epoch-ns (> 2^53) would round
     dow = (F.expr(f"time div {day_ns}") + 4) % 7
+    # cells is label-scale (streams x 7 rows) but its pipeline is the
+    # point-scale scan+groupBy; with FOUR consumers (rows, cols, tot,
+    # spine) on DIFFERENT keys, exchange reuse covers none of them and
+    # the corpus scan replayed four times. One eager materialization of
+    # the tiny table replaces all four.
     cells = (
         points.where(time_range_pred(start, end))
         .select("uuid", dow.alias("dow"))
         .groupBy("uuid", "dow")
         .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=True)
     )
     rows = cells.groupBy("uuid").agg(F.sum("o").alias("r"))
     cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
@@ -1868,17 +1916,27 @@ def anova_dow(
             F.sum(F.col("q") * F.col("q")).alias("s2"),
         )
     )
-    tot = groups.agg(
-        F.sum("ng").alias("n"),
-        F.sum("s1").alias("t1"),
-        F.count("*").alias("k"),
+    # Grand totals ride one whole-frame window over the (<= 7-row) group
+    # table instead of a separate agg branch that re-executed the
+    # point-scale scan+groupBy (broadcast boundaries block exchange
+    # reuse — the bootstrap_ci fix).
+    w_all = Window.orderBy("dow").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     gm = d("t1") / d("n")
     mean_g = d("s1") / d("ng")
     ssb_term = d("ng") * (mean_g - gm) * (mean_g - gm)
     ssw_term = d("s2") - d("s1") * d("s1") / d("ng")
-    terms = groups.crossJoin(F.broadcast(tot)).select(
+    terms = groups.select(
+        "dow",
+        "ng",
+        "s1",
+        "s2",
+        F.sum("ng").over(w_all).alias("n"),
+        F.sum("s1").over(w_all).alias("t1"),
+        F.count("*").over(w_all).alias("k"),
+    ).select(
         "dow",
         "n",
         "k",

@@ -746,11 +746,15 @@ def test_simhash_pairs_band_join_not_cartesian(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
-def test_lsh_recall_eval_scalar_joins_broadcast(spark):
-    """The three one-row count aggregates combine via broadcast nested
-    loop (scalar x scalar) — never a shuffled join."""
+def test_lsh_recall_eval_single_pass_audit(spark):
+    """The recall audit folds n_truth/n_candidates/n_hits out of ONE
+    tagged union + aggregation (_pair_audit): the retired three-branch
+    shape (count, count, semi-join count) executed the whole-corpus truth
+    and candidate pipelines twice each. Pin: a Union feeds the audit and
+    no scalar crossJoin branches remain."""
     plan = plan_of(entry_mod.q_lsh_recall_eval(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Union" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_bigram_perplexity_lm_joins_keyed(spark):
