@@ -755,36 +755,37 @@ def deadband_compress(
         "value",
         F.round(F.col("value") / F.lit(value_quantum)).cast("long").alias("q"),
     )
-    arr = src.groupBy("uuid").agg(
-        F.sort_array(F.collect_list(F.struct("time", "value", "q"))).alias("a")
-    )
-    init = F.array(
-        F.struct(
-            F.element_at("a", 1)["time"].alias("time"),
-            F.element_at("a", 1)["value"].alias("value"),
-            F.element_at("a", 1)["q"].alias("kq"),
-        )
-    )
-    folded = F.aggregate(
-        F.slice("a", 2, F.greatest(F.size("a") - 1, F.lit(0))),
-        init,
-        lambda acc, x: F.when(
-            F.abs(x["q"] - F.element_at(acc, -1)["kq"]) > F.lit(dq),
-            F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        x["time"].alias("time"),
-                        x["value"].alias("value"),
-                        x["q"].alias("kq"),
-                    )
-                ),
-            ),
-        ).otherwise(acc),
-    )
+    # One Arrow-shipped pandas fold per stream (same treatment as ewma /
+    # holt_smooth flat paths, guide §4.2): the previous Catalyst form
+    # (F.aggregate growing the kept array via concat) copied the whole
+    # accumulated array on every KEPT point — O(kept²) struct copies in
+    # one task. The keep decision is pure int64 arithmetic
+    # (|q - q_kept| > dq), so the kept set is engine-exact either way,
+    # and the sort matches sort_array's (time, value, q) struct order
+    # (q is a function of value, so (time, value) decides every tie).
+    dqi = int(dq)
+
+    def _fold(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["time", "value"], kind="mergesort")
+        t = pdf["time"].to_numpy(dtype="int64")
+        v = pdf["value"].to_numpy(dtype="float64")
+        q = pdf["q"].to_numpy(dtype="int64")
+        keep = np.zeros(len(t), dtype=bool)
+        keep[0] = True
+        kq = int(q[0])
+        for i in range(1, len(t)):
+            qi = int(q[i])
+            if abs(qi - kq) > dqi:
+                keep[i] = True
+                kq = qi
+        return pd.DataFrame({"time": t[keep], "value": v[keep]})
+
     return (
-        arr.select(F.explode(folded).alias("r"))
-        .select("r.time", "r.value")
+        src.groupBy("uuid")
+        .applyInPandas(_fold, "time long, value double")
         .orderBy("time")
     )
 

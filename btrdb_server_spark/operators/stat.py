@@ -1333,10 +1333,21 @@ def bootstrap_ci(
     for t in thresholds:
         term = F.when(u >= F.lit(t), F.lit(1)).otherwise(F.lit(0))
         k = term if k is None else k + term
+    # n and tv ride the SAME replicate aggregation: every replicate group
+    # holds exactly one row per source point, so count(*) = n and
+    # sum(vq) = tv in EVERY group — a separate src.agg(count, sum) branch
+    # was a second full corpus scan (the broadcast boundary blocks
+    # exchange reuse, same defect as the replicate-count branch fixed
+    # earlier). Exact integers either way.
     means = (
         rep.select("r", "vq", k.alias("k"))
         .groupBy("r")
-        .agg(F.sum(F.col("k") * F.col("vq")).alias("skv"), F.sum("k").alias("sk"))
+        .agg(
+            F.sum(F.col("k") * F.col("vq")).alias("skv"),
+            F.sum("k").alias("sk"),
+            F.count("*").alias("n"),
+            F.sum("vq").alias("tv"),
+        )
         .where(F.col("sk") > 0)
         .select(
             "r",
@@ -1345,6 +1356,8 @@ def bootstrap_ci(
                 / F.col("sk").cast("double")
                 / F.lit(float(round(1.0 / value_quantum)))
             ).alias("m"),
+            "n",
+            "tv",
         )
     )
     # The replicate count b rides the SAME window pass as the running
@@ -1359,10 +1372,11 @@ def bootstrap_ci(
         "m",
         F.count("*").over(w_run).alias("cum"),
         F.count("*").over(w_all).alias("b"),
-    )
-    base = src.agg(
-        F.count("*").alias("n"),
-        F.sum("vq").alias("tv"),
+        # n/tv are identical on every means row; max over the same
+        # whole-table window frame carries them through the picks without
+        # the old base branch's second corpus scan + crossJoin.
+        F.max("n").over(w_all).alias("n"),
+        F.max("tv").over(w_all).alias("tv"),
     )
     picks = (
         cum.groupBy("b")
@@ -1379,10 +1393,12 @@ def bootstrap_ci(
                     F.col("m"),
                 )
             ).alias("ci_hi"),
+            F.max("n").alias("n"),
+            F.max("tv").alias("tv"),
         )
     )
     q = float(round(1.0 / value_quantum))
-    return picks.crossJoin(F.broadcast(base)).select(
+    return picks.select(
         "n",
         "b",
         (F.col("tv").cast("double") / F.col("n").cast("double") / F.lit(q)).alias(
@@ -1434,7 +1450,14 @@ def psi_drift(
             .agg(F.count("*").alias("c"))
         )
 
-    href, hcur = hist(ref_start, ref_end), hist(cur_start, cur_end)
+    # ONE eager checkpoint of the reference histogram (value-domain
+    # scale): its pipeline had two consumers — the cut-point broadcast
+    # build and binned(href) — and the broadcast boundary blocks exchange
+    # reuse, so the reference period was scanned twice. The checkpoint
+    # replaces both replays with one scan (same fix as
+    # chi2_independence's cells table).
+    href = hist(ref_start, ref_end).localCheckpoint(eager=True)
+    hcur = hist(cur_start, cur_end)
     # nr rides the SAME window pass as the running sum (identical
     # partition/order spec -> one Window operator): a separate
     # href.agg(sum) branch re-executed the reference histogram pipeline
@@ -1483,27 +1506,40 @@ def psi_drift(
             F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
         )
     )
-    totals = both.agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    # Totals and the sorted psi fold ride whole-table window passes over
+    # the SAME ordered spec instead of two broadcast branches: the old
+    # totals.agg + folded.agg each re-executed `both` — and with it the
+    # current-period histogram scan — so the raw points were read three
+    # extra times. Window sums over the 10-row bin table are the same
+    # exact integer totals; the psi fold is the identical bin-sorted
+    # array fold. Single-partition window is by design: the table is
+    # bins-scale.
+    w_bins = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = both.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_bins).alias("tr"),
+        F.sum("n_cur").over(w_bins).alias("tc"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     pr = (d("n_ref") + F.lit(1.0)) / (d("tr") + F.lit(float(bins)))
     pc = (d("n_cur") + F.lit(1.0)) / (d("tc") + F.lit(float(bins)))
-    terms = both.crossJoin(F.broadcast(totals)).select(
+    terms = with_tot.select(
         "bin", "n_ref", "n_cur", ((pc - pr) * F.log(pc / pr)).alias("psi_term")
     )
-    folded = terms.agg(
-        F.array_sort(F.collect_list(F.struct("bin", "psi_term"))).alias("arr")
-    ).select(
-        F.aggregate(
-            F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["psi_term"]
-        ).alias("psi")
+    psi = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct("bin", "psi_term")).over(w_bins)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["psi_term"],
     )
-    return (
-        terms.crossJoin(F.broadcast(folded))
-        .select("bin", "n_ref", "n_cur", "psi_term", "psi")
-        .orderBy("bin")
-    )
+    return terms.select(
+        "bin", "n_ref", "n_cur", "psi_term", psi.alias("psi")
+    ).orderBy("bin")
 
 
 def psi_timeline(
@@ -1540,6 +1576,11 @@ def psi_timeline(
     if bins < 2:
         raise ValueError("need >= 2 bins")
     vq = F.round(F.col("value") / F.lit(value_quantum)).cast("long")
+    # ONE eager checkpoint of the reference histogram (value-domain
+    # scale): its pipeline had two consumers — the cut-point broadcast
+    # build and ref_bins — and the broadcast boundary blocks exchange
+    # reuse, so the reference period was scanned twice (same fix as
+    # psi_drift / chi2_independence).
     href = (
         points.where(
             (F.col("uuid") == F.lit(uuid)) & time_range_pred(ref_start, ref_end)
@@ -1547,6 +1588,7 @@ def psi_timeline(
         .select(vq.alias("vq"))
         .groupBy("vq")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     # nr rides the SAME window pass as the running sum (identical
     # partition/order spec -> one Window operator): a separate
@@ -1617,11 +1659,28 @@ def psi_timeline(
             F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
         )
     )
-    tr = both.groupBy("day").agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    # Per-day totals ride a window over the SAME day partitioning instead
+    # of a groupBy branch broadcast-joined back: the old tr build
+    # re-executed `both` — and with it the whole current-period histogram
+    # — a second time (broadcast boundary blocks exchange reuse). Window
+    # sums over the (days x bins) table are the same exact integer
+    # totals, and the final groupBy("day") reuses the window's
+    # partitioning (guide §2.4).
+    w_day = Window.partitionBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = both.select(
+        "day",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_day).alias("tr"),
+        F.sum("n_cur").over(w_day).alias("tc"),
+    )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     pr = (d("n_ref") + F.lit(1.0)) / (d("tr") + F.lit(float(bins)))
     pc = (d("n_cur") + F.lit(1.0)) / (d("tc") + F.lit(float(bins)))
-    terms = both.join(F.broadcast(tr), "day").select(
+    terms = with_tot.select(
         "day",
         "bin",
         "n_cur",

@@ -386,49 +386,78 @@ def dominant_period(
     bucket table). Columns: uuid, best_lag, acf, n_buckets."""
     if not 1 <= min_lag <= max_lag:
         raise ValueError("need 1 <= min_lag <= max_lag")
-    filled, n = _bucket_sums(points, start, end, width, value_quantum)
+    if width <= 0:
+        raise ValueError("width must be positive")
+    end = end - (end - start) % width
+    n = (end - start) // width
+    if n < 1:
+        raise ValueError("empty range")
     if n <= max_lag:
         raise ValueError("range shorter than the largest lag")
-    filled = filled.localCheckpoint(eager=True)
-    marg = filled.groupBy("uuid").agg(
-        F.sum("s").alias("S"), F.sum(F.col("s") * F.col("s")).alias("SS")
-    )
-    spark = points.sparkSession
-    lag_df = spark.createDataFrame(
-        [(int(lag),) for lag in range(min_lag, max_lag + 1)], "lag long"
-    )
-    a = filled.select("uuid", F.col("widx").alias("t"), F.col("s").alias("sa"))
-    b = filled.select(
-        F.col("uuid").alias("ub"), F.col("widx").alias("tb"), F.col("s").alias("sb")
-    )
-    sxy = (
-        lag_df.join(a)
-        .join(
-            b,
-            (F.col("ub") == F.col("uuid"))
-            & (F.col("tb") == F.col("t") + F.col("lag")),
+    # One zero-filled bucket array per stream replaces the _bucket_sums
+    # spine + per-lag joins (guide §2.4): the old plan cross-joined the
+    # lag table against BOTH a copy of the spine and a (lag-shifted)
+    # self-join of it, then joined three per-lag branches back together —
+    # 30 Exchanges of label-scale rows. The array form computes the same
+    # exact int64 sums (Sxy over pairs (t, t+L) = zip of a[0..n-L-1] with
+    # a[L..n-1]; Sh = sum a[0..n-L-1]; St = sum a[L..n-1]; S/SS over the
+    # full array — integer addition is order-free) with ONE aggregation
+    # exchange, and the lag explode + argmax stay on the uuid
+    # partitioning. O(lags * n) work per stream, same as before.
+    sums = (
+        points.where(time_range_pred(start, end))
+        .select(
+            "uuid",
+            F.expr(f"(time - ({start})) div {width}").alias("widx"),
+            F.round(F.col("value") / F.lit(value_quantum))
+            .cast("long")
+            .alias("vq"),
         )
-        .groupBy("uuid", "lag")
-        .agg(F.sum(F.col("sa") * F.col("sb")).alias("Sxy"))
+        .groupBy("uuid", "widx")
+        .agg(F.sum("vq").alias("s"))
     )
-    parts = (
-        lag_df.join(filled)
-        .groupBy("uuid", "lag")
+    arr = (
+        sums.groupBy("uuid")
         .agg(
-            F.sum(
-                F.when(F.col("widx") < F.lit(n) - F.col("lag"), F.col("s"))
-            ).alias("Sh"),
-            F.sum(F.when(F.col("widx") >= F.col("lag"), F.col("s"))).alias(
-                "St"
-            ),
+            F.map_from_entries(F.collect_list(F.struct("widx", "s"))).alias("m")
+        )
+        .select(
+            "uuid",
+            F.expr(
+                f"transform(sequence(0L, {n - 1}L),"
+                " i -> coalesce(try_element_at(m, i), 0L))"
+            ).alias("a"),
+        )
+    )
+    agg_sum = lambda e: f"aggregate({e}, 0L, (acc, x) -> acc + x)"  # noqa: E731
+    per_lag = (
+        arr.select(
+            "uuid",
+            "a",
+            F.expr(agg_sum("a")).alias("S"),
+            F.expr("aggregate(a, 0L, (acc, x) -> acc + x * x)").alias("SS"),
+            F.explode(
+                F.sequence(F.lit(min_lag).cast("long"), F.lit(max_lag).cast("long"))
+            ).alias("lag"),
+        )
+        .select(
+            "uuid",
+            "lag",
+            "S",
+            "SS",
+            F.expr(
+                "aggregate(zip_with("
+                f"slice(a, 1, {n} - lag), slice(a, lag + 1, {n} - lag),"
+                " (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            ).alias("Sxy"),
+            F.expr(agg_sum(f"slice(a, 1, {n} - lag)")).alias("Sh"),
+            F.expr(agg_sum(f"slice(a, lag + 1, {n} - lag)")).alias("St"),
         )
     )
     dec = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("decimal(38,0)")  # noqa: E731
     d = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")  # noqa: E731
     per_lag = (
-        sxy.join(parts, ["uuid", "lag"])
-        .join(marg, "uuid")
-        .select(
+        per_lag.select(
             "uuid",
             "lag",
             (
@@ -449,24 +478,29 @@ def dominant_period(
             ).alias("den_dbl"),
         )
     )
+    # The argmax carries num_dbl/den_dbl along in the max struct instead
+    # of joining the winner back onto per_lag: (num_exact, neg_lag) is
+    # unique per (uuid, lag) — lag is unique — so the trailing fields
+    # never participate in the comparison and the winning row is the
+    # same one the old self-join fetched.
     pick = per_lag.groupBy("uuid").agg(
-        F.max(F.struct(F.col("num_exact"), (-F.col("lag")).alias("neg_lag"))).alias(
-            "best"
-        )
+        F.max(
+            F.struct(
+                F.col("num_exact"),
+                (-F.col("lag")).alias("neg_lag"),
+                F.col("num_dbl"),
+                F.col("den_dbl"),
+            )
+        ).alias("best")
     )
-    return (
-        pick.select("uuid", (-F.col("best.neg_lag")).alias("best_lag"))
-        .join(per_lag.withColumnRenamed("lag", "best_lag"), ["uuid", "best_lag"])
-        .select(
-            "uuid",
-            "best_lag",
-            F.when(F.col("den_dbl") != 0, F.col("num_dbl") / F.col("den_dbl")).alias(
-                "acf"
-            ),
-            F.lit(n).cast("long").alias("n_buckets"),
-        )
-        .orderBy("uuid")
-    )
+    return pick.select(
+        "uuid",
+        (-F.col("best.neg_lag")).alias("best_lag"),
+        F.when(
+            F.col("best.den_dbl") != 0, F.col("best.num_dbl") / F.col("best.den_dbl")
+        ).alias("acf"),
+        F.lit(n).cast("long").alias("n_buckets"),
+    ).orderBy("uuid")
 
 
 def runs_test(

@@ -587,6 +587,19 @@ def test_deadband_compress_keeps_exceptions_only(spark):
     assert [(r.time // S, r.value) for r in out] == [(1, 0.0), (3, 0.6), (5, 1.2)]
 
 
+def test_deadband_compress_duplicate_time_tiebreak(spark):
+    # Two points share time=1s: the fold must visit them in (time, value)
+    # order — the sort_array struct order of the original Catalyst fold —
+    # so 0.0 is the first/kept point, 0.2 is inside its band, and 0.5 is
+    # kept vs 0.0.  Visiting 0.2 first would instead keep {0.2} only.
+    rows = [("a", 1 * S, 0.2), ("a", 1 * S, 0.0), ("a", 2 * S, 0.5)]
+    pts = mk(spark, rows)
+    from btrdb_server_spark.operators.derive import deadband_compress
+
+    out = deadband_compress(pts, "a", 0, 10 * S, deadband=0.3).collect()
+    assert [(r.time // S, r.value) for r in out] == [(1, 0.0), (2, 0.5)]
+
+
 def test_hash_sample_deterministic_and_bounded(spark):
     rows = [("a", i, float(i % 7)) for i in range(100)] + [
         ("b", i, 1.0) for i in range(5)
