@@ -25,6 +25,29 @@ import sys
 import time
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat line 1, or None where
+    unavailable. The difference of two snapshots gives the fraction of
+    CPU time the hypervisor stole from this VM over the window — measured
+    34.7% during one r13 session window vs 2.0% an hour later on the same
+    box, which is exactly the shape of the unexplained 343.5 -> 366.1 ->
+    400.7 s driver-total drift the anchor was added for. steal_pct in the
+    artifacts lets any two runs be compared with the host discounted."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = list(map(int, parts[1:]))
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(a: tuple[int, int] | None, b: tuple[int, int] | None) -> float | None:
+    if a is None or b is None or b[1] <= a[1]:
+        return None
+    return round(100.0 * (b[0] - a[0]) / (b[1] - a[1]), 2)
+
+
 def _anchor_sec(spark) -> float:
     """One fixed synthetic probe of host+JVM speed: groupBy/agg over
     spark.range (no files, no shuffle-partition sensitivity beyond the
@@ -81,18 +104,25 @@ def main() -> None:
     # is about.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     anchor_start = _anchor_sec(spark)
+    cpu_run_start = _cpu_stat()
     means: dict[str, float] = {}
+    steals: dict[str, float] = {}
     for name in sorted(qs):
         times, n = [], 0
+        cpu_q_start = _cpu_stat()
         for _ in range(reps):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = len(df.toPandas())
             times.append(time.perf_counter() - t0)
+        q_steal = _steal_pct(cpu_q_start, _cpu_stat())
+        if q_steal is not None:
+            steals[name] = q_steal
         timings[name] = round(min(times), 4)
         means[name] = round(sum(times) / len(times), 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    steal_pct = _steal_pct(cpu_run_start, _cpu_stat())
     anchor_end = _anchor_sec(spark)
     anchor = min(anchor_start, anchor_end)
     total = round(sum(timings.values()), 4)
@@ -116,6 +146,8 @@ def main() -> None:
                 "anchor_sec": anchor,
                 "anchor_start_sec": anchor_start,
                 "anchor_end_sec": anchor_end,
+                "steal_pct": steal_pct,
+                "queries_steal_pct": steals,
             },
             f,
             indent=1,
@@ -134,6 +166,7 @@ def main() -> None:
             "n_queries": len(timings),
             "reps": reps,
             "anchor_sec": anchor,
+            "steal_pct": steal_pct,
             "queries_full_file": "BENCH_full.json",
         },
         separators=(",", ":"),

@@ -648,6 +648,67 @@ def simhash_pairs(
     )
 
 
+def _shingle_inter_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    df_cap: int,
+    directed: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of ngram_jaccard_pairs / containment_pairs: the hashed
+    k-shingle inverted index, per-document df-capped set sizes, and the
+    per-pair intersection counts.
+
+    Shingles are hashed to 60-bit ints (first 15 hex chars of md5) before
+    the distinct: every shuffle then moves 8-byte keys instead of ~30-byte
+    strings. Collision odds at 2^60 are negligible and the DuckDB oracle
+    applies the identical hash.
+
+    Intersections are generated MAP-SIDE: shingles in 2..df_cap documents
+    gather their (distinct) document ids with one collect_list — the
+    buffer is bounded by df_cap, the same bound the old self-join put on
+    its per-key fan-out — and pairs explode inside the task, so a hot
+    shingle costs an in-memory array of m ids instead of m² rows through
+    the join machinery. The pair multiset is exactly the self-join's
+    (every ordered pair of distinct ids sharing s, filtered to a<b or
+    a!=b), so the exact integer counts are unchanged. The old eager-
+    under-AQE localCheckpoint of the index is gone too: the index subtree
+    feeds its consumers through canonically identical exchanges that
+    runtime exchange reuse dedups for free (the measured-faster pattern
+    from the recall audits), instead of paying a planner pass + stage
+    execution at plan-construction time."""
+    sh = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+        .select(
+            id_col, F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s")
+        )
+        .distinct()
+    )
+    dfs = sh.groupBy("s").agg(F.count("*").alias("nd"))
+    shk = sh.join(dfs.where(F.col("nd") <= df_cap), "s")
+    sizes = shk.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # Shingles in exactly one document cannot contribute to any
+    # intersection; pruning them first shrinks pair generation to the
+    # shared-vocabulary subset — on a near-dup-sparse 100 TB corpus that
+    # is the difference between pairing ~n*|doc| rows and only the
+    # colliding tail.
+    groups = (
+        shk.where(F.col("nd") >= 2)
+        .groupBy("s")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+    )
+    pairs = groups.select(F.explode("ids").alias("a"), "ids").select(
+        "a", F.explode("ids").alias("b")
+    )
+    cond = (
+        (F.col("a") != F.col("b")) if directed else (F.col("a") < F.col("b"))
+    )
+    inter = pairs.where(cond).groupBy("a", "b").agg(F.count("*").alias("inter"))
+    return inter, sizes
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -657,11 +718,12 @@ def ngram_jaccard_pairs(
     df_cap: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via a shingle inverted index:
-    |A∩B| from the self-join on distinct shingles, |A∪B| = |A|+|B|-|A∩B|.
+    |A∩B| counted from map-side-generated pairs of documents sharing a
+    shingle (_shingle_inter_counts), |A∪B| = |A|+|B|-|A∩B|.
     Returns pairs (a < b) with jaccard >= threshold.
 
-    ``df_cap`` bounds the self-join skew: a shingle present in m documents
-    contributes m² join rows, so one boilerplate shingle (license header,
+    ``df_cap`` bounds the pair fan-out: a shingle present in m documents
+    contributes m² pair rows, so one boilerplate shingle (license header,
     navigation chrome) in 10⁶ documents of a 100 TB corpus would be a
     10¹² row hot key on a single shuffle partition. Shingles with document
     frequency > df_cap are dropped from BOTH the intersection and the
@@ -671,36 +733,8 @@ def ngram_jaccard_pairs(
     ultra-common boilerplate score 0 (by design); genuine near-duplicates
     share plenty of sub-cap shingles and are unaffected. MinHash/LSH
     remains the first-choice scale path; this is the exact verifier."""
-    # Shingles are hashed to 60-bit ints (first 15 hex chars of md5) before
-    # the distinct: the shuffle and self-join then move 8-byte keys instead
-    # of ~30-byte strings. Collision odds at 2^60 are negligible and the
-    # DuckDB oracle applies the identical hash. The index is materialized
-    # once — the self-join's two sides and the size table share it.
-    sh = (
-        ensure_parallelism(docs)
-        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
-        .select(
-            id_col, F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    dfs = sh.groupBy("s").agg(F.count("*").alias("nd"))
-    shk = sh.join(dfs.where(F.col("nd") <= df_cap), "s")
-    sizes = shk.groupBy(id_col).agg(F.count("*").alias("sz"))
-    # Shingles in exactly one document cannot contribute to any
-    # intersection; pruning them first shrinks the self-join input to the
-    # shared-vocabulary subset — on a near-dup-sparse 100 TB corpus that is
-    # the difference between joining ~n*|doc| rows and joining only the
-    # colliding tail. The df-cap above bounds the other end: every join
-    # key now fans out at most df_cap² rows.
-    shx = shk.where(F.col("nd") >= 2).select(id_col, "s")
-    inter = (
-        shx.alias("l")
-        .join(shx.alias("r"), F.col("l.s") == F.col("r.s"))
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .agg(F.count("*").alias("inter"))
+    inter, sizes = _shingle_inter_counts(
+        docs, text_col, id_col, k, df_cap, directed=False
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
@@ -897,37 +931,20 @@ def containment_pairs(
     src != dst — both directions when both clear the bar.
 
     Same scale shape as ngram_jaccard_pairs: hashed shingle inverted
-    index built once, singleton shingles pruned before the self-join,
+    index built once, singleton shingles pruned before pair generation,
     sizes joined broadcast; the ratio is one exact integer division
     (never rounded — rounding ties diverge across engines). ``df_cap``
-    bounds the self-join skew exactly as in ngram_jaccard_pairs (see its
+    bounds the pair fan-out exactly as in ngram_jaccard_pairs (see its
     docstring): shingles in more than df_cap documents are dropped from
     both the intersection and |A|, so containment is exact over the
     df-capped vocabulary — a short doc contained in a long one via
     boilerplate-only overlap no longer scores, which is the curation
     semantics you want anyway."""
-    sh = (
-        ensure_parallelism(docs)
-        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
-        .select(
-            id_col,
-            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    inter_ab, sizes = _shingle_inter_counts(
+        docs, text_col, id_col, k, df_cap, directed=True
     )
-    dfs = sh.groupBy("s").agg(F.count("*").alias("nd"))
-    shk = sh.join(dfs.where(F.col("nd") <= df_cap), "s")
-    sizes = shk.groupBy(id_col).agg(F.count("*").alias("sz"))
-    shx = shk.where(F.col("nd") >= 2).select(id_col, "s")
-    inter = (
-        shx.alias("l")
-        .join(shx.alias("r"), F.col("l.s") == F.col("r.s"))
-        .where(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("src"), F.col(f"r.{id_col}").alias("dst")
-        )
-        .agg(F.count("*").alias("inter"))
+    inter = inter_ab.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "inter"
     )
     ssz = sizes.select(F.col(id_col).alias("src"), F.col("sz").alias("src_sz"))
     return (

@@ -802,10 +802,11 @@ def source_profile(
     card that catches a broken source before it poisons the mix.
 
     Exactness: lengths and token counts are integers; medians are
-    type-1 order statistics at rank ceil(n/2) (per-source rank window);
-    means are single divisions. Scale shape: one map pass for lengths,
-    one source-keyed rank window (partitions bounded by per-source doc
-    counts), one source-domain aggregate. Columns: source, n_docs,
+    type-1 order statistics at rank ceil(n/2) read off cumulative
+    histogram counts; means are single divisions. Scale shape: one map
+    pass for lengths, one map-side-combined groupBy to the
+    (source, chars) histogram, one window over that bounded-domain
+    table. Columns: source, n_docs,
     mean_chars, median_chars, mean_tokens."""
     from pyspark.sql import Window
 
@@ -813,27 +814,40 @@ def source_profile(
         F.col(source_col).alias("source"),
         F.length(F.col(text_col)).cast("long").alias("chars"),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("toks"),
-    ).localCheckpoint(eager=False)
-    agg = src.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("chars").alias("s_chars"),
-        F.sum("toks").alias("s_toks"),
     )
-    w = Window.partitionBy("source").orderBy("chars")
-    med = (
-        src.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(agg.select("source", "n_docs")), "source")
-        .where(F.col("rn") == F.expr("(n_docs + 1) div 2"))
-        .select("source", F.col("chars").alias("median_chars"))
+    # Char lengths are bounded-domain integers, so the exact median comes
+    # off a VALUE-DOMAIN HISTOGRAM (the delay_by_priority shape): one
+    # map-side-combined groupBy collapses the corpus to (source, chars)
+    # cells — token sums ride the same cells — and the type-1 order
+    # statistic at rank (n+1) div 2 is the first length whose cumulative
+    # count reaches the rank: bit-identical to ranking every document,
+    # without sorting every doc row on the low-cardinality source key or
+    # checkpointing the tokenize pass for a join-back branch.
+    hist = src.groupBy("source", "chars").agg(
+        F.count("*").alias("cnt"), F.sum("toks").alias("stoks")
     )
+    wc = Window.partitionBy("source").orderBy("chars")
+    wa = wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return (
-        agg.join(med, "source")
+        hist.select(
+            "source",
+            "chars",
+            "cnt",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wa).alias("n_docs"),
+            F.sum(F.col("chars") * F.col("cnt")).over(wa).alias("s_chars"),
+            F.sum("stoks").over(wa).alias("s_toks"),
+        )
+        .where(
+            (F.col("cum") >= F.expr("(n_docs + 1) div 2"))
+            & (F.col("cum") - F.col("cnt") < F.expr("(n_docs + 1) div 2"))
+        )
         .select(
             "source",
             "n_docs",
             (d("s_chars") / d("n_docs")).alias("mean_chars"),
-            "median_chars",
+            F.col("chars").alias("median_chars"),
             (d("s_toks") / d("n_docs")).alias("mean_tokens"),
         )
         .orderBy("source")

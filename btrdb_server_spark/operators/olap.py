@@ -1211,8 +1211,9 @@ def repurchase_intervals(orders: DataFrame) -> DataFrame:
     Exactness: gaps are integer day differences; percentile ranks use
     the (p*n + 99) div 100 ceiling identity; the mean is ONE division.
     Scale shape: one customer-keyed lag window (partitions bounded by
-    per-customer order counts), one global rank window over the
-    gap-scale table for the audit-grade exact percentiles. Columns:
+    per-customer order counts), one map-side-combined groupBy to the
+    day-domain histogram, one window over that label-scale table for
+    the exact cumulative-count percentiles. Columns:
     n_gaps, p50_days, p90_days, mean_days."""
     from pyspark.sql import Window
 
@@ -1224,34 +1225,48 @@ def repurchase_intervals(orders: DataFrame) -> DataFrame:
         .where(F.col("prev").isNotNull())
         .select(F.datediff("od", "prev").cast("long").alias("gap"))
     )
+    # Gaps are small-domain integers, so the exact percentiles come off a
+    # VALUE-DOMAIN HISTOGRAM (the ship_delay_profile shape): one
+    # map-side-combined groupBy collapses the gap rows to day cells, and
+    # the type-1 order statistic at rank r is the first gap whose
+    # cumulative count reaches r — bit-identical to ranking every row,
+    # without a single-task global sort of every gap. A cell can cover
+    # both percentile ranks, so each pick tests rank ∈ (cum - cnt, cum].
+    hist = gaps.groupBy("gap").agg(F.count("*").alias("cnt"))
     wr = Window.orderBy("gap")
-    ranked = gaps.withColumn("rn", F.row_number().over(wr))
-    agg = gaps.agg(F.count("*").alias("n"), F.sum("gap").alias("s"))
-    pick = (
-        ranked.join(F.broadcast(agg))
-        .select(
-            "gap",
-            "rn",
-            F.expr("(50 * n + 99) div 100").alias("r50"),
-            F.expr("(90 * n + 99) div 100").alias("r90"),
+    wa = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "gap",
+        "cnt",
+        F.sum("cnt").over(wr).alias("cum"),
+        F.sum("cnt").over(wa).alias("n"),
+        F.sum(F.col("gap") * F.col("cnt")).over(wa).alias("s"),
+    )
+    covers = lambda r: (  # noqa: E731
+        (F.col("cum") >= F.expr(r)) & (F.col("cum") - F.col("cnt") < F.expr(r))
+    )
+    return (
+        cum.where(
+            covers("(50 * n + 99) div 100") | covers("(90 * n + 99) div 100")
         )
-        .where((F.col("rn") == F.col("r50")) | (F.col("rn") == F.col("r90")))
         .agg(
-            F.min(F.when(F.col("rn") == F.col("r50"), F.col("gap"))).alias(
+            F.min("n").alias("n"),
+            F.min(F.when(covers("(50 * n + 99) div 100"), F.col("gap"))).alias(
                 "p50_days"
             ),
-            F.min(F.when(F.col("rn") == F.col("r90"), F.col("gap"))).alias(
+            F.min(F.when(covers("(90 * n + 99) div 100"), F.col("gap"))).alias(
                 "p90_days"
             ),
+            F.min("s").alias("s"),
         )
-    )
-    return agg.join(F.broadcast(pick)).select(
-        F.col("n").alias("n_gaps"),
-        "p50_days",
-        "p90_days",
-        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
-            "mean_days"
-        ),
+        .select(
+            F.col("n").alias("n_gaps"),
+            "p50_days",
+            "p90_days",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "mean_days"
+            ),
+        )
     )
 
 
@@ -1265,8 +1280,9 @@ def ship_delay_profile(
     Exactness: delays are integer day differences; percentiles are
     exact order statistics at ceiling ranks; shares are single
     divisions. Scale shape: one fact-fact co-hash on the order key, one
-    global rank window over the delay domain for the audit percentiles,
-    one conditional reduce. Columns: n_items, p50, p90, p99,
+    map-side-combined groupBy to the day-domain histogram, one window
+    over that label-scale table for the exact cumulative-count
+    percentiles. Columns: n_items, p50, p90, p99,
     n_slow, slow_share."""
     from pyspark.sql import Window
 
@@ -1274,46 +1290,64 @@ def ship_delay_profile(
     li = lineitem.select(
         "l_orderkey", F.to_date("l_shipdate").alias("sd")
     )
-    delays = (
-        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
-        .select(F.datediff("sd", "od").cast("long").alias("d"))
-        .localCheckpoint(eager=False)
+    delays = li.join(o, F.col("l_orderkey") == o["o_orderkey"]).select(
+        F.datediff("sd", "od").cast("long").alias("d")
     )
-    agg = delays.agg(
-        F.count("*").alias("n"),
-        F.sum((F.col("d") > slow_days).cast("long")).alias("n_slow"),
-    )
+    # Delays are small-domain integers, so the exact percentiles come off
+    # a VALUE-DOMAIN HISTOGRAM (the delay_by_priority shape): one
+    # map-side-combined groupBy collapses the fact rows to day cells, and
+    # the type-1 order statistic at rank r is the first day whose
+    # cumulative count reaches r — bit-identical to ranking every row,
+    # without the old shape's single-task global sort of the whole fact
+    # output (a 100 TB scale-killer) or its checkpoint + join-backs. A
+    # day cell can cover several percentile ranks, so each pick tests
+    # rank ∈ (cum - cnt, cum].
+    hist = delays.groupBy("d").agg(F.count("*").alias("cnt"))
     wr = Window.orderBy("d")
-    ranked = delays.withColumn("rn", F.row_number().over(wr))
-    pick = (
-        ranked.join(F.broadcast(agg))
-        .select(
-            "d",
-            "rn",
-            F.expr("(50 * n + 99) div 100").alias("r50"),
-            F.expr("(90 * n + 99) div 100").alias("r90"),
-            F.expr("(99 * n + 99) div 100").alias("r99"),
+    wa = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(wr).alias("cum"),
+        F.sum("cnt").over(wa).alias("n"),
+        F.sum(
+            F.when(F.col("d") > slow_days, F.col("cnt")).otherwise(F.lit(0))
         )
-        .where(
-            (F.col("rn") == F.col("r50"))
-            | (F.col("rn") == F.col("r90"))
-            | (F.col("rn") == F.col("r99"))
+        .over(wa)
+        .alias("n_slow"),
+    )
+    covers = lambda r: (  # noqa: E731
+        (F.col("cum") >= F.expr(r)) & (F.col("cum") - F.col("cnt") < F.expr(r))
+    )
+    return (
+        cum.where(
+            covers("(50 * n + 99) div 100")
+            | covers("(90 * n + 99) div 100")
+            | covers("(99 * n + 99) div 100")
         )
         .agg(
-            F.min(F.when(F.col("rn") == F.col("r50"), F.col("d"))).alias("p50"),
-            F.min(F.when(F.col("rn") == F.col("r90"), F.col("d"))).alias("p90"),
-            F.min(F.when(F.col("rn") == F.col("r99"), F.col("d"))).alias("p99"),
+            F.min("n").alias("n"),
+            F.min(F.when(covers("(50 * n + 99) div 100"), F.col("d"))).alias(
+                "p50"
+            ),
+            F.min(F.when(covers("(90 * n + 99) div 100"), F.col("d"))).alias(
+                "p90"
+            ),
+            F.min(F.when(covers("(99 * n + 99) div 100"), F.col("d"))).alias(
+                "p99"
+            ),
+            F.min("n_slow").alias("n_slow"),
         )
-    )
-    return agg.join(F.broadcast(pick)).select(
-        F.col("n").alias("n_items"),
-        "p50",
-        "p90",
-        "p99",
-        "n_slow",
-        (F.col("n_slow").cast("double") / F.col("n").cast("double")).alias(
-            "slow_share"
-        ),
+        .select(
+            F.col("n").alias("n_items"),
+            "p50",
+            "p90",
+            "p99",
+            "n_slow",
+            (F.col("n_slow").cast("double") / F.col("n").cast("double")).alias(
+                "slow_share"
+            ),
+        )
     )
 
 
@@ -1460,21 +1494,28 @@ def segment_spend_profile(orders: DataFrame, customer: DataFrame) -> DataFrame:
         orders.select("o_custkey", cents.alias("pc"))
         .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
         .select("c_mktsegment", "pc")
-        .localCheckpoint(eager=False)
     )
-    agg = src.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_orders"), F.sum("pc").alias("s")
-    )
+    # Same single-window fold as delay_by_priority: n_orders/sum ride the
+    # median's segment-keyed window pass (one Exchange + one Sort, zero
+    # joins, no checkpoint of the broadcast-join output).
     w = Window.partitionBy("c_mktsegment").orderBy("pc")
-    med = (
-        src.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(agg.select("c_mktsegment", "n_orders")), "c_mktsegment")
-        .where(F.col("rn") == F.expr("(n_orders + 1) div 2"))
-        .select("c_mktsegment", F.col("pc").alias("medc"))
-    )
+    wa = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     d = lambda c_: F.col(c_).cast("double")  # noqa: E731
     return (
-        agg.join(med, "c_mktsegment")
+        src.select(
+            "c_mktsegment",
+            "pc",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wa).alias("n_orders"),
+            F.sum("pc").over(wa).alias("s"),
+        )
+        .where(F.col("rn") == F.expr("(n_orders + 1) div 2"))
+        .select(
+            "c_mktsegment",
+            F.col("pc").alias("medc"),
+            "n_orders",
+            "s",
+        )
         .select(
             "c_mktsegment",
             "n_orders",
@@ -1588,46 +1629,50 @@ def delay_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
 
     Exactness: integer day delays; medians are type-1 order statistics
     per class; means are single divisions. Scale shape: one fact-fact
-    co-hash, one priority-keyed rank window (bounded partitions — the
-    priority domain is tiny but each class is large, so the window is
-    the audit path; hist_quantiles is the sketch path), one class-scale
-    aggregate. Columns: o_orderpriority, n_items, mean_days,
-    median_days."""
+    co-hash, one map-side-combined groupBy to the (priority, day)
+    histogram, one window over that label-scale table for the exact
+    cumulative-count median (hist_quantiles is the sketch path for
+    high-cardinality value domains). Columns: o_orderpriority, n_items,
+    mean_days, median_days."""
     from pyspark.sql import Window
 
     o = orders.select(
         "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
     )
     li = lineitem.select("l_orderkey", F.to_date("l_shipdate").alias("sd"))
-    src = (
-        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
-        .select(
-            "o_orderpriority",
-            F.datediff("sd", "od").cast("long").alias("d"),
-        )
-        .localCheckpoint(eager=False)
+    src = li.join(o, F.col("l_orderkey") == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("sd", "od").cast("long").alias("d"),
     )
-    agg = src.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_items"), F.sum("d").alias("s")
-    )
-    w = Window.partitionBy("o_orderpriority").orderBy("d")
-    med = (
-        src.withColumn("rn", F.row_number().over(w))
-        .join(
-            F.broadcast(agg.select("o_orderpriority", "n_items")),
-            "o_orderpriority",
-        )
-        .where(F.col("rn") == F.expr("(n_items + 1) div 2"))
-        .select("o_orderpriority", F.col("d").alias("median_days"))
-    )
+    # Delays are small-domain integers, so the exact median comes off a
+    # VALUE-DOMAIN HISTOGRAM: one map-side-combined groupBy collapses the
+    # fact rows to (priority, day) cells, and the type-1 order statistic
+    # at rank (n+1) div 2 is the first day whose cumulative count reaches
+    # the rank — bit-identical to sorting every row, without the old
+    # shape's full-fact sort on a 5-value partition key (5 straggler
+    # tasks at 100 TB) or its localCheckpoint + join-back branches.
+    hist = src.groupBy("o_orderpriority", "d").agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("o_orderpriority").orderBy("d")
+    wa = wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
     return (
-        agg.join(med, "o_orderpriority")
+        hist.select(
+            "o_orderpriority",
+            "d",
+            "cnt",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wa).alias("n_items"),
+            F.sum(F.col("d") * F.col("cnt")).over(wa).alias("s"),
+        )
+        .where(
+            (F.col("cum") >= F.expr("(n_items + 1) div 2"))
+            & (F.col("cum") - F.col("cnt") < F.expr("(n_items + 1) div 2"))
+        )
         .select(
             "o_orderpriority",
             "n_items",
             (dd("s") / dd("n_items")).alias("mean_days"),
-            "median_days",
+            F.col("d").alias("median_days"),
         )
         .orderBy("o_orderpriority")
     )

@@ -987,6 +987,34 @@ def test_repurchase_intervals_brute(spark):
     assert r.mean_days == sum(gaps) / 3
 
 
+def test_ship_delay_profile_shared_histogram_cell(spark):
+    """The histogram median reads percentiles off cumulative day-cell
+    counts; one repeated day value can cover SEVERAL percentile ranks
+    (rank ∈ (cum - cnt, cum]) — here ranks r50 and r90 both land inside
+    the d=5 cell, so p50 == p90 == 5 must come out of a single row."""
+    from datetime import date, timedelta
+
+    from btrdb_server_spark.operators.olap import ship_delay_profile
+
+    base = date(2024, 1, 1)
+    delays = [1] + [5] * 8 + [100]  # n=10: r50=rank5, r90=rank9 → both d=5
+    od = spark.createDataFrame(
+        [(i, base) for i in range(len(delays))],
+        "o_orderkey long, o_orderdate date",
+    )
+    li = spark.createDataFrame(
+        [(i, base + timedelta(days=d)) for i, d in enumerate(delays)],
+        "l_orderkey long, l_shipdate date",
+    )
+    r = ship_delay_profile(li, od).collect()[0]
+    sv = sorted(delays)
+    n = len(sv)
+    assert r.p50 == sv[-((-50 * n) // 100) - 1] == 5
+    assert r.p90 == sv[-((-90 * n) // 100) - 1] == 5
+    assert r.p99 == sv[-((-99 * n) // 100) - 1] == 100
+    assert r.n_items == n and r.n_slow == 1 and r.slow_share == 0.1
+
+
 def test_ship_delay_profile_brute(spark):
     from datetime import date, timedelta
 
