@@ -1159,18 +1159,23 @@ def dedup_threshold_curve(
         "b",
         F.explode(F.filter(th, lambda t: F.col("jaccard") >= t)).alias("threshold"),
     )
-    pairs = fanned.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
-    docs_n = (
+    # Both metrics fold into ONE aggregation at doc grain so the verify
+    # pipeline executes once (the pair-count branch used to replay its
+    # post-exchange verify work): every pair contributes exactly two doc
+    # rows, so n_pairs = count(*) div 2 — an exact even-integer halving.
+    stats = (
         fanned.select("threshold", F.explode(F.array("a", "b")).alias("d"))
         .groupBy("threshold")
-        .agg(F.countDistinct("d").alias("n_docs"))
+        .agg(
+            F.expr("count(*) div 2").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs"),
+        )
     )
     spine = docs.sparkSession.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )
     return (
-        spine.join(pairs, "threshold", "left")
-        .join(docs_n, "threshold", "left")
+        spine.join(stats, "threshold", "left")
         .select(
             "threshold",
             F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
