@@ -1470,7 +1470,10 @@ def q_streaming_stat_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     name = "stat_state_out"
-    with bounded_state_partitions(spark):
+    # ~3k (uuid, bucket) state keys: 16 partitions measured 4.0 s vs 6.5 s
+    # at the 4-partition default (interleaved best-of-2, sf0.1). The env
+    # knob still overrides for production sizing.
+    with bounded_state_partitions(spark, 16):
         q = (
             streaming_stat_windows(stream, 42, value_quantum=0.01)
             .writeStream.outputMode("update")
@@ -2281,7 +2284,10 @@ def q_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = streaming_lsh_candidates(stream)
     name = "stream_lsh_out"
-    with bounded_state_partitions(spark):
+    # 32 band-space shards: 8 partitions measured best (7.2/7.0 s vs 9.0 s
+    # @4, interleaved warm reps, sf0.1); beyond 8 the per-batch state-store
+    # fixed costs eat the parallelism.
+    with bounded_state_partitions(spark, 8):
         q = (
             cand.writeStream.outputMode("update")
             .format("memory")
@@ -5851,7 +5857,18 @@ def _state_partitions(n: int):
 
     At production key cardinality the right number is larger still —
     this wrapper tunes the DRIVER-SCALE fixtures; the operators
-    themselves are partition-count-agnostic (keyed state)."""
+    themselves are partition-count-agnostic (keyed state).
+
+    NOTE (r14): the keyed entries (stat_state 16, lsh 8) now pass their
+    tuned count directly to bounded_state_partitions inside the query
+    function — this outer wrapper was being silently overridden by that
+    context manager's env-default 4, which is exactly the "blanket
+    4-partition wrapper starving a many-keyed op" regression again
+    (stat_state measured 6.5 s @4 vs 4.0 s @16 this round). Attribution
+    stays at 4: its state is 32 hash shards and 4 micro-batches x 16
+    partitions of state-store machinery measured SLOWER (5.1-6.3 s @16
+    vs 4.2 s @4). _small_state remains for the few-key entries (it
+    matches the inner default, and keeps the fetch-side windows small)."""
     import functools
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -5871,9 +5888,6 @@ def _state_partitions(n: int):
 
 # Few-keys default (per-stream keyed state, ~5 streams in the fixtures).
 _small_state = _state_partitions(4)
-# Many-keys variants, sized by measurement (see _state_partitions doc).
-_keyed_state_16 = _state_partitions(16)
-_keyed_state_8 = _state_partitions(8)
 
 
 def q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6249,7 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_anomaly": q_mad_anomaly,
         "benford_digits": q_benford_digits,
         "user_rfm": q_user_rfm,
-        "streaming_attribution": _keyed_state_16(q_streaming_attribution),
+        "streaming_attribution": q_streaming_attribution,
         "synthesize_stream": q_synthesize_stream,
         "coverage_report": q_coverage_report,
         "token_collocations": q_token_collocations,
@@ -6325,10 +6339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": q_funnel_windowed,
         "streaming_sessions": _small_state(q_streaming_sessions),
         "decontaminate_lsh": q_decontaminate_lsh,
-        "streaming_lsh": _keyed_state_8(q_streaming_lsh),
+        "streaming_lsh": q_streaming_lsh,
         "streaming_ewma": _small_state(q_streaming_ewma),
         "streaming_dedup": _small_state(q_streaming_dedup),
-        "streaming_stat_state": _keyed_state_16(q_streaming_stat_state),
+        "streaming_stat_state": q_streaming_stat_state,
         "windows_rewrite": q_windows_rewrite,
         "sql_rollup_serve": q_sql_rollup_serve,
         "gaps": q_gaps,
