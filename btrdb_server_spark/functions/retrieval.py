@@ -598,9 +598,7 @@ def bm25_index_append(
         post = _bm25_postings(toks, id_col, buckets)
         post_dir = ixs.table_batch_dir(path, m, "postings", n)
         n_post = ixs.write_partitioned_batch(
-            post.repartition("bucket").sortWithinPartitions("term"),
-            post_dir,
-            "bucket",
+            post, post_dir, "bucket", sort_within="term"
         )
         # Revive tables after a fully-retired compaction: clear the
         # empty-table marks only for tables this batch actually put rows
