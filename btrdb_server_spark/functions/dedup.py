@@ -436,8 +436,9 @@ def dedup_clusters(
     )
     from pyspark.sql import Observation
 
+    prev_sum = None
     for _ in range(max_iter):
-        # Invariant the inner joins below rely on: `lab` holds EVERY edge
+        # Invariant the inner join below relies on: `lab` holds EVERY edge
         # endpoint (it is built from the symmetrized edges' src column,
         # which covers both endpoints), so each msgs.v (an edges.dst) and
         # each aggregated vertex has a matching lab row — the inner join
@@ -448,25 +449,32 @@ def dedup_clusters(
         # Convergence check rides the SAME job as the round's
         # materialization: the checkpoint is lazy and the explicit count()
         # below is the one action that materializes it — the Observation
-        # fires on that action by API contract (no reliance on eager
-        # localCheckpoint internally running an action).
+        # fires on that action by API contract. Fixpoint is detected from
+        # sum(lbl) alone: each vertex's new label is min(own, neighbor
+        # labels) — never larger than its old one — so the label-vector
+        # sum is monotone non-increasing and stalls exactly at the
+        # fixpoint. That drops the join back onto the previous round's
+        # labels (node-scale exchange + join per round) that a per-vertex
+        # changed-count needed; iteration count and labels are identical.
         obs = Observation()
         new = (
             lab.unionByName(msgs)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
-            .join(lab.select("v", F.col("lbl").alias("old")), "v")
+            # decimal(38,0): a corpus-scale Σ of int64 ids can overflow
+            # int64 (ANSI would fail the job); 38 digits cannot.
             .observe(
                 obs,
-                F.sum((F.col("lbl") != F.col("old")).cast("long")).alias("n_changed"),
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("lbl_sum"),
             )
-            .select("v", "lbl")
             .localCheckpoint(eager=False)
         )
         new.count()  # materializes the checkpoint; fires the observation
         lab = new
-        if not obs.get["n_changed"]:
+        cur_sum = obs.get["lbl_sum"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return (
         docs.select(id_col)
         .join(lab, F.col(id_col) == F.col("v"), "left")
@@ -672,7 +680,13 @@ def _shingle_inter_counts(
     shingle costs an in-memory array of m ids instead of m² rows through
     the join machinery. The pair multiset is exactly the self-join's
     (every ordered pair of distinct ids sharing s, filtered to a<b or
-    a!=b), so the exact integer counts are unchanged. The old eager-
+    a!=b), so the exact integer counts are unchanged. Memory bound
+    (ADVICE r13): the collect_list buffer holds up to df_cap int64 doc
+    ids PER SHINGLE in a non-spillable aggregation buffer — ~8 KB at the
+    default df_cap=1000, but a caller passing a very large df_cap trades
+    the old join's spillable shuffle skew for executor-OOM risk; keep
+    df_cap at the thousands scale (it is a boilerplate-shingle cutoff,
+    not a correctness knob). The old eager-
     under-AQE localCheckpoint of the index is gone too: the index subtree
     feeds its consumers through canonically identical exchanges that
     runtime exchange reuse dedups for free (the measured-faster pattern

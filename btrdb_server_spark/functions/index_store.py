@@ -666,18 +666,16 @@ def compact_partitioned_table(
             idc,
             tomb_rows=m.get("tombstone_rows"),
         )
-        # Count BEFORE the write (column-pruned — reads only the id and
-        # the anti-join key, never the payload columns).
-        rows = live.count()
         m2 = dict(m)
         m2["tables"] = {**m["tables"], table: f"{table}.gen{seq}"}
+        # ONE job: the count is observed on the write itself (the
+        # separate count-before-write executed the scan + anti-join
+        # twice), and a fully-retired table's empty write is rolled back
+        # by the helper — exactly its zero-row contract.
+        rows = write_partitioned_batch(
+            live, table_batch_dir(path, m2, table, 0), partition_col
+        )
         m2["batches"] = [0] if rows else []
-        if rows:
-            (
-                live.repartition(partition_col)
-                .write.partitionBy(partition_col)
-                .parquet(table_batch_dir(path, m2, table, 0))
-            )
         mark_table(m2, table, rows, live.schema)
         m2["tombstones"] = None
         m2["tombstone_rows"] = 0

@@ -737,34 +737,42 @@ def bm25_index_compact(spark, path: str) -> dict:
         )
         m2 = dict(m)
         m2["tables"] = {t: f"{t}.gen{seq}" for t in m["tables"]}
-        # Count BEFORE each write (column-pruned scans): a fully-retired
-        # table writes NO files — an empty partitioned write would be
-        # unreadable — and records its schema in the manifest instead.
-        n_docs_live = live_docs.count()
-        n_post_live = live_post.count()
-        m2["batches"] = [0] if (n_docs_live or n_post_live) else []
-        if n_docs_live:
-            live_docs.write.parquet(ixs.table_batch_dir(path, m2, "docs", 0))
+        # ONE job per table: counts (and the docs table's stats truth,
+        # n/sum_dl) are OBSERVED on the write jobs themselves — the old
+        # count-before-write + stats read-back executed the anti-join
+        # scans twice and re-read the freshly written docs, five jobs
+        # where two suffice. A zero-row table's write is rolled back (an
+        # empty partitioned dir is unreadable) and records its schema in
+        # the manifest instead, same contract as before. The observed
+        # n/sum_dl are the exact rows written, so the corruption-
+        # detection compare below is anchored to the identical truth.
+        from pyspark.sql import Observation
+
+        import shutil as _shutil
+
+        docs_dir = ixs.table_batch_dir(path, m2, "docs", 0)
+        obs = Observation()
+        live_docs.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").cast("long").alias("s"),
+        ).write.parquet(docs_dir)
+        n_docs_live = int(obs.get["n"] or 0)
+        sum_dl_live = int(obs.get["s"] or 0)
+        if n_docs_live == 0:
+            _shutil.rmtree(docs_dir, ignore_errors=True)
         ixs.mark_table(m2, "docs", n_docs_live, live_docs.schema)
-        if n_post_live:
-            (
-                live_post.repartition("bucket")
-                .sortWithinPartitions("term")
-                .write.partitionBy("bucket")
-                .parquet(ixs.table_batch_dir(path, m2, "postings", 0))
-            )
-        ixs.mark_table(m2, "postings", n_post_live, live_post.schema)
-        st = (
-            ixs.read_table(spark, path, m2, "docs")
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.sum("dl").cast("long").alias("s"),
-            )
-            .first()
+        n_post_live = ixs.write_partitioned_batch(
+            live_post,
+            ixs.table_batch_dir(path, m2, "postings", 0),
+            "bucket",
+            sort_within="term",
         )
+        m2["batches"] = [0] if (n_docs_live or n_post_live) else []
+        ixs.mark_table(m2, "postings", n_post_live, live_post.schema)
         truth = {
-            "n_docs": int(st["n"] or 0),
-            "sum_dl": int(st["s"] or 0),
+            "n_docs": n_docs_live,
+            "sum_dl": sum_dl_live,
             "buckets": m["stats"]["buckets"],
         }
         repaired = truth != m["stats"]

@@ -1260,7 +1260,10 @@ def repurchase_intervals(orders: DataFrame) -> DataFrame:
             F.min("s").alias("s"),
         )
         .select(
-            F.col("n").alias("n_gaps"),
+            # coalesce: on an EMPTY input the covers() filter leaves no
+            # rows, so min(n) is NULL — the count contract (and the
+            # oracle's count(*)) is 0. Non-empty inputs are unchanged.
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_gaps"),
             "p50_days",
             "p90_days",
             (F.col("s").cast("double") / F.col("n").cast("double")).alias(
@@ -1339,7 +1342,12 @@ def ship_delay_profile(
             F.min("n_slow").alias("n_slow"),
         )
         .select(
-            F.col("n").alias("n_items"),
+            # coalesce: empty input -> covers() leaves no rows -> min(n)
+            # NULL; the count contract (and the oracle's count(*)) is 0.
+            # n_slow stays NULL-on-empty — the oracle's sum(CASE..) over
+            # zero rows is NULL too. Non-empty inputs unchanged (ADVICE
+            # r13).
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_items"),
             "p50",
             "p90",
             "p99",
