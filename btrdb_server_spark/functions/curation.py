@@ -472,7 +472,6 @@ def decontaminate_lsh(
         .join(band_table(bench, "bid"), ["band", "band_key"])
         .select("did", "bid")
         .distinct()
-        .localCheckpoint(eager=False)
     )
 
     def hashed_shingles(frame, out):
@@ -491,8 +490,8 @@ def decontaminate_lsh(
             .distinct()
         )
 
-    sh_c = hashed_shingles(docs, "did").localCheckpoint(eager=False)
-    sh_b = hashed_shingles(bench, "bid").localCheckpoint(eager=False)
+    sh_c = hashed_shingles(docs, "did")
+    sh_b = hashed_shingles(bench, "bid")
     inter = (
         cand.join(sh_c, "did")
         .join(sh_b, ["bid", "s"])
@@ -501,9 +500,15 @@ def decontaminate_lsh(
     )
     sza = sh_c.groupBy("did").agg(F.count("*").alias("sza"))
     szb = sh_b.groupBy("bid").agg(F.count("*").alias("szb"))
+    # No broadcast hints on the size tables: a broadcast build is its own
+    # exchange boundary, so it REPLAYS the whole hashed-shingle corpus
+    # pass (runtime exchange reuse cannot cross it) — and at 100 TB a
+    # doc-scale size table must not broadcast anyway. As plain shuffle
+    # joins, sza/szb sit directly above sh_c/sh_b's distinct exchanges
+    # and ReusedExchange serves them from the one materialization.
     flags = (
-        inter.join(F.broadcast(sza), "did")
-        .join(F.broadcast(szb), "bid")
+        inter.join(sza, "did")
+        .join(szb, "bid")
         .select(
             "did",
             (

@@ -310,16 +310,29 @@ def bm25_index_build(
     """
     from btrdb_server_spark.functions import index_store as ixs
 
-    spark = docs.sparkSession
     docs = ensure_parallelism(docs)
-    toks = docs.select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
-    ).select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
     with ixs.writer_lock(path):  # single-writer maintenance, enforced
         m = ixs.init_index(path, ["postings", "docs"], id_col=id_col)
-        toks.select(id_col, "dl").write.parquet(
-            ixs.table_batch_dir(path, m, "docs", 0)
+        # One tokenization for both writes (the append path's `toks`
+        # discipline): the docs and postings writes are separate ACTIONS,
+        # so without the checkpoint each re-tokenized the whole corpus —
+        # exchange reuse never crosses job boundaries.
+        toks = (
+            docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+            .select(F.col(id_col), F.size("toks").alias("dl"), F.col("toks"))
+            .localCheckpoint(eager=True)
         )
+        # Stats observed on the docs write job itself: exactly the rows
+        # the index commits (never a re-tokenization), without the old
+        # third job that read the freshly written norms table back.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        toks.select(id_col, "dl").observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").cast("long").alias("s"),
+        ).write.parquet(ixs.table_batch_dir(path, m, "docs", 0))
         (
             _bm25_postings(toks, id_col, buckets)
             .repartition("bucket")
@@ -327,14 +340,9 @@ def bm25_index_build(
             .write.partitionBy("bucket")
             .parquet(ixs.table_batch_dir(path, m, "postings", 0))
         )
-        # Stats read back from the PERSISTED norms table (one thin scan):
-        # exactly the rows the index committed, never a re-tokenization.
-        st = ixs.read_table(spark, path, m, "docs").agg(
-            F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
-        ).first()
         m["stats"] = {
-            "n_docs": int(st["n"] or 0),
-            "sum_dl": int(st["s"] or 0),
+            "n_docs": int(obs.get["n"] or 0),
+            "sum_dl": int(obs.get["s"] or 0),
             "buckets": buckets,
         }
         ixs.write_manifest(path, m)  # atomic commit: nothing live before this

@@ -1339,3 +1339,35 @@ def test_lsh_index_drift_gauges_banding_precision(spark, docs, tmp_path):
     lsh_index_retire(spark, p, [i for i in range(48) if i % 3 == 0])
     after = lsh_index_drift(spark, p, docs, sample_mod=1).first()
     assert after["n_pairs"] < r["n_pairs"]
+
+
+def test_partitioned_batch_write_is_clustered(spark, tmp_path):
+    """r14: write_partitioned_batch must CLUSTER rows by the layout key
+    before the dynamic-partition write — an unclustered write cuts one
+    file per (task x key value), which is tasks x values tiny files at
+    scale. Contract: at most one data file per key value here (every
+    value lands wholly in one write task), count still exact, and the
+    optional sort_within keeps rows ordered inside each file."""
+    import glob
+
+    df = spark.range(0, 2000, 1, 8).selectExpr(
+        "id", "id % 4 AS b", "(id * 2654435761) % 997 AS t"
+    )
+    d = str(tmp_path / "batch")
+    n = ixs.write_partitioned_batch(df, d, "b", sort_within="t")
+    assert n == 2000
+    for b in range(4):
+        files = glob.glob(f"{d}/b={b}/*.parquet")
+        assert len(files) == 1, f"partition b={b} fragmented: {files}"
+        # sort_within survived the clustering exchange
+        import pandas as pd
+
+        ts = pd.read_parquet(files[0])["t"]
+        assert list(ts) == sorted(ts)
+    # round-trip: contents identical to the input
+    back = spark.read.parquet(d)
+    assert back.count() == 2000
+    assert (
+        back.selectExpr("sum(id)").first()[0]
+        == df.selectExpr("sum(id)").first()[0]
+    )
